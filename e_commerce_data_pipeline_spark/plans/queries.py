@@ -1,0 +1,588 @@
+"""The analytic query suite: every query is a (PySpark fn, DuckDB oracle)
+pair; the driver runs both at sf0.01 and diffs row-count + schema +
+order-insensitive value hash.
+
+Determinism rules (see functions/__init__.py):
+- money aggregates via per-row fixed-point -> exact int sums;
+- timestamps compared/grouped via ``epoch_us`` integers or formatted
+  strings, never raw timestamp values;
+- every window/top-k ordering carries a unique-key tiebreak;
+- DuckDB SUM(integer) returns HUGEINT -> always CAST(... AS BIGINT)
+  in the oracle so schemas line up;
+- no current_timestamp in oracle-gated queries (fixed NOW constant).
+
+Scale posture (100 TB): joins put the big fact (lineitem/events) on the
+probe side; dims are broadcast (catalog.BROADCAST_DIMS); aggregations
+are expressed so Catalyst runs partial aggregation map-side; windows
+partition by high-cardinality keys (user_id, o_orderkey) so state is
+bounded per key and the shuffle is even.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import (
+    epoch_us,
+    fixed_avg,
+    fixed_sum,
+    line_charge,
+    line_revenue,
+    to_fixed,
+)
+
+# Fixed reference clock for staleness/freshness checks so both engines
+# (and repeated runs) agree. Events span 2024-01-01..2024-01-30.
+NOW = "2024-01-30 00:00:00"
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+    bench: bool = True  # include in bench.py timing loop
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name, oracle, description="", bench=True):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name, fn, oracle, description, bench)
+        return fn
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Core analytics over the star schema (SURVEY §2.3 aggregations, §2.4 joins,
+# §2.6 sorts/limits/set-ops, §2.5 W9 windows)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity) AS BIGINT)) / 1.0 AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+           SUM(CAST(round(l_quantity) AS BIGINT)) / 1.0 / COUNT(l_quantity) AS avg_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(l_extendedprice) AS avg_price,
+           SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: single-scan multi-aggregate",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            fixed_sum("l_quantity", 1, "sum_qty"),
+            fixed_sum("l_extendedprice", 100, "sum_base_price"),
+            fixed_sum(line_revenue(), 10_000, "sum_disc_price"),
+            fixed_sum(line_charge(), 1_000_000, "sum_charge"),
+            fixed_avg("l_quantity", 1, "avg_qty"),
+            fixed_avg("l_extendedprice", 100, "avg_price"),
+            fixed_avg("l_discount", 100, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    "5-way star join, revenue rollup by region/nation",
+)
+def q02_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            fixed_sum(line_revenue(), 10_000, "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q03_top_building_orders",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_shipdate  > TIMESTAMP '1996-07-01'
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3-style top-k unshipped revenue (filter + join + top-k)",
+)
+def q03_top_building_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(fixed_sum(line_revenue(), 10_000, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q04_mktsegment_revenue",
+    """
+    SELECT c_mktsegment,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "Flagship: revenue by market segment (fact-fact join + broadcast dim)",
+)
+def q04_mktsegment_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            fixed_sum(line_revenue(), 10_000, "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q05_late_ship_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    "Semi-join (EXISTS): orders with any line shipped >90d after order",
+)
+def q05_late_ship_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_register(
+    "q06_promo_revenue",
+    """
+    SELECT SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 30
+    """,
+    "TPC-H Q6-style selective scan (predicate pushdown path)",
+)
+def q06_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 30)
+        )
+        .agg(
+            fixed_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10_000, "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q07_customers_without_orders",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+    "Anti-join: customers with no orders, by nation",
+)
+def q07_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_register(
+    "q08_top_parts_per_brand",
+    """
+    WITH part_rev AS (
+        SELECT p_brand, p_partkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue, rk
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rk
+        FROM part_rev
+    )
+    WHERE rk <= 3
+    """,
+    "Top-k per group via ranking window (W9)",
+)
+def q08_top_parts_per_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(fixed_sum(line_revenue(), 10_000, "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rk")
+    )
+
+
+@_register(
+    "q09_order_reconciliation",
+    """
+    WITH calc AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS calc_micro
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN abs(calc_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1c,
+           CAST(SUM(CASE WHEN abs(calc_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) <= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50c,
+           CAST(SUM(CASE WHEN abs(calc_micro - CAST(round(o_totalprice * 1000000) AS BIGINT)) >  500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           MAX(abs(calc_micro - CAST(round(o_totalprice * 1000000) AS BIGINT))) / 1000000.0 AS max_abs_diff
+    FROM orders JOIN calc ON o_orderkey = l_orderkey
+    """,
+    "P9 order-total reconciliation at 1c/50c tolerance, exact fixed-point",
+)
+def q09_order_reconciliation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(to_fixed(line_charge(), 1_000_000)).alias("calc_micro")
+    )
+    diff = F.abs(F.col("calc_micro") - to_fixed("o_totalprice", 1_000_000))
+    return (
+        o.join(calc, o.o_orderkey == calc.l_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((diff <= 10_000).cast("int")).cast("long").alias("n_within_1c"),
+            F.sum((diff <= 500_000).cast("int")).cast("long").alias("n_within_50c"),
+            F.sum((diff > 500_000).cast("int")).cast("long").alias("n_mismatch"),
+            (F.max(diff) / F.lit(1_000_000.0)).alias("max_abs_diff"),
+        )
+    )
+
+
+@_register(
+    "q10_supplier_nation_revenue",
+    """
+    SELECT n_name,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "Supplier-side rollup (broadcast dim chain)",
+)
+def q10_supplier_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            fixed_sum(line_revenue(), 10_000, "revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@_register(
+    "q11_open_not_returned_customers",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    """,
+    "Set op (EXCEPT): customers with open orders and no returns",
+)
+def q11_open_not_returned_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    open_cust = (
+        o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    )
+    returned = (
+        o.join(li.filter(F.col("l_returnflag") == "R"), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep
+    # surplus duplicates from the open side even when returned matches
+    return open_cust.subtract(returned)
+
+
+# --------------------------------------------------------------------------
+# Event-stream analytics (SURVEY §2.5 sessions/windows, §2.7 JSON, J2/J3)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q12_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) <= 600000000
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ), s AS (
+        SELECT user_id, us,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM e
+    )
+    SELECT user_id, session_no,
+           strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_s
+    FROM s GROUP BY user_id, session_no
+    """,
+    "W1: 10-minute-inactivity sessionization (gap-and-island windows)",
+)
+def q12_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(
+        F.col("us") - F.lag("us").over(w) <= 600_000_000, F.lit(0)
+    ).otherwise(F.lit(1))
+    sess = e.withColumn("new_s", new_s).withColumn(
+        "session_no",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.timestamp_micros(F.min("us")), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+    )
+
+
+@_register(
+    "q13_signup_purchase_funnel",
+    """
+    WITH su AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS su_us FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu_us
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.su_us
+        GROUP BY e.user_id
+    )
+    SELECT su.user_id, (pu.pu_us - su.su_us) // 1000000 AS signup_to_purchase_s
+    FROM su JOIN pu ON su.user_id = pu.user_id
+    """,
+    "J2 funnel: first signup -> first subsequent purchase per user",
+)
+def q13_signup_purchase_funnel(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("su_us"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("us") > F.col("su_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("pu_us"))
+    )
+    return su.join(pu, "user_id").select(
+        "user_id", F.expr("(pu_us - su_us) div 1000000").alias("signup_to_purchase_s")
+    )
+
+
+@_register(
+    "q14_json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) / (1.0 * COUNT(props->>'$.k')) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    "JSON props extraction + aggregation (S3/§2.7 map-json surface)",
+)
+def q14_json_props_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        (F.sum(k).cast("long") / (F.lit(1.0) * F.count(k))).alias("avg_k"),
+    )
+
+
+@_register(
+    "q15_hourly_event_stats",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour_bucket,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY hour_bucket
+    """,
+    "W5 tumbling hourly rollup (event-time bucketing)",
+)
+def q15_hourly_event_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fixed_sum("value", 100, "sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_register(
+    "q16_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+    "J3 CDC-apply analog: latest row per key via ranking window",
+)
+def q16_latest_event_per_user(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "value",
+        )
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Flagship query for the driver smoke check (sf0.001)."""
+    return q04_mktsegment_revenue(spark, sf_dir or "/root/testdata/sf0.001")

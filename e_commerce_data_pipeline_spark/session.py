@@ -1,0 +1,70 @@
+"""SparkSession construction tuned for the engine.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast selection replace hand-tuned plans.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster it should be ~2-3x total executor cores (AQE coalesces
+  down, it cannot split a too-small number except for skew).
+- Arrow enabled so any pandas interchange (pandas_udf, toPandas) is
+  columnar-batched instead of row-pickled.
+- ``nanosAsLong`` because the events table carries TIMESTAMP(NANOS),
+  which Spark has no native type for; :mod:`catalog` converts to
+  microsecond timestamps (matching DuckDB's read behavior exactly).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf applied at build time AND re-applied (where dynamic) by
+# `configure_existing` when the driver hands us a pre-built session.
+_DYNAMIC_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims up to 32 MB get broadcast; region/nation/customer/part/supplier
+    # are all far below this at every SF we target per-executor.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "e-commerce-pipeline-spark") -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _DYNAMIC_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure_existing(spark)
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic SQL conf to an externally built session.
+
+    The correctness driver constructs its own SparkSession and passes it
+    in; every entry point routes through here so behavior is identical.
+    """
+    for k, v in _DYNAMIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # static conf on a live session - keep going, defaults are sane
+            pass
+    return spark
