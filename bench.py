@@ -1,0 +1,62 @@
+"""Benchmark harness: times every bench-flagged query in the suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is executed with a count-style action that materializes the
+full result (collect on the aggregated output), after a single warm-up
+of the Spark session on a trivial job so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e_commerce_data_pipeline_spark.plans.queries import QUERIES  # noqa: E402
+from e_commerce_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up JVM / codegen so query timings measure the queries
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in QUERIES.items():
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
