@@ -1,0 +1,296 @@
+"""Deduplication operators (north-star U6): exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all as DataFrame compositions.
+
+Scale design (100 TB):
+- Exact dedup is one hash-shuffle on the fingerprint (map-side partial
+  aggregation first, so only distinct keys shuffle).
+- MinHash/LSH avoids the O(n^2) cross join: per-doc signatures are a
+  linear scan; candidate generation joins docs only within an LSH band
+  bucket. Band-bucket skew (a hot bucket) is handled by AQE skew-join
+  splitting.
+- n-gram Jaccard joins on shared shingles, so cost is bounded by
+  shingle co-occurrence, and a frequency cap (``max_shingle_df``)
+  drops stop-shingles that would otherwise explode the join —
+  the standard "document frequency cut" from near-dup literature.
+
+Two hash families:
+- ``use_portable_hash=True``: md5-hex strings, lexicographic mins —
+  reproducible in any engine (used by the DuckDB oracles).
+- ``use_portable_hash=False``: xxhash64 longs — the fast path
+  (one 64-bit op per token vs a 128-bit digest), default for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint_exact, tokens
+
+
+def exact_dedup(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates by normalized-text fingerprint.
+
+    Returns one row per fingerprint: canonical (min) id + copy count.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint_exact(key_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def keep_canonical(df: DataFrame, key_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per fingerprint."""
+    ranked = df.withColumn("__fp", fingerprint_exact(key_col)).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__fp").orderBy(id_col)),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+def shingles(text_col: str, n: int = 3):
+    """n-token shingles as strings ('tok1 tok2 tok3')."""
+    t = tokens(text_col)
+    k = F.size(t) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with token-n-gram Jaccard >= threshold.
+
+    Implemented as a shared-shingle self-join (never a cross join):
+    intersection counts come from the join, union sizes from per-doc
+    shingle counts. ``max_shingle_df`` drops shingles appearing in more
+    than that many docs before pairing (document-frequency cut).
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def _minhash_units(text_col: str, shingle_n: int | None):
+    """The hashed units: token n-gram shingles (classic MinHash input)
+    or raw tokens when shingle_n is None."""
+    if shingle_n is None:
+        return F.array_distinct(tokens(text_col))
+    return F.array_distinct(shingles(text_col, shingle_n))
+
+
+def _minhash_portable(units, seed: int):
+    """Lexicographic min over salted md5 hex digests of the units.
+
+    Engine-portable (md5 + string min exist everywhere); used when a
+    SQL oracle must reproduce signatures exactly.
+    """
+    salted = F.transform(units, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
+    return F.array_min(salted)
+
+
+def _minhash_fast(units, seed: int):
+    """Min over xxhash64(seed, unit): one 64-bit hash per unit."""
+    return F.array_min(F.transform(units, lambda x: F.xxhash64(F.lit(seed), x)))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    use_portable_hash: bool = False,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """(id, sig: array) MinHash signatures; one linear scan."""
+    mh = _minhash_portable if use_portable_hash else _minhash_fast
+    units = _minhash_units(text_col, shingle_n)
+    sig = F.array(*[mh(units, i) for i in range(num_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    use_portable_hash: bool = False,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    rows_per_band = num_hashes // bands; a pair collides in a band iff
+    that band's signature slice matches exactly. Returns distinct
+    (a_id, b_id) with a_id < b_id.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = minhash_signature(
+        df, id_col, text_col, num_hashes, use_portable_hash, shingle_n
+    ).filter(F.element_at("sig", 1).isNotNull())  # docs with no units
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * r + j + 1).cast("string")
+                                for j in range(r)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_rows.select(F.col("id").alias("a_id"), "band", "key")
+    b = band_rows.select(F.col("id").alias("b_id"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_bits(text_col: str, bits: int = 64):
+    """SimHash as a bit string ('1010...', length ``bits``), from
+    xxhash64 token hashes — pure column exprs, no explode, no shuffle.
+
+    Per doc: for each bit position, sum +-1 over tokens by hash bit,
+    take the sign. Bit positions are Python-loop constants (Spark's
+    shift operators need literal shift amounts).
+    """
+    t = F.array_distinct(tokens(text_col))
+    acc0 = F.array_repeat(F.lit(0), bits)
+
+    def step(acc, x):
+        h = F.xxhash64(x)
+        bit_arr = F.array(
+            *[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
+                for i in range(bits)
+            ]
+        )
+        return F.zip_with(
+            acc, bit_arr, lambda a, b: a + F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
+        )
+
+    folded = F.aggregate(t, acc0, step)
+    return F.concat(
+        *[
+            F.when(F.element_at(folded, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: the bit string is cut into ``n_blocks`` equal chunks;
+    by pigeonhole, any pair within distance < n_blocks shares at least
+    one exact chunk, so candidates join per (chunk index, chunk value)
+    bucket — never a cross join. Hamming distance is computed by
+    XOR + popcount over each chunk parsed base-2.
+    """
+    chunk = bits // n_blocks
+    sh = df.select(F.col(id_col).alias("id"), simhash_bits(text_col, bits).alias("sh"))
+    blocks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.substring("sh", q * chunk + 1, chunk).alias("key"),
+                    )
+                    for q in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.q").alias("q"), F.col("bk.key").alias("key"))
+    a = blocks.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"), "q", "key")
+    b = blocks.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"), "q", "key")
+    hamming = None
+    for q in range(n_blocks):
+        xa = F.conv(F.substring("sh_a", q * chunk + 1, chunk), 2, 10).cast("long")
+        xb = F.conv(F.substring("sh_b", q * chunk + 1, chunk), 2, 10).cast("long")
+        h = F.bit_count(xa.bitwiseXOR(xb))
+        hamming = h if hamming is None else hamming + h
+    pairs = (
+        a.join(b, ["q", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("a_id", "b_id", "hamming")

@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (north-star U5).
+
+Embeddings are ``array<float>`` columns; all math runs as native
+higher-order array expressions (``zip_with`` + ``aggregate``) on the
+JVM — no Python crossing. Elements are cast to double before any
+arithmetic so results are stable regardless of the storage type.
+
+Scale design (100 TB):
+- ``cosine_topk`` (brute force) is the correctness baseline: a
+  broadcast of the (small) query set against the full corpus — linear
+  scan, no shuffle except the final per-query top-k.
+- ``lsh_topk`` blocks candidates with random-hyperplane signatures
+  (sign patterns of fixed pseudo-random planes) so each query only
+  scores its bucket's candidates; recall is tunable via bands/bits.
+- ``cosine_pairs_blocked`` restricts all-pairs scoring to an explicit
+  blocking column (label, LSH bucket, ...) — never an open cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm2(da) * norm2(db))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    ``queries`` has the same schema as ``emb``; the query set is
+    broadcast (it is assumed small), the corpus is scanned once.
+    Ranking uses (rounded sim DESC, neighbor id ASC) so ordering is
+    reproducible across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """All pairs within a blocking key with cosine >= threshold.
+
+    The join is an equi-join on the block column — Catalyst shuffles
+    both sides by block, so cost is sum of squared block sizes, not
+    corpus squared.
+    """
+    a = emb.select(
+        F.col(id_col).alias("a_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("block", "a_id", "b_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path for ANN
+# ---------------------------------------------------------------------------
+
+
+def _plane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane i is
+    derived from xxhash64(i, j), mapped to [-1, 1). Fixed by
+    construction — reproducible across runs and cluster sizes."""
+    return F.array(
+        *[
+            (
+                (F.xxhash64(F.lit(plane_idx), F.lit(j)) % 1_000_003).cast("double")
+                / 1_000_003.0
+            )
+            for j in range(dim)
+        ]
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int) -> Column:
+    """Bit-pattern string of sign(vec . plane_i) for i < n_planes."""
+    bits = [
+        F.when(dot(_as_double(vec), _plane(dim, i)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for i in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    hyperplane-sign bucket. Recall improves with fewer planes (bigger
+    buckets) and can be boosted with multiple tables (union of runs
+    with different plane offsets)."""
+    sig = lambda df, idc, vc: df.select(  # noqa: E731
+        F.col(id_col).alias(idc),
+        F.col(vec_col).alias(vc),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = sig(queries, "query_id", "q_vec")
+    c = sig(emb, "neighbor_id", "c_vec")
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def centroid_norms(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group centroid L2 norm (posexplode -> per-dimension mean ->
+    norm). Deterministic to round_dp; the per-dimension mean uses
+    sum/count of doubles, which is stable well past 6dp here."""
+    exploded = emb.select(
+        F.col(group_col).alias("grp"), F.posexplode(_as_double(F.col(vec_col)))
+    ).select("grp", F.col("pos"), F.col("col").alias("v"))
+    dims = exploded.groupBy("grp", "pos").agg(
+        (F.sum("v") / F.count("v")).alias("mean_v"), F.count("v").alias("n")
+    )
+    return (
+        dims.groupBy("grp")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), round_dp).alias(
+                "centroid_norm"
+            ),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(F.col("grp").alias(group_col), "centroid_norm", "n_vectors")
+    )

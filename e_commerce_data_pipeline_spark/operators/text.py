@@ -1,0 +1,130 @@
+"""Text-analysis operators over document tables (north-star U4).
+
+All operators are pure column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs. At 100 TB these scale linearly with the
+scan: no shuffles except the final aggregations, filters/projections
+push down into the parquet scan.
+
+Operators:
+- ``tokens`` / ``token_count``: whitespace tokenization (the BPE-ish
+  regex variant is ``token_count_bpe``)
+- ``language_features`` / ``guess_is_english``: n-gram/stopword
+  heuristic language signals
+- ``doc_quality_score``: length / punctuation / diversity scoring
+  (reference analog: quality_score P13,
+  /root/reference/data/quality/expectations.py:94,134,159)
+- ``fingerprint_exact`` / ``fingerprint_bag``: md5 of normalized text,
+  and an order-insensitive bag-of-tokens fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopwords usable as cheap English signals; kept tiny so the heuristic
+# is explainable and SQL-portable.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+WS = r"\s+"
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, or a single
+# non-alnum non-space symbol — approximates byte-pair pre-splitting.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def norm_text(col: Column | str) -> Column:
+    """lower + collapse whitespace + trim: canonical text form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), WS, " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text ([] for empty docs)."""
+    n = norm_text(col)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    )
+
+
+def stopword_hits(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """How many distinct stopwords appear in the document (0..len(set))."""
+    t = F.array_distinct(tokens(col))
+    hits = [F.array_contains(t, w).cast("int") for w in stopwords]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def guess_is_english(col: Column | str, min_hits: int = 2) -> Column:
+    """Heuristic language ID: >=min_hits distinct English stopwords."""
+    return stopword_hits(col) >= min_hits
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space chars that are not lowercase-alnum."""
+    n = norm_text(col)
+    no_space = F.regexp_replace(n, " ", "")
+    alnum = F.regexp_replace(no_space, r"[^a-z0-9]", "")
+    return F.when(F.length(no_space) == 0, F.lit(0.0)).otherwise(
+        (F.length(no_space) - F.length(alnum)).cast("double") / F.length(no_space)
+    )
+
+
+def doc_quality_score(col: Column | str) -> Column:
+    """Composite quality in {0, .25, .5, .75, 1}: four binary features.
+
+    Integer-scored (sum of int quarters / 4.0) so the value is exactly
+    representable and cross-engine stable.
+    """
+    quarters = (
+        F.length(norm_text(col)).between(100, 10_000).cast("int")
+        + (token_count(col) >= 20).cast("int")
+        + (punct_ratio(col) < 0.1).cast("int")
+        + (distinct_token_ratio(col) > 0.3).cast("int")
+    )
+    return quarters.cast("double") / F.lit(4.0)
+
+
+def fingerprint_exact(col: Column | str) -> Column:
+    """md5 of normalized text: exact-duplicate key."""
+    return F.md5(norm_text(col))
+
+
+def fingerprint_bag(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct
+    token set — robust to token reshuffling (rolling-hash analog)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family to a document table."""
+    return (
+        df.withColumn("norm_text", norm_text(text_col))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_tokens_bpe", token_count_bpe(text_col))
+        .withColumn("uniq_token_ratio", distinct_token_ratio(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("en_stopword_hits", stopword_hits(text_col))
+        .withColumn("is_english_guess", guess_is_english(text_col))
+        .withColumn("quality_score", doc_quality_score(text_col))
+        .withColumn("fp_exact", fingerprint_exact(text_col))
+        .withColumn("fp_bag", fingerprint_bag(text_col))
+    )

@@ -586,3 +586,414 @@ def q16_latest_event_per_user(spark, sf_dir):
 def entry_query(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q04_mktsegment_revenue(spark, sf_dir or "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# Validation / quality-suite queries (SURVEY §2.2 P2-P13, §2.3 A1-A9)
+# --------------------------------------------------------------------------
+
+_VALID_NOW_US = "epoch_us(TIMESTAMP '2024-01-30 00:00:00')"
+
+
+@_register(
+    "q17_event_quality_checks",
+    f"""
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN user_id IS NULL THEN 'missing_user' END,
+             CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') OR event_type IS NULL THEN 'bad_type' END,
+             CASE WHEN value < 0 OR value > 10000 OR value IS NULL THEN 'value_range' END,
+             CASE WHEN epoch_us(ts) < {_VALID_NOW_US} - 86400000000 THEN 'stale' END,
+             CASE WHEN epoch_us(ts) > {_VALID_NOW_US} + 3600000000 THEN 'future' END
+           ) AS violations,
+           CAST((CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') OR event_type IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN value < 0 OR value > 10000 OR value IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN epoch_us(ts) < {_VALID_NOW_US} - 86400000000 THEN 1 ELSE 0 END)
+              + (CASE WHEN epoch_us(ts) > {_VALID_NOW_US} + 3600000000 THEN 1 ELSE 0 END) AS INT) AS n_violations,
+           greatest(0, 100 - 25 * ((CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') OR event_type IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN value < 0 OR value > 10000 OR value IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN epoch_us(ts) < {_VALID_NOW_US} - 86400000000 THEN 1 ELSE 0 END)
+              + (CASE WHEN epoch_us(ts) > {_VALID_NOW_US} + 3600000000 THEN 1 ELSE 0 END))) / 100.0 AS quality_score
+    FROM events
+    """,
+    "P2/P3/P6/P7/P12/P13: per-event violation codes + quality score",
+)
+def q17_event_quality_checks(spark, sf_dir):
+    from ..operators.validation import event_quality_checks
+
+    return event_quality_checks(_t(spark, sf_dir, "events"), now=NOW)
+
+
+@_register(
+    "q18_quality_suite_events",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_id,
+           COUNT(*) - COUNT(DISTINCT event_id) AS n_dup_event_id,
+           COUNT(DISTINCT user_id) / (1.0 * COUNT(*)) AS distinct_user_ratio,
+           CAST(SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+           CAST(SUM(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_value_oob,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           MAX(epoch_us(ts)) >= {_VALID_NOW_US} - 7200000000 AS freshness_pass,
+           COUNT(*) BETWEEN 100 AND 10000000 AS row_count_pass,
+           COUNT(*) = COUNT(DISTINCT event_id) AS uniqueness_pass
+    FROM events
+    """,
+    "A1-A9 expectation suite compiled to ONE single-scan aggregate",
+)
+def q18_quality_suite_events(spark, sf_dir):
+    from ..operators.quality import events_expectation_suite
+
+    return events_expectation_suite(_t(spark, sf_dir, "events"), now=NOW)
+
+
+@_register(
+    "q19_user_running_totals",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS running_n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS running_value_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING)
+    """,
+    "W9 cumulative window frames per user",
+)
+def q19_user_running_totals(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(epoch_us("ts"), "event_id"))
+        .cast("long")
+        .alias("running_n"),
+        F.sum(to_fixed("value", 100)).over(w).cast("long").alias("running_value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis over documents (north-star U4)
+# --------------------------------------------------------------------------
+
+# Shared DuckDB text normalization fragments (mirror operators/text.py)
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = (
+    f"CASE WHEN length({_SQL_NORM}) = 0 THEN []::VARCHAR[] "
+    f"ELSE string_split({_SQL_NORM}, ' ') END"
+)
+
+
+@_register(
+    "q20_doc_stats_by_lang",
+    f"""
+    WITH d AS (SELECT lang, n_chars, len({_SQL_TOKS}) AS n_tokens FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) / (1.0 * COUNT(*)) AS avg_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) / (1.0 * COUNT(*)) AS avg_tokens
+    FROM d GROUP BY lang
+    """,
+    "U4: corpus statistics by language",
+)
+def q20_doc_stats_by_lang(spark, sf_dir):
+    from ..operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars") / (F.lit(1.0) * F.count(F.lit(1)))).alias("avg_chars"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            (
+                F.sum("n_tokens").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+@_register(
+    "q21_doc_profile",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_NORM} AS norm, {_SQL_TOKS} AS toks,
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(bpe) AS INT) AS n_tokens_bpe,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_distinct(toks)) / (1.0 * len(toks)) END AS uniq_token_ratio,
+           CASE WHEN length(replace(norm, ' ', '')) = 0 THEN 0.0
+                ELSE (length(replace(norm, ' ', '')) - length(regexp_replace(replace(norm, ' ', ''), '[^a-z0-9]', '', 'g')))
+                     / (1.0 * length(replace(norm, ' ', ''))) END AS punct_ratio,
+           CAST(list_contains(list_distinct(toks), 'the') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'a') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'of') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'and') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'to') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'in') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'is') AS INT)
+             + CAST(list_contains(list_distinct(toks), 'for') AS INT) AS en_stopword_hits,
+           md5(norm) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+    FROM d
+    """,
+    "U4: per-document text-analysis profile (tokens, ratios, fingerprints)",
+)
+def q21_doc_profile(spark, sf_dir):
+    from ..operators import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.token_count_bpe("text").alias("n_tokens_bpe"),
+        T.distinct_token_ratio("text").alias("uniq_token_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_hits("text").alias("en_stopword_hits"),
+        T.fingerprint_exact("text").alias("fp_exact"),
+        T.fingerprint_bag("text").alias("fp_bag"),
+    )
+
+
+@_register(
+    "q22_exact_dedup_docs",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
+    SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM d GROUP BY fp
+    """,
+    "Exact dedup: hash-groupBy on normalized-text fingerprint",
+)
+def q22_exact_dedup_docs(spark, sf_dir):
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q23_ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(len(t) - 2),
+                                     i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS shingle
+        FROM toks
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT a_id, b_id, n_inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a_id = sa.id
+    JOIN sizes sb ON inter.b_id = sb.id
+    WHERE n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) >= 0.08
+    """,
+    "U6: n-gram Jaccard near-dup pairs via shared-shingle join",
+)
+def q23_ngram_jaccard_pairs(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.08
+    ).select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
+
+
+@_register(
+    "q24_minhash_lsh_candidates",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    units AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(len(t) - 2),
+                                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+                   ELSE []::VARCHAR[] END) AS u
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(u, x -> md5('0:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('1:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('2:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('3:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('4:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('5:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('6:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('7:' || x)), 'min')] AS sig
+        FROM units
+        WHERE len(u) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band, sig[2 * b.b + 1] || '|' || sig[2 * b.b + 2] AS key
+        FROM sig, range(4) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    "U6: MinHash+LSH banded candidate pairs (portable md5 hash family)",
+)
+def q24_minhash_lsh_candidates(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        use_portable_hash=True,
+    )
+
+
+@_register(
+    "q25_lang_stopword_profile",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(list_contains(list_distinct({_SQL_TOKS}), 'the') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'a') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'of') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'and') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'to') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'in') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'is') AS INT)
+                 + CAST(list_contains(list_distinct({_SQL_TOKS}), 'for') AS INT) AS hits
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) / (1.0 * COUNT(*)) AS avg_stopword_hits,
+           CAST(SUM(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) / (1.0 * COUNT(*)) AS pct_english_guess
+    FROM d GROUP BY lang
+    """,
+    "U4: stopword-based language-ID heuristic profiled against labels",
+)
+def q25_lang_stopword_profile(spark, sf_dir):
+    from ..operators.text import guess_is_english, stopword_hits
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", stopword_hits("text").alias("hits"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("hits").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))).alias(
+                "avg_stopword_hits"
+            ),
+            (
+                F.sum((F.col("hits") >= 2).cast("int")).cast("long")
+                / (F.lit(1.0) * F.count(F.lit(1)))
+            ).alias("pct_english_guess"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings (north-star U5)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q26_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+        SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM s
+    ) WHERE rk <= 5
+    """,
+    "U5: exact cosine top-k (brute force baseline, broadcast queries)",
+)
+def q26_knn_bruteforce(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "q27_label_centroid_norms",
+    """
+    WITH ex AS (
+        SELECT label, i.i AS pos, embedding[i.i]::DOUBLE AS v
+        FROM embeddings, range(1, 65) i(i)
+    ),
+    dims AS (
+        SELECT label, pos, SUM(v) / COUNT(v) AS mean_v, COUNT(v) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label, round(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm,
+           MAX(n) AS n_vectors
+    FROM dims GROUP BY label
+    """,
+    "U5: per-label centroid norms (posexplode -> dimension means)",
+)
+def q27_label_centroid_norms(spark, sf_dir):
+    from ..operators.similarity import centroid_norms
+
+    return centroid_norms(_t(spark, sf_dir, "embeddings"), group_col="label")
+
+
+@_register(
+    "q28_cosine_pairs_by_label",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+    "U6: embedding near-dup pairs, label-blocked (never open cross join)",
+)
+def q28_cosine_pairs_by_label(spark, sf_dir):
+    from ..operators.similarity import cosine_pairs_blocked
+
+    return cosine_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+@_register(
+    "q29_simhash_pairs",
+    None,  # xxhash64-based; not reproducible in the oracle -> rows-only check
+    "U6: SimHash near-dup pairs (64-bit, quarter-block pigeonhole join)",
+)
+def q29_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_register(
+    "q30_lsh_topk",
+    None,  # hyperplane signatures use xxhash64 -> rows-only check
+    "U5: LSH-bucketed approximate top-k (the ANN scale path)",
+)
+def q30_lsh_topk(spark, sf_dir):
+    from ..operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4)
