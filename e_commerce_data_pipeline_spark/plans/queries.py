@@ -444,29 +444,17 @@ def q11_open_not_returned_customers(spark, sf_dir):
     "W1: 10-minute-inactivity sessionization (gap-and-island windows)",
 )
 def q12_sessionize(spark, sf_dir):
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", epoch_us("ts").alias("us"), "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    new_s = F.when(
-        F.col("us") - F.lag("us").over(w) <= 600_000_000, F.lit(0)
-    ).otherwise(F.lit(1))
-    sess = e.withColumn("new_s", new_s).withColumn(
-        "session_no",
-        F.sum("new_s")
-        .over(
-            Window.partitionBy("user_id")
-            .orderBy("us", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        .cast("long"),
-    )
+    from ..operators.sessionize import assign_sessions
+
+    e = _t(spark, sf_dir, "events")
+    sess = assign_sessions(e, user_col="user_id", ts_col="ts", id_col="event_id")
+    us = epoch_us("ts")
     return sess.groupBy("user_id", "session_no").agg(
-        F.date_format(F.timestamp_micros(F.min("us")), "yyyy-MM-dd HH:mm:ss").alias(
+        F.date_format(F.timestamp_micros(F.min(us)), "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
         ),
         F.count(F.lit(1)).alias("n_events"),
-        F.expr("(max(us) - min(us)) div 1000000").alias("duration_s"),
+        ((F.max(us) - F.min(us)) / F.lit(1_000_000)).cast("long").alias("duration_s"),
     )
 
 
@@ -997,3 +985,168 @@ def q30_lsh_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Batch 3: as-of joins, pivots, rollups, further coverage
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q31_purchase_asof_last_click",
+    """
+    WITH e AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN last_click_us IS NULL THEN -1
+                ELSE (us - last_click_us) // 1000000 END AS secs_since_last_click
+    FROM e WHERE event_type = 'purchase'
+    """,
+    "J7 as-of via window: each purchase joined to the user's last prior click",
+)
+def q31_purchase_asof_last_click(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    us = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", us), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("last_click_us").isNull(), F.lit(-1))
+            .otherwise(F.expr(f"(unix_micros(ts) - last_click_us) div 1000000"))
+            .alias("secs_since_last_click"),
+        )
+    )
+
+
+@_register(
+    "q32_user_event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    "Pivot: per-user event-type counts (conditional aggregation)",
+)
+def q32_user_event_type_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("int")).cast("long").alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@_register(
+    "q33_top_users_by_value",
+    """
+    SELECT user_id,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 5
+    """,
+    "Top-k with deterministic tiebreak (TakeOrderedAndProject path)",
+)
+def q33_top_users_by_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            fixed_sum("value", 100, "total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+@_register(
+    "q34_part_type_stats",
+    """
+    SELECT p_type,
+           COUNT(*) AS n_parts,
+           SUM(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+           SUM(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 / COUNT(p_retailprice) AS avg_price,
+           MIN(p_size) AS min_size, MAX(p_size) AS max_size
+    FROM part GROUP BY p_type
+    """,
+    "Dimension profiling aggregates",
+)
+def q34_part_type_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        fixed_sum("p_retailprice", 100, "sum_price"),
+        fixed_avg("p_retailprice", 100, "avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@_register(
+    "q35_revenue_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP grouping sets with subtotal and grand-total rows",
+)
+def q35_revenue_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            fixed_sum(line_revenue(), 10_000, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+@_register(
+    "q36_order_year_priority_matrix",
+    """
+    SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM orders
+    GROUP BY order_year, o_orderpriority
+    """,
+    "Time-bucketed dimension matrix over orders",
+)
+def q36_order_year_priority_matrix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("order_year"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        fixed_sum("o_totalprice", 100, "total_value"),
+    )

@@ -1,0 +1,121 @@
+"""Streaming tests (SURVEY §5.2 item 5): file-source micro-batch into
+the bronze sink with checkpointing; session windows on a stream."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_pipeline_spark.operators.sessionize import streaming_session_stats
+from e_commerce_data_pipeline_spark.schemas.events import CLICK_SCHEMA
+from e_commerce_data_pipeline_spark.streaming.stream_processor import (
+    bronze_ingest_query,
+    parse_topic_stream,
+    read_event_stream,
+)
+
+
+def _click(i, ts, session="s1", user="u1", click_type="page_view"):
+    return json.dumps(
+        {
+            "event_id": f"evt-{i}",
+            "event_type": "user_click",
+            "timestamp": ts,
+            "session_id": session,
+            "user_id": user,
+            "click_type": click_type,
+            "page_url": "https://shop.example.com/",
+            "device_type": "mobile",
+        }
+    )
+
+
+def test_file_stream_to_bronze_sink(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lines = [_click(i, f"2024-01-01 0{i % 3}:00:00") for i in range(30)]
+    # one bad record to prove corrupt rows don't kill the stream
+    lines.append("{not json")
+    (src / "batch1.txt").write_text("\n".join(lines))
+
+    raw = read_event_stream(spark, source="file", file_path=str(src))
+    out = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    q = bronze_ingest_query(
+        spark,
+        raw,
+        "ecommerce.user_clicks",
+        str(out),
+        str(ckpt),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.schema(CLICK_SCHEMA).json(str(out))
+    assert written.count() == 30  # corrupt row filtered to DLQ path
+    # event-time partitions on disk (hour=0,1,2)
+    import glob
+
+    hours = {p.rsplit("hour=", 1)[1] for p in glob.glob(str(out) + "/*/*/*/hour=*")}
+    assert hours == {"0", "1", "2"}
+    # checkpoint exists -> restart resumes instead of reprocessing
+    assert (ckpt / "offsets").exists()
+
+    # idempotent restart: no new input -> no duplicate rows
+    raw2 = read_event_stream(spark, source="file", file_path=str(src))
+    q2 = bronze_ingest_query(
+        spark, raw2, "ecommerce.user_clicks", str(out), str(ckpt), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.schema(CLICK_SCHEMA).json(str(out)).count() == 30
+
+
+def test_corrupt_rows_flagged_not_dropped(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    (src / "b.txt").write_text(_click(1, "2024-01-01 00:00:00") + "\n{broken")
+    raw = read_event_stream(spark, source="file", file_path=str(src))
+    parsed = parse_topic_stream(raw, "ecommerce.user_clicks")
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("parsed_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM parsed_probe").collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r["_corrupt"]]
+    assert len(corrupt) == 1 and corrupt[0]["_raw_value"] == "{broken"
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = tmp_path / "in3"
+    src.mkdir()
+    events = [
+        _click(1, "2024-01-01 00:00:00"),
+        _click(2, "2024-01-01 00:05:00"),
+        _click(3, "2024-01-01 00:30:00"),  # > 10 min gap -> second session
+    ]
+    (src / "b.txt").write_text("\n".join(events))
+    raw = read_event_stream(spark, source="file", file_path=str(src))
+    parsed = parse_topic_stream(raw, "ecommerce.user_clicks").filter(~F.col("_corrupt"))
+    sess = streaming_session_stats(parsed, user_col="user_id", ts_col="timestamp")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sess_probe ORDER BY session_start").collect()
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
+
+
+def test_rate_source_shape(spark):
+    raw = read_event_stream(spark, source="rate", rate_rows_per_second=10)
+    assert set(raw.columns) == {"topic", "value", "kafka_ts"}
+    assert raw.isStreaming
