@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 from .text import fingerprint_exact, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition compute-heavy inputs to the session's parallelism.
+
+    A small parquet file arrives as ONE partition; hashing work over it
+    would run on one core. At real scale the scan splits naturally and
+    this round-robin is a near-no-op relative to the hash cost.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -71,7 +84,8 @@ def doc_shingles(
 ) -> DataFrame:
     """Exploded (id, shingle) pairs, distinct per doc."""
     return (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
         .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
     )
 
@@ -132,21 +146,6 @@ def _minhash_units(text_col: str, shingle_n: int | None):
     return F.array_distinct(shingles(text_col, shingle_n))
 
 
-def _minhash_portable(units, seed: int):
-    """Lexicographic min over salted md5 hex digests of the units.
-
-    Engine-portable (md5 + string min exist everywhere); used when a
-    SQL oracle must reproduce signatures exactly.
-    """
-    salted = F.transform(units, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x)))
-    return F.array_min(salted)
-
-
-def _minhash_fast(units, seed: int):
-    """Min over xxhash64(seed, unit): one 64-bit hash per unit."""
-    return F.array_min(F.transform(units, lambda x: F.xxhash64(F.lit(seed), x)))
-
-
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,11 +154,41 @@ def minhash_signature(
     use_portable_hash: bool = False,
     shingle_n: int | None = 3,
 ) -> DataFrame:
-    """(id, sig: array) MinHash signatures; one linear scan."""
-    mh = _minhash_portable if use_portable_hash else _minhash_fast
-    units = _minhash_units(text_col, shingle_n)
-    sig = F.array(*[mh(units, i) for i in range(num_hashes)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    """(id, sig: array) MinHash signatures.
+
+    Distributed formulation: tokenize+shingle ONCE, explode to
+    (id, unit) rows, compute the ``num_hashes`` cheap hashes per row,
+    reduce with groupBy(id).agg(min...). The explode is linear and the
+    shuffle is tiny because partial (map-side) min-aggregation reduces
+    each partition to one row per id before moving data — the shape
+    that holds at 100 TB. (A naive per-salt ``transform`` over the
+    shingle array re-runs the tokenizer per salt: ~10x slower.)
+
+    Hash families: md5-hex strings with lexicographic min
+    (``use_portable_hash`` — reproducible in the DuckDB oracle) or
+    xxhash64 longs (fast path).
+    """
+    units_rows = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_minhash_units(text_col, shingle_n)).alias("unit"),
+    )
+    if use_portable_hash:
+        hashes = [
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("unit"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hashes = [
+            F.xxhash64(F.lit(i), F.col("unit")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    hashed = units_rows.select("id", *hashes)
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -202,6 +231,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize: both self-join sides reuse the hashed signatures
+    # instead of recomputing the full hash family per side
+    band_rows = band_rows.cache()
     a = band_rows.select(F.col("id").alias("a_id"), "band", "key")
     b = band_rows.select(F.col("id").alias("b_id"), "band", "key")
     return (
@@ -212,36 +244,39 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash_bits(text_col: str, bits: int = 64):
-    """SimHash as a bit string ('1010...', length ``bits``), from
-    xxhash64 token hashes — pure column exprs, no explode, no shuffle.
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sh) SimHash bit strings ('1010...', length ``bits``).
 
-    Per doc: for each bit position, sum +-1 over tokens by hash bit,
-    take the sign. Bit positions are Python-loop constants (Spark's
-    shift operators need literal shift amounts).
+    Distributed formulation (same shape as minhash_signature): explode
+    distinct tokens, one xxhash64 per token, per-bit +-1 contributions
+    as ``bits`` int columns, groupBy(id).sum -> sign bits. Partial
+    aggregation keeps the shuffle at one row per id; everything stays
+    in whole-stage codegen (bit positions are literal shift amounts).
     """
-    t = F.array_distinct(tokens(text_col))
-    acc0 = F.array_repeat(F.lit(0), bits)
-
-    def step(acc, x):
-        h = F.xxhash64(x)
-        bit_arr = F.array(
-            *[
-                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
-                for i in range(bits)
-            ]
-        )
-        return F.zip_with(
-            acc, bit_arr, lambda a, b: a + F.when(b == 1, F.lit(1)).otherwise(F.lit(-1))
-        )
-
-    folded = F.aggregate(t, acc0, step)
-    return F.concat(
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    contrib = [
+        (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.select("id", *contrib).groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    bit_str = F.concat(
         *[
-            F.when(F.element_at(folded, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
             for i in range(bits)
         ]
     )
+    return summed.select("id", bit_str.alias("sh"))
 
 
 def simhash_pairs(
@@ -261,7 +296,8 @@ def simhash_pairs(
     XOR + popcount over each chunk parsed base-2.
     """
     chunk = bits // n_blocks
-    sh = df.select(F.col(id_col).alias("id"), simhash_bits(text_col, bits).alias("sh"))
+    # cache: both self-join sides reuse the computed simhashes
+    sh = simhash_table(df, id_col, text_col, bits).cache()
     blocks = sh.select(
         "id",
         "sh",

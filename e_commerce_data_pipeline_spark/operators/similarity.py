@@ -44,6 +44,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (norm2(da) * norm2(db))
 
 
+def unit_vec(a: Column) -> Column:
+    """v / ||v||: normalizing each vector ONCE turns every pairwise
+    cosine into a bare dot product — O(n) normalizations instead of
+    O(pairs) norm recomputations."""
+    da = _as_double(a)
+    n = norm2(da)
+    return F.transform(da, lambda x: x / n)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -60,10 +69,12 @@ def cosine_topk(
     reproducible across engines and runs.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), unit_vec(F.col(vec_col)).alias("q_vec")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), unit_vec(F.col(vec_col)).alias("c_vec")
+    )
+    sim = dot(F.col("q_vec"), F.col("c_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (
@@ -94,17 +105,19 @@ def cosine_pairs_blocked(
     both sides by block, so cost is sum of squared block sizes, not
     corpus squared.
     """
-    a = emb.select(
-        F.col(id_col).alias("a_id"),
+    # normalize once and materialize: both join sides reuse unit vectors
+    normed = emb.select(
+        F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        F.col(vec_col).alias("a_vec"),
+        unit_vec(F.col(vec_col)).alias("v"),
+    ).cache()
+    a = normed.select(
+        F.col("id").alias("a_id"), "block", F.col("v").alias("a_vec")
     )
-    b = emb.select(
-        F.col(id_col).alias("b_id"),
-        F.col(block_col).alias("block"),
-        F.col(vec_col).alias("b_vec"),
+    b = normed.select(
+        F.col("id").alias("b_id"), "block", F.col("v").alias("b_vec")
     )
-    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+    sim = dot(F.col("a_vec"), F.col("b_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     return (
@@ -163,12 +176,12 @@ def lsh_topk(
     with different plane offsets)."""
     sig = lambda df, idc, vc: df.select(  # noqa: E731
         F.col(id_col).alias(idc),
-        F.col(vec_col).alias(vc),
+        unit_vec(F.col(vec_col)).alias(vc),
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = sig(queries, "query_id", "q_vec")
     c = sig(emb, "neighbor_id", "c_vec")
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    sim = dot(F.col("q_vec"), F.col("c_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (
