@@ -1150,3 +1150,179 @@ def q36_order_year_priority_matrix(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         fixed_sum("o_totalprice", 100, "total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch 4: set-intersection, correlated subqueries, lag/lead, percentiles
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "q37_open_and_returned_customers",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    """,
+    "Set op (INTERSECT): customers with open orders AND returns",
+)
+def q37_open_and_returned_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    open_cust = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    returned = (
+        o.join(li.filter(F.col("l_returnflag") == "R"), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return open_cust.intersect(returned)
+
+
+@_register(
+    "q38_small_quantity_parts",
+    """
+    WITH avg_qty AS (
+        SELECT l_partkey, SUM(CAST(round(l_quantity) AS BIGINT)) / (1.0 * COUNT(*)) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand, COUNT(*) AS n_small_lines,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS small_revenue
+    FROM lineitem
+    JOIN avg_qty ON lineitem.l_partkey = avg_qty.l_partkey
+    JOIN part    ON lineitem.l_partkey = p_partkey
+    WHERE l_quantity < 0.5 * aq
+    GROUP BY p_brand
+    """,
+    "TPC-H Q17-style correlated avg-per-key comparison (decorrelated join)",
+)
+def q38_small_quantity_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.sum(to_fixed("l_quantity", 1)) / (F.lit(1.0) * F.count(F.lit(1)))).alias("aq")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.ak)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            fixed_sum("l_extendedprice", 100, "small_revenue"),
+        )
+    )
+
+
+@_register(
+    "q39_daily_revenue_delta",
+    """
+    WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY order_day
+    )
+    SELECT order_day,
+           rev_cents / 100.0 AS revenue,
+           (rev_cents - lag(rev_cents) OVER (ORDER BY order_day)) / 100.0 AS delta_vs_prev_day,
+           (lead(rev_cents) OVER (ORDER BY order_day) - rev_cents) / 100.0 AS delta_to_next_day
+    FROM daily
+    """,
+    "W9 lag/lead over an ordered aggregate (day-over-day deltas)",
+)
+def q39_daily_revenue_delta(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    ).agg(F.sum(to_fixed("o_totalprice", 100)).alias("rev_cents"))
+    w = Window.orderBy("order_day")
+    return daily.select(
+        "order_day",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        ((F.col("rev_cents") - F.lag("rev_cents").over(w)) / 100.0).alias(
+            "delta_vs_prev_day"
+        ),
+        ((F.lead("rev_cents").over(w) - F.col("rev_cents")) / 100.0).alias(
+            "delta_to_next_day"
+        ),
+    )
+
+
+@_register(
+    "q40_weekly_event_rollup",
+    """
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY week_start, event_type
+    """,
+    "ISO-week tumbling rollup (date_trunc bucketing)",
+)
+def q40_weekly_event_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fixed_sum("value", 100, "sum_value"),
+    )
+
+
+@_register(
+    "q41_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           MIN(value) AS min_v, MAX(value) AS max_v
+    FROM events GROUP BY event_type
+    """,
+    "Exact interpolated percentiles (sort-based, not approx sketches)",
+)
+def q41_value_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@_register(
+    "q42_supplier_above_avg",
+    """
+    WITH srev AS (
+        SELECT l_suppkey, SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rc
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, rc / 10000.0 AS revenue
+    FROM srev
+    WHERE rc > (SELECT SUM(rc) / (1.0 * COUNT(*)) FROM srev)
+    """,
+    "Scalar-subquery comparison against the global average",
+)
+def q42_supplier_above_avg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(to_fixed(line_revenue(), 10_000)).alias("rc")
+    )
+    avg_rc = srev.agg(
+        (F.sum("rc") / (F.lit(1.0) * F.count(F.lit(1)))).alias("avg_rc")
+    )
+    return (
+        srev.crossJoin(F.broadcast(avg_rc))
+        .filter(F.col("rc") > F.col("avg_rc"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.col("rc") / 10_000.0).alias("revenue"),
+        )
+    )
