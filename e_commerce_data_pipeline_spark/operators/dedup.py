@@ -28,17 +28,7 @@ from pyspark.sql import functions as F
 from .text import fingerprint_exact, tokens
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition compute-heavy inputs to the session's parallelism.
-
-    A small parquet file arrives as ONE partition; hashing work over it
-    would run on one core. At real scale the scan splits naturally and
-    this round-robin is a near-no-op relative to the hash cost.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .util import spread as _spread
 
 
 def exact_dedup(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -71,7 +73,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), unit_vec(F.col(vec_col)).alias("q_vec")
     )
-    c = emb.select(
+    c = _spread(emb).select(
         F.col(id_col).alias("neighbor_id"), unit_vec(F.col(vec_col)).alias("c_vec")
     )
     sim = dot(F.col("q_vec"), F.col("c_vec"))
@@ -106,7 +108,7 @@ def cosine_pairs_blocked(
     corpus squared.
     """
     # normalize once and materialize: both join sides reuse unit vectors
-    normed = emb.select(
+    normed = _spread(emb).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         unit_vec(F.col(vec_col)).alias("v"),
@@ -180,7 +182,7 @@ def lsh_topk(
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = sig(queries, "query_id", "q_vec")
-    c = sig(emb, "neighbor_id", "c_vec")
+    c = sig(_spread(emb), "neighbor_id", "c_vec")
     sim = dot(F.col("q_vec"), F.col("c_vec"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
@@ -207,7 +209,7 @@ def centroid_norms(
     """Per-group centroid L2 norm (posexplode -> per-dimension mean ->
     norm). Deterministic to round_dp; the per-dimension mean uses
     sum/count of doubles, which is stable well past 6dp here."""
-    exploded = emb.select(
+    exploded = _spread(emb).select(
         F.col(group_col).alias("grp"), F.posexplode(_as_double(F.col(vec_col)))
     ).select("grp", F.col("pos"), F.col("col").alias("v"))
     dims = exploded.groupBy("grp", "pos").agg(
