@@ -1326,3 +1326,73 @@ def q42_supplier_above_avg(spark, sf_dir):
             (F.col("rc") / 10_000.0).alias("revenue"),
         )
     )
+
+
+@_register(
+    "q43_string_surface",
+    """
+    SELECT doc_id,
+           upper(substr(lang, 1, 2)) AS lang_uc,
+           concat(source, ':', lang) AS source_lang,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+           substr(trim(text), 1, 20) AS preview,
+           length(text) AS text_len,
+           CASE WHEN source LIKE 'src%' THEN CAST(substr(source, 4) AS INT) END AS source_no,
+           replace(lang, 'en', 'english') AS lang_expanded
+    FROM documents
+    """,
+    "§2.7 string surface: upper/substr/concat/lpad/length/like/replace",
+)
+def q43_string_surface(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("lang", 1, 2)).alias("lang_uc"),
+        F.concat("source", F.lit(":"), "lang").alias("source_lang"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+        F.substring(F.trim(F.col("text")), 1, 20).alias("preview"),
+        F.length("text").alias("text_len"),
+        F.when(
+            F.col("source").startswith("src"),
+            F.substring("source", 4, 100).cast("int"),
+        ).alias("source_no"),
+        F.regexp_replace("lang", "en", "english").alias("lang_expanded"),
+    )
+
+
+@_register(
+    "q44_medallion_gold_revenue",
+    None,  # generator uses xxhash64 -> not reproducible in SQL; rows-only
+    "Medallion end-to-end through the driver: generate -> silver -> gold",
+    bench=False,  # exercised in tests; generation isn't a query-engine cost
+)
+def q44_medallion_gold_revenue(spark, sf_dir):
+    from ..sources.generator import events_for_topic, generate_events
+    from ..sources.medallion import bronze_to_silver, gold_revenue_by_category_day
+
+    gen = generate_events(spark, n=5_000)
+    orders = events_for_topic(gen, "ecommerce.orders")
+    silver = bronze_to_silver(orders, "ecommerce.orders")
+    return gold_revenue_by_category_day(silver).orderBy("event_date", "category")
+
+
+@_register(
+    "q45_cart_replay_sessions",
+    None,  # applyInPandas over generated events; rows-only
+    "U7/W3 grouped-map cart state machine through the driver",
+    bench=False,
+)
+def q45_cart_replay_sessions(spark, sf_dir):
+    from ..operators.grouped import cart_replay
+    from ..sources.generator import generate_events
+
+    gen = generate_events(spark, n=5_000)
+    ev = gen.select(
+        "session_id",
+        F.col("timestamp").cast("string").alias("timestamp"),
+        F.when(F.col("event_type") == "order", F.lit("order"))
+        .otherwise(F.coalesce("click_type", F.lit("other")))
+        .alias("event_kind"),
+        "product_id",
+    )
+    return cart_replay(ev).orderBy("session_id")
