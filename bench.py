@@ -29,7 +29,17 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up JVM / codegen so query timings measure the queries
+    # JMH-style warm-up: run every query once at the smallest SF so JVM
+    # JIT, whole-stage-codegen compilation, and reader class loading are
+    # excluded from the measured run (the measured data stays cold).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name, spec in QUERIES.items():
+            if spec.bench:
+                try:
+                    spec.fn(spark, warm_dir).collect()
+                except Exception as e:
+                    print(f"# warmup {name} failed: {e}", file=sys.stderr)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
