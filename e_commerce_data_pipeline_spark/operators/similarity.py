@@ -136,30 +136,36 @@ def cosine_pairs_blocked(
 # ---------------------------------------------------------------------------
 
 
-def _plane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane i is
-    derived from xxhash64(i, j), mapped to [-1, 1). Fixed by
-    construction — reproducible across runs and cluster sizes."""
-    return F.array(
-        *[
-            (
-                (F.xxhash64(F.lit(plane_idx), F.lit(j)) % 1_000_003).cast("double")
-                / 1_000_003.0
-            )
-            for j in range(dim)
-        ]
-    )
+def hyperplane_signature(vec_col: str, dim: int, n_planes: int, seed: int = 42):
+    """Bit-pattern string of sign(vec . plane_i) for i < n_planes, as an
+    Arrow-vectorized pandas UDF.
 
+    Signature hashing is dense matrix math ((batch x dim) @ (dim x
+    planes)) — the one place numpy beats native expressions: Spark's
+    higher-order array functions are interpreted per lambda call
+    (~µs/element), while the Arrow batch transfer + BLAS matmul is
+    ~ns/element. Planes are drawn from a seeded PCG64 generator, so
+    signatures are reproducible across runs, machines, and cluster
+    sizes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int) -> Column:
-    """Bit-pattern string of sign(vec . plane_i) for i < n_planes."""
-    bits = [
-        F.when(dot(_as_double(vec), _plane(dim, i)) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for i in range(n_planes)
-    ]
-    return F.concat(*bits)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def _sig(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (x @ planes.T) >= 0.0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    # explicit annotations (not module-level strings): `from __future__
+    # import annotations` breaks pandas_udf type-hint inference
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "string")(vec_col)
 
 
 def lsh_topk(
@@ -179,7 +185,7 @@ def lsh_topk(
     sig = lambda df, idc, vc: df.select(  # noqa: E731
         F.col(id_col).alias(idc),
         unit_vec(F.col(vec_col)).alias(vc),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        hyperplane_signature(vec_col, dim, n_planes).alias("bucket"),
     )
     q = sig(queries, "query_id", "q_vec")
     c = sig(_spread(emb), "neighbor_id", "c_vec")
