@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbor search (north-star
+U5 "IVF or LSH-bucketed variant as the scale path").
+
+Classic two-level ANN: a small codebook of coarse centroids partitions
+the corpus into inverted lists; a query scores only the lists of its
+``nprobe`` nearest centroids. Spark mapping:
+
+- **Training** (Lloyd iterations): assignment is an Arrow-batched
+  numpy matmul per partition; centroid update is a posexplode +
+  groupBy(cluster, dim) mean — both linear scans with map-side
+  partial aggregation. The codebook (n_centroids x dim floats) lives
+  on the driver and broadcasts into the UDF closure each iteration.
+- **Index**: the corpus with a ``cluster`` column — at scale this is
+  written partitioned/bucketed by cluster so a probe reads only its
+  lists' files.
+- **Query**: queries get their nprobe nearest centroids (explode), an
+  equi-join on cluster against the index bounds candidates, exact
+  cosine re-ranks.
+
+Determinism: centroids initialize from a seeded PCG64 generator and
+iterate a fixed count, so the index is reproducible across runs and
+cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import dot, unit_vec
+from .util import spread as _spread
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _assign_udf(centroids):
+    """pandas UDF: nearest-centroid id per vector (cosine == dot on
+    unit-normalized inputs; centroids are normalized at build)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    np = _np()
+    cn = centroids / _np().linalg.norm(centroids, axis=1, keepdims=True)
+
+    def _assign(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(v.to_numpy())
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        return pd.Series(np.argmax(xn @ cn.T, axis=1).astype("int32"))
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+):
+    """Lloyd iterations; returns the (n_centroids, dim) numpy codebook."""
+    np = _np()
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_centroids, dim))
+    corpus = _spread(emb).select(F.col(vec_col).alias("v")).cache()
+    for _ in range(n_iters):
+        assigned = corpus.withColumn("c", _assign_udf(centroids)(F.col("v")))
+        sums = (
+            assigned.select("c", F.posexplode(F.col("v")))
+            .groupBy("c", "pos")
+            .agg(F.sum("col").alias("s"), F.count("col").alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["c"], np.zeros(dim + 1))
+            acc[r["c"]][r["pos"]] = r["s"] / r["n"]
+            acc[r["c"]][dim] = 1
+        for c, vec in acc.items():
+            if vec[dim]:
+                new_c[c] = vec[:dim]
+        centroids = new_c
+    corpus.unpersist()
+    return centroids
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with cluster assignment + unit vectors (the inverted lists).
+
+    At scale: persist with ``write.partitionBy('cluster')`` (or
+    bucketed) so probes prune to their lists.
+    """
+    return _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+        unit_vec(F.col(vec_col)).alias("c_vec"),
+    )
+
+
+def _probe_udf(centroids, nprobe: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    np = _np()
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def _probe(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = np.stack(v.to_numpy())
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    _probe.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_probe, "array<int>")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine over the nprobe probed lists."""
+    idx = index if index is not None else build_ivf_index(emb, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vec(F.col(vec_col)).alias("q_vec"),
+        F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster"),
+    )
+    sim = dot(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        q.join(idx, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

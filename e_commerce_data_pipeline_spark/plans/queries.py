@@ -1396,3 +1396,16 @@ def q45_cart_replay_sessions(spark, sf_dir):
         "product_id",
     )
     return cart_replay(ev).orderBy("session_id")
+
+
+@_register(
+    "q46_ivf_topk",
+    None,  # seeded-numpy codebook; rows-only check
+    "U5: IVF approximate top-k (coarse quantizer + probed inverted lists)",
+)
+def q46_ivf_topk(spark, sf_dir):
+    from ..operators.ivf import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4)

@@ -1,0 +1,50 @@
+"""IVF ANN: determinism, probe-bounded candidate sets, recall vs the
+exact brute-force baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_pipeline_spark.catalog import load_table
+from e_commerce_data_pipeline_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_topk,
+    train_centroids,
+)
+from e_commerce_data_pipeline_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_training_is_deterministic(spark, emb):
+    c1 = train_centroids(emb, n_centroids=8, n_iters=2)
+    c2 = train_centroids(emb, n_centroids=8, n_iters=2)
+    assert (c1 == c2).all()
+
+
+def test_index_covers_corpus(spark, emb):
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    idx = build_ivf_index(emb, cents)
+    assert idx.count() == emb.count()
+    n_clusters = idx.select("cluster").distinct().count()
+    assert 1 < n_clusters <= 8
+
+
+def test_recall_vs_bruteforce(spark, emb):
+    cents = train_centroids(emb, n_centroids=8, n_iters=3)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    # probing every list == exact search (sanity ceiling)
+    full = ivf_topk(emb, queries, cents, k=5, nprobe=8)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == exact_set
+    # partial probing trades recall for cost but must stay useful
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.3, f"recall {recall}"
