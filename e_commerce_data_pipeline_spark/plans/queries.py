@@ -130,15 +130,21 @@ def q02_revenue_by_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    # partial-agg pushdown below the fact-fact join: collapse lineitem
+    # to one row per order first (4x fewer join rows; countDistinct
+    # becomes a plain count over order-level rows)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(to_fixed(line_revenue(), 10_000)).alias("rev_fp")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            fixed_sum(line_revenue(), 10_000, "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            (F.sum("rev_fp") / F.lit(10_000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -203,14 +209,20 @@ def q04_mktsegment_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # same partial-agg pushdown as q02: lineitem collapses to one row
+    # per order before touching the orders side
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(to_fixed(line_revenue(), 10_000)).alias("rev_fp"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            fixed_sum(line_revenue(), 10_000, "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("rev_fp") / F.lit(10_000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_li").alias("n_lines"),
         )
     )
 
@@ -1336,7 +1348,7 @@ def q42_supplier_above_avg(spark, sf_dir):
            concat(source, ':', lang) AS source_lang,
            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
            substr(trim(text), 1, 20) AS preview,
-           length(text) AS text_len,
+           CAST(length(text) AS INT) AS text_len,
            CASE WHEN source LIKE 'src%' THEN CAST(substr(source, 4) AS INT) END AS source_no,
            replace(lang, 'en', 'english') AS lang_expanded
     FROM documents
@@ -1409,3 +1421,33 @@ def q46_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_centroids=8, n_iters=2)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4)
+
+
+@_register(
+    "q47_ship_latency",
+    """
+    SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_days,
+           COUNT(*) AS n_lines,
+           strftime(MIN(o_orderdate + INTERVAL 90 DAY), '%Y-%m-%d') AS min_due_date
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY ship_days
+    """,
+    "§2.7 date arithmetic: datediff buckets + interval addition",
+)
+def q47_ship_latency(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.date_format(
+                F.min(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")), "yyyy-MM-dd"
+            ).alias("min_due_date"),
+        )
+    )

@@ -47,6 +47,12 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "query"):
     s_cols = sorted(sdf.columns)
     o_cols = sorted(odf.columns)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != oracle {o_cols}"
+    dtype_diff = {
+        c: (str(sdf[c].dtype), str(odf[c].dtype))
+        for c in s_cols
+        if str(sdf[c].dtype) != str(odf[c].dtype)
+    }
+    assert not dtype_diff, f"{name}: dtype mismatches {dtype_diff}"
     assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != oracle {len(odf)}"
     s_rows = _norm_rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
     o_rows = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
