@@ -20,8 +20,7 @@ bounded per key and the shuffle is even.
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -887,7 +886,7 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     "U4: stopword-based language-ID heuristic profiled against labels",
 )
 def q25_lang_stopword_profile(spark, sf_dir):
-    from ..operators.text import guess_is_english, stopword_hits
+    from ..operators.text import stopword_hits
 
     d = _t(spark, sf_dir, "documents")
     return (

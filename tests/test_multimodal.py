@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_pipeline_spark.operators.multimodal import (
     decode_image_meta,
-    make_fake_image_bytes,
     resize_images,
     sample_video_frames,
     synthetic_media_table,

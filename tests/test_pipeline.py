@@ -12,7 +12,7 @@ from e_commerce_data_pipeline_spark.operators.sessionize import (
     session_event_sequences,
     session_stats,
 )
-from e_commerce_data_pipeline_spark.schemas.events import CLICK_SCHEMA, TOPIC_SCHEMA_MAP
+from e_commerce_data_pipeline_spark.schemas.events import TOPIC_SCHEMA_MAP
 from e_commerce_data_pipeline_spark.sources.bronze import (
     bronze_catalog_stats,
     read_bronze,
@@ -26,9 +26,6 @@ from e_commerce_data_pipeline_spark.sources.generator import (
 )
 from e_commerce_data_pipeline_spark.sources.medallion import (
     bronze_to_silver,
-    gold_funnel_conversion,
-    gold_inventory_snapshot,
-    gold_revenue_by_category_day,
     run_medallion,
     silver_quarantine_split,
 )

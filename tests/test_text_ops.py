@@ -3,8 +3,6 @@ counting semantics, fingerprint invariance."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from e_commerce_data_pipeline_spark.operators import text as T
 from e_commerce_data_pipeline_spark.operators.dedup import exact_dedup, shingles
 

@@ -5,7 +5,6 @@ CDC op/image combinations, empty items, stale/future timestamps."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
