@@ -1450,3 +1450,29 @@ def q47_ship_latency(spark, sf_dir):
             ).alias("min_due_date"),
         )
     )
+
+
+@_register(
+    "q48_price_rank_functions",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(rank()        OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank()  OVER w AS BIGINT) AS price_dense_rank,
+           CAST(ntile(4)      OVER w AS INT)    AS price_quartile,
+           round(percent_rank() OVER w, 6)      AS price_pct_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    "W9 ranking family: rank / dense_rank / ntile / percent_rank",
+)
+def q48_price_rank_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )

@@ -53,8 +53,15 @@ CART_STATE_SCHEMA = StructType(
 )
 
 
-def _cart_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _make_cart_fn(timeout_ms: int):
+    def _cart_fn(key, pdfs, state):
+        return _cart_impl(key, pdfs, state, timeout_ms)
+
+    return _cart_fn
+
+
+def _cart_impl(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState, timeout_ms: int
 ) -> Iterator[pd.DataFrame]:
     session_id = key[0]
     if state.hasTimedOut:
@@ -97,7 +104,10 @@ def _cart_fn(
         last_us = max(last_us, int(ts.value // 1000))
 
     state.update((",".join(cart), n_adds, n_orders, last_us))
-    state.setTimeoutDuration(10 * 60 * 1000)  # 10-minute inactivity expiry
+    # event-time inactivity expiry: the session finalizes when the
+    # WATERMARK (not the wall clock) passes last activity + timeout —
+    # deterministic under replay and across restarts
+    state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
     yield pd.DataFrame(
         [
             {
@@ -112,14 +122,29 @@ def _cart_fn(
     )
 
 
-def streaming_cart_state(events: DataFrame) -> DataFrame:
+def streaming_cart_state(
+    events: DataFrame,
+    timeout_ms: int = 10 * 60 * 1000,
+    ts_col: str = "timestamp",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
     """events: streaming frame with session_id, event_id, timestamp,
     event_kind, product_id. Emits the cart state per session per batch;
-    emits a finalized row when the session times out."""
-    return events.groupBy("session_id").applyInPandasWithState(
-        _cart_fn,
-        outputStructType=CART_OUTPUT_SCHEMA,
-        stateStructType=CART_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    emits a finalized row when the session's event-time timeout passes
+    the watermark (the reference's 10-minute inactivity rule).
+
+    Event-time (not processing-time) timeouts: expiry is driven by the
+    data's own clock, so replays are deterministic and an availableNow
+    drain terminates instead of idling on wall-clock timers.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy("session_id")
+        .applyInPandasWithState(
+            _make_cart_fn(timeout_ms),
+            outputStructType=CART_OUTPUT_SCHEMA,
+            stateStructType=CART_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

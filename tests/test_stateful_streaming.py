@@ -41,7 +41,7 @@ def _evt(session, eid, ts, kind, product=None):
 def _run_batch(spark, src_dir, ckpt, out_name):
     raw = spark.readStream.format("text").load(str(src_dir))
     parsed = raw.select(F.from_json("value", EVENT_SCHEMA).alias("p")).select("p.*")
-    carts = streaming_cart_state(parsed)
+    carts = streaming_cart_state(parsed)  # 10-min event-time expiry
     collected: dict = {}
 
     def sink(batch_df, batch_id):
@@ -88,3 +88,23 @@ def test_cart_state_survives_restart(spark, tmp_path):
     assert res2["s1"]["cart_size"] == 0
     assert res2["s1"]["n_adds"] == 2  # carried over, not recounted
     assert res2["s1"]["n_orders"] == 1
+
+
+def test_session_finalizes_when_watermark_passes_timeout(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    (src / "b1.txt").write_text(
+        _evt("s1", "e1", "2024-01-01 00:00:00", "add_to_cart", "A")
+    )
+    res1 = _run_batch(spark, src, ckpt, "fin_b1")
+    assert not res1["s1"]["finalized"]
+    # an event far past s1's last activity pushes the watermark beyond
+    # the 10-minute timeout -> s1 is finalized and evicted
+    (src / "b2.txt").write_text(
+        _evt("s2", "e2", "2024-01-01 01:00:00", "add_to_cart", "B")
+    )
+    res2 = _run_batch(spark, src, ckpt, "fin_b2")
+    assert res2["s1"]["finalized"]
+    assert res2["s1"]["cart_items"] == "A"
+    assert not res2["s2"]["finalized"]
