@@ -42,6 +42,10 @@ def main() -> None:
                     print(f"# warmup {name} failed: {e}", file=sys.stderr)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # operators cache self-join inputs; drop warm-up cache entries so
+    # measured queries don't fight 49 queries' worth of stale storage
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in QUERIES.items():
@@ -53,6 +57,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        spark.catalog.clearCache()  # isolate queries from each other
 
     print(
         json.dumps(

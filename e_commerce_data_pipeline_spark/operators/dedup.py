@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """All doc pairs with token-n-gram Jaccard >= threshold.
 
@@ -94,8 +95,14 @@ def ngram_jaccard_pairs(
     intersection counts come from the join, union sizes from per-doc
     shingle counts. ``max_shingle_df`` drops shingles appearing in more
     than that many docs before pairing (document-frequency cut).
+    ``hash_shingles`` joins on xxhash64(shingle) longs instead of the
+    shingle strings — ~2x less shuffle width, identical counts modulo a
+    ~2^-64-per-pair collision chance.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sh = doc_shingles(df, id_col, text_col, n)
+    if hash_shingles:
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         keep = (

@@ -1476,3 +1476,48 @@ def q48_price_rank_functions(spark, sf_dir):
         F.ntile(4).over(w).alias("price_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
     )
+
+
+@_register(
+    "q49_channel_union",
+    """
+    WITH unioned AS (
+        SELECT user_id, 'high_value' AS channel, value FROM events WHERE value > 400
+        UNION ALL
+        SELECT user_id, 'error' AS channel, value FROM events WHERE event_type = 'error'
+    )
+    SELECT channel, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM unioned GROUP BY channel
+    """,
+    "§2.6 UNION ALL of per-channel selections + rollup",
+)
+def q49_channel_union(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hv = e.filter(F.col("value") > 400).select(
+        "user_id", F.lit("high_value").alias("channel"), "value"
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.lit("error").alias("channel"), "value"
+    )
+    return hv.unionByName(err).groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        fixed_sum("value", 100, "sum_value"),
+    )
+
+
+@_register(
+    "q50_cardinality_sketches",
+    None,  # HLL/KLL sketch internals differ across engines; rows-only
+    "A6 at scale: approx_count_distinct (HLL) + approx percentiles vs exact",
+    bench=True,
+)
+def q50_cardinality_sketches(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
