@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): algebraic invariants that must
+hold for ANY input, not just the fixtures — fixed-point exactness,
+sessionization gap laws, quality-score bounds, Jaccard symmetry."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+money = st.decimals(
+    min_value="0.01", max_value="99999.99", places=2
+).map(float)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(money, min_size=1, max_size=50))
+def test_fixed_point_sum_is_exact(spark, values):
+    """sum via round(x*100) int arithmetic == decimal sum, always."""
+    from decimal import Decimal
+
+    from e_commerce_data_pipeline_spark.functions import fixed_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(fixed_sum("v", 100, "s")).collect()[0]["s"]
+    want = float(sum(Decimal(f"{v:.2f}") for v in values))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),  # event offsets, seconds
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionization_respects_gap_law(spark, offsets):
+    """Consecutive events <=600s apart share a session; >600s split."""
+    from e_commerce_data_pipeline_spark.operators.sessionize import assign_sessions
+
+    offsets = sorted(set(offsets))
+    rows = [
+        ("u", f"2024-01-01 00:00:00", i, off)
+        for i, off in enumerate(offsets)
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id string, base string, event_id int, off int")
+        .withColumn("ts", F.col("base").cast("timestamp") + F.make_dt_interval(secs=F.col("off")))
+        .drop("base", "off")
+    )
+    got = {
+        r["event_id"]: r["session_no"]
+        for r in assign_sessions(df).collect()
+    }
+    # reference implementation in plain python
+    want, sess = {}, 1
+    for i, off in enumerate(offsets):
+        if i > 0 and off - offsets[i - 1] > 600:
+            sess += 1
+        want[i] = sess
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quality_score_bounds_and_monotonicity(spark, flags):
+    """Score is always in [0,1], exactly 1 iff no violations, and each
+    violation costs exactly 0.25 until the clamp."""
+    from e_commerce_data_pipeline_spark.operators.validation import event_quality_checks
+
+    rows = [
+        (
+            i,
+            None if missing_user else i,
+            "bad" if bad_type else "click",
+            -1.0 if bad_value else 1.0,
+            "2024-01-29 12:00:00",
+        )
+        for i, (missing_user, bad_type, bad_value) in enumerate(flags)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+        )
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    out = {r["event_id"]: r for r in event_quality_checks(df, now="2024-01-30 00:00:00").collect()}
+    for i, (missing_user, bad_type, bad_value) in enumerate(flags):
+        n = sum([missing_user, bad_type, bad_value])
+        r = out[i]
+        assert r["n_violations"] == n
+        assert r["quality_score"] == max(0.0, 1.0 - 0.25 * n)
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.data())
+def test_jaccard_pairs_symmetric_and_bounded(spark, data):
+    """Jaccard results don't depend on doc id order and stay in (0,1]."""
+    from e_commerce_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=10).map(" ".join),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.01).collect()
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+    # reversing ids yields the same pair set
+    df2 = spark.createDataFrame(
+        [(len(docs) - 1 - i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    pairs2 = ngram_jaccard_pairs(df2, threshold=0.01).collect()
+    remap = {
+        tuple(sorted((len(docs) - 1 - r["a_id"], len(docs) - 1 - r["b_id"])))
+        for r in pairs2
+    }
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == remap
