@@ -318,12 +318,15 @@ def simhash_pairs(
         xb = F.conv(F.substring("sh_b", q * chunk + 1, chunk), 2, 10).cast("long")
         h = F.bit_count(xa.bitwiseXOR(xb))
         hamming = h if hamming is None else hamming + h
+    # hamming filter BEFORE the distinct: the per-row int ops are cheap,
+    # the dedup shuffle then carries only surviving pairs (a pair can
+    # appear up to n_blocks times, once per matching chunk)
     pairs = (
         a.join(b, ["q", "key"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
     )
-    return pairs.select("a_id", "b_id", "hamming")
+    return pairs
