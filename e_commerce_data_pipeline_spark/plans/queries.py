@@ -1521,3 +1521,92 @@ def q50_cardinality_sketches(spark, sf_dir):
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
     )
+
+
+@_register(
+    "q51_error_after_purchase",
+    """
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) // 1000000 AS lag_s
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND p.event_type = 'purchase'
+     AND epoch_us(e.ts) > epoch_us(p.ts)
+     AND epoch_us(e.ts) <= epoch_us(p.ts) + 300000000
+    """,
+    "Range join: errors within 5 minutes after a purchase (equi on user + interval band)",
+)
+def q51_error_after_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        epoch_us("ts").alias("p_us"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("error_id"),
+        epoch_us("ts").alias("e_us"),
+    )
+    return (
+        p.join(
+            e,
+            (p.u == e.u)
+            & (F.col("e_us") > F.col("p_us"))
+            & (F.col("e_us") <= F.col("p_us") + 300_000_000),
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            F.expr("(e_us - p_us) div 1000000").alias("lag_s"),
+        )
+    )
+
+
+@_register(
+    "q52_daily_quality_trend",
+    f"""
+    WITH checked AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') OR event_type IS NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN value < 0 OR value > 10000 OR value IS NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN epoch_us(ts) < {_VALID_NOW_US} - 86400000000 THEN 1 ELSE 0 END)
+             + (CASE WHEN epoch_us(ts) > {_VALID_NOW_US} + 3600000000 THEN 1 ELSE 0 END) AS nv
+        FROM events
+    )
+    SELECT day, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT) / (1.0 * COUNT(*)) AS pct_valid,
+           CAST(SUM(greatest(0, 100 - 25 * nv)) AS BIGINT) / (100.0 * COUNT(*)) AS avg_quality
+    FROM checked GROUP BY day
+    """,
+    "Composite: validation operators rolled into a daily quality trend",
+)
+def q52_daily_quality_trend(spark, sf_dir):
+    from ..operators.validation import event_checks
+
+    e = _t(spark, sf_dir, "events")
+    checks = event_checks(NOW)
+    nv = None
+    for cond, _ in checks:
+        c = F.when(cond, 1).otherwise(0)
+        nv = c if nv is None else nv + c
+    return (
+        e.withColumn("nv", nv)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("nv") == 0).cast("int")).cast("long").alias("n_valid"),
+            (
+                F.sum((F.col("nv") == 0).cast("int")).cast("long")
+                / (F.lit(1.0) * F.count(F.lit(1)))
+            ).alias("pct_valid"),
+            (
+                F.sum(F.greatest(F.lit(0), F.lit(100) - F.lit(25) * F.col("nv"))).cast("long")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("avg_quality"),
+        )
+    )
