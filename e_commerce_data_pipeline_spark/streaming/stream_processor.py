@@ -160,3 +160,58 @@ def bronze_ingest_query(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def silver_stream_query(
+    spark: SparkSession,
+    raw: DataFrame,
+    topic: str,
+    out_path: str,
+    checkpoint_path: str,
+    segments: DataFrame | None = None,
+    trigger: str = DEFAULT_TRIGGER,
+    available_now: bool = False,
+):
+    """Streaming silver stage: parse -> validate -> enrich to the
+    ProcessedEvent envelope -> partitioned parquet.
+
+    Enrichment needs a per-session window (bot scoring) and broadcast
+    joins, so it runs inside ``foreachBatch`` — each micro-batch is a
+    bounded DataFrame where batch semantics apply; the checkpoint makes
+    delivery exactly-once per sink path (SURVEY §3.2 "Spark shape").
+    """
+    from ..operators.enrich import to_processed_events
+    from ..sources.bronze import PARTITION_COLS, with_time_partitions
+    from ..sources.medallion import VALIDATORS
+
+    parsed = parse_topic_stream(raw, topic)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(~F.col("_corrupt")).drop("_corrupt", "_raw_value")
+        if not good.take(1):
+            return
+        validated = VALIDATORS[topic](good)
+        quality = validated.select("event_id", "quality_score")
+        enriched = to_processed_events(
+            validated.drop("violations", "n_violations", "quality_score", "is_valid"),
+            batch_df.sparkSession,
+            segments=segments,
+            quality=quality,
+        )
+        (
+            with_time_partitions(enriched, "timestamp")
+            .write.mode("append")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(out_path)
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()

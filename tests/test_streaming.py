@@ -119,3 +119,41 @@ def test_rate_source_shape(spark):
     raw = read_event_stream(spark, source="rate", rate_rows_per_second=10)
     assert set(raw.columns) == {"topic", "value", "kafka_ts"}
     assert raw.isStreaming
+
+
+def test_silver_stream_enrichment(spark, tmp_path):
+    from e_commerce_data_pipeline_spark.streaming.stream_processor import (
+        silver_stream_query,
+    )
+
+    src = tmp_path / "in4"
+    src.mkdir()
+    lines = [
+        _click(i, "2024-01-01 05:00:00", session=f"s{i % 3}", user=f"u{i % 2}")
+        for i in range(20)
+    ]
+    (src / "b.txt").write_text("\n".join(lines))
+    raw = read_event_stream(spark, source="file", file_path=str(src))
+    segments = spark.createDataFrame(
+        [("u0", "high_value"), ("u1", "new")], "user_id string, user_segment string"
+    )
+    out, ckpt = tmp_path / "silver", tmp_path / "ck4"
+    q = silver_stream_query(
+        spark, raw, "ecommerce.user_clicks", str(out), str(ckpt),
+        segments=segments, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    silver = spark.read.parquet(str(out))
+    rows = silver.collect()
+    assert len(rows) == 20
+    # ProcessedEvent envelope shape (SURVEY P1) with enrichment applied
+    cols = set(silver.columns)
+    assert {"event_id", "is_bot", "user_segment", "geo_region",
+            "raw_payload", "quality_score", "has_missing_fields"} <= cols
+    assert {r["user_segment"] for r in rows} == {"high_value", "new"}
+    assert all(r["quality_score"] == 1.0 for r in rows)
+    # event-time partitioning carried through (hour=5)
+    import glob
+
+    assert glob.glob(str(out) + "/year=2024/month=1/day=1/hour=5")
