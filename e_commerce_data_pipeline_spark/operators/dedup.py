@@ -330,3 +330,23 @@ def simhash_pairs(
         .distinct()
     )
     return pairs
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ids across micro-batches.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark
+    bounds that state — duplicates arriving later than the watermark
+    horizon are not caught (the at-scale trade: state size vs dedup
+    window). This is the Silver layer's streaming dedup (SURVEY S7
+    "deduplicated"), complementing the batch row_number dedup in
+    sources/medallion.py.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates(
+        [*id_cols, ts_col]
+    )

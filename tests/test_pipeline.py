@@ -200,3 +200,44 @@ def test_topic_schemas_parse_generated_json(spark, gen):
         ).select("p.*")
         assert parsed.filter(F.col("event_id").isNull()).count() == 0
         assert parsed.count() == typed.count()
+
+
+def test_gap_and_island_equivalent_to_session_window(spark, gen):
+    """The batch gap-and-island path and Spark's native session_window
+    must agree — including at the exact-600s boundary, where both match
+    the reference's strictly-greater-than expiry rule
+    (event_producer.py:90-95): an event at exactly +600s stays
+    in-session."""
+    from pyspark.sql import functions as F2
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1),
+        ("u1", "2024-01-01 00:10:00", 2),  # exactly 600s -> same session
+        ("u1", "2024-01-01 00:20:01", 3),  # 601s -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string, event_id int").withColumn(
+        "ts", F2.col("ts_s").cast("timestamp")
+    )
+    ours = {r["event_id"]: r["session_no"] for r in assign_sessions(df).collect()}
+    assert ours == {1: 1, 2: 1, 3: 2}
+    sw = (
+        df.groupBy(F2.session_window("ts", "10 minutes"), "user_id").count().count()
+    )
+    assert sw == 2  # session_window agrees: boundary-inclusive
+
+    # equivalence on real data: same number of sessions per user
+    e = events_for_topic(gen, "ecommerce.user_clicks").filter(F2.col("user_id").isNotNull())
+    ours_n = (
+        assign_sessions(e, user_col="user_id", ts_col="timestamp")
+        .groupBy("user_id")
+        .agg(F2.max("session_no").alias("n_ours"))
+    )
+    sw_n = (
+        e.groupBy(F2.session_window("timestamp", "10 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sw")
+    )
+    diff = ours_n.join(sw_n, "user_id").filter(F2.col("n_ours") != F2.col("n_sw"))
+    assert diff.count() == 0

@@ -157,3 +157,51 @@ def test_silver_stream_enrichment(spark, tmp_path):
     import glob
 
     assert glob.glob(str(out) + "/year=2024/month=1/day=1/hour=5")
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from e_commerce_data_pipeline_spark.operators.dedup import streaming_dedup
+
+    src = tmp_path / "in5"
+    src.mkdir()
+    ckpt = tmp_path / "ck5"
+    collected = []
+
+    def run():
+        raw = read_event_stream(spark, source="file", file_path=str(src))
+        parsed = parse_topic_stream(raw, "ecommerce.user_clicks").filter(
+            ~F.col("_corrupt")
+        )
+        deduped = streaming_dedup(parsed)
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, i: collected.extend(r["event_id"] for r in df.collect())
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two copies of evt-1 in the same batch
+    (src / "b1.txt").write_text(
+        "\n".join(
+            [
+                _click(1, "2024-01-01 00:00:00"),
+                _click(1, "2024-01-01 00:00:00"),
+                _click(2, "2024-01-01 00:01:00"),
+            ]
+        )
+    )
+    run()
+    assert sorted(collected) == ["evt-1", "evt-2"]
+
+    # batch 2 (restart, same checkpoint): evt-2 re-sent -> suppressed by
+    # the state carried in the checkpoint; evt-3 is new
+    (src / "b2.txt").write_text(
+        "\n".join(
+            [_click(2, "2024-01-01 00:01:00"), _click(3, "2024-01-01 00:02:00")]
+        )
+    )
+    run()
+    assert sorted(collected) == ["evt-1", "evt-2", "evt-3"]
