@@ -231,3 +231,70 @@ def centroid_norms(
         )
         .select(F.col("grp").alias(group_col), "centroid_norm", "n_vectors")
     )
+
+
+def cosine_topk_matrix(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, matrix-scored (the batch-kNN scale
+    path for LARGE query sets).
+
+    The query set is collected to a numpy matrix and shipped in the
+    mapInPandas closure (broadcast); each corpus Arrow batch scores all
+    queries in one BLAS matmul and emits only its LOCAL top-k per query
+    — so the shuffle carries k rows per (query, partition), not the
+    full |queries| x |corpus| score matrix. A final ranking window
+    merges partial top-ks. Same results as ``cosine_topk`` (ties broken
+    by rounded sim then neighbor id); ~matmul speed instead of
+    interpreted per-pair array folds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype="int64")
+    q_mat = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            x = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col].to_numpy()]
+            )
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = q_mat @ x.T  # (n_queries, batch)
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+            out = []
+            for qi in range(len(q_ids)):
+                s = sims[qi]
+                mask = c_ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # local top-k: order by (-sim, neighbor_id)
+                order = sorted(
+                    cand_idx, key=lambda j: (-s[j], c_ids[j])
+                )[: k]
+                for j in order:
+                    out.append((int(q_ids[qi]), int(c_ids[j]), float(s[j])))
+            if out:
+                yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

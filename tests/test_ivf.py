@@ -48,3 +48,20 @@ def test_recall_vs_bruteforce(spark, emb):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_matrix_topk_equals_hof_topk(spark, emb):
+    """The mapInPandas matrix kNN must return exactly the native
+    column-expression kNN's results."""
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_matrix,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    a = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["sim"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    b = {(r["query_id"], r["rk"]): (r["neighbor_id"], r["sim"]) for r in cosine_topk_matrix(emb, queries, k=5).collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0]
+        assert abs(a[key][1] - b[key][1]) < 1e-9
