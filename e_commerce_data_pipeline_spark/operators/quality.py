@@ -40,23 +40,35 @@ def expect_unique(col: str) -> Expectation:
     return Expectation(f"unique_{col}", {f"n_dup_{col}": m}, F.col(f"n_dup_{col}") == 0)
 
 
+def _sample_of(cond, col: str, alias: str, n: int = 5):
+    """A3/A4 reporting detail: first-N violating values, deterministic
+    (sorted distinct set sliced to N — the reference reports the first
+    5 seen, expectations.py:368-382, which is scan-order dependent;
+    sorted is the order-stable equivalent)."""
+    return F.slice(
+        F.sort_array(F.collect_set(F.when(cond, F.col(col)))), 1, n
+    ).alias(alias)
+
+
 def expect_in_set(col: str, values: Sequence) -> Expectation:
-    m = (
-        F.sum((~F.col(col).isin(*values)).cast("int"))
-        .cast("long")
-        .alias(f"n_bad_{col}")
+    bad = ~F.col(col).isin(*values)
+    m = F.sum(bad.cast("int")).cast("long").alias(f"n_bad_{col}")
+    samples = _sample_of(bad, col, f"bad_samples_{col}")
+    return Expectation(
+        f"in_set_{col}",
+        {f"n_bad_{col}": m, f"bad_samples_{col}": samples},
+        F.col(f"n_bad_{col}") == 0,
     )
-    return Expectation(f"in_set_{col}", {f"n_bad_{col}": m}, F.col(f"n_bad_{col}") == 0)
 
 
 def expect_between(col: str, lo, hi) -> Expectation:
-    m = (
-        F.sum(((F.col(col) < lo) | (F.col(col) > hi)).cast("int"))
-        .cast("long")
-        .alias(f"n_oob_{col}")
-    )
+    oob = (F.col(col) < lo) | (F.col(col) > hi)
+    m = F.sum(oob.cast("int")).cast("long").alias(f"n_oob_{col}")
+    samples = _sample_of(oob, col, f"oob_samples_{col}")
     return Expectation(
-        f"between_{col}", {f"n_oob_{col}": m}, F.col(f"n_oob_{col}") == 0
+        f"between_{col}",
+        {f"n_oob_{col}": m, f"oob_samples_{col}": samples},
+        F.col(f"n_oob_{col}") == 0,
     )
 
 

@@ -72,3 +72,19 @@ def test_single_scan_plan(spark):
     ]
     plan = compile_suite(df, suite)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("localrelation") + plan.lower().count("relation") <= 2
+
+
+def test_violation_samples_reported(spark):
+    """A3/A4: the suite reports the first violating values, not just
+    counts (deterministic sorted-sample form)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("zz", -5.0), ("yy", 200.0), ("a", 2.0), ("xx", -7.0)],
+        "cat string, v double",
+    )
+    row = compile_suite(
+        df, [expect_in_set("cat", ["a", "b"]), expect_between("v", 0, 100)]
+    ).collect()[0]
+    assert row["n_bad_cat"] == 3
+    assert row["bad_samples_cat"] == ["xx", "yy", "zz"]
+    assert row["n_oob_v"] == 3
+    assert row["oob_samples_v"] == [-7.0, -5.0, 200.0]
