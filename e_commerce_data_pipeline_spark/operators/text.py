@@ -128,3 +128,79 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fp_exact", fingerprint_exact(text_col))
         .withColumn("fp_bag", fingerprint_bag(text_col))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (the
+    training-data windowing op). One narrow pass: tokenize once, build
+    chunk start offsets with ``sequence``, slice per chunk, explode.
+
+    Emits (id, chunk_no, chunk_text, n_tokens); the final partial chunk
+    is kept (n_tokens <= chunk_tokens).
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    # starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    )
+    # drop trailing windows fully contained in the previous chunk
+    n_chunks = F.least(
+        n_chunks,
+        F.when(
+            n <= chunk_tokens, F.lit(1)
+        ).otherwise(F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int") + 1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_no"),
+            F.array_join(
+                F.slice(t, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - i * stride).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.filter(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_no").cast("int").alias("chunk_no"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+REDACTION_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d[\s-]?){7,15}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]*?){13,16}\b", "<CARD>"),
+)
+
+
+def redact_pii(col: Column | str, patterns=REDACTION_PATTERNS) -> Column:
+    """Training-data scrubbing: regex redaction of emails / phone
+    numbers / SSNs / card numbers, applied in order. Pure regexp_replace
+    chain — stays in codegen, linear in the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in patterns:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redaction_count(col: Column | str, patterns=REDACTION_PATTERNS) -> Column:
+    """How many redactions would apply (for corpus audit rollups)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat, _ in patterns:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return total

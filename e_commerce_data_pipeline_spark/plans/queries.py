@@ -1610,3 +1610,29 @@ def q52_daily_quality_trend(spark, sf_dir):
             ).alias("avg_quality"),
         )
     )
+
+
+@_register(
+    "q53_doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sized AS (
+        SELECT doc_id, t, len(t) AS n,
+               least(CAST(floor((len(t) - 1) / 20) + 1 AS BIGINT),
+                     CASE WHEN len(t) <= 40 THEN 1
+                          ELSE CAST(ceil((len(t) - 40) / 20) + 1 AS BIGINT) END) AS n_chunks
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_no,
+           array_to_string(t[u.i * 20 + 1 : u.i * 20 + 40], ' ') AS chunk_text,
+           CAST(least(40, n - u.i * 20) AS INT) AS n_tokens
+    FROM sized, unnest(range(n_chunks)) AS u(i)
+    """,
+    "Training-data chunking: overlapping 40-token windows, stride 20",
+)
+def q53_doc_chunks(spark, sf_dir):
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=40, stride=20
+    )

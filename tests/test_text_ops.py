@@ -3,6 +3,8 @@ counting semantics, fingerprint invariance."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from e_commerce_data_pipeline_spark.operators import text as T
 from e_commerce_data_pipeline_spark.operators.dedup import exact_dedup, shingles
 
@@ -103,3 +105,57 @@ def test_quality_score_quartiles(spark):
     assert rows[2] <= 0.5
     assert rows[3] in (0.0, 0.25)  # empty: only the punct check can pass
     assert all(q * 4 == int(q * 4) for q in rows.values())  # exact quarters
+
+
+def test_chunking_windows_and_strides(spark):
+    from e_commerce_data_pipeline_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, "")], "doc_id int, text string"
+    )
+    chunks = chunk_documents(df, chunk_tokens=40, stride=20)
+    rows = sorted(
+        (r["doc_id"], r["chunk_no"], r["n_tokens"]) for r in chunks.collect()
+    )
+    # doc 1: 100 tokens -> starts 0,20,40,60 -> 4 chunks (start 80 fully
+    # inside the 60..100 window is dropped)
+    assert [(d, c) for d, c, _ in rows if d == 1] == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert [n for d, _, n in rows if d == 1] == [40, 40, 40, 40]
+    # doc 2: shorter than one chunk -> single partial chunk
+    assert [(c, n) for d, c, n in rows if d == 2] == [(0, 3)]
+    # doc 3: empty -> no chunks
+    assert not [r for r in rows if r[0] == 3]
+    # overlap property: consecutive chunks share stride tokens
+    texts = {
+        r["chunk_no"]: r["chunk_text"].split(" ")
+        for r in chunks.filter(F.col("doc_id") == 1).collect()
+    }
+    assert texts[0][20:] == texts[1][:20]
+
+
+def test_pii_redaction(spark):
+    from e_commerce_data_pipeline_spark.operators.text import (
+        redact_pii,
+        redaction_count,
+    )
+
+    rows = [
+        (1, "contact john.doe@example.com or call 555-123-4567 now"),
+        (2, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+        (3, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {
+        r["id"]: (r["red"], r["n"])
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            redaction_count("text").alias("n"),
+        ).collect()
+    }
+    assert "<EMAIL>" in out[1][0] and "@" not in out[1][0]
+    assert "<PHONE>" in out[1][0] or "<SSN>" in out[1][0]
+    assert "6789" not in out[2][0] and "4111" not in out[2][0]
+    assert out[3] == ("clean text with no identifiers", 0)
+    assert out[1][1] >= 2 and out[2][1] >= 2
