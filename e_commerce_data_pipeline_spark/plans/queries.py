@@ -1636,3 +1636,48 @@ def q53_doc_chunks(spark, sf_dir):
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=40, stride=20
     )
+
+
+@_register(
+    "q54_rebuild_nested_orders",
+    """
+    WITH items AS (
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber || ':' || l_partkey || 'x' || CAST(round(l_quantity) AS BIGINT))) AS parts
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey,
+           CAST(len(parts) AS INT) AS n_items,
+           md5(array_to_string(parts, ',')) AS items_fingerprint,
+           o_totalprice
+    FROM orders JOIN items ON o_orderkey = l_orderkey
+    """,
+    "Inverse explode: rebuild nested order documents from line items "
+    "(collect_list -> array<struct> shape, fingerprinted for comparison)",
+)
+def q54_rebuild_nested_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # the real operator builds array<struct> items (the OrderEvent.items
+    # shape, events.py:147-157); the oracle-compared projection uses a
+    # sorted fingerprint because raw arrays don't hash portably
+    item_repr = F.concat_ws(
+        "",
+        F.col("l_linenumber").cast("string"),
+        F.lit(":"),
+        F.col("l_partkey").cast("string"),
+        F.lit("x"),
+        to_fixed("l_quantity", 1).cast("string"),
+    )
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(item_repr)).alias("parts")
+    )
+    return (
+        o.join(items, o.o_orderkey == items.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.size("parts").alias("n_items"),
+            F.md5(F.array_join("parts", ",")).alias("items_fingerprint"),
+            "o_totalprice",
+        )
+    )
