@@ -350,3 +350,50 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicates(
         [*id_cols, ts_col]
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_portable_hash: bool = False,
+) -> DataFrame:
+    """The production two-stage near-dup pipeline: MinHash+LSH generates
+    candidate pairs (sub-quadratic), exact n-gram Jaccard verifies them.
+
+    Only candidates are verified, so the expensive shingle-intersection
+    join runs on |candidates| pairs instead of all pairs sharing any
+    shingle — the standard shape for petabyte-scale dedup. LSH is
+    probabilistic: pairs the banding misses (P ~ (1-j^r)^b) are not
+    returned; tune num_hashes/bands for the target threshold.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, use_portable_hash, shingle_n
+    )
+    sh = doc_shingles(df, id_col, text_col, shingle_n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    inter = (
+        cands.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

@@ -1681,3 +1681,63 @@ def q54_rebuild_nested_orders(spark, sf_dir):
             "o_totalprice",
         )
     )
+
+
+@_register(
+    "q55_near_dup_two_stage",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    units AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(len(t) - 2),
+                                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+                   ELSE []::VARCHAR[] END) AS u
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(u, x -> md5('0:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('1:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('2:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('3:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('4:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('5:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('6:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('7:' || x)), 'min')] AS sig
+        FROM units WHERE len(u) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band, sig[2 * b.b + 1] || '|' || sig[2 * b.b + 2] AS key
+        FROM sig, range(4) b(b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT doc_id AS id, unnest(u) AS shingle FROM units),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.id = c.a_id
+        JOIN sh sb ON sb.id = c.b_id AND sb.shingle = sa.shingle
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) AS jaccard
+    FROM inter i
+    JOIN sizes za ON i.a_id = za.id
+    JOIN sizes zb ON i.b_id = zb.id
+    WHERE i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) >= 0.1
+    """,
+    "U6 flagship: two-stage near-dup (MinHash LSH candidates -> exact Jaccard verify)",
+)
+def q55_near_dup_two_stage(spark, sf_dir):
+    from ..operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.1,
+        use_portable_hash=True,
+    )

@@ -159,3 +159,37 @@ def test_pii_redaction(spark):
     assert "6789" not in out[2][0] and "4111" not in out[2][0]
     assert out[3] == ("clean text with no identifiers", 0)
     assert out[1][1] >= 2 and out[2][1] >= 2
+
+
+def test_two_stage_near_dup_pipeline(spark):
+    """MinHash candidates -> exact Jaccard verify: near-identical docs
+    must surface; verified pairs must carry true Jaccard >= threshold."""
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base + " ok"),                  # near-dup of 1
+        (3, base.replace("quick", "slow")), # near-dup of 1
+        (4, "completely different words about spark and parquet files here"),
+        (5, "another unrelated document mentioning joins and shuffles only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in near_dup_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    # exact-jaccard agreement on the pairs LSH surfaced
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.01).collect()
+    }
+    for pair, j in got.items():
+        assert j >= 0.5
+        assert abs(exact[pair] - j) < 1e-12
+    # unrelated docs never pair
+    assert not any(4 in p or 5 in p for p in got)
