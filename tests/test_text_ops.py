@@ -193,3 +193,18 @@ def test_two_stage_near_dup_pipeline(spark):
         assert abs(exact[pair] - j) < 1e-12
     # unrelated docs never pair
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_decimal_sum_matches_fixed_point(spark):
+    from decimal import Decimal
+
+    from e_commerce_data_pipeline_spark.functions import decimal_sum, fixed_sum
+
+    values = [123.45, 0.01, 99999.99, 42.42, 0.07] * 200
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        fixed_sum("v", 100, "fp"), decimal_sum("v", "dec", scale=2)
+    ).collect()[0]
+    want = sum(Decimal(f"{v:.2f}") for v in values)
+    assert Decimal(f"{row['fp']:.2f}") == want
+    assert row["dec"] == want
