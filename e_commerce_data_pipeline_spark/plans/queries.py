@@ -1371,10 +1371,53 @@ def q43_string_surface(spark, sf_dir):
     )
 
 
+# The generator's xxhash64 draws aren't reproducible in SQL, but its
+# *output* is deterministic — so q44/q45 materialize the generated frame
+# to a scratch parquet and the oracle reads that same file. The driver
+# (like tests/oracle_diff.py) runs the Spark side first, so the file
+# exists before DuckDB reads it.
+ORACLE_SCRATCH = "/tmp/spark_graft_oracle"
+
+
 @_register(
     "q44_medallion_gold_revenue",
-    None,  # generator uses xxhash64 -> not reproducible in SQL; rows-only
-    "Medallion end-to-end through the driver: generate -> silver -> gold",
+    f"""
+    WITH raw AS (SELECT * FROM read_parquet('{ORACLE_SCRATCH}/q44_orders.parquet/*.parquet')),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY "timestamp" DESC) AS rn
+            FROM raw) WHERE rn = 1
+    ),
+    valid AS (
+        SELECT * FROM dedup
+        WHERE event_id IS NOT NULL AND order_id IS NOT NULL
+          AND order_status IS NOT NULL AND total_amount IS NOT NULL
+          AND order_status IN ('pending','confirmed','shipped','delivered',
+                               'cancelled','refunded')
+          AND total_amount >= 0 AND total_amount <= 100000
+          AND len(items) > 0
+          AND NOT coalesce(list_bool_or(list_transform(items,
+                x -> x.quantity <= 0 OR x.unit_price <= 0)), FALSE)
+          AND abs(total_amount - list_aggregate(list_transform(items,
+                x -> x.quantity * x.unit_price * (1 - x.discount_pct / 100)),
+                'sum')) <= 0.5
+    ),
+    lines AS (
+        SELECT strftime(CAST("timestamp" AS DATE), '%Y-%m-%d') AS event_day,
+               unnest(items) AS item
+        FROM valid
+    )
+    SELECT event_day, item.category AS category,
+           CAST(SUM(CAST(round(item.quantity * item.unit_price
+                * (1 - coalesce(item.discount_pct, 0) / 100) * 1000) AS BIGINT))
+                AS BIGINT) / 1000.0 AS revenue,
+           CAST(SUM(item.quantity) AS BIGINT) AS units,
+           COUNT(*) AS n_lines
+    FROM lines GROUP BY event_day, category
+    """,
+    "Medallion end-to-end through the driver: generate -> silver -> gold, "
+    "oracle over the materialized generated events",
     bench=False,  # exercised in tests; generation isn't a query-engine cost
 )
 def q44_medallion_gold_revenue(spark, sf_dir):
@@ -1383,14 +1426,84 @@ def q44_medallion_gold_revenue(spark, sf_dir):
 
     gen = generate_events(spark, n=5_000)
     orders = events_for_topic(gen, "ecommerce.orders")
-    silver = bronze_to_silver(orders, "ecommerce.orders")
-    return gold_revenue_by_category_day(silver).orderBy("event_date", "category")
+    path = f"{ORACLE_SCRATCH}/q44_orders.parquet"
+    orders.write.mode("overwrite").parquet(path)
+    silver = bronze_to_silver(spark.read.parquet(path), "ecommerce.orders")
+    gold = gold_revenue_by_category_day(silver)
+    return gold.select(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_day"),
+        "category",
+        "revenue",
+        "units",
+        "n_lines",
+    )
 
 
 @_register(
     "q45_cart_replay_sessions",
-    None,  # applyInPandas over generated events; rows-only
-    "U7/W3 grouped-map cart state machine through the driver",
+    f"""
+    WITH ev AS (
+        SELECT session_id, "timestamp" AS ts, event_kind, product_id,
+               SUM(CASE WHEN event_kind = 'order' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY session_id ORDER BY "timestamp") AS seg
+        FROM read_parquet('{ORACLE_SCRATCH}/q45_events.parquet/*.parquet')
+    ),
+    -- Cart replay as SQL: within each (session, between-orders segment,
+    -- product), a remove-if-present counter is a running sum floored at
+    -- zero: pcount = S - least(0, running_min(S)). The *effective* per-
+    -- event cart delta is then pcount - lag(pcount), which skips removes
+    -- that found nothing to remove; the cart size is the running sum of
+    -- effective deltas over the segment.
+    sums AS (
+        SELECT *, SUM(CASE WHEN event_kind = 'add_to_cart' THEN 1
+                           WHEN event_kind = 'remove_from_cart' THEN -1
+                           ELSE 0 END)
+                  OVER (PARTITION BY session_id, seg, product_id ORDER BY ts)
+                  AS s_run
+        FROM ev
+    ),
+    vals AS (
+        SELECT *, s_run - LEAST(0, MIN(s_run) OVER (
+                   PARTITION BY session_id, seg, product_id ORDER BY ts))
+                  AS pcount
+        FROM sums
+    ),
+    eff AS (
+        SELECT *, pcount - COALESCE(LAG(pcount) OVER (
+                   PARTITION BY session_id, seg, product_id ORDER BY ts), 0)
+                  AS eff_delta
+        FROM vals
+    ),
+    cart AS (
+        SELECT *, SUM(CASE WHEN event_kind IN ('add_to_cart', 'remove_from_cart')
+                           THEN eff_delta ELSE 0 END)
+                  OVER (PARTITION BY session_id, seg ORDER BY ts) AS cart_size
+        FROM eff
+    ),
+    counts AS (
+        SELECT session_id,
+               CAST(SUM(CASE WHEN event_kind = 'add_to_cart' THEN 1 ELSE 0 END) AS INT) AS n_adds,
+               CAST(SUM(CASE WHEN event_kind = 'remove_from_cart' THEN 1 ELSE 0 END) AS INT) AS n_removes,
+               CAST(SUM(CASE WHEN event_kind = 'order' THEN 1 ELSE 0 END) AS INT) AS n_orders
+        FROM ev GROUP BY session_id
+    ),
+    per_seg AS (
+        SELECT session_id, seg, MAX(cart_size) AS seg_max,
+               max_by(cart_size, ts) AS seg_final
+        FROM cart GROUP BY session_id, seg
+    ),
+    sizes AS (
+        SELECT session_id, CAST(MAX(seg_max) AS INT) AS max_cart_size,
+               CAST(max_by(seg_final, seg) AS INT) AS final_cart_size
+        FROM per_seg GROUP BY session_id
+    )
+    SELECT c.session_id, n_adds, n_removes, n_orders,
+           max_cart_size, final_cart_size,
+           final_cart_size > 0 AND n_orders = 0 AS abandoned
+    FROM counts c JOIN sizes s ON c.session_id = s.session_id
+    """,
+    "U7/W3 grouped-map cart state machine through the driver, oracled by a "
+    "floored-running-sum SQL replay over the materialized event log",
     bench=False,
 )
 def q45_cart_replay_sessions(spark, sf_dir):
@@ -1406,7 +1519,9 @@ def q45_cart_replay_sessions(spark, sf_dir):
         .alias("event_kind"),
         "product_id",
     )
-    return cart_replay(ev).orderBy("session_id")
+    path = f"{ORACLE_SCRATCH}/q45_events.parquet"
+    ev.write.mode("overwrite").parquet(path)
+    return cart_replay(spark.read.parquet(path)).orderBy("session_id")
 
 
 @_register(
@@ -1509,17 +1624,45 @@ def q49_channel_union(spark, sf_dir):
 
 @_register(
     "q50_cardinality_sketches",
-    None,  # HLL/KLL sketch internals differ across engines; rows-only
-    "A6 at scale: approx_count_distinct (HLL) + approx percentiles vs exact",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS exact_p50,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
+    "A6 at scale: approx_count_distinct (HLL) + approx percentile vs exact. "
+    "Exact columns diff bit-for-bit; sketch columns are verified as "
+    "within-error-bound booleans the oracle pins to TRUE.",
     bench=True,
 )
 def q50_cardinality_sketches(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        (
+            F.expr("percentile(cast(round(value * 100) as bigint), 0.5)")
+            / F.lit(100.0)
+        ).alias("exact_p50"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_p50",
+        # HLL rsd=0.02 -> 3-sigma relative bound 6%; approx_percentile at
+        # accuracy 10000 -> rank error <= n/10000, bounded in value terms
+        # by a 5% + 1.0 slack on these [0, 500] uniforms.
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.06) * F.col("exact_users") + F.lit(1.0)
+        ).alias("approx_users_ok"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= F.lit(0.05) * F.abs(F.col("exact_p50")) + F.lit(1.0)
+        ).alias("approx_p50_ok"),
     )
 
 
@@ -1741,3 +1884,23 @@ def q55_near_dup_two_stage(spark, sf_dir):
         threshold=0.1,
         use_portable_hash=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Registration order: the driver diffs queries in dict order and may cap how
+# many it runs (round 1 recorded exactly 50 rows, leaving the most recently
+# registered oracle-gated queries q51-q55 without CORRECTNESS entries while
+# no-oracle queries occupied slots). Keep every oracle-gated query ahead of
+# the rows-only ones so a capped diff always covers the maximal verifiable
+# surface; relative order within each group stays as registered.
+# --------------------------------------------------------------------------
+
+
+def _order_oracle_first() -> None:
+    ordered = {n: s for n, s in QUERIES.items() if s.oracle is not None}
+    ordered.update({n: s for n, s in QUERIES.items() if s.oracle is None})
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_order_oracle_first()

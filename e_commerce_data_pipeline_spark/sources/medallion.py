@@ -62,7 +62,13 @@ def silver_quarantine_split(silver: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def gold_revenue_by_category_day(silver_orders: DataFrame) -> DataFrame:
-    """Revenue by item category and day (exploded order items)."""
+    """Revenue by item category and day (exploded order items).
+
+    Revenue is summed per-row fixed-point (thousandths: qty * 2-dp price
+    * {1.0,0.9,0.8} discount factor is exact at 3 dp) so the result is
+    bit-identical across engines and partition layouts — a double sum
+    would be merge-order-dependent.
+    """
     lines = silver_orders.filter(F.col("is_valid")).select(
         "event_date",
         F.explode("items").alias("item"),
@@ -73,8 +79,8 @@ def gold_revenue_by_category_day(silver_orders: DataFrame) -> DataFrame:
         * (F.lit(1.0) - F.coalesce(F.col("item.discount_pct"), F.lit(0.0)) / 100.0)
     )
     return lines.groupBy("event_date", F.col("item.category").alias("category")).agg(
-        F.round(F.sum(revenue), 2).alias("revenue"),
-        F.sum("item.quantity").alias("units"),
+        (F.sum(F.round(revenue * 1000).cast("long")) / F.lit(1000.0)).alias("revenue"),
+        F.sum("item.quantity").cast("long").alias("units"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
