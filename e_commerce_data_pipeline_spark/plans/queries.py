@@ -795,9 +795,19 @@ def q22_exact_dedup_docs(spark, sf_dir):
         WHERE len(t) >= 3
     ),
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    -- document-frequency cut: stop-shingles appearing in > 100 docs are
+    -- dropped from the pairing join (union sizes stay full). Mirrors
+    -- max_shingle_df on the Spark side; at the test SFs max df is 25 so
+    -- the cut is a no-op locally, but it bounds the join quadratically
+    -- at corpus scale.
+    kept AS (
+        SELECT sh.id, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) k
+          ON sh.shingle = k.shingle
+    ),
     inter AS (
         SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     )
     SELECT a_id, b_id, n_inter,
@@ -808,13 +818,14 @@ def q22_exact_dedup_docs(spark, sf_dir):
     JOIN sizes sb ON inter.b_id = sb.id
     WHERE n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) >= 0.08
     """,
-    "U6: n-gram Jaccard near-dup pairs via shared-shingle join",
+    "U6: n-gram Jaccard near-dup pairs via shared-shingle join with a "
+    "document-frequency stop-shingle cut",
 )
 def q23_ngram_jaccard_pairs(spark, sf_dir):
     from ..operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.08
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.08, max_shingle_df=100
     ).select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
 
 
@@ -1642,7 +1653,7 @@ def q50_cardinality_sketches(spark, sf_dir):
     agg = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
         (
             F.expr("percentile(cast(round(value * 100) as bigint), 0.5)")
             / F.lit(100.0)
