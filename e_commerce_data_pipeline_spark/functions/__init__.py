@@ -96,9 +96,13 @@ def epoch_us(col: Column | str) -> Column:
 def decimal_sum(col: Column | str, alias: str, precision: int = 28, scale: int = 6) -> Column:
     """Production-hardening alternative to ``fixed_sum``: exact
     DecimalType accumulation. Unlike int64 fixed-point (overflow past
-    ~9e12 dollars at scale 1e6), decimal sums widen automatically and
-    Spark raises on overflow instead of wrapping. The trade: decimal
-    arithmetic is ~2-3x slower than long arithmetic and the result
-    column is DecimalType (cast downstream as needed)."""
+    ~9e12 dollars at scale 1e6), decimal sums widen automatically.
+    Overflow behavior depends on ``spark.sql.ansi.enabled``: true ->
+    Spark raises; false (the session default here) -> the double->
+    decimal cast and the decimal sum return NULL silently, dropping
+    out-of-range values from the sum — enable ANSI (or use try_sum
+    semantics deliberately) where a hard failure is wanted. The trade:
+    decimal arithmetic is ~2-3x slower than long arithmetic and the
+    result column is DecimalType (cast downstream as needed)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).alias(alias)

@@ -57,7 +57,10 @@ class SessionTracker(StatefulProcessor):
             n_events, value_cents, last_us = self._state.get()
         for pdf in rows:
             n_events += len(pdf)
-            value_cents += int(round(pdf["value"].sum() * 100))
+            # per-row fixed-point BEFORE summing: a float sum rounded
+            # once per batch would make cent totals batch-boundary-
+            # dependent (project float-parity discipline)
+            value_cents += int((pdf["value"] * 100).round().astype("int64").sum())
             batch_max_us = int(pd.to_datetime(pdf["ts"]).max().value // 1000)
             last_us = max(last_us, batch_max_us)
         self._state.update((n_events, value_cents, last_us))

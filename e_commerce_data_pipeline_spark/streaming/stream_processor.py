@@ -177,8 +177,13 @@ def silver_stream_query(
 
     Enrichment needs a per-session window (bot scoring) and broadcast
     joins, so it runs inside ``foreachBatch`` — each micro-batch is a
-    bounded DataFrame where batch semantics apply; the checkpoint makes
-    delivery exactly-once per sink path (SURVEY §3.2 "Spark shape").
+    bounded DataFrame where batch semantics apply. foreachBatch is
+    AT-LEAST-ONCE (exactly-once holds only for native file sinks), so
+    each batch writes its rows under a ``__batch_id`` partition with
+    dynamic partition overwrite: a replayed batch rewrites exactly its
+    own partitions instead of appending duplicates, making the sink
+    effectively-once. Readers see ``__batch_id`` as an extra column;
+    event-time partitions stay first for pruning.
     """
     from ..operators.enrich import to_processed_events
     from ..sources.bronze import PARTITION_COLS, with_time_partitions
@@ -200,8 +205,10 @@ def silver_stream_query(
         )
         (
             with_time_partitions(enriched, "timestamp")
-            .write.mode("append")
-            .partitionBy(*PARTITION_COLS)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*PARTITION_COLS, "__batch_id")
             .parquet(out_path)
         )
 

@@ -90,3 +90,85 @@ def test_streaming_gold_merges_across_batches(spark, tmp_path):
     assert g2[("2024-01-01", "Electronics")] == (25.0, 3)
     assert g2[("2024-01-01", "Kitchen")] == (50.0, 1)
     assert g2[("2024-01-02", "Kitchen")] == (10.0, 4)
+
+
+def test_gold_merge_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-merging an already-applied batch_id is
+    a no-op, and crash recovery restores the table from .old."""
+    import os
+    import json as _json
+
+    from e_commerce_data_pipeline_spark.streaming.gold_stream import (
+        merge_gold_revenue,
+    )
+
+    gold = str(tmp_path / "gold")
+    batch = spark.read.json(
+        spark.sparkContext.parallelize(
+            [_order(1, "2024-01-01 10:00:00", 2, 10.0)]
+        )
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    merge_gold_revenue(batch, gold, batch_id=0)
+    first = spark.read.parquet(gold).collect()
+    assert [(r["revenue"], r["units"]) for r in first] == [(20.0, 2)]
+
+    # replayed batch 0: must not double-count
+    merge_gold_revenue(batch, gold, batch_id=0)
+    again = spark.read.parquet(gold).collect()
+    assert [(r["revenue"], r["units"]) for r in again] == [(20.0, 2)]
+
+    # new batch id merges
+    merge_gold_revenue(batch, gold, batch_id=1)
+    assert [
+        (r["revenue"], r["units"]) for r in spark.read.parquet(gold).collect()
+    ] == [(40.0, 4)]
+
+    # crash between the two swap renames: live dir gone, data in .old
+    os.rename(gold, gold + ".old")
+    merge_gold_revenue(batch, gold, batch_id=1)  # replay -> repair + skip
+    assert [
+        (r["revenue"], r["units"]) for r in spark.read.parquet(gold).collect()
+    ] == [(40.0, 4)]
+
+
+def test_silver_stream_replay_overwrites_not_appends(spark, tmp_path):
+    """A replayed micro-batch (fresh checkpoint, same sink) rewrites its
+    __batch_id partitions instead of appending duplicates."""
+    from e_commerce_data_pipeline_spark.streaming.stream_processor import (
+        read_event_stream,
+        silver_stream_query,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.txt").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "event_id": f"c{i}",
+                    "event_type": "user_click",
+                    "timestamp": "2024-01-01 05:00:00",
+                    "session_id": f"s{i}",
+                    "user_id": f"u{i}",
+                    "click_type": "page_view",
+                    "page_url": "https://x.example/p",
+                    "device_type": "mobile",
+                    "product_id": "P1",
+                    "category": "Electronics",
+                }
+            )
+            for i in range(8)
+        )
+    )
+    out = str(tmp_path / "silver")
+    for ck in ("ck_a", "ck_b"):  # second run = full replay of batch 0
+        raw = read_event_stream(spark, source="file", file_path=str(src))
+        q = silver_stream_query(
+            spark, raw, "ecommerce.user_clicks", out, str(tmp_path / ck),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+    silver = spark.read.parquet(out)
+    assert silver.count() == 8
+    assert silver.select("event_id").distinct().count() == 8
