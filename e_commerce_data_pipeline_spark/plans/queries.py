@@ -1897,6 +1897,46 @@ def q55_near_dup_two_stage(spark, sf_dir):
     )
 
 
+@_register(
+    "q56_streaming_session_stats",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)) < 600000000
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ), s AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM e
+    )
+    SELECT user_id,
+           MIN(us) AS start_us,
+           MAX(us) + 600000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+    "W1 streaming: session_window over a bounded stream drained with "
+    "availableNow, diffed against the batch gap-and-islands oracle. "
+    "session_window starts a NEW session at a gap of exactly 10 min "
+    "(end-exclusive windows), hence the strict < in the oracle; "
+    "session_end = last event + gap.",
+    bench=False,  # stream startup dominates; not a query-engine cost
+)
+def q56_streaming_session_stats(spark, sf_dir):
+    from ..operators.sessionize import drain_streaming_session_stats
+
+    out = drain_streaming_session_stats(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and may cap how
 # many it runs (round 1 recorded exactly 50 rows, leaving the most recently
