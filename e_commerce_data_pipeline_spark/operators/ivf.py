@@ -110,6 +110,68 @@ def build_ivf_index(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the inverted lists partitioned by cluster.
+
+    One directory per list means a probe reads only its ``nprobe``
+    lists' files — the at-scale index layout the build_ivf_index
+    docstring promises (partition pruning shows up as
+    ``PartitionFilters`` on the probe scan; tests/test_ivf.py asserts
+    it on the executed plan).
+    """
+    idx = build_ivf_index(emb, centroids, id_col, vec_col)
+    idx.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def probe_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Top-k against a partitioned on-disk index, pruned to the probed
+    lists.
+
+    The union of the query batch's probe clusters is collected to the
+    driver (bounded: <= |queries| * nprobe ints — query batches are
+    small by construction) and applied as a literal ``isin`` filter, so
+    the scan prunes statically to those partition directories; the
+    per-query cluster equi-join inside ``ivf_topk`` then narrows each
+    query to its own lists.
+    """
+    probed_rows = (
+        queries.select(
+            F.explode(_probe_udf(centroids, nprobe)(F.col(vec_col))).alias("cluster")
+        )
+        .distinct()
+        .collect()
+    )
+    probed = sorted(r["cluster"] for r in probed_rows)
+    idx = spark.read.parquet(index_path).filter(F.col("cluster").isin(probed))
+    return ivf_topk(
+        emb=None,
+        queries=queries,
+        centroids=centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+        index=idx,
+    )
+
+
 def _probe_udf(centroids, nprobe: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

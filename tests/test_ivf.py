@@ -65,3 +65,47 @@ def test_matrix_topk_equals_hof_topk(spark, emb):
     for key in a:
         assert a[key][0] == b[key][0]
         assert abs(a[key][1] - b[key][1]) < 1e-9
+
+
+def test_partitioned_index_probe_prunes_lists(spark, sf_dir, tmp_path):
+    """The on-disk IVF index is partitioned by cluster and a probe scan
+    prunes statically to the probed lists (PartitionFilters, and fewer
+    partition dirs read than exist)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.ivf import (
+        ivf_topk,
+        probe_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    n_lists = len(glob.glob(path + "/cluster=*"))
+    assert n_lists == 8
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = probe_ivf_index(spark, path, queries, cents, k=5, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries x k
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan (neighbor_id/c_vec/cluster schema) must carry a
+    # static IN partition filter over the probed clusters
+    idx_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "neighbor_id" in l
+    ]
+    assert idx_scans, plan
+    assert any("PartitionFilters: [cluster" in l for l in idx_scans), idx_scans
+    assert any(" IN (" in l for l in idx_scans), idx_scans
+
+    # pruned probe matches the unpruned in-memory index path exactly
+    full = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, full.collect()))
