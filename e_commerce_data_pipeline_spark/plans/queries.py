@@ -1898,6 +1898,31 @@ def q55_near_dup_two_stage(spark, sf_dir):
 
 
 @_register(
+    "q57_decimal_money_sum",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "P8/P9 money hardening: exact DecimalType accumulation (the int64 "
+    "fixed-point alternative for sums that could overflow long range), "
+    "surfaced as double after the exact sum. Both engines cast the "
+    "double revenue to DECIMAL(28,6) per row, sum exactly, and convert "
+    "once at the end.",
+)
+def q57_decimal_money_sum(spark, sf_dir):
+    from ..functions import decimal_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        decimal_sum(line_revenue(), "revenue_dec").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_register(
     "q56_streaming_session_stats",
     """
     WITH e AS (
