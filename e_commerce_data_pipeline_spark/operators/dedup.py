@@ -352,6 +352,102 @@ def simhash_pairs(
     return pairs
 
 
+def simhash_chunks_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(id, c0..c{n_blocks-1}) SimHash chunk values from a portable
+    md5-derived bit family.
+
+    Hex nibble k of md5(token) supplies bits 4k..4k+3, so any engine
+    with md5 reproduces the signature exactly (the DuckDB oracle for
+    q29 mirrors this bit-for-bit). Same distributed shape as
+    ``simhash_table``: explode distinct tokens, per-bit ±1 columns,
+    groupBy(id).sum — partial aggregation shuffles one row per doc.
+    Chunks are kept as integers (bit j of chunk q = signature bit
+    16q+j), so blocking and Hamming distance are pure int ops.
+    """
+    chunk = bits // n_blocks
+    assert chunk <= 62, "chunk must fit a long"
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    m = F.md5("tok")
+    nib = [
+        F.conv(F.substring(m, k + 1, 1), 16, 10).cast("int")
+        for k in range(bits // 4)
+    ]
+    contrib = [
+        (F.shiftright(nib[i // 4], i % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.select("id", *contrib).groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    chunk_cols = []
+    for q in range(n_blocks):
+        val = None
+        for j in range(chunk):
+            bit = F.when(F.col(f"s{q * chunk + j}") > 0, 1 << j).otherwise(0)
+            val = bit if val is None else val + bit
+        chunk_cols.append(val.cast("long").alias(f"c{q}"))
+    return summed.select("id", *chunk_cols)
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """``simhash_pairs`` on the portable md5 family (oracle-diffable).
+
+    Same pigeonhole blocking (a pair within distance < n_blocks shares
+    an exact chunk) and filter-before-distinct shape; Hamming distance
+    is XOR+popcount over the chunk ints.
+    """
+    ch = simhash_chunks_portable(df, id_col, text_col, bits, n_blocks).cache()
+    chunk_names = [f"c{q}" for q in range(n_blocks)]
+    blocks = ch.select(
+        "id",
+        *chunk_names,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"c{q}").alias("val"))
+                    for q in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", *chunk_names, F.col("bk.q").alias("q"), F.col("bk.val").alias("val"))
+    a = blocks.select(
+        F.col("id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in chunk_names],
+        "q", "val",
+    )
+    b = blocks.select(
+        F.col("id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in chunk_names],
+        "q", "val",
+    )
+    hamming = None
+    for q in range(n_blocks):
+        h = F.bit_count(F.col(f"a_c{q}").bitwiseXOR(F.col(f"b_c{q}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        a.join(b, ["q", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     id_cols: tuple[str, ...] = ("event_id",),

@@ -110,6 +110,74 @@ def build_ivf_index(
     )
 
 
+def ivf_topk_portable(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """``ivf_topk`` with the assignment/probe computed as native double
+    expressions instead of the numpy pandas UDF — cross-engine
+    reproducible (the q46 DuckDB oracle mirrors it), at the cost of
+    interpreted HOF math per (vector, centroid).
+
+    The numpy path's float32 batch matmul can disagree with a double
+    oracle by ~1e-7, enough to flip an argmax between near-equidistant
+    centroids; here both engines compute double cosines whose order
+    agrees to ~1e-15. Tie-breaks are explicit: first-max argmax for
+    assignment, (sim DESC, centroid ASC) for probing, (sim DESC,
+    neighbor ASC) for the final rank.
+    """
+    np = _np()
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in row]) for row in cn
+    ]
+    sims_arr = F.array(
+        *[dot(unit_vec(F.col(vec_col)), c) for c in cent_lits]
+    ).alias("sims")
+
+    idx = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vec(F.col(vec_col)).alias("c_vec"),
+        sims_arr,
+    ).withColumn(
+        "cluster",
+        (F.array_position(F.col("sims"), F.array_max("sims")) - 1).cast("int"),
+    ).drop("sims")
+
+    q_sims = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vec(F.col(vec_col)).alias("q_vec"),
+        sims_arr,
+    ).select("query_id", "q_vec", F.posexplode("sims").alias("cluster", "c_sim"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cluster"))
+    q = (
+        q_sims.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+
+    sim = dot(F.col("q_vec"), F.col("c_vec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        q.join(idx, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     centroids,

@@ -41,6 +41,14 @@ from ..functions import (
 NOW = "2024-01-30 00:00:00"
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+# Scratch dir for oracle-shared artifacts: some inputs (the synthetic
+# generator's output, seeded LSH hyperplanes) aren't reproducible in
+# SQL, but ARE deterministic — those queries materialize them here and
+# the oracle reads the same files. The driver (like
+# tests/oracle_diff.py) runs the Spark side first, so the files exist
+# before DuckDB reads them.
+ORACLE_SCRATCH = "/tmp/spark_graft_oracle"
+
 
 @dataclass
 class QuerySpec:
@@ -986,24 +994,116 @@ def q28_cosine_pairs_by_label(spark, sf_dir):
     )
 
 
+def _simhash_oracle_sql(bits: int = 64, n_blocks: int = 4, max_hamming: int = 3) -> str:
+    """Generate the DuckDB mirror of simhash_pairs_portable: md5 hex
+    nibble k of each token supplies signature bits 4k..4k+3."""
+    chunk = bits // n_blocks
+    contrib = ",\n               ".join(
+        f"((CAST(strpos('0123456789abcdef', substr(m, {i // 4 + 1}, 1)) - 1 AS INT)"
+        f" >> {i % 4}) & 1) * 2 - 1 AS b{i}"
+        for i in range(bits)
+    )
+    sums = ", ".join(f"SUM(b{i}) AS s{i}" for i in range(bits))
+    chunks = ",\n               ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN s{q * chunk + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(chunk)
+        )
+        + f" AS BIGINT) AS c{q}"
+        for q in range(n_blocks)
+    )
+    chunk_list = ", ".join(f"c{q}" for q in range(n_blocks))
+    val_case = (
+        "CASE q.q "
+        + " ".join(f"WHEN {q} THEN c{q}" for q in range(n_blocks))
+        + " END"
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{q}, b.c{q}))" for q in range(n_blocks))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents
+    ),
+    nib AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    contrib AS (SELECT doc_id, {contrib} FROM nib),
+    s AS (SELECT doc_id, {sums} FROM contrib GROUP BY doc_id),
+    ch AS (SELECT doc_id, {chunks} FROM s),
+    blocks AS (
+        SELECT doc_id, {chunk_list}, q.q AS q, {val_case} AS val
+        FROM ch, range({n_blocks}) q(q)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST({ham} AS INT) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.q = b.q AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE CAST({ham} AS INT) <= {max_hamming}
+    """
+
+
 @_register(
     "q29_simhash_pairs",
-    None,  # xxhash64-based; not reproducible in the oracle -> rows-only check
-    "U6: SimHash near-dup pairs (64-bit, quarter-block pigeonhole join)",
+    _simhash_oracle_sql(),
+    "U6: SimHash near-dup pairs (64-bit, quarter-block pigeonhole join) "
+    "on the portable md5-nibble bit family; the xxhash64 family "
+    "(operators/dedup.simhash_pairs) is the fast path at scale",
 )
 def q29_simhash_pairs(spark, sf_dir):
-    from ..operators.dedup import simhash_pairs
+    from ..operators.dedup import simhash_pairs_portable
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs_portable(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @_register(
     "q30_lsh_topk",
-    None,  # hyperplane signatures use xxhash64 -> rows-only check
-    "U5: LSH-bucketed approximate top-k (the ANN scale path)",
+    f"""
+    WITH planes AS (
+        SELECT plane_id, coeffs
+        FROM read_parquet('{{scratch}}/q30_planes.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN list_dot_product(v, coeffs) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY plane_id)
+                   AS bucket
+        FROM e, planes GROUP BY vec_id
+    ),
+    q AS (
+        SELECT e.vec_id AS query_id, bucket, v AS qv
+        FROM e JOIN sig ON e.vec_id = sig.vec_id WHERE e.vec_id < 10
+    ),
+    c AS (
+        SELECT e.vec_id AS neighbor_id, bucket, v AS cv
+        FROM e JOIN sig ON e.vec_id = sig.vec_id
+    ),
+    s AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM s
+    ) WHERE rk <= 5
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "U5: LSH-bucketed approximate top-k (the ANN scale path). The "
+    "seeded hyperplanes are materialized to scratch parquet so the "
+    "oracle recomputes the same sign signatures.",
 )
 def q30_lsh_topk(spark, sf_dir):
+    import numpy as np
+
     from ..operators.similarity import lsh_topk
+
+    # materialize the same seeded planes hyperplane_signature draws
+    # (seed=42, shape (n_planes, dim)) for the oracle
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((4, 64))
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(planes)],
+        "plane_id int, coeffs array<double>",
+    ).write.mode("overwrite").parquet(f"{ORACLE_SCRATCH}/q30_planes.parquet")
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4)
@@ -1382,14 +1482,6 @@ def q43_string_surface(spark, sf_dir):
     )
 
 
-# The generator's xxhash64 draws aren't reproducible in SQL, but its
-# *output* is deterministic — so q44/q45 materialize the generated frame
-# to a scratch parquet and the oracle reads that same file. The driver
-# (like tests/oracle_diff.py) runs the Spark side first, so the file
-# exists before DuckDB reads it.
-ORACLE_SCRATCH = "/tmp/spark_graft_oracle"
-
-
 @_register(
     "q44_medallion_gold_revenue",
     f"""
@@ -1537,15 +1629,64 @@ def q45_cart_replay_sessions(spark, sf_dir):
 
 @_register(
     "q46_ivf_topk",
-    None,  # seeded-numpy codebook; rows-only check
-    "U5: IVF approximate top-k (coarse quantizer + probed inverted lists)",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q46_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id, list_cosine_similarity(v, coeffs) AS s
+        FROM e, cents
+    ),
+    assign AS (
+        SELECT vec_id AS neighbor_id, centroid_id AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, centroid_id AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims WHERE vec_id < 10) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probe p JOIN assign a ON p.cluster = a.cluster
+        WHERE p.query_id <> a.neighbor_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_cosine_similarity(eq.v, en.v), 6) AS sim
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "U5: IVF approximate top-k (coarse quantizer + probed inverted "
+    "lists). The trained codebook is materialized to scratch parquet; "
+    "both engines assign/probe by double cosine with explicit "
+    "tie-breaks (portable path; the numpy matmul path is the scale "
+    "default).",
 )
 def q46_ivf_topk(spark, sf_dir):
-    from ..operators.ivf import ivf_topk, train_centroids
+    from ..operators.ivf import ivf_topk_portable, train_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_centroids=8, n_iters=2)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4)
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "centroid_id int, coeffs array<double>",
+    ).write.mode("overwrite").parquet(f"{ORACLE_SCRATCH}/q46_centroids.parquet")
+    return ivf_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
+    )
 
 
 @_register(
