@@ -377,12 +377,19 @@ def simhash_chunks_portable(
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     )
     m = F.md5("tok")
-    nib = [
-        F.conv(F.substring(m, k + 1, 1), 16, 10).cast("int")
-        for k in range(bits // 4)
+    # Parse the hex 8 chars (32 bits) per conv instead of nibble-at-a-
+    # time: hex char k+1 is the (7-k%8)'th nibble of its block, so bit
+    # 4k+j of the signature is bit 4*(7-k%8)+j of block k//8. Two conv
+    # calls + codegen shifts, ~same bits as 16 conv+substring+cast.
+    blocks = [
+        F.conv(F.substring(m, 8 * b + 1, 8), 16, 10).cast("long")
+        for b in range((bits + 31) // 32)
     ]
     contrib = [
-        (F.shiftright(nib[i // 4], i % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+        (
+            F.shiftright(blocks[i // 32], 4 * (7 - (i // 4) % 8) + i % 4)
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{i}")
         for i in range(bits)
     ]
     summed = toks.select("id", *contrib).groupBy("id").agg(

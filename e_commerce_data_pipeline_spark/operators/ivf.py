@@ -39,7 +39,14 @@ def _np():
 
 def _assign_udf(centroids):
     """pandas UDF: nearest-centroid id per vector (cosine == dot on
-    unit-normalized inputs; centroids are normalized at build)."""
+    unit-normalized inputs; centroids are normalized at build).
+
+    Math runs in float64: storage is array<float>, but a float32
+    matmul disagrees with a double-precision engine (the DuckDB
+    oracle, the HOF fold in ``ivf_topk_portable``) by ~1e-7 — enough
+    to flip an argmax between near-equidistant centroids. Double
+    matmul agrees to ~1e-15, where only genuine ties could flip, and
+    ``np.argmax`` breaks those first-max like the portable path."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -49,7 +56,7 @@ def _assign_udf(centroids):
     def _assign(v):
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        x = np.stack(v.to_numpy())
+        x = np.stack(v.to_numpy()).astype(np.float64)
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         return pd.Series(np.argmax(xn @ cn.T, axis=1).astype("int32"))
 
@@ -121,16 +128,17 @@ def ivf_topk_portable(
     round_dp: int | None = 6,
 ) -> DataFrame:
     """``ivf_topk`` with the assignment/probe computed as native double
-    expressions instead of the numpy pandas UDF — cross-engine
-    reproducible (the q46 DuckDB oracle mirrors it), at the cost of
-    interpreted HOF math per (vector, centroid).
+    expressions instead of the numpy pandas UDF — a pure-SQL-shaped
+    reference used to pin the fast path's semantics (tests assert the
+    two agree row-for-row).
 
-    The numpy path's float32 batch matmul can disagree with a double
-    oracle by ~1e-7, enough to flip an argmax between near-equidistant
-    centroids; here both engines compute double cosines whose order
-    agrees to ~1e-15. Tie-breaks are explicit: first-max argmax for
-    assignment, (sim DESC, centroid ASC) for probing, (sim DESC,
-    neighbor ASC) for the final rank.
+    Tie-breaks are explicit: first-max argmax for assignment,
+    (sim DESC, centroid ASC) for probing, (sim DESC, neighbor ASC)
+    for the final rank — the same order the fast path's float64
+    argmax / stable argsort produce. Interpreted HOF math per
+    (vector, centroid) makes this ~10x slower than the Arrow matmul
+    at corpus scale; it exists for cross-engine auditability, not as
+    a query path.
     """
     np = _np()
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -250,10 +258,12 @@ def _probe_udf(centroids, nprobe: int):
     def _probe(v):
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        x = np.stack(v.to_numpy())
+        x = np.stack(v.to_numpy()).astype(np.float64)
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         sims = xn @ cn.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        # float64 + stable sort == the portable path's explicit
+        # (sim DESC, centroid ASC) probe order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
     _probe.__annotations__ = {"v": pd.Series, "return": pd.Series}

@@ -50,6 +50,33 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 ORACLE_SCRATCH = "/tmp/spark_graft_oracle"
 
 
+def _write_scratch_vectors(name: str, id_field: str, rows) -> None:
+    """Write a tiny driver-side (id, coeffs) table to the oracle
+    scratch dir with pyarrow directly — these are 4-8 row artifacts
+    (LSH planes, IVF codebooks), and a Spark parquet write would cost
+    a full job schedule (~1s) inside a timed query."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import shutil
+
+    d = f"{ORACLE_SCRATCH}/{name}"
+    shutil.rmtree(d, ignore_errors=True)  # no stale part files in the glob
+    os.makedirs(d, exist_ok=True)
+    table = pa.table(
+        {
+            id_field: pa.array(range(len(rows)), type=pa.int32()),
+            "coeffs": pa.array(
+                [[float(x) for x in row] for row in rows],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    pq.write_table(table, f"{d}/part-0.parquet")
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -1100,10 +1127,7 @@ def q30_lsh_topk(spark, sf_dir):
     # (seed=42, shape (n_planes, dim)) for the oracle
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((4, 64))
-    spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(planes)],
-        "plane_id int, coeffs array<double>",
-    ).write.mode("overwrite").parquet(f"{ORACLE_SCRATCH}/q30_planes.parquet")
+    _write_scratch_vectors("q30_planes.parquet", "plane_id", planes)
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=4)
@@ -1671,22 +1695,17 @@ def q45_cart_replay_sessions(spark, sf_dir):
     """.replace("{scratch}", ORACLE_SCRATCH),
     "U5: IVF approximate top-k (coarse quantizer + probed inverted "
     "lists). The trained codebook is materialized to scratch parquet; "
-    "both engines assign/probe by double cosine with explicit "
-    "tie-breaks (portable path; the numpy matmul path is the scale "
-    "default).",
+    "both engines assign/probe by double cosine with first-max/stable "
+    "tie-breaks, so the Arrow float64 matmul path diffs clean against "
+    "the oracle.",
 )
 def q46_ivf_topk(spark, sf_dir):
-    from ..operators.ivf import ivf_topk_portable, train_centroids
+    from ..operators.ivf import ivf_topk, train_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, n_centroids=8, n_iters=2)
-    spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "centroid_id int, coeffs array<double>",
-    ).write.mode("overwrite").parquet(f"{ORACLE_SCRATCH}/q46_centroids.parquet")
-    return ivf_topk_portable(
-        emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
-    )
+    _write_scratch_vectors("q46_centroids.parquet", "centroid_id", cents)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4)
 
 
 @_register(

@@ -50,6 +50,22 @@ def test_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_fast_path_equals_portable(spark, emb):
+    """The Arrow float64 matmul path must agree row-for-row with the
+    native-expression portable path (same assignment, probe order, and
+    rounded sims) — this is what licenses diffing the fast path
+    against the double-precision DuckDB oracle in q46."""
+    from e_commerce_data_pipeline_spark.operators.ivf import ivf_topk_portable
+
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    fast = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    port = ivf_topk_portable(emb, queries, cents, k=5, nprobe=4)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, port.collect())
+    )
+
+
 def test_matrix_topk_equals_hof_topk(spark, emb):
     """The mapInPandas matrix kNN must return exactly the native
     column-expression kNN's results."""
