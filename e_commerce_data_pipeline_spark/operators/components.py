@@ -1,0 +1,120 @@
+"""Connected components over near-dup pair graphs (the dedup endgame).
+
+Candidate generators (MinHash LSH, SimHash, embedding blocking) emit
+*pairs*; deduplication needs *groups* — if A~B and B~C, one canonical
+doc must represent {A, B, C} even though A and C never paired. That
+closure is a connected-components problem on the pair graph.
+
+Spark mapping: iterative min-label propagation. Every vertex starts
+labeled with its own id; each round, a vertex adopts the minimum label
+among itself and its neighbors (one equi-join edges x labels + one
+groupBy(min) — both shuffle on vertex id, with map-side partial
+aggregation). Convergence needs rounds ~ graph diameter; near-dup
+graphs are unions of small dense clusters (diameter 1-3), so 2-4
+rounds settle real corpora. Lineage is cut per round with
+``localCheckpoint`` so the plan doesn't grow with iterations, and the
+loop exits early on a zero-changes round (one count job per round —
+a convergence check, not a data path).
+
+For adversarial graphs (long chains, diameter ~ |V|) the
+alternating large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) converges in
+O(log^2 n) rounds with the same join-shape per round; the propagation
+loop here is the right default for dedup workloads where diameter is
+structurally tiny.
+
+The driver-side loop control (not the data) is the only non-declarative
+part — the same structure Spark's own GraphFrames/Pregel uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex; component = min vertex id
+    reachable through the undirected edge set.
+
+    ``vertices`` (optional) adds isolated vertices — docs with no
+    near-dup pair become singleton components of themselves.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("component").alias("v_comp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("v_comp").alias("nbr_min"))
+            .select(F.col("u").alias("id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a_id",
+    dst: str = "b_id",
+) -> DataFrame:
+    """Resolve near-dup pairs into keep/drop groups over the corpus.
+
+    Returns (id_col, group_id, group_size, is_canonical): group_id is
+    the minimum doc id of the duplicate cluster (so the canonical
+    survivor is deterministic — exactly the row where id == group_id),
+    and docs with no pair form singleton groups. Downstream keeps
+    ``is_canonical`` rows — the standard LLM-corpus dedup contract.
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, vertices=corpus, id_col=id_col
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("group_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -455,6 +455,69 @@ def simhash_pairs_portable(
     )
 
 
+def embedding_near_dup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Near-duplicate pairs in embedding space (north-star U6
+    "embedding-cosine near-dup"): multi-table hyperplane LSH blocks
+    candidates, exact cosine >= threshold verifies them.
+
+    Scale shape: each table hashes the corpus once (Arrow float64
+    matmul — linear) and pairs only within buckets, so cost is
+    sum(bucket^2) per table, never corpus^2; the exact-cosine verify
+    join runs on |candidates| only. Multiple tables (seeded
+    independently) recover recall the single-table bucket boundary
+    loses: a pair at angle theta collides per table with
+    P = (1 - theta/pi)^n_planes, and across t tables with
+    1-(1-P)^t. Candidates are deduplicated on (a_id, b_id) BEFORE
+    vectors are re-joined, so the distinct never shuffles array
+    payloads.
+    """
+    from .similarity import dot, hyperplane_signature, unit_vec
+
+    base = _spread(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        unit_vec(F.col(vec_col)).alias("nv"),
+    ).cache()
+    sig = None
+    for t in range(n_tables):
+        s = base.select(
+            "id",
+            F.lit(t).alias("tbl"),
+            hyperplane_signature("v", dim, n_planes, seed + t).alias("bucket"),
+        )
+        sig = s if sig is None else sig.union(s)
+    cand = (
+        sig.select(F.col("id").alias("a_id"), "tbl", "bucket")
+        .join(sig.select(F.col("id").alias("b_id"), "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    nv = base.select("id", "nv")
+    sim = dot(F.col("a_nv"), F.col("b_nv"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    return (
+        cand.join(
+            nv.select(F.col("id").alias("a_id"), F.col("nv").alias("a_nv")), "a_id"
+        )
+        .join(nv.select(F.col("id").alias("b_id"), F.col("nv").alias("b_nv")), "b_id")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     id_cols: tuple[str, ...] = ("event_id",),

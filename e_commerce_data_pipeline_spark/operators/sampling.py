@@ -1,0 +1,103 @@
+"""Deterministic splitting, sampling, and shuffling for training-data
+pipelines.
+
+A 100 TB corpus can't use ``df.randomSplit`` / ``df.sample`` for
+train/val/test assignment: those are seed+partition-layout dependent
+(the same row lands in a different split when the file count changes)
+and unrepeatable across engines. Every operator here instead derives
+its randomness from a cryptographic hash of a stable row key, so:
+
+- assignment is a pure function of the row (layout/cluster independent),
+- re-runs, backfills, and other engines (the DuckDB oracle) agree,
+- new data joins splits with the same proportions without reshuffling
+  old assignments — the property that keeps eval sets frozen while a
+  crawl grows.
+
+All hashes run as native column expressions (md5 + conv — JVM
+codegen); nothing crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_DENOM = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) from a row key: the first 8 hex
+    chars of md5(salt:key) as a 32-bit integer fraction. Portable to
+    any engine with md5 (the oracle reproduces it nibble-for-nibble).
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_DENOM)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashed key.
+
+    ``weights`` maps split name -> proportion (need not sum to 1; they
+    are normalized). The row's uniform draw walks the cumulative
+    ranges in the given dict order. One hash per row, no shuffle —
+    the split column is computed inside the scan stage.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    u = hash_uniform(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by hash order.
+
+    Deterministic rank: rows sort by (hash_uniform(key), key) within
+    the group — a repeatable "random" order — and the first n survive.
+    One window shuffle on group_col; at scale groups are the natural
+    partitioning so this is the minimal movement for an exact-count
+    sample (approximate fractions could stay shuffle-free via
+    ``hash_uniform < frac``, but exact counts need the rank).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuffle"
+) -> DataFrame:
+    """Global hash-order sort — the training-data "shuffle" that's
+    reproducible run-to-run and engine-to-engine.
+
+    Spark implements the orderBy as a range repartition (sampled
+    bounds) + per-partition sort; downstream writes preserve the
+    order per output file. Interleaving quality is the same as a
+    random permutation because md5 bits are independent of any data
+    ordering.
+    """
+    return df.orderBy(hash_uniform(F.col(key_col), salt), F.col(key_col))

@@ -158,7 +158,10 @@ def hyperplane_signature(vec_col: str, dim: int, n_planes: int, seed: int = 42):
     def _sig(v):
         if len(v) == 0:
             return pd.Series([], dtype="object")
-        x = np.stack(v.to_numpy())  # (batch, dim)
+        # float64: sign(v . plane) must agree with double-precision
+        # engines (the DuckDB oracle) — float32 dots near zero could
+        # flip a bit
+        x = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
         bits = (x @ planes.T) >= 0.0
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 

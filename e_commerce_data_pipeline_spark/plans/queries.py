@@ -1997,10 +1997,11 @@ def q54_rebuild_nested_orders(spark, sf_dir):
     )
 
 
-@_register(
-    "q55_near_dup_two_stage",
-    f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+# The two-stage near-dup pair CTEs (MinHash LSH candidates -> exact
+# Jaccard verify), shared by the q55 oracle and the q58 group-closure
+# oracle. Terminal CTE: ndpairs(a_id, b_id, jaccard).
+_ND_PAIR_CTES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     units AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(t) >= 3
@@ -2037,13 +2038,22 @@ def q54_rebuild_nested_orders(spark, sf_dir):
         JOIN sh sa ON sa.id = c.a_id
         JOIN sh sb ON sb.id = c.b_id AND sb.shingle = sa.shingle
         GROUP BY c.a_id, c.b_id
-    )
-    SELECT i.a_id, i.b_id,
-           i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) AS jaccard
-    FROM inter i
-    JOIN sizes za ON i.a_id = za.id
-    JOIN sizes zb ON i.b_id = zb.id
-    WHERE i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) >= 0.1
+    ),
+    ndpairs AS (
+        SELECT i.a_id, i.b_id,
+               i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) AS jaccard
+        FROM inter i
+        JOIN sizes za ON i.a_id = za.id
+        JOIN sizes zb ON i.b_id = zb.id
+        WHERE i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) >= 0.1
+    )"""
+
+
+@_register(
+    "q55_near_dup_two_stage",
+    f"""
+    WITH {_ND_PAIR_CTES}
+    SELECT a_id, b_id, jaccard FROM ndpairs
     """,
     "U6 flagship: two-stage near-dup (MinHash LSH candidates -> exact Jaccard verify)",
 )
@@ -2054,6 +2064,170 @@ def q55_near_dup_two_stage(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         threshold=0.1,
         use_portable_hash=True,
+    )
+
+
+@_register(
+    "q58_dedup_groups",
+    f"""
+    WITH RECURSIVE {_ND_PAIR_CTES},
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM ndpairs
+        UNION ALL
+        SELECT b_id, a_id FROM ndpairs
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+    SELECT doc_id, group_id,
+           CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+           doc_id = group_id AS is_canonical
+    FROM comp
+    """,
+    "U6 endgame: near-dup pairs resolved into duplicate GROUPS via "
+    "connected components (iterative min-label propagation; the oracle "
+    "computes the same closure with a recursive CTE). group_id = min "
+    "doc id of the cluster, is_canonical marks the deterministic "
+    "survivor — the keep/drop contract an LLM-corpus dedup feeds "
+    "downstream.",
+)
+def q58_dedup_groups(spark, sf_dir):
+    from ..operators.components import dedup_groups
+    from ..operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1, use_portable_hash=True)
+    return dedup_groups(pairs, docs, id_col="doc_id")
+
+
+@_register(
+    "q59_embedding_near_dup",
+    f"""
+    WITH planes AS (
+        SELECT plane_id, coeffs
+        FROM read_parquet('{{scratch}}/q59_planes.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+        SELECT e.vec_id, p.plane_id // 4 AS tbl,
+               string_agg(CASE WHEN list_dot_product(v, coeffs) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.plane_id)
+                   AS bucket
+        FROM e, planes p GROUP BY e.vec_id, p.plane_id // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM sig a
+        JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id
+    )
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.a_id
+    JOIN e eb ON eb.vec_id = c.b_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "U6: embedding-cosine near-dup — multi-table hyperplane LSH blocks "
+    "candidates, exact cosine verifies (sum(bucket^2) per table, never "
+    "corpus^2). Seeded planes for both tables are materialized to "
+    "scratch parquet (plane_id // 4 = table) so the oracle recomputes "
+    "identical sign buckets.",
+)
+def q59_embedding_near_dup(spark, sf_dir):
+    import numpy as np
+
+    from ..operators.dedup import embedding_near_dup
+
+    # the same seeded draws hyperplane_signature makes per table
+    planes = np.concatenate(
+        [np.random.default_rng(42 + t).standard_normal((4, 64)) for t in range(2)]
+    )
+    _write_scratch_vectors("q59_planes.parquet", "plane_id", planes)
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.4,
+        n_planes=4,
+        n_tables=2,
+    )
+
+
+# hash_uniform's DuckDB mirror: first 8 md5 hex chars as a 32-bit
+# integer fraction (DuckDB parses '0x'-prefixed varchar casts)
+def _sql_hash_uniform(salt: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT) / 4294967296.0"
+    )
+
+
+@_register(
+    "q60_hash_split",
+    f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               {_sql_hash_uniform("split", "doc_id")} AS u
+        FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < {0.8 + 0.1!r} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM u GROUP BY 1
+    """,
+    "Training-data op: deterministic train/val/test split by hashed "
+    "key (layout- and engine-independent, unlike randomSplit: the "
+    "same row keeps its split across re-runs, backfills, and engines; "
+    "the oracle recomputes the same md5-fraction draw). The val "
+    "boundary literal is the Spark-side float accumulation, "
+    "bit-for-bit.",
+)
+def q60_hash_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@_register(
+    "q61_stratified_sample",
+    f"""
+    WITH u AS (
+        SELECT doc_id, lang, source, n_chars,
+               {_sql_hash_uniform("sample", "doc_id")} AS u
+        FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+        FROM u
+    )
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 20
+    """,
+    "Training-data op: exact-count stratified sample (20 docs per "
+    "language) in deterministic hash order — repeatable data-mixing "
+    "draws; one window shuffle on the stratum key.",
+)
+def q61_stratified_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 

@@ -1,0 +1,77 @@
+"""Deterministic split/sample/shuffle: layout independence, exact
+counts, proportion sanity, shuffle-is-a-permutation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_pipeline_spark.catalog import load_table
+from e_commerce_data_pipeline_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_split,
+    stratified_sample,
+)
+
+
+def test_split_is_layout_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b  # randomSplit would fail this
+
+
+def test_split_proportions_and_totality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == n  # every row lands in exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # 80/10/10 within binomial noise (n=500 -> sd ~9 for train)
+    assert abs(counts["train"] - 0.8 * n) < 5 * (0.8 * 0.2 * n) ** 0.5
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    group_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = stratified_sample(docs, "lang", 20, "doc_id")
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {g: min(20, n) for g, n in group_sizes.items()}
+    # deterministic: same draw twice
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(docs, "lang", 20, "doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_deterministic_shuffle_permutes_stably(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    order1 = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    order2 = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs.repartition(13), "doc_id").collect()
+    ]
+    assert order1 == order2  # same global order regardless of layout
+    assert sorted(order1) == sorted(r["doc_id"] for r in docs.collect())
+    assert order1 != sorted(order1)  # actually shuffled

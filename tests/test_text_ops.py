@@ -208,3 +208,43 @@ def test_decimal_sum_matches_fixed_point(spark):
     want = sum(Decimal(f"{v:.2f}") for v in values)
     assert Decimal(f"{row['fp']:.2f}") == want
     assert row["dec"] == want
+
+
+def test_embedding_near_dup_contained_in_bruteforce(spark, sf_dir):
+    """LSH-blocked embedding near-dup returns a subset of the exact
+    cosine>=threshold pairs, with identical sims on the pairs it
+    surfaces, and planted exact duplicates always collide."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.dedup import embedding_near_dup
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in embedding_near_dup(emb, dim=64, threshold=0.35).collect()
+    }
+    # exact all-pairs baseline via a single shared block
+    exact = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in cosine_pairs_blocked(
+            emb.withColumn("blk", F.lit(1)), block_col="blk", threshold=0.35
+        ).collect()
+    }
+    assert got, "blocking surfaced no pairs at all"
+    assert set(got) <= set(exact)
+    for pair, sim in got.items():
+        assert sim >= 0.35
+        assert abs(exact[pair] - sim) < 1e-12
+    # an exact duplicate vector shares every bucket in every table
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    dup_id = dup.collect()[0]["vec_id"]
+    with_dup = emb.select("vec_id", "embedding").union(dup)
+    pairs2 = embedding_near_dup(with_dup, dim=64, threshold=0.99)
+    assert any(
+        r["b_id"] == dup_id and abs(r["sim"] - 1.0) < 1e-9
+        for r in pairs2.collect()
+    )
