@@ -45,7 +45,11 @@ def connected_components(
     reachable through the undirected edge set.
 
     ``vertices`` (optional) adds isolated vertices — docs with no
-    near-dup pair become singleton components of themselves.
+    near-dup pair become singleton components of themselves. They are
+    attached by ONE left join after convergence, not dragged through
+    the iterations: only edge-endpoint vertices (a small fraction of a
+    deduplicated corpus) ever enter the propagation loop, so iteration
+    cost scales with the pair graph, not the corpus.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -54,8 +58,6 @@ def connected_components(
         .cache()
     )
     nodes = sym.select(F.col("u").alias("id")).distinct()
-    if vertices is not None:
-        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
 
     for _ in range(max_iters):
@@ -70,6 +72,10 @@ def connected_components(
             .agg(F.min("v_comp").alias("nbr_min"))
             .select(F.col("u").alias("id"), "nbr_min")
         )
+        # carry the moved flag inside the checkpointed frame: the
+        # eager localCheckpoint materializes it anyway, so the
+        # convergence check below is a limit(1) over checkpointed
+        # blocks instead of a second join+count job per round
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -77,19 +83,24 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", "component") < F.col("component")
+                ).alias("__moved"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = not new_labels.filter("__moved").limit(1).count()
+        labels = new_labels.drop("__moved")
+        if converged:
             break
     sym.unpersist()
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(labels, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
     return labels
 
 
