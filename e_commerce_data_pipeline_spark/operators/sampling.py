@@ -88,6 +88,54 @@ def stratified_sample(
     )
 
 
+def source_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample to a target source composition (the "70% web / 20%
+    code / 10% books" data-mixing op).
+
+    The largest total consistent with the weights is bounded by the
+    scarcest source: scale = min over s of count_s / weight_s, and
+    each source keeps floor(weight_s * scale) rows, chosen in
+    deterministic hash order. Sources absent from ``weights`` are
+    dropped.
+
+    The per-source counts are a groupBy().collect() — one row per
+    source name, driver-safe at any corpus size — and the quotas ship
+    back as a literal map, so the sample itself is one window rank
+    per source partition.
+    """
+    counts = {
+        r["src"]: r["n"]
+        for r in df.select(F.col(source_col).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"weights reference absent sources: {missing}")
+    scale = min(counts[s] / w for s, w in weights.items())
+    quotas = {s: int(w * scale) for s, w in weights.items()}
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        hash_uniform(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__quota", quota_map[F.col(source_col)])
+        .filter(F.col("__quota").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__quota", "__rk")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, salt: str = "shuffle"
 ) -> DataFrame:

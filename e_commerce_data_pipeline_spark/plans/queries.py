@@ -2232,6 +2232,80 @@ def q61_stratified_sample(spark, sf_dir):
 
 
 @_register(
+    "q62_source_mix",
+    f"""
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    sc AS (SELECT MIN(n / wt) AS scale FROM c JOIN w USING (source)),
+    q AS (SELECT w.source, CAST(FLOOR(wt * scale) AS BIGINT) AS quota FROM w, sc),
+    r AS (
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {_sql_hash_uniform("mix", "d.doc_id")}, d.doc_id
+               ) AS rk
+        FROM documents d JOIN q ON d.source = q.source
+    )
+    SELECT doc_id, source, lang, n_chars
+    FROM r JOIN q USING (source) WHERE rk <= quota
+    """,
+    "Training-data op: source-weighted mixing (the '70% web / 20% "
+    "code / 10% books' composition). Largest total consistent with "
+    "the weights is bounded by the scarcest source; each source keeps "
+    "floor(weight * scale) rows in deterministic hash order.",
+)
+def q62_source_mix(spark, sf_dir):
+    from ..operators.sampling import source_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_mix(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id"
+    ).select("doc_id", "source", "lang", "n_chars")
+
+
+@_register(
+    "q63_vocabulary_idf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS token FROM documents
+    ),
+    df_t AS (SELECT token, COUNT(*) AS doc_freq FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, doc_freq, round(ln(n_docs / (1.0 * doc_freq)), 6) AS idf
+    FROM (
+        SELECT token, doc_freq, n_docs,
+               row_number() OVER (ORDER BY doc_freq DESC, token) AS rk
+        FROM df_t, n
+    ) WHERE rk <= 50
+    """,
+    "U4: corpus vocabulary statistics — per-token document frequency "
+    "and IDF, top 50 by df (explode-distinct -> groupBy partial agg; "
+    "the total-docs scalar broadcasts via a 1-row cross join).",
+)
+def q63_vocabulary_idf(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    df_t = toks.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # orderBy+limit compiles to TakeOrderedAndProject — distributed
+    # per-partition top-k, no global window sort over the vocabulary
+    return (
+        df_t.crossJoin(F.broadcast(n))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )
+
+
+@_register(
     "q57_decimal_money_sum",
     """
     SELECT l_returnflag,

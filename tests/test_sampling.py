@@ -75,3 +75,33 @@ def test_deterministic_shuffle_permutes_stably(spark, sf_dir):
     assert order1 == order2  # same global order regardless of layout
     assert sorted(order1) == sorted(r["doc_id"] for r in docs.collect())
     assert order1 != sorted(order1)  # actually shuffled
+
+
+def test_source_mix_quotas_and_composition(spark, sf_dir):
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.sampling import source_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = source_mix(docs, "source", weights, "doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # scarcest source binds: each src has 25 docs -> scale = 25/0.5 = 50
+    assert counts == {"src0": 25, "src1": 15, "src2": 10}
+    # achieved composition matches the weights exactly at these counts
+    total = sum(counts.values())
+    for s, w in weights.items():
+        assert counts[s] == int(w * 50)
+    assert total == 50
+    # deterministic draw
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in source_mix(docs, "source", weights, "doc_id").collect()
+    )
+    assert ids1 == ids2
+    # unknown source names fail loudly
+    with pytest.raises(ValueError):
+        source_mix(docs, "source", {"nope": 1.0}, "doc_id")
