@@ -1,22 +1,26 @@
-"""Multimodal column plumbing (north-star): image/audio/video as opaque
+"""Multimodal columns (north-star): image/audio/video as opaque
 ``binary`` columns + typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode kernels are
-STUBBED: ``decode_image_meta`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (header
-parse of our synthetic byte layout) runs — the Spark-side plumbing
-(schema, batch iteration, partitioning, UDF signatures) is real and
-tested either way.
+The decode kernels are REAL for formats decodable in pure numpy —
+BMP (24-bit uncompressed) and PPM (binary P6) — covering header
+parse, pixel decode, nearest-neighbor resize, per-channel feature
+extraction, and frame sampling over a length-prefixed frame
+container. Compressed formats (JPEG/PNG/H.264) genuinely need codec
+libraries this container doesn't ship; those paths raise
+NotImplementedError explicitly (``require_codec``) rather than
+pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
-kernels must stream batch-by-batch (never materialize the iterator) so
-peak executor memory is one batch regardless of partition size — the
-property that matters at 100 TB.
+kernels stream batch-by-batch (never materialize the iterator) so peak
+executor memory is one batch regardless of partition size — the
+property that matters at 100 TB. Pixels live only inside the kernel;
+what crosses back to the JVM is encoded bytes or scalar features.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,52 +55,181 @@ IMAGE_META_SCHEMA = StructType(
     ]
 )
 
-# Synthetic byte layout for the fake decoder: b"FAKEIMG" + w(2) + h(2) + c(1)
+# Synthetic header-only layout kept for plumbing tests:
+# b"FAKEIMG" + w(2) + h(2) + c(1). Carries no pixels.
 _MAGIC = b"FAKEIMG"
+
+
+def require_codec(fmt: str) -> None:
+    """The honest gate for compressed formats: decoding them requires
+    a codec library (Pillow / libjpeg / ffmpeg) absent from this
+    container."""
+    raise NotImplementedError(
+        f"decoding {fmt} requires a codec library not present in this "
+        "environment; BMP/PPM decode natively"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs (BMP 24-bit BI_RGB, binary PPM P6)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "BMP encoder expects RGB"
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows, BGR order
+        body += a[y, :, ::-1].tobytes() + b"\x00" * pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + body)
+
+
+def decode_bmp(b: bytes):
+    """BMP bytes -> (h, w, 3) uint8 RGB array (24-bit BI_RGB only)."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        require_codec(f"BMP bpp={bpp} compression={comp}")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+    px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return px[::-1] if flip else px
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(b: bytes):
+    """Binary PPM (P6) bytes -> (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = three whitespace-separated tokens after the magic
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment line
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        require_codec("16-bit PPM")
+    px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_any(content) -> tuple:
+    """(pixels|None, format|None) for one binary payload."""
+    if content is None:
+        return None, None
+    b = bytes(content)
+    try:
+        if b[:2] == b"BM":
+            return decode_bmp(b), "bmp"
+        if b[:2] == b"P6":
+            return decode_ppm(b), "ppm"
+    except (ValueError, struct.error, IndexError):
+        return None, None
+    return None, None
+
+
+# ---------------------------------------------------------------------------
+# Synthetic tables (deterministic pixels, no RNG)
+# ---------------------------------------------------------------------------
 
 
 def make_fake_image_bytes(width: int, height: int, channels: int = 3) -> bytes:
     return _MAGIC + width.to_bytes(2, "big") + height.to_bytes(2, "big") + bytes([channels])
 
 
-def synthetic_media_table(spark, n: int = 100) -> DataFrame:
-    """Deterministic media table for plumbing tests."""
-    rows = [
-        (
-            i,
-            "image",
-            make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48),
-            None,
-            f"mem://media/{i}.img",
-        )
-        for i in range(n)
-    ]
+def make_test_pixels(width: int, height: int, seed: int = 0):
+    """Deterministic gradient pixels: value = (x + y + seed) mod 256
+    per channel offset — cheap, reproducible, resize-checkable."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    base = (x + y + seed) % 256
+    return np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=-1).astype(
+        "uint8"
+    )
+
+
+def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
+    """Deterministic media table. ``real=False`` (default) emits the
+    header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
+    actual decodable images — BMP for even ids, PPM for odd."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
+        if real:
+            px = make_test_pixels(w, h, seed=i)
+            content = encode_bmp(px) if i % 2 == 0 else encode_ppm(px)
+        else:
+            content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
+        rows.append((i, "image", content, None, f"mem://media/{i}.img"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode image dimensions via mapInPandas.
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
 
-    Real decode needs an imaging library (not in this container):
-    raises NotImplementedError unless ``fake=True`` (deterministic
-    header parse of the synthetic layout).
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow); "
-            "run with fake=True for the deterministic stub decoder"
-        )
+
+def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Image dimensions/format via mapInPandas — REAL decode for BMP
+    and PPM; ``fake=True`` additionally accepts the header-only
+    FAKEIMG layout. Undecodable payloads yield null columns, never
+    task failures (corrupt files must not kill a 100 TB scan)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:  # one Arrow batch at a time — bounded memory
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                if content is not None and bytes(content[:7]) == _MAGIC:
+                px, fmt = _decode_any(content)
+                if px is not None:
+                    h, w, c = px.shape
+                    out.append((media_id, w, h, c, fmt))
+                elif (
+                    fake
+                    and content is not None
+                    and bytes(content[:7]) == _MAGIC
+                ):
                     w = int.from_bytes(bytes(content[7:9]), "big")
                     h = int.from_bytes(bytes(content[9:11]), "big")
-                    c = content[11]
-                    out.append((media_id, w, h, int(c), "fakeimg"))
+                    out.append((media_id, w, h, int(content[11]), "fakeimg"))
                 else:
                     out.append((media_id, None, None, None, None))
             yield pd.DataFrame(
@@ -106,40 +239,124 @@ def decode_image_meta(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
-def resize_images(df: DataFrame, target: tuple[int, int], fake: bool = False) -> DataFrame:
-    """Resize kernel plumbing; stubbed like decode."""
-    if not fake:
-        raise NotImplementedError("resize requires an imaging library")
+def resize_images(
+    df: DataFrame, target: tuple[int, int], fake: bool = False
+) -> DataFrame:
+    """Nearest-neighbor resize to (width, height), re-encoded as BMP —
+    real numpy index-sampling for BMP/PPM payloads. ``fake=True``
+    passes FAKEIMG payloads through as header rewrites (no pixels to
+    resample)."""
+    import numpy as np
+
     tw, th = target
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["content"] = [
-                make_fake_image_bytes(tw, th) if c is not None else None
-                for c in pdf["content"]
-            ]
-            yield pdf
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, _ = _decode_any(content)
+                if px is not None:
+                    h, w, _c = px.shape
+                    iy = (np.arange(th) * h) // th
+                    ix = (np.arange(tw) * w) // tw
+                    out.append((media_id, encode_bmp(px[iy][:, ix])))
+                elif (
+                    fake
+                    and content is not None
+                    and bytes(content[:7]) == _MAGIC
+                ):
+                    out.append((media_id, make_fake_image_bytes(tw, th)))
+                else:
+                    out.append((media_id, None))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
 
     return df.select("media_id", "content").mapInPandas(
         kernel, "media_id long, content binary"
     )
 
 
-def sample_video_frames(
-    df: DataFrame, every_n: int = 10, fake: bool = False
-) -> DataFrame:
-    """Frame-sampling plumbing for video columns (stubbed decode)."""
-    if not fake:
-        raise NotImplementedError("video decode requires a codec library")
+def image_features(df: DataFrame) -> DataFrame:
+    """Per-channel mean + luminance mean/std — real numpy feature
+    extraction over decoded pixels (the 'feature-extract' stage of a
+    multimodal training pipeline). Scalars cross back to the JVM;
+    pixels never leave the kernel."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, fmt = _decode_any(content)
+                if px is None:
+                    out.append((media_id, None, None, None, None, None, None))
+                    continue
+                f = px.astype(np.float64)
+                lum = f @ np.array([0.2126, 0.7152, 0.0722])
+                out.append(
+                    (
+                        media_id,
+                        fmt,
+                        float(f[..., 0].mean()),
+                        float(f[..., 1].mean()),
+                        float(f[..., 2].mean()),
+                        float(lum.mean()),
+                        float(lum.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "format",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "luma_mean",
+                    "luma_std",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, format string, mean_r double, mean_g double, "
+        "mean_b double, luma_mean double, luma_std double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: length-prefixed frame container
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"VIDF"
+
+
+def encode_video(frames) -> bytes:
+    """Concatenate encoded frames into b"VIDF" + u32 count +
+    (u32 length + payload) per frame."""
+    body = b"".join(struct.pack("<I", len(f)) + f for f in frames)
+    return _VID_MAGIC + struct.pack("<I", len(frames)) + body
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Decode every n-th frame of a VIDF container — only the sampled
+    frames are decoded (seek by length prefix, skip the rest), the
+    access pattern that keeps frame-sampling linear in frames *kept*
+    rather than frames stored."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                n_frames = (len(content) if content is not None else 0) % 97 + 3
-                for f in range(0, n_frames, every_n):
-                    rows.append((media_id, f, make_fake_image_bytes(32, 32)))
+                if content is None or bytes(content[:4]) != _VID_MAGIC:
+                    continue
+                b = bytes(content)
+                n = struct.unpack_from("<I", b, 4)[0]
+                pos = 8
+                for fno in range(n):
+                    ln = struct.unpack_from("<I", b, pos)[0]
+                    if fno % every_n == 0:
+                        rows.append((media_id, fno, b[pos + 4 : pos + 4 + ln]))
+                    pos += 4 + ln
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return df.select("media_id", "content").mapInPandas(

@@ -1,56 +1,115 @@
-"""Multimodal plumbing tests: schema, mapInPandas batch shape, stubbed
-decode behavior."""
+"""Multimodal kernels: real BMP/PPM decode round-trips, resize
+geometry, feature extraction, frame sampling, corrupt-input safety,
+and the explicit codec gate for compressed formats."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from e_commerce_data_pipeline_spark.operators.multimodal import (
+    decode_bmp,
     decode_image_meta,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    encode_video,
+    image_features,
+    make_test_pixels,
+    require_codec,
     resize_images,
     sample_video_frames,
     synthetic_media_table,
 )
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    df = synthetic_media_table(spark, 5)
+def test_bmp_roundtrip_exact():
+    for w, h in [(16, 16), (17, 9), (1, 1), (33, 2)]:  # odd widths hit row padding
+        px = make_test_pixels(w, h, seed=3)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+def test_ppm_roundtrip_exact():
+    px = make_test_pixels(21, 13, seed=7)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+
+
+def test_compressed_formats_gate_explicitly():
     with pytest.raises(NotImplementedError):
-        decode_image_meta(df)  # no imaging library in this container
+        require_codec("jpeg")
 
 
-def test_fake_decode_parses_header(spark):
-    df = synthetic_media_table(spark, 40)
-    meta = decode_image_meta(df, fake=True)
-    rows = meta.collect()
+def test_real_decode_meta(spark):
+    df = synthetic_media_table(spark, 40, real=True)
+    rows = decode_image_meta(df).collect()
     assert len(rows) == 40
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["format"] == "bmp" and by_id[1]["format"] == "ppm"
+    assert (by_id[0]["width"], by_id[0]["height"], by_id[0]["channels"]) == (16, 16, 3)
+    assert all(r["width"] is not None for r in rows)
+
+
+def test_fake_header_layout_still_parses(spark):
+    df = synthetic_media_table(spark, 10)  # header-only FAKEIMG payloads
+    rows = decode_image_meta(df, fake=True).collect()
     assert all(r["format"] == "fakeimg" for r in rows)
-    assert all(64 <= r["width"] <= 64 + 7 * 32 for r in rows)
-    # deterministic: id 0 -> 64x64
-    r0 = [r for r in rows if r["media_id"] == 0][0]
-    assert (r0["width"], r0["height"], r0["channels"]) == (64, 64, 3)
+    # without the fake flag they are just undecodable bytes -> nulls
+    rows2 = decode_image_meta(df).collect()
+    assert all(r["format"] is None for r in rows2)
 
 
 def test_corrupt_content_yields_nulls_not_errors(spark):
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"not an image"), 12, None)],
+        [
+            (1, "image", bytearray(b"not an image"), 12, None),
+            (2, "image", bytearray(b"BM\x01"), 3, None),  # truncated BMP
+            (3, "image", None, None, None),
+        ],
         "media_id long, media_type string, content binary, content_length long, source_uri string",
     )
-    row = decode_image_meta(df, fake=True).collect()[0]
-    assert row["width"] is None and row["format"] is None
+    rows = decode_image_meta(df).collect()
+    assert all(r["width"] is None and r["format"] is None for r in rows)
 
 
-def test_resize_plumbing(spark):
-    df = synthetic_media_table(spark, 10)
-    resized = resize_images(df, (16, 16), fake=True)
-    meta = decode_image_meta(resized, fake=True)
-    assert all((r["width"], r["height"]) == (16, 16) for r in meta.collect())
+def test_resize_real_pixels(spark):
+    df = synthetic_media_table(spark, 10, real=True)
+    resized = resize_images(df, (8, 8))
+    meta = decode_image_meta(resized)
+    assert all((r["width"], r["height"]) == (8, 8) for r in meta.collect())
+    # nearest-neighbor correctness on one known image
+    row = resized.filter(F.col("media_id") == 0).collect()[0]
+    got = decode_bmp(bytes(row["content"]))
+    src = make_test_pixels(16, 16, seed=0)
+    iy = (np.arange(8) * 16) // 8  # nearest-neighbor index map 16 -> 8
+    assert (got == src[iy][:, iy]).all()
 
 
-def test_video_frame_sampling(spark):
-    df = synthetic_media_table(spark, 6)
-    frames = sample_video_frames(df, every_n=5, fake=True)
-    per_media = frames.groupBy("media_id").count()
-    assert per_media.count() == 6
-    assert frames.filter(F.col("frame_no") % 5 != 0).count() == 0
+def test_image_features_match_numpy(spark):
+    df = synthetic_media_table(spark, 6, real=True)
+    feats = {r["media_id"]: r for r in image_features(df).collect()}
+    px = make_test_pixels(16, 16, seed=0).astype(np.float64)
+    assert abs(feats[0]["mean_r"] - px[..., 0].mean()) < 1e-9
+    lum = px @ np.array([0.2126, 0.7152, 0.0722])
+    assert abs(feats[0]["luma_mean"] - lum.mean()) < 1e-9
+    assert abs(feats[0]["luma_std"] - lum.std()) < 1e-9
+
+
+def test_video_frame_sampling_decodes_only_kept_frames(spark):
+    vids = []
+    for i in range(4):
+        frames = [
+            encode_bmp(make_test_pixels(8, 8, seed=i * 100 + f)) for f in range(12)
+        ]
+        vids.append((i, "video", bytearray(encode_video(frames)), None, None))
+    df = spark.createDataFrame(
+        vids,
+        "media_id long, media_type string, content binary, content_length long, source_uri string",
+    )
+    out = sample_video_frames(df, every_n=5)
+    rows = out.collect()
+    assert {r["frame_no"] for r in rows} == {0, 5, 10}
+    assert out.groupBy("media_id").count().count() == 4
+    # sampled frames decode to the exact source pixels
+    r = [x for x in rows if x["media_id"] == 2 and x["frame_no"] == 5][0]
+    assert (decode_bmp(bytes(r["frame"])) == make_test_pixels(8, 8, seed=205)).all()
