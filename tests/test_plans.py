@@ -56,3 +56,58 @@ def test_q24_lsh_is_equi_join_not_cross(spark, sf_dir):
     plan = _executed_plan(QUERIES["q24_minhash_lsh_candidates"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """Split assignment is a pure column expression — it must compile
+    into the scan stage with zero Exchange (randomSplit-style shapes
+    would sample/shuffle)."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(hash_split(docs, "doc_id").select("doc_id", "split"))
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """The exact-count sample needs exactly one shuffle (the window
+    partitioning on the stratum key) — no extra repartition or sort
+    pass."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(
+        stratified_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
+    )
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("Exchange hashpartitioning") == 1, plan
+    # map-side top-k: a Partial WindowGroupLimit must sit under the
+    # exchange (textually after it = upstream), so each partition
+    # ships <= n rows per stratum into the shuffle
+    assert "WindowGroupLimit" in final and ", Partial" in final, plan
+    assert final.index(", Partial") > final.index(
+        "Exchange hashpartitioning"
+    ), plan
+
+
+def test_q63_topk_uses_take_ordered(spark, sf_dir):
+    """Vocabulary top-50 must compile to TakeOrderedAndProject
+    (distributed per-partition top-k), not a global window sort."""
+    plan = _executed_plan(QUERIES["q63_vocabulary_idf"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q59_candidate_distinct_carries_no_vectors(spark, sf_dir):
+    """embedding_near_dup dedups candidates on (a_id, b_id) BEFORE
+    re-joining vectors: the distinct's shuffle must not move array
+    payloads."""
+    plan = _executed_plan(QUERIES["q59_embedding_near_dup"].fn(spark, sf_dir))
+    dedup_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(a_id" in l and "b_id" in l
+    ]
+    assert dedup_exchanges, plan
+    assert all("_nv" not in l and "embedding" not in l for l in dedup_exchanges)
