@@ -324,6 +324,127 @@ def image_features(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio: WAV PCM (pure struct/numpy, like BMP)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 array -> PCM WAV bytes."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()  # interleaved frames
+    byte_rate = sample_rate * ch * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(b: bytes):
+    """PCM WAV bytes -> ((n, channels) int16 array, sample_rate).
+    Walks RIFF chunks, so extra chunks (LIST, fact) don't break it."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        require_codec(f"WAV format={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, np.int16, count=(len(data) // (2 * ch)) * ch)
+    return samples.reshape(-1, ch), rate
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Duration, sample rate, RMS level, and peak per WAV payload —
+    real decode + numpy reductions; undecodable bytes yield nulls."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav(bytes(content))
+                except (ValueError, TypeError, struct.error):
+                    out.append((media_id, None, None, None, None, None))
+                    continue
+                f = samples.astype(np.float64) / 32768.0
+                out.append(
+                    (
+                        media_id,
+                        int(samples.shape[1]),
+                        int(rate),
+                        float(samples.shape[0] / rate),
+                        float(np.sqrt((f**2).mean())),
+                        float(np.abs(f).max(initial=0.0)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "channels",
+                    "sample_rate",
+                    "duration_sec",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, channels int, sample_rate int, duration_sec double, "
+        "rms double, peak double",
+    )
+
+
+def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
+    """Nearest-sample resample to target_rate, re-encoded as WAV —
+    the audio analog of nearest-neighbor image resize (linear-phase
+    filters need DSP libs; index resampling is the honest numpy
+    version)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, rate = decode_wav(bytes(content))
+                except (ValueError, TypeError, struct.error):
+                    out.append((media_id, None))
+                    continue
+                n_out = int(samples.shape[0] * target_rate / rate)
+                idx = (np.arange(n_out) * rate) // target_rate
+                out.append((media_id, encode_wav(samples[idx], target_rate)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Video: length-prefixed frame container
 # ---------------------------------------------------------------------------
 

@@ -113,3 +113,55 @@ def test_video_frame_sampling_decodes_only_kept_frames(spark):
     # sampled frames decode to the exact source pixels
     r = [x for x in rows if x["media_id"] == 2 and x["frame_no"] == 5][0]
     assert (decode_bmp(bytes(r["frame"])) == make_test_pixels(8, 8, seed=205)).all()
+
+
+def test_wav_roundtrip_and_features(spark):
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    # deterministic int16 sawtooth, mono and stereo
+    t = np.arange(16000, dtype=np.int64)
+    mono = ((t % 1000) * 60 - 30000).astype(np.int16)
+    stereo = np.stack([mono, (-mono).astype(np.int16)], axis=1)
+    got, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and (got[:, 0] == mono).all()
+    got2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert (got2 == stereo).all()
+
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(mono, 16000)), None, None),
+            (1, "audio", bytearray(encode_wav(stereo, 8000)), None, None),
+            (2, "audio", bytearray(b"garbage"), None, None),
+        ],
+        "media_id long, media_type string, content binary, content_length long, source_uri string",
+    )
+    feats = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert feats[0]["sample_rate"] == 16000 and feats[0]["channels"] == 1
+    assert abs(feats[0]["duration_sec"] - 1.0) < 1e-9
+    f = mono.astype(np.float64) / 32768.0
+    assert abs(feats[0]["rms"] - np.sqrt((f**2).mean())) < 1e-12
+    assert feats[1]["channels"] == 2 and abs(feats[1]["duration_sec"] - 2.0) < 1e-9
+    assert feats[2]["rms"] is None  # corrupt -> nulls, not task failure
+
+
+def test_resample_audio_halves_rate(spark):
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+        resample_audio,
+    )
+
+    t = np.arange(16000, dtype=np.int64)
+    mono = ((t % 500) * 100 - 25000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(encode_wav(mono, 16000)), None, None)],
+        "media_id long, media_type string, content binary, content_length long, source_uri string",
+    )
+    out = resample_audio(df, 8000)
+    feats = audio_features(out).collect()[0]
+    assert feats["sample_rate"] == 8000
+    assert abs(feats["duration_sec"] - 1.0) < 1e-3  # same length in seconds
