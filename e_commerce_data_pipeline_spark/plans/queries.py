@@ -2306,6 +2306,53 @@ def q63_vocabulary_idf(spark, sf_dir):
 
 
 @_register(
+    "q64_token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tc AS (SELECT doc_id, lang, token, COUNT(*) AS c FROM toks
+           GROUP BY doc_id, lang, token),
+    d AS (
+        SELECT doc_id, lang,
+               ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS entropy,
+               COUNT(*) / (1.0 * SUM(c)) AS ttr
+        FROM tc GROUP BY doc_id, lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           round(AVG(entropy), 6) AS avg_entropy,
+           round(AVG(ttr), 6) AS avg_ttr
+    FROM d GROUP BY lang
+    """,
+    "U4 quality scoring: per-document unigram entropy "
+    "(ln n - sum(c ln c)/n — the repetitive-text detector) and "
+    "type-token ratio, averaged per language. Two partial-agg "
+    "shuffles; both engines compute the identical formula so 6dp "
+    "rounding is parity-safe.",
+)
+def q64_token_entropy(spark, sf_dir):
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = tc.groupBy("doc_id", "lang").agg(
+        (
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("entropy"),
+        (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+    )
+
+
+@_register(
     "q57_decimal_money_sum",
     """
     SELECT l_returnflag,
