@@ -481,7 +481,7 @@ def embedding_near_dup(
     vectors are re-joined, so the distinct never shuffles array
     payloads.
     """
-    from .similarity import dot, hyperplane_signature, unit_vec
+    from .similarity import hyperplane_signature, pairwise_dot_udf, unit_vec
 
     base = _spread(emb).select(
         F.col(id_col).alias("id"),
@@ -496,6 +496,9 @@ def embedding_near_dup(
             hyperplane_signature("v", dim, n_planes, seed + t).alias("bucket"),
         )
         sig = s if sig is None else sig.union(s)
+    # cache the (id, tbl, bucket) frame: the self-join below would
+    # otherwise run every signature UDF pass once per side
+    sig = sig.cache()
     cand = (
         sig.select(F.col("id").alias("a_id"), "tbl", "bucket")
         .join(sig.select(F.col("id").alias("b_id"), "tbl", "bucket"), ["tbl", "bucket"])
@@ -504,7 +507,9 @@ def embedding_near_dup(
         .distinct()
     )
     nv = base.select("id", "nv")
-    sim = dot(F.col("a_nv"), F.col("b_nv"))
+    # Arrow batch dot: the verify stage scores |candidates| pairs —
+    # dense math, so the vectorized UDF beats the interpreted HOF fold
+    sim = pairwise_dot_udf()(F.col("a_nv"), F.col("b_nv"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     return (

@@ -171,6 +171,28 @@ def hyperplane_signature(vec_col: str, dim: int, n_planes: int, seed: int = 42):
     return pandas_udf(_sig, "string")(vec_col)
 
 
+def pairwise_dot_udf():
+    """Arrow-vectorized dot product of two array columns in float64 —
+    for verify stages scoring many candidate PAIRS (each row carries
+    both vectors, so there's no matrix structure to exploit, but the
+    batch elementwise product still beats the interpreted HOF fold by
+    ~5-10x). Sum order differs from the sequential fold by ~1e-16;
+    rounded sims (6dp) are unaffected."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(a.to_numpy()).astype(np.float64)
+        y = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series((x * y).sum(axis=1))
+
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_dot, "double")
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
