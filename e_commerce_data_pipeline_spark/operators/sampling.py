@@ -136,6 +136,64 @@ def source_mix(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_groups: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training rows (sequence
+    packing) — deterministically and in parallel.
+
+    Docs hash into ``n_groups`` independent packing groups; within a
+    group they are ordered by (hash_uniform, id) and packed next-fit:
+    a pack closes when the next doc would overflow ``budget``. Pack
+    ids are globally unique (group * 2^32 + seq). A doc larger than
+    the budget gets its own pack — truncation is the tokenizer's
+    decision downstream, not the packer's.
+
+    Scale shape: packing is sequential *within* a group (the greedy
+    fold is order-dependent, so it runs as a per-group applyInPandas
+    loop) but embarrassingly parallel *across* groups; size n_groups
+    so a group's (id, n_tokens) pairs fit an Arrow batch — the doc
+    payloads themselves are NOT shuffled here, only ids and counts,
+    and the assignment joins back to content by id. Determinism comes
+    from the hash order, not partition layout, so re-runs repack
+    identically.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, pack_id long, pack_slot int, pack_fill int"
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__u", id_col]).reset_index(drop=True)
+        group = int(pdf["__grp"].iloc[0])
+        rows, pack_seq, fill, slot = [], 0, 0, 0
+        for doc_id, n_tok in zip(pdf[id_col], pdf[token_col]):
+            n_tok = int(n_tok)
+            if fill > 0 and fill + n_tok > budget:
+                pack_seq, fill, slot = pack_seq + 1, 0, 0
+            rows.append((doc_id, (group << 32) | pack_seq, slot, fill + n_tok))
+            fill += n_tok
+            slot += 1
+        out = pd.DataFrame(rows, columns=[id_col, "pack_id", "pack_slot", "pack_fill"])
+        # pack_fill should report the FINAL fill of each pack
+        out["pack_fill"] = out.groupby("pack_id")["pack_fill"].transform("max")
+        return out
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(token_col),
+        hash_uniform(F.col(id_col), salt).alias("__u"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(salt)), F.lit(n_groups))
+        .cast("int")
+        .alias("__grp"),
+    )
+    return keyed.groupBy("__grp").applyInPandas(pack_group, out_schema)
+
+
 def deterministic_shuffle(
     df: DataFrame, key_col: str, salt: str = "shuffle"
 ) -> DataFrame:

@@ -77,6 +77,15 @@ def _write_scratch_vectors(name: str, id_field: str, rows) -> None:
     pq.write_table(table, f"{d}/part-0.parquet")
 
 
+# hash_uniform's DuckDB mirror: first 8 md5 hex chars as a 32-bit
+# integer fraction (DuckDB parses '0x'-prefixed varchar casts)
+def _sql_hash_uniform(salt: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT) / 4294967296.0"
+    )
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -1998,10 +2007,15 @@ def q54_rebuild_nested_orders(spark, sf_dir):
 
 
 # The two-stage near-dup pair CTEs (MinHash LSH candidates -> exact
-# Jaccard verify), shared by the q55 oracle and the q58 group-closure
-# oracle. Terminal CTE: ndpairs(a_id, b_id, jaccard).
+# Jaccard verify), shared by the q55 oracle, the q58 group-closure
+# oracle, and the q65 end-to-end pipeline (parameterized over the
+# source relation). Terminal CTE: ndpairs(a_id, b_id, jaccard).
+def _nd_pair_ctes(src: str = "documents") -> str:
+    return _ND_PAIR_CTES.replace("__SRC__", src)
+
+
 _ND_PAIR_CTES = f"""
-    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM __SRC__),
     units AS (
         SELECT doc_id,
                list_distinct(CASE WHEN len(t) >= 3
@@ -2052,7 +2066,7 @@ _ND_PAIR_CTES = f"""
 @_register(
     "q55_near_dup_two_stage",
     f"""
-    WITH {_ND_PAIR_CTES}
+    WITH {_nd_pair_ctes()}
     SELECT a_id, b_id, jaccard FROM ndpairs
     """,
     "U6 flagship: two-stage near-dup (MinHash LSH candidates -> exact Jaccard verify)",
@@ -2070,7 +2084,7 @@ def q55_near_dup_two_stage(spark, sf_dir):
 @_register(
     "q58_dedup_groups",
     f"""
-    WITH RECURSIVE {_ND_PAIR_CTES},
+    WITH RECURSIVE {_nd_pair_ctes()},
     edges AS (
         SELECT a_id AS u, b_id AS v FROM ndpairs
         UNION ALL
@@ -2101,6 +2115,81 @@ def q58_dedup_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, threshold=0.1, use_portable_hash=True)
     return dedup_groups(pairs, docs, id_col="doc_id")
+
+
+@_register(
+    "q65_llm_corpus_pipeline",
+    f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text, lang,
+               CAST(len({_SQL_TOKS}) AS INT) AS n_tokens
+        FROM documents
+        WHERE n_chars BETWEEN 50 AND 10000 AND len({_SQL_TOKS}) >= 10
+    ),
+    {{pair_ctes}},
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM ndpairs
+        UNION ALL
+        SELECT b_id, a_id FROM ndpairs
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+    kept AS (
+        SELECT c.doc_id, c.lang, c.n_tokens
+        FROM corpus c JOIN comp USING (doc_id)
+        WHERE comp.doc_id = comp.group_id
+    ),
+    split_assign AS (
+        SELECT lang, n_tokens,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < {0.8 + 0.1!r} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, {_sql_hash_uniform("split", "doc_id")} AS u FROM kept)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM split_assign GROUP BY split
+    """.replace("{pair_ctes}", _nd_pair_ctes("corpus")),
+    "Flagship composition — the end-to-end LLM corpus pipeline: "
+    "quality clean (length + token floor) -> two-stage near-dup "
+    "(MinHash LSH + exact Jaccard) -> connected-component group "
+    "closure -> canonical-survivor keep -> deterministic train/val/"
+    "test split -> per-split stats. Every stage mirrors in the oracle "
+    "(recursive CTE for the closure), so one hash verifies the whole "
+    "chain.",
+)
+def q65_llm_corpus_pipeline(spark, sf_dir):
+    from ..operators.components import dedup_groups
+    from ..operators.dedup import near_dup_pairs
+    from ..operators.sampling import hash_split
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = (
+        docs.filter((F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000))
+        .withColumn("n_tokens", token_count("text").cast("int"))
+        .filter(F.col("n_tokens") >= 10)
+        .cache()
+    )
+    pairs = near_dup_pairs(clean, threshold=0.1, use_portable_hash=True)
+    groups = dedup_groups(pairs, clean, id_col="doc_id")
+    kept = clean.join(
+        groups.filter("is_canonical").select("doc_id"), "doc_id"
+    )
+    return (
+        hash_split(kept, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
 
 
 @_register(
@@ -2153,15 +2242,6 @@ def q59_embedding_near_dup(spark, sf_dir):
         threshold=0.4,
         n_planes=4,
         n_tables=2,
-    )
-
-
-# hash_uniform's DuckDB mirror: first 8 md5 hex chars as a 32-bit
-# integer fraction (DuckDB parses '0x'-prefixed varchar casts)
-def _sql_hash_uniform(salt: str, key: str) -> str:
-    return (
-        f"(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 8))"
-        f"::BIGINT) / 4294967296.0"
     )
 
 

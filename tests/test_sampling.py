@@ -105,3 +105,39 @@ def test_source_mix_quotas_and_composition(spark, sf_dir):
     # unknown source names fail loudly
     with pytest.raises(ValueError):
         source_mix(docs, "source", {"nope": 1.0}, "doc_id")
+
+
+def test_pack_sequences_contract(spark, sf_dir):
+    from e_commerce_data_pipeline_spark.operators.sampling import pack_sequences
+    from e_commerce_data_pipeline_spark.operators.text import token_count
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count("text").cast("int"))
+        .select("doc_id", "n_tokens")
+    )
+    budget = 200
+    packed = pack_sequences(docs, budget=budget, n_groups=8).cache()
+    rows = packed.collect()
+    n_docs = docs.count()
+    # every doc assigned exactly once
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    # no pack exceeds the budget unless it holds a single oversize doc
+    tok = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    by_pack: dict[int, list] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack, members in by_pack.items():
+        total = sum(tok[m["doc_id"]] for m in members)
+        assert total <= budget or len(members) == 1
+        # reported fill equals the true pack total
+        assert all(m["pack_fill"] == total for m in members)
+        # slots are 0..k-1
+        assert sorted(m["pack_slot"] for m in members) == list(range(len(members)))
+    # packing is efficient: average fill well above half the budget
+    fills = [sum(tok[m["doc_id"]] for m in members) for members in by_pack.values()]
+    assert sum(fills) / len(fills) > 0.5 * budget
+    # layout independence: same assignment after repartition
+    again = pack_sequences(docs.repartition(13), budget=budget, n_groups=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
