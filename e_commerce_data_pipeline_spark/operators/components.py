@@ -57,8 +57,15 @@ def connected_components(
         .distinct()
         .cache()
     )
-    nodes = sym.select(F.col("u").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+    # fused init + first round: every endpoint appears as `u` in the
+    # symmetrized edge set, so min(id, min neighbor) IS round 1 of the
+    # propagation — one groupBy instead of an identity-label round
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("id"), F.least("u", "mn").alias("component"))
+        .localCheckpoint()
+    )
 
     for _ in range(max_iters):
         nbr_min = (
