@@ -65,6 +65,56 @@ def attribution_stream_join(
     )
 
 
+_DRAIN_SEQ = 0
+
+
+def drain_attribution_from_events(
+    spark,
+    events_path: str,
+    watermark: str = "30 minutes",
+    max_gap: str = "10 minutes",
+) -> DataFrame:
+    """Run the stream-stream attribution join over the events table's
+    click and purchase streams (two independent bounded file sources
+    over the same parquet) and drain with availableNow — the harness
+    that lets the driver diff the *streaming* join against a batch SQL
+    oracle (same pattern as the q56 session drain)."""
+    from ..session import configure_existing
+
+    configure_existing(spark)  # nanosAsLong before schema inference
+    batch = spark.read.parquet(events_path)
+    parent, fname = events_path.rsplit("/", 1)
+
+    def source() -> DataFrame:
+        s = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", fname)
+            .parquet(parent)
+        )
+        if dict(batch.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long ns -> µs (mirrors catalog)
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = source().filter(F.col("event_type") == "click")
+    purchases = source().filter(F.col("event_type") == "purchase")
+    out = attribution_stream_join(
+        clicks, purchases, watermark=watermark, max_gap=max_gap
+    )
+    global _DRAIN_SEQ
+    _DRAIN_SEQ += 1
+    name = f"attribution_drain_{_DRAIN_SEQ}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def drain_attribution_join(
     spark,
     clicks_path: str,
