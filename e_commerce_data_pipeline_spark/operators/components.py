@@ -67,6 +67,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(
@@ -101,6 +102,19 @@ def connected_components(
         if converged:
             break
     sym.unpersist()
+    if not converged:
+        # a silent exit here would return split/non-minimal components
+        # (graph diameter > max_iters) and dedup_groups would pick the
+        # wrong canonical survivors with no signal
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; labels may be split — raise max_iters "
+            "(propagation needs ~graph-diameter rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if vertices is not None:
         labels = (
             vertices.select(F.col(id_col).alias("id"))

@@ -122,7 +122,11 @@ def drain_streaming_session_stats(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # proceeding would read a partially-populated memory sink and
+        # surface as a confusing data mismatch instead of a timeout
+        q.stop()
+        raise TimeoutError("streaming session drain did not finish in 300s")
     return spark.table(name)
 
 

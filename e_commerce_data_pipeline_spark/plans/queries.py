@@ -2395,20 +2395,25 @@ def q63_vocabulary_idf(spark, sf_dir):
            GROUP BY doc_id, lang, token),
     d AS (
         SELECT doc_id, lang,
-               ln(SUM(c)) - SUM(c * ln(c)) / SUM(c) AS entropy,
-               COUNT(*) / (1.0 * SUM(c)) AS ttr
+               CAST(round((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) * 1e6)
+                    AS BIGINT) AS entropy_q,
+               CAST(round((COUNT(*) / (1.0 * SUM(c))) * 1e6)
+                    AS BIGINT) AS ttr_q
         FROM tc GROUP BY doc_id, lang
     )
     SELECT lang, COUNT(*) AS n_docs,
-           round(AVG(entropy), 6) AS avg_entropy,
-           round(AVG(ttr), 6) AS avg_ttr
+           round(CAST(SUM(entropy_q) AS BIGINT) / (COUNT(*) * 1e6), 6)
+               AS avg_entropy,
+           round(CAST(SUM(ttr_q) AS BIGINT) / (COUNT(*) * 1e6), 6) AS avg_ttr
     FROM d GROUP BY lang
     """,
     "U4 quality scoring: per-document unigram entropy "
     "(ln n - sum(c ln c)/n — the repetitive-text detector) and "
     "type-token ratio, averaged per language. Two partial-agg "
-    "shuffles; both engines compute the identical formula so 6dp "
-    "rounding is parity-safe.",
+    "shuffles. Per-doc values quantize to micro-units (round(x*1e6) "
+    "-> int) BEFORE the cross-doc average so the sum is an exact "
+    "integer in both engines — raw double sums are order-dependent "
+    "and a boundary-straddling average would hash-mismatch.",
 )
 def q64_token_entropy(spark, sf_dir):
     from ..operators.text import tokens
@@ -2420,15 +2425,24 @@ def q64_token_entropy(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     d = tc.groupBy("doc_id", "lang").agg(
-        (
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")
-        ).alias("entropy"),
-        (F.count(F.lit(1)) / F.sum("c")).alias("ttr"),
+        F.round(
+            (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"))
+            * 1e6
+        )
+        .cast("long")
+        .alias("entropy_q"),
+        F.round((F.count(F.lit(1)) / F.sum("c")) * 1e6)
+        .cast("long")
+        .alias("ttr_q"),
     )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
-        F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        F.round(F.sum("entropy_q") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_entropy"
+        ),
+        F.round(F.sum("ttr_q") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_ttr"
+        ),
     )
 
 
@@ -2540,20 +2554,47 @@ def q66_stream_attribution_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Registration order: the driver diffs queries in dict order and may cap how
-# many it runs (round 1 recorded exactly 50 rows, leaving the most recently
-# registered oracle-gated queries q51-q55 without CORRECTNESS entries while
-# no-oracle queries occupied slots). Keep every oracle-gated query ahead of
-# the rows-only ones so a capped diff always covers the maximal verifiable
-# surface; relative order within each group stays as registered.
+# Registration order: the driver diffs queries in dict order and caps how
+# many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
+# registered queries the 16 newest never got a CORRECTNESS entry). Order
+# least-recently-verified first: queries with no green row in any
+# CORRECTNESS_r*.json lead, then ascending by the last round that verified
+# them (registration order breaks ties). A capped diff therefore always
+# covers the queries with the weakest verification record, and the set
+# rotates round over round so every query re-verifies every other round.
+# Oracle-gated queries still precede rows-only ones within each tier.
 # --------------------------------------------------------------------------
 
 
-def _order_oracle_first() -> None:
-    ordered = {n: s for n, s in QUERIES.items() if s.oracle is not None}
-    ordered.update({n: s for n, s in QUERIES.items() if s.oracle is None})
+def _order_least_recently_verified() -> None:
+    import json
+    import re
+    from pathlib import Path
+
+    last_verified: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last_verified[name] = max(last_verified.get(name, 0), rnd)
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    names.sort(
+        key=lambda n: (
+            QUERIES[n].oracle is None,  # oracle-gated before rows-only
+            last_verified.get(n, -1),  # never-verified first, then oldest
+            pos[n],
+        )
+    )
+    ordered = {n: QUERIES[n] for n in names}
     QUERIES.clear()
     QUERIES.update(ordered)
 
 
-_order_oracle_first()
+_order_least_recently_verified()

@@ -75,4 +75,12 @@ def read_table(
         out = r.json(path)
     if keep_corrupt:
         return out
+    # cache() before the corrupt-null split: without it, a downstream
+    # query that prunes every data column (e.g. .count()) makes the
+    # required schema corrupt-column-only, which Spark disallows for
+    # CSV/JSON (AnalysisException) — and pruning can also change which
+    # rows parse as corrupt under PERMISSIVE. The cache pins the fully
+    # parsed frame; acceptable because text sources are interchange
+    # inputs read once and converted to parquet, not the hot path.
+    out = out.cache()
     return out.filter(out[_CORRUPT].isNull()).drop(_CORRUPT)

@@ -111,7 +111,9 @@ def drain_attribution_from_events(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("attribution stream drain did not finish in 300s")
     return spark.table(name)
 
 
@@ -136,5 +138,7 @@ def drain_attribution_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("attribution join drain did not finish in 120s")
     return spark.table("attribution_join_drain")
