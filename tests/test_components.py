@@ -32,8 +32,14 @@ def _union_find(n_ids, edges):
     return {i: min(members) for r, members in comp.items() for i in members}
 
 
-def test_components_match_union_find(spark):
-    # two triangles bridged by one edge + an isolated pair + singletons
+import pytest
+
+
+@pytest.mark.parametrize("driver_max_edges", [0, 2_000_000])
+def test_components_match_union_find(spark, driver_max_edges):
+    # two triangles bridged by one edge + an isolated pair + singletons;
+    # both execution strategies (distributed loop / driver union-find)
+    # must produce the identical labeling
     edges = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12),
              (20, 21), (7, 7)]
     ids = sorted({x for e in edges for x in e} | {30, 31})
@@ -41,21 +47,31 @@ def test_components_match_union_find(spark):
 
     edf = spark.createDataFrame(edges, "a_id long, b_id long")
     vdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    out = connected_components(edf, vertices=vdf, id_col="doc_id")
+    out = connected_components(
+        edf, vertices=vdf, id_col="doc_id", driver_max_edges=driver_max_edges
+    )
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == exp
 
 
-def test_long_chain_converges(spark):
-    # worst case for label propagation: a path graph (diameter = n-1).
-    # max_iters must bound it; with enough rounds the min label (0)
-    # reaches the far end.
-    n = 12
+def test_long_chain_converges_in_log_rounds(spark):
+    # worst case for plain label propagation: a path graph
+    # (diameter = n-1) needs ~n rounds; with pointer jumping the label
+    # trees halve in depth per round, so 31 vertices settle well within
+    # 6 iterations of the distributed loop.
+    n = 31
     edges = [(i, i + 1) for i in range(n - 1)]
     edf = spark.createDataFrame(edges, "a_id long, b_id long")
-    out = connected_components(edf, max_iters=n)
+    out = connected_components(edf, max_iters=6, driver_max_edges=0)
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_nonconvergence_warns(spark):
+    edges = [(i, i + 1) for i in range(15)]
+    edf = spark.createDataFrame(edges, "a_id long, b_id long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edf, max_iters=1, driver_max_edges=0).collect()
 
 
 def test_dedup_groups_contract(spark):
