@@ -144,7 +144,7 @@ def chunk_documents(
     Emits (id, chunk_no, chunk_text, n_tokens); the final partial chunk
     is kept (n_tokens <= chunk_tokens).
     """
-    t = tokens(text_col)
+    t = F.col("__toks")
     n = F.size(t)
     # starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
@@ -168,7 +168,8 @@ def chunk_documents(
         ),
     )
     return (
-        df.filter(F.size(tokens(text_col)) > 0)
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
         .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,
@@ -177,6 +178,91 @@ def chunk_documents(
             F.col("c.n_tokens").cast("int").alias("n_tokens"),
         )
     )
+
+
+def gopher_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigram_n: int = 3,
+) -> DataFrame:
+    """Gopher/C4-style per-document quality signals for corpus
+    filtering, all integer-valued so thresholds apply by integer
+    cross-multiplication (no float comparisons anywhere):
+
+    - ``n_tokens`` / ``n_distinct_tokens``: document length and
+      vocabulary size
+    - ``n_chars_nospace``: summed token length (mean word length =
+      n_chars_nospace / n_tokens, tested as ``3*n <= chars <= 10*n``)
+    - ``top_token_count``: count of the most frequent unigram (the
+      repetition detector — word-salad and boilerplate both trip it)
+    - ``n_trigrams`` / ``n_dup_trigrams``: total and duplicated
+      token-trigram counts (the duplicate-n-gram-fraction signal)
+    - ``stop_hits``: distinct stopword hits (language/naturalness)
+    - ``keep``: the composite Gopher-style gate
+
+    Shape: the array-expression signals are one narrow projection off
+    the scan; ``top_token_count`` explodes tokens once and partial-
+    aggregates (doc_id, token) counts map-side before one shuffle, then
+    reduces to one row per doc — joined back on doc_id. Both sides
+    shuffle-partition on doc_id; at 100 TB the explode stream dominates
+    and stays linear.
+    """
+    t = F.col("__toks")
+    tg = shingles_of_tokens(t, trigram_n)
+    dt = F.array_distinct(t)
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        h = F.array_contains(dt, w).cast("long")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    per_doc = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(dt).cast("long").alias("n_distinct_tokens"),
+            # norm text is tokens joined by single spaces, so summed
+            # token length = total length - (n_tokens - 1) separators
+            F.when(F.size(t) == 0, F.lit(0))
+            .otherwise(
+                F.length(F.array_join(t, " ")) - (F.size(t) - F.lit(1))
+            )
+            .cast("long")
+            .alias("n_chars_nospace"),
+            F.size(tg).cast("long").alias("n_trigrams"),
+            (F.size(tg) - F.size(F.array_distinct(tg)))
+            .cast("long")
+            .alias("n_dup_trigrams"),
+            stop_hits.alias("stop_hits"),
+        )
+    )
+    top = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__id")
+        .agg(F.max("c").alias("top_token_count"))
+        .withColumnRenamed("__id", id_col)
+    )
+    out = per_doc.join(top, id_col, "left").withColumn(
+        "top_token_count", F.coalesce("top_token_count", F.lit(0))
+    )
+    keep = (
+        out.n_tokens.between(10, 1000)
+        & (out.n_chars_nospace >= 3 * out.n_tokens)
+        & (out.n_chars_nospace <= 10 * out.n_tokens)
+        & (10 * out.top_token_count <= 3 * out.n_tokens)
+        & (10 * out.n_dup_trigrams <= 3 * F.greatest(out.n_trigrams, F.lit(1)))
+    )
+    return out.withColumn("keep", keep)
+
+
+def shingles_of_tokens(tokens_col, n: int):
+    """Local import indirection for dedup.shingles_of (avoids a module
+    cycle: dedup imports tokens from here)."""
+    from .dedup import shingles_of
+
+    return shingles_of(tokens_col, n)
 
 
 REDACTION_PATTERNS = (

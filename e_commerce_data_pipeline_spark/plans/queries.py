@@ -2554,6 +2554,231 @@ def q66_stream_attribution_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Round-3 training-data surface: corpus quality gating, benchmark
+# decontamination, and the remaining analytic-window functions
+# --------------------------------------------------------------------------
+
+_SQL_TRIGRAMS = (
+    "CASE WHEN len(t) >= 3 THEN list_transform(range(len(t) - 2), "
+    "i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_SQL_STOP_HITS = " + ".join(
+    f"CAST(list_contains(list_distinct(t), '{w}') AS BIGINT)"
+    for w in ("the", "a", "of", "and", "to", "in", "is", "for")
+)
+
+
+@_register(
+    "q67_gopher_quality_signals",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, t, {_SQL_TRIGRAMS} AS tg FROM toks),
+    base AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+               CAST(CASE WHEN len(t) = 0 THEN 0
+                    ELSE length(array_to_string(t, ' ')) - (len(t) - 1)
+                    END AS BIGINT) AS n_chars_nospace,
+               CAST(len(tg) AS BIGINT) AS n_trigrams,
+               CAST(len(tg) - len(list_distinct(tg)) AS BIGINT)
+                   AS n_dup_trigrams,
+               {_SQL_STOP_HITS} AS stop_hits
+        FROM sh
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_token_count
+        FROM (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens, n_distinct_tokens, n_chars_nospace,
+           n_trigrams, n_dup_trigrams, stop_hits,
+           COALESCE(top_token_count, 0) AS top_token_count,
+           (n_tokens BETWEEN 10 AND 1000)
+               AND n_chars_nospace >= 3 * n_tokens
+               AND n_chars_nospace <= 10 * n_tokens
+               AND 10 * COALESCE(top_token_count, 0) <= 3 * n_tokens
+               AND 10 * n_dup_trigrams <= 3 * greatest(n_trigrams, 1)
+               AS keep
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    "Training-data op: Gopher/C4-style per-document quality signals — "
+    "length, vocabulary, mean-word-length bounds, top-unigram "
+    "repetition, duplicate-trigram fraction, stopword hits — plus the "
+    "composite keep gate. Every signal is an integer and every "
+    "threshold applies by integer cross-multiplication, so the gate is "
+    "bit-identical across engines (no float comparisons).",
+)
+def q67_gopher_quality_signals(spark, sf_dir):
+    from ..operators.text import gopher_signals
+
+    return gopher_signals(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q68_benchmark_decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 5 THEN list_transform(range(len(t) - 4),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                     || t[i+4] || ' ' || t[i+5])
+            ELSE []::VARCHAR[] END)) AS shingle
+        FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 7),
+    co AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 7),
+    ov AS (
+        SELECT co.doc_id, ev.eval_id, COUNT(*) AS shared
+        FROM co JOIN ev USING (shingle)
+        GROUP BY co.doc_id, ev.eval_id
+    )
+    SELECT doc_id, COUNT(*) AS n_eval_matches,
+           CAST(SUM(shared) AS BIGINT) AS total_shared,
+           CAST(MAX(shared) AS BIGINT) AS max_shared
+    FROM ov GROUP BY doc_id
+    """,
+    "Training-data op: benchmark decontamination — flag corpus docs "
+    "sharing 5-token shingles with a held-out eval set (doc_id % 50 = "
+    "7, the GPT-3/Llama n-gram-overlap method). The eval shingle set "
+    "broadcasts, so the corpus side never shuffles: matches alone "
+    "reach the per-doc aggregation.",
+)
+def q68_benchmark_decontamination(spark, sf_dir):
+    from ..operators.decontam import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 7)
+    corpus = docs.filter(F.col("doc_id") % 50 != 7)
+    return ngram_contamination(corpus, ev, n=5, min_overlap=1)
+
+
+@_register(
+    "q69_price_distribution_windows",
+    """
+    SELECT p_partkey, p_brand,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr,
+           ntile(4) OVER w AS quartile,
+           CAST(round(p_retailprice * 100) AS BIGINT)
+               - lag(CAST(round(p_retailprice * 100) AS BIGINT)) OVER w
+               AS step_cents
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand
+                 ORDER BY p_retailprice, p_partkey)
+    """,
+    "SURVEY 2.7 analytic-window completion: cume_dist, percent_rank, "
+    "ntile, and lag deltas over per-brand price order (unique "
+    "p_partkey tiebreak). cume_dist/percent_rank emit exact rational "
+    "doubles (k/n of identical ints), so cross-engine parity holds "
+    "without rounding; money stays fixed-point cents.",
+)
+def q69_price_distribution_windows(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_partkey").asc())
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        cents.alias("price_cents"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        (cents - F.lag(cents).over(w)).alias("step_cents"),
+    )
+
+
+@_register(
+    "q70_top_trigrams_per_lang",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+    tg AS (SELECT lang, unnest({_SQL_TRIGRAMS}) AS ngram FROM toks),
+    c AS (SELECT lang, ngram, COUNT(*) AS n FROM tg GROUP BY lang, ngram)
+    SELECT lang, ngram, n, rk FROM (
+        SELECT lang, ngram, n,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, ngram) AS BIGINT) AS rk
+        FROM c
+    ) WHERE rk <= 5
+    """,
+    "U4: top-5 token trigrams per language by raw frequency "
+    "(explode -> partial-agg count -> per-lang top-k; the window sees "
+    "only per-(lang,ngram) aggregates, never the token stream).",
+)
+def q70_top_trigrams_per_lang(spark, sf_dir):
+    from ..operators.dedup import shingles_of
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tg = docs.select(
+        "lang", tokens("text").alias("__toks")
+    ).select("lang", F.explode(shingles_of("__toks", 3)).alias("ngram"))
+    c = tg.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "ngram", "n", "rk")
+    )
+
+
+@_register(
+    "q71_length_band_filter",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, n_tokens,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens, doc_id) AS pr
+        FROM d
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+           (SELECT COUNT(*) FROM d d2 WHERE d2.lang = r.lang) AS n_total
+    FROM r WHERE pr >= 0.05 AND pr <= 0.95
+    GROUP BY lang
+    """,
+    "Training-data op: rank-based length-band filtering — keep docs "
+    "between the 5th and 95th per-language token-length percentile "
+    "(percent_rank = exact rational (rank-1)/(n-1), so the band edges "
+    "are deterministic across engines, unlike interpolated "
+    "percentiles).",
+)
+def q71_length_band_filter(spark, sf_dir):
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    r = d.withColumn("pr", F.percent_rank().over(w))
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        r.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .join(totals, "lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
 # registered queries the 16 newest never got a CORRECTNESS entry). Order

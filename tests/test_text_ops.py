@@ -248,3 +248,92 @@ def test_embedding_near_dup_contained_in_bruteforce(spark, sf_dir):
         r["b_id"] == dup_id and abs(r["sim"] - 1.0) < 1e-9
         for r in pairs2.collect()
     )
+
+
+def test_gopher_signals_hand_checked(spark):
+    from e_commerce_data_pipeline_spark.operators.text import gopher_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 12 natural tokens, no repetition beyond 'the' x2
+            (1, "the quick brown fox jumps over the lazy dog near a river"),
+            # heavy repetition: top token 6/12 = 50% -> fails repetition
+            (2, "spam spam spam spam spam spam one two three four five six"),
+            # too short (< 10 tokens)
+            (3, "just a few words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 12 and r1["n_distinct_tokens"] == 11
+    assert r1["top_token_count"] == 2
+    assert r1["n_trigrams"] == 10 and r1["n_dup_trigrams"] == 0
+    assert r1["n_chars_nospace"] == sum(
+        len(w) for w in "the quick brown fox jumps over the lazy dog near a river".split()
+    )
+    assert r1["stop_hits"] == 2  # 'the', 'a'
+    assert r1["keep"]
+    assert out[2]["top_token_count"] == 6 and not out[2]["keep"]
+    assert not out[3]["keep"]
+    r4 = out[4]
+    assert r4["n_tokens"] == 0 and r4["n_chars_nospace"] == 0
+    assert r4["top_token_count"] == 0 and not r4["keep"]
+
+
+def test_ngram_contamination_exact_overlap(spark):
+    from e_commerce_data_pipeline_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains eval 4-grams "alpha beta gamma delta" and
+            # "beta gamma delta epsilon" -> 2 shared shingles
+            (1, "intro alpha beta gamma delta epsilon outro"),
+            # one shared 4-gram only
+            (2, "x alpha beta gamma delta y z"),
+            # no overlap
+            (3, "totally unrelated text with many different words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, ev, n=4, min_overlap=1).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_eval_matches"] == 1 and got[1]["total_shared"] == 2
+    assert got[2]["total_shared"] == 1 and got[2]["max_shared"] == 1
+    # raising min_overlap drops the single-shingle match
+    got2 = {
+        r["doc_id"]
+        for r in ngram_contamination(corpus, ev, n=4, min_overlap=2).collect()
+    }
+    assert got2 == {1}
+
+
+def test_ngram_contamination_broadcasts_eval_side(spark):
+    from e_commerce_data_pipeline_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro alpha beta gamma delta epsilon outro")],
+        "doc_id long, text string",
+    )
+    df = ngram_contamination(corpus, ev, n=4)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
