@@ -2778,6 +2778,123 @@ def q71_length_band_filter(spark, sf_dir):
     )
 
 
+@_register(
+    "q72_streaming_windowed_counts",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+           (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 AS end_us,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    "W5+W6 streaming: watermarked tumbling-hour aggregation over a "
+    "bounded event stream drained with availableNow, diffed against "
+    "the batch hour-bucket oracle (Spark tumbling windows align to the "
+    "epoch hour; money stays fixed-point cents; timestamps surface as "
+    "epoch-us ints). Completes the three streaming shapes: session "
+    "window (q56), stream-stream join (q66), windowed agg (q72).",
+    bench=False,  # stream startup dominates; not a query-engine cost
+)
+def q72_streaming_windowed_counts(spark, sf_dir):
+    from ..streaming.stream_processor import drain_windowed_event_counts
+
+    out = drain_windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+@_register(
+    "q73_order_cube_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderpriority,
+           GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority)
+               AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+    "SURVEY 2.3 grouping-sets completion: CUBE over (order year, "
+    "priority) with per-row grouping flags (GROUPING bits composed "
+    "explicitly — portable across engines regardless of native "
+    "grouping_id bit order) and fixed-point money totals.",
+)
+def q73_order_cube_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        orders.cube("order_year", "o_orderpriority")
+        .agg(
+            (F.grouping("order_year") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            "order_year", "o_orderpriority", "gid", "n_orders", "total_cents"
+        )
+    )
+
+
+@_register(
+    "q74_fuzzy_part_names",
+    """
+    WITH names AS (
+        SELECT DISTINCT p_name AS name FROM part
+    ),
+    blocked AS (
+        SELECT name, string_split(name, ' ')[-1] AS blk FROM names
+    ),
+    pairs AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+    ),
+    counts AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name)
+    SELECT p.name_a, p.name_b, p.distance,
+           ca.n AS n_parts_a, cb.n AS n_parts_b
+    FROM pairs p
+    JOIN counts ca ON ca.p_name = p.name_a
+    JOIN counts cb ON cb.p_name = p.name_b
+    """,
+    "Entity resolution: fuzzy part-name pairs — DISTINCT values first "
+    "(the pair search never touches the row count), blocked on the "
+    "head noun so comparisons are sum(block^2) not corpus^2, "
+    "levenshtein <= 3 JVM-side on blocked candidates only; row "
+    "weights join back by value.",
+)
+def q74_fuzzy_part_names(spark, sf_dir):
+    from ..operators.fuzzy import fuzzy_name_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_name_pairs(part, "p_name", max_distance=3)
+    counts = part.groupBy(F.col("p_name")).agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(
+        F.col("p_name").alias("name_a"), F.col("n").alias("n_parts_a")
+    )
+    cb = counts.select(
+        F.col("p_name").alias("name_b"), F.col("n").alias("n_parts_b")
+    )
+    return pairs.join(F.broadcast(ca), "name_a").join(
+        F.broadcast(cb), "name_b"
+    ).select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

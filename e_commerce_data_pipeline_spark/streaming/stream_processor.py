@@ -222,3 +222,77 @@ def silver_stream_query(
     else:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (W5 + W6 streaming
+    shape): per (window, event_type) event counts and fixed-point value
+    totals. State is bounded — windows older than the watermark close
+    and evict; at 100 TB/day the state store holds only
+    (windows in watermark horizon) x event_types rows."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+_WDRAIN_SEQ = 0
+
+
+def drain_windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run ``windowed_event_counts`` over a bounded parquet stream of
+    the events table, drain with availableNow into a memory sink, and
+    return the completed result (mirrors the session-stats drain)."""
+    from ..session import configure_existing
+
+    configure_existing(spark)  # nanosAsLong before schema inference
+    batch = spark.read.parquet(events_path)
+    parent, fname = events_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long ns -> µs (mirrors catalog.load_table)
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    out = windowed_event_counts(stream, window=window, watermark=watermark)
+    global _WDRAIN_SEQ
+    _WDRAIN_SEQ += 1
+    name = f"windowed_counts_drain_{_WDRAIN_SEQ}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("windowed-counts drain did not finish in 300s")
+    return spark.table(name)

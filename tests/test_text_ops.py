@@ -337,3 +337,31 @@ def test_ngram_contamination_broadcasts_eval_side(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_name_pairs_blocking_and_distance(spark):
+    from e_commerce_data_pipeline_spark.operators.fuzzy import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widget"),   # duplicate row: distinct-first must dedup
+            (3, "rad widget"),   # distance 1 from 'red widget'
+            (4, "blue widget"),  # distance 3 from 'red widget'
+            (5, "red gizmo"),    # different block (noun) -> never compared
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["distance"]
+        for r in fuzzy_name_pairs(df, "name", max_distance=1).collect()
+    }
+    assert got == {("rad widget", "red widget"): 1}
+    got3 = {
+        (r["name_a"], r["name_b"]): r["distance"]
+        for r in fuzzy_name_pairs(df, "name", max_distance=4).collect()
+    }
+    assert ("blue widget", "red widget") in got3
+    assert got3[("blue widget", "red widget")] == 4
+    # cross-block pair is absent even at a permissive distance
+    assert not any("gizmo" in a or "gizmo" in b for a, b in got3)
