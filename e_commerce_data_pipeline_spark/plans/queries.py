@@ -2895,6 +2895,80 @@ def q74_fuzzy_part_names(spark, sf_dir):
     ).select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
 
 
+@_register(
+    "q75_rolling_week_revenue",
+    """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS epoch_day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           day_cents,
+           CAST(SUM(day_cents) OVER (
+               ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d_cents
+    FROM daily
+    """,
+    "W9 range-frame windows: trailing 7-day revenue via RANGE BETWEEN "
+    "over epoch-day ints — a value-based frame (calendar gaps shrink "
+    "the window), not a 7-ROW frame. The window input is the per-day "
+    "aggregate (bounded by the calendar, not the fact table), so the "
+    "unpartitioned sort is a few thousand rows at any corpus scale.",
+)
+def q75_rolling_week_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("d"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "day_cents"
+        )
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rolling_7d_cents"),
+    )
+
+
+@_register(
+    "q76_event_value_histogram",
+    """
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 5) AS BIGINT), 0), 19) AS bin,
+           COUNT(*) AS n_events,
+           CAST(MIN(round(value * 100)) AS BIGINT) AS min_cents,
+           CAST(MAX(round(value * 100)) AS BIGINT) AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "SURVEY 2.3: equi-width histogram — 5-unit value bins (clamped to "
+    "[0, 19], so the top bin absorbs the tail) per event type. Bin "
+    "assignment is integer floor division; one partial-agg shuffle of "
+    "(type x 20) groups regardless of event count.",
+)
+def q76_event_value_histogram(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / 5).cast("long"), F.lit(0)),
+        F.lit(19),
+    )
+    return events.groupBy(
+        "event_type", bin_col.alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.round(F.col("value") * 100)).cast("long").alias("min_cents"),
+        F.max(F.round(F.col("value") * 100)).cast("long").alias("max_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
