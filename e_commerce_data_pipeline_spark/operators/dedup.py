@@ -620,3 +620,57 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal per document: the fraction of
+    a doc's distinct ``span_n``-token spans that also occur in at least
+    one OTHER document (the span-level dedup statistic from
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022 — their ExactSubstr operates on 50-token spans; the
+    window length is a parameter here).
+
+    Returns one row per input document:
+    ``(id_col, n_spans, n_shared_spans, dup_frac_micro)`` where
+    ``dup_frac_micro`` is ``1e6 * shared / spans`` by INTEGER division
+    (exact in any engine — no float rounding anywhere). Documents
+    shorter than ``span_n`` tokens have 0 spans and 0 duplication.
+
+    Scale shape: distinct spans per doc explode once (linear in corpus
+    tokens); span document-frequency is a map-side partial count; the
+    join back to the span stream shuffles on the span key — hot
+    boilerplate spans are exactly the rows AQE skew-split handles, and
+    the frequency table they join is one row per distinct span. No
+    all-pairs stage exists at any point (unlike pairwise Jaccard, this
+    measures duplication without materializing pairs).
+    """
+    sp = doc_shingles(df, id_col, text_col, n=span_n).cache()
+    freq = sp.groupBy("shingle").agg(F.count(F.lit(1)).alias("ndocs"))
+    per = (
+        sp.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("ndocs") >= 2).cast("long")).alias("n_shared_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, F.col(id_col) == per.id, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0))
+            .cast("long")
+            .alias("n_shared_spans"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_shared_spans, 0)) "
+                "DIV greatest(coalesce(n_spans, 0), 1) AS BIGINT)"
+            ).alias("dup_frac_micro"),
+        )
+    )

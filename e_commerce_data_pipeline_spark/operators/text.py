@@ -290,3 +290,60 @@ def redaction_count(col: Column | str, patterns=REDACTION_PATTERNS) -> Column:
     for pat, _ in patterns:
         total = total + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
     return total
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram language-model score — the cheap stand-in
+    for the KenLM-perplexity quality filter of CCNet/RedPajama: train a
+    unigram LM on the corpus itself (token counts / total), then score
+    each document by the sum/mean log-probability of its tokens. Low
+    scores flag gibberish; implausibly high scores flag boilerplate.
+
+    Float discipline: each distinct token's ``ln(count/total)`` is
+    quantized once to integer micro-units; per-document scores are then
+    EXACT integer sums (order-independent across engines), and the mean
+    is a single division of two exact integers. One row per document
+    with >=1 token: ``(id_col, n_tokens, sum_lp_micro, avg_lp_micro)``.
+
+    Scale shape: token counts partial-aggregate map-side (one row per
+    distinct token shuffles); the corpus total is a one-row broadcast;
+    scoring re-joins the token stream to the count table on the token
+    key (linear, AQE skew-split handles stop-token heat). Nothing
+    collects to the driver.
+    """
+    from .util import spread as _spread
+
+    tok = (
+        _spread(df)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(id_col, F.explode("__toks").alias("tok"))
+        .cache()
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("total"))
+    lp = cnt.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(lp, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_lp_micro",
+            (F.col("sum_lp_micro") / (F.col("n_tokens") * F.lit(1.0))).alias(
+                "avg_lp_micro"
+            ),
+        )
+    )

@@ -2969,6 +2969,154 @@ def q76_event_value_histogram(spark, sf_dir):
     )
 
 
+@_register(
+    "q77_span_dup_fraction",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sp AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 8 THEN list_transform(range(len(t) - 7),
+                i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                     || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+                     || t[i+7] || ' ' || t[i+8])
+            ELSE []::VARCHAR[] END)) AS span
+        FROM toks
+    ),
+    freq AS (SELECT span, COUNT(*) AS ndocs FROM sp GROUP BY span),
+    per AS (
+        SELECT sp.doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM sp JOIN freq USING (span) GROUP BY sp.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared_spans,
+           CAST((1000000 * COALESCE(per.n_shared, 0))
+                // GREATEST(COALESCE(per.n_spans, 0), 1) AS BIGINT)
+               AS dup_frac_micro
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    "Training-data op: span-level exact-substring duplication signal "
+    "(Lee et al. 2022 ExactSubstr statistic) — per doc, the fraction "
+    "of its distinct 8-token spans that occur in any other document. "
+    "Integer division end-to-end (no float rounding); no pair "
+    "materialization — cost is the span stream, never corpus^2.",
+)
+def q77_span_dup_fraction(spark, sf_dir):
+    from ..operators.dedup import span_dup_stats
+
+    return span_dup_stats(_t(spark, sf_dir, "documents"), span_n=8)
+
+
+@_register(
+    "q78_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+    lp AS (
+        SELECT tok,
+               CAST(round(ln(c / (1.0 * total)) * 1000000) AS BIGINT)
+                   AS lp_micro
+        FROM cnt, tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(SUM(lp_micro) AS BIGINT) / (1.0 * COUNT(*)) AS avg_lp_micro
+    FROM tok JOIN lp USING (tok) GROUP BY doc_id
+    """,
+    "Training-data op: corpus-trained unigram-LM document scoring "
+    "(the cheap analog of CCNet/RedPajama's KenLM perplexity filter). "
+    "Per-token ln(count/total) quantized ONCE to micro-units, then "
+    "exact integer sums per doc — order-independent across engines; "
+    "the mean is one division of two exact integers.",
+)
+def q78_unigram_logprob(spark, sf_dir):
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q79_daily_revenue_gapfill",
+    """
+    WITH daily AS (
+        SELECT o_orderdate::DATE AS d,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY d
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    cal AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    )
+    SELECT strftime(cal.d, '%Y-%m-%d') AS order_day,
+           COALESCE(daily.cents, 0) / 100.0 AS revenue,
+           CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+           daily.n_orders IS NULL AS is_gap
+    FROM cal LEFT JOIN daily ON cal.d = daily.d
+    """,
+    "Time-series resample/gap-fill: a dense daily revenue series over "
+    "the full calendar span, zero-filled on days with no orders "
+    "(sequence/generate_series explode + left join). The calendar "
+    "frame is bounded by the date range — a few thousand rows joined "
+    "against a per-day aggregate regardless of fact-table size, so "
+    "the only at-scale work is the orders scan + partial agg.",
+)
+def q79_daily_revenue_gapfill(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(to_fixed("o_totalprice", 100)).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    return cal.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("order_day"),
+        (F.coalesce("cents", F.lit(0)) / F.lit(100.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.col("n_orders").isNull().alias("is_gap"),
+    )
+
+
+@_register(
+    "q80_part_metrics_unpivot",
+    """
+    WITH agg AS (
+        SELECT p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(p_size) AS BIGINT) AS sum_size,
+               CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM part GROUP BY p_type
+    )
+    UNPIVOT agg ON n_parts, sum_size, sum_price_cents
+    INTO NAME metric VALUE value
+    """,
+    "SURVEY 2.6 wide-to-long completion: per-type part metrics "
+    "unpivoted to (p_type, metric, value) rows via DataFrame.unpivot "
+    "(Spark's melt) against DuckDB's UNPIVOT — the reshape runs on "
+    "the already-aggregated frame, never the fact table.",
+)
+def q80_part_metrics_unpivot(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    wide = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").alias("sum_size"),
+        F.sum(to_fixed("p_retailprice", 100)).alias("sum_price_cents"),
+    )
+    return wide.unpivot(
+        ids=["p_type"],
+        values=["n_parts", "sum_size", "sum_price_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
