@@ -247,13 +247,11 @@ def minhash_lsh_candidates(
     return _lsh_candidates_from_sigs(sigs, num_hashes, bands)
 
 
-def _lsh_candidates_from_sigs(
-    sigs: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """Banded candidate pairs from an (id, sig) signature frame."""
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) LSH band-bucket rows from an (id, sig) frame."""
     r = num_hashes // bands
     sigs = sigs.filter(F.element_at("sig", 1).isNotNull())  # docs with no units
-    band_rows = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -273,9 +271,15 @@ def _lsh_candidates_from_sigs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _lsh_candidates_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded candidate pairs from an (id, sig) signature frame."""
     # materialize: both self-join sides reuse the hashed signatures
     # instead of recomputing the full hash family per side
-    band_rows = band_rows.cache()
+    band_rows = _band_rows(sigs, num_hashes, bands).cache()
     a = band_rows.select(F.col("id").alias("a_id"), "band", "key")
     b = band_rows.select(F.col("id").alias("b_id"), "band", "key")
     return (
@@ -673,4 +677,77 @@ def span_dup_stats(
                 "DIV greatest(coalesce(n_spans, 0), 1) AS BIGINT)"
             ).alias("dup_frac_micro"),
         )
+    )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.1,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    use_portable_hash: bool = False,
+) -> DataFrame:
+    """Incremental ingestion dedup: flag NEW documents that near-
+    duplicate an EXISTING corpus — the production shape for a corpus
+    that grows batch by batch, where re-running all-pairs dedup over
+    the whole corpus per ingest is unaffordable.
+
+    Two-stage, like ``near_dup_pairs``: MinHash LSH band collisions
+    between the batch and the corpus generate candidates, then exact
+    shingle-Jaccard verifies them. Returns
+    ``(new_id, corpus_id, jaccard)`` for verified pairs.
+
+    Scale shape: the corpus side's signatures/band rows are a linear
+    scan that in production is computed ONCE and persisted (a parquet
+    index bucketed by (band, key) makes the candidate join co-located
+    and shuffle-free); per ingest batch the work is O(|batch| +
+    collisions) — the whole corpus is never re-paired against itself.
+    The verify join touches only candidate ids' shingle rows.
+    """
+    sh_c = doc_shingles(corpus, id_col, text_col, shingle_n).cache()
+    sh_b = doc_shingles(batch, id_col, text_col, shingle_n).cache()
+    sig_c = _signature_from_units(
+        sh_c.select("id", F.col("shingle").alias("unit")),
+        num_hashes,
+        use_portable_hash,
+    )
+    sig_b = _signature_from_units(
+        sh_b.select("id", F.col("shingle").alias("unit")),
+        num_hashes,
+        use_portable_hash,
+    )
+    bc = _band_rows(sig_c, num_hashes, bands)
+    bb = _band_rows(sig_b, num_hashes, bands)
+    cands = (
+        bb.select(F.col("id").alias("new_id"), "band", "key")
+        .join(bc.select(F.col("id").alias("corpus_id"), "band", "key"),
+              ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sizes_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+    sizes_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        cands.join(sh_b.select(F.col("id").alias("new_id"), "shingle"), "new_id")
+        .join(
+            sh_c.select(F.col("id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_b.select(F.col("id").alias("new_id"), "n_b"), "new_id")
+        .join(sizes_c.select(F.col("id").alias("corpus_id"), "n_c"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )

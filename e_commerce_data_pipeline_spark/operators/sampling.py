@@ -207,3 +207,42 @@ def deterministic_shuffle(
     ordering.
     """
     return df.orderBy(hash_uniform(F.col(key_col), salt), F.col(key_col))
+
+
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    salt: str = "csample",
+) -> DataFrame:
+    """Semantic-diversity subsampling: keep a deterministic hash-ranked
+    quota of rows from EVERY cluster of an embedding-space partition
+    (the cluster-balanced selection behind SemDeDup-style corpus
+    curation — dense regions are downsampled hard, sparse regions are
+    kept whole, so the sample preserves coverage instead of mirroring
+    the corpus' density skew).
+
+    Returns ``(id_col, cluster_col, rk, cluster_size)`` for the kept
+    rows. Ranking is ``hash_uniform(salt:id)`` with the id as
+    tie-break — reproducible across runs, layouts, and engines.
+
+    Scale shape: one hash-shuffle on the cluster key; the window sees
+    each cluster's rows once (no global sort). A hot mega-cluster is
+    the known failure mode of per-key windows — mitigate upstream by
+    raising the codebook size so clusters stay bounded (k ~ corpus/1M),
+    which is also what sampling quality wants.
+    """
+    w = Window.partitionBy(cluster_col).orderBy(
+        hash_uniform(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy(cluster_col)
+    return (
+        assigned.select(
+            id_col,
+            cluster_col,
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        )
+        .filter(F.col("rk") <= per_cluster)
+    )

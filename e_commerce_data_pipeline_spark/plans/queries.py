@@ -3117,6 +3117,98 @@ def q80_part_metrics_unpivot(spark, sf_dir):
     )
 
 
+@_register(
+    "q81_incremental_dedup",
+    f"""
+    WITH {_nd_pair_ctes()},
+    inc_cands AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+    ),
+    inc_inter AS (
+        SELECT c.new_id, c.corpus_id, COUNT(*) AS n_inter
+        FROM inc_cands c
+        JOIN sh sa ON sa.id = c.new_id
+        JOIN sh sb ON sb.id = c.corpus_id AND sb.shingle = sa.shingle
+        GROUP BY c.new_id, c.corpus_id
+    )
+    SELECT i.new_id, i.corpus_id,
+           i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) AS jaccard
+    FROM inc_inter i
+    JOIN sizes za ON i.new_id = za.id
+    JOIN sizes zb ON i.corpus_id = zb.id
+    WHERE i.n_inter / (1.0 * (za.n_sh + zb.n_sh - i.n_inter)) >= 0.1
+    """,
+    "Training-data op: incremental ingestion dedup — a new batch "
+    "(doc_id % 10 = 3) deduped AGAINST the existing corpus via "
+    "MinHash-LSH band collisions + exact Jaccard verify, without ever "
+    "re-pairing the corpus with itself. Per ingest the cost is "
+    "O(batch + collisions); at scale the corpus band index persists "
+    "bucketed by (band, key) so the candidate join is co-located.",
+)
+def q81_incremental_dedup(spark, sf_dir):
+    from ..operators.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.filter(F.col("doc_id") % 10 != 3),
+        docs.filter(F.col("doc_id") % 10 == 3),
+        threshold=0.1,
+        use_portable_hash=True,
+    )
+
+
+@_register(
+    "q82_cluster_balanced_sample",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q82_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id, list_cosine_similarity(v, coeffs) AS s
+        FROM e, cents
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, cluster,
+               CAST(row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY {_sql_hash_uniform("csample", "vec_id")}, vec_id
+               ) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS cluster_size
+        FROM assign
+    )
+    SELECT vec_id, cluster, rk, cluster_size FROM ranked WHERE rk <= 20
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "Training-data op: cluster-balanced subsampling (the SemDeDup-"
+    "style curation shape) — assign every embedding to its nearest "
+    "trained centroid, then keep a deterministic hash-ranked quota "
+    "per cluster, so dense regions downsample hard and sparse regions "
+    "survive. Assignment reuses the q46 codebook protocol (float64 "
+    "cosine, first-max ties, codebook materialized for the oracle).",
+)
+def q82_cluster_balanced_sample(spark, sf_dir):
+    from ..operators.ivf import build_ivf_index, train_centroids
+    from ..operators.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    _write_scratch_vectors("q82_centroids.parquet", "centroid_id", cents)
+    assigned = build_ivf_index(emb, cents).select(
+        F.col("neighbor_id").alias("vec_id"), "cluster"
+    )
+    return cluster_balanced_sample(assigned, per_cluster=20)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

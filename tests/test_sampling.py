@@ -141,3 +141,24 @@ def test_pack_sequences_contract(spark, sf_dir):
     # layout independence: same assignment after repartition
     again = pack_sequences(docs.repartition(13), budget=budget, n_groups=8)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from e_commerce_data_pipeline_spark.operators.sampling import (
+        cluster_balanced_sample,
+    )
+
+    # cluster 0: 10 rows (downsampled), cluster 1: 2 rows (kept whole)
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(100, 1), (101, 1)],
+        "vec_id long, cluster int",
+    )
+    out1 = cluster_balanced_sample(assigned, per_cluster=3).collect()
+    out2 = cluster_balanced_sample(assigned, per_cluster=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    by_cluster = {}
+    for r in out1:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster[0]) == 3 and len(by_cluster[1]) == 2
+    assert all(r["cluster_size"] == 10 for r in by_cluster[0])
+    assert all(r["rk"] <= 3 for r in out1)

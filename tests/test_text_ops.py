@@ -365,3 +365,66 @@ def test_fuzzy_name_pairs_blocking_and_distance(spark):
     assert got3[("blue widget", "red widget")] == 4
     # cross-block pair is absent even at a permissive distance
     assert not any("gizmo" in a or "gizmo" in b for a, b in got3)
+
+
+def test_span_dup_stats_identical_and_short_docs(spark):
+    from e_commerce_data_pipeline_spark.operators.dedup import span_dup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # 3 spans, all shared w/ 2
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),  # unique spans
+            (4, "too short"),  # < span_n tokens -> 0 spans
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in span_dup_stats(df, span_n=3).collect()
+    }
+    assert rows[1]["n_spans"] == 3 and rows[1]["dup_frac_micro"] == 1_000_000
+    assert rows[2]["dup_frac_micro"] == 1_000_000
+    assert rows[3]["n_shared_spans"] == 0 and rows[3]["dup_frac_micro"] == 0
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_frac_micro"] == 0
+
+
+def test_unigram_logprob_hand_checked(spark):
+    import math
+
+    from e_commerce_data_pipeline_spark.operators.text import unigram_logprob
+
+    # corpus: 4 tokens total; 'a' x3 (p=3/4), 'b' x1 (p=1/4)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a"), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    lp_a = round(math.log(3 / 4) * 1_000_000)
+    lp_b = round(math.log(1 / 4) * 1_000_000)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["sum_lp_micro"] == 2 * lp_a + lp_b
+    assert rows[2]["sum_lp_micro"] == lp_a
+    assert 3 not in rows  # empty doc contributes no tokens
+
+
+def test_incremental_near_dups_only_cross_side_pairs(spark):
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (10, "completely different words here entirely")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base), (101, "unrelated content nothing shared at all")],
+        "doc_id int, text string",
+    )
+    pairs = incremental_near_dups(corpus, batch, threshold=0.5).collect()
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs}
+    # the duplicate batch doc matches BOTH corpus copies; the
+    # corpus-internal (1,2) dup pair is NOT re-reported
+    assert got == {(100, 1), (100, 2)}
+    for r in pairs:
+        assert r["jaccard"] == 1.0
