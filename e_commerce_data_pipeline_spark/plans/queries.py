@@ -3209,6 +3209,193 @@ def q82_cluster_balanced_sample(spark, sf_dir):
     return cluster_balanced_sample(assigned, per_cluster=20)
 
 
+@_register(
+    "q83_weekly_cohort_retention",
+    """
+    WITH ev AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id)
+    SELECT strftime(fw.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', fw.cohort_week, ev.wk) AS BIGINT)
+               AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM ev JOIN fw USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "Cohort retention matrix: users grouped by first-active week, "
+    "counted in every later week they return (the standard product-"
+    "analytics triangle). Both week keys are Monday-truncated in both "
+    "engines, so weeks_since is an exact integer. Shape: distinct "
+    "(user, week) partial-aggregates map-side; the only shuffles are "
+    "by user_id — no window over the raw event stream.",
+)
+def q83_weekly_cohort_retention(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+    )
+    fw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        ev.join(fw, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@_register(
+    "q84_market_basket_pairs",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    counts AS (SELECT l_partkey, COUNT(*) AS n_ord FROM lp GROUP BY l_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lp),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_both
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_both,
+           CAST((1000000 * n_both * n_orders)
+                // (ca.n_ord * cb.n_ord) AS BIGINT) AS lift_micro
+    FROM pairs
+    JOIN counts ca ON ca.l_partkey = part_a
+    JOIN counts cb ON cb.l_partkey = part_b
+    CROSS JOIN tot
+    WHERE n_both >= 3
+    """,
+    "Market-basket co-occurrence: part pairs ordered together, with "
+    "integer-exact lift (1e6 * P(ab) / (P(a)P(b)) by integer "
+    "division). The self-join is per-order — cost is bounded by "
+    "order size squared (<= 7 lines in TPC-H), linear in orders, "
+    "never parts^2; the totals row broadcasts.",
+)
+def q84_market_basket_pairs(spark, sf_dir):
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .cache()
+    )
+    counts = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    tot = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            counts.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.expr(
+                "CAST((1000000 * n_both * n_orders) DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+@_register(
+    "q85_bigram_pmi",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    uni AS (
+        SELECT unnest(t) AS tok FROM toks
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    utot AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM ucnt),
+    bg AS (
+        SELECT unnest(CASE WHEN len(t) >= 2
+            THEN list_transform(range(len(t) - 1),
+                                i -> t[i + 1] || ' ' || t[i + 2])
+            ELSE []::VARCHAR[] END) AS bigram
+        FROM toks
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY bigram),
+    btot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS tb FROM bcnt),
+    pmi AS (
+        SELECT bigram, c_ab,
+               CAST(round(ln((c_ab / (1.0 * tb))
+                    / ((ca.c / (1.0 * tt)) * (cb.c / (1.0 * tt))))
+                    * 1000000) AS BIGINT) AS pmi_micro
+        FROM bcnt
+        JOIN ucnt ca ON ca.tok = string_split(bigram, ' ')[1]
+        JOIN ucnt cb ON cb.tok = string_split(bigram, ' ')[2]
+        CROSS JOIN utot CROSS JOIN btot
+        WHERE c_ab >= 5
+    )
+    SELECT bigram, c_ab, pmi_micro FROM pmi
+    ORDER BY pmi_micro DESC, bigram LIMIT 20
+    """,
+    "Collocation mining: top-20 token bigrams by pointwise mutual "
+    "information (min support 5). PMI is computed from exact integer "
+    "counts, quantized once to micro-units, and the top-k orders by "
+    "the quantized integer — deterministic across engines. Shape: "
+    "two explode+partial-agg passes and a join of bigram counts to "
+    "the (small) unigram vocabulary; totals broadcast.",
+)
+def q85_bigram_pmi(spark, sf_dir):
+    from ..operators.dedup import shingles_of
+    from ..operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(_tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    utot = ucnt.agg(F.sum("c").alias("tt"))
+    bg = toks.select(F.explode(shingles_of("t", 2)).alias("bigram"))
+    bcnt = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    btot = bg.agg(F.count(F.lit(1)).alias("tb"))
+    parts = F.split("bigram", " ")
+    scored = (
+        bcnt.withColumn("tok_a", parts.getItem(0))
+        .withColumn("tok_b", parts.getItem(1))
+        .join(ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a")), "tok_a")
+        .join(ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b")), "tok_b")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("tb"))
+                    / ((F.col("c_a") / F.col("tt")) * (F.col("c_b") / F.col("tt")))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(20)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
