@@ -111,3 +111,31 @@ def test_q59_candidate_distinct_carries_no_vectors(spark, sf_dir):
     ]
     assert dedup_exchanges, plan
     assert all("_nv" not in l and "embedding" not in l for l in dedup_exchanges)
+
+
+def test_q77_span_dedup_has_no_pair_join(spark, sf_dir):
+    # the span-dup signal must never materialize doc pairs: the only
+    # joins are span->frequency (equi) and the final left join on id
+    plan = _executed_plan(QUERIES["q77_span_dup_fraction"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # span df partial-aggregates map-side
+
+
+def test_q81_incremental_candidates_are_equi_join(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q81_incremental_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q84_totals_broadcast_and_no_cartesian_on_facts(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q84_market_basket_pairs"].fn(spark, sf_dir))
+    # the 1-row totals frame broadcasts; the pair join is an equi join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_q79_calendar_join_is_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q79_daily_revenue_gapfill"].fn(spark, sf_dir))
+    # per-day aggregate joins the exploded calendar without a shuffle
+    # of the big side at this size; no cartesian anywhere
+    assert "CartesianProduct" not in plan
