@@ -3396,6 +3396,116 @@ def q85_bigram_pmi(spark, sf_dir):
     return scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(20)
 
 
+@_register(
+    "q86_streaming_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+    FROM events
+    """,
+    "S7/W6 streaming Silver dedup as an oracle-gated query: "
+    "watermark-bounded dropDuplicates on a composite "
+    "(user_id, event_type, hour) key over a bounded stream, drained "
+    "with availableNow. The surviving ROW per key is arrival-order "
+    "dependent, so the deterministic contract is the key set — equal "
+    "to batch DISTINCT. Completes the fourth streaming shape "
+    "(session q56, join q66, windowed agg q72, dedup q86).",
+    bench=False,  # stream startup dominates; not a query-engine cost
+)
+def q86_streaming_dedup_keys(spark, sf_dir):
+    from ..streaming.stream_processor import drain_streaming_dedup
+
+    return drain_streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q87_custom_grouping_sets",
+    """
+    SELECT n_name,
+           o_orderpriority,
+           GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    """,
+    "SURVEY 2.3 grouping-sets completion beyond CUBE/ROLLUP (q73/q35): "
+    "an explicit GROUPING SETS list — per-(nation, priority) detail, "
+    "per-nation subtotal, grand total, with portable grouping flags — "
+    "through the spark.sql entry path over broadcast dim joins.",
+)
+def q87_custom_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q87")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_q87")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_q87")
+    return spark.sql(
+        """
+        SELECT n_name,
+               o_orderpriority,
+               CAST(grouping(n_name) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM v_orders_q87
+        JOIN v_customer_q87 ON o_custkey = c_custkey
+        JOIN v_nation_q87 ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+        """
+    )
+
+
+@_register(
+    "q88_bpe_pretoken_stats",
+    r"""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                   AS n_digit_runs,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS n_symbols
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(SUM(n_digit_runs) AS BIGINT) AS sum_digit_runs,
+           CAST(SUM(n_symbols) AS BIGINT) AS sum_symbols
+    FROM d GROUP BY lang
+    """,
+    "U4 tokenizer surface: BPE-ish pre-token counts per language "
+    "(letter runs / digit runs / single symbols via "
+    "regexp_extract_all — the byte-pair pre-split approximation), "
+    "plus digit-run and symbol counts. Pure codegen expressions; one "
+    "partial-agg shuffle of 5 rows.",
+)
+def q88_bpe_pretoken_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+    ).cast("long")
+    digits = F.size(
+        F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)
+    ).cast("long")
+    syms = F.size(
+        F.regexp_extract_all("text", F.lit(r"[^a-zA-Z0-9 ]"), 0)
+    ).cast("long")
+    return (
+        docs.select("lang", bpe.alias("n_bpe"), digits.alias("n_digit_runs"),
+                    syms.alias("n_symbols"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.sum("n_digit_runs").alias("sum_digit_runs"),
+            F.sum("n_symbols").alias("sum_symbols"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

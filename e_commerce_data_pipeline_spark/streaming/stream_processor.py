@@ -296,3 +296,62 @@ def drain_windowed_event_counts(
         q.stop()
         raise TimeoutError("windowed-counts drain did not finish in 300s")
     return spark.table(name)
+
+
+def drain_streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the Silver-layer streaming dedup
+    (``operators.dedup.streaming_dedup``) over a bounded parquet
+    stream of the events table, deduplicating on a composite
+    (user_id, event_type, hour) key, and drain with availableNow.
+
+    dropDuplicates keeps the FIRST arrival per key — which physical
+    row survives is arrival-order-dependent, so the deterministic
+    (and oracle-comparable) output is the key set itself: the drained
+    result projects only the dedup keys, which equal the batch
+    DISTINCT over the same columns. The watermark bounds the dedup
+    state exactly as in production.
+    """
+    from ..operators.dedup import streaming_dedup
+
+    from ..session import configure_existing
+
+    configure_existing(spark)  # nanosAsLong before schema inference
+    batch = spark.read.parquet(events_path)
+    parent, fname = events_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    keyed = stream.withColumn("hour_ts", F.date_trunc("hour", "ts"))
+    deduped = streaming_dedup(
+        keyed,
+        id_cols=("user_id", "event_type"),
+        ts_col="hour_ts",
+        watermark=watermark,
+    )
+    out = deduped.select(
+        "user_id", "event_type", F.unix_micros("hour_ts").alias("hour_us")
+    )
+    global _WDRAIN_SEQ
+    _WDRAIN_SEQ += 1
+    name = f"stream_dedup_drain_{_WDRAIN_SEQ}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming-dedup drain did not finish in 300s")
+    return spark.table(name)
