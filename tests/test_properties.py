@@ -137,3 +137,87 @@ def test_jaccard_pairs_symmetric_and_bounded(spark, data):
         for r in pairs2
     }
     assert {(r["a_id"], r["b_id"]) for r in pairs} == remap
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_span_dup_stats_matches_bruteforce(spark, docs):
+    """span_dup_stats == a python brute-force over distinct spans."""
+    from e_commerce_data_pipeline_spark.operators.dedup import span_dup_stats
+
+    n = 3
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in span_dup_stats(df, span_n=n).collect()}
+
+    spans = {
+        i: {
+            " ".join(toks[j : j + n])
+            for j in range(len(toks) - n + 1)
+        }
+        for i, toks in enumerate(docs)
+    }
+    for i, ss in spans.items():
+        shared = {
+            s for s in ss if any(s in so for j, so in spans.items() if j != i)
+        }
+        assert got[i]["n_spans"] == len(ss)
+        assert got[i]["n_shared_spans"] == len(shared)
+        want_frac = (1_000_000 * len(shared)) // max(len(ss), 1)
+        assert got[i]["dup_frac_micro"] == want_frac
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "entirely different words in this sentence here",
+                "pack my box with five dozen liquor jugs now",
+            ]
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_incremental_dedup_equals_filtered_all_pairs(spark, texts):
+    """incremental(new=evens, corpus=odds) == near_dup_pairs filtered
+    to cross-side pairs (modulo orientation)."""
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        incremental_near_dups,
+        near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    batch = df.filter(F.col("doc_id") % 2 == 0)
+    corpus = df.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_near_dups(
+            corpus, batch, threshold=0.2, use_portable_hash=True
+        ).collect()
+    }
+    allp = {}
+    for r in near_dup_pairs(df, threshold=0.2, use_portable_hash=True).collect():
+        a, b = r["a_id"], r["b_id"]
+        if a % 2 == 0 and b % 2 == 1:
+            allp[(a, b)] = r["jaccard"]
+        elif b % 2 == 0 and a % 2 == 1:
+            allp[(b, a)] = r["jaccard"]
+    assert inc == allp
