@@ -102,3 +102,44 @@ def stock_asof_join(
     return with_stock.filter(F.col("is_cdc") == 0).select(
         "order_event_id", key_col, F.col("ts").alias("order_ts"), "stock_at_time"
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    stream: collapse consecutive rows with an unchanged attribute,
+    then derive half-open validity intervals [valid_from, valid_to)
+    per key — ``valid_to`` is NULL for the current version. This is
+    the warehouse-side complement of ``apply_cdc`` (which keeps only
+    latest-by-key): SCD2 keeps every version so facts can join the
+    dimension AS OF their event time (reference analog: the CDC
+    envelope's before/after images, consumer/event_consumer.py).
+
+    Returns (key, version_no, attr, valid_from, valid_to).
+
+    Scale shape: two windows over the same (key, ts, tiebreak) order —
+    one shuffle by key, both windows reuse the sort; state per key is
+    a single row (lag/lead/row_number are streaming frames). Change
+    streams are naturally keyed, so skew follows key heat, not data
+    volume.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    collapsed = (
+        changes.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    return collapsed.select(
+        F.col(key_col),
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )

@@ -3506,6 +3506,62 @@ def q88_bpe_pretoken_stats(spark, sf_dir):
     )
 
 
+@_register(
+    "q89_scd2_user_tiers",
+    """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(least(floor(value / 100), 4) AS BIGINT) AS tier
+        FROM events
+    ),
+    o AS (
+        SELECT *, lag(tier) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev
+        FROM e
+    ),
+    ch AS (
+        SELECT user_id, us, event_id, tier FROM o
+        WHERE prev IS NULL OR prev <> tier
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version_no,
+           tier,
+           us AS valid_from_us,
+           lead(us) OVER w AS valid_to_us
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    "Warehouse SCD2: build a type-2 slowly-changing dimension from a "
+    "change stream — collapse consecutive unchanged attribute values "
+    "(user value-tier), then half-open validity intervals "
+    "[valid_from, valid_to) with NULL for the current version. "
+    "Complements apply_cdc (latest-by-key, q16) with full history "
+    "for point-in-time joins. One shuffle by key; both windows reuse "
+    "the same sort.",
+)
+def q89_scd2_user_tiers(spark, sf_dir):
+    from ..operators.cdc import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.least(F.floor(F.col("value") / 100), F.lit(4))
+        .cast("long")
+        .alias("tier"),
+    )
+    return scd2_intervals(
+        ev, key_col="user_id", attr_col="tier",
+        ts_col="us", tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        "version_no",
+        "tier",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
