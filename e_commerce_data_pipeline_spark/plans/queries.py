@@ -3562,6 +3562,206 @@ def q89_scd2_user_tiers(spark, sf_dir):
     )
 
 
+@_register(
+    "q90_waiting_suppliers",
+    """
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                   AS n_late_supp
+        FROM lo GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape (suppliers who kept finished multi-supplier "
+    "orders waiting: their line shipped >60d after order date and no "
+    "other supplier's did). The textbook form is a correlated EXISTS "
+    "+ NOT EXISTS; re-expressed as ONE pass over lineitem with a "
+    "per-order distinct-supplier aggregate re-joined to the late "
+    "lines — two shuffles on l_orderkey total, where the correlated "
+    "form would re-probe lineitem twice per row. Supplier dim "
+    "broadcasts.",
+)
+def q90_waiting_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q91_idle_rich_customers",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+    ),
+    avg_bal AS (
+        SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n
+        FROM c WHERE bal_c > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(bal_c) AS BIGINT) / 100.0 AS total_acctbal
+    FROM c CROSS JOIN avg_bal
+    WHERE bal_c * n > s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= DATE '2001-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape (rich customers in target segments with no "
+    "RECENT orders — lapsed high-value accounts): scalar-subquery "
+    "average + date-filtered anti-join. The "
+    "above-average test is exact — cents * count > sum_cents by "
+    "integer cross-multiplication, no float average. Spark side: "
+    "1-row aggregate broadcast-crossJoined, left_anti against "
+    "orders; customer is the probe side so the anti-join shuffles "
+    "the smaller relation's keys only.",
+)
+def q91_idle_rich_customers(spark, sf_dir):
+    segs = ("BUILDING", "MACHINERY", "HOUSEHOLD")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*segs))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            to_fixed("c_acctbal", 100).alias("bal_c"),
+        )
+    )
+    avg_bal = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal_c") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "q92_brand_price_qty_corr",
+    """
+    WITH x AS (
+        SELECT p_brand,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    sums AS (
+        SELECT p_brand,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, n, sx, sy,
+           CAST(round(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000) AS BIGINT) AS corr_micro
+    FROM sums
+    ORDER BY p_brand
+    """,
+    "Statistical aggregate surface: Pearson correlation of quantity "
+    "vs extended price per brand, from EXACT integer moment sums "
+    "(n, Σx, Σy, Σxy, Σx², Σy² of fixed-point values) — the "
+    "map-side-combinable decomposition every distributed corr uses. "
+    "The final r is one double expression over those exact ints, "
+    "quantized to micro-units; both engines evaluate the identical "
+    "expression tree so IEEE doubles agree bit-for-bit. Never uses "
+    "the engines' own corr()/covar() (their accumulation order is "
+    "engine-defined).",
+)
+def q92_brand_price_qty_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    x = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+        "p_brand",
+        F.round("l_quantity").cast("long").alias("x"),
+        to_fixed("l_extendedprice", 100).alias("y"),
+    )
+    sums = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return sums.select(
+        "p_brand",
+        "n",
+        "sx",
+        "sy",
+        F.round(corr * 1000000).cast("long").alias("corr_micro"),
+    ).orderBy("p_brand")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
