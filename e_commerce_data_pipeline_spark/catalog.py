@@ -42,10 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with engine-canonical types."""
     configure_existing(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long; truncate ns -> µs with integer
-        # division (double division would lose precision at 1.7e18).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long; truncate ns -> µs with
+            # integer division (double division would lose precision at
+            # 1.7e18).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false): the naive local
+            # value IS what DuckDB exposes; with the session pinned to
+            # UTC the cast re-labels the same instant as TIMESTAMP so
+            # unix_micros() returns the raw stored micros.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

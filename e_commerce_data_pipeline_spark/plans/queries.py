@@ -3844,6 +3844,231 @@ def q93_copurchase_pagerank(spark, sf_dir):
     )
 
 
+@_register(
+    "q89_large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(round(o_totalprice * 100) AS BIGINT) / 100.0
+               AS total_price,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 shape (large-volume orders: customers whose order "
+    "moved >250 units). The HAVING runs on the partial-agg output of "
+    "ONE lineitem scan — at 100 TB the per-order rollup collapses "
+    "~4B lineitems to ~1B one-row groups map-side before the "
+    "orderkey shuffle; the surviving handful of big orders then join "
+    "orders (same key, no re-shuffle of lineitem) and a broadcast "
+    "customer dim. Quantities are integral by data contract -> "
+    "round+cast to long, exact int sums both engines.",
+)
+def q89_large_volume_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            (to_fixed("o_totalprice", 100) / 100.0).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "q94_bracket_revenue",
+    """
+    SELECT bracket,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS revenue
+    FROM (
+        SELECT CASE
+                 WHEN p_brand = 'Brand#1' THEN 'small'
+                 WHEN p_brand = 'Brand#13' THEN 'medium'
+                 ELSE 'large'
+               END AS bracket,
+               l_extendedprice, l_discount
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+    ) GROUP BY bracket
+    """,
+    "TPC-H Q19 shape (disjunctive bracket predicates spanning both "
+    "join sides). The l_quantity legs of the OR reference only "
+    "lineitem, so Catalyst extracts the common disjunction "
+    "(l_quantity BETWEEN 1 AND 40 overall envelope) into the parquet "
+    "scan while the mixed part+lineitem legs evaluate post-join "
+    "against the broadcast part dim — the scan never materializes "
+    "non-candidate rows and there is no shuffle at all (broadcast "
+    "join + final 3-group agg).",
+)
+def q94_bracket_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    legs = [
+        ("Brand#1", (1, 15), (1, 20), "small"),
+        ("Brand#13", (10, 30), (10, 30), "medium"),
+        ("Brand#20", (20, 50), (20, 40), "large"),
+    ]
+    conds = [
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(*ps)
+        & F.col("l_quantity").between(*lq)
+        for b, ps, lq, _ in legs
+    ]
+    keep = conds[0] | conds[1] | conds[2]
+    bracket = (
+        F.when(F.col("p_brand") == "Brand#1", "small")
+        .when(F.col("p_brand") == "Brand#13", "medium")
+        .otherwise("large")
+    )
+    return (
+        j.filter(keep)
+        .groupBy(bracket.alias("bracket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fixed_sum(line_revenue(), 10000, "revenue"),
+        )
+    )
+
+
+@_register(
+    "q95_promo_part_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= DATE '1998-01-01'
+          AND l_shipdate <  DATE '1999-01-01'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM shipped JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty > 40
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 shape (suppliers who moved real volume of promo-line "
+    "parts in a year — the textbook form is nested IN subqueries "
+    "against partsupp; this dataset has no partsupp, so availability "
+    "is re-expressed as shipped volume). One lineitem scan with the "
+    "ship-date window pushed to the parquet reader, the 'small%' "
+    "part filter applied via broadcast join BEFORE the per-(supp, "
+    "part) rollup, then a 100-row supplier dim join. The qty>40 gate "
+    "runs on partial-agg output, not raw lines.",
+)
+def q95_promo_part_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 40)
+    )
+    return (
+        shipped.join(F.broadcast(s), s.s_suppkey == shipped.l_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("qty").alias("total_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q96_top_revenue_suppliers",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                   AS rev_dm
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1998-01-01'
+          AND l_shipdate <  DATE '1998-04-01'
+        GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(rev_dm) AS m FROM rev)
+    SELECT s_suppkey, s_name, rev_dm / 10000.0 AS total_revenue
+    FROM rev JOIN mx ON rev_dm = m
+    JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape (the quarter's top revenue supplier(s) — the "
+    "view + MAX correlation). The max is computed over the 100-row "
+    "per-supplier aggregate and broadcast back as a 1-row frame "
+    "(crossJoin), so ties surface exactly and nothing rescans "
+    "lineitem. Fixed-point revenue: the equality join on the max is "
+    "an integer compare — exact across engines, where a double "
+    "MAX=SUM comparison could disagree in the last ulp.",
+)
+def q96_top_revenue_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(to_fixed(line_revenue(), 10000)).alias("rev_dm")
+    )
+    mx = rev.agg(F.max("rev_dm").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dm") == F.col("m"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_dm") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -26,6 +26,12 @@ _DYNAMIC_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (the current
+    # events table encoding) would otherwise read as TIMESTAMP_NTZ,
+    # which watermarks/unix_micros reject; with NTZ inference off the
+    # stored micros load as TIMESTAMP whose epoch equals what DuckDB
+    # exposes (session tz is pinned to UTC below).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dims up to 32 MB get broadcast; region/nation/customer/part/supplier
     # are all far below this at every SF we target per-executor.
