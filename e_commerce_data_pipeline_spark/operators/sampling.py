@@ -246,3 +246,92 @@ def cluster_balanced_sample(
         )
         .filter(F.col("rk") <= per_cluster)
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    tokens are under a small target distribution (e.g. one trusted
+    source) than under the raw crawl, then keep/resample the
+    top-weighted documents. The classic feature space is hashed
+    n-grams; unigrams over the engine tokenizer keep the oracle
+    portable while exercising the identical plan shape.
+
+    weight(doc) = sum_tokens [ln p_target(tok) - ln p_raw(tok)] with
+    add-1 smoothing over the raw vocabulary, so tokens unseen in the
+    target subset contribute a finite negative weight.
+
+    Float discipline: both smoothed probabilities are ratios of exact
+    integers, so each distinct token's log-ratio is quantized ONCE to
+    integer ``scale``-units; per-document weights are exact integer
+    sums — order-independent across engines.
+
+    Scale shape: ONE token explode feeds both distributions (the
+    target count is a conditional sum in the same partial aggregate,
+    not a second scan); the vocabulary table carries one row per
+    distinct token; corpus totals are a 1-row broadcast; scoring
+    re-joins the token stream on the token key (linear, AQE handles
+    stop-token skew). Nothing collects to the driver.
+
+    Returns ``(id_col, is_target, n_tokens, sum_w_micro, avg_w_micro)``
+    for every document with >=1 token.
+    """
+    from .text import tokens
+    from .util import spread as _spread
+
+    tok = (
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            is_target.cast("boolean").alias("is_target"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(id_col, "is_target", F.explode("__toks").alias("tok"))
+        .cache()
+    )
+    cnt = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("is_target").cast("long")).alias("c_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lw = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("v")))
+                - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + F.col("v")))
+            )
+            * scale
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    out = (
+        tok.join(lw, "tok")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_micro").alias("sum_w_micro"),
+        )
+        .select(
+            id_col,
+            "is_target",
+            "n_tokens",
+            "sum_w_micro",
+            (F.col("sum_w_micro") / (F.lit(1.0) * F.col("n_tokens"))).alias(
+                "avg_w_micro"
+            ),
+        )
+    )
+    return out

@@ -323,3 +323,111 @@ def cosine_topk_matrix(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.35,
+    max_token_df: int | None = None,
+    idf_scale: int = 1_000_000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Sparse lexical similarity: all doc pairs with tf-idf cosine >=
+    ``threshold``, computed through an inverted-index self-join — the
+    classic sparse counterpart of the dense-embedding operators above
+    (and the BM25/tf-idf near-dup signal used in corpus curation).
+
+    Never a cross join: docs only pair through tokens they share, so
+    cost is sum(df^2) over tokens, not corpus^2. ``max_token_df``
+    is the stop-token guard — tokens appearing in more than that many
+    docs are dropped from the VECTORS (idf ~ 0 anyway), which bounds
+    the hottest join key; without it one stop-token makes the join
+    quadratic in its document frequency. ``block_col`` additionally
+    restricts pairing to docs sharing a blocking key (language,
+    near-dup bucket, ...) — idf stays corpus-global, but the join key
+    becomes (block, token) so the hottest key is bounded by block
+    size, the same Sigma-block^2-not-corpus^2 bound as
+    ``cosine_pairs_blocked``.
+
+    Float discipline: idf is quantized once per token to integer
+    ``idf_scale``-units; per-doc weights ``tf * idf_q`` are exact
+    ints, so pair dot products and squared norms are exact integer
+    sums. The only float ops are one sqrt+divide per surviving pair,
+    on identical integers in any engine -> identical doubles.
+    (int64 headroom: tf * idf_q stays < ~1e9 for corpora to ~1e9
+    docs; squared-weight sums then stay < ~1e20/doc only for
+    pathological tf — drop ``idf_scale`` to 1e3 past ~1e7-doc
+    corpora with long docs.)
+
+    Scale shape: the (id, tok, tf) frame shuffles ONCE by token for
+    the document-frequency window; the pairing self-join keys on the
+    same column so Catalyst reuses that exchange for both sides. AQE
+    skew-split handles residual hot tokens. Norms are a per-doc
+    partial agg; the final per-pair agg carries only surviving pairs.
+
+    Returns ``(a_id, b_id, n_shared, sim)`` with sim rounded to 6dp.
+    """
+    from .text import tokens
+    from .util import spread
+
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    tf = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("id"), *blk, tokens(text_col).alias("__toks")
+        )
+        .select("id", *(["blk"] if block_col else []), F.explode("__toks").alias("tok"))
+        .groupBy("id", *(["blk"] if block_col else []), "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
+    wtok = Window.partitionBy("tok")
+    w = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(wtok))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            *(["blk"] if block_col else []),
+            "tok",
+            "df_t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs") / F.col("df_t")) * idf_scale
+                ).cast("long")
+            ).alias("wq"),
+        )
+    )
+    if max_token_df is not None:
+        w = w.filter(F.col("df_t") <= max_token_df)
+    w = w.drop("df_t").cache()
+    norms = w.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    keys = (["blk"] if block_col else []) + ["tok"]
+    a = w.select(F.col("id").alias("a_id"), *keys, F.col("wq").alias("a_wq"))
+    b = w.select(F.col("id").alias("b_id"), *keys, F.col("wq").alias("b_wq"))
+    num = (
+        a.join(b, keys)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("a_wq") * F.col("b_wq")).alias("num"),
+        )
+    )
+    na = norms.select(F.col("id").alias("a_id"), F.col("n2").alias("a_n2"))
+    nb = norms.select(F.col("id").alias("b_id"), F.col("n2").alias("b_n2"))
+    return (
+        num.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.round(
+                F.col("num") / (F.sqrt("a_n2") * F.sqrt("b_n2")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

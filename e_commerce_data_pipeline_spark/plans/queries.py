@@ -4069,6 +4069,117 @@ def q96_top_revenue_suppliers(spark, sf_dir):
     )
 
 
+@_register(
+    "q97_dsir_importance",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_target,
+               {_SQL_TOKS} AS t
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, is_target, unnest(t) AS tok FROM toks),
+    cnt AS (
+        SELECT tok, COUNT(*) AS c_raw,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_tgt
+        FROM tok GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+               CAST(SUM(c_tgt) AS BIGINT) AS t_tgt,
+               COUNT(*) AS v
+        FROM cnt
+    ),
+    lw AS (
+        SELECT tok,
+               CAST(round((ln((c_tgt + 1) / (1.0 * (t_tgt + v)))
+                         - ln((c_raw + 1) / (1.0 * (t_raw + v))))
+                          * 1000000) AS BIGINT) AS w_micro
+        FROM cnt, tot
+    )
+    SELECT doc_id, is_target, COUNT(*) AS n_tokens,
+           CAST(SUM(w_micro) AS BIGINT) AS sum_w_micro,
+           CAST(SUM(w_micro) AS BIGINT) / (1.0 * COUNT(*)) AS avg_w_micro
+    FROM tok JOIN lw USING (tok)
+    GROUP BY doc_id, is_target
+    """,
+    "Training-data op: DSIR importance weighting (Xie et al. 2023) — "
+    "score every doc by the summed log-likelihood ratio of its tokens "
+    "under a target distribution (sources src0/src1 here) vs the raw "
+    "corpus, add-1 smoothed over the raw vocabulary. One token "
+    "explode feeds BOTH distributions (conditional sum in the same "
+    "partial agg); per-token log-ratios are quantized once to "
+    "micro-units so per-doc weights are exact integer sums. "
+    "operators/sampling.py dsir_importance.",
+)
+def q97_dsir_importance(spark, sf_dir):
+    from ..operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"),
+        F.col("source").isin("src0", "src1"),
+    )
+
+
+@_register(
+    "q98_tfidf_cosine_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM toks),
+    tf AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, lang, tok
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+    w AS (
+        SELECT doc_id, lang, tok,
+               tf * CAST(round(ln(n_docs / (1.0 * df_t)) * 1000000)
+                         AS BIGINT) AS wq
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2
+        FROM w GROUP BY doc_id
+    ),
+    num AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               COUNT(*) AS n_shared,
+               CAST(SUM(a.wq * b.wq) AS BIGINT) AS num
+        FROM w a
+        JOIN w b ON a.tok = b.tok AND a.lang = b.lang
+                AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, n_shared,
+           round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS sim
+    FROM num
+    JOIN norms na ON na.doc_id = a_id
+    JOIN norms nb ON nb.doc_id = b_id
+    WHERE round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.8
+    """,
+    "Sparse lexical similarity: same-language doc pairs with tf-idf "
+    "cosine >= 0.8 through an inverted-index self-join (the sparse "
+    "counterpart of the dense-embedding q26/q28 family, and the "
+    "BM25-ish near-dup signal of corpus curation). Join key is "
+    "(lang, token) so cost is Sigma block-df^2, never corpus^2; idf "
+    "is corpus-global and quantized once to micro-units, making pair "
+    "dot products and norms exact integer sums — the only floats are "
+    "one sqrt+divide per surviving pair. max_token_df (stop-token "
+    "cut) stays available for Zipfian corpora; this 31-token "
+    "synthetic vocab would cut to nothing. operators/similarity.py "
+    "tfidf_cosine_pairs.",
+)
+def q98_tfidf_cosine_pairs(spark, sf_dir):
+    from ..operators.similarity import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -162,3 +162,44 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     assert len(by_cluster[0]) == 3 and len(by_cluster[1]) == 2
     assert all(r["cluster_size"] == 10 for r in by_cluster[0])
     assert all(r["rk"] <= 3 for r in out1)
+
+
+def test_dsir_importance_hand_checked(spark):
+    import math
+
+    from e_commerce_data_pipeline_spark.operators.sampling import (
+        dsir_importance,
+    )
+
+    # target docs are pure "aa", raw adds "bb"-heavy noise docs
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa", "tgt"),
+            (2, "aa bb", "tgt"),
+            (3, "bb bb bb", "other"),
+            (4, "bb cc", "other"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            docs, F.col("source") == "tgt"
+        ).collect()
+    }
+    # corpus: aa=3 (tgt 3), bb=5 (tgt 1), cc=1 (tgt 0); V=3,
+    # t_raw=9, t_tgt=4
+    def w(c_tgt, c_raw):
+        return round(
+            (math.log((c_tgt + 1) / 7.0) - math.log((c_raw + 1) / 12.0))
+            * 1_000_000
+        )
+
+    w_aa, w_bb, w_cc = w(3, 3), w(1, 5), w(0, 1)
+    assert w_aa > 0 > w_bb  # target-like tokens up, noise tokens down
+    assert out[1]["sum_w_micro"] == 2 * w_aa
+    assert out[2]["sum_w_micro"] == w_aa + w_bb
+    assert out[3]["sum_w_micro"] == 3 * w_bb
+    assert out[4]["sum_w_micro"] == w_bb + w_cc
+    assert out[1]["is_target"] and not out[3]["is_target"]
+    assert out[3]["n_tokens"] == 3

@@ -428,3 +428,44 @@ def test_incremental_near_dups_only_cross_side_pairs(spark):
     assert got == {(100, 1), (100, 2)}
     for r in pairs:
         assert r["jaccard"] == 1.0
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red widget gear", "en"),
+            (2, "red widget gear", "en"),  # identical -> sim 1.0
+            (3, "blue bolt spring", "en"),  # token-disjoint from 1/2
+            (4, "red widget gear", "fr"),  # identical but other block
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.0, block_col="lang"
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # no cross-block, no token-disjoint
+    assert pairs[(1, 2)]["sim"] == 1.0
+    assert pairs[(1, 2)]["n_shared"] == 3
+
+    # stop-token cut: "red" in every doc of the block is droppable
+    docs2 = spark.createDataFrame(
+        [
+            (1, "red aa"),
+            (2, "red bb"),
+            (3, "red cc"),
+        ],
+        "doc_id long, text string",
+    )
+    all_pairs = tfidf_cosine_pairs(docs2, threshold=-1.0).collect()
+    cut_pairs = tfidf_cosine_pairs(
+        docs2, threshold=-1.0, max_token_df=2
+    ).collect()
+    assert len(all_pairs) == 3  # every pair shares "red"
+    assert cut_pairs == []  # cut removes the stop token -> no shared keys
