@@ -751,3 +751,119 @@ def incremental_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) ----
+
+_WIN_POS_BITS = 20  # supports docs up to 2^20 k-grams (~1M tokens)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash
+    every token k-gram, slide a window of ``w`` consecutive hashes,
+    and keep the minimum of each window (rightmost on ties) — the
+    fingerprint set is position-robust (any shared substring of
+    length >= w+k-1 tokens is guaranteed to share a fingerprint) and
+    ~2/(w+1) the density of the full hash stream.
+
+    The rightmost-min selection runs as ONE window min over an
+    encoded key ``h * 2^20 + (2^20-1 - pos)`` (min hash first, then
+    max position), decoded after — no per-window argmin subquery.
+    Hashes are the portable 32-bit md5 prefix (the ``hash_uniform``
+    family), so any engine reproduces them nibble-for-nibble.
+
+    Docs with fewer than ``w`` k-grams fall back to a single window
+    over all their grams (one fingerprint), keeping every doc with
+    >= k tokens represented.
+
+    Scale shape: linear — explode grams once, one per-doc window
+    pass (bounded state: w rows), one distinct. No joins.
+
+    Returns distinct ``(id, fp_hash, fp_pos)``.
+    """
+    pos_cap = 1 << _WIN_POS_BITS
+    grams = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            "id",
+            # the CASE guard is load-bearing even under the filter:
+            # Catalyst may collapse this projection into the scan and
+            # evaluate it on rows the filter later drops, and
+            # sequence(0, size-k) with size < k is a DESCENDING
+            # sequence whose negative indices crash slice()
+            F.expr(
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
+                f"ELSE array() END"
+            ).alias("__grams"),
+        )
+        .select(
+            "id",
+            F.size("__grams").alias("n_grams"),
+            F.posexplode("__grams").alias("pos", "gram"),
+        )
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    key = h * F.lit(pos_cap) + (F.lit(pos_cap - 1) - F.col("pos"))
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.withColumn("__key", key)
+        .withColumn("__sel", F.min("__key").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select(
+            "id",
+            F.expr(f"__sel div {pos_cap}").alias("fp_hash"),
+            (
+                F.lit(pos_cap - 1) - F.col("__sel") % pos_cap
+            ).cast("long").alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowing fingerprint
+    HASHES (content matches at any position) — the candidate
+    generator MOSS uses for plagiarism/near-dup detection.
+
+    Pairs form only through shared fingerprint hashes (equi-join on
+    the hash), and winnowing keeps ~2/(w+1) of grams, so the join is
+    over a stream ~3x sparser than the q23/q77 shingle joins with
+    the same Sigma df^2 bound.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, w)
+        .select("id", "fp_hash")
+        .distinct()
+        .cache()
+    )
+    a = fps.select(F.col("id").alias("a_id"), "fp_hash")
+    b = fps.select(F.col("id").alias("b_id"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )

@@ -4127,15 +4127,20 @@ def q97_dsir_importance(spark, sf_dir):
     WITH toks AS (
         SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
     ),
-    tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM toks),
+    blocked AS (
+        SELECT doc_id, lang || '|' || CAST(len(t) // 16 AS VARCHAR) AS blk,
+               t
+        FROM toks
+    ),
+    tok AS (SELECT doc_id, blk, unnest(t) AS tok FROM blocked),
     tf AS (
-        SELECT doc_id, lang, tok, COUNT(*) AS tf
-        FROM tok GROUP BY doc_id, lang, tok
+        SELECT doc_id, blk, tok, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, blk, tok
     ),
     nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
     dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
     w AS (
-        SELECT doc_id, lang, tok,
+        SELECT doc_id, blk, tok,
                tf * CAST(round(ln(n_docs / (1.0 * df_t)) * 1000000)
                          AS BIGINT) AS wq
         FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
@@ -4149,7 +4154,7 @@ def q97_dsir_importance(spark, sf_dir):
                COUNT(*) AS n_shared,
                CAST(SUM(a.wq * b.wq) AS BIGINT) AS num
         FROM w a
-        JOIN w b ON a.tok = b.tok AND a.lang = b.lang
+        JOIN w b ON a.tok = b.tok AND a.blk = b.blk
                 AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -4160,23 +4165,150 @@ def q97_dsir_importance(spark, sf_dir):
     JOIN norms nb ON nb.doc_id = b_id
     WHERE round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.8
     """,
-    "Sparse lexical similarity: same-language doc pairs with tf-idf "
-    "cosine >= 0.8 through an inverted-index self-join (the sparse "
-    "counterpart of the dense-embedding q26/q28 family, and the "
-    "BM25-ish near-dup signal of corpus curation). Join key is "
-    "(lang, token) so cost is Sigma block-df^2, never corpus^2; idf "
-    "is corpus-global and quantized once to micro-units, making pair "
-    "dot products and norms exact integer sums — the only floats are "
+    "Sparse lexical similarity: doc pairs with tf-idf cosine >= 0.8 "
+    "through an inverted-index self-join (the sparse counterpart of "
+    "the dense-embedding q26/q28 family, and the BM25-ish near-dup "
+    "signal of corpus curation). Blocking key is (lang, 16-token "
+    "length band) — near-dups land in the same band by construction, "
+    "and the join cost is Sigma block-df^2, never corpus^2 (the "
+    "lang-only block measured 11.6 s at sf0.1 on this 31-token "
+    "max-density vocab; the band cuts it ~7x). idf stays "
+    "corpus-global, quantized once to micro-units, so pair dot "
+    "products and norms are exact integer sums — the only floats are "
     "one sqrt+divide per surviving pair. max_token_df (stop-token "
-    "cut) stays available for Zipfian corpora; this 31-token "
-    "synthetic vocab would cut to nothing. operators/similarity.py "
-    "tfidf_cosine_pairs.",
+    "cut) stays available for Zipfian corpora. "
+    "operators/similarity.py tfidf_cosine_pairs.",
 )
 def q98_tfidf_cosine_pairs(spark, sf_dir):
     from ..operators.similarity import tfidf_cosine_pairs
+    from ..operators.text import tokens
 
-    return tfidf_cosine_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8, block_col="lang"
+    band = F.floor(F.size(tokens("text")) / 16).cast("int").cast("string")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang_band", F.concat(F.col("lang"), F.lit("|"), band)
+    )
+    return tfidf_cosine_pairs(docs, threshold=0.8, block_col="lang_band")
+
+
+@_register(
+    "q99_copurchase_reachability",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    seeds AS (
+        SELECT DISTINCT s FROM e
+        JOIN part ON p_partkey = s
+        WHERE p_brand = 'Brand#1'
+    ),
+    reach(pk, depth) AS (
+        SELECT s, 0 FROM seeds
+        UNION ALL
+        SELECT e.d, depth + 1
+        FROM reach r JOIN e ON e.s = r.pk
+        WHERE depth < 3
+    )
+    SELECT pk AS p_partkey, CAST(MIN(depth) AS BIGINT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY pk
+    """,
+    "Native recursive CTE (SQL:1999 recursion, new in Spark 4): "
+    "bounded-depth BFS over the high-volume co-purchase graph — "
+    "every part reachable within 3 hops of a Brand#1 seed part, with "
+    "min hop count and path multiplicity. The edge list is "
+    "sparsified by the qty>=45 gate BEFORE pairing (the per-order "
+    "self-join stays bounded by order size); each recursion round is "
+    "one frontier-edge equi-join, the same shuffle shape as the "
+    "iterative pagerank/components operators but expressed "
+    "declaratively and executed by Catalyst's UnionLoop. Depth bound "
+    "+ min-agg make duplicate paths well-defined on both engines.",
+)
+def q99_copurchase_reachability(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q99")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part_q99")
+    return spark.sql(
+        """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+            FROM v_lineitem_q99 a
+            JOIN v_lineitem_q99 b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+        ),
+        seeds AS (
+            SELECT DISTINCT s FROM e
+            JOIN v_part_q99 ON p_partkey = s
+            WHERE p_brand = 'Brand#1'
+        ),
+        reach(pk, depth) AS (
+            SELECT s, 0 FROM seeds
+            UNION ALL
+            SELECT e.d, depth + 1
+            FROM reach r JOIN e ON e.s = r.pk
+            WHERE depth < 3
+        )
+        SELECT pk AS p_partkey, CAST(MIN(depth) AS BIGINT) AS hops,
+               COUNT(*) AS n_paths
+        FROM reach GROUP BY pk
+        """
+    )
+
+
+@_register(
+    "q100_winnow_candidates",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    g AS (
+        SELECT doc_id, len(t) - 3 AS n_grams,
+               unnest(list_transform(range(len(t) - 3),
+                   i -> {{'p': i,
+                          'h': ('0x' || substr(md5(t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4]), 1, 8))
+                               ::BIGINT}}
+               )) AS u
+        FROM toks WHERE len(t) >= 4
+    ),
+    keys AS (
+        SELECT doc_id, n_grams, u.p AS pos,
+               u.h * 1048576 + (1048575 - u.p) AS key
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, skey // 1048576 AS fp_hash
+        FROM (
+            SELECT doc_id, n_grams, pos,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                       AS skey
+            FROM keys
+        )
+        WHERE pos <= GREATEST(n_grams - 5, 0)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM sel a JOIN sel b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    "Training-data op: winnowing fingerprints (Schleimer et al. 2003 "
+    "— the MOSS plagiarism detector): hash every token 4-gram, keep "
+    "the rightmost minimum of each 5-hash sliding window (ONE window "
+    "min over an encoded hash*2^20+revpos key, no per-window argmin "
+    "subquery), then pair docs sharing >=2 selected hashes. Any "
+    "shared run of >= 8 tokens is GUARANTEED to share a fingerprint, "
+    "at ~1/3 the join density of the raw shingle stream (q23). "
+    "Portable 32-bit md5-prefix hashes. operators/dedup.py "
+    "winnow_fingerprints / winnow_candidate_pairs.",
+)
+def q100_winnow_candidates(spark, sf_dir):
+    from ..operators.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=4, w=5, min_shared=2
     )
 
 

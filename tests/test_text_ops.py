@@ -469,3 +469,55 @@ def test_tfidf_cosine_pairs_semantics(spark):
     ).collect()
     assert len(all_pairs) == 3  # every pair shares "red"
     assert cut_pairs == []  # cut removes the stop token -> no shared keys
+
+
+def test_winnow_fingerprint_guarantee_and_pairs(spark):
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine ten"),
+            (3, "completely different words with no overlap here at all"),
+            (4, "tiny doc"),  # < k tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, w=5)
+    by_doc = {
+        i: {r["fp_hash"] for r in rows}
+        for i, rows in (
+            (i, [r for r in fps.collect() if r["id"] == i]) for i in (1, 2, 3)
+        )
+    }
+    # winnowing guarantee: docs 1 and 2 share an 8-token run
+    # (>= w + k - 1 = 8) -> they MUST share a fingerprint hash
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in {r["id"] for r in fps.collect()}
+
+    # identical docs -> identical fingerprint sets, max shared count
+    docs2 = spark.createDataFrame(
+        [(1, shared + " tail one"), (2, shared + " tail one")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_candidate_pairs(docs2, k=4, w=5, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0]["a_id"] == 1 and pairs[0]["b_id"] == 2
+    f2 = winnow_fingerprints(docs2, k=4, w=5)
+    sets = {}
+    for r in f2.collect():
+        sets.setdefault(r["id"], set()).add((r["fp_hash"], r["fp_pos"]))
+    assert sets[1] == sets[2]
+    assert pairs[0]["n_shared_fp"] == len({h for h, _ in sets[1]})
+
+    # density: selected fingerprints are a strict subset of grams
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i % 13}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    n_fp = winnow_fingerprints(long_doc, k=4, w=5).count()
+    assert 0 < n_fp < 57  # 57 grams; winnowing must thin them
