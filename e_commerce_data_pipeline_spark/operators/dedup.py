@@ -788,24 +788,16 @@ def winnow_fingerprints(
     Returns distinct ``(id, fp_hash, fp_pos)``.
     """
     pos_cap = 1 << _WIN_POS_BITS
+    # shingles_of does the guarded, element_at-based gram build over a
+    # PINNED token projection (a slice()-per-gram formulation measured
+    # 16 s vs 2 s at sf0.1 — slice copies a k-array per gram, and any
+    # filter between the projections lets Catalyst inline the
+    # tokenizer back into the lambda); short docs yield an empty gram
+    # array and vanish at the explode.
     grams = (
         _spread(df)
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .filter(F.size("__toks") >= k)
-        .select(
-            "id",
-            # the CASE guard is load-bearing even under the filter:
-            # Catalyst may collapse this projection into the scan and
-            # evaluate it on rows the filter later drops, and
-            # sequence(0, size-k) with size < k is a DESCENDING
-            # sequence whose negative indices crash slice()
-            F.expr(
-                f"CASE WHEN size(__toks) >= {k} THEN "
-                f"transform(sequence(0, size(__toks) - {k}), "
-                f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
-                f"ELSE array() END"
-            ).alias("__grams"),
-        )
+        .select("id", shingles_of("__toks", k).alias("__grams"))
         .select(
             "id",
             F.size("__grams").alias("n_grams"),

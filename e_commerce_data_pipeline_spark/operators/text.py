@@ -347,3 +347,49 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched pandas UDF: ``len(zlib(text)) / len(text)`` per
+    document — the classic compression-ratio quality signal (used by
+    C4/RefinedWeb-style filters: boilerplate and repeated spans
+    compress far below ~0.4; high-entropy gibberish sits near 1.0).
+
+    zlib is stdlib, so unlike the codec-gated multimodal kernels this
+    runs for real everywhere. DEFLATE output is fully determined by
+    (input, level, strategy) for a fixed zlib build, but is NOT
+    portable across engines/builds — so this ships as a
+    pytest-verified operator, not an oracle-gated query.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio, "double")
+
+
+def compression_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc compression-ratio quality signal with the byte length
+    it was computed over: ``(id_col, n_bytes, zlib_ratio)``. Kernel
+    cost is linear in bytes; batches stream through Arrow, nothing
+    but two scalars per doc crosses back to the JVM."""
+    return df.select(
+        F.col(id_col),
+        F.octet_length(text_col).cast("long").alias("n_bytes"),
+        compression_ratio_udf()(F.col(text_col)).alias("zlib_ratio"),
+    )

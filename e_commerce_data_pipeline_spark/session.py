@@ -37,6 +37,18 @@ _DYNAMIC_CONF = {
     # are all far below this at every SF we target per-executor.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate synthesizes size(arr)>0/isnotnull
+    # filters under every explode and PushDownPredicates then inlines
+    # the full array-building expression into them (twice) — for
+    # computed arrays (shingles, grams, chunk windows) that re-runs
+    # the tokenizer per row per predicate BELOW the repartition
+    # barrier: measured 50.8 s -> 1.4 s on winnowing and -26% on the
+    # shingle join family at sf0.1. The rule only ever pays when the
+    # generator input is a STORED column (pushable to the scan),
+    # which no operator here generates from.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

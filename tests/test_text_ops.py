@@ -521,3 +521,29 @@ def test_winnow_fingerprint_guarantee_and_pairs(spark):
     )
     n_fp = winnow_fingerprints(long_doc, k=4, w=5).count()
     assert 0 < n_fp < 57  # 57 grams; winnowing must thin them
+
+
+def test_compression_signals_separate_repetition_from_entropy(spark):
+    from e_commerce_data_pipeline_spark.operators.text import (
+        compression_signals,
+    )
+
+    rep = "spam ham " * 200
+    # deterministic high-entropy text (md5 hex chained)
+    import hashlib
+
+    parts, h = [], b"seed"
+    for _ in range(100):
+        h = hashlib.md5(h).digest()
+        parts.append(h.hex())
+    rnd = " ".join(parts)
+    docs = spark.createDataFrame(
+        [(1, rep), (2, rnd), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    assert rows[1]["zlib_ratio"] < 0.1  # repetition collapses
+    assert rows[2]["zlib_ratio"] > 0.5  # entropy doesn't
+    assert rows[3]["zlib_ratio"] is None and rows[3]["n_bytes"] is None
+    assert rows[4]["zlib_ratio"] == 1.0 and rows[4]["n_bytes"] == 0
+    assert rows[1]["n_bytes"] == len(rep.encode())
