@@ -431,3 +431,62 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_unit_vec(a: Column, levels: int = 127) -> Column:
+    """Symmetric int8-style quantization of a unit vector:
+    ``round(u_i * levels)`` per dimension. On unit inputs every
+    component is in [-1, 1], so values fit [-levels, levels] — the
+    scalar-quantization codebook of FAISS SQ8 / product-quantization
+    coarse stages."""
+    u = unit_vec(a)
+    return F.transform(u, lambda x: F.round(x * levels).cast("long"))
+
+
+def quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    levels: int = 127,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by INTEGER dot product over int8-quantized
+    unit vectors — the memory-bandwidth play of large-scale ANN (4x
+    smaller vectors than float32, SIMD int8 dot on real hardware; at
+    100 TB the quantized corpus is what fits the page cache).
+
+    Integer dots are EXACT: scoring is engine/partition-order
+    independent (products <= levels^2, sums <= dim * levels^2 — far
+    inside int64), unlike float dots which need rounding tolerance.
+    The only float step is the one-time normalization+quantization of
+    each vector. Ranking ties break on neighbor id.
+
+    Returns ``(query_id, neighbor_id, dot_q, rk)``.
+    """
+    corpus = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_unit_vec(F.col(vec_col), levels).alias("c_q"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_unit_vec(F.col(vec_col), levels).alias("q_q"),
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("q_q"), F.col("c_q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot_q", dot_q)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rk")
+    )

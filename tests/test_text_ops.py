@@ -547,3 +547,29 @@ def test_compression_signals_separate_repetition_from_entropy(spark):
     assert rows[3]["zlib_ratio"] is None and rows[3]["n_bytes"] is None
     assert rows[4]["zlib_ratio"] == 1.0 and rows[4]["n_bytes"] == 0
     assert rows[1]["n_bytes"] == len(rep.encode())
+
+
+def test_quantized_topk_bounds_and_recall(spark, sf_dir):
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    qt = quantized_topk(emb, q, k=5).collect()
+    # integer dots of 64-dim int8 unit vectors are bounded by dim*127^2
+    assert all(abs(r["dot_q"]) <= 64 * 127 * 127 for r in qt)
+    exact = cosine_topk(emb, q, k=5).collect()
+    by_q_quant = {}
+    for r in qt:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # int8 quantization should preserve most of the exact top-5
+    hits = sum(
+        len(by_q_quant[k] & by_q_exact[k]) for k in by_q_exact
+    )
+    assert hits >= 0.6 * sum(len(v) for v in by_q_exact.values())
