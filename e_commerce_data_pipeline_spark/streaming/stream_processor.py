@@ -355,3 +355,68 @@ def drain_streaming_dedup(
         q.stop()
         raise TimeoutError("streaming-dedup drain did not finish in 300s")
     return spark.table(name)
+
+
+def drain_static_enriched_events(
+    spark: SparkSession,
+    events_path: str,
+    high_cents: int = 500_000,
+    mid_cents: int = 100_000,
+) -> DataFrame:
+    """Stream-STATIC join (the stateless enrichment shape of W-family
+    streaming): every event in a bounded parquet stream is joined to a
+    broadcast per-user value-tier profile computed batch-side from the
+    same table, then drained with availableNow.
+
+    Stream-static joins keep NO state (each micro-batch probes the
+    static side), so the drain runs in append mode with no watermark —
+    the production analog is a click stream enriched against a
+    warehouse dimension refreshed per deploy. The profile tier
+    thresholds are integer cents on exact fixed-point sums, so the
+    drained rows equal the batch join row-for-row.
+
+    Returns one row per event: ``(event_id, user_id, event_type,
+    tier)``.
+    """
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    batch = spark.read.parquet(events_path)
+    profile = (
+        batch.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "total_cents"
+            )
+        )
+        .select(
+            "user_id",
+            F.when(F.col("total_cents") >= high_cents, "high")
+            .when(F.col("total_cents") >= mid_cents, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    parent, fname = events_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+    enriched = stream.join(F.broadcast(profile), "user_id").select(
+        "event_id", "user_id", "event_type", "tier"
+    )
+    global _WDRAIN_SEQ
+    _WDRAIN_SEQ += 1
+    name = f"stream_static_drain_{_WDRAIN_SEQ}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-static drain did not finish in 300s")
+    return spark.table(name)
