@@ -4723,6 +4723,63 @@ def q107_refund_excess_multiset(spark, sf_dir):
     )
 
 
+@_register(
+    "q108_snapshot_diff",
+    """
+    WITH oldv AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem WHERE l_shipdate < DATE '1999-01-01'
+        GROUP BY l_orderkey
+    ),
+    newv AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN o.l_orderkey IS NULL THEN 'added'
+                WHEN n.l_orderkey IS NULL THEN 'removed'
+                WHEN o.n_lines <> n.n_lines OR o.total_qty <> n.total_qty
+                THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           COUNT(*) AS n_orders
+    FROM oldv o FULL OUTER JOIN newv n ON o.l_orderkey = n.l_orderkey
+    GROUP BY diff_status
+    """,
+    "Backfill/reprocessing audit: snapshot_diff between the "
+    "'as-of-1998' per-order rollup and the full rollup — which "
+    "orders a reprocessing run would add or change. Each side "
+    "collapses to (key, md5 fingerprint) before the FULL OUTER join, "
+    "so however wide the snapshots are, the join moves two narrow "
+    "frames; statuses aggregate to a 3-row summary. "
+    "operators/cdc.py snapshot_diff.",
+)
+def q108_snapshot_diff(spark, sf_dir):
+    from ..operators.cdc import snapshot_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def rollup(df):
+        return df.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+        )
+
+    old = rollup(
+        li.filter(F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    new = rollup(li)
+    return (
+        snapshot_diff(old, new, ["l_orderkey"])
+        .groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -139,3 +139,63 @@ def test_q79_calendar_join_is_broadcast(spark, sf_dir):
     # per-day aggregate joins the exploded calendar without a shuffle
     # of the big side at this size; no cartesian anywhere
     assert "CartesianProduct" not in plan
+
+
+def test_q94_disjunctive_filter_stays_on_broadcast_join(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q94_bracket_revenue"].fn(spark, sf_dir))
+    # part dim broadcasts; the disjunctive predicate never forces a
+    # shuffle join or a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the lineitem-only quantity envelope reaches the scan reader
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l and "l_quantity" in l]
+    assert scan, plan
+
+
+def test_q89_having_runs_on_partial_agg(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q89_large_volume_orders"].fn(spark, sf_dir))
+    # per-order rollup is a two-phase hash aggregate (map-side partial
+    # before the orderkey shuffle), not a window over raw lineitem
+    assert "partial_sum" in plan or "partial_finalmerge" in plan, plan
+    assert "BroadcastHashJoin" in plan  # customer dim
+
+
+def test_q98_pair_join_is_equi_join_on_block_token(spark, sf_dir):
+    plan = _executed_plan(
+        QUERIES["q98_tfidf_cosine_pairs"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # (a BroadcastNestedLoopJoin IS expected once: the 1-row corpus
+    # totals crossJoin for idf)
+    # equi-join on (block, token): hash-based at any size (AQE picks
+    # broadcast-hash at test SF, shuffle-hash/sort-merge at scale)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_q102_quantized_scoring_broadcasts_queries(spark, sf_dir):
+    plan = _executed_plan(QUERIES["q102_quantized_knn"].fn(spark, sf_dir))
+    # the 5-query side broadcasts; the corpus is scanned once with no
+    # shuffle before scoring
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q100_winnow_has_no_inferred_generate_filter(spark, sf_dir):
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from e_commerce_data_pipeline_spark.catalog import load_table
+
+    df = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the InferFiltersFromGenerate exclusion keeps the tokenizer out
+    # of synthesized filters: no Filter node may contain the
+    # tokenizer's regexp_replace (a reappearance means the optimizer
+    # re-inlined the gram build below the explode)
+    for line in opt.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert "regexp_replace" not in line, line

@@ -159,3 +159,32 @@ def test_cdc_consistency(spark, event_id, op, before, after, expected):
     df = spark.createDataFrame([(event_id, op, before, after)], schema=CDC_SCHEMA)
     v = _violations(validate_cdc(df))
     assert v[event_id][0] == expected
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from e_commerce_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (3, "", 30)],
+        "k long, s string, v long",
+    )
+    out = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # null vs empty string must NOT collide
+        4: "added",
+    }
+    # removal direction
+    out2 = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(new, old, ["k"]).collect()
+    }
+    assert out2[4] == "removed"
