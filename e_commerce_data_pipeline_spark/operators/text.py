@@ -393,3 +393,99 @@ def compression_signals(
         F.octet_length(text_col).cast("long").alias("n_bytes"),
         compression_ratio_udf()(F.col(text_col)).alias("zlib_ratio"),
     )
+
+
+def _apply_bpe_merge(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) symbol pairs in
+    one aggregate fold: append each symbol unless it completes the
+    pair with the previously emitted one, in which case the pair is
+    replaced by the merged symbol. Matches the classic BPE
+    non-overlapping replace ('aaa' + merge(a,a) -> ['aa','a'])."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    tokenizer-construction step of an LLM data pipeline, distributed
+    the way IVF's Lloyd loop is: the corpus collapses ONCE to a
+    (word, freq) table that stays distributed; each round counts
+    weighted adjacent symbol pairs with map-side partial aggregation,
+    collects only the single argmax pair to the driver (ties break
+    (count DESC, pair ASC) so training is deterministic), and applies
+    the merge as a native fold over the symbol arrays. Driver traffic
+    per round is ONE row — corpus-size independent.
+
+    Word frequencies use the same pre-tokenizer as q88
+    (letter runs / digit runs / single symbols). Returns
+    ``(merges, vocab_df)``: the ordered merge list
+    ``[(a, b, pair_count), ...]`` and the final distributed
+    (symbol, count) vocabulary.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all({text_col}, "
+                    "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).cache()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_struct = F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS a, "
+            "element_at(syms, i + 1) AS b))"
+        )
+        top = (
+            syms.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pair_struct).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, c))
+        nxt = syms.select(
+            "freq", _apply_bpe_merge(F.col("syms"), a, b).alias("syms")
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        syms.unpersist()
+        syms = nxt
+    vocab = (
+        syms.select("freq", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("freq").alias("count"))
+    )
+    return merges, vocab

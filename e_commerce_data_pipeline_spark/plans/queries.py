@@ -4780,6 +4780,67 @@ def q108_snapshot_diff(spark, sf_dir):
     )
 
 
+@_register(
+    "q109_bpe_pair_counts",
+    """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS w
+        FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(length(w) - 1),
+                   i -> {'a': w[i+1], 'b': w[i+2]})) AS p,
+               freq
+        FROM wf WHERE length(w) >= 2
+    )
+    SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY p.a, p.b
+    ORDER BY pair_count DESC, a, b
+    LIMIT 20
+    """,
+    "Tokenizer training: the distributed core of BPE merge training "
+    "(operators/text.py train_bpe_merges) — frequency-weighted "
+    "adjacent character-pair counts over the pre-tokenized word "
+    "table, i.e. round 1's merge candidates. The corpus collapses to "
+    "(word, freq) once; pair counting partial-aggregates map-side; "
+    "only the argmax crosses to the driver per round in the full "
+    "trainer (reference-equivalence-tested in pytest — the loop "
+    "itself is iterative and not SQL-expressible).",
+)
+def q109_bpe_pair_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "regexp_extract_all(text, "
+                    "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS a, "
+                "substring(w, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

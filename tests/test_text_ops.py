@@ -573,3 +573,64 @@ def test_quantized_topk_bounds_and_recall(spark, sf_dir):
         len(by_q_quant[k] & by_q_exact[k]) for k in by_q_exact
     )
     assert hits >= 0.6 * sum(len(v) for v in by_q_exact.values())
+
+
+def _bpe_reference(word_freqs, n_merges, min_pair_count=2):
+    """Pure-Python BPE with identical greedy fold + tie-break."""
+    syms = {w: [list(w), f] for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for s, f in syms.values():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((a, b, c))
+        for entry in syms.values():
+            s = entry[0]
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            entry[0] = out
+    vocab = {}
+    for s, f in syms.values():
+        for x in s:
+            vocab[x] = vocab.get(x, 0) + f
+    return merges, vocab
+
+
+def test_bpe_training_matches_reference(spark):
+    from e_commerce_data_pipeline_spark.operators.text import (
+        train_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest",
+        "low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab_df = train_bpe_merges(docs, n_merges=8)
+    # reference word freqs from the same pre-tokenizer (words only here)
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    ref_merges, ref_vocab = _bpe_reference(wf, 8)
+    assert merges == ref_merges
+    vocab = {r["symbol"]: r["count"] for r in vocab_df.collect()}
+    assert vocab == ref_vocab
+    # the dominant pattern 'low'/'new' must have merged into one token
+    assert any(a + b in ("lo", "low", "ne", "new") for a, b, _ in merges)
