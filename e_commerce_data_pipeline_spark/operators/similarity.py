@@ -490,3 +490,85 @@ def quantized_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rk")
     )
+
+
+def quantized_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, vq): embeddings quantized to integer micro-units —
+    round(x * scale) per dimension, the exactness bridge for
+    cross-engine float-free moment computation."""
+    return _spread(emb).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("vq"),
+    )
+
+
+def pca_top_component(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    power_iters: int = 100,
+):
+    """First principal component of an embedding corpus, computed the
+    distributed-exact way: raw moments accumulate as INTEGER sums over
+    micro-quantized vectors (order/partition independent — no float
+    drift between runs or engines), and only the tiny (dim x dim)
+    covariance eigenproblem runs on the driver (deterministic power
+    iteration from the ones vector, sign fixed on the first non-zero
+    component).
+
+    Scale shape: ONE explode-self-join keyed on the row id produces
+    the dim^2 co-moment stream with map-side partial aggregation —
+    dim^2 rows reach the driver regardless of corpus size (the same
+    bounded-driver-traffic contract as IVF's Lloyd loop and BPE's
+    argmax). int64 headroom: sum |vq_i*vq_j| < n * (|v|max*scale)^2 —
+    drop ``scale`` to 1e3 past ~1e8 rows of unit-normed vectors.
+
+    Returns the unit float pc1 as a list of ``dim`` floats.
+    """
+    import numpy as np
+
+    ex = quantized_vectors(emb, id_col, vec_col, scale).select(
+        "id", F.posexplode("vq").alias("i", "a")
+    )
+    b = ex.select(F.col("id"), F.col("i").alias("j"), F.col("a").alias("b"))
+    S_rows = (
+        ex.join(b, "id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("s"))
+        .collect()
+    )
+    m_rows = (
+        ex.groupBy("i")
+        .agg(F.sum("a").alias("m"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = m_rows[0]["n"]
+    S = np.zeros((dim, dim))
+    for r in S_rows:
+        S[r["i"], r["j"]] = r["s"]
+    m = np.zeros(dim)
+    for r in m_rows:
+        m[r["i"]] = r["m"]
+    # covariance from exact integer moments: C = S/n - (m/n)(m/n)^T
+    C = S / n - np.outer(m / n, m / n)
+    v = np.ones(dim)
+    for _ in range(power_iters):
+        v = C @ v
+        v = v / np.linalg.norm(v)
+    # deterministic sign: first component with |x| > tol positive
+    for x in v:
+        if abs(x) > 1e-12:
+            if x < 0:
+                v = -v
+            break
+    return [float(x) for x in v]

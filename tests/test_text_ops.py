@@ -634,3 +634,29 @@ def test_bpe_training_matches_reference(spark):
     assert vocab == ref_vocab
     # the dominant pattern 'low'/'new' must have merged into one token
     assert any(a + b in ("lo", "low", "ne", "new") for a, b, _ in merges)
+
+
+def test_pca_top_component_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc1 = np.array(pca_top_component(emb, dim=64))
+    assert abs(np.linalg.norm(pc1) - 1.0) < 1e-9
+    # reference: full eigendecomposition of the numpy covariance of
+    # the SAME quantized vectors
+    X = np.stack(
+        [
+            np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+            for r in emb.collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    ref = V[:, -1]
+    align = abs(float(pc1 @ ref))
+    assert align > 0.999, align
