@@ -5092,6 +5092,114 @@ def q112_pca_label_projection(spark, sf_dir):
     )
 
 
+@_register(
+    "q113_quality_gate_ensemble",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, t, {_SQL_TRIGRAMS} AS tg FROM toks),
+    base AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN len(t) = 0 THEN 0
+                    ELSE length(array_to_string(t, ' ')) - (len(t) - 1)
+                    END AS BIGINT) AS n_chars_nospace,
+               CAST(len(tg) AS BIGINT) AS n_trigrams,
+               CAST(len(tg) - len(list_distinct(tg)) AS BIGINT)
+                   AS n_dup_trigrams
+        FROM sh
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_token_count
+        FROM (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    ),
+    gop AS (
+        SELECT b.doc_id,
+               (n_tokens BETWEEN 10 AND 1000)
+                   AND n_chars_nospace >= 3 * n_tokens
+                   AND n_chars_nospace <= 10 * n_tokens
+                   AND 10 * COALESCE(top_token_count, 0) <= 3 * n_tokens
+                   AND 10 * n_dup_trigrams <= 3 * greatest(n_trigrams, 1)
+                   AS gopher_keep
+        FROM base b LEFT JOIN top USING (doc_id)
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+    lpm AS (
+        SELECT tok,
+               CAST(round(ln(c / (1.0 * total)) * 1000000) AS BIGINT)
+                   AS lp_micro
+        FROM cnt, tot
+    ),
+    lp AS (
+        SELECT doc_id,
+               CAST(SUM(lp_micro) AS BIGINT) / (1.0 * COUNT(*)) AS avg_lp
+        FROM tok JOIN lpm USING (tok) GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, gopher_keep, avg_lp,
+               row_number() OVER (PARTITION BY d.lang
+                   ORDER BY avg_lp ASC NULLS FIRST, d.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM documents d
+        JOIN gop USING (doc_id)
+        JOIN lp USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gopher_keep
+                          AND rn > CAST(ceil(n / 10.0) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN NOT gopher_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail_gopher,
+           CAST(SUM(CASE WHEN rn <= CAST(ceil(n / 10.0) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lm
+    FROM ranked GROUP BY lang
+    """,
+    "The production data-curation decision: an ENSEMBLE quality gate "
+    "combining the Gopher integer-signal rules (q67) with the "
+    "unigram-LM score (q78) banded per language (bottom decile by "
+    "EXACT rank, not interpolated percentile — ceil(n/10) under a "
+    "unique (score, doc_id) order). Per-language keep rates and "
+    "per-rule rejection counts — the report a corpus-filter sweep "
+    "produces before committing a cut. Composes the existing "
+    "operators; one extra shuffle per signal family.",
+)
+def q113_quality_gate_ensemble(spark, sf_dir):
+    from ..operators.text import gopher_signals, unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_signals(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    lp = unigram_logprob(docs).select(
+        "doc_id",
+        (F.col("sum_lp_micro") / (1.0 * F.col("n_tokens"))).alias("avg_lp"),
+    )
+    d = docs.select("doc_id", "lang")
+    j = d.join(g, "doc_id").join(lp, "doc_id")
+    wr = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_first("avg_lp"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = j.select(
+        "lang",
+        "gopher_keep",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = F.ceil(F.col("n") / 10.0).cast("long")
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("gopher_keep") & (F.col("rn") > cut)).cast("int")
+        ).alias("n_keep"),
+        F.sum((~F.col("gopher_keep")).cast("int")).alias("n_fail_gopher"),
+        F.sum((F.col("rn") <= cut).cast("int")).alias("n_fail_lm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
