@@ -5200,6 +5200,78 @@ def q113_quality_gate_ensemble(spark, sf_dir):
     )
 
 
+@_register(
+    "q114_quality_survivorship",
+    f"""
+    WITH RECURSIVE {_nd_pair_ctes()},
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM ndpairs
+        UNION ALL
+        SELECT b_id, a_id FROM ndpairs
+    ),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+    sized AS (
+        SELECT doc_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS gsz
+        FROM comp
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.group_id, s.gsz,
+               row_number() OVER (PARTITION BY s.group_id
+                   ORDER BY length(d.text) DESC, s.doc_id) AS rk
+        FROM sized s JOIN documents d USING (doc_id)
+        WHERE s.gsz >= 2
+    )
+    SELECT doc_id, group_id,
+           CAST(gsz AS BIGINT) AS group_size,
+           MAX(CASE WHEN rk = 1 THEN doc_id END)
+               OVER (PARTITION BY group_id) AS survivor_id,
+           rk = 1 AS survives
+    FROM ranked
+    """,
+    "U6 survivorship policy: within each near-dup group (q58's "
+    "closure), elect the canonical document by QUALITY — longest "
+    "text wins, doc id breaks ties — instead of min-id. Emits the "
+    "(doc -> survivor) mapping for multi-doc groups, i.e. exactly "
+    "the rewrite table a corpus dedup pass applies. Same closure "
+    "cost as q58 plus one per-group window over groups only "
+    "(singletons drop before the rank).",
+)
+def q114_quality_survivorship(spark, sf_dir):
+    from ..operators.components import dedup_groups
+    from ..operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.1, use_portable_hash=True)
+    comp = dedup_groups(pairs, docs, id_col="doc_id").select(
+        "doc_id", "group_id", "group_size"
+    )
+    multi = comp.filter(F.col("group_size") >= 2).join(
+        docs.select("doc_id", F.length("text").alias("__len")), "doc_id"
+    )
+    wrk = Window.partitionBy("group_id").orderBy(
+        F.desc("__len"), F.asc("doc_id")
+    )
+    wg = Window.partitionBy("group_id")
+    return (
+        multi.withColumn("rk", F.row_number().over(wrk))
+        .select(
+            "doc_id",
+            "group_id",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).over(wg).alias(
+                "survivor_id"
+            ),
+            (F.col("rk") == 1).alias("survives"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
