@@ -5241,6 +5241,7 @@ def q113_quality_gate_ensemble(spark, sf_dir):
     "the rewrite table a corpus dedup pass applies. Same closure "
     "cost as q58 plus one per-group window over groups only "
     "(singletons drop before the rank).",
+    bench=False,  # re-times q58's closure + one window; no new signal
 )
 def q114_quality_survivorship(spark, sf_dir):
     from ..operators.components import dedup_groups
@@ -5269,6 +5270,58 @@ def q114_quality_survivorship(spark, sf_dir):
             ),
             (F.col("rk") == 1).alias("survives"),
         )
+    )
+
+
+@_register(
+    "q115_think_time_histogram",
+    """
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CASE WHEN gap_us < 3000000 THEN 0
+                WHEN gap_us < 15000000 THEN 1
+                WHEN gap_us < 63000000 THEN 2
+                WHEN gap_us < 255000000 THEN 3
+                WHEN gap_us < 1023000000 THEN 4
+                WHEN gap_us < 4095000000 THEN 5
+                WHEN gap_us < 16383000000 THEN 6
+                ELSE 7 END AS bucket,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type, bucket
+    """,
+    "Behavioral timing: the user think-time distribution — "
+    "inter-event gaps per user (lag over the unique (ts, event_id) "
+    "order) in log-4 second buckets (edges 4^k-1 s as INTEGER "
+    "microsecond literals — a floor(ln/ln4) formulation would hinge "
+    "on 1-ulp ln() agreement between engines at exact-power gaps), "
+    "split by the event type that ENDED the gap. One window shuffle "
+    "by user_id, then a ~40-cell agg.",
+)
+def q115_think_time_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    edges = [3, 15, 63, 255, 1023, 4095, 16383]  # 4^k - 1 seconds
+    bucket = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bucket = F.when(
+            F.col("gap_us") < edges[i] * 1_000_000, F.lit(i)
+        ).otherwise(bucket)
+    return d.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
     )
 
 
