@@ -5325,6 +5325,78 @@ def q115_think_time_histogram(spark, sf_dir):
     )
 
 
+@_register(
+    "q116_session_paths",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) <= 600000000
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, us,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS session_no
+        FROM e
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               array_to_string(
+                   (list(event_type ORDER BY us, event_id))[1:6], '>')
+                   AS path,
+               COUNT(*) AS session_len
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(session_len) AS BIGINT) AS n_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    "Behavioral path mining: the top session-opening event-type "
+    "sequences (first 6 events of each 10-min-gap session, q12's "
+    "sessionization) — the funnel-discovery query product analytics "
+    "runs before defining funnels like q13. Order inside each "
+    "session is the unique (epoch_us, event_id) key on both "
+    "engines; one shuffle by user for the windows, one by path for "
+    "the count, TakeOrdered top-20.",
+)
+def q116_session_paths(spark, sf_dir):
+    from ..operators.sessionize import assign_sessions
+
+    e = _t(spark, sf_dir, "events")
+    sess = assign_sessions(e)
+    us = epoch_us("ts")
+    worder = Window.partitionBy("user_id", "session_no").orderBy(
+        us, "event_id"
+    )
+    wfull = worder.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    paths = (
+        sess.withColumn("seq", F.collect_list("event_type").over(wfull))
+        .withColumn("rn", F.row_number().over(worder))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat_ws(">", F.slice("seq", 1, 6)).alias("path"),
+            F.size("seq").alias("session_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("session_len").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
