@@ -5397,6 +5397,34 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
+@_register(
+    "q117_multimodal_decode_meta",
+    """
+    SELECT i AS media_id,
+           CAST(16 + (i % 8) * 4 AS INT) AS width,
+           CAST(16 + (i % 5) * 4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CASE WHEN i % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+    FROM range(100) t(i)
+    """,
+    "Multimodal columns, driver-verified end-to-end: the synthetic "
+    "media table (deterministic gradient pixels, BMP for even ids / "
+    "PPM for odd) is ENCODED and then DECODED by the real pure-numpy "
+    "codecs through the Arrow mapInPandas kernel; the oracle "
+    "recomputes the expected (width, height, channels, format) from "
+    "the generator's closed form — so a bit-level bug in either "
+    "codec header path or the batch plumbing breaks the hash. "
+    "Pixels never leave the kernel; only scalar metadata crosses "
+    "back. operators/multimodal.py.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q117_multimodal_decode_meta(spark, sf_dir):
+    from ..operators.multimodal import decode_image_meta, synthetic_media_table
+
+    media = synthetic_media_table(spark, n=100, real=True)
+    return decode_image_meta(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
