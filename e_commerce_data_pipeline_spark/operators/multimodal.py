@@ -483,3 +483,22 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         kernel, "media_id long, frame_no int, frame binary"
     )
+
+
+def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
+    """Deterministic WAV table for driver-verifiable audio decode:
+    media_id i carries a constant-amplitude mono PCM signal —
+    amplitude ``(i * 500) % 32768``, ``8000 + (i % 5) * 4000`` frames
+    at 16 kHz — so duration, RMS, and peak all have closed forms an
+    independent engine can recompute without decoding."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        amp = (i * 500) % 32768
+        frames = 8000 + (i % 5) * 4000
+        samples = np.full(frames, amp, dtype=np.int16)
+        rows.append((i, "audio", encode_wav(samples, 16000), None,
+                     f"mem://media/{i}.wav"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))

@@ -5425,6 +5425,42 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     return decode_image_meta(media).orderBy("media_id")
 
 
+@_register(
+    "q118_audio_decode_meta",
+    """
+    SELECT i AS media_id,
+           CAST(1 AS INT) AS channels,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST((8000 + (i % 5) * 4000) // 16 AS BIGINT) AS duration_ms,
+           CAST((i * 500) % 32768 AS BIGINT) AS amp_q15
+    FROM range(50) t(i)
+    """,
+    "Multimodal audio, driver-verified: constant-amplitude synthetic "
+    "WAVs round-trip through the real RIFF-chunk decoder and the "
+    "Arrow feature kernel; duration and peak re-quantize to EXACT "
+    "integers (frames div 16 ms at 16 kHz; peak * 2^15 = the "
+    "generator amplitude — both exact doubles, no rounding-boundary "
+    "exposure), which the oracle recomputes from the generator's "
+    "closed form. operators/multimodal.py audio_features / "
+    "synthetic_audio_table.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q118_audio_decode_meta(spark, sf_dir):
+    from ..operators.multimodal import audio_features, synthetic_audio_table
+
+    media = synthetic_audio_table(spark, n=50)
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        F.round(F.col("duration_sec") * 1000).cast("long").alias(
+            "duration_ms"
+        ),
+        F.round(F.col("peak") * 32768).cast("long").alias("amp_q15"),
+    ).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
