@@ -805,7 +805,24 @@ def winnow_fingerprints(
         )
     )
     h = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-    key = h * F.lit(pos_cap) + (F.lit(pos_cap - 1) - F.col("pos"))
+    # Overflow guard: pos >= 2^20 would go negative in the rev-pos term
+    # and bleed into the hash bits of the encoded key, silently
+    # corrupting fingerprints. Oversized docs must fail loudly instead
+    # (raise _WIN_POS_BITS or pre-chunk the doc to proceed).
+    pos_checked = F.when(
+        F.col("n_grams") <= F.lit(pos_cap), F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "winnow_fingerprints: doc %s has %s k-grams; the position "
+                f"encoding supports at most {pos_cap} (raise _WIN_POS_BITS "
+                "or chunk the document)",
+                F.col("id").cast("string"),
+                F.col("n_grams").cast("string"),
+            )
+        )
+    )
+    key = h * F.lit(pos_cap) + (F.lit(pos_cap - 1) - pos_checked)
     win = (
         Window.partitionBy("id")
         .orderBy("pos")

@@ -257,6 +257,25 @@ def windowed_event_counts(
 _WDRAIN_SEQ = 0
 
 
+def _stream_parquet_path(spark: SparkSession, schema, path: str):
+    """readStream a parquet table that may be a single file OR a
+    directory of part-files (the driver data-gen has emitted both
+    layouts across rounds). For a directory, stream it directly — a
+    ``pathGlobFilter`` equal to the directory name matches no leaf
+    part-files and the stream silently drains empty. For a single
+    file, filter the parent listing down to that file."""
+    import os
+
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    parent, fname = path.rsplit("/", 1)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(parent)
+    )
+
+
 def drain_windowed_event_counts(
     spark: SparkSession,
     events_path: str,
@@ -270,12 +289,7 @@ def drain_windowed_event_counts(
 
     configure_existing(spark)  # nanosAsLong before schema inference
     batch = spark.read.parquet(events_path)
-    parent, fname = events_path.rsplit("/", 1)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", fname)
-        .parquet(parent)
-    )
+    stream = _stream_parquet_path(spark, batch.schema, events_path)
     if dict(batch.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long ns -> µs (mirrors catalog.load_table)
         stream = stream.withColumn(
@@ -321,12 +335,7 @@ def drain_streaming_dedup(
 
     configure_existing(spark)  # nanosAsLong before schema inference
     batch = spark.read.parquet(events_path)
-    parent, fname = events_path.rsplit("/", 1)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", fname)
-        .parquet(parent)
-    )
+    stream = _stream_parquet_path(spark, batch.schema, events_path)
     if dict(batch.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -397,12 +406,7 @@ def drain_static_enriched_events(
             .alias("tier"),
         )
     )
-    parent, fname = events_path.rsplit("/", 1)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", fname)
-        .parquet(parent)
-    )
+    stream = _stream_parquet_path(spark, batch.schema, events_path)
     enriched = stream.join(F.broadcast(profile), "user_id").select(
         "event_id", "user_id", "event_type", "tier"
     )

@@ -241,3 +241,42 @@ def test_gap_and_island_equivalent_to_session_window(spark, gen):
     )
     diff = ours_n.join(sw_n, "user_id").filter(F2.col("n_ours") != F2.col("n_sw"))
     assert diff.count() == 0
+
+
+def test_compact_partitions_reduces_files_preserving_rows(spark, gen, tmp_path):
+    """OPTIMIZE-style small-file compaction (SURVEY §4.3): many small
+    JSONL files per hour partition collapse to target_files_per_partition
+    with identical rows and partition layout."""
+    import glob
+
+    from e_commerce_data_pipeline_spark.sources.bronze import compact_partitions
+
+    clicks = events_for_topic(gen, "ecommerce.user_clicks")
+    src = str(tmp_path / "bronze_small")
+    # force a small-file problem: 8 writers per partition
+    (
+        with_time_partitions(clicks, "timestamp")
+        .repartition(8)
+        .write.option("compression", "gzip")
+        .partitionBy("year", "month", "day", "hour")
+        .json(src)
+    )
+    out = str(tmp_path / "bronze_compact")
+    compact_partitions(spark, src, clicks.schema, out)
+
+    def files_per_partition(root):
+        counts = {}
+        for f in glob.glob(root + "/year=*/month=*/day=*/hour=*/part-*"):
+            part = f.rsplit("/", 1)[0].split(root + "/", 1)[1]
+            counts[part] = counts.get(part, 0) + 1
+        return counts
+
+    before, after = files_per_partition(src), files_per_partition(out)
+    assert set(before) == set(after)  # same partition layout
+    assert sum(before.values()) > len(before)  # fixture had small files
+    assert all(n == 1 for n in after.values())  # compacted to 1/partition
+    # identical content
+    a = read_bronze(spark, src, clicks.schema)
+    b = read_bronze(spark, out, clicks.schema)
+    assert a.count() == clicks.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

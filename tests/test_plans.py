@@ -153,7 +153,7 @@ def test_q94_disjunctive_filter_stays_on_broadcast_join(spark, sf_dir):
 
 
 def test_q89_having_runs_on_partial_agg(spark, sf_dir):
-    plan = _executed_plan(QUERIES["q89_large_volume_orders"].fn(spark, sf_dir))
+    plan = _executed_plan(QUERIES["q119_large_volume_orders"].fn(spark, sf_dir))
     # per-order rollup is a two-phase hash aggregate (map-side partial
     # before the orderkey shuffle), not a window over raw lineitem
     assert "partial_sum" in plan or "partial_finalmerge" in plan, plan

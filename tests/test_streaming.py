@@ -205,3 +205,33 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     )
     run()
     assert sorted(collected) == ["evt-1", "evt-2", "evt-3"]
+
+
+def test_static_enrich_drain_handles_directory_parquet(spark, tmp_path):
+    """The driver data-gen has emitted events.parquet as both a single
+    file and a parquet directory across rounds; the drain must read the
+    directory layout (a pathGlobFilter on the directory name matches no
+    leaf part-files and would drain empty)."""
+    from e_commerce_data_pipeline_spark.streaming.stream_processor import (
+        drain_static_enriched_events,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (1, 100, "purchase", 6000.0),
+            (2, 100, "click", 0.0),
+            (3, 200, "purchase", 1500.0),
+            (4, 300, "click", 10.0),
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    path = str(tmp_path / "events.parquet")
+    events.repartition(2).write.parquet(path)  # directory of part-files
+
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in drain_static_enriched_events(
+            spark, path, high_cents=500_000, mid_cents=100_000
+        ).collect()
+    }
+    assert rows == {1: "high", 2: "high", 3: "mid", 4: "low"}

@@ -523,6 +523,30 @@ def test_winnow_fingerprint_guarantee_and_pairs(spark):
     assert 0 < n_fp < 57  # 57 grams; winnowing must thin them
 
 
+def test_winnow_overflows_loudly_past_position_capacity(spark, monkeypatch):
+    """Docs with more k-grams than the 2^_WIN_POS_BITS position
+    encoding must raise, not silently corrupt the packed min-key.
+    Shrink the capacity so a 20-gram doc trips the guard."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from e_commerce_data_pipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_WIN_POS_BITS", 4)  # capacity: 16 grams
+    doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(23)))],  # 20 4-grams > 16
+        "doc_id long, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="winnow_fingerprints"):
+        dedup.winnow_fingerprints(doc, k=4, w=5).collect()
+    # at-capacity docs still work
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19)))],  # 16 grams == cap
+        "doc_id long, text string",
+    )
+    assert dedup.winnow_fingerprints(ok, k=4, w=5).count() > 0
+
+
 def test_compression_signals_separate_repetition_from_entropy(spark):
     from e_commerce_data_pipeline_spark.operators.text import (
         compression_signals,
