@@ -1,0 +1,85 @@
+"""Distributed exact heavy hitters via Misra-Gries candidate
+pre-filtering (north-star "text analysis" / corpus-audit surface: the
+frequent-token, frequent-domain, frequent-user rollups every
+training-data pipeline runs).
+
+Why not a plain ``groupBy(item).count()``: at 100 TB the item column's
+LONG TAIL (trillions of near-unique values) dominates the shuffle,
+while only the handful of frequent items matter. The classic two-phase
+answer keeps the tail out of the shuffle entirely:
+
+1. **Candidates** — one ``mapInPandas`` scan runs a mergeable
+   Misra-Gries summary (Agarwal et al., "Mergeable Summaries", PODS
+   2012) with ``k`` counters per partition: per Arrow batch, add exact
+   batch counts, then subtract the (k+1)-th largest running count and
+   drop non-positives. Pigeonhole over partitions: any item with
+   global freq > N/(k+1) exceeds n_p/(k+1) in at least one partition
+   and therefore survives that partition's summary — the union of
+   per-partition candidate sets is a SUPERSET of the true heavy
+   hitters. At most k ids per partition come back; no shuffle.
+2. **Exact recount** — a second scan counts ONLY rows matching the
+   broadcast candidate set (a broadcast semi-join inside the scan
+   stage), then keeps items with ``freq * (k + 1) > N`` — integer
+   cross-multiplication, no division to drift cross-engine. The
+   shuffle moves at most (#partitions x k) partial rows.
+
+The result is EXACT (superset from phase 1, exact filter in phase 2),
+deterministic, and engine-portable: the oracle is a plain
+count-group-having query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition mergeable Misra-Gries candidate items (<= k per
+    partition). One linear scan, no shuffle; nulls are ignored."""
+
+    def summarize(batches):
+        import pandas as pd
+
+        s = None
+        for pdf in batches:
+            vc = pdf[col].dropna().value_counts()
+            if len(vc) == 0:
+                continue
+            s = vc if s is None else s.add(vc, fill_value=0)
+            if len(s) > k:
+                # mergeable-MG reduce: subtract the (k+1)-th largest
+                # count from every counter, keep strictly positive
+                thr = s.nlargest(k + 1).iloc[-1]
+                s = s[s > thr]
+                s = s - thr
+        if s is not None and len(s):
+            yield pd.DataFrame({col: s.index.to_numpy()})
+
+    return items.select(col).mapInPandas(summarize, items.select(col).schema)
+
+
+def heavy_hitters(items: DataFrame, col: str, k: int = 200) -> DataFrame:
+    """Exact items with frequency > N/(k+1) over ``items[col]``.
+
+    Returns (col, freq, n_total) sorted by (freq DESC, col ASC).
+    ``items`` is scanned twice (candidates, recount) — callers with an
+    expensive upstream (e.g. an exploded tokenizer) should ``cache()``
+    it. At scale the two scans are the point: neither shuffles the
+    tail.
+    """
+    cand = mg_candidates(items, col, k).distinct()
+    counted = (
+        items.join(F.broadcast(cand), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = items.select(
+        F.count(F.when(F.col(col).isNotNull(), 1)).alias("n_total")
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * (k + 1) > F.col("n_total"))
+        .select(col, "freq", "n_total")
+        .orderBy(F.desc("freq"), F.asc(col))
+    )

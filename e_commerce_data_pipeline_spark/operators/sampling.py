@@ -335,3 +335,42 @@ def dsir_importance(
         )
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006): each row draws an exponential race
+    key ``-ln(u) / w`` from its hashed uniform ``u`` and weight ``w``;
+    the n smallest keys are the sample. Inclusion probability is
+    proportional to weight, and — like everything in this module —
+    the draw is a pure function of the row key, so layout changes,
+    re-runs, and other engines reproduce the exact sample.
+
+    ``weight_col`` may be any positive numeric column expression
+    (quality scores, token counts, DSIR importance weights — the
+    standard "sample the corpus proportional to quality" step).
+
+    Scale shape: ONE scan; the n-smallest selection compiles to
+    TakeOrderedAndProject (per-partition top-n, then a driver merge of
+    #partitions x n rows) — no global sort shuffle.
+    """
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    # u in (0,1): +0.5 on the 32-bit draw keeps ln() finite on both
+    # engines without changing the distribution
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + F.lit(0.5)
+    ) / F.lit(_HASH_DENOM)
+    race = -F.log(u) / w.cast("double")
+    return (
+        df.withColumn("__race", race)
+        .orderBy(F.asc("__race"), F.asc(key_col))
+        .limit(n)
+        .drop("__race")
+    )

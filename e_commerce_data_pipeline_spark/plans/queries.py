@@ -5538,6 +5538,293 @@ def q118_audio_decode_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@_register(
+    "q121_pii_redaction",
+    r"""
+    WITH blob AS (
+        SELECT c_custkey,
+               c_name || ' <cust' || CAST(c_custkey AS VARCHAR)
+                      || '@shop.example> '
+               || CASE WHEN c_custkey % 3 <> 0
+                       THEN 'call +1 '
+                            || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                            || '-'
+                            || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+                            || ' '
+                       ELSE '' END
+               || 'acct ' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+               || ' cents' AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\+?\d[\s-]?){7,15}\b', '<PHONE>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b(?:\d[ -]*?){13,16}\b', '<CARD>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(contact, '\b(?:\+?\d[\s-]?){7,15}\b'))
+              + len(regexp_extract_all(contact, '\b\d{3}-\d{2}-\d{4}\b'))
+              + len(regexp_extract_all(contact, '\b(?:\d[ -]*?){13,16}\b'))
+             AS INT) AS n_redactions
+    FROM blob
+    """,
+    "Training-data PII scrubbing (text.redact_pii / redaction_count): "
+    "a contact blob derived deterministically from customer columns is "
+    "scrubbed by the email/phone/SSN/card regex chain; the oracle "
+    "re-applies the identical chain (DuckDB RE2 with 'g' vs Spark "
+    "Java regex — the diff certifies pattern-semantics parity "
+    "char-for-char). Pure regexp_replace in codegen, linear scan, "
+    "no shuffle — the 100 TB shape is a map-only rewrite.",
+)
+def q121_pii_redaction(spark, sf_dir):
+    from ..operators.text import redact_pii, redaction_count
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.when(
+        k % 3 != 0,
+        F.concat(
+            F.lit("call +1 "),
+            F.lpad((k % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((k % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((k * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <cust"),
+        k.cast("string"),
+        F.lit("@shop.example> "),
+        phone,
+        F.lit("acct "),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.lit(" cents"),
+    )
+    return c.select(
+        "c_custkey",
+        redact_pii(contact).alias("redacted"),
+        redaction_count(contact).cast("int").alias("n_redactions"),
+    )
+
+
+@_register(
+    "q122_embedding_decontamination",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    scored AS (
+        SELECT c.vec_id, ev.vec_id AS eval_id,
+               list_cosine_similarity(c.v, ev.v) AS s
+        FROM c, ev
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, round(s, 6) AS sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, eval_id) AS rn
+        FROM scored
+    ) WHERE rn = 1 AND round(s, 6) >= 0.30
+    """,
+    "Embedding-space eval-set decontamination "
+    "(decontam.embedding_contamination): corpus vectors whose max "
+    "cosine against the eval set reaches the threshold — the "
+    "semantic-leakage companion to q68's n-gram overlap. Scale shape: "
+    "the eval matrix is driver-collected and closed over by an Arrow "
+    "mapInPandas kernel, so the corpus side is ONE scan with zero "
+    "joins and zero shuffles; per-batch float64 matmul (q46 parity "
+    "discipline: first-max argmax == (sim DESC, eval_id ASC), "
+    "rounding JVM-side half-up).",
+)
+def q122_embedding_decontamination(spark, sf_dir):
+    from ..operators.decontam import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_contamination(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        threshold=0.30,
+    )
+
+
+@_register(
+    "q123_token_heavy_hitters",
+    f"""
+    WITH t AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM t)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+           (SELECT n_total FROM tot) AS n_total
+    FROM t GROUP BY token
+    HAVING COUNT(*) * 46 > (SELECT n_total FROM tot)
+    ORDER BY freq DESC, token
+    """,
+    "Exact distributed heavy hitters (frequency.heavy_hitters): "
+    "tokens with frequency > N/(k+1), k=45. Two linear scans — "
+    "per-partition mergeable Misra-Gries candidates (mapInPandas, "
+    "no shuffle, superset guarantee by pigeonhole), then an exact "
+    "recount of ONLY the broadcast candidate set with an integer "
+    "cross-multiplied threshold. At 100 TB the long tail never "
+    "shuffles; a plain groupBy-count oracle verifies exactness.",
+)
+def q123_token_heavy_hitters(spark, sf_dir):
+    from ..operators.frequency import heavy_hitters
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        _spread_docs(docs)
+        .select(F.explode(tokens("text")).alias("token"))
+        .cache()  # candidates + recount + total reuse one tokenizer pass
+    )
+    return heavy_hitters(toks, "token", k=45).withColumn(
+        "freq", F.col("freq").cast("long")
+    )
+
+
+@_register(
+    "q124_hourly_interpolation",
+    """
+    WITH src AS (
+        SELECT epoch_us(ts) // 3600000000 AS hr,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' AND value > 200
+    ),
+    known AS (
+        SELECT hr, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS c
+        FROM src GROUP BY hr
+    ),
+    spine AS (
+        SELECT unnest(range((SELECT MIN(hr) FROM known),
+                            (SELECT MAX(hr) FROM known) + 1)) AS hr
+    ),
+    j AS (
+        SELECT spine.hr, known.s, known.c
+        FROM spine LEFT JOIN known ON spine.hr = known.hr
+    ),
+    w AS (
+        SELECT hr, s, c,
+               last_value(s IGNORE NULLS) OVER past AS ps,
+               last_value(c IGNORE NULLS) OVER past AS pc,
+               last_value(CASE WHEN s IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER past AS ph,
+               first_value(s IGNORE NULLS) OVER fut AS ns,
+               first_value(c IGNORE NULLS) OVER fut AS nc,
+               first_value(CASE WHEN s IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER fut AS nh
+        FROM j
+        WINDOW past AS (ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fut AS (ORDER BY hr
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hr,
+           CASE WHEN c IS NOT NULL THEN s / (c * 100.0)
+                ELSE (ps * nc * (nh - hr) + ns * pc * (hr - ph))
+                     / (pc * nc * (nh - ph) * 100.0)
+           END AS avg_value,
+           (c IS NULL) AS interpolated
+    FROM w
+    """,
+    "Time-series resample with LINEAR interpolation over gap hours "
+    "(beyond q79's zero-fill): hourly average of sparse high-value "
+    "purchases on a dense hour spine; missing hours lerp between the "
+    "neighboring known hours. Float parity: the lerp is a single "
+    "double division of exact int64 cross-products "
+    "(ps*nc*(nh-h) + ns*pc*(h-ph)) / (pc*nc*(nh-ph)*100) — no "
+    "intermediate double arithmetic to drift cross-engine. Scale "
+    "shape: the hourly rollup is a partial-agg groupBy; the spine "
+    "and windows run over hours (bounded rows), not events.",
+)
+def q124_hourly_interpolation(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    known = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .groupBy((epoch_us("ts") / F.lit(3_600_000_000)).cast("long").alias("hr"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    lo, hi = known.agg(F.min("hr"), F.max("hr")).first()
+    spine = spark.range(lo, hi + 1).select(F.col("id").alias("hr"))
+    j = spine.join(known, "hr", "left")
+    past = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    fut = Window.orderBy("hr").rowsBetween(0, Window.unboundedFollowing)
+    known_hr = F.when(F.col("s").isNotNull(), F.col("hr"))
+    w = j.select(
+        "hr",
+        "s",
+        "c",
+        F.last("s", ignorenulls=True).over(past).alias("ps"),
+        F.last("c", ignorenulls=True).over(past).alias("pc"),
+        F.last(known_hr, ignorenulls=True).over(past).alias("ph"),
+        F.first("s", ignorenulls=True).over(fut).alias("ns"),
+        F.first("c", ignorenulls=True).over(fut).alias("nc"),
+        F.first(known_hr, ignorenulls=True).over(fut).alias("nh"),
+    )
+    lerp_num = (
+        F.col("ps") * F.col("nc") * (F.col("nh") - F.col("hr"))
+        + F.col("ns") * F.col("pc") * (F.col("hr") - F.col("ph"))
+    )
+    lerp_den = F.col("pc") * F.col("nc") * (F.col("nh") - F.col("ph")) * F.lit(100.0)
+    return w.select(
+        "hr",
+        F.when(
+            F.col("c").isNotNull(), F.col("s") / (F.col("c") * F.lit(100.0))
+        )
+        .otherwise(lerp_num / lerp_den)
+        .alias("avg_value"),
+        F.col("c").isNull().alias("interpolated"),
+    )
+
+
+@_register(
+    "q125_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS race
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM keyed ORDER BY race ASC, doc_id ASC LIMIT 100
+    """,
+    "Deterministic weighted sampling WITHOUT replacement "
+    "(sampling.weighted_sample, Efraimidis-Spirakis): inclusion odds "
+    "proportional to n_chars, drawn from the hashed-uniform race key "
+    "-ln(u)/w — a pure function of the row, so layout changes, "
+    "re-runs, and the oracle reproduce the exact sample (the frozen-"
+    "eval-set property q60's hash_split gives splits, extended to "
+    "weighted selection). ONE scan; the n-smallest selection is "
+    "TakeOrderedAndProject (per-partition top-n + driver merge), "
+    "no global sort shuffle.",
+)
+def q125_weighted_sample(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 100, salt="wsample"
+    )
+
+
+def _spread_docs(docs):
+    """documents.parquet is a single small file -> single input split;
+    spread before the tokenizer explode so all cores work (the
+    operators/util.spread rationale)."""
+    from ..operators.util import spread
+
+    return spread(docs)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

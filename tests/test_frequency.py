@@ -1,0 +1,69 @@
+"""Misra-Gries heavy hitters: exactness vs brute force on skewed data,
+candidate-superset guarantee, and the no-tail-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_pipeline_spark.operators.frequency import (
+    heavy_hitters,
+    mg_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish stream: item i appears ~ N/i times -> real MG pruning
+    # (vocab 200 >> k) across a multi-partition layout
+    rows = []
+    for i in range(1, 201):
+        rows.extend([(f"item{i:03d}",)] * (2000 // i))
+    return spark.createDataFrame(rows, "token string").repartition(8).cache()
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, skewed):
+    k = 10
+    got = {
+        (r["token"], r["freq"]) for r in heavy_hitters(skewed, "token", k).collect()
+    }
+    n = skewed.count()
+    brute = {
+        (r["token"], r["freq"])
+        for r in skewed.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * (k + 1) > n)
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_mg_candidates_superset_and_bounded(spark, skewed):
+    k = 10
+    n = skewed.count()
+    cand = {r["token"] for r in mg_candidates(skewed, "token", k).collect()}
+    heavy = {
+        r["token"]
+        for r in skewed.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * (k + 1) > n)
+        .collect()
+    }
+    assert heavy <= cand  # superset guarantee (pigeonhole over partitions)
+    n_parts = skewed.rdd.getNumPartitions()
+    assert len(cand) <= k * n_parts  # <= k survivors per partition
+    assert len(cand) < 200  # the tail was actually pruned
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [(None,)] * 5 + [("b",)] * 1, "token string"
+    )
+    rows = heavy_hitters(df, "token", k=2).collect()
+    # N excludes nulls: 9 non-null, threshold 9/3=3 -> only 'a'
+    assert [(r["token"], r["freq"], r["n_total"]) for r in rows] == [("a", 8, 9)]
+
+
+def test_recount_uses_broadcast_candidates(spark, skewed):
+    plan = heavy_hitters(skewed, "token", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the tail never shuffles

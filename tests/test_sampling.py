@@ -203,3 +203,32 @@ def test_dsir_importance_hand_checked(spark):
     assert out[4]["sum_w_micro"] == w_bb + w_cc
     assert out[1]["is_target"] and not out[3]["is_target"]
     assert out[3]["n_tokens"] == 3
+
+
+def test_weighted_sample_deterministic_and_layout_independent(spark, sf_dir):
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = {r["doc_id"] for r in weighted_sample(docs, "doc_id", "n_chars", 50).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(13), "doc_id", "n_chars", 50).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_bias_follows_weights(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) + 500 heavy rows (w=50): a 100-row sample
+    # should be dominated by heavy rows (E[heavy] ~ 98)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 1).otherwise(50).alias("w"),
+    )
+    got = weighted_sample(df, "doc_id", "w", 100).collect()
+    heavy = sum(1 for r in got if r["doc_id"] >= 500)
+    assert len(got) == 100 and heavy > 80
