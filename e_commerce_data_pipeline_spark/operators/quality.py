@@ -13,7 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
 
 from ..functions import epoch_us
@@ -158,4 +158,53 @@ def events_expectation_suite(df: DataFrame, now: str) -> DataFrame:
         (F.max(epoch_us("ts")) >= nus - F.lit(7_200_000_000)).alias("freshness_pass"),
         F.count(F.lit(1)).between(100, 10_000_000).alias("row_count_pass"),
         (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("uniqueness_pass"),
+    )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    cents_col,
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier census over an integer
+    fixed-point metric — the data-quality screen that survives the
+    heavy tails a mean/stddev z-score drowns in.
+
+    A row is an outlier when |x - median| > k_sigma * 1.4826 * MAD
+    (1.4826 scales MAD to sigma under normality). All comparisons run
+    in integers: medians of ints are half-integers, so ``med2`` and
+    ``mad4`` carry 2x / 4x scaled exact values and the flag is the
+    cross-multiplication |2x - med2| * 20000 > k * 14826 * mad4 — no
+    float rounding to drift cross-engine (the q67 Gopher-threshold
+    discipline).
+
+    Two grouped scans (median, then MAD of deviations) + one flagging
+    pass — each a shuffle on ``group_col`` only. Returns
+    (group_col, n, n_outliers, med2, mad4).
+    """
+    c = cents_col if isinstance(cents_col, Column) else F.col(cents_col)
+    src = df.select(F.col(group_col), c.cast("long").alias("__c"))
+    med = src.groupBy(group_col).agg(
+        F.round(F.expr("percentile(__c, 0.5)") * 2).cast("long").alias("med2")
+    )
+    dev = src.join(F.broadcast(med), group_col).withColumn(
+        "__dev2", F.abs(F.lit(2) * F.col("__c") - F.col("med2"))
+    )
+    mad = dev.groupBy(group_col, "med2").agg(
+        F.round(F.expr("percentile(__dev2, 0.5)") * 2).cast("long").alias("mad4")
+    )
+    flagged = dev.join(F.broadcast(mad.select(group_col, "mad4")), group_col)
+    return (
+        flagged.groupBy(group_col, "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("__dev2") * F.lit(20000)
+                    > F.lit(k_sigma * 14826) * F.col("mad4")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(group_col, "n", "n_outliers", "med2", "mad4")
     )

@@ -374,3 +374,65 @@ def weighted_sample(
         .limit(n)
         .drop("__race")
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 3,
+    n_cand: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive/recsys training
+    rows: for each user in ``positives``, pick ``k`` items the user has
+    NOT interacted with, uniformly over a contiguous item-id universe
+    ``[1, n_items]``.
+
+    Candidates are hash-generated per (user, slot): item =
+    1 + hash32(salt:user:slot) mod n_items — a pure row function, so
+    the sample is layout/engine independent (every operator in this
+    module shares the property). Collisions with the user's positive
+    set are removed by an anti-join and the first ``k`` surviving
+    slots (slot order) are kept; ``n_cand`` slots give headroom —
+    with positives-per-user << n_items, P[fewer than k survive] is
+    negligible, and short groups surface as < k rows rather than
+    wrong rows.
+
+    Scale shape: candidates are |users| x n_cand rows built by a
+    map-side sequence explode (no join to the item table); the
+    anti-join shuffles on (user, item) — the same key layout the
+    positives already have — and the final per-user slot rank is a
+    bounded window over <= n_cand rows per user.
+    """
+    users = positives.select(F.col(user_col).alias("u")).distinct()
+    cand = users.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(n_cand - 1))).alias("slot")
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("u").cast("string"),
+            F.lit(":"),
+            F.col("slot").cast("string"),
+        )
+    )
+    item = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_items) + 1
+    ).alias("item")
+    cand = cand.select("u", "slot", item)
+    pos = positives.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item")
+    ).distinct()
+    neg = cand.join(pos, ["u", "item"], "left_anti")
+    w = Window.partitionBy("u").orderBy("slot")
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("u").alias(user_col),
+            F.col("item").alias(item_col),
+            F.col("slot").cast("int").alias("slot"),
+        )
+    )

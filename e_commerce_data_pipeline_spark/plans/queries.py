@@ -5825,6 +5825,163 @@ def _spread_docs(docs):
     return spread(docs)
 
 
+@_register(
+    "q126_value_psi_drift",
+    """
+    WITH src AS (
+        SELECT event_type,
+               least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bin,
+               epoch_us(ts) >= 1705363200000000 AS cur
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bin, cur, COUNT(*) AS n
+        FROM src GROUP BY event_type, bin, cur
+    ),
+    totals AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN NOT cur THEN n ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN cur THEN n ELSE 0 END) AS BIGINT) AS n_cur
+        FROM counts GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type, n_base, n_cur, unnest(range(0, 10)) AS bin
+        FROM totals
+    ),
+    j AS (
+        SELECT g.event_type, g.n_base, g.n_cur, g.bin,
+               COALESCE(b.n, 0) + 1 AS kb,
+               COALESCE(c.n, 0) + 1 AS kc
+        FROM grid g
+        LEFT JOIN counts b
+          ON b.event_type = g.event_type AND b.bin = g.bin AND NOT b.cur
+        LEFT JOIN counts c
+          ON c.event_type = g.event_type AND c.bin = g.bin AND c.cur
+    ),
+    terms AS (
+        SELECT event_type, n_base, n_cur,
+               CAST(round((kb / (n_base + 10.0) - kc / (n_cur + 10.0))
+                          * 1000000) AS BIGINT)
+               * CAST(round(ln((kb / (n_base + 10.0))
+                               / (kc / (n_cur + 10.0))) * 1000000) AS BIGINT)
+                   AS contrib
+        FROM j
+    )
+    SELECT event_type, n_base, n_cur,
+           CAST(SUM(contrib) AS BIGINT) AS psi_micro2,
+           CAST(SUM(contrib) AS BIGINT) / 1e12 AS psi
+    FROM terms GROUP BY event_type, n_base, n_cur
+    """,
+    "Distribution-drift monitoring (drift.psi_drift): per-event-type "
+    "Population Stability Index of the value histogram, first half of "
+    "January vs second (10 equi-width bins, Laplace-smoothed). The "
+    "transcendental factors are quantized to integer micro-units ONCE "
+    "and summed as exact int64 products (the q64/q78 ln discipline). "
+    "ONE partial-agg scan builds (type, bin, period) counts; all later "
+    "work runs on #types x 10 rows.",
+)
+def q126_value_psi_drift(spark, sf_dir):
+    from ..operators.drift import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bin_ = F.least(F.floor(cents / F.lit(5000)), F.lit(9)).cast("int")
+    cur = epoch_us("ts") >= F.lit(1_705_363_200_000_000)  # 2024-01-16 UTC
+    return psi_drift(e, "event_type", bin_, cur, n_bins=10)
+
+
+@_register(
+    "q127_robust_value_outliers",
+    """
+    WITH src AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med2
+        FROM src GROUP BY event_type
+    ),
+    dev AS (
+        SELECT src.event_type, med2, abs(2 * c - med2) AS dev2
+        FROM src JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, med2,
+               CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type, med2
+    )
+    SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev2 * 20000 > 3 * 14826 * mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           med2, mad4
+    FROM dev JOIN mad USING (event_type, med2)
+    GROUP BY dev.event_type, med2, mad4
+    """,
+    "Robust per-group outlier census (quality.robust_outlier_stats): "
+    "median/MAD z-score over integer cents — the heavy-tail-safe "
+    "data-quality screen. Medians of ints are half-integers, so med2/"
+    "mad4 carry 2x/4x exact values and the outlier predicate is an "
+    "integer cross-multiplication (|2x-med2|*20000 > 3*14826*mad4); "
+    "no float rounding anywhere. Two group-key-only shuffles + a "
+    "broadcast flagging pass.",
+)
+def q127_robust_value_outliers(spark, sf_dir):
+    from ..operators.quality import robust_outlier_stats
+
+    e = _t(spark, sf_dir, "events")
+    return robust_outlier_stats(
+        e, "event_type", F.round(F.col("value") * 100).cast("long"), k_sigma=3
+    )
+
+
+@_register(
+    "q128_negative_samples",
+    """
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    users AS (SELECT DISTINCT u FROM pos),
+    np AS (SELECT COUNT(*) AS n FROM part),
+    cand AS (SELECT u, unnest(range(0, 8)) AS slot FROM users),
+    c2 AS (
+        SELECT u, slot,
+               (('0x' || substr(md5('neg:' || CAST(u AS VARCHAR) || ':'
+                                    || CAST(slot AS VARCHAR)), 1, 8))::BIGINT
+                % (SELECT n FROM np)) + 1 AS item
+        FROM cand
+    ),
+    neg AS (SELECT c2.* FROM c2 ANTI JOIN pos USING (u, item))
+    SELECT u AS o_custkey, item AS l_partkey, CAST(slot AS INT) AS slot
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY u ORDER BY slot) AS rk
+        FROM neg
+    ) WHERE rk <= 3
+    """,
+    "Deterministic negative sampling (sampling.negative_samples) for "
+    "contrastive/recsys training rows: per purchasing customer, 3 "
+    "parts they never ordered, hash-drawn from the contiguous part-id "
+    "universe (layout/engine-independent like every sampler here). "
+    "Candidates are a map-side sequence explode — no join to the item "
+    "table; the anti-join shuffles on the (user, item) key the "
+    "positives already have; the slot rank is a <=8-row-per-user "
+    "window.",
+)
+def q128_negative_samples(spark, sf_dir):
+    from ..operators.sampling import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n_parts = _t(spark, sf_dir, "part").count()
+    pos = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_partkey"
+    )
+    return negative_samples(
+        pos, "o_custkey", "l_partkey", n_items=n_parts, k=3, n_cand=8, salt="neg"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
