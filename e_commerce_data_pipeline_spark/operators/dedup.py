@@ -876,3 +876,91 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= min_shared)
     )
+
+
+def semdedup(
+    idx: DataFrame,
+    centroids,
+    tau: float = 0.9,
+    id_col: str = "neighbor_id",
+    vec_col: str = "c_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus via cluster-local cosine
+    pruning. Complements the LSH near-dup path (``embedding_near_dup``)
+    with the k-means flavor a pretraining pipeline runs at corpus
+    scale: points are bucketed by nearest centroid, ranked within each
+    cluster by similarity to that centroid (vec-id tiebreak), and a
+    point is dropped when any HIGHER-ranked cluster-mate is closer
+    than ``tau`` — so exactly one representative (the most central)
+    survives each semantic-duplicate chain seed.
+
+    Inputs reuse the IVF artifacts (``ivf.build_ivf_index`` /
+    ``write_ivf_index``): ``idx`` holds (id, cluster, unit-vec) and
+    ``centroids`` is the trained codebook, so dedup shares the
+    offline index build with ANN serving instead of re-clustering.
+
+    Scale shape: ranking is a per-cluster window (state bounded by
+    list size), pairing is the same sum(list^2) bucket-bounded
+    self-join every candidate generator here uses — never corpus^2 —
+    and hot lists split under AQE skew handling. Comparisons use
+    ``round(sim, round_dp)`` so the keep/drop frontier is identical
+    across engines (same discipline as embedding_near_dup).
+
+    Returns one row per vector: (vec_id, cluster, rk, max_prior_sim,
+    keep) — max_prior_sim is -1.0 for cluster representatives with no
+    higher-ranked neighbor above the scoring join's support.
+    """
+    import numpy as np
+
+    from .similarity import pairwise_dot_udf
+
+    spark = idx.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    unit = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in unit[i]]) for i in range(len(unit))],
+        "cluster int, cent array<double>",
+    )
+    base = idx.select(
+        F.col(id_col).alias("vec_id"), "cluster", F.col(vec_col).alias("nv")
+    )
+    ranked = (
+        base.join(F.broadcast(cents_df), "cluster")
+        .withColumn("cent_sim", pairwise_dot_udf()(F.col("nv"), F.col("cent")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.desc("cent_sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .select("vec_id", "cluster", "rk", "nv")
+        .cache()
+    )
+    a = ranked.select(
+        F.col("cluster"), F.col("vec_id"), F.col("rk"), F.col("nv").alias("a_nv")
+    )
+    b = ranked.select(
+        F.col("cluster"),
+        F.col("rk").alias("b_rk"),
+        F.col("nv").alias("b_nv"),
+    )
+    prior = (
+        a.join(b, "cluster")
+        .filter(F.col("rk") > F.col("b_rk"))
+        .withColumn(
+            "sim", F.round(pairwise_dot_udf()(F.col("a_nv"), F.col("b_nv")), round_dp)
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("max_prior_sim"))
+    )
+    return (
+        ranked.drop("nv")
+        .join(prior, "vec_id", "left")
+        .withColumn("max_prior_sim", F.coalesce("max_prior_sim", F.lit(-1.0)))
+        .withColumn("keep", F.col("max_prior_sim") < F.lit(tau))
+        .select("vec_id", "cluster", "rk", "max_prior_sim", "keep")
+    )

@@ -489,3 +489,60 @@ def train_bpe_merges(
         .agg(F.sum("freq").alias("count"))
     )
     return merges, vocab
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 4,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_keep_pct: int = 30,
+) -> DataFrame:
+    """Cross-document boilerplate span filtering (CCNet / RefinedWeb
+    style): an n-gram that recurs in >= ``min_df`` distinct documents
+    is boilerplate (headers, footers, template spans), and a document
+    whose distinct-shingle stream is more than ``max_keep_pct``%
+    boilerplate is dropped. This is the CROSS-corpus repetition
+    signal; ``gopher_signals`` covers the within-document one.
+
+    Shape: one explode of per-doc DISTINCT shingles -> (shingle ->
+    doc-frequency) groupBy with map-side partial aggregation; the
+    boilerplate verdict joins back to the same exploded stream on the
+    shingle key, then reduces to one row per doc. Two shuffles total,
+    both on keys whose cardinality grows with corpus size (no
+    all-pairs, no skew pole: a shingle's df is bounded by the corpus,
+    and AQE splits hot shingles). All outputs are integers; the gate
+    is an integer cross-multiplication (100 * n_boiler <=
+    max_keep_pct * n_shingles), so no float compare diverges between
+    engines.
+    """
+    t = tokens(text_col)
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_of_tokens(t, n))).alias("shingle"),
+        )
+    ).cache()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfreq.filter(F.col("df") >= min_df).select(
+        "shingle", F.lit(1).alias("is_boiler")
+    )
+    per_doc = (
+        sh.join(boiler, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boiler"),
+        )
+    )
+    all_docs = df.select(id_col)
+    out = (
+        all_docs.join(per_doc, id_col, "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)).cast("long"))
+        .withColumn("n_boiler", F.coalesce("n_boiler", F.lit(0)).cast("long"))
+    )
+    return out.withColumn(
+        "keep",
+        100 * F.col("n_boiler") <= F.lit(max_keep_pct) * F.col("n_shingles"),
+    )

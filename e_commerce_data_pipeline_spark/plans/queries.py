@@ -5982,6 +5982,361 @@ def q128_negative_samples(spark, sf_dir):
     )
 
 
+@_register(
+    "q129_semdedup",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q46_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id, list_cosine_similarity(v, coeffs) AS s
+        FROM e, cents
+    ),
+    assign AS (
+        SELECT vec_id, cluster, cent_sim FROM (
+            SELECT vec_id, centroid_id AS cluster, s AS cent_sim,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT vec_id, cluster,
+               CAST(row_number() OVER (
+                   PARTITION BY cluster ORDER BY cent_sim DESC, vec_id)
+                   AS INT) AS rk
+        FROM assign
+    ),
+    prior AS (
+        SELECT a.vec_id, MAX(round(list_cosine_similarity(ea.v, eb.v), 6)) AS mps
+        FROM ranked a
+        JOIN ranked b ON a.cluster = b.cluster AND a.rk > b.rk
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        GROUP BY a.vec_id
+    )
+    SELECT r.vec_id, r.cluster, r.rk,
+           coalesce(p.mps, -1.0) AS max_prior_sim,
+           coalesce(p.mps, -1.0) < 0.35 AS keep
+    FROM ranked r LEFT JOIN prior p ON r.vec_id = p.vec_id
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "SemDeDup (arXiv:2303.09540) semantic dedup over the shared IVF "
+    "artifacts (same memoized codebook/index as q46/q120): rank each "
+    "cluster by centroid similarity, drop any vector whose cosine to "
+    "a higher-ranked cluster-mate rounds to >= tau, keep the most "
+    "central representative of each duplicate chain seed. Pairing is "
+    "the bucket-bounded sum(list^2) self-join — never corpus^2; tau "
+    "compares on round(sim,6) so both engines share the keep/drop "
+    "frontier.",
+)
+def q129_semdedup(spark, sf_dir):
+    from ..operators.dedup import semdedup
+
+    cents, idx_path = _ivf_index_for(spark, sf_dir)
+    idx = spark.read.parquet(idx_path)
+    return semdedup(idx, cents, tau=0.35)
+
+
+@_register(
+    "q130_boilerplate_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(t) - 3),
+                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+                        || ' ' || t[i + 4])) AS shingle
+        FROM toks WHERE len(t) >= 4
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    boiler AS (SELECT shingle FROM dfreq WHERE df >= 3),
+    per_doc AS (
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_boiler
+        FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle
+        GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           100 * coalesce(p.n_boiler, 0) <= 30 * coalesce(p.n_shingles, 0)
+               AS keep
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    "Cross-document boilerplate span filter (CCNet/RefinedWeb): "
+    "4-grams recurring in >= 3 distinct docs are boilerplate; docs "
+    "more than 30% boilerplate are dropped (integer cross-multiplied "
+    "gate). One distinct-shingle explode -> df groupBy -> join back "
+    "on the shingle key; complements gopher_signals' WITHIN-doc "
+    "repetition signal with the cross-corpus one.",
+)
+def q130_boilerplate_ngrams(spark, sf_dir):
+    from ..operators.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=4, min_df=3, max_keep_pct=30
+    )
+
+
+@_register(
+    "q131_bloom_prejoin",
+    """
+    WITH ck AS (
+        SELECT c_custkey
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING' AND n_name >= 'M'
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_revenue
+    FROM orders SEMI JOIN ck ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+    "Bloom pre-filtered fact⋈dim-subset semi-join (operators/bloom): "
+    "the qualifying customer keys fold into an 8 KiB bitset "
+    "(distributed bit_or build — the driver sees m/64 words, never "
+    "the key set), the orders scan drops non-members via pure-JVM "
+    "xxhash64/shift expressions BEFORE the shuffle, and the exact "
+    "semi join removes false positives — result identical to the "
+    "plain semi join the oracle runs. At 100 TB this is the "
+    "shuffle-avoidance pattern for key sets too big to broadcast as "
+    "a hash relation but tiny as a bitset.",
+)
+def q131_bloom_prejoin(spark, sf_dir):
+    from ..operators.bloom import bloom_semi_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    ck = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("n_name") >= "M"))
+        .select("c_custkey")
+    )
+    return (
+        bloom_semi_join(o, "o_custkey", ck, "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fixed_sum("o_totalprice", 100, "total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q132_knn_label_vote",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q46_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id, list_cosine_similarity(v, coeffs) AS s
+        FROM e, cents
+    ),
+    assign AS (
+        SELECT vec_id AS neighbor_id, centroid_id AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vec_id AS query_id, centroid_id AS cluster FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims WHERE vec_id % 10 = 0) WHERE rn <= 4
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, a.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY round(list_cosine_similarity(eq.v, en.v), 6)
+                                    DESC,
+                                a.neighbor_id) AS rk
+            FROM probe c
+            JOIN assign a ON c.cluster = a.cluster
+                         AND c.query_id <> a.neighbor_id
+            JOIN e eq ON eq.vec_id = c.query_id
+            JOIN e en ON en.vec_id = a.neighbor_id
+        ) WHERE rk <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, en.label, COUNT(*) AS n_votes
+        FROM topk t JOIN e en ON en.vec_id = t.neighbor_id
+        GROUP BY t.query_id, en.label
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label,
+               CAST(n_votes AS BIGINT) AS n_votes
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, label) AS rn
+            FROM votes) WHERE rn = 1
+    )
+    SELECT p.query_id AS vec_id, e.label, p.pred_label, p.n_votes,
+           e.label = p.pred_label AS correct
+    FROM pred p JOIN e ON e.vec_id = p.query_id
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "kNN majority-vote label classification (the embedding-quality "
+    "eval a curation pipeline runs after every re-embed): a held-out "
+    "eval slice (vec_id % 10 = 0) probes the SHARED memoized IVF "
+    "index (q46/q120/q129 artifacts) for its 5 nearest corpus "
+    "neighbors (nprobe=4 cells, exact cosine rerank) and takes the "
+    "modal neighbor label (count desc, label asc tiebreak). "
+    "Candidates stay list-bounded (|eval| x probed-list sizes, never "
+    "corpus^2); votes are a <=5-row-per-query groupBy.",
+)
+def q132_knn_label_vote(spark, sf_dir):
+    from ..operators.ivf import probe_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, idx_path = _ivf_index_for(spark, sf_dir)
+    eval_set = emb.filter(F.col("vec_id") % 10 == 0)
+    topk = probe_ivf_index(spark, idx_path, eval_set, cents, k=5, nprobe=4)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("label").alias("pred_label"),
+            F.col("n_votes"),
+        )
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            "n_votes",
+            (F.col("label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+@_register(
+    "q133_salted_hot_key_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "Two-phase SALTED aggregation on an extreme-skew key "
+    "(operators/skew.salted_aggregate — 5 event types over the whole "
+    "fact table means 5 reducers own everything under a naive "
+    "groupBy): phase 1 partial-aggregates per (key, 32-way row-hash "
+    "salt) so the shuffle fans out over 160 even groups, phase 2 "
+    "merges the per-salt partials. Result is identical to the plain "
+    "GROUP BY the oracle runs — the salt is transparent for "
+    "algebraic aggregates (count/int-sum). At 100 TB this is the "
+    "pattern when AQE skew-split can't help because the skew is in "
+    "the aggregation key itself.",
+)
+def q133_salted_hot_key_agg(spark, sf_dir):
+    from ..operators.skew import salted_aggregate
+
+    events = _t(spark, sf_dir, "events")
+    return salted_aggregate(
+        events,
+        "event_type",
+        n_salts=32,
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(to_fixed("value", 100)).alias("ps"),
+        ],
+        final_aggs=[
+            F.sum("pc").alias("n_events"),
+            (F.sum("ps") / 100.0).alias("total_value"),
+        ],
+    )
+
+
+@_register(
+    "q134_dim_standardization",
+    """
+    WITH x AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+                   AS q
+        FROM embeddings
+    ),
+    m AS (
+        SELECT pos, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(MIN(q) AS BIGINT) AS mn,
+               CAST(MAX(q) AS BIGINT) AS mx
+        FROM x GROUP BY pos
+    )
+    SELECT CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n,
+           round(s1 / (n * 1000000.0), 6) AS mean6,
+           round(sqrt(greatest(n * s2 - s1 * s1, 0))
+                 / (n * 1000000.0), 6) AS std6,
+           round(mn / 1000000.0, 6) AS min6,
+           round(mx / 1000000.0, 6) AS max6
+    FROM m
+    """,
+    "Per-dimension feature standardization stats (the fit step of a "
+    "z-score normalizer over an embedding column): posexplode -> one "
+    "(dim)-keyed partial-agg shuffle of EXACT integer sums over "
+    "micro-quantized (1e-6) values — population std via the "
+    "n*S2 - S1^2 identity, so no float accumulation anywhere and "
+    "both engines do ONE correctly-rounded sqrt/div per dim. 64 "
+    "output rows regardless of corpus size; S2 stays under int64 "
+    "through ~5e5 unit-scale vectors (requantize to 1e-5 beyond).",
+)
+def q134_dim_standardization(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x") * 1_000_000).cast("long")
+    m = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+            F.min("q").alias("mn"),
+            F.max("q").alias("mx"),
+        )
+    )
+    return m.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n"),
+        F.round(F.col("s1") / (F.col("n") * 1_000_000.0), 6).alias("mean6"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"),
+                    F.lit(0).cast("long"),
+                ).cast("double")
+            )
+            / (F.col("n") * 1_000_000.0),
+            6,
+        ).alias("std6"),
+        F.round(F.col("mn") / 1_000_000.0, 6).alias("min6"),
+        F.round(F.col("mx") / 1_000_000.0, 6).alias("max6"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
