@@ -199,3 +199,31 @@ def test_q100_winnow_has_no_inferred_generate_filter(spark, sf_dir):
     for line in opt.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
             assert "regexp_replace" not in line, line
+
+
+def test_q130_boilerplate_has_no_inferred_generate_filter(spark, sf_dir):
+    """Same regression class as q100: the boilerplate shingle explode
+    runs over a computed array — InferFiltersFromGenerate must not
+    re-inline the tokenizer into a synthesized Filter below it."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.text import (
+        boilerplate_ngrams,
+    )
+
+    df = boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
+            assert "regexp_replace" not in line, line
+
+
+def test_q131_bloom_filter_below_exchange(spark, sf_dir):
+    """The bloom membership predicate must prune the orders scan
+    BEFORE the aggregation exchange, with no Python eval node."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q131_bloom_prejoin"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "xxhash64" in plan.lower()
