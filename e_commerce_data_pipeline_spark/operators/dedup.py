@@ -964,3 +964,80 @@ def semdedup(
         .withColumn("keep", F.col("max_prior_sim") < F.lit(tau))
         .select("vec_id", "cluster", "rk", "max_prior_sim", "keep")
     )
+
+
+def minhash_jaccard_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int | None = 3,
+    use_portable_hash: bool = True,
+) -> DataFrame:
+    """Estimator-calibration report for the MinHash family: for every
+    LSH candidate pair, the SKETCH estimate (count of equal signature
+    slots out of ``num_hashes`` — E[slots_eq]/k is the Jaccard
+    estimator) next to the EXACT shingle-set Jaccard. This is the
+    query an operator runs before trusting a sketch threshold at
+    100 TB: it tells you where k hashes put the estimator's error
+    bars on YOUR corpus, using only the bucket-bounded candidate set
+    (never all pairs).
+
+    Shape: signatures are computed once and cached (explode ->
+    map-side min partial agg); the exact side joins the candidate
+    pairs back to the distinct-shingle stream on (id, shingle) — cost
+    |candidates| * shingles-per-doc, and sizes come from the same
+    stream's per-id counts.
+
+    Returns (a_id, b_id, n_eq_slots, jaccard6).
+    """
+    sigs = minhash_signature(
+        df, id_col, text_col, num_hashes, use_portable_hash, shingle_n
+    ).cache()
+    cands = _lsh_candidates_from_sigs(sigs, num_hashes, bands)
+    a = sigs.select(F.col("id").alias("a_id"), F.col("sig").alias("a_sig"))
+    b = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("b_sig"))
+    eq_terms = [
+        (
+            F.element_at("a_sig", i + 1) == F.element_at("b_sig", i + 1)
+        ).cast("int")
+        for i in range(num_hashes)
+    ]
+    n_eq = eq_terms[0]
+    for t in eq_terms[1:]:
+        n_eq = n_eq + t
+    est = (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", n_eq.alias("n_eq_slots"))
+    )
+    units = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select("id", F.explode(_minhash_units("__toks", shingle_n)).alias("u"))
+        .distinct()
+        .cache()
+    )
+    sizes = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_u"))
+    inter = (
+        cands.join(units.select(F.col("id").alias("a_id"), "u"), "a_id")
+        .join(units.select(F.col("id").alias("b_id"), "u"), ["b_id", "u"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["a_id", "b_id"], "left")
+        .join(sizes.select(F.col("id").alias("a_id"), F.col("n_u").alias("na")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("n_u").alias("nb")), "b_id")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn(
+            "jaccard6",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .select("a_id", "b_id", "n_eq_slots", "jaccard6")
+    )

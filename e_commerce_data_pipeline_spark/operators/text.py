@@ -19,7 +19,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopwords usable as cheap English signals; kept tiny so the heuristic
@@ -545,4 +545,89 @@ def boilerplate_ngrams(
     return out.withColumn(
         "keep",
         100 * F.col("n_boiler") <= F.lit(max_keep_pct) * F.col("n_shingles"),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """All character n-grams (with duplicates) of the normalized text;
+    empty array when shorter than n."""
+    nt = norm_text(col)
+    return F.when(F.length(nt) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(nt) - (n - 1)),
+            lambda i: nt.substr(i, F.lit(n)),
+        )
+    )
+
+
+def langid_ngram_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    top_k: int = 20,
+    train_frac: float = 0.5,
+    salt: str = "langid",
+) -> DataFrame:
+    """Char-n-gram language identification (the fastText/CLD heuristic
+    family, north-star "language-ID (n-gram heuristic)"): TRAIN =
+    deterministic hash split of the corpus; per-language profile =
+    top_k char n-grams by occurrence count (count desc, gram asc);
+    CLASSIFY every held-out doc by distinct-overlap with each
+    profile (score desc, lang asc tiebreak, every language scored via
+    a small cross join so zero-overlap docs still classify).
+
+    Returns the per-doc verdict: (doc_id, lang, pred_lang, score).
+
+    Scale shape: profiling explodes train-doc grams once into a
+    (lang, gram) partial-agg groupBy; profiles are langs*top_k rows —
+    broadcast to the classify join, so the held-out side streams
+    through one explode + broadcast-join + per-doc argmax window with
+    no corpus-sized shuffle on the gram key.
+    """
+    from ..operators.sampling import hash_uniform
+
+    is_train = hash_uniform(F.col(id_col), salt) < train_frac
+    grams = F.explode(char_ngrams(text_col, n)).alias("gram")
+    profile = (
+        df.filter(is_train)
+        .select(F.col(lang_col).alias("p_lang"), grams)
+        .groupBy("p_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("p_lang").orderBy(F.desc("c"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rk") <= top_k)
+        .select("p_lang", "gram")
+    )
+    test = df.filter(~is_train)
+    test_grams = test.select(
+        F.col(id_col), F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("gram")
+    )
+    overlap = (
+        test_grams.join(F.broadcast(profile), "gram")
+        .groupBy(id_col, "p_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    langs = df.select(F.col(lang_col).alias("p_lang")).distinct()
+    scored = (
+        test.select(id_col, lang_col)
+        .crossJoin(F.broadcast(langs))
+        .join(overlap, [id_col, "p_lang"], "left")
+        .withColumn("score", F.coalesce("hits", F.lit(0)).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("p_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            lang_col,
+            F.col("p_lang").alias("pred_lang"),
+            "score",
+        )
     )

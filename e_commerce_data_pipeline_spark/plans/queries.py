@@ -6337,6 +6337,198 @@ def q134_dim_standardization(spark, sf_dir):
     )
 
 
+@_register(
+    "q135_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "ORC source/sink parity (sources/formats): project lineitem, "
+    "write it as ORC (Spark's second native columnar lake format — "
+    "same stripe/row-group stats pruning story as parquet), read it "
+    "back schema-enforced, and run the pricing rollup on the "
+    "round-tripped data; the oracle aggregates the original parquet, "
+    "so a green row certifies write+read fidelity for every column "
+    "type in the projection.",
+)
+def q135_orc_roundtrip(spark, sf_dir):
+    import os
+
+    from ..sources.formats import read_table, write_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    path = (
+        f"{ORACLE_SCRATCH}/q135_lineitem_orc_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_table(li, path, "orc")
+    back = read_table(spark, path, "orc", li.schema)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        fixed_sum("l_extendedprice", 100, "sum_base"),
+    )
+
+
+@_register(
+    "q136_langid_ngram",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_SQL_NORM} AS nt,
+               {_sql_hash_uniform('langid', 'doc_id')} < 0.5 AS is_train
+        FROM documents
+    ),
+    tg AS (
+        SELECT lang AS p_lang,
+               unnest(list_transform(range(length(nt) - 2),
+                   i -> substring(nt, i + 1, 3))) AS gram
+        FROM d WHERE is_train AND length(nt) >= 3
+    ),
+    prof AS (
+        SELECT p_lang, gram FROM (
+            SELECT p_lang, gram,
+                   row_number() OVER (
+                       PARTITION BY p_lang
+                       ORDER BY COUNT(*) DESC, gram) AS rk
+            FROM tg GROUP BY p_lang, gram) WHERE rk <= 20
+    ),
+    test AS (SELECT doc_id, lang, nt FROM d WHERE NOT is_train),
+    tgrams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(length(nt) - 2),
+                   i -> substring(nt, i + 1, 3))) AS gram
+        FROM test WHERE length(nt) >= 3
+    ),
+    ov AS (
+        SELECT t.doc_id, p.p_lang, COUNT(*) AS hits
+        FROM tgrams t JOIN prof p ON t.gram = p.gram
+        GROUP BY t.doc_id, p.p_lang
+    ),
+    langs AS (SELECT DISTINCT lang AS p_lang FROM documents),
+    scored AS (
+        SELECT te.doc_id, te.lang, l.p_lang,
+               CAST(coalesce(o.hits, 0) AS BIGINT) AS score
+        FROM test te CROSS JOIN langs l
+        LEFT JOIN ov o ON o.doc_id = te.doc_id AND o.p_lang = l.p_lang
+    )
+    SELECT doc_id, lang, p_lang AS pred_lang, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn
+        FROM scored) WHERE rn = 1
+    """,
+    "Char-trigram language identification "
+    "(text.langid_ngram_classify, north-star 'language-ID (n-gram "
+    "heuristic)'): per-language top-20 trigram profiles fit on a "
+    "deterministic hash-split train half, every held-out doc "
+    "classified by distinct-trigram overlap (all languages scored "
+    "via a 5-row broadcast cross join, so zero-overlap docs still "
+    "classify deterministically). Profiling is one explode + "
+    "partial-agg groupBy; classification streams the held-out "
+    "explode through a broadcast join — no corpus-keyed shuffle.",
+)
+def q136_langid_ngram(spark, sf_dir):
+    from ..operators.text import langid_ngram_classify
+
+    return langid_ngram_classify(
+        _t(spark, sf_dir, "documents"), n=3, top_k=20, train_frac=0.5
+    )
+
+
+@_register(
+    "q137_minhash_calibration",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    units AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(len(t) - 2),
+                       i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+                   ELSE []::VARCHAR[] END) AS u
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(u, x -> md5('0:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('1:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('2:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('3:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('4:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('5:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('6:' || x)), 'min'),
+                list_aggregate(list_transform(u, x -> md5('7:' || x)), 'min')]
+                   AS sig
+        FROM units WHERE len(u) > 0
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               sig[2 * b.b + 1] || '|' || sig[2 * b.b + 2] AS key
+        FROM sig, range(4) b(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    eq AS (
+        SELECT c.a_id, c.b_id,
+               CAST((CASE WHEN sa.sig[1] = sb.sig[1] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[2] = sb.sig[2] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[3] = sb.sig[3] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[4] = sb.sig[4] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[5] = sb.sig[5] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[6] = sb.sig[6] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[7] = sb.sig[7] THEN 1 ELSE 0 END)
+                  + (CASE WHEN sa.sig[8] = sb.sig[8] THEN 1 ELSE 0 END)
+                 AS INT) AS n_eq_slots
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a_id
+        JOIN sig sb ON sb.doc_id = c.b_id
+    ),
+    ush AS (SELECT doc_id, unnest(u) AS u FROM units),
+    sizes AS (SELECT doc_id, len(u) AS n_u FROM units),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ush a ON a.doc_id = c.a_id
+        JOIN ush b ON b.doc_id = c.b_id AND b.u = a.u
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT e.a_id, e.b_id, e.n_eq_slots,
+           round(coalesce(i.n_inter, 0)
+                 / (1.0 * (sa.n_u + sb.n_u - coalesce(i.n_inter, 0))), 6)
+               AS jaccard6
+    FROM eq e
+    LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+    JOIN sizes sa ON sa.doc_id = e.a_id
+    JOIN sizes sb ON sb.doc_id = e.b_id
+    """,
+    "MinHash estimator calibration (dedup.minhash_jaccard_"
+    "calibration): for every LSH candidate pair, the sketch estimate "
+    "(equal signature slots / 8) beside the EXACT shingle-set "
+    "Jaccard — the error-bar report an operator reads before "
+    "trusting a sketch threshold on a new corpus. Exact side joins "
+    "candidates to the distinct-shingle stream (|candidates| x "
+    "shingles-per-doc, bucket-bounded), never all pairs.",
+)
+def q137_minhash_calibration(spark, sf_dir):
+    from ..operators.dedup import minhash_jaccard_calibration
+
+    return minhash_jaccard_calibration(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        use_portable_hash=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

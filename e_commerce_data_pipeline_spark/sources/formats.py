@@ -29,10 +29,14 @@ _CORRUPT = "_corrupt_record"
 
 
 def write_table(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
-    """Write a table in the named format (parquet|csv|jsonl)."""
+    """Write a table in the named format (parquet|orc|csv|jsonl)."""
     w = df.write.mode(mode)
     if fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        # the second columnar lake format Spark ships natively: same
+        # pruning/pushdown story as parquet (stripe + row-group stats)
+        w.orc(path)
     elif fmt == "csv":
         w.option("header", True).option("timestampFormat", _TS_FMT).csv(path)
     elif fmt in ("json", "jsonl"):
@@ -58,6 +62,8 @@ def read_table(
     """
     if fmt == "parquet":
         return spark.read.schema(schema).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     if fmt not in ("csv", "json", "jsonl"):
         raise ValueError(f"unknown format {fmt!r}")
     text_schema = StructType(

@@ -10,7 +10,7 @@ from e_commerce_data_pipeline_spark.catalog import load_table
 from e_commerce_data_pipeline_spark.sources.formats import read_table, write_table
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "jsonl"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "jsonl"])
 def test_roundtrip_exact(spark, sf_dir, tmp_path, fmt):
     src = load_table(spark, sf_dir, "lineitem").limit(500).cache()
     path = str(tmp_path / f"li_{fmt}")

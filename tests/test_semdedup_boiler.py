@@ -95,3 +95,28 @@ def test_boilerplate_empty_and_short_docs(spark):
     assert out[0]["n_shingles"] == 0 and out[0]["keep"]
     assert out[1]["n_shingles"] == 0 and out[1]["keep"]  # < n tokens
     assert out[2]["n_shingles"] == 5 and out[2]["n_boiler"] == 0
+
+
+def test_langid_profiles_and_classification_deterministic(spark):
+    from e_commerce_data_pipeline_spark.operators.text import (
+        langid_ngram_classify,
+    )
+
+    docs = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        word = "zebra quokka" if lang == "aa" else "matrix vector"
+        docs.append((i, f"{word} common filler words here {i}", lang))
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string")
+    out = langid_ngram_classify(df, n=3, top_k=10, train_frac=0.5)
+    rows = out.collect()
+    # every held-out doc classified exactly once, score >= 0
+    assert len(rows) == len({r["doc_id"] for r in rows}) > 0
+    assert all(r["score"] >= 0 for r in rows)
+    # the lang-specific words dominate the profiles -> high accuracy
+    acc = sum(r["lang"] == r["pred_lang"] for r in rows) / len(rows)
+    assert acc >= 0.9
+    # determinism: a second run returns the identical verdicts
+    again = {r["doc_id"]: r["pred_lang"]
+             for r in langid_ngram_classify(df, n=3, top_k=10, train_frac=0.5).collect()}
+    assert again == {r["doc_id"]: r["pred_lang"] for r in rows}
