@@ -215,6 +215,24 @@ def test_q130_boilerplate_has_no_inferred_generate_filter(spark, sf_dir):
     for line in opt.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith("Filter"):
             assert "regexp_replace" not in line, line
+        # the tokenizer must be materialized BELOW the explode: a
+        # Generate whose generator embeds regexp_replace re-runs the
+        # tokenizer once per element access inside the shingle lambda
+        # (measured 25x on q130)
+        if "Generate" in line:
+            assert "regexp_replace" not in line, line
+
+
+def test_q136_langid_gram_lambda_reads_materialized_norm(spark, sf_dir):
+    """Same no-CSE-inside-lambda class: the char-gram transform must
+    slice a materialized __nt column, not the norm_text expression."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q136_langid_ngram"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Generate" in line:
+            assert "regexp_replace" not in line, line
 
 
 def test_q131_bloom_filter_below_exchange(spark, sf_dir):
