@@ -984,16 +984,22 @@ def minhash_jaccard_calibration(
     bars on YOUR corpus, using only the bucket-bounded candidate set
     (never all pairs).
 
-    Shape: signatures are computed once and cached (explode ->
-    map-side min partial agg); the exact side joins the candidate
-    pairs back to the distinct-shingle stream on (id, shingle) — cost
-    |candidates| * shingles-per-doc, and sizes come from the same
-    stream's per-id counts.
+    Shape: the corpus tokenizes and explodes to distinct (id, unit)
+    rows ONCE (cached); both the signature min-aggregation and the
+    exact-intersection join read that stream, so the exact side costs
+    |candidates| * shingles-per-doc on top of the sketch, and sizes
+    come from the same stream's per-id counts.
 
     Returns (a_id, b_id, n_eq_slots, jaccard6).
     """
-    sigs = minhash_signature(
-        df, id_col, text_col, num_hashes, use_portable_hash, shingle_n
+    units = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select("id", F.explode(_minhash_units("__toks", shingle_n)).alias("u"))
+        .cache()
+    )
+    sigs = _signature_from_units(
+        units.select("id", F.col("u").alias("unit")), num_hashes, use_portable_hash
     ).cache()
     cands = _lsh_candidates_from_sigs(sigs, num_hashes, bands)
     a = sigs.select(F.col("id").alias("a_id"), F.col("sig").alias("a_sig"))
@@ -1012,13 +1018,8 @@ def minhash_jaccard_calibration(
         .join(b, "b_id")
         .select("a_id", "b_id", n_eq.alias("n_eq_slots"))
     )
-    units = (
-        _spread(df)
-        .select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        .select("id", F.explode(_minhash_units("__toks", shingle_n)).alias("u"))
-        .distinct()
-        .cache()
-    )
+    # _minhash_units is array_distinct per doc, so the cached
+    # (id, u) stream is already unique — no distinct shuffle needed
     sizes = units.groupBy("id").agg(F.count(F.lit(1)).alias("n_u"))
     inter = (
         cands.join(units.select(F.col("id").alias("a_id"), "u"), "a_id")
