@@ -116,3 +116,121 @@ def pagerank_reference(edge_list, iters: int = 3, damping_pct: int = 85):
             nxt[v] = nxt.get(v, 0) + share[u]
         r = {v: m + teleport for v, m in nxt.items()}
     return r
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_adjacency: bool = True,
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over an undirected simple graph (input pairs in any orientation;
+    self-loops dropped, duplicates collapsed).
+
+    Algorithm: degree-ordered edge orientation (node rank =
+    (degree, id); every edge points from lower to higher rank), then
+    triangle enumeration by out-neighbor intersection per edge: for
+    oriented edge (a, b), every x in N_out(a) & N_out(b) closes the
+    triangle (a, b, x) exactly once (ranks strictly increase along its
+    oriented edges). Degree ordering bounds every out-list by
+    O(sqrt(m)) on any graph (arboricity bound, Chiba-Nishizeki), so
+    the total intersection work is O(m^1.5) even on hub-heavy graphs.
+    Orientation changes COST only, never the result, so a SQL oracle
+    can verify with the naive a<b<c triple join.
+
+    ``broadcast_adjacency=True`` ships the |V|-row out-neighbor table
+    to every task (one map-side pass over the edge stream — right
+    whenever V is dim-sized, e.g. a part co-purchase graph). For
+    graphs whose vertex set outgrows a broadcast, set it False: the
+    closure runs as the classic wedge self-join + semi-join, all
+    shuffle-partitioned on vertex keys.
+
+    Returns (node, degree, n_triangles, clustering6) for every
+    endpoint in the edge set, clustering6 = round(2T / d(d-1), 6).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .cache()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    # degree table is |V| rows — broadcast regardless of closure mode
+    ranked = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).cache()
+    if broadcast_adjacency:
+        adj = oriented.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+        # na join is inner (edge (a,b) proves a has out-neighbors);
+        # nb may be absent — slice(na, 1, 0) is a typed empty array,
+        # keeping the operator generic over the node id type
+        tri = (
+            oriented.join(
+                F.broadcast(adj.select(F.col("a"), F.col("nbrs").alias("na"))),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
+                ),
+                "b",
+                "left",
+            )
+            .select(
+                "a",
+                "b",
+                F.explode(
+                    F.array_intersect(
+                        F.col("na"),
+                        F.coalesce("nb", F.slice("na", 1, 0)),
+                    )
+                ).alias("c"),
+            )
+        )
+    else:
+        wedges = oriented.join(
+            oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        tri = wedges.join(
+            oriented.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn(
+            "clustering6",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

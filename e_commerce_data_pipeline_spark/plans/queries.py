@@ -6529,6 +6529,83 @@ def q137_minhash_calibration(spark, sf_dir):
     )
 
 
+@_register(
+    "q138_copurchase_triangles",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tn AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * coalesce(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering6
+    FROM deg d LEFT JOIN tn t ON t.node = d.node
+    """,
+    "Triangle counting + local clustering coefficient over the part "
+    "co-purchase graph (graph.triangle_counts) — the third graph "
+    "operator beside PageRank and components, and the standard "
+    "cohesion metric for recommendation graphs. Spark side orients "
+    "edges by (degree, id) rank so the wedge self-join is bounded by "
+    "Sum out-deg^2 = O(m^1.5) (Chiba-Nishizeki) even on hub-heavy "
+    "graphs; orientation affects cost only, so the oracle verifies "
+    "with the naive ordered triple join. Per-order pairing bounds "
+    "edge generation by order size squared, linear in orders.",
+)
+def q138_copurchase_triangles(spark, sf_dir):
+    from ..operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    # edge generation in ONE order-keyed shuffle: collect the order's
+    # part set (<= 7 in TPC-H shape, bounded by order size) and expand
+    # ordered pairs with a nested transform — no per-order self-join
+    ps = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    edges = ps.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ps"),
+                            i + F.lit(2),
+                            F.greatest(F.size("ps") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return triangle_counts(edges)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -48,3 +48,38 @@ def test_duplicate_and_self_edges_ignored(spark):
     got, want = _run(spark, noisy, iters=2)
     clean_got, _ = _run(spark, edges, iters=2)
     assert got == want == clean_got
+
+
+def test_triangle_counts_both_modes_match_bruteforce(spark):
+    import itertools
+    import random
+
+    from e_commerce_data_pipeline_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    # feed duplicates and both orientations: the operator must collapse
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in list(edges)[:20]]
+    df = spark.createDataFrame(rows, "src long, dst long")
+
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want_tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want_tri[n] += 1
+
+    for mode in (True, False):
+        got = {r["node"]: r for r in triangle_counts(
+            df, broadcast_adjacency=mode).collect()}
+        for n, r in got.items():
+            assert r["degree"] == len(adj[n])
+            assert r["n_triangles"] == want_tri[n], (mode, n)
+            if r["degree"] >= 2:
+                d = r["degree"]
+                assert abs(r["clustering6"] - round(2*want_tri[n]/(d*(d-1)), 6)) < 1e-9
+        # nodes with no edges don't appear; all edge endpoints do
+        assert set(got) == {n for n in nodes if adj[n]}
