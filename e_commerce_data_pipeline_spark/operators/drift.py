@@ -95,3 +95,45 @@ def psi_drift(
             (F.col("psi_micro2") / F.lit(1e12)).alias("psi"),
         )
     )
+
+
+def schema_drift(old_schema, new_schema) -> DataFrame | list:
+    """Schema-drift report between two snapshots of a table: the
+    metadata-level complement to ``psi_drift`` (value drift). Returns
+    a plain list of dicts — this is driver-side metadata, no job runs.
+
+    Categories:
+    - ``added`` / ``removed``: column present in only one snapshot
+    - ``type_changed``: same name, different dataType (a silent
+      reader-breaker on parquet unions — the case quality gates must
+      catch before a write lands in the lake)
+    - ``nullability_relaxed``: required -> nullable (usually benign
+      but contract-relevant); ``nullability_tightened`` the reverse
+
+    Accepts StructType or anything with ``.schema`` (a DataFrame).
+    """
+    old = getattr(old_schema, "schema", old_schema)
+    new = getattr(new_schema, "schema", new_schema)
+    o = {f.name: f for f in old.fields}
+    n = {f.name: f for f in new.fields}
+    out = []
+    for name in sorted(o.keys() - n.keys()):
+        out.append({"column": name, "change": "removed",
+                    "old": o[name].dataType.simpleString(), "new": None})
+    for name in sorted(n.keys() - o.keys()):
+        out.append({"column": name, "change": "added",
+                    "old": None, "new": n[name].dataType.simpleString()})
+    for name in sorted(o.keys() & n.keys()):
+        fo, fn = o[name], n[name]
+        if fo.dataType != fn.dataType:
+            out.append({"column": name, "change": "type_changed",
+                        "old": fo.dataType.simpleString(),
+                        "new": fn.dataType.simpleString()})
+        elif fo.nullable != fn.nullable:
+            out.append({
+                "column": name,
+                "change": ("nullability_relaxed" if fn.nullable
+                           else "nullability_tightened"),
+                "old": str(fo.nullable), "new": str(fn.nullable),
+            })
+    return out

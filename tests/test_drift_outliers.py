@@ -84,3 +84,35 @@ def test_negative_samples_exclude_positives_and_are_layout_stable(spark):
     assert {(r["user"], r["slot"], r["item"]) for r in again} == {
         (r["user"], r["slot"], r["item"]) for r in got
     }
+
+
+def test_schema_drift_categories(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from e_commerce_data_pipeline_spark.operators.drift import schema_drift
+
+    old = StructType([
+        StructField("a", LongType(), False),
+        StructField("b", StringType(), True),
+        StructField("c", LongType(), True),
+        StructField("d", LongType(), True),
+    ])
+    new = StructType([
+        StructField("a", LongType(), True),       # relaxed
+        StructField("b", LongType(), True),       # type changed
+        StructField("d", LongType(), False),      # tightened
+        StructField("e", StringType(), True),     # added; c removed
+    ])
+    got = {r["column"]: r["change"] for r in schema_drift(old, new)}
+    assert got == {
+        "a": "nullability_relaxed",
+        "b": "type_changed",
+        "c": "removed",
+        "d": "nullability_tightened",
+        "e": "added",
+    }
+    # DataFrame inputs work too, and identical schemas report nothing
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    assert schema_drift(df, df) == []
