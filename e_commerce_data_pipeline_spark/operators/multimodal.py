@@ -502,3 +502,53 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
                      f"mem://media/{i}.wav"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def image_exact_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact per-image pixel statistics — the driver-verifiable
+    face of the feature-extract stage (``image_features`` keeps the
+    float API). Per image: pixel count, exact channel sums, and exact
+    sums of a micro-quantized luminance (lq = 2126*R + 7152*G + 722*B,
+    i.e. Rec.709 x 1e4) and its square — all int64, so an independent
+    engine that regenerates the deterministic pixels reproduces every
+    value bit-for-bit; means/stds derive downstream as one
+    correctly-rounded division/sqrt. Pixels never leave the kernel;
+    five scalars per image cross back. Overflow headroom: lq <=
+    2.55e6, lq^2 <= 6.5e12, so sum_lq2 stays under int64 through
+    ~1.4e6 pixels per image (gate larger frames upstream)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, fmt = _decode_any(content)
+                if px is None:
+                    out.append((media_id, None, None, None, None, None, None))
+                    continue
+                p = px.astype(np.int64)
+                lq = p @ np.array([2126, 7152, 722], dtype=np.int64)
+                out.append(
+                    (
+                        media_id,
+                        int(p.shape[0] * p.shape[1]),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int(lq.sum()),
+                        int((lq * lq).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "sum_lq", "sum_lq2",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
+        "sum_lq long, sum_lq2 long",
+    )

@@ -6606,6 +6606,53 @@ def q138_copurchase_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+@_register(
+    "q139_image_feature_stats",
+    """
+    WITH m AS (
+        SELECT i, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        FROM range(100) t(i)
+    ),
+    ys AS (SELECT i, w, unnest(range(h)) AS y FROM m),
+    px AS (
+        SELECT i, y, unnest(range(w)) AS x FROM ys
+    ),
+    ch AS (
+        SELECT i,
+               (x + y + i) % 256 AS r,
+               ((x + y + i) % 256 + 85) % 256 AS g,
+               ((x + y + i) % 256 + 170) % 256 AS b
+        FROM px
+    ),
+    lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(l) AS BIGINT) AS sum_lq,
+           CAST(SUM(l * l) AS BIGINT) AS sum_lq2
+    FROM lq GROUP BY i
+    """,
+    "Multimodal feature extraction, driver-verified end-to-end "
+    "(multimodal.image_exact_stats): the deterministic gradient "
+    "images are encoded (BMP/PPM), decoded by the real pure-numpy "
+    "codecs inside the Arrow kernel, and reduced to integer-exact "
+    "channel/luminance sums; the oracle regenerates the same pixels "
+    "from the generator's closed form in SQL, so any bug in codec "
+    "payload bytes (not just headers, which q117 covers) or in the "
+    "feature reduction breaks the hash. Complements q117/q118 by "
+    "verifying pixel VALUES through the full encode->decode->reduce "
+    "path.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q139_image_feature_stats(spark, sf_dir):
+    from ..operators.multimodal import image_exact_stats, synthetic_media_table
+
+    media = synthetic_media_table(spark, n=100, real=True)
+    return image_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
