@@ -59,9 +59,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    n_run = 0
     for name, spec in QUERIES.items():
         if not spec.bench:
             continue
+        # periodic full GC: across a 120+-query session, heap/codegen
+        # aging inflates late rows 1.5-2.8x vs isolated min-of-2 (see
+        # PERF.md "in-bench inflation"); an explicit collection every
+        # few queries keeps measurements closer to steady-state
+        n_run += 1
+        if n_run % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
         # min of two runs: the second run's data is OS-page-cache warm,
         # so min() reports steady-state engine cost, stable across
         # rounds regardless of what ran before the bench

@@ -6653,6 +6653,134 @@ def q139_image_feature_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q140_nation_trade_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(strftime(l_shipdate, '%Y') AS INT) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+    "TPC-H Q7 shape (volume shipping between nation pairs by ship "
+    "year): the lineitem⋈orders fact-fact join shuffles once on "
+    "orderkey; customer/supplier/nation dims broadcast (two aliased "
+    "broadcasts of the same 25-row nation table); revenue is the "
+    "per-row fixed-point discipline. Output cardinality is "
+    "nation-pair x year — tiny regardless of fact size.",
+)
+def q140_nation_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                10_000,
+                "volume",
+            ),
+        )
+    )
+
+
+@_register(
+    "q141_market_share",
+    """
+    WITH vol AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS order_year,
+               sn.n_name AS supp_nation,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS rev_q
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+    )
+    SELECT order_year,
+           SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_q ELSE 0 END)
+               / 10000.0 AS focal_volume,
+           CAST(SUM(rev_q) AS BIGINT) / 10000.0 AS total_volume,
+           round(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_q ELSE 0 END)
+                 / (1.0 * SUM(rev_q)), 6) AS mkt_share
+    FROM vol GROUP BY order_year
+    """,
+    "TPC-H Q8 shape (market share: the fraction of revenue into ASIA "
+    "customers supplied from the focal nation (NATION_2), per order year). Numerator and "
+    "denominator are EXACT integer sums off one scan — the share is "
+    "one rounded division per year row, so no float accumulation "
+    "anywhere; dims broadcast, one orderkey shuffle.",
+)
+def q141_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_q = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+            rev_q.alias("rev_q"),
+        )
+    )
+    china = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev_q")).otherwise(F.lit(0)))
+    return vol.groupBy("order_year").agg(
+        (china / 10_000.0).alias("focal_volume"),
+        (F.sum("rev_q") / 10_000.0).alias("total_volume"),
+        F.round(china / F.sum("rev_q").cast("double"), 6).alias("mkt_share"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
