@@ -6826,3 +6826,12 @@ def _order_least_recently_verified() -> None:
 
 
 _order_least_recently_verified()
+
+# qNN prefixes must be unique: docs, VERDICT, the rotation record, and
+# bench reports all refer to queries by number (a round-3 collision
+# between two q89s forced a renumber — fail loudly on the next one)
+_nums = [n.split("_", 1)[0] for n in QUERIES]
+assert len(set(_nums)) == len(_nums), sorted(
+    x for x in set(_nums) if _nums.count(x) > 1
+)
+del _nums
