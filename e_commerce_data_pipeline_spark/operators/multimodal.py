@@ -552,3 +552,65 @@ def image_exact_stats(df: DataFrame) -> DataFrame:
         "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
         "sum_lq long, sum_lq2 long",
     )
+
+
+def synthetic_video_table(spark, n: int = 20) -> DataFrame:
+    """Deterministic VIDF table for driver-verifiable frame sampling:
+    media i holds ``6 + (i % 5)`` PPM frames of size 16x(16 + (i%3)*4),
+    frame f's pixels from ``make_test_pixels(w, h, seed=i * 100 + f)``
+    — every sampled frame's pixel sums have a closed form an
+    independent engine can recompute."""
+    rows = []
+    for i in range(n):
+        w, h = 16, 16 + (i % 3) * 4
+        frames = [
+            encode_ppm(make_test_pixels(w, h, seed=i * 100 + f))
+            for f in range(6 + (i % 5))
+        ]
+        rows.append((i, "video", encode_video(frames), None,
+                     f"mem://media/{i}.vidf"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def frame_exact_stats(frames_df: DataFrame) -> DataFrame:
+    """Integer-exact pixel stats per SAMPLED frame — the decode step
+    downstream of ``sample_video_frames`` (only kept frames were ever
+    extracted from the container, so this is linear in frames KEPT).
+    Input: (media_id, frame_no, frame) from sample_video_frames;
+    output int64 (n_px, sum_r, sum_g, sum_b) per frame."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, frame_no, frame in zip(
+                pdf["media_id"], pdf["frame_no"], pdf["frame"]
+            ):
+                px, _fmt = _decode_any(frame)
+                if px is None:
+                    out.append((media_id, frame_no, None, None, None, None))
+                    continue
+                p = px.astype(np.int64)
+                out.append(
+                    (
+                        media_id,
+                        frame_no,
+                        int(p.shape[0] * p.shape[1]),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_no", "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return frames_df.mapInPandas(
+        kernel,
+        "media_id long, frame_no int, n_px long, sum_r long, sum_g long, "
+        "sum_b long",
+    )

@@ -6781,6 +6781,49 @@ def q141_market_share(spark, sf_dir):
     )
 
 
+@_register(
+    "q142_video_frame_sample",
+    """
+    WITH m AS (
+        SELECT i, 16 AS w, 16 + (i % 3) * 4 AS h, 6 + (i % 5) AS nf
+        FROM range(20) t(i)
+    ),
+    fr AS (SELECT i, w, h, unnest(range(nf)) AS f FROM m),
+    kept AS (SELECT * FROM fr WHERE f % 3 = 0),
+    ys AS (SELECT i, f, w, unnest(range(h)) AS y FROM kept),
+    px AS (SELECT i, f, y, unnest(range(w)) AS x FROM ys),
+    ch AS (SELECT i, f, (x + y + i * 100 + f) % 256 AS base FROM px)
+    SELECT i AS media_id, CAST(f AS INT) AS frame_no,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(base) AS BIGINT) AS sum_r,
+           CAST(SUM((base + 85) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((base + 170) % 256) AS BIGINT) AS sum_b
+    FROM ch GROUP BY i, f
+    """,
+    "Video frame sampling, driver-verified end-to-end (north-star "
+    "'frame-sample'): the deterministic VIDF containers are built "
+    "from closed-form PPM frames, every 3rd frame is extracted by "
+    "seek-and-skip (only KEPT frames decode — linear in frames kept, "
+    "not stored), and each sampled frame reduces to integer-exact "
+    "channel sums; the oracle regenerates the kept frames' pixels in "
+    "SQL, so container framing, the sampling stride, and frame "
+    "payload bytes are all hash-checked. multimodal."
+    "sample_video_frames + frame_exact_stats.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q142_video_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import (
+        frame_exact_stats,
+        sample_video_frames,
+        synthetic_video_table,
+    )
+
+    media = synthetic_video_table(spark, n=20)
+    return frame_exact_stats(sample_video_frames(media, every_n=3)).orderBy(
+        "media_id", "frame_no"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
