@@ -221,3 +221,26 @@ def test_incremental_dedup_equals_filtered_all_pairs(spark, texts):
         elif b % 2 == 0 and a % 2 == 1:
             allp[(b, a)] = r["jaccard"]
     assert inc == allp
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    st.sampled_from([1 << 10, 1 << 13]),
+    st.integers(min_value=1, max_value=5),
+)
+def test_bloom_never_false_negative(spark, keys, m_bits, k):
+    """A Bloom filter may admit strangers but must NEVER reject a
+    member — for any key set, m, and k."""
+    from e_commerce_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    df = spark.createDataFrame([(v,) for v in keys], "k long")
+    bf = build_bloom(df, "k", m_bits=m_bits, k=k)
+    kept = {
+        r["k"]
+        for r in df.filter(might_contain(bf, F.col("k"))).collect()
+    }
+    assert kept == set(keys)
