@@ -6824,6 +6824,57 @@ def q142_video_frame_sample(spark, sf_dir):
     )
 
 
+@_register(
+    "q143_image_resize_verify",
+    """
+    WITH m AS (
+        SELECT i, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        FROM range(100) t(i)
+    ),
+    ys AS (SELECT i, w, h, unnest(range(8)) AS yy FROM m),
+    px AS (SELECT i, w, h, yy, unnest(range(8)) AS xx FROM ys),
+    ch AS (
+        SELECT i, ((xx * w) // 8 + (yy * h) // 8 + i) % 256 AS base
+        FROM px
+    ),
+    lq AS (
+        SELECT i, base AS r, (base + 85) % 256 AS g,
+               (base + 170) % 256 AS b,
+               2126 * base + 7152 * ((base + 85) % 256)
+                   + 722 * ((base + 170) % 256) AS l
+        FROM ch
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(l) AS BIGINT) AS sum_lq,
+           CAST(SUM(l * l) AS BIGINT) AS sum_lq2
+    FROM lq GROUP BY i
+    """,
+    "Image RESIZE, driver-verified end-to-end (north-star 'resize'): "
+    "the deterministic gradient images are decoded, nearest-neighbor "
+    "resized to 8x8 (index map (j*w)//8, (i*h)//8), RE-ENCODED as "
+    "BMP, decoded again, and reduced to integer-exact channel/"
+    "luminance sums; the oracle applies the same index map to the "
+    "generator's closed form in SQL. Verifies the resample index "
+    "math AND the BMP re-encode path with pixel-value granularity "
+    "(q117 covers headers, q139 covers straight decode). "
+    "multimodal.resize_images + image_exact_stats.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q143_image_resize_verify(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_exact_stats,
+        resize_images,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=100, real=True)
+    return image_exact_stats(resize_images(media, (8, 8))).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
