@@ -6875,6 +6875,115 @@ def q143_image_resize_verify(spark, sf_dir):
     return image_exact_stats(resize_images(media, (8, 8))).orderBy("media_id")
 
 
+@_register(
+    "q144_cluster_topics",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q46_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, centroid_id AS cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, coeffs) DESC,
+                                centroid_id) AS rn
+            FROM e, cents) WHERE rn = 1
+    ),
+    dtok AS (
+        SELECT d.doc_id, a.cluster,
+               unnest(list_distinct({_SQL_TOKS})) AS token
+        FROM documents d JOIN assign a ON a.vec_id = d.doc_id
+    ),
+    cdf AS (
+        SELECT cluster, token, COUNT(*) AS c_df
+        FROM dtok GROUP BY cluster, token
+    ),
+    gdf AS (SELECT token, COUNT(*) AS g_df FROM dtok GROUP BY token),
+    csize AS (SELECT cluster, COUNT(DISTINCT doc_id) AS n_docs FROM dtok
+              GROUP BY cluster),
+    tot AS (SELECT COUNT(*) AS n_all FROM assign),
+    scored AS (
+        SELECT cdf.cluster, cdf.token, cdf.c_df, cs.n_docs,
+               -- distinctiveness: in-cluster df share vs global df
+               -- share, as an integer-exact cross-ratio * 1e6
+               CAST((1000000 * cdf.c_df * t.n_all)
+                    // (cs.n_docs * g.g_df) AS BIGINT) AS lift_micro
+        FROM cdf
+        JOIN csize cs ON cs.cluster = cdf.cluster
+        JOIN gdf g ON g.token = cdf.token
+        CROSS JOIN tot t
+        WHERE 10 * cdf.c_df >= 3 * cs.n_docs
+    )
+    SELECT cluster, token, CAST(c_df AS BIGINT) AS c_df,
+           CAST(n_docs AS BIGINT) AS n_docs, lift_micro, rk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY cluster
+            ORDER BY lift_micro DESC, c_df DESC, token) AS INT) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "Cluster topic labeling (the 'what is in each semantic bucket' "
+    "report a curation pipeline prints after clustering): docs join "
+    "their embedding's IVF cell (shared q46 codebook), and each "
+    "cluster is labeled by its 5 most DISTINCTIVE tokens — "
+    "in-cluster document frequency vs global df as an integer-exact "
+    "cross-ratio lift (floor x1e6), with a 30%-support floor. One "
+    "distinct-token explode keyed by (cluster, token) with partial "
+    "agg; the global df and cluster sizes are broadcast-sized "
+    "side tables.",
+)
+def q144_cluster_topics(spark, sf_dir):
+    from ..operators.text import tokens
+
+    cents, idx_path = _ivf_index_for(spark, sf_dir)
+    assign = spark.read.parquet(idx_path).select(
+        F.col("neighbor_id").alias("vec_id"), "cluster"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    dtok = (
+        docs.join(assign, docs.doc_id == assign.vec_id)
+        .select("doc_id", "cluster", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            "cluster",
+            F.explode(F.array_distinct("__toks")).alias("token"),
+        )
+        .cache()
+    )
+    cdf = dtok.groupBy("cluster", "token").agg(F.count(F.lit(1)).alias("c_df"))
+    gdf = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("g_df"))
+    csize = dtok.groupBy("cluster").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n_all = assign.count()
+    scored = (
+        cdf.join(F.broadcast(csize), "cluster")
+        .join(F.broadcast(gdf), "token")
+        .filter(10 * F.col("c_df") >= 3 * F.col("n_docs"))
+        .withColumn(
+            "lift_micro",
+            # integer DIV, not floor(double/): a double ratio that
+            # rounds up across an integer boundary would diverge from
+            # the oracle's exact // on large counts
+            F.expr(
+                f"CAST((1000000L * c_df * {n_all}) DIV (n_docs * g_df) AS LONG)"
+            ),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("lift_micro"), F.desc("c_df"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("cluster", "token", "c_df", "n_docs", "lift_micro", "rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
