@@ -97,7 +97,7 @@ def psi_drift(
     )
 
 
-def schema_drift(old_schema, new_schema) -> DataFrame | list:
+def schema_drift(old_schema, new_schema) -> list:
     """Schema-drift report between two snapshots of a table: the
     metadata-level complement to ``psi_drift`` (value drift). Returns
     a plain list of dicts — this is driver-side metadata, no job runs.
