@@ -7100,6 +7100,51 @@ def q145_assoc_rules(spark, sf_dir):
     )
 
 
+@_register(
+    "q146_common_traffic_multiset",
+    """
+    SELECT c_custkey, COUNT(*) AS n_common
+    FROM (
+        SELECT o_custkey AS c_custkey FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A'
+    )
+    GROUP BY c_custkey
+    ORDER BY n_common DESC, c_custkey
+    LIMIT 50
+    """,
+    "SURVEY 2.6 set-op completion: INTERSECT ALL (multiset "
+    "intersection — q37's INTERSECT collapses duplicates; this keeps "
+    "min-multiplicity): customers ranked by their overlapping count "
+    "of returned vs accepted line-items. Spark `intersectAll` "
+    "compiles to the same per-key min-of-counts aggregate DuckDB "
+    "uses — never a row-by-row match.",
+)
+def q146_common_traffic_multiset(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def side(flag):
+        return (
+            o.join(li, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_returnflag") == flag)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+
+    return (
+        side("R")
+        .intersectAll(side("A"))
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.desc("n_common"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
