@@ -120,3 +120,24 @@ def test_langid_profiles_and_classification_deterministic(spark):
     again = {r["doc_id"]: r["pred_lang"]
              for r in langid_ngram_classify(df, n=3, top_k=10, train_frac=0.5).collect()}
     assert again == {r["doc_id"]: r["pred_lang"] for r in rows}
+
+
+def test_minhash_calibration_identical_and_disjoint(spark):
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        minhash_jaccard_calibration,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, text_a),
+        (2, text_a),  # identical twin: must pair with 8/8 slots, J=1
+        (3, "totally different words appear in this one here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {(r["a_id"], r["b_id"]): r
+            for r in minhash_jaccard_calibration(df).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["n_eq_slots"] == 8 and r["jaccard6"] == 1.0
+    # disjoint doc never collides with the twins
+    assert not any(3 in k for k in rows)
