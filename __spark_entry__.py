@@ -30,9 +30,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return entry_query(spark, "/root/testdata/sf0.001")
 
 
+def _with_cache_hygiene(fn):
+    """Drop the PREVIOUS query's operator-internal caches before
+    building the next plan. Several operators cache() self-join
+    inputs (signatures, unit vectors, exploded shingles) and a
+    sequential many-query session that never clears them runs the
+    driver JVM out of heap eventually (measured: a default-1g bare
+    session died at query ~145 of a full-registry sf0.1 sweep).
+    Clearing between queries is safe — the prior query's result was
+    already collected — and bounds cache residency to one query."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass  # never let hygiene break a query build
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: _with_cache_hygiene(spec.fn) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
