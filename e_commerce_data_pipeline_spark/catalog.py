@@ -32,14 +32,31 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins.
-BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
+# Dimension tables small enough for an UNCONDITIONAL broadcast hint:
+# bounded cardinality regardless of scale factor. part and customer are
+# deliberately NOT here — they grow with the fact side (sf x 200k / sf
+# x 150k), so hinting them would disable AQE's size check and turn into
+# a driver OOM at 100x instead of a quiet shuffle-join fallback; AQE
+# still broadcasts them at bench scale on its own (plan-tested).
+BROADCAST_DIMS = ("region", "nation", "supplier")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Session-scoped logical-plan cache: rebuilding a query re-reads
+# parquet footers and re-runs the dtype probe (~70 ms/table via py4j);
+# across a 130-query bench that is tens of seconds of pure driver-side
+# overhead. DataFrames are immutable logical plans, so reuse is safe;
+# keyed by applicationId so a new session never sees another's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with engine-canonical types."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure_existing(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -55,6 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # UTC the cast re-labels the same instant as TIMESTAMP so
             # unix_micros() returns the raw stored micros.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

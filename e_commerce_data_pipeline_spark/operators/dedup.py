@@ -891,7 +891,9 @@ def semdedup(
     pruning. Complements the LSH near-dup path (``embedding_near_dup``)
     with the k-means flavor a pretraining pipeline runs at corpus
     scale: points are bucketed by nearest centroid, ranked within each
-    cluster by similarity to that centroid (vec-id tiebreak), and a
+    cluster by similarity to that centroid (rounded to ``round_dp``
+    so the rank — an output column — can't flip on cross-engine float
+    noise; vec-id tiebreak), and a
     point is dropped when any HIGHER-ranked cluster-mate is closer
     than ``tau`` — so exactly one representative (the most central)
     survives each semantic-duplicate chain seed.
@@ -928,7 +930,9 @@ def semdedup(
     )
     ranked = (
         base.join(F.broadcast(cents_df), "cluster")
-        .withColumn("cent_sim", pairwise_dot_udf()(F.col("nv"), F.col("cent")))
+        .withColumn(
+            "cent_sim", F.round(pairwise_dot_udf()(F.col("nv"), F.col("cent")), round_dp)
+        )
         .withColumn(
             "rk",
             F.row_number().over(

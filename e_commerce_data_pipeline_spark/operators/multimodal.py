@@ -149,6 +149,165 @@ def decode_ppm(b: bytes):
     return px.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, non-interlaced): zlib inflate + numpy unfiltering —
+# the one compressed format reachable with primitives already in the
+# container (zlib is stdlib; no Pillow/libpng needed). Palette/alpha/
+# 16-bit/Adam7 variants still gate through require_codec.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predictor(a, b, c):
+    """Vectorized PNG Paeth predictor (spec 9.4): nearest of left/up/
+    up-left to p = a + b - c, ties broken left, up, up-left."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, one IDAT).
+
+    ``filters`` picks the per-scanline filter id (0..4); the default
+    cycles 0,1,2,3,4 by row so a decode round-trip exercises every
+    unfilter path — deliberate for the q147 oracle, and valid PNG
+    (encoders may choose any filter per row)."""
+    import numpy as np
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PNG encoder expects RGB"
+    stride = w * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = a[y].reshape(-1).astype(np.int32)
+        ft = (y % 5) if filters is None else int(filters[y])
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        if ft == 0:
+            fr = cur
+        elif ft == 1:
+            fr = cur - left
+        elif ft == 2:
+            fr = cur - prev
+        elif ft == 3:
+            fr = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            pleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            fr = cur - _paeth_predictor(left, prev, pleft)
+        else:
+            raise ValueError(f"invalid PNG filter {ft}")
+        raw.append(ft)
+        raw += (fr & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes):
+    """PNG bytes -> (h, w, 3) uint8 RGB array.
+
+    Supports 8-bit truecolor (color type 2), filter method 0, no
+    interlace — CRC-checked chunk walk, zlib inflate, then scanline
+    unfiltering: None/Up vectorized directly, Sub via a per-pixel
+    cumsum (mod-256 distributes over addition), Average/Paeth with a
+    per-pixel loop (serial data dependency on the reconstructed left
+    neighbor). Other color types / depths / Adam7 gate through
+    ``require_codec``; any structural damage (bad signature, short
+    chunk, CRC mismatch, payload size, bad filter id) raises
+    ValueError so corrupt files surface as null rows, not task
+    failures."""
+    import numpy as np
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or inter != 0:
+        require_codec(
+            f"PNG depth={depth} color-type={color} interlace={inter}"
+        )
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    stride = w * 3
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: mod-256 cumsum down the pixel axis
+            cur = (
+                row.reshape(w, 3).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.int32).reshape(-1)
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        elif ft in (3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            left = np.zeros(3, dtype=np.int32)
+            pleft = np.zeros(3, dtype=np.int32)
+            for x in range(w):
+                seg = slice(3 * x, 3 * x + 3)
+                pr = (
+                    (left + prev[seg]) >> 1
+                    if ft == 3
+                    else _paeth_predictor(left, prev[seg], pleft)
+                )
+                cur[seg] = (row[seg] + pr) & 0xFF
+                left, pleft = cur[seg], prev[seg]
+        else:
+            raise ValueError(f"invalid PNG filter {ft}")
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8).reshape(h, w, 3)
+
+
 def _decode_any(content) -> tuple:
     """(pixels|None, format|None) for one binary payload."""
     if content is None:
@@ -159,6 +318,8 @@ def _decode_any(content) -> tuple:
             return decode_bmp(b), "bmp"
         if b[:2] == b"P6":
             return decode_ppm(b), "ppm"
+        if b[:8] == _PNG_SIG:
+            return decode_png(b), "png"
     except (ValueError, struct.error, IndexError):
         return None, None
     return None, None
@@ -199,6 +360,21 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_png_table(spark, n: int = 80) -> DataFrame:
+    """Deterministic PNG media table: the same gradient pixels as
+    ``synthetic_media_table`` (different size formula so q147 can't
+    accidentally pass against q139's corpus), encoded through the real
+    DEFLATE path with the filter cycle 0..4 by row — so decoding
+    exercises every unfilter branch on every image taller than 4 px."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 6) * 4, 16 + (i % 4) * 4
+        px = make_test_pixels(w, h, seed=i)
+        rows.append((i, "image", encode_png(px), None, f"mem://media/{i}.png"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
 

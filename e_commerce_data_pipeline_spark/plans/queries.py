@@ -12,7 +12,10 @@ Determinism rules (see functions/__init__.py):
 - no current_timestamp in oracle-gated queries (fixed NOW constant).
 
 Scale posture (100 TB): joins put the big fact (lineitem/events) on the
-probe side; dims are broadcast (catalog.BROADCAST_DIMS); aggregations
+probe side; only bounded-cardinality dims carry an explicit broadcast
+hint (catalog.BROADCAST_DIMS: region/nation/supplier — part and
+customer grow with the fact side, so their joins rely on AQE's sized
+broadcast decision instead, plan-tested at bench scale); aggregations
 are expressed so Catalyst runs partial aggregation map-side; windows
 partition by high-cardinality keys (user_id, o_orderkey) so state is
 bounded per key and the shuffle is even.
@@ -181,7 +184,7 @@ def q02_revenue_by_nation(spark, sf_dir):
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -220,7 +223,7 @@ def q03_top_building_orders(spark, sf_dir):
         li.filter(F.col("l_shipdate") > cutoff)
         .join(o.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             o.o_custkey == c.c_custkey,
         )
         .groupBy(
@@ -260,7 +263,7 @@ def q04_mktsegment_revenue(spark, sf_dir):
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             (F.sum("rev_fp") / F.lit(10_000.0)).alias("revenue"),
@@ -371,7 +374,7 @@ def q08_top_parts_per_brand(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(fixed_sum(line_revenue(), 10_000, "revenue"))
     )
@@ -1362,7 +1365,7 @@ def q38_small_quantity_parts(spark, sf_dir):
     return (
         li.join(avg_qty, li.l_partkey == avg_qty.ak)
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small_lines"),
@@ -2967,8 +2970,8 @@ def q74_fuzzy_part_names(spark, sf_dir):
     cb = counts.select(
         F.col("p_name").alias("name_b"), F.col("n").alias("n_parts_b")
     )
-    return pairs.join(F.broadcast(ca), "name_a").join(
-        F.broadcast(cb), "name_b"
+    return pairs.join(ca, "name_a").join(
+        cb, "name_b"
     ).select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
 
 
@@ -3812,7 +3815,7 @@ def q91_idle_rich_customers(spark, sf_dir):
 def q92_brand_price_qty_corr(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    x = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+    x = li.join(p, p.p_partkey == li.l_partkey).select(
         "p_brand",
         F.round("l_quantity").cast("long").alias("x"),
         to_fixed("l_extendedprice", 100).alias("y"),
@@ -3917,7 +3920,7 @@ def q93_copurchase_pagerank(spark, sf_dir):
     pr = pagerank(edges, iters=3, checkpoint=False)
     p = _t(spark, sf_dir, "part")
     return (
-        pr.join(F.broadcast(p), pr.id == p.p_partkey)
+        pr.join(p, pr.id == p.p_partkey)
         .select("p_partkey", "p_name", "rank_q")
         .orderBy(F.desc("rank_q"), F.asc("p_partkey"))
         .limit(20)
@@ -3967,7 +3970,7 @@ def q119_large_volume_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -4016,7 +4019,7 @@ def q119_large_volume_orders(spark, sf_dir):
 def q94_bracket_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     legs = [
         ("Brand#1", (1, 15), (1, 20), "small"),
         ("Brand#13", (10, 30), (10, 30), "medium"),
@@ -4083,7 +4086,7 @@ def q95_promo_part_suppliers(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
     s = _t(spark, sf_dir, "supplier")
     shipped = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.round("l_quantity").cast("long")).alias("qty"))
         .filter(F.col("qty") > 40)
@@ -6004,7 +6007,8 @@ def q128_negative_samples(spark, sf_dir):
     ranked AS (
         SELECT vec_id, cluster,
                CAST(row_number() OVER (
-                   PARTITION BY cluster ORDER BY cent_sim DESC, vec_id)
+                   PARTITION BY cluster
+                   ORDER BY round(cent_sim, 6) DESC, vec_id)
                    AS INT) AS rk
         FROM assign
     ),
@@ -6300,8 +6304,13 @@ def q133_salted_hot_key_agg(spark, sf_dir):
     "micro-quantized (1e-6) values — population std via the "
     "n*S2 - S1^2 identity, so no float accumulation anywhere and "
     "both engines do ONE correctly-rounded sqrt/div per dim. 64 "
-    "output rows regardless of corpus size; S2 stays under int64 "
-    "through ~5e5 unit-scale vectors (requantize to 1e-5 beyond).",
+    "output rows regardless of corpus size. Overflow exposure is the "
+    "PRODUCTS n*S2 and S1^2 (not S2 itself): worst-case |x|<=1 "
+    "vectors wrap int64 around n~3e3 rows, typical unit-norm 64-dim "
+    "around n~2e4 — so the query carries an assert_true guard that "
+    "raises loudly (Spark would otherwise wrap silently where DuckDB "
+    "HUGEINT keeps going) instead of emitting a wrong std6; "
+    "requantize to a coarser scale (1e-4/1e-5) when it fires.",
 )
 def q134_dim_standardization(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -6318,16 +6327,34 @@ def q134_dim_standardization(spark, sf_dir):
             F.max("q").alias("mx"),
         )
     )
+    # n*S2 and S1^2 square the int64 exposure (S2 alone is the wrong
+    # bound): guard in double with margin before Spark silently wraps.
+    no_wrap = (
+        F.col("n").cast("double") * F.col("s2").cast("double") < F.lit(9.0e18)
+    ) & (
+        F.col("s1").cast("double") * F.col("s1").cast("double") < F.lit(9.0e18)
+    )
+    guard = F.assert_true(
+        no_wrap,
+        F.concat(
+            F.lit("q134: n*S2 or S1^2 would overflow int64 at pos "),
+            F.col("pos").cast("string"),
+            F.lit("; requantize to a coarser scale"),
+        ),
+    )
     return m.select(
         F.col("pos").cast("int").alias("pos"),
         F.col("n"),
         F.round(F.col("s1") / (F.col("n") * 1_000_000.0), 6).alias("mean6"),
         F.round(
-            F.sqrt(
-                F.greatest(
-                    F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"),
-                    F.lit(0).cast("long"),
-                ).cast("double")
+            F.when(
+                guard.isNull(),
+                F.sqrt(
+                    F.greatest(
+                        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"),
+                        F.lit(0).cast("long"),
+                    ).cast("double")
+                ),
             )
             / (F.col("n") * 1_000_000.0),
             6,
@@ -6691,7 +6718,7 @@ def q140_nation_trade_volume(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
@@ -6759,7 +6786,7 @@ def q141_market_share(spark, sf_dir):
     rev_q = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
     vol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
@@ -6962,7 +6989,7 @@ def q144_cluster_topics(spark, sf_dir):
     n_all = assign.count()
     scored = (
         cdf.join(F.broadcast(csize), "cluster")
-        .join(F.broadcast(gdf), "token")
+        .join(gdf, "token")
         .filter(10 * F.col("c_df") >= 3 * F.col("n_docs"))
         .withColumn(
             "lift_micro",
@@ -7061,20 +7088,16 @@ def q145_assoc_rules(spark, sf_dir):
     )
     scored = (
         rules.join(
-            F.broadcast(
-                counts.select(
-                    F.col("l_partkey").alias("antecedent"),
-                    F.col("n_ord").alias("na"),
-                )
+            counts.select(
+                F.col("l_partkey").alias("antecedent"),
+                F.col("n_ord").alias("na"),
             ),
             "antecedent",
         )
         .join(
-            F.broadcast(
-                counts.select(
-                    F.col("l_partkey").alias("consequent"),
-                    F.col("n_ord").alias("nb"),
-                )
+            counts.select(
+                F.col("l_partkey").alias("consequent"),
+                F.col("n_ord").alias("nb"),
             ),
             "consequent",
         )
@@ -7145,6 +7168,56 @@ def q146_common_traffic_multiset(spark, sf_dir):
     )
 
 
+@_register(
+    "q147_png_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 16 + (i % 6) * 4 AS w, 16 + (i % 4) * 4 AS h
+        FROM range(80) t(i)
+    ),
+    ys AS (SELECT i, w, unnest(range(h)) AS y FROM m),
+    px AS (
+        SELECT i, y, unnest(range(w)) AS x FROM ys
+    ),
+    ch AS (
+        SELECT i,
+               (x + y + i) % 256 AS r,
+               ((x + y + i) % 256 + 85) % 256 AS g,
+               ((x + y + i) % 256 + 170) % 256 AS b
+        FROM px
+    ),
+    lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(l) AS BIGINT) AS sum_lq,
+           CAST(SUM(l * l) AS BIGINT) AS sum_lq2
+    FROM lq GROUP BY i
+    """,
+    "Real compressed-image decode, driver-verified end-to-end "
+    "(multimodal.decode_png): deterministic gradient pixels are "
+    "DEFLATE-compressed into genuine PNGs with the scanline filter "
+    "cycling 0..4 by row, then decoded inside the Arrow kernel via "
+    "zlib inflate + numpy unfiltering (Sub as a mod-256 cumsum, "
+    "Average/Paeth per the spec's serial recurrence) and reduced to "
+    "integer-exact channel/luminance sums; the oracle regenerates the "
+    "same pixels from the generator's closed form, so a bit error in "
+    "chunk CRCs, the inflate path, ANY of the five unfilter branches, "
+    "or the feature reduction breaks the hash. Size formula differs "
+    "from q139's BMP/PPM corpus so the two can't mask each other. "
+    "Corrupt payloads yield null rows, never task failures "
+    "(tests/test_multimodal.py).",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q147_png_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import image_exact_stats, synthetic_png_table
+
+    media = synthetic_png_table(spark, n=80)
+    return image_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
@@ -7195,7 +7268,9 @@ _order_least_recently_verified()
 # bench reports all refer to queries by number (a round-3 collision
 # between two q89s forced a renumber — fail loudly on the next one)
 _nums = [n.split("_", 1)[0] for n in QUERIES]
-assert len(set(_nums)) == len(_nums), sorted(
-    x for x in set(_nums) if _nums.count(x) > 1
-)
+if len(set(_nums)) != len(_nums):
+    raise ValueError(
+        "duplicate qNN prefixes in QUERIES: "
+        + ", ".join(sorted(x for x in set(_nums) if _nums.count(x) > 1))
+    )
 del _nums

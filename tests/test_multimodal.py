@@ -165,3 +165,75 @@ def test_resample_audio_halves_rate(spark):
     feats = audio_features(out).collect()[0]
     assert feats["sample_rate"] == 8000
     assert abs(feats["duration_sec"] - 1.0) < 1e-3  # same length in seconds
+
+
+def test_png_roundtrip_every_filter():
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    # default cycle 0..4 by row + each filter forced for every row
+    for w, h in [(16, 16), (17, 9), (1, 1), (5, 7)]:
+        px = make_test_pixels(w, h, seed=5)
+        assert (decode_png(encode_png(px)) == px).all()
+    px = make_test_pixels(20, 10, seed=3)
+    for f in range(5):
+        assert (decode_png(encode_png(px, filters=[f] * 10)) == px).all(), f
+
+
+def test_png_gates_unsupported_variants():
+    import struct as _struct
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # grayscale (color type 0) is a real PNG variant we do not decode:
+    # must gate through require_codec, not silently mis-decode
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    b = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(b)
+
+
+def test_png_corrupt_inputs_yield_nulls(spark):
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    good = encode_png(make_test_pixels(20, 10, seed=1))
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    bad_idat = bytearray(good)
+    bad_idat[45] ^= 0x55  # damage IDAT -> inflate/CRC error
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), None, None),
+            (2, "image", bad_crc, None, None),
+            (3, "image", bytearray(good[: len(good) // 2]), None, None),
+            (4, "image", bad_idat, None, None),
+        ],
+        "media_id long, media_type string, content binary, "
+        "content_length long, source_uri string",
+    )
+    rows = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert rows[1]["format"] == "png" and rows[1]["width"] == 20
+    for mid in (2, 3, 4):
+        assert rows[mid]["format"] is None and rows[mid]["width"] is None
+
+
+def test_png_media_flows_through_resize_and_features(spark):
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        synthetic_png_table,
+    )
+
+    media = synthetic_png_table(spark, n=6)
+    meta = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert all(m["format"] == "png" for m in meta.values())
+    assert meta[2]["width"] == 16 + (2 % 6) * 4
+    resized = resize_images(media, (8, 8))
+    feats = image_features(resized).collect()
+    assert len(feats) == 6 and all(r["mean_r"] is not None for r in feats)

@@ -245,3 +245,37 @@ def test_q131_bloom_filter_below_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "xxhash64" in plan.lower()
+
+
+def test_q144_q145_broadcast_without_hint_at_bench_scale():
+    """VERDICT r4 #1: the q144 global-df join and q145 per-part count
+    joins must NOT carry an explicit F.broadcast hint (cardinality
+    grows with the corpus — at 100x a forced hint is a driver OOM
+    instead of a shuffle fallback), yet AQE's size check should still
+    pick broadcast for them at bench scale. Asserted on the finalized
+    adaptive plan at sf0.1, the scale the bench grades."""
+    import os
+
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+    from e_commerce_data_pipeline_spark.session import get_spark
+
+    bench_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(bench_dir):  # driver images always have it
+        import pytest
+
+        pytest.skip("sf0.1 testdata absent")
+    spark = get_spark("pipeline-tests")
+    for name, join_key in (
+        ("q144_cluster_topics", "token"),
+        ("q145_assoc_rules", "antecedent"),
+    ):
+        df = QUERIES[name].fn(spark, bench_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bhj = [
+            l
+            for l in plan.splitlines()
+            if "BroadcastHashJoin" in l and join_key in l
+        ]
+        assert bhj, f"{name}: no BroadcastHashJoin on {join_key}:\n{plan}"
+    spark.catalog.clearCache()
