@@ -9,6 +9,10 @@ Each query is executed with a count-style action that materializes the
 full result (collect on the aggregated output), after a single warm-up
 of the Spark session on a trivial job so JVM startup isn't billed to
 the first query.
+
+The same record is also written pretty-printed to BENCH_FULL.json next
+to this file (the driver's BENCH_r{N}.json keeps only the last 2000
+chars of the stdout line; the file keeps every per-query row).
 """
 
 from __future__ import annotations
@@ -106,18 +110,27 @@ def main() -> None:
         except Exception as e:
             print(f"# drain {name} failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "streaming_drains": drains,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "streaming_drains": drains,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # The driver keeps only the tail of the stdout line, which truncates
+    # 130+ per-query rows to ~59; persist the complete record (pretty,
+    # committed each round) so cross-round perf comparison sees every row.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write BENCH_FULL.json: {e}", file=sys.stderr)
     spark.stop()
 
 
