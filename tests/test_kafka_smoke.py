@@ -11,6 +11,18 @@ with ``kafka_reader`` and compare round-tripped payloads.
 
 Requires the spark-sql-kafka connector on the session classpath
 (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13).
+
+Probe record (``tests/kafka_broker_probe.py``, run 2026-08-14 in this
+sandbox): broker_distribution=False (no kafka-server-start launcher,
+no kafka_* dist with server jars under /opt, /usr/local, /usr/share,
+~), spark_sql_kafka_jar=False (no *kafka*.jar in $SPARK_HOME/jars),
+python_client=False (no kafka-python / confluent-kafka), and
+network_egress=False (pypi.org:443 and archive.apache.org:443 both
+unresolvable) — so a single-node KRaft broker can be neither launched
+nor fetched here, and even with one the connector jar to reach it is
+absent. Re-run the probe after any image change; if it prints
+"broker hostable", set SPARK_GRAFT_KAFKA_BOOTSTRAP and this module
+runs.
 """
 
 from __future__ import annotations
