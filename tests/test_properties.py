@@ -244,3 +244,56 @@ def test_bloom_never_false_negative(spark, keys, m_bits, k):
         for r in df.filter(might_contain(bf, F.col("k"))).collect()
     }
     assert kept == set(keys)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=24, max_size=24),
+)
+def test_png_roundtrip_any_pixels_any_filters(w, h, seed, filters):
+    """decode(encode(px, any per-row filter choice)) == px for ANY
+    uint8 image — every unfilter branch must invert its filter
+    exactly, including at row/column boundaries (h=1, w=1)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px, filters=filters[:h])) == px).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=8, max_value=2000),
+    st.integers(min_value=0, max_value=255),
+)
+def test_png_single_byte_damage_never_crashes(seed, pos_scale, xor):
+    """Flipping any byte of a valid PNG must yield either a clean
+    decode (only if the flip is a no-op) or (None, None) from
+    _decode_any — never an uncaught exception (a corrupt file must
+    not kill a 100 TB scan)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        encode_png,
+        make_test_pixels,
+    )
+
+    good = encode_png(make_test_pixels(12, 9, seed=seed % 100))
+    pos = pos_scale % len(good)
+    dmg = bytearray(good)
+    dmg[pos] ^= xor
+    px, fmt = _decode_any(bytes(dmg))
+    if xor == 0:
+        assert fmt == "png" and px is not None
+    else:
+        assert (px is None and fmt is None) or fmt == "png"
