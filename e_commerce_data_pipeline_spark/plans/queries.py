@@ -7218,6 +7218,128 @@ def q147_png_decode_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+def _q148_oracle() -> str:
+    from ..operators.layout import quantize_minmax_sql, zorder_key_sql
+
+    pq = quantize_minmax_sql("l_partkey", 1, "pmax", 8, idiv="//")
+    sq = quantize_minmax_sql("l_suppkey", 1, "smax", 8, idiv="//")
+    return f"""
+    WITH b AS (SELECT MAX(l_partkey) AS pmax, MAX(l_suppkey) AS smax
+               FROM lineitem),
+    q AS (
+        SELECT l_partkey, l_suppkey, {pq} AS pq, {sq} AS sq
+        FROM lineitem, b
+    ),
+    z AS (
+        SELECT l_partkey, l_suppkey,
+               {zorder_key_sql(["pq", "sq"], 8)} AS zkey
+        FROM q
+    )
+    SELECT CAST(zkey >> 12 AS INT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS p_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS p_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS s_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS s_hi,
+           CAST(SUM(zkey) AS BIGINT) AS sum_zkey
+    FROM z GROUP BY zbucket
+    """
+
+
+@_register(
+    "q148_zorder_buckets",
+    _q148_oracle(),
+    "Multi-dimensional clustering for data skipping "
+    "(operators/layout.py, the OPTIMIZE ZORDER capability): quantize "
+    "(l_partkey, l_suppkey) onto an 8-bit grid with declared min-max "
+    "bounds (integer DIV per the house rule), interleave into a "
+    "Morton key with a pure shift/and/or codegen expression — no UDF, "
+    "no shuffle for the key itself — and report per-z-cell (top 4 "
+    "key bits = a 4x4 grid over the 2-D domain) row counts and dim "
+    "spans. The spans are the zone-map tightness a z-ordered rewrite "
+    "buys on BOTH columns at once; zorder_repartition ships the "
+    "layout with one range-repartition shuffle (locality asserted in "
+    "tests/test_layout.py). Oracle shares the literal expression "
+    "strings via zorder_key_sql/quantize_minmax_sql, so any bit "
+    "drift between dialects breaks the hash.",
+)
+def q148_zorder_buckets(spark, sf_dir):
+    from ..operators.layout import quantize_minmax_sql, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    q = (
+        li.select("l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(b))
+        .selectExpr(
+            "l_partkey",
+            "l_suppkey",
+            quantize_minmax_sql("l_partkey", 1, "pmax", 8) + " AS pq",
+            quantize_minmax_sql("l_suppkey", 1, "smax", 8) + " AS sq",
+        )
+    )
+    z = q.select(
+        "l_partkey", "l_suppkey", zorder_key(["pq", "sq"], 8).alias("zkey")
+    )
+    return z.groupBy(
+        F.shiftright("zkey", 12).cast("int").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("p_lo"),
+        F.max("l_partkey").cast("long").alias("p_hi"),
+        F.min("l_suppkey").cast("long").alias("s_lo"),
+        F.max("l_suppkey").cast("long").alias("s_hi"),
+        F.sum("zkey").alias("sum_zkey"),
+    )
+
+
+@_register(
+    "q149_incremental_rollup",
+    """
+    SELECT o_orderstatus,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_total,
+           CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS min_total,
+           CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_total
+    FROM orders
+    GROUP BY o_orderstatus, yr
+    """,
+    "Incremental materialized-view maintenance (operators/rollup.py): "
+    "the (status, year) revenue rollup is built as TWO algebraic "
+    "state frames — history (< 1996-01-01) and delta (>=) — then "
+    "MERGED (sums/counts add, min/max fold) without touching history "
+    "rows again; the oracle aggregates the whole table directly, so "
+    "the hash proves merge == from-scratch bit-exactly (fixed-point "
+    "int sums). The merge shuffles only |key groups| state rows — "
+    "the refresh cost a 100 TB append pipeline actually pays.",
+)
+def q149_incremental_rollup(spark, sf_dir):
+    from ..operators.rollup import merge_rollup_states, rollup_state
+
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("tot"),
+        "o_orderdate",
+    )
+    keys = ["o_orderstatus", "yr"]
+    split = F.lit("1996-01-01").cast("date")
+    hist = rollup_state(
+        keyed.filter(F.col("o_orderdate") < split), keys, {"total": F.col("tot")}
+    )
+    delta = rollup_state(
+        keyed.filter(F.col("o_orderdate") >= split), keys, {"total": F.col("tot")}
+    )
+    return merge_rollup_states([hist, delta], keys)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
