@@ -82,6 +82,7 @@ def drain_streaming_session_stats(
     events_path: str,
     gap: str = "10 minutes",
     watermark: str = "30 minutes",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run ``streaming_session_stats`` over a bounded parquet source
     (availableNow trigger) and return the drained result as a batch
@@ -115,13 +116,16 @@ def drain_streaming_session_stats(
     global _DRAIN_SEQ
     _DRAIN_SEQ += 1
     name = f"session_drain_{_DRAIN_SEQ}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ..streaming.stream_processor import state_sized_shuffle
+
+    with state_sized_shuffle(spark, shuffle_partitions):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         # proceeding would read a partially-populated memory sink and
         # surface as a confusing data mismatch instead of a timeout

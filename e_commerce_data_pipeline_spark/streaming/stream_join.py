@@ -73,6 +73,7 @@ def drain_attribution_from_events(
     events_path: str,
     watermark: str = "30 minutes",
     max_gap: str = "10 minutes",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the stream-stream attribution join over the events table's
     click and purchase streams (two independent bounded file sources
@@ -104,13 +105,16 @@ def drain_attribution_from_events(
     global _DRAIN_SEQ
     _DRAIN_SEQ += 1
     name = f"attribution_drain_{_DRAIN_SEQ}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from .stream_processor import state_sized_shuffle
+
+    with state_sized_shuffle(spark, shuffle_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("attribution stream drain did not finish in 300s")

@@ -33,6 +33,35 @@ from ..sources.bronze import PARTITION_COLS, with_time_partitions
 DEFAULT_TRIGGER = "30 seconds"
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def state_sized_shuffle(spark: SparkSession, n: int | None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    START (the query captures the conf at start; restoring after does
+    not affect it).
+
+    Why: every stateful operator creates ONE state store PER shuffle
+    partition, and store open/commit cost is per-store, per-microbatch
+    — independent of data volume. Sizing shuffle partitions to the
+    CPU count (right for the batch suite) made the bounded drains pay
+    32 stores' startup for 46 rows of state: q66's drain measured
+    8.1 s at 32 partitions vs 2.8 s at 8 (PERF.md round-5). Stateful
+    jobs size this to expected STATE volume — pass None to keep the
+    session's setting (what a 100 TB deployment would tune upward)."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
+
 def read_event_stream(
     spark: SparkSession,
     source: str = "kafka",
@@ -281,6 +310,7 @@ def drain_windowed_event_counts(
     events_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run ``windowed_event_counts`` over a bounded parquet stream of
     the events table, drain with availableNow into a memory sink, and
@@ -299,13 +329,14 @@ def drain_windowed_event_counts(
     global _WDRAIN_SEQ
     _WDRAIN_SEQ += 1
     name = f"windowed_counts_drain_{_WDRAIN_SEQ}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_sized_shuffle(spark, shuffle_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("windowed-counts drain did not finish in 300s")
@@ -316,6 +347,7 @@ def drain_streaming_dedup(
     spark: SparkSession,
     events_path: str,
     watermark: str = "2 hours",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the Silver-layer streaming dedup
     (``operators.dedup.streaming_dedup``) over a bounded parquet
@@ -353,13 +385,14 @@ def drain_streaming_dedup(
     global _WDRAIN_SEQ
     _WDRAIN_SEQ += 1
     name = f"stream_dedup_drain_{_WDRAIN_SEQ}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_sized_shuffle(spark, shuffle_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("streaming-dedup drain did not finish in 300s")
