@@ -1046,3 +1046,122 @@ def minhash_jaccard_calibration(
         )
         .select("a_id", "b_id", "n_eq_slots", "jaccard6")
     )
+
+
+def _prefix_candidates(docs: DataFrame, threshold_pct: int) -> DataFrame:
+    """Distinct (a_id, b_id) candidates from the prefix equi-join over
+    a (id, arr df-sorted, n_sh) frame — split out so tests can assert
+    the candidate volume the filter admits, not just the final pairs."""
+    pref = docs.select(
+        "id",
+        F.explode(
+            F.slice(
+                "arr",
+                F.lit(1),
+                F.expr(
+                    f"int(n_sh - ((cast({int(threshold_pct)} as bigint)"
+                    " * n_sh + 99) div 100) + 1)"
+                ),
+            )
+        ).alias("u"),
+    )
+    return (
+        pref.select(F.col("id").alias("a_id"), "u")
+        .join(pref.select(F.col("id").alias("b_id"), "u"), "u")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def prefix_sorted_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_units: bool = True,
+) -> DataFrame:
+    """(id, arr, n_sh) with each doc's distinct shingles sorted by
+    (global df asc, unit asc) — the canonical order the prefix filter
+    requires. Shared by prefix_filter_jaccard_pairs and tests."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    if hash_units:
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias(
+                "us"
+            )
+        )
+        .select(
+            "id",
+            F.expr("transform(us, u -> u.shingle)").alias("arr"),
+            F.size("us").alias("n_sh"),
+        )
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pct: int = 20,
+    hash_units: bool = True,
+) -> DataFrame:
+    """All doc pairs with token-n-gram Jaccard >= threshold_pct/100,
+    found via PPJoin-style PREFIX FILTERING (Xiao et al., WWW 2008):
+    order every doc's distinct shingles canonically (ascending global
+    document frequency, shingle tiebreak — rarest first), and join
+    only each doc's first ``|x| - ceil(t*|x|) + 1`` units. Two sets
+    with Jaccard >= t MUST share a unit inside both prefixes under a
+    common total order, so the candidate join is sound; candidates
+    then verify with one JVM ``array_intersect`` per pair on the full
+    sorted arrays — never a full shared-shingle join.
+
+    vs ``ngram_jaccard_pairs``'s df-cut: the cut bounds the join by
+    dropping stop-shingles (changing which pairs qualify); the prefix
+    filter keeps EXACT semantics and still shrinks the join stream by
+    ~t of every doc's units — the two compose (cut first, prefix on
+    the rest) for hostile corpora.
+
+    ``threshold_pct`` is an integer percent so the prefix length uses
+    exact integer ceil ((pct*|x| + 99) DIV 100) — a float ``t*|x|``
+    landing epsilon above an integer would shorten the prefix and
+    silently drop qualifying pairs. The final Jaccard compare uses the
+    same double expression as the oracle.
+
+    Returns (a_id, b_id, n_inter, n_a, n_b, jaccard).
+    """
+    docs = prefix_sorted_docs(df, id_col, text_col, n, hash_units).cache()
+    cand = _prefix_candidates(docs, threshold_pct)
+    fa = docs.select(
+        F.col("id").alias("a_id"),
+        F.col("arr").alias("a_arr"),
+        F.col("n_sh").alias("n_a"),
+    )
+    fb = docs.select(
+        F.col("id").alias("b_id"),
+        F.col("arr").alias("b_arr"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(fa, "a_id")
+        .join(fb, "b_id")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("a_arr", "b_arr")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= int(threshold_pct) / 100.0)
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
+    )

@@ -7340,6 +7340,94 @@ def q149_incremental_rollup(spark, sf_dir):
     return merge_rollup_states([hist, delta], keys)
 
 
+@_register(
+    "q150_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(len(t) - 2),
+                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+                   AS shingle
+        FROM toks
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT a_id, b_id, n_inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a_id = sa.id
+    JOIN sizes sb ON inter.b_id = sb.id
+    WHERE n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) >= 0.10
+    """.replace("{toks}", _SQL_TOKS),
+    "PPJoin-style prefix-filtered Jaccard self-join (Xiao et al., WWW "
+    "2008; dedup.prefix_filter_jaccard_pairs): shingles sort by "
+    "ascending global df (rarest first), only each doc's first "
+    "|x| - ceil(t|x|) + 1 units enter the candidate join (integer "
+    "ceil — a float epsilon above an integer would silently drop "
+    "qualifying pairs), and candidates verify with one JVM "
+    "array_intersect per pair. The ORACLE runs the FULL shared-"
+    "shingle join with no filter, so the hash proves the prefix "
+    "filter is lossless — exact semantics, unlike the df-cut (q23) "
+    "which redefines which pairs qualify; the two compose for "
+    "hostile corpora. Join stream shrinks by ~t of every doc's "
+    "units; verification is |candidates| array ops, never corpus^2.",
+)
+def q150_prefix_filter_jaccard(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold_pct=10
+    )
+
+
+@_register(
+    "q151_event_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY day
+    """,
+    "PIVOT surface (the one relational reshape q80's unpivot didn't "
+    "cover): daily event counts widened to one column per event type "
+    "via DataFrame.pivot with an EXPLICIT value list — the explicit "
+    "list keeps the schema static (no extra distinct-values job, no "
+    "run-order-dependent columns) which is both the deterministic-"
+    "contract requirement and the scale posture: pivot with declared "
+    "values is a single partial-agg groupBy, identical shuffle shape "
+    "to the oracle's CASE-sum formulation.",
+)
+def q151_event_type_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null where a (day, type) cell had no rows; the
+    # CASE-sum oracle yields 0 — align
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -91,3 +91,65 @@ def test_hot_lsh_bucket_candidates_are_clique_bounded(spark):
     # plan shape at this size: the tuned session must ship it enabled
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_prefix_filter_is_lossless_and_prunes_candidates(spark):
+    """PPJoin prefix filtering must (a) return EXACTLY the pairs the
+    full shared-shingle join qualifies — lossless, unlike the df-cut —
+    and (b) generate strictly fewer candidate pairs than shingle
+    co-occurrence on a corpus where docs share mid-frequency shingles
+    but differ in their rare (prefix) units."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 40 docs: all share one mid-df phrase (co-occurrence pairs every
+    # pair: C(40,2) = 780), but only 5 clone-pairs reach jaccard 0.5
+    texts = []
+    for i in range(40):
+        shared = "lorem ipsum dolor sit"
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f"
+        if i < 10 and i % 2 == 1:
+            uniq = f"u{i-1}a u{i-1}b u{i-1}c u{i-1}d u{i-1}e u{i-1}f"
+        texts.append(f"{shared} {uniq}")
+    docs = _docs(spark, texts)
+
+    ref = {
+        (r.a_id, r.b_id, r.n_inter)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.a_id, r.b_id, r.n_inter)
+        for r in prefix_filter_jaccard_pairs(docs, threshold_pct=50).collect()
+    }
+    assert got == ref and len(got) == 5, (len(got), len(ref))
+
+    # candidate volume: full co-occurrence pairs vs prefix-join pairs
+    sh = doc_shingles(docs, "doc_id", "text", 3)
+    full_pairs = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert full_pairs == 40 * 39 // 2  # the blowup the prefix avoids
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        _prefix_candidates,
+        prefix_sorted_docs,
+    )
+
+    n_cand = _prefix_candidates(
+        prefix_sorted_docs(docs), threshold_pct=50
+    ).count()
+    # at t=0.5 each 9-shingle doc's prefix is its 5 rarest shingles —
+    # the shared mid-df phrase never enters, so candidates collapse
+    # from 780 co-occurring pairs to (at most a few over) the 5 clones
+    assert n_cand < full_pairs / 10, n_cand
+    assert n_cand >= 5
