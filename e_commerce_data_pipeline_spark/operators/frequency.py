@@ -83,3 +83,96 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 200) -> DataFrame:
         .select(col, "freq", "n_total")
         .orderBy(F.desc("freq"), F.asc(col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): bounded-memory
+# frequency estimation, complementing the exact Misra-Gries path above.
+# Where MG answers "which items are heavy" exactly, CM answers "about
+# how often is ANY item seen" in d*w counters total — the structure a
+# 100 TB pipeline keeps per partition and merges by plain addition
+# (counters are sums), with the one-sided guarantee est >= true.
+# Buckets come from the portable md5-prefix hash family (the q128
+# pattern) so an independent engine reproduces the sketch bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(col: str, r: int, width: int, salt: str):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:{r}:"), F.col(col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def count_min_counters(
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Build the d x w counter table: one map-side explode of d
+    (row, bucket) cells per item, then a partial-agg groupBy — the
+    shuffle carries at most depth*width rows per map partition, so
+    sketch cost is corpus-INDEPENDENT past the scan. Null keys are
+    excluded (no bucket). Returns (row, bucket, c)."""
+    cells = items.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(col, r, width, salt).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        cells.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each key: est = min over the d rows
+    of that key's counter. The counter table is d*w rows — a genuinely
+    fixed-size computed frame, so the broadcast hint is safe at any
+    corpus size. A bucket no key ever hashed into is an implicit 0
+    (coalesce), keeping absent keys exact. Returns (key_col, cm_est);
+    guarantee: cm_est >= true count, overestimate only from
+    collisions."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(key_col, r, width, salt).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
+    )

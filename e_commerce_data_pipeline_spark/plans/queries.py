@@ -7428,6 +7428,70 @@ def q151_event_type_pivot(spark, sf_dir):
     )
 
 
+@_register(
+    "q152_count_min_accuracy",
+    """
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    cnt AS (SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id),
+    top AS (
+        SELECT user_id, n FROM (
+            SELECT *, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+            FROM cnt) WHERE rk <= 20
+    ),
+    rows_ AS (SELECT unnest(range(4)) AS r),
+    cells AS (
+        SELECT r,
+               ('0x' || substr(md5('cm:' || r || ':' || user_id), 1, 8))
+                   ::BIGINT % 256 AS bucket,
+               COUNT(*) AS c
+        FROM ev, rows_ GROUP BY r, bucket
+    ),
+    probes AS (
+        SELECT user_id, n, r,
+               ('0x' || substr(md5('cm:' || r || ':' || user_id), 1, 8))
+                   ::BIGINT % 256 AS bucket
+        FROM top, rows_
+    )
+    SELECT p.user_id, CAST(MIN(p.n) AS BIGINT) AS exact_n,
+           CAST(MIN(coalesce(c.c, 0)) AS BIGINT) AS cm_est
+    FROM probes p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.user_id
+    """,
+    "Count-Min sketch accuracy report (Cormode & Muthukrishnan 2005; "
+    "operators/frequency.py count_min_counters/estimate): a 4x256 "
+    "counter table built in ONE map-side explode + partial-agg "
+    "groupBy (shuffle bounded by d*w per map partition — corpus-"
+    "independent, counters merge by addition), point-queried for the "
+    "20 exactly-heaviest users. Buckets use the portable md5-prefix "
+    "hash family (q128 pattern) so the oracle rebuilds the identical "
+    "sketch; est >= exact always (one-sided CM guarantee), and "
+    "narrow width makes real collisions visible rather than "
+    "vacuously matching. Complements exact Misra-Gries heavy "
+    "hitters (q123): MG says WHICH items are heavy exactly, CM "
+    "answers point queries for ANY item in fixed memory.",
+)
+def q152_count_min_accuracy(spark, sf_dir):
+    from ..operators.frequency import count_min_counters, count_min_estimate
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counters = count_min_counters(e, "user_id", depth=4, width=256)
+    cnt = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        cnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("user_id", F.col("n").alias("exact_n"))
+    )
+    est = count_min_estimate(counters, top, "user_id", depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id", F.col("exact_n").cast("long"), F.col("cm_est").cast("long")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

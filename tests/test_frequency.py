@@ -67,3 +67,38 @@ def test_heavy_hitters_ignores_nulls(spark):
 def test_recount_uses_broadcast_candidates(spark, skewed):
     plan = heavy_hitters(skewed, "token", 10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the tail never shuffles
+
+
+def test_count_min_one_sided_and_mergeable(spark):
+    """CM guarantee: est >= true for EVERY key; and counters built on
+    disjoint splits merge by plain addition into exactly the
+    whole-corpus sketch (the property that makes it a partial agg)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.frequency import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    counters = count_min_counters(df, "k", depth=4, width=32)  # narrow: collisions certain
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = count_min_estimate(counters, exact.select("k"), "k", depth=4, width=32)
+    j = {r.k: (r.n, r.cm_est) for r in exact.join(est, "k").collect()}
+    assert len(j) == 38
+    assert all(e >= n for n, e in j.values())
+    assert j["hot"][0] == 500 and j["hot"][1] >= 500
+
+    # mergeability: sum of split sketches == whole sketch
+    a = count_min_counters(df.filter(F.length("k") == 2), "k", 4, 32)
+    b = count_min_counters(df.filter(F.length("k") != 2), "k", 4, 32)
+    merged = {
+        (r.row, r.bucket): r.c
+        for r in a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    whole = {(r.row, r.bucket): r.c for r in counters.collect()}
+    assert merged == whole
