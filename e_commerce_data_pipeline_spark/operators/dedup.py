@@ -1099,7 +1099,7 @@ def prefix_sorted_docs(
         .select(
             "id",
             F.expr("transform(us, u -> u.shingle)").alias("arr"),
-            F.size("us").alias("n_sh"),
+            F.size("us").cast("long").alias("n_sh"),
         )
     )
 

@@ -176,3 +176,94 @@ def count_min_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): bounded-memory DISTINCT counting,
+# completing the mergeable-sketch family (Misra-Gries: which items are
+# heavy; Count-Min: how often is any item seen; HLL: how many distinct
+# items exist). Spark ships approx_count_distinct (used, bound-checked,
+# in q50), but its HLL++ registers are opaque JVM state — this variant
+# builds the REGISTER TABLE itself from the portable md5-prefix hash
+# family, so an independent engine reproduces the sketch bit-for-bit
+# and the estimate is auditable. Registers merge by MAX, so shards /
+# days / partitions combine without rescanning — the property a 100 TB
+# pipeline actually buys sketches for.
+#
+# Portability discipline: rho (the leading-zero rank) is computed from
+# the LENGTH OF THE BINARY-STRING rendering of the hash remainder
+# (bin() in both engines), never floor(log2(x)) — log2 in doubles
+# rounds 2^k - 1 UP to k near the 52-bit edge and libm/JVM may disagree
+# in the last ulp. String length is exact everywhere. The harmonic sum
+# is kept as an INTEGER (terms 2^(B - M_j) with B the max rho, so the
+# empty-register term 2^B and the deepest term 1 are both exact); the
+# only float is one multiply+divide at the very end, written with the
+# same literal in both engines.
+# ---------------------------------------------------------------------------
+
+# alpha_m bias correction from the HLL paper (m >= 128 uses the closed
+# form 0.7213 / (1 + 1.079 / m))
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_registers(
+    items: DataFrame, col: str, p: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """The m = 2**p NON-EMPTY registers of an HLL sketch over
+    ``items[col]``: (register, m_j) with m_j = max over hashed values
+    landing in that register of (1 + leading zeros of the 60-p bit
+    hash remainder). One groupBy of at most m groups — partial MAX
+    map-side, shuffle bounded by m rows per map partition, corpus-
+    independent past the scan. Null keys are ignored. Registers merge
+    across frames by MAX on (register)."""
+    m = 1 << p
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")  # 60 uniform bits, positive
+    rem = F.shiftright(h, p)  # integer floor-div by m: h >= 0
+    bits = 60 - p
+    rho = F.when(rem == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(rem))
+    )
+    return (
+        items.filter(F.col(col).isNotNull())
+        .select((h % m).cast("int").alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").cast("int").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Raw HLL estimate from a register table: one row
+    (m, nonzero_registers, harmonic_scaled, hll_est). harmonic_scaled
+    is the EXACT integer sum over all m registers of 2**(B - M_j)
+    (B = 61 - p, the max possible rho; absent registers count M_j = 0,
+    folded in as (m - nonzero) * 2**B without materializing them), so
+    hll_est = alpha_m * m^2 * 2**B / harmonic_scaled involves exactly
+    one float multiply and one divide. NOTE: this is the raw estimator
+    only — callers must be in the raw regime (true distinct well above
+    2.5 * m); the small-range linear-counting branch needs ln() and is
+    deliberately not implemented cross-engine."""
+    m = 1 << p
+    big = 1 << (61 - p)  # 2**B
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    numer = float(alpha * m * m * big)  # one Python double, same literal
+    return registers.agg(
+        F.lit(m).cast("int").alias("m"),
+        F.count(F.lit(1)).cast("int").alias("nonzero_registers"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {61 - p} - m_j)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(big).cast("long")
+        ).alias("harmonic_scaled"),
+    ).select(
+        "m",
+        "nonzero_registers",
+        "harmonic_scaled",
+        F.round(F.lit(numer) / F.col("harmonic_scaled"), 3).alias("hll_est"),
+    )

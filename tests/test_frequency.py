@@ -102,3 +102,50 @@ def test_count_min_one_sided_and_mergeable(spark):
     }
     whole = {(r.row, r.bucket): r.c for r in counters.collect()}
     assert merged == whole
+
+
+def test_hll_registers_merge_by_max_and_estimate_tracks_n(spark):
+    """HLL registers built on disjoint splits merge by MAX into exactly
+    the whole-corpus register table (the mergeable-summary property),
+    duplicates don't move the sketch, and the raw estimate lands within
+    the ~1.04/sqrt(m) relative-error regime for n >> 2.5m."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.frequency import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    regs = hll_registers(df, "k", p=6)
+    whole = {r.register: r.m_j for r in regs.collect()}
+
+    # duplicates are invisible to a distinct sketch
+    dup = hll_registers(df.unionAll(df), "k", p=6)
+    assert {r.register: r.m_j for r in dup.collect()} == whole
+
+    # mergeability: MAX of split sketches == whole sketch
+    a = hll_registers(df.filter(F.col("k") % 2 == 0), "k", p=6)
+    b = hll_registers(df.filter(F.col("k") % 2 == 1), "k", p=6)
+    merged = {
+        r.register: r.m_j
+        for r in a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("m_j").alias("m_j"))
+        .collect()
+    }
+    assert merged == whole
+
+    row = hll_estimate(regs, p=6).collect()[0]
+    assert row.m == 64 and 0 < row.nonzero_registers <= 64
+    # 64 registers -> sigma ~ 13%; 4-sigma bound keeps this non-flaky
+    assert abs(row.hll_est / n - 1) < 0.52
+
+    # nulls are ignored entirely
+    withnull = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(None,)] * 7, "k long"
+    )
+    assert {
+        r.register: r.m_j for r in hll_registers(withnull, "k", p=6).collect()
+    } == whole
