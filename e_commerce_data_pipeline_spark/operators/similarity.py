@@ -572,3 +572,105 @@ def pca_top_component(
                 v = -v
             break
     return [float(x) for x in v]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k BM25 ranked retrieval for a fixed query-term set — the
+    lexical retrieval scorer of every RAG / training-data curation
+    stack (Robertson & Zaragoza 2009), complementing
+    ``tfidf_cosine_pairs`` (pairwise near-dup) with query->corpus
+    ranking.
+
+    Standard parameters k1 = 1.2, b = 0.75 are baked in as EXACT
+    RATIONALS: multiplying the saturation term's numerator and
+    denominator by 20*T (T = total corpus tokens) gives
+
+        tf_part = (44*T*tf) / (20*T*tf + 6*T + 18*dl*N)
+
+    with 44 = 20*(k1+1), 6 = 20*k1*(1-b), 18 = 20*k1*b and N = doc
+    count — every operand an integer, so both engines evaluate the
+    identical product/sum chain and the single divide+round lands on
+    the same double. idf uses the positive BM25+ form
+    ln(1 + (N - df + .5)/(df + .5)), quantized ONCE to
+    ``idf_scale``-units (the q98/q85 ln discipline); per-term scores
+    round to integer micro-units so the per-doc SUM is exact.
+
+    Scale shape: tokens are filtered to the |terms|-element query set
+    BEFORE the tf groupBy (map-side semi-filter via isin on a literal
+    array), so the shuffle carries at most |terms| rows per doc —
+    corpus length never reaches the agg. Corpus stats (N, T) are one
+    separate partial agg; df per term comes from the tf frame itself
+    (|terms| groups). The final top-k is a single-partition
+    row_number over at most the scoring docs — at 100 TB swap for a
+    per-partition local top-k + global merge, same semantics.
+
+    Returns (doc_id, n_terms_hit, score_micro) for the k best docs,
+    ties broken by ascending id.
+    """
+    from .text import tokens
+    from .util import spread
+
+    base = spread(docs).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    lens = base.select("id", F.size("__toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+    )
+    tf = (
+        base.select("id", F.explode("__toks").alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_q",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * idf_scale
+            ).cast("long"),
+        )
+        .withColumn(
+            "score_q",
+            F.round(
+                F.col("idf_q")
+                * (
+                    (F.lit(44.0) * F.col("t_tokens") * F.col("tf"))
+                    / (
+                        F.lit(20.0) * F.col("t_tokens") * F.col("tf")
+                        + F.lit(6.0) * F.col("t_tokens")
+                        + F.lit(18.0) * F.col("dl") * F.col("n_docs")
+                    )
+                )
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.sum("score_q").alias("score_micro"),
+    )
+    wk = Window.orderBy(F.desc("score_micro"), F.asc("id"))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("id").alias(id_col), "n_terms_hit", "score_micro", "rk"
+        )
+    )

@@ -7565,6 +7565,193 @@ def q153_hll_distinct_accuracy(spark, sf_dir):
     )
 
 
+@_register(
+    "q154_bm25_retrieval",
+    f"""
+    WITH base AS (SELECT doc_id AS id, {{toks}} AS t FROM documents),
+    lens AS (SELECT id, CAST(len(t) AS BIGINT) AS dl FROM base),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS t_tokens FROM lens),
+    tok AS (SELECT id, unnest(t) AS tok FROM base),
+    tf AS (SELECT id, tok, COUNT(*) AS tf FROM tok
+           WHERE tok IN ('hash', 'join', 'vector') GROUP BY id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+    scored AS (
+        SELECT id,
+               CAST(round(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                          * 1000000) AS BIGINT) AS idf_q,
+               tf, dl, n_docs, t_tokens
+        FROM tf JOIN dfreq USING (tok) JOIN lens USING (id)
+        CROSS JOIN stats
+    ),
+    per AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(CAST(round(idf_q *
+                   ((44.0 * t_tokens * tf) /
+                    (20.0 * t_tokens * tf + 6.0 * t_tokens
+                     + 18.0 * dl * n_docs))) AS BIGINT)) AS BIGINT)
+                   AS score_micro
+        FROM scored GROUP BY id
+    )
+    SELECT id AS doc_id, n_terms_hit, score_micro, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, id) AS rk
+          FROM per)
+    WHERE rk <= 20
+    """.replace("{toks}", _SQL_TOKS),
+    "BM25 ranked retrieval (Robertson & Zaragoza 2009; operators/"
+    "similarity.py bm25_topk): top-20 docs for the query set "
+    "{{hash, join, vector}} — the query->corpus lexical scorer of RAG "
+    "and curation stacks, complementing q98's pairwise tf-idf cosine. "
+    "k1 = 1.2 / b = 0.75 enter as exact rationals (numerator and "
+    "denominator scaled by 20*T: 44 = 20*(k1+1), 6 = 20*k1*(1-b), "
+    "18 = 20*k1*b), so the saturation term is one integer-operand "
+    "divide; idf is the positive BM25+ ln form quantized once to "
+    "micro-units and per-term scores round to integer micro-units "
+    "before the per-doc sum — the established cross-engine float "
+    "discipline. Scale: tokens filter to the 3-term query set BEFORE "
+    "the tf groupBy, so the shuffle carries <= |terms| rows per doc "
+    "regardless of document length; N/T are one partial agg; df is "
+    "|terms| groups.",
+)
+def q154_bm25_retrieval(spark, sf_dir):
+    from ..operators.similarity import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=20
+    )
+
+
+@_register(
+    "q155_rfm_segmentation",
+    """
+    WITH pc AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              DATE '2001-08-02') AS INT) AS rec_days,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS mon_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    sc AS (
+        SELECT mon_cents,
+               CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS INT)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS INT)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS INT)
+                   AS m_score
+        FROM pc
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_cents) AS BIGINT) / 100.0 / COUNT(*)
+               AS avg_monetary
+    FROM sc GROUP BY r_score, f_score, m_score
+    """,
+    "RFM customer segmentation — the e-commerce scoring rollup "
+    "(recency of last order vs the fixed 2001-08-02 reference day, "
+    "order frequency, lifetime monetary in exact cents) bucketed into "
+    "quintiles with NTILE(5) — the segmentation ROLLUP layer above "
+    "q69's single-ntile decile exercise: three independent quintile "
+    "orderings composed into 125 RFM cells. Every NTILE ordering "
+    "carries the custkey "
+    "tiebreak so bucket boundaries are deterministic cross-engine "
+    "(ANSI ntile distributes the remainder to the leading buckets in "
+    "both). Scale: the quintile windows run over the per-customer "
+    "AGGREGATE (|customers| rows, one partial-agg groupBy of the fact "
+    "table feeding three sorts of the dim-sized frame) — at 100 TB "
+    "the global sort swaps for percent_rank over a range-partitioned "
+    "frame, same semantics; the 125-cell segment rollup is the "
+    "corpus-independent output.",
+)
+def q155_rfm_segmentation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-02").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("int")
+        .alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(to_fixed(F.col("o_totalprice"), 100)).alias("mon_cents"),
+    )
+    sc = pc.select(
+        "mon_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("rec_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("mon_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return sc.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # fixed_avg discipline: exact int sum, one unrounded double
+        # division chain — round(x, 2) on a double renders via
+        # shortest-decimal in Spark (BigDecimal HALF_UP) but stays
+        # binary in DuckDB, so a .405-class quotient flips the cell
+        (F.sum("mon_cents") / F.lit(100.0) / F.count(F.lit(1))).alias(
+            "avg_monetary"
+        ),
+    )
+
+
+@_register(
+    "q156_snapshot_reconciliation",
+    """
+    SELECT o_orderkey, 'deleted' AS status FROM orders
+    WHERE o_orderkey % 997 = 0 AND o_orderkey % 991 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'inserted' AS status FROM orders
+    WHERE o_orderkey % 991 = 0 AND o_orderkey % 997 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'modified' AS status FROM orders
+    WHERE o_orderkey % 89 = 0
+      AND o_orderkey % 991 <> 0 AND o_orderkey % 997 <> 0
+    """,
+    "Snapshot reconciliation / anti-entropy (operators/reconcile.py "
+    "snapshot_diff — the flattened-Merkle replica-sync shape): two "
+    "order snapshots derived by deterministic mutation rules (A drops "
+    "keys %991, B drops %997 and rewrites priority on %89) are "
+    "compared by per-bucket XOR-of-md5-signature checksums first — "
+    "two linear scans shuffling 256 summary rows each — and only rows "
+    "in the ~17% of buckets whose checksums disagree enter the "
+    "row-level full-outer compare, classifying deleted / inserted / "
+    "modified keys. bit_xor, not SUM: order/partition-insensitive and "
+    "overflow-free at any bucket size (a SUM of 60-bit sigs wraps at "
+    "~8 rows). Signatures render money as fixed-point cents so the "
+    "string fed to md5 is engine-identical. The oracle is "
+    "INDEPENDENT, not a rebuild: it derives the expected diff "
+    "directly from the mutation rules, so it would catch a checksum "
+    "false-clean, a pruning bug, or a misclassified side. vs q108's "
+    "cdc.snapshot_diff (the full-outer REPORT that shuffles every "
+    "key): this is the sync primitive for NEAR-IDENTICAL sides — "
+    "clean buckets cost n_buckets summary rows, only the dirty "
+    "sliver joins.",
+)
+def q156_snapshot_reconciliation(spark, sf_dir):
+    from ..operators.reconcile import anti_entropy_diff
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snap_a = o.filter(F.col("o_orderkey") % 991 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.lit("RECONCILED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    sig = [F.col("o_orderstatus"), F.col("o_orderpriority"), cents]
+    return anti_entropy_diff(
+        snap_a, snap_b, "o_orderkey", sig, sig, n_buckets=256
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

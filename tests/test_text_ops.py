@@ -684,3 +684,27 @@ def test_pca_top_component_matches_numpy(spark, sf_dir):
     ref = V[:, -1]
     align = abs(float(pc1 @ ref))
     assert align > 0.999, align
+
+
+def test_bm25_ranks_tf_up_and_length_down(spark):
+    """BM25 axioms on a controlled corpus: more query-term occurrences
+    rank higher; equal tf but longer doc ranks lower (length
+    normalization); docs without any query term never appear."""
+    from e_commerce_data_pipeline_spark.operators.similarity import bm25_topk
+
+    rows = [
+        ("d_hi_tf", "hash hash hash join pad pad"),
+        ("d_lo_tf", "hash pad pad pad pad pad"),
+        ("d_short", "hash join pad"),
+        ("d_long", "hash join " + "pad " * 40),
+        ("d_none", "pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = bm25_topk(df, ["hash", "join"], k=10)
+    got = {r.doc_id: (r.rk, r.n_terms_hit, r.score_micro) for r in out.collect()}
+    assert "d_none" not in got and len(got) == 4
+    assert got["d_hi_tf"][2] > got["d_lo_tf"][2]  # tf saturating but monotone
+    assert got["d_short"][2] > got["d_long"][2]  # length normalization
+    assert got["d_hi_tf"][1] == 2 and got["d_lo_tf"][1] == 1
+    # rk is dense 1..4 with the declared tiebreak
+    assert sorted(v[0] for v in got.values()) == [1, 2, 3, 4]
