@@ -683,3 +683,53 @@ def langid_ngram_classify(
             "score",
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search through a POSITIONAL inverted index — the
+    retrieval primitive BM25's bag-of-words scoring (similarity.
+    bm25_topk) cannot express: "hash join" must match those tokens
+    ADJACENT and in order, not merely co-present.
+
+    One posexplode builds (doc, token, position) postings, filtered
+    map-side to the phrase's tokens via a broadcast (token,
+    phrase_index) join — corpus postings for other tokens never leave
+    their scan. The classic anchor trick then finds occurrences
+    without a per-phrase-length join chain: a posting matching
+    phrase_index i at position p votes for anchor p - i, and an
+    anchor with all len(phrase) DISTINCT indices present is an exact
+    occurrence (a token repeated inside the phrase votes for several
+    anchors; COUNT(DISTINCT idx) still only completes where every
+    slot matched). So the plan is explode -> broadcast join ->
+    ONE groupBy((doc, anchor)) -> per-doc rollup, independent of
+    phrase length.
+
+    Returns (id_col, n_occurrences, first_pos) for matching docs.
+    """
+    ph = [(t, i) for i, t in enumerate(phrase)]
+    spark = docs.sparkSession
+    ph_df = spark.createDataFrame(ph, "tok string, idx int")
+    post = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        )
+        .join(F.broadcast(ph_df), "tok")
+        .select("id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx")
+    )
+    occ = (
+        post.groupBy("id", "anchor")
+        .agg(F.countDistinct("idx").alias("n_idx"))
+        .filter(
+            (F.col("n_idx") == len(phrase)) & (F.col("anchor") >= 0)
+        )
+    )
+    return occ.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    ).select(F.col("id").alias(id_col), "n_occurrences", "first_pos")

@@ -7752,6 +7752,272 @@ def q156_snapshot_reconciliation(spark, sf_dir):
     )
 
 
+@_register(
+    "q157_exact_quantile_narrowing",
+    """
+    WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    p AS (SELECT * FROM (VALUES (50), (90), (99)) t(percent)),
+    ks AS (SELECT CAST(percent AS INT) AS percent, n,
+                  CAST((percent * n + 99) // 100 AS BIGINT) AS k
+           FROM p CROSS JOIN nn),
+    o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+    SELECT percent, n, k, CAST(c AS BIGINT) AS value
+    FROM ks JOIN o ON o.rn = ks.k
+    """,
+    "EXACT p50/p90/p99 of line price in cents by iterative histogram "
+    "narrowing (operators/quantiles.py exact_quantiles) — the scale "
+    "path for order statistics, completing the percentile triangle: "
+    "q41 is exact-via-global-sort (right at dim scale), q50 is "
+    "approx_percentile (a sketch), this is exact WITHOUT a total "
+    "order — O(log_B range) linear scans, each histogramming every "
+    "still-open rank interval into 256 equal-width integer buckets "
+    "(map-side partial agg, shuffle = B rows/partition; all three "
+    "quantiles narrow in the same scan via a tagged literal explode). "
+    "Driver state is B counters per open quantile — corpus-size "
+    "independent; 32-bit cent ranges converge in <= 4 scans at ANY "
+    "row count. Bucketing is ceil-width integer div (never a "
+    "value*B product), exact across the full int64 domain. The "
+    "oracle is INDEPENDENT: rank k = ceil(p*n/100) read off a "
+    "row_number over the global sort.",
+)
+def q157_exact_quantile_narrowing(spark, sf_dir):
+    from ..operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        to_fixed(F.col("l_extendedprice"), 100).alias("cents")
+    )
+    return exact_quantiles(li, "cents", [50, 90, 99], buckets=256)
+
+
+@_register(
+    "q158_phrase_search",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    post AS (
+        SELECT doc_id, unnest(t) AS tok,
+               generate_subscripts(t, 1) - 1 AS pos
+        FROM toks
+    ),
+    ph AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1)) v(tok, idx)),
+    votes AS (
+        SELECT doc_id, pos - idx AS anchor, idx
+        FROM post JOIN ph USING (tok)
+    ),
+    occ AS (
+        SELECT doc_id, anchor
+        FROM votes
+        WHERE anchor >= 0
+        GROUP BY doc_id, anchor
+        HAVING COUNT(DISTINCT idx) = 2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(anchor) AS BIGINT) AS first_pos
+    FROM occ GROUP BY doc_id
+    """.replace("{toks}", _SQL_TOKS),
+    "Exact phrase search for 'hash join' via a positional "
+    "inverted index (operators/text.py phrase_search) — the "
+    "adjacency-and-order retrieval primitive q154's bag-of-words "
+    "BM25 can't express. One posexplode builds (doc, token, pos) "
+    "postings, a broadcast (token, phrase_index) join filters them "
+    "map-side to the phrase vocabulary, and the anchor trick "
+    "(posting for index i at position p votes for anchor p - i; an "
+    "anchor with all DISTINCT indices is an occurrence) resolves "
+    "adjacency in ONE groupBy regardless of phrase length — no "
+    "per-term self-join chain. Corpus postings outside the phrase "
+    "vocabulary never leave the scan; the groupBy keys on (doc, "
+    "anchor) so state is bounded by matched postings, not corpus "
+    "positions.",
+)
+def q158_phrase_search(spark, sf_dir):
+    from ..operators.text import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), ["hash", "join"]
+    )
+
+
+@_register(
+    "q159_revenue_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                        // 100000) AS BIGINT) AS x
+        FROM orders GROUP BY di
+    ),
+    bounds AS (SELECT MIN(di) AS d0, MAX(di) AS d1 FROM daily),
+    spine AS (
+        SELECT d0 + unnest(range(d1 - d0 + 1)) AS di FROM bounds
+    ),
+    grid AS (
+        SELECT CAST(year(DATE '1995-01-01' + INTERVAL (s.di) DAY)
+                    AS INT) AS yr,
+               s.di, COALESCE(daily.x, 0) AS x
+        FROM spine s LEFT JOIN daily USING (di)
+    ),
+    stats AS (
+        SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s
+        FROM grid GROUP BY yr
+    ),
+    resid AS (
+        SELECT g.yr, g.di, g.x - (st.s // st.n) AS d,
+               st.n, st.s - st.n * (st.s // st.n) AS r
+        FROM grid g JOIN stats st ON g.yr = st.yr
+    ),
+    led AS (
+        SELECT yr, n, r, d,
+               lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+               lead(d, 3) OVER w AS d3, lead(d, 4) OVER w AS d4,
+               lead(d, 5) OVER w AS d5, lead(d, 6) OVER w AS d6,
+               lead(d, 7) OVER w AS d7
+        FROM resid WINDOW w AS (PARTITION BY yr ORDER BY di)
+    ),
+    agg AS (
+        SELECT yr, n, r,
+               CAST(SUM(d * d) AS BIGINT) AS sdd0,
+               lg.lag,
+               CAST(SUM(CASE lg.lag WHEN 1 THEN d * d1 WHEN 2 THEN d * d2
+                        WHEN 3 THEN d * d3 WHEN 4 THEN d * d4
+                        WHEN 5 THEN d * d5 WHEN 6 THEN d * d6
+                        ELSE d * d7 END) AS BIGINT) AS sdd,
+               CAST(SUM(CASE lg.lag WHEN 1 THEN CASE WHEN d1 IS NOT NULL
+                            THEN d END
+                        WHEN 2 THEN CASE WHEN d2 IS NOT NULL THEN d END
+                        WHEN 3 THEN CASE WHEN d3 IS NOT NULL THEN d END
+                        WHEN 4 THEN CASE WHEN d4 IS NOT NULL THEN d END
+                        WHEN 5 THEN CASE WHEN d5 IS NOT NULL THEN d END
+                        WHEN 6 THEN CASE WHEN d6 IS NOT NULL THEN d END
+                        ELSE CASE WHEN d7 IS NOT NULL THEN d END END)
+                    AS BIGINT) AS sh,
+               CAST(SUM(CASE lg.lag WHEN 1 THEN d1 WHEN 2 THEN d2
+                        WHEN 3 THEN d3 WHEN 4 THEN d4 WHEN 5 THEN d5
+                        WHEN 6 THEN d6 ELSE d7 END) AS BIGINT) AS st
+        FROM led CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) lg
+        GROUP BY yr, n, r, lg.lag
+    )
+    SELECT yr, CAST(lag AS INT) AS lag,
+           CAST(round(1000000.0 *
+                (n * n * sdd - n * r * (sh + st) + (n - lag) * r * r) /
+                (n * n * sdd0 - n * r * r)) AS BIGINT) AS acf_micro
+    FROM agg
+    """,
+    "Time-series diagnostics: per-year autocorrelation (lags 1-7) of "
+    "gap-filled daily revenue — the lag-structure statistic beyond "
+    "the suite's moving windows (q75) and cross-column Pearson "
+    "(q92). Exactness without a float mean: revenue quantizes to "
+    "KILOdollars per row (floor-div of the exact cents integer — no "
+    "float rounding at all), the series centers on the INTEGER floor "
+    "mean mu = S div n, and the closed-form remainder correction "
+    "(r = S - n*mu) restores the exact-mean ACF as a pure integer "
+    "formula — acf = (n^2*Sdd - n*r*(Sh+St) + (n-lag)*r^2) / "
+    "(n^2*Sd2 - n*r^2) — so both engines divide IDENTICAL int64s "
+    "(one final double divide, quantized to micro-units). Headroom: "
+    "n <= 366 per year keeps n^2*Sd2 inside int64 while daily "
+    "residuals stay under ~1.4e7 kUSD (~sf100 of this corpus); both "
+    "engines RAISE beyond (Spark ANSI, DuckDB) rather than wrap. "
+    "Scale shape: the grid is calendar-bounded (|days| rows "
+    "independent of fact size), built by one partial-agg groupBy of "
+    "orders + a sequence-explode spine; the 7 leads come from ONE "
+    "window pass; the lag explode is a literal 7-element cross.",
+)
+def q159_revenue_autocorrelation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("di")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
+        ).alias("x")
+    )
+    bounds = daily.agg(
+        F.min("di").alias("d0"), F.max("di").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("di")
+    )
+    grid = (
+        spine.join(daily, "di", "left")
+        .select(
+            F.year(
+                F.date_add(F.lit("1995-01-01").cast("date"), F.col("di").cast("int"))
+            )
+            .cast("int")
+            .alias("yr"),
+            "di",
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    stats = grid.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    resid = grid.join(stats, "yr").select(
+        "yr",
+        "di",
+        (F.col("x") - F.expr("s div n")).alias("d"),
+        "n",
+        (F.col("s") - F.col("n") * F.expr("s div n")).alias("r"),
+    )
+    w = Window.partitionBy("yr").orderBy("di")
+    led = resid.select(
+        "yr",
+        "n",
+        "r",
+        "d",
+        *[F.lead("d", L).over(w).alias(f"d{L}") for L in range(1, 8)],
+    )
+    lagged = led.select(
+        "yr",
+        "n",
+        "r",
+        "d",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("lag"), F.col(f"d{L}").alias("dl")
+                    )
+                    for L in range(1, 8)
+                ]
+            )
+        ).alias("c"),
+    ).select("yr", "n", "r", "d", "c.lag", "c.dl")
+    agg = (
+        lagged.groupBy("yr", "n", "r", "lag")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("sdd0"),
+            F.sum(F.col("d") * F.col("dl")).alias("sdd"),
+            F.sum(F.when(F.col("dl").isNotNull(), F.col("d"))).alias("sh"),
+            F.sum("dl").alias("st"),
+        )
+    )
+    return agg.select(
+        "yr",
+        F.col("lag").cast("int").alias("lag"),
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.col("n") * F.col("n") * F.col("sdd")
+                - F.col("n") * F.col("r") * (F.col("sh") + F.col("st"))
+                + (F.col("n") - F.col("lag")) * F.col("r") * F.col("r")
+            )
+            / (
+                F.col("n") * F.col("n") * F.col("sdd0")
+                - F.col("n") * F.col("r") * F.col("r")
+            )
+        )
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -1,0 +1,43 @@
+"""Exact-quantile narrowing vs a sorted-list reference."""
+
+import random
+
+from e_commerce_data_pipeline_spark.operators.quantiles import exact_quantiles
+
+
+def _ref(vals, p):
+    s = sorted(vals)
+    k = max(1, -(-p * len(s) // 100))
+    return s[k - 1]
+
+
+def test_matches_sorted_reference_with_ties_and_negatives(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(-50_000, 50_000) for _ in range(3000)]
+    vals += [vals[0]] * 40 + [-50_000] * 5 + [50_000] * 5  # heavy ties + ends
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = {
+        r.percent: (r.n, r.k, r.value)
+        for r in exact_quantiles(df, "cents", [1, 25, 50, 75, 99]).collect()
+    }
+    n = len(vals)
+    for p in [1, 25, 50, 75, 99]:
+        k = max(1, -(-p * n // 100))
+        assert got[p] == (n, k, _ref(vals, p)), p
+
+
+def test_tiny_buckets_still_converge(spark):
+    # buckets=2 forces ~log2(range) rounds; exercises max_rounds headroom
+    vals = list(range(1000, 0, -1))
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = {r.percent: r.value for r in exact_quantiles(df, "cents", [50], buckets=2).collect()}
+    assert got[50] == _ref(vals, 50)
+
+
+def test_single_row_and_nulls(spark):
+    df = spark.createDataFrame([(42,), (None,), (None,)], "cents long")
+    rows = exact_quantiles(df, "cents", [50, 99]).collect()
+    assert {(r.percent, r.n, r.k, r.value) for r in rows} == {
+        (50, 1, 1, 42),
+        (99, 1, 1, 42),
+    }

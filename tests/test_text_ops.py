@@ -708,3 +708,23 @@ def test_bm25_ranks_tf_up_and_length_down(spark):
     assert got["d_hi_tf"][1] == 2 and got["d_lo_tf"][1] == 1
     # rk is dense 1..4 with the declared tiebreak
     assert sorted(v[0] for v in got.values()) == [1, 2, 3, 4]
+
+
+def test_phrase_search_adjacency_order_and_repeats(spark):
+    from e_commerce_data_pipeline_spark.operators.text import phrase_search
+
+    rows = [
+        ("d1", "hash join beats nested loop hash join"),  # 2 occurrences
+        ("d2", "join hash"),  # wrong order
+        ("d3", "hash only and join far apart"),  # co-present, not adjacent
+        ("d4", "prefix hash join"),  # 1 at pos 1
+        ("d5", ""),  # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.n_occurrences, r.first_pos) for r in phrase_search(df, ["hash", "join"]).collect()}
+    assert got == {"d1": (2, 0), "d4": (1, 1)}
+
+    # repeated token inside the phrase: anchors still need BOTH slots
+    df2 = spark.createDataFrame([("r1", "the the the"), ("r2", "the cat the")], "doc_id string, text string")
+    got2 = {r.doc_id: (r.n_occurrences, r.first_pos) for r in phrase_search(df2, ["the", "the"]).collect()}
+    assert got2 == {"r1": (2, 0)}
