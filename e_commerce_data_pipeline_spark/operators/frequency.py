@@ -207,7 +207,11 @@ _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
 def hll_registers(
-    items: DataFrame, col: str, p: int = 6, salt: str = "hll"
+    items: DataFrame,
+    col: str,
+    p: int = 6,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The m = 2**p NON-EMPTY registers of an HLL sketch over
     ``items[col]``: (register, m_j) with m_j = max over hashed values
@@ -215,8 +219,14 @@ def hll_registers(
     hash remainder). One groupBy of at most m groups — partial MAX
     map-side, shuffle bounded by m rows per map partition, corpus-
     independent past the scan. Null keys are ignored. Registers merge
-    across frames by MAX on (register)."""
+    across frames by MAX on (register).
+
+    ``group_cols`` builds one independent sketch PER GROUP (per day,
+    per shard, ...) in the same pass — shuffle becomes |groups| * m
+    summary rows; downstream merges (e.g. a rolling-window MAX over
+    day sketches) never touch row data again."""
     m = 1 << p
+    groups = [F.col(g) for g in (group_cols or [])]
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))),
@@ -233,8 +243,8 @@ def hll_registers(
     )
     return (
         items.filter(F.col(col).isNotNull())
-        .select((h % m).cast("int").alias("register"), rho.alias("rho"))
-        .groupBy("register")
+        .select(*groups, (h % m).cast("int").alias("register"), rho.alias("rho"))
+        .groupBy(*(group_cols or []), "register")
         .agg(F.max("rho").cast("int").alias("m_j"))
     )
 

@@ -22,7 +22,7 @@ equi-join against the (tiny, broadcastable) pair frame.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,4 +64,97 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance")
+    )
+
+
+def fs_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_col: str,
+    field_cols: list[str],
+    m: float = 0.9,
+    k: int = 50,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969) over blocked candidate pairs — the SCORING layer above this
+    module's boolean edit-distance matching: each comparison field
+    contributes evidence log(m/u) when it agrees and log((1-m)/(1-u))
+    when it disagrees, so a pair's score is calibrated by how
+    SURPRISING each agreement is (sharing a rare last token means far
+    more than sharing one of three sources).
+
+    u (chance agreement) is ESTIMATED FROM THE DATA as the exact
+    integer rational sum(c_v*(c_v-1)) / (N*(N-1)) per field — one
+    tiny groupBy per field, two int64s to carry; m is the standard
+    fixed prior. Weights quantize ONCE to ``weight_scale``-units
+    (the repo ln discipline), so pair scores are exact integer sums.
+    Degenerate fields clamp: all-unique (u -> 1/den) and constant
+    (1-u -> 1/den) stay finite, mirrored identically in SQL. int64
+    headroom: N*(N-1) overflows past ~3e9 non-null rows per field —
+    switch u to a sampled estimate there.
+
+    Pairs come from an equi-join on ``block_col`` (cost = sum
+    block^2, never corpus^2); a NULL field on either side contributes
+    0 ('?' in the pattern). Returns the top-``k`` pairs by
+    (score_micro DESC, a_id, b_id): (a_id, b_id, pattern,
+    score_micro).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), *field_cols
+    )
+    a = base.select(
+        F.col("id").alias("a_id"),
+        F.col("blk"),
+        *[F.col(f).alias(f"a_{f}") for f in field_cols],
+    )
+    b = base.select(
+        F.col("id").alias("b_id"),
+        F.col("blk"),
+        *[F.col(f).alias(f"b_{f}") for f in field_cols],
+    )
+    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+    score = F.lit(0).cast("long")
+    pattern = []
+    for f in field_cols:
+        cnt = (
+            base.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1)).alias(f"num_{f}"),
+                F.sum("c").alias(f"n_{f}"),
+            )
+        )
+        pairs = pairs.crossJoin(F.broadcast(cnt))
+        den = F.col(f"n_{f}") * (F.col(f"n_{f}") - 1)
+        num = F.greatest(F.col(f"num_{f}"), F.lit(1))
+        dis = F.greatest(den - num, F.lit(1))
+        wa = F.round(F.log(F.lit(m) * den / num) * weight_scale).cast("long")
+        wd = F.round(F.log(F.lit(1.0 - m) * den / dis) * weight_scale).cast(
+            "long"
+        )
+        af, bf = F.col(f"a_{f}"), F.col(f"b_{f}")
+        missing = af.isNull() | bf.isNull()
+        score = score + F.when(missing, F.lit(0)).when(af == bf, wa).otherwise(
+            wd
+        )
+        pattern.append(
+            F.when(missing, F.lit("?")).when(af == bf, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    wk = Window.orderBy(
+        F.desc("score_micro"), F.asc("a_id"), F.asc("b_id")
+    )
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.concat(*pattern).alias("pattern"),
+            score.alias("score_micro"),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
     )

@@ -715,10 +715,12 @@ def phrase_search(
     spark = docs.sparkSession
     ph_df = spark.createDataFrame(ph, "tok string, idx int")
     post = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(tokens(text_col)).alias("pos", "tok"),
-        )
+        # __toks materializes in its own Project BELOW the explode —
+        # never explode a computed array inline (the tokenizer would
+        # re-evaluate per element / leak into synthesized filters;
+        # see the InferFiltersFromGenerate + lambda-CSE notes)
+        docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+        .select("id", F.posexplode("__toks").alias("pos", "tok"))
         .join(F.broadcast(ph_df), "tok")
         .select("id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx")
     )

@@ -8018,6 +8018,277 @@ def q159_revenue_autocorrelation(spark, sf_dir):
     )
 
 
+_HLL7_NUMER = repr(0.673 * 256 * float(1 << 57))  # alpha_16 * m^2 * 2^B
+
+@_register(
+    "q160_rolling_distinct_hll_merge",
+    f"""
+    WITH ev AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS day_int,
+               ('0x' || substr(md5('hll7:' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT day, day_int, CAST(h % 16 AS INT) AS register,
+               MAX(CASE WHEN h // 16 = 0 THEN 57
+                        ELSE 57 - length(bin(h // 16)) END) AS m_j
+        FROM ev GROUP BY day, day_int, register
+    ),
+    days AS (SELECT DISTINCT day, day_int FROM ev),
+    grid AS (
+        SELECT day, day_int, unnest(range(16)) AS register FROM days
+    ),
+    dense AS (
+        SELECT g.day, g.day_int, g.register,
+               COALESCE(r.m_j, 0) AS m_j
+        FROM grid g LEFT JOIN regs r
+          ON g.day_int = r.day_int AND g.register = r.register
+    ),
+    merged AS (
+        SELECT day, day_int, register,
+               MAX(m_j) OVER (PARTITION BY register ORDER BY day_int
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS mm
+        FROM dense
+    ),
+    est AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN mm > 0 THEN 1 ELSE 0 END) AS INT)
+                   AS merged_nonzero,
+               CAST(SUM(CAST(1 AS BIGINT) << (57 - mm)) AS BIGINT)
+                   AS harmonic_scaled
+        FROM merged GROUP BY day
+    ),
+    exact AS (
+        SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                   AS exact_distinct
+        FROM days d JOIN ev e
+          ON e.day_int BETWEEN d.day_int - 6 AND d.day_int
+        GROUP BY d.day
+    )
+    SELECT day, merged_nonzero,
+           round({_HLL7_NUMER} / harmonic_scaled, 3) AS hll_est,
+           exact_distinct
+    FROM est JOIN exact USING (day)
+    """,
+    "Rolling 7-day distinct users via WINDOWED HLL REGISTER MERGE — "
+    "the merge property q153 certifies, exercised in anger: one scan "
+    "builds a 16-register sketch PER DAY (frequency.hll_registers "
+    "group_cols; shuffle = |days|*16 summary rows), and every day's "
+    "trailing-week estimate is a RANGE-window MAX over the day "
+    "sketches on a dense (day x register) grid — row data is touched "
+    "once, each 7-day combination costs 16 integer MAXes. This is "
+    "the sketch contract at 100 TB: daily shards pre-aggregate "
+    "independently, any window/realignment merges summaries. The "
+    "exact comparison (interval-join COUNT DISTINCT, 7x|events| "
+    "join rows) is the audit the sketch replaces at scale. Raw-"
+    "regime estimator (m = 16 keeps 2.5m below the ~150-user "
+    "corpus); estimator parity is exact regardless of statistical "
+    "bias because both engines rebuild identical registers.",
+)
+def q160_rolling_distinct_hll_merge(spark, sf_dir):
+    from ..operators.frequency import hll_registers
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .withColumn(
+            "day_int",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+    regs = hll_registers(
+        e, "user_id", p=4, salt="hll7", group_cols=["day", "day_int"]
+    )
+    days = e.select("day", "day_int").distinct()
+    grid = days.crossJoin(
+        spark.range(16).select(F.col("id").cast("int").alias("register"))
+    )
+    dense = grid.join(
+        regs.select("day_int", "register", "m_j"), ["day_int", "register"], "left"
+    ).select(
+        "day", "day_int", "register", F.coalesce("m_j", F.lit(0)).alias("m_j")
+    )
+    wr = (
+        Window.partitionBy("register")
+        .orderBy("day_int")
+        .rangeBetween(-6, 0)
+    )
+    merged = dense.select(
+        "day", "day_int", "register", F.max("m_j").over(wr).alias("mm")
+    )
+    est = merged.groupBy("day").agg(
+        F.sum(F.when(F.col("mm") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("merged_nonzero"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - mm)")).alias(
+            "harmonic_scaled"
+        ),
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            e.select(F.col("user_id"), F.col("day_int").alias("de")).alias("e"),
+            (F.col("de") >= F.col("d.day_int") - 6)
+            & (F.col("de") <= F.col("d.day_int")),
+        )
+        .groupBy("d.day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "merged_nonzero",
+            F.round(
+                F.lit(float(_HLL7_NUMER)) / F.col("harmonic_scaled"), 3
+            ).alias("hll_est"),
+            "exact_distinct",
+        )
+    )
+
+
+@_register(
+    "q161_fellegi_sunter_linkage",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               lang || '|' || CAST(n_chars // 32 AS VARCHAR) AS blk,
+               source, t[1] AS ft, t[len(t)] AS lt, len(t) AS ntok
+        FROM (SELECT doc_id, lang, n_chars, source, {{toks}} AS t
+              FROM documents)
+    ),
+    s_source AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS c FROM base
+              WHERE source IS NOT NULL GROUP BY source)
+    ),
+    s_ft AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS c FROM base
+              WHERE ft IS NOT NULL GROUP BY ft)
+    ),
+    s_lt AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS c FROM base
+              WHERE lt IS NOT NULL GROUP BY lt)
+    ),
+    s_ntok AS (
+        SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+               CAST(SUM(c) AS BIGINT) AS n
+        FROM (SELECT COUNT(*) AS c FROM base
+              WHERE ntok IS NOT NULL GROUP BY ntok)
+    ),
+    w AS (
+        SELECT
+          CAST(round(ln(0.9 * (s_source.n * (s_source.n - 1))
+                        / greatest(s_source.num, 1)) * 1000000) AS BIGINT)
+              AS wa_source,
+          CAST(round(ln({repr(1.0 - 0.9)} * (s_source.n * (s_source.n - 1))
+                        / greatest(s_source.n * (s_source.n - 1)
+                                   - greatest(s_source.num, 1), 1))
+                     * 1000000) AS BIGINT) AS wd_source,
+          CAST(round(ln(0.9 * (s_ft.n * (s_ft.n - 1))
+                        / greatest(s_ft.num, 1)) * 1000000) AS BIGINT)
+              AS wa_ft,
+          CAST(round(ln({repr(1.0 - 0.9)} * (s_ft.n * (s_ft.n - 1))
+                        / greatest(s_ft.n * (s_ft.n - 1)
+                                   - greatest(s_ft.num, 1), 1))
+                     * 1000000) AS BIGINT) AS wd_ft,
+          CAST(round(ln(0.9 * (s_lt.n * (s_lt.n - 1))
+                        / greatest(s_lt.num, 1)) * 1000000) AS BIGINT)
+              AS wa_lt,
+          CAST(round(ln({repr(1.0 - 0.9)} * (s_lt.n * (s_lt.n - 1))
+                        / greatest(s_lt.n * (s_lt.n - 1)
+                                   - greatest(s_lt.num, 1), 1))
+                     * 1000000) AS BIGINT) AS wd_lt,
+          CAST(round(ln(0.9 * (s_ntok.n * (s_ntok.n - 1))
+                        / greatest(s_ntok.num, 1)) * 1000000) AS BIGINT)
+              AS wa_ntok,
+          CAST(round(ln({repr(1.0 - 0.9)} * (s_ntok.n * (s_ntok.n - 1))
+                        / greatest(s_ntok.n * (s_ntok.n - 1)
+                                   - greatest(s_ntok.num, 1), 1))
+                     * 1000000) AS BIGINT) AS wd_ntok
+        FROM s_source, s_ft, s_lt, s_ntok
+    ),
+    scored AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               (CASE WHEN a.source IS NULL OR b.source IS NULL THEN '?'
+                     WHEN a.source = b.source THEN '1' ELSE '0' END) ||
+               (CASE WHEN a.ft IS NULL OR b.ft IS NULL THEN '?'
+                     WHEN a.ft = b.ft THEN '1' ELSE '0' END) ||
+               (CASE WHEN a.lt IS NULL OR b.lt IS NULL THEN '?'
+                     WHEN a.lt = b.lt THEN '1' ELSE '0' END) ||
+               (CASE WHEN a.ntok IS NULL OR b.ntok IS NULL THEN '?'
+                     WHEN a.ntok = b.ntok THEN '1' ELSE '0' END)
+                   AS pattern,
+               CAST((CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0
+                     WHEN a.source = b.source THEN wa_source
+                     ELSE wd_source END)
+               + (CASE WHEN a.ft IS NULL OR b.ft IS NULL THEN 0
+                       WHEN a.ft = b.ft THEN wa_ft ELSE wd_ft END)
+               + (CASE WHEN a.lt IS NULL OR b.lt IS NULL THEN 0
+                       WHEN a.lt = b.lt THEN wa_lt ELSE wd_lt END)
+               + (CASE WHEN a.ntok IS NULL OR b.ntok IS NULL THEN 0
+                       WHEN a.ntok = b.ntok THEN wa_ntok ELSE wd_ntok END)
+                   AS BIGINT) AS score_micro
+        FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+        CROSS JOIN w
+    )
+    SELECT a_id, b_id, pattern, score_micro
+    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, a_id,
+                                       b_id) AS rk
+          FROM scored)
+    WHERE rk <= 50
+    """.replace("{toks}", _SQL_TOKS),
+    "Fellegi-Sunter probabilistic record linkage (1969; operators/"
+    "fuzzy.py fs_linkage_pairs) — the calibrated-evidence layer above "
+    "q74's boolean edit-distance matching: each field contributes "
+    "ln(m/u) on agreement and ln((1-m)/(1-u)) on disagreement, with "
+    "u (chance agreement) estimated from the data itself as the "
+    "exact integer rational sum c_v*(c_v-1) / N*(N-1) per field — so "
+    "sharing a rare last token outweighs sharing one of 20 sources. "
+    "Weights quantize once to micro-units; pair scores are exact "
+    "integer sums; degenerate all-unique/constant fields clamp "
+    "finitely, mirrored in SQL. Blocking on (lang, 32-char length "
+    "band) keeps the candidate join sum-block^2; per-field u stats "
+    "are one tiny groupBy each, broadcast as two int64s. Top-50 "
+    "pairs by (score, ids).",
+)
+def q161_fellegi_sunter_linkage(spark, sf_dir):
+    from ..operators.fuzzy import fs_linkage_pairs
+    from ..operators.text import tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens("text"))
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.col("lang"),
+                F.lit("|"),
+                F.expr("n_chars div 32").cast("string"),
+            ).alias("blk"),
+            F.col("source"),
+            F.get("__toks", 0).alias("ft"),
+            F.get("__toks", F.size("__toks") - 1).alias("lt"),
+            F.size("__toks").alias("ntok"),
+        )
+    )
+    return fs_linkage_pairs(
+        d, "doc_id", "blk", ["source", "ft", "lt", "ntok"], m=0.9, k=50
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

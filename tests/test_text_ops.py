@@ -728,3 +728,40 @@ def test_phrase_search_adjacency_order_and_repeats(spark):
     df2 = spark.createDataFrame([("r1", "the the the"), ("r2", "the cat the")], "doc_id string, text string")
     got2 = {r.doc_id: (r.n_occurrences, r.first_pos) for r in phrase_search(df2, ["the", "the"]).collect()}
     assert got2 == {"r1": (2, 0)}
+
+
+def test_fs_linkage_rare_agreement_outweighs_common(spark):
+    """Fellegi-Sunter axioms: agreeing on a rare field scores higher
+    than agreeing on a near-constant one; missing fields contribute 0
+    and show '?'; constant/all-unique fields stay finite (clamps)."""
+    from e_commerce_data_pipeline_spark.operators.fuzzy import fs_linkage_pairs
+
+    # 'com' is near-constant (u high -> weak evidence); 'rare' has
+    # distinct values except one repeated pair (u tiny -> strong)
+    rows = [
+        (1, "b", "x", "r1"),
+        (2, "b", "x", "r1"),   # agrees with 1 on rare+common
+        (3, "b", "x", "r3"),
+        (4, "b", "x", "r4"),
+        (5, "b", "x", None),   # missing rare
+        (6, "b", "y", "r6"),
+        (7, "b", "x", "r7"),
+        (8, "b", "x", "r8"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, com string, rare string")
+    out = {(r.a_id, r.b_id): (r.pattern, r.score_micro)
+           for r in fs_linkage_pairs(df, "id", "blk", ["com", "rare"], k=100).collect()}
+    assert out[(1, 2)][0] == "11"
+    # all pairs exist (one block of 8 -> 28 pairs)
+    assert len(out) == 28
+    # rare-agreement pair beats every pair that only agrees on common
+    only_common = [v for k, v in out.items() if v[0] == "10"]
+    assert out[(1, 2)][1] > max(s for _, s in only_common)
+    # missing field renders '?' and contributes 0: (1,5) scores on com
+    # alone, so it must sit strictly between com-agree+rare-disagree
+    # and rare-agree pairs
+    assert out[(1, 5)][0] == "1?"
+    assert out[(1, 5)][1] > max(s for _, s in only_common)
+    assert out[(1, 5)][1] < out[(1, 2)][1]
+    # and every score is finite int (clamps held despite near-constant com)
+    assert all(isinstance(s, int) for _, s in out.values())
