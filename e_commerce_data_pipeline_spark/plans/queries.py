@@ -8289,6 +8289,195 @@ def q161_fellegi_sunter_linkage(spark, sf_dir):
     )
 
 
+@_register(
+    "q162_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                        // 100000) AS BIGINT) AS x
+        FROM orders GROUP BY di
+    ),
+    slopes AS (
+        SELECT CAST(round(1000000.0 * (b.x - a.x) / (b.di - a.di))
+                    AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.di < b.di
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM slopes),
+    med AS (
+        SELECT s AS slope_micro FROM (
+            SELECT s, row_number() OVER (ORDER BY s) AS rn FROM slopes
+        ) JOIN np ON rn = (n_pairs + 1) // 2
+    ),
+    resid AS (
+        SELECT CAST(round(1000.0 * (d.x - m.slope_micro / 1000000.0
+                                    * d.di)) AS BIGINT) AS r
+        FROM daily d CROSS JOIN med m
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    icept AS (
+        SELECT r AS intercept_milli FROM (
+            SELECT r, row_number() OVER (ORDER BY r) AS rn FROM resid
+        ) JOIN nd ON rn = (n_days + 1) // 2
+    )
+    SELECT n_days, n_pairs, slope_micro, intercept_milli
+    FROM nd CROSS JOIN np CROSS JOIN med CROSS JOIN icept
+    """,
+    "Theil-Sen robust trend of daily revenue (Theil 1950; Sen 1968) — "
+    "the outlier-immune regression beside q111's least-squares Zipf "
+    "fit and q127's robust location stats: the slope is the MEDIAN of "
+    "all pairwise day-to-day slopes, so up to ~29% of days can be "
+    "corrupted (promotions, outages) without moving the estimate. "
+    "Slopes quantize once to micro-kUSD/day ints; the median is rank "
+    "ceil(n/2) of the quantized set — found by exact_quantiles' "
+    "histogram narrowing (q157's operator REUSED on a derived "
+    "frame), never a global sort; the intercept is the median "
+    "residual at that slope, same machinery. The pair join is "
+    "CALENDAR-bounded (|days|^2 ~ 5.8M at 7 years) and corpus-size "
+    "independent — the fact table only feeds the |days|-row daily "
+    "aggregate. Oracle is independent: row_number over the sorted "
+    "slope set.",
+)
+def q162_theil_sen_trend(spark, sf_dir):
+    from ..operators.quantiles import exact_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("di")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
+        ).alias("x")
+    )
+    a = daily.select(F.col("di").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("di").alias("db"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            # nullif: codegen can evaluate this projection on candidate
+            # pairs before the da < db condition filters them (ANSI
+            # divide-by-zero); equal-day pairs never survive the join,
+            # so the null branch is unreachable in the output
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("xb") - F.col("xa"))
+                / F.expr("nullif(db - da, 0)")
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    med = exact_quantiles(slopes, "s", [50], buckets=4096).select(
+        F.col("n").alias("n_pairs"), F.col("value").alias("slope_micro")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "slope_micro",
+        F.round(
+            F.lit(1000.0)
+            * (
+                F.col("x")
+                - F.col("slope_micro") / F.lit(1000000.0) * F.col("di")
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    icept = exact_quantiles(resid, "r", [50], buckets=4096).select(
+        F.col("n").alias("n_days"), F.col("value").alias("intercept_milli")
+    )
+    return (
+        icept.crossJoin(
+            F.broadcast(resid.select("n_pairs", "slope_micro").limit(1))
+        )
+        .select("n_days", "n_pairs", "slope_micro", "intercept_milli")
+    )
+
+
+@_register(
+    "q163_ngram_novelty_drift",
+    f"""
+    WITH toks AS (SELECT source, {{toks}} AS t FROM documents),
+    gr AS (
+        SELECT source, CAST(substr(source, 4) AS INT) AS sn,
+               unnest(list_transform(range(len(t) - 2),
+                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+                   AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    ref AS (SELECT DISTINCT g FROM gr WHERE sn < 10),
+    cur AS (
+        SELECT gr.source, gr.g,
+               CASE WHEN r.g IS NULL THEN 1 ELSE 0 END AS novel
+        FROM gr LEFT JOIN ref r ON gr.g = r.g
+        WHERE gr.sn >= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS novel_grams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN g END) AS BIGINT)
+               AS novel_types,
+           round(SUM(novel) / (1.0 * COUNT(*)), 6) AS novel_rate
+    FROM cur GROUP BY source
+    """.replace("{toks}", _SQL_TOKS),
+    "Vocabulary-shift monitoring for corpus curation: per-slice "
+    "UNSEEN-TRIGRAM rates against a reference slice (sources "
+    "src0-src9 train the reference type set; src10-src19 are "
+    "scored) — the n-gram generalization of OOV-rate tracking, the "
+    "distribution-shift signal a training-data pipeline watches "
+    "beside q126's per-column PSI (PSI sees value drift in KNOWN "
+    "bins; novelty-rate sees mass appearing OUTSIDE the known "
+    "vocabulary entirely). Both token-level (novel_grams/n_grams) "
+    "and type-level (novel_types/n_types) rates, since burstiness "
+    "makes them diverge. Scale shape: the reference is "
+    "DISTINCT-first (type set, not occurrences); the scored side "
+    "joins it on the gram key — a plain shuffled equi-join bounded "
+    "by gram-type df, with the one division rounded once at the "
+    "end. Shingling reuses dedup.shingles_of (pinned-array lambda, "
+    "no per-element retokenize).",
+)
+def q163_ngram_novelty_drift(spark, sf_dir):
+    from ..operators.dedup import shingles_of
+    from ..operators.text import tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.substring("source", 4, 10).cast("int").alias("sn"),
+            tokens("text").alias("__toks"),
+        )
+        .select(
+            "source", "sn", F.explode(shingles_of("__toks", 3)).alias("g")
+        )
+    )
+    ref = d.filter(F.col("sn") < 10).select("g").distinct()
+    cur = d.filter(F.col("sn") >= 10).join(
+        ref.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+            "novel_grams"
+        ),
+        F.countDistinct("g").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("seen").isNull(), F.col("g"))
+        ).alias("novel_types"),
+        F.round(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            / (F.lit(1.0) * F.count(F.lit(1))),
+            6,
+        ).alias("novel_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
