@@ -72,7 +72,7 @@ def main() -> None:
         # PERF.md "in-bench inflation"); an explicit collection every
         # few queries keeps measurements closer to steady-state
         n_run += 1
-        if n_run % 8 == 0:
+        if n_run % 4 == 0:
             spark.sparkContext._jvm.System.gc()
         # min of two runs: the second run's data is OS-page-cache warm,
         # so min() reports steady-state engine cost, stable across

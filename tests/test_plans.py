@@ -279,3 +279,61 @@ def test_q144_q145_broadcast_without_hint_at_bench_scale():
         ]
         assert bhj, f"{name}: no BroadcastHashJoin on {join_key}:\n{plan}"
     spark.catalog.clearCache()
+
+
+def test_q154_bm25_term_filter_below_exchange_no_python(spark, sf_dir):
+    """The query-term isin filter must run map-side (below the tf
+    groupBy's exchange) so corpus token volume never shuffles; the
+    whole scoring path stays JVM-side."""
+    plan = _executed_plan(QUERIES["q154_bm25_retrieval"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    lines = plan.splitlines()
+    f = next(i for i, l in enumerate(lines) if "Filter" in l and "tok" in l and " IN " in l)
+    x = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l and "tok" in l]
+    # tree prints root-first: the map-side filter appears BELOW (after)
+    # its exchange
+    assert x and min(x) < f, plan
+
+
+def test_q156_dirty_bucket_prune_is_broadcast(spark, sf_dir):
+    """Phase-2 row scans must semi-join the (<= n_buckets row) dirty
+    set via broadcast — never shuffle the snapshots by bucket."""
+    plan = _executed_plan(
+        QUERIES["q156_snapshot_reconciliation"].fn(spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q158_phrase_vocab_join_is_broadcast_below_anchor_agg(spark, sf_dir):
+    """Postings filter to the phrase vocabulary through a broadcast
+    join before any exchange; one hash aggregate resolves anchors."""
+    plan = _executed_plan(QUERIES["q158_phrase_search"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan
+    lines = plan.splitlines()
+    bj = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l and "tok" in l]
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+    assert bj, plan
+    # the vocab broadcast join sits below (prints after) every exchange
+    # that feeds the anchor aggregation
+    assert ex and min(ex) < max(bj), plan
+
+
+def test_q153_hll_single_partial_agg(spark, sf_dir):
+    """The register build is ONE partial-agg groupBy: exactly one
+    exchange for the m-row register table (plus the scalar agg)."""
+    plan = _executed_plan(
+        QUERIES["q153_hll_distinct_accuracy"].fn(spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_q161_fs_stat_frames_broadcast(spark, sf_dir):
+    """Per-field u-stat frames (two int64s each) attach to the pair
+    stream as broadcasts; the only shuffle join key is the block."""
+    plan = _executed_plan(
+        QUERIES["q161_fellegi_sunter_linkage"].fn(spark, sf_dir)
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
