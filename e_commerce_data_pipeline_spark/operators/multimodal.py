@@ -2,14 +2,16 @@
 ``binary`` columns + typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode kernels are REAL for formats decodable in pure numpy —
-BMP (24-bit uncompressed) and PPM (binary P6) — covering header
-parse, pixel decode, nearest-neighbor resize, per-channel feature
-extraction, and frame sampling over a length-prefixed frame
-container. Compressed formats (JPEG/PNG/H.264) genuinely need codec
-libraries this container doesn't ship; those paths raise
-NotImplementedError explicitly (``require_codec``) rather than
-pretending.
+The decode kernels are REAL for formats decodable in pure
+numpy+stdlib — BMP (24-bit uncompressed), PPM (binary P6), PNG
+(8-bit truecolor: zlib inflate + scanline unfiltering), and baseline
+JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
+decode, nearest-neighbor resize, per-channel feature extraction, and
+frame sampling over a length-prefixed frame container. Variants that
+genuinely need codec libraries this container doesn't ship
+(progressive/12-bit/subsampled JPEG, palette/16-bit/Adam7 PNG,
+non-PCM WAV, H.264) raise NotImplementedError explicitly
+(``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
 kernels stream batch-by-batch (never materialize the iterator) so peak
@@ -66,7 +68,7 @@ def require_codec(fmt: str) -> None:
     container."""
     raise NotImplementedError(
         f"decoding {fmt} requires a codec library not present in this "
-        "environment; BMP/PPM decode natively"
+        "environment; BMP/PPM/PNG/baseline-JPEG decode natively"
     )
 
 
@@ -320,6 +322,8 @@ def _decode_any(content) -> tuple:
             return decode_ppm(b), "ppm"
         if b[:8] == _PNG_SIG:
             return decode_png(b), "png"
+        if b[:2] == b"\xff\xd8":
+            return decode_jpeg(b), "jpeg"
     except (ValueError, struct.error, IndexError):
         return None, None
     return None, None
@@ -364,6 +368,50 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def jpeg_tile_value(i: int, by: int, bx: int) -> int:
+    """Closed-form tile value for ``synthetic_jpeg_table`` — also the
+    q164 oracle's formula."""
+    return (i * 31 + by * 7 + bx * 13) % 256
+
+
+def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
+    """Deterministic baseline-JPEG table with an EXACT decode oracle.
+
+    Each image is gray-in-RGB (r = g = b) and BLOCK-CONSTANT: every
+    8x8 tile holds one value from ``jpeg_tile_value``. That makes the
+    lossy pipeline bit-exact end-to-end: equal channels give exact
+    Y = v, Cb = Cr = 128 (the color transform has no rounding
+    ambiguity); a constant tile has only a DC coefficient, and the
+    quality range used here keeps the DC quantization step below 8,
+    so dequantized DC sits within 0.5/8 of the true value per pixel
+    and the final round restores v exactly. DC deltas between tiles
+    still sweep positive/negative magnitude categories, so Huffman
+    DC prediction, EOB coding, both quant tables and all four Annex K
+    code tables are on the verified path; AC/ZRL paths are covered by
+    tolerance-bounded round-trip tests (tests/test_multimodal.py)."""
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 4) * 8, 16 + (i % 3) * 8
+        import numpy as np
+
+        tiles = np.array(
+            [
+                [jpeg_tile_value(i, by, bx) for bx in range(w // 8)]
+                for by in range(h // 8)
+            ],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.stack([img, img, img], axis=-1)
+        q = 85 + (i % 3) * 5  # 85 / 90 / 95 — all keep DC step < 8
+        rows.append(
+            (i, "image", encode_jpeg(rgb, quality=q), None,
+             f"mem://media/{i}.jpg")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def synthetic_png_table(spark, n: int = 80) -> DataFrame:
     """Deterministic PNG media table: the same gradient pixels as
     ``synthetic_media_table`` (different size formula so q147 can't
@@ -377,6 +425,444 @@ def synthetic_png_table(spark, n: int = 80) -> DataFrame:
         rows.append((i, "image", encode_png(px), None, f"mem://media/{i}.png"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, 8-bit, 4:4:4 or grayscale): pure
+# numpy + stdlib — Annex K quantization/Huffman tables, canonical
+# code construction, byte-stuffed entropy stream. Progressive (SOF2),
+# arithmetic coding, 12-bit, chroma subsampling, and restart
+# intervals gate through ``require_codec``; structural damage raises
+# ValueError (corrupt files surface as null rows, not task failures).
+# ---------------------------------------------------------------------------
+
+_JPG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU-T T.81 Annex K.1 example quantization tables
+_JPG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# Annex K.3 typical Huffman tables: (bits[1..16], huffval)
+_JPG_HUFF = {
+    (0, 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(12))),
+    (0, 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12))),
+    (1, 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+             [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+              0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+              0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+              0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+              0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+              0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+              0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+              0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+              0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+              0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+              0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+              0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+              0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+              0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+              0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+              0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+              0xF9, 0xFA]),
+    (1, 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+             [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+              0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+              0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+              0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+              0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+              0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+              0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+              0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+              0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+              0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+              0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+              0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+              0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+              0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+              0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+              0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+              0xF9, 0xFA]),
+}
+
+
+def _jpg_canonical_codes(bits, huffval):
+    """Canonical Huffman per T.81 C.2: symbol -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpg_decode_table(bits, huffval):
+    """(length, code) -> symbol map for the decoder."""
+    enc = _jpg_canonical_codes(bits, huffval)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+def _jpg_quant_tables(quality: int):
+    """libjpeg quality scaling of the Annex K tables."""
+    import numpy as np
+
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPG_QL, _JPG_QC):
+        t = [(min(255, max(1, (v * scale + 50) // 100))) for v in base]
+        out.append(np.array(t, dtype=np.int64).reshape(8, 8))
+    return out
+
+
+def _jpg_dct_mat():
+    import numpy as np
+
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _jpg_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _jpg_encode_block(wr, coefs, dc_codes, ac_codes, pred):
+    """Huffman-encode one zigzagged coefficient block; returns new DC
+    predictor."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    cat = _jpg_category(diff)
+    code, ln = dc_codes[cat]
+    wr.put(code, ln)
+    if cat:
+        wr.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last = 63
+    while last > 0 and coefs[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            wr.put(code, ln)
+            run -= 16
+        cat = _jpg_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        wr.put(code, ln)
+        wr.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        wr.put(code, ln)
+    return dc
+
+
+def encode_jpeg(arr, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG
+    (SOF0, 4:4:4, Annex K Huffman tables, libjpeg-scaled Annex K
+    quantization). Deterministic: float64 DCT + round-half-away
+    quantization, no RNG, no library variance."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        comps = [a.astype(np.float64) - 128.0]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        comps = [
+            np.clip(np.floor(x + 0.5), 0, 255) - 128.0 for x in (y, cb, cr)
+        ]
+    ql, qc = _jpg_quant_tables(quality)
+    qts = [ql] + ([] if gray else [qc, qc])
+    dctm = _jpg_dct_mat()
+    bh, bw = -(-h // 8), -(-w // 8)
+    dc_l = _jpg_canonical_codes(*_JPG_HUFF[(0, 0)])
+    ac_l = _jpg_canonical_codes(*_JPG_HUFF[(1, 0)])
+    dc_c = _jpg_canonical_codes(*_JPG_HUFF[(0, 1)])
+    ac_c = _jpg_canonical_codes(*_JPG_HUFF[(1, 1)])
+    tabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
+    padded = []
+    for c in comps:
+        p = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        p[:h, :w] = c
+        if w < bw * 8:
+            p[:h, w:] = c[:, -1:]
+        if h < bh * 8:
+            p[h:, :] = p[h - 1 : h, :]
+        padded.append(p)
+    wr = _JpgBitWriter()
+    preds = [0] * len(comps)
+    zz = np.array(_JPG_ZIGZAG)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (p, qt) in enumerate(zip(padded, qts)):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(np.int64) * np.where(
+                    f < 0, -1, 1
+                )
+                preds[ci] = _jpg_encode_block(
+                    wr, qf.reshape(-1)[zz], tabs[ci][0], tabs[ci][1], preds[ci]
+                )
+    wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zzl = bytes(int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG)
+    dqt = seg(0xDB, b"\x00" + zzl)
+    if not gray:
+        zzc = bytes(int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG)
+        dqt += seg(0xDB, b"\x01" + zzc)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    dht = b""
+    for (cls, tid), (bits, vals) in _JPG_HUFF.items():
+        if gray and tid == 1:
+            continue
+        dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + dqt
+        + seg(0xC0, sof)
+        + dht
+        + seg(0xDA, sos)
+        + bytes(wr.out)
+        + b"\xff\xd9"
+    )
+
+
+class _JpgBitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.d[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.d):
+                    raise ValueError("JPEG entropy stream truncated")
+                nxt = self.d[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                elif nxt == 0xD9:
+                    byte = 0  # EOI padding region
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.take(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpg_extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(b: bytes):
+    """Baseline JPEG bytes -> (h, w, 3) RGB (or grayscale replicated
+    to 3 channels) uint8. Supports SOF0, 8-bit, 1 or 3 components at
+    1x1 sampling. Progressive/extended/arithmetic/12-bit/subsampled/
+    restart-interval streams gate via ``require_codec``; structural
+    damage raises ValueError."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, object] = {}
+    huffs: dict[tuple, dict] = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    require_codec("JPEG 16-bit quantization tables")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
+                qts[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(f"JPEG precision={prec}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    require_codec("JPEG chroma subsampling")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
+        elif marker == 0xDD:
+            require_codec("JPEG restart intervals")
+        elif marker == 0xDA:
+            ns = payload[0]
+            sel = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                sel.append((cs, tt >> 4, tt & 0x0F))
+            scan = (sel, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = sof
+    sel, data_start = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    dctm = _jpg_dct_mat()
+    bh, bw = -(-h // 8), -(-w // 8)
+    rd = _JpgBitReader(b[data_start:])
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    preds = [0] * len(comps)
+    zz = _JPG_ZIGZAG
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, ((cid, tq), (cs, dt, at)) in enumerate(zip(comps, sel)):
+                dc_t, ac_t = huffs.get((0, dt)), huffs.get((1, at))
+                qt = qts.get(tq)
+                if dc_t is None or ac_t is None or qt is None:
+                    raise ValueError("JPEG missing table")
+                coefs = np.zeros(64, dtype=np.int64)
+                cat = rd.huff(dc_t)
+                preds[ci] += _jpg_extend(rd.take(cat), cat) if cat else 0
+                coefs[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(ac_t)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    cat = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    coefs[k] = _jpg_extend(rd.take(cat), cat)
+                    k += 1
+                blk = np.zeros((8, 8), dtype=np.float64)
+                for i in range(64):
+                    blk.reshape(-1)[zz[i]] = coefs[i]
+                blk *= qt
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dctm.T @ blk @ dctm
+                )
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    out = np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+    )
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -8478,6 +8478,49 @@ def q163_ngram_novelty_drift(spark, sf_dir):
     )
 
 
+@_register(
+    "q164_jpeg_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h
+        FROM range(60) t(i)
+    ),
+    tb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM m),
+    tiles AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tb),
+    v AS (SELECT i, (i * 31 + by * 7 + bx * 13) % 256 AS t FROM tiles)
+    SELECT i AS media_id,
+           CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+           CAST(64 * SUM(t) AS BIGINT) AS sum_r,
+           CAST(64 * SUM(t) AS BIGINT) AS sum_g,
+           CAST(64 * SUM(t) AS BIGINT) AS sum_b,
+           CAST(64 * SUM(10000 * t) AS BIGINT) AS sum_lq,
+           CAST(64 * SUM(10000 * t * 10000 * t) AS BIGINT) AS sum_lq2
+    FROM v GROUP BY i
+    """,
+    "Real JPEG decode, driver-verified at VALUE level "
+    "(multimodal.decode_jpeg: pure numpy+stdlib baseline codec — "
+    "marker walk, canonical Annex K Huffman, byte unstuffing, DC "
+    "prediction, dequant, zigzag, float64 IDCT, YCbCr->RGB). The "
+    "corpus makes a LOSSY format exactly checkable: gray-in-RGB "
+    "block-constant tiles have an unambiguous color transform and "
+    "DC-only spectra, and the 85-95 quality range keeps the DC "
+    "quantization step under 8, so the decoded pixels equal the "
+    "generator's closed form bit-for-bit — the oracle regenerates "
+    "them per tile (64 px each) and any error in headers, Huffman "
+    "decode, prediction, dequantization, or the IDCT breaks the "
+    "hash. AC/ZRL runs, subsampling gates, and corrupt-stream "
+    "safety are pytest-covered (tolerance-bounded round trips); "
+    "progressive/12-bit/subsampled/restart streams gate through "
+    "require_codec like the other compressed formats.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q164_jpeg_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import image_exact_stats, synthetic_jpeg_table
+
+    media = synthetic_jpeg_table(spark, n=60)
+    return image_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

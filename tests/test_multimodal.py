@@ -237,3 +237,96 @@ def test_png_media_flows_through_resize_and_features(spark):
     resized = resize_images(media, (8, 8))
     feats = image_features(resized).collect()
     assert len(feats) == 6 and all(r["mean_r"] is not None for r in feats)
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    """Gray-in-RGB block-constant images survive the LOSSY pipeline
+    bit-for-bit for DC quant steps < 8 — the q164 oracle's premise."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_tile_value,
+    )
+
+    for i, q in [(0, 85), (7, 90), (13, 95)]:
+        tiles = np.array(
+            [[jpeg_tile_value(i, by, bx) for bx in range(4)] for by in range(3)],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.stack([img, img, img], axis=-1)
+        assert np.array_equal(decode_jpeg(encode_jpeg(rgb, quality=q)), rgb)
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_quality_monotone():
+    """Gradient pixels (nonzero AC, runs, ZRL territory) round-trip
+    within tight error at high quality; error grows as quality drops."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        make_test_pixels,
+    )
+
+    px = make_test_pixels(29, 21, seed=4)  # non-multiple-of-8 edges too
+    errs = {}
+    for q in (95, 75, 40):
+        dec = decode_jpeg(encode_jpeg(px, quality=q))
+        assert dec.shape == px.shape
+        errs[q] = np.abs(dec.astype(int) - px.astype(int)).mean()
+    assert errs[95] <= 1.0
+    assert errs[95] <= errs[75] <= errs[40]
+
+
+def test_jpeg_grayscale_single_component():
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        make_test_pixels,
+    )
+
+    g = np.asarray(make_test_pixels(17, 9, seed=2))[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == (9, 17, 3)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])  # replicated channels
+
+
+def test_jpeg_gates_and_corrupt_safety(spark):
+    """Non-baseline variants gate via require_codec; structural damage
+    raises ValueError and surfaces as null rows through the kernel."""
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_meta,
+        decode_jpeg,
+        encode_jpeg,
+        make_test_pixels,
+    )
+
+    good = encode_jpeg(make_test_pixels(16, 16, seed=1), quality=80)
+    # flip SOF0 (0xC2 = progressive) -> must gate, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+    # truncated entropy stream -> ValueError
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+    # corrupt payloads become null rows in the kernel, never failures
+    rows = [
+        (1, "image", good, None, "mem://a.jpg"),
+        (2, "image", good[:20], None, "mem://b.jpg"),
+        (3, "image", b"\xff\xd8garbage", None, "mem://c.jpg"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).withColumn(
+        "content_length", F.length("content").cast("long")
+    )
+    out = {r.media_id: r.width for r in decode_image_meta(df).collect()}
+    assert out[1] == 16 and out[2] is None and out[3] is None
