@@ -8521,6 +8521,109 @@ def q164_jpeg_decode_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q165_jpeg420_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 32 + (i % 3) * 16 AS w, 32 + (i % 2) * 16 AS h
+        FROM range(40) t(i)
+    ),
+    tb AS (SELECT i, w, unnest(range(h // 16)) AS by FROM m),
+    tiles AS (SELECT i, by, unnest(range(w // 16)) AS bx FROM tb),
+    v AS (SELECT i, (i * 17 + by * 29 + bx * 43) % 256 AS t FROM tiles)
+    SELECT i AS media_id,
+           CAST(256 * COUNT(*) AS BIGINT) AS n_px,
+           CAST(256 * SUM(t) AS BIGINT) AS sum_r,
+           CAST(256 * SUM(t) AS BIGINT) AS sum_g,
+           CAST(256 * SUM(t) AS BIGINT) AS sum_b,
+           CAST(256 * SUM(10000 * t) AS BIGINT) AS sum_lq,
+           CAST(256 * SUM(10000 * t * 10000 * t) AS BIGINT) AS sum_lq2
+    FROM v GROUP BY i
+    """,
+    "4:2:0 chroma-subsampled JPEG decode, driver-verified at VALUE "
+    "level — the libjpeg/phone-camera default layout q164's 4:4:4 "
+    "path doesn't touch: interleaved MCUs of four luma blocks plus "
+    "one Cb/Cr pair, per-component DC predictors advancing at "
+    "different rates, encoder-side 2x2 round-half-up chroma "
+    "downsampling and decoder-side nearest replication. The corpus "
+    "makes it exact: 16x16 constant tiles span a full MCU, so "
+    "downsample and upsample are identity on them and the DC-step<8 "
+    "argument from q164 carries over — decoded pixels equal the "
+    "closed form bit-for-bit (256 px per tile in the oracle). "
+    "Mixed-factor streams outside {1,2}x{1,2} still gate via "
+    "require_codec.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q165_jpeg420_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_exact_stats,
+        synthetic_jpeg420_table,
+    )
+
+    media = synthetic_jpeg420_table(spark, n=40)
+    return image_exact_stats(media).orderBy("media_id")
+
+
+@_register(
+    "q166_g711_decode_stats",
+    """
+    WITH m AS (SELECT i, 400 + (i % 5) * 40 AS ns FROM range(40) t(i)),
+    s AS (SELECT i, unnest(range(ns)) AS t FROM m),
+    c AS (SELECT i, (i * 13 + t * 7) % 256 AS code FROM s),
+    bits AS (
+        SELECT i, code,
+               255 - code AS u,
+               xor(code, 85) AS a
+        FROM c
+    ),
+    lin AS (
+        SELECT i,
+          CASE WHEN i % 2 = 0 THEN
+            CASE WHEN u >= 128
+                 THEN 132 - (((u % 16) * 8 + 132)
+                             * (CAST(1 AS BIGINT) << ((u // 16) % 8)))
+                 ELSE (((u % 16) * 8 + 132)
+                       * (CAST(1 AS BIGINT) << ((u // 16) % 8))) - 132
+            END
+          ELSE
+            (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+            (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                  WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                  ELSE ((a % 16) * 16 + 264)
+                       * (CAST(1 AS BIGINT) << ((a // 16) % 8 - 1))
+            END)
+          END AS v
+        FROM bits
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_lin,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM lin GROUP BY i
+    """,
+    "G.711 telephony audio decode, driver-verified at VALUE level "
+    "(multimodal.decode_wav formats 6/7 + ulaw_expand/alaw_expand): "
+    "the compressed-WAV gate q118's PCM path left in place, lifted "
+    "honestly — mu-law (complement, 4-bit mantissa + 132 bias "
+    "shifted by the 3-bit segment) and A-law (XOR 0x55, segment "
+    "half-step biases, sign-bit-set = positive) expanded with pure "
+    "integer bit arithmetic inside the Arrow kernel, reduced to "
+    "exact int64 sample sums/squares/peak. The oracle regenerates "
+    "the closed-form code bytes and applies the SAME CCITT expansion "
+    "in SQL shift/mod arithmetic, so a wrong complement, bias, "
+    "segment shift, or sign convention in either law breaks the "
+    "hash. Even clips are mu-law, odd are A-law — both laws verify "
+    "in one query.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q166_g711_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import audio_exact_stats, synthetic_g711_table
+
+    media = synthetic_g711_table(spark, n=40)
+    return audio_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -330,3 +330,61 @@ def test_jpeg_gates_and_corrupt_safety(spark):
     )
     out = {r.media_id: r.width for r in decode_image_meta(df).collect()}
     assert out[1] == 16 and out[2] is None and out[3] is None
+
+
+def test_jpeg_420_roundtrip_and_mcu_tile_exactness():
+    """4:2:0: 16x16 constant tiles decode bit-exact (MCU-aligned, so
+    chroma down/upsample are identity); gradients stay bounded; the
+    stream really is subsampled (smaller than 4:4:4 of the same
+    pixels)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg420_tile_value,
+        make_test_pixels,
+    )
+
+    tiles = np.array(
+        [[jpeg420_tile_value(3, by, bx) for bx in range(3)] for by in range(2)],
+        dtype=np.uint8,
+    )
+    img = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+    rgb = np.stack([img, img, img], axis=-1)
+    enc420 = encode_jpeg(rgb, quality=90, subsampling="420")
+    assert np.array_equal(decode_jpeg(enc420), rgb)
+    assert len(enc420) < len(encode_jpeg(rgb, quality=90))
+
+    px = make_test_pixels(29, 21, seed=4)  # odd dims: padded MCU edges
+    dec = decode_jpeg(encode_jpeg(px, quality=85, subsampling="420"))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_g711_expansion_reference_values_and_wav_path():
+    """Spot-check canonical G.711 mappings (CCITT tables) and the
+    format-6/7 WAV container path end to end."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        alaw_expand,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    # mu-law: 0x00 -> -32124 (largest negative), 0xFF -> 0, 0x80 -> +32124
+    assert ulaw_expand(np.array([0x00, 0xFF, 0x80])).tolist() == [
+        -32124, 0, 32124,
+    ]
+    # A-law: 0x55 -> -8 (smallest magnitude), 0xD5 -> +8, 0x2A -> -32256,
+    # 0xAA -> +32256 (sign bit SET means positive)
+    assert alaw_expand(np.array([0x55, 0xD5, 0x2A, 0xAA])).tolist() == [
+        -8, 8, -32256, 32256,
+    ]
+    codes = np.arange(256, dtype=np.uint8)
+    for law, expand in (("ulaw", ulaw_expand), ("alaw", alaw_expand)):
+        samples, rate = decode_wav(encode_wav_g711(codes, law, 8000))
+        assert rate == 8000 and samples.shape == (256, 1)
+        assert np.array_equal(samples[:, 0], expand(codes).astype(np.int16))
