@@ -324,6 +324,8 @@ def _decode_any(content) -> tuple:
             return decode_png(b), "png"
         if b[:2] == b"\xff\xd8":
             return decode_jpeg(b), "jpeg"
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(b), "gif"
     except (ValueError, struct.error, IndexError):
         return None, None
     return None, None
@@ -372,6 +374,20 @@ def jpeg_tile_value(i: int, by: int, bx: int) -> int:
     """Closed-form tile value for ``synthetic_jpeg_table`` — also the
     q164 oracle's formula."""
     return (i * 31 + by * 7 + bx * 13) % 256
+
+
+def synthetic_gif_table(spark, n: int = 50) -> DataFrame:
+    """Deterministic GIF table: the standard gradient pixels (<= 256
+    distinct colors, so the sorted-palette encoder is total) LZW-
+    compressed through the real variable-width coder; sizes differ
+    from the PNG/BMP corpora so oracles can't mask each other."""
+    rows = []
+    for i in range(n):
+        w, h = 20 + (i % 5) * 4, 12 + (i % 6) * 4
+        px = make_test_pixels(w, h, seed=i * 3 + 1)
+        rows.append((i, "image", encode_gif(px), None, f"mem://media/{i}.gif"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
 
 
 def jpeg420_tile_value(i: int, by: int, bx: int) -> int:
@@ -967,6 +983,220 @@ def decode_jpeg(b: bytes):
         [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
     )
     return out.astype(np.uint8)
+
+
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, global color table, non-interlaced): pure-python LZW
+# both directions — lossless, so round-trips are bit-exact and the
+# decode oracle is closed-form like PNG's. Local color tables and
+# interlace gate through ``require_codec``; structural damage raises
+# ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_compress(indices, code_size: int) -> bytes:
+    """Variable-width LZW per the GIF spec (LSB-first packing,
+    CLEAR emitted up front and on dictionary overflow at 4096)."""
+    clear = 1 << code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    nxt = eoi + 1
+    width = code_size + 1
+    emit(clear, width)
+    cur = ()
+    for idx in indices:
+        cand = cur + (int(idx),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        elif nxt >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            nxt = eoi + 1
+            width = code_size + 1
+        cur = (int(idx),)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, code_size: int, n: int):
+    """LZW decode -> list of ``n`` palette indices."""
+    clear = 1 << code_size
+    eoi = clear + 1
+    table = [ (i,) for i in range(clear) ] + [(), ()]
+    width = code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = []
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [ (i,) for i in range(clear) ] + [(), ()]
+            width = code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if len(out) > n:
+            raise ValueError("GIF pixel overflow")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != n:
+        raise ValueError("GIF pixel count mismatch")
+    return out
+
+
+def encode_gif(arr) -> bytes:
+    """(h, w, 3) uint8 RGB with <= 256 distinct colors -> GIF89a
+    bytes (global color table, one image, non-interlaced).
+    Deterministic: the palette is the sorted distinct color list."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "GIF encoder expects RGB"
+    flat = a.reshape(-1, 3)
+    packed = (
+        flat[:, 0].astype(np.int64) * 65536
+        + flat[:, 1].astype(np.int64) * 256
+        + flat[:, 2].astype(np.int64)
+    )
+    colors = np.unique(packed)
+    if colors.size > 256:
+        raise ValueError("GIF encoder: more than 256 distinct colors")
+    lut = {int(v): i for i, v in enumerate(colors)}
+    indices = np.array([lut[int(v)] for v in packed], dtype=np.int64)
+    bits = max(1, int(colors.size - 1).bit_length())
+    tbl_size = 1 << bits
+    gct = bytearray()
+    for v in colors:
+        gct += bytes([(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF])
+    gct += b"\x00" * (3 * (tbl_size - colors.size))
+    code_size = max(2, bits)
+    lzw = _gif_lzw_compress(indices, code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        + bytes(gct)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(b: bytes):
+    """GIF bytes -> (h, w, 3) uint8 RGB (first image). Supports
+    87a/89a with a global color table, non-interlaced, full-frame;
+    extensions are skipped. Local color tables and interlace gate via
+    ``require_codec``; damage raises ValueError."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("truncated GIF color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:
+            raise ValueError("GIF trailer before image data")
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02X}")
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+        pos += 10
+        if iflags & 0x80:
+            require_codec("GIF local color tables")
+        if iflags & 0x40:
+            require_codec("GIF interlace")
+        if (ix, iy, iw, ih) != (0, 0, w, h):
+            require_codec("GIF partial-frame images")
+        if gct is None:
+            raise ValueError("GIF image without a color table")
+        code_size = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunk = b[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF sub-block")
+            lzw += chunk
+            pos += 1 + ln
+        indices = _gif_lzw_decompress(bytes(lzw), code_size, w * h)
+        idx = np.array(indices, dtype=np.int64)
+        if idx.max(initial=0) >= gct.shape[0]:
+            raise ValueError("GIF index outside color table")
+        return gct[idx].reshape(h, w, 3)
+    raise ValueError("GIF missing image data")
 
 
 # ---------------------------------------------------------------------------

@@ -8624,6 +8624,53 @@ def q166_g711_decode_stats(spark, sf_dir):
     return audio_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q167_gif_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 20 + (i % 5) * 4 AS w, 12 + (i % 6) * 4 AS h,
+               i * 3 + 1 AS seed
+        FROM range(50) t(i)
+    ),
+    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i,
+               (x + y + seed) % 256 AS r,
+               ((x + y + seed) % 256 + 85) % 256 AS g,
+               ((x + y + seed) % 256 + 170) % 256 AS b
+        FROM px
+    ),
+    lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(l) AS BIGINT) AS sum_lq,
+           CAST(SUM(l * l) AS BIGINT) AS sum_lq2
+    FROM lq GROUP BY i
+    """,
+    "Real GIF decode, driver-verified at VALUE level (multimodal."
+    "decode_gif: pure-python variable-width LZW with CLEAR/EOI and "
+    "the 4096-entry dictionary reset, global color table lookup, "
+    "extension-block skipping). GIF is lossless, so like PNG (q147) "
+    "the oracle regenerates the gradient pixels from the generator's "
+    "closed form and any error in bit unpacking, the cScSc "
+    "first-use-of-next-code case, width growth, palette order, or "
+    "the reduction breaks the hash. The sorted-distinct-color "
+    "palette keeps the encoder deterministic; local color tables, "
+    "interlace, and partial frames gate via require_codec; damage "
+    "raises ValueError -> null rows.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q167_gif_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import image_exact_stats, synthetic_gif_table
+
+    media = synthetic_gif_table(spark, n=50)
+    return image_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -388,3 +388,39 @@ def test_g711_expansion_reference_values_and_wav_path():
         samples, rate = decode_wav(encode_wav_g711(codes, law, 8000))
         assert rate == 8000 and samples.shape == (256, 1)
         assert np.array_equal(samples[:, 0], expand(codes).astype(np.int16))
+
+
+def test_gif_roundtrip_overflow_reset_and_gates():
+    """Lossless LZW round trip (incl. the 4096-dict CLEAR reset on a
+    large frame), interlace/local-table gates, corrupt safety."""
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        make_test_pixels,
+    )
+
+    px = np.asarray(make_test_pixels(37, 23, seed=6))
+    b = encode_gif(px)
+    assert np.array_equal(decode_gif(b), px)
+    big = np.asarray(make_test_pixels(200, 150, seed=7))  # forces dict reset
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    # interlace flag set -> gate, not mis-decode (image descriptor sits
+    # right after the 13-byte header + global color table, NOT at the
+    # first 0x2C byte — that can occur inside palette/LZW data)
+    i = 13 + 3 * (2 << (b[10] & 0x07))
+    assert b[i] == 0x2C
+    bad = bytearray(b)
+    bad[i + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(bad))
+    # truncated sub-blocks -> ValueError
+    with pytest.raises(ValueError):
+        decode_gif(b[: len(b) // 2])
+    # >256 distinct colors refuse to encode (289 distinct (k//256, k%256, 0))
+    k = np.arange(17 * 17, dtype=np.int64)
+    many = np.stack([k // 256, k % 256, k * 0], axis=-1).reshape(17, 17, 3)
+    with pytest.raises(ValueError):
+        encode_gif(many.astype(np.uint8))
