@@ -9,8 +9,8 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, palette/16-bit/Adam7 PNG, ADPCM WAV,
-H.264) raise NotImplementedError explicitly
+(progressive/12-bit JPEG, palette/16-bit/Adam7 PNG, stereo
+ADPCM, H.264) raise NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
@@ -374,6 +374,33 @@ def jpeg_tile_value(i: int, by: int, bx: int) -> int:
     """Closed-form tile value for ``synthetic_jpeg_table`` — also the
     q164 oracle's formula."""
     return (i * 31 + by * 7 + bx * 13) % 256
+
+
+def synthetic_ima_table(spark, n: int = 30) -> DataFrame:
+    """Deterministic IMA ADPCM clips: clip i carries
+    ``200 + (i % 4) * 20`` 4-bit codes ``(i * 5 + t * 3) % 16`` from
+    initial state (pred = ((i*97) % 2000) - 1000, index = i % 89) —
+    the q169 oracle replays the same state machine with a recursive
+    CTE."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        ns = 200 + (i % 4) * 20
+        codes = ((i * 5 + np.arange(ns, dtype=np.int64) * 3) % 16).astype(
+            np.uint8
+        )
+        rows.append(
+            (
+                i,
+                "audio",
+                encode_wav_ima(codes, ((i * 97) % 2000) - 1000, i % 89),
+                None,
+                f"mem://media/{i}.ima.wav",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
 
 
 def synthetic_gif_table(spark, n: int = 50) -> DataFrame:
@@ -1373,6 +1400,24 @@ def decode_wav(b: bytes):
         codes = np.frombuffer(data, np.uint8, count=(len(data) // ch) * ch)
         dec = (alaw_expand if audio_fmt == 6 else ulaw_expand)(codes)
         return dec.astype(np.int16).reshape(-1, ch), rate
+    if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
+        if ch != 1:
+            require_codec("multi-channel IMA ADPCM")
+        out: list[int] = []
+        ba = _ba if _ba >= 5 else len(data)
+        for off in range(0, len(data), ba):
+            blk = data[off : off + ba]
+            if len(blk) < 5:
+                break
+            pred, idx, _res = struct.unpack_from("<hBB", blk, 0)
+            if idx > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            nb = np.frombuffer(blk[4:], np.uint8)
+            nibbles = np.empty(nb.size * 2, np.uint8)
+            nibbles[0::2] = nb & 0x0F
+            nibbles[1::2] = nb >> 4
+            out.extend(ima_adpcm_decode(nibbles, pred, idx))
+        return np.array(out, np.int16).reshape(-1, 1), rate
     require_codec(f"WAV format={audio_fmt} bits={bits}")
 
 
@@ -1403,6 +1448,83 @@ def alaw_expand(codes):
         np.where(seg == 1, mant + 0x108, (mant + 0x108) << np.maximum(seg - 1, 0)),
     )
     return np.where((a & 0x80) != 0, t, -t)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format 0x11, mono): 4-bit differential codes with
+# the canonical 89-entry step table — a genuinely SEQUENTIAL decoder
+# (predictor/step-index state advances per sample), which the q169
+# oracle reproduces with a recursive CTE stepping the same state
+# machine in SQL. Stereo/multi-channel ADPCM gates via require_codec.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_step(pred: int, idx: int, code: int):
+    """One IMA ADPCM state transition: returns (new_pred, new_idx).
+    Pure integer — the exact arithmetic the q169 recursive-CTE oracle
+    replays in SQL."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[code & 7]))
+    return pred, idx
+
+
+def ima_adpcm_decode(nibbles, init_pred: int, init_idx: int):
+    """Decode a mono IMA ADPCM nibble sequence. Returns the int16
+    sample list [init_pred, s_1, ..., s_n] (the block-header sample
+    followed by one sample per code)."""
+    pred, idx = int(init_pred), int(init_idx)
+    out = [pred]
+    for code in nibbles:
+        pred, idx = ima_adpcm_step(pred, idx, int(code) & 0x0F)
+        out.append(pred)
+    return out
+
+
+def encode_wav_ima(nibbles, init_pred: int, init_idx: int,
+                   sample_rate: int = 8000) -> bytes:
+    """Mono single-block IMA ADPCM WAV: 4-byte block header
+    (predictor int16, step index, reserved) + packed nibbles (low
+    nibble first)."""
+    import numpy as np
+
+    nb = np.asarray(nibbles, dtype=np.uint8) & 0x0F
+    if nb.size % 2:
+        nb = np.concatenate([nb, np.zeros(1, np.uint8)])
+    packed = (nb[0::2] | (nb[1::2] << 4)).astype(np.uint8).tobytes()
+    block_align = 4 + len(packed)
+    data = struct.pack("<hBB", init_pred, init_idx, 0) + packed
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 0x11, 1, sample_rate, sample_rate, block_align, 4
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
 
 
 def encode_wav_g711(codes, law: str = "ulaw", sample_rate: int = 8000) -> bytes:

@@ -8671,6 +8671,166 @@ def q167_gif_decode_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q168_sequential_rules",
+    """
+    WITH ev AS (
+        SELECT user_id || '|' || strftime(ts, '%Y-%m-%d') AS sess,
+               event_type AS et,
+               row_number() OVER (
+                   PARTITION BY user_id || '|' || strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    per AS (
+        SELECT sess, et, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+        FROM ev GROUP BY sess, et
+    ),
+    na AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_with_a
+           FROM per GROUP BY et),
+    rules AS (
+        SELECT a.et AS antecedent, b.et AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM per a JOIN per b
+          ON a.sess = b.sess AND a.et <> b.et AND a.first_rn < b.last_rn
+        GROUP BY a.et, b.et
+    )
+    SELECT antecedent, consequent, support, n_with_a,
+           round(support / (1.0 * n_with_a), 6) AS confidence
+    FROM rules JOIN na ON na.et = rules.antecedent
+    """,
+    "Sequential pattern rules over user-day sessions: a -> b counts "
+    "sessions where SOME a-event precedes SOME b-event (first(a) < "
+    "last(b) under the (ts, event_id) total order) — the "
+    "eventually-follows relation of process mining, deliberately "
+    "different from q106's Markov matrix (adjacent transitions only) "
+    "and q116's opening paths (exact prefixes). Per-session state "
+    "collapses to one (first_rn, last_rn) pair per event type BEFORE "
+    "any pairing, so the rule join is |sessions| x 5x5, never "
+    "|events|^2; confidence = support / sessions-containing-a with "
+    "the one division rounded once. Scale shape: one window rank "
+    "per session partition (bounded state), two partial-agg "
+    "groupBys, and a self-join keyed on session id.",
+)
+def q168_sequential_rules(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn(
+            "sess",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ),
+        )
+    )
+    w = Window.partitionBy("sess").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    per = (
+        e.withColumn("rn", F.row_number().over(w))
+        .groupBy("sess", F.col("event_type").alias("et"))
+        .agg(F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn"))
+    )
+    na = per.groupBy("et").agg(F.count(F.lit(1)).alias("n_with_a"))
+    a = per.select(
+        "sess", F.col("et").alias("antecedent"), F.col("first_rn").alias("fa")
+    )
+    b = per.select(
+        "sess", F.col("et").alias("consequent"), F.col("last_rn").alias("lb")
+    )
+    rules = (
+        a.join(b, "sess")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("fa") < F.col("lb"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return rules.join(
+        F.broadcast(na.withColumnRenamed("et", "antecedent")), "antecedent"
+    ).select(
+        "antecedent",
+        "consequent",
+        "support",
+        "n_with_a",
+        F.round(F.col("support") / (F.lit(1.0) * F.col("n_with_a")), 6).alias(
+            "confidence"
+        ),
+    )
+
+
+def _q169_oracle() -> str:
+    from ..operators.multimodal import _IMA_STEP
+
+    steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEP))
+    code = "(d.i * 5 + d.t * 3) % 16"
+    diff = (
+        f"((s.step // 8)"
+        f" + (CASE WHEN ({code}) // 4 % 2 = 1 THEN s.step ELSE 0 END)"
+        f" + (CASE WHEN ({code}) // 2 % 2 = 1 THEN s.step // 2 ELSE 0 END)"
+        f" + (CASE WHEN ({code}) % 2 = 1 THEN s.step // 4 ELSE 0 END))"
+    )
+    sign = f"(CASE WHEN ({code}) // 8 = 1 THEN -1 ELSE 1 END)"
+    idx_adj = (
+        f"(CASE WHEN ({code}) % 8 < 4 THEN -1"
+        f" ELSE (({code}) % 8 - 3) * 2 END)"
+    )
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT i, 200 + (i % 4) * 20 AS ns,
+               ((i * 97) % 2000) - 1000 AS p0,
+               i % 89 AS x0
+        FROM range(30) t(i)
+    ),
+    steptab(sx, step) AS (SELECT * FROM (VALUES {steps}) v(ix, st)),
+    dec(i, t, pred, sx) AS (
+        SELECT i, 0, p0, x0 FROM m
+        UNION ALL
+        SELECT d.i, d.t + 1,
+               greatest(-32768, least(32767,
+                   d.pred + {sign} * {diff})),
+               greatest(0, least(88, d.sx + {idx_adj}))
+        FROM dec d
+        JOIN m ON m.i = d.i
+        JOIN steptab s ON s.sx = d.sx
+        WHERE d.t < m.ns
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(pred) AS BIGINT) AS sum_lin,
+           CAST(SUM(pred * pred) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(pred)) AS BIGINT) AS peak
+    FROM dec GROUP BY i
+    """
+
+
+@_register(
+    "q169_ima_adpcm_decode_stats",
+    _q169_oracle(),
+    "IMA ADPCM decode (WAV format 0x11), driver-verified at VALUE "
+    "level — the first genuinely SEQUENTIAL codec in the suite: "
+    "unlike G.711's per-sample table lookup (q166), every sample "
+    "depends on the running (predictor, step-index) state, so the "
+    "oracle replays the exact state machine with a RECURSIVE CTE "
+    "(89-row step table joined per transition, greatest/least "
+    "clamps, the same bit-split diff accumulation) — a wrong shift, "
+    "clamp bound, sign bit, or index adjustment diverges within a "
+    "few samples and breaks every downstream sum. The varied "
+    "initial states sweep both clamp rails and the full step "
+    "table. Multi-channel ADPCM gates via require_codec; "
+    "multimodal.ima_adpcm_step/ima_adpcm_decode/encode_wav_ima.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q169_ima_adpcm_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import audio_exact_stats, synthetic_ima_table
+
+    media = synthetic_ima_table(spark, n=30)
+    return audio_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -424,3 +424,48 @@ def test_gif_roundtrip_overflow_reset_and_gates():
     many = np.stack([k // 256, k % 256, k * 0], axis=-1).reshape(17, 17, 3)
     with pytest.raises(ValueError):
         encode_gif(many.astype(np.uint8))
+
+
+def test_ima_adpcm_multiblock_clamps_and_gate():
+    """Multi-block streams concatenate with fresh per-block state;
+    extreme codes ride the int16 clamp rails; stereo gates."""
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima,
+        ima_adpcm_decode,
+        require_codec,
+    )
+
+    # clamp rails: repeated maximal-positive codes (7) from a high
+    # start saturate at 32767; repeated 15s (sign bit) at -32768
+    up = ima_adpcm_decode([7] * 60, 30000, 88)
+    assert max(up) == 32767 and up[-1] == 32767
+    down = ima_adpcm_decode([15] * 60, -30000, 88)
+    assert min(down) == -32768 and down[-1] == -32768
+
+    # container round trip: decoded samples equal the state machine
+    codes = [(3 * t + 1) % 16 for t in range(100)]
+    samples, rate = decode_wav(encode_wav_ima(codes, -123, 17, 8000))
+    assert rate == 8000
+    assert samples[:, 0].tolist() == ima_adpcm_decode(codes, -123, 17)
+
+    # two blocks: second block restarts from its own header state
+    one = encode_wav_ima(codes, -123, 17)
+    import struct as _s
+    fmt_at = one.index(b"fmt ") + 8
+    ba = _s.unpack_from("<H", one, fmt_at + 12)[0]
+    blk = one[one.index(b"data") + 8 :]
+    two = bytearray(one)
+    two[one.index(b"data") + 4 : one.index(b"data") + 8] = _s.pack("<I", 2 * len(blk))
+    two += blk
+    s2, _ = decode_wav(bytes(two))
+    assert s2[:, 0].tolist() == 2 * ima_adpcm_decode(codes, -123, 17)
+
+    # stereo ADPCM gates honestly
+    hdr = bytearray(one)
+    hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(hdr))
