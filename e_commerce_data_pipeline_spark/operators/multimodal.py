@@ -9,8 +9,8 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, palette/16-bit/Adam7 PNG, stereo
-ADPCM, H.264) raise NotImplementedError explicitly
+(progressive/12-bit JPEG, 16-bit/Adam7/tRNS PNG, stereo ADPCM,
+H.264) raise NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
@@ -227,6 +227,76 @@ def encode_png(arr, filters=None) -> bytes:
     )
 
 
+def _png_filter_scanlines(a2d, w: int, bpp: int, filters=None) -> bytearray:
+    """Apply PNG scanline filters to a (h, w*bpp) byte plane; the
+    default cycles 0..4 by row (same contract as ``encode_png``)."""
+    import numpy as np
+
+    h = a2d.shape[0]
+    stride = w * bpp
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = a2d[y].astype(np.int32)
+        ft = (y % 5) if filters is None else int(filters[y])
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        if ft == 0:
+            fr = cur
+        elif ft == 1:
+            fr = cur - left
+        elif ft == 2:
+            fr = cur - prev
+        elif ft == 3:
+            fr = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            pleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            fr = cur - _paeth_predictor(left, prev, pleft)
+        else:
+            raise ValueError(f"invalid PNG filter {ft}")
+        raw.append(ft)
+        raw += (fr & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return raw
+
+
+def encode_png_palette(arr, filters=None) -> bytes:
+    """(h, w, 3) uint8 RGB with <= 256 distinct colors -> indexed
+    PNG (color type 3): sorted-distinct-color PLTE + a filtered
+    1-byte/px index plane — the GIF-class palette layout inside the
+    PNG container."""
+    import numpy as np
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "palette PNG encoder expects RGB"
+    flat = a.reshape(-1, 3)
+    packed = (
+        flat[:, 0].astype(np.int64) * 65536
+        + flat[:, 1].astype(np.int64) * 256
+        + flat[:, 2].astype(np.int64)
+    )
+    colors = np.unique(packed)
+    if colors.size > 256:
+        raise ValueError("palette PNG: more than 256 distinct colors")
+    lut = {int(v): i for i, v in enumerate(colors)}
+    idx = np.array([lut[int(v)] for v in packed], dtype=np.uint8).reshape(h, w)
+    plte = bytearray()
+    for v in colors:
+        plte += bytes(
+            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
+        )
+    raw = _png_filter_scanlines(idx, w, 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(plte))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes):
     """PNG bytes -> (h, w, 3) uint8 RGB array.
 
@@ -245,7 +315,7 @@ def decode_png(b: bytes):
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte, trns = 8, None, bytearray(), None, None
     while pos + 12 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
         data = b[pos + 8 : pos + 8 + ln]
@@ -256,6 +326,10 @@ def decode_png(b: bytes):
             raise ValueError("PNG chunk CRC mismatch")
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -264,15 +338,35 @@ def decode_png(b: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color != 2 or comp != 0 or filt != 0 or inter != 0:
+    if depth != 8 or color not in (2, 3) or comp != 0 or filt != 0 or inter != 0:
         require_codec(
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
+    if trns is not None:
+        require_codec("PNG transparency (tRNS)")
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    stride = w * 3
+    if color == 2:
+        recon = _png_unfilter(raw, w, h, bpp=3)
+        return recon.astype(np.uint8).reshape(h, w, 3)
+    # color type 3: indexed — unfilter the 1-byte/px index plane,
+    # then look pixels up in PLTE
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("paletted PNG missing/invalid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idxs = _png_unfilter(raw, w, h, bpp=1).reshape(-1)
+    if int(idxs.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return pal[idxs].reshape(h, w, 3)
+
+
+def _png_unfilter(raw, w: int, h: int, bpp: int):
+    """Reverse PNG scanline filtering for ``bpp`` bytes/pixel rows."""
+    import numpy as np
+
+    stride = w * bpp
     if raw.size != h * (stride + 1):
         raise ValueError("PNG pixel payload size mismatch")
     recon = np.zeros((h, stride), dtype=np.int32)
@@ -286,16 +380,16 @@ def decode_png(b: bytes):
             cur = row
         elif ft == 1:  # Sub: mod-256 cumsum down the pixel axis
             cur = (
-                row.reshape(w, 3).astype(np.int64).cumsum(axis=0) & 0xFF
+                row.reshape(w, bpp).astype(np.int64).cumsum(axis=0) & 0xFF
             ).astype(np.int32).reshape(-1)
         elif ft == 2:
             cur = (row + prev) & 0xFF
         elif ft in (3, 4):
             cur = np.empty(stride, dtype=np.int32)
-            left = np.zeros(3, dtype=np.int32)
-            pleft = np.zeros(3, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            pleft = np.zeros(bpp, dtype=np.int32)
             for x in range(w):
-                seg = slice(3 * x, 3 * x + 3)
+                seg = slice(bpp * x, bpp * x + bpp)
                 pr = (
                     (left + prev[seg]) >> 1
                     if ft == 3
@@ -307,7 +401,7 @@ def decode_png(b: bytes):
             raise ValueError(f"invalid PNG filter {ft}")
         recon[y] = cur
         prev = cur
-    return recon.astype(np.uint8).reshape(h, w, 3)
+    return recon
 
 
 def _decode_any(content) -> tuple:
@@ -398,6 +492,22 @@ def synthetic_ima_table(spark, n: int = 30) -> DataFrame:
                 None,
                 f"mem://media/{i}.ima.wav",
             )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_png_palette_table(spark, n: int = 45) -> DataFrame:
+    """Deterministic INDEXED PNGs (color type 3): same gradient
+    closed form, yet a different decode path from q147's truecolor
+    corpus — PLTE lookup over a filtered 1-byte/px index plane. Size
+    formula differs from every other image corpus."""
+    rows = []
+    for i in range(n):
+        w, h = 18 + (i % 7) * 4, 14 + (i % 5) * 4
+        px = make_test_pixels(w, h, seed=i * 2 + 3)
+        rows.append(
+            (i, "image", encode_png_palette(px), None, f"mem://media/{i}.p.png")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

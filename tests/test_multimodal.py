@@ -469,3 +469,37 @@ def test_ima_adpcm_multiblock_clamps_and_gate():
     hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 2)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(hdr))
+
+
+def test_png_palette_roundtrip_gates_and_limits():
+    import numpy as np
+    import pytest
+    import struct as _struct
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png_palette,
+        make_test_pixels,
+    )
+
+    px = np.asarray(make_test_pixels(19, 11, seed=4))
+    b = encode_png_palette(px)
+    assert np.array_equal(decode_png(b), px)
+    # tRNS present -> gate (alpha would silently mis-decode otherwise)
+    i = b.index(b"IDAT") - 4
+    patched = b[:i] + _png_chunk(b"tRNS", b"\x80") + b[i:]
+    with pytest.raises(NotImplementedError):
+        decode_png(patched)
+    # >256 colors refuse to encode
+    k = np.arange(17 * 17, dtype=np.int64)
+    many = np.stack([k // 256, k % 256, k * 0], axis=-1).reshape(17, 17, 3)
+    with pytest.raises(ValueError):
+        encode_png_palette(many.astype(np.uint8))
+    # index past PLTE -> ValueError: shrink the PLTE of a valid file
+    j = b.index(b"PLTE") - 4
+    (ln,) = _struct.unpack_from(">I", b, j)
+    short = b[:j] + _png_chunk(b"PLTE", b"\x00\x00\x00") + b[j + 12 + ln :]
+    with pytest.raises(ValueError):
+        decode_png(short)
