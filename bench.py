@@ -36,6 +36,7 @@ STREAMING_DRAINS = (
     "q72_streaming_windowed_counts",
     "q86_streaming_dedup_keys",
     "q104_stream_static_enrichment",
+    "q171_streaming_hll_registers",
 )
 
 

@@ -206,6 +206,28 @@ def count_min_estimate(
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
+def hll_register_exprs(col: str, p: int, salt: str = "hll"):
+    """(hash, rho) column expressions of the portable HLL — shared by
+    the batch builder and the streaming aggregation (the register
+    table is a plain groupBy-MAX, so Structured Streaming maintains
+    it as bounded state of at most 2**p rows)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")  # 60 uniform bits, positive
+    rem = F.shiftright(h, p)  # integer floor-div by m: h >= 0
+    bits = 60 - p
+    rho = F.when(rem == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(rem))
+    )
+    return h, rho
+
+
 def hll_registers(
     items: DataFrame,
     col: str,
@@ -227,20 +249,7 @@ def hll_registers(
     day sketches) never touch row data again."""
     m = 1 << p
     groups = [F.col(g) for g in (group_cols or [])]
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{salt}:"), F.col(col).cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")  # 60 uniform bits, positive
-    rem = F.shiftright(h, p)  # integer floor-div by m: h >= 0
-    bits = 60 - p
-    rho = F.when(rem == 0, F.lit(bits + 1)).otherwise(
-        F.lit(bits + 1) - F.length(F.bin(rem))
-    )
+    h, rho = hll_register_exprs(col, p, salt)
     return (
         items.filter(F.col(col).isNotNull())
         .select(*groups, (h % m).cast("int").alias("register"), rho.alias("rho"))

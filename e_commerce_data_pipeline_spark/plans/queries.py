@@ -8880,6 +8880,39 @@ def q170_png_palette_decode_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q171_streaming_hll_registers",
+    """
+    WITH h AS (
+        SELECT ('0x' || substr(md5('hll-s:' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT CAST(h % 32 AS INT) AS register,
+           CAST(MAX(CASE WHEN h // 32 = 0 THEN 56
+                         ELSE 56 - length(bin(h // 32)) END) AS INT) AS m_j
+    FROM h GROUP BY register
+    """,
+    "Streaming COUNT DISTINCT as a SKETCH-STATE aggregation "
+    "(streaming/stream_processor.py drain_streaming_hll): the "
+    "portable HLL register table is maintained as streaming state by "
+    "a plain groupBy-MAX — state bounded at 2^p rows FOREVER, no "
+    "watermark, no forgetting — which is the principled streaming "
+    "answer to distinct counting (exact per-key state grows without "
+    "bound; q86's dropDuplicates trades a watermark for amnesia). "
+    "Because register transitions are MAXes over deterministic "
+    "hashes, the availableNow drain is byte-identical to the batch "
+    "build AND to the oracle's SQL rebuild — the merge property "
+    "q153 certifies and q160 windows, now closed over the streaming "
+    "path too.",
+    bench=False,  # timed via the streaming-drain lane in bench.py
+)
+def q171_streaming_hll_registers(spark, sf_dir):
+    from ..streaming.stream_processor import drain_streaming_hll
+
+    return drain_streaming_hll(spark, f"{sf_dir}/events.parquet")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

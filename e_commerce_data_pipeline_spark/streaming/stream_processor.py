@@ -457,3 +457,55 @@ def drain_static_enriched_events(
         q.stop()
         raise TimeoutError("stream-static drain did not finish in 300s")
     return spark.table(name)
+
+
+_HLL_DRAIN_SEQ = 0
+
+
+def drain_streaming_hll(
+    spark: SparkSession,
+    events_path: str,
+    p: int = 5,
+    salt: str = "hll-s",
+    shuffle_partitions: int | None = 4,
+) -> DataFrame:
+    """Streaming distinct-count sketch: maintain the portable HLL
+    register table AS STREAMING STATE — the (register, max rho)
+    groupBy is a plain streaming aggregation whose state is bounded
+    at 2**p rows FOREVER, which is precisely why sketches are the
+    streaming answer to COUNT DISTINCT (exact streaming distinct
+    needs per-key state that grows without bound; dropDuplicates
+    needs a watermark and forgets). Drains the bounded events stream
+    with availableNow into a memory sink and returns the completed
+    register table; because every register transition is a MAX over
+    deterministic per-row hashes, the drained table is byte-identical
+    to the batch ``hll_registers`` build — and to the q171 oracle's
+    SQL rebuild."""
+    from ..operators.frequency import hll_register_exprs
+    from ..session import configure_existing
+
+    configure_existing(spark)  # nanosAsLong before schema inference
+    batch = spark.read.parquet(events_path)
+    stream = _stream_parquet_path(spark, batch.schema, events_path)
+    h, rho = hll_register_exprs("user_id", p, salt)
+    regs = (
+        stream.filter(F.col("user_id").isNotNull())
+        .select((h % (1 << p)).cast("int").alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").cast("int").alias("m_j"))
+    )
+    global _HLL_DRAIN_SEQ
+    _HLL_DRAIN_SEQ += 1
+    name = f"hll_drain_{_HLL_DRAIN_SEQ}"
+    with state_sized_shuffle(spark, shuffle_partitions):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming HLL drain did not finish in 300s")
+    return spark.table(name)

@@ -235,3 +235,43 @@ def test_static_enrich_drain_handles_directory_parquet(spark, tmp_path):
         ).collect()
     }
     assert rows == {1: "high", 2: "high", 3: "mid", 4: "low"}
+
+
+def test_streaming_hll_registers_equal_batch_build(spark, tmp_path):
+    """The drained streaming register table must be byte-identical to
+    the batch hll_registers build over the same rows — the mergeable-
+    sketch-as-streaming-state contract (state bounded at 2^p rows, no
+    watermark)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.frequency import hll_registers
+    from e_commerce_data_pipeline_spark.streaming.stream_processor import (
+        drain_streaming_hll,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base, i % 37 if i % 5 else None, "click", 1.0, "{}")
+        for i in range(500)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    events.repartition(3).write.parquet(path)
+
+    streamed = {
+        r.register: r.m_j
+        for r in drain_streaming_hll(spark, path, p=5, salt="hll-s").collect()
+    }
+    batch = {
+        r.register: r.m_j
+        for r in hll_registers(
+            spark.read.parquet(path), "user_id", p=5, salt="hll-s"
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
