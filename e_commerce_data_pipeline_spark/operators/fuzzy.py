@@ -73,8 +73,9 @@ def fs_linkage_pairs(
     block_col: str,
     field_cols: list[str],
     m: float = 0.9,
-    k: int = 50,
+    k: int | None = 50,
     weight_scale: int = 1_000_000,
+    min_score_micro: int | None = None,
 ) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
     1969) over blocked candidate pairs — the SCORING layer above this
@@ -144,17 +145,24 @@ def fs_linkage_pairs(
                 F.lit("0")
             )
         )
-    wk = Window.orderBy(
-        F.desc("score_micro"), F.asc("a_id"), F.asc("b_id")
+    out = pairs.select(
+        "a_id",
+        "b_id",
+        F.concat(*pattern).alias("pattern"),
+        score.alias("score_micro"),
     )
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            F.concat(*pattern).alias("pattern"),
-            score.alias("score_micro"),
+    if min_score_micro is not None:
+        # threshold mode (entity-resolution edges): a distributed
+        # filter, no global rank — the scale path when match volume
+        # grows with the corpus
+        out = out.filter(F.col("score_micro") >= int(min_score_micro))
+    if k is not None:
+        wk = Window.orderBy(
+            F.desc("score_micro"), F.asc("a_id"), F.asc("b_id")
         )
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
+        out = (
+            out.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= k)
+            .drop("rk")
+        )
+    return out

@@ -8154,10 +8154,10 @@ def q160_rolling_distinct_hll_merge(spark, sf_dir):
     )
 
 
-@_register(
-    "q161_fellegi_sunter_linkage",
-    f"""
-    WITH base AS (
+def _fs_scored_ctes() -> str:
+    """Shared Fellegi-Sunter CTE chain (q161 top-k view; q172 entity
+    closure) — one definition so the two oracles cannot drift."""
+    return f"""base AS (
         SELECT doc_id AS id,
                lang || '|' || CAST(n_chars // 32 AS VARCHAR) AS blk,
                source, t[1] AS ft, t[len(t)] AS lt, len(t) AS ntok
@@ -8243,13 +8243,19 @@ def q160_rolling_distinct_hll_merge(spark, sf_dir):
                    AS BIGINT) AS score_micro
         FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
         CROSS JOIN w
-    )
+    )""".replace("{toks}", _SQL_TOKS)
+
+
+@_register(
+    "q161_fellegi_sunter_linkage",
+    f"""
+    WITH {_fs_scored_ctes()}
     SELECT a_id, b_id, pattern, score_micro
     FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, a_id,
                                        b_id) AS rk
           FROM scored)
     WHERE rk <= 50
-    """.replace("{toks}", _SQL_TOKS),
+    """,
     "Fellegi-Sunter probabilistic record linkage (1969; operators/"
     "fuzzy.py fs_linkage_pairs) — the calibrated-evidence layer above "
     "q74's boolean edit-distance matching: each field contributes "
@@ -8911,6 +8917,103 @@ def q171_streaming_hll_registers(spark, sf_dir):
     from ..streaming.stream_processor import drain_streaming_hll
 
     return drain_streaming_hll(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q172_entity_resolution_pipeline",
+    f"""
+    WITH RECURSIVE {_fs_scored_ctes()},
+    e2 AS (SELECT a_id, b_id FROM scored WHERE score_micro >= 3000000),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM e2
+        UNION ALL
+        SELECT b_id, a_id FROM e2
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    mem AS (
+        SELECT c.component, c.id, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    ranked AS (
+        SELECT component, id, n_chars,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, id) AS rk
+        FROM mem
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rk = 1 THEN id END) AS BIGINT)
+               AS survivor_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_nchars
+    FROM ranked GROUP BY component
+    """,
+    "End-to-end ENTITY RESOLUTION, the q65-style composition for the "
+    "linkage family: Fellegi-Sunter evidence scores (q161 machinery "
+    "in THRESHOLD mode — a distributed filter, no global top-k, the "
+    "shape that survives match volume growing with the corpus) "
+    "become match edges at >= 3.0 evidence-micros, close into "
+    "entities via connected components (driver union-find fast path "
+    "/ pointer-jumping fallback, q58's operator), and each entity "
+    "elects a canonical survivor (longest text, id tiebreak — q114's "
+    "election rule). The oracle replays every stage: the shared FS "
+    "CTE chain, a recursive-CTE closure, and a window election — so "
+    "a drift in weights, thresholding, closure, or election breaks "
+    "the hash. Output is one row per resolved entity.",
+)
+def q172_entity_resolution_pipeline(spark, sf_dir):
+    from ..operators.components import connected_components
+    from ..operators.fuzzy import fs_linkage_pairs
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("__toks", tokens("text"))
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.col("lang"),
+                F.lit("|"),
+                F.expr("n_chars div 32").cast("string"),
+            ).alias("blk"),
+            F.col("source"),
+            F.get("__toks", 0).alias("ft"),
+            F.get("__toks", F.size("__toks") - 1).alias("lt"),
+            F.size("__toks").alias("ntok"),
+        )
+    )
+    pairs = fs_linkage_pairs(
+        d,
+        "doc_id",
+        "blk",
+        ["source", "ft", "lt", "ntok"],
+        m=0.9,
+        k=None,
+        min_score_micro=3_000_000,
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    mem = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    ranked = mem.withColumn("rk", F.row_number().over(wr))
+    return ranked.groupBy(F.col("component").cast("long").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rk") == 1, F.col("id")))
+        .cast("long")
+        .alias("survivor_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars")))
+        .cast("long")
+        .alias("survivor_nchars"),
+    )
 
 
 # --------------------------------------------------------------------------
