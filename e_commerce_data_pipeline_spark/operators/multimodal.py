@@ -9,8 +9,8 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, 16-bit/Adam7/tRNS PNG, stereo ADPCM,
-H.264) raise NotImplementedError explicitly
+(progressive/12-bit JPEG, 16-bit/tRNS PNG, stereo ADPCM, H.264)
+raise NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
@@ -182,43 +182,51 @@ def _paeth_predictor(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr, filters=None) -> bytes:
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_filtered(plane3d, bpp: int, filters=None) -> bytearray:
+    """Adam7-serialize a (h, w, bpp) byte array: each pass is an
+    independent reduced image, filtered like a normal PNG."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = plane3d[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_scanlines(
+            sub.reshape(sub.shape[0], -1), sub.shape[1], bpp, filters
+        )
+    return raw
+
+
+def encode_png(arr, filters=None, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, one IDAT).
 
     ``filters`` picks the per-scanline filter id (0..4); the default
     cycles 0,1,2,3,4 by row so a decode round-trip exercises every
     unfilter path — deliberate for the q147 oracle, and valid PNG
-    (encoders may choose any filter per row)."""
+    (encoders may choose any filter per row). ``interlace`` emits the
+    Adam7 seven-pass layout (each pass filtered independently)."""
     import numpy as np
     import zlib
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
     assert c == 3, "PNG encoder expects RGB"
-    stride = w * 3
-    raw = bytearray()
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        cur = a[y].reshape(-1).astype(np.int32)
-        ft = (y % 5) if filters is None else int(filters[y])
-        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
-        if ft == 0:
-            fr = cur
-        elif ft == 1:
-            fr = cur - left
-        elif ft == 2:
-            fr = cur - prev
-        elif ft == 3:
-            fr = cur - ((left + prev) >> 1)
-        elif ft == 4:
-            pleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
-            fr = cur - _paeth_predictor(left, prev, pleft)
-        else:
-            raise ValueError(f"invalid PNG filter {ft}")
-        raw.append(ft)
-        raw += (fr & 0xFF).astype(np.uint8).tobytes()
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if interlace:
+        raw = _adam7_filtered(a, 3, filters)
+    else:
+        raw = _png_filter_scanlines(a.reshape(h, -1), w, 3, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -259,7 +267,7 @@ def _png_filter_scanlines(a2d, w: int, bpp: int, filters=None) -> bytearray:
     return raw
 
 
-def encode_png_palette(arr, filters=None) -> bytes:
+def encode_png_palette(arr, filters=None, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB with <= 256 distinct colors -> indexed
     PNG (color type 3): sorted-distinct-color PLTE + a filtered
     1-byte/px index plane — the GIF-class palette layout inside the
@@ -286,8 +294,11 @@ def encode_png_palette(arr, filters=None) -> bytes:
         plte += bytes(
             [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
         )
-    raw = _png_filter_scanlines(idx, w, 1, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    if interlace:
+        raw = _adam7_filtered(idx[:, :, None], 1, filters)
+    else:
+        raw = _png_filter_scanlines(idx, w, 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -338,7 +349,13 @@ def decode_png(b: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or color not in (2, 3) or comp != 0 or filt != 0 or inter != 0:
+    if (
+        depth != 8
+        or color not in (2, 3)
+        or comp != 0
+        or filt != 0
+        or inter not in (0, 1)
+    ):
         require_codec(
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
@@ -348,15 +365,31 @@ def decode_png(b: bytes):
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    bpp = 3 if color == 2 else 1
+    if inter == 0:
+        plane = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    else:
+        # Adam7: seven independently-filtered reduced images scattered
+        # back onto the pass grid
+        plane = np.zeros((h, w, bpp), dtype=np.int32)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            if hp == 0 or wp == 0:
+                continue
+            need = hp * (1 + wp * bpp)
+            sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
+            pos += need
+            plane[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        if pos != raw.size:
+            raise ValueError("PNG Adam7 payload size mismatch")
     if color == 2:
-        recon = _png_unfilter(raw, w, h, bpp=3)
-        return recon.astype(np.uint8).reshape(h, w, 3)
-    # color type 3: indexed — unfilter the 1-byte/px index plane,
-    # then look pixels up in PLTE
+        return plane.astype(np.uint8)
     if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
         raise ValueError("paletted PNG missing/invalid PLTE")
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    idxs = _png_unfilter(raw, w, h, bpp=1).reshape(-1)
+    idxs = plane.reshape(-1)
     if int(idxs.max(initial=0)) >= pal.shape[0]:
         raise ValueError("PNG palette index out of range")
     return pal[idxs].reshape(h, w, 3)
@@ -508,6 +541,25 @@ def synthetic_png_palette_table(spark, n: int = 45) -> DataFrame:
         px = make_test_pixels(w, h, seed=i * 2 + 3)
         rows.append(
             (i, "image", encode_png_palette(px), None, f"mem://media/{i}.p.png")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_png_adam7_table(spark, n: int = 42) -> DataFrame:
+    """Deterministic ADAM7-interlaced PNGs, alternating truecolor
+    (even i) and palette (odd i) — seven independently-filtered
+    reduced images per file, so decode exercises the pass-grid
+    scatter at BOTH bytes-per-pixel widths. Odd sizes force ragged
+    final passes."""
+    rows = []
+    for i in range(n):
+        w, h = 15 + (i % 8) * 3, 11 + (i % 6) * 3
+        px = make_test_pixels(w, h, seed=i * 5 + 2)
+        enc = encode_png if i % 2 == 0 else encode_png_palette
+        rows.append(
+            (i, "image", enc(px, interlace=True), None,
+             f"mem://media/{i}.a7.png")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

@@ -9016,6 +9016,56 @@ def q172_entity_resolution_pipeline(spark, sf_dir):
     )
 
 
+@_register(
+    "q173_png_adam7_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 15 + (i % 8) * 3 AS w, 11 + (i % 6) * 3 AS h,
+               i * 5 + 2 AS seed
+        FROM range(42) t(i)
+    ),
+    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i,
+               (x + y + seed) % 256 AS r,
+               ((x + y + seed) % 256 + 85) % 256 AS g,
+               ((x + y + seed) % 256 + 170) % 256 AS b
+        FROM px
+    ),
+    lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(l) AS BIGINT) AS sum_lq,
+           CAST(SUM(l * l) AS BIGINT) AS sum_lq2
+    FROM lq GROUP BY i
+    """,
+    "Adam7 INTERLACED PNG decode, driver-verified at VALUE level — "
+    "the progressive-layout variant q147 (sequential truecolor) and "
+    "q170 (sequential palette) leave untested: seven independently "
+    "filtered reduced images whose scanlines must be unfiltered at "
+    "their own pass width and scattered back onto the (x0, y0, dx, "
+    "dy) pass grid. The corpus alternates truecolor and palette "
+    "files with deliberately odd sizes (ragged final passes, empty "
+    "passes on tiny images), so a wrong pass origin, a pass-width "
+    "stride bug, or a filter state leaking across passes breaks the "
+    "closed-form hash. multimodal.encode_png/encode_png_palette "
+    "(interlace=True) / decode_png.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q173_png_adam7_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_exact_stats,
+        synthetic_png_adam7_table,
+    )
+
+    media = synthetic_png_adam7_table(spark, n=42)
+    return image_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

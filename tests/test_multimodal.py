@@ -503,3 +503,26 @@ def test_png_palette_roundtrip_gates_and_limits():
     short = b[:j] + _png_chunk(b"PLTE", b"\x00\x00\x00") + b[j + 12 + ln :]
     with pytest.raises(ValueError):
         decode_png(short)
+
+
+def test_png_adam7_roundtrip_both_color_types():
+    """Adam7: every pass unfilters at its own width and scatters to
+    the pass grid; tiny/odd sizes produce ragged and empty passes."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+        make_test_pixels,
+    )
+
+    for w, h in [(16, 16), (23, 17), (1, 1), (7, 3), (2, 2), (9, 40)]:
+        px = np.asarray(make_test_pixels(w, h, seed=w + h))
+        assert np.array_equal(decode_png(encode_png(px, interlace=True)), px)
+        assert np.array_equal(
+            decode_png(encode_png_palette(px, interlace=True)), px
+        )
+    # interlace flag survives header parse: the emitted IHDR says 1
+    b = encode_png(np.asarray(make_test_pixels(5, 5, seed=1)), interlace=True)
+    assert b[28] == 1  # IHDR interlace byte
