@@ -9066,6 +9066,159 @@ def q173_png_adam7_decode_stats(spark, sf_dir):
     return image_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q174_integer_ewma_trend",
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                        // 100000) AS BIGINT) AS x
+        FROM orders GROUP BY di
+    ),
+    bounds AS (SELECT MIN(di) AS d0, MAX(di) AS d1 FROM daily),
+    spine AS (SELECT d0 + unnest(range(d1 - d0 + 1)) AS di FROM bounds),
+    grid AS (
+        SELECT s.di, COALESCE(daily.x, 0) AS x,
+               row_number() OVER (ORDER BY s.di) - 1 AS t
+        FROM spine s LEFT JOIN daily USING (di)
+    ),
+    n AS (SELECT MAX(t) AS tmax FROM grid),
+    ew(t, di, x, s) AS (
+        SELECT t, di, x, x FROM grid WHERE t = 0
+        UNION ALL
+        SELECT g.t, g.di, g.x,
+               e.s + ((g.x - e.s) // 8)
+        FROM ew e JOIN grid g ON g.t = e.t + 1
+    )
+    SELECT CAST(di AS BIGINT) AS di, x, CAST(s AS BIGINT) AS ewma
+    FROM ew
+    """,
+    "Exponential smoothing with INTEGER state: s_t = s_{t-1} + "
+    "trunc((x_t - s_{t-1}) / 8) over the gap-filled daily kilodollar "
+    "series — the recursive smoother beside the suite's window "
+    "averages (q75 RANGE frames are memoryless; EWMA carries "
+    "unbounded-horizon state). alpha = 1/8 as an exact dyadic with "
+    "truncating division keeps every state an int64 (DuckDB's "
+    "integer // truncates toward zero — floats floor), so both "
+    "engines "
+    "agree bit-for-bit with zero float anywhere — the oracle replays "
+    "the recurrence with a recursive CTE (the q169 discipline "
+    "applied to analytics). The fold itself runs driver-side over "
+    "the CALENDAR-bounded daily aggregate (~2.4k rows at any corpus "
+    "size — the same bounded-artifact class as PCA's dim^2 moments "
+    "and the BPE argmax), after one partial-agg groupBy of the fact "
+    "table; output is the full audited series.",
+)
+def q174_integer_ewma_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("di")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
+            ).alias("x")
+        )
+    )
+    rows = sorted(
+        (r["di"], r["x"]) for r in daily.collect()
+    )  # calendar-bounded: ~2.4k tuples to the driver at ANY corpus size
+    d0, d1 = rows[0][0], rows[-1][0]
+    by_di = dict(rows)
+    out = []
+    s = None
+    for di in range(d0, d1 + 1):
+        x = by_di.get(di, 0)
+        if s is None:
+            s = x
+        else:
+            r = x - s
+            # truncate-toward-zero division: DuckDB's INTEGER //
+            # truncates (floats floor!) and Spark SQL div truncates —
+            # Python's // floors, so negative residuals need the
+            # explicit form
+            s = s + (r // 8 if r >= 0 else -((-r) // 8))
+        out.append((di, x, s))
+    return daily.sparkSession.createDataFrame(
+        out, "di long, x long, ewma long"
+    )
+
+
+@_register(
+    "q175_seasonal_anomalies",
+    """
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                        // 100000) AS BIGINT) AS x
+        FROM orders GROUP BY di
+    ),
+    dw AS (SELECT di, x, CAST(di % 7 AS INT) AS dow FROM daily),
+    prof AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_dow,
+               CAST(SUM(x) AS BIGINT) AS sum_dow
+        FROM dw GROUP BY dow
+    ),
+    dev AS (
+        SELECT di, x, dw.dow, n_dow, sum_dow,
+               ABS(x * n_dow - sum_dow) AS dev_scaled
+        FROM dw JOIN prof ON prof.dow = dw.dow
+    )
+    SELECT di, x, dow, n_dow, CAST(dev_scaled AS BIGINT) AS dev_scaled
+    FROM (SELECT *, row_number() OVER (ORDER BY dev_scaled DESC, di) AS rk
+          FROM dev)
+    WHERE rk <= 10
+    """,
+    "Seasonal anomaly detection with ZERO divisions: each day's "
+    "revenue is compared to its day-of-week profile via the integer "
+    "cross-multiplication |x * n_dow - sum_dow| (equivalent to "
+    "|x - mean_dow| scaled by the per-dow count — ranking is "
+    "preserved within a dow and the quantity stays exact int64), the "
+    "same no-float-ratio trick as the quality gates. dow comes from "
+    "di % 7, never an engine dayofweek() whose week-start convention "
+    "varies. Top-10 by deviation with day tiebreak; complements "
+    "q127's global robust outliers (these are CONDITIONAL anomalies "
+    "— a normal Saturday is a wild Tuesday) and q159's "
+    "autocorrelation (which measures the seasonality this query "
+    "conditions away).",
+)
+def q175_seasonal_anomalies(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("di")
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
+        ).alias("x")
+    )
+    dw = daily.withColumn("dow", (F.col("di") % 7).cast("int"))
+    prof = dw.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_dow"), F.sum("x").alias("sum_dow")
+    )
+    dev = dw.join(F.broadcast(prof), "dow").withColumn(
+        "dev_scaled",
+        F.abs(F.col("x") * F.col("n_dow") - F.col("sum_dow")),
+    )
+    wk = Window.orderBy(F.desc("dev_scaled"), F.asc("di"))
+    return (
+        dev.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 10)
+        .select("di", "x", "dow", "n_dow", "dev_scaled")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
