@@ -9,8 +9,8 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, 16-bit/tRNS PNG, stereo ADPCM, H.264)
-raise NotImplementedError explicitly
+(progressive/12-bit JPEG, tRNS PNG, stereo ADPCM, H.264) raise
+NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
@@ -308,6 +308,27 @@ def encode_png_palette(arr, filters=None, interlace: bool = False) -> bytes:
     )
 
 
+def encode_png16(arr16, filters=None) -> bytes:
+    """(h, w, 3) uint16 RGB -> 16-bit truecolor PNG. PNG filters act
+    on BYTES with the pixel offset at 6 bytes, so the u16 plane is
+    serialized big-endian first and filtered at bpp = 6."""
+    import numpy as np
+    import zlib
+
+    a = np.asarray(arr16, dtype=np.uint16)
+    h, w, c = a.shape
+    assert c == 3, "16-bit PNG encoder expects RGB"
+    by = np.ascontiguousarray(a.astype(">u2")).view(np.uint8).reshape(h, w * 6)
+    raw = _png_filter_scanlines(by, w, 6, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes):
     """PNG bytes -> (h, w, 3) uint8 RGB array.
 
@@ -349,13 +370,9 @@ def decode_png(b: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    if (
-        depth != 8
-        or color not in (2, 3)
-        or comp != 0
-        or filt != 0
-        or inter not in (0, 1)
-    ):
+    ok8 = depth == 8 and color in (2, 3)
+    ok16 = depth == 16 and color == 2
+    if not (ok8 or ok16) or comp != 0 or filt != 0 or inter not in (0, 1):
         require_codec(
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
@@ -365,7 +382,7 @@ def decode_png(b: bytes):
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    bpp = 3 if color == 2 else 1
+    bpp = (6 if depth == 16 else 3) if color == 2 else 1
     if inter == 0:
         plane = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
     else:
@@ -385,6 +402,13 @@ def decode_png(b: bytes):
         if pos != raw.size:
             raise ValueError("PNG Adam7 payload size mismatch")
     if color == 2:
+        if depth == 16:
+            # recombine big-endian byte pairs -> (h, w, 3) uint16
+            by = plane.astype(np.uint8).reshape(h, w, 3, 2)
+            return (
+                by[..., 0].astype(np.uint16) * 256
+                + by[..., 1].astype(np.uint16)
+            )
         return plane.astype(np.uint8)
     if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
         raise ValueError("paletted PNG missing/invalid PLTE")
@@ -544,6 +568,78 @@ def synthetic_png_palette_table(spark, n: int = 45) -> DataFrame:
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def make_test_pixels16(width: int, height: int, seed: int = 0):
+    """Deterministic 16-bit gradient: r = (x*257 + y*509 +
+    seed*65521) mod 2^16, g/b at fixed offsets — the full dynamic
+    range no 8-bit corpus can represent."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    base = (x * 257 + y * 509 + seed * 65521) % 65536
+    return np.stack(
+        [base, (base + 21845) % 65536, (base + 43690) % 65536], axis=-1
+    ).astype(np.uint16)
+
+
+def synthetic_png16_table(spark, n: int = 36) -> DataFrame:
+    """Deterministic 16-bit truecolor PNGs (filter cycle 0..4 at
+    bpp = 6) with the q176 closed-form oracle."""
+    rows = []
+    for i in range(n):
+        w, h = 14 + (i % 6) * 4, 10 + (i % 4) * 4
+        px = make_test_pixels16(w, h, seed=i * 7 + 1)
+        rows.append(
+            (i, "image", encode_png16(px), None, f"mem://media/{i}.16.png")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def image16_exact_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact stats for 16-bit imagery: per image n_px, exact
+    per-channel sums and maxima as int64 (the 8-bit kernel's
+    micro-luminance square would overflow int64 at 16-bit range, so
+    the high-depth path carries channel moments only)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    px = decode_png(bytes(content))
+                except (ValueError, NotImplementedError, struct.error):
+                    out.append((media_id,) + (None,) * 7)
+                    continue
+                p = px.astype(np.int64)
+                out.append(
+                    (
+                        media_id,
+                        int(p.shape[0] * p.shape[1]),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int(p[..., 0].max()),
+                        int(p[..., 1].max()),
+                        int(p[..., 2].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "max_r", "max_g", "max_b",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
+        "max_r long, max_g long, max_b long",
+    )
 
 
 def synthetic_png_adam7_table(spark, n: int = 42) -> DataFrame:

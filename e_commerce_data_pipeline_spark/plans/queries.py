@@ -9219,6 +9219,59 @@ def q175_seasonal_anomalies(spark, sf_dir):
     )
 
 
+@_register(
+    "q176_png16_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 14 + (i % 6) * 4 AS w, 10 + (i % 4) * 4 AS h,
+               i * 7 + 1 AS seed
+        FROM range(36) t(i)
+    ),
+    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i,
+               (x * 257 + y * 509 + seed * 65521) % 65536 AS r,
+               ((x * 257 + y * 509 + seed * 65521) % 65536 + 21845)
+                   % 65536 AS g,
+               ((x * 257 + y * 509 + seed * 65521) % 65536 + 43690)
+                   % 65536 AS b
+        FROM px
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(MAX(r) AS BIGINT) AS max_r,
+           CAST(MAX(g) AS BIGINT) AS max_g,
+           CAST(MAX(b) AS BIGINT) AS max_b
+    FROM ch GROUP BY i
+    """,
+    "16-bit (high-depth) PNG decode, driver-verified at VALUE level "
+    "— scientific/medical-imaging depth the 8-bit corpora can't "
+    "represent: PNG filters operate on BYTES with the pixel offset "
+    "at SIX bytes, so Sub/Average/Paeth recurrences here run at a "
+    "stride no other corpus exercises, and the decoder recombines "
+    "big-endian byte pairs into uint16 planes. The closed-form "
+    "gradient sweeps the full 0..65535 range (max_* columns pin the "
+    "dynamic range — an 8-bit truncation bug caps them at 255 and "
+    "fails loudly). The high-depth stats kernel carries channel "
+    "moments only: the 8-bit kernel's squared micro-luminance would "
+    "overflow int64 at this range. multimodal.encode_png16 / "
+    "decode_png / image16_exact_stats.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q176_png16_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image16_exact_stats,
+        synthetic_png16_table,
+    )
+
+    media = synthetic_png16_table(spark, n=36)
+    return image16_exact_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

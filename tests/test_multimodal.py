@@ -526,3 +526,30 @@ def test_png_adam7_roundtrip_both_color_types():
     # interlace flag survives header parse: the emitted IHDR says 1
     b = encode_png(np.asarray(make_test_pixels(5, 5, seed=1)), interlace=True)
     assert b[28] == 1  # IHDR interlace byte
+
+
+def test_png16_roundtrip_and_depth_gate_semantics():
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png16,
+        make_test_pixels16,
+    )
+
+    a = make_test_pixels16(13, 9, seed=4)
+    d = decode_png(encode_png16(a))
+    assert d.dtype == np.uint16 and np.array_equal(d, a)
+    assert int(a.max()) > 255  # the corpus really uses high depth
+    # 16-bit palette (depth 16, color 3) is invalid/unsupported: a
+    # doctored header must gate, not mis-decode
+    b = bytearray(encode_png16(a))
+    b[25] = 3  # IHDR color-type byte
+    # re-CRC the IHDR chunk so the gate (not the CRC check) fires
+    import struct as _s
+    import zlib as _z
+    ihdr = bytes(b[12:16]) + bytes(b[16:29])
+    b[29:33] = _s.pack(">I", _z.crc32(ihdr) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(b))
