@@ -9272,6 +9272,85 @@ def q176_png16_decode_stats(spark, sf_dir):
     return image16_exact_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q177_mixed_media_dispatch",
+    """
+    WITH all_media AS (
+        SELECT CASE WHEN i % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        FROM range(40) t(i)
+        UNION ALL
+        SELECT 'png', 16 + (i % 6) * 4, 16 + (i % 4) * 4 FROM range(80) t(i)
+        UNION ALL
+        SELECT 'png', 18 + (i % 7) * 4, 14 + (i % 5) * 4 FROM range(45) t(i)
+        UNION ALL
+        SELECT 'png', 15 + (i % 8) * 3, 11 + (i % 6) * 3 FROM range(42) t(i)
+        UNION ALL
+        SELECT 'jpeg', 24 + (i % 4) * 8, 16 + (i % 3) * 8 FROM range(60) t(i)
+        UNION ALL
+        SELECT 'jpeg', 32 + (i % 3) * 16, 32 + (i % 2) * 16
+        FROM range(40) t(i)
+        UNION ALL
+        SELECT 'gif', 20 + (i % 5) * 4, 12 + (i % 6) * 4 FROM range(50) t(i)
+    )
+    SELECT fmt AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS total_px,
+           CAST(MIN(w) AS BIGINT) AS min_w,
+           CAST(MAX(h) AS BIGINT) AS max_h
+    FROM all_media GROUP BY fmt
+    """,
+    "Heterogeneous media corpus in ONE scan — the 100 TB reality no "
+    "single-format query exercises: 357 images across SEVEN container "
+    "variants (BMP, PPM, sequential/palette/Adam7 PNG, 4:4:4 and "
+    "4:2:0 baseline JPEG, GIF) flow through the magic-byte dispatch "
+    "(_decode_any) inside one Arrow kernel pass, each decoded by its "
+    "own real codec to recover dimensions. The per-format rollup "
+    "(counts, total pixels, dimension extrema) matches the closed "
+    "forms of all seven generators unioned in SQL — a wrong dispatch "
+    "(e.g. a JPEG420 landing in the gif branch) or a dimension bug "
+    "in any single decoder shifts a group and breaks the hash. "
+    "Distinct media_id offsets per corpus keep ids unique; kernels "
+    "stream Arrow batches, so peak memory is one batch regardless of "
+    "corpus mix.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q177_mixed_media_dispatch(spark, sf_dir):
+    from ..operators.multimodal import (
+        decode_image_meta,
+        synthetic_gif_table,
+        synthetic_jpeg420_table,
+        synthetic_jpeg_table,
+        synthetic_media_table,
+        synthetic_png_adam7_table,
+        synthetic_png_palette_table,
+        synthetic_png_table,
+    )
+
+    parts = [
+        (synthetic_media_table(spark, 40, real=True), 0),
+        (synthetic_png_table(spark, 80), 1000),
+        (synthetic_png_palette_table(spark, 45), 2000),
+        (synthetic_png_adam7_table(spark, 42), 3000),
+        (synthetic_jpeg_table(spark, 60), 4000),
+        (synthetic_jpeg420_table(spark, 40), 5000),
+        (synthetic_gif_table(spark, 50), 6000),
+    ]
+    media = None
+    for df, off in parts:
+        shifted = df.withColumn("media_id", F.col("media_id") + F.lit(off))
+        media = shifted if media is None else media.unionByName(shifted)
+    meta = decode_image_meta(media)
+    return meta.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias(
+            "total_px"
+        ),
+        F.min("width").cast("long").alias("min_w"),
+        F.max("height").cast("long").alias("max_h"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
