@@ -9,7 +9,7 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, tRNS PNG, stereo ADPCM, H.264) raise
+(progressive/12-bit JPEG, stereo ADPCM, H.264) raise
 NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
@@ -152,10 +152,11 @@ def decode_ppm(b: bytes):
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit RGB, non-interlaced): zlib inflate + numpy unfiltering —
-# the one compressed format reachable with primitives already in the
-# container (zlib is stdlib; no Pillow/libpng needed). Palette/alpha/
-# 16-bit/Adam7 variants still gate through require_codec.
+# PNG (8-bit truecolor/palette incl. tRNS transparency, 16-bit
+# truecolor, Adam7): zlib inflate + numpy unfiltering — compressed
+# formats reachable with primitives already in the container (zlib is
+# stdlib; no Pillow/libpng needed). Grayscale/alpha-channel color
+# types and bit depths < 8 still gate through require_codec.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -208,14 +209,18 @@ def _adam7_filtered(plane3d, bpp: int, filters=None) -> bytearray:
     return raw
 
 
-def encode_png(arr, filters=None, interlace: bool = False) -> bytes:
+def encode_png(
+    arr, filters=None, interlace: bool = False, trns_key=None
+) -> bytes:
     """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, one IDAT).
 
     ``filters`` picks the per-scanline filter id (0..4); the default
     cycles 0,1,2,3,4 by row so a decode round-trip exercises every
     unfilter path — deliberate for the q147 oracle, and valid PNG
     (encoders may choose any filter per row). ``interlace`` emits the
-    Adam7 seven-pass layout (each pass filtered independently)."""
+    Adam7 seven-pass layout (each pass filtered independently).
+    ``trns_key`` (r, g, b) emits a tRNS chunk naming that color fully
+    transparent (PNG spec 11.3.2: one 16-bit sample per channel)."""
     import numpy as np
     import zlib
 
@@ -227,9 +232,15 @@ def encode_png(arr, filters=None, interlace: bool = False) -> bytes:
     else:
         raw = _png_filter_scanlines(a.reshape(h, -1), w, 3, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    trns = (
+        _png_chunk(b"tRNS", struct.pack(">HHH", *trns_key))
+        if trns_key is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + trns
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -267,11 +278,15 @@ def _png_filter_scanlines(a2d, w: int, bpp: int, filters=None) -> bytearray:
     return raw
 
 
-def encode_png_palette(arr, filters=None, interlace: bool = False) -> bytes:
+def encode_png_palette(
+    arr, filters=None, interlace: bool = False, trns_fn=None
+) -> bytes:
     """(h, w, 3) uint8 RGB with <= 256 distinct colors -> indexed
     PNG (color type 3): sorted-distinct-color PLTE + a filtered
     1-byte/px index plane — the GIF-class palette layout inside the
-    PNG container."""
+    PNG container. ``trns_fn`` maps the (n, 3) palette array to an
+    (n,) uint8 alpha vector emitted as the tRNS chunk (PNG spec
+    11.3.2: one alpha byte per palette entry)."""
     import numpy as np
     import zlib
 
@@ -294,6 +309,14 @@ def encode_png_palette(arr, filters=None, interlace: bool = False) -> bytes:
         plte += bytes(
             [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
         )
+    pal = np.frombuffer(bytes(plte), dtype=np.uint8).reshape(-1, 3)
+    trns = (
+        _png_chunk(
+            b"tRNS", np.asarray(trns_fn(pal), dtype=np.uint8).tobytes()
+        )
+        if trns_fn is not None
+        else b""
+    )
     if interlace:
         raw = _adam7_filtered(idx[:, :, None], 1, filters)
     else:
@@ -303,6 +326,7 @@ def encode_png_palette(arr, filters=None, interlace: bool = False) -> bytes:
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", bytes(plte))
+        + trns
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -330,14 +354,17 @@ def encode_png16(arr16, filters=None) -> bytes:
 
 
 def decode_png(b: bytes):
-    """PNG bytes -> (h, w, 3) uint8 RGB array.
+    """PNG bytes -> (h, w, 3) uint8 RGB array, or (h, w, 4) RGBA when
+    a tRNS chunk is present (8-bit only: truecolor transparent-color
+    key per spec 11.3.2, or per-palette-entry alpha for color type 3,
+    entries past the chunk defaulting to 255).
 
     Supports 8-bit truecolor (color type 2), filter method 0, no
     interlace — CRC-checked chunk walk, zlib inflate, then scanline
     unfiltering: None/Up vectorized directly, Sub via a per-pixel
     cumsum (mod-256 distributes over addition), Average/Paeth with a
     per-pixel loop (serial data dependency on the reconstructed left
-    neighbor). Other color types / depths / Adam7 gate through
+    neighbor). Other color types / depths gate through
     ``require_codec``; any structural damage (bad signature, short
     chunk, CRC mismatch, payload size, bad filter id) raises
     ValueError so corrupt files surface as null rows, not task
@@ -376,8 +403,10 @@ def decode_png(b: bytes):
         require_codec(
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
-    if trns is not None:
-        require_codec("PNG transparency (tRNS)")
+    if trns is not None and depth == 16:
+        require_codec("PNG 16-bit transparency (tRNS)")
+    if trns is not None and color == 2 and len(trns) != 6:
+        raise ValueError("truecolor tRNS chunk must be 6 bytes")
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
@@ -409,14 +438,29 @@ def decode_png(b: bytes):
                 by[..., 0].astype(np.uint16) * 256
                 + by[..., 1].astype(np.uint16)
             )
-        return plane.astype(np.uint8)
+        rgb = plane.astype(np.uint8)
+        if trns is None:
+            return rgb
+        # transparent-color key: 16-bit samples carry 8-bit values
+        key = np.array(struct.unpack(">HHH", trns), dtype=np.uint8)
+        alpha = np.where((rgb == key).all(axis=-1), 0, 255).astype(np.uint8)
+        return np.concatenate([rgb, alpha[..., None]], axis=-1)
     if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
         raise ValueError("paletted PNG missing/invalid PLTE")
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     idxs = plane.reshape(-1)
     if int(idxs.max(initial=0)) >= pal.shape[0]:
         raise ValueError("PNG palette index out of range")
-    return pal[idxs].reshape(h, w, 3)
+    rgb = pal[idxs].reshape(h, w, 3)
+    if trns is None:
+        return rgb
+    if len(trns) > pal.shape[0]:
+        raise ValueError("tRNS longer than palette")
+    alphas = np.full(pal.shape[0], 255, dtype=np.uint8)
+    alphas[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return np.concatenate(
+        [rgb, alphas[idxs].reshape(h, w, 1)], axis=-1
+    )
 
 
 def _png_unfilter(raw, w: int, h: int, bpp: int):
@@ -673,6 +717,153 @@ def synthetic_gif_table(spark, n: int = 50) -> DataFrame:
         rows.append((i, "image", encode_gif(px), None, f"mem://media/{i}.gif"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_gif_variants_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic GIFs cycling the four container layouts the
+    decoder supports — plain, interlaced, local-color-table, and
+    interlaced+LCT (variant = i % 4) — over the standard gradient.
+    All four are LOSSLESS spellings of the same pixels, so one
+    closed-form oracle covers interlace row reordering and the
+    LCT-overrides-GCT path at once."""
+    rows = []
+    for i in range(n):
+        w, h = 19 + (i % 6) * 4, 15 + (i % 4) * 4
+        px = make_test_pixels(w, h, seed=i * 7 + 4)
+        content = encode_gif(
+            px, interlace=i % 4 in (1, 3), local_table=i % 4 in (2, 3)
+        )
+        rows.append((i, "image", content, None, f"mem://media/{i}.v.gif"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_png_trns_table(spark, n: int = 44) -> DataFrame:
+    """Deterministic PNGs with tRNS transparency, alternating the two
+    8-bit layouts the chunk can decorate: even i -> indexed PNG whose
+    palette alpha is the closed form ``(entry_red * 3 + 7) % 256``
+    (pixel alpha therefore depends only on the pixel's red value,
+    independent of index assignment), odd i -> truecolor with the
+    gradient's (0, 0) color as the transparent key."""
+    rows = []
+    for i in range(n):
+        w, h = 17 + (i % 6) * 4, 13 + (i % 5) * 4
+        seed = i * 11 + 5
+        px = make_test_pixels(w, h, seed=seed)
+        if i % 2 == 0:
+            content = encode_png_palette(
+                px, trns_fn=lambda pal: (pal[:, 0] * 3 + 7) % 256
+            )
+        else:
+            s = seed % 256
+            content = encode_png(
+                px, trns_key=(s, (s + 85) % 256, (s + 170) % 256)
+            )
+        rows.append((i, "image", content, None, f"mem://media/{i}.t.png"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def image_alpha_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact per-image RGBA statistics for transparency-aware
+    imagery: pixel count, exact channel sums, exact alpha sum, and
+    the fully-transparent pixel count. Images decoded without an
+    alpha plane count as opaque (alpha 255 everywhere). Pixels never
+    leave the kernel; six scalars per image cross back."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, _fmt = _decode_any(content)
+                if px is None:
+                    out.append((media_id,) + (None,) * 6)
+                    continue
+                p = px.astype(np.int64)
+                n_px = int(p.shape[0] * p.shape[1])
+                alpha = (
+                    p[..., 3]
+                    if p.shape[-1] == 4
+                    else np.full(p.shape[:2], 255, dtype=np.int64)
+                )
+                out.append(
+                    (
+                        media_id,
+                        n_px,
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int(alpha.sum()),
+                        int((alpha == 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "sum_a", "n_transp",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
+        "sum_a long, n_transp long",
+    )
+
+
+def image_color_stats(df: DataFrame) -> DataFrame:
+    """Per-image channel sums plus the DISTINCT-COLOR count — the
+    palette-integrity signal: a decoder that scrambles interlace row
+    order preserves channel sums (same multiset of rows) but any
+    palette/LCT mix-up changes the color set, and vice versa, so the
+    two families of stats fail independently."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, _fmt = _decode_any(content)
+                if px is None:
+                    out.append((media_id,) + (None,) * 6)
+                    continue
+                p = px[..., :3].astype(np.int64)
+                packed = (
+                    p[..., 0] * 65536 + p[..., 1] * 256 + p[..., 2]
+                ).reshape(-1)
+                # row-position-sensitive checksum: sum of row_index *
+                # row red-sum, so a row permutation (interlace bug)
+                # breaks it even though plain sums survive
+                rpos = (
+                    np.arange(p.shape[0], dtype=np.int64)
+                    * p[..., 0].sum(axis=1)
+                ).sum()
+                out.append(
+                    (
+                        media_id,
+                        int(p.shape[0] * p.shape[1]),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int(np.unique(packed).size),
+                        int(rpos),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "n_colors", "row_weighted_r",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
+        "n_colors long, row_weighted_r long",
+    )
 
 
 def jpeg420_tile_value(i: int, by: int, bx: int) -> int:
@@ -1273,11 +1464,11 @@ def decode_jpeg(b: bytes):
 
 
 # ---------------------------------------------------------------------------
-# GIF (87a/89a, global color table, non-interlaced): pure-python LZW
-# both directions — lossless, so round-trips are bit-exact and the
-# decode oracle is closed-form like PNG's. Local color tables and
-# interlace gate through ``require_codec``; structural damage raises
-# ValueError.
+# GIF (87a/89a, global or local color table, interlaced or not):
+# pure-python LZW both directions — lossless, so round-trips are
+# bit-exact and the decode oracle is closed-form like PNG's.
+# Partial-frame images gate through ``require_codec``; structural
+# damage raises ValueError.
 # ---------------------------------------------------------------------------
 
 
@@ -1379,15 +1570,32 @@ def _gif_lzw_decompress(data: bytes, code_size: int, n: int):
     return out
 
 
-def encode_gif(arr) -> bytes:
+def _gif_interlace_order(h: int) -> list:
+    """GIF interlace pass order (spec appendix E): rows are stored as
+    passes 0::8, 4::8, 2::4, 1::2 of the output grid."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB with <= 256 distinct colors -> GIF89a
-    bytes (global color table, one image, non-interlaced).
-    Deterministic: the palette is the sorted distinct color list."""
+    bytes (one image). Deterministic: the palette is the sorted
+    distinct color list. ``interlace`` stores rows in the four-pass
+    interlace order with the image-descriptor flag set;
+    ``local_table`` carries the palette as a LOCAL color table on the
+    image descriptor instead of a global one on the screen
+    descriptor."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
     h, w, c = a.shape
     assert c == 3, "GIF encoder expects RGB"
+    if interlace:
+        a = a[_gif_interlace_order(h)]
     flat = a.reshape(-1, 3)
     packed = (
         flat[:, 0].astype(np.int64) * 65536
@@ -1413,12 +1621,17 @@ def encode_gif(arr) -> bytes:
         blocks.append(len(chunk))
         blocks += chunk
     blocks.append(0)
+    scr_flags = 0 if local_table else 0x80 | (bits - 1)
+    iflags = (0x80 | (bits - 1) if local_table else 0) | (
+        0x40 if interlace else 0
+    )
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
-        + bytes(gct)
+        + struct.pack("<HHBBB", w, h, scr_flags, 0, 0)
+        + (b"" if local_table else bytes(gct))
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        + (bytes(gct) if local_table else b"")
         + bytes([code_size])
         + bytes(blocks)
         + b"\x3b"
@@ -1427,8 +1640,8 @@ def encode_gif(arr) -> bytes:
 
 def decode_gif(b: bytes):
     """GIF bytes -> (h, w, 3) uint8 RGB (first image). Supports
-    87a/89a with a global color table, non-interlaced, full-frame;
-    extensions are skipped. Local color tables and interlace gate via
+    87a/89a with a global OR local color table, interlaced or not,
+    full-frame; extensions are skipped. Partial-frame images gate via
     ``require_codec``; damage raises ValueError."""
     import numpy as np
 
@@ -1458,10 +1671,13 @@ def decode_gif(b: bytes):
             raise ValueError(f"unexpected GIF block 0x{blk:02X}")
         ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
         pos += 10
-        if iflags & 0x80:
-            require_codec("GIF local color tables")
-        if iflags & 0x40:
-            require_codec("GIF interlace")
+        if iflags & 0x80:  # local color table overrides the global one
+            n = 2 << (iflags & 0x07)
+            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+            if gct.size != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
         if (ix, iy, iw, ih) != (0, 0, w, h):
             require_codec("GIF partial-frame images")
         if gct is None:
@@ -1480,7 +1696,12 @@ def decode_gif(b: bytes):
         idx = np.array(indices, dtype=np.int64)
         if idx.max(initial=0) >= gct.shape[0]:
             raise ValueError("GIF index outside color table")
-        return gct[idx].reshape(h, w, 3)
+        px = gct[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # rows arrived in interlace pass order
+            out = np.empty_like(px)
+            out[_gif_interlace_order(h)] = px
+            return out
+        return px
     raise ValueError("GIF missing image data")
 
 

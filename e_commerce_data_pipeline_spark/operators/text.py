@@ -477,10 +477,15 @@ def train_bpe_merges(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((a, b, c))
+        # localCheckpoint (not cache): each round's plan nests the
+        # previous round's fold expression, so an un-truncated lineage
+        # grows geometrically with n_merges — by ~20 rounds merely
+        # RENDERING the plan tree OOMs an 8g driver. Checkpointing
+        # materializes the round AND cuts the lineage, keeping every
+        # round's plan one fold deep.
         nxt = syms.select(
             "freq", _apply_bpe_merge(F.col("syms"), a, b).alias("syms")
-        ).cache()
-        nxt.count()  # materialize before dropping the parent cache
+        ).localCheckpoint(eager=True)
         syms.unpersist()
         syms = nxt
     vocab = (
@@ -489,6 +494,80 @@ def train_bpe_merges(
         .agg(F.sum("freq").alias("count"))
     )
     return merges, vocab
+
+
+def bpe_encode_corpus(
+    docs: DataFrame, merges, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-scale BPE TOKENIZATION with a trained merge list — the
+    throughput half of the tokenizer (``train_bpe_merges`` builds the
+    merge table; this applies it to every document, the step an LLM
+    data pipeline actually runs at 100 TB).
+
+    Scale shape: the corpus collapses ONCE to the distinct
+    (word, freq) vocabulary (alnum pre-tokens, the same splitter as
+    training), so each distinct word is encoded exactly once no
+    matter how often it recurs — encode cost is O(|vocab|), not
+    O(corpus), and the merge list is a plan constant (broadcast by
+    value inside the generated code, never a join). The greedy
+    left-to-right BPE merge is applied as a chain of LITERAL string
+    replaces over a sentinel-wrapped symbol string ('hello' ->
+    '<h><e><l><l><o>'; merge (a, b) = replace('<a><b>' -> '<ab>')):
+    left-to-right non-overlapping replace IS the classic BPE merge
+    fold ('aaa' + merge(a,a) -> ['aa','a'], matching
+    ``_apply_bpe_merge``), and a replace chain stays in whole-stage
+    codegen — no UDF, no HOF lambda, no per-element re-evaluation.
+    Sentinels '<'/'>' cannot collide because the vocabulary is
+    alphanumeric by construction.
+
+    Returns the encoded vocabulary: ``(w, freq, toks)`` with ``toks``
+    the word's BPE token array; corpus-level token statistics derive
+    by exploding ``toks`` weighted by ``freq``.
+    """
+    for a, b in merges:
+        if not (a + b).isalnum():
+            raise ValueError(f"merge symbols must be alphanumeric: {(a, b)}")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all({text_col}, "
+                    "'[a-zA-Z]+|[0-9]+', 0)"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    s = F.regexp_replace(F.col("w"), F.lit("(.)"), F.lit("<$1>"))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    enc = words.select("w", "freq", s.alias("s"))
+    # materialize the encoded string before slicing/splitting so the
+    # replace chain is evaluated once per word in its own Project
+    body = enc.select(
+        "w", "freq", F.expr("substring(s, 2, length(s) - 2)").alias("body")
+    )
+    return body.select(
+        "w", "freq", F.split(F.col("body"), "><").alias("toks")
+    )
+
+
+def bpe_reference_encode(word: str, merges) -> list:
+    """Pure-Python greedy BPE encode (test reference): apply each
+    merge in order, left-to-right non-overlapping, over the symbol
+    list — the semantics ``bpe_encode_corpus`` mirrors with string
+    replaces and ``_apply_bpe_merge`` mirrors as an aggregate fold."""
+    syms = list(word)
+    for a, b in merges:
+        out: list = []
+        for sym in syms:
+            if out and out[-1] == a and sym == b:
+                out[-1] = a + b
+            else:
+                out.append(sym)
+        syms = out
+    return syms
 
 
 def boilerplate_ngrams(

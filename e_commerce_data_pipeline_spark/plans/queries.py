@@ -23,6 +23,7 @@ bounded per key and the shuffle is even.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -49,8 +50,13 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 # SQL, but ARE deterministic — those queries materialize them here and
 # the oracle reads the same files. The driver (like
 # tests/oracle_diff.py) runs the Spark side first, so the files exist
-# before DuckDB reads them.
-ORACLE_SCRATCH = "/tmp/spark_graft_oracle"
+# before DuckDB reads them. Env-overridable (baked into the oracle SQL
+# strings at import) so CONCURRENT processes — e.g. pytest at sf0.001
+# next to a driver sweep at sf0.01 — can't rewrite each other's
+# artifacts mid-read: that race produced a false q129 FAIL in round 6.
+ORACLE_SCRATCH = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SCRATCH", "/tmp/spark_graft_oracle"
+)
 
 
 def _write_scratch_vectors(name: str, id_field: str, rows) -> None:
@@ -9349,6 +9355,187 @@ def q177_mixed_media_dispatch(spark, sf_dir):
         F.min("width").cast("long").alias("min_w"),
         F.max("height").cast("long").alias("max_h"),
     )
+
+
+@_register(
+    "q178_png_trns_alpha_stats",
+    """
+    WITH m AS (
+        SELECT i, 17 + (i % 6) * 4 AS w, 13 + (i % 5) * 4 AS h,
+               i * 11 + 5 AS seed
+        FROM range(44) t(i)
+    ),
+    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i,
+               (x + y + seed) % 256 AS r,
+               ((x + y + seed) % 256 + 85) % 256 AS g,
+               ((x + y + seed) % 256 + 170) % 256 AS b,
+               seed % 256 AS s
+        FROM px
+    ),
+    al AS (
+        SELECT i, r, g, b,
+               CASE WHEN i % 2 = 0 THEN (r * 3 + 7) % 256
+                    WHEN r = s THEN 0 ELSE 255 END AS a
+        FROM ch
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_transp
+    FROM al GROUP BY i
+    """,
+    "tRNS-transparent PNG decode (the round-5 verdict's gate "
+    "retirement: the chunk is one more parse on the existing "
+    "CRC-checked walk, no codec library involved): even images are "
+    "INDEXED PNGs whose tRNS carries per-palette-entry alpha "
+    "(alpha = (entry_red*3+7) mod 256, so pixel alpha has a closed "
+    "form independent of index assignment), odd images are TRUECOLOR "
+    "with a transparent-color key (spec 11.3.2's 16-bit-sample "
+    "layout). The decoder now returns RGBA for either layout; the "
+    "kernel reduces exact channel+alpha sums and the "
+    "fully-transparent pixel count, and the oracle regenerates both "
+    "alpha rules from the generator's closed form — a wrong key "
+    "compare, palette-alpha padding bug, or RGBA reshape breaks the "
+    "hash.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q178_png_trns_alpha_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_alpha_stats,
+        synthetic_png_trns_table,
+    )
+
+    media = synthetic_png_trns_table(spark, n=44)
+    return image_alpha_stats(media).orderBy("media_id")
+
+
+# q179's merge table: train_bpe_merges(documents @ sf0.01, n_merges=24)
+# frozen 2026-08-14 (training is deterministic — argmax ties break
+# (count DESC, pair ASC) — but the merge list must be a plan constant
+# so the oracle SQL can replay the identical replace chain).
+_Q179_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
+
+def _q179_oracle() -> str:
+    enc = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+    for a, b in _Q179_MERGES:
+        enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
+    return f"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+')) AS w
+            FROM documents) GROUP BY w
+    ),
+    enc AS (SELECT w, freq, {enc} AS s FROM words),
+    toks AS (
+        SELECT w, freq,
+               unnest(str_split(substr(s, 2, length(s) - 2), '><'))
+                   AS token
+        FROM enc
+    )
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM toks GROUP BY token
+    ORDER BY n_total DESC, token LIMIT 30
+    """
+
+
+@_register(
+    "q179_bpe_encode_tokens",
+    _q179_oracle(),
+    "Corpus-scale BPE ENCODE (the tokenizer-throughput half an LLM "
+    "data pipeline actually runs at 100 TB; q109 trains the merges, "
+    "this applies them): the corpus collapses once to the distinct "
+    "(word, freq) vocabulary, so each distinct word is encoded "
+    "exactly once regardless of frequency — cost O(|vocab|), not "
+    "O(corpus) — and the 24 trained merges apply as a chain of "
+    "literal replaces over a sentinel-wrapped symbol string "
+    "(left-to-right non-overlapping replace IS the greedy BPE merge "
+    "fold), pure whole-stage codegen with the merge table as a plan "
+    "constant. Output: top-30 BPE tokens by weighted occurrence "
+    "count. The oracle replays the IDENTICAL replace chain in DuckDB "
+    "(generated from the same frozen constant, so the two engines "
+    "cannot drift), and tests/test_text_ops.py pins both against a "
+    "pure-Python greedy-merge reference.",
+)
+def q179_bpe_encode_tokens(spark, sf_dir):
+    from ..operators.text import bpe_encode_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_corpus(docs, _Q179_MERGES)
+    toks = enc.select("w", "freq", F.explode("toks").alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.sum("freq").cast("long").alias("n_total"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(30)
+    )
+
+
+@_register(
+    "q180_gif_variant_decode_stats",
+    """
+    WITH m AS (
+        SELECT i, 19 + (i % 6) * 4 AS w, 15 + (i % 4) * 4 AS h,
+               i * 7 + 4 AS seed
+        FROM range(48) t(i)
+    ),
+    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i, y,
+               (x + y + seed) % 256 AS r,
+               ((x + y + seed) % 256 + 85) % 256 AS g,
+               ((x + y + seed) % 256 + 170) % 256 AS b
+        FROM px
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(COUNT(DISTINCT r) AS BIGINT) AS n_colors,
+           CAST(SUM(y * r) AS BIGINT) AS row_weighted_r
+    FROM ch GROUP BY i
+    """,
+    "GIF interlace + local-color-table decode (the round-5 verdict's "
+    "second gate retirement; the LZW core was already real): 48 GIFs "
+    "cycle all four container layouts — plain, interlaced (rows "
+    "stored in the spec's four-pass order), LCT-only (no global "
+    "table; palette rides the image descriptor), and both. All four "
+    "are lossless spellings of the same gradient, so one closed-form "
+    "oracle covers them; the ROW-WEIGHTED red checksum (sum of "
+    "row_index * row red-sum) is position-sensitive — a decoder that "
+    "forgets to de-interlace preserves plain channel sums (same row "
+    "multiset) but breaks it — and the distinct-color count catches "
+    "LCT/GCT palette mix-ups independently.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q180_gif_variant_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_color_stats,
+        synthetic_gif_variants_table,
+    )
+
+    media = synthetic_gif_variants_table(spark, n=48)
+    return image_color_stats(media).orderBy("media_id")
 
 
 # --------------------------------------------------------------------------

@@ -407,15 +407,6 @@ def test_gif_roundtrip_overflow_reset_and_gates():
     assert np.array_equal(decode_gif(b), px)
     big = np.asarray(make_test_pixels(200, 150, seed=7))  # forces dict reset
     assert np.array_equal(decode_gif(encode_gif(big)), big)
-    # interlace flag set -> gate, not mis-decode (image descriptor sits
-    # right after the 13-byte header + global color table, NOT at the
-    # first 0x2C byte — that can occur inside palette/LZW data)
-    i = 13 + 3 * (2 << (b[10] & 0x07))
-    assert b[i] == 0x2C
-    bad = bytearray(b)
-    bad[i + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(bad))
     # truncated sub-blocks -> ValueError
     with pytest.raises(ValueError):
         decode_gif(b[: len(b) // 2])
@@ -487,11 +478,30 @@ def test_png_palette_roundtrip_gates_and_limits():
     px = np.asarray(make_test_pixels(19, 11, seed=4))
     b = encode_png_palette(px)
     assert np.array_equal(decode_png(b), px)
-    # tRNS present -> gate (alpha would silently mis-decode otherwise)
+    # short tRNS chunk -> RGBA with entry-0 alpha set, rest default 255
     i = b.index(b"IDAT") - 4
     patched = b[:i] + _png_chunk(b"tRNS", b"\x80") + b[i:]
-    with pytest.raises(NotImplementedError):
-        decode_png(patched)
+    rgba = decode_png(patched)
+    assert rgba.shape == (11, 19, 4)
+    assert np.array_equal(rgba[..., :3], px)
+    pal_sorted = np.unique(
+        px.reshape(-1, 3)[:, 0].astype(np.int64) * 65536
+        + px.reshape(-1, 3)[:, 1].astype(np.int64) * 256
+        + px.reshape(-1, 3)[:, 2].astype(np.int64)
+    )
+    entry0 = pal_sorted[0]
+    is_entry0 = (
+        px[..., 0].astype(np.int64) * 65536
+        + px[..., 1].astype(np.int64) * 256
+        + px[..., 2].astype(np.int64)
+    ) == entry0
+    assert np.array_equal(
+        rgba[..., 3], np.where(is_entry0, 0x80, 255).astype(np.uint8)
+    )
+    # tRNS longer than the palette -> ValueError
+    overlong = b[:i] + _png_chunk(b"tRNS", b"\x80" * 300) + b[i:]
+    with pytest.raises(ValueError):
+        decode_png(overlong)
     # >256 colors refuse to encode
     k = np.arange(17 * 17, dtype=np.int64)
     many = np.stack([k // 256, k % 256, k * 0], axis=-1).reshape(17, 17, 3)
@@ -553,3 +563,123 @@ def test_png16_roundtrip_and_depth_gate_semantics():
     b[29:33] = _s.pack(">I", _z.crc32(ihdr) & 0xFFFFFFFF)
     with pytest.raises(NotImplementedError):
         decode_png(bytes(b))
+
+
+def test_png_trns_truecolor_and_palette_rgba():
+    """tRNS transparency (both 8-bit layouts): truecolor key compare,
+    per-palette-entry alpha, and the 16-bit gate staying honest."""
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+        encode_png,
+        encode_png16,
+        encode_png_palette,
+        make_test_pixels,
+        make_test_pixels16,
+    )
+
+    px = np.asarray(make_test_pixels(21, 17, seed=9))
+    key = (9, 94, 179)  # the gradient's (0, 0) color at seed 9
+    rgba = decode_png(encode_png(px, trns_key=key))
+    assert rgba.shape == (17, 21, 4)
+    assert np.array_equal(rgba[..., :3], px)
+    exp = np.where(px[..., 0] == 9, 0, 255).astype(np.uint8)
+    assert np.array_equal(rgba[..., 3], exp)
+    assert int((rgba[..., 3] == 0).sum()) >= 1  # the key really occurs
+    # palette alpha from a per-entry rule on the red channel
+    rgba2 = decode_png(
+        encode_png_palette(px, trns_fn=lambda pal: (pal[:, 0] * 3 + 7) % 256)
+    )
+    assert rgba2.shape == (17, 21, 4)
+    assert np.array_equal(rgba2[..., :3], px)
+    assert np.array_equal(
+        rgba2[..., 3],
+        ((px[..., 0].astype(np.int64) * 3 + 7) % 256).astype(np.uint8),
+    )
+    # malformed truecolor tRNS (wrong length) -> ValueError
+    b = encode_png(px)
+    i = b.index(b"IDAT") - 4
+    with pytest.raises(ValueError):
+        decode_png(b[:i] + _png_chunk(b"tRNS", b"\x00\x01") + b[i:])
+    # 16-bit + tRNS stays gated (high-depth key compare unimplemented)
+    b16 = encode_png16(make_test_pixels16(7, 5, seed=1))
+    j = b16.index(b"IDAT") - 4
+    patched = b16[:j] + _png_chunk(b"tRNS", b"\x00" * 6) + b16[j:]
+    with pytest.raises(NotImplementedError):
+        decode_png(patched)
+
+
+def test_gif_interlace_and_local_color_table():
+    """All four GIF container layouts round-trip losslessly; the
+    interlaced stream really stores rows in pass order (its raster
+    differs from the plain encoding's), and the LCT variant carries
+    no global table."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _gif_interlace_order,
+        decode_gif,
+        encode_gif,
+        make_test_pixels,
+    )
+
+    for w, h in [(19, 15), (23, 27), (5, 1), (8, 9), (33, 16)]:
+        px = np.asarray(make_test_pixels(w, h, seed=w * h))
+        for il in (False, True):
+            for lt in (False, True):
+                b = encode_gif(px, interlace=il, local_table=lt)
+                assert np.array_equal(decode_gif(b), px), (w, h, il, lt)
+    px = np.asarray(make_test_pixels(19, 15, seed=3))
+    plain, inter = encode_gif(px), encode_gif(px, interlace=True)
+    assert plain != inter  # pass-order raster really differs
+    lct = encode_gif(px, local_table=True)
+    assert lct[10] & 0x80 == 0  # no global color table flag
+    # interlace order is a permutation covering every row exactly once
+    for h in (1, 2, 7, 8, 9, 15, 64):
+        assert sorted(_gif_interlace_order(h)) == list(range(h))
+
+
+def test_image_alpha_and_color_stats_kernels(spark):
+    """The q178/q180 kernels: alpha stats fall back to opaque for
+    3-channel images; color stats carry the position-sensitive
+    row-weighted checksum that catches interlace scrambles."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        image_alpha_stats,
+        image_color_stats,
+        synthetic_gif_variants_table,
+        synthetic_media_table,
+        synthetic_png_trns_table,
+    )
+
+    trns = synthetic_png_trns_table(spark, n=6)
+    rows = {r["media_id"]: r for r in image_alpha_stats(trns).collect()}
+    for i in rows:
+        w, h = 17 + (i % 6) * 4, 13 + (i % 5) * 4
+        seed = i * 11 + 5
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x + y + seed) % 256
+        if i % 2 == 0:
+            a = (r * 3 + 7) % 256
+        else:
+            a = np.where(r == seed % 256, 0, 255)
+        assert rows[i]["n_px"] == w * h
+        assert rows[i]["sum_a"] == int(a.sum())
+        assert rows[i]["n_transp"] == int((a == 0).sum())
+    # opaque fallback: BMP/PPM (3-channel) -> alpha 255 everywhere
+    opaque = synthetic_media_table(spark, n=4, real=True)
+    for r in image_alpha_stats(opaque).collect():
+        assert r["sum_a"] == r["n_px"] * 255 and r["n_transp"] == 0
+    # color stats: all four GIF variants agree with the closed form
+    gifs = synthetic_gif_variants_table(spark, n=8)
+    for r in image_color_stats(gifs).collect():
+        i = r["media_id"]
+        w, h = 19 + (i % 6) * 4, 15 + (i % 4) * 4
+        y, x = np.mgrid[0:h, 0:w]
+        red = (x + y + i * 7 + 4) % 256
+        assert r["n_colors"] == len(np.unique(red))
+        assert r["row_weighted_r"] == int((y * red).sum())

@@ -765,3 +765,57 @@ def test_fs_linkage_rare_agreement_outweighs_common(spark):
     assert out[(1, 5)][1] < out[(1, 2)][1]
     # and every score is finite int (clamps held despite near-constant com)
     assert all(isinstance(s, int) for _, s in out.values())
+
+
+def test_bpe_encode_corpus_matches_reference(spark):
+    """The replace-chain encode (q179's operator) agrees with the
+    pure-Python greedy fold — including the 'aaa' non-overlap case —
+    and composes with train_bpe_merges output."""
+    from e_commerce_data_pipeline_spark.operators.text import (
+        bpe_encode_corpus,
+        bpe_reference_encode,
+        train_bpe_merges,
+    )
+
+    # hand-picked merges exercising chained + overlapping semantics
+    merges = [("a", "a"), ("l", "o"), ("lo", "w"), ("e", "r")]
+    texts = [
+        "aaa aaaa low lower lowest",
+        "baaab lower low errer",
+        "w lo low 123 12",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    enc = {
+        r["w"]: (r["freq"], list(r["toks"]))
+        for r in bpe_encode_corpus(docs, merges).collect()
+    }
+    import re
+
+    wf: dict = {}
+    for t in texts:
+        for w in re.findall(r"[a-zA-Z]+|[0-9]+", t):
+            wf[w] = wf.get(w, 0) + 1
+    assert set(enc) == set(wf)
+    for w, (freq, toks) in enc.items():
+        assert freq == wf[w], w
+        assert toks == bpe_reference_encode(w, merges), w
+    # the classic non-overlap case
+    assert enc["aaa"][1] == ["aa", "a"]
+    assert enc["aaaa"][1] == ["aa", "aa"]
+    assert enc["lowest"][1][:1] == ["low"]
+    # trained merges flow straight into the encoder
+    trained, _ = train_bpe_merges(docs, n_merges=4)
+    pairs = [(a, b) for a, b, _c in trained]
+    enc2 = {
+        r["w"]: list(r["toks"])
+        for r in bpe_encode_corpus(docs, pairs).collect()
+    }
+    for w, toks in enc2.items():
+        assert toks == bpe_reference_encode(w, pairs), (w, pairs)
+    # non-alnum merge symbols are refused (sentinel safety)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_encode_corpus(docs, [("<", "a")]).collect()
