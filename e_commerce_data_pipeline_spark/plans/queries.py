@@ -5591,8 +5591,13 @@ def q118_audio_decode_meta(spark, sf_dir):
 )
 def q121_pii_redaction(spark, sf_dir):
     from ..operators.text import redact_pii, redaction_count
+    from ..operators.util import spread
 
-    c = _t(spark, sf_dir, "customer")
+    # customer arrives as ONE parquet partition at bench scale, and 8
+    # regex passes/row is exactly the per-row compute spread() exists
+    # for (measured round 6: 0.70s -> 0.34s; at real scale the scan
+    # splits naturally and the round-robin is a no-op)
+    c = spread(_t(spark, sf_dir, "customer"))
     k = F.col("c_custkey")
     phone = F.when(
         k % 3 != 0,

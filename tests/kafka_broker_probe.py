@@ -15,6 +15,10 @@ Checked prerequisites (all four must hold to host + drive a broker):
   4. network egress to fetch any of the above (pip/apt are forbidden
      by the environment contract anyway; this records that even the
      raw download path is closed).
+
+Last probe: 2026-08-14 (round 6) — all four prerequisites absent
+(no distribution, no connector jar, no client, DNS resolution fails
+for pypi.org/archive.apache.org); verdict unchanged since round 5.
 """
 
 from __future__ import annotations
