@@ -353,11 +353,127 @@ def encode_png16(arr16, filters=None) -> bytes:
     )
 
 
+def encode_png_gray(arr2d, depth: int = 8, filters=None, trns_key=None) -> bytes:
+    """(h, w) grayscale samples (each < 2^depth) -> PNG color type 0
+    at depth 1/2/4/8. Sub-byte depths bit-pack samples MSB-first per
+    spec 7.2 (final-byte padding zeroed); filtering then runs on the
+    packed bytes with a 1-byte left-neighbor distance (spec 9.2).
+    ``trns_key`` names one SAMPLE value fully transparent."""
+    import numpy as np
+    import zlib
+
+    a = np.asarray(arr2d, dtype=np.uint8)
+    h, w = a.shape
+    assert depth in (1, 2, 4, 8), "grayscale PNG depth must be 1/2/4/8"
+    assert int(a.max(initial=0)) < (1 << depth), "sample exceeds depth"
+    if depth == 8:
+        rows = a
+    else:
+        bits = np.unpackbits(a[..., None], axis=2)[:, :, 8 - depth :]
+        rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+    raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    trns = (
+        _png_chunk(b"tRNS", struct.pack(">H", trns_key))
+        if trns_key is not None
+        else b""
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + trns
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_graya(gray2d, alpha2d, filters=None) -> bytes:
+    """(h, w) gray + (h, w) alpha -> PNG color type 4 (8-bit)."""
+    import numpy as np
+    import zlib
+
+    g = np.asarray(gray2d, dtype=np.uint8)
+    a = np.asarray(alpha2d, dtype=np.uint8)
+    h, w = g.shape
+    assert a.shape == (h, w), "alpha plane must match gray plane"
+    inter = np.stack([g, a], axis=-1).reshape(h, w * 2)
+    raw = _png_filter_scanlines(inter, w, 2, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgba(arr, filters=None) -> bytes:
+    """(h, w, 4) uint8 RGBA -> PNG color type 6 (8-bit)."""
+    import numpy as np
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 4, "RGBA PNG encoder expects 4 channels"
+    raw = _png_filter_scanlines(a.reshape(h, -1), w, 4, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette_subbyte(arr, depth: int, filters=None) -> bytes:
+    """(h, w, 3) uint8 RGB with <= 2^depth distinct colors -> indexed
+    PNG at depth 1/2/4: the PLTE layout of ``encode_png_palette`` with
+    bit-packed index scanlines."""
+    import numpy as np
+    import zlib
+
+    assert depth in (1, 2, 4), "sub-byte palette depth must be 1/2/4"
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "palette PNG encoder expects RGB"
+    flat = a.reshape(-1, 3)
+    packed = (
+        flat[:, 0].astype(np.int64) * 65536
+        + flat[:, 1].astype(np.int64) * 256
+        + flat[:, 2].astype(np.int64)
+    )
+    colors = np.unique(packed)
+    if colors.size > (1 << depth):
+        raise ValueError(f"palette PNG depth={depth}: too many colors")
+    lut = {int(v): i for i, v in enumerate(colors)}
+    idx = np.array([lut[int(v)] for v in packed], dtype=np.uint8).reshape(h, w)
+    plte = bytearray()
+    for v in colors:
+        plte += bytes(
+            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
+        )
+    bits = np.unpackbits(idx[..., None], axis=2)[:, :, 8 - depth :]
+    rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+    raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(plte))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(b: bytes):
     """PNG bytes -> (h, w, 3) uint8 RGB array, or (h, w, 4) RGBA when
-    a tRNS chunk is present (8-bit only: truecolor transparent-color
-    key per spec 11.3.2, or per-palette-entry alpha for color type 3,
-    entries past the chunk defaulting to 255).
+    the layout carries alpha (color types 4/6, or a tRNS chunk on the
+    8-bit layouts: truecolor/grayscale transparent-color key per spec
+    11.3.2, or per-palette-entry alpha for color type 3, entries past
+    the chunk defaulting to 255). Grayscale decodes replicate the
+    sample across RGB, sub-byte depths (1/2/4, color 0/3,
+    non-interlaced) scaling to 8-bit by the spec's 255/(2^d-1)
+    factor.
 
     Supports 8-bit truecolor (color type 2), filter method 0, no
     interlace — CRC-checked chunk walk, zlib inflate, then scanline
@@ -397,39 +513,73 @@ def decode_png(b: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    ok8 = depth == 8 and color in (2, 3)
-    ok16 = depth == 16 and color == 2
-    if not (ok8 or ok16) or comp != 0 or filt != 0 or inter not in (0, 1):
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    ok = channels is not None and (
+        depth == 8
+        or (depth == 16 and color == 2)
+        or (depth in (1, 2, 4) and color in (0, 3) and inter == 0)
+    )
+    if not ok or comp != 0 or filt != 0 or inter not in (0, 1):
         require_codec(
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
-    if trns is not None and depth == 16:
-        require_codec("PNG 16-bit transparency (tRNS)")
-    if trns is not None and color == 2 and len(trns) != 6:
-        raise ValueError("truecolor tRNS chunk must be 6 bytes")
+    if trns is not None:
+        if depth == 16:
+            require_codec("PNG 16-bit transparency (tRNS)")
+        if color in (4, 6):  # spec 11.3.2: tRNS forbidden with alpha
+            raise ValueError("tRNS with an alpha channel is invalid")
+        if color == 2 and len(trns) != 6:
+            raise ValueError("truecolor tRNS chunk must be 6 bytes")
+        if color == 0 and len(trns) != 2:
+            raise ValueError("grayscale tRNS chunk must be 2 bytes")
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    bpp = (6 if depth == 16 else 3) if color == 2 else 1
-    if inter == 0:
-        plane = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    # filtering operates on BYTES: the left-neighbor distance is the
+    # pixel's byte width rounded up to 1 (spec 9.2)
+    fbpp = max(1, (depth // 8) * channels)
+    if depth < 8:
+        stride = (w * depth * channels + 7) // 8
+        recon = _png_unfilter(raw, stride, h, 1)
+        bits = np.unpackbits(
+            recon.astype(np.uint8), axis=1
+        )[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+        plane = (bits * weights).sum(axis=-1)[..., None]  # (h, w, 1)
+    elif inter == 0:
+        plane = _png_unfilter(raw, w, h, fbpp).reshape(h, w, fbpp)
     else:
         # Adam7: seven independently-filtered reduced images scattered
         # back onto the pass grid
-        plane = np.zeros((h, w, bpp), dtype=np.int32)
+        plane = np.zeros((h, w, fbpp), dtype=np.int32)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             hp = -(-(h - y0) // dy) if h > y0 else 0
             wp = -(-(w - x0) // dx) if w > x0 else 0
             if hp == 0 or wp == 0:
                 continue
-            need = hp * (1 + wp * bpp)
-            sub = _png_unfilter(raw[pos : pos + need], wp, hp, bpp)
+            need = hp * (1 + wp * fbpp)
+            sub = _png_unfilter(raw[pos : pos + need], wp, hp, fbpp)
             pos += need
-            plane[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+            plane[y0::dy, x0::dx] = sub.reshape(hp, wp, fbpp)
         if pos != raw.size:
             raise ValueError("PNG Adam7 payload size mismatch")
+    if color == 0:  # grayscale -> RGB (sub-byte samples scale to 8-bit)
+        sample = plane[..., 0]
+        scale = {8: 1, 4: 17, 2: 85, 1: 255}[depth]
+        g8 = (sample * scale).astype(np.uint8)
+        rgb = np.stack([g8, g8, g8], axis=-1)
+        if trns is None:
+            return rgb
+        (key,) = struct.unpack(">H", trns)  # key is in SAMPLE depth
+        alpha = np.where(sample == key, 0, 255).astype(np.uint8)
+        return np.concatenate([rgb, alpha[..., None]], axis=-1)
+    if color == 4:  # gray + alpha
+        g8 = plane[..., 0].astype(np.uint8)
+        return np.stack([g8, g8, g8, plane[..., 1].astype(np.uint8)], axis=-1)
+    if color == 6:  # truecolor + alpha
+        return plane.astype(np.uint8)
     if color == 2:
         if depth == 16:
             # recombine big-endian byte pairs -> (h, w, 3) uint16
@@ -760,6 +910,46 @@ def synthetic_png_trns_table(spark, n: int = 44) -> DataFrame:
                 px, trns_key=(s, (s + 85) % 256, (s + 170) % 256)
             )
         rows.append((i, "image", content, None, f"mem://media/{i}.t.png"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_png_gray_family_table(spark, n: int = 42) -> DataFrame:
+    """Deterministic PNGs cycling the six remaining 8-bit-family
+    layouts (variant = i % 6): grayscale at depths 8/4/2/1 (sub-byte
+    rows bit-packed per spec 7.2, decoded samples scaling by
+    255/(2^d-1)), gray+alpha (color 4), and truecolor+alpha (color
+    6). Every plane is a closed form of (x, y, seed) so the q181
+    oracle regenerates all six from SQL."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 18 + (i % 6) * 3, 12 + (i % 4) * 5
+        seed = i * 13 + 6
+        y, x = np.mgrid[0:h, 0:w]
+        base = x + y + seed
+        v = i % 6
+        if v == 0:
+            content = encode_png_gray((base % 256).astype(np.uint8))
+        elif v == 1:
+            content = encode_png_gray((base % 16).astype(np.uint8), depth=4)
+        elif v == 2:
+            content = encode_png_gray((base % 4).astype(np.uint8), depth=2)
+        elif v == 3:
+            content = encode_png_gray((base % 2).astype(np.uint8), depth=1)
+        elif v == 4:
+            content = encode_png_graya(
+                (base % 256).astype(np.uint8),
+                ((x * 3 + y * 5 + seed) % 256).astype(np.uint8),
+            )
+        else:
+            px = make_test_pixels(w, h, seed=seed)
+            alpha = ((x * 7 + y * 11 + seed) % 256).astype(np.uint8)
+            content = encode_png_rgba(
+                np.concatenate([px, alpha[..., None]], axis=-1)
+            )
+        rows.append((i, "image", content, None, f"mem://media/{i}.g.png"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
 

@@ -349,6 +349,88 @@ def unigram_logprob(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BIGRAM language-model score with add-one
+    smoothing — one rung up the n-gram ladder from
+    ``unigram_logprob`` and the closer analog of the CCNet/RedPajama
+    KenLM perplexity filter: token-order gibberish that unigram
+    frequency can't see (shuffled words, stitched fragments) scores
+    low here. Model: P(b | a) = (c(a,b) + 1) / (c(a) + V), with c(a)
+    the prefix count (Σ_b c(a,b)) and V the corpus vocabulary size.
+
+    Float discipline (same as unigram_logprob): each distinct pair's
+    ln P is quantized ONCE to integer micro-units, per-document
+    scores are exact integer sums, and the mean is one division of
+    two exact integers. One row per document with >= 2 tokens:
+    ``(id_col, n_bigrams, sum_lp_micro, avg_lp_micro)``.
+
+    Scale shape: the pair stream is one explode (materialized
+    ``__toks`` below the Generate — the no-CSE-inside-HOF rule);
+    pair counts partial-aggregate map-side; prefix counts derive
+    from the pair-count table (never a second corpus pass); V is a
+    one-row broadcast; scoring re-joins the pair stream on the
+    (a, b) key. Nothing collects to the driver.
+    """
+    from .util import spread as _spread
+
+    tok = _spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pairs = (
+        tok.filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 1), "
+                    "i -> struct(element_at(__toks, i) AS a, "
+                    "element_at(__toks, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.a", "p.b")
+        .cache()
+    )
+    cnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    vocab = (
+        tok.select(F.explode("__toks").alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    pre = cnt.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    lp = (
+        cnt.join(pre, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v")))
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        pairs.join(lp, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_lp_micro",
+            (F.col("sum_lp_micro") / (F.col("n_bigrams") * F.lit(1.0))).alias(
+                "avg_lp_micro"
+            ),
+        )
+    )
+
+
 def compression_ratio_udf(level: int = 6):
     """Arrow-batched pandas UDF: ``len(zlib(text)) / len(text)`` per
     document — the classic compression-ratio quality signal (used by

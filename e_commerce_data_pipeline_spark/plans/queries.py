@@ -9543,6 +9543,110 @@ def q180_gif_variant_decode_stats(spark, sf_dir):
     return image_color_stats(media).orderBy("media_id")
 
 
+@_register(
+    "q181_png_gray_family_stats",
+    """
+    WITH m AS (
+        SELECT i, 18 + (i % 6) * 3 AS w, 12 + (i % 4) * 5 AS h,
+               i * 13 + 6 AS seed, i % 6 AS v
+        FROM range(42) t(i)
+    ),
+    ys AS (SELECT i, w, seed, v, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, seed, v, y, unnest(range(w)) AS x FROM ys),
+    ch AS (
+        SELECT i, v,
+               CASE v WHEN 1 THEN ((x + y + seed) % 16) * 17
+                      WHEN 2 THEN ((x + y + seed) % 4) * 85
+                      WHEN 3 THEN ((x + y + seed) % 2) * 255
+                      ELSE (x + y + seed) % 256 END AS r,
+               x, y, seed
+        FROM px
+    ),
+    rgba AS (
+        SELECT i,
+               r,
+               CASE WHEN v = 5 THEN (r + 85) % 256 ELSE r END AS g,
+               CASE WHEN v = 5 THEN (r + 170) % 256 ELSE r END AS b,
+               CASE WHEN v = 4 THEN (x * 3 + y * 5 + seed) % 256
+                    WHEN v = 5 THEN (x * 7 + y * 11 + seed) % 256
+                    ELSE 255 END AS a
+        FROM ch
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_transp
+    FROM rgba GROUP BY i
+    """,
+    "PNG 8-bit-family completion (grayscale depths 8/4/2/1, "
+    "gray+alpha, truecolor+alpha): 42 images cycle the six layouts "
+    "the decoder gained this round — sub-byte rows unfilter at the "
+    "spec's 1-byte neighbor distance then bit-unpack MSB-first and "
+    "scale by 255/(2^d-1); color types 4/6 surface real alpha planes "
+    "as RGBA. One kernel pass reduces exact channel/alpha sums; the "
+    "oracle regenerates all six planes from the generators' closed "
+    "forms, so a bit-order, scaling, padding-bit, or channel-order "
+    "bug in any one layout shifts its rows and breaks the hash.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q181_png_gray_family_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_alpha_stats,
+        synthetic_png_gray_family_table,
+    )
+
+    media = synthetic_png_gray_family_table(spark, n=42)
+    return image_alpha_stats(media).orderBy("media_id")
+
+
+@_register(
+    "q182_bigram_lm_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    prs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(t) - 1),
+                   i -> struct_pack(a := t[i + 1], b := t[i + 2]))) AS p
+        FROM toks WHERE len(t) >= 2
+    ),
+    pp AS (SELECT doc_id, p.a AS a, p.b AS b FROM prs),
+    cnt AS (SELECT a, b, COUNT(*) AS c_ab FROM pp GROUP BY a, b),
+    pre AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY a),
+    voc AS (
+        SELECT COUNT(DISTINCT tok) AS v
+        FROM (SELECT unnest(t) AS tok FROM toks)
+    ),
+    lp AS (
+        SELECT a, b,
+               CAST(round(ln((c_ab + 1) / (1.0 * (c_a + v))) * 1000000)
+                   AS BIGINT) AS lp_micro
+        FROM cnt JOIN pre USING (a), voc
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(SUM(lp_micro) AS BIGINT) / (1.0 * COUNT(*)) AS avg_lp_micro
+    FROM pp JOIN lp USING (a, b) GROUP BY doc_id
+    """,
+    "Training-data op: corpus-trained BIGRAM-LM document scoring "
+    "with add-one smoothing (text.bigram_lm_scores) — the next rung "
+    "above q78's unigram filter and the closer analog of KenLM "
+    "perplexity filtering: token-ORDER gibberish that unigram "
+    "frequency can't see scores low. P(b|a) = (c(a,b)+1)/(c(a)+V) "
+    "with prefix counts derived from the pair-count table (never a "
+    "second corpus pass) and V a one-row broadcast; each distinct "
+    "pair's ln P quantizes once to micro-units so per-doc scores are "
+    "exact integer sums, order-independent across engines.",
+)
+def q182_bigram_lm_scores(spark, sf_dir):
+    from ..operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

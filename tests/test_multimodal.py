@@ -683,3 +683,55 @@ def test_image_alpha_and_color_stats_kernels(spark):
         red = (x + y + i * 7 + 4) % 256
         assert r["n_colors"] == len(np.unique(red))
         assert r["row_weighted_r"] == int((y * red).sum())
+
+
+def test_png_gray_family_roundtrips():
+    """Grayscale 1/2/4/8-bit (incl. sample-depth tRNS key), gray+alpha,
+    RGBA, and sub-byte palette layouts all round-trip; sub-byte rows
+    exercise the bit-pack/unpack and padding-bit paths."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_graya,
+        encode_png_palette_subbyte,
+        encode_png_rgba,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(18, 12), (7, 5), (1, 1), (33, 9)]:
+        for d in (1, 2, 4, 8):
+            g = rng.randint(0, 1 << d, size=(h, w)).astype(np.uint8)
+            out = decode_png(encode_png_gray(g, depth=d))
+            scale = {8: 1, 4: 17, 2: 85, 1: 255}[d]
+            exp = (g.astype(np.int64) * scale).astype(np.uint8)
+            assert out.shape == (h, w, 3)
+            assert (out == exp[..., None]).all(), (w, h, d)
+        # grayscale transparent key at 8-bit and sub-byte depth
+        g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        out = decode_png(encode_png_gray(g, trns_key=int(g[0, 0])))
+        assert (out[..., 3] == np.where(g == g[0, 0], 0, 255)).all()
+        g4 = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+        out = decode_png(encode_png_gray(g4, depth=4, trns_key=int(g4[0, 0])))
+        assert (out[..., 0] == g4 * 17).all()
+        assert (out[..., 3] == np.where(g4 == g4[0, 0], 0, 255)).all()
+        # gray + alpha, RGBA
+        a = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        out = decode_png(encode_png_graya(g, a))
+        assert (out[..., 0] == g).all() and (out[..., 3] == a).all()
+        px = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+        assert (decode_png(encode_png_rgba(px)) == px).all()
+        # sub-byte palette
+        for d in (1, 2, 4):
+            ncol = 1 << d
+            pal = np.stack(
+                [np.arange(ncol) * 15 % 256,
+                 np.arange(ncol) * 31 % 256,
+                 np.arange(ncol) * 7 % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            px3 = pal[rng.randint(0, ncol, size=(h, w))]
+            assert (
+                decode_png(encode_png_palette_subbyte(px3, depth=d)) == px3
+            ).all(), (w, h, d)

@@ -235,6 +235,21 @@ def test_q136_langid_gram_lambda_reads_materialized_norm(spark, sf_dir):
             assert "regexp_replace" not in line, line
 
 
+def test_q179_bpe_encode_plan_shape(spark, sf_dir):
+    """The BPE replace chain must be evaluated in a Project below the
+    token explode (never inlined into the Generate — that re-runs the
+    whole chain per emitted token) and no synthesized Filter may embed
+    it; the merge table is a plan constant, so no join appears."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q179_bpe_encode_tokens"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Generate" in line or "Filter" in line:
+            assert "replace(" not in line, line
+    assert "Join" not in opt  # merges ride the generated code, not a join
+
+
 def test_q131_bloom_filter_below_exchange(spark, sf_dir):
     """The bloom membership predicate must prune the orders scan
     BEFORE the aggregation exchange, with no Python eval node."""

@@ -819,3 +819,51 @@ def test_bpe_encode_corpus_matches_reference(spark):
 
     with pytest.raises(ValueError):
         bpe_encode_corpus(docs, [("<", "a")]).collect()
+
+
+def test_bigram_lm_scores_hand_checked(spark):
+    """q182's operator against a pure-Python replay of the same
+    add-one bigram model on a 4-doc corpus (lower+whitespace
+    tokenizer, prefix counts, micro-quantized ln P)."""
+    import math
+
+    from e_commerce_data_pipeline_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    texts = ["the cat sat", "the cat ran", "cat the cat", "solo", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # reference model
+    toks = [t.lower().split() for t in texts]
+    pairs = [(w[i], w[i + 1]) for w in toks for i in range(len(w) - 1)]
+    c_ab: dict = {}
+    for p in pairs:
+        c_ab[p] = c_ab.get(p, 0) + 1
+    c_a: dict = {}
+    for (a, _b), c in c_ab.items():
+        c_a[a] = c_a.get(a, 0) + c
+    v = len({w for ws in toks for w in ws})
+    lp = {
+        p: round(math.log((c + 1) / (c_a[p[0]] + v)) * 1000000)
+        for p, c in c_ab.items()
+    }
+    for i, ws in enumerate(toks):
+        doc_pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not doc_pairs:
+            assert i not in got  # <2 tokens: no row
+            continue
+        s = sum(lp[p] for p in doc_pairs)
+        assert got[i]["n_bigrams"] == len(doc_pairs)
+        assert got[i]["sum_lp_micro"] == s
+        assert got[i]["avg_lp_micro"] == s / len(doc_pairs)
+    # order sensitivity: same unigrams, scrambled order -> lower score
+    docs2 = spark.createDataFrame(
+        [(0, "the cat sat the cat sat the cat sat"),
+         (1, "sat the the cat cat sat sat cat the")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["avg_lp_micro"] for x in bigram_lm_scores(docs2).collect()}
+    assert r[0] > r[1]
