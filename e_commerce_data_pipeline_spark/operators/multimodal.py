@@ -9,7 +9,7 @@ JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
 decode, nearest-neighbor resize, per-channel feature extraction, and
 frame sampling over a length-prefixed frame container. Variants that
 genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, stereo ADPCM, H.264) raise
+(progressive/12-bit JPEG, H.264) raise
 NotImplementedError explicitly
 (``require_codec``) rather than pretending.
 
@@ -2070,23 +2070,65 @@ def decode_wav(b: bytes):
         dec = (alaw_expand if audio_fmt == 6 else ulaw_expand)(codes)
         return dec.astype(np.int16).reshape(-1, ch), rate
     if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
-        if ch != 1:
-            require_codec("multi-channel IMA ADPCM")
-        out: list[int] = []
-        ba = _ba if _ba >= 5 else len(data)
-        for off in range(0, len(data), ba):
-            blk = data[off : off + ba]
-            if len(blk) < 5:
-                break
-            pred, idx, _res = struct.unpack_from("<hBB", blk, 0)
-            if idx > 88:
-                raise ValueError("IMA ADPCM step index out of range")
-            nb = np.frombuffer(blk[4:], np.uint8)
-            nibbles = np.empty(nb.size * 2, np.uint8)
-            nibbles[0::2] = nb & 0x0F
-            nibbles[1::2] = nb >> 4
-            out.extend(ima_adpcm_decode(nibbles, pred, idx))
-        return np.array(out, np.int16).reshape(-1, 1), rate
+        if ch == 1:
+            out: list[int] = []
+            ba = _ba if _ba >= 5 else len(data)
+            for off in range(0, len(data), ba):
+                blk = data[off : off + ba]
+                if len(blk) < 5:
+                    break
+                pred, idx, _res = struct.unpack_from("<hBB", blk, 0)
+                if idx > 88:
+                    raise ValueError("IMA ADPCM step index out of range")
+                nb = np.frombuffer(blk[4:], np.uint8)
+                nibbles = np.empty(nb.size * 2, np.uint8)
+                nibbles[0::2] = nb & 0x0F
+                nibbles[1::2] = nb >> 4
+                out.extend(ima_adpcm_decode(nibbles, pred, idx))
+            return np.array(out, np.int16).reshape(-1, 1), rate
+        if ch == 2:
+            # stereo layout (Microsoft WAV spec): per-channel 4-byte
+            # block headers, then 4-byte nibble groups ALTERNATING
+            # channels starting left — 8 samples per group
+            outl: list[int] = []
+            outr: list[int] = []
+            ba = _ba if _ba >= 9 else len(data)
+            for off in range(0, len(data), ba):
+                blk = data[off : off + ba]
+                if len(blk) < 9:
+                    break
+                predl, idxl, _r0 = struct.unpack_from("<hBB", blk, 0)
+                predr, idxr, _r1 = struct.unpack_from("<hBB", blk, 4)
+                if idxl > 88 or idxr > 88:
+                    raise ValueError("IMA ADPCM step index out of range")
+                outl.append(predl)
+                outr.append(predr)
+                body = blk[8:]
+                for goff in range(0, len(body) - (len(body) % 4), 4):
+                    grp = np.frombuffer(body[goff : goff + 4], np.uint8)
+                    nibbles = np.empty(8, np.uint8)
+                    nibbles[0::2] = grp & 0x0F
+                    nibbles[1::2] = grp >> 4
+                    if (goff // 4) % 2 == 0:
+                        for c in nibbles:
+                            predl, idxl = ima_adpcm_step(predl, idxl, int(c))
+                            outl.append(predl)
+                    else:
+                        for c in nibbles:
+                            predr, idxr = ima_adpcm_step(predr, idxr, int(c))
+                            outr.append(predr)
+            n = min(len(outl), len(outr))
+            return (
+                np.stack(
+                    [
+                        np.array(outl[:n], np.int16),
+                        np.array(outr[:n], np.int16),
+                    ],
+                    axis=1,
+                ),
+                rate,
+            )
+        require_codec(f"{ch}-channel IMA ADPCM")
     require_codec(f"WAV format={audio_fmt} bits={bits}")
 
 
@@ -2120,11 +2162,12 @@ def alaw_expand(codes):
 
 
 # ---------------------------------------------------------------------------
-# IMA ADPCM (WAV format 0x11, mono): 4-bit differential codes with
-# the canonical 89-entry step table — a genuinely SEQUENTIAL decoder
-# (predictor/step-index state advances per sample), which the q169
-# oracle reproduces with a recursive CTE stepping the same state
-# machine in SQL. Stereo/multi-channel ADPCM gates via require_codec.
+# IMA ADPCM (WAV format 0x11, mono or stereo): 4-bit differential
+# codes with the canonical 89-entry step table — a genuinely
+# SEQUENTIAL decoder (predictor/step-index state advances per
+# sample), which the q169/q183 oracles reproduce with recursive CTEs
+# stepping the same state machines in SQL. Stereo interleaves 4-byte
+# nibble groups per channel; >2 channels gate via require_codec.
 # ---------------------------------------------------------------------------
 
 _IMA_STEP = [
@@ -2194,6 +2237,130 @@ def encode_wav_ima(nibbles, init_pred: int, init_idx: int,
         + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+def encode_wav_ima_stereo(
+    nib_l,
+    nib_r,
+    init_l: tuple,
+    init_r: tuple,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Stereo single-block IMA ADPCM WAV: two 4-byte channel headers
+    (predictor int16, step index, reserved — left then right) followed
+    by 4-byte nibble groups alternating channels starting left.
+    Nibble streams must be equal length and a multiple of 8 (one
+    group = 8 samples)."""
+    import numpy as np
+
+    nl = np.asarray(nib_l, dtype=np.uint8) & 0x0F
+    nr = np.asarray(nib_r, dtype=np.uint8) & 0x0F
+    assert nl.size == nr.size and nl.size % 8 == 0, (
+        "stereo IMA streams must be equal length, multiple of 8"
+    )
+
+    def pack4(nibbles):
+        return bytes((nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8))
+
+    body = bytearray()
+    for g in range(nl.size // 8):
+        body += pack4(nl[8 * g : 8 * g + 8])
+        body += pack4(nr[8 * g : 8 * g + 8])
+    data = (
+        struct.pack("<hBB", init_l[0], init_l[1], 0)
+        + struct.pack("<hBB", init_r[0], init_r[1], 0)
+        + bytes(body)
+    )
+    block_align = len(data)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 0x11, 2, sample_rate, sample_rate, block_align, 4
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synthetic_ima_stereo_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic STEREO IMA ADPCM clips: channel-distinct nibble
+    streams (left ``(i*7 + t*5) % 16``, right ``(i*11 + t*3 + 8) %
+    16``) from channel-distinct initial states — the q183 oracle
+    replays both state machines with one channel-dimensioned
+    recursive CTE."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        ns = 160 + (i % 3) * 32
+        t = np.arange(ns, dtype=np.int64)
+        nl = ((i * 7 + t * 5) % 16).astype(np.uint8)
+        nr = ((i * 11 + t * 3 + 8) % 16).astype(np.uint8)
+        content = encode_wav_ima_stereo(
+            nl,
+            nr,
+            (((i * 53) % 1800) - 900, (i * 3) % 89),
+            (((i * 29) % 1600) - 800, (i * 5 + 7) % 89),
+        )
+        rows.append((i, "audio", content, None, f"mem://media/{i}.st.wav"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def audio_stereo_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact per-clip STEREO statistics: frame count, per-
+    channel linear and square sums, the cross-channel product sum
+    (breaks if the decoder swaps or desynchronizes channels even when
+    per-channel sums survive), and joint peak magnitude."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    samples, _rate = decode_wav(bytes(content))
+                except (ValueError, struct.error, IndexError):
+                    out.append((media_id,) + (None,) * 7)
+                    continue
+                if samples.shape[1] != 2:
+                    out.append((media_id,) + (None,) * 7)
+                    continue
+                sl = samples[:, 0].astype(np.int64)
+                sr = samples[:, 1].astype(np.int64)
+                out.append(
+                    (
+                        media_id,
+                        int(sl.size),
+                        int(sl.sum()),
+                        int(sr.sum()),
+                        int((sl * sl).sum()),
+                        int((sr * sr).sum()),
+                        int((sl * sr).sum()),
+                        int(
+                            max(
+                                np.abs(sl).max(initial=0),
+                                np.abs(sr).max(initial=0),
+                            )
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "sum_left", "sum_right",
+                    "sumsq_left", "sumsq_right", "cross_sum", "peak",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_frames long, sum_left long, sum_right long, "
+        "sumsq_left long, sumsq_right long, cross_sum long, peak long",
+    )
 
 
 def encode_wav_g711(codes, law: str = "ulaw", sample_rate: int = 8000) -> bytes:

@@ -9647,6 +9647,88 @@ def q182_bigram_lm_scores(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def _q183_oracle() -> str:
+    from ..operators.multimodal import _IMA_STEP
+
+    steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEP))
+    code = (
+        "(CASE WHEN d.ch = 0 THEN (d.i * 7 + d.t * 5) % 16"
+        " ELSE (d.i * 11 + d.t * 3 + 8) % 16 END)"
+    )
+    diff = (
+        f"((s.step // 8)"
+        f" + (CASE WHEN ({code}) // 4 % 2 = 1 THEN s.step ELSE 0 END)"
+        f" + (CASE WHEN ({code}) // 2 % 2 = 1 THEN s.step // 2 ELSE 0 END)"
+        f" + (CASE WHEN ({code}) % 2 = 1 THEN s.step // 4 ELSE 0 END))"
+    )
+    sign = f"(CASE WHEN ({code}) // 8 = 1 THEN -1 ELSE 1 END)"
+    idx_adj = (
+        f"(CASE WHEN ({code}) % 8 < 4 THEN -1"
+        f" ELSE (({code}) % 8 - 3) * 2 END)"
+    )
+    return f"""
+    WITH RECURSIVE m AS (
+        SELECT i, 160 + (i % 3) * 32 AS ns,
+               ((i * 53) % 1800) - 900 AS p0l, (i * 3) % 89 AS x0l,
+               ((i * 29) % 1600) - 800 AS p0r, (i * 5 + 7) % 89 AS x0r
+        FROM range(24) t(i)
+    ),
+    chans AS (
+        SELECT i, ns, 0 AS ch, p0l AS p0, x0l AS x0 FROM m
+        UNION ALL
+        SELECT i, ns, 1, p0r, x0r FROM m
+    ),
+    steptab(sx, step) AS (SELECT * FROM (VALUES {steps}) v(ix, st)),
+    dec(i, ch, t, pred, sx) AS (
+        SELECT i, ch, 0, p0, x0 FROM chans
+        UNION ALL
+        SELECT d.i, d.ch, d.t + 1,
+               greatest(-32768, least(32767,
+                   d.pred + {sign} * {diff})),
+               greatest(0, least(88, d.sx + {idx_adj}))
+        FROM dec d
+        JOIN chans c ON c.i = d.i AND c.ch = d.ch
+        JOIN steptab s ON s.sx = d.sx
+        WHERE d.t < c.ns
+    ),
+    l AS (SELECT i, t, pred FROM dec WHERE ch = 0),
+    r AS (SELECT i, t, pred FROM dec WHERE ch = 1)
+    SELECT l.i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(l.pred) AS BIGINT) AS sum_left,
+           CAST(SUM(r.pred) AS BIGINT) AS sum_right,
+           CAST(SUM(l.pred * l.pred) AS BIGINT) AS sumsq_left,
+           CAST(SUM(r.pred * r.pred) AS BIGINT) AS sumsq_right,
+           CAST(SUM(l.pred * r.pred) AS BIGINT) AS cross_sum,
+           CAST(MAX(GREATEST(ABS(l.pred), ABS(r.pred))) AS BIGINT) AS peak
+    FROM l JOIN r ON r.i = l.i AND r.t = l.t
+    GROUP BY l.i
+    """
+
+
+@_register(
+    "q183_ima_stereo_decode_stats",
+    _q183_oracle(),
+    "STEREO IMA ADPCM decode (the round-5 gate retirement list's "
+    "last audio item): the Microsoft WAV layout interleaves 4-byte "
+    "nibble groups per channel after per-channel block headers, so "
+    "the decoder runs TWO (predictor, step-index) state machines in "
+    "lockstep. The oracle replays both with one channel-dimensioned "
+    "recursive CTE; the CROSS-channel product sum is the signature "
+    "stat — a decoder that swaps or desynchronizes channels "
+    "preserves per-channel sums but breaks it.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q183_ima_stereo_decode_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        audio_stereo_stats,
+        synthetic_ima_stereo_table,
+    )
+
+    media = synthetic_ima_stereo_table(spark, n=24)
+    return audio_stereo_stats(media).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -735,3 +735,44 @@ def test_png_gray_family_roundtrips():
             assert (
                 decode_png(encode_png_palette_subbyte(px3, depth=d)) == px3
             ).all(), (w, h, d)
+
+
+def test_ima_stereo_roundtrip_and_channel_independence():
+    """Stereo IMA ADPCM: interleaved 4-byte groups decode to the same
+    per-channel streams the mono decoder produces, channels stay
+    independent, and >2 channels still gate."""
+    import numpy as np
+    import pytest
+    import struct as _s
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_stereo,
+        ima_adpcm_decode,
+        require_codec,  # noqa: F401 (documents the gate under test)
+    )
+
+    t = np.arange(96, dtype=np.int64)
+    nl = ((t * 5 + 3) % 16).astype(np.uint8)
+    nr = ((t * 7 + 9) % 16).astype(np.uint8)
+    b = encode_wav_ima_stereo(nl, nr, (100, 10), (-200, 40))
+    s, rate = decode_wav(b)
+    assert s.shape == (97, 2) and rate == 8000
+    assert (s[:, 0] == np.array(ima_adpcm_decode(nl, 100, 10), np.int16)).all()
+    assert (s[:, 1] == np.array(ima_adpcm_decode(nr, -200, 40), np.int16)).all()
+    # channel swap in the header must change the output (not symmetric)
+    swapped = encode_wav_ima_stereo(nr, nl, (-200, 40), (100, 10))
+    s2, _ = decode_wav(swapped)
+    assert (s2[:, 0] == s[:, 1]).all() and (s2[:, 1] == s[:, 0]).all()
+    # 3 channels -> honest gate: patch the fmt chunk channel count
+    bad = bytearray(b)
+    (ch_off,) = [i for i in range(len(b)) if b[i:i+4] == b"fmt "]
+    bad[ch_off + 10] = 3
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    # bad step index -> ValueError
+    bad2 = bytearray(b)
+    (d_off,) = [i for i in range(len(b)) if b[i:i+4] == b"data"]
+    bad2[d_off + 8 + 2] = 90
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad2))
