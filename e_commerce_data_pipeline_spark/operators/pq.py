@@ -146,6 +146,85 @@ def pq_codes(
     return _spread(emb).select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
 
 
+def ivfpq_adc_topk(
+    spark,
+    index_path: str,
+    emb: DataFrame,
+    books_micro,
+    query_filter,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN serving shape — the coarse IVF index
+    prunes candidates to each query's ``nprobe`` nearest cells (the
+    scan reads ONLY those partition directories of the on-disk index,
+    same pruning as ivf.probe_ivf_index), then PQ ADC ranks the
+    survivors through integer LUT sums without touching the original
+    vectors. Probe clusters and LUTs derive driver-side from the
+    bounded query slice; candidate scoring is a broadcast LUT join
+    with map-side partial aggregation."""
+    np = _np()
+    books = np.asarray(books_micro, dtype=np.int64)
+    m, ksub, dsub = books.shape
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    qrows = (
+        emb.filter(query_filter).select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    lut_rows, probe_rows = [], []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        sims = cn @ qn
+        # (sim DESC, centroid ASC) — the oracle's probe window order
+        order = sorted(range(len(sims)), key=lambda c: (-sims[c], c))[:nprobe]
+        probe_rows.extend((int(r[0]), int(c)) for c in order)
+        qq = quantize_micro(r[1])
+        for s in range(m):
+            vals = _round_half_away(
+                (books[s] @ qq[s * dsub : (s + 1) * dsub]) / MICRO
+            )
+            lut_rows.extend(
+                (int(r[0]), s, int(code), int(vals[code]))
+                for code in range(ksub)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, sub int, code int, lut_micro long"
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster int")
+    clusters = sorted({c for _, c in probe_rows})
+    # literal isin -> static partition pruning on the index scan
+    idx = spark.read.parquet(index_path).filter(F.col("cluster").isin(clusters))
+    cand = (
+        F.broadcast(probes)
+        .join(idx.select("neighbor_id", "cluster"), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes = pq_codes(emb, books, id_col=id_col, vec_col=vec_col)
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_micro")
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     books_micro,

@@ -78,3 +78,41 @@ def test_pq_score_is_exact_integer_lut_sum(spark, sf_dir):
             v = (books[sub] @ qsub)[codes[r["neighbor_id"]][sub]] / MICRO
             s += int(np.sign(v) * np.floor(np.abs(v) + 0.5))
         assert r["score_micro"] == s, (r, s)
+
+
+def test_ivfpq_prunes_index_scan_and_subsets_adc(spark, sf_dir):
+    """q185's operator: the index scan must carry PartitionFilters on
+    cluster (static pruning), and every returned (query, neighbor,
+    score) must agree with exhaustive ADC — IVF only FILTERS
+    candidates, it must never change a survivor's score."""
+    import os
+
+    from e_commerce_data_pipeline_spark.operators.ivf import (
+        train_centroids,
+        write_ivf_index,
+    )
+    from e_commerce_data_pipeline_spark.operators.pq import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks_micro(emb)
+    cents = train_centroids(emb, n_centroids=8, n_iters=2)
+    path = f"/tmp/pq_ivf_idx_test_{os.getpid()}"
+    write_ivf_index(emb, cents, path)
+    out = ivfpq_adc_topk(
+        spark, path, emb, books, F.col("vec_id") < 10, cents, k=5, nprobe=4
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "cluster" in line
+        for line in plan.splitlines()
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score_micro"]
+        for r in pq_adc_topk(
+            emb, books, F.col("vec_id") < 10, k=10**9
+        ).collect()
+    }
+    assert len({r["query_id"] for r in rows}) >= 3
+    for r in rows:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["score_micro"]
