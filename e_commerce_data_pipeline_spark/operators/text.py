@@ -579,7 +579,7 @@ def train_bpe_merges(
 
 
 def bpe_encode_corpus(
-    docs: DataFrame, merges, text_col: str = "text"
+    docs: DataFrame, merges, text_col: str = "text", group_cols=()
 ) -> DataFrame:
     """Corpus-scale BPE TOKENIZATION with a trained merge list — the
     throughput half of the tokenizer (``train_bpe_merges`` builds the
@@ -602,36 +602,41 @@ def bpe_encode_corpus(
     Sentinels '<'/'>' cannot collide because the vocabulary is
     alphanumeric by construction.
 
-    Returns the encoded vocabulary: ``(w, freq, toks)`` with ``toks``
-    the word's BPE token array; corpus-level token statistics derive
-    by exploding ``toks`` weighted by ``freq``.
+    Returns the encoded vocabulary: ``(*group_cols, w, freq, toks)``
+    with ``toks`` the word's BPE token array; corpus-level token
+    statistics derive by exploding ``toks`` weighted by ``freq``.
+    ``group_cols`` scopes the vocabulary (e.g. per language for a
+    fertility report) — encoding still happens once per distinct
+    (group, word).
     """
     for a, b in merges:
         if not (a + b).isalnum():
             raise ValueError(f"merge symbols must be alphanumeric: {(a, b)}")
+    g = list(group_cols)
     words = (
         docs.select(
+            *g,
             F.explode(
                 F.expr(
                     f"regexp_extract_all({text_col}, "
                     "'[a-zA-Z]+|[0-9]+', 0)"
                 )
-            ).alias("w")
+            ).alias("w"),
         )
-        .groupBy("w")
+        .groupBy(*g, "w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     s = F.regexp_replace(F.col("w"), F.lit("(.)"), F.lit("<$1>"))
     for a, b in merges:
         s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
-    enc = words.select("w", "freq", s.alias("s"))
+    enc = words.select(*g, "w", "freq", s.alias("s"))
     # materialize the encoded string before slicing/splitting so the
     # replace chain is evaluated once per word in its own Project
     body = enc.select(
-        "w", "freq", F.expr("substring(s, 2, length(s) - 2)").alias("body")
+        *g, "w", "freq", F.expr("substring(s, 2, length(s) - 2)").alias("body")
     )
     return body.select(
-        "w", "freq", F.split(F.col("body"), "><").alias("toks")
+        *g, "w", "freq", F.split(F.col("body"), "><").alias("toks")
     )
 
 

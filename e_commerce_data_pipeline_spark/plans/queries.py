@@ -9957,6 +9957,136 @@ def q185_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _q186_oracle() -> str:
+    enc = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+    for a, b in _Q179_MERGES:
+        enc = f"replace({enc}, '<{a}><{b}>', '<{a}{b}>')"
+    return f"""
+    WITH words AS (
+        SELECT lang, w, COUNT(*) AS freq FROM (
+            SELECT lang, unnest(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+')) AS w
+            FROM documents) GROUP BY lang, w
+    ),
+    enc AS (
+        SELECT lang, w, freq,
+               length(w) AS n_chars,
+               len(str_split(substr({enc}, 2,
+                   length({enc}) - 2), '><')) AS n_toks
+        FROM words
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(freq * n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq * n_toks) AS BIGINT)
+               / (1.0 * CAST(SUM(freq) AS BIGINT)) AS fertility,
+           CAST(SUM(freq * n_chars) AS BIGINT)
+               / (1.0 * CAST(SUM(freq * n_toks) AS BIGINT))
+               AS chars_per_token
+    FROM enc GROUP BY lang
+    """
+
+
+@_register(
+    "q186_tokenizer_fertility",
+    _q186_oracle(),
+    "Tokenizer FERTILITY report (tokens per word, chars per token) "
+    "by language — the metric an LLM team tracks when choosing or "
+    "retraining a tokenizer (high fertility on a language = wasted "
+    "context window). Reuses q179's replace-chain encode over the "
+    "distinct (lang, word) vocabulary: per-word token counts are "
+    "computed once per distinct word per language and weighted by "
+    "frequency, so the report costs O(|vocab|) no matter the corpus; "
+    "the two ratios are single divisions of exact integer sums "
+    "(the fixed_avg discipline).",
+)
+def q186_tokenizer_fertility(spark, sf_dir):
+    from ..operators.text import bpe_encode_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_corpus(docs, _Q179_MERGES, group_cols=["lang"])
+    per = enc.select(
+        "lang",
+        "freq",
+        F.length("w").cast("long").alias("n_chars"),
+        F.size("toks").cast("long").alias("n_toks"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.col("n_chars")).cast("long").alias("n_chars"),
+        F.sum(F.col("freq") * F.col("n_toks")).cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("freq") * F.col("n_toks"))
+            / (F.sum("freq") * F.lit(1.0))
+        ).alias("fertility"),
+        (
+            F.sum(F.col("freq") * F.col("n_chars"))
+            / (F.sum(F.col("freq") * F.col("n_toks")) * F.lit(1.0))
+        ).alias("chars_per_token"),
+    )
+
+
+@_register(
+    "q187_isotonic_return_rate",
+    """
+    WITH b AS (
+        SELECT CAST(l_quantity AS INT) AS x,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hits,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY x
+    ),
+    pre AS (
+        SELECT x, hits, n,
+               CAST(SUM(hits) OVER (ORDER BY x) AS BIGINT) AS s,
+               CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS nn
+        FROM b
+    ),
+    iv AS (
+        SELECT j.x AS jx, k.x AS kx,
+               (k.s - j.s + j.hits) / (1.0 * (k.nn - j.nn + j.n)) AS a
+        FROM pre j JOIN pre k ON j.x <= k.x
+    ),
+    m1 AS (
+        SELECT iv.jx, i.x AS ix, MIN(iv.a) AS mn
+        FROM iv JOIN b i ON iv.jx <= i.x AND i.x <= iv.kx
+        GROUP BY iv.jx, i.x
+    ),
+    fit AS (SELECT ix, MAX(mn) AS fitted_rate FROM m1 GROUP BY ix)
+    SELECT p.x, p.hits, p.n,
+           p.hits / (1.0 * p.n) AS emp_rate,
+           f.fitted_rate
+    FROM pre p JOIN fit f ON f.ix = p.x
+    """,
+    "ISOTONIC REGRESSION (monotone calibration, Barlow et al. 1972): "
+    "the best non-decreasing return-rate curve over quantity bands, "
+    "fit via the minimax closed form fitted(i) = max_(j<=i) "
+    "min_(k>=i) avg(j..k) instead of the inherently serial "
+    "pool-adjacent-violators sweep — prefix sums, an interval-average "
+    "self-join, and two grouped extremes, O(B^3) over the BOUNDED "
+    "band table (50 quantity levels; corpus touched once by the "
+    "banding aggregate, the q162 calendar-bounded doctrine). Every "
+    "interval average is one double division of exact integer sums, "
+    "so the average multiset — hence min/max, hence the fitted curve "
+    "— is bit-identical across engines. tests/test_regression.py "
+    "pins the minimax form against a classic PAVA reference.",
+)
+def q187_isotonic_return_rate(spark, sf_dir):
+    from ..operators.regression import isotonic_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    bands = li.groupBy(
+        F.col("l_quantity").cast("int").alias("x")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return isotonic_fit(bands)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
