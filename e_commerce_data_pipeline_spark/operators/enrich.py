@@ -47,8 +47,14 @@ def bot_score(df: DataFrame, events_per_session_threshold: int = 100) -> DataFra
     return out.withColumn("is_bot", is_bot)
 
 
-def user_segments(orders: DataFrame) -> DataFrame:
-    """U2: per-user segment from order activity (when-ladder, no UDF)."""
+def user_segments(
+    orders: DataFrame, hv_threshold: int = 500, loyal_orders: int = 5
+) -> DataFrame:
+    """U2: per-user segment from order activity (when-ladder, no UDF).
+
+    Pass ``total_amount`` as exact integer cents (functions.to_fixed)
+    when cross-engine segment parity matters — an integer lifetime
+    sum makes the threshold frontier deterministic (q189)."""
     per_user = orders.groupBy("user_id").agg(
         F.sum("total_amount").alias("lifetime_value"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -56,8 +62,8 @@ def user_segments(orders: DataFrame) -> DataFrame:
     )
     return per_user.withColumn(
         "user_segment",
-        F.when(F.col("lifetime_value") >= 500, "high_value")
-        .when(F.col("n_orders") >= 5, "loyal")
+        F.when(F.col("lifetime_value") >= hv_threshold, "high_value")
+        .when(F.col("n_orders") >= loyal_orders, "loyal")
         .when(F.col("n_orders") == 1, "new")
         .otherwise("regular"),
     )
