@@ -93,6 +93,68 @@ def cosine_topk(
     )
 
 
+def hard_negative_mining(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per query
+    vector, the nearest SAME-label neighbor (the positive) and the
+    nearest DIFFERENT-label neighbor (the hard negative — the sample
+    that teaches the boundary; random negatives are mostly trivial).
+    One corpus scan, queries broadcast; ranking on (rounded sim DESC,
+    id ASC) keeps both picks engine-reproducible. Queries whose label
+    has no other member drop out (inner join) — they have no positive
+    to mine. Returns (query_id, label, pos_id, pos_sim, neg_id,
+    neg_sim, margin)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        unit_vec(F.col(vec_col)).alias("q_vec"),
+    )
+    c = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        unit_vec(F.col(vec_col)).alias("c_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(dot(F.col("q_vec"), F.col("c_vec")), round_dp))
+        .withColumn("is_pos", F.col("q_label") == F.col("n_label"))
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    pos = top.filter(F.col("is_pos")).select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = top.filter(~F.col("is_pos")).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "label",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        (F.col("pos_sim") - F.col("neg_sim")).alias("margin"),
+    )
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     block_col: str,

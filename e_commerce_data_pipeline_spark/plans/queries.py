@@ -10230,6 +10230,191 @@ def q189_user_segments(spark, sf_dir):
     )
 
 
+@_register(
+    "q190_leakage_safe_split",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(range(len(t) - 2),
+                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+                   AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    prs AS (
+        SELECT a_id, b_id FROM inter
+        JOIN sizes sa ON inter.a_id = sa.id
+        JOIN sizes sb ON inter.b_id = sb.id
+        WHERE n_inter / (1.0 * (sa.n_sh + sb.n_sh - n_inter)) >= 0.10
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM prs
+        UNION ALL SELECT b_id, a_id FROM prs
+    ),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, lbl) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    closed AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN closed c ON c.id = d.doc_id
+    ),
+    split AS (
+        SELECT doc_id, component,
+               CASE WHEN {{u}} < 0.8 THEN 'train'
+                    WHEN {{u}} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+    ),
+    leak AS (
+        SELECT sa.split, COUNT(*) AS n_dup_pairs,
+               CAST(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_leaky
+        FROM prs p
+        JOIN split sa ON sa.doc_id = p.a_id
+        JOIN split sb ON sb.doc_id = p.b_id
+        GROUP BY sa.split
+    )
+    SELECT s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT s.component) AS BIGINT) AS n_groups,
+           CAST(coalesce(MAX(l.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(MAX(l.n_leaky), 0) AS BIGINT) AS n_leaky_pairs
+    FROM split s LEFT JOIN leak l ON l.split = s.split
+    GROUP BY s.split
+    """.replace("{toks}", _SQL_TOKS)
+    .replace("{u}", _sql_hash_uniform("dsplit", "component")),
+    "LEAKAGE-SAFE train/val/test split — the eval-hygiene step an LLM "
+    "pipeline must run before near-dups poison a holdout: q150's "
+    "lossless prefix-filtered Jaccard pairs close into dup groups "
+    "(q58's components operator, singletons attached by one left "
+    "join), every group's docs inherit ONE split decision hashed from "
+    "the GROUP representative (not the doc — the entire point), and "
+    "the output carries its own audit: n_leaky_pairs counts near-dup "
+    "pairs straddling splits and must be 0 by construction, so any "
+    "drift to per-doc splitting breaks both the audit column and the "
+    "hash. The oracle replays pairs, recursive closure, md5 split "
+    "assignment, and the audit end to end.",
+)
+def q190_leakage_safe_split(spark, sf_dir):
+    from ..operators.components import connected_components
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+    from ..operators.sampling import hash_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(
+        docs, n=3, threshold_pct=10
+    ).select("a_id", "b_id").cache()
+    comp = connected_components(
+        pairs, "a_id", "b_id",
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        id_col="id",
+    )
+    u = hash_uniform(F.col("component"), salt="dsplit")
+    split = comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    sa = split.select(
+        F.col("doc_id").alias("a_id"), F.col("split").alias("sa")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("b_id"), F.col("split").alias("sb")
+    )
+    leak = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .groupBy(F.col("sa").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum((F.col("sa") != F.col("sb")).cast("int"))
+            .cast("long")
+            .alias("n_leaky"),
+        )
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_groups"),
+        )
+        .join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce("n_leaky", F.lit(0)).cast("long").alias(
+                "n_leaky_pairs"
+            ),
+        )
+    )
+
+
+@_register(
+    "q191_hard_negative_mining",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS n_label,
+               embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT query_id, q_label, neighbor_id, n_label,
+               round(list_cosine_similarity(qv, cv), 6) AS sim
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id, (q_label = n_label)
+            ORDER BY sim DESC, neighbor_id) AS rk
+        FROM s
+    )
+    SELECT p.query_id, CAST(p.q_label AS INT) AS label,
+           p.neighbor_id AS pos_id, p.sim AS pos_sim,
+           n.neighbor_id AS neg_id, n.sim AS neg_sim,
+           p.sim - n.sim AS margin
+    FROM (SELECT * FROM r WHERE rk = 1 AND q_label = n_label) p
+    JOIN (SELECT * FROM r WHERE rk = 1 AND q_label != n_label) n
+      ON n.query_id = p.query_id
+    """,
+    "HARD-NEGATIVE MINING for contrastive embedding training (the "
+    "data-prep step behind retrieval/embedding model fine-tuning): "
+    "per anchor, the nearest same-label neighbor becomes the positive "
+    "and the nearest DIFFERENT-label neighbor the hard negative — "
+    "the boundary-teaching sample random negatives almost never are. "
+    "One broadcast-query corpus scan, both picks from a single "
+    "(query, same-label?) rank window on 6dp-rounded cosine, margin "
+    "as a plain difference of the two already-rounded doubles. "
+    "Anchors whose label has no second member drop out by inner-join "
+    "construction on both engines.",
+)
+def q191_hard_negative_mining(spark, sf_dir):
+    from ..operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, emb.filter((F.col("vec_id") % 40) == 0))
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
