@@ -191,9 +191,10 @@ def test_png_gates_unsupported_variants():
         decode_png,
     )
 
-    # grayscale (color type 0) is a real PNG variant we do not decode:
+    # 16-bit grayscale is a real PNG variant we do not decode (8-bit
+    # gray decodes for real now — test_png_gray_family_roundtrips):
     # must gate through require_codec, not silently mis-decode
-    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     b = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(b)
@@ -455,9 +456,10 @@ def test_ima_adpcm_multiblock_clamps_and_gate():
     s2, _ = decode_wav(bytes(two))
     assert s2[:, 0].tolist() == 2 * ima_adpcm_decode(codes, -123, 17)
 
-    # stereo ADPCM gates honestly
+    # >2-channel ADPCM gates honestly (stereo decodes for real now —
+    # tests/test_ima_stereo_roundtrip_and_channel_independence)
     hdr = bytearray(one)
-    hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 2)
+    hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 4)
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(hdr))
 
