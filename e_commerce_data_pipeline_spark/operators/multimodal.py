@@ -1056,6 +1056,89 @@ def image_color_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def make_quadratic_pixels(width: int, height: int, seed: int = 0):
+    """Deterministic QUADRATIC pattern: v = (3x^2 + 5y^2 + 7xy + seed)
+    mod 256 — unlike the linear gradient (whose dHash collapses to
+    'mostly increasing' for any seed, i.e. all gradients are
+    perceptually alike), the curvature makes distinct seeds
+    perceptually distinct while keeping <= 256 colors (GIF-safe)."""
+    import numpy as np
+
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    v = (x * x * 3 + y * y * 5 + x * y * 7 + seed) % 256
+    return np.stack([v, (v + 85) % 256, (v + 170) % 256], axis=-1).astype(
+        "uint8"
+    )
+
+
+def synthetic_crossformat_dup_table(spark, n_groups: int = 20) -> DataFrame:
+    """Duplicate groups ACROSS container formats: group j's pixels are
+    encoded three times — BMP, PNG, GIF (all lossless, so the decoded
+    rasters are identical) — plus one singleton per group with a
+    distinct seed. Byte-level hashing sees 3 x n_groups unrelated
+    blobs; perceptual hashing must recover the groups. Quadratic
+    pixels keep distinct groups perceptually distinct."""
+    rows = []
+    for j in range(n_groups):
+        w, h = 24 + (j % 5) * 4, 16 + (j % 4) * 4
+        px = make_quadratic_pixels(w, h, seed=j * 17 + 3)
+        for m, enc in enumerate((encode_bmp, encode_png, encode_gif)):
+            rows.append(
+                (j * 4 + m, "image", enc(px), None,
+                 f"mem://media/{j * 4 + m}.dup")
+            )
+        solo = make_quadratic_pixels(
+            20 + (j % 6) * 4, 14 + (j % 5) * 4, seed=j * 31 + 1000
+        )
+        rows.append(
+            (j * 4 + 3, "image", encode_png(solo), None,
+             f"mem://media/{j * 4 + 3}.solo")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def image_dhash(df: DataFrame, cols: int = 9, rows_: int = 5) -> DataFrame:
+    """Perceptual difference hash (dHash): decode -> integer luma
+    ((299r + 587g + 114b) // 1000) -> nearest-neighbor resample to a
+    ``cols x rows_`` grid (the (c*w)//cols index map q143 verifies) ->
+    one bit per horizontal neighbor comparison -> (cols-1)*rows_-bit
+    integer. All integer arithmetic, so an independent engine
+    regenerates the hash bit-for-bit from the pixel closed form; the
+    40-bit default stays far inside int64. Identical rasters hash
+    identically regardless of container format — the cross-format
+    dedup signal exact byte hashing cannot see."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, _fmt = _decode_any(content)
+                if px is None:
+                    out.append((media_id, None))
+                    continue
+                p = px[..., :3].astype(np.int64)
+                h, w = p.shape[:2]
+                luma = (
+                    p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114
+                ) // 1000
+                xs = (np.arange(cols, dtype=np.int64) * w) // cols
+                ys = (np.arange(rows_, dtype=np.int64) * h) // rows_
+                grid = luma[np.ix_(ys, xs)]
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                k = np.arange(rows_ * (cols - 1), dtype=np.int64).reshape(
+                    rows_, cols - 1
+                )
+                out.append((media_id, int((bits << k).sum())))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, "media_id long, dhash long"
+    )
+
+
 def jpeg420_tile_value(i: int, by: int, bx: int) -> int:
     """Closed-form 16x16-tile value for the 4:2:0 corpus (q165)."""
     return (i * 17 + by * 29 + bx * 43) % 256

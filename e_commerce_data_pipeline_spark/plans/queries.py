@@ -10415,6 +10415,89 @@ def q191_hard_negative_mining(spark, sf_dir):
     return hard_negative_mining(emb, emb.filter((F.col("vec_id") % 40) == 0))
 
 
+def _q192_oracle() -> str:
+    def lum(xe: str) -> str:
+        r = (
+            f"((({xe}) * ({xe}) * 3 + y0 * y0 * 5"
+            f" + ({xe}) * y0 * 7 + seed) % 256)"
+        )
+        return (
+            f"(({r}) * 299 + (({r} + 85) % 256) * 587"
+            f" + (({r} + 170) % 256) * 114) // 1000"
+        )
+
+    return f"""
+    WITH m AS (
+        SELECT j * 4 + k AS media_id,
+               CASE WHEN k < 3 THEN 24 + (j % 5) * 4
+                    ELSE 20 + (j % 6) * 4 END AS w,
+               CASE WHEN k < 3 THEN 16 + (j % 4) * 4
+                    ELSE 14 + (j % 5) * 4 END AS h,
+               CASE WHEN k < 3 THEN j * 17 + 3
+                    ELSE j * 31 + 1000 END AS seed
+        FROM range(20) t(j), range(4) u(k)
+    ),
+    cells AS (
+        SELECT media_id, seed,
+               (ry * h) // 5 AS y0,
+               (c * w) // 9 AS x1,
+               ((c + 1) * w) // 9 AS x2,
+               ry, c
+        FROM m,
+             (SELECT unnest(range(5)) AS ry),
+             (SELECT unnest(range(8)) AS c)
+    ),
+    hashes AS (
+        SELECT media_id,
+               CAST(SUM(CASE WHEN {lum('x2')} > {lum('x1')}
+                        THEN (1::BIGINT << (ry * 8 + c))
+                        ELSE 0 END) AS BIGINT) AS dhash
+        FROM cells GROUP BY media_id
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(media_id) AS BIGINT) AS canonical_id,
+           CAST(SUM(media_id) AS BIGINT) AS id_sum
+    FROM hashes GROUP BY dhash
+    HAVING COUNT(*) >= 2
+    """
+
+
+@_register(
+    "q192_crossformat_phash_dedup",
+    _q192_oracle(),
+    "PERCEPTUAL-HASH image dedup ACROSS container formats — the "
+    "multimodal signal exact byte hashing cannot see: each duplicate "
+    "group's pixels are encoded as BMP, PNG, and GIF (three unrelated "
+    "byte blobs), decoded through three different real codecs, and "
+    "must converge to ONE 40-bit dHash (integer luma -> q143's "
+    "(c*w)//cols resample map -> horizontal-gradient bits). The "
+    "oracle regenerates every hash from the pixel closed form — a "
+    "drift in any decoder, the luma weights, the resample map, or "
+    "the bit packing splits a group and breaks the hash. Grouping is "
+    "a plain partial-agg groupBy on the 8-byte hash: the exact-dedup "
+    "shuffle shape (q22) applied to perceptual identity.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q192_crossformat_phash_dedup(spark, sf_dir):
+    from ..operators.multimodal import (
+        image_dhash,
+        synthetic_crossformat_dup_table,
+    )
+
+    media = synthetic_crossformat_dup_table(spark, n_groups=20)
+    return (
+        image_dhash(media)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("canonical_id"),
+            F.sum("media_id").alias("id_sum"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

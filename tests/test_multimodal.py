@@ -778,3 +778,33 @@ def test_ima_stereo_roundtrip_and_channel_independence():
     bad2[d_off + 8 + 2] = 90
     with pytest.raises(ValueError):
         decode_wav(bytes(bad2))
+
+
+def test_crossformat_dhash_dedup_finds_groups_bytes_cannot(spark):
+    """Each duplicate group's three containers (BMP/PNG/GIF) converge
+    to one dHash; exact byte hashing sees zero duplicates on the same
+    corpus. Singletons stay singletons."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        image_dhash,
+        synthetic_crossformat_dup_table,
+    )
+
+    media = synthetic_crossformat_dup_table(spark, n_groups=8)
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    for j in range(8):
+        assert hashes[j * 4] == hashes[j * 4 + 1] == hashes[j * 4 + 2], j
+    # byte-level hashing finds NO duplicates on the same corpus
+    byte_groups = (
+        media.groupBy(F.md5(F.col("content").cast("binary")).alias("h"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert byte_groups == 0
+    # perceptual groups of >= 2 are exactly the 8 planted triplets
+    # (unless two groups' closed forms collide, which the fixed seeds
+    # below do not)
+    from collections import Counter
+
+    c = Counter(hashes.values())
+    assert sorted(v for v in c.values() if v >= 2) == [3] * 8
