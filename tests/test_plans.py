@@ -250,6 +250,18 @@ def test_q179_bpe_encode_plan_shape(spark, sf_dir):
     assert "Join" not in opt  # merges ride the generated code, not a join
 
 
+def test_q182_bigram_pairs_generate_reads_materialized_toks(spark, sf_dir):
+    """q182's pair explode must generate from the materialized __toks
+    column — a Generate embedding the tokenizer re-runs it per pair."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q182_bigram_lm_scores"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Generate" in line:
+            assert "regexp_replace" not in line, line
+
+
 def test_q131_bloom_filter_below_exchange(spark, sf_dir):
     """The bloom membership predicate must prune the orders scan
     BEFORE the aggregation exchange, with no Python eval node."""
