@@ -10498,6 +10498,187 @@ def q192_crossformat_phash_dedup(spark, sf_dir):
     )
 
 
+@_register(
+    "q193_audio_resample_stats",
+    """
+    WITH m AS (SELECT i, 400 + (i % 5) * 40 AS ns FROM range(40) t(i)),
+    s AS (SELECT i, unnest(range((ns * 3000) // 8000)) AS k FROM m),
+    c AS (
+        SELECT i, (i * 13 + ((k * 8000) // 3000) * 7) % 256 AS code
+        FROM s
+    ),
+    bits AS (
+        SELECT i, code,
+               255 - code AS u,
+               xor(code, 85) AS a
+        FROM c
+    ),
+    lin AS (
+        SELECT i,
+          CASE WHEN i % 2 = 0 THEN
+            CASE WHEN u >= 128
+                 THEN 132 - (((u % 16) * 8 + 132)
+                             * (CAST(1 AS BIGINT) << ((u // 16) % 8)))
+                 ELSE (((u % 16) * 8 + 132)
+                       * (CAST(1 AS BIGINT) << ((u // 16) % 8))) - 132
+            END
+          ELSE
+            (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+            (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                  WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                  ELSE ((a % 16) * 16 + 264)
+                       * (CAST(1 AS BIGINT) << ((a // 16) % 8 - 1))
+            END)
+          END AS v
+        FROM bits
+    )
+    SELECT i AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_lin,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM lin GROUP BY i
+    """,
+    "Audio RESAMPLE driver-verified at value level (the resample "
+    "operator was pytest-only): the G.711 corpus decodes through the "
+    "CCITT expansion, nearest-sample-resamples 8000 -> 3000 Hz "
+    "(kept sample k reads source index (k*8000)//3000 — the audio "
+    "analog of q143's verified resize index map), re-encodes as PCM "
+    "WAV, and re-decodes into exact int64 stats. The oracle "
+    "regenerates ONLY the kept samples' codes and applies the same "
+    "expansion, so an off-by-one in the index map, output length "
+    "floor, or the PCM re-encode round-trip breaks the hash.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q193_audio_resample_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        audio_exact_stats,
+        resample_audio,
+        synthetic_g711_table,
+    )
+
+    media = synthetic_g711_table(spark, n=40)
+    return audio_exact_stats(resample_audio(media, 3000)).orderBy("media_id")
+
+
+@_register(
+    "q194_click_validation_census",
+    """
+    WITH d AS (
+        SELECT
+          CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS eid,
+          CASE WHEN user_id % 89 = 0 THEN NULL
+               ELSE user_id * 1000 + event_id % 7 END AS sid,
+          ['page_view','product_view','search','add_to_cart','hover']
+              [CAST(event_id % 5 AS INT) + 1] AS ct,
+          ['mobile','desktop','tablet','smart_tv']
+              [CAST(event_id % 4 AS INT) + 1] AS dt,
+          CASE CAST(event_id % 6 AS INT)
+               WHEN 0 THEN 'https://shop.example/p/'
+                           || CAST(event_id AS VARCHAR)
+               WHEN 1 THEN 'http://shop.example/s?q='
+                           || CAST(user_id AS VARCHAR)
+               WHEN 2 THEN 'ftp://files.example/x'
+               WHEN 3 THEN 'shop.example/no-scheme'
+               WHEN 4 THEN ''
+               ELSE NULL END AS url
+        FROM events
+    ),
+    f AS (
+        SELECT
+          (eid IS NULL OR sid IS NULL OR ct IS NULL
+           OR url IS NULL OR dt IS NULL) AS m,
+          NOT coalesce(ct IN ('page_view','product_view','search',
+              'add_to_cart','remove_from_cart','wishlist_add',
+              'checkout_start'), FALSE) AS bad_ct,
+          NOT coalesce(dt IN ('mobile','desktop','tablet'), FALSE)
+              AS bad_dt,
+          NOT coalesce(url LIKE 'http://%' OR url LIKE 'https://%',
+              FALSE) AS bad_url,
+          coalesce(trim(url) = '', TRUE) AS empty_url
+        FROM d
+    ),
+    g AS (
+        SELECT *,
+          CAST(m AS INT) + CAST(bad_ct AS INT) + CAST(bad_dt AS INT)
+          + CAST(bad_url AS INT) + CAST(empty_url AS INT) AS n_viol
+        FROM f
+    ),
+    x AS (
+        SELECT unnest(list_filter([
+            CASE WHEN m THEN 'missing_required_field' END,
+            CASE WHEN bad_ct THEN 'invalid_click_type' END,
+            CASE WHEN bad_dt THEN 'invalid_device_type' END,
+            CASE WHEN bad_url THEN 'invalid_url_format' END,
+            CASE WHEN empty_url THEN 'empty_page_url' END,
+            CASE WHEN n_viol = 0 THEN 'none' END
+        ], v -> v IS NOT NULL)) AS violation,
+        greatest(0, 100 - 20 * n_viol) AS q
+        FROM g
+    )
+    SELECT violation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(q) AS BIGINT) AS sum_quality_pct
+    FROM x GROUP BY violation
+    """,
+    "P4/P5 driver-verified (URL-prefix and non-empty-string "
+    "predicates were pytest-only): a deterministic click frame "
+    "derived from events — six URL shapes spanning valid http/https, "
+    "wrong schemes, scheme-less, empty, and null; planted null "
+    "ids; out-of-set click/device types — flows through "
+    "validate_clicks' full check list and the census counts every "
+    "violation code (plus the clean 'none' class) with the integer "
+    "quality-penalty sum. The oracle replays every predicate "
+    "including the coalesce null-semantics (a null URL is BOTH "
+    "missing and empty — the reference's rule), so a drifted "
+    "startswith, trim, or null default shifts a census row.",
+)
+def q194_click_validation_census(spark, sf_dir):
+    from ..operators.validation import validate_clicks
+
+    e = _t(spark, sf_dir, "events")
+    cts = F.array(*[
+        F.lit(x) for x in
+        ("page_view", "product_view", "search", "add_to_cart", "hover")
+    ])
+    dts = F.array(*[
+        F.lit(x) for x in ("mobile", "desktop", "tablet", "smart_tv")
+    ])
+    eid = F.col("event_id")
+    clicks = e.select(
+        F.when(eid % 97 == 0, F.lit(None)).otherwise(eid).alias("event_id"),
+        F.when(F.col("user_id") % 89 == 0, F.lit(None))
+        .otherwise(F.col("user_id") * 1000 + eid % 7)
+        .alias("session_id"),
+        F.element_at(cts, (eid % 5).cast("int") + 1).alias("click_type"),
+        F.element_at(dts, (eid % 4).cast("int") + 1).alias("device_type"),
+        F.when(eid % 6 == 0,
+               F.concat(F.lit("https://shop.example/p/"), eid.cast("string")))
+        .when(eid % 6 == 1,
+              F.concat(F.lit("http://shop.example/s?q="),
+                       F.col("user_id").cast("string")))
+        .when(eid % 6 == 2, F.lit("ftp://files.example/x"))
+        .when(eid % 6 == 3, F.lit("shop.example/no-scheme"))
+        .when(eid % 6 == 4, F.lit(""))
+        .otherwise(F.lit(None))
+        .alias("page_url"),
+    )
+    v = validate_clicks(clicks)
+    quality_pct = F.greatest(
+        F.lit(0), F.lit(100) - F.lit(20) * F.col("n_violations")
+    )
+    x = v.select(
+        F.explode_outer("violations").alias("violation"),
+        quality_pct.alias("q"),
+    ).select(
+        F.coalesce("violation", F.lit("none")).alias("violation"), "q"
+    )
+    return x.groupBy("violation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("q").cast("long").alias("sum_quality_pct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
