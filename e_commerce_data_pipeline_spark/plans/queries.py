@@ -10679,6 +10679,94 @@ def q194_click_validation_census(spark, sf_dir):
     )
 
 
+@_register(
+    "q195_embedding_cluster_drift",
+    f"""
+    WITH cents AS (
+        SELECT centroid_id, coeffs
+        FROM read_parquet('{{scratch}}/q46_centroids.parquet/*.parquet')
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sims AS (
+        SELECT vec_id, label, centroid_id,
+               list_cosine_similarity(v, coeffs) AS s
+        FROM e, cents
+    ),
+    assign AS (
+        SELECT vec_id, label, centroid_id AS bin FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+            FROM sims) WHERE rn = 1
+    ),
+    src AS (SELECT label, bin, vec_id % 2 = 1 AS cur FROM assign),
+    counts AS (
+        SELECT label, bin, cur, COUNT(*) AS n
+        FROM src GROUP BY label, bin, cur
+    ),
+    totals AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN NOT cur THEN n ELSE 0 END) AS BIGINT)
+                   AS n_base,
+               CAST(SUM(CASE WHEN cur THEN n ELSE 0 END) AS BIGINT)
+                   AS n_cur
+        FROM counts GROUP BY label
+    ),
+    grid AS (
+        SELECT label, n_base, n_cur, unnest(range(0, 8)) AS bin
+        FROM totals
+    ),
+    j AS (
+        SELECT g.label, g.n_base, g.n_cur, g.bin,
+               COALESCE(b.n, 0) + 1 AS kb,
+               COALESCE(c.n, 0) + 1 AS kc
+        FROM grid g
+        LEFT JOIN counts b
+          ON b.label = g.label AND b.bin = g.bin AND NOT b.cur
+        LEFT JOIN counts c
+          ON c.label = g.label AND c.bin = g.bin AND c.cur
+    ),
+    terms AS (
+        SELECT label, n_base, n_cur,
+               CAST(round((kb / (n_base + 8.0) - kc / (n_cur + 8.0))
+                          * 1000000) AS BIGINT)
+               * CAST(round(ln((kb / (n_base + 8.0))
+                               / (kc / (n_cur + 8.0))) * 1000000)
+                     AS BIGINT) AS contrib
+        FROM j
+    )
+    SELECT label, n_base, n_cur,
+           CAST(SUM(contrib) AS BIGINT) AS psi_micro2,
+           CAST(SUM(contrib) AS BIGINT) / 1e12 AS psi
+    FROM terms GROUP BY label, n_base, n_cur
+    """.replace("{scratch}", ORACLE_SCRATCH),
+    "EMBEDDING-SPACE drift monitoring — q126's PSI lifted from value "
+    "bins to VECTOR-SPACE bins: each vector's IVF cell (the shared "
+    "memoized q46 codebook) is its bucket, and per-label PSI between "
+    "two ingestion batches (vec_id parity) flags a label whose "
+    "embedding distribution moved — the retrain/recalibrate signal a "
+    "production vector pipeline watches, since raw-value PSI can't "
+    "see a rotation in embedding space. Laplace-smoothed, "
+    "micro^2-exact integer PSI terms (the q126 discipline) over the "
+    "8-cell assignment the q129/q132 family already certifies.",
+)
+def q195_embedding_cluster_drift(spark, sf_dir):
+    from ..operators.drift import psi_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, idx_path = _ivf_index_for(spark, sf_dir)
+    idx = spark.read.parquet(idx_path).select(
+        F.col("neighbor_id").alias("vec_id"), "cluster"
+    )
+    d = emb.select("vec_id", "label").join(idx, "vec_id")
+    return psi_drift(
+        d,
+        "label",
+        F.col("cluster"),
+        (F.col("vec_id") % 2) == 1,
+        n_bins=8,
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
