@@ -10767,6 +10767,246 @@ def q195_embedding_cluster_drift(spark, sf_dir):
     )
 
 
+@_register(
+    "q196_order_validation_census",
+    """
+    WITH o AS (SELECT o_orderkey AS k FROM orders),
+    d AS (
+        SELECT k,
+          CASE WHEN k % 101 = 0 THEN NULL ELSE k END AS eid,
+          ['pending','confirmed','shipped','delivered','archived']
+              [CAST(k % 5 AS INT) + 1] AS status,
+          CAST(k % 4 AS INT) AS n,
+          list_transform(range(CAST(k % 4 AS INT)), i -> struct_pack(
+              quantity := CAST((k + i + 1) % 7 AS INT) - 1,
+              unit_price := ((k * 3 + (i + 1) * 11) % 160 + 4) / 4.0,
+              discount_pct := CAST(((k + i + 1) % 4) * 25 AS INT)
+          )) AS items
+        FROM o
+    ),
+    c AS (
+        SELECT *,
+          coalesce((SELECT SUM(x.quantity * x.unit_price
+                               * (1 - x.discount_pct / 100))
+                    FROM unnest(d.items) AS t(x)), 0.0) AS calc
+        FROM d
+    ),
+    tt AS (
+        SELECT *,
+          CASE CAST(k % 5 AS INT)
+               WHEN 0 THEN calc
+               WHEN 1 THEN calc + 0.25
+               WHEN 2 THEN calc + 0.75
+               WHEN 3 THEN CASE WHEN k % 11 = 0
+                                THEN 200000.25 ELSE calc END
+               ELSE NULL END AS total
+        FROM c
+    ),
+    f AS (
+        SELECT
+          (eid IS NULL OR k IS NULL OR status IS NULL
+           OR total IS NULL) AS m,
+          NOT coalesce(status IN ('pending','confirmed','shipped',
+              'delivered','cancelled','refunded'), FALSE) AS bad_status,
+          coalesce(total < 0 OR total > 100000, TRUE) AS oor,
+          coalesce(len(items) = 0, TRUE) AS empty_items,
+          coalesce(len(list_filter(items,
+              x -> x.quantity <= 0 OR x.unit_price <= 0)) > 0, FALSE)
+              AS bad_item,
+          coalesce(abs(total - calc) > 0.50, FALSE) AS mismatch
+        FROM tt
+    ),
+    g AS (
+        SELECT *,
+          CAST(m AS INT) + CAST(bad_status AS INT) + CAST(oor AS INT)
+          + CAST(empty_items AS INT) + CAST(bad_item AS INT)
+          + CAST(mismatch AS INT) AS n_viol
+        FROM f
+    ),
+    x AS (
+        SELECT unnest(list_filter([
+            CASE WHEN m THEN 'missing_required_field' END,
+            CASE WHEN bad_status THEN 'invalid_order_status' END,
+            CASE WHEN oor THEN 'total_amount_out_of_range' END,
+            CASE WHEN empty_items THEN 'empty_items' END,
+            CASE WHEN bad_item THEN 'invalid_item_values' END,
+            CASE WHEN mismatch THEN 'total_mismatch' END,
+            CASE WHEN n_viol = 0 THEN 'none' END
+        ], v -> v IS NOT NULL)) AS violation,
+        greatest(0, 100 - 25 * n_viol) AS q
+        FROM g
+    )
+    SELECT violation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(q) AS BIGINT) AS sum_quality_pct
+    FROM x GROUP BY violation
+    """,
+    "P10/A8 driver-verified (empty-items and item-value-bounds "
+    "predicates were pytest-only): a deterministic order-event frame "
+    "with items ARRAYS built from closed forms flows through "
+    "validate_orders' full check list — including the P9 line-total "
+    "fold. Float parity is engineered, not hoped for: quarter-dollar "
+    "prices and {0,25,50,75}%% discounts make every line total an "
+    "exactly-representable dyadic rational, so the Spark aggregate "
+    "fold and the oracle's SUM over unnested items are bit-identical "
+    "REGARDLESS of summation order, and the planted offsets "
+    "(0/0.25/0.75 vs the 0.50 tolerance) sit decisively on either "
+    "side of the mismatch frontier. Null totals fire the range check "
+    "(the operator's coalesce-to-true rule) and slice-built empty "
+    "arrays fire empty_items.",
+)
+def q196_order_validation_census(spark, sf_dir):
+    from ..operators.validation import validate_orders
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    statuses = F.array(*[
+        F.lit(x) for x in
+        ("pending", "confirmed", "shipped", "delivered", "archived")
+    ])
+    d = o.select(
+        "k",
+        F.when(F.col("k") % 101 == 0, F.lit(None))
+        .otherwise(F.col("k"))
+        .alias("event_id"),
+        F.col("k").alias("order_id"),
+        F.element_at(statuses, (F.col("k") % 5).cast("int") + 1).alias(
+            "order_status"
+        ),
+        (F.col("k") % 4).cast("int").alias("n"),
+        F.expr(
+            "slice(transform(sequence(1, 3), i -> struct("
+            "CAST((k + i) % 7 AS INT) - 1 AS quantity, "
+            "((k * 3 + i * 11) % 160 + 4) / 4.0 AS unit_price, "
+            "CAST(((k + i) % 4) * 25 AS INT) AS discount_pct)), "
+            "1, CAST(k % 4 AS INT))"
+        ).alias("items"),
+    )
+    calc = F.expr(
+        "aggregate(items, 0D, (acc, x) -> acc + "
+        "(x.quantity * x.unit_price * (1 - x.discount_pct / 100)))"
+    )
+    tt = d.withColumn(
+        "total_amount",
+        F.when(F.col("k") % 5 == 0, calc)
+        .when(F.col("k") % 5 == 1, calc + 0.25)
+        .when(F.col("k") % 5 == 2, calc + 0.75)
+        .when(
+            F.col("k") % 5 == 3,
+            F.when(F.col("k") % 11 == 0, F.lit(200000.25)).otherwise(calc),
+        )
+        .otherwise(F.lit(None)),
+    )
+    v = validate_orders(tt)
+    quality_pct = F.greatest(
+        F.lit(0), F.lit(100) - F.lit(25) * F.col("n_violations")
+    )
+    x = v.select(
+        F.explode_outer("violations").alias("violation"),
+        quality_pct.alias("q"),
+    ).select(
+        F.coalesce("violation", F.lit("none")).alias("violation"), "q"
+    )
+    return x.groupBy("violation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("q").cast("long").alias("sum_quality_pct"),
+    )
+
+
+@_register(
+    "q197_cdc_validation_census",
+    """
+    WITH d AS (
+        SELECT p_partkey AS k,
+          CASE WHEN p_partkey % 97 = 0 THEN NULL
+               ELSE p_partkey END AS eid,
+          ['INSERT','UPDATE','DELETE','UPSERT']
+              [CAST(p_partkey % 4 AS INT) + 1] AS op,
+          CASE WHEN p_partkey % 3 = 0 THEN NULL
+               ELSE (p_partkey * 13) % 500 - 50 END AS before_stock,
+          CASE WHEN p_partkey % 5 = 0 THEN NULL
+               ELSE (p_partkey * 7) % 400 - 20 END AS after_stock
+        FROM part
+    ),
+    f AS (
+        SELECT
+          (eid IS NULL) AS m,
+          (op = 'UPSERT') AS bad_op,
+          (op = 'INSERT' AND after_stock IS NULL) AS ins_bad,
+          (op = 'DELETE' AND before_stock IS NULL) AS del_bad,
+          (coalesce(before_stock < 0, FALSE)
+           OR coalesce(after_stock < 0, FALSE)) AS neg
+        FROM d
+    ),
+    g AS (
+        SELECT *,
+          CAST(m AS INT) + CAST(bad_op AS INT) + CAST(ins_bad AS INT)
+          + CAST(del_bad AS INT) + CAST(neg AS INT) AS n_viol
+        FROM f
+    ),
+    x AS (
+        SELECT unnest(list_filter([
+            CASE WHEN m THEN 'missing_required_field' END,
+            CASE WHEN bad_op THEN 'invalid_operation' END,
+            CASE WHEN ins_bad THEN 'insert_missing_after' END,
+            CASE WHEN del_bad THEN 'delete_missing_before' END,
+            CASE WHEN neg THEN 'negative_stock' END,
+            CASE WHEN n_viol = 0 THEN 'none' END
+        ], v -> v IS NOT NULL)) AS violation,
+        greatest(0, 100 - 30 * n_viol) AS q
+        FROM g
+    )
+    SELECT violation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(q) AS BIGINT) AS sum_quality_pct
+    FROM x GROUP BY violation
+    """,
+    "P11 driver-verified (CDC op/image-consistency checks were "
+    "pytest-only): a deterministic CDC frame — op vocabulary with a "
+    "planted invalid op, before/after images nulled on coprime "
+    "cycles so INSERT-without-after and DELETE-without-before both "
+    "fire, negative stock in either image — flows through "
+    "validate_cdc and the census counts every code plus the clean "
+    "class with the 30-point penalty sums. Null-struct navigation "
+    "(before.stock_quantity on a null struct) exercises the "
+    "coalesce-to-false rule the operator encodes.",
+)
+def q197_cdc_validation_census(spark, sf_dir):
+    from ..operators.validation import validate_cdc
+
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    ops = F.array(*[F.lit(x) for x in ("INSERT", "UPDATE", "DELETE", "UPSERT")])
+    d = p.select(
+        F.when(F.col("k") % 97 == 0, F.lit(None))
+        .otherwise(F.col("k"))
+        .alias("event_id"),
+        F.element_at(ops, (F.col("k") % 4).cast("int") + 1).alias("operation"),
+        F.when(F.col("k") % 3 == 0, F.lit(None))
+        .otherwise(
+            F.struct(((F.col("k") * 13) % 500 - 50).alias("stock_quantity"))
+        )
+        .alias("before"),
+        F.when(F.col("k") % 5 == 0, F.lit(None))
+        .otherwise(
+            F.struct(((F.col("k") * 7) % 400 - 20).alias("stock_quantity"))
+        )
+        .alias("after"),
+    )
+    v = validate_cdc(d)
+    quality_pct = F.greatest(
+        F.lit(0), F.lit(100) - F.lit(30) * F.col("n_violations")
+    )
+    x = v.select(
+        F.explode_outer("violations").alias("violation"),
+        quality_pct.alias("q"),
+    ).select(
+        F.coalesce("violation", F.lit("none")).alias("violation"), "q"
+    )
+    return x.groupBy("violation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("q").cast("long").alias("sum_quality_pct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66
