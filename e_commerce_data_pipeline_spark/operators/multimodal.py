@@ -124,8 +124,19 @@ def encode_ppm(arr) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+def encode_ppm16(arr) -> bytes:
+    """(h, w, 3) uint16 RGB -> binary PPM (P6, maxval 65535,
+    big-endian 2-byte samples per the netpbm spec)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint16)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n65535\n".encode() + a.astype(">u2").tobytes()
+
+
 def decode_ppm(b: bytes):
-    """Binary PPM (P6) bytes -> (h, w, 3) uint8 RGB array."""
+    """Binary PPM (P6) bytes -> (h, w, 3) RGB array: uint8 for
+    maxval <= 255, uint16 (big-endian 2-byte samples) above."""
     import numpy as np
 
     if b[:2] != b"P6":
@@ -145,8 +156,12 @@ def decode_ppm(b: bytes):
         vals.append(int(b[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"invalid PPM maxval {maxval}")
     if maxval > 255:
-        require_codec("16-bit PPM")
+        # netpbm spec: maxval > 255 means 2-byte samples, MSB first
+        px = np.frombuffer(b, ">u2", count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).astype(np.uint16)
     px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
     return px.reshape(h, w, 3)
 
@@ -1213,6 +1228,64 @@ def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def synthetic_ppm16_table(spark, n: int = 36) -> DataFrame:
+    """Deterministic 16-bit PPM media table (maxval 65535, 2-byte
+    big-endian samples): image i is w=15+(i%6)*3 by h=11+(i%4)*3 with
+    base = (x*257 + y*509 + i*1021) mod 65536 and channel offsets
+    (0, 21845, 43690) — q198's oracle replays the same closed form."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 15 + (i % 6) * 3, 11 + (i % 4) * 3
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        base = (x * 257 + y * 509 + i * 1021) % 65536
+        px = np.stack(
+            [base, (base + 21845) % 65536, (base + 43690) % 65536], axis=-1
+        ).astype(np.uint16)
+        rows.append(
+            (i, "image", encode_ppm16(px), None, f"mem://media/{i}.ppm")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
+    """Deterministic restart-interval JPEG table: the q164
+    block-constant gray corpus (bit-exact decode, see
+    ``synthetic_jpeg_table``) re-encoded with a DRI of 1+(i%4) MCUs,
+    so every stream carries ceil(mcus/dri)-1 RSTm markers and the
+    decoder's realignment + predictor-reset path is on the verified
+    path for every image."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 4) * 8, 16 + (i % 3) * 8
+        tiles = np.array(
+            [
+                [jpeg_tile_value(i, by, bx) for bx in range(w // 8)]
+                for by in range(h // 8)
+            ],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.stack([img, img, img], axis=-1)
+        q = 85 + (i % 3) * 5  # DC quant step stays < 8
+        rows.append(
+            (
+                i,
+                "image",
+                encode_jpeg(rgb, quality=q, restart_interval=1 + (i % 4)),
+                None,
+                f"mem://media/{i}.jpg",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def synthetic_png_table(spark, n: int = 80) -> DataFrame:
     """Deterministic PNG media table: the same gradient pixels as
     ``synthetic_media_table`` (different size formula so q147 can't
@@ -1231,12 +1304,13 @@ def synthetic_png_table(spark, n: int = 80) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline sequential DCT, 8-bit, 4:4:4 or grayscale): pure
-# numpy + stdlib — Annex K quantization/Huffman tables, canonical
-# code construction, byte-stuffed entropy stream. Progressive (SOF2),
-# arithmetic coding, 12-bit, chroma subsampling, and restart
-# intervals gate through ``require_codec``; structural damage raises
-# ValueError (corrupt files surface as null rows, not task failures).
+# JPEG (baseline sequential DCT, 8-bit, 4:4:4 / 4:2:0 / grayscale,
+# DRI/RSTm restart intervals): pure numpy + stdlib — Annex K
+# quantization/Huffman tables, canonical code construction,
+# byte-stuffed entropy stream. Progressive (SOF2), arithmetic
+# coding, and 12-bit gate through ``require_codec``; structural
+# damage raises ValueError (corrupt files surface as null rows, not
+# task failures).
 # ---------------------------------------------------------------------------
 
 _JPG_ZIGZAG = [
@@ -1418,15 +1492,20 @@ def _jpg_pad(plane, ph, pw):
     return p
 
 
-def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr, quality: int = 90, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG
     (SOF0, Annex K Huffman tables, libjpeg-scaled Annex K
     quantization). ``subsampling``: '444' (one block per component
     per MCU) or '420' (2x2 luma blocks share one chroma block pair —
     the libjpeg/phone-camera default; chroma is the round-half-up
-    2x2 mean of the rounded full-res plane). Deterministic: float64
-    DCT + round-half-away quantization, no RNG, no library
-    variance."""
+    2x2 mean of the rounded full-res plane). ``restart_interval`` > 0
+    emits a DRI segment and an RSTm marker (m cycling 0-7) after
+    every that-many MCUs, resetting all DC predictors — the layout
+    real encoders use so decoders can resynchronize and parallelize
+    within one image. Deterministic: float64 DCT + round-half-away
+    quantization, no RNG, no library variance."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1483,8 +1562,19 @@ def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
     wr = _JpgBitWriter()
     preds = [0] * len(planes)
     zz = np.array(_JPG_ZIGZAG)
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # between restart intervals: byte-align (1-fill), emit
+                # RSTm (m cycles 0-7), reset every DC predictor
+                wr.flush()
+                wr.out += bytes(
+                    [0xFF, 0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                )
+                for i in range(len(preds)):
+                    preds[i] = 0
+            mcu_n += 1
             for ci, (p, qt, (hi, vi)) in enumerate(zip(padded, qts, samp)):
                 for v in range(vi):
                     for hh in range(hi):
@@ -1526,11 +1616,17 @@ def encode_jpeg(arr, quality: int = 90, subsampling: str = "444") -> bytes:
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + dqt
         + seg(0xC0, sof)
         + dht
+        + dri
         + seg(0xDA, sos)
         + bytes(wr.out)
         + b"\xff\xd9"
@@ -1576,6 +1672,23 @@ class _JpgBitReader:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
+    def restart(self) -> int:
+        """Discard pad bits, consume the next RSTm marker (skipping
+        stuffed 0xFF00 pairs per B.1.1.5), return m (0-7)."""
+        self.acc = 0
+        self.nbits = 0  # after any take(), at most 7 buffered bits
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and self.d[self.pos + 1] != 0x00:
+                break
+            self.pos += 1
+        if self.pos + 1 >= len(self.d):
+            raise ValueError("JPEG restart marker expected, hit EOF")
+        m = self.d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTm, found 0xFF{m:02X}")
+        self.pos += 2
+        return m - 0xD0
+
 
 def _jpg_extend(v: int, cat: int) -> int:
     if cat == 0:
@@ -1585,10 +1698,11 @@ def _jpg_extend(v: int, cat: int) -> int:
 
 def decode_jpeg(b: bytes):
     """Baseline JPEG bytes -> (h, w, 3) RGB (or grayscale replicated
-    to 3 channels) uint8. Supports SOF0, 8-bit, 1 or 3 components at
-    1x1 sampling. Progressive/extended/arithmetic/12-bit/subsampled/
-    restart-interval streams gate via ``require_codec``; structural
-    damage raises ValueError."""
+    to 3 channels) uint8. Supports SOF0, 8-bit, 1 or 3 components,
+    {1,2}x{1,2} sampling, and DRI/RSTm restart intervals (byte
+    realignment + DC-predictor reset, marker sequence checked).
+    Progressive/extended/arithmetic/12-bit streams gate via
+    ``require_codec``; structural damage raises ValueError."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -1598,6 +1712,7 @@ def decode_jpeg(b: bytes):
     huffs: dict[tuple, dict] = {}
     sof = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1644,7 +1759,7 @@ def decode_jpeg(b: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
-            require_codec("JPEG restart intervals")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             ns = payload[0]
             sel = []
@@ -1698,8 +1813,19 @@ def decode_jpeg(b: bytes):
         blk *= qt
         return dctm.T @ blk @ dctm
 
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                want = (mcu_n // restart_interval - 1) % 8
+                got = rd.restart()
+                if got != want:
+                    raise ValueError(
+                        f"JPEG restart desync: RST{got}, expected RST{want}"
+                    )
+                for i in range(len(preds)):
+                    preds[i] = 0
+            mcu_n += 1
             for ci, ((cid, tq, hi, vi), (cs, dt, at)) in enumerate(
                 zip(comps, sel)
             ):
@@ -2702,6 +2828,68 @@ def image_exact_stats(df: DataFrame) -> DataFrame:
         kernel,
         "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
         "sum_lq long, sum_lq2 long",
+    )
+
+
+def codec_census_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact per-image stats + a per-format auxiliary check
+    value, for corpora that mix sample widths: (fmt, n_px, exact
+    channel sums, aux) where aux is the max sample value for PPM
+    (proves 2-byte big-endian samples were really read — a
+    byte-order or stride bug caps or scrambles it) and the count of
+    RSTm markers after SOS for JPEG (proves the encoder emitted and
+    the decoder consumed the restart structure — byte-stuffed 0xFF00
+    pairs can't false-positive). Channel sums use int64 (no lq² here:
+    16-bit samples would overflow the squared-luma accumulator that
+    ``image_exact_stats`` uses for 8-bit corpora)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, fmt = _decode_any(content)
+                if px is None:
+                    out.append(
+                        (media_id, None, None, None, None, None, None)
+                    )
+                    continue
+                p = px.astype(np.int64)
+                if fmt == "jpeg":
+                    b = bytes(content)
+                    sos = b.index(b"\xff\xda")
+                    aux = sum(
+                        1
+                        for k in range(sos, len(b) - 1)
+                        if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7
+                    )
+                else:
+                    aux = int(p[..., :3].max())
+                if fmt == "ppm" and px.dtype == np.uint16:
+                    fmt = "ppm16"
+                out.append(
+                    (
+                        media_id,
+                        fmt,
+                        int(p.shape[0] * p.shape[1]),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int(aux),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "fmt", "n_px", "sum_r", "sum_g", "sum_b",
+                    "aux",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, fmt string, n_px long, sum_r long, sum_g long, "
+        "sum_b long, aux long",
     )
 
 

@@ -11007,6 +11007,83 @@ def q197_cdc_validation_census(spark, sf_dir):
     )
 
 
+@_register(
+    "q198_codec_gate_census",
+    """
+    WITH p AS (
+        SELECT i, 15 + (i % 6) * 3 AS w, 11 + (i % 4) * 3 AS h
+        FROM range(36) t(i)
+    ),
+    pys AS (SELECT i, w, unnest(range(h)) AS y FROM p),
+    ppx AS (SELECT i, y, unnest(range(w)) AS x FROM pys),
+    pch AS (
+        SELECT i,
+               (x * 257 + y * 509 + i * 1021) % 65536 AS r,
+               ((x * 257 + y * 509 + i * 1021) % 65536 + 21845) % 65536
+                   AS g,
+               ((x * 257 + y * 509 + i * 1021) % 65536 + 43690) % 65536
+                   AS b
+        FROM ppx
+    ),
+    ppm AS (
+        SELECT 'ppm16' AS fmt, i AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS aux
+        FROM pch GROUP BY i
+    ),
+    j AS (
+        SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h,
+               1 + (i % 4) AS ri
+        FROM range(36) t(i)
+    ),
+    jtb AS (SELECT i, w, ri, unnest(range(h // 8)) AS by FROM j),
+    jt AS (SELECT i, ri, by, unnest(range(w // 8)) AS bx FROM jtb),
+    jv AS (SELECT i, ri, (i * 31 + by * 7 + bx * 13) % 256 AS t FROM jt),
+    jpg AS (
+        SELECT 'jpeg' AS fmt, i AS media_id,
+               CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_r,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_g,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_b,
+               CAST((COUNT(*) + MIN(ri) - 1) // MIN(ri) - 1 AS BIGINT)
+                   AS aux
+        FROM jv GROUP BY i
+    )
+    SELECT * FROM ppm UNION ALL SELECT * FROM jpg
+    """,
+    "Two more gate retirements, value-verified (the round-5 verdict's "
+    "class: gates whose 'needs a codec library' claim is not true). "
+    "16-bit PPM: maxval>255 means 2-byte big-endian samples per the "
+    "netpbm spec — one frombuffer dtype switch; aux = max sample "
+    "proves full-range 16-bit values actually arrive (a byte-order "
+    "or stride bug caps or scrambles it). JPEG DRI/RSTm restart "
+    "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
+    "and resets DC predictors every 1+(i%4) MCUs; the decoder "
+    "realigns, checks the marker sequence number, and resets its "
+    "predictors — the layout real encoders emit so 100 TB-scale "
+    "decoders can resynchronize and parallelize WITHIN one image. "
+    "The block-constant gray corpus keeps decode bit-exact (q164's "
+    "DC-step<8 argument), so channel sums verify at value level and "
+    "aux = ceil(mcus/dri)-1 counts the RSTm markers found after SOS "
+    "(byte-stuffed 0xFF00 pairs can't false-positive).",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q198_codec_gate_census(spark, sf_dir):
+    from ..operators.multimodal import (
+        codec_census_stats,
+        synthetic_jpeg_rst_table,
+        synthetic_ppm16_table,
+    )
+
+    media = synthetic_ppm16_table(spark, n=36).unionByName(
+        synthetic_jpeg_rst_table(spark, n=36)
+    )
+    return codec_census_stats(media).orderBy("fmt", "media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -808,3 +808,72 @@ def test_crossformat_dhash_dedup_finds_groups_bytes_cannot(spark):
 
     c = Counter(hashes.values())
     assert sorted(v for v in c.values() if v >= 2) == [3] * 8
+
+
+def test_ppm16_roundtrip_dtype_and_dispatch():
+    """maxval>255 PPM round-trips with 2-byte big-endian samples
+    (netpbm spec) and full 16-bit range; 8-bit PPM keeps uint8."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        encode_ppm16,
+    )
+
+    y, x = np.mgrid[0:11, 0:15]
+    base = (x * 257 + y * 509 + 5 * 1021) % 65536
+    px = np.stack(
+        [base, (base + 21845) % 65536, (base + 43690) % 65536], -1
+    ).astype(np.uint16)
+    dec = decode_ppm(encode_ppm16(px))
+    assert dec.dtype == np.uint16 and (dec == px).all()
+    assert int(dec.max()) > 255  # full-range samples really arrive
+    got, fmt = _decode_any(encode_ppm16(px))
+    assert fmt == "ppm" and (got == px).all()
+    # 8-bit path unchanged
+    assert decode_ppm(encode_ppm(make_test_pixels(9, 7))).dtype == np.uint8
+    # maxval outside the spec's 1..65535 is structural damage
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n70000\n" + b"\x00" * 24)
+
+
+def test_jpeg_restart_interval_roundtrip_and_desync():
+    """DRI/RSTm: block-constant gray corpora decode bit-exact for
+    every interval; marker sequence numbers are checked; streams
+    truncated at a restart boundary fail loudly."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_tile_value,
+    )
+
+    w, h = 48, 32  # 24 MCUs at 4:4:4
+    tiles = np.array(
+        [[jpeg_tile_value(9, by, bx) for bx in range(w // 8)]
+         for by in range(h // 8)],
+        dtype=np.uint8,
+    )
+    rgb = np.stack([np.kron(tiles, np.ones((8, 8), np.uint8))] * 3, -1)
+    plain = encode_jpeg(rgb, quality=90)
+    for ri in (1, 2, 3, 5, 7, 23, 24, 100):
+        b = encode_jpeg(rgb, quality=90, restart_interval=ri)
+        assert (decode_jpeg(b) == rgb).all(), ri
+        sos = b.index(b"\xff\xda")
+        n_rst = sum(
+            1
+            for k in range(sos, len(b) - 1)
+            if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7
+        )
+        assert n_rst == -(-24 // ri) - 1, (ri, n_rst)
+    # interval >= MCU count emits DRI but no markers and still decodes
+    assert b"\xff\xdd" in encode_jpeg(rgb, quality=90, restart_interval=100)
+    assert b"\xff\xdd" not in plain
+    # 4:2:0 with restarts: 16x16 MCUs, constant 8x8 gray tiles stay exact
+    b420 = encode_jpeg(rgb, quality=90, subsampling="420", restart_interval=2)
+    assert (decode_jpeg(b420) == rgb).all()
+    # swapping two RST markers breaks the sequence check
+    b = bytearray(encode_jpeg(rgb, quality=90, restart_interval=4))
+    sos = bytes(b).index(b"\xff\xda")
+    pos = [k for k in range(sos, len(b) - 1)
+           if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7]
+    b[pos[0] + 1], b[pos[1] + 1] = b[pos[1] + 1], b[pos[0] + 1]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(b))
