@@ -1863,11 +1863,11 @@ def decode_jpeg(b: bytes):
 
 
 # ---------------------------------------------------------------------------
-# GIF (87a/89a, global or local color table, interlaced or not):
+# GIF (87a/89a, global or local color table, interlaced or not, full
+# or partial frames composited onto the background-color canvas):
 # pure-python LZW both directions — lossless, so round-trips are
 # bit-exact and the decode oracle is closed-form like PNG's.
-# Partial-frame images gate through ``require_codec``; structural
-# damage raises ValueError.
+# Structural damage raises ValueError.
 # ---------------------------------------------------------------------------
 
 
@@ -1980,14 +1980,25 @@ def _gif_interlace_order(h: int) -> list:
     )
 
 
-def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes:
+def encode_gif(
+    arr,
+    interlace: bool = False,
+    local_table: bool = False,
+    screen=None,
+    offset=(0, 0),
+    background=(0, 0, 0),
+) -> bytes:
     """(h, w, 3) uint8 RGB with <= 256 distinct colors -> GIF89a
     bytes (one image). Deterministic: the palette is the sorted
     distinct color list. ``interlace`` stores rows in the four-pass
     interlace order with the image-descriptor flag set;
     ``local_table`` carries the palette as a LOCAL color table on the
     image descriptor instead of a global one on the screen
-    descriptor."""
+    descriptor. ``screen=(sw, sh)`` emits a PARTIAL frame: the image
+    descriptor places ``arr`` at ``offset=(ox, oy)`` on a larger
+    logical screen whose background-color byte names ``background``
+    (added to the palette; spec: background resolves through the
+    GLOBAL table, so partial frames require one)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1996,6 +2007,19 @@ def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes
     if interlace:
         a = a[_gif_interlace_order(h)]
     flat = a.reshape(-1, 3)
+    if screen is not None:
+        if local_table:
+            raise ValueError(
+                "partial-frame GIF needs a global color table for the "
+                "background color"
+            )
+        sw, sh = screen
+        ox, oy = offset
+        if ox + w > sw or oy + h > sh:
+            raise ValueError("GIF frame exceeds logical screen")
+        flat = np.concatenate(
+            [flat, np.asarray([background], dtype=np.uint8)]
+        )
     packed = (
         flat[:, 0].astype(np.int64) * 65536
         + flat[:, 1].astype(np.int64) * 256
@@ -2005,6 +2029,8 @@ def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes
     if colors.size > 256:
         raise ValueError("GIF encoder: more than 256 distinct colors")
     lut = {int(v): i for i, v in enumerate(colors)}
+    if screen is not None:
+        packed = packed[:-1]  # background joined only for the palette
     indices = np.array([lut[int(v)] for v in packed], dtype=np.int64)
     bits = max(1, int(colors.size - 1).bit_length())
     tbl_size = 1 << bits
@@ -2024,12 +2050,23 @@ def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes
     iflags = (0x80 | (bits - 1) if local_table else 0) | (
         0x40 if interlace else 0
     )
+    if screen is not None:
+        sw, sh = screen
+        ox, oy = offset
+        bgp = (
+            int(background[0]) * 65536
+            + int(background[1]) * 256
+            + int(background[2])
+        )
+        bg_index = lut[bgp]
+    else:
+        sw, sh, ox, oy, bg_index = w, h, 0, 0, 0
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, scr_flags, 0, 0)
+        + struct.pack("<HHBBB", sw, sh, scr_flags, bg_index, 0)
         + (b"" if local_table else bytes(gct))
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        + struct.pack("<HHHHB", ox, oy, w, h, iflags)
         + (bytes(gct) if local_table else b"")
         + bytes([code_size])
         + bytes(blocks)
@@ -2040,8 +2077,11 @@ def encode_gif(arr, interlace: bool = False, local_table: bool = False) -> bytes
 def decode_gif(b: bytes):
     """GIF bytes -> (h, w, 3) uint8 RGB (first image). Supports
     87a/89a with a global OR local color table, interlaced or not,
-    full-frame; extensions are skipped. Partial-frame images gate via
-    ``require_codec``; damage raises ValueError."""
+    full OR partial frames (a frame smaller than the logical screen
+    is composited at its descriptor offset onto a canvas of the
+    background color, resolved through the global table per spec
+    section 18 — the layout animation frames use); extensions are
+    skipped; damage raises ValueError."""
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2070,16 +2110,17 @@ def decode_gif(b: bytes):
             raise ValueError(f"unexpected GIF block 0x{blk:02X}")
         ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
         pos += 10
+        act = gct
         if iflags & 0x80:  # local color table overrides the global one
             n = 2 << (iflags & 0x07)
-            gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
-            if gct.size != 3 * n:
+            act = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+            if act.size != 3 * n:
                 raise ValueError("truncated GIF local color table")
-            gct = gct.reshape(n, 3)
+            act = act.reshape(n, 3)
             pos += 3 * n
-        if (ix, iy, iw, ih) != (0, 0, w, h):
-            require_codec("GIF partial-frame images")
-        if gct is None:
+        if ix + iw > w or iy + ih > h:
+            raise ValueError("GIF frame exceeds logical screen")
+        if act is None:
             raise ValueError("GIF image without a color table")
         code_size = b[pos]
         pos += 1
@@ -2091,16 +2132,30 @@ def decode_gif(b: bytes):
                 raise ValueError("truncated GIF sub-block")
             lzw += chunk
             pos += 1 + ln
-        indices = _gif_lzw_decompress(bytes(lzw), code_size, w * h)
+        indices = _gif_lzw_decompress(bytes(lzw), code_size, iw * ih)
         idx = np.array(indices, dtype=np.int64)
-        if idx.max(initial=0) >= gct.shape[0]:
+        if idx.max(initial=0) >= act.shape[0]:
             raise ValueError("GIF index outside color table")
-        px = gct[idx].reshape(h, w, 3)
+        px = act[idx].reshape(ih, iw, 3)
         if iflags & 0x40:  # rows arrived in interlace pass order
             out = np.empty_like(px)
-            out[_gif_interlace_order(h)] = px
-            return out
-        return px
+            out[_gif_interlace_order(ih)] = px
+            px = out
+        if (ix, iy, iw, ih) == (0, 0, w, h):
+            return px
+        # partial frame: composite onto the background-color canvas
+        # (spec 18: the background index resolves through the GLOBAL
+        # color table)
+        if gct is None:
+            raise ValueError(
+                "GIF partial frame without a global color table"
+            )
+        if _bg >= gct.shape[0]:
+            raise ValueError("GIF background index outside color table")
+        canvas = np.empty((h, w, 3), dtype=np.uint8)
+        canvas[:, :] = gct[_bg]
+        canvas[iy : iy + ih, ix : ix + iw] = px
+        return canvas
     raise ValueError("GIF missing image data")
 
 
@@ -2828,6 +2883,83 @@ def image_exact_stats(df: DataFrame) -> DataFrame:
         kernel,
         "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
         "sum_lq long, sum_lq2 long",
+    )
+
+
+def synthetic_gif_partial_table(spark, n: int = 40) -> DataFrame:
+    """Deterministic partial-frame GIF table: image i's logical
+    screen is (20+(i%5)*4) x (16+(i%4)*4) with background color
+    ((i*5)%256, (i*11)%256, (i*17)%256); a 7+(i%6)*2 x 5+(i%5)*2
+    gradient frame (``make_test_pixels`` seed i*7) sits at offset
+    (i % (sw-w+1), (i*3) % (sh-h+1)); odd ids interlace the frame.
+    q199's oracle replays screen, background fill, and frame
+    placement closed-form, position-weighted."""
+    rows = []
+    for i in range(n):
+        sw, sh = 20 + (i % 5) * 4, 16 + (i % 4) * 4
+        w, h = 7 + (i % 6) * 2, 5 + (i % 5) * 2
+        ox, oy = i % (sw - w + 1), (i * 3) % (sh - h + 1)
+        px = make_test_pixels(w, h, seed=i * 7)
+        content = encode_gif(
+            px,
+            interlace=bool(i % 2),
+            screen=(sw, sh),
+            offset=(ox, oy),
+            background=((i * 5) % 256, (i * 11) % 256, (i * 17) % 256),
+        )
+        rows.append((i, "image", content, None, f"mem://media/{i}.gif"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def gif_canvas_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact canvas statistics for composited images:
+    pixel count, exact channel sums, a POSITION-WEIGHTED red sum
+    (sum of (y*width + x + 1) * r — plain sums are permutation-
+    invariant, so only a weighted sum catches a frame composited at
+    the wrong offset or rows left in interlace pass order), and the
+    max sample. All int64; weight <= 1008, so wsum_r < 2.6e8 per
+    image — no overflow risk."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                px, _fmt = _decode_any(content)
+                if px is None:
+                    out.append(
+                        (media_id, None, None, None, None, None, None)
+                    )
+                    continue
+                p = px.astype(np.int64)
+                hh, ww = p.shape[0], p.shape[1]
+                wgt = np.arange(1, hh * ww + 1, dtype=np.int64).reshape(
+                    hh, ww
+                )
+                out.append(
+                    (
+                        media_id,
+                        int(hh * ww),
+                        int(p[..., 0].sum()),
+                        int(p[..., 1].sum()),
+                        int(p[..., 2].sum()),
+                        int((wgt * p[..., 0]).sum()),
+                        int(p[..., :3].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "wsum_r", "aux",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
+        "wsum_r long, aux long",
     )
 
 

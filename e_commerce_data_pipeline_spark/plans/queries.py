@@ -11084,6 +11084,75 @@ def q198_codec_gate_census(spark, sf_dir):
     return codec_census_stats(media).orderBy("fmt", "media_id")
 
 
+@_register(
+    "q199_gif_partial_frame_stats",
+    """
+    WITH g AS (
+        SELECT i,
+               20 + (i % 5) * 4 AS sw, 16 + (i % 4) * 4 AS sh,
+               7 + (i % 6) * 2 AS w, 5 + (i % 5) * 2 AS h,
+               i * 7 AS seed,
+               (i * 5) % 256 AS bgr, (i * 11) % 256 AS bgg,
+               (i * 17) % 256 AS bgb
+        FROM range(40) t(i)
+    ),
+    go AS (
+        SELECT *, i % (sw - w + 1) AS ox, (i * 3) % (sh - h + 1) AS oy
+        FROM g
+    ),
+    fys AS (SELECT i, w, seed, sw, ox, oy, unnest(range(h)) AS y FROM go),
+    fpx AS (SELECT i, seed, sw, ox, oy, y, unnest(range(w)) AS x FROM fys),
+    fch AS (
+        SELECT i,
+               (x + y + seed) % 256 AS r,
+               ((x + y + seed) % 256 + 85) % 256 AS g2,
+               ((x + y + seed) % 256 + 170) % 256 AS b2,
+               (oy + y) * sw + ox + x + 1 AS wgt
+        FROM fpx
+    ),
+    fr AS (
+        SELECT i, COUNT(*) AS n, SUM(r) AS sr, SUM(g2) AS sg,
+               SUM(b2) AS sb, SUM(wgt * r) AS swr, SUM(wgt) AS sww,
+               MAX(GREATEST(r, g2, b2)) AS mx
+        FROM fch GROUP BY i
+    )
+    SELECT go.i AS media_id,
+           CAST(sw * sh AS BIGINT) AS n_px,
+           CAST(fr.sr + (sw * sh - fr.n) * bgr AS BIGINT) AS sum_r,
+           CAST(fr.sg + (sw * sh - fr.n) * bgg AS BIGINT) AS sum_g,
+           CAST(fr.sb + (sw * sh - fr.n) * bgb AS BIGINT) AS sum_b,
+           CAST(fr.swr
+                + (sw * sh * (sw * sh + 1) // 2 - fr.sww) * bgr
+                AS BIGINT) AS wsum_r,
+           CAST(GREATEST(fr.mx, bgr, bgg, bgb) AS BIGINT) AS aux
+    FROM go JOIN fr ON go.i = fr.i
+    """,
+    "GIF partial-frame compositing, value-verified — the LAST "
+    "pure-numpy-reachable codec gate retired (the remaining gates — "
+    "progressive/12-bit/arithmetic JPEG, >2ch ADPCM, H.264 — "
+    "genuinely need codec libraries). A frame smaller than the "
+    "logical screen lands at its descriptor offset on a canvas of "
+    "the background color resolved through the GLOBAL color table "
+    "(GIF89a section 18 — the layout every animation frame uses). "
+    "The oracle replays screen size, background fill count, frame "
+    "gradient, and placement closed-form; sum_* verify the fill and "
+    "palette, and the POSITION-WEIGHTED red sum (weights y*sw+x+1) "
+    "catches what permutation-invariant sums cannot: a frame "
+    "composited at the wrong offset, or interlaced rows (odd ids) "
+    "left in pass order.",
+    bench=False,  # exercises the Python kernel path, not a plan shape
+)
+def q199_gif_partial_frame_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        gif_canvas_stats,
+        synthetic_gif_partial_table,
+    )
+
+    return gif_canvas_stats(
+        synthetic_gif_partial_table(spark, n=40)
+    ).orderBy("media_id")
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

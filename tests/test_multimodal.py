@@ -877,3 +877,45 @@ def test_jpeg_restart_interval_roundtrip_and_desync():
     b[pos[0] + 1], b[pos[1] + 1] = b[pos[1] + 1], b[pos[0] + 1]
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(b))
+
+
+def test_gif_partial_frame_compositing():
+    """Partial frames land at their descriptor offset on a
+    background-color canvas (GIF89a section 18); interlace applies
+    within the frame; bounds and background-table rules enforced."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    fr = np.asarray(make_test_pixels(9, 7, seed=4))
+    for il, (ox, oy) in [(False, (5, 3)), (True, (0, 8)), (False, (11, 0))]:
+        b = encode_gif(
+            fr, interlace=il, screen=(20, 15), offset=(ox, oy),
+            background=(10, 20, 30),
+        )
+        out = decode_gif(b)
+        exp = np.empty((15, 20, 3), np.uint8)
+        exp[:, :] = (10, 20, 30)
+        exp[oy : oy + 7, ox : ox + 9] = fr
+        assert np.array_equal(out, exp), (il, ox, oy)
+    # background color may coincide with a frame color
+    bg = tuple(int(v) for v in fr[0, 0])
+    out = decode_gif(
+        encode_gif(fr, screen=(12, 10), offset=(1, 1), background=bg)
+    )
+    assert np.array_equal(out[1:8, 1:10], fr) and tuple(out[0, 0]) == bg
+    # frame exceeding the screen refuses to encode; a forged
+    # descriptor refuses to decode
+    with pytest.raises(ValueError):
+        encode_gif(fr, screen=(8, 8))
+    b = bytearray(encode_gif(fr, screen=(20, 15), offset=(5, 3)))
+    import struct as _struct
+
+    blk = bytes(b).index(b"\x2c")
+    _struct.pack_into("<HH", b, blk + 1, 15, 12)  # ix=15 -> 15+9 > 20
+    with pytest.raises(ValueError):
+        decode_gif(bytes(b))
+    # partial frame + local-table-only is rejected at encode time
+    with pytest.raises(ValueError):
+        encode_gif(fr, screen=(20, 15), local_table=True)
