@@ -2350,49 +2350,46 @@ def decode_wav(b: bytes):
                 nibbles[1::2] = nb >> 4
                 out.extend(ima_adpcm_decode(nibbles, pred, idx))
             return np.array(out, np.int16).reshape(-1, 1), rate
-        if ch == 2:
-            # stereo layout (Microsoft WAV spec): per-channel 4-byte
-            # block headers, then 4-byte nibble groups ALTERNATING
-            # channels starting left — 8 samples per group
-            outl: list[int] = []
-            outr: list[int] = []
-            ba = _ba if _ba >= 9 else len(data)
+        if ch >= 2:
+            # multi-channel layout (Microsoft WAV spec, any channel
+            # count): one 4-byte block header PER channel, then 4-byte
+            # nibble groups cycling channel 0..ch-1 — 8 samples per
+            # group, one independent state machine per channel
+            outs: list[list[int]] = [[] for _ in range(ch)]
+            ba = _ba if _ba >= 4 * ch + 1 else len(data)
             for off in range(0, len(data), ba):
                 blk = data[off : off + ba]
-                if len(blk) < 9:
+                if len(blk) < 4 * ch + 1:
                     break
-                predl, idxl, _r0 = struct.unpack_from("<hBB", blk, 0)
-                predr, idxr, _r1 = struct.unpack_from("<hBB", blk, 4)
-                if idxl > 88 or idxr > 88:
-                    raise ValueError("IMA ADPCM step index out of range")
-                outl.append(predl)
-                outr.append(predr)
-                body = blk[8:]
+                preds: list[int] = []
+                idxs: list[int] = []
+                for c in range(ch):
+                    pred, idx, _res = struct.unpack_from("<hBB", blk, 4 * c)
+                    if idx > 88:
+                        raise ValueError("IMA ADPCM step index out of range")
+                    preds.append(pred)
+                    idxs.append(idx)
+                    outs[c].append(pred)
+                body = blk[4 * ch :]
                 for goff in range(0, len(body) - (len(body) % 4), 4):
+                    c = (goff // 4) % ch
                     grp = np.frombuffer(body[goff : goff + 4], np.uint8)
                     nibbles = np.empty(8, np.uint8)
                     nibbles[0::2] = grp & 0x0F
                     nibbles[1::2] = grp >> 4
-                    if (goff // 4) % 2 == 0:
-                        for c in nibbles:
-                            predl, idxl = ima_adpcm_step(predl, idxl, int(c))
-                            outl.append(predl)
-                    else:
-                        for c in nibbles:
-                            predr, idxr = ima_adpcm_step(predr, idxr, int(c))
-                            outr.append(predr)
-            n = min(len(outl), len(outr))
+                    for nib in nibbles:
+                        preds[c], idxs[c] = ima_adpcm_step(
+                            preds[c], idxs[c], int(nib)
+                        )
+                        outs[c].append(preds[c])
+            n = min(len(o) for o in outs)
             return (
                 np.stack(
-                    [
-                        np.array(outl[:n], np.int16),
-                        np.array(outr[:n], np.int16),
-                    ],
-                    axis=1,
+                    [np.array(o[:n], np.int16) for o in outs], axis=1
                 ),
                 rate,
             )
-        require_codec(f"{ch}-channel IMA ADPCM")
+        raise ValueError(f"invalid IMA ADPCM channel count {ch}")
     require_codec(f"WAV format={audio_fmt} bits={bits}")
 
 
@@ -2517,31 +2514,47 @@ def encode_wav_ima_stereo(
     group = 8 samples)."""
     import numpy as np
 
-    nl = np.asarray(nib_l, dtype=np.uint8) & 0x0F
-    nr = np.asarray(nib_r, dtype=np.uint8) & 0x0F
-    assert nl.size == nr.size and nl.size % 8 == 0, (
-        "stereo IMA streams must be equal length, multiple of 8"
+    return encode_wav_ima_multi(
+        [nib_l, nib_r], [init_l, init_r], sample_rate=sample_rate
     )
+
+
+def encode_wav_ima_multi(
+    nib_streams, inits, sample_rate: int = 8000
+) -> bytes:
+    """N-channel single-block IMA ADPCM WAV (Microsoft layout, any
+    channel count): one 4-byte header per channel (predictor int16,
+    step index, reserved), then 4-byte nibble groups cycling channel
+    0..N-1. Streams must be equal length and a multiple of 8 (one
+    group = 8 samples)."""
+    import numpy as np
+
+    ch = len(nib_streams)
+    assert ch >= 1 and len(inits) == ch
+    streams = [np.asarray(s, dtype=np.uint8) & 0x0F for s in nib_streams]
+    assert all(
+        s.size == streams[0].size and s.size % 8 == 0 for s in streams
+    ), "IMA streams must be equal length, multiple of 8"
 
     def pack4(nibbles):
         return bytes((nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8))
 
     body = bytearray()
-    for g in range(nl.size // 8):
-        body += pack4(nl[8 * g : 8 * g + 8])
-        body += pack4(nr[8 * g : 8 * g + 8])
-    data = (
-        struct.pack("<hBB", init_l[0], init_l[1], 0)
-        + struct.pack("<hBB", init_r[0], init_r[1], 0)
-        + bytes(body)
+    for g in range(streams[0].size // 8):
+        for s in streams:
+            body += pack4(s[8 * g : 8 * g + 8])
+    heads = b"".join(
+        struct.pack("<hBB", init[0], init[1], 0) for init in inits
     )
+    data = heads + bytes(body)
     block_align = len(data)
     hdr = (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
         + b"WAVEfmt "
         + struct.pack(
-            "<IHHIIHH", 16, 0x11, 2, sample_rate, sample_rate, block_align, 4
+            "<IHHIIHH",
+            16, 0x11, ch, sample_rate, sample_rate, block_align, 4,
         )
         + b"data"
         + struct.pack("<I", len(data))

@@ -11127,10 +11127,11 @@ def q198_codec_gate_census(spark, sf_dir):
            CAST(GREATEST(fr.mx, bgr, bgg, bgb) AS BIGINT) AS aux
     FROM go JOIN fr ON go.i = fr.i
     """,
-    "GIF partial-frame compositing, value-verified — the LAST "
-    "pure-numpy-reachable codec gate retired (the remaining gates — "
-    "progressive/12-bit/arithmetic JPEG, >2ch ADPCM, H.264 — "
-    "genuinely need codec libraries). A frame smaller than the "
+    "GIF partial-frame compositing, value-verified — another codec "
+    "gate retired (N-channel ADPCM retired alongside, "
+    "pytest-verified against per-channel mono replay; q183's oracle "
+    "covers the 2-channel layout the N-path generalizes). A frame "
+    "smaller than the "
     "logical screen lands at its descriptor offset on a canvas of "
     "the background color resolved through the GLOBAL color table "
     "(GIF89a section 18 — the layout every animation frame uses). "

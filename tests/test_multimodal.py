@@ -456,11 +456,28 @@ def test_ima_adpcm_multiblock_clamps_and_gate():
     s2, _ = decode_wav(bytes(two))
     assert s2[:, 0].tolist() == 2 * ima_adpcm_decode(codes, -123, 17)
 
-    # >2-channel ADPCM gates honestly (stereo decodes for real now —
-    # tests/test_ima_stereo_roundtrip_and_channel_independence)
+    # any channel count decodes for real now (Microsoft layout:
+    # per-channel headers + groups cycling 0..ch-1); ch=0 is damage
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_wav_ima_multi,
+    )
+
+    for ch in (3, 4, 6):
+        streams = [
+            np.array([(k * 3 + c * 5) % 16 for k in range(24)], np.uint8)
+            for c in range(ch)
+        ]
+        inits = [(((c * 97) % 2000) - 1000, (c * 13) % 89) for c in range(ch)]
+        multi = encode_wav_ima_multi(streams, inits)
+        dec, rate = decode_wav(multi)
+        assert dec.shape == (25, ch) and rate == 8000
+        for c in range(ch):
+            assert dec[:, c].tolist() == ima_adpcm_decode(
+                streams[c], inits[c][0], inits[c][1]
+            ), (ch, c)
     hdr = bytearray(one)
-    hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 4)
-    with pytest.raises(NotImplementedError):
+    hdr[one.index(b"fmt ") + 8 + 2 : one.index(b"fmt ") + 8 + 4] = _s.pack("<H", 0)
+    with pytest.raises(ValueError):
         decode_wav(bytes(hdr))
 
 
@@ -766,11 +783,13 @@ def test_ima_stereo_roundtrip_and_channel_independence():
     swapped = encode_wav_ima_stereo(nr, nl, (-200, 40), (100, 10))
     s2, _ = decode_wav(swapped)
     assert (s2[:, 0] == s[:, 1]).all() and (s2[:, 1] == s[:, 0]).all()
-    # 3 channels -> honest gate: patch the fmt chunk channel count
+    # forging 3 channels onto a stereo-layout stream no longer gates
+    # (any channel count decodes for real); re-framing these bytes as
+    # a third channel header reads a step index > 88 -> loud damage
     bad = bytearray(b)
     (ch_off,) = [i for i in range(len(b)) if b[i:i+4] == b"fmt "]
     bad[ch_off + 10] = 3
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="step index"):
         decode_wav(bytes(bad))
     # bad step index -> ValueError
     bad2 = bytearray(b)
