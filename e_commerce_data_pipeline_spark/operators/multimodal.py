@@ -1286,6 +1286,43 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
+    """Deterministic progressive-JPEG table: block-constant gray
+    tiles (value (i*37 + by*11 + bx*5) mod 256 — a different formula
+    from the baseline/restart corpora so q198 can't pass by
+    accident), sizes w=24+(i%3)*8, h=16+(i%4)*8, encoded through the
+    full SOF2 scan script. DC-only spectra + DC quant step < 8 keep
+    decode bit-exact (q164's argument), so the successive-
+    approximation DC cascade and every EOB-run AC scan are on the
+    value-verified path."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 3) * 8, 16 + (i % 4) * 8
+        tiles = np.array(
+            [
+                [(i * 37 + by * 11 + bx * 5) % 256 for bx in range(w // 8)]
+                for by in range(h // 8)
+            ],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.stack([img, img, img], axis=-1)
+        q = 85 + (i % 3) * 5
+        rows.append(
+            (
+                i,
+                "image",
+                encode_jpeg_progressive(rgb, quality=q),
+                None,
+                f"mem://media/{i}.jpg",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def synthetic_png_table(spark, n: int = 80) -> DataFrame:
     """Deterministic PNG media table: the same gradient pixels as
     ``synthetic_media_table`` (different size formula so q147 can't
@@ -1305,12 +1342,12 @@ def synthetic_png_table(spark, n: int = 80) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # JPEG (baseline sequential DCT, 8-bit, 4:4:4 / 4:2:0 / grayscale,
-# DRI/RSTm restart intervals): pure numpy + stdlib — Annex K
-# quantization/Huffman tables, canonical code construction,
-# byte-stuffed entropy stream. Progressive (SOF2), arithmetic
-# coding, and 12-bit gate through ``require_codec``; structural
-# damage raises ValueError (corrupt files surface as null rows, not
-# task failures).
+# DRI/RSTm restart intervals; progressive SOF2 below): pure numpy +
+# stdlib — Annex K quantization/Huffman tables, canonical code
+# construction, byte-stuffed entropy stream. Arithmetic coding,
+# 12-bit, and subsampled-progressive gate through ``require_codec``;
+# structural damage raises ValueError (corrupt files surface as null
+# rows, not task failures).
 # ---------------------------------------------------------------------------
 
 _JPG_ZIGZAG = [
@@ -1755,7 +1792,9 @@ def decode_jpeg(b: bytes):
                     require_codec(f"JPEG sampling factors {hi}x{vi}")
                 comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
@@ -1860,6 +1899,607 @@ def decode_jpeg(b: bytes):
     return out.astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, spectral selection + successive
+# approximation, EOB runs): pure numpy + stdlib. The encoder emits a
+# libjpeg-style scan script (DC first/refine, per-component AC band
+# scans with an Al cascade, AC refinement with buffered correction
+# bits) and builds OPTIMAL per-scan Huffman tables (T.81 K.2) because
+# the Annex K AC tables have no canonical slack for EOBn symbols.
+# Progressive re-coding of the same quantized coefficients is
+# lossless, so decode(progressive(x)) must equal
+# decode(baseline(x)) bit-for-bit — asserted in tests. Subsampled
+# progressive still gates (encoder and decoder are 4:4:4/gray).
+# ---------------------------------------------------------------------------
+
+
+def _jpg_optimal_table(freq_map):
+    """Symbol frequencies -> (bits[16], huffval) per T.81 Annex K.2:
+    pairwise merge with code-length tracking, 16-bit length limiting,
+    and a reserved pseudo-symbol so no real code is all-ones."""
+    freq = [0] * 257
+    for sym, f in freq_map.items():
+        freq[sym] = int(f)
+    if not any(freq[:256]):
+        freq[0] = 1  # degenerate scan: keep the DHT well-formed
+    freq[256] = 1
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        c1, v1 = -1, None
+        for i, f in enumerate(freq):
+            if f > 0 and (v1 is None or f <= v1):
+                v1, c1 = f, i
+        c2, v2 = -1, None
+        for i, f in enumerate(freq):
+            if f > 0 and i != c1 and (v2 is None or f <= v2):
+                v2, c2 = f, i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved pseudo-symbol's code
+    order = sorted((codesize[s], s) for s in range(256) if codesize[s])
+    return bits[1:17], [s for _, s in order]
+
+
+def _jpg_quantized_coefs(arr, quality: int):
+    """Shared quantization front end for the progressive encoder
+    (4:4:4 or grayscale): returns per-component (bh, bw, 64) int64
+    zigzag-order coefficient arrays plus the quant tables."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [np.clip(np.floor(x + 0.5), 0, 255) for x in (y, cb, cr)]
+    ql, qc = _jpg_quant_tables(quality)
+    qts = [ql] + ([] if gray else [qc, qc])
+    dctm = _jpg_dct_mat()
+    bw, bh = -(-w // 8), -(-h // 8)
+    zz = np.array(_JPG_ZIGZAG)
+    coefs = []
+    for p, qt in zip(planes, qts):
+        pad = _jpg_pad(p, bh * 8, bw * 8) - 128.0
+        c = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                    np.int64
+                ) * np.where(f < 0, -1, 1)
+                c[by, bx] = qf.reshape(-1)[zz]
+        coefs.append(c)
+    return coefs, qts, gray, h, w
+
+
+# scan script: (kind, comp, Ss, Se, Ah, Al); DC scans interleave all
+# components, AC scans are single-component per the SOF2 rules
+_JPG_PROG_SCRIPT_GRAY = [
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 63, 0, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 0, 1, 63, 1, 0),
+]
+_JPG_PROG_SCRIPT_COLOR = [
+    ("dc_first", None, 0, 0, 0, 1),
+    ("ac_first", 0, 1, 5, 0, 2),
+    ("ac_first", 1, 1, 63, 0, 1),
+    ("ac_first", 2, 1, 63, 0, 1),
+    ("ac_first", 0, 6, 63, 0, 2),
+    ("ac_refine", 0, 1, 63, 2, 1),
+    ("dc_refine", None, 0, 0, 1, 0),
+    ("ac_refine", 1, 1, 63, 1, 0),
+    ("ac_refine", 2, 1, 63, 1, 0),
+    ("ac_refine", 0, 1, 63, 1, 0),
+]
+
+
+def _jpg_drive_ac_first(block_iter, Ss, Se, Al, emit_sym, emit_bits):
+    """AC first-pass scan body (G.1.2.2): magnitude point transform
+    (truncate toward zero), ZRL runs, EOBn run accumulation."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            emit_sym(nb << 4)
+            if nb:
+                emit_bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for block in block_iter:
+        r = 0
+        for k in range(Ss, Se + 1):
+            v = int(block[k])
+            t = (abs(v) >> Al) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit_sym(0xF0)
+                r -= 16
+            cat = _jpg_category(t)
+            emit_sym((r << 4) | cat)
+            emit_bits(t if t >= 0 else t + (1 << cat) - 1, cat)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _jpg_drive_ac_refine(block_iter, Ss, Se, Al, emit_sym, emit_bits):
+    """AC refinement scan body (G.1.2.3): newly-significant coefs as
+    (run, 1) symbols with a sign bit, correction bits for history
+    coefficients buffered and flushed with the next symbol or EOBn."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pend
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            emit_sym(nb << 4)
+            if nb:
+                emit_bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+        for bit in pend:
+            emit_bits(bit, 1)
+        pend = []
+
+    for block in block_iter:
+        absv = [0] * 64
+        eobpos = Ss - 1
+        for k in range(Ss, Se + 1):
+            absv[k] = abs(int(block[k])) >> Al
+            if absv[k] == 1:
+                eobpos = k
+        r = 0
+        br: list[int] = []
+        for k in range(Ss, Se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                flush_eob()
+                emit_sym(0xF0)
+                r -= 16
+                for bit in br:
+                    emit_bits(bit, 1)
+                br = []
+            if t > 1:  # already significant: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            emit_sym((r << 4) | 1)
+            emit_bits(1 if int(block[k]) >= 0 else 0, 1)
+            for bit in br:
+                emit_bits(bit, 1)
+            br = []
+            r = 0
+        if r or br:
+            eobrun += 1
+            pend += br
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive JPEG
+    (SOF2). Same quantized coefficients as ``encode_jpeg`` at the
+    same quality — progressive is a lossless re-coding, so decoding
+    either stream yields identical pixels. Scan script: interleaved
+    DC with successive approximation, per-component spectral-
+    selection AC bands with an Al cascade on luma, then refinement
+    scans. AC tables are optimal per scan (T.81 K.2) and shipped in
+    a DHT before each SOS."""
+    coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
+    nc = 1 if gray else 3
+    bh, bw = coefs[0].shape[:2]
+
+    def seg(marker, payload):
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    ql, qc = _jpg_quant_tables(quality)
+    zzl = bytes(int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG)
+    dqt = seg(0xDB, b"\x00" + zzl)
+    if not gray:
+        zzc = bytes(int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG)
+        dqt += seg(0xDB, b"\x01" + zzc)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    dht = b""
+    for tid in range(1 if gray else 2):
+        bits, vals = _JPG_HUFF[(0, tid)]
+        dht += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    out = bytearray(b"\xff\xd8" + dqt + seg(0xC2, sof) + dht)
+    dc_codes = [
+        _jpg_canonical_codes(*_JPG_HUFF[(0, 0 if ci == 0 else 1)])
+        for ci in range(nc)
+    ]
+    script = _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
+    for kind, comp, Ss, Se, Ah, Al in script:
+        wr = _JpgBitWriter()
+        scan_dht = b""
+        if kind == "dc_first":
+            preds = [0] * nc
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci in range(nc):
+                        v = int(coefs[ci][by, bx, 0]) >> Al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        cat = _jpg_category(diff)
+                        code, ln = dc_codes[ci][cat]
+                        wr.put(code, ln)
+                        if cat:
+                            wr.put(
+                                diff
+                                if diff >= 0
+                                else diff + (1 << cat) - 1,
+                                cat,
+                            )
+        elif kind == "dc_refine":
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci in range(nc):
+                        wr.put(
+                            (int(coefs[ci][by, bx, 0]) >> Al) & 1, 1
+                        )
+        else:
+            drive = (
+                _jpg_drive_ac_first
+                if kind == "ac_first"
+                else _jpg_drive_ac_refine
+            )
+
+            def blocks():
+                c = coefs[comp]
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield c[by, bx]
+
+            freqs: dict[int, int] = {}
+            drive(
+                blocks(), Ss, Se, Al,
+                lambda s: freqs.__setitem__(s, freqs.get(s, 0) + 1),
+                lambda v, n: None,
+            )
+            bits, vals = _jpg_optimal_table(freqs)
+            scan_dht = seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            ac_codes = _jpg_canonical_codes(bits, vals)
+            drive(
+                blocks(), Ss, Se, Al,
+                lambda s: wr.put(*ac_codes[s]),
+                lambda v, n: wr.put(v, n),
+            )
+        wr.flush()
+        if kind in ("dc_first", "dc_refine"):
+            sos = bytes([nc])
+            for ci in range(nc):
+                sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+        else:
+            sos = bytes([1, comp + 1, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += scan_dht + seg(0xDA, sos) + bytes(wr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpg_scan_end(b: bytes, start: int) -> int:
+    """First offset at or after ``start`` holding a real marker
+    (0xFF + neither stuffing 0x00 nor RSTm)."""
+    pos = start
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Progressive JPEG (SOF2) bytes -> (h, w, 3) uint8 RGB (or
+    grayscale replicated). Full scan machinery: DC first/refine with
+    successive approximation, AC first/refine with spectral
+    selection, EOBn runs, correction bits, DHT redefinition between
+    scans. 4:4:4 / grayscale only (subsampled progressive gates)."""
+    import numpy as np
+
+    pos = 2
+    qts: dict[int, object] = {}
+    huffs: dict[tuple, dict] = {}
+    sof = None
+    coefs = None
+    eobrun = 0
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    require_codec("JPEG 16-bit quantization tables")
+                tab = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
+                qts[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(f"JPEG precision={prec}")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    require_codec("subsampled progressive JPEG")
+                comps.append((cid, tq))
+            bw, bh = -(-w // 8), -(-h // 8)
+            coefs = [
+                np.zeros((bh, bw, 64), dtype=np.int64) for _ in comps
+            ]
+            sof = (h, w, comps, bh, bw)
+        elif marker == 0xDD:
+            require_codec("progressive JPEG restart intervals")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG scan before SOF2")
+            h, w, comps, bh, bw = sof
+            ns = payload[0]
+            sel = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                idx = next(
+                    (i for i, (cid, _) in enumerate(comps) if cid == cs),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError("JPEG scan names unknown component")
+                sel.append((idx, tt >> 4, tt & 0x0F))
+            Ss, Se, aa = payload[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = aa >> 4, aa & 0x0F
+            data_start = pos + 2 + ln
+            end = _jpg_scan_end(b, data_start)
+            rd = _JpgBitReader(b[data_start:end])
+            eobrun = 0
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("SOF2 scan mixes DC and AC")
+                preds = [0] * len(sel)
+                for by in range(bh):
+                    for bx in range(bw):
+                        for si, (ci, dt, _at) in enumerate(sel):
+                            blk = coefs[ci][by, bx]
+                            if Ah == 0:
+                                dc_t = huffs.get((0, dt))
+                                if dc_t is None:
+                                    raise ValueError("JPEG missing table")
+                                cat = rd.huff(dc_t)
+                                preds[si] += (
+                                    _jpg_extend(rd.take(cat), cat)
+                                    if cat
+                                    else 0
+                                )
+                                blk[0] = preds[si] << Al
+                            else:
+                                blk[0] |= rd.take(1) << Al
+            else:
+                if len(sel) != 1:
+                    raise ValueError("SOF2 AC scan must be one component")
+                ci, _dt, at = sel[0]
+                ac_t = huffs.get((1, at))
+                if ac_t is None:
+                    raise ValueError("JPEG missing table")
+                p1, m1 = 1 << Al, -1 << Al
+                for by in range(bh):
+                    for bx in range(bw):
+                        blk = coefs[ci][by, bx]
+                        if Ah == 0:
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = Ss
+                            while k <= Se:
+                                rs = rd.huff(ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s:
+                                    k += r
+                                    if k > Se:
+                                        raise ValueError(
+                                            "JPEG AC run overflow"
+                                        )
+                                    blk[k] = (
+                                        _jpg_extend(rd.take(s), s) << Al
+                                    )
+                                    k += 1
+                                else:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += rd.take(r)
+                                        break
+                                    k += 16
+                        else:
+                            k = Ss
+                            if eobrun == 0:
+                                while k <= Se:
+                                    rs = rd.huff(ac_t)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    sval = 0
+                                    if s:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "bad AC refine symbol"
+                                            )
+                                        sval = p1 if rd.take(1) else m1
+                                    elif r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rd.take(r)
+                                        break
+                                    while k <= Se:
+                                        v = int(blk[k])
+                                        if v != 0:
+                                            if rd.take(1) and (
+                                                v & p1
+                                            ) == 0:
+                                                blk[k] += (
+                                                    p1 if v >= 0 else m1
+                                                )
+                                        else:
+                                            r -= 1
+                                            if r < 0:
+                                                break
+                                        k += 1
+                                    if s:
+                                        blk[k] = sval
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= Se:
+                                    v = int(blk[k])
+                                    if v != 0 and rd.take(1) and (
+                                        v & p1
+                                    ) == 0:
+                                        blk[k] += p1 if v >= 0 else m1
+                                    k += 1
+                                eobrun -= 1
+            pos = end
+            continue
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed SOF markers in progressive JPEG")
+        pos += 2 + ln
+    if sof is None or coefs is None:
+        raise ValueError("JPEG missing SOF2/scan data")
+    h, w, comps, bh, bw = sof
+    dctm = _jpg_dct_mat()
+    zz = _JPG_ZIGZAG
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("JPEG missing quant table")
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros((8, 8), dtype=np.float64)
+                flat = blk.reshape(-1)
+                for i in range(64):
+                    flat[zz[i]] = coefs[ci][by, bx, i]
+                blk *= qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dctm.T @ blk @ dctm
+                )
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    out = np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+    )
+    return out.astype(np.uint8)
+
+
+def jpeg_marker_summary(b: bytes):
+    """Structural marker walk -> (progressive, n_scans, n_restarts).
+    Entropy segments are skipped with the stuffing/RST rules, so data
+    bytes cannot false-positive as markers."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, prog, n_scans, n_rst = 2, False, 0, 0
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xC2:
+            prog = True
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if marker == 0xDA:
+            n_scans += 1
+            p = pos + 2 + ln
+            end = _jpg_scan_end(b, p)
+            n_rst += sum(
+                1
+                for k in range(p, end)
+                if b[k] == 0xFF
+                and k + 1 < end
+                and 0xD0 <= b[k + 1] <= 0xD7
+            )
+            pos = end
+        else:
+            pos += 2 + ln
+    return prog, n_scans, n_rst
 
 
 # ---------------------------------------------------------------------------
@@ -2981,12 +3621,15 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
     value, for corpora that mix sample widths: (fmt, n_px, exact
     channel sums, aux) where aux is the max sample value for PPM
     (proves 2-byte big-endian samples were really read — a
-    byte-order or stride bug caps or scrambles it) and the count of
-    RSTm markers after SOS for JPEG (proves the encoder emitted and
-    the decoder consumed the restart structure — byte-stuffed 0xFF00
-    pairs can't false-positive). Channel sums use int64 (no lq² here:
-    16-bit samples would overflow the squared-luma accumulator that
-    ``image_exact_stats`` uses for 8-bit corpora)."""
+    byte-order or stride bug caps or scrambles it), the count of
+    RSTm markers for baseline JPEG (proves the encoder emitted and
+    the decoder consumed the restart structure), and the SOS count
+    for progressive JPEG (proves the full multi-scan layout is
+    present — both via ``jpeg_marker_summary``'s structural walk, so
+    entropy bytes can't false-positive). Channel sums use int64 (no
+    lq² here: 16-bit samples would overflow the squared-luma
+    accumulator that ``image_exact_stats`` uses for 8-bit
+    corpora)."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3001,13 +3644,13 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
                     continue
                 p = px.astype(np.int64)
                 if fmt == "jpeg":
-                    b = bytes(content)
-                    sos = b.index(b"\xff\xda")
-                    aux = sum(
-                        1
-                        for k in range(sos, len(b) - 1)
-                        if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7
+                    prog, n_scans, n_rst = jpeg_marker_summary(
+                        bytes(content)
                     )
+                    if prog:
+                        fmt, aux = "jpeg_prog", n_scans
+                    else:
+                        aux = n_rst
                 else:
                     aux = int(p[..., :3].max())
                 if fmt == "ppm" and px.dtype == np.uint16:

@@ -313,10 +313,17 @@ def test_jpeg_gates_and_corrupt_safety(spark):
     )
 
     good = encode_jpeg(make_test_pixels(16, 16, seed=1), quality=80)
-    # flip SOF0 (0xC2 = progressive) -> must gate, not mis-decode
+    # flipping SOF0 to SOF2 forges a progressive header onto a
+    # baseline scan (Ss=0, Se=63 is illegal in SOF2) — the real
+    # progressive decoder now engages and rejects it loudly instead
+    # of gating (real progressive streams decode:
+    # test_jpeg_progressive_equals_baseline_decode)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
+    # extended-sequential (SOF1) still gates honestly
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
     # truncated entropy stream -> ValueError
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
@@ -938,3 +945,45 @@ def test_gif_partial_frame_compositing():
     # partial frame + local-table-only is rejected at encode time
     with pytest.raises(ValueError):
         encode_gif(fr, screen=(20, 15), local_table=True)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2) is a lossless re-coding of the same
+    quantized coefficients: decode(progressive(x)) must equal
+    decode(baseline(x)) bit-for-bit on ANY image — this pins the
+    whole scan machinery (DC successive approximation, spectral
+    bands, Al cascade, AC refinement correction bits, EOBn runs,
+    optimal per-scan Huffman tables) against the heavily-verified
+    baseline path."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_marker_summary,
+    )
+
+    for (w, h, q) in [(24, 16, 90), (33, 25, 85), (8, 8, 95),
+                      (17, 9, 75), (64, 48, 50)]:
+        px = make_test_pixels(w, h, seed=w + h)
+        bb, bp = encode_jpeg(px, quality=q), encode_jpeg_progressive(
+            px, quality=q
+        )
+        assert np.array_equal(decode_jpeg(bb), decode_jpeg(bp)), (w, h, q)
+        assert jpeg_marker_summary(bp) == (True, 10, 0)
+        assert jpeg_marker_summary(bb) == (False, 1, 0)
+    # grayscale script has 4 scans
+    g = np.asarray(make_test_pixels(31, 13, seed=1))[..., 0]
+    bp = encode_jpeg_progressive(g, quality=80)
+    assert np.array_equal(
+        decode_jpeg(bp), decode_jpeg(encode_jpeg(g, quality=80))
+    )
+    assert jpeg_marker_summary(bp)[:2] == (True, 4)
+    # smooth frame: EOBn runs > 1 on the wire, still exact
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quality=90)),
+        decode_jpeg(encode_jpeg(flat, quality=90)),
+    )
+    # truncated progressive stream is structural damage
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg_progressive(flat, quality=90)[:100])
