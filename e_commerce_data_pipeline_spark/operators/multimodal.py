@@ -63,12 +63,18 @@ _MAGIC = b"FAKEIMG"
 
 
 def require_codec(fmt: str) -> None:
-    """The honest gate for compressed formats: decoding them requires
-    a codec library (Pillow / libjpeg / ffmpeg) absent from this
-    container."""
+    """The honest gate for format variants outside this module's
+    pure-numpy codecs: not implemented here, and no codec library
+    (Pillow / libjpeg / ffmpeg) is present in this container to
+    delegate to. The supported surface decodes natively: BMP, PPM
+    (8/16-bit), PNG (truecolor/palette/gray families, tRNS, Adam7,
+    16-bit), JPEG (baseline 4:4:4/4:2:0/gray, restart intervals,
+    progressive), GIF (interlace, local tables, partial frames),
+    WAV PCM/G.711/IMA-ADPCM (any channel count)."""
     raise NotImplementedError(
-        f"decoding {fmt} requires a codec library not present in this "
-        "environment; BMP/PPM/PNG/baseline-JPEG decode natively"
+        f"decoding {fmt} is outside the pure-numpy codec surface and "
+        "no codec library is present in this environment to delegate "
+        "to"
     )
 
 

@@ -297,3 +297,105 @@ def test_png_single_byte_damage_never_crashes(seed, pos_scale, xor):
         assert fmt == "png" and px is not None
     else:
         assert (px is None and fmt is None) or fmt == "png"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=50, max_value=95),
+)
+def test_jpeg_progressive_equals_baseline_any_image(w, h, seed, quality):
+    """Progressive (SOF2) is a lossless re-coding of the baseline
+    quantized coefficients: for ANY image and quality, decoding
+    either stream yields identical pixels — pins the whole scan
+    machinery (DC/AC successive approximation, spectral bands, EOBn
+    runs, optimal tables) against the baseline path."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    db = decode_jpeg(encode_jpeg(px, quality=quality))
+    dp = decode_jpeg(encode_jpeg_progressive(px, quality=quality))
+    assert np.array_equal(db, dp)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ima_multichannel_equals_per_channel_mono(ch, groups, seed):
+    """N-channel IMA ADPCM decode == N independent mono decodes of
+    the per-channel streams, for ANY nibble content and channel
+    count — the interleaving layer must never leak state across
+    channels."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_multi,
+        ima_adpcm_decode,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = groups * 8
+    streams = [
+        rng.integers(0, 16, size=n, dtype=np.uint8) for _ in range(ch)
+    ]
+    inits = [
+        (int(rng.integers(-32768, 32768)), int(rng.integers(0, 89)))
+        for _ in range(ch)
+    ]
+    dec, _rate = decode_wav(encode_wav_ima_multi(streams, inits))
+    assert dec.shape == (n + 1, ch)
+    for c in range(ch):
+        assert dec[:, c].tolist() == ima_adpcm_decode(
+            streams[c], inits[c][0], inits[c][1]
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=30),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.booleans(),
+)
+def test_gif_partial_frame_any_placement(w, h, dx, dy, seed, interlace):
+    """ANY in-bounds frame placement composites exactly: frame pixels
+    at the offset, background color everywhere else."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    # <= 256 distinct colors guaranteed: low-entropy palette
+    px = (rng.integers(0, 6, size=(h, w, 3)) * 40).astype(np.uint8)
+    sw, sh = w + dx, h + dy
+    ox = int(rng.integers(0, dx + 1))
+    oy = int(rng.integers(0, dy + 1))
+    bg = tuple(int(v) for v in rng.integers(0, 256, size=3))
+    out = decode_gif(
+        encode_gif(
+            px, interlace=interlace, screen=(sw, sh), offset=(ox, oy),
+            background=bg,
+        )
+    )
+    exp = np.empty((sh, sw, 3), np.uint8)
+    exp[:, :] = bg
+    exp[oy : oy + h, ox : ox + w] = px
+    assert np.array_equal(out, exp)
