@@ -399,3 +399,102 @@ def test_gif_partial_frame_any_placement(w, h, dx, dy, seed, interlace):
     exp[:, :] = bg
     exp[oy : oy + h, ox : ox + w] = px
     assert np.array_equal(out, exp)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=14),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=13),
+            st.integers(min_value=0, max_value=13),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_component_split_never_leaks(spark, n, edges):
+    """For ANY duplicate graph, splitting by connected component
+    means NO edge crosses splits — the q190 leakage-safe-split
+    invariant. Also: every edge's endpoints must share a component."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from e_commerce_data_pipeline_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a_id long, b_id long"
+    )
+    if not edges:
+        pairs = pairs.filter(F.lit(False))
+    comp = connected_components(
+        pairs, "a_id", "b_id", vertices=verts, id_col="id"
+    )
+    cmap = {r["id"]: r["component"] for r in comp.collect()}
+    assert set(cmap) == set(range(n))
+    for a, b in edges:
+        assert cmap[a] == cmap[b], (a, b)
+    u = hash_uniform(F.col("component"), salt="dsplit")
+    split = comp.select(
+        "id",
+        F.when(u < 0.5, "train").otherwise("test").alias("split"),
+    )
+    smap = {r["id"]: r["split"] for r in split.collect()}
+    for a, b in edges:
+        assert smap[a] == smap[b], (a, b)  # same component -> same split
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_hard_negatives_match_bruteforce(spark, seed):
+    """For ANY embeddings/labels, hard_negative_mining's picks equal
+    the numpy brute force under the same (rounded sim DESC, id ASC)
+    rule, and margin = pos_sim - neg_sim."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d = 12, 5
+    vecs = rng.standard_normal((n, d))
+    labels = rng.integers(0, 3, size=n)
+    rows = [
+        (i, int(labels[i]), [float(x) for x in vecs[i]])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    qdf = emb.filter("vec_id < 4")
+    got = {
+        r["query_id"]: r
+        for r in hard_negative_mining(emb, qdf).collect()
+    }
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 6)
+    for qi in range(4):
+        pos = [
+            (-sims[qi, j], j)
+            for j in range(n)
+            if j != qi and labels[j] == labels[qi]
+        ]
+        neg = [
+            (-sims[qi, j], j)
+            for j in range(n)
+            if j != qi and labels[j] != labels[qi]
+        ]
+        if not pos or not neg:
+            assert qi not in got
+            continue
+        bp, bn = min(pos), min(neg)
+        r = got[qi]
+        assert (r["pos_id"], r["neg_id"]) == (bp[1], bn[1]), qi
+        assert abs(r["margin"] - (-bp[0] - -bn[0])) < 1e-9
