@@ -498,3 +498,77 @@ def test_hard_negatives_match_bruteforce(spark, seed):
         r = got[qi]
         assert (r["pos_id"], r["neg_id"]) == (bp[1], bn[1]), qi
         assert abs(r["margin"] - (-bp[0] - -bn[0])) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=1, max_value=100_000),
+        min_size=0,
+        max_size=200,
+    )
+)
+def test_jpg_optimal_table_valid_for_any_frequencies(freqs):
+    """For ANY symbol frequency map, the K.2 optimal-table builder
+    must yield a decodable canonical table: every requested symbol
+    coded, all lengths <= 16, prefix-free by construction, and no
+    code equal to all-ones at its length (the JPEG reserved
+    pattern); encode->decode of every symbol round-trips."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _jpg_canonical_codes,
+        _jpg_decode_table,
+        _jpg_optimal_table,
+    )
+
+    bits, vals = _jpg_optimal_table(freqs)
+    assert len(vals) == sum(bits) and len(bits) == 16
+    if freqs:
+        assert set(vals) == set(freqs)
+    enc = _jpg_canonical_codes(bits, vals)
+    dec = _jpg_decode_table(bits, vals)
+    for sym, (code, ln) in enc.items():
+        assert 1 <= ln <= 16
+        assert code != (1 << ln) - 1, (sym, ln)  # reserved all-ones
+        assert dec[(ln, code)] == sym
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=255),
+)
+def test_jpeg_progressive_single_byte_damage_never_crashes(
+    seed, pos_scale, xor
+):
+    """Flipping any byte of a valid progressive JPEG must yield a
+    clean decode or (None, None) from _decode_any — never an
+    uncaught exception (a corrupt file must not kill a 100 TB
+    scan)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        encode_jpeg_progressive,
+        make_test_pixels,
+    )
+
+    good = encode_jpeg_progressive(
+        make_test_pixels(16, 12, seed=seed % 100), quality=85
+    )
+    pos = pos_scale % len(good)
+    dmg = bytearray(good)
+    dmg[pos] ^= xor
+    try:
+        px, fmt = _decode_any(bytes(dmg))
+    except NotImplementedError:
+        # a flip can forge a marker/precision byte into an honestly
+        # gated variant (e.g. 12-bit) — the loud gate is the
+        # documented outcome for valid-looking unsupported files
+        assert xor != 0
+        return
+    if xor == 0:
+        assert fmt == "jpeg" and px is not None
+    else:
+        assert (px is None and fmt is None) or fmt == "jpeg"
