@@ -987,3 +987,44 @@ def test_jpeg_progressive_equals_baseline_decode():
     # truncated progressive stream is structural damage
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg_progressive(flat, quality=90)[:100])
+
+
+def test_jpeg_progressive_zrl_in_refine_scan():
+    """Deterministically force the hardest AC-refinement path: a
+    coefficient significant from the first scan (its correction bits
+    must ride the refine scans' bit buffer), a >16-zero-history gap,
+    then a coefficient newly significant only at Al=0 — the encoder
+    must emit ZRL inside the refine scan with buffered correction
+    bits, and the decoder must replay it. Pixels are built by
+    inverse-DCT of chosen quantized coefficients so re-quantization
+    provably recovers the pattern (asserted), then the differential
+    oracle pins encode+decode: progressive == baseline decode."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _JPG_ZIGZAG,
+        _jpg_dct_mat,
+        _jpg_quant_tables,
+        _jpg_quantized_coefs,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    ql, _ = _jpg_quant_tables(90)
+    dctm = _jpg_dct_mat()
+    zz = np.array(_JPG_ZIGZAG)
+    C = np.zeros(64)
+    C[0], C[1], C[30] = 4, 48, 1
+    nat = np.zeros((8, 8))
+    nat.reshape(-1)[zz] = C
+    blk = dctm.T @ (nat * ql) @ dctm + 128.0
+    img = np.clip(np.round(blk), 0, 255).astype(np.uint8)
+    # the pattern must survive re-quantization or the test is vacuous
+    got = _jpg_quantized_coefs(img, 90)[0][0][0, 0]
+    nz = [k for k, v in enumerate(got) if v and k > 1]
+    assert got[1] != 0 and abs(got[1]) >= 8
+    assert nz and nz[0] >= 18 and abs(int(got[nz[0]])) == 1, nz
+    for arr in (img, np.stack([img] * 3, -1)):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(arr, quality=90)),
+            decode_jpeg(encode_jpeg_progressive(arr, quality=90)),
+        )
