@@ -1759,6 +1759,8 @@ def decode_jpeg(b: bytes):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before any marker (B.1.1.2)
         marker = b[pos + 1]
         if marker == 0xD9:
             break
@@ -2268,6 +2270,8 @@ def _decode_jpeg_progressive(b: bytes):
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before any marker (B.1.1.2)
         marker = b[pos + 1]
         if marker == 0xD9:
             break
@@ -2485,6 +2489,8 @@ def jpeg_marker_summary(b: bytes):
     while pos + 1 < len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional fill bytes before any marker (B.1.1.2)
         marker = b[pos + 1]
         if marker == 0xD9:
             break

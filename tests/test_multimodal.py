@@ -1028,3 +1028,62 @@ def test_jpeg_progressive_zrl_in_refine_scan():
             decode_jpeg(encode_jpeg(arr, quality=90)),
             decode_jpeg(encode_jpeg_progressive(arr, quality=90)),
         )
+
+
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any marker may be preceded by optional 0xFF
+    fill bytes — real encoders pad with them. Injecting fill runs
+    before every non-RST marker segment must not change the decode
+    (baseline, restart-interval, and progressive walkers)."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_marker_summary,
+        make_test_pixels,
+    )
+
+    px = make_test_pixels(24, 16, seed=2)
+
+    def pad_markers(b: bytes) -> bytes:
+        # rebuild the stream inserting 0xFF fills before each
+        # structural marker segment (walk segments; skip entropy)
+        import struct as _struct
+
+        out = bytearray(b[:2])
+        pos = 2
+        while pos + 1 < len(b):
+            assert b[pos] == 0xFF
+            marker = b[pos + 1]
+            out += b"\xff\xff\xff"  # three fill bytes, then the marker
+            if marker == 0xD9:
+                out += b"\xff\xd9"
+                break
+            (ln,) = _struct.unpack_from(">H", b, pos + 2)
+            out += b[pos : pos + 2 + ln]
+            pos += 2 + ln
+            if marker == 0xDA:  # copy entropy bytes verbatim
+                start = pos
+                while pos + 1 < len(b):
+                    if (
+                        b[pos] == 0xFF
+                        and b[pos + 1] != 0x00
+                        and not (0xD0 <= b[pos + 1] <= 0xD7)
+                    ):
+                        break
+                    pos += 1
+                out += b[start:pos]
+        return bytes(out)
+
+    for enc in (
+        lambda a: encode_jpeg(a, quality=85),
+        lambda a: encode_jpeg(a, quality=85, restart_interval=2),
+        lambda a: encode_jpeg_progressive(a, quality=85),
+    ):
+        plain = enc(px)
+        padded = pad_markers(plain)
+        assert padded != plain
+        assert np.array_equal(decode_jpeg(padded), decode_jpeg(plain))
+    assert jpeg_marker_summary(pad_markers(encode_jpeg_progressive(px)))[
+        :2
+    ] == (True, 10)
