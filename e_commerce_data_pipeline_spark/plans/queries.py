@@ -8370,7 +8370,9 @@ def q162_theil_sen_trend(spark, sf_dir):
         F.sum(
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100000")
         ).alias("x")
-    )
+    ).cache()  # |days| rows; without this the orders scan re-runs for
+    # the slope-pair build AND the residual stage (measured ~2 s each
+    # at sf0.1 — the scan, not the bounded pair join, dominates here)
     a = daily.select(F.col("di").alias("da"), F.col("x").alias("xa"))
     b = daily.select(F.col("di").alias("db"), F.col("x").alias("xb"))
     slopes = (
