@@ -41,3 +41,44 @@ def test_single_row_and_nulls(spark):
         (50, 1, 1, 42),
         (99, 1, 1, 42),
     }
+
+
+def test_property_any_values_any_percents(spark):
+    """Hypothesis: for ANY int64 multiset (huge range, ties,
+    negatives, singletons) and ANY percent set, narrowing returns
+    exactly the rank-based reference — the invariant q157/q162/q103
+    lean on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=60,
+        ),
+        st.sets(
+            st.integers(min_value=1, max_value=100), min_size=1, max_size=4
+        ),
+    )
+    def inner(vals, percents):
+        ps = sorted(percents)
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r.percent: (r.n, r.k, r.value)
+            for r in exact_quantiles(df, "v", ps, buckets=7).collect()
+        }
+        n = len(vals)
+        for p in ps:
+            k = max(1, -(-p * n // 100))
+            assert got[p] == (n, k, _ref(vals, p)), (p, vals)
+
+    inner()
