@@ -3,15 +3,17 @@
 ``mapInPandas``.
 
 The decode kernels are REAL for formats decodable in pure
-numpy+stdlib — BMP (24-bit uncompressed), PPM (binary P6), PNG
-(8-bit truecolor: zlib inflate + scanline unfiltering), and baseline
-JPEG (Annex K Huffman + float64 IDCT) — covering header parse, pixel
-decode, nearest-neighbor resize, per-channel feature extraction, and
-frame sampling over a length-prefixed frame container. Variants that
-genuinely need codec libraries this container doesn't ship
-(progressive/12-bit JPEG, H.264) raise
-NotImplementedError explicitly
-(``require_codec``) rather than pretending.
+numpy+stdlib — BMP (24-bit uncompressed), PPM (binary P6, 8/16-bit),
+PNG (truecolor/palette/gray 1-16 bit, alpha+tRNS, Adam7 interlace),
+JPEG (baseline 4:4:4/4:2:0/gray, restart intervals, progressive
+SOF2), GIF (LZW, interlace, local tables, partial-frame
+compositing), and WAV PCM/G.711/IMA-ADPCM (any channel count) —
+covering header parse, pixel decode, nearest-neighbor resize,
+per-channel feature extraction, and frame sampling over a
+length-prefixed frame container. Variants that genuinely need codec
+libraries this container doesn't ship (arithmetic-coded / 12-bit /
+subsampled-progressive JPEG, H.264) raise NotImplementedError
+explicitly (``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
 kernels stream batch-by-batch (never materialize the iterator) so peak
