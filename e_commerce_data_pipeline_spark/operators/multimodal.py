@@ -2429,6 +2429,11 @@ def _decode_jpeg_progressive(b: bytes):
                                                 break
                                         k += 1
                                     if s:
+                                        if k > Se:
+                                            raise ValueError(
+                                                "JPEG AC refine "
+                                                "overflow"
+                                            )
                                         blk[k] = sval
                                     k += 1
                             if eobrun > 0:

@@ -1087,3 +1087,58 @@ def test_jpeg_fill_bytes_before_markers_tolerated():
     assert jpeg_marker_summary(pad_markers(encode_jpeg_progressive(px)))[
         :2
     ] == (True, 10)
+
+
+def test_jpeg_progressive_bitflip_corruption_raises_valueerror_only():
+    """Documented contract (module header + decode_jpeg): structural
+    damage to a JPEG stream raises ValueError, never IndexError — the
+    kernel-level catch in _decode_any depends on it, and direct
+    callers of decode_jpeg get the documented type. Exhaustively flip
+    every bit of every entropy-coded scan byte of a small progressive
+    stream and assert each flip either still decodes or raises
+    ValueError. Regression for the AC-refine overflow: a corrupted
+    refine scan could previously run the zero-history pointer past
+    the band end and hit blk[k] with k==64 (IndexError) or silently
+    write into a later band."""
+    import struct
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_progressive,
+        _jpg_scan_end,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    b = encode_jpeg_progressive(img, quality=50)
+
+    scans = []
+    pos = 2
+    while pos + 3 < len(b):
+        assert b[pos] == 0xFF
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if marker == 0xDA:
+            start = pos + 2 + ln
+            end = _jpg_scan_end(b, start)
+            scans.append((start, end))
+            pos = end
+        else:
+            pos += 2 + ln
+    assert len(scans) >= 4  # DC + AC-first + DC-refine + AC-refine
+
+    seen = set()
+    for start, end in scans:
+        for i in range(start, end):
+            for bit in range(8):
+                bad = bytearray(b)
+                bad[i] ^= 1 << bit
+                try:
+                    _decode_jpeg_progressive(bytes(bad))
+                except ValueError as e:
+                    seen.add(str(e))
+                # any other exception type propagates -> test fails
+    # the sweep must actually reach the AC-refine overflow guard
+    assert "JPEG AC refine overflow" in seen, sorted(seen)
