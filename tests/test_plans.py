@@ -364,3 +364,19 @@ def test_q161_fs_stat_frames_broadcast(spark, sf_dir):
     )
     assert "EvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
+
+
+def test_q162_daily_agg_cached_single_orders_scan(spark, sf_dir):
+    """The |days|-row daily aggregate must materialize ONCE (commit
+    ecc570f): the slope-pair self-join and the residual stage both
+    read it back through InMemoryTableScan instead of re-running the
+    orders scan + groupBy (measured ~2 s per extra scan at sf0.1).
+    Guard: the executed plan of the final frame references the cache
+    at least twice; without .cache() there is no InMemoryRelation at
+    all and every reference re-plans the parquet scan."""
+    df = QUERIES["q162_theil_sen_trend"].fn(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "InMemoryRelation" in plan, plan
+    spark.catalog.clearCache()
