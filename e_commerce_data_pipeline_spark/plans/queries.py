@@ -11185,6 +11185,189 @@ def q199_gif_partial_frame_stats(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@_register(
+    "q200_quality_gate_catalog_census",
+    f"""
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_id,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user_id,
+               COUNT(*) - COUNT(DISTINCT event_id) AS n_dup_event_id,
+               CAST(SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_event_type,
+               CAST(SUM(CASE WHEN value < 0 OR value > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_oob_value,
+               COUNT(DISTINCT user_id) / (1.0 * COUNT(*)) AS distinct_ratio,
+               MAX(epoch_us(ts)) AS max_us_ts
+        FROM events
+    ),
+    flags AS (
+        SELECT *,
+               n_null_event_id = 0 AS p1,
+               n_null_user_id = 0 AS p2,
+               n_dup_event_id = 0 AS p3,
+               n_bad_event_type = 0 AS p4,
+               n_oob_value = 0 AS p5,
+               n_rows BETWEEN 100 AND 10000000 AS p6,
+               distinct_ratio BETWEEN 0.01 AND 1.0 AS p7,
+               max_us_ts >= {_VALID_NOW_US} - 7200000000 AS p8
+        FROM agg
+    ),
+    scored AS (
+        SELECT *,
+               (CASE WHEN p1 THEN 1 ELSE 0 END + CASE WHEN p2 THEN 1 ELSE 0 END
+              + CASE WHEN p3 THEN 1 ELSE 0 END + CASE WHEN p4 THEN 1 ELSE 0 END
+              + CASE WHEN p5 THEN 1 ELSE 0 END + CASE WHEN p6 THEN 1 ELSE 0 END
+              + CASE WHEN p7 THEN 1 ELSE 0 END + CASE WHEN p8 THEN 1 ELSE 0 END)
+                   AS n_passed
+        FROM flags
+    ),
+    blobs AS (
+        SELECT filename, size
+        FROM read_blob('{ORACLE_SCRATCH}/q200_bronze/year=*/month=*/day=*/hour=*/*.json.gz')
+    ),
+    parts AS (
+        SELECT regexp_extract(filename,
+                   'year=\\d+/month=\\d+/day=\\d+/hour=\\d+') AS name,
+               COUNT(*) AS fc, CAST(SUM(size) AS BIGINT) AS bytes
+        FROM blobs GROUP BY 1
+    )
+    SELECT 'expectation' AS section, 'not_null_event_id' AS name,
+           n_null_event_id AS metric, CAST(NULL AS BIGINT) AS bytes, p1 AS passed FROM scored
+    UNION ALL SELECT 'expectation', 'not_null_user_id', n_null_user_id, NULL, p2 FROM scored
+    UNION ALL SELECT 'expectation', 'unique_event_id', n_dup_event_id, NULL, p3 FROM scored
+    UNION ALL SELECT 'expectation', 'in_set_event_type', n_bad_event_type, NULL, p4 FROM scored
+    UNION ALL SELECT 'expectation', 'between_value', n_oob_value, NULL, p5 FROM scored
+    UNION ALL SELECT 'expectation', 'row_count', n_rows, NULL, p6 FROM scored
+    UNION ALL SELECT 'expectation', 'distinct_ratio_user_id',
+           CAST(FLOOR(distinct_ratio * 1000000.0) AS BIGINT), NULL, p7 FROM scored
+    UNION ALL SELECT 'expectation', 'freshness_ts', max_us_ts, NULL, p8 FROM scored
+    UNION ALL SELECT 'suite', 'quality_gate',
+           CAST((1000 * n_passed) // 8 AS BIGINT), NULL,
+           100 * n_passed >= 95 * 8 FROM scored
+    UNION ALL SELECT 'catalog', name, CAST(fc AS BIGINT), bytes, bytes > 0 FROM parts
+    UNION ALL SELECT 'catalog_total', 'events',
+           CAST(SUM(fc) AS BIGINT), CAST(SUM(bytes) AS BIGINT), SUM(fc) > 0
+        FROM parts
+    """,
+    "A9 suite compiler + >=0.95 gate as ONE scan (census rows), plus "
+    "S10/A10 bronze lake catalog stats (file count + bytes per Hive "
+    "hour partition) over a real partitioned gzip-JSONL write",
+    bench=False,  # dominated by the bronze backfill write, not query cost
+)
+def q200_quality_gate_catalog_census(spark, sf_dir):
+    """A9/A10/S10 oracle census (reference: quality suite scoring +
+    0.95 warehouse gate at data/quality/expectations.py:398-412,
+    437-464; lake catalog stats at data/lake_writer.py:244-286).
+
+    One compile_suite() scan produces every expectation metric, pass
+    flag, and the gate; the same frame unpivots to long-format census
+    rows. The catalog half writes events as event-time-partitioned
+    gzip JSONL (S4/S5) and censuses the resulting lake via the
+    binaryFile listing — the oracle reads the identical files through
+    DuckDB read_blob, so file counts AND byte sizes are value-checked.
+    Integer discipline: the score is (1000 * passed) div total and the
+    distinct-ratio metric is floor(ratio * 1e6) — no float rounding at
+    engine boundaries; the gate compare is 100 * passed >= 95 * total.
+    """
+    from ..operators.quality import (
+        compile_suite,
+        expect_between,
+        expect_distinct_ratio,
+        expect_freshness,
+        expect_in_set,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+    )
+    from ..sources.bronze import bronze_catalog_stats, write_bronze
+
+    e = _t(spark, sf_dir, "events")
+    path = f"{ORACLE_SCRATCH}/q200_bronze"
+    write_bronze(
+        e.select("event_id", "user_id", "event_type", "value", "ts"),
+        path,
+        ts_col="ts",
+        mode="overwrite",
+        one_file_per_partition=True,
+    )
+
+    suite = [
+        expect_not_null("event_id"),
+        expect_not_null("user_id"),
+        expect_unique("event_id"),
+        expect_in_set("event_type", EVENT_TYPES),
+        expect_between("value", 0, 10_000),
+        expect_row_count(100, 10_000_000),
+        expect_distinct_ratio("user_id", 0.01, 1.0),
+        expect_freshness("ts", 2, NOW),
+    ]
+    r = compile_suite(e, suite)
+    passed = None
+    for x in suite:
+        c = F.col(f"pass_{x.name}").cast("int")
+        passed = c if passed is None else passed + c
+    r = r.withColumn("__passed", passed)
+
+    def erow(name, metric, pass_col):
+        return F.struct(
+            F.lit("expectation").alias("section"),
+            F.lit(name).alias("name"),
+            metric.cast("long").alias("metric"),
+            F.lit(None).cast("long").alias("bytes"),
+            F.col(pass_col).alias("passed"),
+        )
+
+    census = r.select(
+        F.explode(
+            F.array(
+                erow("not_null_event_id", F.col("n_null_event_id"),
+                     "pass_not_null_event_id"),
+                erow("not_null_user_id", F.col("n_null_user_id"),
+                     "pass_not_null_user_id"),
+                erow("unique_event_id", F.col("n_dup_event_id"),
+                     "pass_unique_event_id"),
+                erow("in_set_event_type", F.col("n_bad_event_type"),
+                     "pass_in_set_event_type"),
+                erow("between_value", F.col("n_oob_value"),
+                     "pass_between_value"),
+                erow("row_count", F.col("n_rows"), "pass_row_count"),
+                erow(
+                    "distinct_ratio_user_id",
+                    F.floor(F.col("distinct_ratio_user_id") * 1_000_000.0),
+                    "pass_distinct_ratio_user_id",
+                ),
+                erow("freshness_ts", F.col("max_us_ts"), "pass_freshness_ts"),
+                F.struct(
+                    F.lit("suite").alias("section"),
+                    F.lit("quality_gate").alias("name"),
+                    F.expr("(1000 * __passed) div 8").cast("long").alias("metric"),
+                    F.lit(None).cast("long").alias("bytes"),
+                    (F.col("__passed") * 100 >= F.lit(95 * 8)).alias("passed"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+
+    cat = bronze_catalog_stats(spark, path).cache()
+    cat_rows = cat.select(
+        F.lit("catalog").alias("section"),
+        F.col("partition").alias("name"),
+        F.col("file_count").cast("long").alias("metric"),
+        F.col("total_bytes").cast("long").alias("bytes"),
+        (F.col("total_bytes") > 0).alias("passed"),
+    )
+    cat_total = cat.agg(
+        F.sum("file_count").cast("long").alias("metric"),
+        F.sum("total_bytes").cast("long").alias("bytes"),
+    ).select(
+        F.lit("catalog_total").alias("section"),
+        F.lit("events").alias("name"),
+        "metric",
+        "bytes",
+        (F.col("metric") > 0).alias("passed"),
+    )
+    return census.unionByName(cat_rows).unionByName(cat_total)
+
+
 # --------------------------------------------------------------------------
 # Registration order: the driver diffs queries in dict order and caps how
 # many it runs (rounds 1 and 2 each recorded exactly 50 rows, so with 66

@@ -39,11 +39,20 @@ def write_bronze(
     ts_col: str = "timestamp",
     mode: str = "append",
     compression: str = "gzip",
+    one_file_per_partition: bool = False,
 ) -> None:
-    """Write gzip JSONL partitioned by event-time year/month/day/hour."""
+    """Write gzip JSONL partitioned by event-time year/month/day/hour.
+
+    ``one_file_per_partition`` hash-repartitions on the partition
+    columns first so every ``hour=`` directory is written by exactly
+    one task — the small-file control for batch backfills (without
+    it, every input partition holding rows for an hour emits its own
+    file: up to tasks x hours files per write)."""
+    out = with_time_partitions(df, ts_col)
+    if one_file_per_partition:
+        out = out.repartition(*[F.col(c) for c in PARTITION_COLS])
     (
-        with_time_partitions(df, ts_col)
-        .write.mode(mode)
+        out.write.mode(mode)
         .option("compression", compression)
         .partitionBy(*PARTITION_COLS)
         .json(path)
