@@ -13,6 +13,13 @@ the first query.
 The same record is also written pretty-printed to BENCH_FULL.json next
 to this file (the driver's BENCH_r{N}.json keeps only the last 2000
 chars of the stdout line; the file keeps every per-query row).
+
+The record carries an ambient calibration ``anchor``: two pinned
+fixed-cost probes (a 2B-row codegen loop and the q01 parquet
+scan+agg) timed min-of-3 at session start and end. Cross-session
+comparisons divide by the anchor ratio first — an anchor reading
+1.1-1.2x the committed record's anchor means the machine is slower,
+not the engine — and the >1.5x retry trigger is normalized by it.
 """
 
 from __future__ import annotations
@@ -40,9 +47,9 @@ STREAMING_DRAINS = (
 )
 
 
-def _prior_timings(full_path: str, sf: float) -> dict[str, float]:
-    """Per-query rows of the previous committed BENCH_FULL.json (empty
-    when absent or recorded at a different scale factor)."""
+def _prior_record(full_path: str, sf: float) -> dict:
+    """The previous committed BENCH_FULL.json (empty when absent or
+    recorded at a different scale factor)."""
     try:
         with open(full_path) as f:
             prev = json.load(f)
@@ -50,8 +57,59 @@ def _prior_timings(full_path: str, sf: float) -> dict[str, float]:
         return {}
     if prev.get("sf") != sf:
         return {}
-    q = prev.get("queries", {})
-    return q if isinstance(q, dict) else {}
+    return prev
+
+
+# Ambient calibration anchor (round-7 verdict task): two pinned
+# fixed-cost probes timed at session start and end, stored in the
+# record. Cross-session bench records are compared THROUGH the anchor
+# ratio — a refresh whose anchor reads 1.1-1.2x the committed anchor is
+# ambient machine variance (page cache, co-tenancy, thermal state), not
+# a per-query regression, replacing the manual PERF.md adjudications of
+# rounds 5-6. The probes bracket the two cost regimes the suite mixes:
+# a pure-JVM codegen loop (no I/O) and a parquet scan+aggregate.
+_ANCHOR_RANGE_N = 2_000_000_000
+_ANCHOR_QUERY = "q01_pricing_summary"
+
+
+def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(_ANCHOR_RANGE_N).selectExpr("sum(id * 3 + 1)").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out["range_agg_sec"] = round(best, 4)
+    spec = QUERIES.get(_ANCHOR_QUERY)
+    if spec is not None:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out["scan_agg_sec"] = round(best, 4)
+    return out
+
+
+def _anchor_ratio(cur: dict[str, float], prior: dict) -> float | None:
+    """Geometric-mean ratio of current vs prior committed anchor probes
+    (None when the prior record carries no comparable anchor)."""
+    prev = prior.get("anchor", {}).get("start", {})
+    ratios = [
+        cur[k] / prev[k]
+        for k in cur
+        if isinstance(prev.get(k), (int, float)) and prev[k] > 0
+    ]
+    if not ratios:
+        return None
+    import math
+
+    return round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+    )
 
 
 def main() -> None:
@@ -75,6 +133,17 @@ def main() -> None:
     # operators cache self-join inputs; drop warm-up cache entries so
     # measured queries don't fight 49 queries' worth of stale storage
     spark.catalog.clearCache()
+
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    prior_rec = _prior_record(full_path, sf)
+    anchor_start = _anchor_probe(spark, sf_dir)
+    ratio = _anchor_ratio(anchor_start, prior_rec)
+    print(
+        f"# anchor start: {anchor_start} ratio_vs_prior: {ratio}",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -111,14 +180,18 @@ def main() -> None:
     # isolated min-of-2 after a full GC, and the better value wins —
     # so the committed record is the verdict of record without manual
     # re-measurement. Retried names are recorded for transparency.
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    prior = _prior_timings(full_path, sf)
+    # The 1.5x trigger is anchor-normalized: when the session's anchor
+    # reads slower than the committed record's anchor, the whole
+    # machine is slower and per-query inflation up to that ratio is
+    # ambient, not an aging artifact worth a retry.
+    prior = prior_rec.get("queries", {})
+    if not isinstance(prior, dict):
+        prior = {}
+    ambient = min(max(ratio, 1.0), 1.35) if ratio else 1.0
     retried: list[str] = []
     for name, t in sorted(timings.items()):
         p = prior.get(name)
-        if p is None or p <= 0 or t <= 1.5 * p or t < 0.3:
+        if p is None or p <= 0 or t <= 1.5 * ambient * p or t < 0.3:
             continue  # <0.3s absolute: micro-noise, not an aging artifact
         spark.sparkContext._jvm.System.gc()
         spec = QUERIES[name]
@@ -160,6 +233,9 @@ def main() -> None:
         except Exception as e:
             print(f"# drain {name} failed: {e}", file=sys.stderr)
 
+    anchor_end = _anchor_probe(spark, sf_dir)
+    print(f"# anchor end: {anchor_end}", file=sys.stderr)
+
     record = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),
@@ -167,6 +243,11 @@ def main() -> None:
         "queries": timings,
         "streaming_drains": drains,
         "retried": retried,
+        "anchor": {
+            "start": anchor_start,
+            "end": anchor_end,
+            "ratio_vs_prior": ratio,
+        },
         "sf": sf,
     }
     print(json.dumps(record))
