@@ -103,7 +103,9 @@ def compile_suite(df: DataFrame, expectations: Sequence[Expectation]) -> DataFra
     """Compile all expectations into one single-scan aggregate.
 
     Output: one row with every metric column, one ``pass_<name>`` bool
-    per expectation, and ``quality_score`` = passed/total.
+    per expectation, the integer ``n_passed`` count (for exact-integer
+    score/gate arithmetic at engine boundaries), and ``quality_score``
+    = passed/total.
     """
     metric_cols: dict = {}
     for e in expectations:
@@ -115,8 +117,9 @@ def compile_suite(df: DataFrame, expectations: Sequence[Expectation]) -> DataFra
     for e in expectations:
         c = F.col(f"pass_{e.name}").cast("int")
         score = c if score is None else score + c
-    return out.withColumn(
-        "quality_score", score.cast("double") / F.lit(float(len(expectations)))
+    return out.withColumn("n_passed", score).withColumn(
+        "quality_score",
+        F.col("n_passed").cast("double") / F.lit(float(len(expectations))),
     )
 
 

@@ -5,8 +5,10 @@ Reference behavior reproduced (/root/reference/data/lake_writer.py):
   (:118-141) — but partitioned by **event** time, not arrival time
   (the reference's ``datetime.utcnow()`` at :125 is called out in
   SURVEY S5 as a defect we fix);
-- micro-batch semantics live in the streaming job (W4); batch writes
-  here land one file per partition per write.
+- micro-batch semantics live in the streaming job (W4); a batch
+  write emits up to tasks x hours files (each input partition writes
+  the hours it holds) unless ``one_file_per_partition`` pre-shuffles
+  on the partition keys — the small-file control for backfills.
 
 Scale notes: partition columns are derived, written with
 ``partitionBy`` so reads prune on year/month/day/hour; compaction of
