@@ -88,3 +88,30 @@ def test_violation_samples_reported(spark):
     assert row["bad_samples_cat"] == ["xx", "yy", "zz"]
     assert row["n_oob_v"] == 3
     assert row["oob_samples_v"] == [-7.0, -5.0, 200.0]
+
+
+def test_compile_suite_n_passed_integer_matches_score(spark):
+    """n_passed (round 7) must stay consistent with quality_score:
+    score == n_passed / len(suite) exactly, and n_passed is the count
+    of true pass_* flags."""
+    from e_commerce_data_pipeline_spark.operators.quality import (
+        compile_suite,
+        expect_between,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, 7.0)], "id int, v double"
+    )
+    suite = [
+        expect_not_null("id"),       # pass
+        expect_unique("id"),         # fail (dup id=2)
+        expect_between("v", 0, 10),  # fail (-1)
+        expect_row_count(1, 100),    # pass
+    ]
+    row = compile_suite(df, suite).collect()[0]
+    flags = [row[f"pass_{e.name}"] for e in suite]
+    assert row["n_passed"] == sum(flags) == 2
+    assert row["quality_score"] == row["n_passed"] / len(suite)
