@@ -2579,6 +2579,13 @@ def _gif_lzw_compress(indices, code_size: int) -> bytes:
 
 def _gif_lzw_decompress(data: bytes, code_size: int, n: int):
     """LZW decode -> list of ``n`` palette indices."""
+    # spec bound is 2..8 (<=256 palette entries); 11 is the structural
+    # ceiling (codes are at most 12 bits). Unvalidated, a corrupted
+    # size byte makes the initial-table build below allocate 2^size
+    # entries — a multi-second stall (or OOM) per corrupt file instead
+    # of the documented ValueError
+    if not 2 <= code_size <= 11:
+        raise ValueError("GIF LZW minimum code size out of range")
     clear = 1 << code_size
     eoi = clear + 1
     table = [ (i,) for i in range(clear) ] + [(), ()]

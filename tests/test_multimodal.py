@@ -1142,3 +1142,35 @@ def test_jpeg_progressive_bitflip_corruption_raises_valueerror_only():
                 # any other exception type propagates -> test fails
     # the sweep must actually reach the AC-refine overflow guard
     assert "JPEG AC refine overflow" in seen, sorted(seen)
+
+
+def test_gif_bitflip_corruption_valueerror_only_and_bounded():
+    """Same corrupt-input contract as the progressive-JPEG sweep, for
+    GIF (which has no CRC, so every flip reaches the decoder):
+    exhaustively flip every bit of the stream and assert each flip
+    either decodes or raises ValueError. Regression for the LZW
+    minimum-code-size bound: a corrupted size byte (e.g. 8 -> 136)
+    previously made the initial table build allocate 2^size entries —
+    a multi-second stall or OOM per corrupt file, exactly what a
+    100 TB scan over untrusted media cannot afford. The whole sweep
+    (~8700 decodes) finishing inside the test budget IS the
+    no-stall assertion."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    b = encode_gif(img)
+    seen = set()
+    for i in range(len(b)):
+        for bit in range(8):
+            bad = bytearray(b)
+            bad[i] ^= 1 << bit
+            try:
+                decode_gif(bytes(bad))
+            except ValueError as e:
+                seen.add(str(e))
+                # any other exception type propagates -> test fails
+    assert "GIF LZW minimum code size out of range" in seen, sorted(seen)
