@@ -1776,6 +1776,8 @@ def decode_jpeg(b: bytes):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq != 0:
                     require_codec("JPEG 16-bit quantization tables")
+                if p + 65 > len(payload):
+                    raise ValueError("JPEG DQT truncated")
                 tab = np.zeros(64, dtype=np.int64)
                 for k in range(64):
                     tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
@@ -1788,9 +1790,13 @@ def decode_jpeg(b: bytes):
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("JPEG DHT truncated")
                 huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xC0:
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 require_codec(f"JPEG precision={prec}")
@@ -1840,6 +1846,12 @@ def decode_jpeg(b: bytes):
     def read_block(dc_t, ac_t, qt, ci):
         coefs = np.zeros(64, dtype=np.int64)
         cat = rd.huff(dc_t)
+        if cat > 15:
+            # T.81 bounds DC diff categories at 11 (8-bit precision);
+            # a corrupt table can map a code to any byte, and
+            # take(cat) on e.g. 200 builds an int that overflows the
+            # int64 coefficient plane instead of raising ValueError
+            raise ValueError("bad JPEG DC category")
         preds[ci] += _jpg_extend(rd.take(cat), cat) if cat else 0
         coefs[0] = preds[ci]
         k = 1
@@ -2287,6 +2299,8 @@ def _decode_jpeg_progressive(b: bytes):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 if pq != 0:
                     require_codec("JPEG 16-bit quantization tables")
+                if p + 65 > len(payload):
+                    raise ValueError("JPEG DQT truncated")
                 tab = np.zeros(64, dtype=np.int64)
                 for k in range(64):
                     tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
@@ -2299,9 +2313,13 @@ def _decode_jpeg_progressive(b: bytes):
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("JPEG DHT truncated")
                 huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
                 p += 17 + nv
         elif marker == 0xC2:
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 require_codec(f"JPEG precision={prec}")
@@ -2983,6 +3001,8 @@ def decode_wav(b: bytes):
         cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -2990,6 +3010,8 @@ def decode_wav(b: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if ch < 1 or rate < 1:
+        raise ValueError("WAV invalid channel count or sample rate")
     if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(
             data, np.int16, count=(len(data) // (2 * ch)) * ch

@@ -1174,3 +1174,57 @@ def test_gif_bitflip_corruption_valueerror_only_and_bounded():
                 seen.add(str(e))
                 # any other exception type propagates -> test fails
     assert "GIF LZW minimum code size out of range" in seen, sorted(seen)
+
+
+def test_all_codec_bitflip_sweeps_raise_only_documented_types():
+    """Cross-codec corrupt-input contract (extends the JPEG/GIF
+    sweeps): flipping any single bit of any supported stream either
+    still decodes or raises ValueError — or NotImplementedError when
+    the flip lands in a variant-selector field and hits the honest
+    require_codec gate (a corrupt header is indistinguishable from a
+    real gated variant). Nothing else: an IndexError / OverflowError /
+    ZeroDivisionError / struct.error escaping a decoder either kills
+    a 100 TB scan task outright or leaks the wrong type to direct
+    callers. Round-7 regressions pinned here: JPEG DQT/DHT/SOF
+    truncation (IndexError/struct.error), DC category overflow
+    (OverflowError on the int64 coefficient plane), WAV zero-channel
+    fmt (ZeroDivisionError), WAV fmt-chunk truncation (struct.error).
+    """
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        decode_jpeg,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (12, 12, 3)).astype(np.uint8)
+    img8 = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    samples = rng.randint(-2000, 2000, 200).astype(np.int16)
+    streams = [
+        (encode_bmp(img), decode_bmp),
+        (encode_ppm(img), decode_ppm),
+        (encode_png(img), decode_png),
+        (encode_jpeg(img8, quality=50), decode_jpeg),
+        (encode_wav(samples), decode_wav),
+        (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
+        (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
+    ]
+    for b, dec in streams:
+        for i in range(len(b)):
+            for bit in range(8):
+                bad = bytearray(b)
+                bad[i] ^= 1 << bit
+                try:
+                    dec(bytes(bad))
+                except (ValueError, NotImplementedError):
+                    pass
+                # any other exception type propagates -> test fails
