@@ -3504,13 +3504,28 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 if content is None or bytes(content[:4]) != _VID_MAGIC:
                     continue
                 b = bytes(content)
-                n = struct.unpack_from("<I", b, 4)[0]
-                pos = 8
-                for fno in range(n):
-                    ln = struct.unpack_from("<I", b, pos)[0]
-                    if fno % every_n == 0:
-                        rows.append((media_id, fno, b[pos + 4 : pos + 4 + ln]))
-                    pos += 4 + ln
+                # per-item containment (the house kernel rule): a
+                # corrupt container — flipped frame count, length
+                # prefix pointing past the buffer — must drop THIS
+                # media item, never raise struct.error out of the
+                # task. Frames buffer locally so a half-valid
+                # container contributes nothing (atomic per item).
+                try:
+                    n = struct.unpack_from("<I", b, 4)[0]
+                    pos = 8
+                    got = []
+                    for fno in range(n):
+                        ln = struct.unpack_from("<I", b, pos)[0]
+                        if pos + 4 + ln > len(b):
+                            raise ValueError("VIDF frame truncated")
+                        if fno % every_n == 0:
+                            got.append(
+                                (media_id, fno, b[pos + 4 : pos + 4 + ln])
+                            )
+                        pos += 4 + ln
+                except (ValueError, struct.error, IndexError):
+                    continue
+                rows.extend(got)
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return df.select("media_id", "content").mapInPandas(

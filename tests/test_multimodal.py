@@ -1228,3 +1228,39 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                 except (ValueError, NotImplementedError):
                     pass
                 # any other exception type propagates -> test fails
+
+
+def test_video_frame_sampling_corrupt_containers_are_skipped(spark):
+    """A corrupt VIDF container (flipped frame count, length prefix
+    past the buffer, truncated tail) must drop that media item —
+    never raise out of the task (round-7 regression: the kernel had
+    no per-item containment, so one corrupt container failed the
+    whole batch). Valid items in the same batch still sample."""
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_video,
+        sample_video_frames,
+    )
+
+    frames = [b"frame-a" * 3, b"frame-b" * 3, b"frame-c" * 3]
+    good = encode_video(frames)
+    big_count = bytearray(good)
+    big_count[4:8] = st.pack("<I", 2**31)  # count field lies
+    bad_len = bytearray(good)
+    bad_len[8:12] = st.pack("<I", 2**30)  # first frame length lies
+    truncated = good[:-3]
+    df = spark.createDataFrame(
+        [
+            (1, bytes(good)),
+            (2, bytes(big_count)),
+            (3, bytes(bad_len)),
+            (4, truncated),
+            (5, b"VIDF"),  # header only
+        ],
+        "media_id long, content binary",
+    )
+    out = sample_video_frames(df, every_n=2).collect()
+    assert {r["media_id"] for r in out} == {1}
+    assert sorted(r["frame_no"] for r in out) == [0, 2]
+    assert all(bytes(r["frame"]) == frames[r["frame_no"]] for r in out)
