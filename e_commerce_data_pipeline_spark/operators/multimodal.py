@@ -112,10 +112,17 @@ def decode_bmp(b: bytes):
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", b, 10)[0]
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp not in (1, 4, 8, 16, 24, 32) or comp > 5:
+        # no real BMP carries these — corrupt header, not a variant;
+        # the honest gate below is reserved for bit depths and
+        # compressions that actually exist
+        raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     if bpp != 24 or comp != 0:
         require_codec(f"BMP bpp={bpp} compression={comp}")
     flip = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
     row = w * 3
     stride = row + ((-row) % 4)
     px = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
@@ -3078,6 +3085,11 @@ def decode_wav(b: bytes):
                 rate,
             )
         raise ValueError(f"invalid IMA ADPCM channel count {ch}")
+    if audio_fmt == 0:
+        # WAVE_FORMAT_UNKNOWN is definitionally invalid, not a codec
+        # this container lacks — corrupt header, raise the documented
+        # type instead of the honest gate
+        raise ValueError("WAV format code 0 is invalid")
     require_codec(f"WAV format={audio_fmt} bits={bits}")
 
 
