@@ -572,3 +572,62 @@ def test_jpeg_progressive_single_byte_damage_never_crashes(
         assert fmt == "jpeg" and px is not None
     else:
         assert (px is None and fmt is None) or fmt == "jpeg"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.sampled_from(["bmp", "ppm", "jpeg", "gif", "wav", "g711", "ima"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.integers(min_value=8, max_value=4000),
+    st.integers(min_value=1, max_value=255),
+)
+def test_any_codec_single_byte_damage_raises_documented_types(
+    fmt, seed, pos_scale, xor
+):
+    """Generalizes the exhaustive fixed-stream bit-flip sweeps
+    (tests/test_multimodal.py) across stream CONTENTS: for a random
+    valid stream of any supported format, XOR-ing any single byte
+    either still decodes or raises ValueError — or NotImplementedError
+    when the damage lands in a real variant-selector field and hits
+    the honest require_codec gate. Any other exception type is the
+    round-7 crash class (stall, overflow, task-killing error)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(seed % 10_000)
+    if fmt == "bmp":
+        b, dec = mm.encode_bmp(
+            rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        ), mm.decode_bmp
+    elif fmt == "ppm":
+        b, dec = mm.encode_ppm(
+            rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        ), mm.decode_ppm
+    elif fmt == "jpeg":
+        b, dec = mm.encode_jpeg(
+            rng.randint(0, 256, (8, 8)).astype(np.uint8), quality=50
+        ), mm.decode_jpeg
+    elif fmt == "gif":
+        b, dec = mm.encode_gif(
+            rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+        ), mm.decode_gif
+    elif fmt == "wav":
+        b, dec = mm.encode_wav(
+            rng.randint(-3000, 3000, 64).astype(np.int16)
+        ), mm.decode_wav
+    elif fmt == "g711":
+        b, dec = mm.encode_wav_g711(
+            rng.randint(0, 256, 64).astype(np.uint8)
+        ), mm.decode_wav
+    else:
+        b, dec = mm.encode_wav_ima(
+            rng.randint(0, 16, 64).astype(np.uint8), 0, 0
+        ), mm.decode_wav
+    dmg = bytearray(b)
+    dmg[pos_scale % len(b)] ^= xor
+    try:
+        dec(bytes(dmg))
+    except (ValueError, NotImplementedError):
+        pass
+    # any other exception type propagates -> test fails
