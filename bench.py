@@ -72,24 +72,38 @@ _ANCHOR_RANGE_N = 2_000_000_000
 _ANCHOR_QUERY = "q01_pricing_summary"
 
 
-def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
-    out: dict[str, float] = {}
-    best = None
-    for _ in range(3):
+def _timed_min(spark, fn, sf_dir, runs: int = 2, gc: bool = False):
+    """Min-of-``runs`` wall seconds for ``fn(spark, sf_dir).collect()``
+    with the Spark cache cleared between runs (so min() reports
+    steady-state engine cost on OS-page-cache-warm data). ``gc``
+    forces one full JVM collection first — the isolated-measurement
+    protocol for retries. The single timing implementation behind the
+    main loop, both retry passes, and the anchor probes: a
+    measurement-protocol change lands in exactly one place."""
+    if gc:
+        spark.sparkContext._jvm.System.gc()
+    best, rows = None, []
+    for _ in range(runs):
         t0 = time.perf_counter()
-        spark.range(_ANCHOR_RANGE_N).selectExpr("sum(id * 3 + 1)").collect()
+        rows = fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+    return best, rows
+
+
+def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    best, _ = _timed_min(
+        spark,
+        lambda s, _d: s.range(_ANCHOR_RANGE_N).selectExpr("sum(id * 3 + 1)"),
+        sf_dir,
+        runs=3,
+    )
     out["range_agg_sec"] = round(best, 4)
     spec = QUERIES.get(_ANCHOR_QUERY)
     if spec is not None:
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
+        best, _ = _timed_min(spark, spec.fn, sf_dir, runs=3)
         out["scan_agg_sec"] = round(best, 4)
     return out
 
@@ -161,13 +175,7 @@ def main() -> None:
         # min of two runs: the second run's data is OS-page-cache warm,
         # so min() reports steady-state engine cost, stable across
         # rounds regardless of what ran before the bench
-        best, rows = None, []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = spec.fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()  # isolate queries from each other
+        best, rows = _timed_min(spark, spec.fn, sf_dir)
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({len(rows)} rows)", file=sys.stderr)
@@ -193,15 +201,7 @@ def main() -> None:
         p = prior.get(name)
         if p is None or p <= 0 or t <= 1.5 * ambient * p or t < 0.3:
             continue  # <0.3s absolute: micro-noise, not an aging artifact
-        spark.sparkContext._jvm.System.gc()
-        spec = QUERIES[name]
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
+        best, _ = _timed_min(spark, QUERIES[name].fn, sf_dir, gc=True)
         retried.append(name)
         print(
             f"# retry {name}: {timings[name]:.3f}s -> {best:.3f}s "
@@ -219,15 +219,7 @@ def main() -> None:
     for name in sorted(timings, key=lambda n: -timings[n])[:5]:
         if name in retried:
             continue
-        spark.sparkContext._jvm.System.gc()
-        spec = QUERIES[name]
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            spark.catalog.clearCache()
+        best, _ = _timed_min(spark, QUERIES[name].fn, sf_dir, gc=True)
         if best < timings[name]:
             retried.append(name)
             print(

@@ -112,10 +112,13 @@ def decode_bmp(b: bytes):
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", b, 10)[0]
     _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
-    if bpp not in (1, 4, 8, 16, 24, 32) or comp > 5:
-        # no real BMP carries these — corrupt header, not a variant;
-        # the honest gate below is reserved for bit depths and
-        # compressions that actually exist
+    if bpp not in (1, 4, 8, 16, 24, 32) or comp not in (
+        0, 1, 2, 3, 4, 5, 6, 11, 12, 13,
+    ):
+        # bit depths / compressions outside the BITMAPINFOHEADER
+        # registry (BI_RGB..BI_PNG, BI_ALPHABITFIELDS=6, BI_CMYK*
+        # =11-13) — corrupt header, not a variant; the honest gate
+        # below is reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     if bpp != 24 or comp != 0:
         require_codec(f"BMP bpp={bpp} compression={comp}")
@@ -1770,9 +1773,13 @@ def decode_jpeg(b: bytes):
             raise ValueError("JPEG marker desync")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # optional fill bytes before any marker (B.1.1.2)
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
         marker = b[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         payload = b[pos + 4 : pos + 2 + ln]
         if len(payload) != ln - 2:
@@ -1821,8 +1828,12 @@ def decode_jpeg(b: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
             ns = payload[0]
             sel = []
             for ci in range(ns):
@@ -2293,9 +2304,13 @@ def _decode_jpeg_progressive(b: bytes):
             raise ValueError("JPEG marker desync")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # optional fill bytes before any marker (B.1.1.2)
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
         marker = b[pos + 1]
         if marker == 0xD9:
             break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         payload = b[pos + 4 : pos + 2 + ln]
         if len(payload) != ln - 2:
@@ -2346,6 +2361,8 @@ def _decode_jpeg_progressive(b: bytes):
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG scan before SOF2")
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
             h, w, comps, bh, bw = sof
             ns = payload[0]
             sel = []
@@ -2359,6 +2376,11 @@ def _decode_jpeg_progressive(b: bytes):
                     raise ValueError("JPEG scan names unknown component")
                 sel.append((idx, tt >> 4, tt & 0x0F))
             Ss, Se, aa = payload[1 + 2 * ns : 4 + 2 * ns]
+            if not 0 <= Ss <= Se <= 63:
+                # T.81 bounds the spectral band inside the 64-coef
+                # block; a corrupt Se runs the band loops past the
+                # block (blk[64] IndexError) without this
+                raise ValueError("JPEG SOS spectral band out of range")
             Ah, Al = aa >> 4, aa & 0x0F
             data_start = pos + 2 + ln
             end = _jpg_scan_end(b, data_start)
@@ -2523,6 +2545,8 @@ def jpeg_marker_summary(b: bytes):
             raise ValueError("JPEG marker desync")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # optional fill bytes before any marker (B.1.1.2)
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
         marker = b[pos + 1]
         if marker == 0xD9:
             break
@@ -3300,7 +3324,12 @@ def audio_stereo_stats(df: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     samples, _rate = decode_wav(bytes(content))
-                except (ValueError, struct.error, IndexError):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    IndexError,
+                ):
                     out.append((media_id,) + (None,) * 7)
                     continue
                 if samples.shape[1] != 2:
@@ -3395,7 +3424,12 @@ def audio_exact_stats(df: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     samples, _rate = decode_wav(bytes(content))
-                except (ValueError, struct.error, IndexError):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    IndexError,
+                ):
                     out.append((media_id, None, None, None, None))
                     continue
                 s = samples[:, 0].astype(np.int64)
@@ -3430,7 +3464,12 @@ def audio_features(df: DataFrame) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     samples, rate = decode_wav(bytes(content))
-                except (ValueError, TypeError, struct.error):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    TypeError,
+                    struct.error,
+                ):
                     out.append((media_id, None, None, None, None, None))
                     continue
                 f = samples.astype(np.float64) / 32768.0
@@ -3476,7 +3515,12 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
                     samples, rate = decode_wav(bytes(content))
-                except (ValueError, TypeError, struct.error):
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    TypeError,
+                    struct.error,
+                ):
                     out.append((media_id, None))
                     continue
                 n_out = int(samples.shape[0] * target_rate / rate)

@@ -576,7 +576,10 @@ def test_jpeg_progressive_single_byte_damage_never_crashes(
 
 @settings(**_SETTINGS)
 @given(
-    st.sampled_from(["bmp", "ppm", "jpeg", "gif", "wav", "g711", "ima"]),
+    st.sampled_from(
+        ["bmp", "ppm", "png", "jpeg", "jpeg_prog", "gif", "wav", "g711",
+         "ima"]
+    ),
     st.integers(min_value=0, max_value=2**32 - 1),
     st.integers(min_value=8, max_value=4000),
     st.integers(min_value=1, max_value=255),
@@ -604,8 +607,16 @@ def test_any_codec_single_byte_damage_raises_documented_types(
         b, dec = mm.encode_ppm(
             rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
         ), mm.decode_ppm
+    elif fmt == "png":
+        b, dec = mm.encode_png(
+            rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+        ), mm.decode_png
     elif fmt == "jpeg":
         b, dec = mm.encode_jpeg(
+            rng.randint(0, 256, (8, 8)).astype(np.uint8), quality=50
+        ), mm.decode_jpeg
+    elif fmt == "jpeg_prog":
+        b, dec = mm.encode_jpeg_progressive(
             rng.randint(0, 256, (8, 8)).astype(np.uint8), quality=50
         ), mm.decode_jpeg
     elif fmt == "gif":
