@@ -3020,9 +3020,96 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def _wav_container(data: bytes, fmt_code: int, ch: int, sample_rate: int,
+                   bits: int) -> bytes:
+    """RIFF/WAVE wrapper for an already-serialized sample payload."""
+    bytes_per = bits // 8
+    byte_rate = sample_rate * ch * bytes_per
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_code, ch, sample_rate, byte_rate,
+            ch * bytes_per, bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def encode_wav_pcm8(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) unsigned bytes (0..255, offset-binary per the
+    WAV spec for <=8-bit widths) -> 8-bit PCM WAV."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.uint8)
+    if a.ndim == 1:
+        a = a[:, None]
+    return _wav_container(a.tobytes(), 1, a.shape[1], sample_rate, 8)
+
+
+def encode_wav_pcm24(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) ints in ±2^23 -> 24-bit PCM WAV (little-endian
+    3-byte two's-complement samples)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int32)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.size and (int(a.max()) > 0x7FFFFF or int(a.min()) < -0x800000):
+        raise ValueError("24-bit PCM sample out of range")
+    u = (a.astype(np.int64) & 0xFFFFFF).astype(np.uint32).reshape(-1)
+    tri = np.empty((u.size, 3), dtype=np.uint8)
+    tri[:, 0] = u & 0xFF
+    tri[:, 1] = (u >> 8) & 0xFF
+    tri[:, 2] = (u >> 16) & 0xFF
+    return _wav_container(tri.tobytes(), 1, a.shape[1], sample_rate, 24)
+
+
+def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) floats in [-1, 1] -> IEEE float32 WAV (format
+    code 3, with the fact chunk format-3 files carry in the wild —
+    the decoder's chunk walk must skip it)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float32)
+    if a.ndim == 1:
+        a = a[:, None]
+    data = a.tobytes()
+    fact = b"fact" + struct.pack("<II", 4, a.shape[0])
+    bytes_per = 4
+    byte_rate = sample_rate * a.shape[1] * bytes_per
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(fact) + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 3, a.shape[1], sample_rate, byte_rate,
+            a.shape[1] * bytes_per, 32,
+        )
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
 def decode_wav(b: bytes):
-    """PCM WAV bytes -> ((n, channels) int16 array, sample_rate).
-    Walks RIFF chunks, so extra chunks (LIST, fact) don't break it."""
+    """PCM WAV bytes -> ((n, channels) sample array, sample_rate).
+    Sample dtype conveys source width: int16 for 8/16-bit PCM (8-bit
+    unsigned bytes are re-centered to the int16 scale, ``(u-128)*256``),
+    int32 holding raw ±2^23 values for 24-bit PCM, float32 for IEEE
+    format-3. Walks RIFF chunks, so extra chunks (LIST, fact) don't
+    break it."""
+    samples, rate, _fmt, _bits = _decode_wav_full(b)
+    return samples, rate
+
+
+def _decode_wav_full(b: bytes):
+    """decode_wav plus the container's (fmt_code, bits) — the variant
+    metadata feature kernels surface without re-parsing the header."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -3047,11 +3134,38 @@ def decode_wav(b: bytes):
         samples = np.frombuffer(
             data, np.int16, count=(len(data) // (2 * ch)) * ch
         )
-        return samples.reshape(-1, ch), rate
+        return samples.reshape(-1, ch), rate, audio_fmt, bits
+    if audio_fmt == 1 and bits == 8:
+        # unsigned 8-bit PCM (spec: <=8-bit samples are offset-binary);
+        # re-center to the int16 scale so every integer path downstream
+        # shares one normalization: value = (byte - 128) * 256
+        u = np.frombuffer(data, np.uint8, count=(len(data) // ch) * ch)
+        samples = (u.astype(np.int16) - 128) * 256
+        return samples.reshape(-1, ch), rate, audio_fmt, bits
+    if audio_fmt == 1 and bits == 24:
+        # little-endian 3-byte signed ints -> raw ±2^23 values in int32
+        # (no rescale: 24-bit is the one width int16 can't carry)
+        n = (len(data) // (3 * ch)) * ch
+        tri = np.frombuffer(data, np.uint8, count=3 * n).reshape(n, 3)
+        v = (
+            tri[:, 0].astype(np.int32)
+            | (tri[:, 1].astype(np.int32) << 8)
+            | (tri[:, 2].astype(np.int32) << 16)
+        )
+        samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+        return samples.reshape(-1, ch), rate, audio_fmt, bits
+    if audio_fmt == 3 and bits == 32:
+        # IEEE float32 (format 3): native [-1, 1] floats, returned
+        # as-is — corrupt payload bytes may carry NaN/inf, which is a
+        # value question for kernels, not a decode error
+        samples = np.frombuffer(
+            data, np.float32, count=(len(data) // (4 * ch)) * ch
+        )
+        return samples.reshape(-1, ch), rate, audio_fmt, bits
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
         codes = np.frombuffer(data, np.uint8, count=(len(data) // ch) * ch)
         dec = (alaw_expand if audio_fmt == 6 else ulaw_expand)(codes)
-        return dec.astype(np.int16).reshape(-1, ch), rate
+        return dec.astype(np.int16).reshape(-1, ch), rate, audio_fmt, bits
     if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
         if ch == 1:
             out: list[int] = []
@@ -3068,7 +3182,7 @@ def decode_wav(b: bytes):
                 nibbles[0::2] = nb & 0x0F
                 nibbles[1::2] = nb >> 4
                 out.extend(ima_adpcm_decode(nibbles, pred, idx))
-            return np.array(out, np.int16).reshape(-1, 1), rate
+            return np.array(out, np.int16).reshape(-1, 1), rate, audio_fmt, bits
         if ch >= 2:
             # multi-channel layout (Microsoft WAV spec, any channel
             # count): one 4-byte block header PER channel, then 4-byte
@@ -3107,6 +3221,8 @@ def decode_wav(b: bytes):
                     [np.array(o[:n], np.int16) for o in outs], axis=1
                 ),
                 rate,
+                audio_fmt,
+                bits,
             )
         raise ValueError(f"invalid IMA ADPCM channel count {ch}")
     if audio_fmt == 0:
@@ -3414,8 +3530,12 @@ def audio_exact_stats(df: DataFrame) -> DataFrame:
     """Integer-exact per-clip sample statistics (mono): sample count,
     linear sum, sum of squares, peak magnitude — all int64, so an
     engine that regenerates the codes and applies the same G.711
-    expansion reproduces every value bit-for-bit. Undecodable bytes
-    yield nulls."""
+    expansion reproduces every value bit-for-bit. Integer sources
+    (8/16-bit PCM on the int16 scale, raw ±2^23 for 24-bit, G.711 and
+    ADPCM expansions) sum their raw values; float32 sources quantize
+    per sample as rint(x * 2^15) in float64 first — exact whenever
+    the signal is int16-scale material (x = k/2^15), the established
+    micro-quantization discipline. Undecodable bytes yield nulls."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3432,7 +3552,13 @@ def audio_exact_stats(df: DataFrame) -> DataFrame:
                 ):
                     out.append((media_id, None, None, None, None))
                     continue
-                s = samples[:, 0].astype(np.int64)
+                s = samples[:, 0]
+                if np.issubdtype(s.dtype, np.floating):
+                    s = np.rint(s.astype(np.float64) * 32768.0)
+                    if not np.isfinite(s).all():
+                        out.append((media_id, None, None, None, None))
+                        continue
+                s = s.astype(np.int64)
                 out.append(
                     (
                         media_id,
@@ -3454,8 +3580,12 @@ def audio_exact_stats(df: DataFrame) -> DataFrame:
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Duration, sample rate, RMS level, and peak per WAV payload —
-    real decode + numpy reductions; undecodable bytes yield nulls."""
+    """Duration, sample rate, RMS level, peak, and container variant
+    (fmt_code, bits) per WAV payload — real decode + numpy reductions;
+    undecodable bytes yield nulls. Levels normalize to [-1, 1] by
+    source width: int16-scale material / 2^15, raw 24-bit / 2^23,
+    float32 as-is — so one amplitude means one level regardless of
+    container width."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3463,21 +3593,32 @@ def audio_features(df: DataFrame) -> DataFrame:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    samples, rate = decode_wav(bytes(content))
+                    samples, rate, fmt_code, bits = _decode_wav_full(
+                        bytes(content)
+                    )
                 except (
                     ValueError,
                     NotImplementedError,
                     TypeError,
                     struct.error,
                 ):
-                    out.append((media_id, None, None, None, None, None))
+                    out.append(
+                        (media_id, None, None, None, None, None, None, None)
+                    )
                     continue
-                f = samples.astype(np.float64) / 32768.0
+                if np.issubdtype(samples.dtype, np.floating):
+                    f = samples.astype(np.float64)
+                elif samples.dtype == np.int32:  # raw 24-bit values
+                    f = samples.astype(np.float64) / 8388608.0
+                else:
+                    f = samples.astype(np.float64) / 32768.0
                 out.append(
                     (
                         media_id,
                         int(samples.shape[1]),
                         int(rate),
+                        int(fmt_code),
+                        int(bits),
                         float(samples.shape[0] / rate),
                         float(np.sqrt((f**2).mean())),
                         float(np.abs(f).max(initial=0.0)),
@@ -3489,6 +3630,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                     "media_id",
                     "channels",
                     "sample_rate",
+                    "fmt_code",
+                    "bits",
                     "duration_sec",
                     "rms",
                     "peak",
@@ -3497,8 +3640,8 @@ def audio_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         kernel,
-        "media_id long, channels int, sample_rate int, duration_sec double, "
-        "rms double, peak double",
+        "media_id long, channels int, sample_rate int, fmt_code int, "
+        "bits int, duration_sec double, rms double, peak double",
     )
 
 
@@ -3525,7 +3668,17 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
                     continue
                 n_out = int(samples.shape[0] * target_rate / rate)
                 idx = (np.arange(n_out) * rate) // target_rate
-                out.append((media_id, encode_wav(samples[idx], target_rate)))
+                picked = samples[idx]
+                # non-int16 sources re-quantize to the int16 scale for
+                # the 16-bit output container: raw 24-bit drops the low
+                # byte (arithmetic shift = floor), float32 rounds and
+                # clips — both deterministic and engine-mirrorable
+                if np.issubdtype(picked.dtype, np.floating):
+                    q = np.rint(np.nan_to_num(picked, nan=0.0) * 32768.0)
+                    picked = np.clip(q, -32768, 32767).astype(np.int16)
+                elif picked.dtype == np.int32:
+                    picked = (picked >> 8).astype(np.int16)
+                out.append((media_id, encode_wav(picked, target_rate)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
     return df.select("media_id", "content").mapInPandas(
@@ -3593,17 +3746,35 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     """Deterministic WAV table for driver-verifiable audio decode:
     media_id i carries a constant-amplitude mono PCM signal —
     amplitude ``(i * 500) % 32768``, ``8000 + (i % 5) * 4000`` frames
-    at 16 kHz — so duration, RMS, and peak all have closed forms an
-    independent engine can recompute without decoding."""
+    at 16 kHz — cycling the four PCM container widths by ``i % 4``:
+    16-bit, unsigned 8-bit (sample byte ``128 + amp div 256``, so the
+    decoded int16-scale value is ``amp - amp mod 256``), 24-bit
+    (sample ``amp * 256``, the same normalized level), and IEEE
+    float32 (``amp / 2^15``, an exact dyadic). Every format's
+    duration, peak, and exact sums keep closed forms an independent
+    engine can recompute without decoding."""
     import numpy as np
 
     rows = []
     for i in range(n):
         amp = (i * 500) % 32768
         frames = 8000 + (i % 5) * 4000
-        samples = np.full(frames, amp, dtype=np.int16)
-        rows.append((i, "audio", encode_wav(samples, 16000), None,
-                     f"mem://media/{i}.wav"))
+        k = i % 4
+        if k == 0:
+            content = encode_wav(np.full(frames, amp, np.int16), 16000)
+        elif k == 1:
+            content = encode_wav_pcm8(
+                np.full(frames, 128 + amp // 256, np.uint8), 16000
+            )
+        elif k == 2:
+            content = encode_wav_pcm24(
+                np.full(frames, amp * 256, np.int32), 16000
+            )
+        else:
+            content = encode_wav_float32(
+                np.full(frames, amp / 32768.0, np.float32), 16000
+            )
+        rows.append((i, "audio", content, None, f"mem://media/{i}.wav"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
 

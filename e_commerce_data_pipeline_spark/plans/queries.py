@@ -5514,37 +5514,77 @@ def q117_multimodal_decode_meta(spark, sf_dir):
 @_register(
     "q118_audio_decode_meta",
     """
+    WITH m AS (
+        SELECT i, (i * 500) % 32768 AS amp,
+               8000 + (i % 5) * 4000 AS frames, i % 4 AS k
+        FROM range(50) t(i)
+    ),
+    v AS (
+        SELECT i, k, frames,
+               CASE WHEN k = 1 THEN amp - (amp % 256) ELSE amp END AS q15,
+               CASE WHEN k = 2 THEN amp * 256
+                    WHEN k = 1 THEN amp - (amp % 256)
+                    ELSE amp END AS raw
+        FROM m
+    )
     SELECT i AS media_id,
+           CAST(CASE WHEN k = 3 THEN 3 ELSE 1 END AS INT) AS fmt_code,
+           CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
+                ELSE 32 END AS INT) AS bits,
            CAST(1 AS INT) AS channels,
            CAST(16000 AS INT) AS sample_rate,
-           CAST((8000 + (i % 5) * 4000) // 16 AS BIGINT) AS duration_ms,
-           CAST((i * 500) % 32768 AS BIGINT) AS amp_q15
-    FROM range(50) t(i)
+           CAST(frames // 16 AS BIGINT) AS duration_ms,
+           CAST(q15 AS BIGINT) AS amp_q15,
+           CAST(frames * raw AS BIGINT) AS sum_lin,
+           CAST(frames * raw * raw AS BIGINT) AS sum_sq
+    FROM v
     """,
-    "Multimodal audio, driver-verified: constant-amplitude synthetic "
-    "WAVs round-trip through the real RIFF-chunk decoder and the "
-    "Arrow feature kernel; duration and peak re-quantize to EXACT "
-    "integers (frames div 16 ms at 16 kHz; peak * 2^15 = the "
-    "generator amplitude — both exact doubles, no rounding-boundary "
-    "exposure), which the oracle recomputes from the generator's "
-    "closed form. operators/multimodal.py audio_features / "
-    "synthetic_audio_table.",
+    "Multimodal audio across ALL FOUR integer/float PCM container "
+    "widths (round-8 gate retirement: decode_wav now handles unsigned "
+    "8-bit and 24-bit integer PCM and IEEE float32, not just 16-bit): "
+    "constant-amplitude synthetic WAVs cycle the widths by i mod 4 "
+    "and round-trip through the real RIFF-chunk decoder and BOTH "
+    "Arrow kernels — audio_features surfaces the container variant "
+    "(fmt_code, bits) plus width-normalized duration/peak (peak * "
+    "2^15 re-quantizes to the generator amplitude exactly: 8-bit "
+    "drops the low byte, 24-bit and float32 preserve it at the same "
+    "normalized level), audio_exact_stats carries exact int64 "
+    "linear/square sums (raw sample scale per width; float32 "
+    "micro-quantizes rint(x * 2^15), exact for dyadic amplitudes). "
+    "The oracle recomputes every column from the generator's closed "
+    "form — a wrong sign extension (24-bit), bias re-centering "
+    "(8-bit), or normalization denominator breaks the hash. "
+    "operators/multimodal.py decode_wav / encode_wav_pcm8 / "
+    "encode_wav_pcm24 / encode_wav_float32 / synthetic_audio_table.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q118_audio_decode_meta(spark, sf_dir):
-    from ..operators.multimodal import audio_features, synthetic_audio_table
+    from ..operators.multimodal import (
+        audio_exact_stats,
+        audio_features,
+        synthetic_audio_table,
+    )
 
     media = synthetic_audio_table(spark, n=50)
     feats = audio_features(media)
-    return feats.select(
-        "media_id",
-        "channels",
-        "sample_rate",
-        F.round(F.col("duration_sec") * 1000).cast("long").alias(
-            "duration_ms"
-        ),
-        F.round(F.col("peak") * 32768).cast("long").alias("amp_q15"),
-    ).orderBy("media_id")
+    exact = audio_exact_stats(media).select("media_id", "sum_lin", "sum_sq")
+    return (
+        feats.join(exact, "media_id")
+        .select(
+            "media_id",
+            "fmt_code",
+            "bits",
+            "channels",
+            "sample_rate",
+            F.round(F.col("duration_sec") * 1000).cast("long").alias(
+                "duration_ms"
+            ),
+            F.round(F.col("peak") * 32768).cast("long").alias("amp_q15"),
+            "sum_lin",
+            "sum_sq",
+        )
+        .orderBy("media_id")
+    )
 
 
 @_register(

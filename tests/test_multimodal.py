@@ -148,6 +148,74 @@ def test_wav_roundtrip_and_features(spark):
     assert feats[2]["rms"] is None  # corrupt -> nulls, not task failure
 
 
+def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
+    """Round-8 gate retirement: unsigned 8-bit PCM, 24-bit integer
+    PCM, and IEEE float32 (format 3) all decode for real — dtype
+    conveys the width, both Arrow kernels normalize consistently, and
+    the q118 closed forms hold (one amplitude = one level at every
+    width)."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_wav_full,
+        audio_exact_stats,
+        audio_features,
+        encode_wav,
+        encode_wav_float32,
+        encode_wav_pcm8,
+        encode_wav_pcm24,
+    )
+
+    # 8-bit: offset-binary bytes re-center to the int16 scale
+    u = np.array([0, 1, 128, 200, 255], np.uint8)
+    s, rate, fmt, bits = _decode_wav_full(encode_wav_pcm8(u, 8000))
+    assert (fmt, bits, rate) == (1, 8, 8000) and s.dtype == np.int16
+    assert (s[:, 0] == (u.astype(np.int16) - 128) * 256).all()
+    # 24-bit: exact sign extension across the full range
+    v = np.array([0, 1, -1, 0x7FFFFF, -0x800000, -12345], np.int32)
+    s, rate, fmt, bits = _decode_wav_full(encode_wav_pcm24(v, 44100))
+    assert (fmt, bits) == (1, 24) and s.dtype == np.int32
+    assert (s[:, 0] == v).all()
+    with pytest.raises(ValueError, match="out of range"):
+        encode_wav_pcm24(np.array([0x800000], np.int32))
+    # float32 (stereo) with the spec's fact chunk in the walk
+    fl = np.array([[0.5, -0.25], [1.0, -1.0], [0.0, 0.125]], np.float32)
+    s, rate, fmt, bits = _decode_wav_full(encode_wav_float32(fl, 48000))
+    assert (fmt, bits, rate) == (3, 32, 48000) and s.dtype == np.float32
+    assert np.array_equal(s, fl)
+
+    # kernels: same amplitude at every width -> same normalized level,
+    # exact sums at each width's documented scale
+    amp, frames = 12500, 1600  # amp % 256 == 212 (8-bit drops it)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav(np.full(frames, amp, np.int16), 16000))),
+            (1, bytearray(encode_wav_pcm8(
+                np.full(frames, 128 + amp // 256, np.uint8), 16000))),
+            (2, bytearray(encode_wav_pcm24(
+                np.full(frames, amp * 256, np.int32), 16000))),
+            (3, bytearray(encode_wav_float32(
+                np.full(frames, amp / 32768.0, np.float32), 16000))),
+        ],
+        "media_id long, content binary",
+    )
+    feats = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert [feats[i]["bits"] for i in range(4)] == [16, 8, 24, 32]
+    assert [feats[i]["fmt_code"] for i in range(4)] == [1, 1, 1, 3]
+    for i in (0, 2, 3):
+        assert abs(feats[i]["peak"] - amp / 32768.0) < 1e-12
+    assert abs(feats[1]["peak"] - (amp // 256 * 256) / 32768.0) < 1e-12
+    exact = {r["media_id"]: r for r in audio_exact_stats(df).collect()}
+    assert exact[0]["sum_lin"] == frames * amp
+    assert exact[1]["sum_lin"] == frames * (amp // 256 * 256)
+    assert exact[2]["sum_lin"] == frames * amp * 256  # raw 24-bit scale
+    assert exact[3]["sum_lin"] == frames * amp  # rint(x * 2^15), exact
+    # non-finite float payload -> nulls, not a poisoned int cast
+    nanb = bytearray(encode_wav_float32(np.array([np.nan], np.float32)))
+    bad = spark.createDataFrame([(9, nanb)], "media_id long, content binary")
+    assert audio_exact_stats(bad).collect()[0]["sum_lin"] is None
+
+
 def test_resample_audio_halves_rate(spark):
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         audio_features,
@@ -1201,8 +1269,11 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_png,
         encode_ppm,
         encode_wav,
+        encode_wav_float32,
         encode_wav_g711,
         encode_wav_ima,
+        encode_wav_pcm8,
+        encode_wav_pcm24,
     )
 
     rng = np.random.RandomState(3)
@@ -1215,6 +1286,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_png(img), decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
         (encode_wav(samples), decode_wav),
+        (encode_wav_pcm8(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
+        (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32)), decode_wav),
+        (encode_wav_float32((rng.rand(120) * 2 - 1).astype(np.float32)), decode_wav),
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
     ]
