@@ -365,10 +365,12 @@ def encode_png_palette(
     )
 
 
-def encode_png16(arr16, filters=None) -> bytes:
+def encode_png16(arr16, filters=None, trns_key=None) -> bytes:
     """(h, w, 3) uint16 RGB -> 16-bit truecolor PNG. PNG filters act
     on BYTES with the pixel offset at 6 bytes, so the u16 plane is
-    serialized big-endian first and filtered at bpp = 6."""
+    serialized big-endian first and filtered at bpp = 6. ``trns_key``
+    names one (r, g, b) 16-bit triple fully transparent (spec 11.3.2:
+    three big-endian u16 samples)."""
     import numpy as np
     import zlib
 
@@ -378,9 +380,15 @@ def encode_png16(arr16, filters=None) -> bytes:
     by = np.ascontiguousarray(a.astype(">u2")).view(np.uint8).reshape(h, w * 6)
     raw = _png_filter_scanlines(by, w, 6, filters)
     ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    trns = (
+        _png_chunk(b"tRNS", struct.pack(">HHH", *trns_key))
+        if trns_key is not None
+        else b""
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + trns
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -557,8 +565,6 @@ def decode_png(b: bytes):
             f"PNG depth={depth} color-type={color} interlace={inter}"
         )
     if trns is not None:
-        if depth == 16:
-            require_codec("PNG 16-bit transparency (tRNS)")
         if color in (4, 6):  # spec 11.3.2: tRNS forbidden with alpha
             raise ValueError("tRNS with an alpha channel is invalid")
         if color == 2 and len(trns) != 6:
@@ -617,10 +623,19 @@ def decode_png(b: bytes):
         if depth == 16:
             # recombine big-endian byte pairs -> (h, w, 3) uint16
             by = plane.astype(np.uint8).reshape(h, w, 3, 2)
-            return (
+            rgb16 = (
                 by[..., 0].astype(np.uint16) * 256
                 + by[..., 1].astype(np.uint16)
             )
+            if trns is None:
+                return rgb16
+            # 16-bit color key: three big-endian u16 samples, compared
+            # at full sample depth; alpha spans the same 16-bit range
+            key16 = np.array(struct.unpack(">HHH", trns), dtype=np.uint16)
+            alpha16 = np.where(
+                (rgb16 == key16).all(axis=-1), 0, 65535
+            ).astype(np.uint16)
+            return np.concatenate([rgb16, alpha16[..., None]], axis=-1)
         rgb = plane.astype(np.uint8)
         if trns is None:
             return rgb
@@ -813,13 +828,19 @@ def make_test_pixels16(width: int, height: int, seed: int = 0):
 
 def synthetic_png16_table(spark, n: int = 36) -> DataFrame:
     """Deterministic 16-bit truecolor PNGs (filter cycle 0..4 at
-    bpp = 6) with the q176 closed-form oracle."""
+    bpp = 6) with the q176 closed-form oracle. Odd media ids carry a
+    tRNS color key equal to the gradient's (0, 0) triple — for these
+    sizes ``(x*257 + y*509) mod 2^16 == 0`` only at the origin, so
+    exactly ONE pixel per keyed image is transparent (the closed form
+    the oracle replays)."""
     rows = []
     for i in range(n):
         w, h = 14 + (i % 6) * 4, 10 + (i % 4) * 4
         px = make_test_pixels16(w, h, seed=i * 7 + 1)
+        key = tuple(int(v) for v in px[0, 0]) if i % 2 == 1 else None
         rows.append(
-            (i, "image", encode_png16(px), None, f"mem://media/{i}.16.png")
+            (i, "image", encode_png16(px, trns_key=key), None,
+             f"mem://media/{i}.16.png")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
@@ -829,7 +850,11 @@ def image16_exact_stats(df: DataFrame) -> DataFrame:
     """Integer-exact stats for 16-bit imagery: per image n_px, exact
     per-channel sums and maxima as int64 (the 8-bit kernel's
     micro-luminance square would overflow int64 at 16-bit range, so
-    the high-depth path carries channel moments only)."""
+    the high-depth path carries channel moments only). Color-keyed
+    (tRNS) images decode to 16-bit RGBA and additionally report the
+    exact alpha sum and fully-transparent pixel count; opaque images
+    carry nulls there — the null/non-null split itself verifies the
+    decoder returned the right channel count."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -839,9 +864,13 @@ def image16_exact_stats(df: DataFrame) -> DataFrame:
                 try:
                     px = decode_png(bytes(content))
                 except (ValueError, NotImplementedError, struct.error):
-                    out.append((media_id,) + (None,) * 7)
+                    out.append((media_id,) + (None,) * 9)
                     continue
                 p = px.astype(np.int64)
+                sum_a = n_transp = None
+                if p.shape[-1] == 4:
+                    sum_a = int(p[..., 3].sum())
+                    n_transp = int((p[..., 3] == 0).sum())
                 out.append(
                     (
                         media_id,
@@ -852,20 +881,22 @@ def image16_exact_stats(df: DataFrame) -> DataFrame:
                         int(p[..., 0].max()),
                         int(p[..., 1].max()),
                         int(p[..., 2].max()),
+                        sum_a,
+                        n_transp,
                     )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "media_id", "n_px", "sum_r", "sum_g", "sum_b",
-                    "max_r", "max_g", "max_b",
+                    "max_r", "max_g", "max_b", "sum_a", "n_transp",
                 ],
             )
 
     return df.select("media_id", "content").mapInPandas(
         kernel,
         "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
-        "max_r long, max_g long, max_b long",
+        "max_r long, max_g long, max_b long, sum_a long, n_transp long",
     )
 
 

@@ -9302,7 +9302,10 @@ def q175_seasonal_anomalies(spark, sf_dir):
            CAST(SUM(b) AS BIGINT) AS sum_b,
            CAST(MAX(r) AS BIGINT) AS max_r,
            CAST(MAX(g) AS BIGINT) AS max_g,
-           CAST(MAX(b) AS BIGINT) AS max_b
+           CAST(MAX(b) AS BIGINT) AS max_b,
+           CAST(CASE WHEN i % 2 = 1
+                THEN 65535 * (COUNT(*) - 1) END AS BIGINT) AS sum_a,
+           CAST(CASE WHEN i % 2 = 1 THEN 1 END AS BIGINT) AS n_transp
     FROM ch GROUP BY i
     """,
     "16-bit (high-depth) PNG decode, driver-verified at VALUE level "
@@ -9313,10 +9316,16 @@ def q175_seasonal_anomalies(spark, sf_dir):
     "big-endian byte pairs into uint16 planes. The closed-form "
     "gradient sweeps the full 0..65535 range (max_* columns pin the "
     "dynamic range — an 8-bit truncation bug caps them at 255 and "
-    "fails loudly). The high-depth stats kernel carries channel "
-    "moments only: the 8-bit kernel's squared micro-luminance would "
-    "overflow int64 at this range. multimodal.encode_png16 / "
-    "decode_png / image16_exact_stats.",
+    "fails loudly). Odd ids add a 16-bit tRNS color key (round-8 "
+    "gate retirement: the full-sample-depth key compare, spec "
+    "11.3.2) equal to the origin pixel — the gradient hits the key "
+    "exactly once per image, so sum_a = 65535*(n_px-1) and n_transp "
+    "= 1 are closed forms, and even/opaque images pin the kernel's "
+    "null alpha columns (wrong channel count fails loudly). The "
+    "high-depth stats kernel carries channel moments only: the "
+    "8-bit kernel's squared micro-luminance would overflow int64 at "
+    "this range. multimodal.encode_png16 / decode_png / "
+    "image16_exact_stats.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q176_png16_decode_stats(spark, sf_dir):

@@ -698,12 +698,26 @@ def test_png_trns_truecolor_and_palette_rgba():
     i = b.index(b"IDAT") - 4
     with pytest.raises(ValueError):
         decode_png(b[:i] + _png_chunk(b"tRNS", b"\x00\x01") + b[i:])
-    # 16-bit + tRNS stays gated (high-depth key compare unimplemented)
-    b16 = encode_png16(make_test_pixels16(7, 5, seed=1))
+    # 16-bit color key (round-8 gate retirement): compares at full
+    # sample depth, alpha spans the 16-bit range
+    px16 = make_test_pixels16(7, 5, seed=1)
+    key16 = tuple(int(v) for v in px16[0, 0])
+    rgba16 = decode_png(encode_png16(px16, trns_key=key16))
+    assert rgba16.shape == (5, 7, 4) and rgba16.dtype == np.uint16
+    assert np.array_equal(rgba16[..., :3], px16)
+    exp16 = np.where((px16 == np.array(key16)).all(axis=-1), 0, 65535)
+    assert np.array_equal(rgba16[..., 3], exp16.astype(np.uint16))
+    assert int((rgba16[..., 3] == 0).sum()) == 1  # key occurs at origin
+    # a key differing only in the LOW byte must NOT match (the 8-bit
+    # truncation bug a low-depth compare would hide)
+    off_key = (key16[0] ^ 1, key16[1], key16[2])
+    rgba_off = decode_png(encode_png16(px16, trns_key=off_key))
+    assert int((rgba_off[..., 3] == 0).sum()) == 0
+    # malformed 16-bit tRNS (wrong length) -> ValueError
+    b16 = encode_png16(px16)
     j = b16.index(b"IDAT") - 4
-    patched = b16[:j] + _png_chunk(b"tRNS", b"\x00" * 6) + b16[j:]
-    with pytest.raises(NotImplementedError):
-        decode_png(patched)
+    with pytest.raises(ValueError):
+        decode_png(b16[:j] + _png_chunk(b"tRNS", b"\x00\x01") + b16[j:])
 
 
 def test_gif_interlace_and_local_color_table():
@@ -1280,10 +1294,18 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     img = rng.randint(0, 256, (12, 12, 3)).astype(np.uint8)
     img8 = rng.randint(0, 256, (8, 8)).astype(np.uint8)
     samples = rng.randint(-2000, 2000, 200).astype(np.int16)
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_png16,
+        make_test_pixels16,
+    )
+
+    px16 = make_test_pixels16(6, 5, seed=2)
     streams = [
         (encode_bmp(img), decode_bmp),
         (encode_ppm(img), decode_ppm),
         (encode_png(img), decode_png),
+        (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
+         decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
         (encode_wav(samples), decode_wav),
         (encode_wav_pcm8(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
