@@ -4717,50 +4717,130 @@ def q105_status_history_scd2(spark, sf_dir):
 @_register(
     "q106_event_transitions",
     """
-    WITH s AS (
-        SELECT user_id, event_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS next_type
+    WITH typed AS (
+        SELECT event_id, event_type, epoch_us(ts) AS us, user_id,
+               CASE WHEN event_id % 97 = 0 THEN NULL
+                    ELSE CAST(user_id AS VARCHAR) END AS session_id,
+               ['US','CA','BR','MX','GB','DE','FR','ES',
+                'IN','JP','AU','CN'][user_id % 12 + 1] AS cc
         FROM events
     ),
+    env AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY session_id) > 100 AS is_bot,
+               session_id IS NULL AS has_missing,
+               CASE WHEN cc IN ('US','CA','BR','MX') THEN 'AMER'
+                    WHEN cc IN ('GB','DE','FR','ES') THEN 'EMEA'
+                    ELSE 'APAC' END AS geo_region,
+               length('{"event_id":' || CAST(event_id AS VARCHAR)
+                   || ',"event_type":"' || event_type
+                   || '","timestamp":' || CAST(us AS VARCHAR)
+                   || ',"user_id":' || CAST(user_id AS VARCHAR)
+                   || CASE WHEN session_id IS NULL THEN ''
+                           ELSE ',"session_id":"' || session_id || '"' END
+                   || ',"country_code":"' || cc || '"}') AS plen
+        FROM typed
+    ),
+    s AS (
+        SELECT event_type, geo_region, is_bot, has_missing, plen, us,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS next_type
+        FROM env
+    ),
     c AS (
-        SELECT event_type AS from_type, next_type AS to_type,
-               COUNT(*) AS n_transitions
+        SELECT event_type AS from_type, next_type AS to_type, geo_region,
+               COUNT(*) AS n_transitions,
+               CAST(SUM(CASE WHEN is_bot THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bot,
+               CAST(SUM(CASE WHEN has_missing THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               CAST(SUM(plen) AS BIGINT) AS sum_payload_len,
+               bit_xor(us) AS xor_us
         FROM s WHERE next_type IS NOT NULL
-        GROUP BY event_type, next_type
+        GROUP BY event_type, next_type, geo_region
     ),
     tot AS (
         SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
         FROM c GROUP BY from_type
     )
-    SELECT from_type, to_type, n_transitions,
-           CAST((1000000 * n_transitions) // n_from AS BIGINT) AS p_micro
+    SELECT from_type, to_type, geo_region,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST((1000000 * n_transitions) // n_from AS BIGINT) AS p_micro,
+           n_bot, n_missing, sum_payload_len, xor_us
     FROM c JOIN tot USING (from_type)
     """,
-    "Behavioral sequence analysis: the first-order Markov transition "
-    "matrix of per-user event streams — lead() over (ts, event_id) "
-    "unique order, transition counts, and integer-micro row-"
-    "normalized probabilities (floor division — no float). One "
-    "shuffle by user_id for the window, then a 25-cell aggregate.",
+    "Behavioral sequence analysis THROUGH the ProcessedEvent envelope "
+    "(round-8 upgrade: SURVEY P1 leaves pytest-only — reference "
+    "data/schemas/events.py:230-253): a deterministic typed event "
+    "slice (epoch_us timestamp, user-derived session_id nulled for "
+    "event_id % 97 = 0, country from a 12-code wheel) routes through "
+    "enrich.to_processed_events — bot window over session_id (the "
+    "null-session bucket exceeds the 100-event threshold at sf0.01, "
+    "so BOTH bot branches fire), broadcast geo join, required-field "
+    "missing flag, and the raw_payload JSON projection (Spark "
+    "to_json omits null fields; the oracle rebuilds the byte-exact "
+    "string with the same omission rule and checks its LENGTH per "
+    "group). On top: the first-order Markov transition matrix — "
+    "lead() over (epoch_us, event_id) unique order, integer-micro "
+    "row-normalized probabilities (floor division — no float), now "
+    "per geo_region with per-group bot/missing counts and a "
+    "bit_xor(epoch_us) checksum (order-insensitive, overflow-free — "
+    "a raw sum of epoch micros would overflow int64 at sf0.1 group "
+    "sizes). One shuffle by user_id for the window, one by the "
+    "75-cell group; the geo dim and per-from totals broadcast.",
 )
 def q106_event_transitions(spark, sf_dir):
+    from ..operators.enrich import GEO_REGIONS, to_processed_events
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
+    codes = F.array(*[F.lit(c) for c, _ in GEO_REGIONS])
+    typed = ev.select(
+        "event_id",
+        "event_type",
+        epoch_us("ts").alias("timestamp"),
+        "user_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("session_id"),
+        F.element_at(codes, (F.col("user_id") % 12 + 1).cast("int")).alias(
+            "country_code"
+        ),
+    )
+    env = to_processed_events(typed, spark)
+    w = Window.partitionBy("user_id").orderBy("timestamp", "event_id")
+    s = env.select(
+        "event_type",
+        "geo_region",
+        "is_bot",
+        "has_missing_fields",
+        F.length("raw_payload").alias("plen"),
+        F.col("timestamp").alias("us"),
+        F.lead("event_type").over(w).alias("next_type"),
     ).filter(F.col("next_type").isNotNull())
     c = s.groupBy(
         F.col("event_type").alias("from_type"),
         F.col("next_type").alias("to_type"),
-    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+        "geo_region",
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.col("is_bot").cast("long")).alias("n_bot"),
+        F.sum(F.col("has_missing_fields").cast("long")).alias("n_missing"),
+        F.sum("plen").alias("sum_payload_len"),
+        F.expr("bit_xor(us)").alias("xor_us"),
+    )
     tot = c.groupBy("from_type").agg(F.sum("n_transitions").alias("n_from"))
-    return c.join(tot, "from_type").select(
+    return c.join(F.broadcast(tot), "from_type").select(
         "from_type",
         "to_type",
+        "geo_region",
         "n_transitions",
         F.expr("CAST((1000000 * n_transitions) DIV n_from AS BIGINT)").alias(
             "p_micro"
         ),
+        "n_bot",
+        "n_missing",
+        "sum_payload_len",
+        "xor_us",
     )
 
 
