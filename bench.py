@@ -108,15 +108,34 @@ def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _anchor_ratio(cur: dict[str, float], prior: dict) -> float | None:
+def _anchor_ratio(cur: dict, prior: dict) -> float | None:
     """Geometric-mean ratio of current vs prior committed anchor probes
-    (None when the prior record carries no comparable anchor)."""
-    prev = prior.get("anchor", {}).get("start", {})
-    ratios = [
-        cur[k] / prev[k]
-        for k in cur
-        if isinstance(prev.get(k), (int, float)) and prev[k] > 0
-    ]
+    across BOTH session halves (round-8 verdict task: the end probe
+    must participate, so a session that degrades after a fast start is
+    adjudicated over its whole span). ``cur`` maps half name -> probe
+    dict ({"start": {...}} mid-session, both halves at record time); a
+    bare probe dict is treated as the start half for the mid-session
+    call sites. Probes pair same-half, same-key only. None when no
+    comparable pair exists."""
+    if cur and not any(k in ("start", "end") for k in cur):
+        cur = {"start": cur}
+    prev_anchor = prior.get("anchor", {})
+    if not isinstance(prev_anchor, dict):
+        return None
+    ratios = []
+    for half, probes in cur.items():
+        prev = prev_anchor.get(half, {})
+        if not isinstance(probes, dict) or not isinstance(prev, dict):
+            continue
+        for k, v in probes.items():
+            pv = prev.get(k)
+            if (
+                isinstance(v, (int, float))
+                and isinstance(pv, (int, float))
+                and v > 0
+                and pv > 0
+            ):
+                ratios.append(v / pv)
     if not ratios:
         return None
     import math
@@ -253,7 +272,16 @@ def main() -> None:
             print(f"# drain {name} failed: {e}", file=sys.stderr)
 
     anchor_end = _anchor_probe(spark, sf_dir)
-    print(f"# anchor end: {anchor_end}", file=sys.stderr)
+    # the recorded ratio spans BOTH halves: a session that ends slow
+    # after a fast start reads as ambient drift, not query regressions
+    full_ratio = _anchor_ratio(
+        {"start": anchor_start, "end": anchor_end}, prior_rec
+    )
+    print(
+        f"# anchor end: {anchor_end} full-session ratio_vs_prior: "
+        f"{full_ratio}",
+        file=sys.stderr,
+    )
 
     record = {
         "metric": "suite_wall_sec",
@@ -265,7 +293,8 @@ def main() -> None:
         "anchor": {
             "start": anchor_start,
             "end": anchor_end,
-            "ratio_vs_prior": ratio,
+            "ratio_vs_prior": full_ratio,
+            "ratio_vs_prior_start": ratio,
         },
         "sf": sf,
     }

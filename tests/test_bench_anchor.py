@@ -36,6 +36,35 @@ def test_anchor_ratio_partial_overlap_uses_shared_keys():
     assert _anchor_ratio(cur, prior) == 2.0
 
 
+def test_anchor_ratio_end_probe_participates():
+    """Round-8 verdict task: the end probe must enter the geomean, so
+    a session that degrades after a fast start reads > 1."""
+    prior = {
+        "anchor": {
+            "start": {"range_agg_sec": 1.0},
+            "end": {"range_agg_sec": 1.0},
+        }
+    }
+    cur = {"start": {"range_agg_sec": 1.0}, "end": {"range_agg_sec": 4.0}}
+    assert _anchor_ratio(cur, prior) == 2.0  # geomean(1.0, 4.0)
+    # halves pair with THEIR OWN half of the prior record
+    prior2 = {
+        "anchor": {
+            "start": {"range_agg_sec": 1.0},
+            "end": {"range_agg_sec": 4.0},
+        }
+    }
+    assert _anchor_ratio(cur, prior2) == 1.0
+    # end-only prior still adjudicates the end half
+    assert (
+        _anchor_ratio(
+            {"end": {"range_agg_sec": 2.0}},
+            {"anchor": {"end": {"range_agg_sec": 1.0}}},
+        )
+        == 2.0
+    )
+
+
 def test_prior_record_sf_gate(tmp_path):
     p = tmp_path / "BENCH_FULL.json"
     p.write_text('{"sf": 0.1, "queries": {"q": 1.0}}')
