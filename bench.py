@@ -235,10 +235,14 @@ def main() -> None:
     # concentrates in the most expensive rows, so the top-N by
     # measured time always get one fresh GC'd min-of-2, min-wins —
     # ~30 s that pins the head of the distribution to steady state.
+    # min-of-3 here (not 2): the expensive rows cache() operator-internal
+    # frames, and an isolated q162 min-of-4 read 5.44 -> 4.03 -> 3.74 ->
+    # 3.60 s (round-8 measurement) — successive runs keep converging, so
+    # a 2-run retry still over-reads the floor by ~10%
     for name in sorted(timings, key=lambda n: -timings[n])[:5]:
         if name in retried:
             continue
-        best, _ = _timed_min(spark, QUERIES[name].fn, sf_dir, gc=True)
+        best, _ = _timed_min(spark, QUERIES[name].fn, sf_dir, runs=3, gc=True)
         if best < timings[name]:
             retried.append(name)
             print(
