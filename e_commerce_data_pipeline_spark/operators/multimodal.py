@@ -3051,6 +3051,12 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+# KSDATAFORMAT media-subtype GUID tail: {code}-0000-0010-8000-
+# 00AA00389B71 serialized little-endian — bytes 2..15 are fixed for
+# every registered WAVE_FORMAT_EXTENSIBLE subtype
+_WAV_SUBTYPE_SUFFIX = bytes.fromhex("0000" + "0000" + "1000" + "800000aa00389b71")
+
+
 def _wav_container(data: bytes, fmt_code: int, ch: int, sample_rate: int,
                    bits: int) -> bytes:
     """RIFF/WAVE wrapper for an already-serialized sample payload."""
@@ -3081,9 +3087,12 @@ def encode_wav_pcm8(samples, sample_rate: int = 16000) -> bytes:
     return _wav_container(a.tobytes(), 1, a.shape[1], sample_rate, 8)
 
 
-def encode_wav_pcm24(samples, sample_rate: int = 16000) -> bytes:
+def encode_wav_pcm24(samples, sample_rate: int = 16000,
+                     extensible: bool = False) -> bytes:
     """(n,) or (n, ch) ints in ±2^23 -> 24-bit PCM WAV (little-endian
-    3-byte two's-complement samples)."""
+    3-byte two's-complement samples). ``extensible`` wraps the same
+    payload in a WAVE_FORMAT_EXTENSIBLE fmt chunk (code 0xFFFE +
+    PCM SubFormat GUID) — how most real 24-bit files ship."""
     import numpy as np
 
     a = np.asarray(samples, dtype=np.int32)
@@ -3096,7 +3105,49 @@ def encode_wav_pcm24(samples, sample_rate: int = 16000) -> bytes:
     tri[:, 0] = u & 0xFF
     tri[:, 1] = (u >> 8) & 0xFF
     tri[:, 2] = (u >> 16) & 0xFF
-    return _wav_container(tri.tobytes(), 1, a.shape[1], sample_rate, 24)
+    if not extensible:
+        return _wav_container(tri.tobytes(), 1, a.shape[1], sample_rate, 24)
+    return _wav_container_extensible(
+        tri.tobytes(), 1, a.shape[1], sample_rate, 24
+    )
+
+
+def _wav_container_extensible(data: bytes, sub_code: int, ch: int,
+                              sample_rate: int, bits: int) -> bytes:
+    """RIFF wrapper with a 40-byte WAVE_FORMAT_EXTENSIBLE fmt chunk:
+    container code 0xFFFE, cbSize 22, validBits = bits, and the
+    effective format as the SubFormat GUID's leading two bytes."""
+    bytes_per = bits // 8
+    byte_rate = sample_rate * ch * bytes_per
+    guid = struct.pack("<H", sub_code) + _WAV_SUBTYPE_SUFFIX
+    fmt_body = (
+        struct.pack(
+            "<HHIIHH", 0xFFFE, ch, sample_rate, byte_rate,
+            ch * bytes_per, bits,
+        )
+        + struct.pack("<HHI", 22, bits, (1 << ch) - 1)
+        + guid
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 20 + len(fmt_body) + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_wav_pcm32(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) int32 -> 32-bit integer PCM WAV."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int32)
+    if a.ndim == 1:
+        a = a[:, None]
+    return _wav_container(a.tobytes(), 1, a.shape[1], sample_rate, 32)
 
 
 def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
@@ -3131,16 +3182,20 @@ def decode_wav(b: bytes):
     """PCM WAV bytes -> ((n, channels) sample array, sample_rate).
     Sample dtype conveys source width: int16 for 8/16-bit PCM (8-bit
     unsigned bytes are re-centered to the int16 scale, ``(u-128)*256``),
-    int32 holding raw ±2^23 values for 24-bit PCM, float32 for IEEE
-    format-3. Walks RIFF chunks, so extra chunks (LIST, fact) don't
-    break it."""
+    int32 holding raw values for 24- and 32-bit integer PCM, float32
+    for IEEE format-3. WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers
+    resolve their effective format from the SubFormat GUID. Walks RIFF
+    chunks, so extra chunks (LIST, fact) don't break it."""
     samples, rate, _fmt, _bits = _decode_wav_full(b)
     return samples, rate
 
 
 def _decode_wav_full(b: bytes):
     """decode_wav plus the container's (fmt_code, bits) — the variant
-    metadata feature kernels surface without re-parsing the header."""
+    metadata feature kernels surface without re-parsing the header.
+    fmt_code is the CONTAINER code (0xFFFE for extensible files, the
+    plain format code otherwise); bits plus the sample dtype convey
+    the decoded width."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -3153,6 +3208,7 @@ def _decode_wav_full(b: bytes):
             if len(body) < 16:
                 raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -3161,18 +3217,39 @@ def _decode_wav_full(b: bytes):
     audio_fmt, ch, rate, _br, _ba, bits = fmt
     if ch < 1 or rate < 1:
         raise ValueError("WAV invalid channel count or sample rate")
+    fmt_code = audio_fmt  # the CONTAINER code callers observe
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (how >16-bit files usually ship in
+        # the wild): the effective format is the first two bytes of
+        # the 16-byte SubFormat GUID, whose 14-byte tail must be the
+        # fixed KSDATAFORMAT media-subtype suffix
+        if len(fmt_body) < 40:
+            raise ValueError("WAV extensible fmt chunk truncated")
+        cb, valid_bits = struct.unpack_from("<HH", fmt_body, 16)
+        if cb < 22:
+            raise ValueError("WAV extensible cbSize too small")
+        sub = fmt_body[24:40]
+        if sub[2:] != _WAV_SUBTYPE_SUFFIX:
+            raise ValueError("WAV extensible SubFormat GUID unrecognized")
+        if valid_bits not in (0, bits):
+            # packed-in-wider layouts (e.g. 20 valid of 24) are a real
+            # variant this surface doesn't decode — the honest gate
+            require_codec(
+                f"WAV extensible validBits={valid_bits} of {bits}"
+            )
+        audio_fmt = struct.unpack_from("<H", sub, 0)[0]
     if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(
             data, np.int16, count=(len(data) // (2 * ch)) * ch
         )
-        return samples.reshape(-1, ch), rate, audio_fmt, bits
+        return samples.reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt == 1 and bits == 8:
         # unsigned 8-bit PCM (spec: <=8-bit samples are offset-binary);
         # re-center to the int16 scale so every integer path downstream
         # shares one normalization: value = (byte - 128) * 256
         u = np.frombuffer(data, np.uint8, count=(len(data) // ch) * ch)
         samples = (u.astype(np.int16) - 128) * 256
-        return samples.reshape(-1, ch), rate, audio_fmt, bits
+        return samples.reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt == 1 and bits == 24:
         # little-endian 3-byte signed ints -> raw ±2^23 values in int32
         # (no rescale: 24-bit is the one width int16 can't carry)
@@ -3184,7 +3261,13 @@ def _decode_wav_full(b: bytes):
             | (tri[:, 2].astype(np.int32) << 16)
         )
         samples = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
-        return samples.reshape(-1, ch), rate, audio_fmt, bits
+        return samples.reshape(-1, ch), rate, fmt_code, bits
+    if audio_fmt == 1 and bits == 32:
+        # 32-bit integer PCM: raw int32 values (DAW-export width)
+        samples = np.frombuffer(
+            data, np.int32, count=(len(data) // (4 * ch)) * ch
+        )
+        return samples.reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt == 3 and bits == 32:
         # IEEE float32 (format 3): native [-1, 1] floats, returned
         # as-is — corrupt payload bytes may carry NaN/inf, which is a
@@ -3192,11 +3275,11 @@ def _decode_wav_full(b: bytes):
         samples = np.frombuffer(
             data, np.float32, count=(len(data) // (4 * ch)) * ch
         )
-        return samples.reshape(-1, ch), rate, audio_fmt, bits
+        return samples.reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
         codes = np.frombuffer(data, np.uint8, count=(len(data) // ch) * ch)
         dec = (alaw_expand if audio_fmt == 6 else ulaw_expand)(codes)
-        return dec.astype(np.int16).reshape(-1, ch), rate, audio_fmt, bits
+        return dec.astype(np.int16).reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
         if ch == 1:
             out: list[int] = []
@@ -3213,7 +3296,7 @@ def _decode_wav_full(b: bytes):
                 nibbles[0::2] = nb & 0x0F
                 nibbles[1::2] = nb >> 4
                 out.extend(ima_adpcm_decode(nibbles, pred, idx))
-            return np.array(out, np.int16).reshape(-1, 1), rate, audio_fmt, bits
+            return np.array(out, np.int16).reshape(-1, 1), rate, fmt_code, bits
         if ch >= 2:
             # multi-channel layout (Microsoft WAV spec, any channel
             # count): one 4-byte block header PER channel, then 4-byte
@@ -3614,9 +3697,9 @@ def audio_features(df: DataFrame) -> DataFrame:
     """Duration, sample rate, RMS level, peak, and container variant
     (fmt_code, bits) per WAV payload — real decode + numpy reductions;
     undecodable bytes yield nulls. Levels normalize to [-1, 1] by
-    source width: int16-scale material / 2^15, raw 24-bit / 2^23,
-    float32 as-is — so one amplitude means one level regardless of
-    container width."""
+    source width: int16-scale material / 2^15, raw 24/32-bit /
+    2^(bits-1), float32 as-is — so one amplitude means one level
+    regardless of container width."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3639,8 +3722,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                     continue
                 if np.issubdtype(samples.dtype, np.floating):
                     f = samples.astype(np.float64)
-                elif samples.dtype == np.int32:  # raw 24-bit values
-                    f = samples.astype(np.float64) / 8388608.0
+                elif samples.dtype == np.int32:  # raw 24/32-bit values
+                    f = samples.astype(np.float64) / float(1 << (bits - 1))
                 else:
                     f = samples.astype(np.float64) / 32768.0
                 out.append(
@@ -3776,21 +3859,23 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     """Deterministic WAV table for driver-verifiable audio decode:
     media_id i carries a constant-amplitude mono PCM signal —
-    amplitude ``(i * 500) % 32768``, ``8000 + (i % 5) * 4000`` frames
-    at 16 kHz — cycling the four PCM container widths by ``i % 4``:
-    16-bit, unsigned 8-bit (sample byte ``128 + amp div 256``, so the
-    decoded int16-scale value is ``amp - amp mod 256``), 24-bit
-    (sample ``amp * 256``, the same normalized level), and IEEE
-    float32 (``amp / 2^15``, an exact dyadic). Every format's
-    duration, peak, and exact sums keep closed forms an independent
-    engine can recompute without decoding."""
+    amplitude ``(i * 500) % 32768``, ``8000 + (i % 4) * 4000`` frames
+    at 16 kHz — cycling FIVE container variants by ``i % 5``:
+    16-bit plain, unsigned 8-bit (sample byte ``128 + amp div 256``,
+    decoded int16-scale value ``amp - amp mod 256``), 24-bit inside a
+    WAVE_FORMAT_EXTENSIBLE container (sample ``amp * 256``, how real
+    24-bit files ship), IEEE float32 (``amp / 2^15``, an exact
+    dyadic), and 32-bit integer PCM (sample ``amp * 256`` — a quiet
+    wide-container recording, so squared sums stay int64-exact).
+    Every variant's duration, peak, and exact sums keep closed forms
+    an independent engine can recompute without decoding."""
     import numpy as np
 
     rows = []
     for i in range(n):
         amp = (i * 500) % 32768
-        frames = 8000 + (i % 5) * 4000
-        k = i % 4
+        frames = 8000 + (i % 4) * 4000
+        k = i % 5
         if k == 0:
             content = encode_wav(np.full(frames, amp, np.int16), 16000)
         elif k == 1:
@@ -3799,11 +3884,15 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
             )
         elif k == 2:
             content = encode_wav_pcm24(
-                np.full(frames, amp * 256, np.int32), 16000
+                np.full(frames, amp * 256, np.int32), 16000, extensible=True
             )
-        else:
+        elif k == 3:
             content = encode_wav_float32(
                 np.full(frames, amp / 32768.0, np.float32), 16000
+            )
+        else:
+            content = encode_wav_pcm32(
+                np.full(frames, amp * 256, np.int32), 16000
             )
         rows.append((i, "audio", content, None, f"mem://media/{i}.wav"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

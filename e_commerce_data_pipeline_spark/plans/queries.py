@@ -5596,19 +5596,22 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     """
     WITH m AS (
         SELECT i, (i * 500) % 32768 AS amp,
-               8000 + (i % 5) * 4000 AS frames, i % 4 AS k
+               8000 + (i % 4) * 4000 AS frames, i % 5 AS k
         FROM range(50) t(i)
     ),
     v AS (
         SELECT i, k, frames,
-               CASE WHEN k = 1 THEN amp - (amp % 256) ELSE amp END AS q15,
-               CASE WHEN k = 2 THEN amp * 256
+               CASE WHEN k = 1 THEN amp - (amp % 256)
+                    WHEN k = 4 THEN CAST(round(amp / 256.0) AS BIGINT)
+                    ELSE amp END AS q15,
+               CASE WHEN k IN (2, 4) THEN amp * 256
                     WHEN k = 1 THEN amp - (amp % 256)
                     ELSE amp END AS raw
         FROM m
     )
     SELECT i AS media_id,
-           CAST(CASE WHEN k = 3 THEN 3 ELSE 1 END AS INT) AS fmt_code,
+           CAST(CASE WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
+                ELSE 1 END AS INT) AS fmt_code,
            CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
                 ELSE 32 END AS INT) AS bits,
            CAST(1 AS INT) AS channels,
@@ -5619,23 +5622,27 @@ def q117_multimodal_decode_meta(spark, sf_dir):
            CAST(frames * raw * raw AS BIGINT) AS sum_sq
     FROM v
     """,
-    "Multimodal audio across ALL FOUR integer/float PCM container "
-    "widths (round-8 gate retirement: decode_wav now handles unsigned "
-    "8-bit and 24-bit integer PCM and IEEE float32, not just 16-bit): "
-    "constant-amplitude synthetic WAVs cycle the widths by i mod 4 "
-    "and round-trip through the real RIFF-chunk decoder and BOTH "
-    "Arrow kernels — audio_features surfaces the container variant "
-    "(fmt_code, bits) plus width-normalized duration/peak (peak * "
-    "2^15 re-quantizes to the generator amplitude exactly: 8-bit "
-    "drops the low byte, 24-bit and float32 preserve it at the same "
-    "normalized level), audio_exact_stats carries exact int64 "
+    "Multimodal audio across FIVE PCM container variants (round-8 "
+    "gate retirements: decode_wav now handles unsigned 8-bit, 24-bit "
+    "and 32-bit integer PCM, IEEE float32, and WAVE_FORMAT_EXTENSIBLE "
+    "containers resolved via the SubFormat GUID — not just plain "
+    "16-bit): constant-amplitude synthetic WAVs cycle the variants by "
+    "i mod 5 (the 24-bit rows ship EXTENSIBLE, how real 24-bit files "
+    "arrive) and round-trip through the real RIFF-chunk decoder and "
+    "BOTH Arrow kernels — audio_features surfaces the container "
+    "(fmt_code: 1 / 3 / 0xFFFE, bits) plus width-normalized "
+    "duration/peak (peak * 2^15 re-quantizes to the generator "
+    "amplitude: 8-bit drops the low byte, 24-bit/float32 preserve it, "
+    "the quiet 32-bit rows read amp/256 at 0 dp — the one safe "
+    "cross-engine rounding), audio_exact_stats carries exact int64 "
     "linear/square sums (raw sample scale per width; float32 "
     "micro-quantizes rint(x * 2^15), exact for dyadic amplitudes). "
     "The oracle recomputes every column from the generator's closed "
-    "form — a wrong sign extension (24-bit), bias re-centering "
-    "(8-bit), or normalization denominator breaks the hash. "
+    "form — a wrong sign extension, bias re-centering, GUID "
+    "resolution, or normalization denominator breaks the hash. "
     "operators/multimodal.py decode_wav / encode_wav_pcm8 / "
-    "encode_wav_pcm24 / encode_wav_float32 / synthetic_audio_table.",
+    "encode_wav_pcm24 / encode_wav_pcm32 / encode_wav_float32 / "
+    "synthetic_audio_table.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q118_audio_decode_meta(spark, sf_dir):

@@ -164,6 +164,7 @@ def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
         encode_wav_float32,
         encode_wav_pcm8,
         encode_wav_pcm24,
+        encode_wav_pcm32,
     )
 
     # 8-bit: offset-binary bytes re-center to the int16 scale
@@ -196,20 +197,28 @@ def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
                 np.full(frames, amp * 256, np.int32), 16000))),
             (3, bytearray(encode_wav_float32(
                 np.full(frames, amp / 32768.0, np.float32), 16000))),
+            (4, bytearray(encode_wav_pcm24(
+                np.full(frames, amp * 256, np.int32), 16000,
+                extensible=True))),
+            (5, bytearray(encode_wav_pcm32(
+                np.full(frames, amp * 256, np.int32), 16000))),
         ],
         "media_id long, content binary",
     )
     feats = {r["media_id"]: r for r in audio_features(df).collect()}
-    assert [feats[i]["bits"] for i in range(4)] == [16, 8, 24, 32]
-    assert [feats[i]["fmt_code"] for i in range(4)] == [1, 1, 1, 3]
-    for i in (0, 2, 3):
+    assert [feats[i]["bits"] for i in range(6)] == [16, 8, 24, 32, 24, 32]
+    assert [feats[i]["fmt_code"] for i in range(6)] == [1, 1, 1, 3, 0xFFFE, 1]
+    for i in (0, 2, 3, 4):  # one amplitude, one level at every width
         assert abs(feats[i]["peak"] - amp / 32768.0) < 1e-12
     assert abs(feats[1]["peak"] - (amp // 256 * 256) / 32768.0) < 1e-12
+    assert abs(feats[5]["peak"] - (amp * 256) / 2**31) < 1e-12
     exact = {r["media_id"]: r for r in audio_exact_stats(df).collect()}
     assert exact[0]["sum_lin"] == frames * amp
     assert exact[1]["sum_lin"] == frames * (amp // 256 * 256)
     assert exact[2]["sum_lin"] == frames * amp * 256  # raw 24-bit scale
     assert exact[3]["sum_lin"] == frames * amp  # rint(x * 2^15), exact
+    assert exact[4]["sum_lin"] == frames * amp * 256  # extensible = plain
+    assert exact[5]["sum_lin"] == frames * amp * 256  # raw 32-bit payload
     # non-finite float payload -> nulls, not a poisoned int cast
     nanb = bytearray(encode_wav_float32(np.array([np.nan], np.float32)))
     bad = spark.createDataFrame([(9, nanb)], "media_id long, content binary")
@@ -1288,6 +1297,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_wav_ima,
         encode_wav_pcm8,
         encode_wav_pcm24,
+        encode_wav_pcm32,
     )
 
     rng = np.random.RandomState(3)
@@ -1310,6 +1320,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav(samples), decode_wav),
         (encode_wav_pcm8(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32)), decode_wav),
+        (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32), extensible=True), decode_wav),
+        (encode_wav_pcm32(rng.randint(-(1 << 31), 1 << 31, 120, dtype=np.int64).astype(np.int32)), decode_wav),
         (encode_wav_float32((rng.rand(120) * 2 - 1).astype(np.float32)), decode_wav),
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
