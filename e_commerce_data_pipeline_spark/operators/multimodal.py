@@ -104,14 +104,103 @@ def encode_bmp(arr) -> bytes:
     return bytes(header + body)
 
 
+def encode_bmp32(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 32-bit BI_RGB BMP (BGRX quads, padding
+    byte zero — the screenshot-tool layout)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "BMP32 encoder expects RGB"
+    quads = np.zeros((h, w, 4), np.uint8)
+    quads[..., :3] = a[..., ::-1]  # RGB -> BGR, X stays 0
+    body = quads[::-1].tobytes()  # bottom-up rows, already word-aligned
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + body)
+
+
+def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
+    """(h, w) uint8 palette indices + (n<=256, 3) uint8 RGB palette ->
+    8-bit paletted BMP, uncompressed (BI_RGB) or run-length encoded
+    (BI_RLE8) — runs >= 3 as encoded runs, shorter stretches batched
+    into absolute chunks, EOL/EOD escapes per spec."""
+    import numpy as np
+
+    a = np.asarray(idx, dtype=np.uint8)
+    p = np.asarray(pal, dtype=np.uint8)
+    h, w = a.shape
+    n_pal = p.shape[0]
+    assert p.ndim == 2 and p.shape[1] == 3 and n_pal <= 256
+    assert int(a.max(initial=0)) < n_pal, "index exceeds palette"
+    quads = np.zeros((n_pal, 4), np.uint8)
+    quads[:, :3] = p[:, ::-1]  # RGB -> BGR, reserved byte 0
+    if not rle:
+        stride = w + ((-w) % 4)
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = a
+        body = rows[::-1].tobytes()
+        comp = 0
+    else:
+        out = bytearray()
+        for row in a[::-1]:  # stored bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3:
+                    out += bytes((run, int(row[x])))
+                    x += run
+                    continue
+                start = x
+                while x < w and x - start < 255:
+                    r2 = 1
+                    while (
+                        x + r2 < w and row[x + r2] == row[x] and r2 < 255
+                    ):
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += r2
+                cnt = x - start
+                if cnt >= 3:
+                    out += bytes((0, cnt)) + row[start:x].tobytes()
+                    if cnt & 1:
+                        out += b"\x00"
+                else:
+                    for j in range(start, x):
+                        out += bytes((1, int(row[j])))
+            out += b"\x00\x00"  # end of line
+        out += b"\x00\x01"  # end of data
+        body = bytes(out)
+        comp = 1
+    pal_bytes = quads.tobytes()
+    offset = 54 + len(pal_bytes)
+    size = offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835,
+        n_pal, 0,
+    )
+    return bytes(header) + pal_bytes + body
+
+
 def decode_bmp(b: bytes):
-    """BMP bytes -> (h, w, 3) uint8 RGB array (24-bit BI_RGB only)."""
+    """BMP bytes -> (h, w, 3) uint8 RGB array. Decodes the common
+    BITMAPINFOHEADER family (round-8 gate retirements): 24-bit and
+    32-bit BI_RGB (BGRX — the fourth byte is padding per the original
+    spec, dropped), and 8-bit paletted both uncompressed and BI_RLE8
+    (runs, absolute mode, EOL/EOD/delta escapes). Remaining
+    depths/compressions (1/4-bit packed, 16-bit bitfields, RLE4)
+    gate."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", b, 10)[0]
-    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
     if bpp not in (1, 4, 8, 16, 24, 32) or comp not in (
         0, 1, 2, 3, 4, 5, 6, 11, 12, 13,
     ):
@@ -120,17 +209,102 @@ def decode_bmp(b: bytes):
         # =11-13) — corrupt header, not a variant; the honest gate
         # below is reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
-    if bpp != 24 or comp != 0:
+    supported = (bpp in (24, 32) and comp == 0) or (
+        bpp == 8 and comp in (0, 1)
+    )
+    if not supported:
         require_codec(f"BMP bpp={bpp} compression={comp}")
     flip = h > 0
     h = abs(h)
     if w <= 0 or h == 0:
         raise ValueError("invalid BMP dimensions")
-    row = w * 3
-    stride = row + ((-row) % 4)
-    px = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
-    px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    if bpp in (24, 32):
+        ch = bpp // 8
+        row = w * ch
+        stride = row + ((-row) % 4)
+        px = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+        px = px.reshape(h, stride)[:, :row].reshape(h, w, ch)[
+            :, :, 2::-1
+        ]  # BGR(X) -> RGB, padding byte dropped
+        return px[::-1] if flip else px
+    # 8-bit paletted: color table of BGRX quads follows the DIB header
+    if hdr_size < 40 or 14 + hdr_size > len(b):
+        raise ValueError("BMP DIB header truncated")
+    clr_used = struct.unpack_from("<I", b, 46)[0]
+    n_pal = clr_used or 256
+    if n_pal > 256:
+        raise ValueError("BMP palette too large")
+    pal_off = 14 + hdr_size
+    pal_bytes = b[pal_off : pal_off + 4 * n_pal]
+    if len(pal_bytes) < 4 * n_pal:
+        raise ValueError("BMP palette truncated")
+    pal = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)[:, 2::-1]
+    if comp == 0:
+        stride = w + ((-w) % 4)
+        idx = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+        idx = idx.reshape(h, stride)[:, :w]
+    else:
+        # uncompressed paths are implicitly bounded by the buffer
+        # (frombuffer raises before allocating); RLE can legitimately
+        # expand, so cap the raster BEFORE the zeros/palette-expand
+        # allocations — a flipped height byte must not materialize a
+        # multi-GB array on a corrupt file (the GIF LZW lesson)
+        if w * h > (1 << 26):
+            raise ValueError("BMP RLE8 raster implausibly large")
+        idx = _bmp_rle8_decode(b[offset:], w, h)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("BMP palette index out of range")
+    px = pal[idx.reshape(-1)].reshape(h, w, 3)
     return px[::-1] if flip else px
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 payload -> (h, w) uint8 index raster in the file's
+    stored (bottom-up) row order; the caller applies the flip. Escape
+    pairs: (0,0) end-of-line, (0,1) end-of-data, (0,2) delta, (0,n>=3)
+    absolute run of n literal bytes padded to a word boundary. Every
+    iteration consumes >= 2 bytes (no stall) and every write is
+    bounds-checked (a corrupt stream raises ValueError, never writes
+    out of raster or spins)."""
+    import numpy as np
+
+    out = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("BMP RLE8 stream truncated")
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE8 run out of raster")
+            out[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 line count exceeds height")
+        elif val == 1:  # end of data
+            return out
+        elif val == 2:  # delta jump
+            if pos + 2 > n:
+                raise ValueError("BMP RLE8 delta truncated")
+            x, y = x + data[pos], y + data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta out of raster")
+        else:  # absolute mode: val literal bytes, word-aligned
+            end = pos + val + (val & 1)
+            if end > n:
+                raise ValueError("BMP RLE8 absolute run truncated")
+            if y >= h or x + val > w:
+                raise ValueError("BMP RLE8 absolute run out of raster")
+            out[y, x : x + val] = np.frombuffer(
+                data[pos : pos + val], np.uint8
+            )
+            x += val
+            pos = end
 
 
 def encode_ppm(arr) -> bytes:
@@ -749,13 +923,36 @@ def make_test_pixels(width: int, height: int, seed: int = 0):
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images — BMP for even ids, PPM for odd."""
+    actual decodable images cycling FIVE container variants by
+    ``i % 5`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    and RLE8 BMP — all carrying the SAME gradient pixels (the
+    gradient's red channel is a valid palette index: pal[r] =
+    (r, r+85, r+170) mod 256), so every pixel-stats oracle is
+    container-invariant by construction."""
+    import numpy as np
+
+    pal = np.stack(
+        [
+            np.arange(256) % 256,
+            (np.arange(256) + 85) % 256,
+            (np.arange(256) + 170) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
     rows = []
     for i in range(n):
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
         if real:
             px = make_test_pixels(w, h, seed=i)
-            content = encode_bmp(px) if i % 2 == 0 else encode_ppm(px)
+            k = i % 5
+            if k == 0:
+                content = encode_bmp(px)
+            elif k == 1:
+                content = encode_ppm(px)
+            elif k == 2:
+                content = encode_bmp32(px)
+            else:
+                content = encode_bmp8(px[..., 0], pal, rle=(k == 4))
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))

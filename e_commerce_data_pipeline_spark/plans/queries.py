@@ -5570,18 +5570,20 @@ def q116_session_paths(spark, sf_dir):
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+           CASE WHEN i % 5 = 1 THEN 'ppm' ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
-    "media table (deterministic gradient pixels, BMP for even ids / "
-    "PPM for odd) is ENCODED and then DECODED by the real pure-numpy "
-    "codecs through the Arrow mapInPandas kernel; the oracle "
-    "recomputes the expected (width, height, channels, format) from "
-    "the generator's closed form — so a bit-level bug in either "
-    "codec header path or the batch plumbing breaks the hash. "
-    "Pixels never leave the kernel; only scalar metadata crosses "
-    "back. operators/multimodal.py.",
+    "media table (deterministic gradient pixels, now cycling FIVE "
+    "container variants — 24-bit BMP / PPM / 32-bit BGRX BMP / 8-bit "
+    "paletted BMP / RLE8 BMP, the round-8 BMP gate retirements) is "
+    "ENCODED and then DECODED by the real pure-numpy codecs through "
+    "the Arrow mapInPandas kernel; the oracle recomputes the expected "
+    "(width, height, channels, format) from the generator's closed "
+    "form — so a bit-level bug in any container header path or the "
+    "batch plumbing breaks the hash. Pixels never leave the kernel; "
+    "only scalar metadata crosses back. operators/multimodal.py "
+    "decode_bmp / encode_bmp32 / encode_bmp8.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q117_multimodal_decode_meta(spark, sf_dir):
@@ -6801,14 +6803,16 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images are encoded (BMP/PPM), decoded by the real pure-numpy "
-    "codecs inside the Arrow kernel, and reduced to integer-exact "
-    "channel/luminance sums; the oracle regenerates the same pixels "
-    "from the generator's closed form in SQL, so any bug in codec "
-    "payload bytes (not just headers, which q117 covers) or in the "
-    "feature reduction breaks the hash. Complements q117/q118 by "
-    "verifying pixel VALUES through the full encode->decode->reduce "
-    "path.",
+    "images — encoded across FIVE containers (24/32-bit BMP, PPM, "
+    "paletted and RLE8 BMP) that all carry the SAME pixels — are "
+    "decoded by the real pure-numpy codecs inside the Arrow kernel "
+    "and reduced to integer-exact channel/luminance sums; the oracle "
+    "regenerates the pixels from the generator's closed form in ONE "
+    "container-invariant SQL rule, so any payload bug in ANY of the "
+    "five decode paths (BGRX padding, palette lookup, RLE absolute "
+    "runs) shifts a group and breaks the hash. Complements q117/q118 "
+    "by verifying pixel VALUES through the full "
+    "encode->decode->reduce path.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q139_image_feature_stats(spark, sf_dir):
@@ -9429,7 +9433,7 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        SELECT CASE WHEN i % 5 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
         UNION ALL

@@ -148,6 +148,51 @@ def test_wav_roundtrip_and_features(spark):
     assert feats[2]["rms"] is None  # corrupt -> nulls, not task failure
 
 
+def test_bmp_variant_family_roundtrip():
+    """Round-8 BMP gate retirements: 32-bit BGRX, 8-bit paletted, and
+    RLE8 all decode to the same RGB raster as their 24-bit sibling;
+    corrupt palettes/streams raise ValueError, never escape types."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+        encode_bmp32,
+        make_test_pixels,
+    )
+
+    px = make_test_pixels(19, 13, seed=5)
+    assert np.array_equal(decode_bmp(encode_bmp32(px)), px)
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) + 85) % 256,
+         (np.arange(256) + 170) % 256], axis=-1
+    ).astype(np.uint8)
+    idx = px[..., 0]  # the gradient's red channel IS a palette index
+    assert np.array_equal(decode_bmp(encode_bmp8(idx, pal)), px)
+    assert np.array_equal(decode_bmp(encode_bmp8(idx, pal, rle=True)), px)
+    # run-heavy + mixed singles exercise encoded-run AND absolute mode
+    small = np.array(
+        [[0, 0, 0, 0, 1, 2, 3, 3, 3, 3, 3, 4, 1, 2],
+         [1, 1, 1, 2, 2, 2, 2, 0, 4, 4, 4, 4, 4, 4]], np.uint8
+    )
+    spal = np.array(
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90], [1, 2, 3],
+         [200, 100, 50]], np.uint8
+    )
+    assert np.array_equal(
+        decode_bmp(encode_bmp8(small, spal, rle=True)), spal[small]
+    )
+    # palette index beyond clr_used -> loud, not a silent wrap
+    bad = bytearray(encode_bmp8(np.array([[4]], np.uint8), spal))
+    bad[46:50] = (2).to_bytes(4, "little")  # claim only 2 entries
+    with pytest.raises(ValueError, match="palette"):
+        decode_bmp(bytes(bad))
+    # truncated RLE stream -> loud
+    rle = encode_bmp8(small, spal, rle=True)
+    with pytest.raises(ValueError):
+        decode_bmp(rle[:-2])
+
+
 def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
     """Round-8 gate retirement: unsigned 8-bit PCM, 24-bit integer
     PCM, and IEEE float32 (format 3) all decode for real — dtype
@@ -1309,9 +1354,19 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         make_test_pixels16,
     )
 
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_bmp8,
+        encode_bmp32,
+    )
+
     px16 = make_test_pixels16(6, 5, seed=2)
+    pal8 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx8 = rng.randint(0, 256, (9, 11)).astype(np.uint8)
     streams = [
         (encode_bmp(img), decode_bmp),
+        (encode_bmp32(img), decode_bmp),
+        (encode_bmp8(idx8, pal8), decode_bmp),
+        (encode_bmp8(idx8, pal8, rle=True), decode_bmp),
         (encode_ppm(img), decode_ppm),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
