@@ -539,33 +539,72 @@ def encode_png_palette(
     )
 
 
-def encode_png16(arr16, filters=None, trns_key=None) -> bytes:
-    """(h, w, 3) uint16 RGB -> 16-bit truecolor PNG. PNG filters act
-    on BYTES with the pixel offset at 6 bytes, so the u16 plane is
-    serialized big-endian first and filtered at bpp = 6. ``trns_key``
-    names one (r, g, b) 16-bit triple fully transparent (spec 11.3.2:
-    three big-endian u16 samples)."""
+def _encode_png16_any(a, color_type: int, filters, trns: bytes) -> bytes:
+    """(h, w, C) uint16 samples -> 16-bit PNG of ``color_type``. PNG
+    filters act on BYTES with the pixel offset at 2*C bytes, so the
+    u16 plane is serialized big-endian first and filtered there."""
     import numpy as np
     import zlib
 
-    a = np.asarray(arr16, dtype=np.uint16)
     h, w, c = a.shape
-    assert c == 3, "16-bit PNG encoder expects RGB"
-    by = np.ascontiguousarray(a.astype(">u2")).view(np.uint8).reshape(h, w * 6)
-    raw = _png_filter_scanlines(by, w, 6, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
-    trns = (
-        _png_chunk(b"tRNS", struct.pack(">HHH", *trns_key))
-        if trns_key is not None
-        else b""
+    by = (
+        np.ascontiguousarray(a.astype(">u2"))
+        .view(np.uint8)
+        .reshape(h, w * 2 * c)
     )
+    raw = _png_filter_scanlines(by, w, 2 * c, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + trns
+        + (_png_chunk(b"tRNS", trns) if trns else b"")
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png16(arr16, filters=None, trns_key=None) -> bytes:
+    """(h, w, 3) uint16 RGB -> 16-bit truecolor PNG. ``trns_key``
+    names one (r, g, b) 16-bit triple fully transparent (spec 11.3.2:
+    three big-endian u16 samples)."""
+    import numpy as np
+
+    a = np.asarray(arr16, dtype=np.uint16)
+    assert a.shape[-1] == 3, "16-bit PNG encoder expects RGB"
+    trns = struct.pack(">HHH", *trns_key) if trns_key is not None else b""
+    return _encode_png16_any(a, 2, filters, trns)
+
+
+def encode_png16_gray(arr2d, filters=None, trns_key=None) -> bytes:
+    """(h, w) uint16 samples -> 16-bit grayscale PNG (color type 0);
+    ``trns_key`` names one 16-bit sample fully transparent."""
+    import numpy as np
+
+    a = np.asarray(arr2d, dtype=np.uint16)[..., None]
+    trns = struct.pack(">H", trns_key) if trns_key is not None else b""
+    return _encode_png16_any(a, 0, filters, trns)
+
+
+def encode_png16_graya(gray2d, alpha2d, filters=None) -> bytes:
+    """(h, w) uint16 samples + alpha -> 16-bit gray+alpha PNG (color
+    type 4)."""
+    import numpy as np
+
+    a = np.stack(
+        [np.asarray(gray2d, np.uint16), np.asarray(alpha2d, np.uint16)],
+        axis=-1,
+    )
+    return _encode_png16_any(a, 4, filters, b"")
+
+
+def encode_png16_rgba(arr, filters=None) -> bytes:
+    """(h, w, 4) uint16 RGBA -> 16-bit truecolor+alpha PNG (color
+    type 6)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint16)
+    assert a.shape[-1] == 4, "16-bit RGBA encoder expects 4 channels"
+    return _encode_png16_any(a, 6, filters, b"")
 
 
 def encode_png_gray(arr2d, depth: int = 8, filters=None, trns_key=None) -> bytes:
@@ -731,7 +770,7 @@ def decode_png(b: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     ok = channels is not None and (
         depth == 8
-        or (depth == 16 and color == 2)
+        or (depth == 16 and color in (0, 2, 4, 6))
         or (depth in (1, 2, 4) and color in (0, 3) and inter == 0)
     )
     if not ok or comp != 0 or filt != 0 or inter not in (0, 1):
@@ -778,6 +817,38 @@ def decode_png(b: bytes):
             plane[y0::dy, x0::dx] = sub.reshape(hp, wp, fbpp)
         if pos != raw.size:
             raise ValueError("PNG Adam7 payload size mismatch")
+    if depth == 16:
+        # recombine big-endian byte pairs -> uint16 sample planes
+        # (shared by all four 16-bit color types; round-8 completion
+        # of the high-depth family: gray, gray+alpha, RGBA)
+        by16 = plane.astype(np.uint8).reshape(h, w, channels, 2)
+        u16 = (
+            by16[..., 0].astype(np.uint16) * 256
+            + by16[..., 1].astype(np.uint16)
+        )
+        if color == 0:
+            g16 = u16[..., 0]
+            rgb16 = np.stack([g16, g16, g16], axis=-1)
+            if trns is None:
+                return rgb16
+            (key,) = struct.unpack(">H", trns)  # full 16-bit sample key
+            alpha16 = np.where(g16 == key, 0, 65535).astype(np.uint16)
+            return np.concatenate([rgb16, alpha16[..., None]], axis=-1)
+        if color == 4:
+            g16 = u16[..., 0]
+            return np.stack([g16, g16, g16, u16[..., 1]], axis=-1)
+        if color == 6:
+            return u16
+        # color == 2 (truecolor)
+        if trns is None:
+            return u16
+        # 16-bit color key: three big-endian u16 samples, compared
+        # at full sample depth; alpha spans the same 16-bit range
+        key16 = np.array(struct.unpack(">HHH", trns), dtype=np.uint16)
+        alpha16 = np.where(
+            (u16 == key16).all(axis=-1), 0, 65535
+        ).astype(np.uint16)
+        return np.concatenate([u16, alpha16[..., None]], axis=-1)
     if color == 0:  # grayscale -> RGB (sub-byte samples scale to 8-bit)
         sample = plane[..., 0]
         scale = {8: 1, 4: 17, 2: 85, 1: 255}[depth]
@@ -794,22 +865,6 @@ def decode_png(b: bytes):
     if color == 6:  # truecolor + alpha
         return plane.astype(np.uint8)
     if color == 2:
-        if depth == 16:
-            # recombine big-endian byte pairs -> (h, w, 3) uint16
-            by = plane.astype(np.uint8).reshape(h, w, 3, 2)
-            rgb16 = (
-                by[..., 0].astype(np.uint16) * 256
-                + by[..., 1].astype(np.uint16)
-            )
-            if trns is None:
-                return rgb16
-            # 16-bit color key: three big-endian u16 samples, compared
-            # at full sample depth; alpha spans the same 16-bit range
-            key16 = np.array(struct.unpack(">HHH", trns), dtype=np.uint16)
-            alpha16 = np.where(
-                (rgb16 == key16).all(axis=-1), 0, 65535
-            ).astype(np.uint16)
-            return np.concatenate([rgb16, alpha16[..., None]], axis=-1)
         rgb = plane.astype(np.uint8)
         if trns is None:
             return rgb
@@ -1024,20 +1079,38 @@ def make_test_pixels16(width: int, height: int, seed: int = 0):
 
 
 def synthetic_png16_table(spark, n: int = 36) -> DataFrame:
-    """Deterministic 16-bit truecolor PNGs (filter cycle 0..4 at
-    bpp = 6) with the q176 closed-form oracle. Odd media ids carry a
-    tRNS color key equal to the gradient's (0, 0) triple — for these
-    sizes ``(x*257 + y*509) mod 2^16 == 0`` only at the origin, so
-    exactly ONE pixel per keyed image is transparent (the closed form
-    the oracle replays)."""
+    """Deterministic 16-bit PNGs cycling ALL FOUR high-depth color
+    types by ``i % 6`` (q176's oracle regenerates every pixel): plain
+    truecolor, origin-keyed truecolor, plain grayscale, origin-keyed
+    grayscale, gray+alpha (alpha = (v + 12345) mod 2^16), and RGBA
+    (alpha = (v + 23456) mod 2^16) — v is the gradient base sample.
+    For these sizes ``(x*257 + y*509) mod 2^16 == 0`` only at the
+    origin, so each keyed image has exactly ONE transparent pixel.
+    Width varies by ``i div 6`` so every variant sees every size."""
+    import numpy as np
+
     rows = []
     for i in range(n):
-        w, h = 14 + (i % 6) * 4, 10 + (i % 4) * 4
+        w, h = 14 + ((i // 6) % 6) * 4, 10 + (i % 4) * 4
         px = make_test_pixels16(w, h, seed=i * 7 + 1)
-        key = tuple(int(v) for v in px[0, 0]) if i % 2 == 1 else None
+        v = px[..., 0]
+        k = i % 6
+        if k == 0:
+            content = encode_png16(px)
+        elif k == 1:
+            content = encode_png16(px, trns_key=tuple(int(c) for c in px[0, 0]))
+        elif k == 2:
+            content = encode_png16_gray(v)
+        elif k == 3:
+            content = encode_png16_gray(v, trns_key=int(v[0, 0]))
+        elif k == 4:
+            a = ((v.astype(np.int64) + 12345) % 65536).astype(np.uint16)
+            content = encode_png16_graya(v, a)
+        else:
+            a = ((v.astype(np.int64) + 23456) % 65536).astype(np.uint16)
+            content = encode_png16_rgba(np.concatenate([px, a[..., None]], axis=-1))
         rows.append(
-            (i, "image", encode_png16(px, trns_key=key), None,
-             f"mem://media/{i}.16.png")
+            (i, "image", content, None, f"mem://media/{i}.16.png")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

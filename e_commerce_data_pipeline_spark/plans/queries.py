@@ -9371,20 +9371,30 @@ def q175_seasonal_anomalies(spark, sf_dir):
     "q176_png16_decode_stats",
     """
     WITH m AS (
-        SELECT i, 14 + (i % 6) * 4 AS w, 10 + (i % 4) * 4 AS h,
-               i * 7 + 1 AS seed
+        SELECT i, i % 6 AS k, 14 + ((i // 6) % 6) * 4 AS w,
+               10 + (i % 4) * 4 AS h, i * 7 + 1 AS seed
         FROM range(36) t(i)
     ),
-    ys AS (SELECT i, w, seed, unnest(range(h)) AS y FROM m),
-    px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
-    ch AS (
-        SELECT i,
-               (x * 257 + y * 509 + seed * 65521) % 65536 AS r,
-               ((x * 257 + y * 509 + seed * 65521) % 65536 + 21845)
-                   % 65536 AS g,
-               ((x * 257 + y * 509 + seed * 65521) % 65536 + 43690)
-                   % 65536 AS b
+    ys AS (SELECT i, k, w, seed, unnest(range(h)) AS y FROM m),
+    px AS (SELECT i, k, seed, y, unnest(range(w)) AS x FROM ys),
+    base AS (
+        SELECT i, k, x, y,
+               (x * 257 + y * 509 + seed * 65521) % 65536 AS v
         FROM px
+    ),
+    ch AS (
+        SELECT i, k, v AS r,
+               CASE WHEN k IN (2, 3, 4) THEN v
+                    ELSE (v + 21845) % 65536 END AS g,
+               CASE WHEN k IN (2, 3, 4) THEN v
+                    ELSE (v + 43690) % 65536 END AS b,
+               CASE WHEN k IN (1, 3) THEN
+                        CASE WHEN (x * 257 + y * 509) % 65536 = 0
+                             THEN 0 ELSE 65535 END
+                    WHEN k = 4 THEN (v + 12345) % 65536
+                    WHEN k = 5 THEN (v + 23456) % 65536
+               END AS a
+        FROM base
     )
     SELECT i AS media_id,
            CAST(COUNT(*) AS BIGINT) AS n_px,
@@ -9394,28 +9404,29 @@ def q175_seasonal_anomalies(spark, sf_dir):
            CAST(MAX(r) AS BIGINT) AS max_r,
            CAST(MAX(g) AS BIGINT) AS max_g,
            CAST(MAX(b) AS BIGINT) AS max_b,
-           CAST(CASE WHEN i % 2 = 1
-                THEN 65535 * (COUNT(*) - 1) END AS BIGINT) AS sum_a,
-           CAST(CASE WHEN i % 2 = 1 THEN 1 END AS BIGINT) AS n_transp
-    FROM ch GROUP BY i
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(CASE WHEN k IN (0, 2) THEN NULL
+                ELSE SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+                END AS BIGINT) AS n_transp
+    FROM ch GROUP BY i, k
     """,
-    "16-bit (high-depth) PNG decode, driver-verified at VALUE level "
-    "— scientific/medical-imaging depth the 8-bit corpora can't "
-    "represent: PNG filters operate on BYTES with the pixel offset "
-    "at SIX bytes, so Sub/Average/Paeth recurrences here run at a "
-    "stride no other corpus exercises, and the decoder recombines "
-    "big-endian byte pairs into uint16 planes. The closed-form "
-    "gradient sweeps the full 0..65535 range (max_* columns pin the "
-    "dynamic range — an 8-bit truncation bug caps them at 255 and "
-    "fails loudly). Odd ids add a 16-bit tRNS color key (round-8 "
-    "gate retirement: the full-sample-depth key compare, spec "
-    "11.3.2) equal to the origin pixel — the gradient hits the key "
-    "exactly once per image, so sum_a = 65535*(n_px-1) and n_transp "
-    "= 1 are closed forms, and even/opaque images pin the kernel's "
+    "16-bit (high-depth) PNG decode across ALL FOUR high-depth color "
+    "types — scientific/medical-imaging depth the 8-bit corpora "
+    "can't represent: PNG filters operate on BYTES with the pixel "
+    "offset at 2/4/6/8 bytes by color type, so Sub/Average/Paeth "
+    "recurrences run at strides no other corpus exercises, and the "
+    "decoder recombines big-endian byte pairs into uint16 planes. "
+    "The corpus cycles plain/origin-keyed truecolor, plain/origin-"
+    "keyed GRAYSCALE (round-8 family completion), gray+alpha, and "
+    "RGBA by i mod 6; the gradient sweeps the full 0..65535 range "
+    "(max_* pins dynamic range — an 8-bit truncation bug caps at 255 "
+    "and fails loudly), keyed images hit the full-sample-depth tRNS "
+    "key (spec 11.3.2) exactly once, and the 16-bit alpha channels "
+    "carry their own closed forms. Opaque variants pin the kernel's "
     "null alpha columns (wrong channel count fails loudly). The "
     "high-depth stats kernel carries channel moments only: the "
     "8-bit kernel's squared micro-luminance would overflow int64 at "
-    "this range. multimodal.encode_png16 / decode_png / "
+    "this range. multimodal.encode_png16* / decode_png / "
     "image16_exact_stats.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )

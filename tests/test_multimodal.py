@@ -713,6 +713,36 @@ def test_png16_roundtrip_and_depth_gate_semantics():
         decode_png(bytes(b))
 
 
+def test_png16_family_gray_graya_rgba_roundtrip():
+    """Round-8 high-depth family completion: 16-bit grayscale (plain
+    and color-keyed), gray+alpha, and RGBA all decode with exact
+    uint16 samples; strides 2/4/8 exercise the byte-level filters."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png16_gray,
+        encode_png16_graya,
+        encode_png16_rgba,
+        make_test_pixels16,
+    )
+
+    px = make_test_pixels16(14, 10, seed=8)
+    g = px[..., 0]
+    d = decode_png(encode_png16_gray(g))
+    assert d.dtype == np.uint16 and np.array_equal(d, np.stack([g, g, g], -1))
+    dk = decode_png(encode_png16_gray(g, trns_key=int(g[0, 0])))
+    assert dk.shape == (10, 14, 4)
+    assert int((dk[..., 3] == 0).sum()) == 1 and dk[0, 0, 3] == 0
+    # a key off by one in the LOW byte must not match
+    doff = decode_png(encode_png16_gray(g, trns_key=int(g[0, 0]) ^ 1))
+    assert int((doff[..., 3] == 0).sum()) == 0
+    a = ((g.astype(np.int64) + 12345) % 65536).astype(np.uint16)
+    ga = decode_png(encode_png16_graya(g, a))
+    assert np.array_equal(ga[..., 0], g) and np.array_equal(ga[..., 3], a)
+    a2 = ((g.astype(np.int64) + 23456) % 65536).astype(np.uint16)
+    r4 = np.concatenate([px, a2[..., None]], axis=-1)
+    assert np.array_equal(decode_png(encode_png16_rgba(r4)), r4)
+
+
 def test_png_trns_truecolor_and_palette_rgba():
     """tRNS transparency (both 8-bit layouts): truecolor key compare,
     per-palette-entry alpha, and the 16-bit gate staying honest."""
@@ -1350,13 +1380,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     img8 = rng.randint(0, 256, (8, 8)).astype(np.uint8)
     samples = rng.randint(-2000, 2000, 200).astype(np.int16)
     from e_commerce_data_pipeline_spark.operators.multimodal import (
-        encode_png16,
-        make_test_pixels16,
-    )
-
-    from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_bmp8,
         encode_bmp32,
+        encode_png16,
+        encode_png16_gray,
+        encode_png16_rgba,
+        make_test_pixels16,
     )
 
     px16 = make_test_pixels16(6, 5, seed=2)
@@ -1371,6 +1400,14 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
+        (encode_png16_gray(px16[..., 0], trns_key=int(px16[0, 0, 0])),
+         decode_png),
+        (encode_png16_rgba(
+            np.concatenate(
+                [px16, (px16[..., :1].astype(np.int64) % 65536).astype(np.uint16)],
+                axis=-1,
+            )
+        ), decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
         (encode_wav(samples), decode_wav),
         (encode_wav_pcm8(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
