@@ -124,26 +124,43 @@ def encode_bmp32(arr) -> bytes:
 
 def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
     """(h, w) uint8 palette indices + (n<=256, 3) uint8 RGB palette ->
-    8-bit paletted BMP, uncompressed (BI_RGB) or run-length encoded
-    (BI_RLE8) — runs >= 3 as encoded runs, shorter stretches batched
-    into absolute chunks, EOL/EOD escapes per spec."""
+    8-bit paletted BMP, uncompressed (BI_RGB) or BI_RLE8."""
+    return encode_bmp_paletted(idx, pal, bpp=8, rle=rle)
+
+
+def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False) -> bytes:
+    """(h, w) palette indices (< 2^bpp) + (n, 3) uint8 RGB palette ->
+    paletted BMP at bpp 1/4/8. Uncompressed rows pack samples
+    MSB-first and pad to word boundaries; ``rle`` selects BI_RLE8
+    (bpp 8) or BI_RLE4 (bpp 4) — runs >= 3 as encoded runs (RLE4
+    duplicates the nibble), shorter stretches batched into absolute
+    chunks, EOL/EOD escapes per spec."""
     import numpy as np
 
     a = np.asarray(idx, dtype=np.uint8)
     p = np.asarray(pal, dtype=np.uint8)
     h, w = a.shape
     n_pal = p.shape[0]
-    assert p.ndim == 2 and p.shape[1] == 3 and n_pal <= 256
+    assert bpp in (1, 4, 8)
+    assert not (rle and bpp == 1), "RLE needs bpp 4 or 8"
+    assert p.ndim == 2 and p.shape[1] == 3 and n_pal <= (1 << bpp)
     assert int(a.max(initial=0)) < n_pal, "index exceeds palette"
     quads = np.zeros((n_pal, 4), np.uint8)
     quads[:, :3] = p[:, ::-1]  # RGB -> BGR, reserved byte 0
     if not rle:
-        stride = w + ((-w) % 4)
+        if bpp == 8:
+            packed = a
+        else:
+            bits = np.unpackbits(a[:, :, None], axis=2)[:, :, 8 - bpp :]
+            packed = np.packbits(bits.reshape(h, w * bpp), axis=1)
+        row_bytes = packed.shape[1]
+        stride = row_bytes + ((-row_bytes) % 4)
         rows = np.zeros((h, stride), np.uint8)
-        rows[:, :w] = a
+        rows[:, :row_bytes] = packed
         body = rows[::-1].tobytes()
         comp = 0
     else:
+        nibble = bpp == 4
         out = bytearray()
         for row in a[::-1]:  # stored bottom-up
             x = 0
@@ -152,11 +169,12 @@ def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
                 while x + run < w and row[x + run] == row[x] and run < 255:
                     run += 1
                 if run >= 3:
-                    out += bytes((run, int(row[x])))
+                    v = int(row[x])
+                    out += bytes((run, (v << 4) | v if nibble else v))
                     x += run
                     continue
                 start = x
-                while x < w and x - start < 255:
+                while x < w and x - start < 254:
                     r2 = 1
                     while (
                         x + r2 < w and row[x + r2] == row[x] and r2 < 255
@@ -167,33 +185,72 @@ def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
                     x += r2
                 cnt = x - start
                 if cnt >= 3:
-                    out += bytes((0, cnt)) + row[start:x].tobytes()
-                    if cnt & 1:
-                        out += b"\x00"
+                    out += bytes((0, cnt))
+                    if nibble:
+                        lit = row[start:x]
+                        if cnt & 1:
+                            lit = np.concatenate(
+                                [lit, np.zeros(1, np.uint8)]
+                            )
+                        by = (lit[0::2] << 4) | lit[1::2]
+                        out += by.astype(np.uint8).tobytes()
+                        if by.size & 1:
+                            out += b"\x00"
+                    else:
+                        out += row[start:x].tobytes()
+                        if cnt & 1:
+                            out += b"\x00"
                 else:
                     for j in range(start, x):
-                        out += bytes((1, int(row[j])))
+                        v = int(row[j])
+                        out += bytes((1, (v << 4) if nibble else v))
             out += b"\x00\x00"  # end of line
         out += b"\x00\x01"  # end of data
         body = bytes(out)
-        comp = 1
+        comp = 2 if nibble else 1
     pal_bytes = quads.tobytes()
     offset = 54 + len(pal_bytes)
     size = offset + len(body)
     header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(body), 2835, 2835,
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835,
         n_pal, 0,
     )
     return bytes(header) + pal_bytes + body
 
 
+def encode_bmp16_555(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 16-bit X1R5G5B5 BI_RGB BMP (channels
+    quantized >> 3; the decoder's bit-replication expansion maps the
+    quantized values back deterministically)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "BMP16 encoder expects RGB"
+    five = (a >> 3).astype(np.uint16)
+    u = (five[..., 0] << 10) | (five[..., 1] << 5) | five[..., 2]
+    row = w * 2
+    stride = row + ((-row) % 4)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :row] = (
+        np.ascontiguousarray(u.astype("<u2")).view(np.uint8).reshape(h, row)
+    )
+    body = rows[::-1].tobytes()
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header + body)
+
+
 def decode_bmp(b: bytes):
     """BMP bytes -> (h, w, 3) uint8 RGB array. Decodes the common
-    BITMAPINFOHEADER family (round-8 gate retirements): 24-bit and
-    32-bit BI_RGB (BGRX — the fourth byte is padding per the original
-    spec, dropped), and 8-bit paletted both uncompressed and BI_RLE8
-    (runs, absolute mode, EOL/EOD/delta escapes). Remaining
-    depths/compressions (1/4-bit packed, 16-bit bitfields, RLE4)
+    BITMAPINFOHEADER family (round-8 gate retirements): 24/32-bit
+    BI_RGB (BGRX — the fourth byte is padding per the original spec,
+    dropped), 16-bit BI_RGB (X1R5G5B5, samples expanded
+    ``(v << 3) | (v >> 2)``), and 1/4/8-bit paletted including
+    BI_RLE8/BI_RLE4 (runs, absolute mode, EOL/EOD/delta escapes).
+    BI_BITFIELDS custom masks and the remaining registry entries
     gate."""
     import numpy as np
 
@@ -209,8 +266,11 @@ def decode_bmp(b: bytes):
         # =11-13) — corrupt header, not a variant; the honest gate
         # below is reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
-    supported = (bpp in (24, 32) and comp == 0) or (
-        bpp == 8 and comp in (0, 1)
+    supported = (
+        (bpp in (16, 24, 32) and comp == 0)
+        or (bpp == 8 and comp in (0, 1))
+        or (bpp == 4 and comp in (0, 2))
+        or (bpp == 1 and comp == 0)
     )
     if not supported:
         require_codec(f"BMP bpp={bpp} compression={comp}")
@@ -227,12 +287,26 @@ def decode_bmp(b: bytes):
             :, :, 2::-1
         ]  # BGR(X) -> RGB, padding byte dropped
         return px[::-1] if flip else px
-    # 8-bit paletted: color table of BGRX quads follows the DIB header
+    if bpp == 16:
+        # X1R5G5B5 little-endian (the BI_RGB default); 5-bit samples
+        # expand by bit replication, the convention that maps 0->0 and
+        # 31->255 exactly
+        row = w * 2
+        stride = row + ((-row) % 4)
+        raw = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+        v = raw.reshape(h, stride)[:, :row].reshape(h, w, 2)
+        u = v[..., 0].astype(np.uint16) | (v[..., 1].astype(np.uint16) << 8)
+        five = np.stack(
+            [(u >> 10) & 31, (u >> 5) & 31, u & 31], axis=-1
+        ).astype(np.uint8)
+        px = ((five << 3) | (five >> 2)).astype(np.uint8)
+        return px[::-1] if flip else px
+    # paletted depths: color table of BGRX quads follows the DIB header
     if hdr_size < 40 or 14 + hdr_size > len(b):
         raise ValueError("BMP DIB header truncated")
     clr_used = struct.unpack_from("<I", b, 46)[0]
-    n_pal = clr_used or 256
-    if n_pal > 256:
+    n_pal = clr_used or (1 << bpp)
+    if n_pal > (1 << bpp):
         raise ValueError("BMP palette too large")
     pal_off = 14 + hdr_size
     pal_bytes = b[pal_off : pal_off + 4 * n_pal]
@@ -240,9 +314,21 @@ def decode_bmp(b: bytes):
         raise ValueError("BMP palette truncated")
     pal = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)[:, 2::-1]
     if comp == 0:
-        stride = w + ((-w) % 4)
-        idx = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
-        idx = idx.reshape(h, stride)[:, :w]
+        row_bytes = (w * bpp + 7) // 8
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+        rows = rows.reshape(h, stride)[:, :row_bytes]
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            # MSB-first packed samples (1 or 4 bits), final-byte padding
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 4:
+                nib = bits.reshape(h, row_bytes * 2, 4)
+                weights = np.array([8, 4, 2, 1], np.uint8)
+                idx = (nib * weights).sum(axis=-1).astype(np.uint8)[:, :w]
+            else:
+                idx = bits[:, :w]
     else:
         # uncompressed paths are implicitly bounded by the buffer
         # (frombuffer raises before allocating); RLE can legitimately
@@ -250,22 +336,24 @@ def decode_bmp(b: bytes):
         # allocations — a flipped height byte must not materialize a
         # multi-GB array on a corrupt file (the GIF LZW lesson)
         if w * h > (1 << 26):
-            raise ValueError("BMP RLE8 raster implausibly large")
-        idx = _bmp_rle8_decode(b[offset:], w, h)
+            raise ValueError("BMP RLE raster implausibly large")
+        idx = _bmp_rle_decode(b[offset:], w, h, nibble=(bpp == 4))
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("BMP palette index out of range")
     px = pal[idx.reshape(-1)].reshape(h, w, 3)
     return px[::-1] if flip else px
 
 
-def _bmp_rle8_decode(data: bytes, w: int, h: int):
-    """BI_RLE8 payload -> (h, w) uint8 index raster in the file's
-    stored (bottom-up) row order; the caller applies the flip. Escape
-    pairs: (0,0) end-of-line, (0,1) end-of-data, (0,2) delta, (0,n>=3)
-    absolute run of n literal bytes padded to a word boundary. Every
-    iteration consumes >= 2 bytes (no stall) and every write is
-    bounds-checked (a corrupt stream raises ValueError, never writes
-    out of raster or spins)."""
+def _bmp_rle_decode(data: bytes, w: int, h: int, nibble: bool = False):
+    """BI_RLE8 / BI_RLE4 payload -> (h, w) uint8 index raster in the
+    file's stored (bottom-up) row order; the caller applies the flip.
+    Escape pairs: (0,0) end-of-line, (0,1) end-of-data, (0,2) delta,
+    (0,n>=3) absolute run of n literal samples padded to a word
+    boundary. ``nibble`` selects RLE4: encoded runs alternate the
+    value byte's high/low nibbles; absolute samples pack two per
+    byte, high first. Every iteration consumes >= 2 bytes (no stall)
+    and every write is bounds-checked (a corrupt stream raises
+    ValueError, never writes out of raster or spins)."""
     import numpy as np
 
     out = np.zeros((h, w), np.uint8)
@@ -273,36 +361,46 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int):
     n = len(data)
     while True:
         if pos + 2 > n:
-            raise ValueError("BMP RLE8 stream truncated")
+            raise ValueError("BMP RLE stream truncated")
         cnt, val = data[pos], data[pos + 1]
         pos += 2
         if cnt > 0:  # encoded run
             if y >= h or x + cnt > w:
-                raise ValueError("BMP RLE8 run out of raster")
-            out[y, x : x + cnt] = val
+                raise ValueError("BMP RLE run out of raster")
+            if nibble:
+                pair = np.array([val >> 4, val & 0x0F], np.uint8)
+                out[y, x : x + cnt] = np.tile(pair, (cnt + 1) // 2)[:cnt]
+            else:
+                out[y, x : x + cnt] = val
             x += cnt
         elif val == 0:  # end of line
             x, y = 0, y + 1
             if y > h:
-                raise ValueError("BMP RLE8 line count exceeds height")
+                raise ValueError("BMP RLE line count exceeds height")
         elif val == 1:  # end of data
             return out
         elif val == 2:  # delta jump
             if pos + 2 > n:
-                raise ValueError("BMP RLE8 delta truncated")
+                raise ValueError("BMP RLE delta truncated")
             x, y = x + data[pos], y + data[pos + 1]
             pos += 2
             if x > w or y > h:
-                raise ValueError("BMP RLE8 delta out of raster")
-        else:  # absolute mode: val literal bytes, word-aligned
-            end = pos + val + (val & 1)
+                raise ValueError("BMP RLE delta out of raster")
+        else:  # absolute mode: val literal samples, word-aligned
+            nbytes = (val + 1) // 2 if nibble else val
+            end = pos + nbytes + (nbytes & 1)
             if end > n:
-                raise ValueError("BMP RLE8 absolute run truncated")
+                raise ValueError("BMP RLE absolute run truncated")
             if y >= h or x + val > w:
-                raise ValueError("BMP RLE8 absolute run out of raster")
-            out[y, x : x + val] = np.frombuffer(
-                data[pos : pos + val], np.uint8
-            )
+                raise ValueError("BMP RLE absolute run out of raster")
+            lit = np.frombuffer(data[pos : pos + nbytes], np.uint8)
+            if nibble:
+                nibs = np.empty(nbytes * 2, np.uint8)
+                nibs[0::2] = lit >> 4
+                nibs[1::2] = lit & 0x0F
+                out[y, x : x + val] = nibs[:val]
+            else:
+                out[y, x : x + val] = lit
             x += val
             pos = end
 
@@ -975,39 +1073,60 @@ def make_test_pixels(width: int, height: int, seed: int = 0):
     )
 
 
+def _media_palette(n_entries: int, unit: int):
+    """Quantized-gradient palette: entry j = (j*unit, j*unit+85,
+    j*unit+170) mod 256 — index base // unit reproduces the gradient
+    structure at any palette size, so pixel oracles stay closed-form."""
+    import numpy as np
+
+    j = np.arange(n_entries) * unit
+    return np.stack([j % 256, (j + 85) % 256, (j + 170) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images cycling FIVE container variants by
-    ``i % 5`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
-    and RLE8 BMP — all carrying the SAME gradient pixels (the
-    gradient's red channel is a valid palette index: pal[r] =
-    (r, r+85, r+170) mod 256), so every pixel-stats oracle is
-    container-invariant by construction."""
+    actual decodable images cycling NINE container variants by
+    ``i % 9`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    RLE8 BMP, 4-bit BMP (base // 17 palette), 1-bit BMP (base // 128
+    palette), RLE4 BMP, and 16-bit X1R5G5B5 BMP. The full-depth
+    variants carry the SAME gradient pixels; the quantizing variants
+    (4/1/16-bit) carry deterministic quantizations of it, so every
+    pixel-stats oracle stays closed-form per variant."""
     import numpy as np
 
-    pal = np.stack(
-        [
-            np.arange(256) % 256,
-            (np.arange(256) + 85) % 256,
-            (np.arange(256) + 170) % 256,
-        ],
-        axis=-1,
-    ).astype(np.uint8)
+    pal256 = _media_palette(256, 1)
+    pal16 = _media_palette(16, 17)
+    pal2 = _media_palette(2, 255)
     rows = []
     for i in range(n):
         w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 4
         if real:
             px = make_test_pixels(w, h, seed=i)
-            k = i % 5
+            base = px[..., 0]
+            k = i % 9
             if k == 0:
                 content = encode_bmp(px)
             elif k == 1:
                 content = encode_ppm(px)
             elif k == 2:
                 content = encode_bmp32(px)
+            elif k == 3:
+                content = encode_bmp8(base, pal256)
+            elif k == 4:
+                content = encode_bmp8(base, pal256, rle=True)
+            elif k == 5:
+                content = encode_bmp_paletted(base // 17, pal16, bpp=4)
+            elif k == 6:
+                content = encode_bmp_paletted(base // 128, pal2, bpp=1)
+            elif k == 7:
+                content = encode_bmp_paletted(
+                    base // 17, pal16, bpp=4, rle=True
+                )
             else:
-                content = encode_bmp8(px[..., 0], pal, rle=(k == 4))
+                content = encode_bmp16_555(px)
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))

@@ -5563,6 +5563,37 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
+# Shared closed form for synthetic_media_table's NINE container
+# variants (k = i % 9): full-depth variants carry the gradient
+# unchanged; 4-bit/1-bit palettes quantize the base sample (// 17,
+# // 128) BEFORE the channel offsets, and 16-bit X1R5G5B5 quantizes
+# each 8-bit CHANNEL to 5 bits with bit-replication expansion
+# ((c//8)*8 + (c//8)//4). Used by the q139/q143 pixel oracles.
+def _media_variant_rgb(base: str) -> tuple[str, str, str]:
+    rb = (
+        f"CASE WHEN k IN (5, 7) THEN (({base}) // 17) * 17 "
+        f"WHEN k = 6 THEN (({base}) // 128) * 255 "
+        f"ELSE ({base}) END"
+    )
+
+    def f555(c: str) -> str:
+        return f"((({c}) // 8) * 8 + (({c}) // 8) // 4)"
+
+    r = f"CASE WHEN k = 8 THEN {f555(base)} ELSE {rb} END"
+    g = (
+        f"CASE WHEN k = 8 THEN {f555(f'(({base}) + 85) % 256')} "
+        f"ELSE (({rb}) + 85) % 256 END"
+    )
+    b = (
+        f"CASE WHEN k = 8 THEN {f555(f'(({base}) + 170) % 256')} "
+        f"ELSE (({rb}) + 170) % 256 END"
+    )
+    return r, g, b
+
+
+_Q139_R, _Q139_G, _Q139_B = _media_variant_rgb("base")
+
+
 @_register(
     "q117_multimodal_decode_meta",
     """
@@ -5570,20 +5601,22 @@ def q116_session_paths(spark, sf_dir):
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 5 = 1 THEN 'ppm' ELSE 'bmp' END AS format
+           CASE WHEN i % 9 = 1 THEN 'ppm' ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
-    "media table (deterministic gradient pixels, now cycling FIVE "
-    "container variants — 24-bit BMP / PPM / 32-bit BGRX BMP / 8-bit "
-    "paletted BMP / RLE8 BMP, the round-8 BMP gate retirements) is "
-    "ENCODED and then DECODED by the real pure-numpy codecs through "
-    "the Arrow mapInPandas kernel; the oracle recomputes the expected "
+    "media table (deterministic gradient pixels, now cycling NINE "
+    "container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit paletted "
+    "BMP, RLE8 and RLE4 BMP: the round-8 BMP gate retirements, "
+    "closing the whole common BITMAPINFOHEADER surface) is ENCODED "
+    "and then DECODED by the real pure-numpy codecs through the "
+    "Arrow mapInPandas kernel; the oracle recomputes the expected "
     "(width, height, channels, format) from the generator's closed "
     "form — so a bit-level bug in any container header path or the "
     "batch plumbing breaks the hash. Pixels never leave the kernel; "
     "only scalar metadata crosses back. operators/multimodal.py "
-    "decode_bmp / encode_bmp32 / encode_bmp8.",
+    "decode_bmp / encode_bmp32 / encode_bmp_paletted / "
+    "encode_bmp16_555.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q117_multimodal_decode_meta(spark, sf_dir):
@@ -6775,21 +6808,19 @@ def q138_copurchase_triangles(spark, sf_dir):
 
 @_register(
     "q139_image_feature_stats",
-    """
+    f"""
     WITH m AS (
-        SELECT i, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 9 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
-    ys AS (SELECT i, w, unnest(range(h)) AS y FROM m),
+    ys AS (SELECT i, k, w, unnest(range(h)) AS y FROM m),
     px AS (
-        SELECT i, y, unnest(range(w)) AS x FROM ys
+        SELECT i, k, y, unnest(range(w)) AS x FROM ys
     ),
+    bs AS (SELECT i, k, (x + y + i) % 256 AS base FROM px),
     ch AS (
-        SELECT i,
-               (x + y + i) % 256 AS r,
-               ((x + y + i) % 256 + 85) % 256 AS g,
-               ((x + y + i) % 256 + 170) % 256 AS b
-        FROM px
+        SELECT i, {_Q139_R} AS r, {_Q139_G} AS g, {_Q139_B} AS b
+        FROM bs
     ),
     lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
     SELECT i AS media_id,
@@ -6803,15 +6834,18 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images — encoded across FIVE containers (24/32-bit BMP, PPM, "
-    "paletted and RLE8 BMP) that all carry the SAME pixels — are "
-    "decoded by the real pure-numpy codecs inside the Arrow kernel "
-    "and reduced to integer-exact channel/luminance sums; the oracle "
-    "regenerates the pixels from the generator's closed form in ONE "
-    "container-invariant SQL rule, so any payload bug in ANY of the "
-    "five decode paths (BGRX padding, palette lookup, RLE absolute "
-    "runs) shifts a group and breaks the hash. Complements q117/q118 "
-    "by verifying pixel VALUES through the full "
+    "images — encoded across NINE containers (24/32/16-bit BMP, PPM, "
+    "8/4/1-bit paletted, RLE8, RLE4) — are decoded by the real "
+    "pure-numpy codecs inside the Arrow kernel and reduced to "
+    "integer-exact channel/luminance sums; the oracle regenerates "
+    "each variant's pixels from its closed form (full-depth variants "
+    "share one rule; 4/1-bit quantize the base sample // 17 / // 128 "
+    "before the channel offsets; 16-bit X1R5G5B5 quantizes each "
+    "channel to 5 bits with bit-replication expansion), so any "
+    "payload bug in ANY decode path — BGRX padding, palette lookup, "
+    "MSB-first bit unpack, RLE runs/absolute mode, 555 bit "
+    "extraction — shifts a group and breaks the hash. Complements "
+    "q117/q118 by verifying pixel VALUES through the full "
     "encode->decode->reduce path.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
@@ -6995,23 +7029,24 @@ def q142_video_frame_sample(spark, sf_dir):
 
 @_register(
     "q143_image_resize_verify",
-    """
+    f"""
     WITH m AS (
-        SELECT i, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 9 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
-    ys AS (SELECT i, w, h, unnest(range(8)) AS yy FROM m),
-    px AS (SELECT i, w, h, yy, unnest(range(8)) AS xx FROM ys),
-    ch AS (
-        SELECT i, ((xx * w) // 8 + (yy * h) // 8 + i) % 256 AS base
+    ys AS (SELECT i, k, w, h, unnest(range(8)) AS yy FROM m),
+    px AS (SELECT i, k, w, h, yy, unnest(range(8)) AS xx FROM ys),
+    bs AS (
+        SELECT i, k, ((xx * w) // 8 + (yy * h) // 8 + i) % 256 AS base
         FROM px
     ),
+    rgb AS (
+        SELECT i, {_Q139_R} AS r, {_Q139_G} AS g, {_Q139_B} AS b
+        FROM bs
+    ),
     lq AS (
-        SELECT i, base AS r, (base + 85) % 256 AS g,
-               (base + 170) % 256 AS b,
-               2126 * base + 7152 * ((base + 85) % 256)
-                   + 722 * ((base + 170) % 256) AS l
-        FROM ch
+        SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l
+        FROM rgb
     )
     SELECT i AS media_id,
            CAST(COUNT(*) AS BIGINT) AS n_px,
@@ -9444,7 +9479,7 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 5 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        SELECT CASE WHEN i % 9 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
         UNION ALL

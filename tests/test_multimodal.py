@@ -1391,11 +1391,22 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     px16 = make_test_pixels16(6, 5, seed=2)
     pal8 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
     idx8 = rng.randint(0, 256, (9, 11)).astype(np.uint8)
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_bmp16_555,
+        encode_bmp_paletted,
+    )
+
+    pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx4 = rng.randint(0, 16, (9, 11)).astype(np.uint8)
     streams = [
         (encode_bmp(img), decode_bmp),
         (encode_bmp32(img), decode_bmp),
+        (encode_bmp16_555(img), decode_bmp),
         (encode_bmp8(idx8, pal8), decode_bmp),
         (encode_bmp8(idx8, pal8, rle=True), decode_bmp),
+        (encode_bmp_paletted(idx4, pal16v, bpp=4), decode_bmp),
+        (encode_bmp_paletted(idx4, pal16v, bpp=4, rle=True), decode_bmp),
+        (encode_bmp_paletted((idx4 & 1), pal16v[:2], bpp=1), decode_bmp),
         (encode_ppm(img), decode_ppm),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
