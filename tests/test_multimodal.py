@@ -313,10 +313,11 @@ def test_png_gates_unsupported_variants():
         decode_png,
     )
 
-    # 16-bit grayscale is a real PNG variant we do not decode (8-bit
-    # gray decodes for real now — test_png_gray_family_roundtrips):
-    # must gate through require_codec, not silently mis-decode
-    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # interlaced sub-byte (Adam7 at depth 4) is a real PNG variant we
+    # do not decode (16-bit gray/GA/RGBA decode for real now —
+    # test_png16_family_gray_graya_rgba_roundtrip): must gate through
+    # require_codec, not silently mis-decode
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 1)
     b = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(b)
