@@ -3724,7 +3724,7 @@ def _decode_wav_full(b: bytes):
                     [np.array(o[:n], np.int16) for o in outs], axis=1
                 ),
                 rate,
-                audio_fmt,
+                fmt_code,
                 bits,
             )
         raise ValueError(f"invalid IMA ADPCM channel count {ch}")
@@ -3954,17 +3954,20 @@ def audio_stereo_stats(df: DataFrame) -> DataFrame:
                 if samples.shape[1] != 2:
                     out.append((media_id,) + (None,) * 7)
                     continue
-                sl = samples[:, 0].astype(np.int64)
-                sr = samples[:, 1].astype(np.int64)
+                sl = _exact_int_samples(samples[:, 0])
+                sr = _exact_int_samples(samples[:, 1])
+                if sl is None or sr is None:
+                    out.append((media_id,) + (None,) * 7)
+                    continue
                 out.append(
                     (
                         media_id,
                         int(sl.size),
                         int(sl.sum()),
                         int(sr.sum()),
-                        int((sl * sl).sum()),
-                        int((sr * sr).sum()),
-                        int((sl * sr).sum()),
+                        _exact_dot(sl, sl),
+                        _exact_dot(sr, sr),
+                        _exact_dot(sl, sr),
                         int(
                             max(
                                 np.abs(sl).max(initial=0),
@@ -4029,6 +4032,42 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def _exact_int_samples(col):
+    """One decoded channel -> int64 samples for exact reductions:
+    float sources micro-quantize ``rint(x * 2^15)`` (None when
+    non-finite or beyond the int64-safe magnitude — a corrupt float32
+    can carry 3e38 past an isfinite check); integer sources pass
+    through at their raw scale."""
+    import numpy as np
+
+    s = col
+    if np.issubdtype(s.dtype, np.floating):
+        s = np.rint(s.astype(np.float64) * 32768.0)
+        if not np.isfinite(s).all() or (
+            s.size and float(np.abs(s).max()) > 2.0**62
+        ):
+            return None
+    return s.astype(np.int64)
+
+
+def _exact_dot(a, b):
+    """Exact sum(a*b) of int64 sample arrays as a Python int; None
+    when the true value exceeds int64 (a silently wrapped number is
+    worse than an honest null — reachable now that 24/32-bit sources
+    carry raw +/-2^23..2^31 values). The numpy fast path runs whenever
+    the worst-case bound fits."""
+    import numpy as np
+
+    n = int(a.size)
+    if n == 0:
+        return 0
+    ma, mb = int(np.abs(a).max()), int(np.abs(b).max())
+    if ma * mb * n <= 2**63 - 1:
+        return int((a * b).sum())
+    total = sum(x * y for x, y in zip(a.tolist(), b.tolist()))
+    return total if -(2**63) <= total <= 2**63 - 1 else None
+
+
 def audio_exact_stats(df: DataFrame) -> DataFrame:
     """Integer-exact per-clip sample statistics (mono): sample count,
     linear sum, sum of squares, peak magnitude — all int64, so an
@@ -4055,19 +4094,16 @@ def audio_exact_stats(df: DataFrame) -> DataFrame:
                 ):
                     out.append((media_id, None, None, None, None))
                     continue
-                s = samples[:, 0]
-                if np.issubdtype(s.dtype, np.floating):
-                    s = np.rint(s.astype(np.float64) * 32768.0)
-                    if not np.isfinite(s).all():
-                        out.append((media_id, None, None, None, None))
-                        continue
-                s = s.astype(np.int64)
+                s = _exact_int_samples(samples[:, 0])
+                if s is None:
+                    out.append((media_id, None, None, None, None))
+                    continue
                 out.append(
                     (
                         media_id,
                         int(s.size),
                         int(s.sum()),
-                        int((s * s).sum()),
+                        _exact_dot(s, s),
                         int(np.abs(s).max()) if s.size else 0,
                     )
                 )
@@ -4160,7 +4196,9 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    samples, rate = decode_wav(bytes(content))
+                    samples, rate, _fmt, bits = _decode_wav_full(
+                        bytes(content)
+                    )
                 except (
                     ValueError,
                     NotImplementedError,
@@ -4173,14 +4211,16 @@ def resample_audio(df: DataFrame, target_rate: int) -> DataFrame:
                 idx = (np.arange(n_out) * rate) // target_rate
                 picked = samples[idx]
                 # non-int16 sources re-quantize to the int16 scale for
-                # the 16-bit output container: raw 24-bit drops the low
-                # byte (arithmetic shift = floor), float32 rounds and
-                # clips — both deterministic and engine-mirrorable
+                # the 16-bit output container: raw 24/32-bit drop their
+                # low bits-16 bits (arithmetic shift = floor — the
+                # shift must follow the SOURCE width, or 32-bit samples
+                # wrap in the int16 cast), float32 rounds and clips —
+                # all deterministic and engine-mirrorable
                 if np.issubdtype(picked.dtype, np.floating):
                     q = np.rint(np.nan_to_num(picked, nan=0.0) * 32768.0)
                     picked = np.clip(q, -32768, 32767).astype(np.int16)
                 elif picked.dtype == np.int32:
-                    picked = (picked >> 8).astype(np.int16)
+                    picked = (picked >> (bits - 16)).astype(np.int16)
                 out.append((media_id, encode_wav(picked, target_rate)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 

@@ -270,6 +270,98 @@ def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
     assert audio_exact_stats(bad).collect()[0]["sum_lin"] is None
 
 
+def test_wav_wide_sources_in_downstream_kernels(spark):
+    """Round-8 review fixes: every kernel that consumes decode_wav
+    must honor the new source widths — resample shifts by the SOURCE
+    width (32-bit wrapped before), stereo stats quantize float
+    sources (truncated to zero before), and exact square sums go
+    Python-int instead of silently wrapping int64."""
+    import struct as _s
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_wav_full,
+        audio_exact_stats,
+        audio_stereo_stats,
+        decode_wav,
+        encode_wav_float32,
+        encode_wav_ima_stereo,
+        encode_wav_pcm32,
+        ima_adpcm_decode,
+        resample_audio,
+    )
+
+    # resample of full-scale 32-bit PCM: output ~ value >> 16, not 0
+    v32 = np.full(1600, 1 << 30, np.int32)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav_pcm32(v32, 16000)))],
+        "media_id long, content binary",
+    )
+    out = resample_audio(df, 8000).collect()[0]
+    dec, rate = decode_wav(bytes(out["content"]))
+    assert rate == 8000 and int(dec[0, 0]) == (1 << 30) >> 16
+
+    # stereo float32: quantized exact sums, not zeros
+    amp = 12500
+    fl = np.stack(
+        [np.full(800, amp / 32768.0), np.full(800, -amp / 32768.0)], axis=1
+    ).astype(np.float32)
+    sdf = spark.createDataFrame(
+        [(1, bytearray(encode_wav_float32(fl, 16000)))],
+        "media_id long, content binary",
+    )
+    st = audio_stereo_stats(sdf).collect()[0]
+    assert st["sum_left"] == 800 * amp and st["sum_right"] == -800 * amp
+    assert st["cross_sum"] == -800 * amp * amp
+
+    # 32-bit square sums: exact via the Python-int path while the true
+    # value fits, honest NULL once it cannot
+    loud = np.full(2, (1 << 31) - 1, np.int32)  # 2*(2^31-1)^2 just fits
+    e1 = audio_exact_stats(spark.createDataFrame(
+        [(2, bytearray(encode_wav_pcm32(loud, 16000)))],
+        "media_id long, content binary",
+    )).collect()[0]
+    assert e1["sum_sq"] == 2 * ((1 << 31) - 1) ** 2
+    louder = np.full(3, (1 << 31) - 1, np.int32)
+    e2 = audio_exact_stats(spark.createDataFrame(
+        [(3, bytearray(encode_wav_pcm32(louder, 16000)))],
+        "media_id long, content binary",
+    )).collect()[0]
+    assert e2["sum_sq"] is None  # 3*(2^31-1)^2 > int64 max
+
+    # extensible-wrapped multichannel ADPCM surfaces the CONTAINER code
+    t = np.arange(96, dtype=np.int64)
+    nl = ((t * 5 + 3) % 16).astype(np.uint8)
+    nr = ((t * 7 + 9) % 16).astype(np.uint8)
+    plain = encode_wav_ima_stereo(nl, nr, (100, 10), (-200, 40))
+    d_off = plain.index(b"data")
+    data = plain[d_off:]
+    f_off = plain.index(b"fmt ")
+    _sz, code, ch, rate_, br, ba, bits = _s.unpack_from(
+        "<IHHIIHH", plain, f_off + 4
+    )
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _WAV_SUBTYPE_SUFFIX,
+    )
+
+    fmt_body = (
+        _s.pack("<HHIIHH", 0xFFFE, ch, rate_, br, ba, bits)
+        + _s.pack("<HHI", 22, bits, 3)
+        + _s.pack("<H", 0x11)
+        + _WAV_SUBTYPE_SUFFIX
+    )
+    ext = (
+        b"RIFF"
+        + _s.pack("<I", 20 + len(fmt_body) + len(data))
+        + b"WAVEfmt "
+        + _s.pack("<I", len(fmt_body))
+        + fmt_body
+        + data
+    )
+    s, _r, fmt_code, bits_out = _decode_wav_full(ext)
+    assert (fmt_code, bits_out) == (0xFFFE, 4)  # container code, not 0x11
+    assert (s[:, 0] == np.array(ima_adpcm_decode(nl, 100, 10), np.int16)).all()
+
+
 def test_resample_audio_halves_rate(spark):
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         audio_features,
