@@ -243,15 +243,45 @@ def encode_bmp16_555(arr) -> bytes:
     return bytes(header + body)
 
 
+def encode_bmp16_565(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 16-bit R5G6B5 BI_BITFIELDS BMP (the
+    most common 16-bit layout in the wild; masks 0xF800/0x07E0/
+    0x001F follow the header)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "BMP565 encoder expects RGB"
+    u = (
+        ((a[..., 0] >> 3).astype(np.uint16) << 11)
+        | ((a[..., 1] >> 2).astype(np.uint16) << 5)
+        | (a[..., 2] >> 3).astype(np.uint16)
+    )
+    row = w * 2
+    stride = row + ((-row) % 4)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :row] = (
+        np.ascontiguousarray(u.astype("<u2")).view(np.uint8).reshape(h, row)
+    )
+    body = rows[::-1].tobytes()
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    offset = 54 + len(masks)
+    size = offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 3, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + masks + body
+
+
 def decode_bmp(b: bytes):
     """BMP bytes -> (h, w, 3) uint8 RGB array. Decodes the common
     BITMAPINFOHEADER family (round-8 gate retirements): 24/32-bit
     BI_RGB (BGRX — the fourth byte is padding per the original spec,
     dropped), 16-bit BI_RGB (X1R5G5B5, samples expanded
-    ``(v << 3) | (v >> 2)``), and 1/4/8-bit paletted including
+    ``(v << 3) | (v >> 2)``), 16/32-bit BI_BITFIELDS with contiguous
+    4..10-bit masks (R5G6B5 et al.), and 1/4/8-bit paletted including
     BI_RLE8/BI_RLE4 (runs, absolute mode, EOL/EOD/delta escapes).
-    BI_BITFIELDS custom masks and the remaining registry entries
-    gate."""
+    The remaining registry entries gate."""
     import numpy as np
 
     if len(b) < 54 or b[:2] != b"BM":
@@ -268,6 +298,7 @@ def decode_bmp(b: bytes):
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     supported = (
         (bpp in (16, 24, 32) and comp == 0)
+        or (bpp in (16, 32) and comp == 3)
         or (bpp == 8 and comp in (0, 1))
         or (bpp == 4 and comp in (0, 2))
         or (bpp == 1 and comp == 0)
@@ -278,6 +309,15 @@ def decode_bmp(b: bytes):
     h = abs(h)
     if w <= 0 or h == 0:
         raise ValueError("invalid BMP dimensions")
+    if comp == 3:
+        # BI_BITFIELDS: three u32 channel masks follow the 40-byte
+        # header (same file position inside V4/V5 headers). Generic
+        # contiguous-mask extraction covers the two layouts in the
+        # wild — R5G6B5 16-bit and 8-bit-per-channel 32-bit
+        if len(b) < 66:
+            raise ValueError("BMP bitfields masks truncated")
+        masks = struct.unpack_from("<III", b, 54)
+        return _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip)
     if bpp in (24, 32):
         ch = bpp // 8
         row = w * ch
@@ -341,6 +381,54 @@ def decode_bmp(b: bytes):
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("BMP palette index out of range")
     px = pal[idx.reshape(-1)].reshape(h, w, 3)
+    return px[::-1] if flip else px
+
+
+def _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip):
+    """BI_BITFIELDS pixel extraction: each channel mask must be a
+    contiguous run of 4..10 bits (covers 555/565/888/101010 — the
+    layouts real files carry); samples expand to 8 bits by taking the
+    top byte (width >= 8) or bit replication (width < 8, mapping 0->0
+    and full-scale->255 exactly). Overlapping or gappy masks are
+    corrupt, not variants."""
+    import numpy as np
+
+    if (
+        masks[0] & masks[1]
+        or masks[0] & masks[2]
+        or masks[1] & masks[2]
+    ):
+        raise ValueError("BMP bitfields masks overlap")
+    params = []
+    for m in masks:
+        if m == 0 or m > 0xFFFFFFFF or (bpp == 16 and m > 0xFFFF):
+            raise ValueError("BMP bitfields mask out of range")
+        shift = (m & -m).bit_length() - 1
+        width = (m >> shift).bit_length()
+        if (m >> shift) != (1 << width) - 1:
+            raise ValueError("BMP bitfields mask not contiguous")
+        if not 4 <= width <= 10:
+            require_codec(f"BMP bitfields channel width {width}")
+        params.append((shift, width))
+    step = bpp // 8
+    row = w * step
+    stride = row + ((-row) % 4)
+    raw = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :row].reshape(h, w, step)
+    u = np.zeros((h, w), np.uint32)
+    for i in range(step):
+        u |= rows[..., i].astype(np.uint32) << (8 * i)  # little-endian
+    chans = []
+    for shift, width in params:
+        v = (u >> shift) & ((1 << width) - 1)
+        if width >= 8:
+            c = (v >> (width - 8)).astype(np.uint8)
+        else:
+            c = ((v << (8 - width)) | (v >> (2 * width - 8))).astype(
+                np.uint8
+            )
+        chans.append(c)
+    px = np.stack(chans, axis=-1)
     return px[::-1] if flip else px
 
 
@@ -1088,10 +1176,11 @@ def _media_palette(n_entries: int, unit: int):
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images cycling NINE container variants by
-    ``i % 9`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    actual decodable images cycling TEN container variants by
+    ``i % 10`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
     RLE8 BMP, 4-bit BMP (base // 17 palette), 1-bit BMP (base // 128
-    palette), RLE4 BMP, and 16-bit X1R5G5B5 BMP. The full-depth
+    palette), RLE4 BMP, 16-bit X1R5G5B5 BMP, and 16-bit R5G6B5
+    BI_BITFIELDS BMP. The full-depth
     variants carry the SAME gradient pixels; the quantizing variants
     (4/1/16-bit) carry deterministic quantizations of it, so every
     pixel-stats oracle stays closed-form per variant."""
@@ -1106,7 +1195,7 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
         if real:
             px = make_test_pixels(w, h, seed=i)
             base = px[..., 0]
-            k = i % 9
+            k = i % 10
             if k == 0:
                 content = encode_bmp(px)
             elif k == 1:
@@ -1125,8 +1214,10 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
                 content = encode_bmp_paletted(
                     base // 17, pal16, bpp=4, rle=True
                 )
-            else:
+            elif k == 8:
                 content = encode_bmp16_555(px)
+            else:
+                content = encode_bmp16_565(px)
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))

@@ -5563,12 +5563,12 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
-# Shared closed form for synthetic_media_table's NINE container
-# variants (k = i % 9): full-depth variants carry the gradient
+# Shared closed form for synthetic_media_table's TEN container
+# variants (k = i % 10): full-depth variants carry the gradient
 # unchanged; 4-bit/1-bit palettes quantize the base sample (// 17,
 # // 128) BEFORE the channel offsets, and 16-bit X1R5G5B5 quantizes
-# each 8-bit CHANNEL to 5 bits with bit-replication expansion
-# ((c//8)*8 + (c//8)//4). Used by the q139/q143 pixel oracles.
+# each 8-bit CHANNEL to 5 bits (or 6 for R5G6B5's green) with
+# bit-replication expansion. Used by the q139/q143 pixel oracles.
 def _media_variant_rgb(base: str) -> tuple[str, str, str]:
     rb = (
         f"CASE WHEN k IN (5, 7) THEN (({base}) // 17) * 17 "
@@ -5579,13 +5579,17 @@ def _media_variant_rgb(base: str) -> tuple[str, str, str]:
     def f555(c: str) -> str:
         return f"((({c}) // 8) * 8 + (({c}) // 8) // 4)"
 
-    r = f"CASE WHEN k = 8 THEN {f555(base)} ELSE {rb} END"
+    def f565(c: str) -> str:
+        return f"((({c}) // 4) * 4 + (({c}) // 4) // 16)"
+
+    r = f"CASE WHEN k IN (8, 9) THEN {f555(base)} ELSE {rb} END"
     g = (
         f"CASE WHEN k = 8 THEN {f555(f'(({base}) + 85) % 256')} "
+        f"WHEN k = 9 THEN {f565(f'(({base}) + 85) % 256')} "
         f"ELSE (({rb}) + 85) % 256 END"
     )
     b = (
-        f"CASE WHEN k = 8 THEN {f555(f'(({base}) + 170) % 256')} "
+        f"CASE WHEN k IN (8, 9) THEN {f555(f'(({base}) + 170) % 256')} "
         f"ELSE (({rb}) + 170) % 256 END"
     )
     return r, g, b
@@ -5601,11 +5605,11 @@ _Q139_R, _Q139_G, _Q139_B = _media_variant_rgb("base")
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 9 = 1 THEN 'ppm' ELSE 'bmp' END AS format
+           CASE WHEN i % 10 = 1 THEN 'ppm' ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
-    "media table (deterministic gradient pixels, now cycling NINE "
+    "media table (deterministic gradient pixels, now cycling TEN "
     "container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit paletted "
     "BMP, RLE8 and RLE4 BMP: the round-8 BMP gate retirements, "
     "closing the whole common BITMAPINFOHEADER surface) is ENCODED "
@@ -6810,7 +6814,7 @@ def q138_copurchase_triangles(spark, sf_dir):
     "q139_image_feature_stats",
     f"""
     WITH m AS (
-        SELECT i, i % 9 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 10 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, unnest(range(h)) AS y FROM m),
@@ -6834,7 +6838,8 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images — encoded across NINE containers (24/32/16-bit BMP, PPM, "
+    "images — encoded across TEN containers (24/32-bit BMP, 555 and "
+    "565 16-bit BMP, PPM, "
     "8/4/1-bit paletted, RLE8, RLE4) — are decoded by the real "
     "pure-numpy codecs inside the Arrow kernel and reduced to "
     "integer-exact channel/luminance sums; the oracle regenerates "
@@ -7031,7 +7036,7 @@ def q142_video_frame_sample(spark, sf_dir):
     "q143_image_resize_verify",
     f"""
     WITH m AS (
-        SELECT i, i % 9 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 10 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, h, unnest(range(8)) AS yy FROM m),
@@ -9479,7 +9484,7 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 9 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        SELECT CASE WHEN i % 10 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
         UNION ALL

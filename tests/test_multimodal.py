@@ -191,6 +191,23 @@ def test_bmp_variant_family_roundtrip():
     rle = encode_bmp8(small, spal, rle=True)
     with pytest.raises(ValueError):
         decode_bmp(rle[:-2])
+    # BI_BITFIELDS R5G6B5: per-channel quantize + replicate expansion
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_bmp16_565,
+    )
+
+    d565 = decode_bmp(encode_bmp16_565(px))
+    r5, g6, b5 = px[..., 0] >> 3, px[..., 1] >> 2, px[..., 2] >> 3
+    exp565 = np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    assert np.array_equal(d565, exp565)
+    # overlapping masks are corrupt, not a variant
+    bad565 = bytearray(encode_bmp16_565(px))
+    bad565[54:58] = (0x0FE0).to_bytes(4, "little")  # overlaps green
+    with pytest.raises(ValueError, match="overlap"):
+        decode_bmp(bytes(bad565))
 
 
 def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
@@ -1486,6 +1503,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     idx8 = rng.randint(0, 256, (9, 11)).astype(np.uint8)
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_bmp16_555,
+        encode_bmp16_565,
         encode_bmp_paletted,
     )
 
@@ -1495,6 +1513,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_bmp(img), decode_bmp),
         (encode_bmp32(img), decode_bmp),
         (encode_bmp16_555(img), decode_bmp),
+        (encode_bmp16_565(img), decode_bmp),
         (encode_bmp8(idx8, pal8), decode_bmp),
         (encode_bmp8(idx8, pal8, rle=True), decode_bmp),
         (encode_bmp_paletted(idx4, pal16v, bpp=4), decode_bmp),
