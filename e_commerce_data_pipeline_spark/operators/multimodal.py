@@ -3658,6 +3658,32 @@ def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
     return hdr + data
 
 
+def encode_wav_float64(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) floats in [-1, 1] -> IEEE float64 WAV (format
+    code 3, bits 64, with the format-3 fact chunk)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    data = a.tobytes()
+    fact = b"fact" + struct.pack("<II", 4, a.shape[0])
+    byte_rate = sample_rate * a.shape[1] * 8
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(fact) + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 3, a.shape[1], sample_rate, byte_rate,
+            a.shape[1] * 8, 64,
+        )
+        + fact
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
 def decode_wav(b: bytes):
     """PCM WAV bytes -> ((n, channels) sample array, sample_rate).
     Sample dtype conveys source width: int16 for 8/16-bit PCM (8-bit
@@ -3711,12 +3737,11 @@ def _decode_wav_full(b: bytes):
         sub = fmt_body[24:40]
         if sub[2:] != _WAV_SUBTYPE_SUFFIX:
             raise ValueError("WAV extensible SubFormat GUID unrecognized")
-        if valid_bits not in (0, bits):
-            # packed-in-wider layouts (e.g. 20 valid of 24) are a real
-            # variant this surface doesn't decode — the honest gate
-            require_codec(
-                f"WAV extensible validBits={valid_bits} of {bits}"
-            )
+        if valid_bits > bits:
+            raise ValueError("WAV extensible validBits exceeds container")
+        # valid_bits < bits (e.g. 20 valid of 24) is metadata: the spec
+        # left-justifies samples in the container width, so decoding at
+        # container width is exact — the low bits are simply zero
         audio_fmt = struct.unpack_from("<H", sub, 0)[0]
     if audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(
@@ -3754,6 +3779,13 @@ def _decode_wav_full(b: bytes):
         # value question for kernels, not a decode error
         samples = np.frombuffer(
             data, np.float32, count=(len(data) // (4 * ch)) * ch
+        )
+        return samples.reshape(-1, ch), rate, fmt_code, bits
+    if audio_fmt == 3 and bits == 64:
+        # IEEE float64 (rare but pure-numpy decodable; same value
+        # semantics as float32)
+        samples = np.frombuffer(
+            data, np.float64, count=(len(data) // (8 * ch)) * ch
         )
         return samples.reshape(-1, ch), rate, fmt_code, bits
     if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law

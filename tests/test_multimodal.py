@@ -378,6 +378,35 @@ def test_wav_wide_sources_in_downstream_kernels(spark):
     assert (fmt_code, bits_out) == (0xFFFE, 4)  # container code, not 0x11
     assert (s[:, 0] == np.array(ima_adpcm_decode(nl, 100, 10), np.int16)).all()
 
+    # float64 WAV (format 3 bits 64) decodes natively
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_wav_float64,
+        encode_wav_pcm24,
+    )
+
+    f64 = np.array([0.5, -0.25, 1.0, -1.0, 0.0], np.float64)
+    s, r, fmt, bits_ = _decode_wav_full(encode_wav_float64(f64, 22050))
+    assert (fmt, bits_, r) == (3, 64, 22050) and s.dtype == np.float64
+    assert np.array_equal(s[:, 0], f64)
+    e64 = audio_exact_stats(spark.createDataFrame(
+        [(7, bytearray(encode_wav_float64(np.full(100, 12500 / 32768.0))))],
+        "media_id long, content binary",
+    )).collect()[0]
+    assert e64["sum_lin"] == 100 * 12500
+
+    # extensible validBits < bits is left-justified metadata, not a
+    # gate: samples decode at container width with zero low bits
+    v24 = np.array([5 << 4, -(7 << 4), 0], np.int32)  # 20 valid of 24
+    b24 = bytearray(encode_wav_pcm24(v24, 16000, extensible=True))
+    f_off2 = bytes(b24).index(b"fmt ")
+    b24[f_off2 + 8 + 18] = 20  # wValidBitsPerSample
+    s, _r2, fmt2, bits2 = _decode_wav_full(bytes(b24))
+    assert (fmt2, bits2) == (0xFFFE, 24) and (s[:, 0] == v24).all()
+    # validBits > container bits is corrupt -> loud
+    b24[f_off2 + 8 + 18] = 32
+    with pytest.raises(ValueError, match="validBits"):
+        _decode_wav_full(bytes(b24))
+
 
 def test_resample_audio_halves_rate(spark):
     from e_commerce_data_pipeline_spark.operators.multimodal import (
@@ -1478,6 +1507,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_ppm,
         encode_wav,
         encode_wav_float32,
+        encode_wav_float64,
         encode_wav_g711,
         encode_wav_ima,
         encode_wav_pcm8,
@@ -1538,6 +1568,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32), extensible=True), decode_wav),
         (encode_wav_pcm32(rng.randint(-(1 << 31), 1 << 31, 120, dtype=np.int64).astype(np.int32)), decode_wav),
         (encode_wav_float32((rng.rand(120) * 2 - 1).astype(np.float32)), decode_wav),
+        (encode_wav_float64(rng.rand(80) * 2 - 1), decode_wav),
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
     ]
