@@ -4,7 +4,8 @@
 
 The decode kernels are REAL for formats decodable in pure
 numpy+stdlib — BMP (24-bit uncompressed), PPM (binary P6, 8/16-bit),
-PNG (truecolor/palette/gray 1-16 bit, alpha+tRNS, Adam7 interlace),
+PNG (the full legal surface: every depth/color combination of spec
+table 11.1, alpha+tRNS, Adam7 interlace incl. sub-byte passes),
 JPEG (baseline 4:4:4/4:2:0/gray, restart intervals, progressive
 SOF2), GIF (LZW, interlace, local tables, partial-frame
 compositing), and WAV PCM/G.711/IMA-ADPCM (any channel count) —
@@ -69,8 +70,8 @@ def require_codec(fmt: str) -> None:
     pure-numpy codecs: not implemented here, and no codec library
     (Pillow / libjpeg / ffmpeg) is present in this container to
     delegate to. The supported surface decodes natively: BMP, PPM
-    (8/16-bit), PNG (truecolor/palette/gray families, tRNS, Adam7,
-    16-bit), JPEG (baseline 4:4:4/4:2:0/gray, restart intervals,
+    (8/16-bit), PNG (complete — every legal depth/color/interlace
+    combination), JPEG (baseline 4:4:4/4:2:0/gray, restart intervals,
     progressive), GIF (interlace, local tables, partial frames),
     WAV PCM/G.711/IMA-ADPCM (any channel count)."""
     raise NotImplementedError(
@@ -545,11 +546,11 @@ def decode_ppm(b: bytes):
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit truecolor/palette incl. tRNS transparency, 16-bit
-# truecolor, Adam7): zlib inflate + numpy unfiltering — compressed
-# formats reachable with primitives already in the container (zlib is
-# stdlib; no Pillow/libpng needed). Grayscale/alpha-channel color
-# types and bit depths < 8 still gate through require_codec.
+# PNG (complete legal surface: gray/truecolor/palette/alpha at every
+# spec-legal depth, tRNS, Adam7 incl. sub-byte passes): zlib inflate
+# + numpy unfiltering — compressed formats reachable with primitives
+# already in the container (zlib is stdlib; no Pillow/libpng needed).
+# Illegal header combinations raise ValueError, not require_codec.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -793,12 +794,44 @@ def encode_png16_rgba(arr, filters=None) -> bytes:
     return _encode_png16_any(a, 6, filters, b"")
 
 
-def encode_png_gray(arr2d, depth: int = 8, filters=None, trns_key=None) -> bytes:
+def _pack_sample_rows(sub, depth: int):
+    """Bit-pack a (hp, wp) sample plane MSB-first per spec 7.2 into
+    (hp, ceil(wp*depth/8)) scanline bytes (depth 8 passes through)."""
+    import numpy as np
+
+    if depth == 8:
+        return sub
+    hp, wp = sub.shape
+    bits = np.unpackbits(sub[..., None], axis=2)[:, :, 8 - depth :]
+    return np.packbits(bits.reshape(hp, wp * depth), axis=1)
+
+
+def _adam7_filtered_samples(a2d, depth: int, filters=None) -> bytearray:
+    """Adam7-serialize a (h, w) sample plane at 1/2/4/8-bit depth:
+    each pass bit-packs its OWN scanlines (so the pass stride is
+    ceil(wp*depth/8)) and is filtered as an independent reduced
+    image with a 1-byte left-neighbor distance."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = a2d[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        rows = _pack_sample_rows(sub, depth)
+        raw += _png_filter_scanlines(rows, rows.shape[1], 1, filters)
+    return raw
+
+
+def encode_png_gray(
+    arr2d, depth: int = 8, filters=None, trns_key=None,
+    interlace: bool = False,
+) -> bytes:
     """(h, w) grayscale samples (each < 2^depth) -> PNG color type 0
     at depth 1/2/4/8. Sub-byte depths bit-pack samples MSB-first per
     spec 7.2 (final-byte padding zeroed); filtering then runs on the
     packed bytes with a 1-byte left-neighbor distance (spec 9.2).
-    ``trns_key`` names one SAMPLE value fully transparent."""
+    ``trns_key`` names one SAMPLE value fully transparent.
+    ``interlace`` emits the Adam7 layout — each pass packs and
+    filters its own scanlines at the pass width."""
     import numpy as np
     import zlib
 
@@ -806,13 +839,14 @@ def encode_png_gray(arr2d, depth: int = 8, filters=None, trns_key=None) -> bytes
     h, w = a.shape
     assert depth in (1, 2, 4, 8), "grayscale PNG depth must be 1/2/4/8"
     assert int(a.max(initial=0)) < (1 << depth), "sample exceeds depth"
-    if depth == 8:
-        rows = a
+    if interlace:
+        raw = _adam7_filtered_samples(a, depth, filters)
     else:
-        bits = np.unpackbits(a[..., None], axis=2)[:, :, 8 - depth :]
-        rows = np.packbits(bits.reshape(h, w * depth), axis=1)
-    raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        rows = _pack_sample_rows(a, depth)
+        raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0
+    )
     trns = (
         _png_chunk(b"tRNS", struct.pack(">H", trns_key))
         if trns_key is not None
@@ -865,10 +899,13 @@ def encode_png_rgba(arr, filters=None) -> bytes:
     )
 
 
-def encode_png_palette_subbyte(arr, depth: int, filters=None) -> bytes:
+def encode_png_palette_subbyte(
+    arr, depth: int, filters=None, interlace: bool = False
+) -> bytes:
     """(h, w, 3) uint8 RGB with <= 2^depth distinct colors -> indexed
     PNG at depth 1/2/4: the PLTE layout of ``encode_png_palette`` with
-    bit-packed index scanlines."""
+    bit-packed index scanlines (``interlace`` = Adam7, each pass
+    packed and filtered at its own width)."""
     import numpy as np
     import zlib
 
@@ -892,10 +929,14 @@ def encode_png_palette_subbyte(arr, depth: int, filters=None) -> bytes:
         plte += bytes(
             [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
         )
-    bits = np.unpackbits(idx[..., None], axis=2)[:, :, 8 - depth :]
-    rows = np.packbits(bits.reshape(h, w * depth), axis=1)
-    raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    if interlace:
+        raw = _adam7_filtered_samples(idx, depth, filters)
+    else:
+        rows = _pack_sample_rows(idx, depth)
+        raw = _png_filter_scanlines(rows, rows.shape[1], 1, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -911,20 +952,19 @@ def decode_png(b: bytes):
     8-bit layouts: truecolor/grayscale transparent-color key per spec
     11.3.2, or per-palette-entry alpha for color type 3, entries past
     the chunk defaulting to 255). Grayscale decodes replicate the
-    sample across RGB, sub-byte depths (1/2/4, color 0/3,
-    non-interlaced) scaling to 8-bit by the spec's 255/(2^d-1)
-    factor.
+    sample across RGB, sub-byte depths (1/2/4, color 0/3, sequential
+    AND Adam7) scaling to 8-bit by the spec's 255/(2^d-1) factor.
 
-    Supports 8-bit truecolor (color type 2), filter method 0, no
-    interlace — CRC-checked chunk walk, zlib inflate, then scanline
-    unfiltering: None/Up vectorized directly, Sub via a per-pixel
-    cumsum (mod-256 distributes over addition), Average/Paeth with a
-    per-pixel loop (serial data dependency on the reconstructed left
-    neighbor). Other color types / depths gate through
-    ``require_codec``; any structural damage (bad signature, short
-    chunk, CRC mismatch, payload size, bad filter id) raises
-    ValueError so corrupt files surface as null rows, not task
-    failures."""
+    The full legal surface of spec table 11.1 decodes — every
+    depth/color combination at both interlace methods — via a
+    CRC-checked chunk walk, zlib inflate, then scanline unfiltering:
+    None/Up vectorized directly, Sub via a per-pixel cumsum (mod-256
+    distributes over addition), Average/Paeth with a per-pixel loop
+    (serial data dependency on the reconstructed left neighbor).
+    Headers outside the legal table are spec violations and raise
+    ValueError like any structural damage (bad signature, short
+    chunk, CRC mismatch, payload size, bad filter id) so corrupt
+    files surface as null rows, not task failures."""
     import numpy as np
     import zlib
 
@@ -953,15 +993,20 @@ def decode_png(b: bytes):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    # Every LEGAL depth/color combination (spec table 11.1) decodes,
+    # at both interlace methods, so an unsupported header here is a
+    # spec violation — corrupt data, not a gated variant (round-8
+    # closure of the PNG surface: sub-byte Adam7 was the last gap).
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    ok = channels is not None and (
+    legal = channels is not None and (
         depth == 8
         or (depth == 16 and color in (0, 2, 4, 6))
-        or (depth in (1, 2, 4) and color in (0, 3) and inter == 0)
+        or (depth in (1, 2, 4) and color in (0, 3))
     )
-    if not ok or comp != 0 or filt != 0 or inter not in (0, 1):
-        require_codec(
-            f"PNG depth={depth} color-type={color} interlace={inter}"
+    if not legal or comp != 0 or filt != 0 or inter not in (0, 1):
+        raise ValueError(
+            f"invalid PNG header: depth={depth} color-type={color} "
+            f"compression={comp} filter={filt} interlace={inter}"
         )
     if trns is not None:
         if color in (4, 6):  # spec 11.3.2: tRNS forbidden with alpha
@@ -978,13 +1023,37 @@ def decode_png(b: bytes):
     # pixel's byte width rounded up to 1 (spec 9.2)
     fbpp = max(1, (depth // 8) * channels)
     if depth < 8:
-        stride = (w * depth * channels + 7) // 8
-        recon = _png_unfilter(raw, stride, h, 1)
-        bits = np.unpackbits(
-            recon.astype(np.uint8), axis=1
-        )[:, : w * depth].reshape(h, w, depth)
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
-        plane = (bits * weights).sum(axis=-1)[..., None]  # (h, w, 1)
+
+        def _unpack(recon, hp, wp):
+            # packed scanline bytes -> (hp, wp) samples, MSB-first
+            bits = np.unpackbits(
+                recon.astype(np.uint8), axis=1
+            )[:, : wp * depth].reshape(hp, wp, depth)
+            return (bits * weights).sum(axis=-1)
+
+        if inter == 0:
+            stride = (w * depth + 7) // 8
+            recon = _png_unfilter(raw, stride, h, 1)
+            plane = _unpack(recon, h, w)[..., None]  # (h, w, 1)
+        else:
+            # Adam7 at sub-byte depth: each pass bit-packs its OWN
+            # scanlines, so the byte stride is ceil(wp*depth/8) per
+            # pass and samples scatter back onto the pass grid
+            plane = np.zeros((h, w, 1), dtype=np.int32)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                hp = -(-(h - y0) // dy) if h > y0 else 0
+                wp = -(-(w - x0) // dx) if w > x0 else 0
+                if hp == 0 or wp == 0:
+                    continue
+                stride = (wp * depth + 7) // 8
+                need = hp * (1 + stride)
+                recon = _png_unfilter(raw[pos : pos + need], stride, hp, 1)
+                pos += need
+                plane[y0::dy, x0::dx, 0] = _unpack(recon, hp, wp)
+            if pos != raw.size:
+                raise ValueError("PNG Adam7 payload size mismatch")
     elif inter == 0:
         plane = _png_unfilter(raw, w, h, fbpp).reshape(h, w, fbpp)
     else:

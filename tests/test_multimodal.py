@@ -442,7 +442,12 @@ def test_png_roundtrip_every_filter():
         assert (decode_png(encode_png(px, filters=[f] * 10)) == px).all(), f
 
 
-def test_png_gates_unsupported_variants():
+def test_png_illegal_header_combos_raise_valueerror():
+    """The PNG surface is CLOSED (round 8): every legal depth/color
+    combination of spec table 11.1 decodes at both interlace methods
+    (sub-byte Adam7 was the last gap), so a header outside the table
+    is a spec violation — corrupt data, ValueError — never a silent
+    mis-decode and no longer a require_codec gate."""
     import struct as _struct
 
     from e_commerce_data_pipeline_spark.operators.multimodal import (
@@ -451,14 +456,72 @@ def test_png_gates_unsupported_variants():
         decode_png,
     )
 
-    # interlaced sub-byte (Adam7 at depth 4) is a real PNG variant we
-    # do not decode (16-bit gray/GA/RGBA decode for real now —
-    # test_png16_family_gray_graya_rgba_roundtrip): must gate through
-    # require_codec, not silently mis-decode
-    ihdr = _struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 1)
-    b = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(b)
+    illegal = [
+        (4, 2, 0, 0, 0),  # sub-byte truecolor
+        (16, 3, 0, 0, 0),  # 16-bit palette
+        (3, 0, 0, 0, 0),  # non-power-of-two depth
+        (2, 6, 0, 0, 1),  # sub-byte RGBA
+        (8, 1, 0, 0, 0),  # undefined color type
+        (8, 2, 1, 0, 0),  # unknown compression method
+        (8, 2, 0, 1, 0),  # unknown filter method
+        (8, 2, 0, 0, 2),  # unknown interlace method
+    ]
+    for depth, color, comp, filt, inter in illegal:
+        ihdr = _struct.pack(">IIBBBBB", 4, 4, depth, color, comp, filt, inter)
+        b = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            decode_png(b)
+
+
+def test_png_subbyte_adam7_roundtrip():
+    """Adam7 at sub-byte depth: each pass bit-packs its OWN scanlines
+    (pass stride ceil(wp*depth/8)), so a decoder that reuses the full
+    -image stride or leaks filter state across passes mis-decodes.
+    Covers gray 1/2/4-bit and sub-byte palette, every filter id,
+    ragged/tiny sizes (empty passes), and a tRNS sample key."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_palette_subbyte,
+    )
+
+    rng = np.random.RandomState(11)
+    scale = {8: 1, 4: 17, 2: 85, 1: 255}
+    for w, h in [(1, 1), (3, 3), (5, 7), (8, 8), (9, 2), (33, 9), (15, 11)]:
+        for d in (1, 2, 4, 8):
+            g = rng.randint(0, 1 << d, size=(h, w)).astype(np.uint8)
+            out = decode_png(encode_png_gray(g, depth=d, interlace=True))
+            assert out.shape == (h, w, 3)
+            exp = (g.astype(np.int64) * scale[d]).astype(np.uint8)
+            assert (out == exp[..., None]).all(), (w, h, d)
+        for d in (1, 2, 4):
+            ncol = 1 << d
+            pal = np.stack(
+                [np.arange(ncol) * 15 % 256,
+                 np.arange(ncol) * 31 % 256,
+                 np.arange(ncol) * 7 % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            px3 = pal[rng.randint(0, ncol, size=(h, w))]
+            out = decode_png(
+                encode_png_palette_subbyte(px3, depth=d, interlace=True)
+            )
+            assert (out == px3).all(), (w, h, d)
+    # every filter id on the interlaced sub-byte path
+    g = ((np.add.outer(np.arange(13), np.arange(17)) * 5 + 2) % 16).astype(
+        np.uint8
+    )
+    for f in range(5):
+        out = decode_png(
+            encode_png_gray(g, depth=4, filters=[f] * 13, interlace=True)
+        )
+        assert (out[..., 0] == g * 17).all(), f
+    # tRNS sample key composes with interlaced sub-byte
+    out = decode_png(encode_png_gray(g, depth=4, trns_key=5, interlace=True))
+    assert out.shape == (13, 17, 4)
+    assert ((out[..., 3] == 0) == (g == 5)).all()
 
 
 def test_png_corrupt_inputs_yield_nulls(spark):
@@ -839,16 +902,17 @@ def test_png16_roundtrip_and_depth_gate_semantics():
     d = decode_png(encode_png16(a))
     assert d.dtype == np.uint16 and np.array_equal(d, a)
     assert int(a.max()) > 255  # the corpus really uses high depth
-    # 16-bit palette (depth 16, color 3) is invalid/unsupported: a
-    # doctored header must gate, not mis-decode
+    # 16-bit palette (depth 16, color 3) is illegal per spec table
+    # 11.1: a doctored header must raise ValueError (the PNG surface
+    # is closed, so out-of-table headers are corrupt data, not gates)
     b = bytearray(encode_png16(a))
     b[25] = 3  # IHDR color-type byte
-    # re-CRC the IHDR chunk so the gate (not the CRC check) fires
+    # re-CRC the IHDR chunk so the header check (not the CRC) fires
     import struct as _s
     import zlib as _z
     ihdr = bytes(b[12:16]) + bytes(b[16:29])
     b[29:33] = _s.pack(">I", _z.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(b))
 
 
@@ -1535,6 +1599,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_bmp16_555,
         encode_bmp16_565,
         encode_bmp_paletted,
+        encode_png_gray,
+        encode_png_palette_subbyte,
     )
 
     pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
@@ -1563,6 +1629,13 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         ), decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
         (encode_wav(samples), decode_wav),
+        (encode_png_gray(
+            rng.randint(0, 16, (9, 13)).astype(np.uint8),
+            depth=4, interlace=True,
+        ), decode_png),
+        (encode_png_palette_subbyte(
+            pal16v[rng.randint(0, 4, (7, 11))], depth=2, interlace=True,
+        ), decode_png),
         (encode_wav_pcm8(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32)), decode_wav),
         (encode_wav_pcm24(rng.randint(-(1 << 23), 1 << 23, 120).astype(np.int32), extensible=True), decode_wav),
