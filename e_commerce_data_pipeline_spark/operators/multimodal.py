@@ -1450,19 +1450,44 @@ def image16_exact_stats(df: DataFrame) -> DataFrame:
 
 
 def synthetic_png_adam7_table(spark, n: int = 42) -> DataFrame:
-    """Deterministic ADAM7-interlaced PNGs, alternating truecolor
-    (even i) and palette (odd i) — seven independently-filtered
-    reduced images per file, so decode exercises the pass-grid
-    scatter at BOTH bytes-per-pixel widths. Odd sizes force ragged
-    final passes."""
+    """Deterministic ADAM7-interlaced PNGs cycling four layouts
+    (variant = i % 4): truecolor, palette, 4-bit grayscale, and
+    2-bit palette — seven independently-filtered reduced images per
+    file, so decode exercises the pass-grid scatter at byte widths
+    3 and 1 AND at sub-byte pass strides (each sub-byte pass
+    bit-packs its OWN scanlines at ceil(wp*depth/8) bytes; round-8
+    surface closure). Odd sizes force ragged final passes. Every
+    plane is a closed form of (x, y, seed) so the q173 oracle
+    regenerates all four from SQL: gray samples are (x+y+seed)%16
+    scaled by 17; the 2-bit palette maps index s=(x+y+seed)%4 to
+    ((s*60+seed)%256, +85, +170)."""
+    import numpy as np
+
     rows = []
     for i in range(n):
         w, h = 15 + (i % 8) * 3, 11 + (i % 6) * 3
-        px = make_test_pixels(w, h, seed=i * 5 + 2)
-        enc = encode_png if i % 2 == 0 else encode_png_palette
+        seed = i * 5 + 2
+        v = i % 4
+        if v in (0, 1):
+            px = make_test_pixels(w, h, seed=seed)
+            enc = encode_png if v == 0 else encode_png_palette
+            content = enc(px, interlace=True)
+        else:
+            y, x = np.mgrid[0:h, 0:w]
+            if v == 2:
+                g = ((x + y + seed) % 16).astype(np.uint8)
+                content = encode_png_gray(g, depth=4, interlace=True)
+            else:
+                s = (x + y + seed) % 4
+                r = (s * 60 + seed) % 256
+                px = np.stack(
+                    [r, (r + 85) % 256, (r + 170) % 256], axis=-1
+                ).astype(np.uint8)
+                content = encode_png_palette_subbyte(
+                    px, depth=2, interlace=True
+                )
         rows.append(
-            (i, "image", enc(px, interlace=True), None,
-             f"mem://media/{i}.a7.png")
+            (i, "image", content, None, f"mem://media/{i}.a7.png")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

@@ -9216,9 +9216,27 @@ def q172_entity_resolution_pipeline(spark, sf_dir):
     px AS (SELECT i, seed, y, unnest(range(w)) AS x FROM ys),
     ch AS (
         SELECT i,
-               (x + y + seed) % 256 AS r,
-               ((x + y + seed) % 256 + 85) % 256 AS g,
-               ((x + y + seed) % 256 + 170) % 256 AS b
+               CASE i % 4
+                   WHEN 2 THEN ((x + y + seed) % 16) * 17
+                   WHEN 3 THEN (((x + y + seed) % 4) * 60 + seed) % 256
+                   ELSE (x + y + seed) % 256
+               END AS r,
+               CASE i % 4
+                   WHEN 2 THEN ((x + y + seed) % 16) * 17
+                   ELSE (CASE i % 4
+                             WHEN 3 THEN (((x + y + seed) % 4) * 60
+                                          + seed) % 256
+                             ELSE (x + y + seed) % 256
+                         END + 85) % 256
+               END AS g,
+               CASE i % 4
+                   WHEN 2 THEN ((x + y + seed) % 16) * 17
+                   ELSE (CASE i % 4
+                             WHEN 3 THEN (((x + y + seed) % 4) * 60
+                                          + seed) % 256
+                             ELSE (x + y + seed) % 256
+                         END + 170) % 256
+               END AS b
         FROM px
     ),
     lq AS (SELECT i, r, g, b, 2126 * r + 7152 * g + 722 * b AS l FROM ch)
@@ -9236,12 +9254,16 @@ def q172_entity_resolution_pipeline(spark, sf_dir):
     "q170 (sequential palette) leave untested: seven independently "
     "filtered reduced images whose scanlines must be unfiltered at "
     "their own pass width and scattered back onto the (x0, y0, dx, "
-    "dy) pass grid. The corpus alternates truecolor and palette "
-    "files with deliberately odd sizes (ragged final passes, empty "
-    "passes on tiny images), so a wrong pass origin, a pass-width "
-    "stride bug, or a filter state leaking across passes breaks the "
-    "closed-form hash. multimodal.encode_png/encode_png_palette "
-    "(interlace=True) / decode_png.",
+    "dy) pass grid. The corpus cycles truecolor, palette, 4-bit "
+    "grayscale, and 2-bit palette files (the round-8 PNG surface "
+    "closure: sub-byte passes bit-pack their OWN scanlines at "
+    "ceil(wp*depth/8) bytes) with deliberately odd sizes (ragged "
+    "final passes, empty passes on tiny images), so a wrong pass "
+    "origin, a pass-width stride bug, a full-image-stride reuse on "
+    "a sub-byte pass, or filter state leaking across passes breaks "
+    "the closed-form hash. multimodal.encode_png/encode_png_palette/"
+    "encode_png_gray/encode_png_palette_subbyte (interlace=True) / "
+    "decode_png.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q173_png_adam7_decode_stats(spark, sf_dir):
