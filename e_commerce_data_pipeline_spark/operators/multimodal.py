@@ -2152,28 +2152,47 @@ def _jpg_pad(plane, ph, pw):
     return p
 
 
+_JPG_SUBSAMP = {
+    "444": (1, 1),
+    "420": (2, 2),
+    "422": (2, 1),
+    "440": (1, 2),
+    "411": (4, 1),
+}
+
+
 def encode_jpeg(
-    arr, quality: int = 90, subsampling: str = "444", restart_interval: int = 0
+    arr,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    extended: bool = False,
 ) -> bytes:
-    """(h, w, 3) RGB or (h, w) grayscale uint8 -> baseline JPEG
-    (SOF0, Annex K Huffman tables, libjpeg-scaled Annex K
-    quantization). ``subsampling``: '444' (one block per component
-    per MCU) or '420' (2x2 luma blocks share one chroma block pair —
-    the libjpeg/phone-camera default; chroma is the round-half-up
-    2x2 mean of the rounded full-res plane). ``restart_interval`` > 0
-    emits a DRI segment and an RSTm marker (m cycling 0-7) after
-    every that-many MCUs, resetting all DC predictors — the layout
-    real encoders use so decoders can resynchronize and parallelize
-    within one image. Deterministic: float64 DCT + round-half-away
-    quantization, no RNG, no library variance."""
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> sequential JPEG
+    (Annex K Huffman tables, libjpeg-scaled Annex K quantization).
+    ``subsampling`` picks the luma sampling factors — '444' (1x1),
+    '420' (2x2, the libjpeg/phone-camera default), '422' (2x1, the
+    video/YUY2 layout), '440' (1x2), '411' (4x1, the DV layout) —
+    chroma is the round-half-up box mean of the rounded full-res
+    plane over the factor box. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTm marker (m cycling 0-7) after every that-many
+    MCUs, resetting all DC predictors — the layout real encoders use
+    so decoders can resynchronize and parallelize within one image.
+    ``extended`` emits SOF1 (extended sequential) with Pq=1 16-bit
+    quantization tables whose AC entries are lifted by +512 — the
+    T.81 allowance baseline forbids; entropy coding is unchanged, so
+    block-constant (DC-only) corpora decode identically to SOF0.
+    Deterministic: float64 DCT + round-half-away quantization, no
+    RNG, no library variance."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    if subsampling not in ("444", "420"):
+    if subsampling not in _JPG_SUBSAMP:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub = subsampling == "420" and not gray
+    fh, fv = _JPG_SUBSAMP[subsampling]
+    sub = (fh, fv) != (1, 1) and not gray
     if gray:
         planes = [a.astype(np.float64)]
         samp = [(1, 1)]
@@ -2188,23 +2207,30 @@ def encode_jpeg(
             ds = []
             for c in rnd[1:]:
                 ci = c.astype(np.int64)
-                eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+                eh, ew = -(-h // fv) * fv, -(-w // fh) * fh
                 p = np.zeros((eh, ew), dtype=np.int64)
                 p[:h, :w] = ci
                 if w < ew:
                     p[:h, w:] = ci[:, -1:]
                 if h < eh:
                     p[h:, :] = p[h - 1 : h, :]
-                s = (
-                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
-                )
-                ds.append(((s + 2) // 4).astype(np.float64))
+                s = p.reshape(eh // fv, fv, ew // fh, fh).sum(axis=(1, 3))
+                ds.append(((s + fh * fv // 2) // (fh * fv)).astype(np.float64))
             planes = [rnd[0], ds[0], ds[1]]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(fh, fv), (1, 1), (1, 1)]
         else:
             planes = rnd
             samp = [(1, 1)] * 3
     ql, qc = _jpg_quant_tables(quality)
+    if extended:
+        # lift every AC entry past the baseline 255 ceiling so the
+        # 16-bit DQT parse is actually exercised; DC stays small so
+        # the block-constant exactness argument is unchanged
+        ql, qc = ql.copy(), qc.copy()
+        ql += 512
+        qc += 512
+        ql[0, 0] -= 512
+        qc[0, 0] -= 512
     qts = [ql] + ([] if gray else [qc, qc])
     dctm = _jpg_dct_mat()
     hmax = max(s[0] for s in samp)
@@ -2256,11 +2282,21 @@ def encode_jpeg(
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    zzl = bytes(int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG)
-    dqt = seg(0xDB, b"\x00" + zzl)
+    def dqt_seg(tid, tab):
+        if extended:  # Pq=1: 16-bit big-endian entries
+            body = bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", int(tab.reshape(-1)[z]))
+                for z in _JPG_ZIGZAG
+            )
+        else:
+            body = bytes([tid]) + bytes(
+                int(tab.reshape(-1)[z]) for z in _JPG_ZIGZAG
+            )
+        return seg(0xDB, body)
+
+    dqt = dqt_seg(0, ql)
     if not gray:
-        zzc = bytes(int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG)
-        dqt += seg(0xDB, b"\x01" + zzc)
+        dqt += dqt_seg(1, qc)
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
@@ -2284,7 +2320,7 @@ def encode_jpeg(
     return (
         b"\xff\xd8"
         + dqt
-        + seg(0xC0, sof)
+        + seg(0xC1 if extended else 0xC0, sof)
         + dht
         + dri
         + seg(0xDA, sos)
@@ -2356,13 +2392,43 @@ def _jpg_extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _jpg_parse_dqt(payload: bytes, qts: dict) -> None:
+    """Parse one DQT segment into ``qts``: Pq=0 is 8-bit entries,
+    Pq=1 is 16-bit big-endian (extended-sequential encoders use it
+    when scaled table values exceed 255); any other flag is a spec
+    violation (corrupt data, not a missing codec)."""
+    import numpy as np
+
+    p = 0
+    while p < len(payload):
+        pq, tq = payload[p] >> 4, payload[p] & 0x0F
+        if pq > 1:
+            raise ValueError("JPEG DQT precision flag out of range")
+        step = 2 if pq else 1
+        if p + 1 + 64 * step > len(payload):
+            raise ValueError("JPEG DQT truncated")
+        tab = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            if pq:
+                (v,) = struct.unpack_from(">H", payload, p + 1 + 2 * k)
+            else:
+                v = payload[p + 1 + k]
+            tab[_JPG_ZIGZAG[k]] = v
+        qts[tq] = tab.reshape(8, 8)
+        p += 1 + 64 * step
+
+
 def decode_jpeg(b: bytes):
-    """Baseline JPEG bytes -> (h, w, 3) RGB (or grayscale replicated
-    to 3 channels) uint8. Supports SOF0, 8-bit, 1 or 3 components,
-    {1,2}x{1,2} sampling, and DRI/RSTm restart intervals (byte
-    realignment + DC-predictor reset, marker sequence checked).
-    Progressive/extended/arithmetic/12-bit streams gate via
-    ``require_codec``; structural damage raises ValueError."""
+    """Sequential JPEG bytes -> (h, w, 3) RGB (or grayscale
+    replicated to 3 channels) uint8. Supports SOF0 baseline AND SOF1
+    extended sequential (identical entropy coding at 8-bit sample
+    precision; 16-bit Pq=1 quantization tables parsed), 1 or 3
+    components, any T.81-legal sampling factors 1-4 whose max/factor
+    ratio is integral (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, ...), and
+    DRI/RSTm restart intervals (byte realignment + DC-predictor
+    reset, marker sequence checked). Arithmetic/12-bit/hierarchical
+    streams gate via ``require_codec``; structural damage raises
+    ValueError."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -2390,18 +2456,7 @@ def decode_jpeg(b: bytes):
         if len(payload) != ln - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    require_codec("JPEG 16-bit quantization tables")
-                if p + 65 > len(payload):
-                    raise ValueError("JPEG DQT truncated")
-                tab = np.zeros(64, dtype=np.int64)
-                for k in range(64):
-                    tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
-                qts[tq] = tab.reshape(8, 8)
-                p += 65
+            _jpg_parse_dqt(payload, qts)
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -2413,7 +2468,10 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
+            # SOF1 extended sequential decodes on the baseline path:
+            # at 8-bit precision the entropy coding is identical, the
+            # extension only widens precision/table allowances
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
@@ -2423,13 +2481,27 @@ def decode_jpeg(b: bytes):
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0x0F
-                if hi not in (1, 2) or vi not in (1, 2):
-                    require_codec(f"JPEG sampling factors {hi}x{vi}")
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 A.1.1 bounds factors to 1-4; outside that
+                    # is a corrupt header, not a missing codec
+                    raise ValueError(
+                        f"JPEG sampling factor out of range {hi}x{vi}"
+                    )
                 comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _, _, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    # legal but fractional-replication layouts (3-vs-2
+                    # mixes) need true resampling, not replication
+                    require_codec(
+                        f"JPEG fractional sampling {hi}x{vi} "
+                        f"of {hmax}x{vmax}"
+                    )
             sof = (h, w, comps)
         elif marker == 0xC2:
             return _decode_jpeg_progressive(b)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
@@ -2770,7 +2842,9 @@ def _jpg_drive_ac_refine(block_iter, Ss, Se, Al, emit_sym, emit_bits):
     flush_eob()
 
 
-def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    arr, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive JPEG
     (SOF2). Same quantized coefficients as ``encode_jpeg`` at the
     same quality — progressive is a lossless re-coding, so decoding
@@ -2778,7 +2852,12 @@ def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
     DC with successive approximation, per-component spectral-
     selection AC bands with an Al cascade on luma, then refinement
     scans. AC tables are optimal per scan (T.81 K.2) and shipped in
-    a DHT before each SOS."""
+    a DHT before each SOS. ``restart_interval`` > 0 emits a DRI and
+    splits EVERY scan into that-many-MCU restart segments: each
+    segment flushes its EOB run and buffered correction bits,
+    byte-aligns, emits RSTm (m cycling 0-7, counter reset per scan),
+    and restarts DC prediction — so a decoder can resynchronize
+    inside any scan of the cascade."""
     coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
     nc = 1 if gray else 3
     bh, bw = coefs[0].shape[:2]
@@ -2803,19 +2882,38 @@ def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
     for tid in range(1 if gray else 2):
         bits, vals = _JPG_HUFF[(0, tid)]
         dht += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
-    out = bytearray(b"\xff\xd8" + dqt + seg(0xC2, sof) + dht)
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + dqt + seg(0xC2, sof) + dht + dri)
     dc_codes = [
         _jpg_canonical_codes(*_JPG_HUFF[(0, 0 if ci == 0 else 1)])
         for ci in range(nc)
     ]
     script = _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
+    ri = restart_interval
     for kind, comp, Ss, Se, Ah, Al in script:
         wr = _JpgBitWriter()
         scan_dht = b""
+
+        def emit_rst(seg_i):
+            # between restart segments: flush the partial byte
+            # (1-fill), emit RSTm with m cycling 0-7 from the scan's
+            # own counter
+            wr.flush()
+            wr.out += bytes([0xFF, 0xD0 + ((seg_i - 1) % 8)])
+
         if kind == "dc_first":
             preds = [0] * nc
+            mcu_n = 0
             for by in range(bh):
                 for bx in range(bw):
+                    if ri and mcu_n and mcu_n % ri == 0:
+                        emit_rst(mcu_n // ri)
+                        preds = [0] * nc
+                    mcu_n += 1
                     for ci in range(nc):
                         v = int(coefs[ci][by, bx, 0]) >> Al
                         diff = v - preds[ci]
@@ -2831,8 +2929,12 @@ def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
                                 cat,
                             )
         elif kind == "dc_refine":
+            mcu_n = 0
             for by in range(bh):
                 for bx in range(bw):
+                    if ri and mcu_n and mcu_n % ri == 0:
+                        emit_rst(mcu_n // ri)
+                    mcu_n += 1
                     for ci in range(nc):
                         wr.put(
                             (int(coefs[ci][by, bx, 0]) >> Al) & 1, 1
@@ -2850,20 +2952,41 @@ def encode_jpeg_progressive(arr, quality: int = 90) -> bytes:
                     for bx in range(bw):
                         yield c[by, bx]
 
+            # a restart segment is an independent entropy unit: the
+            # drive function flushes its EOB run and buffered
+            # correction bits at the end of each call, which is
+            # exactly the per-segment reset T.81 requires. One
+            # optimal table still covers the whole scan (tables
+            # cannot change mid-scan).
+            if ri:
+                segs, buf = [], []
+                for blk in blocks():
+                    buf.append(blk)
+                    if len(buf) == ri:
+                        segs.append(buf)
+                        buf = []
+                if buf:
+                    segs.append(buf)
+            else:
+                segs = [list(blocks())]
             freqs: dict[int, int] = {}
-            drive(
-                blocks(), Ss, Se, Al,
-                lambda s: freqs.__setitem__(s, freqs.get(s, 0) + 1),
-                lambda v, n: None,
-            )
+            for sgl in segs:
+                drive(
+                    iter(sgl), Ss, Se, Al,
+                    lambda s: freqs.__setitem__(s, freqs.get(s, 0) + 1),
+                    lambda v, n: None,
+                )
             bits, vals = _jpg_optimal_table(freqs)
             scan_dht = seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
             ac_codes = _jpg_canonical_codes(bits, vals)
-            drive(
-                blocks(), Ss, Se, Al,
-                lambda s: wr.put(*ac_codes[s]),
-                lambda v, n: wr.put(v, n),
-            )
+            for si, sgl in enumerate(segs):
+                if si:
+                    emit_rst(si)
+                drive(
+                    iter(sgl), Ss, Se, Al,
+                    lambda s: wr.put(*ac_codes[s]),
+                    lambda v, n: wr.put(v, n),
+                )
         wr.flush()
         if kind in ("dc_first", "dc_refine"):
             sos = bytes([nc])
@@ -2895,7 +3018,9 @@ def _decode_jpeg_progressive(b: bytes):
     grayscale replicated). Full scan machinery: DC first/refine with
     successive approximation, AC first/refine with spectral
     selection, EOBn runs, correction bits, DHT redefinition between
-    scans. 4:4:4 / grayscale only (subsampled progressive gates)."""
+    scans, and DRI/RSTm restart intervals in every scan kind
+    (realignment + sequence check + per-segment entropy reset).
+    4:4:4 / grayscale only (subsampled progressive gates)."""
     import numpy as np
 
     pos = 2
@@ -2904,6 +3029,7 @@ def _decode_jpeg_progressive(b: bytes):
     sof = None
     coefs = None
     eobrun = 0
+    restart_interval = 0
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -2921,18 +3047,7 @@ def _decode_jpeg_progressive(b: bytes):
         if len(payload) != ln - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:
-            p = 0
-            while p < len(payload):
-                pq, tq = payload[p] >> 4, payload[p] & 0x0F
-                if pq != 0:
-                    require_codec("JPEG 16-bit quantization tables")
-                if p + 65 > len(payload):
-                    raise ValueError("JPEG DQT truncated")
-                tab = np.zeros(64, dtype=np.int64)
-                for k in range(64):
-                    tab[_JPG_ZIGZAG[k]] = payload[p + 1 + k]
-                qts[tq] = tab.reshape(8, 8)
-                p += 65
+            _jpg_parse_dqt(payload, qts)
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -2962,7 +3077,9 @@ def _decode_jpeg_progressive(b: bytes):
             ]
             sof = (h, w, comps, bh, bw)
         elif marker == 0xDD:
-            require_codec("progressive JPEG restart intervals")
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("JPEG scan before SOF2")
@@ -2991,12 +3108,31 @@ def _decode_jpeg_progressive(b: bytes):
             end = _jpg_scan_end(b, data_start)
             rd = _JpgBitReader(b[data_start:end])
             eobrun = 0
+            ri = restart_interval
+            mcu_n = 0
+
+            def at_restart():
+                # segment boundary: realign, check the RSTm sequence
+                # number, reset all per-segment entropy state (the
+                # caller resets preds/eobrun — encoder flushed them)
+                want = (mcu_n // ri - 1) % 8
+                got = rd.restart()
+                if got != want:
+                    raise ValueError(
+                        f"JPEG restart desync: RST{got}, "
+                        f"expected RST{want}"
+                    )
+
             if Ss == 0:
                 if Se != 0:
                     raise ValueError("SOF2 scan mixes DC and AC")
                 preds = [0] * len(sel)
                 for by in range(bh):
                     for bx in range(bw):
+                        if ri and mcu_n and mcu_n % ri == 0:
+                            at_restart()
+                            preds = [0] * len(sel)
+                        mcu_n += 1
                         for si, (ci, dt, _at) in enumerate(sel):
                             blk = coefs[ci][by, bx]
                             if Ah == 0:
@@ -3022,6 +3158,10 @@ def _decode_jpeg_progressive(b: bytes):
                 p1, m1 = 1 << Al, -1 << Al
                 for by in range(bh):
                     for bx in range(bw):
+                        if ri and mcu_n and mcu_n % ri == 0:
+                            at_restart()
+                            eobrun = 0
+                        mcu_n += 1
                         blk = coefs[ci][by, bx]
                         if Ah == 0:
                             if eobrun > 0:

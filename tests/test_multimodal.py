@@ -645,9 +645,13 @@ def test_jpeg_gates_and_corrupt_safety(spark):
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg(prog)
-    # extended-sequential (SOF1) still gates honestly
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1))
+    # extended-sequential (SOF1) at 8-bit decodes on the baseline
+    # path — entropy coding is identical, so flipping the marker
+    # changes nothing about the pixels
+    assert np.array_equal(
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc1", 1)),
+        decode_jpeg(good),
+    )
     # truncated entropy stream -> ValueError
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])
@@ -692,6 +696,125 @@ def test_jpeg_420_roundtrip_and_mcu_tile_exactness():
     dec = decode_jpeg(encode_jpeg(px, quality=85, subsampling="420"))
     assert dec.shape == px.shape
     assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_jpeg_subsampling_family_mcu_exactness():
+    """4:2:2 / 4:4:0 / 4:1:1: MCU-sized constant tiles decode
+    bit-exact (box down/upsample are identity on them), odd sizes
+    pad and crop correctly, and each layout really shrinks the
+    stream relative to 4:4:4 of the same pixels."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for sub, (fh, fv) in (("422", (2, 1)), ("440", (1, 2)), ("411", (4, 1))):
+        tw, th = 8 * fh, 8 * fv
+        tiles = np.array(
+            [[(by * 29 + bx * 43 + 5) % 256 for bx in range(3)]
+             for by in range(2)],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((th, tw), dtype=np.uint8))
+        rgb = np.stack([img, img, img], axis=-1)
+        enc = encode_jpeg(rgb, quality=90, subsampling=sub)
+        assert np.array_equal(decode_jpeg(enc), rgb), sub
+        assert len(enc) < len(encode_jpeg(rgb, quality=90)), sub
+        # odd dims: padded MCU edges stay bounded on a smooth
+        # non-wrapping gradient (mod-256 wraps in make_test_pixels
+        # are legitimately lossy under wide chroma boxes)
+        w2, h2 = 8 * fh * 2 + 3, 8 * fv * 2 + 5
+        yy = np.arange(h2)[:, None]
+        xx = np.arange(w2)[None, :]
+        px = np.stack(
+            [np.clip(40 + 3 * xx + 2 * yy, 0, 215) + c * 10
+             for c in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, quality=85, subsampling=sub))
+        assert dec.shape == px.shape, sub
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12, sub
+
+
+def test_jpeg_extended_sequential_16bit_tables():
+    """SOF1 + Pq=1 16-bit quantization tables: the emitted stream
+    carries the extended markers, table entries above 255 parse
+    correctly (a stride or endianness bug scrambles the decode), and
+    block-constant corpora stay bit-exact because DC entries are
+    untouched."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        make_test_pixels,
+    )
+
+    tiles = np.array([[7, 131, 252], [64, 199, 18]], dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    rgb = np.stack([img, img, img], axis=-1)
+    b = encode_jpeg(rgb, quality=90, extended=True)
+    assert b"\xff\xc1" in b and b"\xff\xc0" not in b
+    sof1_at = b.index(b"\xff\xc1")
+    dqt_at = b.index(b"\xff\xdb")
+    assert dqt_at < sof1_at and b[dqt_at + 4] == 0x10  # Pq=1, Tq=0
+    assert np.array_equal(decode_jpeg(b), rgb)
+    # gradients: decode succeeds and stays a coarse approximation
+    # (the lifted AC steps quantize heavily but DC anchors the mean)
+    px = make_test_pixels(24, 16, seed=8)
+    dec = decode_jpeg(encode_jpeg(px, quality=90, extended=True))
+    assert dec.shape == px.shape
+    assert abs(float(dec.mean()) - float(px.mean())) < 16.0
+    # extended composes with subsampling and restart markers
+    img2 = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+    rgb2 = np.stack([img2, img2, img2], axis=-1)
+    b2 = encode_jpeg(
+        rgb2, quality=95, subsampling="420", extended=True,
+        restart_interval=2,
+    )
+    assert np.array_equal(decode_jpeg(b2), rgb2)
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI/RSTm inside SOF2 scans: every scan splits into restart
+    segments (EOB runs and buffered correction bits flush at each
+    boundary), decode equals the baseline decode for every interval,
+    and a swapped marker pair trips the sequence check."""
+    import numpy as np
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_marker_summary,
+        make_test_pixels,
+    )
+
+    px = make_test_pixels(24, 24, seed=9)  # 9 blocks -> 9 MCUs/scan
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    for ri in (1, 2, 4, 9, 100):
+        b = encode_jpeg_progressive(px, quality=90, restart_interval=ri)
+        prog, n_scans, n_rst = jpeg_marker_summary(b)
+        assert prog and n_scans == 10
+        assert n_rst == n_scans * (-(-9 // ri) - 1), ri
+        assert np.array_equal(decode_jpeg(b), base), ri
+    # grayscale path (4-scan script)
+    g = make_test_pixels(17, 23, seed=3)[..., 0]
+    gb = encode_jpeg_progressive(g, quality=85, restart_interval=3)
+    assert np.array_equal(
+        decode_jpeg(gb), decode_jpeg(encode_jpeg(g, quality=85))
+    )
+    # swapped RSTm pair inside a scan -> loud desync
+    b = bytearray(encode_jpeg_progressive(px, quality=90, restart_interval=2))
+    pos = [k for k in range(len(b) - 1)
+           if b[k] == 0xFF and 0xD0 <= b[k + 1] <= 0xD7]
+    assert len(pos) >= 2
+    b[pos[0] + 1], b[pos[1] + 1] = b[pos[1] + 1], b[pos[0] + 1]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(b))
 
 
 def test_g711_expansion_reference_values_and_wav_path():
@@ -1628,6 +1751,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
             )
         ), decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
+        (encode_jpeg(img8, quality=50, extended=True), decode_jpeg),
+        (encode_jpeg(img, quality=50, subsampling="411"), decode_jpeg),
+        (encode_jpeg(img, quality=50, subsampling="422"), decode_jpeg),
         (encode_wav(samples), decode_wav),
         (encode_png_gray(
             rng.randint(0, 16, (9, 13)).astype(np.uint8),
@@ -1645,6 +1771,14 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
     ]
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+    )
+
+    streams.append(
+        (encode_jpeg_progressive(img8, quality=50, restart_interval=2),
+         decode_jpeg)
+    )
     for b, dec in streams:
         for i in range(len(b)):
             for bit in range(8):
