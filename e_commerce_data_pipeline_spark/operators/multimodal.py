@@ -1778,36 +1778,51 @@ def image_dhash(df: DataFrame, cols: int = 9, rows_: int = 5) -> DataFrame:
 
 
 def jpeg420_tile_value(i: int, by: int, bx: int) -> int:
-    """Closed-form 16x16-tile value for the 4:2:0 corpus (q165)."""
+    """Closed-form MCU-tile value for the subsampled corpus (q165)."""
     return (i * 17 + by * 29 + bx * 43) % 256
 
 
+# q165's subsampling family: image i uses layout i%4; each constant
+# tile spans one full MCU of that layout, so the chroma box-mean and
+# nearest replication are identity on it and the q164 exactness
+# argument carries over. (tile_w, tile_h) == (8*fh_luma, 8*fv_luma).
+_JPG_FAMILY = (
+    ("420", 16, 16),
+    ("422", 16, 8),
+    ("440", 8, 16),
+    ("411", 32, 8),
+)
+
+
 def synthetic_jpeg420_table(spark, n: int = 40) -> DataFrame:
-    """Deterministic 4:2:0 baseline-JPEG table with an EXACT decode
-    oracle: gray-in-RGB images built from 16x16 constant tiles — one
-    tile spans a full 2x2-luma MCU, so the chroma 2x2 downsample and
-    the nearest-replication upsample are both identity on it and the
-    q164 exactness argument carries over to the subsampled layout
-    (DC-only blocks, DC quant step < 8 at the 85-95 qualities
-    used)."""
+    """Deterministic subsampled baseline-JPEG table with an EXACT
+    decode oracle: gray-in-RGB images of MCU-sized constant tiles,
+    rotating through the full chroma-subsampling family — 4:2:0
+    (16x16 MCU, the libjpeg/phone-camera default), 4:2:2 (16x8, the
+    video/YUY2 layout), 4:4:0 (8x16), 4:1:1 (32x8, the DV layout).
+    One tile spans a full MCU, so the box-mean downsample and the
+    nearest-replication upsample are both identity on it and the
+    q164 exactness argument (DC-only blocks, DC quant step < 8 at
+    the 85-95 qualities used) carries over to every layout."""
     import numpy as np
 
     rows = []
     for i in range(n):
-        w, h = 32 + (i % 3) * 16, 32 + (i % 2) * 16
+        sub, tw, th = _JPG_FAMILY[i % 4]
+        nx, ny = 2 + (i % 3), 2 + (i % 2)
         tiles = np.array(
             [
-                [jpeg420_tile_value(i, by, bx) for bx in range(w // 16)]
-                for by in range(h // 16)
+                [jpeg420_tile_value(i, by, bx) for bx in range(nx)]
+                for by in range(ny)
             ],
             dtype=np.uint8,
         )
-        img = np.kron(tiles, np.ones((16, 16), dtype=np.uint8))
+        img = np.kron(tiles, np.ones((th, tw), dtype=np.uint8))
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5
         rows.append(
-            (i, "image", encode_jpeg(rgb, quality=q, subsampling="420"),
-             None, f"mem://media/{i}.420.jpg")
+            (i, "image", encode_jpeg(rgb, quality=q, subsampling=sub),
+             None, f"mem://media/{i}.{sub}.jpg")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
@@ -1827,7 +1842,13 @@ def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
     still sweep positive/negative magnitude categories, so Huffman
     DC prediction, EOB coding, both quant tables and all four Annex K
     code tables are on the verified path; AC/ZRL paths are covered by
-    tolerance-bounded round-trip tests (tests/test_multimodal.py)."""
+    tolerance-bounded round-trip tests (tests/test_multimodal.py).
+    Every fifth image re-encodes as EXTENDED sequential (SOF1 with
+    Pq=1 16-bit quantization tables): the entropy coding is
+    identical and DC entries are untouched, so the same closed form
+    holds — but a decoder that misparses the 16-bit table stride or
+    endianness desyncs the marker walk or scrambles the DC step and
+    breaks the value hash."""
     rows = []
     for i in range(n):
         w, h = 24 + (i % 4) * 8, 16 + (i % 3) * 8
@@ -1844,7 +1865,8 @@ def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5  # 85 / 90 / 95 — all keep DC step < 8
         rows.append(
-            (i, "image", encode_jpeg(rgb, quality=q), None,
+            (i, "image",
+             encode_jpeg(rgb, quality=q, extended=(i % 5 == 4)), None,
              f"mem://media/{i}.jpg")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -1917,7 +1939,11 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
     full SOF2 scan script. DC-only spectra + DC quant step < 8 keep
     decode bit-exact (q164's argument), so the successive-
     approximation DC cascade and every EOB-run AC scan are on the
-    value-verified path."""
+    value-verified path. Every third image (i%3==2) adds a DRI of
+    1+(i%5) MCUs, splitting all 10 scans into restart segments —
+    q198's aux (scans*1000 + restarts, structural marker walk)
+    verifies the exact per-scan RST census and the decode hash
+    verifies each segment's entropy reset."""
     import numpy as np
 
     rows = []
@@ -1933,11 +1959,12 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
         img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5
+        ri = (1 + i % 5) if i % 3 == 2 else 0
         rows.append(
             (
                 i,
                 "image",
-                encode_jpeg_progressive(rgb, quality=q),
+                encode_jpeg_progressive(rgb, quality=q, restart_interval=ri),
                 None,
                 f"mem://media/{i}.jpg",
             )
@@ -4819,10 +4846,11 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
     (proves 2-byte big-endian samples were really read — a
     byte-order or stride bug caps or scrambles it), the count of
     RSTm markers for baseline JPEG (proves the encoder emitted and
-    the decoder consumed the restart structure), and the SOS count
-    for progressive JPEG (proves the full multi-scan layout is
-    present — both via ``jpeg_marker_summary``'s structural walk, so
-    entropy bytes can't false-positive). Channel sums use int64 (no
+    the decoder consumed the restart structure), and scans*1000 +
+    restarts for progressive JPEG (proves the full multi-scan layout
+    AND any per-scan restart segmentation are present — both via
+    ``jpeg_marker_summary``'s structural walk, so entropy bytes
+    can't false-positive). Channel sums use int64 (no
     lq² here: 16-bit samples would overflow the squared-luma
     accumulator that ``image_exact_stats`` uses for 8-bit
     corpora)."""
@@ -4844,7 +4872,7 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
                         bytes(content)
                     )
                     if prog:
-                        fmt, aux = "jpeg_prog", n_scans
+                        fmt, aux = "jpeg_prog", n_scans * 1000 + n_rst
                     else:
                         aux = n_rst
                 else:

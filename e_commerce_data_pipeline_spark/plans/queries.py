@@ -8702,10 +8702,15 @@ def q163_ngram_novelty_drift(spark, sf_dir):
     "generator's closed form bit-for-bit — the oracle regenerates "
     "them per tile (64 px each) and any error in headers, Huffman "
     "decode, prediction, dequantization, or the IDCT breaks the "
-    "hash. AC/ZRL runs, subsampling gates, and corrupt-stream "
-    "safety are pytest-covered (tolerance-bounded round trips); "
-    "progressive/12-bit/subsampled/restart streams gate through "
-    "require_codec like the other compressed formats.",
+    "hash. Every fifth image re-encodes as EXTENDED sequential "
+    "(round 8): SOF1 with Pq=1 16-bit quantization tables — the "
+    "entropy coding is identical and DC entries untouched, so the "
+    "same oracle rows hold, but a misparsed 16-bit stride or "
+    "endianness desyncs the marker walk or scrambles the DC step. "
+    "AC/ZRL runs and corrupt-stream safety are pytest-covered "
+    "(tolerance-bounded round trips); subsampled layouts are q165's "
+    "corpus, restart/progressive streams q198's; 12-bit/arithmetic "
+    "streams still gate through require_codec.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q164_jpeg_decode_stats(spark, sf_dir):
@@ -8719,33 +8724,45 @@ def q164_jpeg_decode_stats(spark, sf_dir):
     "q165_jpeg420_decode_stats",
     """
     WITH m AS (
-        SELECT i, 32 + (i % 3) * 16 AS w, 32 + (i % 2) * 16 AS h
+        SELECT i,
+               CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+                          WHEN 2 THEN 8 ELSE 32 END AS tw,
+               CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 8
+                          WHEN 2 THEN 16 ELSE 8 END AS th,
+               2 + (i % 3) AS nx, 2 + (i % 2) AS ny
         FROM range(40) t(i)
     ),
-    tb AS (SELECT i, w, unnest(range(h // 16)) AS by FROM m),
-    tiles AS (SELECT i, by, unnest(range(w // 16)) AS bx FROM tb),
-    v AS (SELECT i, (i * 17 + by * 29 + bx * 43) % 256 AS t FROM tiles)
+    tb AS (SELECT i, tw, th, nx, unnest(range(ny)) AS by FROM m),
+    tiles AS (SELECT i, tw, th, by, unnest(range(nx)) AS bx FROM tb),
+    v AS (
+        SELECT i, tw * th AS npx,
+               (i * 17 + by * 29 + bx * 43) % 256 AS t
+        FROM tiles
+    )
     SELECT i AS media_id,
-           CAST(256 * COUNT(*) AS BIGINT) AS n_px,
-           CAST(256 * SUM(t) AS BIGINT) AS sum_r,
-           CAST(256 * SUM(t) AS BIGINT) AS sum_g,
-           CAST(256 * SUM(t) AS BIGINT) AS sum_b,
-           CAST(256 * SUM(10000 * t) AS BIGINT) AS sum_lq,
-           CAST(256 * SUM(10000 * t * 10000 * t) AS BIGINT) AS sum_lq2
+           CAST(SUM(npx) AS BIGINT) AS n_px,
+           CAST(SUM(npx * t) AS BIGINT) AS sum_r,
+           CAST(SUM(npx * t) AS BIGINT) AS sum_g,
+           CAST(SUM(npx * t) AS BIGINT) AS sum_b,
+           CAST(SUM(npx * 10000 * t) AS BIGINT) AS sum_lq,
+           CAST(SUM(npx * 10000 * t * 10000 * t) AS BIGINT) AS sum_lq2
     FROM v GROUP BY i
     """,
-    "4:2:0 chroma-subsampled JPEG decode, driver-verified at VALUE "
-    "level — the libjpeg/phone-camera default layout q164's 4:4:4 "
-    "path doesn't touch: interleaved MCUs of four luma blocks plus "
-    "one Cb/Cr pair, per-component DC predictors advancing at "
-    "different rates, encoder-side 2x2 round-half-up chroma "
-    "downsampling and decoder-side nearest replication. The corpus "
-    "makes it exact: 16x16 constant tiles span a full MCU, so "
+    "Chroma-subsampled JPEG decode across the FULL sampling family, "
+    "driver-verified at VALUE level — layouts q164's 4:4:4 path "
+    "doesn't touch: image i%4 rotates 4:2:0 (16x16 MCU, the "
+    "libjpeg/phone-camera default), 4:2:2 (16x8, video/YUY2), 4:4:0 "
+    "(8x16), 4:1:1 (32x8, DV) — interleaved MCUs with per-component "
+    "DC predictors advancing at different rates, encoder-side "
+    "round-half-up box-mean chroma downsampling and decoder-side "
+    "nearest replication at each factor pair. The corpus makes it "
+    "exact: constant tiles span a full MCU of their layout, so "
     "downsample and upsample are identity on them and the DC-step<8 "
     "argument from q164 carries over — decoded pixels equal the "
-    "closed form bit-for-bit (256 px per tile in the oracle). "
-    "Mixed-factor streams outside {1,2}x{1,2} still gate via "
-    "require_codec.",
+    "closed form bit-for-bit (tw*th px per tile in the oracle; the "
+    "per-layout MCU geometry is itself under test via n_px). "
+    "Fractional-replication factor mixes still gate via "
+    "require_codec; out-of-range factors are ValueError.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q165_jpeg420_decode_stats(spark, sf_dir):
@@ -9518,7 +9535,11 @@ def q176_png16_decode_stats(spark, sf_dir):
         UNION ALL
         SELECT 'jpeg', 24 + (i % 4) * 8, 16 + (i % 3) * 8 FROM range(60) t(i)
         UNION ALL
-        SELECT 'jpeg', 32 + (i % 3) * 16, 32 + (i % 2) * 16
+        SELECT 'jpeg',
+               (CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+                           WHEN 2 THEN 8 ELSE 32 END) * (2 + (i % 3)),
+               (CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 8
+                           WHEN 2 THEN 16 ELSE 8 END) * (2 + (i % 2))
         FROM range(40) t(i)
         UNION ALL
         SELECT 'gif', 20 + (i % 5) * 4, 12 + (i % 6) * 4 FROM range(50) t(i)
@@ -9532,8 +9553,9 @@ def q176_png16_decode_stats(spark, sf_dir):
     """,
     "Heterogeneous media corpus in ONE scan — the 100 TB reality no "
     "single-format query exercises: 357 images across SEVEN container "
-    "variants (BMP, PPM, sequential/palette/Adam7 PNG, 4:4:4 and "
-    "4:2:0 baseline JPEG, GIF) flow through the magic-byte dispatch "
+    "variants (BMP, PPM, sequential/palette/Adam7 PNG, 4:4:4+extended "
+    "and subsampling-family JPEG, GIF) flow through the magic-byte "
+    "dispatch "
     "(_decode_any) inside one Arrow kernel pass, each decoded by its "
     "own real codec to recover dimensions. The per-format rollup "
     "(counts, total pixels, dimension extrema) matches the closed "
@@ -11272,19 +11294,24 @@ def q197_cdc_validation_census(spark, sf_dir):
         FROM jv GROUP BY i
     ),
     q AS (
-        SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 4) * 8 AS h
+        SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 4) * 8 AS h,
+               CASE WHEN i % 3 = 2 THEN 1 + (i % 5) ELSE 0 END AS ri
         FROM range(36) t(i)
     ),
-    qtb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM q),
-    qt2 AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM qtb),
-    qv AS (SELECT i, (i * 37 + by * 11 + bx * 5) % 256 AS t FROM qt2),
+    qtb AS (SELECT i, w, ri, unnest(range(h // 8)) AS by FROM q),
+    qt2 AS (SELECT i, ri, by, unnest(range(w // 8)) AS bx FROM qtb),
+    qv AS (
+        SELECT i, ri, (i * 37 + by * 11 + bx * 5) % 256 AS t FROM qt2
+    ),
     jprog AS (
         SELECT 'jpeg_prog' AS fmt, i AS media_id,
                CAST(64 * COUNT(*) AS BIGINT) AS n_px,
                CAST(64 * SUM(t) AS BIGINT) AS sum_r,
                CAST(64 * SUM(t) AS BIGINT) AS sum_g,
                CAST(64 * SUM(t) AS BIGINT) AS sum_b,
-               CAST(10 AS BIGINT) AS aux
+               CAST(10 * 1000 + 10 * CASE WHEN MIN(ri) > 0 THEN
+                        (COUNT(*) + MIN(ri) - 1) // MIN(ri) - 1
+                    ELSE 0 END AS BIGINT) AS aux
         FROM qv GROUP BY i
     )
     SELECT * FROM ppm UNION ALL SELECT * FROM jpg
@@ -11309,9 +11336,14 @@ def q197_cdc_validation_census(spark, sf_dir):
     "slack for EOBn) — progressive re-coding is lossless, so the "
     "block-constant corpus decodes bit-exact and pytest asserts "
     "decode(progressive(x)) == decode(baseline(x)) on gradients "
-    "too. aux: max sample / RST count / SOS count, the latter two "
-    "from a structural marker walk (stuffed 0xFF00 can't "
-    "false-positive).",
+    "too. Every third progressive image adds a DRI of 1+(i%5) MCUs "
+    "(round 8): all 10 scans split into restart segments — EOB runs "
+    "and buffered correction bits flush at each boundary, and the "
+    "decoder realigns + sequence-checks inside every scan kind. "
+    "aux: max sample / RST count / scans*1000 + RST count, the "
+    "latter two from a structural marker walk (stuffed 0xFF00 "
+    "can't false-positive) — the formula pins the EXACT restart "
+    "census, ceil(mcus/ri)-1 per scan across all 10 scans.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q198_codec_gate_census(spark, sf_dir):
