@@ -274,50 +274,191 @@ def encode_bmp16_565(arr) -> bytes:
     return bytes(header) + masks + body
 
 
+def encode_bmp_os2(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> OS/2 1.x BMP (12-byte
+    BITMAPCOREHEADER, 24-bit, bottom-up, DWORD-aligned rows) — the
+    pre-Windows-3 layout old tooling still emits."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "OS/2 BMP encoder expects RGB"
+    row = w * 3
+    stride = row + ((-row) % 4)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :row] = a[::-1, :, ::-1].reshape(h, row)
+    body = rows.tobytes()
+    offset = 14 + 12
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
+    ) + struct.pack("<IHHHH", 12, w, h, 1, 24)
+    return bytes(header) + body
+
+
+def encode_bmp_embedded(payload: bytes, w: int, h: int, png: bool) -> bytes:
+    """Complete JPEG/PNG stream -> BI_JPEG / BI_PNG BMP container
+    (BITMAPINFOHEADER with biBitCount=0 and biSizeImage = payload
+    length, the printer-driver passthrough layout per MSDN)."""
+    offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(payload), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 0, 5 if png else 4,
+        len(payload), 2835, 2835, 0, 0,
+    )
+    return bytes(header) + payload
+
+
+def encode_bmp_a2r10g10b10(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 32-bit BI_ALPHABITFIELDS (WinCE comp=6)
+    A2R10G10B10 BMP: 10-bit samples are v << 2, so the decoder's
+    cyclic bit replication (top 8 of 10) returns the original 8-bit
+    values exactly; the 2-bit alpha field rides full-scale and is
+    validated + dropped on decode."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "A2R10G10B10 encoder expects RGB"
+    a32 = a.astype(np.uint32)
+    u = (
+        (np.uint32(3) << 30)
+        | (a32[..., 0] << 22)
+        | (a32[..., 1] << 12)
+        | (a32[..., 2] << 2)
+    )
+    body = np.ascontiguousarray(u[::-1].astype("<u4")).tobytes()
+    masks = struct.pack(
+        "<IIII", 0x3FF << 20, 0x3FF << 10, 0x3FF, 0x3 << 30
+    )
+    offset = 54 + len(masks)
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 6, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + masks + body
+
+
+def _decode_bmp_core(b: bytes, offset: int):
+    """OS/2 BITMAPCOREHEADER decode: 16-bit unsigned dims, implicit
+    BI_RGB, bottom-up only, palette entries are BGR TRIPLES (not the
+    BITMAPINFOHEADER's quads). 1/4/8-bit paletted and 24-bit
+    truecolor — the only depths the 12-byte header can express."""
+    import numpy as np
+
+    w, h, planes, bpp = struct.unpack_from("<HHHH", b, 18)
+    if bpp not in (1, 4, 8, 24) or planes != 1:
+        raise ValueError(f"invalid OS/2 BMP header (bpp={bpp})")
+    if w == 0 or h == 0:
+        raise ValueError("invalid BMP dimensions")
+    if bpp == 24:
+        row = w * 3
+        stride = row + ((-row) % 4)
+        px = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+        px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]
+        return px[::-1]
+    n_pal = 1 << bpp
+    pal_off = 14 + 12
+    pal_bytes = b[pal_off : pal_off + 3 * n_pal]
+    if len(pal_bytes) < 3 * n_pal:
+        raise ValueError("BMP palette truncated")
+    pal = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 3)[:, ::-1]
+    row_bytes = (w * bpp + 7) // 8
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(b, np.uint8, count=stride * h, offset=offset)
+    rows = rows.reshape(h, stride)[:, :row_bytes]
+    if bpp == 8:
+        idx = rows[:, :w]
+    else:
+        bits = np.unpackbits(rows, axis=1)
+        if bpp == 4:
+            nib = bits.reshape(h, row_bytes * 2, 4)
+            weights = np.array([8, 4, 2, 1], np.uint8)
+            idx = (nib * weights).sum(axis=-1).astype(np.uint8)[:, :w]
+        else:
+            idx = bits[:, :w]
+    px = pal[idx.reshape(-1)].reshape(h, w, 3)
+    return px[::-1]
+
+
 def decode_bmp(b: bytes):
     """BMP bytes -> (h, w, 3) uint8 RGB array. Decodes the common
     BITMAPINFOHEADER family (round-8 gate retirements): 24/32-bit
     BI_RGB (BGRX — the fourth byte is padding per the original spec,
     dropped), 16-bit BI_RGB (X1R5G5B5, samples expanded
-    ``(v << 3) | (v >> 2)``), 16/32-bit BI_BITFIELDS with contiguous
-    4..10-bit masks (R5G6B5 et al.), and 1/4/8-bit paletted including
-    BI_RLE8/BI_RLE4 (runs, absolute mode, EOL/EOD/delta escapes).
-    The remaining registry entries gate."""
+    ``(v << 3) | (v >> 2)``), 16/32-bit BI_BITFIELDS and
+    BI_ALPHABITFIELDS with any contiguous channel masks (R5G6B5,
+    8888, A2R10G10B10, ...; alpha validated and dropped), 1/4/8-bit
+    paletted including BI_RLE8/BI_RLE4 (runs, absolute mode,
+    EOL/EOD/delta escapes), BI_JPEG/BI_PNG embedded payloads routed
+    to the in-house codecs (dimension-checked against the header),
+    and the OS/2 BITMAPCOREHEADER layout (12-byte header, 3-byte
+    palette entries). The remaining registry entries gate."""
     import numpy as np
 
-    if len(b) < 54 or b[:2] != b"BM":
+    if len(b) < 26 or b[:2] != b"BM":
         raise ValueError("not a BMP")
     offset = struct.unpack_from("<I", b, 10)[0]
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size == 12:
+        # OS/2 1.x BITMAPCOREHEADER: 16-bit unsigned dims, no
+        # compression field, BGR triple palette entries
+        return _decode_bmp_core(b, offset)
+    if len(b) < 54:
+        raise ValueError("not a BMP")
     hdr_size, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
-    if bpp not in (1, 4, 8, 16, 24, 32) or comp not in (
-        0, 1, 2, 3, 4, 5, 6, 11, 12, 13,
+    if comp not in (0, 1, 2, 3, 4, 5, 6, 11, 12, 13) or (
+        bpp not in (1, 4, 8, 16, 24, 32)
+        if comp not in (4, 5)
+        else bpp != 0
     ):
         # bit depths / compressions outside the BITMAPINFOHEADER
         # registry (BI_RGB..BI_PNG, BI_ALPHABITFIELDS=6, BI_CMYK*
-        # =11-13) — corrupt header, not a variant; the honest gate
-        # below is reserved for values real files can carry
+        # =11-13; embedded BI_JPEG/BI_PNG carry biBitCount=0) —
+        # corrupt header, not a variant; the honest gate below is
+        # reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     supported = (
         (bpp in (16, 24, 32) and comp == 0)
-        or (bpp in (16, 32) and comp == 3)
+        or (bpp in (16, 32) and comp in (3, 6))
         or (bpp == 8 and comp in (0, 1))
         or (bpp == 4 and comp in (0, 2))
         or (bpp == 1 and comp == 0)
+        or comp in (4, 5)
     )
     if not supported:
         require_codec(f"BMP bpp={bpp} compression={comp}")
     flip = h > 0
     h = abs(h)
+    if comp in (4, 5):
+        # BI_JPEG / BI_PNG: the pixel data is a complete embedded
+        # stream (printer-driver passthrough per MSDN); decode it
+        # with the in-house codec and cross-check the header dims
+        (size_image,) = struct.unpack_from("<I", b, 34)
+        payload = b[offset : offset + size_image] if size_image else b[offset:]
+        px = (decode_jpeg if comp == 4 else decode_png)(bytes(payload))
+        if px.ndim == 2:
+            px = np.stack([px] * 3, axis=-1)
+        px = px[..., :3]
+        if w > 0 and h > 0 and px.shape[:2] != (h, w):
+            raise ValueError(
+                f"BMP embedded stream dims {px.shape[1]}x{px.shape[0]} "
+                f"!= header {w}x{h}"
+            )
+        return px
     if w <= 0 or h == 0:
         raise ValueError("invalid BMP dimensions")
-    if comp == 3:
+    if comp in (3, 6):
         # BI_BITFIELDS: three u32 channel masks follow the 40-byte
-        # header (same file position inside V4/V5 headers). Generic
-        # contiguous-mask extraction covers the two layouts in the
-        # wild — R5G6B5 16-bit and 8-bit-per-channel 32-bit
-        if len(b) < 66:
+        # header (same file position inside V4/V5 headers);
+        # BI_ALPHABITFIELDS (WinCE) adds a fourth alpha mask.
+        # Generic contiguous-mask extraction covers every layout a
+        # legal header can carry
+        nm = 4 if comp == 6 else 3
+        if len(b) < 54 + 4 * nm:
             raise ValueError("BMP bitfields masks truncated")
-        masks = struct.unpack_from("<III", b, 54)
+        masks = struct.unpack_from("<" + "I" * nm, b, 54)
         return _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip)
     if bpp in (24, 32):
         ch = bpp // 8
@@ -386,31 +527,39 @@ def decode_bmp(b: bytes):
 
 
 def _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip):
-    """BI_BITFIELDS pixel extraction: each channel mask must be a
-    contiguous run of 4..10 bits (covers 555/565/888/101010 — the
-    layouts real files carry); samples expand to 8 bits by taking the
-    top byte (width >= 8) or bit replication (width < 8, mapping 0->0
-    and full-scale->255 exactly). Overlapping or gappy masks are
-    corrupt, not variants."""
+    """BI_BITFIELDS / BI_ALPHABITFIELDS pixel extraction: each
+    channel mask must be a contiguous run of bits; an optional 4th
+    (alpha) mask is validated and dropped (output is RGB). Samples
+    expand to 8 bits by cyclic bit replication — the pattern repeats
+    to fill 8 bits and the 8 MSBs are taken, which maps 0 -> 0 and
+    full-scale -> 255 exactly at every width and reduces to the
+    classic ``(v << 3) | (v >> 2)`` at 5 bits and to top-byte
+    truncation at widths >= 8 — so ANY contiguous-mask layout a
+    legal 16/32-bit header can carry decodes (555/565/888/101010 and
+    the odd widths alike). Overlapping or gappy masks are corrupt,
+    not variants."""
     import numpy as np
 
-    if (
-        masks[0] & masks[1]
-        or masks[0] & masks[2]
-        or masks[1] & masks[2]
-    ):
-        raise ValueError("BMP bitfields masks overlap")
+    for a in range(len(masks)):
+        for c in range(a + 1, len(masks)):
+            if masks[a] & masks[c]:
+                raise ValueError("BMP bitfields masks overlap")
     params = []
-    for m in masks:
+    for m in masks[:3]:
         if m == 0 or m > 0xFFFFFFFF or (bpp == 16 and m > 0xFFFF):
             raise ValueError("BMP bitfields mask out of range")
         shift = (m & -m).bit_length() - 1
         width = (m >> shift).bit_length()
         if (m >> shift) != (1 << width) - 1:
             raise ValueError("BMP bitfields mask not contiguous")
-        if not 4 <= width <= 10:
-            require_codec(f"BMP bitfields channel width {width}")
         params.append((shift, width))
+    if len(masks) > 3 and masks[3]:
+        am = masks[3]
+        if am > 0xFFFFFFFF or (bpp == 16 and am > 0xFFFF):
+            raise ValueError("BMP bitfields mask out of range")
+        ashift = (am & -am).bit_length() - 1
+        if (am >> ashift) != (1 << (am >> ashift).bit_length()) - 1:
+            raise ValueError("BMP bitfields mask not contiguous")
     step = bpp // 8
     row = w * step
     stride = row + ((-row) % 4)
@@ -421,14 +570,12 @@ def _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip):
         u |= rows[..., i].astype(np.uint32) << (8 * i)  # little-endian
     chans = []
     for shift, width in params:
-        v = (u >> shift) & ((1 << width) - 1)
-        if width >= 8:
-            c = (v >> (width - 8)).astype(np.uint8)
-        else:
-            c = ((v << (8 - width)) | (v >> (2 * width - 8))).astype(
-                np.uint8
-            )
-        chans.append(c)
+        v = ((u >> shift) & ((1 << width) - 1)).astype(np.uint64)
+        rep, total = v, width
+        while total < 8:
+            rep = (rep << width) | v
+            total += width
+        chans.append((rep >> (total - 8)).astype(np.uint8))
     px = np.stack(chans, axis=-1)
     return px[::-1] if flip else px
 
@@ -1245,14 +1392,18 @@ def _media_palette(n_entries: int, unit: int):
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images cycling TEN container variants by
-    ``i % 10`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    actual decodable images cycling THIRTEEN container variants by
+    ``i % 13`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
     RLE8 BMP, 4-bit BMP (base // 17 palette), 1-bit BMP (base // 128
-    palette), RLE4 BMP, 16-bit X1R5G5B5 BMP, and 16-bit R5G6B5
-    BI_BITFIELDS BMP. The full-depth
-    variants carry the SAME gradient pixels; the quantizing variants
-    (4/1/16-bit) carry deterministic quantizations of it, so every
-    pixel-stats oracle stays closed-form per variant."""
+    palette), RLE4 BMP, 16-bit X1R5G5B5 BMP, 16-bit R5G6B5
+    BI_BITFIELDS BMP, and (round 8) BI_PNG embedded-payload BMP,
+    A2R10G10B10 BI_ALPHABITFIELDS BMP, and OS/2 BITMAPCOREHEADER
+    24-bit BMP. The full-depth variants (including all three round-8
+    additions — the PNG embed is lossless, the 10-bit samples are
+    v << 2 so cyclic replication is exact, and the OS/2 layout is
+    plain truecolor) carry the SAME gradient pixels; the quantizing
+    variants (4/1/16-bit) carry deterministic quantizations of it,
+    so every pixel-stats oracle stays closed-form per variant."""
     import numpy as np
 
     pal256 = _media_palette(256, 1)
@@ -1264,7 +1415,7 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
         if real:
             px = make_test_pixels(w, h, seed=i)
             base = px[..., 0]
-            k = i % 10
+            k = i % 13
             if k == 0:
                 content = encode_bmp(px)
             elif k == 1:
@@ -1285,8 +1436,16 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
                 )
             elif k == 8:
                 content = encode_bmp16_555(px)
-            else:
+            elif k == 9:
                 content = encode_bmp16_565(px)
+            elif k == 10:
+                content = encode_bmp_embedded(
+                    encode_png(np.asarray(px)), w, h, png=True
+                )
+            elif k == 11:
+                content = encode_bmp_a2r10g10b10(px)
+            else:
+                content = encode_bmp_os2(px)
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))
@@ -1848,7 +2007,13 @@ def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
     identical and DC entries are untouched, so the same closed form
     holds — but a decoder that misparses the 16-bit table stride or
     endianness desyncs the marker walk or scrambles the DC step and
-    breaks the value hash."""
+    breaks the value hash. Every seventh image (i%7==3) additionally
+    ships INSIDE a BI_JPEG BMP container (biBitCount=0, biSizeImage
+    = payload length — the printer-driver passthrough layout): the
+    magic-byte dispatch routes it through decode_bmp, which decodes
+    the embedded stream with the in-house JPEG codec and cross-
+    checks the header dimensions, and the same pixel closed form
+    holds."""
     rows = []
     for i in range(n):
         w, h = 24 + (i % 4) * 8, 16 + (i % 3) * 8
@@ -1864,10 +2029,11 @@ def synthetic_jpeg_table(spark, n: int = 60) -> DataFrame:
         img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5  # 85 / 90 / 95 — all keep DC step < 8
+        content = encode_jpeg(rgb, quality=q, extended=(i % 5 == 4))
+        if i % 7 == 3:
+            content = encode_bmp_embedded(content, w, h, png=False)
         rows.append(
-            (i, "image",
-             encode_jpeg(rgb, quality=q, extended=(i % 5 == 4)), None,
-             f"mem://media/{i}.jpg")
+            (i, "image", content, None, f"mem://media/{i}.jpg")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

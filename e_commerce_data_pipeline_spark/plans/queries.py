@@ -5563,11 +5563,14 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
-# Shared closed form for synthetic_media_table's TEN container
-# variants (k = i % 10): full-depth variants carry the gradient
-# unchanged; 4-bit/1-bit palettes quantize the base sample (// 17,
-# // 128) BEFORE the channel offsets, and 16-bit X1R5G5B5 quantizes
-# each 8-bit CHANNEL to 5 bits (or 6 for R5G6B5's green) with
+# Shared closed form for synthetic_media_table's THIRTEEN container
+# variants (k = i % 13): full-depth variants carry the gradient
+# unchanged — including the round-8 trio (BI_PNG embed is lossless,
+# A2R10G10B10's 10-bit samples are v << 2 so cyclic replication is
+# exact, OS/2 core is plain truecolor), so they need no CASE arm;
+# 4-bit/1-bit palettes quantize the base sample (// 17, // 128)
+# BEFORE the channel offsets, and 16-bit X1R5G5B5 quantizes each
+# 8-bit CHANNEL to 5 bits (or 6 for R5G6B5's green) with
 # bit-replication expansion. Used by the q139/q143 pixel oracles.
 def _media_variant_rgb(base: str) -> tuple[str, str, str]:
     rb = (
@@ -5605,14 +5608,16 @@ _Q139_R, _Q139_G, _Q139_B = _media_variant_rgb("base")
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 10 = 1 THEN 'ppm' ELSE 'bmp' END AS format
+           CASE WHEN i % 13 = 1 THEN 'ppm' ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
-    "media table (deterministic gradient pixels, now cycling TEN "
-    "container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit paletted "
-    "BMP, RLE8 and RLE4 BMP: the round-8 BMP gate retirements, "
-    "closing the whole common BITMAPINFOHEADER surface) is ENCODED "
+    "media table (deterministic gradient pixels, now cycling "
+    "THIRTEEN container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit "
+    "paletted BMP, RLE8 and RLE4 BMP, plus BI_PNG embedded-payload "
+    "BMP, A2R10G10B10 BI_ALPHABITFIELDS BMP and OS/2 "
+    "BITMAPCOREHEADER BMP: the round-8 gate retirements, closing "
+    "the whole common BMP container surface) is ENCODED "
     "and then DECODED by the real pure-numpy codecs through the "
     "Arrow mapInPandas kernel; the oracle recomputes the expected "
     "(width, height, channels, format) from the generator's closed "
@@ -6814,7 +6819,7 @@ def q138_copurchase_triangles(spark, sf_dir):
     "q139_image_feature_stats",
     f"""
     WITH m AS (
-        SELECT i, i % 10 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 13 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, unnest(range(h)) AS y FROM m),
@@ -6838,9 +6843,10 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images — encoded across TEN containers (24/32-bit BMP, 555 and "
-    "565 16-bit BMP, PPM, "
-    "8/4/1-bit paletted, RLE8, RLE4) — are decoded by the real "
+    "images — encoded across THIRTEEN containers (24/32-bit BMP, "
+    "555 and 565 16-bit BMP, PPM, 8/4/1-bit paletted, RLE8, RLE4, "
+    "BI_PNG embed, A2R10G10B10 alpha-bitfields, OS/2 core) — are "
+    "decoded by the real "
     "pure-numpy codecs inside the Arrow kernel and reduced to "
     "integer-exact channel/luminance sums; the oracle regenerates "
     "each variant's pixels from its closed form (full-depth variants "
@@ -7036,7 +7042,7 @@ def q142_video_frame_sample(spark, sf_dir):
     "q143_image_resize_verify",
     f"""
     WITH m AS (
-        SELECT i, i % 10 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 13 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, h, unnest(range(8)) AS yy FROM m),
@@ -8707,6 +8713,10 @@ def q163_ngram_novelty_drift(spark, sf_dir):
     "entropy coding is identical and DC entries untouched, so the "
     "same oracle rows hold, but a misparsed 16-bit stride or "
     "endianness desyncs the marker walk or scrambles the DC step. "
+    "Every seventh image ships inside a BI_JPEG BMP container "
+    "(biBitCount=0 passthrough): decode_bmp routes the embedded "
+    "stream to the in-house JPEG codec and cross-checks header "
+    "dims, same closed form. "
     "AC/ZRL runs and corrupt-stream safety are pytest-covered "
     "(tolerance-bounded round trips); subsampled layouts are q165's "
     "corpus, restart/progressive streams q198's; 12-bit/arithmetic "
@@ -9523,7 +9533,7 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 10 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        SELECT CASE WHEN i % 13 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
         UNION ALL
@@ -9533,7 +9543,8 @@ def q176_png16_decode_stats(spark, sf_dir):
         UNION ALL
         SELECT 'png', 15 + (i % 8) * 3, 11 + (i % 6) * 3 FROM range(42) t(i)
         UNION ALL
-        SELECT 'jpeg', 24 + (i % 4) * 8, 16 + (i % 3) * 8 FROM range(60) t(i)
+        SELECT CASE WHEN i % 7 = 3 THEN 'bmp' ELSE 'jpeg' END,
+               24 + (i % 4) * 8, 16 + (i % 3) * 8 FROM range(60) t(i)
         UNION ALL
         SELECT 'jpeg',
                (CASE i % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
@@ -9552,9 +9563,10 @@ def q176_png16_decode_stats(spark, sf_dir):
     FROM all_media GROUP BY fmt
     """,
     "Heterogeneous media corpus in ONE scan — the 100 TB reality no "
-    "single-format query exercises: 357 images across SEVEN container "
-    "variants (BMP, PPM, sequential/palette/Adam7 PNG, 4:4:4+extended "
-    "and subsampling-family JPEG, GIF) flow through the magic-byte "
+    "single-format query exercises: 357 images across SEVEN corpora "
+    "(13-variant BMP-family census, sequential/palette/Adam7 PNG, "
+    "4:4:4+extended JPEG with BI_JPEG-wrapped rows dispatching as "
+    "bmp, subsampling-family JPEG, GIF) flow through the magic-byte "
     "dispatch "
     "(_decode_any) inside one Arrow kernel pass, each decoded by its "
     "own real codec to recover dimensions. The per-format rollup "

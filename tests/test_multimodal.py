@@ -210,6 +210,81 @@ def test_bmp_variant_family_roundtrip():
         decode_bmp(bytes(bad565))
 
 
+def test_bmp_container_family_os2_alphabitfields_embedded():
+    """Second round-8 BMP sweep: OS/2 BITMAPCOREHEADER (12-byte
+    header, BGR-triple palette), BI_ALPHABITFIELDS (4th mask
+    validated + dropped; 10-bit samples return exactly via cyclic
+    replication), generic mask widths outside the old 4..10 window,
+    and BI_JPEG / BI_PNG embedded payloads routed to the in-house
+    codecs with the header dimension cross-check."""
+    import struct as st
+
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_a2r10g10b10,
+        encode_bmp_embedded,
+        encode_bmp_os2,
+        encode_jpeg,
+        encode_png,
+        make_test_pixels,
+    )
+
+    px = make_test_pixels(23, 17, seed=4)
+    # OS/2 24-bit truecolor and 8-bit paletted (BGR triples)
+    assert np.array_equal(decode_bmp(encode_bmp_os2(px)), px)
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) + 85) % 256,
+         (np.arange(256) + 170) % 256], axis=-1
+    ).astype(np.uint8)
+    idx = px[..., 0]
+    h, w = idx.shape
+    row_bytes = w
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx[::-1]
+    off = 14 + 12 + 3 * 256
+    core8 = (
+        st.pack("<2sIHHI", b"BM", off + stride * h, 0, 0, off)
+        + st.pack("<IHHHH", 12, w, h, 1, 8)
+        + pal[:, ::-1].tobytes()
+        + rows.tobytes()
+    )
+    assert np.array_equal(decode_bmp(core8), px)
+    # A2R10G10B10 via BI_ALPHABITFIELDS: bit-exact
+    assert np.array_equal(decode_bmp(encode_bmp_a2r10g10b10(px)), px)
+    # alpha mask overlapping a color channel is corrupt
+    bad = bytearray(encode_bmp_a2r10g10b10(px))
+    bad[66:70] = st.pack("<I", 0x3FF << 20)  # alpha == red mask
+    with pytest.raises(ValueError, match="overlap"):
+        decode_bmp(bytes(bad))
+    # BI_PNG: lossless embed, exact
+    assert np.array_equal(
+        decode_bmp(encode_bmp_embedded(encode_png(px), 23, 17, png=True)),
+        px,
+    )
+    # BI_JPEG: block-constant gray embed decodes exactly
+    tiles = np.array([[9, 130], [250, 66]], np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), np.uint8))
+    rgb = np.stack([img] * 3, axis=-1)
+    jb = encode_jpeg(rgb, quality=90)
+    assert np.array_equal(
+        decode_bmp(encode_bmp_embedded(jb, 16, 16, png=False)), rgb
+    )
+    # header/stream dimension mismatch is loud
+    with pytest.raises(ValueError, match="dims"):
+        decode_bmp(encode_bmp_embedded(jb, 17, 16, png=False))
+    # a JPEG payload under a BI_PNG header fails as a PNG (loud)
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp_embedded(jb, 16, 16, png=True))
+    # biBitCount must be 0 for embedded streams
+    forged = bytearray(encode_bmp_embedded(jb, 16, 16, png=False))
+    forged[28] = 24
+    with pytest.raises(ValueError, match="invalid BMP header"):
+        decode_bmp(bytes(forged))
+
+
 def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
     """Round-8 gate retirement: unsigned 8-bit PCM, 24-bit integer
     PCM, and IEEE float32 (format 3) all decode for real — dtype
@@ -1721,6 +1796,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_bmp16_555,
         encode_bmp16_565,
+        encode_bmp_a2r10g10b10,
+        encode_bmp_embedded,
+        encode_bmp_os2,
         encode_bmp_paletted,
         encode_png_gray,
         encode_png_palette_subbyte,
@@ -1739,6 +1817,13 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_bmp_paletted(idx4, pal16v, bpp=4, rle=True), decode_bmp),
         (encode_bmp_paletted((idx4 & 1), pal16v[:2], bpp=1), decode_bmp),
         (encode_ppm(img), decode_ppm),
+        (encode_bmp_os2(img), decode_bmp),
+        (encode_bmp_a2r10g10b10(img), decode_bmp),
+        (encode_bmp_embedded(encode_png(img), img.shape[1],
+                             img.shape[0], png=True), decode_bmp),
+        (encode_bmp_embedded(encode_jpeg(img8, quality=50),
+                             img8.shape[1], img8.shape[0], png=False),
+         decode_bmp),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
