@@ -394,7 +394,9 @@ def decode_bmp(b: bytes):
     EOL/EOD/delta escapes), BI_JPEG/BI_PNG embedded payloads routed
     to the in-house codecs (dimension-checked against the header),
     and the OS/2 BITMAPCOREHEADER layout (12-byte header, 3-byte
-    palette entries). The remaining registry entries gate."""
+    palette entries). With that, every legal bpp/compression pairing
+    of the registry decodes except BI_CMYK (printer DIBs — the one
+    honest gate left); mismatched pairings raise ValueError."""
     import numpy as np
 
     if len(b) < 26 or b[:2] != b"BM":
@@ -419,16 +421,19 @@ def decode_bmp(b: bytes):
         # corrupt header, not a variant; the honest gate below is
         # reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
-    supported = (
-        (bpp in (16, 24, 32) and comp == 0)
-        or (bpp in (16, 32) and comp in (3, 6))
-        or (bpp == 8 and comp in (0, 1))
-        or (bpp == 4 and comp in (0, 2))
-        or (bpp == 1 and comp == 0)
-        or comp in (4, 5)
-    )
-    if not supported:
-        require_codec(f"BMP bpp={bpp} compression={comp}")
+    if comp in (11, 12, 13):
+        # BI_CMYK* are legal only in printer DIBs — the one family
+        # this decoder genuinely lacks (needs a CMYK color pipeline)
+        require_codec(f"BMP CMYK compression={comp}")
+    if (
+        (comp == 1 and bpp != 8)
+        or (comp == 2 and bpp != 4)
+        or (comp in (3, 6) and bpp not in (16, 32))
+    ):
+        # RLE8 pairs only with 8-bit, RLE4 with 4-bit, bitfields
+        # with 16/32-bit — mismatches are spec violations, not
+        # variants a codec library would decode
+        raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     flip = h > 0
     h = abs(h)
     if comp in (4, 5):
@@ -1480,6 +1485,45 @@ def synthetic_ima_table(spark, n: int = 30) -> DataFrame:
                 encode_wav_ima(codes, ((i * 97) % 2000) - 1000, i % 89),
                 None,
                 f"mem://media/{i}.ima.wav",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_ms_adpcm_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic MS ADPCM clips (WAV format 2): clip i carries
+    ``180 + (i % 4) * 16`` 4-bit codes ``_MS_NIB_BIAS[(i*7 + t*5) %
+    16]`` (the bias keeps the adaptive delta at signal scale, like
+    real encoder output) with predictor pair i % 7 (sweeping all
+    seven standard coefficient pairs), initial delta
+    ``16 + (i * 11) % 200``, sample1 ``((i * 53) % 800) - 400``,
+    sample2 ``((i * 31) % 600) - 300`` — the q169 oracle replays the
+    3-variable state machine (sample1, sample2, delta) with a
+    recursive CTE. media_id offset +100 keeps ids disjoint from the
+    IMA clips."""
+    import numpy as np
+
+    rows = []
+    bias = np.array(_MS_NIB_BIAS, dtype=np.uint8)
+    for i in range(n):
+        ns = 180 + (i % 4) * 16
+        codes = bias[
+            ((i * 7 + np.arange(ns, dtype=np.int64) * 5) % 16)
+        ].astype(np.uint8)
+        rows.append(
+            (
+                100 + i,
+                "audio",
+                encode_wav_ms_adpcm(
+                    codes,
+                    i % 7,
+                    16 + (i * 11) % 200,
+                    ((i * 53) % 800) - 400,
+                    ((i * 31) % 600) - 300,
+                ),
+                None,
+                f"mem://media/{100 + i}.ms.wav",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -4278,6 +4322,69 @@ def _decode_wav_full(b: bytes):
                 bits,
             )
         raise ValueError(f"invalid IMA ADPCM channel count {ch}")
+    if audio_fmt == 2 and bits == 4:  # MS ADPCM (WAVE_FORMAT_ADPCM)
+        # coefficient table: the fmt-chunk extension names it
+        # (cbSize>=4: wSamplesPerBlock, wNumCoef, then int16 pairs);
+        # files that omit it get the seven standard pairs
+        coefs = list(_MS_COEFS)
+        if len(fmt_body) >= 22:
+            (cb,) = struct.unpack_from("<H", fmt_body, 16)
+            if cb >= 4:
+                (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
+                if ncoef:
+                    if len(fmt_body) < 22 + 4 * ncoef:
+                        raise ValueError("MS ADPCM coef table truncated")
+                    coefs = [
+                        struct.unpack_from("<hh", fmt_body, 22 + 4 * k)
+                        for k in range(ncoef)
+                    ]
+        ba = _ba if _ba >= 7 * ch + 1 else len(data)
+        outs: list[list[int]] = [[] for _ in range(ch)]
+        for off in range(0, len(data), ba):
+            blk = data[off : off + ba]
+            if len(blk) < 7 * ch:
+                break
+            preds = []
+            for c in range(ch):
+                pi = blk[c]
+                if pi >= len(coefs):
+                    raise ValueError(
+                        "MS ADPCM predictor index out of range"
+                    )
+                preds.append(pi)
+            deltas = [
+                struct.unpack_from("<h", blk, ch + 2 * c)[0]
+                for c in range(ch)
+            ]
+            s1 = [
+                struct.unpack_from("<h", blk, 3 * ch + 2 * c)[0]
+                for c in range(ch)
+            ]
+            s2 = [
+                struct.unpack_from("<h", blk, 5 * ch + 2 * c)[0]
+                for c in range(ch)
+            ]
+            for c in range(ch):
+                outs[c] += [s2[c], s1[c]]
+            nb = np.frombuffer(blk[7 * ch :], np.uint8)
+            nibs = np.empty(nb.size * 2, np.uint8)
+            nibs[0::2] = nb >> 4  # HIGH nibble first (MS layout)
+            nibs[1::2] = nb & 0x0F
+            state = [(s1[c], s2[c], deltas[c]) for c in range(ch)]
+            for j in range(nibs.size):
+                c = j % ch
+                a, prev, d = state[c]
+                c1, c2 = coefs[preds[c]]
+                samp, nd = ms_adpcm_step(a, prev, d, c1, c2, int(nibs[j]))
+                state[c] = (samp, a, nd)
+                outs[c].append(samp)
+        n = min(len(o) for o in outs)
+        return (
+            np.stack([np.array(o[:n], np.int16) for o in outs], axis=1),
+            rate,
+            fmt_code,
+            bits,
+        )
     if audio_fmt == 0:
         # WAVE_FORMAT_UNKNOWN is definitionally invalid, not a codec
         # this container lacks — corrupt header, raise the documented
@@ -4365,6 +4472,145 @@ def ima_adpcm_decode(nibbles, init_pred: int, init_idx: int):
         pred, idx = ima_adpcm_step(pred, idx, int(code) & 0x0F)
         out.append(pred)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format 2): 4-bit codes over a 2-tap linear predictor
+# with per-block coefficient selection and an adaptive delta — the
+# OTHER classic WAV ADPCM. Arithmetic follows the Microsoft
+# reference / ffmpeg C semantics: integer division TRUNCATES toward
+# zero (the q169 recursive-CTE oracle replays it with DuckDB's //,
+# which truncates the same way).
+# ---------------------------------------------------------------------------
+
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 64), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+
+# corpus nibble bias (q169): mostly factor-230 codes with periodic
+# 307/409/512 bumps so the adaptive delta stays at signal scale the
+# way real encoder output does (an unbiased uniform nibble stream
+# multiplies delta ~96x every 16 samples and diverges)
+_MS_NIB_BIAS = [0, 1, 2, 3, 15, 14, 13, 4, 0, 1, 2, 3, 15, 14, 13, 5]
+
+
+def _trunc_div(x: int, d: int) -> int:
+    """C-style integer division (truncate toward zero) — Python //
+    floors, which diverges on negative numerators."""
+    return x // d if x >= 0 else -((-x) // d)
+
+
+def ms_adpcm_step(s1: int, s2: int, delta: int, c1: int, c2: int,
+                  nib: int):
+    """One MS ADPCM transition: returns (new_sample, new_delta).
+    Prediction (s1*c1 + s2*c2)/256 truncates toward zero; the nibble
+    is a signed 4-bit value scaling the current delta; the next
+    delta adapts by table lookup with a floor of 16. A delta past
+    2^23 means the adaptation diverged — legal encoders keep it at
+    signal scale (the header field is int16), so runaway growth is
+    corrupt data (the ffmpeg idelta-overflow check), raised loudly
+    before it can overflow downstream int64 accumulators."""
+    if delta > 1 << 23:
+        raise ValueError("MS ADPCM delta diverged (corrupt stream)")
+    pred = _trunc_div(s1 * c1 + s2 * c2, 256)
+    signed = nib - 16 if nib & 8 else nib
+    samp = max(-32768, min(32767, pred + signed * delta))
+    nd = max(16, _trunc_div(_MS_ADAPT[nib & 0x0F] * delta, 256))
+    return samp, nd
+
+
+def ms_adpcm_decode(nibbles, pred_idx: int, delta0: int, s1: int,
+                    s2: int, coefs=None):
+    """Decode a mono MS ADPCM nibble sequence. Returns the int16
+    sample list [s2, s1, d_1, ..., d_n] (the two block-header
+    samples in playback order, then one sample per code)."""
+    c1, c2 = (coefs or _MS_COEFS)[pred_idx]
+    a, prev, d = int(s1), int(s2), int(delta0)
+    out = [prev, a]
+    for nib in nibbles:
+        samp, d = ms_adpcm_step(a, prev, d, c1, c2, int(nib))
+        a, prev = samp, a
+        out.append(samp)
+    return out
+
+
+def _ms_fmt_chunk(ch: int, sample_rate: int, block_align: int,
+                  samples_per_block: int) -> bytes:
+    ext = struct.pack("<HH", samples_per_block, len(_MS_COEFS))
+    for c1, c2 in _MS_COEFS:
+        ext += struct.pack("<hh", c1, c2)
+    return (
+        b"fmt "
+        + struct.pack("<I", 18 + len(ext))
+        + struct.pack(
+            "<HHIIHH", 2, ch, sample_rate, sample_rate, block_align, 4
+        )
+        + struct.pack("<H", len(ext))
+        + ext
+    )
+
+
+def encode_wav_ms_adpcm(nibbles, pred_idx: int, delta0: int, s1: int,
+                        s2: int, sample_rate: int = 8000) -> bytes:
+    """Mono single-block MS ADPCM WAV: 7-byte block header
+    (predictor index, initial delta int16, sample1, sample2) +
+    packed nibbles (HIGH nibble first), with the standard 7-pair
+    coefficient table in the fmt-chunk extension."""
+    import numpy as np
+
+    nb = np.asarray(nibbles, dtype=np.uint8) & 0x0F
+    if nb.size % 2:
+        nb = np.concatenate([nb, np.zeros(1, np.uint8)])
+    packed = ((nb[0::2] << 4) | nb[1::2]).astype(np.uint8).tobytes()
+    data = struct.pack("<Bhhh", pred_idx, delta0, s1, s2) + packed
+    fmt = _ms_fmt_chunk(1, sample_rate, len(data), nb.size + 2)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def encode_wav_ms_adpcm_stereo(nib_l, nib_r, init_l: tuple,
+                               init_r: tuple,
+                               sample_rate: int = 8000) -> bytes:
+    """Stereo single-block MS ADPCM WAV (Microsoft layout): header
+    fields interleave per channel — predictor indices, then initial
+    deltas, then sample1s, then sample2s — and each data byte packs
+    (left nibble high, right nibble low). ``init_*`` =
+    (pred_idx, delta0, s1, s2). Streams must be equal length."""
+    import numpy as np
+
+    nl = np.asarray(nib_l, dtype=np.uint8) & 0x0F
+    nr = np.asarray(nib_r, dtype=np.uint8) & 0x0F
+    assert nl.size == nr.size, "MS ADPCM stereo streams must match"
+    packed = ((nl << 4) | nr).astype(np.uint8).tobytes()
+    heads = (
+        struct.pack("<BB", init_l[0], init_r[0])
+        + struct.pack("<hh", init_l[1], init_r[1])
+        + struct.pack("<hh", init_l[2], init_r[2])
+        + struct.pack("<hh", init_l[3], init_r[3])
+    )
+    data = heads + packed
+    fmt = _ms_fmt_chunk(2, sample_rate, len(data), nl.size + 2)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
 
 
 def encode_wav_ima(nibbles, init_pred: int, init_idx: int,

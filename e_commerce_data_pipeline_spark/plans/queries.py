@@ -8984,9 +8984,12 @@ def q168_sequential_rules(spark, sf_dir):
 
 
 def _q169_oracle() -> str:
-    from ..operators.multimodal import _IMA_STEP
+    from ..operators.multimodal import _IMA_STEP, _MS_NIB_BIAS
 
     steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEP))
+    _MS_NIB_VALUES = ", ".join(
+        f"({i}, {v})" for i, v in enumerate(_MS_NIB_BIAS)
+    )
     code = "(d.i * 5 + d.t * 3) % 16"
     diff = (
         f"((s.step // 8)"
@@ -9018,6 +9021,54 @@ def _q169_oracle() -> str:
         JOIN m ON m.i = d.i
         JOIN steptab s ON s.sx = d.sx
         WHERE d.t < m.ns
+    ),
+    msm AS (
+        SELECT i, 180 + (i % 4) * 16 AS ns,
+               i % 7 AS ci,
+               16 + (i * 11) % 200 AS d0,
+               ((i * 53) % 800) - 400 AS s1_0,
+               ((i * 31) % 600) - 300 AS s2_0
+        FROM range(24) t(i)
+    ),
+    mscoef(ci, c1, c2) AS (
+        SELECT * FROM (VALUES (0, 256, 0), (1, 512, -256), (2, 0, 64),
+                              (3, 192, 64), (4, 240, 0), (5, 460, -208),
+                              (6, 392, -232)) v
+    ),
+    msadapt(nx, av) AS (
+        SELECT * FROM (VALUES (0, 230), (1, 230), (2, 230), (3, 230),
+                              (4, 307), (5, 409), (6, 512), (7, 614),
+                              (8, 768), (9, 614), (10, 512), (11, 409),
+                              (12, 307), (13, 230), (14, 230),
+                              (15, 230)) v
+    ),
+    msnib(bx, nib) AS (
+        SELECT * FROM (VALUES {_MS_NIB_VALUES}) v
+    ),
+    -- state row t holds the newest sample (s1) AFTER consuming
+    -- nibble t-2; t=1 is the header state. DuckDB // truncates
+    -- toward zero, matching the C-reference arithmetic exactly.
+    msdec(i, t, s1, s2, delta) AS (
+        SELECT i, 1, s1_0, s2_0, d0 FROM msm
+        UNION ALL
+        SELECT d.i, d.t + 1,
+               greatest(-32768, least(32767,
+                   (d.s1 * c.c1 + d.s2 * c.c2) // 256
+                   + (CASE WHEN b.nib >= 8 THEN b.nib - 16
+                          ELSE b.nib END) * d.delta)),
+               d.s1,
+               greatest(16, (a.av * d.delta) // 256)
+        FROM msdec d
+        JOIN msm m ON m.i = d.i
+        JOIN mscoef c ON c.ci = m.ci
+        JOIN msnib b ON b.bx = (m.i * 7 + (d.t - 1) * 5) % 16
+        JOIN msadapt a ON a.nx = b.nib
+        WHERE d.t <= m.ns
+    ),
+    ms_samples(i, v) AS (
+        SELECT i, s2_0 FROM msm
+        UNION ALL SELECT i, s1_0 FROM msm
+        UNION ALL SELECT i, s1 FROM msdec WHERE t >= 2
     )
     SELECT i AS media_id,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
@@ -9025,30 +9076,49 @@ def _q169_oracle() -> str:
            CAST(SUM(pred * pred) AS BIGINT) AS sum_sq,
            CAST(MAX(ABS(pred)) AS BIGINT) AS peak
     FROM dec GROUP BY i
+    UNION ALL
+    SELECT i + 100 AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_lin,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM ms_samples GROUP BY i
     """
 
 
 @_register(
     "q169_ima_adpcm_decode_stats",
     _q169_oracle(),
-    "IMA ADPCM decode (WAV format 0x11), driver-verified at VALUE "
-    "level — the first genuinely SEQUENTIAL codec in the suite: "
-    "unlike G.711's per-sample table lookup (q166), every sample "
-    "depends on the running (predictor, step-index) state, so the "
-    "oracle replays the exact state machine with a RECURSIVE CTE "
-    "(89-row step table joined per transition, greatest/least "
-    "clamps, the same bit-split diff accumulation) — a wrong shift, "
-    "clamp bound, sign bit, or index adjustment diverges within a "
-    "few samples and breaks every downstream sum. The varied "
-    "initial states sweep both clamp rails and the full step "
-    "table. Multi-channel ADPCM gates via require_codec; "
-    "multimodal.ima_adpcm_step/ima_adpcm_decode/encode_wav_ima.",
+    "BOTH classic WAV ADPCM codecs, driver-verified at VALUE level — "
+    "genuinely SEQUENTIAL decoders (unlike G.711's per-sample table "
+    "lookup, q166), so the oracle replays the exact state machines "
+    "with RECURSIVE CTEs. IMA (format 0x11): (predictor, step-index) "
+    "state, 89-row step table joined per transition, greatest/least "
+    "clamps, bit-split diff accumulation. MS ADPCM (format 2, round "
+    "8): 3-variable state (sample1, sample2, delta) over a 2-tap "
+    "linear predictor — per-block coefficient-pair selection "
+    "(corpus sweeps all seven standard pairs), signed-nibble delta "
+    "scaling, 16-entry adaptation table with the floor-16 clamp, "
+    "and C-reference TRUNCATING division mirrored by DuckDB's // "
+    "(the q174 int-division lesson applied in reverse). A wrong "
+    "shift, clamp bound, sign bit, header-sample order, or "
+    "adaptation entry diverges within a few samples and breaks "
+    "every downstream sum. Stereo layouts for both codecs are "
+    "pytest-verified against per-channel mono replay; "
+    "multimodal.ima_adpcm_step/ms_adpcm_step and the encode_wav_* "
+    "writers.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q169_ima_adpcm_decode_stats(spark, sf_dir):
-    from ..operators.multimodal import audio_exact_stats, synthetic_ima_table
+    from ..operators.multimodal import (
+        audio_exact_stats,
+        synthetic_ima_table,
+        synthetic_ms_adpcm_table,
+    )
 
-    media = synthetic_ima_table(spark, n=30)
+    media = synthetic_ima_table(spark, n=30).unionByName(
+        synthetic_ms_adpcm_table(spark, n=24)
+    )
     return audio_exact_stats(media).orderBy("media_id")
 
 

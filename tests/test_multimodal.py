@@ -285,6 +285,78 @@ def test_bmp_container_family_os2_alphabitfields_embedded():
         decode_bmp(bytes(forged))
 
 
+def test_ms_adpcm_decode_reference_and_stereo():
+    """MS ADPCM (WAV format 2): mono decode matches the pure-Python
+    state machine (truncating division, signed nibbles, floor-16
+    delta, clamp rails), stereo channels stay independent with the
+    interleaved header layout, a custom fmt-chunk coefficient table
+    is honored, and corrupt predictor indices are loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_wav_full,
+        decode_wav,
+        encode_wav_ms_adpcm,
+        encode_wav_ms_adpcm_stereo,
+        ms_adpcm_decode,
+        ms_adpcm_step,
+    )
+
+    # truncation semantics pinned: negative prediction truncates
+    # toward zero ((-300*512 + 200*-256) / 256 = -204800/256 = -800)
+    samp, nd = ms_adpcm_step(-300, 200, 20, 512, -256, 0x9)
+    assert samp == -800 + (9 - 16) * 20 and nd == max(16, 614 * 20 // 256)
+    # clamp rails + delta floor
+    samp, nd = ms_adpcm_step(-30000, 30000, 500, 512, -256, 8)
+    assert samp == -32768
+    _, nd = ms_adpcm_step(0, 0, 16, 256, 0, 0)
+    assert nd == 16  # 230*16//256 = 14 -> floored to 16
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _MS_NIB_BIAS,
+    )
+
+    bias = np.array(_MS_NIB_BIAS, np.uint8)
+    for i in (0, 3, 6):
+        ns = 180 + (i % 4) * 16
+        codes = bias[(i * 7 + np.arange(ns) * 5) % 16]
+        init = (i % 7, 16 + (i * 11) % 200,
+                ((i * 53) % 800) - 400, ((i * 31) % 600) - 300)
+        s, rate, fmt, bits = _decode_wav_full(
+            encode_wav_ms_adpcm(codes, *init)
+        )
+        assert (fmt, bits) == (2, 4) and s.dtype == np.int16
+        assert (s[:, 0] == np.array(
+            ms_adpcm_decode(codes, *init), np.int16)).all(), i
+    # a uniform nibble sweep multiplies delta ~96x every 16 samples;
+    # the divergence guard (ffmpeg's idelta-overflow check) is loud
+    # long before int64 accumulators overflow
+    runaway = ((np.arange(200) * 5) % 16).astype(np.uint8)
+    with pytest.raises(ValueError, match="diverged"):
+        decode_wav(encode_wav_ms_adpcm(runaway, 0, 32000, 0, 0))
+    # stereo: per-channel mono replay, channel swap changes output
+    nl = bias[(np.arange(96) * 3 + 1) % 16]
+    nr = bias[(np.arange(96) * 7 + 4) % 16]
+    il, ir = (2, 40, 120, -80), (5, 33, -300, 250)
+    s, _ = decode_wav(encode_wav_ms_adpcm_stereo(nl, nr, il, ir))
+    assert s.shape == (98, 2)
+    assert (s[:, 0] == np.array(ms_adpcm_decode(nl, *il), np.int16)).all()
+    assert (s[:, 1] == np.array(ms_adpcm_decode(nr, *ir), np.int16)).all()
+    s2, _ = decode_wav(encode_wav_ms_adpcm_stereo(nr, nl, ir, il))
+    assert (s2[:, 0] == s[:, 1]).all() and (s2[:, 1] == s[:, 0]).all()
+    # a header predictor index past the coef table is corrupt
+    bad = bytearray(encode_wav_ms_adpcm(nl, 0, 16, 0, 0))
+    bad[bad.index(b"data") + 8] = 9
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_wav(bytes(bad))
+    # a truncated custom coef table is corrupt, and a SHORTER valid
+    # one tightens the predictor-index bound
+    short = bytearray(encode_wav_ms_adpcm(nl, 0, 16, 0, 0))
+    ncoef_off = short.index(b"fmt ") + 8 + 18 + 2
+    short[ncoef_off:ncoef_off + 2] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="coef table"):
+        decode_wav(bytes(short))
+
+
 def test_wav_pcm_width_family_roundtrip_and_kernels(spark):
     """Round-8 gate retirement: unsigned 8-bit PCM, 24-bit integer
     PCM, and IEEE float32 (format 3) all decode for real — dtype
@@ -1772,6 +1844,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_wav_float64,
         encode_wav_g711,
         encode_wav_ima,
+        encode_wav_ms_adpcm,
         encode_wav_pcm8,
         encode_wav_pcm24,
         encode_wav_pcm32,
@@ -1855,6 +1928,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav_float64(rng.rand(80) * 2 - 1), decode_wav),
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
+        (encode_wav_ms_adpcm(rng.randint(0, 16, 200).astype(np.uint8),
+                             3, 40, 150, -220), decode_wav),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
