@@ -1339,6 +1339,429 @@ def _png_unfilter(raw, w: int, h: int, bpp: int):
     return recon
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline 6.0, strip-organized, both byte orders): IFD walk,
+# Compression 1 (none) / 5 (LZW, MSB-first with EarlyChange) /
+# 8+32946 (Deflate) / 32773 (PackBits), Photometric 0/1 (gray,
+# WhiteIsZero inverted) / 2 (RGB, extra samples dropped) / 3
+# (ColorMap palette, 16-bit entries), horizontal-differencing
+# predictor, multi-strip. Pure numpy + zlib. Tiled / planar /
+# sub-byte / 16-bit / float variants gate via require_codec;
+# structural damage raises ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE: n in 0..127 copies n+1 literals, n in
+    -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos, nd = 0, len(data)
+    while pos < nd and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            if pos + n + 1 > nd:
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= nd:
+                raise ValueError("TIFF PackBits repeat truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("TIFF PackBits strip size mismatch")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 become repeats, the rest are
+    literal groups (max 128 either way)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal group up to the next >=3 run
+        j = i
+        while j < n and j - i < 128:
+            k = j + 1
+            while k < n and k - j < 3 and data[k] == data[j]:
+                k += 1
+            if k - j >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first packing, 9->12 bit codes with
+    EarlyChange: width bumps when the NEXT code to assign would be
+    2^width - 1), Clear=256, EOI=257. Output is capped at
+    ``expected`` so a corrupt stream cannot balloon memory."""
+    out = bytearray()
+    acc = nbits = 0
+    pos, nd = 0, len(data)
+    width = 9
+    table: list[bytes] = []
+    prev = None
+
+    def reset():
+        nonlocal width, table, prev
+        width = 9
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= nd:
+                return bytes(out)  # no EOI: tolerate, size-checked below
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW stream starts mid-table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code past table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW output exceeds strip size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) > 4096:
+                raise ValueError("TIFF LZW table overflow (no clear)")
+            # the decoder's table lags the encoder's by one entry, so
+            # EarlyChange lands one entry earlier here (libtiff's
+            # dec_maxcodep convention)
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor matching ``_tiff_lzw_decode``'s
+    width schedule exactly (EarlyChange), with a table reset at
+    4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    d: dict[bytes, int] = {}
+    width = 9
+    nxt = 258
+
+    def reset():
+        nonlocal d, width, nxt
+        d = {bytes([i]): i for i in range(256)}
+        width = 9
+        nxt = 258
+
+    emit(256, 9)
+    reset()
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        if w + ch in d:
+            w += ch
+            continue
+        emit(d[w], width)
+        d[w + ch] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt == 4094:
+            emit(256, width)
+            reset()
+        w = ch
+    if w:
+        emit(d[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(b: bytes):
+    """TIFF bytes -> (h, w, 3) uint8 RGB array (see the section
+    comment for the supported surface)."""
+    import numpy as np
+    import zlib
+
+    if b[:4] == b"II\x2a\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    if len(b) < 8:
+        raise ValueError("TIFF header truncated")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_ent > len(b):
+        raise ValueError("TIFF IFD truncated")
+    entries: dict[int, tuple] = {}
+    for k in range(n_ent):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, ifd_off + 2 + 12 * k)
+        entries[tag] = (typ, cnt, ifd_off + 2 + 12 * k + 8)
+
+    def values(tag, default=None):
+        if tag not in entries:
+            return default
+        typ, cnt, at = entries[tag]
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF entry type {typ} unsupported")
+        if cnt == 0:
+            raise ValueError("TIFF entry count zero")
+        total = size * cnt
+        if total > 4:
+            (at,) = struct.unpack_from(e + "I", b, at)
+        if at + total > len(b):
+            raise ValueError("TIFF entry data out of range")
+        if typ in (1, 2):
+            return list(b[at : at + cnt])
+        fmt = {3: "H", 4: "I", 5: "II"}[typ]
+        return list(struct.unpack_from(e + fmt * cnt, b, at))
+
+    def one(tag, default=None):
+        v = values(tag, None)
+        return default if v is None else v[0]
+
+    if 322 in entries or 323 in entries:
+        require_codec("tiled TIFF")
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    spp = one(277, 1)
+    bits = values(258, [1] * spp)
+    comp = one(259, 1)
+    photo = one(262)
+    if photo is None:
+        raise ValueError("TIFF missing PhotometricInterpretation")
+    if one(284, 1) != 1:
+        require_codec("planar TIFF")
+    sfmt = values(339, [1] * spp)
+    if any(v != 1 for v in sfmt):
+        require_codec(f"TIFF sample format {sfmt}")
+    if any(v != 8 for v in bits):
+        require_codec(f"TIFF bits per sample {bits}")
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        require_codec(f"TIFF predictor {pred}")
+    if comp not in (1, 5, 8, 32773, 32946):
+        require_codec(f"TIFF compression {comp}")
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or mismatched")
+    rps = one(278, h)
+    if rps < 1:
+        raise ValueError("TIFF RowsPerStrip invalid")
+    if len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip count does not cover the image")
+    if w * h > (1 << 26):
+        # decompressors size buffers from the header (the deflate
+        # path preallocates `expected`); a corrupt dimension must not
+        # materialize a multi-GB buffer — the BMP RLE lesson
+        raise ValueError("TIFF raster implausibly large")
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of range")
+        rows_here = min(rps, h - si * rps)
+        expected = rows_here * row_bytes
+        strip = b[off : off + cnt]
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("TIFF strip truncated")
+            data = strip[:expected]
+        elif comp == 32773:
+            data = _packbits_decode(strip, expected)
+        elif comp == 5:
+            data = _tiff_lzw_decode(strip, expected)
+            if len(data) != expected:
+                raise ValueError("TIFF LZW strip size mismatch")
+        else:  # 8 / 32946: zlib Deflate
+            try:
+                data = zlib.decompress(strip, bufsize=expected)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
+            if len(data) != expected:
+                raise ValueError("TIFF deflate strip size mismatch")
+        raw += data
+    a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if pred == 2:
+        # horizontal differencing: rebuild by per-row cumulative sum
+        a = np.cumsum(a.astype(np.uint32), axis=1).astype(np.uint8)
+    if photo in (0, 1):
+        if spp != 1:
+            raise ValueError("TIFF gray photometric with multiple samples")
+        g = a[..., 0]
+        if photo == 0:
+            g = (255 - g.astype(np.int16)).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF RGB photometric with <3 samples")
+        return np.ascontiguousarray(a[..., :3])  # extra samples dropped
+    if photo == 3:
+        if spp != 1:
+            raise ValueError("TIFF palette photometric with multiple samples")
+        cmap = values(320)
+        if cmap is None or len(cmap) != 3 * 256:
+            raise ValueError("TIFF ColorMap missing or wrong size")
+        pal = (np.array(cmap, np.uint16).reshape(3, 256).T >> 8).astype(
+            np.uint8
+        )
+        return pal[a[..., 0].reshape(-1)].reshape(h, w, 3)
+    require_codec(f"TIFF photometric {photo}")
+
+
+def _tiff_ifd(e: str, tags: list, data_off: int) -> bytes:
+    """Assemble an IFD: ``tags`` is [(tag, typ, values)] sorted by
+    tag; out-of-line value arrays land after the entry table."""
+    n = len(tags)
+    extra = bytearray()
+    entries = b""
+    extra_base = data_off + 2 + 12 * n + 4
+    for tag, typ, vals in tags:
+        size = _TIFF_TYPE_SIZE[typ]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        payload = struct.pack(e + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            val4 = payload + b"\x00" * (4 - len(payload))
+        else:
+            val4 = struct.pack(e + "I", extra_base + len(extra))
+            extra += payload
+        entries += struct.pack(e + "HHI", tag, typ, len(vals)) + val4
+    return (
+        struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0) + extra
+    )
+
+
+def encode_tiff(
+    arr,
+    compression: str = "none",
+    big_endian: bool = False,
+    predictor: bool = False,
+    rows_per_strip: int = 0,
+    palette=None,
+    white_is_zero: bool = False,
+) -> bytes:
+    """(h, w, 3) RGB / (h, w) gray uint8 — or (h, w) indices with
+    ``palette`` (256, 3) — -> strip-organized TIFF. ``compression``:
+    'none' | 'packbits' | 'lzw' | 'deflate'. ``predictor`` applies
+    horizontal differencing (tag 317 = 2). ``white_is_zero`` emits
+    photometric 0 with inverted gray samples."""
+    import numpy as np
+    import zlib
+
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, dtype=np.uint8)
+    if palette is not None:
+        assert a.ndim == 2, "palette TIFF expects an index plane"
+        h, w = a.shape
+        spp, photo = 1, 3
+    elif a.ndim == 2:
+        h, w = a.shape
+        spp, photo = 1, (0 if white_is_zero else 1)
+        if white_is_zero:
+            a = (255 - a.astype(np.int16)).astype(np.uint8)
+    else:
+        h, w, c = a.shape
+        assert c == 3, "TIFF encoder expects RGB"
+        spp, photo = 3, 2
+    rps = rows_per_strip or h
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
+    plane = a.reshape(h, w * spp)
+    if predictor:
+        d = plane.reshape(h, w, spp).astype(np.int16)
+        d[:, 1:, :] -= d[:, :-1, :].copy()
+        plane = (d % 256).astype(np.uint8).reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = plane[y0 : y0 + rps].tobytes()
+        if comp_code == 1:
+            strips.append(raw)
+        elif comp_code == 32773:
+            strips.append(_packbits_encode(raw))
+        elif comp_code == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(zlib.compress(raw, 6))
+    body = bytearray()
+    offsets = []
+    for s in strips:
+        offsets.append(8 + len(body))
+        body += s
+        if len(body) % 2:
+            body += b"\x00"  # word-align the next strip
+    ifd_off = 8 + len(body)
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [comp_code]),
+        (262, 3, [photo]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 3, [min(rps, h)]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if predictor:
+        tags.append((317, 3, [2]))
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        assert pal.shape == (256, 3), "TIFF palette must be 256x3"
+        cmap = (pal.astype(np.uint16) * 257).T.reshape(-1)
+        tags.append((320, 3, [int(v) for v in cmap]))
+    tags.sort(key=lambda t: t[0])
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
+
+
 def _decode_any(content) -> tuple:
     """(pixels|None, format|None) for one binary payload."""
     if content is None:
@@ -1355,6 +1778,8 @@ def _decode_any(content) -> tuple:
             return decode_jpeg(b), "jpeg"
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(b), "gif"
+        if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            return decode_tiff(b), "tiff"
     except (ValueError, struct.error, IndexError):
         return None, None
     return None, None
@@ -1397,18 +1822,21 @@ def _media_palette(n_entries: int, unit: int):
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images cycling THIRTEEN container variants by
-    ``i % 13`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    actual decodable images cycling SIXTEEN container variants by
+    ``i % 16`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
     RLE8 BMP, 4-bit BMP (base // 17 palette), 1-bit BMP (base // 128
     palette), RLE4 BMP, 16-bit X1R5G5B5 BMP, 16-bit R5G6B5
     BI_BITFIELDS BMP, and (round 8) BI_PNG embedded-payload BMP,
-    A2R10G10B10 BI_ALPHABITFIELDS BMP, and OS/2 BITMAPCOREHEADER
-    24-bit BMP. The full-depth variants (including all three round-8
-    additions — the PNG embed is lossless, the 10-bit samples are
-    v << 2 so cyclic replication is exact, and the OS/2 layout is
-    plain truecolor) carry the SAME gradient pixels; the quantizing
-    variants (4/1/16-bit) carry deterministic quantizations of it,
-    so every pixel-stats oracle stays closed-form per variant."""
+    A2R10G10B10 BI_ALPHABITFIELDS BMP, OS/2 BITMAPCOREHEADER 24-bit
+    BMP, big-endian LZW+predictor TIFF, PackBits palette TIFF, and
+    multi-strip Deflate TIFF. The full-depth variants (including the
+    round-8 additions — PNG embed and the three TIFFs are lossless,
+    the 10-bit samples are v << 2 so cyclic replication is exact,
+    the OS/2 layout is plain truecolor, and the TIFF palette is the
+    identity-gradient table) carry the SAME gradient pixels; the
+    quantizing variants (4/1/16-bit) carry deterministic
+    quantizations of it, so every pixel-stats oracle stays
+    closed-form per variant."""
     import numpy as np
 
     pal256 = _media_palette(256, 1)
@@ -1420,7 +1848,7 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
         if real:
             px = make_test_pixels(w, h, seed=i)
             base = px[..., 0]
-            k = i % 13
+            k = i % 16
             if k == 0:
                 content = encode_bmp(px)
             elif k == 1:
@@ -1449,8 +1877,22 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
                 )
             elif k == 11:
                 content = encode_bmp_a2r10g10b10(px)
-            else:
+            elif k == 12:
                 content = encode_bmp_os2(px)
+            elif k == 13:
+                content = encode_tiff(
+                    px, compression="lzw", big_endian=True,
+                    predictor=True,
+                )
+            elif k == 14:
+                content = encode_tiff(
+                    base, compression="packbits",
+                    palette=np.asarray(_media_palette(256, 1)),
+                )
+            else:
+                content = encode_tiff(
+                    px, compression="deflate", rows_per_strip=7
+                )
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)
         rows.append((i, "image", content, None, f"mem://media/{i}.img"))

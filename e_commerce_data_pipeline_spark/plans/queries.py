@@ -5563,11 +5563,13 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
-# Shared closed form for synthetic_media_table's THIRTEEN container
-# variants (k = i % 13): full-depth variants carry the gradient
-# unchanged — including the round-8 trio (BI_PNG embed is lossless,
-# A2R10G10B10's 10-bit samples are v << 2 so cyclic replication is
-# exact, OS/2 core is plain truecolor), so they need no CASE arm;
+# Shared closed form for synthetic_media_table's SIXTEEN container
+# variants (k = i % 16): full-depth variants carry the gradient
+# unchanged — including the round-8 six (BI_PNG embed and the three
+# TIFFs are lossless, A2R10G10B10's 10-bit samples are v << 2 so
+# cyclic replication is exact, OS/2 core is plain truecolor, the
+# TIFF palette is the identity-gradient table), so they need no
+# CASE arm;
 # 4-bit/1-bit palettes quantize the base sample (// 17, // 128)
 # BEFORE the channel offsets, and 16-bit X1R5G5B5 quantizes each
 # 8-bit CHANNEL to 5 bits (or 6 for R5G6B5's green) with
@@ -5608,16 +5610,20 @@ _Q139_R, _Q139_G, _Q139_B = _media_variant_rgb("base")
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 13 = 1 THEN 'ppm' ELSE 'bmp' END AS format
+           CASE WHEN i % 16 = 1 THEN 'ppm'
+                WHEN i % 16 >= 13 THEN 'tiff'
+                ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
     "media table (deterministic gradient pixels, now cycling "
-    "THIRTEEN container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit "
-    "paletted BMP, RLE8 and RLE4 BMP, plus BI_PNG embedded-payload "
-    "BMP, A2R10G10B10 BI_ALPHABITFIELDS BMP and OS/2 "
-    "BITMAPCOREHEADER BMP: the round-8 gate retirements, closing "
-    "the whole common BMP container surface) is ENCODED "
+    "SIXTEEN container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit "
+    "paletted BMP, RLE8 and RLE4 BMP, BI_PNG embedded-payload BMP, "
+    "A2R10G10B10 BI_ALPHABITFIELDS BMP, OS/2 BITMAPCOREHEADER BMP, "
+    "and big-endian LZW+predictor / PackBits-palette / multi-strip "
+    "Deflate TIFF: the round-8 retirements close the whole common "
+    "BMP container surface AND add the baseline TIFF container) is "
+    "ENCODED "
     "and then DECODED by the real pure-numpy codecs through the "
     "Arrow mapInPandas kernel; the oracle recomputes the expected "
     "(width, height, channels, format) from the generator's closed "
@@ -6819,7 +6825,7 @@ def q138_copurchase_triangles(spark, sf_dir):
     "q139_image_feature_stats",
     f"""
     WITH m AS (
-        SELECT i, i % 13 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 16 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, unnest(range(h)) AS y FROM m),
@@ -6843,10 +6849,10 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images — encoded across THIRTEEN containers (24/32-bit BMP, "
+    "images — encoded across SIXTEEN containers (24/32-bit BMP, "
     "555 and 565 16-bit BMP, PPM, 8/4/1-bit paletted, RLE8, RLE4, "
-    "BI_PNG embed, A2R10G10B10 alpha-bitfields, OS/2 core) — are "
-    "decoded by the real "
+    "BI_PNG embed, A2R10G10B10 alpha-bitfields, OS/2 core, and "
+    "LZW/PackBits-palette/Deflate TIFF) — are decoded by the real "
     "pure-numpy codecs inside the Arrow kernel and reduced to "
     "integer-exact channel/luminance sums; the oracle regenerates "
     "each variant's pixels from its closed form (full-depth variants "
@@ -7042,7 +7048,7 @@ def q142_video_frame_sample(spark, sf_dir):
     "q143_image_resize_verify",
     f"""
     WITH m AS (
-        SELECT i, i % 13 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 16 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, h, unnest(range(8)) AS yy FROM m),
@@ -9603,7 +9609,9 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 13 = 1 THEN 'ppm' ELSE 'bmp' END AS fmt,
+        SELECT CASE WHEN i % 16 = 1 THEN 'ppm'
+                    WHEN i % 16 >= 13 THEN 'tiff'
+                    ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
         UNION ALL
@@ -9634,10 +9642,10 @@ def q176_png16_decode_stats(spark, sf_dir):
     """,
     "Heterogeneous media corpus in ONE scan — the 100 TB reality no "
     "single-format query exercises: 357 images across SEVEN corpora "
-    "(13-variant BMP-family census, sequential/palette/Adam7 PNG, "
-    "4:4:4+extended JPEG with BI_JPEG-wrapped rows dispatching as "
-    "bmp, subsampling-family JPEG, GIF) flow through the magic-byte "
-    "dispatch "
+    "and SIX formats (16-variant BMP/PPM/TIFF-family census, "
+    "sequential/palette/Adam7 PNG, 4:4:4+extended JPEG with "
+    "BI_JPEG-wrapped rows dispatching as bmp, subsampling-family "
+    "JPEG, GIF) flow through the magic-byte dispatch "
     "(_decode_any) inside one Arrow kernel pass, each decoded by its "
     "own real codec to recover dimensions. The per-format rollup "
     "(counts, total pixels, dimension extrema) matches the closed "

@@ -285,6 +285,76 @@ def test_bmp_container_family_os2_alphabitfields_embedded():
         decode_bmp(bytes(forged))
 
 
+def test_tiff_container_family_roundtrip_and_gates():
+    """Baseline TIFF: none/PackBits/LZW/Deflate strips round-trip in
+    both byte orders with and without the horizontal predictor and
+    multi-strip layouts; gray photometrics 0/1 and 16-bit-entry
+    palettes decode; the LZW EarlyChange width schedule matches
+    libtiff's (decoder one entry early); tiled/planar/sub-byte
+    variants gate; structural damage is loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff,
+        encode_tiff,
+        make_test_pixels,
+    )
+
+    px = np.asarray(make_test_pixels(23, 17, seed=4))
+    g = px[..., 0]
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for be in (False, True):
+            b = encode_tiff(px, compression=comp, big_endian=be,
+                            predictor=(comp != "none"), rows_per_strip=5)
+            assert np.array_equal(decode_tiff(b), px), (comp, be)
+    # gray photometrics: BlackIsZero and the inverted WhiteIsZero
+    for wiz in (False, True):
+        b = encode_tiff(g, compression="lzw", white_is_zero=wiz)
+        assert np.array_equal(decode_tiff(b), np.stack([g] * 3, -1)), wiz
+    # palette: 16-bit ColorMap entries take the high byte
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) + 85) % 256,
+         (np.arange(256) + 170) % 256], -1
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(g, compression="packbits", palette=pal)),
+        px,
+    )
+    # LZW: early-change boundary (table through 511/1022) and the
+    # 4094 table reset both survive
+    rng = np.random.RandomState(1)
+    wide = rng.randint(0, 256, (40, 600)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(wide, compression="lzw"))[..., 0], wide
+    )
+    data = rng.randint(0, 256, 60000).astype(np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    # gates: tiled layout, planar config, 16-bit samples
+    b = bytearray(encode_tiff(px))
+    ifd_off = int.from_bytes(b[4:8], "little")
+    # forge a TileWidth entry by renaming the first IFD tag
+    # (ImageWidth, 256 -> 322): tiled layouts gate before anything
+    # else is interpreted
+    b[ifd_off + 2 : ifd_off + 4] = (322).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(b))
+    # corrupt: strip table pointing past the buffer
+    short = encode_tiff(px, compression="none")
+    with pytest.raises(ValueError):
+        decode_tiff(short[:60])
+    # corrupt strip table: StripByteCounts (tag 279, 9th sorted
+    # entry) claiming 3 bytes starves the PackBits decode
+    pb = bytearray(encode_tiff(px, compression="packbits"))
+    ifd2 = int.from_bytes(pb[4:8], "little")
+    val_at = ifd2 + 2 + 12 * 8 + 8
+    assert int.from_bytes(pb[val_at - 8 : val_at - 6], "little") == 279
+    pb[val_at : val_at + 4] = (3).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="PackBits"):
+        decode_tiff(bytes(pb))
+
+
 def test_ms_adpcm_decode_reference_and_stereo():
     """MS ADPCM (WAV format 2): mono decode matches the pure-Python
     state machine (truncating division, signed nibbles, floor-16
@@ -1875,6 +1945,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_bmp_paletted,
         encode_png_gray,
         encode_png_palette_subbyte,
+        encode_tiff,
+    )
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
     )
 
     pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
@@ -1897,6 +1971,11 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_bmp_embedded(encode_jpeg(img8, quality=50),
                              img8.shape[1], img8.shape[0], png=False),
          decode_bmp),
+        (encode_tiff(img, compression="lzw", predictor=True,
+                     rows_per_strip=5), decode_tiff),
+        (encode_tiff(img, compression="packbits", big_endian=True),
+         decode_tiff),
+        (encode_tiff(img8, compression="deflate"), decode_tiff),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
