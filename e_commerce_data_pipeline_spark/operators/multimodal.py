@@ -1580,7 +1580,11 @@ def decode_tiff(b: bytes):
     sfmt = values(339, [1] * spp)
     if any(v != 1 for v in sfmt):
         require_codec(f"TIFF sample format {sfmt}")
-    if any(v != 8 for v in bits):
+    if all(v == 8 for v in bits):
+        sb = 1
+    elif all(v == 16 for v in bits):
+        sb = 2
+    else:
         require_codec(f"TIFF bits per sample {bits}")
     pred = one(317, 1)
     if pred not in (1, 2):
@@ -1601,7 +1605,7 @@ def decode_tiff(b: bytes):
         # path preallocates `expected`); a corrupt dimension must not
         # materialize a multi-GB buffer — the BMP RLE lesson
         raise ValueError("TIFF raster implausibly large")
-    row_bytes = w * spp
+    row_bytes = w * spp * sb
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(b):
@@ -1627,16 +1631,25 @@ def decode_tiff(b: bytes):
             if len(data) != expected:
                 raise ValueError("TIFF deflate strip size mismatch")
         raw += data
-    a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if sb == 1:
+        a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    else:
+        a = (
+            np.frombuffer(bytes(raw), e + "u2")
+            .reshape(h, w, spp)
+            .astype(np.uint16)
+        )
     if pred == 2:
         # horizontal differencing: rebuild by per-row cumulative sum
-        a = np.cumsum(a.astype(np.uint32), axis=1).astype(np.uint8)
+        # (mod the sample width)
+        a = np.cumsum(a.astype(np.uint32), axis=1).astype(a.dtype)
+    full = 255 if sb == 1 else 65535
     if photo in (0, 1):
         if spp != 1:
             raise ValueError("TIFF gray photometric with multiple samples")
         g = a[..., 0]
         if photo == 0:
-            g = (255 - g.astype(np.int16)).astype(np.uint8)
+            g = (full - g.astype(np.int32)).astype(a.dtype)
         return np.stack([g, g, g], axis=-1)
     if photo == 2:
         if spp < 3:
@@ -1645,6 +1658,8 @@ def decode_tiff(b: bytes):
     if photo == 3:
         if spp != 1:
             raise ValueError("TIFF palette photometric with multiple samples")
+        if sb != 1:
+            require_codec("16-bit palette TIFF")  # 65536-entry ColorMap
         cmap = values(320)
         if cmap is None or len(cmap) != 3 * 256:
             raise ValueError("TIFF ColorMap missing or wrong size")
@@ -1686,25 +1701,30 @@ def encode_tiff(
     palette=None,
     white_is_zero: bool = False,
 ) -> bytes:
-    """(h, w, 3) RGB / (h, w) gray uint8 — or (h, w) indices with
-    ``palette`` (256, 3) — -> strip-organized TIFF. ``compression``:
-    'none' | 'packbits' | 'lzw' | 'deflate'. ``predictor`` applies
-    horizontal differencing (tag 317 = 2). ``white_is_zero`` emits
-    photometric 0 with inverted gray samples."""
+    """(h, w, 3) RGB / (h, w) gray, uint8 or uint16 — or (h, w)
+    uint8 indices with ``palette`` (256, 3) — -> strip-organized
+    TIFF. ``compression``: 'none' | 'packbits' | 'lzw' | 'deflate'.
+    ``predictor`` applies horizontal differencing (tag 317 = 2).
+    ``white_is_zero`` emits photometric 0 with inverted gray
+    samples. uint16 input emits BitsPerSample 16 with samples in the
+    file's byte order."""
     import numpy as np
     import zlib
 
     e = ">" if big_endian else "<"
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    assert a.dtype in (np.uint8, np.uint16), "TIFF encoder: uint8/uint16"
+    sb = a.dtype.itemsize
+    full = 255 if sb == 1 else 65535
     if palette is not None:
-        assert a.ndim == 2, "palette TIFF expects an index plane"
+        assert a.ndim == 2 and sb == 1, "palette TIFF expects uint8 indices"
         h, w = a.shape
         spp, photo = 1, 3
     elif a.ndim == 2:
         h, w = a.shape
         spp, photo = 1, (0 if white_is_zero else 1)
         if white_is_zero:
-            a = (255 - a.astype(np.int16)).astype(np.uint8)
+            a = (full - a.astype(np.int32)).astype(a.dtype)
     else:
         h, w, c = a.shape
         assert c == 3, "TIFF encoder expects RGB"
@@ -1713,14 +1733,17 @@ def encode_tiff(
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
         compression
     ]
-    plane = a.reshape(h, w * spp)
+    plane = a.reshape(h, w, spp)
     if predictor:
-        d = plane.reshape(h, w, spp).astype(np.int16)
+        d = plane.astype(np.int32)
         d[:, 1:, :] -= d[:, :-1, :].copy()
-        plane = (d % 256).astype(np.uint8).reshape(h, w * spp)
+        plane = (d % (full + 1)).astype(a.dtype)
+    rows = np.ascontiguousarray(plane.astype(e + f"u{sb}")).view(
+        np.uint8
+    ).reshape(h, w * spp * sb)
     strips = []
     for y0 in range(0, h, rps):
-        raw = plane[y0 : y0 + rps].tobytes()
+        raw = rows[y0 : y0 + rps].tobytes()
         if comp_code == 1:
             strips.append(raw)
         elif comp_code == 32773:
@@ -1740,7 +1763,7 @@ def encode_tiff(
     tags = [
         (256, 3, [w]),
         (257, 3, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [8 * sb] * spp),
         (259, 3, [comp_code]),
         (262, 3, [photo]),
         (273, 4, offsets),
@@ -2543,6 +2566,45 @@ def synthetic_ppm16_table(spark, n: int = 36) -> DataFrame:
         ).astype(np.uint16)
         rows.append(
             (i, "image", encode_ppm16(px), None, f"mem://media/{i}.ppm")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
+    """Deterministic 16-bit TIFF media table: image i is
+    w=14+(i%5)*3 by h=10+(i%3)*4 with base = (x*263 + y*521 +
+    i*1031) mod 65536 and channel offsets (0, 21845, 43690) —
+    different multipliers from the 16-bit PPM corpus so q198's
+    groups can't pass by accident. Containers rotate compression
+    (none/PackBits/LZW/Deflate by i%4), byte order (i%2), and the
+    horizontal predictor (i%3==0), all lossless."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        w, h = 14 + (i % 5) * 3, 10 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        base = (x * 263 + y * 521 + i * 1031) % 65536
+        px = np.stack(
+            [base, (base + 21845) % 65536, (base + 43690) % 65536], axis=-1
+        ).astype(np.uint16)
+        rows.append(
+            (
+                i,
+                "image",
+                encode_tiff(
+                    px,
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    predictor=(i % 3 == 0),
+                    rows_per_strip=4,
+                ),
+                None,
+                f"mem://media/{i}.tif",
+            )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
@@ -5731,8 +5793,8 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
                         aux = n_rst
                 else:
                     aux = int(p[..., :3].max())
-                if fmt == "ppm" and px.dtype == np.uint16:
-                    fmt = "ppm16"
+                if fmt in ("ppm", "tiff") and px.dtype == np.uint16:
+                    fmt += "16"
                 out.append(
                     (
                         media_id,

@@ -11365,6 +11365,30 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS aux
         FROM pch GROUP BY i
     ),
+    tf AS (
+        SELECT i, 14 + (i % 5) * 3 AS w, 10 + (i % 3) * 4 AS h
+        FROM range(30) t(i)
+    ),
+    tys AS (SELECT i, w, unnest(range(h)) AS y FROM tf),
+    tpx AS (SELECT i, y, unnest(range(w)) AS x FROM tys),
+    tch AS (
+        SELECT i,
+               (x * 263 + y * 521 + i * 1031) % 65536 AS r,
+               ((x * 263 + y * 521 + i * 1031) % 65536 + 21845) % 65536
+                   AS g,
+               ((x * 263 + y * 521 + i * 1031) % 65536 + 43690) % 65536
+                   AS b
+        FROM tpx
+    ),
+    tif AS (
+        SELECT 'tiff16' AS fmt, i AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS aux
+        FROM tch GROUP BY i
+    ),
     j AS (
         SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h,
                1 + (i % 4) AS ri
@@ -11404,15 +11428,20 @@ def q197_cdc_validation_census(spark, sf_dir):
                     ELSE 0 END AS BIGINT) AS aux
         FROM qv GROUP BY i
     )
-    SELECT * FROM ppm UNION ALL SELECT * FROM jpg
+    SELECT * FROM ppm UNION ALL SELECT * FROM tif
+    UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
-    "Three gate retirements, value-verified (the round-5 verdict's "
+    "Codec gate retirements, value-verified (the round-5 verdict's "
     "class: gates whose 'needs a codec library' claim is not true). "
     "16-bit PPM: maxval>255 means 2-byte big-endian samples per the "
     "netpbm spec — one frombuffer dtype switch; aux = max sample "
     "proves full-range 16-bit values actually arrive (a byte-order "
-    "or stride bug caps or scrambles it). JPEG DRI/RSTm restart "
+    "or stride bug caps or scrambles it). 16-bit TIFF (round 8): the "
+    "same full-range closed form (different multipliers) through the "
+    "strip machinery at BitsPerSample 16, rotating all four "
+    "compressions, both byte orders, and the 16-bit horizontal "
+    "predictor (cumsum mod 65536) — lossless at every combination. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11442,10 +11471,12 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_jpeg_prog_table,
         synthetic_jpeg_rst_table,
         synthetic_ppm16_table,
+        synthetic_tiff16_table,
     )
 
     media = (
         synthetic_ppm16_table(spark, n=36)
+        .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

@@ -322,6 +322,22 @@ def test_tiff_container_family_roundtrip_and_gates():
         decode_tiff(encode_tiff(g, compression="packbits", palette=pal)),
         px,
     )
+    # 16-bit samples: full-range roundtrip at every compression in
+    # both byte orders, predictor runs mod 65536, WhiteIsZero
+    # inverts against 65535
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        make_test_pixels16,
+    )
+
+    px16 = np.asarray(make_test_pixels16(14, 10, seed=2))
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        b = encode_tiff(px16, compression=comp, big_endian=(comp == "lzw"),
+                        predictor=True, rows_per_strip=3)
+        d = decode_tiff(b)
+        assert d.dtype == np.uint16 and np.array_equal(d, px16), comp
+    g16 = px16[..., 0]
+    d = decode_tiff(encode_tiff(g16, compression="lzw", white_is_zero=True))
+    assert np.array_equal(d, np.stack([g16] * 3, -1))
     # LZW: early-change boundary (table through 511/1022) and the
     # 4094 table reset both survive
     rng = np.random.RandomState(1)
@@ -1976,6 +1992,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_tiff(img, compression="packbits", big_endian=True),
          decode_tiff),
         (encode_tiff(img8, compression="deflate"), decode_tiff),
+        (encode_tiff(px16[:6, :5], compression="lzw", predictor=True),
+         decode_tiff),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
