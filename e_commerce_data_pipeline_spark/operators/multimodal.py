@@ -1340,14 +1340,17 @@ def _png_unfilter(raw, w: int, h: int, bpp: int):
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline 6.0, strip-organized, both byte orders): IFD walk,
+# TIFF (baseline 6.0 + the common extensions, both byte orders): IFD
+# walk, strip / tiled (tags 322-325, padded edge tiles) / planar
+# (PlanarConfiguration 2, component-major strips) organization,
 # Compression 1 (none) / 5 (LZW, MSB-first with EarlyChange) /
 # 8+32946 (Deflate) / 32773 (PackBits), Photometric 0/1 (gray,
 # WhiteIsZero inverted) / 2 (RGB, extra samples dropped) / 3
-# (ColorMap palette, 16-bit entries), horizontal-differencing
-# predictor, multi-strip. Pure numpy + zlib. Tiled / planar /
-# sub-byte / 16-bit / float variants gate via require_codec;
-# structural damage raises ValueError.
+# (ColorMap palette, 16-bit entries), 8- and 16-bit samples,
+# horizontal-differencing predictor (restarting per tile). Pure
+# numpy + zlib. Sub-byte / float / 16-bit-palette / tiled-planar
+# variants gate via require_codec; structural damage raises
+# ValueError.
 # ---------------------------------------------------------------------------
 
 
@@ -1564,8 +1567,7 @@ def decode_tiff(b: bytes):
         v = values(tag, None)
         return default if v is None else v[0]
 
-    if 322 in entries or 323 in entries:
-        require_codec("tiled TIFF")
+    tiled = 322 in entries or 323 in entries
     w, h = one(256), one(257)
     if not w or not h:
         raise ValueError("TIFF missing dimensions")
@@ -1575,8 +1577,11 @@ def decode_tiff(b: bytes):
     photo = one(262)
     if photo is None:
         raise ValueError("TIFF missing PhotometricInterpretation")
-    if one(284, 1) != 1:
-        require_codec("planar TIFF")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError("TIFF PlanarConfiguration invalid")
+    if tiled and planar == 2:
+        require_codec("tiled planar TIFF")
     sfmt = values(339, [1] * spp)
     if any(v != 1 for v in sfmt):
         require_codec(f"TIFF sample format {sfmt}")
@@ -1591,58 +1596,116 @@ def decode_tiff(b: bytes):
         require_codec(f"TIFF predictor {pred}")
     if comp not in (1, 5, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
-    offsets = values(273)
-    counts = values(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip tables missing or mismatched")
-    rps = one(278, h)
-    if rps < 1:
-        raise ValueError("TIFF RowsPerStrip invalid")
-    if len(offsets) != -(-h // rps):
-        raise ValueError("TIFF strip count does not cover the image")
     if w * h > (1 << 26):
         # decompressors size buffers from the header (the deflate
         # path preallocates `expected`); a corrupt dimension must not
         # materialize a multi-GB buffer — the BMP RLE lesson
         raise ValueError("TIFF raster implausibly large")
-    row_bytes = w * spp * sb
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(b):
-            raise ValueError("TIFF strip out of range")
-        rows_here = min(rps, h - si * rps)
-        expected = rows_here * row_bytes
-        strip = b[off : off + cnt]
+
+    def decompress(chunk, expected):
         if comp == 1:
-            if len(strip) < expected:
+            if len(chunk) < expected:
                 raise ValueError("TIFF strip truncated")
-            data = strip[:expected]
-        elif comp == 32773:
-            data = _packbits_decode(strip, expected)
-        elif comp == 5:
-            data = _tiff_lzw_decode(strip, expected)
+            return chunk[:expected]
+        if comp == 32773:
+            return _packbits_decode(chunk, expected)
+        if comp == 5:
+            data = _tiff_lzw_decode(chunk, expected)
             if len(data) != expected:
                 raise ValueError("TIFF LZW strip size mismatch")
-        else:  # 8 / 32946: zlib Deflate
-            try:
-                data = zlib.decompress(strip, bufsize=expected)
-            except zlib.error as exc:
-                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
-            if len(data) != expected:
-                raise ValueError("TIFF deflate strip size mismatch")
-        raw += data
-    if sb == 1:
-        a = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-    else:
-        a = (
-            np.frombuffer(bytes(raw), e + "u2")
-            .reshape(h, w, spp)
+            return data
+        try:  # 8 / 32946: zlib Deflate
+            data = zlib.decompress(chunk, bufsize=expected)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF deflate strip corrupt: {exc}")
+        if len(data) != expected:
+            raise ValueError("TIFF deflate strip size mismatch")
+        return data
+
+    def as_pixels(buf, rows, cols, ch):
+        if sb == 1:
+            return np.frombuffer(bytes(buf), np.uint8).reshape(
+                rows, cols, ch
+            )
+        return (
+            np.frombuffer(bytes(buf), e + "u2")
+            .reshape(rows, cols, ch)
             .astype(np.uint16)
         )
-    if pred == 2:
-        # horizontal differencing: rebuild by per-row cumulative sum
+
+    def unpredict(arr):
+        # horizontal differencing restarts at every row (rows never
+        # cross a strip or tile): rebuild by per-row cumulative sum
         # (mod the sample width)
-        a = np.cumsum(a.astype(np.uint32), axis=1).astype(a.dtype)
+        if pred == 2:
+            return np.cumsum(arr.astype(np.uint32), axis=1).astype(
+                arr.dtype
+            )
+        return arr
+
+    def chunk_at(off, cnt):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of range")
+        return b[off : off + cnt]
+
+    if tiled:
+        tw, th = one(322), one(323)
+        if not tw or not th:
+            raise ValueError("TIFF tile dimensions invalid")
+        offsets = values(324)
+        counts = values(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile tables missing or mismatched")
+        ta, td = -(-w // tw), -(-h // th)
+        if len(offsets) != ta * td:
+            raise ValueError("TIFF tile count does not cover the image")
+        if tw * th > (1 << 24):
+            raise ValueError("TIFF tile implausibly large")
+        canvas = np.zeros(
+            (td * th, ta * tw, spp), np.uint8 if sb == 1 else np.uint16
+        )
+        expected = tw * th * spp * sb  # edge tiles are padded to full size
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = unpredict(
+                as_pixels(decompress(chunk_at(off, cnt), expected),
+                          th, tw, spp)
+            )
+            ty, tx = idx // ta, idx % ta
+            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        a = canvas[:h, :w]
+    else:
+        offsets = values(273)
+        counts = values(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or mismatched")
+        rps = one(278, h)
+        if rps < 1:
+            raise ValueError("TIFF RowsPerStrip invalid")
+        spi = -(-h // rps)  # strips per image (per component if planar)
+        if len(offsets) != spi * (spp if planar == 2 else 1):
+            raise ValueError("TIFF strip count does not cover the image")
+        row_bytes = w * sb * (spp if planar == 1 else 1)
+
+        def assemble(strip_slice):
+            raw = bytearray()
+            for si, (off, cnt) in enumerate(strip_slice):
+                rows_here = min(rps, h - si * rps)
+                raw += decompress(
+                    chunk_at(off, cnt), rows_here * row_bytes
+                )
+            return raw
+
+        pairs = list(zip(offsets, counts))
+        if planar == 1:
+            a = unpredict(as_pixels(assemble(pairs), h, w, spp))
+        else:
+            # PlanarConfiguration 2: component-major strip order
+            planes = [
+                as_pixels(assemble(pairs[c * spi : (c + 1) * spi]),
+                          h, w, 1)[..., 0]
+                for c in range(spp)
+            ]
+            a = unpredict(np.stack(planes, axis=-1))
     full = 255 if sb == 1 else 65535
     if photo in (0, 1):
         if spp != 1:
@@ -1700,6 +1763,8 @@ def encode_tiff(
     rows_per_strip: int = 0,
     palette=None,
     white_is_zero: bool = False,
+    tile=None,
+    planar: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB / (h, w) gray, uint8 or uint16 — or (h, w)
     uint8 indices with ``palette`` (256, 3) — -> strip-organized
@@ -1707,7 +1772,10 @@ def encode_tiff(
     ``predictor`` applies horizontal differencing (tag 317 = 2).
     ``white_is_zero`` emits photometric 0 with inverted gray
     samples. uint16 input emits BitsPerSample 16 with samples in the
-    file's byte order."""
+    file's byte order. ``tile=(tw, th)`` emits the tiled layout
+    (tags 322-325; edge tiles padded to full size, dims should be
+    multiples of 16 per the spec). ``planar`` emits
+    PlanarConfiguration 2 (component-major strips)."""
     import numpy as np
     import zlib
 
@@ -1734,24 +1802,56 @@ def encode_tiff(
         compression
     ]
     plane = a.reshape(h, w, spp)
-    if predictor:
-        d = plane.astype(np.int32)
+
+    def diff(arr3d):
+        if not predictor:
+            return arr3d
+        d = arr3d.astype(np.int32)
         d[:, 1:, :] -= d[:, :-1, :].copy()
-        plane = (d % (full + 1)).astype(a.dtype)
-    rows = np.ascontiguousarray(plane.astype(e + f"u{sb}")).view(
-        np.uint8
-    ).reshape(h, w * spp * sb)
-    strips = []
-    for y0 in range(0, h, rps):
-        raw = rows[y0 : y0 + rps].tobytes()
+        return (d % (full + 1)).astype(a.dtype)
+
+    if tile is None:
+        # strips never split a row, so differencing the whole plane
+        # equals per-strip differencing; tiles DO split rows, so the
+        # tiled path differences each tile independently below
+        plane = diff(plane)
+
+    def serialize(arr3d):
+        return np.ascontiguousarray(
+            arr3d.astype(e + f"u{sb}")
+        ).view(np.uint8).reshape(arr3d.shape[0], -1)
+
+    def compress(raw):
         if comp_code == 1:
-            strips.append(raw)
-        elif comp_code == 32773:
-            strips.append(_packbits_encode(raw))
-        elif comp_code == 5:
-            strips.append(_tiff_lzw_encode(raw))
-        else:
-            strips.append(zlib.compress(raw, 6))
+            return raw
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        if comp_code == 5:
+            return _tiff_lzw_encode(raw)
+        return zlib.compress(raw, 6)
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        ta, td = -(-w // tw), -(-h // th)
+        padded = np.zeros((td * th, ta * tw, spp), plane.dtype)
+        padded[:h, :w] = plane
+        for ty in range(td):
+            for tx in range(ta):
+                t = diff(padded[ty * th : (ty + 1) * th,
+                                tx * tw : (tx + 1) * tw])
+                strips.append(compress(serialize(t).tobytes()))
+    elif planar:
+        assert spp == 3, "planar layout needs 3 components"
+        for c in range(spp):
+            for y0 in range(0, h, rps):
+                strips.append(compress(
+                    serialize(plane[y0 : y0 + rps, :, c : c + 1]).tobytes()
+                ))
+    else:
+        rows = serialize(plane)
+        for y0 in range(0, h, rps):
+            strips.append(compress(rows[y0 : y0 + rps].tobytes()))
     body = bytearray()
     offsets = []
     for s in strips:
@@ -1766,11 +1866,23 @@ def encode_tiff(
         (258, 3, [8 * sb] * spp),
         (259, 3, [comp_code]),
         (262, 3, [photo]),
-        (273, 4, offsets),
         (277, 3, [spp]),
-        (278, 3, [min(rps, h)]),
-        (279, 4, [len(s) for s in strips]),
     ]
+    if tile is not None:
+        tags += [
+            (322, 3, [tw]),
+            (323, 3, [th]),
+            (324, 4, offsets),
+            (325, 4, [len(s) for s in strips]),
+        ]
+    else:
+        tags += [
+            (273, 4, offsets),
+            (278, 3, [min(rps, h)]),
+            (279, 4, [len(s) for s in strips]),
+        ]
+        if planar:
+            tags.append((284, 3, [2]))
     if predictor:
         tags.append((317, 3, [2]))
     if palette is not None:
@@ -2577,8 +2689,11 @@ def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
     i*1031) mod 65536 and channel offsets (0, 21845, 43690) —
     different multipliers from the 16-bit PPM corpus so q198's
     groups can't pass by accident. Containers rotate compression
-    (none/PackBits/LZW/Deflate by i%4), byte order (i%2), and the
-    horizontal predictor (i%3==0), all lossless."""
+    (none/PackBits/LZW/Deflate by i%4), byte order (i%2), the
+    horizontal predictor (i%3==0), and the ORGANIZATION (i%5: strip
+    chunky / 16x16 tiled with padded edge tiles / PlanarConfig-2
+    component-major strips) — all lossless, so one closed form
+    covers every layout."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
@@ -2601,6 +2716,8 @@ def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
                     big_endian=bool(i % 2),
                     predictor=(i % 3 == 0),
                     rows_per_strip=4,
+                    tile=(16, 16) if i % 5 == 2 else None,
+                    planar=(i % 5 == 4),
                 ),
                 None,
                 f"mem://media/{i}.tif",

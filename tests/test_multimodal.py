@@ -338,6 +338,30 @@ def test_tiff_container_family_roundtrip_and_gates():
     g16 = px16[..., 0]
     d = decode_tiff(encode_tiff(g16, compression="lzw", white_is_zero=True))
     assert np.array_equal(d, np.stack([g16] * 3, -1))
+    # tiled organization: 16x16 tiles over non-multiple dims (padded
+    # edge tiles cropped), predictor restarting per tile, 8/16-bit
+    for arr in (px, px16):
+        for comp in ("none", "lzw", "deflate"):
+            b = encode_tiff(arr, compression=comp, tile=(16, 16),
+                            predictor=True, big_endian=(comp == "lzw"))
+            d = decode_tiff(b)
+            assert d.dtype == arr.dtype and np.array_equal(d, arr), comp
+    # planar (PlanarConfiguration 2): component-major strips
+    for arr in (px, px16):
+        b = encode_tiff(arr, compression="packbits", planar=True,
+                        predictor=True, rows_per_strip=4)
+        assert np.array_equal(decode_tiff(b), arr)
+    # tiled planar still gates: take a planar file and rename its
+    # RowsPerStrip tag to TileLength to fake the combination
+    pl = bytearray(encode_tiff(px, planar=True))
+    ifd4 = int.from_bytes(pl[4:8], "little")
+    n4 = int.from_bytes(pl[ifd4 : ifd4 + 2], "little")
+    for k in range(n4):
+        at = ifd4 + 2 + 12 * k
+        if int.from_bytes(pl[at : at + 2], "little") == 278:
+            pl[at : at + 2] = (323).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(pl))
     # LZW: early-change boundary (table through 511/1022) and the
     # 4094 table reset both survive
     rng = np.random.RandomState(1)
@@ -350,11 +374,10 @@ def test_tiff_container_family_roundtrip_and_gates():
     # gates: tiled layout, planar config, 16-bit samples
     b = bytearray(encode_tiff(px))
     ifd_off = int.from_bytes(b[4:8], "little")
-    # forge a TileWidth entry by renaming the first IFD tag
-    # (ImageWidth, 256 -> 322): tiled layouts gate before anything
-    # else is interpreted
+    # renaming ImageWidth (256 -> 322) leaves a tiled-looking file
+    # with no dimensions: corrupt, loud
     b[ifd_off + 2 : ifd_off + 4] = (322).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="missing dimensions"):
         decode_tiff(bytes(b))
     # corrupt: strip table pointing past the buffer
     short = encode_tiff(px, compression="none")
@@ -1994,6 +2017,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_tiff(img8, compression="deflate"), decode_tiff),
         (encode_tiff(px16[:6, :5], compression="lzw", predictor=True),
          decode_tiff),
+        (encode_tiff(img, compression="deflate", tile=(16, 16)),
+         decode_tiff),
+        (encode_tiff(img, compression="none", planar=True,
+                     rows_per_strip=4), decode_tiff),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
