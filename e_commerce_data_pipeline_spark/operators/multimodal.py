@@ -1586,14 +1586,22 @@ def decode_tiff(b: bytes):
     if any(v != 1 for v in sfmt):
         require_codec(f"TIFF sample format {sfmt}")
     if all(v == 8 for v in bits):
-        sb = 1
+        sb, depth = 1, 8
     elif all(v == 16 for v in bits):
-        sb = 2
+        sb, depth = 2, 16
+    elif spp == 1 and bits[0] in (1, 2, 4):
+        # sub-byte gray/palette (the fax/document class): MSB-first
+        # packed samples, each row padded to a byte boundary
+        sb, depth = 1, bits[0]
     else:
         require_codec(f"TIFF bits per sample {bits}")
     pred = one(317, 1)
     if pred not in (1, 2):
         require_codec(f"TIFF predictor {pred}")
+    if pred == 2 and depth < 8:
+        # the spec defines horizontal differencing for 8/16/32-bit
+        # integer samples only
+        raise ValueError("TIFF predictor on sub-byte samples")
     if comp not in (1, 5, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
     if w * h > (1 << 26):
@@ -1622,7 +1630,25 @@ def decode_tiff(b: bytes):
             raise ValueError("TIFF deflate strip size mismatch")
         return data
 
+    def row_nbytes(cols, ch):
+        if depth < 8:
+            return (cols * depth + 7) // 8  # rows pad to a byte
+        return cols * ch * sb
+
     def as_pixels(buf, rows, cols, ch):
+        if depth < 8:
+            rb = row_nbytes(cols, 1)
+            packed = np.frombuffer(bytes(buf), np.uint8).reshape(rows, rb)
+            unpacked = np.unpackbits(packed, axis=1)
+            if depth == 1:
+                v = unpacked[:, :cols]
+            else:
+                grp = unpacked.reshape(rows, rb * 8 // depth, depth)
+                weights = (1 << np.arange(depth - 1, -1, -1)).astype(
+                    np.uint8
+                )
+                v = (grp * weights).sum(axis=-1).astype(np.uint8)[:, :cols]
+            return v[..., None]
         if sb == 1:
             return np.frombuffer(bytes(buf), np.uint8).reshape(
                 rows, cols, ch
@@ -1664,7 +1690,8 @@ def decode_tiff(b: bytes):
         canvas = np.zeros(
             (td * th, ta * tw, spp), np.uint8 if sb == 1 else np.uint16
         )
-        expected = tw * th * spp * sb  # edge tiles are padded to full size
+        # edge tiles are padded to full size
+        expected = th * row_nbytes(tw, spp)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             tile = unpredict(
                 as_pixels(decompress(chunk_at(off, cnt), expected),
@@ -1684,7 +1711,7 @@ def decode_tiff(b: bytes):
         spi = -(-h // rps)  # strips per image (per component if planar)
         if len(offsets) != spi * (spp if planar == 2 else 1):
             raise ValueError("TIFF strip count does not cover the image")
-        row_bytes = w * sb * (spp if planar == 1 else 1)
+        row_bytes = row_nbytes(w, spp if planar == 1 else 1)
 
         def assemble(strip_slice):
             raw = bytearray()
@@ -1706,13 +1733,17 @@ def decode_tiff(b: bytes):
                 for c in range(spp)
             ]
             a = unpredict(np.stack(planes, axis=-1))
-    full = 255 if sb == 1 else 65535
+    full = (1 << depth) - 1
     if photo in (0, 1):
         if spp != 1:
             raise ValueError("TIFF gray photometric with multiple samples")
         g = a[..., 0]
         if photo == 0:
             g = (full - g.astype(np.int32)).astype(a.dtype)
+        if depth < 8:
+            # expand to 8-bit: 255/(2^d - 1) is an exact integer at
+            # every sub-byte depth (255, 85, 17)
+            g = (g.astype(np.int32) * (255 // full)).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     if photo == 2:
         if spp < 3:
@@ -1723,10 +1754,11 @@ def decode_tiff(b: bytes):
             raise ValueError("TIFF palette photometric with multiple samples")
         if sb != 1:
             require_codec("16-bit palette TIFF")  # 65536-entry ColorMap
+        n_pal = 1 << depth
         cmap = values(320)
-        if cmap is None or len(cmap) != 3 * 256:
+        if cmap is None or len(cmap) != 3 * n_pal:
             raise ValueError("TIFF ColorMap missing or wrong size")
-        pal = (np.array(cmap, np.uint16).reshape(3, 256).T >> 8).astype(
+        pal = (np.array(cmap, np.uint16).reshape(3, n_pal).T >> 8).astype(
             np.uint8
         )
         return pal[a[..., 0].reshape(-1)].reshape(h, w, 3)
@@ -1765,6 +1797,7 @@ def encode_tiff(
     white_is_zero: bool = False,
     tile=None,
     planar: bool = False,
+    depth: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB / (h, w) gray, uint8 or uint16 — or (h, w)
     uint8 indices with ``palette`` (256, 3) — -> strip-organized
@@ -1775,7 +1808,9 @@ def encode_tiff(
     file's byte order. ``tile=(tw, th)`` emits the tiled layout
     (tags 322-325; edge tiles padded to full size, dims should be
     multiples of 16 per the spec). ``planar`` emits
-    PlanarConfiguration 2 (component-major strips)."""
+    PlanarConfiguration 2 (component-major strips). ``depth`` in
+    (1, 2, 4) packs a 2-D gray/index plane (values < 2^depth) as
+    MSB-first sub-byte samples, rows padded to byte boundaries."""
     import numpy as np
     import zlib
 
@@ -1783,7 +1818,14 @@ def encode_tiff(
     a = np.asarray(arr)
     assert a.dtype in (np.uint8, np.uint16), "TIFF encoder: uint8/uint16"
     sb = a.dtype.itemsize
-    full = 255 if sb == 1 else 65535
+    d_eff = depth or 8 * sb
+    assert d_eff in (1, 2, 4, 8, 16), "TIFF depth must be 1/2/4/8/16"
+    if d_eff < 8:
+        assert a.ndim == 2 and sb == 1 and int(a.max(initial=0)) < (
+            1 << d_eff
+        ), "sub-byte TIFF expects a 2-D plane of values < 2^depth"
+        assert not predictor, "TIFF predictor needs 8/16-bit samples"
+    full = (1 << d_eff) - 1
     if palette is not None:
         assert a.ndim == 2 and sb == 1, "palette TIFF expects uint8 indices"
         h, w = a.shape
@@ -1817,6 +1859,19 @@ def encode_tiff(
         plane = diff(plane)
 
     def serialize(arr3d):
+        if d_eff < 8:
+            a2 = arr3d[..., 0]
+            nr, nc = a2.shape
+            sh = np.arange(d_eff - 1, -1, -1)
+            flat = ((a2[..., None] >> sh) & 1).astype(np.uint8).reshape(
+                nr, nc * d_eff
+            )
+            pad = (-flat.shape[1]) % 8
+            if pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((nr, pad), np.uint8)], axis=1
+                )
+            return np.packbits(flat, axis=1)
         return np.ascontiguousarray(
             arr3d.astype(e + f"u{sb}")
         ).view(np.uint8).reshape(arr3d.shape[0], -1)
@@ -1863,7 +1918,7 @@ def encode_tiff(
     tags = [
         (256, 3, [w]),
         (257, 3, [h]),
-        (258, 3, [8 * sb] * spp),
+        (258, 3, [d_eff] * spp),
         (259, 3, [comp_code]),
         (262, 3, [photo]),
         (277, 3, [spp]),
@@ -1887,7 +1942,7 @@ def encode_tiff(
         tags.append((317, 3, [2]))
     if palette is not None:
         pal = np.asarray(palette, np.uint8)
-        assert pal.shape == (256, 3), "TIFF palette must be 256x3"
+        assert pal.shape == (1 << d_eff, 3), "TIFF palette must be 2^depth x3"
         cmap = (pal.astype(np.uint16) * 257).T.reshape(-1)
         tags.append((320, 3, [int(v) for v in cmap]))
     tags.sort(key=lambda t: t[0])
@@ -2721,6 +2776,46 @@ def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{i}.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_subbyte_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic sub-byte TIFF media table (the fax/document
+    class): image i is a depth-(1,2,4)[i%3] gray plane
+    ``(x*3 + y*7 + i*11) mod 2^d`` at w=19+(i%4)*5, h=13+(i%5)*3,
+    decoded to 8-bit via the exact 255/(2^d - 1) expansion.
+    Containers rotate compression (i%4), byte order (i%2),
+    WhiteIsZero (i%2 — the encoder inverts and the decoder
+    re-inverts, so the closed form is container-independent), and
+    organization (16x16 tiles when i%5==2)."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        d = (1, 2, 4)[i % 3]
+        w, h = 19 + (i % 4) * 5, 13 + (i % 5) * 3
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        plane = ((x * 3 + y * 7 + i * 11) % (1 << d)).astype(np.uint8)
+        rows.append(
+            (
+                i,
+                "image",
+                encode_tiff(
+                    plane,
+                    compression=comps[i % 4],
+                    depth=d,
+                    big_endian=bool(i % 2),
+                    white_is_zero=bool(i % 2),
+                    rows_per_strip=4,
+                    tile=(16, 16) if i % 5 == 2 else None,
+                ),
+                None,
+                f"mem://media/{i}.sb.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

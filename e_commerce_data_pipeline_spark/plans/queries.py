@@ -11389,6 +11389,29 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS aux
         FROM tch GROUP BY i
     ),
+    sbm AS (
+        SELECT i,
+               CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS d,
+               19 + (i % 4) * 5 AS w, 13 + (i % 5) * 3 AS h
+        FROM range(24) t(i)
+    ),
+    sbys AS (SELECT i, d, w, unnest(range(h)) AS y FROM sbm),
+    sbpx AS (SELECT i, d, y, unnest(range(w)) AS x FROM sbys),
+    sbv AS (
+        SELECT i,
+               ((x * 3 + y * 7 + i * 11) % (1 << d))
+                   * (255 // ((1 << d) - 1)) AS v
+        FROM sbpx
+    ),
+    tifsb AS (
+        SELECT 'tiff' AS fmt, i AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_r,
+               CAST(SUM(v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS aux
+        FROM sbv GROUP BY i
+    ),
     j AS (
         SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h,
                1 + (i % 4) AS ri
@@ -11429,6 +11452,7 @@ def q197_cdc_validation_census(spark, sf_dir):
         FROM qv GROUP BY i
     )
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
+    UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
@@ -11440,8 +11464,13 @@ def q197_cdc_validation_census(spark, sf_dir):
     "or stride bug caps or scrambles it). 16-bit TIFF (round 8): the "
     "same full-range closed form (different multipliers) through the "
     "strip machinery at BitsPerSample 16, rotating all four "
-    "compressions, both byte orders, and the 16-bit horizontal "
-    "predictor (cumsum mod 65536) — lossless at every combination. JPEG DRI/RSTm restart "
+    "compressions, both byte orders, the 16-bit horizontal "
+    "predictor (cumsum mod 65536), and strip/16x16-tile/planar "
+    "organization — lossless at every combination. SUB-BYTE TIFF "
+    "(round 8): depth-1/2/4 gray planes (the fax/document class), "
+    "MSB-first row-padded packing expanded by the exact "
+    "255/(2^d - 1), WhiteIsZero round-tripping through the "
+    "encoder/decoder inversion pair, tiled on every fifth image. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11472,11 +11501,13 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_jpeg_rst_table,
         synthetic_ppm16_table,
         synthetic_tiff16_table,
+        synthetic_tiff_subbyte_table,
     )
 
     media = (
         synthetic_ppm16_table(spark, n=36)
         .unionByName(synthetic_tiff16_table(spark, n=30))
+        .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

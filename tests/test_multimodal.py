@@ -351,6 +351,47 @@ def test_tiff_container_family_roundtrip_and_gates():
         b = encode_tiff(arr, compression="packbits", planar=True,
                         predictor=True, rows_per_strip=4)
         assert np.array_equal(decode_tiff(b), arr)
+    # sub-byte (1/2/4-bit) gray: MSB-first row-padded packing, exact
+    # 255/(2^d - 1) expansion, WhiteIsZero inversion pair, palette
+    # indices at depth 4/1, tiled organization
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _media_palette,
+    )
+
+    for d in (1, 2, 4):
+        q = (g >> (8 - d)).astype(np.uint8)
+        exp = np.stack([q * (255 // ((1 << d) - 1))] * 3, -1).astype(
+            np.uint8
+        )
+        for comp in ("none", "lzw"):
+            for wiz in (False, True):
+                b = encode_tiff(q, compression=comp, depth=d,
+                                white_is_zero=wiz, rows_per_strip=5)
+                assert np.array_equal(decode_tiff(b), exp), (d, comp, wiz)
+        b = encode_tiff(q, compression="deflate", depth=d, tile=(16, 16))
+        assert np.array_equal(decode_tiff(b), exp), ("tiled", d)
+    pal16 = np.asarray(_media_palette(16, 17))
+    idx = (g // 17).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(idx, compression="packbits", depth=4,
+                                palette=pal16)),
+        pal16[idx.reshape(-1)].reshape(*g.shape, 3),
+    )
+    # predictor on sub-byte samples is a spec violation
+    sbb = bytearray(encode_tiff((g >> 4).astype(np.uint8), depth=4))
+    ifd5 = int.from_bytes(sbb[4:8], "little")
+    n5 = int.from_bytes(sbb[ifd5 : ifd5 + 2], "little")
+    forged = (
+        sbb[: ifd5 + 2]
+        + bytes(sbb[ifd5 + 2 : ifd5 + 2 + 12 * n5])
+        + (317).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (2).to_bytes(2, "little") + b"\x00\x00"
+        + (0).to_bytes(4, "little")
+    )
+    forged = bytearray(forged)
+    forged[ifd5 : ifd5 + 2] = (n5 + 1).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="predictor on sub-byte"):
+        decode_tiff(bytes(forged))
     # tiled planar still gates: take a planar file and rename its
     # RowsPerStrip tag to TileLength to fake the combination
     pl = bytearray(encode_tiff(px, planar=True))
@@ -2021,6 +2062,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
          decode_tiff),
         (encode_tiff(img, compression="none", planar=True,
                      rows_per_strip=4), decode_tiff),
+        (encode_tiff((img8 >> 6), compression="lzw", depth=2),
+         decode_tiff),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
