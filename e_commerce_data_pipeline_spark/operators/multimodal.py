@@ -371,13 +371,7 @@ def _decode_bmp_core(b: bytes, offset: int):
     if bpp == 8:
         idx = rows[:, :w]
     else:
-        bits = np.unpackbits(rows, axis=1)
-        if bpp == 4:
-            nib = bits.reshape(h, row_bytes * 2, 4)
-            weights = np.array([8, 4, 2, 1], np.uint8)
-            idx = (nib * weights).sum(axis=-1).astype(np.uint8)[:, :w]
-        else:
-            idx = bits[:, :w]
+        idx = _unpack_msb_samples(rows, w, bpp)
     px = pal[idx.reshape(-1)].reshape(h, w, 3)
     return px[::-1]
 
@@ -509,13 +503,7 @@ def decode_bmp(b: bytes):
             idx = rows[:, :w]
         else:
             # MSB-first packed samples (1 or 4 bits), final-byte padding
-            bits = np.unpackbits(rows, axis=1)
-            if bpp == 4:
-                nib = bits.reshape(h, row_bytes * 2, 4)
-                weights = np.array([8, 4, 2, 1], np.uint8)
-                idx = (nib * weights).sum(axis=-1).astype(np.uint8)[:, :w]
-            else:
-                idx = bits[:, :w]
+            idx = _unpack_msb_samples(rows, w, bpp)
     else:
         # uncompressed paths are implicitly bounded by the buffer
         # (frombuffer raises before allocating); RLE can legitimately
@@ -1354,6 +1342,22 @@ def _png_unfilter(raw, w: int, h: int, bpp: int):
 # ---------------------------------------------------------------------------
 
 
+def _unpack_msb_samples(rows, cols: int, depth: int):
+    """(h, row_bytes) uint8 array of MSB-first packed samples ->
+    (h, cols) uint8 sample plane (depth 1, 2 or 4; final-byte
+    padding dropped). Shared by the BMP paletted paths (both header
+    families) and sub-byte TIFF."""
+    import numpy as np
+
+    h, row_bytes = rows.shape
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        return bits[:, :cols]
+    grp = bits.reshape(h, row_bytes * 8 // depth, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grp * weights).sum(axis=-1).astype(np.uint8)[:, :cols]
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """Apple PackBits RLE: n in 0..127 copies n+1 literals, n in
     -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
@@ -1572,6 +1576,10 @@ def decode_tiff(b: bytes):
     if not w or not h:
         raise ValueError("TIFF missing dimensions")
     spp = one(277, 1)
+    if not 1 <= spp <= 16:
+        # buffer sizes multiply by SamplesPerPixel; real files carry
+        # 1-4 (and a few extra samples) — a 5-digit value is corrupt
+        raise ValueError("TIFF SamplesPerPixel implausible")
     bits = values(258, [1] * spp)
     comp = one(259, 1)
     photo = one(262)
@@ -1604,7 +1612,7 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF predictor on sub-byte samples")
     if comp not in (1, 5, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
-    if w * h > (1 << 26):
+    if w * h * spp * sb > (1 << 27):
         # decompressors size buffers from the header (the deflate
         # path preallocates `expected`); a corrupt dimension must not
         # materialize a multi-GB buffer — the BMP RLE lesson
@@ -1639,16 +1647,7 @@ def decode_tiff(b: bytes):
         if depth < 8:
             rb = row_nbytes(cols, 1)
             packed = np.frombuffer(bytes(buf), np.uint8).reshape(rows, rb)
-            unpacked = np.unpackbits(packed, axis=1)
-            if depth == 1:
-                v = unpacked[:, :cols]
-            else:
-                grp = unpacked.reshape(rows, rb * 8 // depth, depth)
-                weights = (1 << np.arange(depth - 1, -1, -1)).astype(
-                    np.uint8
-                )
-                v = (grp * weights).sum(axis=-1).astype(np.uint8)[:, :cols]
-            return v[..., None]
+            return _unpack_msb_samples(packed, cols, depth)[..., None]
         if sb == 1:
             return np.frombuffer(bytes(buf), np.uint8).reshape(
                 rows, cols, ch
@@ -1685,8 +1684,11 @@ def decode_tiff(b: bytes):
         ta, td = -(-w // tw), -(-h // th)
         if len(offsets) != ta * td:
             raise ValueError("TIFF tile count does not cover the image")
-        if tw * th > (1 << 24):
-            raise ValueError("TIFF tile implausibly large")
+        if tw * th > (1 << 24) or ta * tw * td * th * spp > (1 << 27):
+            # the PADDED canvas (td*th x ta*tw x spp) is what gets
+            # allocated — small w*h with huge tile dims must not
+            # bypass the raster guard
+            raise ValueError("TIFF tile grid implausibly large")
         canvas = np.zeros(
             (td * th, ta * tw, spp), np.uint8 if sb == 1 else np.uint16
         )
@@ -5039,13 +5041,18 @@ def _decode_wav_full(b: bytes):
             )
         raise ValueError(f"invalid IMA ADPCM channel count {ch}")
     if audio_fmt == 2 and bits == 4:  # MS ADPCM (WAVE_FORMAT_ADPCM)
-        # coefficient table: the fmt-chunk extension names it
-        # (cbSize>=4: wSamplesPerBlock, wNumCoef, then int16 pairs);
-        # files that omit it get the seven standard pairs
+        # fmt-chunk extension: cbSize >= 2 carries wSamplesPerBlock
+        # (the final block of real files is usually short — decoded
+        # samples past it are padding, not audio); cbSize >= 4 adds
+        # wNumCoef and the int16 coefficient pairs. Files that omit
+        # the table get the seven standard pairs.
         coefs = list(_MS_COEFS)
-        if len(fmt_body) >= 22:
+        spb = 0
+        if len(fmt_body) >= 20:
             (cb,) = struct.unpack_from("<H", fmt_body, 16)
-            if cb >= 4:
+            if cb >= 2:
+                (spb,) = struct.unpack_from("<H", fmt_body, 18)
+            if cb >= 4 and len(fmt_body) >= 22:
                 (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
                 if ncoef:
                     if len(fmt_body) < 22 + 4 * ncoef:
@@ -5080,6 +5087,7 @@ def _decode_wav_full(b: bytes):
                 struct.unpack_from("<h", blk, 5 * ch + 2 * c)[0]
                 for c in range(ch)
             ]
+            starts = [len(outs[c]) for c in range(ch)]
             for c in range(ch):
                 outs[c] += [s2[c], s1[c]]
             nb = np.frombuffer(blk[7 * ch :], np.uint8)
@@ -5089,6 +5097,8 @@ def _decode_wav_full(b: bytes):
             state = [(s1[c], s2[c], deltas[c]) for c in range(ch)]
             for j in range(nibs.size):
                 c = j % ch
+                if spb and len(outs[c]) - starts[c] >= spb:
+                    continue  # past wSamplesPerBlock: pad nibbles
                 a, prev, d = state[c]
                 c1, c2 = coefs[preds[c]]
                 samp, nd = ms_adpcm_step(a, prev, d, c1, c2, int(nibs[j]))
@@ -5280,8 +5290,10 @@ def encode_wav_ms_adpcm(nibbles, pred_idx: int, delta0: int, s1: int,
     import numpy as np
 
     nb = np.asarray(nibbles, dtype=np.uint8) & 0x0F
-    if nb.size % 2:
-        nb = np.concatenate([nb, np.zeros(1, np.uint8)])
+    # an odd code count would need a pad nibble that decoders could
+    # mistake for a sample; wSamplesPerBlock disambiguates, but the
+    # single-block writer just requires byte-aligned streams
+    assert nb.size % 2 == 0, "MS ADPCM nibble stream must be even-length"
     packed = ((nb[0::2] << 4) | nb[1::2]).astype(np.uint8).tobytes()
     data = struct.pack("<Bhhh", pred_idx, delta0, s1, s2) + packed
     fmt = _ms_fmt_chunk(1, sample_rate, len(data), nb.size + 2)

@@ -392,6 +392,37 @@ def test_tiff_container_family_roundtrip_and_gates():
     forged[ifd5 : ifd5 + 2] = (n5 + 1).to_bytes(2, "little")
     with pytest.raises(ValueError, match="predictor on sub-byte"):
         decode_tiff(bytes(forged))
+    # review finding (round 8): a small file whose header declares a
+    # huge PADDED tile grid (w=2^26, h=1, 4096x4096 tiles) must trip
+    # the canvas guard, not attempt a multi-GB allocation
+    import struct as st2
+
+    bomb = bytearray(encode_tiff(px, tile=(16, 16)))
+    ifd6 = int.from_bytes(bomb[4:8], "little")
+    n6 = int.from_bytes(bomb[ifd6 : ifd6 + 2], "little")
+    for k in range(n6):
+        at = ifd6 + 2 + 12 * k
+        tag = int.from_bytes(bomb[at : at + 2], "little")
+        if tag == 256:
+            bomb[at + 2 : at + 4] = st2.pack("<H", 4)  # SHORT -> LONG
+            bomb[at + 8 : at + 12] = st2.pack("<I", 1 << 26)
+        elif tag == 257:
+            bomb[at + 2 : at + 4] = st2.pack("<H", 4)
+            bomb[at + 8 : at + 12] = st2.pack("<I", 1)
+        elif tag in (322, 323):
+            bomb[at + 8 : at + 12] = st2.pack("<I", 4096)
+    with pytest.raises(ValueError, match="implausibly large"):
+        decode_tiff(bytes(bomb))
+    # SamplesPerPixel cannot multiply buffers unboundedly either
+    bomb2 = bytearray(encode_tiff(px))
+    ifd7 = int.from_bytes(bomb2[4:8], "little")
+    n7 = int.from_bytes(bomb2[ifd7 : ifd7 + 2], "little")
+    for k in range(n7):
+        at = ifd7 + 2 + 12 * k
+        if int.from_bytes(bomb2[at : at + 2], "little") == 277:
+            bomb2[at + 8 : at + 10] = st2.pack("<H", 65535)
+    with pytest.raises(ValueError, match="SamplesPerPixel"):
+        decode_tiff(bytes(bomb2))
     # tiled planar still gates: take a planar file and rename its
     # RowsPerStrip tag to TileLength to fake the combination
     pl = bytearray(encode_tiff(px, planar=True))
@@ -493,6 +524,20 @@ def test_ms_adpcm_decode_reference_and_stereo():
     assert (s[:, 1] == np.array(ms_adpcm_decode(nr, *ir), np.int16)).all()
     s2, _ = decode_wav(encode_wav_ms_adpcm_stereo(nr, nl, ir, il))
     assert (s2[:, 0] == s[:, 1]).all() and (s2[:, 1] == s[:, 0]).all()
+    # wSamplesPerBlock bounds the decode: patching it below the
+    # nibble count drops the trailing codes as padding (how real
+    # files mark a short final block); odd streams are rejected at
+    # encode (a pad nibble would masquerade as a sample)
+    wb = bytearray(encode_wav_ms_adpcm(nl, 2, 40, 120, -80))
+    spb_at = wb.index(b"fmt ") + 8 + 18
+    assert int.from_bytes(wb[spb_at : spb_at + 2], "little") == 98
+    wb[spb_at : spb_at + 2] = (60).to_bytes(2, "little")
+    s_short, _ = decode_wav(bytes(wb))
+    assert s_short.shape == (60, 1)
+    assert (s_short[:, 0] == np.array(
+        ms_adpcm_decode(nl[:58], 2, 40, 120, -80), np.int16)).all()
+    with pytest.raises(AssertionError, match="even-length"):
+        encode_wav_ms_adpcm(nl[:95], 0, 16, 0, 0)
     # a header predictor index past the coef table is corrupt
     bad = bytearray(encode_wav_ms_adpcm(nl, 0, 16, 0, 0))
     bad[bad.index(b"data") + 8] = 9
@@ -1992,6 +2037,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_wav,
         encode_wav_float32,
         encode_wav_float64,
+        _MS_NIB_BIAS,
         encode_wav_g711,
         encode_wav_ima,
         encode_wav_ms_adpcm,
@@ -2095,8 +2141,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav_float64(rng.rand(80) * 2 - 1), decode_wav),
         (encode_wav_g711(rng.randint(0, 256, 200).astype(np.uint8)), decode_wav),
         (encode_wav_ima(rng.randint(0, 16, 256).astype(np.uint8), 0, 0), decode_wav),
-        (encode_wav_ms_adpcm(rng.randint(0, 16, 200).astype(np.uint8),
-                             3, 40, 150, -220), decode_wav),
+        (encode_wav_ms_adpcm(
+            np.array(_MS_NIB_BIAS, np.uint8)[rng.randint(0, 16, 200)],
+            3, 40, 150, -220), decode_wav),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
