@@ -4489,19 +4489,14 @@ def encode_gif(
     )
 
 
-def decode_gif(b: bytes):
-    """GIF bytes -> (h, w, 3) uint8 RGB (first image). Supports
-    87a/89a with a global OR local color table, interlaced or not,
-    full OR partial frames (a frame smaller than the logical screen
-    is composited at its descriptor offset onto a canvas of the
-    background color, resolved through the global table per spec
-    section 18 — the layout animation frames use); extensions are
-    skipped; damage raises ValueError."""
+def _gif_header(b: bytes):
+    """Parse signature, screen descriptor, and global color table.
+    Returns (w, h, bg_index, gct|None, pos)."""
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -4511,6 +4506,70 @@ def decode_gif(b: bytes):
             raise ValueError("truncated GIF color table")
         gct = gct.reshape(n, 3)
         pos += 3 * n
+    return w, h, bg, gct, pos
+
+
+def _gif_image_block(b: bytes, pos: int, w: int, h: int, gct):
+    """Parse one image descriptor + entropy data starting at the
+    0x2C byte. Returns (pixels, indices, ix, iy, new_pos)."""
+    import numpy as np
+
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+    pos += 10
+    act = gct
+    if iflags & 0x80:  # local color table overrides the global one
+        n = 2 << (iflags & 0x07)
+        act = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
+        if act.size != 3 * n:
+            raise ValueError("truncated GIF local color table")
+        act = act.reshape(n, 3)
+        pos += 3 * n
+    if ix + iw > w or iy + ih > h:
+        raise ValueError("GIF frame exceeds logical screen")
+    if act is None:
+        raise ValueError("GIF image without a color table")
+    if pos >= len(b):
+        raise ValueError("truncated GIF image block")
+    code_size = b[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        chunk = b[pos + 1 : pos + 1 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated GIF sub-block")
+        lzw += chunk
+        pos += 1 + ln
+    pos += 1  # sub-block terminator
+    indices = _gif_lzw_decompress(bytes(lzw), code_size, iw * ih)
+    idx = np.array(indices, dtype=np.int64)
+    if idx.max(initial=0) >= act.shape[0]:
+        raise ValueError("GIF index outside color table")
+    px = act[idx].reshape(ih, iw, 3)
+    idx2 = idx.reshape(ih, iw)
+    if iflags & 0x40:  # rows arrived in interlace pass order
+        order = _gif_interlace_order(ih)
+        out = np.empty_like(px)
+        out[order] = px
+        px = out
+        oidx = np.empty_like(idx2)
+        oidx[order] = idx2
+        idx2 = oidx
+    return px, idx2, ix, iy, pos
+
+
+def decode_gif(b: bytes):
+    """GIF bytes -> (h, w, 3) uint8 RGB (FIRST frame). Supports
+    87a/89a with a global OR local color table, interlaced or not,
+    full OR partial frames (a frame smaller than the logical screen
+    is composited at its descriptor offset onto a canvas of the
+    background color, resolved through the global table per spec
+    section 18 — the layout animation frames use); extensions are
+    skipped; damage raises ValueError. ``decode_gif_frames`` walks
+    the whole animation."""
+    import numpy as np
+
+    w, h, _bg, gct, pos = _gif_header(b)
     while pos < len(b):
         blk = b[pos]
         if blk == 0x3B:
@@ -4523,39 +4582,8 @@ def decode_gif(b: bytes):
             continue
         if blk != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{blk:02X}")
-        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
-        pos += 10
-        act = gct
-        if iflags & 0x80:  # local color table overrides the global one
-            n = 2 << (iflags & 0x07)
-            act = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8)
-            if act.size != 3 * n:
-                raise ValueError("truncated GIF local color table")
-            act = act.reshape(n, 3)
-            pos += 3 * n
-        if ix + iw > w or iy + ih > h:
-            raise ValueError("GIF frame exceeds logical screen")
-        if act is None:
-            raise ValueError("GIF image without a color table")
-        code_size = b[pos]
-        pos += 1
-        lzw = bytearray()
-        while pos < len(b) and b[pos] != 0:
-            ln = b[pos]
-            chunk = b[pos + 1 : pos + 1 + ln]
-            if len(chunk) != ln:
-                raise ValueError("truncated GIF sub-block")
-            lzw += chunk
-            pos += 1 + ln
-        indices = _gif_lzw_decompress(bytes(lzw), code_size, iw * ih)
-        idx = np.array(indices, dtype=np.int64)
-        if idx.max(initial=0) >= act.shape[0]:
-            raise ValueError("GIF index outside color table")
-        px = act[idx].reshape(ih, iw, 3)
-        if iflags & 0x40:  # rows arrived in interlace pass order
-            out = np.empty_like(px)
-            out[_gif_interlace_order(ih)] = px
-            px = out
+        px, _idx, ix, iy, pos = _gif_image_block(b, pos, w, h, gct)
+        ih, iw = px.shape[:2]
         if (ix, iy, iw, ih) == (0, 0, w, h):
             return px
         # partial frame: composite onto the background-color canvas
@@ -4572,6 +4600,147 @@ def decode_gif(b: bytes):
         canvas[iy : iy + ih, ix : ix + iw] = px
         return canvas
     raise ValueError("GIF missing image data")
+
+
+def decode_gif_frames(b: bytes):
+    """GIF animation -> list of (h, w, 3) uint8 canvases, one
+    RENDERED frame per image block: each frame composites onto the
+    running canvas at its descriptor offset, honoring the Graphic
+    Control Extension's transparency index (transparent pixels leave
+    the canvas untouched) and disposal method (0/1 leave, 2 restore
+    the background color over the frame rect, 3 restore the
+    pre-frame canvas). The canvas starts as the background color
+    resolved through the GLOBAL table. Damage raises ValueError."""
+    import numpy as np
+
+    w, h, bg, gct, pos = _gif_header(b)
+    if gct is None:
+        raise ValueError("GIF animation without a global color table")
+    if bg >= gct.shape[0]:
+        raise ValueError("GIF background index outside color table")
+    if w * h > (1 << 24):
+        raise ValueError("GIF screen implausibly large")
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = gct[bg]
+    frames: list = []
+    disposal, transparent = 0, None
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:
+            break
+        if blk == 0x21:
+            label = b[pos + 1] if pos + 1 < len(b) else 0
+            if label == 0xF9 and pos + 7 < len(b) and b[pos + 2] == 4:
+                gce_flags = b[pos + 3]
+                disposal = (gce_flags >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError("GIF disposal method out of range")
+                transparent = b[pos + 6] if gce_flags & 1 else None
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02X}")
+        px, idx, ix, iy, pos = _gif_image_block(b, pos, w, h, gct)
+        ih, iw = px.shape[:2]
+        before = canvas[iy : iy + ih, ix : ix + iw].copy()
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent is not None:
+            keep = idx == transparent
+            region[:] = np.where(keep[..., None], region, px)
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[iy : iy + ih, ix : ix + iw] = gct[bg]
+        elif disposal == 3:
+            canvas[iy : iy + ih, ix : ix + iw] = before
+        disposal, transparent = 0, None  # GCE applies to ONE image
+    if not frames:
+        raise ValueError("GIF missing image data")
+    return frames
+
+
+def encode_gif_animation(
+    frames,
+    screen,
+    background=(0, 0, 0),
+) -> bytes:
+    """Frame specs -> multi-frame GIF89a animation. ``frames`` is a
+    list of (arr, (ox, oy), disposal, transparent_color|None): each
+    (h, w, 3) uint8 frame lands at its offset, preceded by a Graphic
+    Control Extension carrying the disposal method and (when a
+    transparent color is named) the transparency flag + index. One
+    GLOBAL color table carries the union of all frame colors plus
+    the background (<= 256 total). Deterministic palette (sorted
+    distinct colors)."""
+    import numpy as np
+
+    sw, sh = screen
+    packs = []
+    for arr, (ox, oy), _disp, _tr in frames:
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w, c = a.shape
+        assert c == 3, "GIF animation expects RGB frames"
+        if ox + w > sw or oy + h > sh:
+            raise ValueError("GIF frame exceeds logical screen")
+        packs.append(
+            a[..., 0].astype(np.int64) * 65536
+            + a[..., 1].astype(np.int64) * 256
+            + a[..., 2].astype(np.int64)
+        )
+    bgp = (
+        int(background[0]) * 65536
+        + int(background[1]) * 256
+        + int(background[2])
+    )
+    all_colors = np.unique(
+        np.concatenate([p.reshape(-1) for p in packs] + [np.array([bgp])])
+    )
+    if all_colors.size > 256:
+        raise ValueError("GIF animation: more than 256 distinct colors")
+    lut = {int(v): i for i, v in enumerate(all_colors)}
+    bits = max(1, int(all_colors.size - 1).bit_length())
+    tbl_size = 1 << bits
+    gct = bytearray()
+    for v in all_colors:
+        gct += bytes(
+            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
+        )
+    gct += b"\x00" * (3 * (tbl_size - all_colors.size))
+    code_size = max(2, bits)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), lut[bgp], 0)
+        + bytes(gct)
+    )
+    for (arr, (ox, oy), disp, tr), packed in zip(frames, packs):
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w = a.shape[:2]
+        tr_idx = 0
+        gce_flags = (disp & 0x07) << 2
+        if tr is not None:
+            trp = int(tr[0]) * 65536 + int(tr[1]) * 256 + int(tr[2])
+            if trp not in lut:
+                raise ValueError("transparent color not in any frame")
+            tr_idx = lut[trp]
+            gce_flags |= 1
+        out += b"\x21\xf9\x04" + bytes([gce_flags, 0, 0, tr_idx, 0])
+        indices = np.array(
+            [lut[int(v)] for v in packed.reshape(-1)], dtype=np.int64
+        )
+        lzw = _gif_lzw_compress(indices, code_size)
+        out += b"\x2c" + struct.pack("<HHHHB", ox, oy, w, h, 0)
+        out += bytes([code_size])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -5926,6 +6095,105 @@ def synthetic_gif_partial_table(spark, n: int = 40) -> DataFrame:
         rows.append((i, "image", content, None, f"mem://media/{i}.gif"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_gif_animation_table(spark, n: int = 40) -> DataFrame:
+    """Deterministic multi-frame GIF animations: image i carries
+    nf = 2+(i%3) frames of wf=7+(i%5)*2 x hf=5+(i%4)*2 gradient
+    pixels r=(x+y+i*7+31k) mod 256 (channel offsets +85/+170),
+    frame k at offset (1+k*(wf+1), 2) — horizontally disjoint — on a
+    (2+nf*(wf+1)) x (hf+4) screen with background
+    ((i*5)%256, (i*11)%256, (i*17)%256). Even ids use disposal 1
+    (frames accumulate), odd ids disposal 2 (background restores, so
+    each rendered frame shows only itself); ids with i%3==2
+    additionally mark each frame's (x=2,y=0) color transparent —
+    exactly the three x+y==2 anti-diagonal pixels, which therefore
+    show the background. q199's oracle replays every rendered canvas
+    closed-form. media_id offset +100 keeps ids disjoint from the
+    single-frame corpus."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        nf = 2 + (i % 3)
+        wf, hf = 7 + (i % 5) * 2, 5 + (i % 4) * 2
+        sw, sh = 2 + nf * (wf + 1), hf + 4
+        bg = ((i * 5) % 256, (i * 11) % 256, (i * 17) % 256)
+        disp = 1 if i % 2 == 0 else 2
+        frames = []
+        for k in range(nf):
+            y, x = np.mgrid[0:hf, 0:wf]
+            r = (x + y + i * 7 + 31 * k) % 256
+            px = np.stack(
+                [r, (r + 85) % 256, (r + 170) % 256], axis=-1
+            ).astype(np.uint8)
+            tr = tuple(int(v) for v in px[0, 2]) if i % 3 == 2 else None
+            frames.append((px, (1 + k * (wf + 1), 2), disp, tr))
+        rows.append(
+            (
+                100 + i,
+                "image",
+                encode_gif_animation(frames, (sw, sh), bg),
+                None,
+                f"mem://media/{100 + i}.anim.gif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def gif_frame_stats(df: DataFrame) -> DataFrame:
+    """Per-RENDERED-FRAME canvas statistics for GIF animations (and
+    single-frame GIFs, which yield one row at frame_id 0): pixel
+    count, exact channel sums, the position-weighted red sum
+    (catches wrong offsets, interlace pass order, AND disposal
+    mistakes — a canvas carrying a stale or missing prior frame
+    shifts it), and the canvas max. All int64."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = decode_gif_frames(bytes(content))
+                except (ValueError, struct.error):
+                    out.append(
+                        (media_id, None, None, None, None, None, None,
+                         None)
+                    )
+                    continue
+                for k, f in enumerate(frames):
+                    p = f.astype(np.int64)
+                    hh, ww = p.shape[0], p.shape[1]
+                    wgt = np.arange(
+                        1, hh * ww + 1, dtype=np.int64
+                    ).reshape(hh, ww)
+                    out.append(
+                        (
+                            media_id,
+                            k,
+                            int(hh * ww),
+                            int(p[..., 0].sum()),
+                            int(p[..., 1].sum()),
+                            int(p[..., 2].sum()),
+                            int((wgt * p[..., 0]).sum()),
+                            int(p.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_id", "n_px", "sum_r", "sum_g",
+                    "sum_b", "wsum_r", "aux",
+                ],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, frame_id long, n_px long, sum_r long, "
+        "sum_g long, sum_b long, wsum_r long, aux long",
+    )
 
 
 def gif_canvas_stats(df: DataFrame) -> DataFrame:

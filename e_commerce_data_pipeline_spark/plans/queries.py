@@ -11545,8 +11545,57 @@ def q198_codec_gate_census(spark, sf_dir):
                SUM(b2) AS sb, SUM(wgt * r) AS swr, SUM(wgt) AS sww,
                MAX(GREATEST(r, g2, b2)) AS mx
         FROM fch GROUP BY i
+    ),
+    ag AS (
+        SELECT i, 2 + (i % 3) AS nf, 7 + (i % 5) * 2 AS wf,
+               5 + (i % 4) * 2 AS hf,
+               CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS disp,
+               CASE WHEN i % 3 = 2 THEN 1 ELSE 0 END AS tr,
+               (i * 5) % 256 AS bgr, (i * 11) % 256 AS bgg,
+               (i * 17) % 256 AS bgb
+        FROM range(40) t(i)
+    ),
+    ags AS (SELECT *, 2 + nf * (wf + 1) AS sw, hf + 4 AS sh FROM ag),
+    afr AS (
+        SELECT i, sw, sh, wf, hf, disp, tr,
+               unnest(range(nf)) AS k
+        FROM ags
+    ),
+    afo AS (SELECT *, 1 + k * (wf + 1) AS ox, 2 AS oy FROM afr),
+    afy AS (SELECT *, unnest(range(hf)) AS y FROM afo),
+    afx AS (SELECT *, unnest(range(wf)) AS x FROM afy),
+    apv AS (
+        SELECT i, k,
+               (x + y + i * 7 + 31 * k) % 256 AS r,
+               ((x + y + i * 7 + 31 * k) % 256 + 85) % 256 AS g2,
+               ((x + y + i * 7 + 31 * k) % 256 + 170) % 256 AS b2,
+               (oy + y) * sw + ox + x + 1 AS wgt,
+               (tr = 1 AND x + y = 2) AS hid
+        FROM afx
+    ),
+    afs AS (
+        SELECT i, k,
+               SUM(CASE WHEN hid THEN 0 ELSE r END) AS vr,
+               SUM(CASE WHEN hid THEN 0 ELSE g2 END) AS vg,
+               SUM(CASE WHEN hid THEN 0 ELSE b2 END) AS vb,
+               SUM(CASE WHEN hid THEN 0 ELSE wgt * r END) AS vwr,
+               SUM(CASE WHEN hid THEN 0 ELSE wgt END) AS vw,
+               SUM(CASE WHEN hid THEN 0 ELSE 1 END) AS vn,
+               MAX(CASE WHEN hid THEN NULL
+                   ELSE GREATEST(r, g2, b2) END) AS vmx
+        FROM apv GROUP BY i, k
+    ),
+    avis AS (
+        SELECT a.i, a.k AS fid, SUM(s.vr) AS svr, SUM(s.vg) AS svg,
+               SUM(s.vb) AS svb, SUM(s.vwr) AS svwr, SUM(s.vw) AS svw,
+               SUM(s.vn) AS svn, MAX(s.vmx) AS smx
+        FROM afr a JOIN afs s ON s.i = a.i
+             AND ((a.disp = 1 AND s.k <= a.k)
+                  OR (a.disp = 2 AND s.k = a.k))
+        GROUP BY a.i, a.k
     )
     SELECT go.i AS media_id,
+           CAST(0 AS BIGINT) AS frame_id,
            CAST(sw * sh AS BIGINT) AS n_px,
            CAST(fr.sr + (sw * sh - fr.n) * bgr AS BIGINT) AS sum_r,
            CAST(fr.sg + (sw * sh - fr.n) * bgg AS BIGINT) AS sum_g,
@@ -11556,34 +11605,55 @@ def q198_codec_gate_census(spark, sf_dir):
                 AS BIGINT) AS wsum_r,
            CAST(GREATEST(fr.mx, bgr, bgg, bgb) AS BIGINT) AS aux
     FROM go JOIN fr ON go.i = fr.i
+    UNION ALL
+    SELECT a2.i + 100 AS media_id,
+           CAST(v.fid AS BIGINT) AS frame_id,
+           CAST(a2.sw * a2.sh AS BIGINT) AS n_px,
+           CAST(a2.bgr * (a2.sw * a2.sh - v.svn) + v.svr AS BIGINT)
+               AS sum_r,
+           CAST(a2.bgg * (a2.sw * a2.sh - v.svn) + v.svg AS BIGINT)
+               AS sum_g,
+           CAST(a2.bgb * (a2.sw * a2.sh - v.svn) + v.svb AS BIGINT)
+               AS sum_b,
+           CAST(a2.bgr * (a2.sw * a2.sh * (a2.sw * a2.sh + 1) // 2
+                          - v.svw) + v.svwr AS BIGINT) AS wsum_r,
+           CAST(GREATEST(v.smx, a2.bgr, a2.bgg, a2.bgb) AS BIGINT)
+               AS aux
+    FROM ags a2 JOIN avis v ON v.i = a2.i
     """,
-    "GIF partial-frame compositing, value-verified — another codec "
-    "gate retired (N-channel ADPCM retired alongside, "
-    "pytest-verified against per-channel mono replay; q183's oracle "
-    "covers the 2-channel layout the N-path generalizes; remaining "
-    "gates — arithmetic-coded/12-bit/subsampled-progressive JPEG, "
-    "H.264 — are genuinely library-class). A frame "
-    "smaller than the "
-    "logical screen lands at its descriptor offset on a canvas of "
-    "the background color resolved through the GLOBAL color table "
-    "(GIF89a section 18 — the layout every animation frame uses). "
-    "The oracle replays screen size, background fill count, frame "
-    "gradient, and placement closed-form; sum_* verify the fill and "
-    "palette, and the POSITION-WEIGHTED red sum (weights y*sw+x+1) "
-    "catches what permutation-invariant sums cannot: a frame "
-    "composited at the wrong offset, or interlaced rows (odd ids) "
-    "left in pass order.",
+    "GIF partial-frame compositing AND full ANIMATION rendering, "
+    "value-verified per rendered frame. Single-frame corpus: a frame "
+    "smaller than the logical screen lands at its descriptor offset "
+    "on a canvas of the background color resolved through the GLOBAL "
+    "color table (GIF89a section 18). Animation corpus (round 8, "
+    "media_id +100): 2-4 frames per image walk the Graphic Control "
+    "Extension machinery — disposal 1 (frames ACCUMULATE on the "
+    "canvas) on even ids, disposal 2 (background restores between "
+    "frames, so each rendered canvas shows only its own frame) on "
+    "odd ids, and on i%3==2 every frame marks its (x=2,y=0) color "
+    "TRANSPARENT, punching exactly the three x+y==2 anti-diagonal "
+    "pixels through to the background — the frame-extraction path a "
+    "video-like training corpus needs. The oracle replays every "
+    "rendered canvas closed-form (visible-frame set by disposal "
+    "rule, per-frame transparent-pixel census); the POSITION-"
+    "WEIGHTED red sum catches wrong offsets, interlace pass order, "
+    "stale disposal state, and mis-painted transparency. Disposal 3 "
+    "(restore-previous) and overlapping frames are pytest-verified; "
+    "multimodal.decode_gif_frames / encode_gif_animation / "
+    "gif_frame_stats.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q199_gif_partial_frame_stats(spark, sf_dir):
     from ..operators.multimodal import (
-        gif_canvas_stats,
+        gif_frame_stats,
+        synthetic_gif_animation_table,
         synthetic_gif_partial_table,
     )
 
-    return gif_canvas_stats(
-        synthetic_gif_partial_table(spark, n=40)
-    ).orderBy("media_id")
+    media = synthetic_gif_partial_table(spark, n=40).unionByName(
+        synthetic_gif_animation_table(spark, n=40)
+    )
+    return gif_frame_stats(media).orderBy("media_id", "frame_id")
 
 
 @_register(

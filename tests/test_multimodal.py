@@ -1739,6 +1739,87 @@ def test_jpeg_restart_interval_roundtrip_and_desync():
         decode_jpeg(bytes(b))
 
 
+def test_gif_animation_rendering():
+    """Multi-frame GIF: rendered canvases honor the GCE disposal
+    methods (1 accumulate, 2 restore background, 3 restore previous
+    — including OVERLAPPING frames), transparency punches through to
+    whatever is beneath, GCE state applies to exactly one image, and
+    single-frame files yield the same canvas as decode_gif."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    def grad(w, h, s):
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x + y + s) % 256
+        return np.stack([r, (r + 85) % 256, (r + 170) % 256], -1).astype(
+            np.uint8
+        )
+
+    bg = (9, 111, 222)
+    f0, f1 = grad(7, 5, 3), grad(7, 5, 40)
+    # disposal 1 accumulates; disposal 2 shows only its own frame
+    b = encode_gif_animation(
+        [(f0, (1, 2), 1, None), (f1, (9, 2), 1, None)], (20, 10), bg
+    )
+    fr = decode_gif_frames(b)
+    assert len(fr) == 2
+    exp = np.empty((10, 20, 3), np.uint8); exp[:] = bg
+    exp[2:7, 1:8] = f0
+    assert np.array_equal(fr[0], exp)
+    exp[2:7, 9:16] = f1
+    assert np.array_equal(fr[1], exp)
+    b2 = encode_gif_animation(
+        [(f0, (1, 2), 2, None), (f1, (9, 2), 2, None)], (20, 10), bg
+    )
+    fr2 = decode_gif_frames(b2)
+    solo = np.empty((10, 20, 3), np.uint8); solo[:] = bg
+    solo[2:7, 9:16] = f1
+    assert np.array_equal(fr2[1], solo)
+    # disposal 3 restores the pre-frame canvas under an OVERLAPPING
+    # successor
+    g0, g1 = grad(9, 7, 5), grad(5, 3, 60)
+    b3 = encode_gif_animation(
+        [(g0, (2, 2), 1, None), (g1, (4, 4), 3, None),
+         (g1, (6, 5), 1, None)], (20, 12), bg,
+    )
+    fr3 = decode_gif_frames(b3)
+    base = np.empty((12, 20, 3), np.uint8); base[:] = bg
+    base[2:9, 2:11] = g0
+    e2 = base.copy(); e2[5:8, 6:11] = g1
+    assert np.array_equal(fr3[2], e2)  # frame 1's paint was undone
+    # transparency: the marked color's pixels show what's BENEATH
+    # (here frame g0, because the rects overlap)
+    tr = tuple(int(v) for v in g1[0, 2])
+    b4 = encode_gif_animation(
+        [(g0, (2, 2), 1, None), (g1, (4, 4), 1, tr)], (20, 12), bg
+    )
+    fr4 = decode_gif_frames(b4)
+    e4 = base.copy(); e4[4:7, 4:9] = g1
+    for (y, x) in ((0, 2), (1, 1), (2, 0)):
+        e4[4 + y, 4 + x] = base[4 + y, 4 + x]
+    assert np.array_equal(fr4[1], e4)
+    # single-frame compat: same canvas as decode_gif, one frame
+    single = encode_gif(
+        grad(9, 7, 8), screen=(15, 11), offset=(2, 1), background=bg
+    )
+    frs = decode_gif_frames(single)
+    assert len(frs) == 1 and np.array_equal(frs[0], decode_gif(single))
+    # corrupt: out-of-range disposal and truncated stream are loud
+    bad = bytearray(b)
+    gce_at = bytes(bad).index(b"\x21\xf9\x04")
+    bad[gce_at + 3] = 0x7 << 2
+    with pytest.raises(ValueError, match="disposal"):
+        decode_gif_frames(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_gif_frames(b[: len(b) // 2])
+
+
 def test_gif_partial_frame_compositing():
     """Partial frames land at their descriptor offset on a
     background-color canvas (GIF89a section 18); interlace applies
@@ -2074,7 +2155,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_tiff,
     )
     from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_gif_frames,
         decode_tiff,
+        encode_gif_animation,
     )
 
     pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
@@ -2110,6 +2193,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      rows_per_strip=4), decode_tiff),
         (encode_tiff((img8 >> 6), compression="lzw", depth=2),
          decode_tiff),
+        (encode_gif_animation(
+            [(img[:5, :6], (1, 1), 1, None),
+             (img[:5, :6], (8, 1), 2,
+              tuple(int(v) for v in img[0, 0]))],
+            (16, 8), (3, 5, 7),
+        ), decode_gif_frames),
         (encode_png(img), decode_png),
         (encode_png16(px16, trns_key=tuple(int(v) for v in px16[0, 0])),
          decode_png),
