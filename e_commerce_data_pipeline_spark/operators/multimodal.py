@@ -6196,57 +6196,6 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def gif_canvas_stats(df: DataFrame) -> DataFrame:
-    """Integer-exact canvas statistics for composited images:
-    pixel count, exact channel sums, a POSITION-WEIGHTED red sum
-    (sum of (y*width + x + 1) * r — plain sums are permutation-
-    invariant, so only a weighted sum catches a frame composited at
-    the wrong offset or rows left in interlace pass order), and the
-    max sample. All int64; weight <= 1008, so wsum_r < 2.6e8 per
-    image — no overflow risk."""
-    import numpy as np
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                px, _fmt = _decode_any(content)
-                if px is None:
-                    out.append(
-                        (media_id, None, None, None, None, None, None)
-                    )
-                    continue
-                p = px.astype(np.int64)
-                hh, ww = p.shape[0], p.shape[1]
-                wgt = np.arange(1, hh * ww + 1, dtype=np.int64).reshape(
-                    hh, ww
-                )
-                out.append(
-                    (
-                        media_id,
-                        int(hh * ww),
-                        int(p[..., 0].sum()),
-                        int(p[..., 1].sum()),
-                        int(p[..., 2].sum()),
-                        int((wgt * p[..., 0]).sum()),
-                        int(p[..., :3].max()),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "n_px", "sum_r", "sum_g", "sum_b",
-                    "wsum_r", "aux",
-                ],
-            )
-
-    return df.select("media_id", "content").mapInPandas(
-        kernel,
-        "media_id long, n_px long, sum_r long, sum_g long, sum_b long, "
-        "wsum_r long, aux long",
-    )
-
-
 def codec_census_stats(df: DataFrame) -> DataFrame:
     """Integer-exact per-image stats + a per-format auxiliary check
     value, for corpora that mix sample widths: (fmt, n_px, exact
