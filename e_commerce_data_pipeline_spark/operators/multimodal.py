@@ -1163,14 +1163,13 @@ def decode_png(b: bytes):
     # pixel's byte width rounded up to 1 (spec 9.2)
     fbpp = max(1, (depth // 8) * channels)
     if depth < 8:
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
 
         def _unpack(recon, hp, wp):
             # packed scanline bytes -> (hp, wp) samples, MSB-first
-            bits = np.unpackbits(
-                recon.astype(np.uint8), axis=1
-            )[:, : wp * depth].reshape(hp, wp, depth)
-            return (bits * weights).sum(axis=-1)
+            # (shared _unpack_msb_samples; int32 for downstream math)
+            return _unpack_msb_samples(
+                recon.astype(np.uint8), wp, depth
+            ).astype(np.int32)
 
         if inter == 0:
             stride = (w * depth + 7) // 8
@@ -1684,7 +1683,9 @@ def decode_tiff(b: bytes):
         ta, td = -(-w // tw), -(-h // th)
         if len(offsets) != ta * td:
             raise ValueError("TIFF tile count does not cover the image")
-        if tw * th > (1 << 24) or ta * tw * td * th * spp > (1 << 27):
+        if tw * th > (1 << 24) or (
+            ta * tw * td * th * spp * sb > (1 << 27)
+        ):
             # the PADDED canvas (td*th x ta*tw x spp) is what gets
             # allocated — small w*h with huge tile dims must not
             # bypass the raster guard
@@ -1821,6 +1822,9 @@ def encode_tiff(
     assert a.dtype in (np.uint8, np.uint16), "TIFF encoder: uint8/uint16"
     sb = a.dtype.itemsize
     d_eff = depth or 8 * sb
+    assert depth in (0, 1, 2, 4) or depth == 8 * sb, (
+        "explicit TIFF depth must be sub-byte or match the dtype width"
+    )
     assert d_eff in (1, 2, 4, 8, 16), "TIFF depth must be 1/2/4/8/16"
     if d_eff < 8:
         assert a.ndim == 2 and sb == 1 and int(a.max(initial=0)) < (
@@ -1862,18 +1866,9 @@ def encode_tiff(
 
     def serialize(arr3d):
         if d_eff < 8:
-            a2 = arr3d[..., 0]
-            nr, nc = a2.shape
-            sh = np.arange(d_eff - 1, -1, -1)
-            flat = ((a2[..., None] >> sh) & 1).astype(np.uint8).reshape(
-                nr, nc * d_eff
-            )
-            pad = (-flat.shape[1]) % 8
-            if pad:
-                flat = np.concatenate(
-                    [flat, np.zeros((nr, pad), np.uint8)], axis=1
-                )
-            return np.packbits(flat, axis=1)
+            # same MSB-first row packing PNG uses (np.packbits pads
+            # each row to a byte boundary itself)
+            return _pack_sample_rows(arr3d[..., 0], d_eff)
         return np.ascontiguousarray(
             arr3d.astype(e + f"u{sb}")
         ).view(np.uint8).reshape(arr3d.shape[0], -1)
@@ -4496,6 +4491,8 @@ def _gif_header(b: bytes):
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(b) < 13:
+        raise ValueError("truncated GIF screen descriptor")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
@@ -4514,6 +4511,8 @@ def _gif_image_block(b: bytes, pos: int, w: int, h: int, gct):
     0x2C byte. Returns (pixels, indices, ix, iy, new_pos)."""
     import numpy as np
 
+    if pos + 10 > len(b):
+        raise ValueError("truncated GIF image descriptor")
     ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
     pos += 10
     act = gct
@@ -4595,6 +4594,10 @@ def decode_gif(b: bytes):
             )
         if _bg >= gct.shape[0]:
             raise ValueError("GIF background index outside color table")
+        if w * h > (1 << 24):
+            # a flipped screen-dimension byte must not materialize a
+            # multi-GB canvas (the BMP RLE / GIF LZW lesson)
+            raise ValueError("GIF screen implausibly large")
         canvas = np.empty((h, w, 3), dtype=np.uint8)
         canvas[:, :] = gct[_bg]
         canvas[iy : iy + ih, ix : ix + iw] = px
@@ -6156,6 +6159,8 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 try:
+                    if content is None:
+                        raise ValueError("null media content")
                     frames = decode_gif_frames(bytes(content))
                 except (ValueError, struct.error):
                     out.append(

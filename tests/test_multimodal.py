@@ -1003,6 +1003,17 @@ def test_jpeg_gates_and_corrupt_safety(spark):
         (2, "image", good[:20], None, "mem://b.jpg"),
         (3, "image", b"\xff\xd8garbage", None, "mem://c.jpg"),
     ]
+    # NULL content must also be a null row in the frame kernel
+    # (review finding: bytes(None) was an uncaught TypeError)
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        gif_frame_stats,
+    )
+
+    ndf = spark.createDataFrame(
+        [(9, "image", None, None, "mem://n.gif")], MEDIA_SCHEMA
+    ).withColumn("content_length", F.length("content").cast("long"))
+    nrows = gif_frame_stats(ndf).collect()
+    assert len(nrows) == 1 and nrows[0].n_px is None
     df = spark.createDataFrame(rows, MEDIA_SCHEMA).withColumn(
         "content_length", F.length("content").cast("long")
     )
@@ -1816,8 +1827,35 @@ def test_gif_animation_rendering():
     bad[gce_at + 3] = 0x7 << 2
     with pytest.raises(ValueError, match="disposal"):
         decode_gif_frames(bytes(bad))
+    # EVERY truncation point either raises ValueError or returns the
+    # complete-frame prefix — never struct.error (review finding:
+    # descriptor-level cuts leaked it)
+    for cut in range(4, len(b), 3):
+        try:
+            got = decode_gif_frames(b[:cut])
+            assert 1 <= len(got) <= 2  # only whole frames survive
+        except ValueError:
+            pass
+    # flipped screen dims must not materialize a multi-GB canvas —
+    # on BOTH walkers (review finding: decode_gif lacked the guard)
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        make_test_pixels,
+    )
+
+    partial = encode_gif(
+        np.asarray(make_test_pixels(5, 4, seed=1)),
+        screen=(12, 9), offset=(2, 2), background=bg,
+    )
+    huge = bytearray(partial)
+    huge[6:10] = st.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError, match="implausibly large"):
+        decode_gif(bytes(huge))
+    huge2 = bytearray(b)
+    huge2[6:10] = st.pack("<HH", 60000, 60000)
     with pytest.raises(ValueError):
-        decode_gif_frames(b[: len(b) // 2])
+        decode_gif_frames(bytes(huge2))
 
 
 def test_gif_partial_frame_compositing():
