@@ -1752,6 +1752,22 @@ def decode_tiff(b: bytes):
         if spp < 3:
             raise ValueError("TIFF RGB photometric with <3 samples")
         return np.ascontiguousarray(a[..., :3])  # extra samples dropped
+    if photo == 5:
+        # CMYK (ink coverage): the naive uncalibrated conversion
+        # every library defaults to for profile-less files —
+        # channel = (full - ink) * (full - K) / full, floor division
+        # (operands non-negative, so C-trunc == floor == DuckDB //)
+        if spp < 4:
+            raise ValueError("TIFF CMYK photometric with <4 samples")
+        if depth < 8:
+            require_codec("sub-byte CMYK TIFF")
+        ink = a.astype(np.int64)
+        kk = full - ink[..., 3]
+        return np.stack(
+            [(((full - ink[..., j]) * kk) // full).astype(a.dtype)
+             for j in range(3)],
+            axis=-1,
+        )
     if photo == 3:
         if spp != 1:
             raise ValueError("TIFF palette photometric with multiple samples")
@@ -1843,8 +1859,8 @@ def encode_tiff(
             a = (full - a.astype(np.int32)).astype(a.dtype)
     else:
         h, w, c = a.shape
-        assert c == 3, "TIFF encoder expects RGB"
-        spp, photo = 3, 2
+        assert c in (3, 4), "TIFF encoder expects RGB or CMYK"
+        spp, photo = c, (2 if c == 3 else 5)
     rps = rows_per_strip or h
     comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
         compression
@@ -2813,6 +2829,48 @@ def synthetic_tiff_subbyte_table(spark, n: int = 24) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{i}.sb.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic CMYK TIFF media table (photometric 5): image i
+    is w=15+(i%4)*4 by h=9+(i%3)*4 with inks C=(x*5+y*11+i*13)%256,
+    M=(C+85)%256, Y=(C+170)%256, K=(x*3+y*7+i*19)%256 — the q198
+    oracle replays the naive uncalibrated conversion
+    (255-ink)*(255-K)//255 closed-form. Containers rotate
+    compression (i%4) and byte order (i%2); i%3==0 ships 16x16
+    tiled. media_id offset +200 keeps ids disjoint inside the
+    'tiff' census group."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        w, h = 15 + (i % 4) * 4, 9 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        c = (x * 5 + y * 11 + i * 13) % 256
+        cmyk = np.stack(
+            [c, (c + 85) % 256, (c + 170) % 256,
+             (x * 3 + y * 7 + i * 19) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (
+                200 + i,
+                "image",
+                encode_tiff(
+                    cmyk,
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    rows_per_strip=4,
+                    tile=(16, 16) if i % 3 == 0 else None,
+                ),
+                None,
+                f"mem://media/{200 + i}.cmyk.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

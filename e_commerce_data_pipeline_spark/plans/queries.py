@@ -11412,6 +11412,36 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(v) AS BIGINT) AS aux
         FROM sbv GROUP BY i
     ),
+    ckm AS (
+        SELECT i, 15 + (i % 4) * 4 AS w, 9 + (i % 3) * 4 AS h
+        FROM range(12) t(i)
+    ),
+    ckys AS (SELECT i, w, unnest(range(h)) AS y FROM ckm),
+    ckpx AS (SELECT i, y, unnest(range(w)) AS x FROM ckys),
+    ckv AS (
+        SELECT i,
+               (x * 5 + y * 11 + i * 13) % 256 AS c,
+               ((x * 5 + y * 11 + i * 13) % 256 + 85) % 256 AS m,
+               ((x * 5 + y * 11 + i * 13) % 256 + 170) % 256 AS yk,
+               (x * 3 + y * 7 + i * 19) % 256 AS k
+        FROM ckpx
+    ),
+    ckrgb AS (
+        SELECT i,
+               ((255 - c) * (255 - k)) // 255 AS r,
+               ((255 - m) * (255 - k)) // 255 AS g2,
+               ((255 - yk) * (255 - k)) // 255 AS b2
+        FROM ckv
+    ),
+    tifck AS (
+        SELECT 'tiff' AS fmt, i + 200 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM ckrgb GROUP BY i
+    ),
     j AS (
         SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h,
                1 + (i % 4) AS ri
@@ -11453,6 +11483,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     )
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
     UNION ALL SELECT * FROM tifsb
+    UNION ALL SELECT * FROM tifck
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
@@ -11501,6 +11532,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_jpeg_rst_table,
         synthetic_ppm16_table,
         synthetic_tiff16_table,
+        synthetic_tiff_cmyk_table,
         synthetic_tiff_subbyte_table,
     )
 
@@ -11508,6 +11540,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ppm16_table(spark, n=36)
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
+        .unionByName(synthetic_tiff_cmyk_table(spark, n=12))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

@@ -351,6 +351,32 @@ def test_tiff_container_family_roundtrip_and_gates():
         b = encode_tiff(arr, compression="packbits", planar=True,
                         predictor=True, rows_per_strip=4)
         assert np.array_equal(decode_tiff(b), arr)
+    # CMYK (photometric 5): the naive uncalibrated conversion
+    # (full-ink)*(full-K)//full, 8- and 16-bit, strips and tiles
+    yy2, xx2 = np.mgrid[0:11, 0:17]
+    ci = ((xx2 * 5 + yy2 * 11 + 13) % 256).astype(np.int64)
+    ki = ((xx2 * 3 + yy2 * 7 + 19) % 256).astype(np.int64)
+    cmyk = np.stack(
+        [ci, (ci + 85) % 256, (ci + 170) % 256, ki], -1
+    ).astype(np.uint8)
+    expc = np.stack(
+        [((255 - ci) * (255 - ki)) // 255,
+         ((255 - (ci + 85) % 256) * (255 - ki)) // 255,
+         ((255 - (ci + 170) % 256) * (255 - ki)) // 255], -1
+    ).astype(np.uint8)
+    for comp in ("none", "lzw"):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(cmyk, compression=comp,
+                                    rows_per_strip=4)), expc), comp
+    assert np.array_equal(
+        decode_tiff(encode_tiff(cmyk, compression="deflate",
+                                tile=(16, 16))), expc)
+    d16 = decode_tiff(encode_tiff(
+        (cmyk.astype(np.uint16) * 257), compression="packbits"))
+    ik16 = 65535 - ki * 257
+    assert d16.dtype == np.uint16 and np.array_equal(
+        d16[..., 0], (((65535 - ci * 257) * ik16) // 65535).astype(
+            np.uint16))
     # sub-byte (1/2/4-bit) gray: MSB-first row-padded packing, exact
     # 255/(2^d - 1) expansion, WhiteIsZero inversion pair, palette
     # indices at depth 4/1, tiled organization
@@ -2231,6 +2257,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      rows_per_strip=4), decode_tiff),
         (encode_tiff((img8 >> 6), compression="lzw", depth=2),
          decode_tiff),
+        (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
+                     compression="packbits"), decode_tiff),
         (encode_gif_animation(
             [(img[:5, :6], (1, 1), 1, None),
              (img[:5, :6], (8, 1), 2,
