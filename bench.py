@@ -92,6 +92,21 @@ def _timed_min(spark, fn, sf_dir, runs: int = 2, gc: bool = False):
     return best, rows
 
 
+def _anchor_cache_fn(s, _d):
+    """Cache-heavy probe (round-8 verdict task: the range/scan probes
+    under-read sessions that age cache-heavy dedup/graph rows): build
+    an InMemoryRelation from scratch — _timed_min clears the Spark
+    cache between runs, so every run pays the full cache-build — then
+    aggregate over the cached data."""
+    df = s.range(20_000_000).selectExpr(
+        "id % 4096 AS k", "id * 7 AS v"
+    ).cache()
+    df.count()  # materializes the cache inside the timed window
+    return df.groupBy("k").sum("v").selectExpr(
+        "count(*) AS n", "sum(`sum(v)`) AS s"
+    )
+
+
 def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     best, _ = _timed_min(
@@ -105,6 +120,8 @@ def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
     if spec is not None:
         best, _ = _timed_min(spark, spec.fn, sf_dir, runs=3)
         out["scan_agg_sec"] = round(best, 4)
+    best, _ = _timed_min(spark, _anchor_cache_fn, sf_dir, runs=3)
+    out["cache_agg_sec"] = round(best, 4)
     return out
 
 
