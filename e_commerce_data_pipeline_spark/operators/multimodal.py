@@ -4552,6 +4552,13 @@ def _gif_header(b: bytes):
     if len(b) < 13:
         raise ValueError("truncated GIF screen descriptor")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    if w * h > (1 << 24):
+        # a flipped screen-dimension byte must not materialize a
+        # multi-GB canvas OR index array: every frame rect is bounded
+        # by the screen (checked before LZW decode), so guarding here
+        # covers both decode_gif paths and decode_gif_frames before
+        # any allocation derived from header dims
+        raise ValueError("GIF screen implausibly large")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -4652,10 +4659,6 @@ def decode_gif(b: bytes):
             )
         if _bg >= gct.shape[0]:
             raise ValueError("GIF background index outside color table")
-        if w * h > (1 << 24):
-            # a flipped screen-dimension byte must not materialize a
-            # multi-GB canvas (the BMP RLE / GIF LZW lesson)
-            raise ValueError("GIF screen implausibly large")
         canvas = np.empty((h, w, 3), dtype=np.uint8)
         canvas[:, :] = gct[_bg]
         canvas[iy : iy + ih, ix : ix + iw] = px
@@ -4679,8 +4682,6 @@ def decode_gif_frames(b: bytes):
         raise ValueError("GIF animation without a global color table")
     if bg >= gct.shape[0]:
         raise ValueError("GIF background index outside color table")
-    if w * h > (1 << 24):
-        raise ValueError("GIF screen implausibly large")
     canvas = np.empty((h, w, 3), dtype=np.uint8)
     canvas[:, :] = gct[bg]
     frames: list = []
@@ -4691,7 +4692,13 @@ def decode_gif_frames(b: bytes):
             break
         if blk == 0x21:
             label = b[pos + 1] if pos + 1 < len(b) else 0
-            if label == 0xF9 and pos + 7 < len(b) and b[pos + 2] == 4:
+            if label == 0xF9:
+                # a malformed Graphic Control Extension must raise,
+                # not fall through with stale disposal/transparency
+                # state (silently dropped transparency renders wrong
+                # pixels — against the structural-damage contract)
+                if pos + 7 >= len(b) or b[pos + 2] != 4:
+                    raise ValueError("GIF graphic control extension malformed")
                 gce_flags = b[pos + 3]
                 disposal = (gce_flags >> 2) & 0x07
                 if disposal > 3:
