@@ -1519,6 +1519,495 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# CCITT G3/G4 bilevel fax coding (TIFF compressions 2/3/4): pure
+# bit-twiddling from the public ITU-T T.4 tables 2/3/4 (terminating +
+# make-up run codes), T.4 §4.2 (2-D READ vertical/horizontal/pass
+# modes) and T.6 (G4: every row 2-D against the previous, imaginary
+# all-white first reference, EOFB). TIFF 6.0 §11 defines compression
+# 2 as T.4 1-D without EOLs with every row byte-aligned; T4Options
+# bit 0 selects 2-D rows (each EOL followed by a 1-D/2-D tag bit),
+# T6Options bit 1 (uncompressed mode) stays gated. Run colors code
+# white-as-stored-0; the photometric branch maps afterwards, so
+# WhiteIsZero fax files (the standard) render white as 255.
+# Reference parity: libtiff tif_fax3.c implements the same tables and
+# modes; scanned-document corpora are the dominant user.
+# ---------------------------------------------------------------------------
+
+# T.4 terminating codes, run 0-63: (bits, code) — white then black.
+_CCITT_WHITE_TERM = [
+    (8, 0b00110101), (6, 0b000111), (4, 0b0111), (4, 0b1000),
+    (4, 0b1011), (4, 0b1100), (4, 0b1110), (4, 0b1111),
+    (5, 0b10011), (5, 0b10100), (5, 0b00111), (5, 0b01000),
+    (6, 0b001000), (6, 0b000011), (6, 0b110100), (6, 0b110101),
+    (6, 0b101010), (6, 0b101011), (7, 0b0100111), (7, 0b0001100),
+    (7, 0b0001000), (7, 0b0010111), (7, 0b0000011), (7, 0b0000100),
+    (7, 0b0101000), (7, 0b0101011), (7, 0b0010011), (7, 0b0100100),
+    (7, 0b0011000), (8, 0b00000010), (8, 0b00000011), (8, 0b00011010),
+    (8, 0b00011011), (8, 0b00010010), (8, 0b00010011), (8, 0b00010100),
+    (8, 0b00010101), (8, 0b00010110), (8, 0b00010111), (8, 0b00101000),
+    (8, 0b00101001), (8, 0b00101010), (8, 0b00101011), (8, 0b00101100),
+    (8, 0b00101101), (8, 0b00000100), (8, 0b00000101), (8, 0b00001010),
+    (8, 0b00001011), (8, 0b01010010), (8, 0b01010011), (8, 0b01010100),
+    (8, 0b01010101), (8, 0b00100100), (8, 0b00100101), (8, 0b01011000),
+    (8, 0b01011001), (8, 0b01011010), (8, 0b01011011), (8, 0b01001010),
+    (8, 0b01001011), (8, 0b00110010), (8, 0b00110011), (8, 0b00110100),
+]
+_CCITT_BLACK_TERM = [
+    (10, 0b0000110111), (3, 0b010), (2, 0b11), (2, 0b10),
+    (3, 0b011), (4, 0b0011), (4, 0b0010), (5, 0b00011),
+    (6, 0b000101), (6, 0b000100), (7, 0b0000100), (7, 0b0000101),
+    (7, 0b0000111), (8, 0b00000100), (8, 0b00000111), (9, 0b000011000),
+    (10, 0b0000010111), (10, 0b0000011000), (10, 0b0000001000),
+    (11, 0b00001100111), (11, 0b00001101000), (11, 0b00001101100),
+    (11, 0b00000110111), (11, 0b00000101000), (11, 0b00000010111),
+    (11, 0b00000011000), (12, 0b000011001010), (12, 0b000011001011),
+    (12, 0b000011001100), (12, 0b000011001101), (12, 0b000001101000),
+    (12, 0b000001101001), (12, 0b000001101010), (12, 0b000001101011),
+    (12, 0b000011010010), (12, 0b000011010011), (12, 0b000011010100),
+    (12, 0b000011010101), (12, 0b000011010110), (12, 0b000011010111),
+    (12, 0b000001101100), (12, 0b000001101101), (12, 0b000011011010),
+    (12, 0b000011011011), (12, 0b000001010100), (12, 0b000001010101),
+    (12, 0b000001010110), (12, 0b000001010111), (12, 0b000001100100),
+    (12, 0b000001100101), (12, 0b000001010010), (12, 0b000001010011),
+    (12, 0b000000100100), (12, 0b000000110111), (12, 0b000000111000),
+    (12, 0b000000100111), (12, 0b000000101000), (12, 0b000001011000),
+    (12, 0b000001011001), (12, 0b000000101011), (12, 0b000000101100),
+    (12, 0b000001011010), (12, 0b000001100110), (12, 0b000001100111),
+]
+# Make-up codes for runs 64*k, k = 1..27 (64..1728).
+_CCITT_WHITE_MAKEUP = [
+    (5, 0b11011), (5, 0b10010), (6, 0b010111), (7, 0b0110111),
+    (8, 0b00110110), (8, 0b00110111), (8, 0b01100100), (8, 0b01100101),
+    (8, 0b01101000), (8, 0b01100111), (9, 0b011001100), (9, 0b011001101),
+    (9, 0b011010010), (9, 0b011010011), (9, 0b011010100),
+    (9, 0b011010101), (9, 0b011010110), (9, 0b011010111),
+    (9, 0b011011000), (9, 0b011011001), (9, 0b011011010),
+    (9, 0b011011011), (9, 0b010011000), (9, 0b010011001),
+    (9, 0b010011010), (6, 0b011000), (9, 0b010011011),
+]
+_CCITT_BLACK_MAKEUP = [
+    (10, 0b0000001111), (12, 0b000011001000), (12, 0b000011001001),
+    (12, 0b000001011011), (12, 0b000000110011), (12, 0b000000110100),
+    (12, 0b000000110101), (13, 0b0000001101100), (13, 0b0000001101101),
+    (13, 0b0000001001010), (13, 0b0000001001011), (13, 0b0000001001100),
+    (13, 0b0000001001101), (13, 0b0000001110010), (13, 0b0000001110011),
+    (13, 0b0000001110100), (13, 0b0000001110101), (13, 0b0000001110110),
+    (13, 0b0000001110111), (13, 0b0000001010010), (13, 0b0000001010011),
+    (13, 0b0000001010100), (13, 0b0000001010101), (13, 0b0000001011010),
+    (13, 0b0000001011011), (13, 0b0000001100100), (13, 0b0000001100101),
+]
+# Extended make-up codes common to both colors: 1792..2560 step 64.
+_CCITT_EXT_MAKEUP = [
+    (11, 0b00000001000), (11, 0b00000001100), (11, 0b00000001101),
+    (12, 0b000000010010), (12, 0b000000010011), (12, 0b000000010100),
+    (12, 0b000000010101), (12, 0b000000010110), (12, 0b000000010111),
+    (12, 0b000000011100), (12, 0b000000011101), (12, 0b000000011110),
+    (12, 0b000000011111),
+]
+
+
+def _ccitt_decode_maps():
+    """(white_map, black_map): {(nbits, code): run_length}."""
+    wm, bm = {}, {}
+    for run, (n, c) in enumerate(_CCITT_WHITE_TERM):
+        wm[(n, c)] = run
+    for run, (n, c) in enumerate(_CCITT_BLACK_TERM):
+        bm[(n, c)] = run
+    for k, (n, c) in enumerate(_CCITT_WHITE_MAKEUP):
+        wm[(n, c)] = 64 * (k + 1)
+    for k, (n, c) in enumerate(_CCITT_BLACK_MAKEUP):
+        bm[(n, c)] = 64 * (k + 1)
+    for k, (n, c) in enumerate(_CCITT_EXT_MAKEUP):
+        wm[(n, c)] = 1792 + 64 * k
+        bm[(n, c)] = 1792 + 64 * k
+    return wm, bm
+
+
+_CCITT_WHITE_MAP, _CCITT_BLACK_MAP = _ccitt_decode_maps()
+_CCITT_MAX_CODE_BITS = 13  # longest T.4 code (13-bit black make-ups)
+_CCITT_EOL = (12, 0b000000000001)
+
+
+class _CcittBitWriter:
+    """MSB-first bit accumulator."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, nbits: int, code: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(8 - self.nbits, 0)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(out)
+
+
+class _CcittBitReader:
+    """MSB-first bit reader over one strip's bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits_left(self) -> int:
+        return 8 * len(self.data) - self.pos
+
+    def peek(self, n: int) -> int:
+        """Next n bits MSB-first, zero-padded past the end."""
+        v = 0
+        p = self.pos
+        for _ in range(n):
+            byte = self.data[p >> 3] if (p >> 3) < len(self.data) else 0
+            v = (v << 1) | ((byte >> (7 - (p & 7))) & 1)
+            p += 1
+        return v
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def get(self, n: int) -> int:
+        v = self.peek(n)
+        self.pos += n
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _ccitt_run_codes(run: int, white: bool):
+    """Yield the (nbits, code) pairs coding one run of one color:
+    make-up chain (repeated 2560s for very long runs, per accepted
+    practice) then a terminating code."""
+    term = _CCITT_WHITE_TERM if white else _CCITT_BLACK_TERM
+    makeup = _CCITT_WHITE_MAKEUP if white else _CCITT_BLACK_MAKEUP
+    while run >= 2624:
+        yield _CCITT_EXT_MAKEUP[-1]  # 2560
+        run -= 2560
+    if run >= 1792:
+        k = (run - 1792) // 64
+        yield _CCITT_EXT_MAKEUP[k]
+        run -= 1792 + 64 * k
+    elif run >= 64:
+        k = run // 64 - 1
+        yield makeup[k]
+        run -= 64 * (k + 1)
+    yield term[run]
+
+
+def _ccitt_read_run(rd: _CcittBitReader, white: bool) -> int:
+    """One complete run length (make-up chain + terminating code)."""
+    total = 0
+    m = _CCITT_WHITE_MAP if white else _CCITT_BLACK_MAP
+    while True:
+        for n in range(2, _CCITT_MAX_CODE_BITS + 1):
+            if rd.bits_left() < n:
+                raise ValueError("CCITT stream truncated in run code")
+            run = m.get((n, rd.peek(n)))
+            if run is not None:
+                rd.skip(n)
+                total += run
+                if run < 64:  # terminating code ends the run
+                    return total
+                break
+        else:
+            raise ValueError("CCITT invalid run code")
+
+
+def _ccitt_transitions(row) -> list:
+    """Changing-element positions of a bit row (white=0): position i
+    is a changing element when row[i] != row[i-1] (row[-1] imagined
+    white). Two sentinels at w keep b1/b2 lookups in range. Even-index
+    entries start black runs, odd-index start white runs."""
+    import numpy as np
+
+    w = len(row)
+    d = np.flatnonzero(np.diff(np.concatenate(([0], row)))).tolist()
+    return d + [w, w]
+
+
+def _ccitt_b1_b2(ref_tr: list, a0: int, white: bool, w: int):
+    """b1: first changing element on the reference line strictly
+    right of a0 whose transition is to the color OPPOSITE the coding
+    color; b2: the next one after it (T.4 §4.2.1.1)."""
+    import bisect
+
+    i = bisect.bisect_right(ref_tr, a0, hi=len(ref_tr) - 2)
+    if (i & 1) != (0 if white else 1):
+        i += 1
+    b1 = ref_tr[i] if i < len(ref_tr) else w
+    b2 = ref_tr[i + 1] if i + 1 < len(ref_tr) else w
+    return b1, b2
+
+
+def _ccitt_encode_row_1d(wr: _CcittBitWriter, row) -> None:
+    """One MH row: alternating white/black runs, white first (a row
+    starting black gets a zero-length white terminating code)."""
+    import numpy as np
+
+    w = len(row)
+    pos = 0
+    white = True
+    while pos < w:
+        if white:
+            rest = row[pos:]
+            run = int(np.argmax(rest)) if rest.any() else w - pos
+        else:
+            inv = row[pos:] == 0
+            run = int(np.argmax(inv)) if inv.any() else w - pos
+        for nb, code in _ccitt_run_codes(run, white):
+            wr.put(nb, code)
+        pos += run
+        white = not white
+
+
+def _ccitt_decode_row_1d(rd: _CcittBitReader, w: int):
+    """One MH row -> uint8 bit row (white=0, black=1)."""
+    import numpy as np
+
+    row = np.zeros(w, np.uint8)
+    pos = 0
+    white = True
+    while pos < w:
+        run = _ccitt_read_run(rd, white)
+        if pos + run > w:
+            raise ValueError("CCITT run overruns the row")
+        if not white:
+            row[pos : pos + run] = 1
+        pos += run
+        white = not white
+    return row
+
+
+# 2-D (READ) mode codes: vertical (a1 = b1 + d), horizontal, pass.
+_CCITT_MODE_P = (4, 0b0001)
+_CCITT_MODE_H = (3, 0b001)
+_CCITT_MODE_V = {
+    0: (1, 0b1),
+    1: (3, 0b011), 2: (6, 0b000011), 3: (7, 0b0000011),
+    -1: (3, 0b010), -2: (6, 0b000010), -3: (7, 0b0000010),
+}
+
+
+def _ccitt_encode_row_2d(wr: _CcittBitWriter, row, ref_tr: list) -> None:
+    """One 2-D READ row against the reference transition list: pass
+    when b2 < a1, vertical when |a1-b1| <= 3, else horizontal with
+    two explicit runs. a0 starts at the imaginary -1 white element;
+    horizontal run lengths count from max(a0, 0)."""
+    w = len(row)
+    cur_tr = _ccitt_transitions(row)
+    a0 = -1
+    white = True
+    ci = 0
+    while a0 < w:
+        while ci < len(cur_tr) - 2 and cur_tr[ci] <= a0:
+            ci += 1
+        a1 = cur_tr[ci] if ci < len(cur_tr) - 1 and cur_tr[ci] > a0 else w
+        if ci >= len(cur_tr) - 2 and a1 <= a0:
+            a1 = w
+        a2 = cur_tr[ci + 1] if ci + 1 < len(cur_tr) - 1 and a1 < w else w
+        if a2 <= a1:
+            a2 = w
+        b1, b2 = _ccitt_b1_b2(ref_tr, a0, white, w)
+        if b2 < a1:
+            wr.put(*_CCITT_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            wr.put(*_CCITT_MODE_V[a1 - b1])
+            a0 = a1
+            white = not white
+        else:
+            wr.put(*_CCITT_MODE_H)
+            start = max(a0, 0)
+            for nb, code in _ccitt_run_codes(a1 - start, white):
+                wr.put(nb, code)
+            for nb, code in _ccitt_run_codes(a2 - a1, not white):
+                wr.put(nb, code)
+            a0 = a2
+
+
+def _ccitt_decode_row_2d(rd: _CcittBitReader, ref_tr: list, w: int):
+    """One 2-D READ row -> uint8 bit row (white=0)."""
+    import numpy as np
+
+    row = np.zeros(w, np.uint8)
+    a0 = -1
+    white = True
+    while a0 < w:
+        mode = None
+        for n in (1, 3, 4, 6, 7):
+            if rd.bits_left() < n:
+                break
+            v = rd.peek(n)
+            if n == 1 and v == 0b1:
+                mode = ("V", 0)
+            elif n == 3 and v == 0b011:
+                mode = ("V", 1)
+            elif n == 3 and v == 0b010:
+                mode = ("V", -1)
+            elif n == 3 and v == 0b001:
+                mode = ("H", 0)
+            elif n == 4 and v == 0b0001:
+                mode = ("P", 0)
+            elif n == 6 and v == 0b000011:
+                mode = ("V", 2)
+            elif n == 6 and v == 0b000010:
+                mode = ("V", -2)
+            elif n == 7 and v == 0b0000011:
+                mode = ("V", 3)
+            elif n == 7 and v == 0b0000010:
+                mode = ("V", -3)
+            if mode is not None:
+                rd.skip(n)
+                break
+        if mode is None:
+            raise ValueError("CCITT invalid 2-D mode code")
+        kind, d = mode
+        b1, b2 = _ccitt_b1_b2(ref_tr, a0, white, w)
+        if kind == "P":
+            if not white:
+                row[max(a0, 0) : b2] = 1
+            a0 = b2
+        elif kind == "V":
+            a1 = b1 + d
+            if a1 < 0 or a1 > w or a1 <= a0:
+                # changing elements are strictly monotone along a row
+                # (T.4 §4.2): a corrupt stream must not walk backwards
+                raise ValueError("CCITT vertical mode out of range")
+            if not white:
+                row[max(a0, 0) : a1] = 1
+            a0 = a1
+            white = not white
+        else:  # horizontal: two explicit runs
+            start = max(a0, 0)
+            r1 = _ccitt_read_run(rd, white)
+            r2 = _ccitt_read_run(rd, not white)
+            if start + r1 + r2 > w:
+                raise ValueError("CCITT horizontal runs overrun the row")
+            if white:
+                row[start + r1 : start + r1 + r2] = 1
+            else:
+                row[start : start + r1] = 1
+            a0 = start + r1 + r2
+    return row
+
+
+def _ccitt_skip_eol(rd: _CcittBitReader) -> None:
+    """Consume fill bits + one EOL (>= 11 zeros then a 1) — fill-bit
+    (T4Options bit 2) streams decode for free."""
+    zeros = 0
+    while True:
+        if rd.bits_left() < 1:
+            raise ValueError("CCITT missing EOL")
+        if rd.get(1) == 0:
+            zeros += 1
+            if zeros > 64:
+                raise ValueError("CCITT EOL fill runaway")
+        else:
+            if zeros < 11:
+                raise ValueError("CCITT malformed EOL")
+            return
+
+
+def ccitt_encode(plane, comp: int, t4_2d: bool = False) -> bytes:
+    """Bilevel plane (uint8, 0=white, 1=black) -> CCITT strip bytes.
+
+    comp 2: Modified Huffman, each row byte-aligned (TIFF 6.0 §11).
+    comp 3: T.4/G3 — EOL before every row; ``t4_2d`` adds the 1-D/2-D
+        tag bit after each EOL and codes alternate rows 2-D.
+    comp 4: T.6/G4 — every row 2-D, EOFB terminator.
+    """
+    import numpy as np
+
+    a = np.asarray(plane, np.uint8)
+    h, w = a.shape
+    wr = _CcittBitWriter()
+    if comp == 2:
+        for y in range(h):
+            _ccitt_encode_row_1d(wr, a[y])
+            wr.align()
+    elif comp == 3:
+        prev_tr = None
+        for y in range(h):
+            wr.put(*_CCITT_EOL)
+            if t4_2d:
+                use_1d = y % 2 == 0
+                wr.put(1, 1 if use_1d else 0)
+                if use_1d:
+                    _ccitt_encode_row_1d(wr, a[y])
+                else:
+                    _ccitt_encode_row_2d(wr, a[y], prev_tr)
+            else:
+                _ccitt_encode_row_1d(wr, a[y])
+            prev_tr = _ccitt_transitions(a[y])
+        wr.put(*_CCITT_EOL)  # trailing EOL
+    elif comp == 4:
+        ref_tr = [w, w]  # imaginary all-white reference line
+        for y in range(h):
+            _ccitt_encode_row_2d(wr, a[y], ref_tr)
+            ref_tr = _ccitt_transitions(a[y])
+        wr.put(*_CCITT_EOL)
+        wr.put(*_CCITT_EOL)  # EOFB
+    else:
+        raise ValueError(f"ccitt_encode: bad compression {comp}")
+    return wr.bytes()
+
+
+def ccitt_decode(data: bytes, w: int, h: int, comp: int,
+                 t4_2d: bool = False):
+    """CCITT strip bytes -> (h, w) uint8 bit plane (white=0,
+    black=1). ``comp`` follows the TIFF compression tag (2/3/4);
+    trailing EOFB/RTC bits after the last row are ignored (TIFF knows
+    the row count from the IFD)."""
+    import numpy as np
+
+    if w < 1 or h < 1:
+        raise ValueError("CCITT dimensions invalid")
+    rd = _CcittBitReader(data)
+    rows = np.zeros((h, w), np.uint8)
+    if comp == 2:
+        for y in range(h):
+            rows[y] = _ccitt_decode_row_1d(rd, w)
+            rd.align()
+    elif comp == 3:
+        prev_tr = None
+        for y in range(h):
+            _ccitt_skip_eol(rd)
+            if t4_2d:
+                if rd.bits_left() < 1:
+                    raise ValueError("CCITT missing 2-D tag bit")
+                if rd.get(1):
+                    rows[y] = _ccitt_decode_row_1d(rd, w)
+                else:
+                    if prev_tr is None:
+                        raise ValueError("CCITT 2-D row without reference")
+                    rows[y] = _ccitt_decode_row_2d(rd, prev_tr, w)
+            else:
+                rows[y] = _ccitt_decode_row_1d(rd, w)
+            prev_tr = _ccitt_transitions(rows[y])
+    elif comp == 4:
+        ref_tr = [w, w]
+        for y in range(h):
+            rows[y] = _ccitt_decode_row_2d(rd, ref_tr, w)
+            ref_tr = _ccitt_transitions(rows[y])
+    else:
+        raise ValueError(f"ccitt_decode: bad compression {comp}")
+    return rows
+
+
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
@@ -1609,7 +2098,23 @@ def decode_tiff(b: bytes):
         # the spec defines horizontal differencing for 8/16/32-bit
         # integer samples only
         raise ValueError("TIFF predictor on sub-byte samples")
-    if comp not in (1, 5, 8, 32773, 32946):
+    t4_2d = False
+    if comp in (2, 3, 4):
+        # CCITT G3/G4 bilevel fax (the scanned-document class)
+        if depth != 1 or spp != 1:
+            raise ValueError("CCITT compression requires bilevel samples")
+        if photo not in (0, 1):
+            raise ValueError("CCITT compression with color photometric")
+        if planar == 2:
+            raise ValueError("CCITT with planar configuration")
+        if tiled:
+            require_codec("tiled CCITT TIFF")
+        t4opts = one(292, 0) if comp == 3 else 0
+        t6opts = one(293, 0) if comp == 4 else 0
+        if (comp == 3 and t4opts & 0b10) or (comp == 4 and t6opts & 0b10):
+            require_codec("CCITT uncompressed mode")
+        t4_2d = bool(t4opts & 0b1)
+    elif comp not in (1, 5, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
     if w * h * spp * sb > (1 << 27):
         # decompressors size buffers from the header (the deflate
@@ -1720,9 +2225,18 @@ def decode_tiff(b: bytes):
             raw = bytearray()
             for si, (off, cnt) in enumerate(strip_slice):
                 rows_here = min(rps, h - si * rps)
-                raw += decompress(
-                    chunk_at(off, cnt), rows_here * row_bytes
-                )
+                if comp in (2, 3, 4):
+                    # CCITT decodes bit rows directly; re-pack MSB-first
+                    # so the shared sub-byte unpack path consumes them
+                    bitrows = ccitt_decode(
+                        bytes(chunk_at(off, cnt)), w, rows_here, comp,
+                        t4_2d,
+                    )
+                    raw += np.packbits(bitrows, axis=1).tobytes()
+                else:
+                    raw += decompress(
+                        chunk_at(off, cnt), rows_here * row_bytes
+                    )
             return raw
 
         pairs = list(zip(offsets, counts))
@@ -1862,9 +2376,14 @@ def encode_tiff(
         assert c in (3, 4), "TIFF encoder expects RGB or CMYK"
         spp, photo = c, (2 if c == 3 else 5)
     rps = rows_per_strip or h
-    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
-        compression
-    ]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+                 "ccitt_mh": 2, "g3": 3, "g3_2d": 3, "g4": 4}[compression]
+    ccitt_2d = compression == "g3_2d"
+    if comp_code in (2, 3, 4):
+        assert d_eff == 1 and spp == 1, "CCITT expects a bilevel plane"
+        assert tile is None and not planar and not predictor, (
+            "CCITT emits chunky strip layout only"
+        )
     plane = a.reshape(h, w, spp)
 
     def diff(arr3d):
@@ -1916,6 +2435,14 @@ def encode_tiff(
                 strips.append(compress(
                     serialize(plane[y0 : y0 + rps, :, c : c + 1]).tobytes()
                 ))
+    elif comp_code in (2, 3, 4):
+        # CCITT codes runs from the bit plane itself; each strip is an
+        # independent coding block (G4's reference line resets white)
+        for y0 in range(0, h, rps):
+            strips.append(
+                ccitt_encode(plane[y0 : y0 + rps, :, 0], comp_code,
+                             t4_2d=ccitt_2d)
+            )
     else:
         rows = serialize(plane)
         for y0 in range(0, h, rps):
@@ -1953,6 +2480,10 @@ def encode_tiff(
             tags.append((284, 3, [2]))
     if predictor:
         tags.append((317, 3, [2]))
+    if comp_code == 3:
+        tags.append((292, 4, [1 if ccitt_2d else 0]))  # T4Options
+    elif comp_code == 4:
+        tags.append((293, 4, [0]))  # T6Options
     if palette is not None:
         pal = np.asarray(palette, np.uint8)
         assert pal.shape == (1 << d_eff, 3), "TIFF palette must be 2^depth x3"
@@ -2871,6 +3402,58 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_fax_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic CCITT fax TIFF table (compressions 2/3/4 — the
+    scanned-document class): image i is a bilevel plane at
+    w=40+(i%5)*40 (up to 200 — run lengths cross the make-up-code
+    boundary), h=16+(i%4)*6, pattern rotating by i%3 between block
+    checkerboards (((x // (1+i%4)) + (y // (1+i%3)) + i) % 2), sparse
+    dots ((x*5 + y*11 + i*3) % 37 == 0 — long white runs), and dense
+    diagonal stripes ((x + 2y + i) % 5 < 2 — short alternating runs).
+    Containers rotate the coding (Modified Huffman / G3 1-D / G3 2-D
+    with tag bits / G4 by i%4), byte order (i%2), and strip
+    organization (8-row strips when i%5==0 — each strip an
+    independent coding block). All WhiteIsZero (photometric 0), the
+    fax standard: pattern 1 = black-coded run = decoded 255 after the
+    photometric inversion... inverted twice (encoder stores 1-v,
+    CCITT codes stored-0 as white, decoder re-inverts), so the
+    decoded gray equals pattern * 255 container-independently.
+    media_id offset +300 keeps ids disjoint in the 'tiff' census
+    group."""
+    import numpy as np
+
+    comps = ("ccitt_mh", "g3", "g3_2d", "g4")
+    rows = []
+    for i in range(n):
+        w, h = 40 + (i % 5) * 40, 16 + (i % 4) * 6
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        if i % 3 == 0:
+            plane = ((x // (1 + i % 4)) + (y // (1 + i % 3)) + i) % 2
+        elif i % 3 == 1:
+            plane = ((x * 5 + y * 11 + i * 3) % 37 == 0).astype(np.int64)
+        else:
+            plane = ((x + 2 * y + i) % 5 < 2).astype(np.int64)
+        rows.append(
+            (
+                300 + i,
+                "image",
+                encode_tiff(
+                    plane.astype(np.uint8),
+                    compression=comps[i % 4],
+                    depth=1,
+                    big_endian=bool(i % 2),
+                    white_is_zero=True,
+                    rows_per_strip=8 if i % 5 == 0 else 0,
+                ),
+                None,
+                f"mem://media/{300 + i}.fax.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -11442,6 +11442,33 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    fxm AS (
+        SELECT i, 40 + (i % 5) * 40 AS w, 16 + (i % 4) * 6 AS h
+        FROM range(24) t(i)
+    ),
+    fxys AS (SELECT i, w, unnest(range(h)) AS y FROM fxm),
+    fxpx AS (SELECT i, y, unnest(range(w)) AS x FROM fxys),
+    fxv AS (
+        SELECT i,
+               CASE i % 3
+                 WHEN 0 THEN ((x // (1 + i % 4)) + (y // (1 + i % 3))
+                              + i) % 2
+                 WHEN 1 THEN CASE WHEN (x * 5 + y * 11 + i * 3) % 37 = 0
+                                  THEN 1 ELSE 0 END
+                 ELSE CASE WHEN (x + 2 * y + i) % 5 < 2
+                           THEN 1 ELSE 0 END
+               END * 255 AS v
+        FROM fxpx
+    ),
+    tiffax AS (
+        SELECT 'tiff' AS fmt, i + 300 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS sum_r,
+               CAST(SUM(v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS aux
+        FROM fxv GROUP BY i
+    ),
     j AS (
         SELECT i, 24 + (i % 4) * 8 AS w, 16 + (i % 3) * 8 AS h,
                1 + (i % 4) AS ri
@@ -11484,6 +11511,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
     UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM tifck
+    UNION ALL SELECT * FROM tiffax
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
@@ -11501,7 +11529,16 @@ def q197_cdc_validation_census(spark, sf_dir):
     "(round 8): depth-1/2/4 gray planes (the fax/document class), "
     "MSB-first row-padded packing expanded by the exact "
     "255/(2^d - 1), WhiteIsZero round-tripping through the "
-    "encoder/decoder inversion pair, tiled on every fifth image. JPEG DRI/RSTm restart "
+    "encoder/decoder inversion pair, tiled on every fifth image. "
+    "CCITT FAX TIFF (round 9): compressions 2/3/4 from the public "
+    "ITU-T T.4/T.6 tables — Modified Huffman byte-aligned rows, G3 "
+    "1-D with EOLs, G3 2-D with per-row tag bits, and G4 "
+    "pass/vertical/horizontal coding against the reference line — "
+    "over bilevel corpora rotating block/sparse/stripe patterns "
+    "(widths to 200 exercise make-up codes), byte order, and "
+    "strip-independent coding blocks; photometric-0 closed form "
+    "pattern*255, media_id +300. Uncompressed-mode option bits and "
+    "tiled CCITT stay gated. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11533,6 +11570,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ppm16_table,
         synthetic_tiff16_table,
         synthetic_tiff_cmyk_table,
+        synthetic_tiff_fax_table,
         synthetic_tiff_subbyte_table,
     )
 
@@ -11541,6 +11579,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
         .unionByName(synthetic_tiff_cmyk_table(spark, n=12))
+        .unionByName(synthetic_tiff_fax_table(spark, n=24))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

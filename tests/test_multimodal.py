@@ -492,6 +492,98 @@ def test_tiff_container_family_roundtrip_and_gates():
         decode_tiff(bytes(pb))
 
 
+def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
+    """CCITT G3/G4 fax TIFF (compressions 2/3/4): hand-checked T.4
+    code vectors (white-1 000111, black-1 010, black make-up-64
+    0000001111, zero-length leading white run, G4 all-white V0 rows
+    and EOFB, G4 H-mode white-5 1100), roundtrips across all four
+    coding modes x patterns x strip layouts x byte orders, run
+    lengths through the make-up (>=64) and extended make-up (>=1792)
+    ranges, and the gates: uncompressed-mode option bits and tiled
+    CCITT stay NotImplementedError, color/planar/multi-bit CCITT
+    combinations are structural damage (ValueError)."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _CcittBitWriter,
+        _ccitt_encode_row_1d,
+        ccitt_decode,
+        ccitt_encode,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # T.4 table vectors: row [0,1] = white run 1 (000111) + black
+    # run 1 (010) -> byte-aligned 00011101 0;  a row starting black
+    # gets a zero-length white terminating code (00110101) first,
+    # and 70 black = make-up 64 (0000001111) + term 6 (0010)
+    wr = _CcittBitWriter()
+    _ccitt_encode_row_1d(wr, np.array([0, 1], np.uint8))
+    wr.align()
+    assert wr.bytes() == bytes([0b00011101, 0b00000000])
+    wr = _CcittBitWriter()
+    _ccitt_encode_row_1d(wr, np.ones(70, np.uint8))
+    bits = "".join(f"{x:08b}" for x in wr.bytes())
+    assert bits.startswith("00110101" + "0000001111" + "0010")
+    # G4: all-white rows are one V0 bit each, then EOFB (2 EOLs)
+    bits = "".join(
+        f"{x:08b}" for x in ccitt_encode(np.zeros((10, 100), np.uint8), 4)
+    )
+    assert bits.startswith("1" * 10 + "000000000001" * 2)
+    # G4: single black pixel at x=5 -> H mode (001), white 5 (1100),
+    # black 1 (010), then V0 closes the row
+    one_px = np.zeros((1, 100), np.uint8)
+    one_px[0, 5] = 1
+    bits = "".join(f"{x:08b}" for x in ccitt_encode(one_px, 4))
+    assert bits.startswith("001" + "1100" + "010" + "1")
+    # roundtrip: modes x patterns x strips x byte order through the
+    # full TIFF container, including make-up-range widths
+    rng = np.random.RandomState(5)
+    for trial in range(24):
+        h, w = rng.randint(1, 30), rng.randint(1, 300)
+        plane = (rng.rand(h, w) < (0.05, 0.5, 0.95)[trial % 3]).astype(
+            np.uint8
+        )
+        for compr in ("ccitt_mh", "g3", "g3_2d", "g4"):
+            b = encode_tiff(plane, compression=compr, depth=1,
+                            white_is_zero=True,
+                            rows_per_strip=6 if trial % 2 else 0,
+                            big_endian=bool(trial % 2))
+            assert np.array_equal(
+                decode_tiff(b), np.stack([plane * 255] * 3, -1)
+            ), (trial, compr)
+    # extended make-up range: a 6000-wide mostly-constant image
+    wide = np.zeros((2, 6000), np.uint8)
+    wide[0, 5990:] = 1
+    wide[1, :3000] = 1
+    for comp, t2d in ((2, False), (3, True), (4, False)):
+        dec = ccitt_decode(ccitt_encode(wide, comp, t4_2d=t2d),
+                           6000, 2, comp, t4_2d=t2d)
+        assert np.array_equal(dec, wide), comp
+    # gate: T4Options uncompressed bit (bit 1) forged onto a G3 file
+    g3 = bytearray(encode_tiff(one_px[0:1].repeat(4, 0), depth=1,
+                               compression="g3"))
+    ifd = int.from_bytes(g3[4:8], "little")
+    n = int.from_bytes(g3[ifd : ifd + 2], "little")
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if int.from_bytes(g3[at : at + 2], "little") == 292:
+            g3[at + 8 : at + 12] = st.pack("<I", 0b10)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(g3))
+    # damage: CCITT with 8-bit samples is a corrupt header, not a gate
+    g4 = bytearray(encode_tiff(one_px, depth=1, compression="g4"))
+    ifd = int.from_bytes(g4[4:8], "little")
+    n = int.from_bytes(g4[ifd : ifd + 2], "little")
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if int.from_bytes(g4[at : at + 2], "little") == 258:
+            g4[at + 8 : at + 10] = st.pack("<H", 8)
+    with pytest.raises(ValueError, match="bilevel"):
+        decode_tiff(bytes(g4))
+
+
 def test_ms_adpcm_decode_reference_and_stereo():
     """MS ADPCM (WAV format 2): mono decode matches the pure-Python
     state machine (truncating division, signed nibbles, floor-16
@@ -2257,6 +2349,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      rows_per_strip=4), decode_tiff),
         (encode_tiff((img8 >> 6), compression="lzw", depth=2),
          decode_tiff),
+        (encode_tiff((img8 >> 7), compression="ccitt_mh", depth=1,
+                     white_is_zero=True, rows_per_strip=3), decode_tiff),
+        (encode_tiff((img8 >> 7), compression="g3_2d", depth=1,
+                     white_is_zero=True), decode_tiff),
+        (encode_tiff((img8 >> 7), compression="g4", depth=1,
+                     white_is_zero=True), decode_tiff),
         (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
                      compression="packbits"), decode_tiff),
         (encode_gif_animation(
