@@ -2177,6 +2177,78 @@ def decode_tiff(b: bytes):
             raise ValueError("TIFF strip out of range")
         return b[off : off + cnt]
 
+    if photo == 6:
+        # YCbCr (the digicam-TIFF surface): chunky data units of
+        # sh*sv Y samples + one Cb + one Cr (TIFF 6.0 §21), chroma
+        # replicated back to full resolution and converted with
+        # decode_jpeg's exact full-range CCIR-601 float math — the
+        # same closed forms hold for both containers.
+        if spp != 3 or depth != 8 or planar != 1:
+            require_codec("TIFF YCbCr planar/deep variant")
+        if tiled:
+            require_codec("tiled YCbCr TIFF")
+        if pred == 2:
+            raise ValueError("TIFF predictor on YCbCr data units")
+        ss = values(530, [2, 2])
+        if len(ss) != 2 or ss[0] not in (1, 2, 4) or ss[1] not in (1, 2, 4):
+            raise ValueError("TIFF YCbCrSubSampling invalid")
+        sh_, sv_ = ss
+        co = values(529)
+        if co is not None and co != [299, 1000, 587, 1000, 114, 1000]:
+            require_codec("TIFF YCbCr custom luma coefficients")
+        rbw = values(532)
+        if rbw is not None:
+            if len(rbw) != 12 or any(d == 0 for d in rbw[1::2]):
+                raise ValueError("TIFF ReferenceBlackWhite malformed")
+            vals6 = [n / d for n, d in zip(rbw[0::2], rbw[1::2])]
+            if vals6 != [0.0, 255.0, 128.0, 255.0, 128.0, 255.0]:
+                require_codec("TIFF YCbCr headroom ReferenceBlackWhite")
+        offsets = values(273)
+        counts = values(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or mismatched")
+        rps = one(278, h)
+        if rps < 1:
+            raise ValueError("TIFF RowsPerStrip invalid")
+        if len(offsets) > 1 and rps % sv_:
+            raise ValueError(
+                "YCbCr RowsPerStrip not a multiple of the subsampling"
+            )
+        if len(offsets) != -(-h // rps):
+            raise ValueError("TIFF strip count does not cover the image")
+        ta = -(-w // sh_)
+        unit = sh_ * sv_ + 2
+        ybuf, cbbuf, crbuf = [], [], []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows_here = min(rps, h - si * rps)
+            td_s = -(-rows_here // sv_)
+            expected = ta * td_s * unit
+            raw = decompress(chunk_at(off, cnt), expected)
+            u = np.frombuffer(bytes(raw[:expected]), np.uint8).reshape(
+                td_s, ta, unit
+            )
+            ys = u[:, :, : sh_ * sv_].reshape(td_s, ta, sv_, sh_)
+            yp = ys.transpose(0, 2, 1, 3).reshape(td_s * sv_, ta * sh_)
+            ybuf.append(yp[:rows_here, :w])
+            cbbuf.append(u[:, :, sh_ * sv_])
+            crbuf.append(u[:, :, unit - 1])
+        yf = np.concatenate(ybuf, axis=0).astype(np.float64)
+        cb2 = np.concatenate(cbbuf, axis=0)
+        cr2 = np.concatenate(crbuf, axis=0)
+        cbf = np.repeat(np.repeat(cb2, sv_, 0), sh_, 1)[:h, :w].astype(
+            np.float64
+        ) - 128.0
+        crf = np.repeat(np.repeat(cr2, sv_, 0), sh_, 1)[:h, :w].astype(
+            np.float64
+        ) - 128.0
+        r = yf + 1.402 * crf
+        g = yf - 0.344136286 * cbf - 0.714136286 * crf
+        bl = yf + 1.772 * cbf
+        return np.stack(
+            [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+            axis=-1,
+        ).astype(np.uint8)
+
     if tiled:
         tw, th = one(322), one(323)
         if not tw or not th:
@@ -2494,6 +2566,99 @@ def encode_tiff(
         e + "HI", 42, ifd_off
     )
     return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
+
+
+def encode_tiff_ycbcr(
+    yp,
+    cb,
+    cr,
+    subsampling=(2, 2),
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Full-res Y plane (h, w) + SUBSAMPLED Cb/Cr planes
+    (ceil(h/sv), ceil(w/sh)), all uint8 -> photometric-6 TIFF with
+    chunky sh*sv-Y + Cb + Cr data units (TIFF 6.0 §21), edge units
+    padded by edge replication (pad samples are ignored on decode).
+    ``rows_per_strip`` must be a multiple of sv when it splits the
+    image."""
+    import numpy as np
+    import zlib
+
+    e = ">" if big_endian else "<"
+    y = np.asarray(yp, np.uint8)
+    cbp = np.asarray(cb, np.uint8)
+    crp = np.asarray(cr, np.uint8)
+    sh_, sv_ = subsampling
+    assert sh_ in (1, 2, 4) and sv_ in (1, 2, 4), "subsampling 1/2/4"
+    h, w = y.shape
+    ta, td = -(-w // sh_), -(-h // sv_)
+    assert cbp.shape == (td, ta) and crp.shape == (td, ta), (
+        "chroma planes must be at subsampled resolution"
+    )
+    rps = rows_per_strip or h
+    if rps < h:
+        assert rps % sv_ == 0, "rows_per_strip must be a multiple of sv"
+    ypad = np.empty((td * sv_, ta * sh_), np.uint8)
+    ypad[:h, :w] = y
+    if w < ta * sh_:
+        ypad[:h, w:] = y[:, w - 1 : w]
+    if h < td * sv_:
+        ypad[h:, :] = ypad[h - 1 : h, :]
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
+
+    def compress(raw: bytes) -> bytes:
+        if comp_code == 1:
+            return raw
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        if comp_code == 5:
+            return _tiff_lzw_encode(raw)
+        return zlib.compress(raw, 6)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        rows_here = min(rps, h - y0)
+        td_s = -(-rows_here // sv_)
+        unit_rows = ypad[y0 : y0 + td_s * sv_].reshape(
+            td_s, sv_, ta, sh_
+        ).transpose(0, 2, 1, 3)
+        body = np.concatenate(
+            [
+                unit_rows.reshape(td_s, ta, sv_ * sh_),
+                cbp[y0 // sv_ : y0 // sv_ + td_s, :, None],
+                crp[y0 // sv_ : y0 // sv_ + td_s, :, None],
+            ],
+            axis=-1,
+        )
+        strips.append(compress(body.tobytes()))
+    out_body = bytearray()
+    offsets = []
+    for s in strips:
+        offsets.append(8 + len(out_body))
+        out_body += s
+        if len(out_body) % 2:
+            out_body += b"\x00"
+    ifd_off = 8 + len(out_body)
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8, 8, 8]),
+        (259, 3, [comp_code]),
+        (262, 3, [6]),
+        (273, 4, offsets),
+        (277, 3, [3]),
+        (278, 3, [min(rps, h)]),
+        (279, 4, [len(s) for s in strips]),
+        (530, 3, [sh_, sv_]),
+    ]
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return bytes(header + out_body) + _tiff_ifd(e, tags, ifd_off)
 
 
 def _decode_any(content) -> tuple:
@@ -3402,6 +3567,51 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic YCbCr TIFF table (photometric 6 — the
+    digicam-TIFF surface): image i generates Y/Cb/Cr SAMPLES directly
+    (Y = (x*7 + y*13 + i*23) mod 256 at full res; Cb/Cr closed forms
+    of the subsampled unit coords), so the oracle replays chroma
+    replication + the exact full-range CCIR-601 float conversion
+    (floor(x+0.5), clip — IEEE-deterministic, DuckDB-mirrorable)
+    without needing an invertible RGB->YCbCr leg. Subsampling rotates
+    (1,1)/(2,2)/(2,1) by i%3 over widths 11+(i%4)*7 and heights
+    9+(i%3)*5 that are NOT unit multiples (pad units exercised);
+    containers rotate compression (i%4), byte order (i%2), and
+    4-row strips (i%5 != 0). media_id offset +500."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        sh, sv = [(1, 1), (2, 2), (2, 1)][i % 3]
+        w, h = 11 + (i % 4) * 7, 9 + (i % 3) * 5
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        yp = ((x * 7 + y * 13 + i * 23) % 256).astype(np.uint8)
+        ta, td = -(-w // sh), -(-h // sv)
+        uy = np.arange(td, dtype=np.int64)[:, None]
+        ux = np.arange(ta, dtype=np.int64)[None, :]
+        cb = ((ux * 11 + uy * 17 + i * 5) % 256).astype(np.uint8)
+        cr = ((ux * 3 + uy * 19 + i * 29) % 256).astype(np.uint8)
+        rows.append(
+            (
+                500 + i,
+                "image",
+                encode_tiff_ycbcr(
+                    yp, cb, cr, (sh, sv),
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    rows_per_strip=0 if i % 5 == 0 else 4,
+                ),
+                None,
+                f"mem://media/{500 + i}.ycc.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

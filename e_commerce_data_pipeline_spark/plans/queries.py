@@ -11442,6 +11442,43 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    ycm AS (
+        SELECT i, 11 + (i % 4) * 7 AS w, 9 + (i % 3) * 5 AS h,
+               CASE i % 3 WHEN 0 THEN 1 ELSE 2 END AS sh,
+               CASE i % 3 WHEN 1 THEN 2 ELSE 1 END AS sv
+        FROM range(24) t(i)
+    ),
+    ycys AS (SELECT i, w, sh, sv, unnest(range(h)) AS y FROM ycm),
+    ycpx AS (SELECT i, sh, sv, y, unnest(range(w)) AS x FROM ycys),
+    yccv AS (
+        SELECT i,
+               CAST((x * 7 + y * 13 + i * 23) % 256 AS DOUBLE) AS yv,
+               CAST(((x // sh) * 11 + (y // sv) * 17 + i * 5) % 256
+                    AS DOUBLE) - 128.0 AS cbv,
+               CAST(((x // sh) * 3 + (y // sv) * 19 + i * 29) % 256
+                    AS DOUBLE) - 128.0 AS crv
+        FROM ycpx
+    ),
+    ycrgb AS (
+        SELECT i,
+               CAST(LEAST(255.0, GREATEST(0.0,
+                    FLOOR(yv + 1.402 * crv + 0.5))) AS BIGINT) AS r,
+               CAST(LEAST(255.0, GREATEST(0.0,
+                    FLOOR(yv - 0.344136286 * cbv - 0.714136286 * crv
+                          + 0.5))) AS BIGINT) AS g2,
+               CAST(LEAST(255.0, GREATEST(0.0,
+                    FLOOR(yv + 1.772 * cbv + 0.5))) AS BIGINT) AS b2
+        FROM yccv
+    ),
+    tifyc AS (
+        SELECT 'tiff' AS fmt, i + 500 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM ycrgb GROUP BY i
+    ),
     fxm AS (
         SELECT i, 40 + (i % 5) * 40 AS w, 16 + (i % 4) * 6 AS h
         FROM range(24) t(i)
@@ -11512,6 +11549,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM tifck
     UNION ALL SELECT * FROM tiffax
+    UNION ALL SELECT * FROM tifyc
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
@@ -11538,7 +11576,18 @@ def q197_cdc_validation_census(spark, sf_dir):
     "(widths to 200 exercise make-up codes), byte order, and "
     "strip-independent coding blocks; photometric-0 closed form "
     "pattern*255, media_id +300. Uncompressed-mode option bits and "
-    "tiled CCITT stay gated. JPEG DRI/RSTm restart "
+    "tiled CCITT stay gated. YCBCR TIFF (round 9, photometric 6): "
+    "chunky sh*sv-Y+Cb+Cr data units (TIFF 6.0 s21) at subsampling "
+    "(1,1)/(2,2)/(2,1) over non-unit-multiple dims (pad units "
+    "replicated on encode, ignored on decode), chroma replicated to "
+    "full res and converted with decode_jpeg's exact full-range "
+    "CCIR-601 float math — floor(x+0.5) of IEEE-double expressions "
+    "is bitwise-deterministic, so the oracle replays the conversion "
+    "in SQL (unlike round(x,2), which diverges cross-engine); the "
+    "corpus generates Y/Cb/Cr samples directly so no inverse "
+    "transform is needed. media_id +500; planar/deep/tiled YCbCr, "
+    "custom luma coefficients, and headroom ReferenceBlackWhite "
+    "stay gated. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11572,6 +11621,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_tiff_cmyk_table,
         synthetic_tiff_fax_table,
         synthetic_tiff_subbyte_table,
+        synthetic_tiff_ycbcr_table,
     )
 
     media = (
@@ -11580,6 +11630,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
         .unionByName(synthetic_tiff_cmyk_table(spark, n=12))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
+        .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

@@ -584,6 +584,65 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_tiff_ycbcr_conversion_subsampling_and_gates():
+    """YCbCr TIFF (photometric 6): data-unit layout round-trips at
+    every supported subsampling over non-unit-multiple dims and all
+    four codecs/byte orders/strip splits, the conversion matches
+    decode_jpeg's float math exactly (gray Y with neutral chroma
+    decodes to Y replicated — the JPEG-parity closed form), and the
+    gates fire: headroom ReferenceBlackWhite and forged subsampling
+    codes."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_ycbcr,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        sh, sv = [(1, 1), (2, 2), (2, 1), (4, 2)][trial % 4]
+        h, w = rng.randint(1, 25), rng.randint(1, 25)
+        yp = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        td, ta = -(-h // sv), -(-w // sh)
+        cb = rng.randint(0, 256, (td, ta)).astype(np.uint8)
+        cr = rng.randint(0, 256, (td, ta)).astype(np.uint8)
+        comp = ("none", "packbits", "lzw", "deflate")[trial % 4]
+        b = encode_tiff_ycbcr(
+            yp, cb, cr, (sh, sv), compression=comp,
+            big_endian=bool(trial % 2),
+            rows_per_strip=0 if trial % 3 == 0 else 2 * sv,
+        )
+        out = decode_tiff(b)
+        cbf = np.repeat(np.repeat(cb, sv, 0), sh, 1)[:h, :w].astype(
+            np.float64) - 128.0
+        crf = np.repeat(np.repeat(cr, sv, 0), sh, 1)[:h, :w].astype(
+            np.float64) - 128.0
+        yf = yp.astype(np.float64)
+        want = np.stack(
+            [np.clip(np.floor(x + 0.5), 0, 255)
+             for x in (yf + 1.402 * crf,
+                       yf - 0.344136286 * cbf - 0.714136286 * crf,
+                       yf + 1.772 * cbf)], -1).astype(np.uint8)
+        assert np.array_equal(out, want), (trial, sh, sv, comp)
+    # neutral chroma: Y replicates to all three channels exactly
+    yp = rng.randint(0, 256, (8, 10)).astype(np.uint8)
+    neutral = np.full((4, 5), 128, np.uint8)
+    out = decode_tiff(encode_tiff_ycbcr(yp, neutral, neutral, (2, 2)))
+    assert np.array_equal(out, np.stack([yp] * 3, -1))
+    # forged subsampling value 3 is structural damage
+    b = bytearray(encode_tiff_ycbcr(yp, neutral, neutral, (2, 2)))
+    ifd = int.from_bytes(b[4:8], "little")
+    n = int.from_bytes(b[ifd : ifd + 2], "little")
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if int.from_bytes(b[at : at + 2], "little") == 530:
+            b[at + 8 : at + 10] = st.pack("<H", 3)
+    with pytest.raises(ValueError, match="YCbCrSubSampling"):
+        decode_tiff(bytes(b))
+
+
 def test_ms_adpcm_decode_reference_and_stereo():
     """MS ADPCM (WAV format 2): mono decode matches the pure-Python
     state machine (truncating division, signed nibbles, floor-16
@@ -2314,6 +2373,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_gif_frames,
         decode_tiff,
         encode_gif_animation,
+        encode_tiff_ycbcr,
     )
 
     pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
@@ -2355,6 +2415,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      white_is_zero=True), decode_tiff),
         (encode_tiff((img8 >> 7), compression="g4", depth=1,
                      white_is_zero=True), decode_tiff),
+        (encode_tiff_ycbcr(img8, (img8[::2, ::2] ^ 85),
+                           (img8[::2, ::2] ^ 170), (2, 2),
+                           compression="deflate", rows_per_strip=4),
+         decode_tiff),
         (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
                      compression="packbits"), decode_tiff),
         (encode_gif_animation(
