@@ -2076,8 +2076,6 @@ def decode_tiff(b: bytes):
     planar = one(284, 1)
     if planar not in (1, 2):
         raise ValueError("TIFF PlanarConfiguration invalid")
-    if tiled and planar == 2:
-        require_codec("tiled planar TIFF")
     sfmt = values(339, [1] * spp)
     if any(v != 1 for v in sfmt):
         require_codec(f"TIFF sample format {sfmt}")
@@ -2085,9 +2083,10 @@ def decode_tiff(b: bytes):
         sb, depth = 1, 8
     elif all(v == 16 for v in bits):
         sb, depth = 2, 16
-    elif spp == 1 and bits[0] in (1, 2, 4):
-        # sub-byte gray/palette (the fax/document class): MSB-first
-        # packed samples, each row padded to a byte boundary
+    elif bits and all(v == bits[0] for v in bits) and bits[0] in (1, 2, 4):
+        # sub-byte samples (the fax/document class, plus sub-byte
+        # CMYK separations): MSB-first packed sample sequence, each
+        # row padded to a byte boundary
         sb, depth = 1, bits[0]
     else:
         require_codec(f"TIFF bits per sample {bits}")
@@ -2144,14 +2143,17 @@ def decode_tiff(b: bytes):
 
     def row_nbytes(cols, ch):
         if depth < 8:
-            return (cols * depth + 7) // 8  # rows pad to a byte
+            # pixel-interleaved sample sequence, rows pad to a byte
+            return (cols * ch * depth + 7) // 8
         return cols * ch * sb
 
     def as_pixels(buf, rows, cols, ch):
         if depth < 8:
-            rb = row_nbytes(cols, 1)
+            rb = row_nbytes(cols, ch)
             packed = np.frombuffer(bytes(buf), np.uint8).reshape(rows, rb)
-            return _unpack_msb_samples(packed, cols, depth)[..., None]
+            return _unpack_msb_samples(packed, cols * ch, depth).reshape(
+                rows, cols, ch
+            )
         if sb == 1:
             return np.frombuffer(bytes(buf), np.uint8).reshape(
                 rows, cols, ch
@@ -2258,7 +2260,9 @@ def decode_tiff(b: bytes):
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF tile tables missing or mismatched")
         ta, td = -(-w // tw), -(-h // th)
-        if len(offsets) != ta * td:
+        ncomp = spp if planar == 2 else 1  # tile sets per component
+        tile_ch = 1 if planar == 2 else spp
+        if len(offsets) != ta * td * ncomp:
             raise ValueError("TIFF tile count does not cover the image")
         if tw * th > (1 << 24) or (
             ta * tw * td * th * spp * sb > (1 << 27)
@@ -2270,15 +2274,22 @@ def decode_tiff(b: bytes):
         canvas = np.zeros(
             (td * th, ta * tw, spp), np.uint8 if sb == 1 else np.uint16
         )
-        # edge tiles are padded to full size
-        expected = th * row_nbytes(tw, spp)
+        # edge tiles are padded to full size; planar tile sets are
+        # component-major (all of component 0, then 1, ...)
+        expected = th * row_nbytes(tw, tile_ch)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             tile = unpredict(
                 as_pixels(decompress(chunk_at(off, cnt), expected),
-                          th, tw, spp)
+                          th, tw, tile_ch)
             )
-            ty, tx = idx // ta, idx % ta
-            canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+            c, rem = divmod(idx, ta * td)
+            ty, tx = rem // ta, rem % ta
+            if planar == 2:
+                canvas[ty * th : (ty + 1) * th,
+                       tx * tw : (tx + 1) * tw, c] = tile[..., 0]
+            else:
+                canvas[ty * th : (ty + 1) * th,
+                       tx * tw : (tx + 1) * tw] = tile
         a = canvas[:h, :w]
     else:
         offsets = values(273)
@@ -2337,28 +2348,32 @@ def decode_tiff(b: bytes):
     if photo == 2:
         if spp < 3:
             raise ValueError("TIFF RGB photometric with <3 samples")
-        return np.ascontiguousarray(a[..., :3])  # extra samples dropped
+        rgb = np.ascontiguousarray(a[..., :3])  # extra samples dropped
+        if depth < 8:
+            rgb = (rgb.astype(np.int32) * (255 // full)).astype(np.uint8)
+        return rgb
     if photo == 5:
         # CMYK (ink coverage): the naive uncalibrated conversion
         # every library defaults to for profile-less files —
         # channel = (full - ink) * (full - K) / full, floor division
-        # (operands non-negative, so C-trunc == floor == DuckDB //)
+        # (operands non-negative, so C-trunc == floor == DuckDB //);
+        # sub-byte separations expand by the exact 255/(2^d - 1)
+        # after the conversion
         if spp < 4:
             raise ValueError("TIFF CMYK photometric with <4 samples")
-        if depth < 8:
-            require_codec("sub-byte CMYK TIFF")
         ink = a.astype(np.int64)
         kk = full - ink[..., 3]
-        return np.stack(
-            [(((full - ink[..., j]) * kk) // full).astype(a.dtype)
-             for j in range(3)],
-            axis=-1,
-        )
+        chans = [((full - ink[..., j]) * kk) // full for j in range(3)]
+        if depth < 8:
+            chans = [c2 * (255 // full) for c2 in chans]
+            return np.stack(chans, axis=-1).astype(np.uint8)
+        return np.stack(chans, axis=-1).astype(a.dtype)
     if photo == 3:
         if spp != 1:
             raise ValueError("TIFF palette photometric with multiple samples")
-        if sb != 1:
-            require_codec("16-bit palette TIFF")  # 65536-entry ColorMap
+        # 8-bit output takes the high byte of each 16-bit ColorMap
+        # entry; depth 16 means the full 65536-entry table (the
+        # gate retired round 9)
         n_pal = 1 << depth
         cmap = values(320)
         if cmap is None or len(cmap) != 3 * n_pal:
@@ -2366,7 +2381,7 @@ def decode_tiff(b: bytes):
         pal = (np.array(cmap, np.uint16).reshape(3, n_pal).T >> 8).astype(
             np.uint8
         )
-        return pal[a[..., 0].reshape(-1)].reshape(h, w, 3)
+        return pal[a[..., 0].reshape(-1).astype(np.int64)].reshape(h, w, 3)
     require_codec(f"TIFF photometric {photo}")
 
 
@@ -2429,13 +2444,16 @@ def encode_tiff(
     )
     assert d_eff in (1, 2, 4, 8, 16), "TIFF depth must be 1/2/4/8/16"
     if d_eff < 8:
-        assert a.ndim == 2 and sb == 1 and int(a.max(initial=0)) < (
-            1 << d_eff
-        ), "sub-byte TIFF expects a 2-D plane of values < 2^depth"
+        assert (
+            a.ndim == 2 or (a.ndim == 3 and a.shape[2] == 4)
+        ) and sb == 1 and int(a.max(initial=0)) < (1 << d_eff), (
+            "sub-byte TIFF expects a 2-D plane or CMYK separations "
+            "of values < 2^depth"
+        )
         assert not predictor, "TIFF predictor needs 8/16-bit samples"
     full = (1 << d_eff) - 1
     if palette is not None:
-        assert a.ndim == 2 and sb == 1, "palette TIFF expects uint8 indices"
+        assert a.ndim == 2, "palette TIFF expects index planes"
         h, w = a.shape
         spp, photo = 1, 3
     elif a.ndim == 2:
@@ -2474,8 +2492,11 @@ def encode_tiff(
     def serialize(arr3d):
         if d_eff < 8:
             # same MSB-first row packing PNG uses (np.packbits pads
-            # each row to a byte boundary itself)
-            return _pack_sample_rows(arr3d[..., 0], d_eff)
+            # each row to a byte boundary itself); multi-sample
+            # pixels pack their interleaved sample sequence
+            return _pack_sample_rows(
+                arr3d.reshape(arr3d.shape[0], -1), d_eff
+            )
         return np.ascontiguousarray(
             arr3d.astype(e + f"u{sb}")
         ).view(np.uint8).reshape(arr3d.shape[0], -1)
@@ -2495,11 +2516,17 @@ def encode_tiff(
         ta, td = -(-w // tw), -(-h // th)
         padded = np.zeros((td * th, ta * tw, spp), plane.dtype)
         padded[:h, :w] = plane
-        for ty in range(td):
-            for tx in range(ta):
-                t = diff(padded[ty * th : (ty + 1) * th,
-                                tx * tw : (tx + 1) * tw])
-                strips.append(compress(serialize(t).tobytes()))
+        # planar tiled layout: a full tile grid per component,
+        # component-major (mirrors the decoder's tile-set order)
+        comps_iter = range(spp) if planar else (None,)
+        for c in comps_iter:
+            for ty in range(td):
+                for tx in range(ta):
+                    t = padded[ty * th : (ty + 1) * th,
+                               tx * tw : (tx + 1) * tw]
+                    if c is not None:
+                        t = t[:, :, c : c + 1]
+                    strips.append(compress(serialize(diff(t)).tobytes()))
     elif planar:
         assert spp == 3, "planar layout needs 3 components"
         for c in range(spp):
@@ -2548,8 +2575,8 @@ def encode_tiff(
             (278, 3, [min(rps, h)]),
             (279, 4, [len(s) for s in strips]),
         ]
-        if planar:
-            tags.append((284, 3, [2]))
+    if planar:
+        tags.append((284, 3, [2]))
     if predictor:
         tags.append((317, 3, [2]))
     if comp_code == 3:
@@ -3455,7 +3482,8 @@ def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
     groups can't pass by accident. Containers rotate compression
     (none/PackBits/LZW/Deflate by i%4), byte order (i%2), the
     horizontal predictor (i%3==0), and the ORGANIZATION (i%5: strip
-    chunky / 16x16 tiled with padded edge tiles / PlanarConfig-2
+    chunky / 16x16 tiled with padded edge tiles / TILED+PLANAR
+    per-component tile grids (gate retired round 9) / PlanarConfig-2
     component-major strips) — all lossless, so one closed form
     covers every layout."""
     import numpy as np
@@ -3480,8 +3508,8 @@ def synthetic_tiff16_table(spark, n: int = 30) -> DataFrame:
                     big_endian=bool(i % 2),
                     predictor=(i % 3 == 0),
                     rows_per_strip=4,
-                    tile=(16, 16) if i % 5 == 2 else None,
-                    planar=(i % 5 == 4),
+                    tile=(16, 16) if i % 5 in (2, 3) else None,
+                    planar=(i % 5 in (3, 4)),
                 ),
                 None,
                 f"mem://media/{i}.tif",
@@ -3567,6 +3595,93 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_pal16_table(spark, n: int = 6) -> DataFrame:
+    """Deterministic 16-bit-index palette TIFF table (photometric 3,
+    BitsPerSample 16 — the 65536-entry ColorMap gate retired round
+    9): image i's indices are (x*271 + y*523 + i*1033) mod 65536 at
+    w=9+(i%3)*5, h=7+(i%2)*4; the shared ColorMap entry j holds
+    ((j*3+11, j*5+17, j*7+91) mod 65536) as native 16-bit entries, so
+    the decoded 8-bit channel takes each value's high byte (entry >>
+    8) — the closed form the oracle replays with integer division.
+    Containers rotate compression (i%4) and byte order (i%2).
+    media_id offset +400."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    j = np.arange(65536, dtype=np.int64)
+    pal = np.stack(
+        [(j * 3 + 11) % 65536 >> 8, (j * 5 + 17) % 65536 >> 8,
+         (j * 7 + 91) % 65536 >> 8], axis=-1
+    ).astype(np.uint8)
+    rows = []
+    for i in range(n):
+        w, h = 9 + (i % 3) * 5, 7 + (i % 2) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        idx = ((x * 271 + y * 523 + i * 1033) % 65536).astype(np.uint16)
+        rows.append(
+            (
+                400 + i,
+                "image",
+                encode_tiff(
+                    idx,
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    palette=pal,
+                    rows_per_strip=4,
+                ),
+                None,
+                f"mem://media/{400 + i}.pal16.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
+    """Deterministic SUB-BYTE CMYK TIFF table (photometric 5 at
+    BitsPerSample 2/4 — pixel-interleaved packed separations, the
+    gate retired round 9): image i at depth d=(4 if i even else 2)
+    carries inks C=(x*3+y*5+i*7) mod 2^d, M=C+1, Y=C+2 (mod 2^d),
+    K=(x+y+i) mod 2^d; decode converts with the naive
+    (full-ink)*(full-K)//full form at full=2^d-1 then expands by the
+    exact 255/(2^d - 1). Containers rotate compression (i%4) and
+    byte order (i%2). media_id offset +250."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        d = 4 if i % 2 == 0 else 2
+        full = (1 << d) - 1
+        w, h = 13 + (i % 3) * 4, 9 + (i % 2) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        c = (x * 3 + y * 5 + i * 7) % (full + 1)
+        cmyk = np.stack(
+            [c, (c + 1) % (full + 1), (c + 2) % (full + 1),
+             (x + y + i) % (full + 1)],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (
+                250 + i,
+                "image",
+                encode_tiff(
+                    cmyk,
+                    compression=comps[i % 4],
+                    depth=d,
+                    big_endian=bool(i % 2),
+                    rows_per_strip=4,
+                ),
+                None,
+                f"mem://media/{250 + i}.sbcmyk.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -11442,6 +11442,63 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    plm AS (
+        SELECT i, 9 + (i % 3) * 5 AS w, 7 + (i % 2) * 4 AS h
+        FROM range(6) t(i)
+    ),
+    plys AS (SELECT i, w, unnest(range(h)) AS y FROM plm),
+    plpx AS (SELECT i, y, unnest(range(w)) AS x FROM plys),
+    plidx AS (
+        SELECT i, (x * 271 + y * 523 + i * 1033) % 65536 AS idx
+        FROM plpx
+    ),
+    plrgb AS (
+        SELECT i,
+               ((idx * 3 + 11) % 65536) // 256 AS r,
+               ((idx * 5 + 17) % 65536) // 256 AS g2,
+               ((idx * 7 + 91) % 65536) // 256 AS b2
+        FROM plidx
+    ),
+    tifpl AS (
+        SELECT 'tiff' AS fmt, i + 400 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM plrgb GROUP BY i
+    ),
+    sck AS (
+        SELECT i, CASE WHEN i % 2 = 0 THEN 15 ELSE 3 END AS fl,
+               13 + (i % 3) * 4 AS w, 9 + (i % 2) * 4 AS h
+        FROM range(6) t(i)
+    ),
+    sckys AS (SELECT i, fl, w, unnest(range(h)) AS y FROM sck),
+    sckpx AS (SELECT i, fl, y, unnest(range(w)) AS x FROM sckys),
+    sckv AS (
+        SELECT i, fl,
+               (x * 3 + y * 5 + i * 7) % (fl + 1) AS c,
+               ((x * 3 + y * 5 + i * 7) % (fl + 1) + 1) % (fl + 1) AS m,
+               ((x * 3 + y * 5 + i * 7) % (fl + 1) + 2) % (fl + 1) AS yk,
+               (x + y + i) % (fl + 1) AS k
+        FROM sckpx
+    ),
+    sckrgb AS (
+        SELECT i,
+               ((fl - c) * (fl - k)) // fl * (255 // fl) AS r,
+               ((fl - m) * (fl - k)) // fl * (255 // fl) AS g2,
+               ((fl - yk) * (fl - k)) // fl * (255 // fl) AS b2
+        FROM sckv
+    ),
+    tifsck AS (
+        SELECT 'tiff' AS fmt, i + 250 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM sckrgb GROUP BY i
+    ),
     ycm AS (
         SELECT i, 11 + (i % 4) * 7 AS w, 9 + (i % 3) * 5 AS h,
                CASE i % 3 WHEN 0 THEN 1 ELSE 2 END AS sh,
@@ -11548,6 +11605,8 @@ def q197_cdc_validation_census(spark, sf_dir):
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
     UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM tifck
+    UNION ALL SELECT * FROM tifsck
+    UNION ALL SELECT * FROM tifpl
     UNION ALL SELECT * FROM tiffax
     UNION ALL SELECT * FROM tifyc
     UNION ALL SELECT * FROM jpg
@@ -11562,8 +11621,16 @@ def q197_cdc_validation_census(spark, sf_dir):
     "same full-range closed form (different multipliers) through the "
     "strip machinery at BitsPerSample 16, rotating all four "
     "compressions, both byte orders, the 16-bit horizontal "
-    "predictor (cumsum mod 65536), and strip/16x16-tile/planar "
-    "organization — lossless at every combination. SUB-BYTE TIFF "
+    "predictor (cumsum mod 65536), and strip/16x16-tile/planar/"
+    "TILED+PLANAR (per-component tile grids, round 9) "
+    "organization — lossless at every combination. 16-BIT PALETTE "
+    "TIFF (round 9): photometric 3 at BitsPerSample 16 with the full "
+    "65536-entry ColorMap, decoded 8-bit channels taking each "
+    "entry's high byte — closed form ((idx*k+c) mod 65536) // 256, "
+    "media_id +400. SUB-BYTE CMYK TIFF (round 9): depth-2/4 "
+    "pixel-interleaved packed separations through the same naive "
+    "conversion at full=2^d-1 then the exact 255/(2^d-1) expansion, "
+    "media_id +250. SUB-BYTE TIFF "
     "(round 8): depth-1/2/4 gray planes (the fax/document class), "
     "MSB-first row-padded packing expanded by the exact "
     "255/(2^d - 1), WhiteIsZero round-tripping through the "
@@ -11618,8 +11685,10 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_jpeg_rst_table,
         synthetic_ppm16_table,
         synthetic_tiff16_table,
+        synthetic_tiff_cmyk_subbyte_table,
         synthetic_tiff_cmyk_table,
         synthetic_tiff_fax_table,
+        synthetic_tiff_pal16_table,
         synthetic_tiff_subbyte_table,
         synthetic_tiff_ycbcr_table,
     )
@@ -11629,6 +11698,8 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
         .unionByName(synthetic_tiff_cmyk_table(spark, n=12))
+        .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
+        .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))

@@ -449,8 +449,10 @@ def test_tiff_container_family_roundtrip_and_gates():
             bomb2[at + 8 : at + 10] = st2.pack("<H", 65535)
     with pytest.raises(ValueError, match="SamplesPerPixel"):
         decode_tiff(bytes(bomb2))
-    # tiled planar still gates: take a planar file and rename its
-    # RowsPerStrip tag to TileLength to fake the combination
+    # tiled planar DECODES now (round-9 gate retirement, full
+    # roundtrip in test_tiff_organization_gate_retirements); a planar
+    # file with its RowsPerStrip tag renamed to TileLength is a
+    # half-tiled corrupt header — loud, not gated
     pl = bytearray(encode_tiff(px, planar=True))
     ifd4 = int.from_bytes(pl[4:8], "little")
     n4 = int.from_bytes(pl[ifd4 : ifd4 + 2], "little")
@@ -458,7 +460,7 @@ def test_tiff_container_family_roundtrip_and_gates():
         at = ifd4 + 2 + 12 * k
         if int.from_bytes(pl[at : at + 2], "little") == 278:
             pl[at : at + 2] = (323).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="tile"):
         decode_tiff(bytes(pl))
     # LZW: early-change boundary (table through 511/1022) and the
     # 4094 table reset both survive
@@ -582,6 +584,61 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
             g4[at + 8 : at + 10] = st.pack("<H", 8)
     with pytest.raises(ValueError, match="bilevel"):
         decode_tiff(bytes(g4))
+
+
+def test_tiff_organization_gate_retirements():
+    """Round-9 organization gates, retired: tiled+planar
+    (per-component tile grids, component-major, predictor per tile)
+    round-trips at 8/16-bit across all codecs; 16-bit-index palettes
+    resolve through the full 65536-entry ColorMap (high byte of each
+    entry); sub-byte CMYK separations (depth 1/2/4, pixel-interleaved
+    MSB-first packing) convert at full=2^d-1 and expand exactly.
+    Sub-byte RGB (legal, rare) expands too."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+        make_test_pixels,
+        make_test_pixels16,
+    )
+
+    px = np.asarray(make_test_pixels(23, 17, seed=4))
+    px16 = np.asarray(make_test_pixels16(14, 10, seed=2))
+    for arr in (px, px16):
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            b = encode_tiff(arr, compression=comp, tile=(16, 16),
+                            planar=True, predictor=(comp != "none"),
+                            big_endian=(comp == "lzw"))
+            d = decode_tiff(b)
+            assert d.dtype == arr.dtype and np.array_equal(d, arr), comp
+    rng = np.random.RandomState(2)
+    idx16 = rng.randint(0, 65536, (9, 13)).astype(np.uint16)
+    j = np.arange(65536, dtype=np.int64)
+    pal = np.stack(
+        [(j * 3 + 11) % 65536 >> 8, (j * 5 + 17) % 65536 >> 8,
+         (j * 7 + 91) % 65536 >> 8], -1
+    ).astype(np.uint8)
+    for comp in ("none", "deflate"):
+        d = decode_tiff(encode_tiff(idx16, compression=comp, palette=pal,
+                                    big_endian=(comp == "none")))
+        assert np.array_equal(
+            d, pal[idx16.reshape(-1).astype(np.int64)].reshape(9, 13, 3)
+        ), comp
+    yy, xx = np.mgrid[0:9, 0:13]
+    for depth in (1, 2, 4):
+        full = (1 << depth) - 1
+        c = (xx * 3 + yy * 5 + 7) % (full + 1)
+        k = (xx + yy + 3) % (full + 1)
+        cmyk = np.stack(
+            [c, (c + 1) % (full + 1), (c + 2) % (full + 1), k], -1
+        ).astype(np.uint8)
+        exp = np.stack(
+            [((full - cmyk[..., j2].astype(np.int64)) * (full - k))
+             // full * (255 // full) for j2 in range(3)], -1
+        ).astype(np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            d = decode_tiff(encode_tiff(cmyk, compression=comp,
+                                        depth=depth, rows_per_strip=4))
+            assert np.array_equal(d, exp), (depth, comp)
 
 
 def test_tiff_ycbcr_conversion_subsampling_and_gates():
@@ -2419,6 +2476,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                            (img8[::2, ::2] ^ 170), (2, 2),
                            compression="deflate", rows_per_strip=4),
          decode_tiff),
+        (encode_tiff(img, compression="lzw", tile=(16, 16),
+                     planar=True, predictor=True), decode_tiff),
+        (encode_tiff(rng.randint(0, 16, (7, 9, 4)).astype(np.uint8),
+                     compression="packbits", depth=4), decode_tiff),
         (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
                      compression="packbits"), decode_tiff),
         (encode_gif_animation(
