@@ -2008,7 +2008,7 @@ def ccitt_decode(data: bytes, w: int, h: int, comp: int,
     return rows
 
 
-_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def decode_tiff(b: bytes):
@@ -2050,7 +2050,7 @@ def decode_tiff(b: bytes):
             (at,) = struct.unpack_from(e + "I", b, at)
         if at + total > len(b):
             raise ValueError("TIFF entry data out of range")
-        if typ in (1, 2):
+        if typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED
             return list(b[at : at + cnt])
         fmt = {3: "H", 4: "I", 5: "II"}[typ]
         return list(struct.unpack_from(e + fmt * cnt, b, at))
@@ -2113,7 +2113,9 @@ def decode_tiff(b: bytes):
         if (comp == 3 and t4opts & 0b10) or (comp == 4 and t6opts & 0b10):
             require_codec("CCITT uncompressed mode")
         t4_2d = bool(t4opts & 0b1)
-    elif comp not in (1, 5, 8, 32773, 32946):
+    elif comp == 6:
+        require_codec("old-style JPEG TIFF (compression 6, deprecated)")
+    elif comp not in (1, 5, 7, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
     if w * h * spp * sb > (1 << 27):
         # decompressors size buffers from the header (the deflate
@@ -2178,6 +2180,62 @@ def decode_tiff(b: bytes):
         if off + cnt > len(b):
             raise ValueError("TIFF strip out of range")
         return b[off : off + cnt]
+
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip is a
+        # complete JPEG interchange stream, or an abbreviated one
+        # whose DQT/DHT live in the shared JPEGTables tag (347, SOI +
+        # table segments + EOI) spliced in after each strip's SOI.
+        # The in-house decode_jpeg does the entropy decode and (for
+        # photometric 6) the YCbCr conversion; strips decode
+        # independently — the layout that lets a 100 TB scan
+        # parallelize WITHIN one scanned page.
+        if tiled:
+            require_codec("tiled JPEG-in-TIFF")
+        if planar == 2:
+            require_codec("planar JPEG-in-TIFF")
+        if depth != 8:
+            raise ValueError("JPEG-in-TIFF requires 8-bit samples")
+        if photo == 2:
+            # photometric 2 means the JPEG components are raw RGB
+            # (no color transform) — a different decode contract
+            require_codec("RGB-space JPEG-in-TIFF")
+        if photo not in (0, 1, 6):
+            require_codec(f"JPEG-in-TIFF photometric {photo}")
+        if (photo in (0, 1) and spp != 1) or (photo == 6 and spp != 3):
+            raise ValueError("JPEG-in-TIFF photometric/spp mismatch")
+        tb_body = b""
+        if 347 in entries:
+            tb = bytes(values(347))
+            if len(tb) < 4 or tb[:2] != b"\xff\xd8" or \
+                    tb[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF JPEGTables malformed")
+            tb_body = tb[2:-2]
+        offsets = values(273)
+        counts = values(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or mismatched")
+        rps = one(278, h)
+        if rps < 1:
+            raise ValueError("TIFF RowsPerStrip invalid")
+        if len(offsets) != -(-h // rps):
+            raise ValueError("TIFF strip count does not cover the image")
+        parts = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows_here = min(rps, h - si * rps)
+            stream = bytes(chunk_at(off, cnt))
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            if tb_body:
+                stream = b"\xff\xd8" + tb_body + stream[2:]
+            px = decode_jpeg(stream)
+            if px.shape[0] < rows_here or px.shape[1] < w:
+                raise ValueError("TIFF JPEG strip smaller than declared")
+            parts.append(px[:rows_here, :w])
+        out = np.concatenate(parts, axis=0)
+        if photo == 0:  # WhiteIsZero gray JPEG: spec-legal inversion
+            out = (255 - out.astype(np.int32)).astype(np.uint8)
+        return out
 
     if photo == 6:
         # YCbCr (the digicam-TIFF surface): chunky data units of
@@ -2394,7 +2452,7 @@ def _tiff_ifd(e: str, tags: list, data_off: int) -> bytes:
     extra_base = data_off + 2 + 12 * n + 4
     for tag, typ, vals in tags:
         size = _TIFF_TYPE_SIZE[typ]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         payload = struct.pack(e + fmt * len(vals), *vals)
         if len(payload) <= 4:
             val4 = payload + b"\x00" * (4 - len(payload))
@@ -2686,6 +2744,95 @@ def encode_tiff_ycbcr(
         e + "HI", 42, ifd_off
     )
     return bytes(header + out_body) + _tiff_ifd(e, tags, ifd_off)
+
+
+def _jpeg_split_tables(b: bytes):
+    """Split a complete JPEG interchange stream into (tables,
+    abbreviated_stream): DQT/DHT segments go to the JPEGTables side,
+    everything else (SOF/SOS/entropy/EOI) stays — the TIFF TechNote 2
+    abbreviated-stream layout."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tables = bytearray()
+    rest = bytearray()
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync in split")
+        marker = b[pos + 1]
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+        if marker == 0xDA:
+            break
+    rest += b[pos:]  # entropy-coded data + EOI
+    return (b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+            b"\xff\xd8" + bytes(rest))
+
+
+def encode_tiff_jpeg(
+    arr,
+    quality: int = 90,
+    rows_per_strip: int = 0,
+    big_endian: bool = False,
+    jpeg_tables: bool = False,
+) -> bytes:
+    """(h, w, 3) RGB (emitted photometric 6 — encode_jpeg stores
+    YCbCr) or (h, w) gray (photometric 1) -> compression-7
+    JPEG-in-TIFF. Each strip is an independently decodable JPEG;
+    ``jpeg_tables`` moves the shared DQT/DHT into the JPEGTables tag
+    and ships abbreviated strip streams. ``rows_per_strip`` must be
+    an MCU multiple (8 here: gray and 4:4:4 only)."""
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    spp, photo = (1, 1) if gray else (3, 6)
+    rps = rows_per_strip or h
+    if rps < h:
+        assert rps % 8 == 0, "rows_per_strip must be an MCU multiple"
+    strips = []
+    for y0 in range(0, h, rps):
+        sp = a[y0 : y0 + rps]
+        strips.append(encode_jpeg(sp, quality=quality))
+    tables = b""
+    if jpeg_tables:
+        # every strip shares the fixed Annex-K-scaled tables at one
+        # quality, so the first strip's tables serve all
+        tables, _ = _jpeg_split_tables(strips[0])
+        strips = [_jpeg_split_tables(s)[1] for s in strips]
+    body = bytearray()
+    offsets = []
+    for s in strips:
+        offsets.append(8 + len(body))
+        body += s
+        if len(body) % 2:
+            body += b"\x00"
+    ifd_off = 8 + len(body)
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [7]),
+        (262, 3, [photo]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 3, [min(rps, h)]),
+        (279, 4, [len(s) for s in strips]),
+    ]
+    if jpeg_tables:
+        tags.append((347, 7, list(tables)))
+    tags.sort(key=lambda t: t[0])
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
 
 
 def _decode_any(content) -> tuple:
@@ -3682,6 +3829,50 @@ def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{250 + i}.sbcmyk.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
+    """Deterministic JPEG-in-TIFF table (compression 7, TIFF TechNote
+    2 — the scanned-page/digicam layout): image i is the established
+    block-constant corpus (8x8 tiles of (i*41 + by*9 + bx*17) mod
+    256, qualities 85-95 keep the DC quant step < 8, so the lossy
+    pipeline is bit-exact) shipped as gray 1-component JPEG strips
+    (photometric 1, odd i) or gray-in-RGB 4:4:4 strips (photometric
+    6, even i). Rotations: shared-JPEGTables abbreviated streams
+    (i%3==0) vs complete interchange strips, 8-row strip splits
+    (i%5 in (0,2) — independent per-strip DC predictors), byte order
+    (i%2). media_id offset +600."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 3) * 8, 16 + (i % 2) * 16
+        tiles = np.array(
+            [
+                [(i * 41 + by * 9 + bx * 17) % 256 for bx in range(w // 8)]
+                for by in range(h // 8)
+            ],
+            dtype=np.uint8,
+        )
+        img = np.kron(tiles, np.ones((8, 8), np.uint8))
+        src = img if i % 2 else np.stack([img] * 3, axis=-1)
+        rows.append(
+            (
+                600 + i,
+                "image",
+                encode_tiff_jpeg(
+                    src,
+                    quality=85 + (i % 3) * 5,
+                    rows_per_strip=8 if i % 5 in (0, 2) else 0,
+                    big_endian=bool(i % 2),
+                    jpeg_tables=(i % 3 == 0),
+                ),
+                None,
+                f"mem://media/{600 + i}.jpg.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -11481,6 +11481,22 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    tjm AS (
+        SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 2) * 16 AS h
+        FROM range(18) t(i)
+    ),
+    tjb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM tjm),
+    tjt AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tjb),
+    tjv AS (SELECT i, (i * 41 + by * 9 + bx * 17) % 256 AS t FROM tjt),
+    tifjp AS (
+        SELECT 'tiff' AS fmt, i + 600 AS media_id,
+               CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_r,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_g,
+               CAST(64 * SUM(t) AS BIGINT) AS sum_b,
+               CAST(MAX(t) AS BIGINT) AS aux
+        FROM tjv GROUP BY i
+    ),
     plm AS (
         SELECT i, 9 + (i % 3) * 5 AS w, 7 + (i % 2) * 4 AS h
         FROM range(6) t(i)
@@ -11646,6 +11662,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifck
     UNION ALL SELECT * FROM tifsck
     UNION ALL SELECT * FROM tifpl
+    UNION ALL SELECT * FROM tifjp
     UNION ALL SELECT * FROM tiffax
     UNION ALL SELECT * FROM tifyc
     UNION ALL SELECT * FROM jpg
@@ -11693,7 +11710,15 @@ def q197_cdc_validation_census(spark, sf_dir):
     "corpus generates Y/Cb/Cr samples directly so no inverse "
     "transform is needed. media_id +500; planar/deep/tiled YCbCr, "
     "custom luma coefficients, and headroom ReferenceBlackWhite "
-    "stay gated. JPEG DRI/RSTm restart "
+    "stay gated. JPEG-IN-TIFF (round 9, compression 7 / TechNote 2): "
+    "each strip an independently decodable JPEG interchange stream — "
+    "or abbreviated with shared DQT/DHT spliced from the JPEGTables "
+    "tag (347) after each strip's SOI — through the in-house "
+    "decode_jpeg; gray 1-component and gray-in-RGB 4:4:4 strips on "
+    "the established block-constant bit-exact corpus, strip splits "
+    "exercising independent per-strip DC predictors. media_id +600; "
+    "old-style compression 6, RGB-space JPEG (photometric 2), and "
+    "tiled/planar JPEG stay gated. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11727,6 +11752,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_tiff_cmyk_subbyte_table,
         synthetic_tiff_cmyk_table,
         synthetic_tiff_fax_table,
+        synthetic_tiff_jpeg_table,
         synthetic_tiff_pal16_table,
         synthetic_tiff_subbyte_table,
         synthetic_tiff_ycbcr_table,
@@ -11740,6 +11766,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
+        .unionByName(synthetic_tiff_jpeg_table(spark, n=18))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))

@@ -713,6 +713,52 @@ def test_tiff_organization_gate_retirements():
             assert np.array_equal(d, exp), (depth, comp)
 
 
+def test_tiff_jpeg_compression7_parity_tables_and_gates():
+    """JPEG-in-TIFF (compression 7): strip decode equals standalone
+    decode_jpeg of each strip (arbitrary images, gray and color,
+    with and without the shared JPEGTables tag), block-constant
+    corpora are bit-exact, and the gates fire (old-style compression
+    6, RGB-space photometric 2)."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_tiff,
+        encode_jpeg,
+        encode_tiff_jpeg,
+    )
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    for src in (img, img[..., 0]):
+        for jt in (False, True):
+            b = encode_tiff_jpeg(src, quality=75, rows_per_strip=8,
+                                 jpeg_tables=jt, big_endian=jt)
+            want = np.concatenate(
+                [decode_jpeg(encode_jpeg(src[y0 : y0 + 8], quality=75))
+                 for y0 in (0, 8, 16)], axis=0)
+            assert np.array_equal(decode_tiff(b), want), (src.ndim, jt)
+    # block-constant corpus: bit-exact through the strips
+    tiles = np.array([[10, 200, 7], [90, 30, 255]], np.uint8)
+    plane = np.kron(tiles, np.ones((8, 8), np.uint8))
+    b = encode_tiff_jpeg(np.stack([plane] * 3, -1), quality=90,
+                         rows_per_strip=8, jpeg_tables=True)
+    assert np.array_equal(decode_tiff(b), np.stack([plane] * 3, -1))
+    # gates: forge compression 6 (old-style JPEG) and photometric 2
+    for tag, val, exc in ((259, 6, NotImplementedError),
+                          (262, 2, NotImplementedError)):
+        bb = bytearray(b)
+        ifd = int.from_bytes(bb[4:8], "little")
+        n = int.from_bytes(bb[ifd : ifd + 2], "little")
+        for k in range(n):
+            at = ifd + 2 + 12 * k
+            if int.from_bytes(bb[at : at + 2], "little") == tag:
+                bb[at + 8 : at + 10] = st.pack("<H", val)
+        with pytest.raises(exc):
+            decode_tiff(bytes(bb))
+
+
 def test_tiff_ycbcr_conversion_subsampling_and_gates():
     """YCbCr TIFF (photometric 6): data-unit layout round-trips at
     every supported subsampling over non-unit-multiple dims and all
@@ -2503,6 +2549,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_gif_frames,
         decode_tiff,
         encode_gif_animation,
+        encode_tiff_jpeg,
         encode_tiff_ycbcr,
     )
 
@@ -2553,6 +2600,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      planar=True, predictor=True), decode_tiff),
         (encode_tiff(rng.randint(0, 16, (7, 9, 4)).astype(np.uint8),
                      compression="packbits", depth=4), decode_tiff),
+        (encode_tiff_jpeg(img8, quality=80, rows_per_strip=8,
+                          jpeg_tables=True), decode_tiff),
         (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
                      compression="packbits"), decode_tiff),
         (encode_gif_animation(
