@@ -2443,9 +2443,10 @@ def decode_tiff(b: bytes):
     require_codec(f"TIFF photometric {photo}")
 
 
-def _tiff_ifd(e: str, tags: list, data_off: int) -> bytes:
+def _tiff_ifd(e: str, tags: list, data_off: int, next_off: int = 0) -> bytes:
     """Assemble an IFD: ``tags`` is [(tag, typ, values)] sorted by
-    tag; out-of-line value arrays land after the entry table."""
+    tag; out-of-line value arrays land after the entry table.
+    ``next_off`` chains multi-page IFDs (0 terminates)."""
     n = len(tags)
     extra = bytearray()
     entries = b""
@@ -2461,7 +2462,8 @@ def _tiff_ifd(e: str, tags: list, data_off: int) -> bytes:
             extra += payload
         entries += struct.pack(e + "HHI", tag, typ, len(vals)) + val4
     return (
-        struct.pack(e + "H", n) + entries + struct.pack(e + "I", 0) + extra
+        struct.pack(e + "H", n) + entries + struct.pack(e + "I", next_off)
+        + extra
     )
 
 
@@ -2744,6 +2746,116 @@ def encode_tiff_ycbcr(
         e + "HI", 42, ifd_off
     )
     return bytes(header + out_body) + _tiff_ifd(e, tags, ifd_off)
+
+
+def decode_tiff_pages(b: bytes, max_pages: int = 64):
+    """Multi-page TIFF -> list of (h, w, 3) arrays, one per IFD in
+    the chain (scanned-document corpora ship pages this way;
+    ``decode_tiff`` alone reads page 1, the convention single-image
+    callers expect). Each page is decoded by rewriting the 8-byte
+    header to point at that page's IFD — entry and strip offsets are
+    absolute, so the rest of the buffer reads unchanged. Chain loops
+    and implausible page counts raise ValueError."""
+    if b[:4] == b"II\x2a\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    if len(b) < 8:
+        raise ValueError("TIFF header truncated")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    pages = []
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(ifd_off)
+        if len(pages) >= max_pages:
+            raise ValueError("TIFF page count implausible")
+        if ifd_off + 2 > len(b):
+            raise ValueError("TIFF IFD offset out of range")
+        patched = b[:4] + struct.pack(e + "I", ifd_off) + b[8:]
+        pages.append(decode_tiff(patched))
+        (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
+        next_at = ifd_off + 2 + 12 * n_ent
+        if next_at + 4 > len(b):
+            raise ValueError("TIFF IFD truncated")
+        (ifd_off,) = struct.unpack_from(e + "I", b, next_at)
+    if not pages:
+        raise ValueError("TIFF has no pages")
+    return pages
+
+
+def encode_tiff_multipage(
+    pages,
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """List of (h, w, 3) RGB / (h, w) gray uint8 arrays -> one TIFF
+    with a chained IFD per page (dims may differ per page). 8-bit
+    chunky strips at the four baseline codecs; page data first, then
+    the IFD chain."""
+    import numpy as np
+    import zlib
+
+    e = ">" if big_endian else "<"
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
+
+    def compress(raw: bytes) -> bytes:
+        if comp_code == 1:
+            return raw
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        if comp_code == 5:
+            return _tiff_lzw_encode(raw)
+        return zlib.compress(raw, 6)
+
+    body = bytearray()
+    page_tags = []
+    for arr in pages:
+        a = np.asarray(arr, np.uint8)
+        gray = a.ndim == 2
+        h, w = a.shape[:2]
+        spp, photo = (1, 1) if gray else (3, 2)
+        plane = a.reshape(h, w, spp)
+        rps = rows_per_strip or h
+        rows_b = np.ascontiguousarray(plane).reshape(h, -1)
+        offsets, counts = [], []
+        for y0 in range(0, h, rps):
+            s = compress(rows_b[y0 : y0 + rps].tobytes())
+            offsets.append(8 + len(body))
+            counts.append(len(s))
+            body += s
+            if len(body) % 2:
+                body += b"\x00"
+        page_tags.append([
+            (256, 3, [w]),
+            (257, 3, [h]),
+            (258, 3, [8] * spp),
+            (259, 3, [comp_code]),
+            (262, 3, [photo]),
+            (273, 4, offsets),
+            (277, 3, [spp]),
+            (278, 3, [min(rps, h)]),
+            (279, 4, counts),
+        ])
+    out = bytearray(
+        (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, 0)
+    )
+    out += body
+    pos = 8 + len(body)
+    for k, tags in enumerate(page_tags):
+        length = len(_tiff_ifd(e, tags, pos, 0))
+        nxt = pos + length if k + 1 < len(page_tags) else 0
+        if k == 0:
+            out[4:8] = struct.pack(e + "I", pos)
+        out += _tiff_ifd(e, tags, pos, nxt)
+        pos += length
+    return bytes(out)
 
 
 def _jpeg_split_tables(b: bytes):
@@ -7937,12 +8049,57 @@ def synthetic_gif_animation_table(spark, n: int = 40) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def synthetic_tiff_multipage_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic multi-page TIFF table (chained IFDs — the
+    scanned-document layout): file i carries 2+(i%3) pages whose
+    dims VARY per page (w=10+((i+k)%4)*3, h=8+((i+k)%3)*4) with
+    page-k pixels r=(x*3 + y*7 + i*11 + k*29) mod 256 (channel
+    offsets +85/+170). Containers rotate compression (i%4), byte
+    order (i%2), and 4-row strips (i%3==0). q199's oracle replays
+    every page closed-form, position-weighted (a swapped or dropped
+    page shifts wsum_r). media_id offset +200 keeps ids disjoint
+    from both GIF corpora."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        pages = []
+        for k in range(2 + (i % 3)):
+            w, h = 10 + ((i + k) % 4) * 3, 8 + ((i + k) % 3) * 4
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            r = (x * 3 + y * 7 + i * 11 + k * 29) % 256
+            pages.append(
+                np.stack([r, (r + 85) % 256, (r + 170) % 256],
+                         axis=-1).astype(np.uint8)
+            )
+        rows.append(
+            (
+                200 + i,
+                "image",
+                encode_tiff_multipage(
+                    pages,
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    rows_per_strip=4 if i % 3 == 0 else 0,
+                ),
+                None,
+                f"mem://media/{200 + i}.multi.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def gif_frame_stats(df: DataFrame) -> DataFrame:
-    """Per-RENDERED-FRAME canvas statistics for GIF animations (and
-    single-frame GIFs, which yield one row at frame_id 0): pixel
-    count, exact channel sums, the position-weighted red sum
-    (catches wrong offsets, interlace pass order, AND disposal
-    mistakes — a canvas carrying a stale or missing prior frame
+    """Per-RENDERED-FRAME canvas statistics for multi-frame media —
+    GIF animations (and single-frame GIFs, which yield one row at
+    frame_id 0) and multi-page TIFFs (round 9: one row per chained
+    IFD, dispatched on the container magic): pixel count, exact
+    channel sums, the position-weighted red sum (catches wrong
+    offsets, interlace pass order, disposal mistakes, AND swapped
+    page order — a canvas carrying a stale or missing prior frame
     shifts it), and the canvas max. All int64."""
     import numpy as np
 
@@ -7953,8 +8110,12 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
                 try:
                     if content is None:
                         raise ValueError("null media content")
-                    frames = decode_gif_frames(bytes(content))
-                except (ValueError, struct.error):
+                    cb = bytes(content)
+                    if cb[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+                        frames = decode_tiff_pages(cb)
+                    else:
+                        frames = decode_gif_frames(cb)
+                except (ValueError, NotImplementedError, struct.error):
                     out.append(
                         (media_id, None, None, None, None, None, None,
                          None)

@@ -11853,6 +11853,26 @@ def q198_codec_gate_census(spark, sf_dir):
              AND ((a.disp = 1 AND s.k <= a.k)
                   OR (a.disp = 2 AND s.k = a.k))
         GROUP BY a.i, a.k
+    ),
+    mpg AS (
+        SELECT i, unnest(range(2 + i % 3)) AS k FROM range(12) t(i)
+    ),
+    mpd AS (
+        SELECT i, k, 10 + ((i + k) % 4) * 3 AS w,
+               8 + ((i + k) % 3) * 4 AS h
+        FROM mpg
+    ),
+    mpy AS (SELECT i, k, w, unnest(range(h)) AS y FROM mpd),
+    mpx AS (SELECT i, k, w, y, unnest(range(w)) AS x FROM mpy),
+    mpv AS (
+        SELECT i, k,
+               (x * 3 + y * 7 + i * 11 + k * 29) % 256 AS r,
+               ((x * 3 + y * 7 + i * 11 + k * 29) % 256 + 85) % 256
+                   AS g2,
+               ((x * 3 + y * 7 + i * 11 + k * 29) % 256 + 170) % 256
+                   AS b2,
+               y * w + x + 1 AS wgt
+        FROM mpx
     )
     SELECT go.i AS media_id,
            CAST(0 AS BIGINT) AS frame_id,
@@ -11880,6 +11900,16 @@ def q198_codec_gate_census(spark, sf_dir):
            CAST(GREATEST(v.smx, a2.bgr, a2.bgg, a2.bgb) AS BIGINT)
                AS aux
     FROM ags a2 JOIN avis v ON v.i = a2.i
+    UNION ALL
+    SELECT i + 200 AS media_id,
+           CAST(k AS BIGINT) AS frame_id,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g2) AS BIGINT) AS sum_g,
+           CAST(SUM(b2) AS BIGINT) AS sum_b,
+           CAST(SUM(wgt * r) AS BIGINT) AS wsum_r,
+           CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+    FROM mpv GROUP BY i, k
     """,
     "GIF partial-frame compositing AND full ANIMATION rendering, "
     "value-verified per rendered frame. Single-frame corpus: a frame "
@@ -11898,9 +11928,14 @@ def q198_codec_gate_census(spark, sf_dir):
     "rule, per-frame transparent-pixel census); the POSITION-"
     "WEIGHTED red sum catches wrong offsets, interlace pass order, "
     "stale disposal state, and mis-painted transparency. Disposal 3 "
-    "(restore-previous) and overlapping frames are pytest-verified; "
+    "(restore-previous) and overlapping frames are pytest-verified. "
+    "MULTI-PAGE TIFF (round 9, media_id +200): chained IFDs — the "
+    "scanned-document layout — one rendered row per page, pages with "
+    "PER-PAGE dims and all four strip codecs, decoded by rewriting "
+    "the 8-byte header per IFD (offsets are absolute); the weighted "
+    "sum catches swapped or dropped pages. "
     "multimodal.decode_gif_frames / encode_gif_animation / "
-    "gif_frame_stats.",
+    "decode_tiff_pages / encode_tiff_multipage / gif_frame_stats.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q199_gif_partial_frame_stats(spark, sf_dir):
@@ -11908,10 +11943,13 @@ def q199_gif_partial_frame_stats(spark, sf_dir):
         gif_frame_stats,
         synthetic_gif_animation_table,
         synthetic_gif_partial_table,
+        synthetic_tiff_multipage_table,
     )
 
-    media = synthetic_gif_partial_table(spark, n=40).unionByName(
-        synthetic_gif_animation_table(spark, n=40)
+    media = (
+        synthetic_gif_partial_table(spark, n=40)
+        .unionByName(synthetic_gif_animation_table(spark, n=40))
+        .unionByName(synthetic_tiff_multipage_table(spark, n=12))
     )
     return gif_frame_stats(media).orderBy("media_id", "frame_id")
 

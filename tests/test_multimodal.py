@@ -713,6 +713,58 @@ def test_tiff_organization_gate_retirements():
             assert np.array_equal(d, exp), (depth, comp)
 
 
+def test_tiff_multipage_chain_roundtrip_and_guards():
+    """Multi-page TIFF (chained IFDs): per-page dims and gray/RGB
+    mixes round-trip through all four codecs and byte orders;
+    decode_tiff alone reads page 1 (the single-image convention);
+    chain loops and implausible page counts raise ValueError."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    rng = np.random.RandomState(6)
+    for trial in range(8):
+        pages = []
+        for k in range(1 + trial % 4):
+            h, w = rng.randint(1, 18), rng.randint(1, 22)
+            pages.append(
+                rng.randint(0, 256, (h, w) if (trial + k) % 3 == 0
+                            else (h, w, 3)).astype(np.uint8)
+            )
+        b = encode_tiff_multipage(
+            pages,
+            compression=("none", "packbits", "lzw", "deflate")[trial % 4],
+            big_endian=bool(trial % 2),
+            rows_per_strip=4 if trial % 3 else 0,
+        )
+        dec = decode_tiff_pages(b)
+        assert len(dec) == len(pages)
+        for got, src in zip(dec, pages):
+            want = np.stack([src] * 3, -1) if src.ndim == 2 else src
+            assert np.array_equal(got, want), trial
+        first = pages[0] if pages[0].ndim == 3 else np.stack(
+            [pages[0]] * 3, -1)
+        assert np.array_equal(decode_tiff(b), first)
+    # a looping chain must raise, not spin: point page 2's next
+    # pointer back at page 1's IFD
+    pages = [rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)] * 2
+    b = bytearray(encode_tiff_multipage(pages))
+    ifd1 = int.from_bytes(b[4:8], "little")
+    n1 = int.from_bytes(b[ifd1 : ifd1 + 2], "little")
+    ifd2 = int.from_bytes(
+        b[ifd1 + 2 + 12 * n1 : ifd1 + 2 + 12 * n1 + 4], "little"
+    )
+    n2 = int.from_bytes(b[ifd2 : ifd2 + 2], "little")
+    b[ifd2 + 2 + 12 * n2 : ifd2 + 2 + 12 * n2 + 4] = st.pack("<I", ifd1)
+    with pytest.raises(ValueError, match="loops|implausible"):
+        decode_tiff_pages(bytes(b))
+
+
 def test_tiff_jpeg_compression7_parity_tables_and_gates():
     """JPEG-in-TIFF (compression 7): strip decode equals standalone
     decode_jpeg of each strip (arbitrary images, gray and color,
