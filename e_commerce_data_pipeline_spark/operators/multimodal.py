@@ -6341,6 +6341,8 @@ def _decode_wav_full(b: bytes):
     the decoded width."""
     import numpy as np
 
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(b)
     if b[:4] in (b"fLaC", b"OggS"):
         # FLAC rides the same audio-kernel entry point: sample dtype
         # follows the WAV conventions (int16 scale for 8/16-bit —
@@ -7014,6 +7016,159 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+_AIFF_FMT_CODE = 0xA1FF  # sentinel fmt_code for AIFF/AIFC containers
+
+
+def _ieee754_extended_pack(v: float) -> bytes:
+    """Positive number -> 80-bit IEEE 754 extended (sign 1, exponent
+    15, explicit-leading-bit mantissa 64) — the AIFF COMM sample-rate
+    field."""
+    import math
+
+    if v <= 0:
+        raise ValueError("extended-float pack expects a positive rate")
+    m, e = math.frexp(v)  # v = m * 2^e, m in [0.5, 1)
+    exponent = e + 16382
+    mantissa = int(m * (1 << 64))
+    return struct.pack(">HQ", exponent, mantissa)
+
+
+def _ieee754_extended_unpack(b: bytes) -> float:
+    if len(b) != 10:
+        raise ValueError("extended float needs 10 bytes")
+    exponent, mantissa = struct.unpack(">HQ", b)
+    if exponent & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    if exponent == 0 and mantissa == 0:
+        return 0.0
+    if exponent == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    if not 16383 - 64 <= exponent <= 16383 + 40:
+        # a sane sample rate fits in a few dozen binary orders; a
+        # corrupt exponent must not overflow the float pow
+        raise ValueError("AIFF sample-rate exponent out of range")
+    return mantissa * 2.0 ** (exponent - 16383 - 63)
+
+
+def encode_aiff(samples, sample_rate: int = 16000, bits: int = 16,
+                sowt: bool = False) -> bytes:
+    """Mono/stereo int array -> AIFF (big-endian PCM) or, with
+    ``sowt``, AIFC with the little-endian 'sowt' compression type —
+    the two layouts Mac-origin corpora actually ship. ``bits`` in
+    (8, 16, 24); AIFF 8-bit samples are SIGNED (unlike WAV)."""
+    import numpy as np
+
+    a = np.asarray(samples, np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    lim = 1 << (bits - 1)
+    assert bits in (8, 16, 24) and a.min(initial=0) >= -lim and \
+        a.max(initial=0) < lim
+    width = bits // 8
+    inter = a.reshape(-1)
+    data = bytearray()
+    for v in inter:
+        data += int(v & ((1 << bits) - 1)).to_bytes(
+            width, "little" if sowt else "big"
+        )
+    if sowt:
+        comm_body = struct.pack(">hIh", ch, n, bits) + \
+            _ieee754_extended_pack(float(sample_rate)) + b"sowt" + \
+            b"\x00\x00"  # empty pstring name, padded even
+    else:
+        comm_body = struct.pack(">hIh", ch, n, bits) + \
+            _ieee754_extended_pack(float(sample_rate))
+    ssnd_body = struct.pack(">II", 0, 0) + bytes(data)
+    chunks = bytearray()
+    for cid, body in ((b"COMM", comm_body), (b"SSND", ssnd_body)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+    form_type = b"AIFC" if sowt else b"AIFF"
+    if sowt:
+        fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+        chunks = fver + chunks
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + \
+        bytes(chunks)
+
+
+def _decode_aiff(b: bytes):
+    """AIFF/AIFC bytes -> ((n, ch) samples, rate, fmt_code, bits)
+    with the house dtype conventions (int16 scale for 8/16-bit, raw
+    int32 for 24-bit). AIFC compression types other than NONE/sowt
+    gate via require_codec."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF",
+                                                          b"AIFC"):
+        raise ValueError("not an AIFF")
+    is_aifc = b[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    data = None
+    little = False
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("AIFF chunk truncated")
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("AIFF COMM chunk too short")
+            ch, n, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _ieee754_extended_unpack(body[8:18])
+            if is_aifc:
+                if len(body) < 22:
+                    raise ValueError("AIFC COMM missing compression type")
+                ctype = body[18:22]
+                if ctype == b"sowt":
+                    little = True
+                elif ctype not in (b"NONE",):
+                    require_codec(f"AIFC compression {ctype!r}")
+            comm = (ch, n, bits, rate)
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("AIFF SSND chunk too short")
+            (off, _blk) = struct.unpack_from(">II", body, 0)
+            if 8 + off > len(body):
+                raise ValueError("AIFF SSND offset out of range")
+            data = body[8 + off :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, n, bits, rate = comm
+    if ch < 1 or n < 0 or bits not in (8, 16, 24):
+        raise ValueError("AIFF COMM fields implausible")
+    if rate < 1 or rate > 1e7:
+        raise ValueError("AIFF sample rate implausible")
+    width = bits // 8
+    need = n * ch * width
+    if len(data) < need:
+        raise ValueError("AIFF SSND data shorter than COMM frames")
+    raw = data[:need]
+    endian = "<" if little else ">"
+    if bits == 16:
+        s = np.frombuffer(raw, endian + "i2").astype(np.int16)
+        out = s.reshape(n, ch)
+    elif bits == 8:
+        s = np.frombuffer(raw, np.int8).astype(np.int16) * 256
+        out = s.reshape(n, ch)
+    else:
+        u = np.frombuffer(raw, np.uint8).reshape(n * ch, 3)
+        if little:
+            v = (u[:, 0].astype(np.int64) | (u[:, 1].astype(np.int64) << 8)
+                 | (u[:, 2].astype(np.int64) << 16))
+        else:
+            v = ((u[:, 0].astype(np.int64) << 16)
+                 | (u[:, 1].astype(np.int64) << 8)
+                 | u[:, 2].astype(np.int64))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        out = v.astype(np.int32).reshape(n, ch)
+    return out, int(round(rate)), _AIFF_FMT_CODE, bits
 
 
 # ---------------------------------------------------------------------------
@@ -7872,7 +8027,7 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     """Deterministic audio table for driver-verifiable decode:
     media_id i carries a mono signal — base amplitude
     ``(i * 500) % 32768``, ``8000 + (i % 4) * 4000`` frames at
-    16 kHz — cycling SEVEN container variants by ``i % 7``. The five
+    16 kHz — cycling EIGHT container variants by ``i % 8``. The five
     constant-amplitude PCM WAVs (round 8): 16-bit plain, unsigned
     8-bit (sample byte ``128 + amp div 256``, decoded int16-scale
     value ``amp - amp mod 256``), 24-bit inside a
@@ -7884,16 +8039,20 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     is 24-bit FLAC of ``(amp - (t*11 + i) mod 73) * 256`` raw, both
     at blocksize 4096 with the encoder's frame-mode rotation
     (fixed/VERBATIM/LPC subframes and a short final frame) so the
-    oracle-gated row exercises the real decoder surface. Every
-    variant's duration, peak, and exact sums keep closed forms an
-    independent engine can recompute without decoding."""
+    oracle-gated row exercises the real decoder surface. k=7 (round
+    9) is constant-amplitude AIFF — big-endian 16-bit PCM with the
+    80-bit-extended sample-rate field, or the AIFC little-endian
+    'sowt' layout when i%16==15 (both decode identically, so one
+    oracle row covers the sub-variant rotation). Every variant's
+    duration, peak, and exact sums keep closed forms an independent
+    engine can recompute without decoding."""
     import numpy as np
 
     rows = []
     for i in range(n):
         amp = (i * 500) % 32768
         frames = 8000 + (i % 4) * 4000
-        k = i % 7
+        k = i % 8
         t = np.arange(frames, dtype=np.int64)
         if k == 0:
             content = encode_wav(np.full(frames, amp, np.int16), 16000)
@@ -7917,12 +8076,17 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
             content = encode_flac(
                 amp - (t * 7 + i) % 97, 16000, bps=16, blocksize=4096
             )
-        else:
+        elif k == 6:
             content = encode_flac(
                 (amp - (t * 11 + i) % 73) * 256, 16000, bps=24,
                 blocksize=4096,
             )
-        ext = "flac" if k >= 5 else "wav"
+        else:
+            content = encode_aiff(
+                np.full(frames, amp, np.int64), 16000, bits=16,
+                sowt=(i % 16 == 15),
+            )
+        ext = {5: "flac", 6: "flac", 7: "aiff"}.get(k, "wav")
         rows.append((i, "audio", content, None, f"mem://media/{i}.{ext}"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

@@ -5646,7 +5646,7 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     """
     WITH m AS (
         SELECT i, (i * 500) % 32768 AS amp,
-               8000 + (i % 4) * 4000 AS frames, i % 7 AS k
+               8000 + (i % 4) * 4000 AS frames, i % 8 AS k
         FROM range(50) t(i)
     ),
     v AS (
@@ -5657,13 +5657,15 @@ def q117_multimodal_decode_meta(spark, sf_dir):
                CASE WHEN k IN (2, 4) THEN amp * 256
                     WHEN k = 1 THEN amp - (amp % 256)
                     ELSE amp END AS raw
-        FROM m WHERE k < 5
+        FROM m WHERE k < 5 OR k = 7
     ),
     pcm AS (
         SELECT i AS media_id,
                CAST(CASE WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
+                    WHEN k = 7 THEN 41471
                     ELSE 1 END AS INT) AS fmt_code,
                CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
+                    WHEN 7 THEN 16
                     ELSE 32 END AS INT) AS bits,
                CAST(1 AS INT) AS channels,
                CAST(16000 AS INT) AS sample_rate,
@@ -5675,7 +5677,7 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     ),
     fls AS (
         SELECT i, k, amp, frames, unnest(range(frames)) AS t
-        FROM m WHERE k >= 5
+        FROM m WHERE k IN (5, 6)
     ),
     flv AS (
         SELECT i, k, frames,
@@ -5704,7 +5706,7 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     )
     SELECT * FROM pcm UNION ALL SELECT * FROM flac_rows
     """,
-    "Multimodal audio across SEVEN container variants — five PCM "
+    "Multimodal audio across EIGHT container variants — five PCM "
     "WAVs (round-8 gate retirements: decode_wav handles unsigned "
     "8-bit, 24-bit and 32-bit integer PCM, IEEE float32, and "
     "WAVE_FORMAT_EXTENSIBLE containers resolved via the SubFormat "
@@ -5715,8 +5717,11 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     "so the k=5/k=6 rows carry VARYING signals amp - (t*c+i) mod p "
     "at 16- and 24-bit whose per-sample closed forms the oracle "
     "replays with exact integer sums — fmt_code 61868 is the "
-    "kernel's FLAC sentinel). The constant-amplitude WAVs cycle by "
-    "i mod 7 (the 24-bit rows ship EXTENSIBLE, how real 24-bit files "
+    "kernel's FLAC sentinel) plus AIFF (round 9, k=7: big-endian PCM "
+    "with the 80-bit-extended sample-rate field, or AIFC 'sowt' "
+    "little-endian on i%16==15 — both decode identically, fmt_code "
+    "sentinel 41471). The constant-amplitude WAVs cycle by "
+    "i mod 8 (the 24-bit rows ship EXTENSIBLE, how real 24-bit files "
     "arrive) and round-trip through the real RIFF-chunk decoder and "
     "BOTH Arrow kernels — audio_features surfaces the container "
     "(fmt_code: 1 / 3 / 0xFFFE, bits) plus width-normalized "

@@ -586,6 +586,53 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_aiff_container_roundtrip_and_extended_rate():
+    """AIFF/AIFC: big-endian PCM at 8 (signed)/16/24-bit and the
+    little-endian 'sowt' AIFC layout round-trip through the audio
+    entry point with WAV-consistent dtypes; the 80-bit-extended
+    sample-rate field packs/unpacks integer rates exactly; other
+    AIFC compression types gate; corrupt exponents and short chunks
+    raise ValueError."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _AIFF_FMT_CODE,
+        _decode_wav_full,
+        _ieee754_extended_pack,
+        _ieee754_extended_unpack,
+        encode_aiff,
+    )
+
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000):
+        assert _ieee754_extended_unpack(
+            _ieee754_extended_pack(float(r))) == float(r)
+    rng = np.random.RandomState(8)
+    for trial in range(12):
+        nch = 1 + trial % 2
+        n = rng.randint(1, 1500)
+        bits = (8, 16, 24)[trial % 3]
+        lim = 1 << (bits - 1)
+        a = rng.randint(-lim, lim, size=(n, nch))
+        b = encode_aiff(a, 22050, bits=bits, sowt=(trial % 4 == 3))
+        s, rate, fc, bb = _decode_wav_full(b)
+        assert (rate, fc, bb) == (22050, _AIFF_FMT_CODE, bits)
+        want = a * 256 if bits == 8 else a
+        assert np.array_equal(s, want.reshape(n, nch)), trial
+    # AIFC with an unknown compression type gates
+    b = bytearray(encode_aiff(np.arange(40) - 20, 8000, sowt=True))
+    pos = b.find(b"sowt")
+    b[pos : pos + 4] = b"ima4"
+    with pytest.raises(NotImplementedError):
+        _decode_wav_full(bytes(b))
+    # corrupt extended-float exponent must not overflow
+    b = bytearray(encode_aiff(np.arange(40) - 20, 8000))
+    pos = b.find(b"COMM") + 8 + 8  # extended-float field
+    b[pos] = 0x7F
+    b[pos + 1] = 0xFE
+    with pytest.raises(ValueError):
+        _decode_wav_full(bytes(b))
+
+
 def test_flac_roundtrip_stereo_modes_and_damage():
     """FLAC (RFC 9639): bit-exact roundtrips across 8/16/24-bit,
     mono/stereo, all four stereo decorrelations and subframe
@@ -2558,6 +2605,7 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_png,
         encode_ppm,
         encode_wav,
+        encode_aiff,
         encode_flac,
         encode_wav_float32,
         encode_wav_float64,
@@ -2700,6 +2748,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
             np.stack([samples[:120], samples[80:200]], -1).astype(
                 np.int64),
             16000, bps=16, blocksize=50), decode_wav),
+        (encode_aiff(samples[:150].astype(np.int64), 22050), decode_wav),
+        (encode_aiff(samples[:150].astype(np.int64), 22050, bits=24,
+                     sowt=True), decode_wav),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
