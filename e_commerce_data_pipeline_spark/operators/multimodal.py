@@ -1086,6 +1086,204 @@ def encode_png_palette_subbyte(
     )
 
 
+def encode_apng(frames, screen) -> bytes:
+    """APNG writer: ``frames`` is [(rgba_array, (x, y), dispose_op,
+    blend_op)] with frame 0 REQUIRED to be the full canvas at (0, 0)
+    (the spec's default-image-in-animation layout: its fcTL precedes
+    IDAT); later frames may be sub-rects. All frames encode as color
+    type 6 (RGBA); frame 0's data ships as IDAT, the rest as fdAT
+    with the shared fcTL/fdAT sequence counter."""
+    import numpy as np
+    import zlib
+
+    sw, sh = screen
+    assert frames, "APNG needs at least one frame"
+    a0 = np.asarray(frames[0][0], np.uint8)
+    assert a0.shape == (sh, sw, 4) and frames[0][1] == (0, 0), (
+        "frame 0 must cover the canvas at (0, 0)"
+    )
+
+    def frame_zstream(arr):
+        # reuse the PNG encoder, then harvest its concatenated IDAT
+        # payload (one zlib stream of filtered scanlines)
+        png = encode_png_rgba(arr)
+        pos, payload = 8, bytearray()
+        while pos + 12 <= len(png):
+            (ln,) = struct.unpack_from(">I", png, pos)
+            typ = png[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                payload += png[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        return bytes(payload)
+
+    ihdr = struct.pack(">IIBBBBB", sw, sh, 8, 6, 0, 0, 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for k, (arr, (ox, oy), dispose, blend) in enumerate(frames):
+        a = np.asarray(arr, np.uint8)
+        fh, fw = a.shape[:2]
+        assert ox + fw <= sw and oy + fh <= sh, "frame exceeds canvas"
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, ox, oy, 1, 10, dispose, blend
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        z = frame_zstream(a)
+        if k == 0:
+            out += _png_chunk(b"IDAT", z)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(b: bytes, max_frames: int = 256):
+    """APNG -> list of (h, w, 4) uint8 RENDERED canvases, one per
+    frame: each frame's zlib stream decodes through the standard PNG
+    machinery (a synthesized single-frame PNG reusing the file's
+    IHDR depth/color and PLTE/tRNS), then composites per the APNG
+    spec — blend_op SOURCE replaces the rect's RGBA, OVER alpha-
+    composites (straight alpha); dispose_op 0 keeps the canvas, 1
+    clears the frame rect to fully-transparent black, 2 restores the
+    pre-frame canvas (frame 0's dispose 2 demotes to 1 per spec).
+    fcTL/fdAT sequence numbers are validated consecutive. A plain
+    PNG (no acTL) raises ValueError — callers dispatch."""
+    import numpy as np
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = trns = None
+    actl = None
+    frames_meta: list = []  # (fctl_fields, bytearray data)
+    idat = bytearray()
+    idat_after_first_fctl = False
+    expected_seq = 0
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
+        elif typ == b"acTL":
+            if len(data) != 8:
+                raise ValueError("APNG acTL malformed")
+            actl = struct.unpack(">II", data)
+        elif typ == b"fcTL":
+            if len(data) != 26:
+                raise ValueError("APNG fcTL malformed")
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expected_seq:
+                raise ValueError("APNG sequence number out of order")
+            expected_seq += 1
+            frames_meta.append((f, bytearray()))
+        elif typ == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("APNG fdAT malformed")
+            (seq,) = struct.unpack_from(">I", data, 0)
+            if seq != expected_seq:
+                raise ValueError("APNG sequence number out of order")
+            expected_seq += 1
+            if not frames_meta:
+                raise ValueError("APNG fdAT before any fcTL")
+            frames_meta[-1][1].extend(data[4:])
+        elif typ == b"IDAT":
+            idat += data
+            if frames_meta:
+                idat_after_first_fctl = True
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if actl is None:
+        raise ValueError("not an animated PNG (no acTL)")
+    if not frames_meta:
+        raise ValueError("APNG without fcTL frames")
+    if len(frames_meta) != actl[0]:
+        raise ValueError("APNG frame count disagrees with acTL")
+    if len(frames_meta) > max_frames:
+        raise ValueError("APNG frame count implausible")
+    sw, sh, depth, color, comp_m, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if sw * sh > (1 << 24):
+        raise ValueError("APNG canvas implausibly large")
+    # frame 0's data is the IDAT stream when its fcTL precedes IDAT
+    if idat_after_first_fctl:
+        if frames_meta[0][1]:
+            raise ValueError("APNG first frame has both IDAT and fdAT")
+        frames_meta[0] = (frames_meta[0][0], bytearray(idat))
+
+    def decode_frame(fw, fh, payload):
+        sub = bytearray(_PNG_SIG)
+        sub += _png_chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", fw, fh, depth, color, comp_m,
+                        filt_m, interlace),
+        )
+        if plte is not None:
+            sub += _png_chunk(b"PLTE", plte)
+        if trns is not None:
+            sub += _png_chunk(b"tRNS", trns)
+        sub += _png_chunk(b"IDAT", bytes(payload))
+        sub += _png_chunk(b"IEND", b"")
+        px = decode_png(bytes(sub))
+        if px.shape[2] == 3:  # opaque layouts composite at alpha 255
+            px = np.concatenate(
+                [px, np.full(px.shape[:2] + (1,), 255, np.uint8)],
+                axis=-1,
+            )
+        return px
+
+    canvas = np.zeros((sh, sw, 4), np.float64)
+    out = []
+    for k, (f, payload) in enumerate(frames_meta):
+        _seq, fw, fh, ox, oy, _dn, _dd, dispose, blend = f
+        if fw < 1 or fh < 1 or ox + fw > sw or oy + fh > sh:
+            raise ValueError("APNG frame rect outside the canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError("APNG dispose/blend op out of range")
+        if k == 0:
+            if dispose == 2:
+                dispose = 1  # spec: first-frame PREVIOUS demotes
+            blend = 0  # spec: first frame always blends SOURCE
+        px = decode_frame(fw, fh, payload).astype(np.float64)
+        region = canvas[oy : oy + fh, ox : ox + fw]
+        before = region.copy()
+        if blend == 0:
+            region[:] = px
+        else:  # OVER, straight alpha per the APNG spec formula
+            sa = px[..., 3:4] / 255.0
+            da = region[..., 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            rgb = px[..., :3] * sa + region[..., :3] * da * (1.0 - sa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            region[..., :3] = np.where(oa == 0.0, 0.0, rgb / safe)
+            region[..., 3:4] = oa * 255.0
+        out.append(
+            np.clip(np.rint(canvas), 0, 255).astype(np.uint8)
+        )
+        if dispose == 1:
+            canvas[oy : oy + fh, ox : ox + fw] = 0.0
+        elif dispose == 2:
+            canvas[oy : oy + fh, ox : ox + fw] = before
+    return out
+
+
 def decode_png(b: bytes):
     """PNG bytes -> (h, w, 3) uint8 RGB array, or (h, w, 4) RGBA when
     the layout carries alpha (color types 4/6, or a tRNS chunk on the
@@ -8256,6 +8454,58 @@ def synthetic_tiff_multipage_table(spark, n: int = 12) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def synthetic_apng_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic APNG animations: file i's canvas is
+    (2+nf*(wf+1)) x (hf+4) (nf = 2+(i%3), wf = 7+(i%5)*2,
+    hf = 5+(i%4)*2); frame 0 is the full canvas at the opaque
+    background color ((i*5)%256, (i*11)%256, (i*17)%256); animation
+    frames k=1..nf sit at the horizontally disjoint rects
+    (1+(k-1)*(wf+1), 2) with r=(x+y+i*7+31k) mod 256 (+85/+170
+    channel offsets) and BINARY alpha — the three x+y==2 pixels are
+    fully transparent when i%3==2, everything else opaque (exact
+    under OVER and closed-form either way). Even i: dispose NONE +
+    blend SOURCE (rects accumulate, transparent pixels REPLACE —
+    unlike GIF). Odd i: dispose BACKGROUND + blend OVER (prior rects
+    clear to transparent black, the live rect alpha-composites over
+    the background). q199's oracle replays every rendered canvas.
+    media_id offset +300."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        nf = 2 + (i % 3)
+        wf, hf = 7 + (i % 5) * 2, 5 + (i % 4) * 2
+        sw, sh = 2 + nf * (wf + 1), hf + 4
+        bg = np.zeros((sh, sw, 4), np.uint8)
+        bg[..., 0] = (i * 5) % 256
+        bg[..., 1] = (i * 11) % 256
+        bg[..., 2] = (i * 17) % 256
+        bg[..., 3] = 255
+        dispose = 0 if i % 2 == 0 else 1
+        blend = 0 if i % 2 == 0 else 1
+        frames = [(bg, (0, 0), 0, 0)]
+        for k in range(1, nf + 1):
+            y, x = np.mgrid[0:hf, 0:wf]
+            r = (x + y + i * 7 + 31 * k) % 256
+            a = np.where((i % 3 == 2) & (x + y == 2), 0, 255)
+            px = np.stack(
+                [r, (r + 85) % 256, (r + 170) % 256, a], axis=-1
+            ).astype(np.uint8)
+            frames.append((px, (1 + (k - 1) * (wf + 1), 2),
+                           dispose, blend))
+        rows.append(
+            (
+                300 + i,
+                "image",
+                encode_apng(frames, (sw, sh)),
+                None,
+                f"mem://media/{300 + i}.apng",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def gif_frame_stats(df: DataFrame) -> DataFrame:
     """Per-RENDERED-FRAME canvas statistics for multi-frame media —
     GIF animations (and single-frame GIFs, which yield one row at
@@ -8277,6 +8527,8 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
                     cb = bytes(content)
                     if cb[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
                         frames = decode_tiff_pages(cb)
+                    elif cb[:8] == _PNG_SIG:
+                        frames = decode_apng_frames(cb)
                     else:
                         frames = decode_gif_frames(cb)
                 except (ValueError, NotImplementedError, struct.error):

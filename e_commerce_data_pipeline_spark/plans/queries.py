@@ -11878,6 +11878,57 @@ def q198_codec_gate_census(spark, sf_dir):
                    AS b2,
                y * w + x + 1 AS wgt
         FROM mpx
+    ),
+    apg AS (
+        SELECT i, 2 + i % 3 AS nf, 7 + (i % 5) * 2 AS wf,
+               5 + (i % 4) * 2 AS hf,
+               (i * 5) % 256 AS bgr, (i * 11) % 256 AS bgg,
+               (i * 17) % 256 AS bgb
+        FROM range(12) t(i)
+    ),
+    apgs AS (SELECT *, 2 + nf * (wf + 1) AS sw, hf + 4 AS sh FROM apg),
+    apfr AS (
+        SELECT i, sw, sh, wf, hf, unnest(range(nf)) + 1 AS k
+        FROM apgs
+    ),
+    apfo AS (SELECT *, 1 + (k - 1) * (wf + 1) AS ox, 2 AS oy FROM apfr),
+    apfy AS (SELECT *, unnest(range(hf)) AS y FROM apfo),
+    apfx AS (SELECT *, unnest(range(wf)) AS x FROM apfy),
+    appv AS (
+        SELECT i, k,
+               (x + y + i * 7 + 31 * k) % 256 AS r,
+               ((x + y + i * 7 + 31 * k) % 256 + 85) % 256 AS g2,
+               ((x + y + i * 7 + 31 * k) % 256 + 170) % 256 AS b2,
+               CASE WHEN i % 3 = 2 AND x + y = 2 THEN 0 ELSE 1 END
+                   AS op,
+               (oy + y) * sw + ox + x + 1 AS wgt
+        FROM apfx
+    ),
+    apfs AS (
+        SELECT i, k, COUNT(*) AS fn,
+               SUM(r) AS fr, SUM(g2) AS fg, SUM(b2) AS fb,
+               SUM(wgt * r) AS fwr, SUM(wgt) AS fw,
+               SUM(op * r) AS opr, SUM(op * g2) AS opg,
+               SUM(op * b2) AS opb,
+               SUM(op * wgt * r) AS opwr,
+               SUM(1 - op) AS ntr, SUM((1 - op) * wgt) AS ntrw
+        FROM appv GROUP BY i, k
+    ),
+    apcum AS (
+        SELECT a.i, a.k AS fid, SUM(s.fn) AS cn, SUM(s.fr) AS cr2,
+               SUM(s.fg) AS cg, SUM(s.fb) AS cb2, SUM(s.fwr) AS cwr,
+               SUM(s.fw) AS cw
+        FROM apfr a JOIN apfs s ON s.i = a.i AND s.k <= a.k
+        GROUP BY a.i, a.k
+    ),
+    aprows AS (
+        SELECT g.i, c.fid, g.sw * g.sh AS n2, g.bgr, g.bgg, g.bgb,
+               g.sw * g.sh * (g.sw * g.sh + 1) // 2 AS tw,
+               c.cn, c.cr2, c.cg, c.cb2, c.cwr, c.cw,
+               s.opr, s.opg, s.opb, s.opwr, s.ntr, s.ntrw
+        FROM apgs g
+        JOIN apcum c ON c.i = g.i
+        JOIN apfs s ON s.i = g.i AND s.k = c.fid
     )
     SELECT go.i AS media_id,
            CAST(0 AS BIGINT) AS frame_id,
@@ -11915,6 +11966,33 @@ def q198_codec_gate_census(spark, sf_dir):
            CAST(SUM(wgt * r) AS BIGINT) AS wsum_r,
            CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
     FROM mpv GROUP BY i, k
+    UNION ALL
+    SELECT i + 300 AS media_id, CAST(0 AS BIGINT) AS frame_id,
+           CAST(sw * sh AS BIGINT) AS n_px,
+           CAST(bgr * sw * sh AS BIGINT) AS sum_r,
+           CAST(bgg * sw * sh AS BIGINT) AS sum_g,
+           CAST(bgb * sw * sh AS BIGINT) AS sum_b,
+           CAST(bgr * (sw * sh * (sw * sh + 1) // 2) AS BIGINT)
+               AS wsum_r,
+           CAST(255 AS BIGINT) AS aux
+    FROM apgs
+    UNION ALL
+    SELECT i + 300 AS media_id, CAST(fid AS BIGINT) AS frame_id,
+           CAST(n2 AS BIGINT) AS n_px,
+           CAST(CASE WHEN i % 2 = 0 THEN bgr * (n2 - cn) + cr2
+                ELSE bgr * (n2 - cn + ntr) + opr END AS BIGINT)
+               AS sum_r,
+           CAST(CASE WHEN i % 2 = 0 THEN bgg * (n2 - cn) + cg
+                ELSE bgg * (n2 - cn + ntr) + opg END AS BIGINT)
+               AS sum_g,
+           CAST(CASE WHEN i % 2 = 0 THEN bgb * (n2 - cn) + cb2
+                ELSE bgb * (n2 - cn + ntr) + opb END AS BIGINT)
+               AS sum_b,
+           CAST(CASE WHEN i % 2 = 0 THEN bgr * (tw - cw) + cwr
+                ELSE bgr * (tw - cw + ntrw) + opwr END AS BIGINT)
+               AS wsum_r,
+           CAST(255 AS BIGINT) AS aux
+    FROM aprows
     """,
     "GIF partial-frame compositing AND full ANIMATION rendering, "
     "value-verified per rendered frame. Single-frame corpus: a frame "
@@ -11938,14 +12016,25 @@ def q198_codec_gate_census(spark, sf_dir):
     "scanned-document layout — one rendered row per page, pages with "
     "PER-PAGE dims and all four strip codecs, decoded by rewriting "
     "the 8-byte header per IFD (offsets are absolute); the weighted "
-    "sum catches swapped or dropped pages. "
+    "sum catches swapped or dropped pages. APNG (round 9, media_id "
+    "+300): acTL/fcTL/fdAT with shared sequence validation, frame 0 "
+    "as the full-canvas default image in IDAT, per-frame zlib "
+    "streams decoded through the standard PNG machinery "
+    "(synthesized single-frame PNGs), SOURCE vs OVER blending "
+    "(straight-alpha spec formula — binary-alpha corpus keeps it "
+    "integer-exact) and NONE vs BACKGROUND disposal; even files "
+    "accumulate SOURCE rects (transparent pixels REPLACE, unlike "
+    "GIF), odd files alpha-composite the live rect over the "
+    "background while prior rects clear to transparent black. "
     "multimodal.decode_gif_frames / encode_gif_animation / "
-    "decode_tiff_pages / encode_tiff_multipage / gif_frame_stats.",
+    "decode_tiff_pages / encode_tiff_multipage / decode_apng_frames "
+    "/ encode_apng / gif_frame_stats.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q199_gif_partial_frame_stats(spark, sf_dir):
     from ..operators.multimodal import (
         gif_frame_stats,
+        synthetic_apng_table,
         synthetic_gif_animation_table,
         synthetic_gif_partial_table,
         synthetic_tiff_multipage_table,
@@ -11955,6 +12044,7 @@ def q199_gif_partial_frame_stats(spark, sf_dir):
         synthetic_gif_partial_table(spark, n=40)
         .unionByName(synthetic_gif_animation_table(spark, n=40))
         .unionByName(synthetic_tiff_multipage_table(spark, n=12))
+        .unionByName(synthetic_apng_table(spark, n=12))
     )
     return gif_frame_stats(media).orderBy("media_id", "frame_id")
 

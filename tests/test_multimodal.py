@@ -586,6 +586,98 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_apng_compositing_reference_and_guards():
+    """APNG: rendered canvases match an independent straight-alpha
+    reference compositor across random frame stacks (all dispose and
+    blend ops, fractional alpha); a plain decode_png of the same
+    bytes reads the default image; first-frame conventions apply
+    (blend demotes to SOURCE, dispose PREVIOUS to BACKGROUND);
+    sequence-number gaps and out-of-canvas rects raise ValueError;
+    a plain PNG is not an APNG."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_apng_frames,
+        decode_png,
+        encode_apng,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(12)
+
+    def composite_ref(frames, screen):
+        sw, sh = screen
+        canvas = np.zeros((sh, sw, 4), np.float64)
+        outs = []
+        for k, (arr, (ox, oy), dispose, blend) in enumerate(frames):
+            a = np.asarray(arr, np.float64)
+            if k == 0:
+                blend = 0
+                if dispose == 2:
+                    dispose = 1
+            fh, fw = a.shape[:2]
+            region = canvas[oy : oy + fh, ox : ox + fw]
+            before = region.copy()
+            if blend == 0:
+                region[:] = a
+            else:
+                sa = a[..., 3:4] / 255.0
+                da = region[..., 3:4] / 255.0
+                oa = sa + da * (1 - sa)
+                rgb = a[..., :3] * sa + region[..., :3] * da * (1 - sa)
+                safe = np.where(oa == 0, 1.0, oa)
+                region[..., :3] = np.where(oa == 0, 0.0, rgb / safe)
+                region[..., 3:4] = oa * 255.0
+            outs.append(np.clip(np.rint(canvas), 0, 255).astype(np.uint8))
+            if dispose == 1:
+                canvas[oy : oy + fh, ox : ox + fw] = 0.0
+            elif dispose == 2:
+                canvas[oy : oy + fh, ox : ox + fw] = before
+        return outs
+
+    for trial in range(12):
+        sw, sh = rng.randint(8, 28), rng.randint(8, 22)
+        frames = [(rng.randint(0, 256, (sh, sw, 4)).astype(np.uint8),
+                   (0, 0), rng.randint(0, 3), 0)]
+        for _ in range(rng.randint(0, 4)):
+            fw, fh = rng.randint(1, sw + 1), rng.randint(1, sh + 1)
+            ox = rng.randint(0, sw - fw + 1)
+            oy = rng.randint(0, sh - fh + 1)
+            frames.append(
+                (rng.randint(0, 256, (fh, fw, 4)).astype(np.uint8),
+                 (ox, oy), rng.randint(0, 3), rng.randint(0, 2))
+            )
+        b = encode_apng(frames, (sw, sh))
+        got = decode_apng_frames(b)
+        want = composite_ref(frames, (sw, sh))
+        assert len(got) == len(want)
+        for k, (g, w) in enumerate(zip(got, want)):
+            assert np.array_equal(g, w), (trial, k)
+        assert np.array_equal(decode_png(b), frames[0][0])
+    # a plain PNG has no acTL
+    with pytest.raises(ValueError, match="acTL"):
+        decode_apng_frames(
+            encode_png(rng.randint(0, 256, (6, 7, 3)).astype(np.uint8))
+        )
+    # forged fdAT sequence number is loud
+    frames = [(rng.randint(0, 256, (8, 10, 4)).astype(np.uint8),
+               (0, 0), 0, 0),
+              (rng.randint(0, 256, (4, 5, 4)).astype(np.uint8),
+               (2, 2), 0, 1)]
+    b = bytearray(encode_apng(frames, (10, 8)))
+    pos = b.find(b"fdAT")
+    import struct as st
+    import zlib as zl
+
+    (ln,) = st.unpack_from(">I", b, pos - 4)
+    b[pos + 4 : pos + 8] = st.pack(">I", 9)
+    b[pos + 4 + ln : pos + 8 + ln] = st.pack(
+        ">I", zl.crc32(bytes(b[pos : pos + 4 + ln])) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(b))
+
+
 def test_aiff_container_roundtrip_and_extended_rate():
     """AIFF/AIFC: big-endian PCM at 8 (signed)/16/24-bit and the
     little-endian 'sowt' AIFC layout round-trip through the audio
@@ -2646,8 +2738,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_tiff,
     )
     from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_apng_frames,
         decode_gif_frames,
         decode_tiff,
+        encode_apng,
         encode_gif_animation,
         encode_tiff_jpeg,
         encode_tiff_ycbcr,
@@ -2702,6 +2796,14 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      compression="packbits", depth=4), decode_tiff),
         (encode_tiff_jpeg(img8, quality=80, rows_per_strip=8,
                           jpeg_tables=True), decode_tiff),
+        (encode_apng(
+            [(np.concatenate(
+                [img[:8, :10],
+                 rng.randint(0, 256, (8, 10, 1)).astype(np.uint8)],
+                axis=-1), (0, 0), 0, 0),
+             (rng.randint(0, 256, (4, 5, 4)).astype(np.uint8),
+              (2, 2), 1, 1)],
+            (10, 8)), decode_apng_frames),
         (encode_tiff(rng.randint(0, 256, (8, 9, 4)).astype(np.uint8),
                      compression="packbits"), decode_tiff),
         (encode_gif_animation(
