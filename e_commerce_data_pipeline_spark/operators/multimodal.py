@@ -7393,26 +7393,78 @@ _FLAC_BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
 _FLAC_SAMPLE_SIZE_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
 
 
-def _flac_crc8(data: bytes) -> int:
-    """CRC-8 poly x^8+x^2+x+1 (0x07), init 0 — frame header check."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _flac_crc_tables():
+    t8, t16 = [], []
+    for byte in range(256):
+        c = byte
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (
-                crc << 1) & 0xFF
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (
+                c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_FLAC_CRC8_TABLE, _FLAC_CRC16_TABLE = _flac_crc_tables()
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8 poly x^8+x^2+x+1 (0x07), init 0 — frame header check
+    (table-driven: the per-bit loop was a third of decode time)."""
+    crc = 0
+    t = _FLAC_CRC8_TABLE
+    for byte in data:
+        crc = t[crc ^ byte]
     return crc
 
 
 def _flac_crc16(data: bytes) -> int:
-    """CRC-16 poly 0x8005, init 0 — whole-frame check."""
+    """CRC-16 poly 0x8005, init 0 — whole-frame check (table-driven)."""
     crc = 0
+    t = _FLAC_CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (
-                crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ byte]
     return crc
+
+
+def _flac_md5_bytes(arr, bps: int) -> bytes:
+    """Channel-interleaved little-endian sample bytes for the
+    STREAMINFO MD5, vectorized (the per-sample to_bytes loop was a
+    fifth of decode time)."""
+    import numpy as np
+
+    flat = np.asarray(arr, np.int64).reshape(-1)
+    if bps == 8:
+        return (flat & 0xFF).astype(np.uint8).tobytes()
+    if bps == 16:
+        return (flat & 0xFFFF).astype("<u2").tobytes()
+    u = (flat & 0xFFFFFF).astype("<u4")
+    return u.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+
+
+def _flac_read_signed_block(rd, n: int, width: int):
+    """n consecutive ``width``-bit signed values, gathered in one
+    fancy-indexed pass over the stream's bit array (VERBATIM
+    subframes and escaped-raw Rice partitions)."""
+    import numpy as np
+
+    if n == 0:
+        return np.zeros(0, np.int64)
+    bits, _ = rd.bit_arrays()
+    end = rd.pos + n * width
+    if end > bits.shape[0]:
+        raise ValueError("FLAC bitstream truncated")
+    cols = rd.pos + (
+        np.arange(n, dtype=np.int64)[:, None] * width
+        + np.arange(width, dtype=np.int64)
+    )
+    w = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+    vals = (bits[cols].astype(np.int64) * w).sum(axis=1)
+    rd.pos = int(end)
+    return np.where(vals >= 1 << (width - 1), vals - (1 << width), vals)
 
 
 class _FlacBitWriter:
@@ -7451,6 +7503,22 @@ class _FlacBitReader:
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.data = data
         self.pos = pos_bits
+        self._bits = None
+        self._ones = None
+
+    def bit_arrays(self):
+        """(bits, ones): the stream as a 0/1 numpy array plus the
+        sorted positions of its set bits — computed once per stream
+        and shared by every Rice partition (the per-sample unary walk
+        jumps between set bits instead of reading bit-by-bit)."""
+        import numpy as np
+
+        if self._ones is None:
+            self._bits = np.unpackbits(
+                np.frombuffer(self.data, np.uint8)
+            )
+            self._ones = np.flatnonzero(self._bits).astype(np.int64)
+        return self._bits, self._ones
 
     def bits_left(self) -> int:
         return 8 * len(self.data) - self.pos
@@ -7569,6 +7637,10 @@ def _flac_write_residual(wr: _FlacBitWriter, res, blocksize: int,
 
 
 def _flac_read_residual(rd: _FlacBitReader, blocksize: int, order: int):
+    """Rice partitions decode vectorized: the per-sample unary walk
+    jumps between the stream's precomputed set-bit positions (the
+    bit-by-bit reader was the FLAC kernel's hot loop), then every
+    sample's p low bits gather in one fancy-indexed pass."""
     import numpy as np
 
     method = rd.get(2)
@@ -7592,13 +7664,42 @@ def _flac_read_residual(rd: _FlacBitReader, blocksize: int, order: int):
         if p == escape:
             raw = rd.get(5)
             if raw:
-                for i in range(n):
-                    out[idx + i] = rd.get_signed(raw)
-        else:
+                out[idx : idx + n] = _flac_read_signed_block(rd, n, raw)
+        elif n:
+            bits, ones = rd.bit_arrays()
+            pos0 = rd.pos
+            ts = np.empty(n, np.int64)
+            oi = int(np.searchsorted(ones, pos0))
+            n_ones = ones.shape[0]
+            pos = pos0
             for i in range(n):
-                q = rd.get_unary()
-                f = (q << p) | (rd.get(p) if p else 0)
-                out[idx + i] = (f >> 1) ^ -(f & 1)
+                while True:
+                    if oi >= n_ones:
+                        raise ValueError("FLAC unary code truncated")
+                    t = int(ones[oi])
+                    oi += 1
+                    if t >= pos:
+                        break
+                if t - pos > 1 << 20:
+                    raise ValueError("FLAC unary code runaway")
+                ts[i] = t
+                pos = t + 1 + p
+            if pos > bits.shape[0]:
+                raise ValueError("FLAC bitstream truncated")
+            starts = np.empty(n, np.int64)
+            starts[0] = pos0
+            starts[1:] = ts[:-1] + 1 + p
+            quot = ts - starts
+            if p:
+                # gather every sample's p low bits in one vector pass
+                cols = ts[:, None] + 1 + np.arange(p, dtype=np.int64)
+                low = bits[cols].astype(np.int64)
+                weights = 1 << np.arange(p - 1, -1, -1, dtype=np.int64)
+                f = (quot << p) | (low * weights).sum(axis=1)
+            else:
+                f = quot
+            out[idx : idx + n] = (f >> 1) ^ -(f & 1)
+            rd.pos = int(pos)
         idx += n
     return out
 
@@ -7692,7 +7793,7 @@ def _flac_decode_subframe(rd: _FlacBitReader, n: int, bps: int):
     if t == 0:
         x = np.full(n, rd.get_signed(eff), np.int64)
     elif t == 1:
-        x = np.array([rd.get_signed(eff) for _ in range(n)], np.int64)
+        x = _flac_read_signed_block(rd, n, eff)
     elif 8 <= t <= 12:
         order = t & 0x07
         if order > n:
@@ -7701,11 +7802,19 @@ def _flac_decode_subframe(rd: _FlacBitReader, n: int, bps: int):
         res = _flac_read_residual(rd, n, order)
         x = np.empty(n, np.int64)
         x[:order] = warm
-        coefs = _FLAC_FIXED_COEF[order]
-        for i in range(order, n):
-            x[i] = res[i - order] + sum(
-                coefs[j] * x[i - 1 - j] for j in range(order)
-            )
+        # a fixed predictor of order k is the k-fold difference, so
+        # reconstruction is k seeded cumulative sums (vectorized) —
+        # d^j x[i] = d^j x[i-1] + d^(j+1) x[i], seeded at i = k-1 by
+        # the warmup's j-fold differences
+        if order and n > order:
+            cur = res.astype(np.int64)
+            wa = np.asarray(warm, np.int64)
+            for j in range(order - 1, -1, -1):
+                seed = int(np.diff(wa, n=j)[-1]) if j else int(wa[-1])
+                cur = seed + np.cumsum(cur)
+            x[order:] = cur
+        elif n > 0 and order == 0:
+            x[:] = res
     elif t & 0b100000:
         order = (t & 0x1F) + 1
         if order > n:
@@ -7749,11 +7858,7 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
     assert a.min(initial=0) >= -lim and a.max(initial=0) < lim
     import hashlib
 
-    width = bps // 8
-    buf = bytearray()
-    for v in a.reshape(-1):
-        buf += int(v & ((1 << bps) - 1)).to_bytes(width, "little")
-    md5 = hashlib.md5(bytes(buf)).digest()
+    md5 = hashlib.md5(_flac_md5_bytes(a, bps)).digest()
     out = bytearray(b"fLaC")
     si = _FlacBitWriter()
     si.put(16, blocksize)
@@ -7959,11 +8064,7 @@ def decode_flac(b: bytes):
     if md5 != b"\x00" * 16:
         import hashlib
 
-        width = bps // 8
-        buf = bytearray()
-        for v in arr.reshape(-1):
-            buf += int(v & ((1 << bps) - 1)).to_bytes(width, "little")
-        if hashlib.md5(bytes(buf)).digest() != md5:
+        if hashlib.md5(_flac_md5_bytes(arr, bps)).digest() != md5:
             raise ValueError("FLAC MD5 signature mismatch")
     return arr.astype(np.int32), rate, bps
 
