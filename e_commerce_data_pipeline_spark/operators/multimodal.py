@@ -3145,6 +3145,277 @@ def encode_tiff_jpeg(
     return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
 
 
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(
+    arr,
+    rle: bool = False,
+    top_down: bool = True,
+    palette=None,
+    bpp16: bool = False,
+) -> bytes:
+    """(h, w, 3) RGB / (h, w, 4) RGBA / (h, w) gray uint8 — or
+    (h, w) uint8 indices with ``palette`` (256, 3) — -> TGA 2.0
+    (footer signature included, which is how magic-less TGA files
+    are detected). ``bpp16`` packs RGB as X1R5G5B5 from the top 5
+    bits of each channel. ``rle`` emits run-length packets;
+    ``top_down`` sets descriptor bit 5 (TGA default is bottom-up)."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if palette is not None:
+        assert a.ndim == 2, "palette TGA expects index planes"
+        h, w = a.shape
+        itype, depth = 1, 8
+        pix = a[..., None]
+    elif a.ndim == 2:
+        h, w = a.shape
+        itype, depth = 3, 8
+        pix = a[..., None]
+    elif bpp16:
+        h, w, _ = a.shape
+        itype, depth = 2, 16
+        v = (
+            ((a[..., 0].astype(np.uint16) >> 3) << 10)
+            | ((a[..., 1].astype(np.uint16) >> 3) << 5)
+            | (a[..., 2].astype(np.uint16) >> 3)
+        )
+        pix = v.astype("<u2").view(np.uint8).reshape(h, w, 2)
+    else:
+        h, w, c = a.shape
+        assert c in (3, 4)
+        itype, depth = 2, 8 * c
+        pix = a[..., [2, 1, 0] + ([3] if c == 4 else [])]  # BGR(A)
+    if not top_down:
+        pix = pix[::-1]
+    desc = (0x20 if top_down else 0) | (8 if depth == 32 else 0)
+    header = struct.pack(
+        "<BBBHHBHHHHBB",
+        0,  # id length
+        1 if palette is not None else 0,
+        (itype + 8) if rle else itype,
+        0, 256 if palette is not None else 0,
+        24 if palette is not None else 0,
+        0, 0, w, h, depth, desc,
+    )
+    body = bytearray(header)
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        assert pal.shape == (256, 3)
+        body += pal[:, ::-1].tobytes()  # BGR entries
+    nb = pix.shape[-1]
+    if not rle:
+        body += pix.tobytes()
+    else:
+        flat = pix.reshape(h, w, nb)
+        for y in range(h):
+            row = flat[y]
+            x = 0
+            while x < w:
+                run = 1
+                while (x + run < w and run < 128
+                       and np.array_equal(row[x + run], row[x])):
+                    run += 1
+                if run >= 2:
+                    body.append(0x80 | (run - 1))
+                    body += row[x].tobytes()
+                    x += run
+                else:
+                    lit = 1
+                    while (x + lit < w and lit < 128
+                           and not (x + lit + 1 < w and np.array_equal(
+                               row[x + lit], row[x + lit + 1]))):
+                        lit += 1
+                    body.append(lit - 1)
+                    body += row[x : x + lit].tobytes()
+                    x += lit
+    body += struct.pack("<II", 0, 0) + _TGA_FOOTER  # v2.0 footer
+    return bytes(body)
+
+
+def decode_tga(b: bytes):
+    """TGA bytes -> (h, w, 3) uint8 RGB or (h, w, 4) RGBA (32bpp):
+    truecolor 16 (X1R5G5B5, bit-replicated to 8) / 24 / 32 bpp,
+    8-bit grayscale, 8-bit color-mapped with 24/32-bit entries,
+    RLE or raw, both vertical orientations. The optional v2.0
+    footer is tolerated (and is what ``_decode_any`` dispatches
+    on — TGA has no leading magic). Structural damage raises
+    ValueError."""
+    import numpy as np
+
+    if len(b) < 18:
+        raise ValueError("TGA header truncated")
+    (idlen, cmap_type, itype, cm_first, cm_len, cm_bits,
+     _xo, _yo, w, h, depth, desc) = struct.unpack_from(
+        "<BBBHHBHHHHBB", b, 0)
+    if w < 1 or h < 1 or w * h > (1 << 24):
+        raise ValueError("TGA dimensions implausible")
+    rle = itype >= 9
+    base = itype - 8 if rle else itype
+    if base not in (1, 2, 3):
+        require_codec(f"TGA image type {itype}")
+    if cmap_type not in (0, 1):
+        raise ValueError("TGA colormap type invalid")
+    pos = 18 + idlen
+    pal = None
+    if cmap_type == 1:
+        if cm_bits not in (24, 32) or cm_len > 256 or cm_first:
+            require_codec(f"TGA colormap layout {cm_bits}/{cm_first}")
+        nbp = cm_bits // 8
+        end = pos + cm_len * nbp
+        if end > len(b):
+            raise ValueError("TGA colormap truncated")
+        pal = np.frombuffer(b[pos:end], np.uint8).reshape(cm_len, nbp)
+        pos = end
+    if base == 1:
+        if depth != 8 or pal is None:
+            raise ValueError("TGA colormapped needs 8-bit indices + map")
+        nb = 1
+    elif base == 3:
+        if depth != 8:
+            require_codec(f"TGA gray depth {depth}")
+        nb = 1
+    else:
+        if depth not in (16, 24, 32):
+            require_codec(f"TGA truecolor depth {depth}")
+        nb = depth // 8
+    need = h * w * nb
+    if not rle:
+        if pos + need > len(b):
+            raise ValueError("TGA pixel data truncated")
+        pix = np.frombuffer(b[pos : pos + need], np.uint8).reshape(
+            h, w, nb
+        )
+    else:
+        out = np.empty((h * w, nb), np.uint8)
+        filled = 0
+        while filled < h * w:
+            if pos >= len(b):
+                raise ValueError("TGA RLE stream truncated")
+            ctrl = b[pos]
+            pos += 1
+            count = (ctrl & 0x7F) + 1
+            if filled + count > h * w:
+                raise ValueError("TGA RLE overruns the raster")
+            if ctrl & 0x80:
+                if pos + nb > len(b):
+                    raise ValueError("TGA RLE run truncated")
+                out[filled : filled + count] = np.frombuffer(
+                    b[pos : pos + nb], np.uint8
+                )
+                pos += nb
+            else:
+                if pos + count * nb > len(b):
+                    raise ValueError("TGA RLE literals truncated")
+                out[filled : filled + count] = np.frombuffer(
+                    b[pos : pos + count * nb], np.uint8
+                ).reshape(count, nb)
+                pos += count * nb
+            filled += count
+        pix = out.reshape(h, w, nb)
+    if base == 1:
+        idx = pix[..., 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("TGA index outside the colormap")
+        ent = pal[idx.reshape(-1)].reshape(h, w, -1)
+        rgb = ent[..., [2, 1, 0]]  # BGR(A) entries
+    elif base == 3:
+        g = pix[..., 0]
+        rgb = np.stack([g, g, g], axis=-1)
+    elif depth == 16:
+        v = pix.reshape(h, w, 2).astype(np.uint16)
+        v = v[..., 0] | (v[..., 1] << 8)
+        out5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
+        rgb = np.stack(
+            [((c5 << 3) | (c5 >> 2)).astype(np.uint8) for c5 in out5],
+            axis=-1,
+        )
+    elif depth == 24:
+        rgb = pix[..., [2, 1, 0]]
+    else:
+        rgb = pix[..., [2, 1, 0, 3]]  # RGBA
+    if not desc & 0x20:  # bottom-up (the TGA default)
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+_AU_FMT_CODE = 0x736E  # '.snd' sentinel fmt_code
+
+
+def encode_au(samples_or_codes, encoding: int, sample_rate: int = 8000,
+              channels: int = 1) -> bytes:
+    """Sun/NeXT .au container: encoding 1 = mu-law code bytes,
+    27 = A-law code bytes, 2/3/4 = signed 8/16/24-bit big-endian
+    PCM. Input is raw code bytes for the G.711 encodings, integer
+    samples otherwise."""
+    import numpy as np
+
+    a = np.asarray(samples_or_codes)
+    if encoding in (1, 27):
+        data = a.astype(np.uint8).tobytes()
+    elif encoding == 2:
+        data = a.astype(np.int8).tobytes()
+    elif encoding == 3:
+        data = a.astype(">i2").tobytes()
+    elif encoding == 4:
+        v = (a.astype(np.int64) & 0xFFFFFF).astype(">u4")
+        data = v.view(np.uint8).reshape(-1, 4)[:, 1:].tobytes()
+    else:
+        raise ValueError(f"encode_au: unsupported encoding {encoding}")
+    return struct.pack(
+        ">4sIIIII", b".snd", 24, len(data), encoding, sample_rate,
+        channels,
+    ) + data
+
+
+def _decode_au(b: bytes):
+    """.au bytes -> ((n, ch) samples, rate, fmt_code, bits) with the
+    house dtype conventions; G.711 payloads expand through the same
+    ulaw/alaw tables as WAV formats 7/6. Float/double encodings
+    gate."""
+    import numpy as np
+
+    if len(b) < 24 or b[:4] != b".snd":
+        raise ValueError("not a .au stream")
+    _m, off, size, enc, rate, ch = struct.unpack_from(">4sIIIII", b, 0)
+    if off < 24 or off > len(b):
+        raise ValueError(".au data offset out of range")
+    if ch < 1 or ch > 16 or rate < 1 or rate > 10_000_000:
+        raise ValueError(".au header fields implausible")
+    data = b[off:]
+    if size != 0xFFFFFFFF:  # unknown-size sentinel is legal
+        if size > len(data):
+            raise ValueError(".au data shorter than declared")
+        data = data[:size]
+    if enc in (6, 7):
+        require_codec(".au float encodings")
+    if enc == 1 or enc == 27:
+        codes = np.frombuffer(data, np.uint8)
+        lin = ulaw_expand(codes) if enc == 1 else alaw_expand(codes)
+        out = lin.astype(np.int16)
+        bits = 8
+    elif enc == 2:
+        out = np.frombuffer(data, np.int8).astype(np.int16) * 256
+        bits = 8
+    elif enc == 3:
+        out = np.frombuffer(
+            data[: len(data) // 2 * 2], ">i2"
+        ).astype(np.int16)
+        bits = 16
+    elif enc == 4:
+        u = np.frombuffer(data[: len(data) // 3 * 3], np.uint8)
+        u = u.reshape(-1, 3).astype(np.int64)
+        v = (u[:, 0] << 16) | (u[:, 1] << 8) | u[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        out = v.astype(np.int32)
+        bits = 24
+    else:
+        require_codec(f".au encoding {enc}")
+    n = out.shape[0] // ch * ch
+    return out[:n].reshape(-1, ch), int(rate), _AU_FMT_CODE, bits
+
+
 def _decode_any(content) -> tuple:
     """(pixels|None, format|None) for one binary payload."""
     if content is None:
@@ -3163,6 +3434,11 @@ def _decode_any(content) -> tuple:
             return decode_gif(b), "gif"
         if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
             return decode_tiff(b), "tiff"
+        if b[-18:] == _TGA_FOOTER:
+            # TGA has no leading magic; the v2.0 footer signature is
+            # the reliable detector (footerless v1 files need
+            # extension routing and decode via decode_tga directly)
+            return decode_tga(b), "tga"
     except (ValueError, struct.error, IndexError):
         return None, None
     return None, None
@@ -4053,6 +4329,57 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
             )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tga_table(spark, n: int = 20) -> DataFrame:
+    """Deterministic TGA media table: image i is w=11+(i%4)*5 by
+    h=9+(i%3)*4 with base = (x*7 + y*13 + i*31) mod 256 and variant
+    i%5 — 24bpp raw / 24bpp RLE / 8-bit grayscale / 8-bit
+    color-mapped (idx = (x + y*3 + i) mod 256 through the closed-form
+    palette ((j*5+3, j*7+11, j*11+29) mod 256)) / 16bpp X1R5G5B5
+    (top-5-bit channels bit-replicated back to 8). Orientation
+    rotates (top-down unless i%3==0 — the bottom-up TGA default),
+    RLE on odd i. All files carry the v2.0 footer signature
+    `_decode_any` dispatches on. media_id offset +700 in q198's
+    'tga' census group."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 11 + (i % 4) * 5, 9 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        base = (x * 7 + y * 13 + i * 31) % 256
+        rle = bool(i % 2)
+        td = i % 3 != 0
+        v = i % 5
+        if v in (0, 1):
+            px = np.stack(
+                [base, (base + 85) % 256, (base + 170) % 256], axis=-1
+            ).astype(np.uint8)
+            content = encode_tga(px, rle=(v == 1), top_down=td)
+        elif v == 2:
+            content = encode_tga(base.astype(np.uint8), rle=rle,
+                                 top_down=td)
+        elif v == 3:
+            j = np.arange(256, dtype=np.int64)
+            pal = np.stack(
+                [(j * 5 + 3) % 256, (j * 7 + 11) % 256,
+                 (j * 11 + 29) % 256], axis=-1
+            ).astype(np.uint8)
+            idx = ((x + y * 3 + i) % 256).astype(np.uint8)
+            content = encode_tga(idx, rle=rle, top_down=td, palette=pal)
+        else:
+            px = np.stack(
+                [base, (base + 85) % 256, (base + 170) % 256], axis=-1
+            ).astype(np.uint8)
+            content = encode_tga(px, rle=rle, top_down=td, bpp16=True)
+        rows.append(
+            (700 + i, "image", content, None,
+             f"mem://media/{700 + i}.tga")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
@@ -6541,6 +6868,8 @@ def _decode_wav_full(b: bytes):
 
     if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         return _decode_aiff(b)
+    if b[:4] == b".snd":
+        return _decode_au(b)
     if b[:4] in (b"fLaC", b"OggS"):
         # FLAC rides the same audio-kernel entry point: sample dtype
         # follows the WAV conventions (int16 scale for 8/16-bit —
@@ -7198,7 +7527,12 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
     """Deterministic G.711 telephony clips: clip i holds
     ``400 + (i % 5) * 40`` code bytes ``(i * 13 + t * 7) % 256``,
     mu-law for even i, A-law for odd — the q166 oracle recomputes the
-    CCITT expansion from the same closed form."""
+    CCITT expansion from the same closed form. Clips with i%4 in
+    (2, 3) (round 9) ship the SAME code bytes in a Sun/NeXT .au
+    container instead of WAV (encoding 1 on the even/mu-law rows,
+    27 on the odd/A-law rows) — the two containers decode
+    identically, so the container rotation is oracle-invisible but
+    a broken .au header walk or encoding map fails those rows."""
     import numpy as np
 
     rows = []
@@ -7208,10 +7542,13 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
             np.uint8
         )
         law = "ulaw" if i % 2 == 0 else "alaw"
-        rows.append(
-            (i, "audio", encode_wav_g711(codes, law), None,
-             f"mem://media/{i}.{law}.wav")
-        )
+        if i % 4 in (2, 3):
+            content = encode_au(codes, 1 if law == "ulaw" else 27, 8000)
+            path = f"mem://media/{i}.{law}.au"
+        else:
+            content = encode_wav_g711(codes, law)
+            path = f"mem://media/{i}.{law}.wav"
+        rows.append((i, "audio", content, None, path))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
 

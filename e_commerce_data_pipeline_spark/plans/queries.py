@@ -8885,7 +8885,11 @@ def q165_jpeg420_decode_stats(spark, sf_dir):
     "in SQL shift/mod arithmetic, so a wrong complement, bias, "
     "segment shift, or sign convention in either law breaks the "
     "hash. Even clips are mu-law, odd are A-law — both laws verify "
-    "in one query.",
+    "in one query. Round 9: clips with i%4 in (2,3) ship the same "
+    "code bytes in Sun/NeXT .au containers (encodings 1/27) instead "
+    "of WAV — identical decoded samples, so the container rotation "
+    "is oracle-invisible, but a broken .au header walk fails half "
+    "the rows.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q166_g711_decode_stats(spark, sf_dir):
@@ -11486,6 +11490,48 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    tgm AS (
+        SELECT i, 11 + (i % 4) * 5 AS w, 9 + (i % 3) * 4 AS h
+        FROM range(20) t(i)
+    ),
+    tgys AS (SELECT i, w, unnest(range(h)) AS y FROM tgm),
+    tgpx AS (SELECT i, y, unnest(range(w)) AS x FROM tgys),
+    tgv AS (
+        SELECT i,
+               (x * 7 + y * 13 + i * 31) % 256 AS base,
+               (x + y * 3 + i) % 256 AS idx
+        FROM tgpx
+    ),
+    tgrgb AS (
+        SELECT i,
+               CASE i % 5
+                 WHEN 2 THEN base
+                 WHEN 3 THEN (idx * 5 + 3) % 256
+                 WHEN 4 THEN (base // 8) * 8 + (base // 8) // 4
+                 ELSE base END AS r,
+               CASE i % 5
+                 WHEN 2 THEN base
+                 WHEN 3 THEN (idx * 7 + 11) % 256
+                 WHEN 4 THEN (((base + 85) % 256) // 8) * 8
+                             + (((base + 85) % 256) // 8) // 4
+                 ELSE (base + 85) % 256 END AS g2,
+               CASE i % 5
+                 WHEN 2 THEN base
+                 WHEN 3 THEN (idx * 11 + 29) % 256
+                 WHEN 4 THEN (((base + 170) % 256) // 8) * 8
+                             + (((base + 170) % 256) // 8) // 4
+                 ELSE (base + 170) % 256 END AS b2
+        FROM tgv
+    ),
+    tga AS (
+        SELECT 'tga' AS fmt, i + 700 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM tgrgb GROUP BY i
+    ),
     tjm AS (
         SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 2) * 16 AS h
         FROM range(18) t(i)
@@ -11670,6 +11716,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifjp
     UNION ALL SELECT * FROM tiffax
     UNION ALL SELECT * FROM tifyc
+    UNION ALL SELECT * FROM tga
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
     """,
@@ -11723,7 +11770,12 @@ def q197_cdc_validation_census(spark, sf_dir):
     "the established block-constant bit-exact corpus, strip splits "
     "exercising independent per-strip DC predictors. media_id +600; "
     "old-style compression 6, RGB-space JPEG (photometric 2), and "
-    "tiled/planar JPEG stay gated. JPEG DRI/RSTm restart "
+    "tiled/planar JPEG stay gated. TGA (round 9, media_id +700, fmt "
+    "'tga'): the magic-less Targa container detected via its v2.0 "
+    "footer signature — 24bpp raw/RLE, 8-bit grayscale, 8-bit "
+    "color-mapped (BGR entries), and 16bpp X1R5G5B5 with top-5-bit "
+    "channels bit-replicated, both vertical orientations; all "
+    "lossless, closed forms only re-index. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11761,6 +11813,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_tiff_pal16_table,
         synthetic_tiff_subbyte_table,
         synthetic_tiff_ycbcr_table,
+        synthetic_tga_table,
     )
 
     media = (
@@ -11773,6 +11826,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
         .unionByName(synthetic_tiff_jpeg_table(spark, n=18))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
+        .unionByName(synthetic_tga_table(spark, n=20))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
     )

@@ -586,6 +586,83 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_tga_and_au_containers_roundtrip_and_guards():
+    """TGA: every supported layout (16/24/32bpp truecolor, gray,
+    color-mapped; RLE and raw; both orientations) round-trips, the
+    v2.0 footer signature drives _decode_any dispatch, and RLE
+    overruns/truncations raise ValueError. AU (.snd): mu-law/A-law
+    payloads expand through the same tables as WAV formats 6/7,
+    signed 8/16/24-bit big-endian PCM decodes with house dtypes,
+    float encodings gate."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _AU_FMT_CODE,
+        _decode_any,
+        _decode_wav_full,
+        alaw_expand,
+        decode_tga,
+        encode_au,
+        encode_tga,
+        ulaw_expand,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(20):
+        h, w = rng.randint(1, 25), rng.randint(1, 25)
+        rle, td = bool(trial % 2), bool(trial % 3)
+        kind = trial % 5
+        if kind == 0:
+            a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            b = encode_tga(a, rle=rle, top_down=td)
+            want = a
+        elif kind == 1:
+            a = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+            b = encode_tga(a, rle=rle, top_down=td)
+            want = a
+        elif kind == 2:
+            a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            b = encode_tga(a, rle=rle, top_down=td)
+            want = np.stack([a] * 3, -1)
+        elif kind == 3:
+            pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+            idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            b = encode_tga(idx, rle=rle, top_down=td, palette=pal)
+            want = pal[idx.reshape(-1)].reshape(h, w, 3)
+        else:
+            a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            b = encode_tga(a, rle=rle, top_down=td, bpp16=True)
+            c5 = a >> 3
+            want = ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+        assert np.array_equal(decode_tga(b), want), (trial, kind)
+        px, fmt = _decode_any(b)
+        assert fmt == "tga" and np.array_equal(px, want)
+    # RLE raster overrun is loud
+    a = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    b = bytearray(encode_tga(a, rle=True))
+    b[18] = 0xFF  # first packet claims a 128-pixel run
+    with pytest.raises(ValueError):
+        decode_tga(bytes(b))
+    # AU containers
+    codes = rng.randint(0, 256, 300).astype(np.uint8)
+    for enc, want in ((1, ulaw_expand(codes)), (27, alaw_expand(codes))):
+        s, rate, fc, bits = _decode_wav_full(encode_au(codes, enc, 8000))
+        assert fc == _AU_FMT_CODE and rate == 8000
+        assert np.array_equal(s[:, 0], want.astype(np.int16)), enc
+    s16 = rng.randint(-30000, 30000, 200)
+    s, _, _, bits = _decode_wav_full(encode_au(s16, 3, 16000))
+    assert bits == 16 and np.array_equal(s[:, 0], s16)
+    s24 = rng.randint(-(1 << 23), 1 << 23, 200)
+    s, _, _, bits = _decode_wav_full(encode_au(s24, 4, 48000))
+    assert bits == 24 and np.array_equal(s[:, 0], s24)
+    # float encodings gate
+    import struct as st
+
+    hdr = st.pack(">4sIIIII", b".snd", 24, 8, 6, 8000, 1) + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        _decode_wav_full(hdr)
+
+
 def test_apng_compositing_reference_and_guards():
     """APNG: rendered canvases match an independent straight-alpha
     reference compositor across random frame stacks (all dispose and
@@ -2698,7 +2775,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_ppm,
         encode_wav,
         encode_aiff,
+        encode_au,
         encode_flac,
+        encode_tga,
+        decode_tga,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -2853,6 +2933,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_aiff(samples[:150].astype(np.int64), 22050), decode_wav),
         (encode_aiff(samples[:150].astype(np.int64), 22050, bits=24,
                      sowt=True), decode_wav),
+        (encode_au(rng.randint(0, 256, 150).astype(np.uint8), 1, 8000),
+         decode_wav),
+        (encode_tga(img, rle=True), decode_tga),
+        (encode_tga(img8, rle=False, top_down=False), decode_tga),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
