@@ -2641,6 +2641,191 @@ def decode_tiff(b: bytes):
     require_codec(f"TIFF photometric {photo}")
 
 
+def decode_tiff_float(b: bytes):
+    """Floating-point TIFF (SampleFormat 3 — the elevation/HDR
+    class) -> (h, w, spp) float64 array, spp 1 or 3. Strip-organized
+    chunky layout at 32- or 64-bit samples, both byte orders, the
+    four baseline codecs; the floating-point horizontal predictor
+    (317=3, byte-shuffled) and tiled/planar float layouts gate.
+    There is no canonical 8-bit rendering for float rasters, so this
+    is a SEPARATE entry point from ``decode_tiff`` — census kernels
+    surface the values through the house float micro-quantization
+    discipline instead."""
+    import numpy as np
+    import zlib
+
+    if b[:4] == b"II\x2a\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_ent > len(b):
+        raise ValueError("TIFF IFD truncated")
+    entries: dict[int, tuple] = {}
+    for k in range(n_ent):
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, ifd_off + 2 + 12 * k)
+        entries[tag] = (typ, cnt, ifd_off + 2 + 12 * k + 8)
+
+    def values(tag, default=None):
+        if tag not in entries:
+            return default
+        typ, cnt, at = entries[tag]
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None or cnt == 0:
+            raise ValueError("TIFF entry malformed")
+        if size * cnt > 4:
+            (at,) = struct.unpack_from(e + "I", b, at)
+        if at + size * cnt > len(b):
+            raise ValueError("TIFF entry data out of range")
+        if typ in (1, 2, 7):
+            return list(b[at : at + cnt])
+        fmt = {3: "H", 4: "I", 5: "II"}[typ]
+        return list(struct.unpack_from(e + fmt * cnt, b, at))
+
+    def one(tag, default=None):
+        v = values(tag, None)
+        return default if v is None else v[0]
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing dimensions")
+    spp = one(277, 1)
+    if spp not in (1, 3):
+        raise ValueError("float TIFF SamplesPerPixel unsupported")
+    bits = values(258, [32] * spp)
+    sfmt = values(339, [1] * spp)
+    if any(v != 3 for v in sfmt):
+        raise ValueError("decode_tiff_float expects SampleFormat 3")
+    if not all(v == bits[0] for v in bits) or bits[0] not in (32, 64):
+        require_codec(f"float TIFF bits per sample {bits}")
+    sb = bits[0] // 8
+    comp = one(259, 1)
+    if comp not in (1, 5, 8, 32773, 32946):
+        require_codec(f"float TIFF compression {comp}")
+    photo = one(262, 1)
+    if photo not in (1, 2):
+        require_codec(f"float TIFF photometric {photo}")
+    pred = one(317, 1)
+    if pred == 3:
+        require_codec("TIFF floating-point predictor")
+    if pred != 1:
+        raise ValueError("float TIFF with integer predictor")
+    if 322 in entries or 323 in entries or one(284, 1) == 2:
+        require_codec("tiled/planar float TIFF")
+    if w * h * spp * sb > (1 << 27):
+        raise ValueError("TIFF raster implausibly large")
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or mismatched")
+    rps = one(278, h)
+    if rps < 1 or len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip layout invalid")
+    row_bytes = w * spp * sb
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of range")
+        chunk = b[off : off + cnt]
+        expected = min(rps, h - si * rps) * row_bytes
+        if comp == 1:
+            if len(chunk) < expected:
+                raise ValueError("TIFF strip truncated")
+            raw += chunk[:expected]
+        elif comp == 32773:
+            raw += _packbits_decode(chunk, expected)
+        elif comp == 5:
+            data = _tiff_lzw_decode(chunk, expected)
+            if len(data) != expected:
+                raise ValueError("TIFF LZW strip size mismatch")
+            raw += data
+        else:
+            try:
+                data = zlib.decompress(chunk, bufsize=expected)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
+            if len(data) != expected:
+                raise ValueError("TIFF deflate strip size mismatch")
+            raw += data
+    a = np.frombuffer(bytes(raw), e + f"f{sb}").reshape(h, w, spp)
+    with np.errstate(invalid="ignore"):
+        out = a.astype(np.float64)
+    if not np.isfinite(out).all():
+        raise ValueError("float TIFF carries non-finite samples")
+    return out
+
+
+def encode_tiff_float(
+    arr,
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+    f64: bool = False,
+) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB float array -> SampleFormat-3
+    strip TIFF at 32- or 64-bit samples."""
+    import numpy as np
+    import zlib
+
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, spp = a.shape
+    assert spp in (1, 3)
+    sb = 8 if f64 else 4
+    photo = 1 if spp == 1 else 2
+    comp_code = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[
+        compression
+    ]
+
+    def compress(raw):
+        if comp_code == 1:
+            return raw
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        if comp_code == 5:
+            return _tiff_lzw_encode(raw)
+        return zlib.compress(raw, 6)
+
+    rows = np.ascontiguousarray(a.astype(e + f"f{sb}")).view(
+        np.uint8
+    ).reshape(h, -1)
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(compress(rows[y0 : y0 + rps].tobytes()))
+    body = bytearray()
+    offsets = []
+    for s in strips:
+        offsets.append(8 + len(body))
+        body += s
+        if len(body) % 2:
+            body += b"\x00"
+    ifd_off = 8 + len(body)
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8 * sb] * spp),
+        (259, 3, [comp_code]),
+        (262, 3, [photo]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 3, [min(rps, h)]),
+        (279, 4, [len(s) for s in strips]),
+        (339, 3, [3] * spp),
+    ]
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
+
+
 def _tiff_ifd(e: str, tags: list, data_off: int, next_off: int = 0) -> bytes:
     """Assemble an IFD: ``tags`` is [(tag, typ, values)] sorted by
     tag; out-of-line value arrays land after the entry table.
@@ -3433,7 +3618,27 @@ def _decode_any(content) -> tuple:
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return decode_gif(b), "gif"
         if b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
-            return decode_tiff(b), "tiff"
+            try:
+                return decode_tiff(b), "tiff"
+            except NotImplementedError as exc:
+                if "sample format" not in str(exc):
+                    raise
+                # SampleFormat-3 rasters have no canonical 8-bit
+                # rendering; surface them through the house float
+                # micro-quantization discipline (1/16 steps — exact
+                # for dyadic corpora, like audio's rint(x * 2^15))
+                import numpy as np
+
+                arr = decode_tiff_float(b)
+                q = np.rint(arr * 16.0)
+                if not np.isfinite(q).all() or (
+                    q.size and float(np.abs(q).max()) > 2.0**62
+                ):
+                    return None, None
+                q = q.astype(np.int64)
+                if q.shape[2] == 1:
+                    q = np.repeat(q, 3, axis=2)
+                return q, "tiff_f"
         if b[-18:] == _TGA_FOOTER:
             # TGA has no leading magic; the v2.0 footer signature is
             # the reliable detector (footerless v1 files need
@@ -4328,6 +4533,52 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 ),
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_tiff_float_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic SampleFormat-3 float TIFF table (the
+    elevation/HDR class): image i carries DYADIC sample values
+    base + frac/16 (base = (x*7 + y*13 + i*3) mod 256, frac =
+    (x + y + i) mod 16 — exact in float32), gray on even i and RGB
+    (+85/+170 base offsets) on odd, float64 samples when i%3==0,
+    rotating compression (i%4), byte order (i%2), and 4-row strips
+    (i%3==1). The census surfaces rint(v*16) micro-quantized ints
+    (fmt 'tiff_f'), so the oracle's closed form is base*16 + frac
+    exactly. media_id offset +800."""
+    import numpy as np
+
+    comps = ("none", "packbits", "lzw", "deflate")
+    rows = []
+    for i in range(n):
+        w, h = 10 + (i % 4) * 4, 8 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        base = (x * 7 + y * 13 + i * 3) % 256
+        frac = ((x + y + i) % 16) / 16.0
+        if i % 2 == 0:
+            arr = base + frac
+        else:
+            arr = np.stack(
+                [base + frac, (base + 85) % 256 + frac,
+                 (base + 170) % 256 + frac], axis=-1
+            )
+        rows.append(
+            (
+                800 + i,
+                "image",
+                encode_tiff_float(
+                    arr,
+                    compression=comps[i % 4],
+                    big_endian=bool(i % 2),
+                    rows_per_strip=4 if i % 3 == 1 else 0,
+                    f64=(i % 3 == 0),
+                ),
+                None,
+                f"mem://media/{800 + i}.f.tif",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)

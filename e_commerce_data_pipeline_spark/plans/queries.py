@@ -11490,6 +11490,36 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    tfm AS (
+        SELECT i, 10 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+        FROM range(12) t(i)
+    ),
+    tfys AS (SELECT i, w, unnest(range(h)) AS y FROM tfm),
+    tfpx AS (SELECT i, y, unnest(range(w)) AS x FROM tfys),
+    tfv AS (
+        SELECT i,
+               (x * 7 + y * 13 + i * 3) % 256 AS base,
+               (x + y + i) % 16 AS frac
+        FROM tfpx
+    ),
+    tfq AS (
+        SELECT i,
+               base * 16 + frac AS qr,
+               CASE WHEN i % 2 = 0 THEN base * 16 + frac
+                    ELSE ((base + 85) % 256) * 16 + frac END AS qg,
+               CASE WHEN i % 2 = 0 THEN base * 16 + frac
+                    ELSE ((base + 170) % 256) * 16 + frac END AS qb
+        FROM tfv
+    ),
+    tifff AS (
+        SELECT 'tiff_f' AS fmt, i + 800 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(qr) AS BIGINT) AS sum_r,
+               CAST(SUM(qg) AS BIGINT) AS sum_g,
+               CAST(SUM(qb) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(qr, qg, qb)) AS BIGINT) AS aux
+        FROM tfq GROUP BY i
+    ),
     tgm AS (
         SELECT i, 11 + (i % 4) * 5 AS w, 9 + (i % 3) * 4 AS h
         FROM range(20) t(i)
@@ -11716,6 +11746,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifjp
     UNION ALL SELECT * FROM tiffax
     UNION ALL SELECT * FROM tifyc
+    UNION ALL SELECT * FROM tifff
     UNION ALL SELECT * FROM tga
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
@@ -11775,7 +11806,16 @@ def q197_cdc_validation_census(spark, sf_dir):
     "footer signature — 24bpp raw/RLE, 8-bit grayscale, 8-bit "
     "color-mapped (BGR entries), and 16bpp X1R5G5B5 with top-5-bit "
     "channels bit-replicated, both vertical orientations; all "
-    "lossless, closed forms only re-index. JPEG DRI/RSTm restart "
+    "lossless, closed forms only re-index. FLOAT TIFF (round 9, "
+    "SampleFormat 3, fmt 'tiff_f', media_id +800): the "
+    "elevation/HDR class — float32/float64 gray and RGB strips at "
+    "all four codecs and byte orders via decode_tiff_float (no "
+    "canonical 8-bit rendering exists, so the census surfaces "
+    "rint(v*16) micro-quantized ints, the house float discipline); "
+    "the DYADIC corpus (base + frac/16) makes the quantization "
+    "exact and the oracle closed form base*16 + frac; the "
+    "floating-point predictor and tiled/planar float layouts stay "
+    "gated. JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "
@@ -11811,6 +11851,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_tiff_fax_table,
         synthetic_tiff_jpeg_table,
         synthetic_tiff_pal16_table,
+        synthetic_tiff_float_table,
         synthetic_tiff_subbyte_table,
         synthetic_tiff_ycbcr_table,
         synthetic_tga_table,
@@ -11826,6 +11867,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
         .unionByName(synthetic_tiff_jpeg_table(spark, n=18))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
+        .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_tga_table(spark, n=20))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))

@@ -586,6 +586,67 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_tiff_float_samples_roundtrip_quantization_and_gates():
+    """Float TIFF (SampleFormat 3): float32/float64 gray and RGB
+    strips round-trip bit-exact through all four codecs and byte
+    orders; _decode_any surfaces rint(v*16) micro-quantized ints
+    (fmt 'tiff_f'); non-finite samples and the floating-point
+    predictor are loud/gated; decode_tiff still gates SampleFormat
+    3 (separate contract)."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        decode_tiff,
+        decode_tiff_float,
+        encode_tiff_float,
+    )
+
+    rng = np.random.RandomState(14)
+    for trial in range(12):
+        h, w = rng.randint(1, 20), rng.randint(1, 20)
+        spp = 1 if trial % 2 == 0 else 3
+        shape = (h, w) if spp == 1 else (h, w, 3)
+        a = rng.randint(0, 256, shape) + rng.randint(0, 16, shape) / 16.0
+        b = encode_tiff_float(
+            a, compression=("none", "packbits", "lzw", "deflate")[trial % 4],
+            big_endian=bool(trial % 2),
+            rows_per_strip=3 if trial % 3 else 0,
+            f64=(trial % 3 == 0),
+        )
+        want = a[..., None] if spp == 1 else a
+        assert np.array_equal(decode_tiff_float(b), want), trial
+        q, fmt = _decode_any(b)
+        assert fmt == "tiff_f" and q.shape[2] == 3
+        assert np.array_equal(
+            q[..., 0], np.rint(want[..., 0] * 16).astype(np.int64)
+        )
+        with pytest.raises(NotImplementedError, match="sample format"):
+            decode_tiff(b)
+    # NaN samples are structural damage, not silent propagation
+    bad = np.zeros((3, 4), np.float64)
+    bb = bytearray(encode_tiff_float(bad))
+    bb[8:12] = st.pack("<f", float("nan"))  # first strip sample
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_tiff_float(bytes(bb))
+    # floating-point predictor (317 = 3) gates
+    fp = bytearray(encode_tiff_float(np.ones((3, 4)) * 0.5))
+    ifd = int.from_bytes(fp[4:8], "little")
+    n = int.from_bytes(fp[ifd : ifd + 2], "little")
+    forged = (
+        fp[: ifd + 2]
+        + bytes(fp[ifd + 2 : ifd + 2 + 12 * n])
+        + (317).to_bytes(2, "little") + (3).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + (3).to_bytes(2, "little")
+        + b"\x00\x00" + (0).to_bytes(4, "little")
+    )
+    forged = bytearray(forged)
+    forged[ifd : ifd + 2] = (n + 1).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff_float(bytes(forged))
+
+
 def test_tga_and_au_containers_roundtrip_and_guards():
     """TGA: every supported layout (16/24/32bpp truecolor, gray,
     color-mapped; RLE and raw; both orientations) round-trips, the
@@ -2779,6 +2840,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_flac,
         encode_tga,
         decode_tga,
+        encode_tiff_float,
+        decode_tiff_float,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -2937,6 +3000,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
          decode_wav),
         (encode_tga(img, rle=True), decode_tga),
         (encode_tga(img8, rle=False, top_down=False), decode_tga),
+        (encode_tiff_float((img8 / 16.0), compression="deflate",
+                           rows_per_strip=3), decode_tiff_float),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
