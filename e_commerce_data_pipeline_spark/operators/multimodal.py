@@ -685,6 +685,170 @@ def decode_ppm(b: bytes):
     return px.reshape(h, w, 3)
 
 
+def encode_pnm(arr, variant: str, maxval: int = 255) -> bytes:
+    """netpbm writer for the non-P6 family: ``variant`` in
+    P1 (ASCII bitmap — input 1 = black per PBM), P2 (ASCII graymap),
+    P3 (ASCII pixmap), P4 (packed binary bitmap), P5 (binary
+    graymap; maxval > 255 emits 2-byte big-endian samples)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if variant in ("P1", "P4"):
+        h, w = a.shape
+        assert int(a.max(initial=0)) <= 1
+        head = f"{variant}\n{w} {h}\n".encode()
+        if variant == "P1":
+            body = b"\n".join(
+                b" ".join(b"1" if v else b"0" for v in row)
+                for row in a.astype(np.uint8)
+            )
+            return head + body + b"\n"
+        return head + np.packbits(a.astype(np.uint8), axis=1).tobytes()
+    if variant in ("P2", "P5"):
+        h, w = a.shape
+        assert int(a.max(initial=0)) <= maxval
+        head = f"{variant}\n{w} {h}\n{maxval}\n".encode()
+        if variant == "P2":
+            body = b"\n".join(
+                b" ".join(str(int(v)).encode() for v in row) for row in a
+            )
+            return head + body + b"\n"
+        dt = ">u2" if maxval > 255 else np.uint8
+        return head + a.astype(dt).tobytes()
+    assert variant == "P3"
+    h, w, _ = a.shape
+    assert int(a.max(initial=0)) <= maxval
+    head = f"P3\n{w} {h}\n{maxval}\n".encode()
+    body = b"\n".join(
+        b" ".join(str(int(v)).encode() for v in row.reshape(-1))
+        for row in a
+    )
+    return head + body + b"\n"
+
+
+def decode_pnm(b: bytes):
+    """netpbm P1-P5 -> (h, w, 3) array (P6 decodes via
+    ``decode_ppm``): ASCII bitmap/graymap/pixmap with comments and
+    arbitrary token whitespace (P1 digits may abut per spec), packed
+    binary bitmap (MSB-first, rows byte-padded), binary graymap
+    (2-byte big-endian above maxval 255). PBM 1 = black renders 0.
+    Samples at maxval < 255 scale by round-half-up (v*255 +
+    maxval//2) // maxval — integer, oracle-mirrorable. Structural
+    damage (bad magic, short raster, sample > maxval) raises
+    ValueError."""
+    import numpy as np
+
+    magic = bytes(b[:2])
+    if magic not in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+        raise ValueError("not a P1-P5 netpbm file")
+    bitmap = magic in (b"P1", b"P4")
+    nch = 3 if magic == b"P3" else 1
+    want_header = 2 if bitmap else 3
+
+    pos = 2
+    header: list = []
+
+    def next_token():
+        nonlocal pos
+        while pos < len(b):
+            c = b[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace() and \
+                b[pos : pos + 1] != b"#":
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm header truncated")
+        tok = b[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"netpbm non-numeric token {tok!r}")
+        return int(tok)
+
+    while len(header) < want_header:
+        header.append(next_token())
+    if bitmap:
+        w, h = header
+        maxval = 1
+    else:
+        w, h, maxval = header
+    if w < 1 or h < 1 or w * h > (1 << 24):
+        raise ValueError("netpbm dimensions implausible")
+    if not 1 <= maxval <= 65535:
+        raise ValueError(f"netpbm maxval {maxval} invalid")
+    if magic in (b"P1", b"P2", b"P3"):
+        if magic == b"P1":
+            # bits may abut: read digit characters, skipping
+            # whitespace and comments
+            vals = np.empty(w * h, np.int64)
+            got = 0
+            while got < w * h:
+                if pos >= len(b):
+                    raise ValueError("netpbm ASCII raster truncated")
+                c = b[pos]
+                if c in (0x30, 0x31):
+                    vals[got] = c - 0x30
+                    got += 1
+                    pos += 1
+                elif b[pos : pos + 1].isspace():
+                    pos += 1
+                elif c == 0x23:  # comment
+                    while pos < len(b) and b[pos] != 0x0A:
+                        pos += 1
+                else:
+                    raise ValueError("netpbm P1 raster has a non-bit")
+        else:
+            vals = np.empty(w * h * nch, np.int64)
+            for k in range(w * h * nch):
+                vals[k] = next_token()
+            if int(vals.max(initial=0)) > maxval:
+                raise ValueError("netpbm sample exceeds maxval")
+        plane = vals.reshape(h, w, nch) if nch == 3 else \
+            vals.reshape(h, w, 1)
+    elif magic == b"P4":
+        pos += 1  # single whitespace after the header
+        rb = (w + 7) // 8
+        need = rb * h
+        if pos + need > len(b):
+            raise ValueError("netpbm P4 raster truncated")
+        packed = np.frombuffer(b, np.uint8, count=need, offset=pos)
+        plane = np.unpackbits(packed.reshape(h, rb), axis=1)[
+            :, :w
+        ].astype(np.int64)[..., None]
+    else:  # P5
+        pos += 1
+        if maxval > 255:
+            need = w * h * 2
+            if pos + need > len(b):
+                raise ValueError("netpbm P5 raster truncated")
+            g = np.frombuffer(b, ">u2", count=w * h, offset=pos)
+            if int(g.max(initial=0)) > maxval:
+                raise ValueError("netpbm sample exceeds maxval")
+            g16 = g.reshape(h, w).astype(np.uint16)
+            return np.stack([g16, g16, g16], axis=-1)
+        need = w * h
+        if pos + need > len(b):
+            raise ValueError("netpbm P5 raster truncated")
+        g = np.frombuffer(b, np.uint8, count=need, offset=pos)
+        if int(g.max(initial=0)) > maxval:
+            raise ValueError("netpbm sample exceeds maxval")
+        plane = g.reshape(h, w, 1).astype(np.int64)
+    if bitmap:
+        out = ((1 - plane) * 255).astype(np.uint8)  # 1 = black
+    elif maxval == 255:
+        out = plane.astype(np.uint8)
+    else:
+        out = ((plane * 255 + maxval // 2) // maxval).astype(np.uint8)
+    if out.shape[2] == 1:
+        out = np.repeat(out, 3, axis=2)
+    return np.ascontiguousarray(out)
+
+
 # ---------------------------------------------------------------------------
 # PNG (complete legal surface: gray/truecolor/palette/alpha at every
 # spec-legal depth, tRNS, Adam7 incl. sub-byte passes): zlib inflate
@@ -3611,6 +3775,8 @@ def _decode_any(content) -> tuple:
             return decode_bmp(b), "bmp"
         if b[:2] == b"P6":
             return decode_ppm(b), "ppm"
+        if b[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+            return decode_pnm(b), "pnm"
         if b[:8] == _PNG_SIG:
             return decode_png(b), "png"
         if b[:2] == b"\xff\xd8":
@@ -4534,6 +4700,53 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
             )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_pnm_table(spark, n: int = 20) -> DataFrame:
+    """Deterministic netpbm family table (variants P1-P5 by i%5):
+    ASCII/binary bitmaps use the block pattern ((x // (1+i%3)) +
+    (y // (1+i%2)) + i) mod 2 (1 = black renders 0); ASCII
+    gray/pixmaps carry maxval 255 on even i and 15 on odd (the
+    round-half-up (v*255 + mv//2)//mv scaling on the non-255 rows);
+    P3 channels offset by (mv+1)//3 steps; binary graymaps are 8-bit
+    on even i and full-range 16-bit (maxval 65535, 2-byte big-endian)
+    on odd. q198's oracle replays every variant closed-form in the
+    'pnm' census group."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 9 + (i % 4) * 4, 7 + (i % 3) * 3
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        v = i % 5
+        if v in (0, 3):
+            plane = ((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2
+            content = encode_pnm(plane, "P1" if v == 0 else "P4")
+        elif v == 1:
+            mv = 255 if i % 2 == 0 else 15
+            g = (x * 5 + y * 9 + i * 7) % (mv + 1)
+            content = encode_pnm(g, "P2", maxval=mv)
+        elif v == 2:
+            mv = 255 if i % 2 == 0 else 15
+            base = (x * 5 + y * 9 + i * 7) % (mv + 1)
+            d1 = (mv + 1) // 3
+            px = np.stack(
+                [base, (base + d1) % (mv + 1),
+                 (base + 2 * d1) % (mv + 1)], axis=-1
+            )
+            content = encode_pnm(px, "P3", maxval=mv)
+        elif i % 2 == 0:
+            g = (x * 3 + y * 11 + i * 13) % 256
+            content = encode_pnm(g, "P5", maxval=255)
+        else:
+            g = (x * 257 + y * 509 + i * 1021) % 65536
+            content = encode_pnm(g, "P5", maxval=65535)
+        rows.append(
+            (i, "image", content, None, f"mem://media/{i}.pnm")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

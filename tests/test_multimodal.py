@@ -586,6 +586,56 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_pnm_family_roundtrip_parse_and_guards():
+    """netpbm P1-P5: every variant round-trips (ASCII bitmap with
+    abutting digits and comments, graymap/pixmap at maxval 255/15/
+    100 with round-half-up scaling, packed binary bitmap, 8/16-bit
+    binary graymap); _decode_any dispatches on the magic; samples
+    over maxval and truncated rasters raise ValueError."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        decode_pnm,
+        encode_pnm,
+    )
+
+    rng = np.random.RandomState(15)
+    for trial in range(20):
+        h, w = rng.randint(1, 22), rng.randint(1, 22)
+        v = ("P1", "P2", "P3", "P4", "P5")[trial % 5]
+        if v in ("P1", "P4"):
+            a = rng.randint(0, 2, (h, w))
+            b = encode_pnm(a, v)
+            want = np.repeat(
+                ((1 - a) * 255).astype(np.uint8)[..., None], 3, 2
+            )
+        elif v == "P5" and trial % 2:
+            a = rng.randint(0, 65536, (h, w))
+            b = encode_pnm(a, v, maxval=65535)
+            want = np.repeat(a.astype(np.uint16)[..., None], 3, 2)
+        else:
+            mv = (255, 15, 100)[trial % 3]
+            a = rng.randint(0, mv + 1,
+                            (h, w, 3) if v == "P3" else (h, w))
+            b = encode_pnm(a, v, maxval=mv)
+            scaled = ((a * 255 + mv // 2) // mv).astype(np.uint8)
+            want = scaled if v == "P3" else np.repeat(
+                scaled[..., None], 3, 2)
+        assert np.array_equal(decode_pnm(b), want), (trial, v)
+        px, fmt = _decode_any(b)
+        assert fmt == "pnm" and np.array_equal(px, want)
+    # abutting P1 digits + comments mid-raster parse per spec
+    got = decode_pnm(b"P1\n# c\n4 2\n1011\n# mid\n0100\n")
+    assert list(got[0, :, 0]) == [0, 255, 0, 0]
+    assert list(got[1, :, 0]) == [255, 0, 255, 255]
+    # a P2 sample above maxval is structural damage
+    with pytest.raises(ValueError, match="maxval"):
+        decode_pnm(b"P2\n2 1\n15\n3 16\n")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P4\n9 4\n\x00\x01")  # truncated raster
+
+
 def test_tiff_float_samples_roundtrip_quantization_and_gates():
     """Float TIFF (SampleFormat 3): float32/float64 gray and RGB
     strips round-trip bit-exact through all four codecs and byte
@@ -2842,6 +2892,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_tga,
         encode_tiff_float,
         decode_tiff_float,
+        encode_pnm,
+        decode_pnm,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -3002,6 +3054,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_tga(img8, rle=False, top_down=False), decode_tga),
         (encode_tiff_float((img8 / 16.0), compression="deflate",
                            rows_per_strip=3), decode_tiff_float),
+        (encode_pnm((img8 >> 7), "P4"), decode_pnm),
+        (encode_pnm(img8, "P5", maxval=255), decode_pnm),
+        (encode_pnm((img8 >> 4), "P2", maxval=15), decode_pnm),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
