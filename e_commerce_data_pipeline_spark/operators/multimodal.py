@@ -3494,6 +3494,169 @@ def encode_tiff_jpeg(
     return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
 
 
+def encode_ico(entries) -> bytes:
+    """ICO writer: ``entries`` is a list of (rgba_array, kind) —
+    "png" stores an embedded PNG (the modern favicon layout);
+    "bmp" an ICO DIB (BITMAPINFOHEADER with DOUBLED height,
+    bottom-up 32bpp BGRA XOR data, then the 1bpp AND mask derived
+    from alpha==0, rows padded to 32 bits); "bmp24" the legacy
+    24bpp DIB whose transparency lives ONLY in the AND mask."""
+    import numpy as np
+
+    dirents = bytearray()
+    blobs = []
+    offset = 6 + 16 * len(entries)
+    for arr, kind in entries:
+        a = np.asarray(arr, np.uint8)
+        h, w, c = a.shape
+        assert c == 4 and w <= 256 and h <= 256
+        if kind == "png":
+            payload = encode_png_rgba(a)
+        else:
+            mask_bits = (a[..., 3] == 0).astype(np.uint8)[::-1]
+            rb = (w + 7) // 8
+            mstride = rb + ((-rb) % 4)
+            packed = np.packbits(mask_bits, axis=1)
+            rows = np.zeros((h, mstride), np.uint8)
+            rows[:, :rb] = packed
+            if kind == "bmp24":
+                bgr = a[..., [2, 1, 0]][::-1]
+                row = w * 3
+                stride = row + ((-row) % 4)
+                xr = np.zeros((h, stride), np.uint8)
+                xr[:, :row] = bgr.reshape(h, row)
+                xor = xr.tobytes()
+                bpp = 24
+            else:
+                xor = a[..., [2, 1, 0, 3]][::-1].tobytes()
+                bpp = 32
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0,
+                len(xor) + rows.size, 0, 0, 0, 0,
+            )
+            payload = hdr + xor + rows.tobytes()
+        dirents += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(payload),
+            offset,
+        )
+        blobs.append(payload)
+        offset += len(payload)
+    return (
+        struct.pack("<HHH", 0, 1, len(entries))
+        + bytes(dirents)
+        + b"".join(blobs)
+    )
+
+
+def decode_ico_entries(b: bytes):
+    """ICO/CUR bytes -> list of (h, w, 4) uint8 RGBA images, one per
+    directory entry: embedded PNG entries route through decode_png;
+    DIB entries parse the BITMAPINFOHEADER (biHeight doubled per the
+    format), bottom-up 1/4/8-bit paletted / 24bpp / 32bpp XOR data,
+    and the 1bpp AND mask — transparency comes from the 32bpp alpha
+    channel when it is non-zero anywhere, else from the mask (the
+    dual convention real favicons use). Structural damage raises
+    ValueError."""
+    import numpy as np
+
+    if len(b) < 6:
+        raise ValueError("ICO header truncated")
+    rsv, typ, cnt = struct.unpack_from("<HHH", b, 0)
+    if rsv != 0 or typ not in (1, 2) or cnt == 0:
+        raise ValueError("not an ICO/CUR file")
+    if cnt > 64:
+        raise ValueError("ICO entry count implausible")
+    out = []
+    for k in range(cnt):
+        at = 6 + 16 * k
+        if at + 16 > len(b):
+            raise ValueError("ICO directory truncated")
+        _w8, _h8, _cc, _rsv, _p, _bc, size, off = struct.unpack_from(
+            "<BBBBHHII", b, at
+        )
+        if off + size > len(b) or size < 8:
+            raise ValueError("ICO entry out of range")
+        payload = b[off : off + size]
+        if payload[:8] == _PNG_SIG:
+            px = decode_png(payload)
+            if px.shape[2] == 3:
+                px = np.concatenate(
+                    [px, np.full(px.shape[:2] + (1,), 255, np.uint8)],
+                    axis=-1,
+                )
+            out.append(px)
+            continue
+        if len(payload) < 40:
+            raise ValueError("ICO DIB header truncated")
+        (hsz, w, h2, planes, bpp, comp) = struct.unpack_from(
+            "<IiiHHI", payload, 0
+        )
+        if hsz != 40 or comp != 0:
+            raise ValueError("ICO DIB header unsupported")
+        if w < 1 or h2 < 2 or h2 % 2 or w > 1024 or h2 > 2048:
+            raise ValueError("ICO DIB dimensions implausible")
+        h = h2 // 2
+        if bpp not in (1, 4, 8, 24, 32):
+            require_codec(f"ICO DIB bpp {bpp}")
+        pos = 40
+        if bpp <= 8:
+            n_pal = 1 << bpp
+            if pos + 4 * n_pal > len(payload):
+                raise ValueError("ICO palette truncated")
+            pal = np.frombuffer(
+                payload[pos : pos + 4 * n_pal], np.uint8
+            ).reshape(n_pal, 4)[:, [2, 1, 0]]
+            pos += 4 * n_pal
+            rb = (w * bpp + 7) // 8
+            stride = rb + ((-rb) % 4)
+            if pos + stride * h > len(payload):
+                raise ValueError("ICO XOR data truncated")
+            rows = np.frombuffer(
+                payload, np.uint8, count=stride * h, offset=pos
+            ).reshape(h, stride)[:, :rb]
+            idx = rows[:, :w] if bpp == 8 else _unpack_msb_samples(
+                rows, w, bpp
+            )
+            rgb = pal[idx.reshape(-1).astype(np.int64)].reshape(h, w, 3)
+            alpha = None
+            pos += stride * h
+        else:
+            nb = bpp // 8
+            row = w * nb
+            stride = row + ((-row) % 4)
+            if pos + stride * h > len(payload):
+                raise ValueError("ICO XOR data truncated")
+            px = np.frombuffer(
+                payload, np.uint8, count=stride * h, offset=pos
+            ).reshape(h, stride)[:, :row].reshape(h, w, nb)
+            rgb = px[..., [2, 1, 0]]
+            alpha = px[..., 3] if nb == 4 else None
+            pos += stride * h
+        # 1bpp AND mask, rows padded to 32 bits, bottom-up
+        mrb = (w + 7) // 8
+        mstride = mrb + ((-mrb) % 4)
+        if pos + mstride * h > len(payload):
+            raise ValueError("ICO AND mask truncated")
+        mrows = np.frombuffer(
+            payload, np.uint8, count=mstride * h, offset=pos
+        ).reshape(h, mstride)[:, :mrb]
+        mask = _unpack_msb_samples(mrows, w, 1)
+        if alpha is not None and int(alpha.max(initial=0)) > 0:
+            av = alpha  # modern 32bpp: alpha channel wins
+        else:
+            av = ((1 - mask) * 255).astype(np.uint8)
+        rgba = np.concatenate([rgb, av[..., None]], axis=-1)
+        out.append(np.ascontiguousarray(rgba[::-1]))  # bottom-up
+    return out
+
+
+def decode_ico(b: bytes):
+    """ICO bytes -> the LARGEST entry's (h, w, 4) RGBA raster (the
+    census convention; ``decode_ico_entries`` returns all)."""
+    entries = decode_ico_entries(b)
+    return max(entries, key=lambda a: a.shape[0] * a.shape[1])
+
+
 _TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
 
 
@@ -3773,6 +3936,20 @@ def _decode_any(content) -> tuple:
     try:
         if b[:2] == b"BM":
             return decode_bmp(b), "bmp"
+        if (
+            b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+            and len(b) >= 6
+            and b[4] != 0
+            and b[-18:] != _TGA_FOOTER
+        ):
+            # ICO (type 1) / CUR (type 2). The CUR magic collides
+            # with a raw truecolor TGA's first four bytes
+            # (idlen 0, no colormap, image type 2, cmap_first 0), so
+            # two discriminators apply: a real <=64-entry icon
+            # directory has a NONZERO count low byte where truecolor
+            # TGA carries cmap_first's zero high byte, and a TGA 2.0
+            # footer always wins the dispatch.
+            return decode_ico(b), "ico"
         if b[:2] == b"P6":
             return decode_ppm(b), "ppm"
         if b[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
@@ -4700,6 +4877,45 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
             )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_ico_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic ICO (favicon) table: file i's PRIMARY entry is
+    w=10+(i%4)*4 by h=8+(i%3)*4 with r = (x*9 + y*5 + i*17) mod 256
+    (+85/+170 channel offsets) and alpha 0 exactly where
+    (x + y + i) mod 7 == 0 (binary — exact under every storage),
+    stored as embedded PNG / 32bpp DIB / 24bpp DIB + AND mask by
+    i%3; files with i%4==0 carry a SECOND smaller 5x4 entry so the
+    census exercises largest-entry selection. q198's 'ico' group
+    replays the primary entry closed-form."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 10 + (i % 4) * 4, 8 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        r = (x * 9 + y * 5 + i * 17) % 256
+        alpha = np.where((x + y + i) % 7 == 0, 0, 255)
+        px = np.stack(
+            [r, (r + 85) % 256, (r + 170) % 256, alpha], axis=-1
+        ).astype(np.uint8)
+        kind = ("png", "bmp", "bmp24")[i % 3]
+        entries = [(px, kind)]
+        if i % 4 == 0:
+            y2 = np.arange(4, dtype=np.int64)[:, None]
+            x2 = np.arange(5, dtype=np.int64)[None, :]
+            r2 = (x2 + y2 + i) % 256
+            small = np.stack(
+                [r2, r2, r2, np.full((4, 5), 255, np.int64)], axis=-1
+            ).astype(np.uint8)
+            entries.append((small, "png"))
+        rows.append(
+            (i, "image", encode_ico(entries), None,
+             f"mem://media/{i}.ico")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

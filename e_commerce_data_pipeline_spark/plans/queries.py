@@ -11490,6 +11490,28 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    icm AS (
+        SELECT i, 10 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
+        FROM range(12) t(i)
+    ),
+    icys AS (SELECT i, w, unnest(range(h)) AS y FROM icm),
+    icpx AS (SELECT i, y, unnest(range(w)) AS x FROM icys),
+    icch AS (
+        SELECT i,
+               (x * 9 + y * 5 + i * 17) % 256 AS r,
+               ((x * 9 + y * 5 + i * 17) % 256 + 85) % 256 AS g2,
+               ((x * 9 + y * 5 + i * 17) % 256 + 170) % 256 AS b2
+        FROM icpx
+    ),
+    icrows AS (
+        SELECT 'ico' AS fmt, i AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM icch GROUP BY i
+    ),
     pnm AS (
         SELECT i, 9 + (i % 4) * 4 AS w, 7 + (i % 3) * 3 AS h,
                CASE WHEN i % 2 = 0 THEN 255 ELSE 15 END AS mv
@@ -11797,6 +11819,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifyc
     UNION ALL SELECT * FROM tifff
     UNION ALL SELECT * FROM pnmrows
+    UNION ALL SELECT * FROM icrows
     UNION ALL SELECT * FROM tga
     UNION ALL SELECT * FROM jpg
     UNION ALL SELECT * FROM jprog
@@ -11808,7 +11831,14 @@ def q197_cdc_validation_census(spark, sf_dir):
     "gray/pixmaps with comments and maxval scaling by round-half-up "
     "(v*255 + mv//2)//mv on non-255 maxvals, packed binary bitmaps "
     "(PBM 1 = black renders 0), and binary graymaps incl. 16-bit "
-    "big-endian — every variant replayed closed-form. "
+    "big-endian — every variant replayed closed-form. ICO/CUR "
+    "(round 9, fmt 'ico'): favicon containers — embedded-PNG "
+    "entries through decode_png, 32bpp DIBs (alpha channel wins "
+    "when non-zero anywhere), legacy 24bpp + AND-mask DIBs, "
+    "paletted DIBs, doubled-height headers, largest-entry "
+    "selection over multi-entry files; the CUR magic collides with "
+    "raw truecolor TGA's first four bytes, disambiguated by the "
+    "entry-count byte + TGA footer (pytest-pinned). "
     "16-bit PPM: maxval>255 means 2-byte big-endian samples per the "
     "netpbm spec — one frombuffer dtype switch; aux = max sample "
     "proves full-range 16-bit values actually arrive (a byte-order "
@@ -11898,6 +11928,7 @@ def q197_cdc_validation_census(spark, sf_dir):
 def q198_codec_gate_census(spark, sf_dir):
     from ..operators.multimodal import (
         codec_census_stats,
+        synthetic_ico_table,
         synthetic_pnm_table,
         synthetic_jpeg_prog_table,
         synthetic_jpeg_rst_table,
@@ -11926,6 +11957,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_pnm_table(spark, n=20))
+        .unionByName(synthetic_ico_table(spark, n=12))
         .unionByName(synthetic_tga_table(spark, n=20))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))

@@ -586,6 +586,79 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_ico_entries_roundtrip_masks_and_tga_collision():
+    """ICO/CUR: PNG, 32bpp-DIB, and 24bpp-DIB entries round-trip
+    (alpha from the channel when non-zero anywhere, else from the
+    AND mask — the dual favicon convention); a hand-built 8bpp
+    paletted DIB resolves BGRA palette entries and the mask;
+    decode_ico picks the largest entry; and the dispatch
+    disambiguates the CUR-magic / raw-truecolor-TGA collision (both
+    start 00 00 02 00) via the entry-count byte and the TGA
+    footer."""
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        decode_ico,
+        decode_ico_entries,
+        encode_ico,
+        encode_tga,
+    )
+
+    rng = np.random.RandomState(16)
+    for trial in range(10):
+        entries = []
+        for k in range(1 + trial % 3):
+            hh, ww = rng.randint(1, 30), rng.randint(1, 30)
+            a = rng.randint(0, 256, (hh, ww, 4)).astype(np.uint8)
+            kind = ("png", "bmp", "bmp24")[(trial + k) % 3]
+            if kind == "bmp24":
+                a[..., 3] = np.where(a[..., 3] < 128, 0, 255)
+            elif kind == "bmp":
+                a[..., 3] = np.where(a[..., 3] < 16, 0, a[..., 3])
+            entries.append((a, kind))
+        b = encode_ico(entries)
+        got = decode_ico_entries(b)
+        for g, (a, _) in zip(got, entries):
+            assert np.array_equal(g, a), trial
+        largest = max((a for a, _ in entries),
+                      key=lambda x: x.shape[0] * x.shape[1])
+        assert np.array_equal(decode_ico(b), largest)
+        px, fmt = _decode_any(b)
+        assert fmt == "ico" and np.array_equal(px, largest)
+    # hand-built 8bpp paletted DIB entry (BGRA palette + AND mask)
+    h, w = 6, 9
+    pal = rng.randint(0, 256, (256, 4)).astype(np.uint8)
+    idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    alpha = rng.randint(0, 2, (h, w)).astype(np.uint8) * 255
+    rb = (w + 7) // 8
+    mstride = rb + ((-rb) % 4)
+    mask = np.zeros((h, mstride), np.uint8)
+    mask[:, :rb] = np.packbits((alpha == 0).astype(np.uint8)[::-1],
+                               axis=1)
+    stride = w + ((-w) % 4)
+    xr = np.zeros((h, stride), np.uint8)
+    xr[:, :w] = idx[::-1]
+    hdr = st.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 8, 0, 0, 0, 0, 0, 0)
+    payload = hdr + pal.tobytes() + xr.tobytes() + mask.tobytes()
+    ico = (st.pack("<HHH", 0, 1, 1)
+           + st.pack("<BBBBHHII", w, h, 0, 0, 1, 8, len(payload), 22)
+           + payload)
+    got = decode_ico(ico)
+    assert np.array_equal(
+        got[..., :3],
+        pal[:, [2, 1, 0]][idx.reshape(-1).astype(np.int64)].reshape(
+            h, w, 3),
+    )
+    assert np.array_equal(got[..., 3], alpha)
+    # raw truecolor TGA starts 00 00 02 00 — must NOT dispatch as CUR
+    a = rng.randint(0, 256, (7, 9, 3)).astype(np.uint8)
+    tga = encode_tga(a, rle=False, top_down=True)
+    assert tga[:4] == b"\x00\x00\x02\x00"
+    px, fmt = _decode_any(tga)
+    assert fmt == "tga" and np.array_equal(px, a)
+
+
 def test_pnm_family_roundtrip_parse_and_guards():
     """netpbm P1-P5: every variant round-trips (ASCII bitmap with
     abutting digits and comments, graymap/pixmap at maxval 255/15/
@@ -2894,6 +2967,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_tiff_float,
         encode_pnm,
         decode_pnm,
+        encode_ico,
+        decode_ico,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -3057,6 +3132,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_pnm((img8 >> 7), "P4"), decode_pnm),
         (encode_pnm(img8, "P5", maxval=255), decode_pnm),
         (encode_pnm((img8 >> 4), "P2", maxval=15), decode_pnm),
+        (encode_ico([
+            (np.concatenate([img[:9, :8], rng.randint(
+                0, 256, (9, 8, 1)).astype(np.uint8)], axis=-1), "bmp"),
+            (np.concatenate([img[:5, :6], np.full(
+                (5, 6, 1), 255, np.uint8)], axis=-1), "png")],
+        ), decode_ico),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
