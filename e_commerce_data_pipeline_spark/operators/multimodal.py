@@ -3657,6 +3657,144 @@ def decode_ico(b: bytes):
     return max(entries, key=lambda a: a.shape[0] * a.shape[1])
 
 
+def _pcx_rle_encode(row: bytes) -> bytes:
+    """PCX RLE for one row-plane: runs up to 63; any byte >= 0xC0
+    must be coded as a run even at count 1."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        v = row[i]
+        run = 1
+        while i + run < n and run < 63 and row[i + run] == v:
+            run += 1
+        if run > 1 or v >= 0xC0:
+            out.append(0xC0 | run)
+            out.append(v)
+        else:
+            out.append(v)
+        i += run
+    return bytes(out)
+
+
+def encode_pcx(arr, palette=None) -> bytes:
+    """(h, w, 3) RGB (three 8-bit planes per row), (h, w) uint8
+    indices with ``palette`` (256, 3 — the 0x0C VGA palette block at
+    EOF), or (h, w) 0/1 monochrome — -> PCX version 5, RLE
+    encoding."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if palette is not None:
+        assert a.ndim == 2
+        h, w = a.shape
+        bpp, planes = 8, 1
+        row_planes = [a]
+    elif a.ndim == 2:
+        h, w = a.shape
+        assert int(a.max(initial=0)) <= 1
+        bpp, planes = 1, 1
+        row_planes = [a]
+    else:
+        h, w, _ = a.shape
+        bpp, planes = 8, 3
+        row_planes = [a[..., c] for c in range(3)]
+    bpl = (w * bpp + 7) // 8
+    bpl += bpl % 2  # even bytes-per-line per spec
+    header = struct.pack(
+        "<BBBBHHHHHH48sBBHH58s",
+        0x0A, 5, 1, bpp, 0, 0, w - 1, h - 1, 72, 72, b"\x00" * 48,
+        0, planes, bpl, 1, b"\x00" * 58,
+    )
+    body = bytearray()
+    for y in range(h):
+        for pl in row_planes:
+            if bpp == 1:
+                packed = np.packbits(pl[y][None, :], axis=1)[0]
+                row = packed.tobytes().ljust(bpl, b"\x00")
+            else:
+                row = pl[y].tobytes().ljust(bpl, b"\x00")
+            body += _pcx_rle_encode(row)
+    out = bytearray(header) + body
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        assert pal.shape == (256, 3)
+        out += b"\x0c" + pal.tobytes()
+    return bytes(out)
+
+
+def decode_pcx(b: bytes):
+    """PCX bytes -> (h, w, 3) uint8 RGB: version-5 RLE scanlines for
+    8bpp VGA-paletted (0x0C trailer), 24bpp (three 8-bit planes per
+    row), and 1bpp monochrome images. EGA multi-plane and sub-byte
+    depths gate via require_codec; structural damage raises
+    ValueError."""
+    import numpy as np
+
+    if len(b) < 128 or b[0] != 0x0A:
+        raise ValueError("not a PCX")
+    version, encoding, bpp = b[1], b[2], b[3]
+    if version not in (0, 2, 3, 5):
+        raise ValueError(f"PCX version {version} invalid")
+    if encoding != 1:
+        raise ValueError("PCX without RLE encoding")
+    xmin, ymin, xmax, ymax = struct.unpack_from("<HHHH", b, 4)
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    if w < 1 or h < 1 or w * h > (1 << 24):
+        raise ValueError("PCX dimensions implausible")
+    planes = b[65]
+    (bpl,) = struct.unpack_from("<H", b, 66)
+    if (bpp, planes) not in ((8, 1), (8, 3), (1, 1)):
+        require_codec(f"PCX layout {bpp}bpp x {planes} planes")
+    if bpl < (w * bpp + 7) // 8:
+        raise ValueError("PCX bytes-per-line too small")
+    if bpl > 4 * ((w * bpp + 7) // 8) + 8:
+        raise ValueError("PCX bytes-per-line implausible")
+    need = h * planes * bpl
+    out = np.empty(need, np.uint8)
+    pos, filled = 128, 0
+    while filled < need:
+        if pos >= len(b):
+            raise ValueError("PCX RLE stream truncated")
+        v = b[pos]
+        pos += 1
+        if v >= 0xC0:
+            count = v & 0x3F
+            if pos >= len(b):
+                raise ValueError("PCX RLE run truncated")
+            val = b[pos]
+            pos += 1
+        else:
+            count, val = 1, v
+        if filled + count > need:
+            # spec allows runs to pad to the row end but never past
+            # the raster
+            count = need - filled
+        out[filled : filled + count] = val
+        filled += count
+    rows = out.reshape(h, planes, bpl)
+    if bpp == 1:
+        bits = _unpack_msb_samples(rows[:, 0, :], w, 1)
+        g = (bits * 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if planes == 3:
+        return np.ascontiguousarray(
+            rows[:, :, :w].transpose(0, 2, 1)
+        )
+    # 8bpp paletted: VGA palette trailer
+    if pos + 769 > len(b) or b[pos] != 0x0C:
+        # some writers pad RLE to even size before the trailer
+        tail = b.rfind(b"\x0c", max(128, len(b) - 770))
+        if tail < 0 or len(b) - tail != 769:
+            raise ValueError("PCX VGA palette trailer missing")
+        pos = tail
+    pal = np.frombuffer(b[pos + 1 : pos + 769], np.uint8).reshape(
+        256, 3
+    )
+    idx = rows[:, 0, :w]
+    return pal[idx.reshape(-1).astype(np.int64)].reshape(h, w, 3)
+
+
 _TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
 
 
@@ -3952,6 +4090,9 @@ def _decode_any(content) -> tuple:
             return decode_ico(b), "ico"
         if b[:2] == b"P6":
             return decode_ppm(b), "ppm"
+        if b[:1] == b"\x0a" and len(b) > 3 and b[1] in (0, 2, 3, 5) \
+                and b[2] == 1:
+            return decode_pcx(b), "pcx"
         if b[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
             return decode_pnm(b), "pnm"
         if b[:8] == _PNG_SIG:
@@ -4877,6 +5018,45 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
             )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_pcx_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic PCX table rotating the three supported layouts
+    by i%3 — 24bpp three-plane RGB (r = (x*11 + y*3 + i*23) mod 256,
+    +85/+170 offsets), 8bpp VGA-paletted (idx = (x*3 + y*5 + i*7)
+    mod 256 through pal[j] = ((j*7+5, j*3+57, j*13+19) mod 256)),
+    and 1bpp monochrome block patterns rendered *255. q198's 'pcx'
+    census group replays each closed-form."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 9 + (i % 4) * 5, 7 + (i % 3) * 4
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        if i % 3 == 0:
+            r = (x * 11 + y * 3 + i * 23) % 256
+            px = np.stack(
+                [r, (r + 85) % 256, (r + 170) % 256], axis=-1
+            ).astype(np.uint8)
+            content = encode_pcx(px)
+        elif i % 3 == 1:
+            j = np.arange(256, dtype=np.int64)
+            pal = np.stack(
+                [(j * 7 + 5) % 256, (j * 3 + 57) % 256,
+                 (j * 13 + 19) % 256], axis=-1
+            ).astype(np.uint8)
+            idx = ((x * 3 + y * 5 + i * 7) % 256).astype(np.uint8)
+            content = encode_pcx(idx, palette=pal)
+        else:
+            plane = (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2
+                     ).astype(np.uint8)
+            content = encode_pcx(plane)
+        rows.append(
+            (i, "image", content, None, f"mem://media/{i}.pcx")
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))

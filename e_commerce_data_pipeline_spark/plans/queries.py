@@ -11490,6 +11490,41 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    pcm2 AS (
+        SELECT i, 9 + (i % 4) * 5 AS w, 7 + (i % 3) * 4 AS h
+        FROM range(12) t(i)
+    ),
+    pcys AS (SELECT i, w, unnest(range(h)) AS y FROM pcm2),
+    pcpx AS (SELECT i, y, unnest(range(w)) AS x FROM pcys),
+    pcch AS (
+        SELECT i,
+          CASE i % 3
+            WHEN 0 THEN (x * 11 + y * 3 + i * 23) % 256
+            WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 7 + 5) % 256
+            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
+                 * 255 END AS r,
+          CASE i % 3
+            WHEN 0 THEN ((x * 11 + y * 3 + i * 23) % 256 + 85) % 256
+            WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 3 + 57) % 256
+            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
+                 * 255 END AS g2,
+          CASE i % 3
+            WHEN 0 THEN ((x * 11 + y * 3 + i * 23) % 256 + 170) % 256
+            WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 13 + 19)
+                        % 256
+            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
+                 * 255 END AS b2
+        FROM pcpx
+    ),
+    pcxrows AS (
+        SELECT 'pcx' AS fmt, i AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM pcch GROUP BY i
+    ),
     icm AS (
         SELECT i, 10 + (i % 4) * 4 AS w, 8 + (i % 3) * 4 AS h
         FROM range(12) t(i)
@@ -11819,6 +11854,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifyc
     UNION ALL SELECT * FROM tifff
     UNION ALL SELECT * FROM pnmrows
+    UNION ALL SELECT * FROM pcxrows
     UNION ALL SELECT * FROM icrows
     UNION ALL SELECT * FROM tga
     UNION ALL SELECT * FROM jpg
@@ -11838,7 +11874,11 @@ def q197_cdc_validation_census(spark, sf_dir):
     "paletted DIBs, doubled-height headers, largest-entry "
     "selection over multi-entry files; the CUR magic collides with "
     "raw truecolor TGA's first four bytes, disambiguated by the "
-    "entry-count byte + TGA footer (pytest-pinned). "
+    "entry-count byte + TGA footer (pytest-pinned). PCX (round 9, "
+    "fmt 'pcx'): version-5 RLE scanlines — 24bpp three-plane rows, "
+    "8bpp with the 0x0C VGA palette trailer, 1bpp monochrome; "
+    "even bytes-per-line padding honored, EGA multi-plane layouts "
+    "gate. "
     "16-bit PPM: maxval>255 means 2-byte big-endian samples per the "
     "netpbm spec — one frombuffer dtype switch; aux = max sample "
     "proves full-range 16-bit values actually arrive (a byte-order "
@@ -11929,6 +11969,7 @@ def q198_codec_gate_census(spark, sf_dir):
     from ..operators.multimodal import (
         codec_census_stats,
         synthetic_ico_table,
+        synthetic_pcx_table,
         synthetic_pnm_table,
         synthetic_jpeg_prog_table,
         synthetic_jpeg_rst_table,
@@ -11957,6 +11998,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_pnm_table(spark, n=20))
+        .unionByName(synthetic_pcx_table(spark, n=12))
         .unionByName(synthetic_ico_table(spark, n=12))
         .unionByName(synthetic_tga_table(spark, n=20))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))

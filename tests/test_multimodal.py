@@ -586,6 +586,58 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         decode_tiff(bytes(g4))
 
 
+def test_pcx_layouts_roundtrip_and_guards():
+    """PCX: 24bpp three-plane, 8bpp VGA-paletted (0x0C trailer),
+    and 1bpp monochrome round-trip through version-5 RLE (runs
+    capped at 63, >=0xC0 literals forced into runs, even
+    bytes-per-line padding); _decode_any dispatches on the 0x0A
+    magic + RLE byte; missing palette trailers and truncated RLE
+    raise ValueError; EGA multi-plane layouts gate."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_any,
+        decode_pcx,
+        encode_pcx,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(15):
+        h, w = rng.randint(1, 28), rng.randint(1, 28)
+        kind = trial % 3
+        if kind == 0:
+            a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            b = encode_pcx(a)
+            want = a
+        elif kind == 1:
+            pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+            idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            b = encode_pcx(idx, palette=pal)
+            want = pal[idx.reshape(-1)].reshape(h, w, 3)
+        else:
+            a = rng.randint(0, 2, (h, w)).astype(np.uint8)
+            b = encode_pcx(a)
+            want = np.repeat((a * 255).astype(np.uint8)[..., None], 3, 2)
+        assert np.array_equal(decode_pcx(b), want), (trial, kind)
+        px, fmt = _decode_any(b)
+        assert fmt == "pcx" and np.array_equal(px, want)
+    # missing VGA trailer on an 8bpp file is loud
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    b = encode_pcx(rng.randint(0, 256, (5, 6)).astype(np.uint8),
+                   palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        decode_pcx(b[:-769])
+    # EGA 4-plane layouts gate
+    g = bytearray(encode_pcx(rng.randint(0, 2, (5, 6)).astype(np.uint8)))
+    g[65] = 4  # planes
+    with pytest.raises(NotImplementedError):
+        decode_pcx(bytes(g))
+    # truncated RLE stream
+    b24 = encode_pcx(rng.randint(0, 256, (9, 8, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_pcx(b24[:140])
+
+
 def test_ico_entries_roundtrip_masks_and_tga_collision():
     """ICO/CUR: PNG, 32bpp-DIB, and 24bpp-DIB entries round-trip
     (alpha from the channel when non-zero anywhere, else from the
@@ -2969,6 +3021,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_pnm,
         encode_ico,
         decode_ico,
+        encode_pcx,
+        decode_pcx,
         encode_wav_float32,
         encode_wav_float64,
         _MS_NIB_BIAS,
@@ -3138,6 +3192,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
             (np.concatenate([img[:5, :6], np.full(
                 (5, 6, 1), 255, np.uint8)], axis=-1), "png")],
         ), decode_ico),
+        (encode_pcx(img[:8, :9]), decode_pcx),
+        (encode_pcx((img8 >> 4), palette=rng.randint(
+            0, 256, (256, 3)).astype(np.uint8)), decode_pcx),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
