@@ -73,11 +73,26 @@ def exact_quantiles(
             cells = []
             for p in open_ps:
                 _, lo, hi = state[p]
-                w = hi - lo + 1
-                bw = -(-w // buckets)  # ceil width: idx < B, and the
-                # (v - lo) div bw form never multiplies a value-range
-                # quantity — overflow-free across the full int64 domain
-                idx = F.expr(f"(v - {lo}L) div {bw}L")
+                w = hi - lo + 1  # Python int: exact at any range
+                bw = -(-w // buckets)  # ceil width: idx < B
+                if w > 1 << 62:
+                    # an interval spanning more than half the int64
+                    # domain makes v - lo itself overflow (ANSI
+                    # ARITHMETIC_OVERFLOW; only the FIRST round can
+                    # hit this — later intervals are <= range/B
+                    # wide). Compute the bucket with decimal(38,0)
+                    # INTEGRAL division (div, which returns an exact
+                    # truncated bigint quotient): plain decimal `/`
+                    # is wrong here — Spark reduces its result scale
+                    # to 6 and HALF_UP-rounds, so floor(255.99999...)
+                    # reads 256.
+                    idx = F.expr(
+                        f"(cast(v as decimal(38, 0)) - {lo}) div {bw}"
+                    )
+                else:
+                    # the common rounds stay in long arithmetic
+                    # (whole-stage codegen, no decimal cost)
+                    idx = F.expr(f"(v - {lo}L) div {bw}L")
                 cells.append(
                     F.when(
                         (F.col("v") >= lo) & (F.col("v") <= hi),

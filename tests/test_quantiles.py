@@ -34,6 +34,29 @@ def test_tiny_buckets_still_converge(spark):
     assert got[50] == _ref(vals, 50)
 
 
+def test_full_domain_range_first_round_overflow(spark):
+    """Round-9 hypothesis find: an interval spanning more than half
+    the int64 domain made the first round's (v - lo) overflow under
+    ANSI (and the first decimal-division fix rounded 255.999... UP
+    to bucket 256 — Spark reduces decimal / scale to 6 and HALF_UPs,
+    so the bucket index must use integral div). Pin the found
+    example plus both int64 extremes."""
+    cases = [
+        [-(2**62), 2**62],
+        [-9223372036854775808, 9223372036854775807],
+        [-(2**62), -(2**62), 2**62, 5],
+        list(range(-5, 6)) + [2**62, -(2**62)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "cents long")
+        got = {
+            r.percent: r.value
+            for r in exact_quantiles(df, "cents", [1, 50, 100]).collect()
+        }
+        for p in (1, 50, 100):
+            assert got[p] == _ref(vals, p), (vals, p)
+
+
 def test_single_row_and_nulls(spark):
     df = spark.createDataFrame([(42,), (None,), (None,)], "cents long")
     rows = exact_quantiles(df, "cents", [50, 99]).collect()
