@@ -1386,6 +1386,12 @@ def decode_apng_frames(b: bytes, max_frames: int = 256):
     )
     if sw * sh > (1 << 24):
         raise ValueError("APNG canvas implausibly large")
+    # bound TOTAL rendered output, not canvas and frame count
+    # independently: 256 frames x 16M-px RGBA canvases would be
+    # multi-GB from one payload (mirrors the other decoders'
+    # allocation guards, which bound total work)
+    if len(frames_meta) * sw * sh > (1 << 26):
+        raise ValueError("APNG total rendered area implausibly large")
     # frame 0's data is the IDAT stream when its fcTL precedes IDAT
     if idat_after_first_fctl:
         if frames_meta[0][1]:
@@ -8634,12 +8640,14 @@ def _flac_md5_bytes(arr, bps: int) -> bytes:
     import numpy as np
 
     flat = np.asarray(arr, np.int64).reshape(-1)
-    if bps == 8:
-        return (flat & 0xFF).astype(np.uint8).tobytes()
-    if bps == 16:
-        return (flat & 0xFFFF).astype("<u2").tobytes()
-    u = (flat & 0xFFFFFF).astype("<u4")
-    return u.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    width = (bps + 7) // 8  # spec: ceil(bps/8) bytes per sample, LE
+    mask = (1 << (8 * width)) - 1
+    if width == 1:
+        return (flat & mask).astype(np.uint8).tobytes()
+    if width == 2:
+        return (flat & mask).astype("<u2").tobytes()
+    u = (flat & mask).astype("<u4")
+    return u.view(np.uint8).reshape(-1, 4)[:, :width].tobytes()
 
 
 def _flac_read_signed_block(rd, n: int, width: int):
@@ -9050,7 +9058,7 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
         a = a[:, None]
     n_total, nch = a.shape
     assert nch in (1, 2), "FLAC encoder: mono or stereo"
-    assert bps in (8, 16, 24), "FLAC encoder: 8/16/24-bit"
+    assert bps in (8, 12, 16, 20, 24), "FLAC encoder: 8/12/16/20/24-bit"
     lim = 1 << (bps - 1)
     assert a.min(initial=0) >= -lim and a.max(initial=0) < lim
     import hashlib

@@ -991,6 +991,80 @@ def test_apng_compositing_reference_and_guards():
         decode_apng_frames(bytes(b))
 
 
+def test_apng_total_rendered_area_guard():
+    """A crafted APNG whose canvas passes the per-canvas cap but
+    whose frame_count x canvas product is multi-GB of rendered RGBA
+    output raises BEFORE any frame decompression/compositing (the
+    allocation guard bounds TOTAL work, matching the other
+    decoders). The guard fires on chunk metadata alone — frame
+    payloads here are never even inflated."""
+    import struct as st
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_apng_frames,
+    )
+
+    sw, sh, nframes = 5000, 3000, 5  # 15 Mpx canvas (< 2^24) x 5 > 2^26
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(
+        b"IHDR", st.pack(">IIBBBBB", sw, sh, 8, 6, 0, 0, 0)
+    )
+    out += _png_chunk(b"acTL", st.pack(">II", nframes, 0))
+    for seq in range(nframes):
+        out += _png_chunk(
+            b"fcTL",
+            st.pack(">IIIIIHHBB", seq, sw, sh, 0, 0, 1, 10, 0, 0),
+        )
+    out += _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="total rendered area"):
+        decode_apng_frames(bytes(out))
+
+
+def test_flac_md5_sample_byte_width():
+    """RFC 9639 §9.1.5: the STREAMINFO MD5 is computed over
+    ceil(bps/8)-byte little-endian channel-interleaved samples. A
+    12-bit stream therefore hashes TWO bytes per sample and a 20-bit
+    stream THREE — the regression here (ADVICE r9) emitted 3 bytes
+    for every bps other than 8/16, so a spec-valid external 12-bit
+    FLAC decoded correctly and was then rejected by the MD5 net.
+    Asserts the embedded STREAMINFO MD5 equals an independently
+    packed reference for every supported width, that 12/20-bit
+    streams round-trip, and that a forged MD5 still raises."""
+    import hashlib
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(21)
+    for bps in (8, 12, 16, 20, 24):
+        lim = 1 << (bps - 1)
+        nch = 2 if bps in (12, 20) else 1
+        a = rng.randint(-lim, lim, size=(700, nch))
+        enc = encode_flac(a, 32000, bps=bps, blocksize=256)
+        width = (bps + 7) // 8
+        ref = bytearray()
+        for v in a.reshape(-1):
+            ref += int(v & ((1 << (8 * width)) - 1)).to_bytes(
+                width, "little"
+            )
+        want = hashlib.md5(bytes(ref)).digest()
+        assert enc[26:42] == want, bps  # fLaC(4)+hdr(4)+streaminfo(18)
+        dec, rate, dbps = decode_flac(enc)
+        assert dbps == bps and np.array_equal(dec, a), bps
+    # the MD5 net still catches forged signatures
+    bad = bytearray(encode_flac(rng.randint(-2048, 2048, size=500),
+                                16000, bps=12))
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(bad))
+
+
 def test_aiff_container_roundtrip_and_extended_rate():
     """AIFF/AIFC: big-endian PCM at 8 (signed)/16/24-bit and the
     little-endian 'sowt' AIFC layout round-trip through the audio
