@@ -4326,6 +4326,47 @@ def synthetic_ms_adpcm_table(spark, n: int = 24) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
+def synthetic_ima4_table(spark, n: int = 20) -> DataFrame:
+    """Deterministic AIFC 'ima4' clips (Apple QuickTime IMA 4:1, the
+    most common compressed-AIFF variant): clip i (media_id 200 + i,
+    disjoint from the q169 WAV IMA/MS families) decodes to
+    ``100 + (i % 4) * 50`` samples — NOT a multiple of the 64-sample
+    packet, so the COMM-frame truncation path is driver-gated — from
+    nibble codes ``(i * 9 + t * 5) % 16`` and initial state
+    (pred = ((i * 113) % 2000) - 1000, index = (i * 7) % 89). Packet
+    preambles continue the running state with the & ~0x7F predictor
+    snap; the q169 oracle replays the identical state machine in a
+    recursive CTE, applying the snap at every 64-code boundary."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        ns = 100 + (i % 4) * 50
+        groups = (ns + 63) // 64
+        codes = (
+            (i * 9 + np.arange(groups * 64, dtype=np.int64) * 5) % 16
+        ).astype(np.uint8)
+        ssnd = _ima4_packets_from_codes(
+            codes, ((i * 113) % 2000) - 1000, (i * 7) % 89
+        )
+        comm = struct.pack(">hIh", 1, ns, 16) + \
+            _ieee754_extended_pack(16000.0) + b"ima4" + b"\x00\x00"
+        ssnd_body = struct.pack(">II", 0, 0) + ssnd
+        chunks = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+        for cid, body in ((b"COMM", comm), (b"SSND", ssnd_body)):
+            chunks += cid + struct.pack(">I", len(body)) + body
+            if len(body) % 2:
+                chunks += b"\x00"
+        content = b"FORM" + struct.pack(">I", 4 + len(chunks)) + \
+            b"AIFC" + chunks
+        rows.append(
+            (200 + i, "audio", content, None,
+             f"mem://media/{200 + i}.ima4.aifc")
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
 def synthetic_png_palette_table(spark, n: int = 45) -> DataFrame:
     """Deterministic INDEXED PNGs (color type 3): same gradient
     closed form, yet a different decode path from q147's truecolor
@@ -8420,6 +8461,7 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
 
 
 _AIFF_FMT_CODE = 0xA1FF  # sentinel fmt_code for AIFF/AIFC containers
+_IMA4_FMT_CODE = 0xA1F4  # sentinel fmt_code for AIFC 'ima4' payloads
 
 
 def _ieee754_extended_pack(v: float) -> bytes:
@@ -8454,13 +8496,17 @@ def _ieee754_extended_unpack(b: bytes) -> float:
 
 
 def encode_aiff(samples, sample_rate: int = 16000, bits: int = 16,
-                sowt: bool = False) -> bytes:
+                sowt: bool = False, ima4: bool = False) -> bytes:
     """Mono/stereo int array -> AIFF (big-endian PCM) or, with
     ``sowt``, AIFC with the little-endian 'sowt' compression type —
-    the two layouts Mac-origin corpora actually ship. ``bits`` in
-    (8, 16, 24); AIFF 8-bit samples are SIGNED (unlike WAV)."""
+    the two layouts Mac-origin corpora actually ship. ``ima4``
+    produces AIFC with Apple's QuickTime IMA 4:1 compression
+    (34-byte packets, per-channel interleaved, state carried across
+    packets through the truncated preamble). ``bits`` in (8, 16,
+    24); AIFF 8-bit samples are SIGNED (unlike WAV)."""
     import numpy as np
 
+    assert not (sowt and ima4)
     a = np.asarray(samples, np.int64)
     if a.ndim == 1:
         a = a[:, None]
@@ -8468,16 +8514,35 @@ def encode_aiff(samples, sample_rate: int = 16000, bits: int = 16,
     lim = 1 << (bits - 1)
     assert bits in (8, 16, 24) and a.min(initial=0) >= -lim and \
         a.max(initial=0) < lim
-    width = bits // 8
-    inter = a.reshape(-1)
-    data = bytearray()
-    for v in inter:
-        data += int(v & ((1 << bits) - 1)).to_bytes(
-            width, "little" if sowt else "big"
-        )
-    if sowt:
+    if ima4:
+        assert bits == 16 and ch in (1, 2), "ima4: 16-bit mono/stereo"
+        groups = (n + 63) // 64
+        if n < groups * 64:  # pad the tail by holding the last sample
+            tail = a[-1:] if n else np.zeros((1, ch), np.int64)
+            a = np.concatenate(
+                [a, np.repeat(tail, groups * 64 - n, axis=0)]
+            )
+        preds, idxs = [0] * ch, [0] * ch
+        data = bytearray()
+        for g in range(groups):
+            for c in range(ch):
+                pkt, preds[c], idxs[c] = _ima4_encode_packet(
+                    a[g * 64 : (g + 1) * 64, c], preds[c], idxs[c]
+                )
+                data += pkt
+        data = bytes(data)
+    else:
+        width = bits // 8
+        inter = a.reshape(-1)
+        data = bytearray()
+        for v in inter:
+            data += int(v & ((1 << bits) - 1)).to_bytes(
+                width, "little" if sowt else "big"
+            )
+    if sowt or ima4:
+        ctype = b"sowt" if sowt else b"ima4"
         comm_body = struct.pack(">hIh", ch, n, bits) + \
-            _ieee754_extended_pack(float(sample_rate)) + b"sowt" + \
+            _ieee754_extended_pack(float(sample_rate)) + ctype + \
             b"\x00\x00"  # empty pstring name, padded even
     else:
         comm_body = struct.pack(">hIh", ch, n, bits) + \
@@ -8488,8 +8553,8 @@ def encode_aiff(samples, sample_rate: int = 16000, bits: int = 16,
         chunks += cid + struct.pack(">I", len(body)) + body
         if len(body) % 2:
             chunks += b"\x00"
-    form_type = b"AIFC" if sowt else b"AIFF"
-    if sowt:
+    form_type = b"AIFC" if (sowt or ima4) else b"AIFF"
+    if sowt or ima4:
         fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
         chunks = fver + chunks
     return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type + \
@@ -8511,6 +8576,7 @@ def _decode_aiff(b: bytes):
     comm = None
     data = None
     little = False
+    ima4 = False
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack_from(">I", b, pos + 4)
@@ -8528,6 +8594,8 @@ def _decode_aiff(b: bytes):
                 ctype = body[18:22]
                 if ctype == b"sowt":
                     little = True
+                elif ctype == b"ima4":
+                    ima4 = True
                 elif ctype not in (b"NONE",):
                     require_codec(f"AIFC compression {ctype!r}")
             comm = (ch, n, bits, rate)
@@ -8542,6 +8610,15 @@ def _decode_aiff(b: bytes):
     if comm is None or data is None:
         raise ValueError("AIFF missing COMM/SSND chunk")
     ch, n, bits, rate = comm
+    if ima4:
+        # Apple QuickTime IMA 4:1 — COMM sampleSize stays 16 and
+        # numSampleFrames counts DECODED frames (AIFF-C spec: the
+        # uncompressed equivalent), not packets
+        if ch < 1 or ch > 2 or n < 0 or bits != 16:
+            raise ValueError("AIFC ima4 COMM fields implausible")
+        if rate < 1 or rate > 1e7:
+            raise ValueError("AIFF sample rate implausible")
+        return _decode_aifc_ima4(data, ch, n, int(round(rate)))
     if ch < 1 or n < 0 or bits not in (8, 16, 24):
         raise ValueError("AIFF COMM fields implausible")
     if rate < 1 or rate > 1e7:
@@ -8570,6 +8647,101 @@ def _decode_aiff(b: bytes):
         v = np.where(v >= 1 << 23, v - (1 << 24), v)
         out = v.astype(np.int32).reshape(n, ch)
     return out, int(round(rate)), _AIFF_FMT_CODE, bits
+
+
+def _decode_aifc_ima4(data: bytes, ch: int, n: int, rate: int):
+    """Apple QuickTime 'ima4' AIFC payload -> ((n, ch) int16, rate,
+    fmt sentinel, 16). Each 34-byte packet carries a 2-byte
+    big-endian state preamble (top 9 bits: the predictor's high
+    bits, i.e. pred & ~0x7F sign-extended; low 7 bits: the step
+    index) followed by 32 nibble bytes = 64 samples, LOW nibble
+    first. Packets for multi-channel audio interleave per channel
+    within each 64-frame group. Unlike WAV IMA (format 0x11) the
+    preamble predictor is NOT emitted as a sample — all 64 samples
+    come from stepping the canonical state machine
+    (``ima_adpcm_step``, the exact arithmetic the q169 oracle
+    replays in a recursive CTE with the packet-boundary & ~0x7F
+    snap). numSampleFrames may be below packets*64; the tail is
+    dropped."""
+    import numpy as np
+
+    groups = (n + 63) // 64
+    need = groups * 34 * ch
+    if len(data) < need:
+        raise ValueError("AIFC ima4 SSND shorter than COMM frames")
+    if n == 0:
+        return np.zeros((0, ch), np.int16), rate, _IMA4_FMT_CODE, 16
+    out = np.empty((groups * 64, ch), np.int16)
+    for c in range(ch):
+        for g in range(groups):
+            off = (g * ch + c) * 34
+            (pre,) = struct.unpack_from(">H", data, off)
+            pred = pre & 0xFF80
+            if pred >= 0x8000:
+                pred -= 0x10000
+            idx = pre & 0x7F
+            if idx > 88:
+                raise ValueError("AIFC ima4 step index out of range")
+            nib = np.frombuffer(data, np.uint8,
+                                count=32, offset=off + 2)
+            codes = np.empty(64, np.uint8)
+            codes[0::2] = nib & 0x0F
+            codes[1::2] = nib >> 4
+            base = g * 64
+            for m, code in enumerate(codes):
+                pred, idx = ima_adpcm_step(pred, idx, int(code))
+                out[base + m, c] = pred
+    return out[:n], rate, _IMA4_FMT_CODE, 16
+
+
+def _ima4_encode_packet(samples64, pred: int, idx: int):
+    """Encode one 64-sample block as a 34-byte ima4 packet from the
+    running (pred, idx) state. The preamble truncates the predictor
+    to its top 9 bits, so the encoder snaps its own state to
+    pred & ~0x7F first — both sides then agree bit-for-bit. Returns
+    (packet bytes, new_pred, new_idx)."""
+    pred &= ~0x7F  # the decoder can only see the preamble's 9 bits
+    out = bytearray(struct.pack(">H", (pred & 0xFFFF) | (idx & 0x7F)))
+    nibbles = []
+    for s in samples64:
+        step = _IMA_STEP[idx]
+        diff = int(s) - pred
+        code = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, idx = ima_adpcm_step(pred, idx, code)
+        nibbles.append(code)
+    for j in range(0, 64, 2):
+        out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return bytes(out), pred, idx
+
+
+def _ima4_packets_from_codes(codes, p0: int, x0: int) -> bytes:
+    """SSND payload (mono) carrying a KNOWN nibble sequence — the
+    q169-style corpus trick: the decoder is fed deterministic codes
+    so the oracle replays pure state transitions without modeling an
+    encoder. Packet preambles CONTINUE the running state (snapped to
+    & ~0x7F at each boundary, exactly what a real streaming encoder
+    emits). len(codes) must be a multiple of 64."""
+    assert len(codes) % 64 == 0
+    pred, idx = int(p0), int(x0)
+    data = bytearray()
+    for g in range(len(codes) // 64):
+        pred &= ~0x7F
+        data += struct.pack(">H", (pred & 0xFFFF) | idx)
+        blk = codes[g * 64 : (g + 1) * 64]
+        for j in range(0, 64, 2):
+            data.append(int(blk[j]) | (int(blk[j + 1]) << 4))
+        for code in blk:
+            pred, idx = ima_adpcm_step(pred, idx, int(code))
+    return bytes(data)
 
 
 # ---------------------------------------------------------------------------

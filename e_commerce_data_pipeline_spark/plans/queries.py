@@ -9044,17 +9044,32 @@ def _q169_oracle() -> str:
     _MS_NIB_VALUES = ", ".join(
         f"({i}, {v})" for i, v in enumerate(_MS_NIB_BIAS)
     )
-    code = "(d.i * 5 + d.t * 3) % 16"
-    diff = (
-        f"((s.step // 8)"
-        f" + (CASE WHEN ({code}) // 4 % 2 = 1 THEN s.step ELSE 0 END)"
-        f" + (CASE WHEN ({code}) // 2 % 2 = 1 THEN s.step // 2 ELSE 0 END)"
-        f" + (CASE WHEN ({code}) % 2 = 1 THEN s.step // 4 ELSE 0 END))"
-    )
-    sign = f"(CASE WHEN ({code}) // 8 = 1 THEN -1 ELSE 1 END)"
-    idx_adj = (
-        f"(CASE WHEN ({code}) % 8 < 4 THEN -1"
-        f" ELSE (({code}) % 8 - 3) * 2 END)"
+    def _ima_exprs(code: str):
+        diff = (
+            f"((s.step // 8)"
+            f" + (CASE WHEN ({code}) // 4 % 2 = 1 THEN s.step ELSE 0 END)"
+            f" + (CASE WHEN ({code}) // 2 % 2 = 1 THEN s.step // 2"
+            f" ELSE 0 END)"
+            f" + (CASE WHEN ({code}) % 2 = 1 THEN s.step // 4"
+            f" ELSE 0 END))"
+        )
+        sign = f"(CASE WHEN ({code}) // 8 = 1 THEN -1 ELSE 1 END)"
+        idx_adj = (
+            f"(CASE WHEN ({code}) % 8 < 4 THEN -1"
+            f" ELSE (({code}) % 8 - 3) * 2 END)"
+        )
+        return diff, sign, idx_adj
+
+    diff, sign, idx_adj = _ima_exprs("(d.i * 5 + d.t * 3) % 16")
+    diff4, sign4, idx_adj4 = _ima_exprs("(d.i * 9 + d.t * 5) % 16")
+    # AIFC ima4 packet-boundary predictor snap: the decoder re-reads
+    # state from each packet's 2-byte preamble, which only carries
+    # pred & ~0x7F — in SQL, pred minus its non-negative mod-128
+    # residue (DuckDB % truncates, so re-add 128 before the final %)
+    snap4 = (
+        "(CASE WHEN d.t % 64 = 0"
+        " THEN d.pred - ((d.pred % 128) + 128) % 128"
+        " ELSE d.pred END)"
     )
     return f"""
     WITH RECURSIVE m AS (
@@ -9123,6 +9138,31 @@ def _q169_oracle() -> str:
         SELECT i, s2_0 FROM msm
         UNION ALL SELECT i, s1_0 FROM msm
         UNION ALL SELECT i, s1 FROM msdec WHERE t >= 2
+    ),
+    -- AIFC 'ima4' (Apple QuickTime IMA 4:1): same step table and
+    -- transition arithmetic as WAV IMA, but the 34-byte packet
+    -- framing re-reads state from each preamble, whose predictor
+    -- field keeps only the top 9 bits — replayed as the mod-128
+    -- snap at every 64-code boundary. The preamble sample is NOT
+    -- emitted (unlike WAV IMA's header sample), so aggregation
+    -- starts at t = 1; numSampleFrames truncates below packets*64.
+    im4 AS (
+        SELECT i, 100 + (i % 4) * 50 AS ns,
+               ((i * 113) % 2000) - 1000 AS p0,
+               (i * 7) % 89 AS x0
+        FROM range(20) t(i)
+    ),
+    dec4(i, t, pred, sx) AS (
+        SELECT i, 0, p0, x0 FROM im4
+        UNION ALL
+        SELECT d.i, d.t + 1,
+               greatest(-32768, least(32767,
+                   {snap4} + {sign4} * {diff4})),
+               greatest(0, least(88, d.sx + {idx_adj4}))
+        FROM dec4 d
+        JOIN im4 m ON m.i = d.i
+        JOIN steptab s ON s.sx = d.sx
+        WHERE d.t < m.ns
     )
     SELECT i AS media_id,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
@@ -9137,6 +9177,13 @@ def _q169_oracle() -> str:
            CAST(SUM(v * v) AS BIGINT) AS sum_sq,
            CAST(MAX(ABS(v)) AS BIGINT) AS peak
     FROM ms_samples GROUP BY i
+    UNION ALL
+    SELECT i + 200 AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(pred) AS BIGINT) AS sum_lin,
+           CAST(SUM(pred * pred) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(pred)) AS BIGINT) AS peak
+    FROM dec4 WHERE t >= 1 GROUP BY i
     """
 
 
@@ -9157,22 +9204,30 @@ def _q169_oracle() -> str:
     "(the q174 int-division lesson applied in reverse). A wrong "
     "shift, clamp bound, sign bit, header-sample order, or "
     "adaptation entry diverges within a few samples and breaks "
-    "every downstream sum. Stereo layouts for both codecs are "
+    "every downstream sum. Round 10 adds the THIRD classic IMA "
+    "framing — AIFC 'ima4' (Apple QuickTime IMA 4:1, media_id "
+    "offset +200): 34-byte packets whose 2-byte preamble re-seeds "
+    "(pred & ~0x7F, step index) per packet, 64 low-nibble-first "
+    "codes each, NO emitted header sample, and COMM numSampleFrames "
+    "truncation below packets*64 — the oracle replays the identical "
+    "state machine with the mod-128 predictor snap at every "
+    "64-code boundary. Stereo layouts for all three codecs are "
     "pytest-verified against per-channel mono replay; "
-    "multimodal.ima_adpcm_step/ms_adpcm_step and the encode_wav_* "
-    "writers.",
+    "multimodal.ima_adpcm_step/ms_adpcm_step and the encode_wav_* / "
+    "encode_aiff(ima4=True) writers.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q169_ima_adpcm_decode_stats(spark, sf_dir):
     from ..operators.multimodal import (
         audio_exact_stats,
+        synthetic_ima4_table,
         synthetic_ima_table,
         synthetic_ms_adpcm_table,
     )
 
     media = synthetic_ima_table(spark, n=30).unionByName(
         synthetic_ms_adpcm_table(spark, n=24)
-    )
+    ).unionByName(synthetic_ima4_table(spark, n=20))
     return audio_exact_stats(media).orderBy("media_id")
 
 

@@ -1097,10 +1097,10 @@ def test_aiff_container_roundtrip_and_extended_rate():
         assert (rate, fc, bb) == (22050, _AIFF_FMT_CODE, bits)
         want = a * 256 if bits == 8 else a
         assert np.array_equal(s, want.reshape(n, nch)), trial
-    # AIFC with an unknown compression type gates
+    # AIFC with an unknown compression type gates (ima4 retired r10)
     b = bytearray(encode_aiff(np.arange(40) - 20, 8000, sowt=True))
     pos = b.find(b"sowt")
-    b[pos : pos + 4] = b"ima4"
+    b[pos : pos + 4] = b"fl32"
     with pytest.raises(NotImplementedError):
         _decode_wav_full(bytes(b))
     # corrupt extended-float exponent must not overflow
@@ -1110,6 +1110,87 @@ def test_aiff_container_roundtrip_and_extended_rate():
     b[pos + 1] = 0xFE
     with pytest.raises(ValueError):
         _decode_wav_full(bytes(b))
+
+
+def test_aifc_ima4_roundtrip_stereo_and_damage():
+    """AIFC 'ima4' (Apple QuickTime IMA 4:1, gate retired round 10):
+    decode equals an independent per-channel replay of the canonical
+    IMA state machine with the & ~0x7F predictor snap at each
+    34-byte packet boundary; the encoder's internal predictions ARE
+    the decoded samples (it snaps its own state to what the preamble
+    can carry); stereo interleaves per-channel packets within each
+    64-frame group and matches two mono replays; COMM
+    numSampleFrames truncates a partial final packet; damage — SSND
+    shorter than the frame count, a preamble step index > 88 —
+    raises ValueError."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _IMA_STEP,
+        _IMA4_FMT_CODE,
+        _decode_wav_full,
+        encode_aiff,
+        ima_adpcm_step,
+    )
+
+    def replay(sig):
+        pred, idx = 0, 0
+        out = []
+        n = len(sig)
+        groups = (n + 63) // 64
+        pad = list(sig) + [sig[-1]] * (groups * 64 - n)
+        for t, s_in in enumerate(pad):
+            if t % 64 == 0:
+                pred &= ~0x7F
+            step = _IMA_STEP[idx]
+            diff = int(s_in) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, idx = ima_adpcm_step(pred, idx, code)
+            out.append(pred)
+        return np.array(out[:n], np.int16)
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        nch = 1 + trial % 2
+        n = rng.randint(1, 900)  # usually NOT a multiple of 64
+        a = np.clip(
+            np.cumsum(rng.randint(-700, 700, size=(n, nch)), axis=0),
+            -32768, 32767,
+        )
+        b = encode_aiff(a, 22050, bits=16, ima4=True)
+        s, rate, fc, bits = _decode_wav_full(b)
+        assert (rate, fc, bits, s.dtype) == (
+            22050, _IMA4_FMT_CODE, 16, np.int16
+        )
+        assert s.shape == (n, nch)
+        for c in range(nch):  # stereo == per-channel mono replay
+            assert np.array_equal(s[:, c], replay(a[:, c])), (trial, c)
+    # SSND shorter than COMM frames
+    good = encode_aiff(np.arange(200) * 50 - 5000, 16000, ima4=True)
+    b = bytearray(good)
+    pos = b.find(b"SSND")
+    (size,) = __import__("struct").unpack_from(">I", b, pos + 4)
+    short = b[: pos + 8 + size - 34] + b[pos + 8 + size :]
+    import struct as st
+    short[pos + 4 : pos + 8] = st.pack(">I", size - 34)
+    short[4:8] = st.pack(">I", len(short) - 8)
+    with pytest.raises(ValueError, match="shorter"):
+        _decode_wav_full(bytes(short))
+    # preamble step index out of range
+    bad = bytearray(good)
+    data_at = bad.find(b"SSND") + 16  # SSND id+size+offset+blocksize
+    bad[data_at : data_at + 2] = st.pack(">H", 100)  # idx 100 > 88
+    with pytest.raises(ValueError, match="step index"):
+        _decode_wav_full(bytes(bad))
 
 
 def test_flac_roundtrip_stereo_modes_and_damage():
@@ -3251,6 +3332,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_aiff(samples[:150].astype(np.int64), 22050), decode_wav),
         (encode_aiff(samples[:150].astype(np.int64), 22050, bits=24,
                      sowt=True), decode_wav),
+        (encode_aiff(samples[:150].astype(np.int64), 22050,
+                     ima4=True), decode_wav),
         (encode_au(rng.randint(0, 256, 150).astype(np.uint8), 1, 8000),
          decode_wav),
         (encode_tga(img, rle=True), decode_tga),
