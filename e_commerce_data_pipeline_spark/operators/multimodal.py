@@ -9216,13 +9216,17 @@ def _flac_decode_subframe(rd: _FlacBitReader, n: int, bps: int):
 
 
 def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
-                blocksize: int = 256, mode_rotation: bool = True) -> bytes:
+                blocksize: int = 256, mode_rotation: bool = True,
+                ogg: bool = False) -> bytes:
     """Mono (n,) or stereo (n, 2) int array -> FLAC bytes.
 
     ``mode_rotation`` cycles the stereo decorrelation (independent /
     left-side / right-side / mid-side) and subframe strategy
     (auto fixed-order / VERBATIM / order-2 LPC) across frames so a
-    multi-frame corpus exercises the full decoder surface."""
+    multi-frame corpus exercises the full decoder surface. ``ogg``
+    wraps the stream in Ogg pages per the xiph FLAC-to-Ogg mapping
+    (mapping packet + a minimal VORBIS_COMMENT header packet + one
+    frame per audio packet, small pages forcing 255-lacing spans)."""
     import numpy as np
 
     a = np.asarray(samples, np.int64)
@@ -9247,7 +9251,9 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
     si.put(5, bps - 1)
     si.put(36, n_total)
     si_bytes = si.bytes() + md5
-    out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
+    si_block = bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
+    out += si_block
+    frames = []  # (frame bytes, end-sample position) for Ogg paging
     frame_no = 0
     pos = 0
     while pos < n_total or (n_total == 0 and frame_no == 0):
@@ -9307,19 +9313,227 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
         frame += struct.pack(">H", _flac_crc16(frame))
         out += frame
         pos += nb
+        frames.append((frame, pos))
         frame_no += 1
-    return bytes(out)
+    if not ogg:
+        return bytes(out)
+    # xiph FLAC-to-Ogg mapping: first packet = 0x7F "FLAC" 1 0
+    # n_headers(BE16) + the native fLaC marker + STREAMINFO, alone on
+    # the BOS page; one metadata block per following header packet (a
+    # minimal VORBIS_COMMENT, like every libFLAC stream); then one
+    # FLAC frame per audio packet, granule = last sample position
+    vc_body = struct.pack("<I", 0) + struct.pack("<I", 0)  # vendor+0
+    vc_block = bytes([0x04]) + len(vc_body).to_bytes(3, "big") + vc_body
+    vc_block = bytes([0x80 | 0x04]) + vc_block[1:]  # VC is now last
+    mapping = bytes([0x7F]) + b"FLAC" + bytes([1, 0]) + \
+        struct.pack(">H", 1) + b"fLaC" + \
+        bytes([si_block[0] & 0x7F]) + si_block[1:]  # more headers follow
+    packets = [(mapping, None, True), (vc_block, None, True)]
+    packets += [(fr, end, False) for fr, end in frames]
+    return _ogg_encapsulate(packets)
+
+
+# ---------------------------------------------------------------------------
+# Ogg encapsulation (RFC 3533) for FLAC (xiph.org/flac/ogg_mapping):
+# page walk -> segment-table packet reassembly (255-lacing
+# continuation, continued-packet flag checks, per-page CRC-32 with
+# the 0x04C11DB7 FORWARD polynomial — NOT zlib's reflected CRC) ->
+# mapping header parse (0x7F "FLAC" major minor nheaders, embedded
+# fLaC + STREAMINFO) -> native stream re-synthesis handed to the
+# existing frame decoder (the header-rewrite trick: one audio packet
+# per FLAC frame, so concatenation IS the native frame sequence).
+# ---------------------------------------------------------------------------
+
+
+def _ogg_crc_table():
+    t = []
+    for byte in range(256):
+        c = byte << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 \
+                else (c << 1) & 0xFFFFFFFF
+        t.append(c)
+    return t
+
+
+_OGG_CRC_TABLE = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no
+    final xor — computed over the page with the CRC field zeroed."""
+    crc = 0
+    t = _OGG_CRC_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ t[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(header_type: int, granule: int, serial: int, seq: int,
+              segs, payload: bytes) -> bytes:
+    page = bytearray(
+        b"OggS" + bytes([0, header_type])
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    page += payload
+    struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def _ogg_encapsulate(packets, serial: int = 0x464C4143,
+                     max_segs: int = 40) -> bytes:
+    """``packets`` is [(bytes, granule-or-None, own_page: bool)];
+    granule None marks a header packet (page granule 0). Small
+    ``max_segs`` pages force 255-lacing packet SPANS so decoders
+    exercise continued-packet reassembly on ordinary corpora."""
+    # expand to a flat (lacing, ends_packet_index) segment stream,
+    # flushing pages at own_page boundaries or max_segs
+    out = bytearray()
+    seq = 0
+    n = len(packets)
+    cur_segs: list = []
+    cur_payload = bytearray()
+    cur_granule = None
+    page_continues = False  # current page begins mid-packet
+
+    def flush(force_granule=None):
+        nonlocal seq, cur_segs, cur_payload, cur_granule, page_continues
+        htype = 0x01 if page_continues else 0x00
+        if seq == 0:
+            htype |= 0x02
+        g = force_granule
+        if g is None:
+            g = cur_granule if cur_granule is not None else -1
+        out.extend(
+            _ogg_page(htype, g, serial, seq, cur_segs, bytes(cur_payload))
+        )
+        seq += 1
+        page_continues = cur_segs[-1] == 255 if cur_segs else False
+        cur_segs, cur_payload, cur_granule = [], bytearray(), None
+
+    for k, (data, granule, own_page) in enumerate(packets):
+        if own_page and cur_segs:
+            flush()
+        lacing = [255] * (len(data) // 255) + [len(data) % 255]
+        off = 0
+        for j, lv in enumerate(lacing):
+            cur_segs.append(lv)
+            cur_payload += data[off : off + lv]
+            off += lv
+            if j == len(lacing) - 1:
+                cur_granule = granule if granule is not None else \
+                    (cur_granule if cur_granule is not None else 0)
+            if len(cur_segs) >= max_segs and not (
+                k == n - 1 and j == len(lacing) - 1
+            ):
+                flush()
+        if own_page:
+            flush()
+    if cur_segs:
+        flush()
+    # mark EOS on the final page
+    final = bytearray(out)
+    # find last page start: walk from the beginning (pages are
+    # variable-size; cheap for writer-side use)
+    pos, last = 0, 0
+    while pos < len(final):
+        last = pos
+        nsegs = final[pos + 26]
+        pos += 27 + nsegs + sum(final[pos + 27 : pos + 27 + nsegs])
+    final[last + 5] |= 0x04
+    final[last + 22 : last + 26] = b"\x00\x00\x00\x00"
+    nsegs = final[last + 26]
+    end = last + 27 + nsegs + sum(final[last + 27 : last + 27 + nsegs])
+    struct.pack_into(
+        "<I", final, last + 22, _ogg_crc(bytes(final[last:end]))
+    )
+    return bytes(final)
+
+
+def _ogg_flac_native(b: bytes) -> bytes:
+    """Ogg FLAC bytes -> the equivalent NATIVE FLAC stream: walk
+    pages (capture pattern, version 0, segment-table reassembly,
+    CRC-32 per page, continued-flag consistency), parse the mapping
+    header packet, skip the advertised header packets, and
+    concatenate the audio packets (one FLAC frame each) behind a
+    re-synthesized fLaC + STREAMINFO prologue. Structural damage
+    raises ValueError; real variants (mapping major version bump,
+    multiplexed streams) gate via require_codec."""
+    pos = 0
+    packets: list = []
+    cur = bytearray()
+    serial = None
+    while pos < len(b):
+        if b[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg capture pattern missing")
+        if pos + 27 > len(b):
+            raise ValueError("Ogg page header truncated")
+        if b[pos + 4] != 0:
+            raise ValueError("Ogg stream-structure version unsupported")
+        htype = b[pos + 5]
+        nsegs = b[pos + 26]
+        hdr_end = pos + 27 + nsegs
+        if hdr_end > len(b):
+            raise ValueError("Ogg segment table truncated")
+        segs = b[pos + 27 : hdr_end]
+        paylen = sum(segs)
+        if hdr_end + paylen > len(b):
+            raise ValueError("Ogg page payload truncated")
+        (crc_stored,) = struct.unpack_from("<I", b, pos + 22)
+        zeroed = bytearray(b[pos : hdr_end + paylen])
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(zeroed)) != crc_stored:
+            raise ValueError("Ogg page CRC mismatch")
+        (pserial,) = struct.unpack_from("<I", b, pos + 14)
+        if serial is None:
+            serial = pserial
+        elif pserial != serial:
+            require_codec("Ogg multiplexed/chained streams")
+        if bool(htype & 0x01) != bool(cur):
+            raise ValueError("Ogg continued-packet flag inconsistent")
+        p = hdr_end
+        for s in segs:
+            cur += b[p : p + s]
+            p += s
+            if s < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        pos = hdr_end + paylen
+    if cur:
+        raise ValueError("Ogg stream ends mid-packet")
+    if not packets:
+        raise ValueError("Ogg stream has no packets")
+    first = packets[0]
+    if len(first) < 9 or first[0] != 0x7F or first[1:5] != b"FLAC":
+        raise ValueError("Ogg stream is not FLAC-mapped")
+    if first[5] != 1:
+        require_codec(f"Ogg FLAC mapping major version {first[5]}")
+    (nhdr,) = struct.unpack_from(">H", first, 7)
+    if first[9:13] != b"fLaC":
+        raise ValueError("Ogg FLAC first packet missing fLaC marker")
+    if len(first) < 17 + 34 or (first[13] & 0x7F) != 0 or \
+            int.from_bytes(first[14:17], "big") != 34:
+        raise ValueError("Ogg FLAC first packet lacks STREAMINFO")
+    if len(packets) < 1 + nhdr:
+        raise ValueError("Ogg FLAC header packets missing")
+    si = bytearray(first[13 : 17 + 34])
+    si[0] |= 0x80  # re-synthesized stream: STREAMINFO is the last block
+    return b"fLaC" + bytes(si) + b"".join(packets[1 + nhdr :])
 
 
 def decode_flac(b: bytes):
     """FLAC bytes -> ((n, channels) int32 raw samples, sample_rate,
     bits). Verifies sync codes, CRC-8 frame headers, CRC-16 frames,
     sample-range bounds, and the STREAMINFO MD5 when present —
-    structural damage raises ValueError; Ogg FLAC gates."""
+    structural damage raises ValueError. Ogg-encapsulated FLAC
+    (round 10) reassembles pages to the native stream first."""
     import numpy as np
 
     if b[:4] == b"OggS":
-        require_codec("Ogg-encapsulated FLAC")
+        b = _ogg_flac_native(b)
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -9715,7 +9929,11 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     is 24-bit FLAC of ``(amp - (t*11 + i) mod 73) * 256`` raw, both
     at blocksize 4096 with the encoder's frame-mode rotation
     (fixed/VERBATIM/LPC subframes and a short final frame) so the
-    oracle-gated row exercises the real decoder surface. k=7 (round
+    oracle-gated row exercises the real decoder surface; the
+    i%16==13 / i%16==14 sub-rotation ships those rows OGG-
+    ENCAPSULATED (round 10 — page walk, CRC-32, lacing reassembly;
+    lossless, so the oracle is container-invisible, the q166 .au
+    lesson: the row still gates on the Ogg decode path). k=7 (round
     9) is constant-amplitude AIFF — big-endian 16-bit PCM with the
     80-bit-extended sample-rate field, or the AIFC little-endian
     'sowt' layout when i%16==15 (both decode identically, so one
@@ -9750,12 +9968,13 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
             )
         elif k == 5:
             content = encode_flac(
-                amp - (t * 7 + i) % 97, 16000, bps=16, blocksize=4096
+                amp - (t * 7 + i) % 97, 16000, bps=16, blocksize=4096,
+                ogg=(i % 16 == 13),
             )
         elif k == 6:
             content = encode_flac(
                 (amp - (t * 11 + i) % 73) * 256, 16000, bps=24,
-                blocksize=4096,
+                blocksize=4096, ogg=(i % 16 == 14),
             )
         else:
             content = encode_aiff(

@@ -5717,7 +5717,11 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     "so the k=5/k=6 rows carry VARYING signals amp - (t*c+i) mod p "
     "at 16- and 24-bit whose per-sample closed forms the oracle "
     "replays with exact integer sums — fmt_code 61868 is the "
-    "kernel's FLAC sentinel) plus AIFF (round 9, k=7: big-endian PCM "
+    "kernel's FLAC sentinel; round 10: the i%16==13/14 sub-rotation "
+    "ships those rows OGG-ENCAPSULATED — RFC 3533 page walk, forward "
+    "CRC-32, 255-lacing packet reassembly, xiph mapping header — "
+    "container-invisible to the oracle but gating on the Ogg decode "
+    "path) plus AIFF (round 9, k=7: big-endian PCM "
     "with the 80-bit-extended sample-rate field, or AIFC 'sowt' "
     "little-endian on i%16==15 — both decode identically, fmt_code "
     "sentinel 41471). The constant-amplitude WAVs cycle by "

@@ -1253,8 +1253,9 @@ def test_flac_roundtrip_stereo_modes_and_damage():
     s, r, fc, bits = _decode_wav_full(encode_flac(a24, 48000, bps=24))
     assert bits == 24 and s.dtype == np.int32
     assert np.array_equal(s[:, 0], a24)
-    # Ogg FLAC gates; damage is loud
-    with pytest.raises(NotImplementedError):
+    # Ogg garbage is loud (the gate retired round 10 — real Ogg FLAC
+    # now decodes; see test_ogg_flac_encapsulation)
+    with pytest.raises(ValueError):
         decode_flac(b"OggS" + b"\x00" * 40)
     enc = bytearray(encode_flac(a16, 16000, bps=16))
     with pytest.raises(ValueError):
@@ -1263,6 +1264,74 @@ def test_flac_roundtrip_stereo_modes_and_damage():
     flipped[-1] ^= 0xFF  # frame CRC-16 byte
     with pytest.raises(ValueError):
         decode_flac(bytes(flipped))
+
+
+def test_ogg_flac_encapsulation():
+    """Ogg-encapsulated FLAC (gate retired round 10): bit-exact
+    roundtrips across widths/channels through the RFC 3533 page
+    layer — BOS/EOS flags, per-page forward CRC-32 (0x04C11DB7, NOT
+    zlib's reflected CRC), segment-table reassembly including
+    255-lacing packet spans across pages (the writer's small pages
+    force them on ordinary corpora), the xiph mapping header, and
+    header-packet skipping. Damage — torn page, flipped CRC, bumped
+    stream-structure version, inconsistent continued-packet flag —
+    raises ValueError; a mapping major-version bump and multiplexed
+    serials gate via require_codec."""
+    import struct as st
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_wav_full,
+        _FLAC_FMT_CODE,
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(8):
+        nch = 1 + trial % 2
+        n = rng.randint(1, 2500)
+        bps = (8, 16, 24, 12)[trial % 4]
+        lim = 1 << (bps - 1)
+        a = rng.randint(-lim, lim, size=(n, nch))
+        enc = encode_flac(a, 44100, bps=bps, blocksize=256, ogg=True)
+        assert enc[:4] == b"OggS"
+        dec, rate, dbps = decode_flac(enc)
+        assert rate == 44100 and dbps == bps
+        assert np.array_equal(dec, a), trial
+    # kernel dispatch: OggS magic reaches the FLAC path
+    a16 = (np.arange(700) * 13 % 4096 - 2048).astype(np.int64)
+    ogg = encode_flac(a16, 16000, bps=16, ogg=True)
+    s, r, fc, bits = _decode_wav_full(ogg)
+    assert (fc, bits) == (_FLAC_FMT_CODE, 16)
+    assert np.array_equal(s[:, 0], a16)
+    # a 4096-sample frame exceeds one small page -> spans exercised
+    big = encode_flac(rng.randint(-32768, 32768, size=9000), 48000,
+                      bps=16, blocksize=4096, ogg=True)
+    assert decode_flac(big)[0].shape[0] == 9000
+    # damage is loud and typed
+    b = bytearray(ogg)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(bytes(b[:-10]))
+    crc = bytearray(ogg)
+    crc[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(crc))
+    ver = bytearray(ogg)
+    ver[4] ^= 1
+    with pytest.raises(ValueError, match="version"):
+        decode_flac(bytes(ver))
+    # mapping major-version bump is an honest variant gate: rebuild
+    # the BOS page with major=2 and a fixed CRC
+    bump = bytearray(ogg)
+    nsegs = bump[26]
+    page_end = 27 + nsegs + sum(bump[27 : 27 + nsegs])
+    bump[27 + nsegs + 5] = 2  # mapping major version byte
+    bump[22:26] = b"\x00\x00\x00\x00"
+    from e_commerce_data_pipeline_spark.operators.multimodal import _ogg_crc
+    st.pack_into("<I", bump, 22, _ogg_crc(bytes(bump[:page_end])))
+    with pytest.raises(NotImplementedError):
+        decode_flac(bytes(bump))
 
 
 def test_tiff_organization_gate_retirements():
@@ -3334,6 +3403,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      sowt=True), decode_wav),
         (encode_aiff(samples[:150].astype(np.int64), 22050,
                      ima4=True), decode_wav),
+        (encode_flac(samples[:200].astype(np.int64), 16000, bps=16,
+                     blocksize=64, ogg=True), decode_wav),
         (encode_au(rng.randint(0, 256, 150).astype(np.uint8), 1, 8000),
          decode_wav),
         (encode_tga(img, rle=True), decode_tga),
