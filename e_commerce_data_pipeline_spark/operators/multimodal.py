@@ -2813,14 +2813,15 @@ def decode_tiff(b: bytes):
 
 def decode_tiff_float(b: bytes):
     """Floating-point TIFF (SampleFormat 3 — the elevation/HDR
-    class) -> (h, w, spp) float64 array, spp 1 or 3. Strip-organized
-    chunky layout at 32- or 64-bit samples, both byte orders, the
-    four baseline codecs; the floating-point horizontal predictor
-    (317=3, byte-shuffled) and tiled/planar float layouts gate.
-    There is no canonical 8-bit rendering for float rasters, so this
-    is a SEPARATE entry point from ``decode_tiff`` — census kernels
-    surface the values through the house float micro-quantization
-    discipline instead."""
+    class) -> (h, w, spp) float64 array, spp 1 or 3. Strip- or
+    tile-organized, chunky or planar (round 10), 32- or 64-bit
+    samples, both byte orders, the four baseline codecs, and the
+    floating-point horizontal predictor (TechNote 3, tag 317=3:
+    per-row MSB-first byte-plane shuffle + bytewise differencing,
+    restarting per segment — round 10). There is no canonical 8-bit
+    rendering for float rasters, so this is a SEPARATE entry point
+    from ``decode_tiff`` — census kernels surface the values through
+    the house float micro-quantization discipline instead."""
     import numpy as np
     import zlib
 
@@ -2881,50 +2882,120 @@ def decode_tiff_float(b: bytes):
     if photo not in (1, 2):
         require_codec(f"float TIFF photometric {photo}")
     pred = one(317, 1)
-    if pred == 3:
-        require_codec("TIFF floating-point predictor")
-    if pred != 1:
+    if pred == 2:
         raise ValueError("float TIFF with integer predictor")
-    if 322 in entries or 323 in entries or one(284, 1) == 2:
-        require_codec("tiled/planar float TIFF")
-    if w * h * spp * sb > (1 << 27):
-        raise ValueError("TIFF raster implausibly large")
-    offsets = values(273)
-    counts = values(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip tables missing or mismatched")
-    rps = one(278, h)
-    if rps < 1 or len(offsets) != -(-h // rps):
-        raise ValueError("TIFF strip layout invalid")
-    row_bytes = w * spp * sb
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(b):
-            raise ValueError("TIFF strip out of range")
-        chunk = b[off : off + cnt]
-        expected = min(rps, h - si * rps) * row_bytes
+    if pred not in (1, 3):
+        raise ValueError("TIFF predictor unrecognized")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError("TIFF planar configuration unrecognized")
+    nplanes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp
+    tiled = 322 in entries or 323 in entries
+
+    def decompress(chunk, expected):
         if comp == 1:
             if len(chunk) < expected:
-                raise ValueError("TIFF strip truncated")
-            raw += chunk[:expected]
-        elif comp == 32773:
-            raw += _packbits_decode(chunk, expected)
-        elif comp == 5:
+                raise ValueError("TIFF segment truncated")
+            return chunk[:expected]
+        if comp == 32773:
+            return _packbits_decode(chunk, expected)
+        if comp == 5:
             data = _tiff_lzw_decode(chunk, expected)
             if len(data) != expected:
-                raise ValueError("TIFF LZW strip size mismatch")
-            raw += data
+                raise ValueError("TIFF LZW segment size mismatch")
+            return data
+        try:
+            data = zlib.decompress(chunk, bufsize=expected)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF deflate segment corrupt: {exc}")
+        if len(data) != expected:
+            raise ValueError("TIFF deflate segment size mismatch")
+        return data
+
+    def seg_floats(raw, n_rows, n_vals):
+        """Decoded segment bytes -> (n_rows, n_vals) float64. With
+        the floating-point predictor (TechNote 3) each row is a
+        byte-plane shuffle (MSB plane first, INDEPENDENT of file
+        endianness) of the big-endian value bytes, horizontally
+        differenced bytewise — inverted here as a vectorized
+        per-row cumsum mod 256 + plane gather."""
+        buf = np.frombuffer(raw, np.uint8).reshape(n_rows, n_vals * sb)
+        if pred == 3:
+            acc = (np.cumsum(buf, axis=1, dtype=np.uint64)
+                   & 0xFF).astype(np.uint8)
+            planes = acc.reshape(n_rows, sb, n_vals)
+            be = np.ascontiguousarray(np.moveaxis(planes, 1, 2))
+            vals = be.reshape(n_rows, n_vals * sb).view(f">f{sb}")
         else:
-            try:
-                data = zlib.decompress(chunk, bufsize=expected)
-            except zlib.error as exc:
-                raise ValueError(f"TIFF deflate strip corrupt: {exc}")
-            if len(data) != expected:
-                raise ValueError("TIFF deflate strip size mismatch")
-            raw += data
-    a = np.frombuffer(bytes(raw), e + f"f{sb}").reshape(h, w, spp)
-    with np.errstate(invalid="ignore"):
-        out = a.astype(np.float64)
+            vals = buf.view(e + f"f{sb}")
+        # corrupt bytes can form signaling NaNs; the isfinite check
+        # at the end is the loud path, not a cast warning here
+        with np.errstate(invalid="ignore"):
+            return vals.astype(np.float64)
+
+    out = np.empty((h, w, spp), np.float64)
+    if tiled:
+        tw, th = one(322, 0), one(323, 0)
+        if not tw or not th:
+            raise ValueError("TIFF tile dimensions missing")
+        across, down = -(-w // tw), -(-h // th)
+        # bound the PADDED canvas, not w*h — tile grids allocate it
+        if across * tw * down * th * spp * sb > (1 << 27):
+            raise ValueError("TIFF raster implausibly large")
+        offsets = values(324)
+        counts = values(325)
+        if not offsets or not counts or len(offsets) != len(counts) \
+                or len(offsets) != across * down * nplanes:
+            raise ValueError("TIFF tile tables missing or mismatched")
+        for p in range(nplanes):
+            for ty in range(down):
+                for tx in range(across):
+                    k = p * across * down + ty * across + tx
+                    off, cnt = offsets[k], counts[k]
+                    if off + cnt > len(b):
+                        raise ValueError("TIFF tile out of range")
+                    expected = th * tw * seg_spp * sb
+                    vals = seg_floats(
+                        decompress(b[off : off + cnt], expected),
+                        th, tw * seg_spp,
+                    ).reshape(th, tw, seg_spp)
+                    ch = min(th, h - ty * th)
+                    cw = min(tw, w - tx * tw)
+                    dst = out[ty * th : ty * th + ch,
+                              tx * tw : tx * tw + cw]
+                    if planar == 2:
+                        dst[..., p] = vals[:ch, :cw, 0]
+                    else:
+                        dst[:] = vals[:ch, :cw]
+    else:
+        if w * h * spp * sb > (1 << 27):
+            raise ValueError("TIFF raster implausibly large")
+        offsets = values(273)
+        counts = values(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip tables missing or mismatched")
+        rps = one(278, h)
+        spp_strips = -(-h // rps) if rps >= 1 else 0
+        if rps < 1 or len(offsets) != spp_strips * nplanes:
+            raise ValueError("TIFF strip layout invalid")
+        for p in range(nplanes):
+            for si in range(spp_strips):
+                off = offsets[p * spp_strips + si]
+                cnt = counts[p * spp_strips + si]
+                if off + cnt > len(b):
+                    raise ValueError("TIFF strip out of range")
+                n_rows = min(rps, h - si * rps)
+                expected = n_rows * w * seg_spp * sb
+                vals = seg_floats(
+                    decompress(b[off : off + cnt], expected),
+                    n_rows, w * seg_spp,
+                ).reshape(n_rows, w, seg_spp)
+                dst = out[si * rps : si * rps + n_rows]
+                if planar == 2:
+                    dst[..., p] = vals[..., 0]
+                else:
+                    dst[:] = vals
     if not np.isfinite(out).all():
         raise ValueError("float TIFF carries non-finite samples")
     return out
@@ -2936,9 +3007,15 @@ def encode_tiff_float(
     big_endian: bool = False,
     rows_per_strip: int = 0,
     f64: bool = False,
+    predictor: bool = False,
+    tile: tuple | None = None,
+    planar: bool = False,
 ) -> bytes:
     """(h, w) gray / (h, w, 3) RGB float array -> SampleFormat-3
-    strip TIFF at 32- or 64-bit samples."""
+    TIFF at 32- or 64-bit samples. ``predictor`` applies the
+    TechNote-3 floating-point horizontal predictor (tag 317=3);
+    ``tile=(tw, th)`` emits a tile grid; ``planar`` stores each
+    component in its own segment sequence — all three compose."""
     import numpy as np
     import zlib
 
@@ -2963,16 +3040,49 @@ def encode_tiff_float(
             return _tiff_lzw_encode(raw)
         return zlib.compress(raw, 6)
 
-    rows = np.ascontiguousarray(a.astype(e + f"f{sb}")).view(
-        np.uint8
-    ).reshape(h, -1)
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        strips.append(compress(rows[y0 : y0 + rps].tobytes()))
+    def seg_bytes(vals):
+        """(rows, n_vals) float block -> raw segment bytes, applying
+        the fp predictor's per-row plane shuffle + differencing."""
+        n_rows, n_vals = vals.shape
+        if predictor:
+            be = np.ascontiguousarray(vals.astype(f">f{sb}")).view(
+                np.uint8
+            ).reshape(n_rows, n_vals, sb)
+            planes = np.ascontiguousarray(
+                np.moveaxis(be, 2, 1)
+            ).reshape(n_rows, n_vals * sb).astype(np.int16)
+            planes[:, 1:] -= planes[:, :-1].copy()
+            return (planes & 0xFF).astype(np.uint8).tobytes()
+        return np.ascontiguousarray(vals.astype(e + f"f{sb}")).tobytes()
+
+    nplanes = spp if planar else 1
+    segs = []
+    if tile:
+        tw, th = tile
+        across, down = -(-w // tw), -(-h // th)
+        padded = np.zeros((down * th, across * tw, spp), np.float64)
+        padded[:h, :w] = a
+        for p in range(nplanes):
+            for ty in range(down):
+                for tx in range(across):
+                    blk = padded[ty * th : (ty + 1) * th,
+                                 tx * tw : (tx + 1) * tw]
+                    blk = blk[..., p : p + 1] if planar else blk
+                    segs.append(
+                        compress(seg_bytes(blk.reshape(th, -1)))
+                    )
+    else:
+        rps = rows_per_strip or h
+        for p in range(nplanes):
+            for y0 in range(0, h, rps):
+                blk = a[y0 : y0 + rps]
+                blk = blk[..., p : p + 1] if planar else blk
+                segs.append(
+                    compress(seg_bytes(blk.reshape(blk.shape[0], -1)))
+                )
     body = bytearray()
     offsets = []
-    for s in strips:
+    for s in segs:
         offsets.append(8 + len(body))
         body += s
         if len(body) % 2:
@@ -2984,12 +3094,27 @@ def encode_tiff_float(
         (258, 3, [8 * sb] * spp),
         (259, 3, [comp_code]),
         (262, 3, [photo]),
-        (273, 4, offsets),
         (277, 3, [spp]),
-        (278, 3, [min(rps, h)]),
-        (279, 4, [len(s) for s in strips]),
         (339, 3, [3] * spp),
     ]
+    if predictor:
+        tags.append((317, 3, [3]))
+    if planar:
+        tags.append((284, 3, [2]))
+    if tile:
+        tags += [
+            (322, 3, [tile[0]]),
+            (323, 3, [tile[1]]),
+            (324, 4, offsets),
+            (325, 4, [len(s) for s in segs]),
+        ]
+    else:
+        tags += [
+            (273, 4, offsets),
+            (278, 3, [min(rows_per_strip or h, h)]),
+            (279, 4, [len(s) for s in segs]),
+        ]
+    tags.sort()
     header = (b"II" if e == "<" else b"MM") + struct.pack(
         e + "HI", 42, ifd_off
     )
@@ -5202,7 +5327,12 @@ def synthetic_tiff_float_table(spark, n: int = 12) -> DataFrame:
     (x + y + i) mod 16 — exact in float32), gray on even i and RGB
     (+85/+170 base offsets) on odd, float64 samples when i%3==0,
     rotating compression (i%4), byte order (i%2), and 4-row strips
-    (i%3==1). The census surfaces rint(v*16) micro-quantized ints
+    (i%3==1). Round 10 retires the float organization gates by
+    rotating them in too — all LOSSLESS, so the oracle is
+    organization-invisible but every row gates on decode: the
+    TechNote-3 floating-point predictor on i%3!=2, 16x16 tile grids
+    (partial edge tiles) on i%4 in (1,3), and planar configuration
+    on i%4>=2. The census surfaces rint(v*16) micro-quantized ints
     (fmt 'tiff_f'), so the oracle's closed form is base*16 + frac
     exactly. media_id offset +800."""
     import numpy as np
@@ -5232,6 +5362,9 @@ def synthetic_tiff_float_table(spark, n: int = 12) -> DataFrame:
                     big_endian=bool(i % 2),
                     rows_per_strip=4 if i % 3 == 1 else 0,
                     f64=(i % 3 == 0),
+                    predictor=(i % 3 != 2),
+                    tile=(16, 16) if i % 4 in (1, 3) else None,
+                    planar=(i % 4 >= 2),
                 ),
                 None,
                 f"mem://media/{800 + i}.f.tif",

@@ -11993,14 +11993,18 @@ def q197_cdc_validation_census(spark, sf_dir):
     "channels bit-replicated, both vertical orientations; all "
     "lossless, closed forms only re-index. FLOAT TIFF (round 9, "
     "SampleFormat 3, fmt 'tiff_f', media_id +800): the "
-    "elevation/HDR class — float32/float64 gray and RGB strips at "
+    "elevation/HDR class — float32/float64 gray and RGB at "
     "all four codecs and byte orders via decode_tiff_float (no "
     "canonical 8-bit rendering exists, so the census surfaces "
     "rint(v*16) micro-quantized ints, the house float discipline); "
     "the DYADIC corpus (base + frac/16) makes the quantization "
-    "exact and the oracle closed form base*16 + frac; the "
-    "floating-point predictor and tiled/planar float layouts stay "
-    "gated. JPEG DRI/RSTm restart "
+    "exact and the oracle closed form base*16 + frac; round 10 "
+    "retires the float organization gates — the TechNote-3 "
+    "floating-point predictor (per-row MSB-first byte-plane shuffle "
+    "+ bytewise differencing), 16x16 tile grids with partial edge "
+    "tiles, and planar configuration now rotate through the corpus "
+    "(lossless, organization-invisible to the oracle, gating on "
+    "decode). JPEG DRI/RSTm restart "
     "intervals: the encoder byte-aligns, emits RSTm (m cycling 0-7) "
     "and resets DC predictors every 1+(i%4) MCUs; the decoder "
     "realigns, checks the marker sequence number, and resets its "

@@ -763,11 +763,16 @@ def test_pnm_family_roundtrip_parse_and_guards():
 
 def test_tiff_float_samples_roundtrip_quantization_and_gates():
     """Float TIFF (SampleFormat 3): float32/float64 gray and RGB
-    strips round-trip bit-exact through all four codecs and byte
-    orders; _decode_any surfaces rint(v*16) micro-quantized ints
-    (fmt 'tiff_f'); non-finite samples and the floating-point
-    predictor are loud/gated; decode_tiff still gates SampleFormat
-    3 (separate contract)."""
+    round-trip bit-exact through all four codecs, both byte orders,
+    and — round 10, gates retired — the TechNote-3 floating-point
+    predictor, 16x16 tile grids with partial edge tiles, and planar
+    configuration, in every combination the corpus rotates.
+    _decode_any surfaces rint(v*16) micro-quantized ints (fmt
+    'tiff_f'); non-finite samples are loud; a FORGED predictor tag
+    on non-predicted data either raises ValueError or decodes to
+    finite (wrong) floats — never a foreign exception; integer
+    predictor 2 on float data stays a spec violation; decode_tiff
+    still gates SampleFormat 3 (separate contract)."""
     import pytest
     import struct as st
 
@@ -779,8 +784,8 @@ def test_tiff_float_samples_roundtrip_quantization_and_gates():
     )
 
     rng = np.random.RandomState(14)
-    for trial in range(12):
-        h, w = rng.randint(1, 20), rng.randint(1, 20)
+    for trial in range(24):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
         spp = 1 if trial % 2 == 0 else 3
         shape = (h, w) if spp == 1 else (h, w, 3)
         a = rng.randint(0, 256, shape) + rng.randint(0, 16, shape) / 16.0
@@ -789,6 +794,9 @@ def test_tiff_float_samples_roundtrip_quantization_and_gates():
             big_endian=bool(trial % 2),
             rows_per_strip=3 if trial % 3 else 0,
             f64=(trial % 3 == 0),
+            predictor=(trial % 5 < 3),
+            tile=(16, 16) if trial % 6 >= 3 else None,
+            planar=(trial % 4 >= 2),
         )
         want = a[..., None] if spp == 1 else a
         assert np.array_equal(decode_tiff_float(b), want), trial
@@ -805,7 +813,8 @@ def test_tiff_float_samples_roundtrip_quantization_and_gates():
     bb[8:12] = st.pack("<f", float("nan"))  # first strip sample
     with pytest.raises(ValueError, match="non-finite"):
         decode_tiff_float(bytes(bb))
-    # floating-point predictor (317 = 3) gates
+    # a forged predictor tag (3) appended to non-predicted data must
+    # stay inside the damage contract: ValueError or a finite decode
     fp = bytearray(encode_tiff_float(np.ones((3, 4)) * 0.5))
     ifd = int.from_bytes(fp[4:8], "little")
     n = int.from_bytes(fp[ifd : ifd + 2], "little")
@@ -818,8 +827,24 @@ def test_tiff_float_samples_roundtrip_quantization_and_gates():
     )
     forged = bytearray(forged)
     forged[ifd : ifd + 2] = (n + 1).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError, match="predictor"):
-        decode_tiff_float(bytes(forged))
+    try:
+        out = decode_tiff_float(bytes(forged))
+        assert np.isfinite(out).all()
+    except ValueError:
+        pass
+    # integer predictor 2 on float data is a spec violation
+    ip = bytearray(forged)
+    pos = bytes(ip).find((317).to_bytes(2, "little")
+                         + (3).to_bytes(2, "little"))
+    ip[pos + 8] = 2  # predictor value field
+    with pytest.raises(ValueError, match="integer predictor"):
+        decode_tiff_float(bytes(ip))
+    # genuinely predicted data through the forged-tag route decodes
+    pr = encode_tiff_float(np.arange(12.0).reshape(3, 4) / 16.0,
+                           predictor=True, tile=(16, 16), planar=True)
+    assert np.array_equal(
+        decode_tiff_float(pr)[..., 0], np.arange(12.0).reshape(3, 4) / 16.0
+    )
 
 
 def test_tga_and_au_containers_roundtrip_and_guards():
@@ -3411,6 +3436,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_tga(img8, rle=False, top_down=False), decode_tga),
         (encode_tiff_float((img8 / 16.0), compression="deflate",
                            rows_per_strip=3), decode_tiff_float),
+        (encode_tiff_float((img[:6, :7] / 8.0), compression="lzw",
+                           predictor=True, tile=(16, 16), planar=True),
+         decode_tiff_float),
+        (encode_tiff_float((img8 / 4.0), compression="packbits",
+                           predictor=True, f64=True, big_endian=True,
+                           rows_per_strip=4), decode_tiff_float),
         (encode_pnm((img8 >> 7), "P4"), decode_pnm),
         (encode_pnm(img8, "P5", maxval=255), decode_pnm),
         (encode_pnm((img8 >> 4), "P2", maxval=15), decode_pnm),
