@@ -2170,16 +2170,52 @@ _CCITT_MODE_V = {
 }
 
 
-def _ccitt_encode_row_2d(wr: _CcittBitWriter, row, ref_tr: list) -> None:
+def _ccitt_encode_uncompressed(wr: _CcittBitWriter, row, start: int,
+                               end: int, next_white: bool) -> None:
+    """T.4 §4.2.1.3.3 uncompressed-mode segment: entry extension
+    code 0000001 111, literal codes (0^n 1 for n<=4 whites + a
+    black, 000001 for five whites), then the exit code 0^(6+n) 1 T
+    where n counts trailing whites and T gives the colour of the
+    run the 2-D coder resumes in (0 = white)."""
+    wr.put(7, 0b0000001)
+    wr.put(3, 0b111)
+    pend = 0
+    for p in range(start, end):
+        if row[p] == 0:
+            pend += 1
+            if pend == 5:
+                wr.put(6, 0b000001)
+                pend = 0
+        else:
+            wr.put(pend + 1, 1)
+            pend = 0
+    wr.put(7 + pend, 1)  # exit: 6+pend zeros then 1
+    wr.put(1, 0 if next_white else 1)
+
+
+def _ccitt_encode_row_2d(wr: _CcittBitWriter, row, ref_tr: list,
+                         unc_prefix: bool = False) -> None:
     """One 2-D READ row against the reference transition list: pass
     when b2 < a1, vertical when |a1-b1| <= 3, else horizontal with
     two explicit runs. a0 starts at the imaginary -1 white element;
-    horizontal run lengths count from max(a0, 0)."""
+    horizontal run lengths count from max(a0, 0). ``unc_prefix``
+    codes the row's prefix (up to its second changing element, or
+    the whole row) in uncompressed mode first — the coverage path
+    for the T4/T6Options uncompressed bit."""
     w = len(row)
     cur_tr = _ccitt_transitions(row)
     a0 = -1
     white = True
     ci = 0
+    if unc_prefix:
+        real = cur_tr[:-2]
+        stop = real[1] if len(real) >= 2 else w
+        nw = bool(stop >= w or row[stop] == 0)
+        _ccitt_encode_uncompressed(wr, row, 0, stop, nw)
+        a0 = stop
+        white = nw
+        if a0 >= w:
+            return
     while a0 < w:
         while ci < len(cur_tr) - 2 and cur_tr[ci] <= a0:
             ci += 1
@@ -2238,12 +2274,64 @@ def _ccitt_decode_row_2d(rd: _CcittBitReader, ref_tr: list, w: int):
                 mode = ("V", 3)
             elif n == 7 and v == 0b0000010:
                 mode = ("V", -3)
+            elif n == 7 and v == 0b0000001:
+                mode = ("E", 0)  # 2-D extension: 3-bit subtype follows
             if mode is not None:
                 rd.skip(n)
                 break
         if mode is None:
             raise ValueError("CCITT invalid 2-D mode code")
         kind, d = mode
+        if kind == "E":
+            if rd.bits_left() < 3:
+                raise ValueError("CCITT extension code truncated")
+            ext = rd.get(3)
+            if ext != 0b111:
+                require_codec(f"CCITT 2-D extension code {ext}")
+            # uncompressed mode (T.4 §4.2.1.3.3): literal pixels from
+            # the current position; codes 0^n 1 (n<=4 whites then a
+            # black), 000001 (five whites), exit 0^(6+n) 1 T
+            p = max(a0, 0)
+            while True:
+                zeros = 0
+                while True:
+                    if rd.bits_left() < 1:
+                        raise ValueError("CCITT uncompressed truncated")
+                    if rd.get(1):
+                        break
+                    zeros += 1
+                    if zeros > 10:
+                        raise ValueError(
+                            "CCITT uncompressed code runaway"
+                        )
+                if zeros <= 4:
+                    if p + zeros + 1 > w:
+                        raise ValueError(
+                            "CCITT uncompressed overruns the row"
+                        )
+                    row[p + zeros] = 1
+                    p += zeros + 1
+                elif zeros == 5:
+                    if p + 5 > w:
+                        raise ValueError(
+                            "CCITT uncompressed overruns the row"
+                        )
+                    p += 5
+                else:
+                    ntrail = zeros - 6
+                    if p + ntrail > w:
+                        raise ValueError(
+                            "CCITT uncompressed overruns the row"
+                        )
+                    p += ntrail
+                    if rd.bits_left() < 1:
+                        raise ValueError(
+                            "CCITT uncompressed missing colour bit"
+                        )
+                    white = rd.get(1) == 0
+                    a0 = p
+                    break
+            continue
         b1, b2 = _ccitt_b1_b2(ref_tr, a0, white, w)
         if kind == "P":
             if not white:
@@ -2290,13 +2378,17 @@ def _ccitt_skip_eol(rd: _CcittBitReader) -> None:
             return
 
 
-def ccitt_encode(plane, comp: int, t4_2d: bool = False) -> bytes:
+def ccitt_encode(plane, comp: int, t4_2d: bool = False,
+                 uncompressed: bool = False) -> bytes:
     """Bilevel plane (uint8, 0=white, 1=black) -> CCITT strip bytes.
 
     comp 2: Modified Huffman, each row byte-aligned (TIFF 6.0 §11).
     comp 3: T.4/G3 — EOL before every row; ``t4_2d`` adds the 1-D/2-D
         tag bit after each EOL and codes alternate rows 2-D.
     comp 4: T.6/G4 — every row 2-D, EOFB terminator.
+    ``uncompressed`` codes every other 2-D row's prefix in T.4
+    uncompressed mode (the T4/T6Options bit-1 surface) — callers
+    must set the matching option bit in the IFD.
     """
     import numpy as np
 
@@ -2317,7 +2409,10 @@ def ccitt_encode(plane, comp: int, t4_2d: bool = False) -> bytes:
                 if use_1d:
                     _ccitt_encode_row_1d(wr, a[y])
                 else:
-                    _ccitt_encode_row_2d(wr, a[y], prev_tr)
+                    _ccitt_encode_row_2d(
+                        wr, a[y], prev_tr,
+                        unc_prefix=uncompressed and y % 4 == 1,
+                    )
             else:
                 _ccitt_encode_row_1d(wr, a[y])
             prev_tr = _ccitt_transitions(a[y])
@@ -2325,7 +2420,10 @@ def ccitt_encode(plane, comp: int, t4_2d: bool = False) -> bytes:
     elif comp == 4:
         ref_tr = [w, w]  # imaginary all-white reference line
         for y in range(h):
-            _ccitt_encode_row_2d(wr, a[y], ref_tr)
+            _ccitt_encode_row_2d(
+                wr, a[y], ref_tr,
+                unc_prefix=uncompressed and y % 2 == 0,
+            )
             ref_tr = _ccitt_transitions(a[y])
         wr.put(*_CCITT_EOL)
         wr.put(*_CCITT_EOL)  # EOFB
@@ -2474,12 +2572,12 @@ def decode_tiff(b: bytes):
             raise ValueError("CCITT compression with color photometric")
         if planar == 2:
             raise ValueError("CCITT with planar configuration")
-        if tiled:
-            require_codec("tiled CCITT TIFF")
+        # tiled fax and the T4/T6Options uncompressed bit both decode
+        # (gates retired round 10): tiles are independent coding
+        # blocks like strips, and uncompressed-mode codes are simply
+        # understood whenever present — the option bit only PERMITS
+        # them (lenient, like real fax decoders)
         t4opts = one(292, 0) if comp == 3 else 0
-        t6opts = one(293, 0) if comp == 4 else 0
-        if (comp == 3 and t4opts & 0b10) or (comp == 4 and t6opts & 0b10):
-            require_codec("CCITT uncompressed mode")
         t4_2d = bool(t4opts & 0b1)
     elif comp == 6:
         require_codec("old-style JPEG TIFF (compression 6, deprecated)")
@@ -2704,10 +2802,16 @@ def decode_tiff(b: bytes):
         # component-major (all of component 0, then 1, ...)
         expected = th * row_nbytes(tw, tile_ch)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = unpredict(
-                as_pixels(decompress(chunk_at(off, cnt), expected),
-                          th, tw, tile_ch)
-            )
+            if comp in (2, 3, 4):
+                # each fax tile is an independent coding block (G4's
+                # reference line resets to all-white per tile)
+                bitrows = ccitt_decode(
+                    bytes(chunk_at(off, cnt)), tw, th, comp, t4_2d
+                )
+                buf = np.packbits(bitrows, axis=1).tobytes()
+            else:
+                buf = decompress(chunk_at(off, cnt), expected)
+            tile = unpredict(as_pixels(buf, th, tw, tile_ch))
             c, rem = divmod(idx, ta * td)
             ty, tx = rem // ta, rem % ta
             if planar == 2:
@@ -3156,6 +3260,7 @@ def encode_tiff(
     tile=None,
     planar: bool = False,
     depth: int = 0,
+    ccitt_uncompressed: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB / (h, w) gray, uint8 or uint16 — or (h, w)
     uint8 indices with ``palette`` (256, 3) — -> strip-organized
@@ -3209,9 +3314,14 @@ def encode_tiff(
     ccitt_2d = compression == "g3_2d"
     if comp_code in (2, 3, 4):
         assert d_eff == 1 and spp == 1, "CCITT expects a bilevel plane"
-        assert tile is None and not planar and not predictor, (
-            "CCITT emits chunky strip layout only"
+        assert not planar and not predictor, (
+            "CCITT emits chunky layout only"
         )
+        assert not (ccitt_uncompressed and comp_code == 2), (
+            "uncompressed mode is a 2-D coding extension"
+        )
+    else:
+        assert not ccitt_uncompressed
     plane = a.reshape(h, w, spp)
 
     def diff(arr3d):
@@ -3264,7 +3374,16 @@ def encode_tiff(
                                tx * tw : (tx + 1) * tw]
                     if c is not None:
                         t = t[:, :, c : c + 1]
-                    strips.append(compress(serialize(diff(t)).tobytes()))
+                    if comp_code in (2, 3, 4):
+                        # fax tiles: independent coding blocks
+                        strips.append(ccitt_encode(
+                            t[:, :, 0], comp_code, t4_2d=ccitt_2d,
+                            uncompressed=ccitt_uncompressed,
+                        ))
+                    else:
+                        strips.append(
+                            compress(serialize(diff(t)).tobytes())
+                        )
     elif planar:
         assert spp == 3, "planar layout needs 3 components"
         for c in range(spp):
@@ -3278,7 +3397,8 @@ def encode_tiff(
         for y0 in range(0, h, rps):
             strips.append(
                 ccitt_encode(plane[y0 : y0 + rps, :, 0], comp_code,
-                             t4_2d=ccitt_2d)
+                             t4_2d=ccitt_2d,
+                             uncompressed=ccitt_uncompressed)
             )
     else:
         rows = serialize(plane)
@@ -3318,9 +3438,11 @@ def encode_tiff(
     if predictor:
         tags.append((317, 3, [2]))
     if comp_code == 3:
-        tags.append((292, 4, [1 if ccitt_2d else 0]))  # T4Options
+        t4o = (1 if ccitt_2d else 0) | (2 if ccitt_uncompressed else 0)
+        tags.append((292, 4, [t4o]))  # T4Options
     elif comp_code == 4:
-        tags.append((293, 4, [0]))  # T6Options
+        tags.append((293, 4, [2 if ccitt_uncompressed else 0])
+                    )  # T6Options
     if palette is not None:
         pal = np.asarray(palette, np.uint8)
         assert pal.shape == (1 << d_eff, 3), "TIFF palette must be 2^depth x3"
@@ -5612,7 +5734,14 @@ def synthetic_tiff_fax_table(spark, n: int = 24) -> DataFrame:
     Containers rotate the coding (Modified Huffman / G3 1-D / G3 2-D
     with tag bits / G4 by i%4), byte order (i%2), and strip
     organization (8-row strips when i%5==0 — each strip an
-    independent coding block). All WhiteIsZero (photometric 0), the
+    independent coding block). Round 10 retires the remaining fax
+    organization gates by rotating them in: 32x16 TILE grids on
+    i%5 in (2,3) (per-tile independent coding blocks, partial edge
+    tiles padded white) and the T4/T6Options UNCOMPRESSED bit on 2-D
+    codings when i%6>=3 (every other row's prefix literal-coded via
+    the 0000001-111 extension escape). Lossless, so both are
+    oracle-invisible but gate on decode. All WhiteIsZero
+    (photometric 0), the
     fax standard: pattern 1 = black-coded run = decoded 255 after the
     photometric inversion... inverted twice (encoder stores 1-v,
     CCITT codes stored-0 as white, decoder re-inverts), so the
@@ -5644,6 +5773,10 @@ def synthetic_tiff_fax_table(spark, n: int = 24) -> DataFrame:
                     big_endian=bool(i % 2),
                     white_is_zero=True,
                     rows_per_strip=8 if i % 5 == 0 else 0,
+                    tile=(32, 16) if i % 5 in (2, 3) else None,
+                    ccitt_uncompressed=(
+                        comps[i % 4] in ("g3_2d", "g4") and i % 6 >= 3
+                    ),
                 ),
                 None,
                 f"mem://media/{300 + i}.fax.tif",

@@ -11966,8 +11966,13 @@ def q197_cdc_validation_census(spark, sf_dir):
     "over bilevel corpora rotating block/sparse/stripe patterns "
     "(widths to 200 exercise make-up codes), byte order, and "
     "strip-independent coding blocks; photometric-0 closed form "
-    "pattern*255, media_id +300. Uncompressed-mode option bits and "
-    "tiled CCITT stay gated. YCBCR TIFF (round 9, photometric 6): "
+    "pattern*255, media_id +300. Round 10 retires the last fax "
+    "organization gates: 32x16 TILE grids (per-tile independent "
+    "coding blocks) and the T4/T6Options UNCOMPRESSED bit (T.4 "
+    "extension escape 0000001-111, literal pixel codes, "
+    "0^(6+n)-1-T exit) rotate through the corpus — lossless, "
+    "oracle-invisible, gating on decode. YCBCR TIFF (round 9, "
+    "photometric 6): "
     "chunky sh*sv-Y+Cb+Cr data units (TIFF 6.0 s21) at subsampling "
     "(1,1)/(2,2)/(2,1) over non-unit-multiple dims (pad units "
     "replicated on encode, ignored on decode), chroma replicated to "

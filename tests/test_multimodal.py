@@ -501,8 +501,12 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
     and EOFB, G4 H-mode white-5 1100), roundtrips across all four
     coding modes x patterns x strip layouts x byte orders, run
     lengths through the make-up (>=64) and extended make-up (>=1792)
-    ranges, and the gates: uncompressed-mode option bits and tiled
-    CCITT stay NotImplementedError, color/planar/multi-bit CCITT
+    ranges, and — round 10, gates retired — TILED fax (per-tile
+    independent coding blocks, partial edge tiles) and T.4
+    UNCOMPRESSED MODE (entry extension 0000001-111, literal codes,
+    0^(6+n)-1-T exit) round-trip across codings; a forged
+    uncompressed option bit on a plain stream still decodes (the
+    bit only PERMITS the codes); color/planar/multi-bit CCITT
     combinations are structural damage (ValueError)."""
     import pytest
     import struct as st
@@ -539,7 +543,8 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
     one_px[0, 5] = 1
     bits = "".join(f"{x:08b}" for x in ccitt_encode(one_px, 4))
     assert bits.startswith("001" + "1100" + "010" + "1")
-    # roundtrip: modes x patterns x strips x byte order through the
+    # roundtrip: modes x patterns x organizations (strips, 16x16
+    # tiles, uncompressed-mode prefixes) x byte order through the
     # full TIFF container, including make-up-range widths
     rng = np.random.RandomState(5)
     for trial in range(24):
@@ -551,7 +556,12 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
             b = encode_tiff(plane, compression=compr, depth=1,
                             white_is_zero=True,
                             rows_per_strip=6 if trial % 2 else 0,
-                            big_endian=bool(trial % 2))
+                            big_endian=bool(trial % 2),
+                            tile=(16, 16) if trial % 4 == 2 else None,
+                            ccitt_uncompressed=(
+                                compr in ("g3_2d", "g4")
+                                and trial % 3 != 1
+                            ))
             assert np.array_equal(
                 decode_tiff(b), np.stack([plane * 255] * 3, -1)
             ), (trial, compr)
@@ -563,7 +573,8 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         dec = ccitt_decode(ccitt_encode(wide, comp, t4_2d=t2d),
                            6000, 2, comp, t4_2d=t2d)
         assert np.array_equal(dec, wide), comp
-    # gate: T4Options uncompressed bit (bit 1) forged onto a G3 file
+    # the T4Options uncompressed bit forged onto a plain G3 file is
+    # harmless — it only PERMITS uncompressed codes (gate retired)
     g3 = bytearray(encode_tiff(one_px[0:1].repeat(4, 0), depth=1,
                                compression="g3"))
     ifd = int.from_bytes(g3[4:8], "little")
@@ -572,8 +583,11 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
         at = ifd + 2 + 12 * k
         if int.from_bytes(g3[at : at + 2], "little") == 292:
             g3[at + 8 : at + 12] = st.pack("<I", 0b10)
-    with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(g3))
+    assert decode_tiff(bytes(g3)).shape == (4, 100, 3)
+    # a truncated uncompressed segment is loud, typed damage
+    unc = ccitt_encode(one_px[0:1].repeat(4, 0), 4, uncompressed=True)
+    with pytest.raises(ValueError):
+        ccitt_decode(unc[:3], 100, 4, 4)
     # damage: CCITT with 8-bit samples is a corrupt header, not a gate
     g4 = bytearray(encode_tiff(one_px, depth=1, compression="g4"))
     ifd = int.from_bytes(g4[4:8], "little")
@@ -3359,6 +3373,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      white_is_zero=True), decode_tiff),
         (encode_tiff((img8 >> 7), compression="g4", depth=1,
                      white_is_zero=True), decode_tiff),
+        (encode_tiff((img8 >> 7), compression="g4", depth=1,
+                     white_is_zero=True, tile=(16, 16),
+                     ccitt_uncompressed=True), decode_tiff),
+        (encode_tiff((img8 >> 7), compression="g3_2d", depth=1,
+                     white_is_zero=True, ccitt_uncompressed=True),
+         decode_tiff),
         (encode_tiff_ycbcr(img8, (img8[::2, ::2] ^ 85),
                            (img8[::2, ::2] ^ 170), (2, 2),
                            compression="deflate", rows_per_strip=4),
