@@ -3753,7 +3753,9 @@ def encode_ico(entries) -> bytes:
     "bmp" an ICO DIB (BITMAPINFOHEADER with DOUBLED height,
     bottom-up 32bpp BGRA XOR data, then the 1bpp AND mask derived
     from alpha==0, rows padded to 32 bits); "bmp24" the legacy
-    24bpp DIB whose transparency lives ONLY in the AND mask."""
+    24bpp DIB whose transparency lives ONLY in the AND mask;
+    "bmp16" the X1R5G5B5 DIB (top-5-bit channels, mask-only
+    transparency, round 10)."""
     import numpy as np
 
     dirents = bytearray()
@@ -3780,6 +3782,20 @@ def encode_ico(entries) -> bytes:
                 xr[:, :row] = bgr.reshape(h, row)
                 xor = xr.tobytes()
                 bpp = 24
+            elif kind == "bmp16":
+                v = (
+                    ((a[..., 0].astype(np.uint16) >> 3) << 10)
+                    | ((a[..., 1].astype(np.uint16) >> 3) << 5)
+                    | (a[..., 2].astype(np.uint16) >> 3)
+                )[::-1]
+                row = w * 2
+                stride = row + ((-row) % 4)
+                xr = np.zeros((h, stride), np.uint8)
+                xr[:, :row] = v.astype("<u2").view(np.uint8).reshape(
+                    h, row
+                )
+                xor = xr.tobytes()
+                bpp = 16
             else:
                 xor = a[..., [2, 1, 0, 3]][::-1].tobytes()
                 bpp = 32
@@ -3849,7 +3865,7 @@ def decode_ico_entries(b: bytes):
         if w < 1 or h2 < 2 or h2 % 2 or w > 1024 or h2 > 2048:
             raise ValueError("ICO DIB dimensions implausible")
         h = h2 // 2
-        if bpp not in (1, 4, 8, 24, 32):
+        if bpp not in (1, 4, 8, 16, 24, 32):
             require_codec(f"ICO DIB bpp {bpp}")
         pos = 40
         if bpp <= 8:
@@ -3871,6 +3887,26 @@ def decode_ico_entries(b: bytes):
                 rows, w, bpp
             )
             rgb = pal[idx.reshape(-1).astype(np.int64)].reshape(h, w, 3)
+            alpha = None
+            pos += stride * h
+        elif bpp == 16:
+            # BI_RGB 16bpp DIB: X1R5G5B5 little-endian words,
+            # 5-bit channels bit-replicated to 8 (gate retired r10)
+            row = w * 2
+            stride = row + ((-row) % 4)
+            if pos + stride * h > len(payload):
+                raise ValueError("ICO XOR data truncated")
+            words = np.frombuffer(
+                payload, np.uint8, count=stride * h, offset=pos
+            ).reshape(h, stride)[:, :row].reshape(h, w, 2)
+            v = words[..., 0].astype(np.uint16) | (
+                words[..., 1].astype(np.uint16) << 8
+            )
+            c5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
+            rgb = np.stack(
+                [((c << 3) | (c >> 2)).astype(np.uint8) for c in c5],
+                axis=-1,
+            )
             alpha = None
             pos += stride * h
         else:
@@ -3930,15 +3966,37 @@ def _pcx_rle_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_pcx(arr, palette=None) -> bytes:
+def encode_pcx(arr, palette=None, ega_planes: int = 0,
+               palette16=None, bpp4: bool = False) -> bytes:
     """(h, w, 3) RGB (three 8-bit planes per row), (h, w) uint8
     indices with ``palette`` (256, 3 — the 0x0C VGA palette block at
     EOF), or (h, w) 0/1 monochrome — -> PCX version 5, RLE
-    encoding."""
+    encoding. ``ega_planes`` (2/3/4) emits the classic EGA
+    bit-plane layout (index bit p in plane p) and ``bpp4`` the
+    packed 4-bit single-plane layout, both resolving through the
+    16-entry HEADER palette ``palette16`` ((n<=16, 3))."""
     import numpy as np
 
     a = np.asarray(arr, np.uint8)
-    if palette is not None:
+    hdr_pal = b"\x00" * 48
+    if palette16 is not None:
+        p16 = np.asarray(palette16, np.uint8)
+        assert p16.ndim == 2 and p16.shape[0] <= 16 and p16.shape[1] == 3
+        hdr_pal = p16.tobytes().ljust(48, b"\x00")
+    if ega_planes:
+        assert a.ndim == 2 and palette is None and not bpp4
+        assert 2 <= ega_planes <= 4
+        assert int(a.max(initial=0)) < (1 << ega_planes)
+        h, w = a.shape
+        bpp, planes = 1, ega_planes
+        row_planes = [(a >> p) & 1 for p in range(ega_planes)]
+    elif bpp4:
+        assert a.ndim == 2 and palette is None
+        assert int(a.max(initial=0)) < 16
+        h, w = a.shape
+        bpp, planes = 4, 1
+        row_planes = [a]
+    elif palette is not None:
         assert a.ndim == 2
         h, w = a.shape
         bpp, planes = 8, 1
@@ -3956,7 +4014,7 @@ def encode_pcx(arr, palette=None) -> bytes:
     bpl += bpl % 2  # even bytes-per-line per spec
     header = struct.pack(
         "<BBBBHHHHHH48sBBHH58s",
-        0x0A, 5, 1, bpp, 0, 0, w - 1, h - 1, 72, 72, b"\x00" * 48,
+        0x0A, 5, 1, bpp, 0, 0, w - 1, h - 1, 72, 72, hdr_pal,
         0, planes, bpl, 1, b"\x00" * 58,
     )
     body = bytearray()
@@ -3965,6 +4023,10 @@ def encode_pcx(arr, palette=None) -> bytes:
             if bpp == 1:
                 packed = np.packbits(pl[y][None, :], axis=1)[0]
                 row = packed.tobytes().ljust(bpl, b"\x00")
+            elif bpp == 4:
+                row = _pack_sample_rows(
+                    pl[y][None, :], 4
+                )[0].tobytes().ljust(bpl, b"\x00")
             else:
                 row = pl[y].tobytes().ljust(bpl, b"\x00")
             body += _pcx_rle_encode(row)
@@ -3979,9 +4041,10 @@ def encode_pcx(arr, palette=None) -> bytes:
 def decode_pcx(b: bytes):
     """PCX bytes -> (h, w, 3) uint8 RGB: version-5 RLE scanlines for
     8bpp VGA-paletted (0x0C trailer), 24bpp (three 8-bit planes per
-    row), and 1bpp monochrome images. EGA multi-plane and sub-byte
-    depths gate via require_codec; structural damage raises
-    ValueError."""
+    row), 1bpp monochrome, and — round 10, gates retired — the
+    classic EGA layouts: 1bpp x 2/3/4 bit-planes (index bit p in
+    plane p) and packed 4bpp x 1, both resolving through the
+    16-entry header palette. Structural damage raises ValueError."""
     import numpy as np
 
     if len(b) < 128 or b[0] != 0x0A:
@@ -3997,7 +4060,9 @@ def decode_pcx(b: bytes):
         raise ValueError("PCX dimensions implausible")
     planes = b[65]
     (bpl,) = struct.unpack_from("<H", b, 66)
-    if (bpp, planes) not in ((8, 1), (8, 3), (1, 1)):
+    if (bpp, planes) not in (
+        (8, 1), (8, 3), (1, 1), (1, 2), (1, 3), (1, 4), (4, 1)
+    ):
         require_codec(f"PCX layout {bpp}bpp x {planes} planes")
     if bpl < (w * bpp + 7) // 8:
         raise ValueError("PCX bytes-per-line too small")
@@ -4026,10 +4091,26 @@ def decode_pcx(b: bytes):
         out[filled : filled + count] = val
         filled += count
     rows = out.reshape(h, planes, bpl)
-    if bpp == 1:
+    if bpp == 1 and planes == 1:
         bits = _unpack_msb_samples(rows[:, 0, :], w, 1)
         g = (bits * 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
+    if bpp == 1 or bpp == 4:
+        # EGA layouts: bit-planes (index bit p lives in plane p) or a
+        # packed 4-bit single plane, through the 16-entry HEADER
+        # palette (bytes 16..64)
+        if bpp == 1:
+            idx = np.zeros((h, w), np.int64)
+            for p in range(planes):
+                idx |= _unpack_msb_samples(
+                    rows[:, p, :], w, 1
+                ).astype(np.int64) << p
+        else:
+            idx = _unpack_msb_samples(rows[:, 0, :], w, 4).astype(
+                np.int64
+            )
+        pal = np.frombuffer(b[16:64], np.uint8).reshape(16, 3)
+        return pal[idx.reshape(-1)].reshape(h, w, 3)
     if planes == 3:
         return np.ascontiguousarray(
             rows[:, :, :w].transpose(0, 2, 1)
@@ -4057,28 +4138,45 @@ def encode_tga(
     top_down: bool = True,
     palette=None,
     bpp16: bool = False,
+    pal_bits: int = 24,
+    cm_first: int = 0,
+    depth15: bool = False,
+    gray_alpha: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB / (h, w, 4) RGBA / (h, w) gray uint8 — or
-    (h, w) uint8 indices with ``palette`` (256, 3) — -> TGA 2.0
-    (footer signature included, which is how magic-less TGA files
-    are detected). ``bpp16`` packs RGB as X1R5G5B5 from the top 5
-    bits of each channel. ``rle`` emits run-length packets;
-    ``top_down`` sets descriptor bit 5 (TGA default is bottom-up)."""
+    (h, w) uint8 indices with ``palette`` — -> TGA 2.0 (footer
+    signature included, which is how magic-less TGA files are
+    detected). ``bpp16`` packs RGB as X1R5G5B5 from the top 5 bits
+    of each channel (``depth15`` declares it as depth 15, the
+    attribute-bit-less variant). ``pal_bits`` picks the colormap
+    entry width (24, or 15/16 = X1R5G5B5 little-endian);
+    ``cm_first`` offsets the stored map — entries cover absolute
+    indices [cm_first, cm_first + len(palette)). ``gray_alpha``
+    takes (h, w, 2) gray+attribute input (image type 3, depth 16).
+    ``rle`` emits run-length packets; ``top_down`` sets descriptor
+    bit 5 (TGA default is bottom-up)."""
     import numpy as np
 
     a = np.asarray(arr, np.uint8)
+    cm_len = 0
     if palette is not None:
         assert a.ndim == 2, "palette TGA expects index planes"
         h, w = a.shape
         itype, depth = 1, 8
         pix = a[..., None]
+        cm_len = np.asarray(palette).shape[0]
+    elif gray_alpha:
+        h, w, c = a.shape
+        assert c == 2, "gray_alpha TGA expects (h, w, 2)"
+        itype, depth = 3, 16
+        pix = a
     elif a.ndim == 2:
         h, w = a.shape
         itype, depth = 3, 8
         pix = a[..., None]
     elif bpp16:
         h, w, _ = a.shape
-        itype, depth = 2, 16
+        itype, depth = 2, (15 if depth15 else 16)
         v = (
             ((a[..., 0].astype(np.uint16) >> 3) << 10)
             | ((a[..., 1].astype(np.uint16) >> 3) << 5)
@@ -4098,15 +4196,24 @@ def encode_tga(
         0,  # id length
         1 if palette is not None else 0,
         (itype + 8) if rle else itype,
-        0, 256 if palette is not None else 0,
-        24 if palette is not None else 0,
+        cm_first if palette is not None else 0,
+        cm_len,
+        pal_bits if palette is not None else 0,
         0, 0, w, h, depth, desc,
     )
     body = bytearray(header)
     if palette is not None:
         pal = np.asarray(palette, np.uint8)
-        assert pal.shape == (256, 3)
-        body += pal[:, ::-1].tobytes()  # BGR entries
+        assert pal.ndim == 2 and pal.shape[1] == 3
+        if pal_bits in (15, 16):
+            v = (
+                ((pal[:, 0].astype(np.uint16) >> 3) << 10)
+                | ((pal[:, 1].astype(np.uint16) >> 3) << 5)
+                | (pal[:, 2].astype(np.uint16) >> 3)
+            )
+            body += v.astype("<u2").tobytes()
+        else:
+            body += pal[:, ::-1].tobytes()  # BGR entries
     nb = pix.shape[-1]
     if not rle:
         body += pix.tobytes()
@@ -4138,13 +4245,15 @@ def encode_tga(
 
 
 def decode_tga(b: bytes):
-    """TGA bytes -> (h, w, 3) uint8 RGB or (h, w, 4) RGBA (32bpp):
-    truecolor 16 (X1R5G5B5, bit-replicated to 8) / 24 / 32 bpp,
-    8-bit grayscale, 8-bit color-mapped with 24/32-bit entries,
-    RLE or raw, both vertical orientations. The optional v2.0
-    footer is tolerated (and is what ``_decode_any`` dispatches
-    on — TGA has no leading magic). Structural damage raises
-    ValueError."""
+    """TGA bytes -> (h, w, 3) uint8 RGB or (h, w, 4) RGBA: truecolor
+    15/16 (X1R5G5B5, bit-replicated to 8) / 24 / 32 bpp, grayscale
+    at 8-bit or 16-bit (gray + attribute byte -> RGBA, round 10),
+    8-bit color-mapped with 15/16/24/32-bit entries and a nonzero
+    first-entry offset (round 10 — indices are absolute, the stored
+    map covers [first, first+len)), RLE or raw, both vertical
+    orientations. The optional v2.0 footer is tolerated (and is
+    what ``_decode_any`` dispatches on — TGA has no leading magic).
+    Structural damage raises ValueError."""
     import numpy as np
 
     if len(b) < 18:
@@ -4163,26 +4272,44 @@ def decode_tga(b: bytes):
     pos = 18 + idlen
     pal = None
     if cmap_type == 1:
-        if cm_bits not in (24, 32) or cm_len > 256 or cm_first:
+        if cm_bits not in (15, 16, 24, 32) or cm_len > 256 \
+                or cm_first + cm_len > 65536:
             require_codec(f"TGA colormap layout {cm_bits}/{cm_first}")
-        nbp = cm_bits // 8
+        nbp = (cm_bits + 7) // 8
         end = pos + cm_len * nbp
         if end > len(b):
             raise ValueError("TGA colormap truncated")
-        pal = np.frombuffer(b[pos:end], np.uint8).reshape(cm_len, nbp)
+        raw_pal = np.frombuffer(b[pos:end], np.uint8).reshape(
+            cm_len, nbp
+        )
+        if cm_bits in (15, 16):
+            # X1R5G5B5 little-endian entries, 5-bit channels
+            # bit-replicated to 8 (the house f555 expansion); stored
+            # as BGR(A)-layout rows so the shared lookup path reads
+            # them like 24-bit entries
+            v = raw_pal[:, 0].astype(np.uint16) | (
+                raw_pal[:, 1].astype(np.uint16) << 8
+            )
+            c5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]  # R, G, B
+            r8, g8, b8 = [
+                ((c << 3) | (c >> 2)).astype(np.uint8) for c in c5
+            ]
+            pal = np.stack([b8, g8, r8], axis=-1)  # BGR like 24-bit
+        else:
+            pal = raw_pal
         pos = end
     if base == 1:
         if depth != 8 or pal is None:
             raise ValueError("TGA colormapped needs 8-bit indices + map")
         nb = 1
     elif base == 3:
-        if depth != 8:
+        if depth not in (8, 16):
             require_codec(f"TGA gray depth {depth}")
-        nb = 1
-    else:
-        if depth not in (16, 24, 32):
-            require_codec(f"TGA truecolor depth {depth}")
         nb = depth // 8
+    else:
+        if depth not in (15, 16, 24, 32):
+            require_codec(f"TGA truecolor depth {depth}")
+        nb = (depth + 7) // 8
     need = h * w * nb
     if not rle:
         if pos + need > len(b):
@@ -4218,15 +4345,21 @@ def decode_tga(b: bytes):
             filled += count
         pix = out.reshape(h, w, nb)
     if base == 1:
-        idx = pix[..., 0].astype(np.int64)
-        if int(idx.max(initial=0)) >= pal.shape[0]:
+        # indices are ABSOLUTE; the stored map covers
+        # [cm_first, cm_first + cm_len)
+        idx = pix[..., 0].astype(np.int64) - cm_first
+        if int(idx.min(initial=0)) < 0 or \
+                int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("TGA index outside the colormap")
         ent = pal[idx.reshape(-1)].reshape(h, w, -1)
         rgb = ent[..., [2, 1, 0]]  # BGR(A) entries
     elif base == 3:
         g = pix[..., 0]
-        rgb = np.stack([g, g, g], axis=-1)
-    elif depth == 16:
+        if depth == 16:  # gray + attribute (alpha) byte
+            rgb = np.stack([g, g, g, pix[..., 1]], axis=-1)
+        else:
+            rgb = np.stack([g, g, g], axis=-1)
+    elif depth in (15, 16):
         v = pix.reshape(h, w, 2).astype(np.uint16)
         v = v[..., 0] | (v[..., 1] << 8)
         out5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
@@ -5318,26 +5451,37 @@ def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
 
 
 def synthetic_pcx_table(spark, n: int = 12) -> DataFrame:
-    """Deterministic PCX table rotating the three supported layouts
-    by i%3 — 24bpp three-plane RGB (r = (x*11 + y*3 + i*23) mod 256,
-    +85/+170 offsets), 8bpp VGA-paletted (idx = (x*3 + y*5 + i*7)
-    mod 256 through pal[j] = ((j*7+5, j*3+57, j*13+19) mod 256)),
-    and 1bpp monochrome block patterns rendered *255. q198's 'pcx'
-    census group replays each closed-form."""
+    """Deterministic PCX table rotating FIVE layouts by i%5 (round
+    10 widens from three: the EGA gates are retired) — 24bpp
+    three-plane RGB (r = (x*11 + y*3 + i*23) mod 256, +85/+170
+    offsets), 8bpp VGA-paletted (idx = (x*3 + y*5 + i*7) mod 256
+    through pal[j] = ((j*7+5, j*3+57, j*13+19) mod 256)), 1bpp
+    monochrome block patterns rendered *255, EGA bit-planes
+    (2 + i%3 planes, idx = (x + y*2 + i) mod 2^planes), and packed
+    4bpp (idx = (x*3 + y + i) mod 16) — the EGA layouts resolve
+    through the 16-entry HEADER palette
+    ((j*11+3, j*7+29, j*3+101) mod 256). q198's 'pcx' census group
+    replays each closed-form."""
     import numpy as np
 
+    j16 = np.arange(16, dtype=np.int64)
+    pal16 = np.stack(
+        [(j16 * 11 + 3) % 256, (j16 * 7 + 29) % 256,
+         (j16 * 3 + 101) % 256], axis=-1
+    ).astype(np.uint8)
     rows = []
     for i in range(n):
         w, h = 9 + (i % 4) * 5, 7 + (i % 3) * 4
         y = np.arange(h, dtype=np.int64)[:, None]
         x = np.arange(w, dtype=np.int64)[None, :]
-        if i % 3 == 0:
+        v = i % 5
+        if v == 0:
             r = (x * 11 + y * 3 + i * 23) % 256
             px = np.stack(
                 [r, (r + 85) % 256, (r + 170) % 256], axis=-1
             ).astype(np.uint8)
             content = encode_pcx(px)
-        elif i % 3 == 1:
+        elif v == 1:
             j = np.arange(256, dtype=np.int64)
             pal = np.stack(
                 [(j * 7 + 5) % 256, (j * 3 + 57) % 256,
@@ -5345,10 +5489,18 @@ def synthetic_pcx_table(spark, n: int = 12) -> DataFrame:
             ).astype(np.uint8)
             idx = ((x * 3 + y * 5 + i * 7) % 256).astype(np.uint8)
             content = encode_pcx(idx, palette=pal)
-        else:
+        elif v == 2:
             plane = (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2
                      ).astype(np.uint8)
             content = encode_pcx(plane)
+        elif v == 3:
+            planes = 2 + i % 3
+            idx = ((x + y * 2 + i) % (1 << planes)).astype(np.uint8)
+            content = encode_pcx(idx, ega_planes=planes,
+                                 palette16=pal16)
+        else:
+            idx = ((x * 3 + y + i) % 16).astype(np.uint8)
+            content = encode_pcx(idx, bpp4=True, palette16=pal16)
         rows.append(
             (i, "image", content, None, f"mem://media/{i}.pcx")
         )
@@ -5361,10 +5513,12 @@ def synthetic_ico_table(spark, n: int = 12) -> DataFrame:
     w=10+(i%4)*4 by h=8+(i%3)*4 with r = (x*9 + y*5 + i*17) mod 256
     (+85/+170 channel offsets) and alpha 0 exactly where
     (x + y + i) mod 7 == 0 (binary — exact under every storage),
-    stored as embedded PNG / 32bpp DIB / 24bpp DIB + AND mask by
-    i%3; files with i%4==0 carry a SECOND smaller 5x4 entry so the
-    census exercises largest-entry selection. q198's 'ico' group
-    replays the primary entry closed-form."""
+    stored as embedded PNG / 32bpp DIB / 24bpp DIB + AND mask /
+    X1R5G5B5 16bpp DIB (round 10 — gate retired; top-5-bit channels
+    bit-replicated on decode, the oracle's f555 arm) by i%4; files
+    with i%4==0 carry a SECOND smaller 5x4 entry so the census
+    exercises largest-entry selection. q198's 'ico' group replays
+    the primary entry closed-form."""
     import numpy as np
 
     rows = []
@@ -5377,7 +5531,7 @@ def synthetic_ico_table(spark, n: int = 12) -> DataFrame:
         px = np.stack(
             [r, (r + 85) % 256, (r + 170) % 256, alpha], axis=-1
         ).astype(np.uint8)
-        kind = ("png", "bmp", "bmp24")[i % 3]
+        kind = ("png", "bmp", "bmp24", "bmp16")[i % 4]
         entries = [(px, kind)]
         if i % 4 == 0:
             y2 = np.arange(4, dtype=np.int64)[:, None]
@@ -5499,14 +5653,21 @@ def synthetic_tiff_float_table(spark, n: int = 12) -> DataFrame:
 def synthetic_tga_table(spark, n: int = 20) -> DataFrame:
     """Deterministic TGA media table: image i is w=11+(i%4)*5 by
     h=9+(i%3)*4 with base = (x*7 + y*13 + i*31) mod 256 and variant
-    i%5 — 24bpp raw / 24bpp RLE / 8-bit grayscale / 8-bit
-    color-mapped (idx = (x + y*3 + i) mod 256 through the closed-form
-    palette ((j*5+3, j*7+11, j*11+29) mod 256)) / 16bpp X1R5G5B5
-    (top-5-bit channels bit-replicated back to 8). Orientation
-    rotates (top-down unless i%3==0 — the bottom-up TGA default),
-    RLE on odd i. All files carry the v2.0 footer signature
-    `_decode_any` dispatches on. media_id offset +700 in q198's
-    'tga' census group."""
+    i%5 — 24bpp raw / 24bpp RLE / grayscale (8-bit, or round 10's
+    16-bit gray+attribute on odd i — alpha is census-invisible but
+    the 2-byte layout gates on decode) / 8-bit color-mapped
+    (idx = (x + y*3 + i) mod 256 through the closed-form palette
+    ((j*5+3, j*7+11, j*11+29) mod 256) — round 10 rotates the
+    colormap LAYOUT gates in: X1R5G5B5 entries on i=3 (15-bit) and
+    i=8 (16-bit), both 5-bit-quantized through the oracle's f555
+    arm, and a nonzero first-entry offset on i=13 with idx
+    re-ranged to 32 + (x + y*3 + i) mod 224) / 16bpp X1R5G5B5
+    (top-5-bit channels bit-replicated back to 8; round 10 declares
+    odd-i rows depth 15 — the attribute-bit-less variant, decode-
+    identical). Orientation rotates (top-down unless i%3==0 — the
+    bottom-up TGA default), RLE on odd i. All files carry the v2.0
+    footer signature `_decode_any` dispatches on. media_id offset
+    +700 in q198's 'tga' census group."""
     import numpy as np
 
     rows = []
@@ -5524,21 +5685,39 @@ def synthetic_tga_table(spark, n: int = 20) -> DataFrame:
             ).astype(np.uint8)
             content = encode_tga(px, rle=(v == 1), top_down=td)
         elif v == 2:
-            content = encode_tga(base.astype(np.uint8), rle=rle,
-                                 top_down=td)
+            if i % 2:
+                ga = np.stack(
+                    [base, (base * 3 + 7) % 256], axis=-1
+                ).astype(np.uint8)
+                content = encode_tga(ga, rle=rle, top_down=td,
+                                     gray_alpha=True)
+            else:
+                content = encode_tga(base.astype(np.uint8), rle=rle,
+                                     top_down=td)
         elif v == 3:
-            j = np.arange(256, dtype=np.int64)
+            pal_bits = {3: 15, 8: 16}.get(i, 24)
+            cm_first = 32 if i == 13 else 0
+            if cm_first:
+                j = np.arange(cm_first, 256, dtype=np.int64)
+                idx = (cm_first
+                       + (x + y * 3 + i) % (256 - cm_first)).astype(
+                    np.uint8
+                )
+            else:
+                j = np.arange(256, dtype=np.int64)
+                idx = ((x + y * 3 + i) % 256).astype(np.uint8)
             pal = np.stack(
                 [(j * 5 + 3) % 256, (j * 7 + 11) % 256,
                  (j * 11 + 29) % 256], axis=-1
             ).astype(np.uint8)
-            idx = ((x + y * 3 + i) % 256).astype(np.uint8)
-            content = encode_tga(idx, rle=rle, top_down=td, palette=pal)
+            content = encode_tga(idx, rle=rle, top_down=td, palette=pal,
+                                 pal_bits=pal_bits, cm_first=cm_first)
         else:
             px = np.stack(
                 [base, (base + 85) % 256, (base + 170) % 256], axis=-1
             ).astype(np.uint8)
-            content = encode_tga(px, rle=rle, top_down=td, bpp16=True)
+            content = encode_tga(px, rle=rle, top_down=td, bpp16=True,
+                                 depth15=bool(i % 2))
         rows.append(
             (700 + i, "image", content, None,
              f"mem://media/{700 + i}.tga")

@@ -11555,25 +11555,40 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     pcys AS (SELECT i, w, unnest(range(h)) AS y FROM pcm2),
     pcpx AS (SELECT i, y, unnest(range(w)) AS x FROM pcys),
+    -- round 10: five layouts by i%5; the EGA bit-plane (i%5=3,
+    -- 2 + i%3 planes) and packed-4bpp (i%5=4) indices resolve
+    -- through the 16-entry header palette
+    pcidx AS (
+        SELECT i, x, y,
+               CASE i % 5
+                 WHEN 3 THEN (x + y * 2 + i) %
+                      (CASE i % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                       ELSE 16 END)
+                 ELSE (x * 3 + y + i) % 16 END AS eidx
+        FROM pcpx
+    ),
     pcch AS (
         SELECT i,
-          CASE i % 3
+          CASE i % 5
             WHEN 0 THEN (x * 11 + y * 3 + i * 23) % 256
             WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 7 + 5) % 256
-            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
-                 * 255 END AS r,
-          CASE i % 3
+            WHEN 2 THEN (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i)
+                         % 2) * 255
+            ELSE (eidx * 11 + 3) % 256 END AS r,
+          CASE i % 5
             WHEN 0 THEN ((x * 11 + y * 3 + i * 23) % 256 + 85) % 256
             WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 3 + 57) % 256
-            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
-                 * 255 END AS g2,
-          CASE i % 3
+            WHEN 2 THEN (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i)
+                         % 2) * 255
+            ELSE (eidx * 7 + 29) % 256 END AS g2,
+          CASE i % 5
             WHEN 0 THEN ((x * 11 + y * 3 + i * 23) % 256 + 170) % 256
             WHEN 1 THEN (((x * 3 + y * 5 + i * 7) % 256) * 13 + 19)
                         % 256
-            ELSE (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i) % 2)
-                 * 255 END AS b2
-        FROM pcpx
+            WHEN 2 THEN (((x // (1 + i % 3)) + (y // (1 + i % 2)) + i)
+                         % 2) * 255
+            ELSE (eidx * 3 + 101) % 256 END AS b2
+        FROM pcidx
     ),
     pcxrows AS (
         SELECT 'pcx' AS fmt, i AS media_id,
@@ -11590,12 +11605,24 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     icys AS (SELECT i, w, unnest(range(h)) AS y FROM icm),
     icpx AS (SELECT i, y, unnest(range(w)) AS x FROM icys),
+    -- i%4=3 rows store X1R5G5B5 16bpp DIBs (round 10): channels
+    -- 5-bit-quantized with bit replication
+    icbase AS (
+        SELECT i,
+               (x * 9 + y * 5 + i * 17) % 256 AS cr,
+               ((x * 9 + y * 5 + i * 17) % 256 + 85) % 256 AS cg,
+               ((x * 9 + y * 5 + i * 17) % 256 + 170) % 256 AS cb
+        FROM icpx
+    ),
     icch AS (
         SELECT i,
-               (x * 9 + y * 5 + i * 17) % 256 AS r,
-               ((x * 9 + y * 5 + i * 17) % 256 + 85) % 256 AS g2,
-               ((x * 9 + y * 5 + i * 17) % 256 + 170) % 256 AS b2
-        FROM icpx
+               CASE WHEN i % 4 = 3
+                    THEN (cr // 8) * 8 + (cr // 8) // 4 ELSE cr END AS r,
+               CASE WHEN i % 4 = 3
+                    THEN (cg // 8) * 8 + (cg // 8) // 4 ELSE cg END AS g2,
+               CASE WHEN i % 4 = 3
+                    THEN (cb // 8) * 8 + (cb // 8) // 4 ELSE cb END AS b2
+        FROM icbase
     ),
     icrows AS (
         SELECT 'ico' AS fmt, i AS media_id,
@@ -11694,29 +11721,44 @@ def q197_cdc_validation_census(spark, sf_dir):
     tgv AS (
         SELECT i,
                (x * 7 + y * 13 + i * 31) % 256 AS base,
-               (x + y * 3 + i) % 256 AS idx
+               -- i=13 stores a cm_first=32 colormap; its indices
+               -- re-range to [32, 256)
+               CASE WHEN i = 13 THEN 32 + (x + y * 3 + i) % 224
+                    ELSE (x + y * 3 + i) % 256 END AS idx
         FROM tgpx
+    ),
+    -- i=3 (15-bit) and i=8 (16-bit) store X1R5G5B5 colormap
+    -- entries: 5-bit-quantized channels bit-replicated on decode
+    tgpal AS (
+        SELECT i, idx, base,
+               (idx * 5 + 3) % 256 AS pr,
+               (idx * 7 + 11) % 256 AS pg,
+               (idx * 11 + 29) % 256 AS pb
+        FROM tgv
     ),
     tgrgb AS (
         SELECT i,
                CASE i % 5
                  WHEN 2 THEN base
-                 WHEN 3 THEN (idx * 5 + 3) % 256
+                 WHEN 3 THEN CASE WHEN i IN (3, 8)
+                      THEN (pr // 8) * 8 + (pr // 8) // 4 ELSE pr END
                  WHEN 4 THEN (base // 8) * 8 + (base // 8) // 4
                  ELSE base END AS r,
                CASE i % 5
                  WHEN 2 THEN base
-                 WHEN 3 THEN (idx * 7 + 11) % 256
+                 WHEN 3 THEN CASE WHEN i IN (3, 8)
+                      THEN (pg // 8) * 8 + (pg // 8) // 4 ELSE pg END
                  WHEN 4 THEN (((base + 85) % 256) // 8) * 8
                              + (((base + 85) % 256) // 8) // 4
                  ELSE (base + 85) % 256 END AS g2,
                CASE i % 5
                  WHEN 2 THEN base
-                 WHEN 3 THEN (idx * 11 + 29) % 256
+                 WHEN 3 THEN CASE WHEN i IN (3, 8)
+                      THEN (pb // 8) * 8 + (pb // 8) // 4 ELSE pb END
                  WHEN 4 THEN (((base + 170) % 256) // 8) * 8
                              + (((base + 170) % 256) // 8) // 4
                  ELSE (base + 170) % 256 END AS b2
-        FROM tgv
+        FROM tgpal
     ),
     tga AS (
         SELECT 'tga' AS fmt, i + 700 AS media_id,
@@ -11930,14 +11972,20 @@ def q197_cdc_validation_census(spark, sf_dir):
     "(round 9, fmt 'ico'): favicon containers — embedded-PNG "
     "entries through decode_png, 32bpp DIBs (alpha channel wins "
     "when non-zero anywhere), legacy 24bpp + AND-mask DIBs, "
-    "paletted DIBs, doubled-height headers, largest-entry "
-    "selection over multi-entry files; the CUR magic collides with "
-    "raw truecolor TGA's first four bytes, disambiguated by the "
-    "entry-count byte + TGA footer (pytest-pinned). PCX (round 9, "
+    "paletted DIBs, X1R5G5B5 16bpp DIBs (round 10 — 5-bit channels "
+    "bit-replicated, the oracle's f555 arm), doubled-height "
+    "headers, largest-entry selection over multi-entry files; the "
+    "CUR magic collides with raw truecolor TGA's first four bytes, "
+    "disambiguated by the entry-count byte + TGA footer "
+    "(pytest-pinned). PCX (round 9, "
     "fmt 'pcx'): version-5 RLE scanlines — 24bpp three-plane rows, "
-    "8bpp with the 0x0C VGA palette trailer, 1bpp monochrome; "
-    "even bytes-per-line padding honored, EGA multi-plane layouts "
-    "gate. "
+    "8bpp with the 0x0C VGA palette trailer, 1bpp monochrome, and "
+    "(round 10, gates retired) the EGA 2/3/4-bit-plane and packed "
+    "4bpp layouts resolving through the 16-entry header palette; "
+    "even bytes-per-line padding honored. The TGA group (round 10) "
+    "adds 15/16-bit X1R5G5B5 colormap entries, nonzero first-entry "
+    "offsets with absolute indices, 16-bit gray+attribute, and "
+    "depth-15 truecolor to its rotation. "
     "16-bit PPM: maxval>255 means 2-byte big-endian samples per the "
     "netpbm spec — one frombuffer dtype switch; aux = max sample "
     "proves full-range 16-bit values actually arrive (a byte-order "

@@ -602,11 +602,13 @@ def test_ccitt_fax_tiff_spec_vectors_roundtrip_and_gates():
 
 def test_pcx_layouts_roundtrip_and_guards():
     """PCX: 24bpp three-plane, 8bpp VGA-paletted (0x0C trailer),
-    and 1bpp monochrome round-trip through version-5 RLE (runs
-    capped at 63, >=0xC0 literals forced into runs, even
-    bytes-per-line padding); _decode_any dispatches on the 0x0A
-    magic + RLE byte; missing palette trailers and truncated RLE
-    raise ValueError; EGA multi-plane layouts gate."""
+    1bpp monochrome, and — round 10, gates retired — EGA 2/3/4
+    bit-plane and packed-4bpp layouts (16-entry header palette)
+    round-trip through version-5 RLE (runs capped at 63, >=0xC0
+    literals forced into runs, even bytes-per-line padding);
+    _decode_any dispatches on the 0x0A magic + RLE byte; missing
+    palette trailers, truncated RLE, and a forged plane count (data
+    for one plane, header claiming four) raise ValueError."""
     import pytest
 
     from e_commerce_data_pipeline_spark.operators.multimodal import (
@@ -616,9 +618,9 @@ def test_pcx_layouts_roundtrip_and_guards():
     )
 
     rng = np.random.RandomState(17)
-    for trial in range(15):
+    for trial in range(20):
         h, w = rng.randint(1, 28), rng.randint(1, 28)
-        kind = trial % 3
+        kind = trial % 5
         if kind == 0:
             a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
             b = encode_pcx(a)
@@ -628,10 +630,25 @@ def test_pcx_layouts_roundtrip_and_guards():
             idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
             b = encode_pcx(idx, palette=pal)
             want = pal[idx.reshape(-1)].reshape(h, w, 3)
-        else:
+        elif kind == 2:
             a = rng.randint(0, 2, (h, w)).astype(np.uint8)
             b = encode_pcx(a)
             want = np.repeat((a * 255).astype(np.uint8)[..., None], 3, 2)
+        elif kind == 3:
+            planes = 2 + trial % 3
+            pal16 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+            idx = rng.randint(0, 1 << planes, (h, w)).astype(np.uint8)
+            b = encode_pcx(idx, ega_planes=planes, palette16=pal16)
+            want = pal16[idx.reshape(-1).astype(np.int64)].reshape(
+                h, w, 3
+            )
+        else:
+            pal16 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+            idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+            b = encode_pcx(idx, bpp4=True, palette16=pal16)
+            want = pal16[idx.reshape(-1).astype(np.int64)].reshape(
+                h, w, 3
+            )
         assert np.array_equal(decode_pcx(b), want), (trial, kind)
         px, fmt = _decode_any(b)
         assert fmt == "pcx" and np.array_equal(px, want)
@@ -641,9 +658,15 @@ def test_pcx_layouts_roundtrip_and_guards():
                    palette=pal)
     with pytest.raises(ValueError, match="palette"):
         decode_pcx(b[:-769])
-    # EGA 4-plane layouts gate
+    # a forged plane count (1bpp data, header claims 4 planes) is
+    # structural damage — the stream runs out before the raster fills
     g = bytearray(encode_pcx(rng.randint(0, 2, (5, 6)).astype(np.uint8)))
     g[65] = 4  # planes
+    with pytest.raises(ValueError):
+        decode_pcx(bytes(g))
+    # still-gated layouts (2bpp CGA) stay honest
+    g = bytearray(encode_pcx(rng.randint(0, 2, (5, 6)).astype(np.uint8)))
+    g[3] = 2  # bpp
     with pytest.raises(NotImplementedError):
         decode_pcx(bytes(g))
     # truncated RLE stream
@@ -677,11 +700,17 @@ def test_ico_entries_roundtrip_masks_and_tga_collision():
         for k in range(1 + trial % 3):
             hh, ww = rng.randint(1, 30), rng.randint(1, 30)
             a = rng.randint(0, 256, (hh, ww, 4)).astype(np.uint8)
-            kind = ("png", "bmp", "bmp24")[(trial + k) % 3]
+            kind = ("png", "bmp", "bmp24", "bmp16")[(trial + k) % 4]
             if kind == "bmp24":
                 a[..., 3] = np.where(a[..., 3] < 128, 0, 255)
             elif kind == "bmp":
                 a[..., 3] = np.where(a[..., 3] < 16, 0, a[..., 3])
+            elif kind == "bmp16":
+                # X1R5G5B5 storage: top-5-bit channels bit-replicate,
+                # mask-only binary transparency (gate retired r10)
+                c5 = a[..., :3] >> 3
+                a[..., :3] = (c5 << 3) | (c5 >> 2)
+                a[..., 3] = np.where(a[..., 3] < 128, 0, 255)
             entries.append((a, kind))
         b = encode_ico(entries)
         got = decode_ico_entries(b)
@@ -862,13 +891,16 @@ def test_tiff_float_samples_roundtrip_quantization_and_gates():
 
 
 def test_tga_and_au_containers_roundtrip_and_guards():
-    """TGA: every supported layout (16/24/32bpp truecolor, gray,
-    color-mapped; RLE and raw; both orientations) round-trips, the
-    v2.0 footer signature drives _decode_any dispatch, and RLE
-    overruns/truncations raise ValueError. AU (.snd): mu-law/A-law
-    payloads expand through the same tables as WAV formats 6/7,
-    signed 8/16/24-bit big-endian PCM decodes with house dtypes,
-    float encodings gate."""
+    """TGA: every supported layout (15/16/24/32bpp truecolor, gray
+    at 8-bit and 16-bit gray+attribute, color-mapped with
+    15/16/24-bit entries and nonzero first-entry offsets — the
+    round-10 gate retirements; RLE and raw; both orientations)
+    round-trips, the v2.0 footer signature drives _decode_any
+    dispatch, and RLE overruns/truncations and out-of-map indices
+    raise ValueError. AU (.snd): mu-law/A-law payloads expand
+    through the same tables as WAV formats 6/7, signed 8/16/24-bit
+    big-endian PCM decodes with house dtypes, float encodings
+    gate."""
     import pytest
 
     from e_commerce_data_pipeline_spark.operators.multimodal import (
@@ -882,11 +914,15 @@ def test_tga_and_au_containers_roundtrip_and_guards():
         ulaw_expand,
     )
 
+    def rep5(a):
+        c5 = a >> 3
+        return ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+
     rng = np.random.RandomState(13)
-    for trial in range(20):
+    for trial in range(32):
         h, w = rng.randint(1, 25), rng.randint(1, 25)
         rle, td = bool(trial % 2), bool(trial % 3)
-        kind = trial % 5
+        kind = trial % 8
         if kind == 0:
             a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
             b = encode_tga(a, rle=rle, top_down=td)
@@ -904,14 +940,43 @@ def test_tga_and_au_containers_roundtrip_and_guards():
             idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
             b = encode_tga(idx, rle=rle, top_down=td, palette=pal)
             want = pal[idx.reshape(-1)].reshape(h, w, 3)
-        else:
+        elif kind == 4:
             a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-            b = encode_tga(a, rle=rle, top_down=td, bpp16=True)
-            c5 = a >> 3
-            want = ((c5 << 3) | (c5 >> 2)).astype(np.uint8)
+            b = encode_tga(a, rle=rle, top_down=td, bpp16=True,
+                           depth15=bool(trial % 5 == 4))
+            want = rep5(a)
+        elif kind == 5:
+            # 15/16-bit colormap entries, bit-replicated on decode
+            pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+            idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            b = encode_tga(idx, rle=rle, top_down=td, palette=pal,
+                           pal_bits=15 if trial % 5 else 16)
+            want = rep5(pal)[idx.reshape(-1)].reshape(h, w, 3)
+        elif kind == 6:
+            # nonzero first-entry offset: absolute indices
+            first = rng.randint(1, 120)
+            pal = rng.randint(0, 256, (100, 3)).astype(np.uint8)
+            idx = (first + rng.randint(0, 100, (h, w))).astype(np.uint8)
+            b = encode_tga(idx, rle=rle, top_down=td, palette=pal,
+                           cm_first=first)
+            want = pal[idx.reshape(-1).astype(np.int64) - first].reshape(
+                h, w, 3
+            )
+        else:
+            # gray + attribute byte -> RGBA
+            ga = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+            b = encode_tga(ga, rle=rle, top_down=td, gray_alpha=True)
+            g = ga[..., 0]
+            want = np.stack([g, g, g, ga[..., 1]], -1)
         assert np.array_equal(decode_tga(b), want), (trial, kind)
         px, fmt = _decode_any(b)
         assert fmt == "tga" and np.array_equal(px, want)
+    # an index below cm_first is outside the stored map — loud
+    pal = rng.randint(0, 256, (50, 3)).astype(np.uint8)
+    idx = np.full((3, 4), 40, np.uint8)
+    bad = encode_tga(idx, palette=pal, cm_first=41)
+    with pytest.raises(ValueError, match="colormap"):
+        decode_tga(bad)
     # RLE raster overrun is loud
     a = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
     b = bytearray(encode_tga(a, rle=True))
@@ -3474,6 +3539,18 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         (encode_pcx(img[:8, :9]), decode_pcx),
         (encode_pcx((img8 >> 4), palette=rng.randint(
             0, 256, (256, 3)).astype(np.uint8)), decode_pcx),
+        (encode_pcx((img8 >> 4), ega_planes=4, palette16=rng.randint(
+            0, 256, (16, 3)).astype(np.uint8)), decode_pcx),
+        (encode_pcx((img8 >> 4), bpp4=True, palette16=rng.randint(
+            0, 256, (16, 3)).astype(np.uint8)), decode_pcx),
+        (encode_tga((img8[:6, :7] >> 2) + 32, rle=True, palette=rng.randint(
+            0, 256, (96, 3)).astype(np.uint8), pal_bits=16,
+            cm_first=32), decode_tga),
+        (encode_tga(np.stack([img8[:5, :6]] * 2, -1), rle=True,
+                    gray_alpha=True), decode_tga),
+        (encode_ico([(np.concatenate(
+            [img[:6, :7], np.full((6, 7, 1), 255, np.uint8)],
+            axis=-1), "bmp16")]), decode_ico),
     ]
     from e_commerce_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
