@@ -27,6 +27,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def integer_ewma(pairs, shift: int = 3):
+    """Gap-filled INTEGER EWMA fold: sorted-or-not [(di, x)] pairs ->
+    [(di, x, s)] over the full [min(di), max(di)] range with missing
+    days as x = 0 and s_t = s_{t-1} + trunc((x_t - s_{t-1}) / 2^shift)
+    (s_0 = x_0). The q174 recurrence, extracted so its boundary
+    domains are property-testable: Python ints never overflow an
+    intermediate at any input scale, and the truncate-toward-zero
+    form mirrors DuckDB INTEGER // and Spark SQL ``div`` exactly
+    (Python's bare // floors — the round-8 q174 lesson). Runs
+    driver-side over the calendar-bounded daily artifact only."""
+    assert pairs, "integer_ewma needs at least one (di, x) pair"
+    by_di = dict(pairs)
+    d0, d1 = min(by_di), max(by_di)
+    div = 1 << shift
+    out = []
+    s = None
+    for di in range(d0, d1 + 1):
+        x = by_di.get(di, 0)
+        if s is None:
+            s = x
+        else:
+            r = x - s
+            s = s + (r // div if r >= 0 else -((-r) // div))
+        out.append((di, x, s))
+    return out
+
+
 def isotonic_fit(
     bands: DataFrame,
     x_col: str = "x",

@@ -9547,27 +9547,13 @@ def q174_integer_ewma_trend(spark, sf_dir):
             ).alias("x")
         )
     )
-    rows = sorted(
+    from ..operators.regression import integer_ewma
+
+    rows = [
         (r["di"], r["x"]) for r in daily.collect()
-    )  # calendar-bounded: ~2.4k tuples to the driver at ANY corpus size
-    d0, d1 = rows[0][0], rows[-1][0]
-    by_di = dict(rows)
-    out = []
-    s = None
-    for di in range(d0, d1 + 1):
-        x = by_di.get(di, 0)
-        if s is None:
-            s = x
-        else:
-            r = x - s
-            # truncate-toward-zero division: DuckDB's INTEGER //
-            # truncates (floats floor!) and Spark SQL div truncates —
-            # Python's // floors, so negative residuals need the
-            # explicit form
-            s = s + (r // 8 if r >= 0 else -((-r) // 8))
-        out.append((di, x, s))
+    ]  # calendar-bounded: ~2.4k tuples to the driver at ANY corpus size
     return daily.sparkSession.createDataFrame(
-        out, "di long, x long, ewma long"
+        integer_ewma(rows, shift=3), "di long, x long, ewma long"
     )
 
 

@@ -642,3 +642,185 @@ def test_any_codec_single_byte_damage_raises_documented_types(
     except (ValueError, NotImplementedError):
         pass
     # any other exception type propagates -> test fails
+
+
+# ---------------------------------------------------------------------------
+# Round-10 boundary-domain properties for the integer-recurrence
+# operators (VERDICT r9 task 10): the exact_quantiles int64 overflow
+# was found by hypothesis at ±2^62 — the same budget now covers the
+# EWMA fold (q174), the isotonic minimax fit (q187), and the
+# Theil-Sen slope-median composition (q162; exact_quantiles' own
+# ±2^62 property lives in tests/test_quantiles.py).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_integer_ewma_boundary_domains(by_di, shift):
+    """The q174 fold at domain extremes (±2^62 inputs, single-row,
+    sparse gap-filled calendars, any dyadic alpha): (a) it equals an
+    independent exact-rational reference with truncation toward
+    zero, (b) each state is a contraction — s_t lies in the closed
+    interval between s_{t-1} and x_t, so the whole series stays
+    inside the running input envelope and can never overflow int64
+    when the inputs fit, (c) a constant series is a fixed point."""
+    import math
+    from fractions import Fraction
+
+    from e_commerce_data_pipeline_spark.operators.regression import (
+        integer_ewma,
+    )
+
+    # keep the gap-filled range bounded so the fold stays fast
+    keys = sorted(by_di)
+    base = keys[0]
+    pairs = [(base + min(k - base, 5000), v) for k, v in by_di.items()]
+    pairs = list(dict(pairs).items())
+    out = integer_ewma(pairs, shift=shift)
+    ref_by_di = dict(pairs)
+    d0, d1 = min(ref_by_di), max(ref_by_di)
+    assert [t[0] for t in out] == list(range(d0, d1 + 1))
+    s_ref = None
+    prev = None
+    for di, x, s in out:
+        x_want = ref_by_di.get(di, 0)
+        assert x == x_want
+        if s_ref is None:
+            s_ref = x_want
+        else:
+            # independent truncation: math.trunc on the exact rational
+            s_ref = s_ref + math.trunc(
+                Fraction(x_want - s_ref, 1 << shift)
+            )
+        assert s == s_ref, (di, shift)
+        if prev is not None:
+            lo, hi = min(prev, x), max(prev, x)
+            assert lo <= s <= hi, "EWMA state escaped the step envelope"
+        prev = s
+    # fixed point: constant inputs with no gaps
+    const = integer_ewma([(0, 37), (1, 37), (2, 37)], shift=shift)
+    assert [s for _, _, s in const] == [37, 37, 37]
+
+
+def _pava_reference(bands):
+    """Classic pool-adjacent-violators on (x, hits, n) bands with
+    exact rational pooling; returns x -> fitted rate as the ONE
+    double division of the pooled integer sums (the fixed_avg
+    discipline the minimax form promises to match)."""
+    from fractions import Fraction
+
+    blocks = []  # [sum_hits, sum_n, [xs]]
+    for x, hits, n in sorted(bands):
+        blocks.append([hits, n, [x]])
+        while len(blocks) >= 2 and Fraction(
+            blocks[-2][0], blocks[-2][1]
+        ) >= Fraction(blocks[-1][0], blocks[-1][1]):
+            h2, n2, xs2 = blocks.pop()
+            blocks[-1][0] += h2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(xs2)
+    out = {}
+    for h, n, xs in blocks:
+        for x in xs:
+            out[x] = h / n  # double division of exact integer sums
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.integers(min_value=1, max_value=2**25),
+            st.integers(min_value=0, max_value=2**25),
+        ),
+        min_size=1,
+        max_size=18,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_isotonic_fit_matches_pava_any_bands(spark, raw):
+    """The q187 minimax closed form equals classic PAVA for ANY band
+    table — single band, zero-hit bands, saturated bands (hits = n),
+    2^25-scale counts (where double division ordering still matches
+    exact rational ordering), negative and extreme x keys — and the
+    fitted curve is non-decreasing and inside [0, 1]."""
+    from e_commerce_data_pipeline_spark.operators.regression import (
+        isotonic_fit,
+    )
+
+    bands = [(x, min(h, n), n) for x, n, h in raw]
+    df = spark.createDataFrame(bands, "x long, hits long, n long")
+    got = {
+        r["x"]: r["fitted_rate"]
+        for r in isotonic_fit(df).collect()
+    }
+    want = _pava_reference(bands)
+    assert set(got) == set(want)
+    prev = None
+    for x in sorted(got):
+        assert got[x] == want[x], (x, bands)
+        assert 0.0 <= got[x] <= 1.0
+        if prev is not None:
+            assert got[x] >= prev, "fitted curve not monotone"
+        prev = got[x]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=-(2**30), max_value=2**30),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_theil_sen_slope_median_matches_bruteforce(spark, by_di):
+    """The q162 composition — micro-quantized pair slopes through
+    exact_quantiles median narrowing — equals the brute-force median
+    of all pair slopes for ANY daily series: ties everywhere (flat
+    series → zero-width slope domain), two-point series (single
+    pair), adversarial day gaps, ±2^30 values (the operator's
+    documented kilodollar input scale with micro-quantization
+    headroom)."""
+    from e_commerce_data_pipeline_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    days = sorted(by_di)
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            da, db = days[i], days[j]
+            # mirror q162's expression: round() in IEEE double
+            s = round(1000000.0 * (by_di[db] - by_di[da]) / (db - da))
+            slopes.append(int(s))
+    df = spark.createDataFrame(
+        [(da, by_di[da]) for da in days], "di long, x long"
+    )
+    a = df.select(F.col("di").alias("da"), F.col("x").alias("xa"))
+    b = df.select(F.col("di").alias("db"), F.col("x").alias("xb"))
+    sl = a.join(b, F.col("da") < F.col("db")).select(
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("xb") - F.col("xa"))
+            / F.expr("nullif(db - da, 0)")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    rows = exact_quantiles(sl, "s", [50], buckets=16).collect()
+    n = len(slopes)
+    k = max(1, -(-50 * n // 100))
+    want = sorted(slopes)[k - 1]
+    assert [(r.percent, r.n, r.k, r.value) for r in rows] == [
+        (50, n, k, want)
+    ]
