@@ -2580,7 +2580,32 @@ def decode_tiff(b: bytes):
         t4opts = one(292, 0) if comp == 3 else 0
         t4_2d = bool(t4opts & 0b1)
     elif comp == 6:
-        require_codec("old-style JPEG TIFF (compression 6, deprecated)")
+        # old-style JPEG-in-TIFF (TIFF 6.0 §22, deprecated by
+        # TechNote 2): the layout real files actually carry is ONE
+        # full interchange stream pointed at by JPEGInterchangeFormat
+        # (513) / ...Length (514) — decoded here through the in-house
+        # decode_jpeg (gate retired round 10). The never-completed
+        # per-strip JPEGProc table variants stay gated.
+        if 513 not in entries:
+            require_codec(
+                "old-style JPEG TIFF without JPEGInterchangeFormat"
+            )
+        joff = one(513)
+        jlen = one(514, len(b) - joff)
+        if joff is None or joff + jlen > len(b) or jlen < 4:
+            raise ValueError("TIFF JPEGInterchangeFormat out of range")
+        stream = b[joff : joff + jlen]
+        if stream[:2] != b"\xff\xd8":
+            raise ValueError("TIFF old-style JPEG stream missing SOI")
+        px = decode_jpeg(stream)
+        if px.shape[0] < h or px.shape[1] < w:
+            raise ValueError("TIFF old-style JPEG smaller than declared")
+        out = px[:h, :w]
+        if photo == 0:  # WhiteIsZero gray JPEG, like compression 7
+            out = (255 - out.astype(np.int32)).astype(np.uint8)
+        elif photo not in (1, 6):
+            require_codec(f"old-style JPEG-in-TIFF photometric {photo}")
+        return out
     elif comp not in (1, 5, 7, 8, 32773, 32946):
         require_codec(f"TIFF compression {comp}")
     if w * h * spp * sb > (1 << 27):
@@ -3692,13 +3717,18 @@ def encode_tiff_jpeg(
     rows_per_strip: int = 0,
     big_endian: bool = False,
     jpeg_tables: bool = False,
+    old_style: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB (emitted photometric 6 — encode_jpeg stores
     YCbCr) or (h, w) gray (photometric 1) -> compression-7
     JPEG-in-TIFF. Each strip is an independently decodable JPEG;
     ``jpeg_tables`` moves the shared DQT/DHT into the JPEGTables tag
     and ships abbreviated strip streams. ``rows_per_strip`` must be
-    an MCU multiple (8 here: gray and 4:4:4 only)."""
+    an MCU multiple (8 here: gray and 4:4:4 only). ``old_style``
+    emits the deprecated compression-6 layout instead (TIFF 6.0
+    §22): ONE full interchange stream pointed at by
+    JPEGInterchangeFormat/Length (513/514), no strips — the layout
+    old files in the wild actually carry."""
     import numpy as np
 
     e = ">" if big_endian else "<"
@@ -3706,6 +3736,25 @@ def encode_tiff_jpeg(
     gray = a.ndim == 2
     h, w = a.shape[:2]
     spp, photo = (1, 1) if gray else (3, 6)
+    if old_style:
+        assert not jpeg_tables and not rows_per_strip
+        stream = encode_jpeg(a, quality=quality)
+        body = stream + (b"\x00" if len(stream) % 2 else b"")
+        ifd_off = 8 + len(body)
+        tags = [
+            (256, 3, [w]),
+            (257, 3, [h]),
+            (258, 3, [8] * spp),
+            (259, 3, [6]),
+            (262, 3, [photo]),
+            (277, 3, [spp]),
+            (513, 4, [8]),
+            (514, 4, [len(stream)]),
+        ]
+        header = (b"II" if e == "<" else b"MM") + struct.pack(
+            e + "HI", 42, ifd_off
+        )
+        return bytes(header) + bytes(body) + _tiff_ifd(e, tags, ifd_off)
     rps = rows_per_strip or h
     if rps < h:
         assert rps % 8 == 0, "rows_per_strip must be an MCU multiple"
@@ -4383,13 +4432,18 @@ def encode_au(samples_or_codes, encoding: int, sample_rate: int = 8000,
               channels: int = 1) -> bytes:
     """Sun/NeXT .au container: encoding 1 = mu-law code bytes,
     27 = A-law code bytes, 2/3/4 = signed 8/16/24-bit big-endian
-    PCM. Input is raw code bytes for the G.711 encodings, integer
-    samples otherwise."""
+    PCM, 6/7 = big-endian IEEE float32/float64 (round 10). Input is
+    raw code bytes for the G.711 encodings, floats in [-1, 1] for
+    6/7, integer samples otherwise."""
     import numpy as np
 
     a = np.asarray(samples_or_codes)
     if encoding in (1, 27):
         data = a.astype(np.uint8).tobytes()
+    elif encoding == 6:
+        data = a.astype(">f4").tobytes()
+    elif encoding == 7:
+        data = a.astype(">f8").tobytes()
     elif encoding == 2:
         data = a.astype(np.int8).tobytes()
     elif encoding == 3:
@@ -4408,8 +4462,8 @@ def encode_au(samples_or_codes, encoding: int, sample_rate: int = 8000,
 def _decode_au(b: bytes):
     """.au bytes -> ((n, ch) samples, rate, fmt_code, bits) with the
     house dtype conventions; G.711 payloads expand through the same
-    ulaw/alaw tables as WAV formats 7/6. Float/double encodings
-    gate."""
+    ulaw/alaw tables as WAV formats 7/6; encodings 6/7 are
+    big-endian IEEE float32/float64 (gate retired round 10)."""
     import numpy as np
 
     if len(b) < 24 or b[:4] != b".snd":
@@ -4425,7 +4479,15 @@ def _decode_au(b: bytes):
             raise ValueError(".au data shorter than declared")
         data = data[:size]
     if enc in (6, 7):
-        require_codec(".au float encodings")
+        # big-endian IEEE float32/float64 (gate retired round 10):
+        # native [-1, 1] floats, the WAV-format-3 value semantics
+        fb = 4 if enc == 6 else 8
+        out = np.frombuffer(
+            data[: len(data) // fb * fb], f">f{fb}"
+        ).astype(np.float32 if enc == 6 else np.float64)
+        bits = 8 * fb
+        n = out.shape[0] // ch * ch
+        return out[:n].reshape(-1, ch), int(rate), _AU_FMT_CODE, bits
     if enc == 1 or enc == 27:
         codes = np.frombuffer(data, np.uint8)
         lin = ulaw_expand(codes) if enc == 1 else alaw_expand(codes)
@@ -5823,7 +5885,11 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
     6, even i). Rotations: shared-JPEGTables abbreviated streams
     (i%3==0) vs complete interchange strips, 8-row strip splits
     (i%5 in (0,2) — independent per-strip DC predictors), byte order
-    (i%2). media_id offset +600."""
+    (i%2); rows with i%9 in (4, 7) ship the DEPRECATED OLD-STYLE
+    layout instead (round 10 — compression 6, one full interchange
+    stream via JPEGInterchangeFormat/Length; same block-constant
+    pixels, so the oracle is layout-invisible but the row gates on
+    the tag-513 walk). media_id offset +600."""
     import numpy as np
 
     rows = []
@@ -5838,6 +5904,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
         src = img if i % 2 else np.stack([img] * 3, axis=-1)
+        old = i % 9 in (4, 7)
         rows.append(
             (
                 600 + i,
@@ -5845,9 +5912,12 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
                 encode_tiff_jpeg(
                     src,
                     quality=85 + (i % 3) * 5,
-                    rows_per_strip=8 if i % 5 in (0, 2) else 0,
+                    rows_per_strip=(
+                        0 if old else 8 if i % 5 in (0, 2) else 0
+                    ),
                     big_endian=bool(i % 2),
-                    jpeg_tables=(i % 3 == 0),
+                    jpeg_tables=(i % 3 == 0 and not old),
+                    old_style=old,
                 ),
                 None,
                 f"mem://media/{600 + i}.jpg.tif",
@@ -5971,7 +6041,12 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
     ``synthetic_jpeg_table``) re-encoded with a DRI of 1+(i%4) MCUs,
     so every stream carries ceil(mcus/dri)-1 RSTm markers and the
     decoder's realignment + predictor-reset path is on the verified
-    path for every image."""
+    path for every image. Rows with i%6==5 (round 10) ship 12-BIT
+    extended-sequential gray instead (``encode_jpeg12``, tile value
+    (t*16 + i) mod 4096): the unscaled quantization table keeps the
+    block-constant DC step < 8, so the 12-bit pipeline — level shift
+    2048, optimal DC tables with categories past Annex K's range,
+    uint16 rasters — is bit-exact under the same argument."""
     import numpy as np
 
     rows = []
@@ -5987,13 +6062,79 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
         img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5  # DC quant step stays < 8
+        if i % 6 == 5:
+            img12 = (
+                np.kron(
+                    tiles.astype(np.int64), np.ones((8, 8), np.int64)
+                ) * 16 + i
+            ) % 4096
+            content = encode_jpeg12(
+                img12.astype(np.uint16), quality=q,
+                restart_interval=1 + (i % 4),
+            )
+        else:
+            content = encode_jpeg(
+                rgb, quality=q, restart_interval=1 + (i % 4)
+            )
         rows.append(
             (
                 i,
                 "image",
-                encode_jpeg(rgb, quality=q, restart_interval=1 + (i % 4)),
+                content,
                 None,
                 f"mem://media/{i}.jpg",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
+
+
+def synthetic_jpeg_ll_table(spark, n: int = 21) -> DataFrame:
+    """Deterministic LOSSLESS-JPEG table (T.81 process 14, SOF3 —
+    gate retired round 10): image i carries the full-entropy
+    gradient v = (x*37 + y*101 + i*53) mod 2^p at w=9+(i%4)*5,
+    h=7+(i%3)*4 — lossless, so unlike the DCT corpora NO
+    block-constant trick is needed and every predictor/precision
+    combination is value-verified. Rotation: precision p =
+    (8, 12, 16) by i%3 (12/16-bit ship uint16 — the DNG/DICOM
+    class), gray on even i / RGB (+2^p//4, +2^p//2 channel offsets)
+    on odd, predictor 1 + i%7 (all SEVEN T.81 selectors), point
+    transform 1 on i%6>=3 (decoded samples read (v div 2) * 2),
+    row-aligned restart intervals of 3 rows on i%4==1 (aux counts
+    the RSTm markers: (h-1) div 3). media_id offset +900 in q198's
+    'jpeg_ll' census group."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 9 + (i % 4) * 5, 7 + (i % 3) * 4
+        p = (8, 12, 16)[i % 3]
+        pt = 1 if i % 6 >= 3 else 0
+        y = np.arange(h, dtype=np.int64)[:, None]
+        x = np.arange(w, dtype=np.int64)[None, :]
+        v = (x * 37 + y * 101 + i * 53) % (1 << p)
+        dt = np.uint8 if p == 8 else np.uint16
+        if i % 2 == 0:
+            arr = v.astype(dt)
+        else:
+            off = (1 << p) // 4
+            arr = np.stack(
+                [v, (v + off) % (1 << p), (v + 2 * off) % (1 << p)],
+                axis=-1,
+            ).astype(dt)
+        rows.append(
+            (
+                900 + i,
+                "image",
+                encode_jpeg_lossless(
+                    arr,
+                    predictor=1 + i % 7,
+                    point_transform=pt,
+                    restart_rows=3 if i % 4 == 1 else 0,
+                    precision=p,
+                ),
+                None,
+                f"mem://media/{900 + i}.ljpg",
             )
         )
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -6255,6 +6396,346 @@ _JPG_SUBSAMP = {
     "440": (1, 2),
     "411": (4, 1),
 }
+
+
+def encode_jpeg12(arr, quality: int = 90,
+                  restart_interval: int = 0) -> bytes:
+    """(h, w) uint16 grayscale (< 4096) -> 12-bit EXTENDED
+    SEQUENTIAL JPEG (SOF1, the DICOM/DNG precision class, gate
+    retired round 10): level shift 2048, the UNSCALED 8-bit-domain
+    Annex-K quantization table (spec-legal at any precision; its
+    small DC step keeps block-constant corpora bit-exact exactly as
+    at 8-bit), and OPTIMAL Huffman tables built from the image's own
+    symbol census — 12-bit DC categories reach 15, past the fixed
+    Annex K tables' range. Optional restart intervals as in
+    ``encode_jpeg``."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    assert a.ndim == 2 and int(a.max(initial=0)) < 4096
+    h, w = a.shape
+    ql, _ = _jpg_quant_tables(quality)
+    dctm = _jpg_dct_mat()
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    padded = _jpg_pad(a.astype(np.float64), mcuy * 8, mcux * 8) - 2048.0
+    zz = np.array(_JPG_ZIGZAG)
+    blocks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            f = dctm @ blk @ dctm.T
+            qf = np.floor(np.abs(f) / ql + 0.5).astype(np.int64) * \
+                np.where(f < 0, -1, 1)
+            blocks.append(qf.reshape(-1)[zz])
+    # symbol census -> optimal DC/AC tables (T.81 K.2)
+    dc_freq: dict[int, int] = {}
+    ac_freq: dict[int, int] = {}
+    pred = 0
+    for n_blk, coefs in enumerate(blocks):
+        if restart_interval and n_blk and n_blk % restart_interval == 0:
+            pred = 0
+        dc = int(coefs[0])
+        cat = _jpg_category(dc - pred)
+        dc_freq[cat] = dc_freq.get(cat, 0) + 1
+        pred = dc
+        run = 0
+        last = 63
+        while last > 0 and coefs[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(coefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1
+                run -= 16
+            rs = (run << 4) | _jpg_category(v)
+            ac_freq[rs] = ac_freq.get(rs, 0) + 1
+            run = 0
+        if last < 63:
+            ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
+    dc_bits, dc_vals = _jpg_optimal_table(dc_freq)
+    ac_bits, ac_vals = _jpg_optimal_table(ac_freq)
+    dc_codes = _jpg_canonical_codes(dc_bits, dc_vals)
+    ac_codes = _jpg_canonical_codes(ac_bits, ac_vals)
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x00]) + bytes(
+        int(ql.reshape(-1)[zz[k]]) for k in range(64)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    for cls, bits, vals in ((0, dc_bits, dc_vals),
+                            (1, ac_bits, ac_vals)):
+        dht = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wr = _JpgBitWriter()
+    pred = 0
+    for n_blk, coefs in enumerate(blocks):
+        if restart_interval and n_blk and n_blk % restart_interval == 0:
+            wr.flush()
+            wr.out += bytes(
+                [0xFF, 0xD0 + ((n_blk // restart_interval - 1) % 8)]
+            )
+            pred = 0
+        pred = _jpg_encode_block(wr, coefs, dc_codes, ac_codes, pred)
+    wr.flush()
+    out.extend(wr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpg_ll_walk(red, predictor: int, default: int, restart_rows: int,
+                 emit) -> None:
+    """Shared lossless-JPEG sample walk (T.81 H.1/H.2): calls
+    emit(c, diff) per sample in raster MCU order (components
+    interleaved at 1x1) and emit(None, m) at each row-aligned
+    restart. Restart chunks reset prediction exactly as at scan
+    start: the chunk's first line predicts left-only (first sample
+    from the 2^(P-Pt-1) default), later lines' first samples from
+    above, the rest through the scan's selected predictor. The
+    difference is coded modulo 2^16 (spec H.1.2.2)."""
+    h, w, nc = red.shape
+    chunk0 = 0
+    nrst = 0
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            emit(None, nrst % 8)
+            nrst += 1
+            chunk0 = y
+        yy = y - chunk0
+        for x in range(w):
+            for c in range(nc):
+                v = int(red[y, x, c])
+                if yy == 0:
+                    px = default if x == 0 else int(red[y, x - 1, c])
+                elif x == 0:
+                    px = int(red[y - 1, x, c])
+                else:
+                    a = int(red[y, x - 1, c])
+                    b2 = int(red[y - 1, x, c])
+                    cc = int(red[y - 1, x - 1, c])
+                    px = (a, b2, cc, a + b2 - cc,
+                          a + ((b2 - cc) >> 1),
+                          b2 + ((a - cc) >> 1),
+                          (a + b2) >> 1)[predictor - 1]
+                emit(c, (v - px + 32768) % 65536 - 32768)
+
+
+def encode_jpeg_lossless(
+    arr,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_rows: int = 0,
+    precision: int = 0,
+) -> bytes:
+    """(h, w[, 3]) uint8/uint16 -> LOSSLESS JPEG (T.81 process 14,
+    SOF3 — the DNG/DICOM class): per-sample neighbor prediction
+    (selectors 1-7), modulo-2^16 differences Huffman-coded as DC-
+    style categories (SSSS 16 = difference 32768, no appended bits,
+    spec H.2), an OPTIMAL per-image table, optional point transform
+    (samples coded at reduced precision and re-scaled on decode) and
+    row-aligned restart intervals. ``precision`` defaults to the
+    dtype width (8/16); pass 12 for the 12-bit class."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, nc = a.shape
+    assert nc in (1, 3), "lossless JPEG encoder: gray or RGB"
+    p = precision or (8 if a.dtype == np.uint8 else 16)
+    assert 2 <= p <= 16 and int(a.max(initial=0)) < (1 << p)
+    pt = point_transform
+    assert 1 <= predictor <= 7 and 0 <= pt < p
+    red = a.astype(np.int64) >> pt
+    default = 1 << (p - pt - 1)
+    freq: dict[int, int] = {}
+
+    def count(c, d):
+        if c is None:
+            return
+        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
+        freq[s] = freq.get(s, 0) + 1
+
+    _jpg_ll_walk(red, predictor, default, restart_rows, count)
+    bits, vals = _jpg_optimal_table(freq)
+    codes = _jpg_canonical_codes(bits, vals)
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_rows:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
+    sof = struct.pack(">BHHB", p, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wr = _JpgBitWriter()
+
+    def emit(c, d):
+        if c is None:
+            wr.flush()
+            out.extend(wr.out)
+            wr.out.clear()
+            out.extend(bytes([0xFF, 0xD0 + d]))
+            return
+        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
+        code, ln = codes[s]
+        wr.put(code, ln)
+        if 0 < s < 16:
+            wr.put(d if d >= 0 else d + (1 << s) - 1, s)
+
+    _jpg_ll_walk(red, predictor, default, restart_rows, emit)
+    wr.flush()
+    out.extend(wr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_lossless(b: bytes):
+    """LOSSLESS JPEG (SOF3) -> (h, w, 3) uint8 (precision <= 8) or
+    uint16 raster, grayscale replicated to 3 channels like the DCT
+    paths. Reconstruction is modulo 2^16 then masked to the coded
+    precision (identity for valid streams; bounded for corrupt
+    ones); samples re-scale by the point transform. Subsampled or
+    2/4-component lossless frames gate; structural damage raises
+    ValueError."""
+    import numpy as np
+
+    pos = 2
+    huffs: dict[tuple, dict] = {}
+    sof = None
+    scan = None
+    ri = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC4:
+            p2 = 0
+            while p2 < len(payload):
+                cls, tid = payload[p2] >> 4, payload[p2] & 0x0F
+                bits = list(payload[p2 + 1 : p2 + 17])
+                nv = sum(bits)
+                vals = list(payload[p2 + 17 : p2 + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("JPEG DHT truncated")
+                huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
+                p2 += 17 + nv
+        elif marker == 0xC3:
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if not (2 <= prec <= 16):
+                raise ValueError("lossless JPEG precision out of range")
+            if nc not in (1, 3):
+                require_codec(f"lossless JPEG with {nc} components")
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF truncated")
+            for ci in range(nc):
+                if payload[7 + 3 * ci] != 0x11:
+                    require_codec("subsampled lossless JPEG")
+            sof = (prec, h, w, nc)
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (ri,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
+            ns = payload[0]
+            sel = [
+                (payload[1 + 2 * ci], payload[2 + 2 * ci] >> 4)
+                for ci in range(ns)
+            ]
+            predictor = payload[1 + 2 * ns]
+            pt = payload[3 + 2 * ns] & 0x0F
+            scan = (sel, predictor, pt, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF3/SOS")
+    prec, h, w, nc = sof
+    sel, predictor, pt, dstart = scan
+    if len(sel) != nc:
+        raise ValueError("JPEG scan/frame component mismatch")
+    if not (1 <= predictor <= 7):
+        raise ValueError("lossless predictor selector out of range")
+    if pt >= prec:
+        raise ValueError("lossless point transform out of range")
+    if not h or not w or h * w * nc > (1 << 26):
+        raise ValueError("JPEG dimensions implausible")
+    default = 1 << (prec - pt - 1)
+    mask = (1 << (prec - pt)) - 1
+    for _, t in sel:
+        if (0, t) not in huffs:
+            raise ValueError("lossless scan references a missing table")
+    tabs = [huffs[(0, t)] for _, t in sel]
+    rd = _JpgBitReader(b[dstart:])
+    if ri and ri % w:
+        raise ValueError("lossless restart interval not row-aligned")
+    restart_rows = ri // w if ri else 0
+    out = np.zeros((h, w, nc), np.int64)
+    chunk0 = 0
+    nrst = 0
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            m = rd.restart()
+            if m != nrst % 8:
+                raise ValueError("JPEG restart marker out of sequence")
+            nrst += 1
+            chunk0 = y
+        yy = y - chunk0
+        for x in range(w):
+            for c in range(nc):
+                s = rd.huff(tabs[c])
+                if s > 16:
+                    raise ValueError("lossless SSSS out of range")
+                if s == 16:
+                    d = -32768
+                elif s == 0:
+                    d = 0
+                else:
+                    d = _jpg_extend(rd.take(s), s)
+                if yy == 0:
+                    px = default if x == 0 else int(out[y, x - 1, c])
+                elif x == 0:
+                    px = int(out[y - 1, x, c])
+                else:
+                    a = int(out[y, x - 1, c])
+                    b2 = int(out[y - 1, x, c])
+                    cc = int(out[y - 1, x - 1, c])
+                    px = (a, b2, cc, a + b2 - cc,
+                          a + ((b2 - cc) >> 1),
+                          b2 + ((a - cc) >> 1),
+                          (a + b2) >> 1)[predictor - 1]
+                out[y, x, c] = (px + d) & 0xFFFF & mask
+    out <<= pt
+    if nc == 1:
+        out = np.repeat(out, 3, axis=2)
+    return out.astype(np.uint8 if prec <= 8 else np.uint16)
 
 
 def encode_jpeg(
@@ -6571,7 +7052,12 @@ def decode_jpeg(b: bytes):
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
+            if prec != 8 and not (
+                prec == 12 and marker == 0xC1 and nc == 1
+            ):
+                # 12-bit decodes for the extended-sequential GRAY
+                # class (round 10 — the DICOM/DNG layout); 12-bit
+                # color and other precisions stay gated
                 require_codec(f"JPEG precision={prec}")
             comps = []
             for ci in range(nc):
@@ -6594,10 +7080,12 @@ def decode_jpeg(b: bytes):
                         f"JPEG fractional sampling {hi}x{vi} "
                         f"of {hmax}x{vmax}"
                     )
-            sof = (h, w, comps)
+            sof = (h, w, comps, prec)
         elif marker == 0xC2:
             return _decode_jpeg_progressive(b)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:
+            return _decode_jpeg_lossless(b)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
@@ -6617,7 +7105,7 @@ def decode_jpeg(b: bytes):
         pos += 2 + ln
     if sof is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    h, w, comps = sof
+    h, w, comps, prec = sof
     sel, data_start = scan
     if len(sel) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
@@ -6698,9 +7186,13 @@ def decode_jpeg(b: bytes):
         if hi < hmax or vi < vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         up.append(p[:h, :w])
-    planes = [p + 128.0 for p in up]
+    lvl = float(1 << (prec - 1))
+    full = (1 << prec) - 1
+    planes = [p + lvl for p in up]
     if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(
+            np.uint8 if prec == 8 else np.uint16
+        )
         return np.stack([g, g, g], axis=-1)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
@@ -7372,6 +7864,30 @@ def _decode_jpeg_progressive(b: bytes):
         [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
     )
     return out.astype(np.uint8)
+
+
+def _jpg_first_sof(b: bytes) -> int:
+    """First SOFn marker byte of a JPEG stream (0xC0..0xCF), via the
+    same structural walk as ``jpeg_marker_summary`` — the census
+    dispatch for the lossless (0xC3) class."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 1 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            break
+        marker = b[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOF marker")
 
 
 def jpeg_marker_summary(b: bytes):
@@ -8882,9 +9398,12 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
     CCITT expansion from the same closed form. Clips with i%4 in
     (2, 3) (round 9) ship the SAME code bytes in a Sun/NeXT .au
     container instead of WAV (encoding 1 on the even/mu-law rows,
-    27 on the odd/A-law rows) — the two containers decode
-    identically, so the container rotation is oracle-invisible but
-    a broken .au header walk or encoding map fails those rows."""
+    27 on the odd/A-law rows), and clips with i%8 in (4, 5)
+    (round 10) in an AIFC container with compression type
+    'ulaw'/'alaw' — all three containers decode identically, so the
+    container rotation is oracle-invisible but a broken .au header
+    walk, AIFC compression-type map, or encoding map fails those
+    rows."""
     import numpy as np
 
     rows = []
@@ -8897,6 +9416,9 @@ def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
         if i % 4 in (2, 3):
             content = encode_au(codes, 1 if law == "ulaw" else 27, 8000)
             path = f"mem://media/{i}.{law}.au"
+        elif i % 8 in (4, 5):
+            content = encode_aiff(codes, 8000, ctype=law.encode())
+            path = f"mem://media/{i}.{law}.aifc"
         else:
             content = encode_wav_g711(codes, law)
             path = f"mem://media/{i}.{law}.wav"
@@ -8940,18 +9462,55 @@ def _ieee754_extended_unpack(b: bytes) -> float:
     return mantissa * 2.0 ** (exponent - 16383 - 63)
 
 
+def _aifc_container(ctype: bytes, ch: int, n: int, bits: int,
+                    sample_rate: int, ssnd: bytes) -> bytes:
+    """Assemble an AIFC FORM around a compressed/float SSND payload:
+    FVER + COMM (with compression type and empty padded pstring
+    name) + SSND."""
+    comm = struct.pack(">hIh", ch, n, bits) + \
+        _ieee754_extended_pack(float(sample_rate)) + ctype + b"\x00\x00"
+    ssnd_body = struct.pack(">II", 0, 0) + ssnd
+    chunks = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd_body)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFC" + \
+        chunks
+
+
 def encode_aiff(samples, sample_rate: int = 16000, bits: int = 16,
-                sowt: bool = False, ima4: bool = False) -> bytes:
+                sowt: bool = False, ima4: bool = False,
+                ctype: bytes | None = None) -> bytes:
     """Mono/stereo int array -> AIFF (big-endian PCM) or, with
     ``sowt``, AIFC with the little-endian 'sowt' compression type —
     the two layouts Mac-origin corpora actually ship. ``ima4``
     produces AIFC with Apple's QuickTime IMA 4:1 compression
     (34-byte packets, per-channel interleaved, state carried across
-    packets through the truncated preamble). ``bits`` in (8, 16,
-    24); AIFF 8-bit samples are SIGNED (unlike WAV)."""
+    packets through the truncated preamble). ``ctype`` selects the
+    round-10 AIFC variants directly: b'fl32'/b'fl64' (big-endian
+    IEEE floats — pass floats in [-1, 1]) or b'ulaw'/b'alaw' (G.711
+    — pass raw code bytes). ``bits`` in (8, 16, 24) for PCM; AIFF
+    8-bit samples are SIGNED (unlike WAV)."""
     import numpy as np
 
     assert not (sowt and ima4)
+    if ctype in (b"fl32", b"fl64"):
+        a = np.asarray(samples, np.float64)
+        if a.ndim == 1:
+            a = a[:, None]
+        n, ch = a.shape
+        fb = 4 if ctype == b"fl32" else 8
+        data = a.astype(f">f{fb}").tobytes()
+        return _aifc_container(ctype, ch, n, 8 * fb, sample_rate, data)
+    if ctype in (b"ulaw", b"alaw"):
+        a = np.asarray(samples, np.uint8)
+        if a.ndim == 1:
+            a = a[:, None]
+        n, ch = a.shape
+        return _aifc_container(ctype, ch, n, 16, sample_rate,
+                               a.tobytes())
+    assert ctype is None
     a = np.asarray(samples, np.int64)
     if a.ndim == 1:
         a = a[:, None]
@@ -9022,6 +9581,8 @@ def _decode_aiff(b: bytes):
     data = None
     little = False
     ima4 = False
+    flbits = 0  # AIFC 'fl32'/'fl64' big-endian IEEE floats
+    g711 = 0  # AIFC 'ulaw'/'alaw' G.711 code bytes
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack_from(">I", b, pos + 4)
@@ -9041,6 +9602,14 @@ def _decode_aiff(b: bytes):
                     little = True
                 elif ctype == b"ima4":
                     ima4 = True
+                elif ctype in (b"fl32", b"FL32"):
+                    flbits = 32
+                elif ctype in (b"fl64", b"FL64"):
+                    flbits = 64
+                elif ctype in (b"ulaw", b"ULAW"):
+                    g711 = 1
+                elif ctype in (b"alaw", b"ALAW"):
+                    g711 = 27
                 elif ctype not in (b"NONE",):
                     require_codec(f"AIFC compression {ctype!r}")
             comm = (ch, n, bits, rate)
@@ -9064,6 +9633,38 @@ def _decode_aiff(b: bytes):
         if rate < 1 or rate > 1e7:
             raise ValueError("AIFF sample rate implausible")
         return _decode_aifc_ima4(data, ch, n, int(round(rate)))
+    if flbits:
+        # AIFC 'fl32'/'fl64': big-endian IEEE floats; same native
+        # [-1, 1] value semantics as WAV format 3 (non-finite is a
+        # value question for kernels, not a decode error)
+        if ch < 1 or n < 0 or bits not in (flbits,):
+            raise ValueError("AIFC float COMM fields implausible")
+        if rate < 1 or rate > 1e7:
+            raise ValueError("AIFF sample rate implausible")
+        fb = flbits // 8
+        need = n * ch * fb
+        if len(data) < need:
+            raise ValueError("AIFF SSND data shorter than COMM frames")
+        out = np.frombuffer(data[:need], f">f{fb}").astype(
+            np.float32 if flbits == 32 else np.float64
+        )
+        return out.reshape(n, ch), int(round(rate)), _AIFF_FMT_CODE, \
+            flbits
+    if g711:
+        # AIFC 'ulaw'/'alaw': one G.711 code byte per sample through
+        # the same expansion tables as WAV formats 7/6 (the q166
+        # container-rotation class); COMM sampleSize is nominally 16
+        # but writers vary — frames count is authoritative
+        if ch < 1 or n < 0:
+            raise ValueError("AIFC G.711 COMM fields implausible")
+        if rate < 1 or rate > 1e7:
+            raise ValueError("AIFF sample rate implausible")
+        if len(data) < n * ch:
+            raise ValueError("AIFF SSND data shorter than COMM frames")
+        codes = np.frombuffer(data[: n * ch], np.uint8)
+        lin = ulaw_expand(codes) if g711 == 1 else alaw_expand(codes)
+        return lin.astype(np.int16).reshape(n, ch), int(round(rate)), \
+            _AIFF_FMT_CODE, 8
     if ch < 1 or n < 0 or bits not in (8, 16, 24):
         raise ValueError("AIFF COMM fields implausible")
     if rate < 1 or rate > 1e7:
@@ -10404,13 +11005,23 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
                 np.full(frames, amp * 256, np.int32), 16000, extensible=True
             )
         elif k == 3:
-            content = encode_wav_float32(
-                np.full(frames, amp / 32768.0, np.float32), 16000
-            )
+            if i % 16 == 11:  # round 10: AIFC 'fl64' big-endian floats
+                content = encode_aiff(
+                    np.full(frames, amp / 32768.0), 16000, ctype=b"fl64"
+                )
+            else:
+                content = encode_wav_float32(
+                    np.full(frames, amp / 32768.0, np.float32), 16000
+                )
         elif k == 4:
-            content = encode_wav_pcm32(
-                np.full(frames, amp * 256, np.int32), 16000
-            )
+            if i % 16 == 12:  # round 10: .au encoding 6 (float32 BE)
+                content = encode_au(
+                    np.full(frames, amp / 32768.0), 6, 16000
+                )
+            else:
+                content = encode_wav_pcm32(
+                    np.full(frames, amp * 256, np.int32), 16000
+                )
         elif k == 5:
             content = encode_flac(
                 amp - (t * 7 + i) % 97, 16000, bps=16, blocksize=4096,
@@ -10427,6 +11038,10 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
                 sowt=(i % 16 == 15),
             )
         ext = {5: "flac", 6: "flac", 7: "aiff"}.get(k, "wav")
+        if k == 3 and i % 16 == 11:
+            ext = "aifc"
+        elif k == 4 and i % 16 == 12:
+            ext = "au"
         rows.append((i, "audio", content, None, f"mem://media/{i}.{ext}"))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return df.withColumn("content_length", F.length("content").cast("long"))
@@ -10746,6 +11361,8 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
                     )
                     if prog:
                         fmt, aux = "jpeg_prog", n_scans * 1000 + n_rst
+                    elif _jpg_first_sof(bytes(content)) == 0xC3:
+                        fmt, aux = "jpeg_ll", n_rst  # lossless class
                     else:
                         aux = n_rst
                 else:

@@ -5652,21 +5652,29 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     v AS (
         SELECT i, k, frames,
                CASE WHEN k = 1 THEN amp - (amp % 256)
-                    WHEN k = 4 THEN CAST(round(amp / 256.0) AS BIGINT)
+                    WHEN k = 4 AND i % 16 <> 12
+                        THEN CAST(round(amp / 256.0) AS BIGINT)
                     ELSE amp END AS q15,
-               CASE WHEN k IN (2, 4) THEN amp * 256
+               CASE WHEN k = 4 AND i % 16 = 12 THEN amp
+                    WHEN k IN (2, 4) THEN amp * 256
                     WHEN k = 1 THEN amp - (amp % 256)
                     ELSE amp END AS raw
         FROM m WHERE k < 5 OR k = 7
     ),
+    -- round 10: i%16=11 ships k=3 as AIFC 'fl64' (fmt 41471, 64-bit)
+    -- and i%16=12 ships k=4 as .au float32 (fmt 29550) — both carry
+    -- amp/2^15 exactly, so q15/raw read amp directly
     pcm AS (
         SELECT i AS media_id,
-               CAST(CASE WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
+               CAST(CASE WHEN k = 3 AND i % 16 = 11 THEN 41471
+                    WHEN k = 4 AND i % 16 = 12 THEN 29550
+                    WHEN k = 2 THEN 65534 WHEN k = 3 THEN 3
                     WHEN k = 7 THEN 41471
                     ELSE 1 END AS INT) AS fmt_code,
-               CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
-                    WHEN 7 THEN 16
-                    ELSE 32 END AS INT) AS bits,
+               CAST(CASE WHEN k = 3 AND i % 16 = 11 THEN 64
+                    ELSE CASE k WHEN 0 THEN 16 WHEN 1 THEN 8
+                         WHEN 2 THEN 24 WHEN 7 THEN 16
+                         ELSE 32 END END AS INT) AS bits,
                CAST(1 AS INT) AS channels,
                CAST(16000 AS INT) AS sample_rate,
                CAST(frames // 16 AS BIGINT) AS duration_ms,
@@ -11899,7 +11907,15 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     jtb AS (SELECT i, w, ri, unnest(range(h // 8)) AS by FROM j),
     jt AS (SELECT i, ri, by, unnest(range(w // 8)) AS bx FROM jtb),
-    jv AS (SELECT i, ri, (i * 31 + by * 7 + bx * 13) % 256 AS t FROM jt),
+    -- i%6=5 rows ship 12-bit extended-sequential gray (round 10):
+    -- tile value (t*16 + i) mod 4096, same bit-exact DC argument
+    jv AS (SELECT i, ri,
+                  CASE WHEN i % 6 = 5
+                       THEN ((i * 31 + by * 7 + bx * 13) % 256 * 16
+                             + i) % 4096
+                       ELSE (i * 31 + by * 7 + bx * 13) % 256
+                  END AS t
+           FROM jt),
     jpg AS (
         SELECT 'jpeg' AS fmt, i AS media_id,
                CAST(64 * COUNT(*) AS BIGINT) AS n_px,
@@ -11930,8 +11946,46 @@ def q197_cdc_validation_census(spark, sf_dir):
                         (COUNT(*) + MIN(ri) - 1) // MIN(ri) - 1
                     ELSE 0 END AS BIGINT) AS aux
         FROM qv GROUP BY i
+    ),
+    -- LOSSLESS JPEG (SOF3, round 10): full-entropy gradients at
+    -- precision 256/4096/65536 by i%3, gray/RGB by i%2, point
+    -- transform (q = 2^Pt quantization) on i%6>=3; aux counts the
+    -- row-aligned restart markers ((h-1) div 3 on i%4==1)
+    jlm AS (
+        SELECT i, 9 + (i % 4) * 5 AS w, 7 + (i % 3) * 4 AS h,
+               CASE i % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096
+                    ELSE 65536 END AS pw,
+               CASE WHEN i % 6 >= 3 THEN 2 ELSE 1 END AS q
+        FROM range(21) t(i)
+    ),
+    jlys AS (SELECT i, w, pw, q, unnest(range(h)) AS y FROM jlm),
+    jlpx AS (SELECT i, pw, q, y, unnest(range(w)) AS x FROM jlys),
+    jlv AS (
+        SELECT i, pw, q, (x * 37 + y * 101 + i * 53) % pw AS v
+        FROM jlpx
+    ),
+    jlch AS (
+        SELECT i,
+               (v // q) * q AS r,
+               CASE WHEN i % 2 = 0 THEN (v // q) * q
+                    ELSE (((v + pw // 4) % pw) // q) * q END AS g2,
+               CASE WHEN i % 2 = 0 THEN (v // q) * q
+                    ELSE (((v + 2 * (pw // 4)) % pw) // q) * q
+                    END AS b2
+        FROM jlv
+    ),
+    jll AS (
+        SELECT 'jpeg_ll' AS fmt, c.i + 900 AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g2) AS BIGINT) AS sum_g,
+               CAST(SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(CASE WHEN c.i % 4 = 1 THEN (m.h - 1) // 3
+                        ELSE 0 END) AS BIGINT) AS aux
+        FROM jlch c JOIN jlm m ON m.i = c.i GROUP BY c.i
     )
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
+    UNION ALL SELECT * FROM jll
     UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM tifck
     UNION ALL SELECT * FROM tifsck
@@ -11949,6 +12003,24 @@ def q197_cdc_validation_census(spark, sf_dir):
     """,
     "Codec gate retirements, value-verified (the round-5 verdict's "
     "class: gates whose 'needs a codec library' claim is not true). "
+    "LOSSLESS JPEG (round 10, T.81 process 14/SOF3, fmt 'jpeg_ll', "
+    "media_id +900): per-sample neighbor prediction sweeping all "
+    "SEVEN selectors, modulo-2^16 differences as DC-style Huffman "
+    "categories (SSSS 16 = 32768, no appended bits), precisions "
+    "8/12/16 (the DNG/DICOM class, uint16 rasters), point-transform "
+    "re-scaling, and row-aligned restart intervals — lossless over "
+    "a FULL-ENTROPY gradient (no block-constant trick needed), so "
+    "every combination is value-verified; aux counts RSTm markers. "
+    "OLD-STYLE JPEG-IN-TIFF (round 10, compression 6): rows i%9 in "
+    "(4,7) of the +600 family ship the deprecated one-full-stream "
+    "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
+    "is layout-invisible but the rows gate on the tag-513 walk. "
+    "12-BIT JPEG (round 10): the restart family's i%6==5 rows ship "
+    "extended-sequential GRAY at precision 12 (level shift 2048, "
+    "optimal DC tables with categories past Annex K, uint16 "
+    "rasters, tile value (t*16+i) mod 4096) — the unscaled "
+    "quantization table keeps the DC step < 8, so the 12-bit "
+    "pipeline is bit-exact under the same block-constant argument. "
     "NETPBM FAMILY (round 9, fmt 'pnm'): P1-P5 complete the P6 "
     "surface — ASCII bitmap (abutting digits legal), ASCII "
     "gray/pixmaps with comments and maxval scaling by round-half-up "
@@ -12073,6 +12145,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ico_table,
         synthetic_pcx_table,
         synthetic_pnm_table,
+        synthetic_jpeg_ll_table,
         synthetic_jpeg_prog_table,
         synthetic_jpeg_rst_table,
         synthetic_ppm16_table,
@@ -12105,6 +12178,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tga_table(spark, n=20))
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
+        .unionByName(synthetic_jpeg_ll_table(spark, n=21))
     )
     return codec_census_stats(media).orderBy("fmt", "media_id")
 

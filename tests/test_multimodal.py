@@ -900,7 +900,7 @@ def test_tga_and_au_containers_roundtrip_and_guards():
     raise ValueError. AU (.snd): mu-law/A-law payloads expand
     through the same tables as WAV formats 6/7, signed 8/16/24-bit
     big-endian PCM decodes with house dtypes, float encodings
-    gate."""
+    decode (round 10), ADPCM encodings gate."""
     import pytest
 
     from e_commerce_data_pipeline_spark.operators.multimodal import (
@@ -995,12 +995,16 @@ def test_tga_and_au_containers_roundtrip_and_guards():
     s24 = rng.randint(-(1 << 23), 1 << 23, 200)
     s, _, _, bits = _decode_wav_full(encode_au(s24, 4, 48000))
     assert bits == 24 and np.array_equal(s[:, 0], s24)
-    # float encodings gate
+    # float encodings decode (gate retired round 10); the ADPCM
+    # encodings (23+) stay honestly gated
     import struct as st
 
     hdr = st.pack(">4sIIIII", b".snd", 24, 8, 6, 8000, 1) + b"\x00" * 8
+    s, rate, fc, bits = _decode_wav_full(hdr)
+    assert bits == 32 and s.dtype == np.float32 and s.shape == (2, 1)
+    g721 = st.pack(">4sIIIII", b".snd", 24, 8, 23, 8000, 1) + b"\x00" * 8
     with pytest.raises(NotImplementedError):
-        _decode_wav_full(hdr)
+        _decode_wav_full(g721)
 
 
 def test_apng_compositing_reference_and_guards():
@@ -1201,10 +1205,11 @@ def test_aiff_container_roundtrip_and_extended_rate():
         assert (rate, fc, bb) == (22050, _AIFF_FMT_CODE, bits)
         want = a * 256 if bits == 8 else a
         assert np.array_equal(s, want.reshape(n, nch)), trial
-    # AIFC with an unknown compression type gates (ima4 retired r10)
+    # AIFC with an unknown compression type gates (ima4 and the
+    # float/G.711 types all retired r10 — MAC3 stays library-class)
     b = bytearray(encode_aiff(np.arange(40) - 20, 8000, sowt=True))
     pos = b.find(b"sowt")
-    b[pos : pos + 4] = b"fl32"
+    b[pos : pos + 4] = b"MAC3"
     with pytest.raises(NotImplementedError):
         _decode_wav_full(bytes(b))
     # corrupt extended-float exponent must not overflow
@@ -1214,6 +1219,70 @@ def test_aiff_container_roundtrip_and_extended_rate():
     b[pos + 1] = 0xFE
     with pytest.raises(ValueError):
         _decode_wav_full(bytes(b))
+
+
+def test_aifc_float_g711_and_au_float_variants():
+    """Round-10 audio container variants: AIFC 'fl32'/'fl64'
+    (big-endian IEEE floats, WAV-format-3 value semantics and
+    dtypes), AIFC 'ulaw'/'alaw' (G.711 code bytes through the same
+    expansion tables as WAV formats 7/6 — the q166 container-
+    rotation class), and .au encodings 6/7 (big-endian
+    float32/float64). Uppercase compression types accepted; short
+    SSND data raises; the AIFC unknown-type gate still fires."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _AIFF_FMT_CODE,
+        _AU_FMT_CODE,
+        _decode_wav_full,
+        alaw_expand,
+        encode_aiff,
+        encode_au,
+        ulaw_expand,
+    )
+
+    rng = np.random.RandomState(23)
+    f = rng.rand(400, 2) * 2 - 1
+    for ct, bits, dt in ((b"fl32", 32, np.float32),
+                         (b"fl64", 64, np.float64)):
+        b = encode_aiff(f, 22050, ctype=ct)
+        s, rate, fc, bb = _decode_wav_full(b)
+        assert (rate, fc, bb, s.dtype) == (22050, _AIFF_FMT_CODE,
+                                           bits, dt)
+        assert np.array_equal(s, f.astype(dt))
+        up = bytearray(b)
+        pos = up.find(ct)
+        up[pos : pos + 4] = ct.upper()
+        assert np.array_equal(_decode_wav_full(bytes(up))[0],
+                              f.astype(dt))
+    codes = rng.randint(0, 256, (300, 1)).astype(np.uint8)
+    for ct, exp in ((b"ulaw", ulaw_expand), (b"alaw", alaw_expand)):
+        s, rate, fc, bb = _decode_wav_full(
+            encode_aiff(codes, 8000, ctype=ct)
+        )
+        assert (fc, bb, s.dtype) == (_AIFF_FMT_CODE, 8, np.int16)
+        assert np.array_equal(s[:, 0],
+                              exp(codes[:, 0]).astype(np.int16))
+    for enc, bits, dt in ((6, 32, np.float32), (7, 64, np.float64)):
+        s, rate, fc, bb = _decode_wav_full(
+            encode_au(f[:, 0], enc, 16000)
+        )
+        assert (rate, fc, bb, s.dtype) == (16000, _AU_FMT_CODE,
+                                           bits, dt)
+        assert np.allclose(s[:, 0], f[:, 0].astype(dt))
+    # truncated float SSND raises
+    b = bytearray(encode_aiff(f, 22050, ctype=b"fl32"))
+    import struct as st
+    pos = b.find(b"SSND")
+    (size,) = st.unpack_from(">I", b, pos + 4)
+    short = b[: pos + 8 + size - 8]
+    with pytest.raises(ValueError, match="truncated|shorter"):
+        _decode_wav_full(bytes(short))
+    # unknown AIFC types still gate
+    g = bytearray(encode_aiff(np.arange(40) - 20, 8000, sowt=True))
+    g[g.find(b"sowt") : g.find(b"sowt") + 4] = b"MAC3"
+    with pytest.raises(NotImplementedError):
+        _decode_wav_full(bytes(g))
 
 
 def test_aifc_ima4_roundtrip_stereo_and_damage():
@@ -1368,6 +1437,151 @@ def test_flac_roundtrip_stereo_modes_and_damage():
     flipped[-1] ^= 0xFF  # frame CRC-16 byte
     with pytest.raises(ValueError):
         decode_flac(bytes(flipped))
+
+
+def test_jpeg12_extended_sequential_gray():
+    """12-bit extended-sequential JPEG (SOF1 gray — gate retired
+    round 10, the DICOM/DNG precision class): block-constant tiles
+    decode BIT-EXACT as uint16 under the same DC-step argument as
+    the 8-bit corpora (the unscaled quantization table keeps the DC
+    step < 8 in the 12-bit domain); optimal DC tables carry
+    categories past Annex K's 0-11 range; restart intervals
+    realign; arbitrary 12-bit data decodes lossy but close and
+    never errs; 12-bit COLOR stays honestly gated."""
+    import struct as st
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg12,
+        jpeg_marker_summary,
+    )
+
+    rng = np.random.RandomState(29)
+    for trial in range(10):
+        bh, bw = rng.randint(1, 5), rng.randint(1, 5)
+        t = rng.randint(0, 4096, (bh, bw)).astype(np.uint16)
+        img = np.repeat(np.repeat(t, 8, 0), 8, 1)
+        ri = (trial % 4) if trial % 2 else 0
+        b = encode_jpeg12(img, quality=85 + (trial % 3) * 5,
+                          restart_interval=ri)
+        d = decode_jpeg(b)
+        assert d.dtype == np.uint16 and d.shape == img.shape + (3,)
+        assert np.array_equal(d[..., 0], img), trial
+        assert np.array_equal(d[..., 0], d[..., 2])
+        if ri:
+            mcus = bh * bw
+            assert jpeg_marker_summary(b)[2] == -(-mcus // ri) - 1
+    # arbitrary content: lossy but bounded, no exceptions
+    a = rng.randint(0, 4096, (19, 22)).astype(np.uint16)
+    d = decode_jpeg(encode_jpeg12(a, quality=95))
+    assert int(np.abs(d[..., 0].astype(int) - a.astype(int)).max()) < 64
+    # 12-bit color remains a gate: forge nc=3 onto a 12-bit SOF1
+    b = bytearray(encode_jpeg12(np.full((8, 8), 100, np.uint16)))
+    pos = bytes(b).find(b"\xff\xc1")
+    assert b[pos + 4] == 12  # precision byte
+    b[pos + 9] = 3  # component count
+    (ln,) = st.unpack_from(">H", b, pos + 2)
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_lossless_roundtrip_and_old_style_tiff():
+    """Lossless JPEG (T.81 process 14, SOF3 — gate retired round
+    10): bit-exact round-trips across all seven predictors,
+    precisions 8/12/16 (uint16 out above 8), gray/RGB, point
+    transforms (decoded samples are (v >> Pt) << Pt), and
+    row-aligned restart intervals with sequence checks; decode_jpeg
+    dispatches on the SOF3 marker; non-row-aligned DRI, bad
+    predictor selectors, and missing tables raise ValueError;
+    subsampled/2-component lossless frames gate. Old-style
+    JPEG-in-TIFF (compression 6): the JPEGInterchangeFormat layout
+    decodes through the same block-constant-exact path as
+    compression 7; a compression-6 file WITHOUT tag 513 gates
+    honestly."""
+    import struct as st
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _jpg_first_sof,
+        decode_jpeg,
+        decode_tiff,
+        encode_jpeg_lossless,
+        encode_tiff_jpeg,
+        jpeg_marker_summary,
+    )
+
+    rng = np.random.RandomState(19)
+    for trial in range(28):
+        h, w = rng.randint(1, 26), rng.randint(1, 26)
+        nc = 1 if trial % 2 else 3
+        p = (8, 12, 16)[trial % 3]
+        pt = (0, 0, 1)[trial % 3]
+        shape = (h, w) if nc == 1 else (h, w, 3)
+        dt = np.uint8 if p <= 8 else np.uint16
+        a = rng.randint(0, 1 << p, shape).astype(dt)
+        rr = 3 if (trial % 4 == 1 and h > 3) else 0
+        b = encode_jpeg_lossless(
+            a, predictor=1 + trial % 7, point_transform=pt,
+            restart_rows=rr, precision=p,
+        )
+        assert _jpg_first_sof(b) == 0xC3
+        got = decode_jpeg(b)
+        want = (a.reshape(h, w, nc).astype(np.int64) >> pt) << pt
+        if nc == 1:
+            want = np.repeat(want, 3, axis=2)
+        assert got.dtype == dt and np.array_equal(
+            got.astype(np.int64), want
+        ), trial
+        if rr:
+            assert jpeg_marker_summary(b)[2] == (h - 1) // 3
+    # damage: forged non-row-aligned DRI
+    a8 = rng.randint(0, 256, (8, 10)).astype(np.uint8)
+    b = bytearray(encode_jpeg_lossless(a8, restart_rows=4))
+    pos = bytes(b).find(b"\xff\xdd")
+    st.pack_into(">H", b, pos + 4, 7)  # 7 MCUs != k*w
+    with pytest.raises(ValueError, match="row-aligned"):
+        decode_jpeg(bytes(b))
+    # forged predictor selector
+    b = bytearray(encode_jpeg_lossless(a8, predictor=3))
+    pos = bytes(b).find(b"\xff\xda")
+    (ln,) = st.unpack_from(">H", b, pos + 2)
+    b[pos + 2 + ln - 3] = 0  # Ss byte
+    with pytest.raises(ValueError, match="predictor"):
+        decode_jpeg(bytes(b))
+    # subsampled lossless gates
+    b = bytearray(encode_jpeg_lossless(
+        np.stack([a8] * 3, -1), predictor=1
+    ))
+    pos = bytes(b).find(b"\xff\xc3")
+    b[pos + 2 + 9] = 0x21  # first component sampling 2x1
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    # old-style JPEG-in-TIFF: bit-exact on the block-constant corpus
+    tiles = rng.randint(0, 256, (3, 4)).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    for gray in (True, False):
+        src = img if gray else np.stack([img] * 3, -1)
+        t = encode_tiff_jpeg(src, quality=90, old_style=True)
+        assert np.array_equal(decode_tiff(t), np.stack([img] * 3, -1))
+    # compression 6 without tag 513 stays honestly gated
+    t = bytearray(encode_tiff_jpeg(img, quality=90, old_style=True))
+    e = "<"
+    ifd = int.from_bytes(t[4:8], "little")
+    n = int.from_bytes(t[ifd : ifd + 2], "little")
+    kept = bytearray()
+    removed = 0
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        tag = int.from_bytes(t[at : at + 2], "little")
+        if tag in (513, 514):
+            removed += 1
+            continue
+        kept += t[at : at + 12]
+    t2 = t[: ifd] + st.pack("<H", n - removed) + bytes(kept) + \
+        t[ifd + 2 + 12 * n :]
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(t2))
 
 
 def test_ogg_flac_encapsulation():
@@ -3331,6 +3545,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         decode_bmp,
         decode_jpeg,
         decode_png,
+        encode_jpeg12,
+        encode_jpeg_lossless,
         decode_ppm,
         decode_wav,
         encode_bmp,
@@ -3454,6 +3670,8 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      compression="packbits", depth=4), decode_tiff),
         (encode_tiff_jpeg(img8, quality=80, rows_per_strip=8,
                           jpeg_tables=True), decode_tiff),
+        (encode_tiff_jpeg(img8, quality=80, old_style=True),
+         decode_tiff),
         (encode_apng(
             [(np.concatenate(
                 [img[:8, :10],
@@ -3483,6 +3701,14 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         ), decode_png),
         (encode_jpeg(img8, quality=50), decode_jpeg),
         (encode_jpeg(img8, quality=50, extended=True), decode_jpeg),
+        (encode_jpeg_lossless(img[:9, :8], predictor=4,
+                              restart_rows=3), decode_jpeg),
+        (encode_jpeg12((make_test_pixels16(16, 16, seed=3)[..., 0]
+                        >> 4), quality=85, restart_interval=2),
+         decode_jpeg),
+        (encode_jpeg_lossless(
+            (make_test_pixels16(8, 7, seed=5)[..., 0]), predictor=6,
+            point_transform=2), decode_jpeg),
         (encode_jpeg(img, quality=50, subsampling="411"), decode_jpeg),
         (encode_jpeg(img, quality=50, subsampling="422"), decode_jpeg),
         (encode_wav(samples), decode_wav),
@@ -3515,6 +3741,11 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                      ima4=True), decode_wav),
         (encode_flac(samples[:200].astype(np.int64), 16000, bps=16,
                      blocksize=64, ogg=True), decode_wav),
+        (encode_aiff(rng.rand(120) * 2 - 1, 22050, ctype=b"fl32"),
+         decode_wav),
+        (encode_aiff(rng.randint(0, 256, 150).astype(np.uint8), 8000,
+                     ctype=b"alaw"), decode_wav),
+        (encode_au(rng.rand(100) * 2 - 1, 6, 16000), decode_wav),
         (encode_au(rng.randint(0, 256, 150).astype(np.uint8), 1, 8000),
          decode_wav),
         (encode_tga(img, rle=True), decode_tga),
