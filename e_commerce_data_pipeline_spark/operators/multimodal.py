@@ -12,9 +12,9 @@ compositing), and WAV PCM/G.711/IMA-ADPCM (any channel count) —
 covering header parse, pixel decode, nearest-neighbor resize,
 per-channel feature extraction, and frame sampling over a
 length-prefixed frame container. Variants that genuinely need codec
-libraries this container doesn't ship (arithmetic-coded / 12-bit /
-subsampled-progressive JPEG, H.264) raise NotImplementedError
-explicitly (``require_codec``) rather than pretending.
+libraries this container doesn't ship (arithmetic-coded JPEG, 12-bit
+color, H.264) raise NotImplementedError explicitly
+(``require_codec``) rather than pretending.
 
 Batch shape: mapInPandas receives an iterator of Arrow record batches;
 kernels stream batch-by-batch (never materialize the iterator) so peak
@@ -6153,7 +6153,14 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
     1+(i%5) MCUs, splitting all 10 scans into restart segments —
     q198's aux (scans*1000 + restarts, structural marker walk)
     verifies the exact per-scan RST census and the decode hash
-    verifies each segment's entropy reset."""
+    verifies each segment's entropy reset. Rows with i%3==1 (round
+    10) ship 4:2:0 SUBSAMPLED progressive — interleaved-MCU DC
+    scans, per-component AC block rasters, chroma box-mean +
+    replication — still bit-exact on the block-constant corpus
+    (neutral chroma is constant 128 through the box mean), so the
+    fold is oracle-invisible but those rows gate on the subsampled
+    scan geometry; they carry no restarts, keeping the aux formula's
+    uniform per-scan RST count exact for the restarted rows."""
     import numpy as np
 
     rows = []
@@ -6174,7 +6181,10 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
             (
                 i,
                 "image",
-                encode_jpeg_progressive(rgb, quality=q, restart_interval=ri),
+                encode_jpeg_progressive(
+                    rgb, quality=q, restart_interval=ri,
+                    subsampling="420" if i % 3 == 1 else "444",
+                ),
                 None,
                 f"mem://media/{i}.jpg",
             )
@@ -6204,8 +6214,8 @@ def synthetic_png_table(spark, n: int = 80) -> DataFrame:
 # JPEG (baseline sequential DCT, 8-bit, 4:4:4 / 4:2:0 / grayscale,
 # DRI/RSTm restart intervals; progressive SOF2 below): pure numpy +
 # stdlib — Annex K quantization/Huffman tables, canonical code
-# construction, byte-stuffed entropy stream. Arithmetic coding,
-# 12-bit, and subsampled-progressive gate through ``require_codec``;
+# construction, byte-stuffed entropy stream. Arithmetic coding and
+# 12-bit color gate through ``require_codec``;
 # structural damage raises ValueError (corrupt files surface as null
 # rows, not task failures).
 # ---------------------------------------------------------------------------
@@ -7213,8 +7223,9 @@ def decode_jpeg(b: bytes):
 # the Annex K AC tables have no canonical slack for EOBn symbols.
 # Progressive re-coding of the same quantized coefficients is
 # lossless, so decode(progressive(x)) must equal
-# decode(baseline(x)) bit-for-bit — asserted in tests. Subsampled
-# progressive still gates (encoder and decoder are 4:4:4/gray).
+# decode(baseline(x)) bit-for-bit — asserted in tests, including
+# every subsampled layout (round 10: interleaved-MCU DC scans,
+# per-component AC block rasters).
 # ---------------------------------------------------------------------------
 
 
@@ -7430,8 +7441,67 @@ def _jpg_drive_ac_refine(block_iter, Ss, Se, Al, emit_sym, emit_bits):
     flush_eob()
 
 
+def _jpg_quantized_coefs_sub(arr, quality: int, subsampling: str):
+    """Subsampled quantization front end for the progressive
+    encoder: mirrors ``encode_jpeg``'s chroma pipeline EXACTLY
+    (rounded planes, round-half-up box-mean downsample, edge-
+    replicated padding) so progressive re-coding of the same image
+    at the same quality stays a lossless re-coding of the SAME
+    coefficients. Returns (coefs grids sized (mcuy*vi, mcux*hi, 64),
+    samp, geom, h, w) with geom = (nbw, nbh) non-interleaved block
+    counts per component."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    fh, fv = _JPG_SUBSAMP[subsampling]
+    rgb = a.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    rnd = [np.clip(np.floor(x + 0.5), 0, 255) for x in (y, cb, cr)]
+    ds = []
+    for c in rnd[1:]:
+        ci = c.astype(np.int64)
+        eh, ew = -(-h // fv) * fv, -(-w // fh) * fh
+        pp = np.zeros((eh, ew), dtype=np.int64)
+        pp[:h, :w] = ci
+        if w < ew:
+            pp[:h, w:] = ci[:, -1:]
+        if h < eh:
+            pp[h:, :] = pp[h - 1 : h, :]
+        sm = pp.reshape(eh // fv, fv, ew // fh, fh).sum(axis=(1, 3))
+        ds.append(((sm + fh * fv // 2) // (fh * fv)).astype(np.float64))
+    planes = [rnd[0], ds[0], ds[1]]
+    samp = [(fh, fv), (1, 1), (1, 1)]
+    ql, qc = _jpg_quant_tables(quality)
+    qts = [ql, qc, qc]
+    dctm = _jpg_dct_mat()
+    mcux, mcuy = -(-w // (8 * fh)), -(-h // (8 * fv))
+    zz = np.array(_JPG_ZIGZAG)
+    coefs, geom = [], []
+    for pl, qt, (hi, vi) in zip(planes, qts, samp):
+        gw, gh = mcux * hi, mcuy * vi
+        pad = _jpg_pad(pl, gh * 8, gw * 8) - 128.0
+        c = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                    np.int64
+                ) * np.where(f < 0, -1, 1)
+                c[by, bx] = qf.reshape(-1)[zz]
+        coefs.append(c)
+        ch_, cw_ = pl.shape
+        geom.append((-(-cw_ // 8), -(-ch_ // 8)))
+    return coefs, samp, geom, h, w
+
+
 def encode_jpeg_progressive(
-    arr, quality: int = 90, restart_interval: int = 0
+    arr, quality: int = 90, restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive JPEG
     (SOF2). Same quantized coefficients as ``encode_jpeg`` at the
@@ -7445,10 +7515,35 @@ def encode_jpeg_progressive(
     segment flushes its EOB run and buffered correction bits,
     byte-aligns, emits RSTm (m cycling 0-7, counter reset per scan),
     and restarts DC prediction — so a decoder can resynchronize
-    inside any scan of the cascade."""
-    coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
-    nc = 1 if gray else 3
-    bh, bw = coefs[0].shape[:2]
+    inside any scan of the cascade. ``subsampling`` (round 10)
+    applies the same chroma pipeline as ``encode_jpeg`` — DC scans
+    interleave hi*vi luma blocks per MCU, AC scans walk each
+    component's own block raster."""
+    if subsampling != "444":
+        coefs, samp, nbgeom, h, w = _jpg_quantized_coefs_sub(
+            arr, quality, subsampling
+        )
+        gray = False
+        nc = 3
+    else:
+        coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
+        nc = 1 if gray else 3
+        samp = [(1, 1)] * nc
+        nbgeom = [
+            (coefs[0].shape[1], coefs[0].shape[0]) for _ in range(nc)
+        ]
+    mcuy_n = coefs[0].shape[0] // samp[0][1]
+    mcux_n = coefs[0].shape[1] // samp[0][0]
+
+    def mcu_blocks():
+        for my in range(mcuy_n):
+            for mx in range(mcux_n):
+                yield [
+                    (ci, my * samp[ci][1] + v_, mx * samp[ci][0] + h_)
+                    for ci in range(nc)
+                    for v_ in range(samp[ci][1])
+                    for h_ in range(samp[ci][0])
+                ]
 
     def seg(marker, payload):
         return (
@@ -7465,7 +7560,10 @@ def encode_jpeg_progressive(
         dqt += seg(0xDB, b"\x01" + zzc)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sof += bytes([
+            ci + 1, (samp[ci][0] << 4) | samp[ci][1],
+            0 if ci == 0 else 1,
+        ])
     dht = b""
     for tid in range(1 if gray else 2):
         bits, vals = _JPG_HUFF[(0, tid)]
@@ -7496,37 +7594,33 @@ def encode_jpeg_progressive(
         if kind == "dc_first":
             preds = [0] * nc
             mcu_n = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    if ri and mcu_n and mcu_n % ri == 0:
-                        emit_rst(mcu_n // ri)
-                        preds = [0] * nc
-                    mcu_n += 1
-                    for ci in range(nc):
-                        v = int(coefs[ci][by, bx, 0]) >> Al
-                        diff = v - preds[ci]
-                        preds[ci] = v
-                        cat = _jpg_category(diff)
-                        code, ln = dc_codes[ci][cat]
-                        wr.put(code, ln)
-                        if cat:
-                            wr.put(
-                                diff
-                                if diff >= 0
-                                else diff + (1 << cat) - 1,
-                                cat,
-                            )
+            for blklist in mcu_blocks():
+                if ri and mcu_n and mcu_n % ri == 0:
+                    emit_rst(mcu_n // ri)
+                    preds = [0] * nc
+                mcu_n += 1
+                for ci, gy, gx in blklist:
+                    v = int(coefs[ci][gy, gx, 0]) >> Al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    cat = _jpg_category(diff)
+                    code, ln = dc_codes[ci][cat]
+                    wr.put(code, ln)
+                    if cat:
+                        wr.put(
+                            diff
+                            if diff >= 0
+                            else diff + (1 << cat) - 1,
+                            cat,
+                        )
         elif kind == "dc_refine":
             mcu_n = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    if ri and mcu_n and mcu_n % ri == 0:
-                        emit_rst(mcu_n // ri)
-                    mcu_n += 1
-                    for ci in range(nc):
-                        wr.put(
-                            (int(coefs[ci][by, bx, 0]) >> Al) & 1, 1
-                        )
+            for blklist in mcu_blocks():
+                if ri and mcu_n and mcu_n % ri == 0:
+                    emit_rst(mcu_n // ri)
+                mcu_n += 1
+                for ci, gy, gx in blklist:
+                    wr.put((int(coefs[ci][gy, gx, 0]) >> Al) & 1, 1)
         else:
             drive = (
                 _jpg_drive_ac_first
@@ -7536,8 +7630,9 @@ def encode_jpeg_progressive(
 
             def blocks():
                 c = coefs[comp]
-                for by in range(bh):
-                    for bx in range(bw):
+                nbw_c, nbh_c = nbgeom[comp]
+                for by in range(nbh_c):
+                    for bx in range(nbw_c):
                         yield c[by, bx]
 
             # a restart segment is an independent entropy unit: the
@@ -7608,7 +7703,11 @@ def _decode_jpeg_progressive(b: bytes):
     selection, EOBn runs, correction bits, DHT redefinition between
     scans, and DRI/RSTm restart intervals in every scan kind
     (realignment + sequence check + per-segment entropy reset).
-    4:4:4 / grayscale only (subsampled progressive gates)."""
+    Round 10: any T.81-legal sampling factors with integral
+    max/factor ratio — interleaved DC scans walk MCUs with hi*vi
+    blocks per component, AC scans walk each component's OWN block
+    raster (ceil dims, not the MCU-padded grid), chroma replicates
+    back to full resolution like the sequential path."""
     import numpy as np
 
     pos = 2
@@ -7656,14 +7755,37 @@ def _decode_jpeg_progressive(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    require_codec("subsampled progressive JPEG")
-                comps.append((cid, tq))
-            bw, bh = -(-w // 8), -(-h // 8)
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factor out of range {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _, _, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    require_codec(
+                        f"JPEG fractional sampling {hi}x{vi} "
+                        f"of {hmax}x{vmax}"
+                    )
+            # per-component geometry (T.81 A.2.4/G.1): interleaved
+            # scans cover the MCU-padded grid (mcuy*vi x mcux*hi
+            # blocks); NON-interleaved scans cover only the
+            # component's own ceil-dims block raster
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            geom = []
+            for _, _, hi, vi in comps:
+                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+                geom.append(
+                    (mcux * hi, mcuy * vi, -(-cw // 8), -(-ch // 8),
+                     cw, ch)
+                )
             coefs = [
-                np.zeros((bh, bw, 64), dtype=np.int64) for _ in comps
+                np.zeros((g[1], g[0], 64), dtype=np.int64)
+                for g in geom
             ]
-            sof = (h, w, comps, bh, bw)
+            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy)
         elif marker == 0xDD:
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -7673,13 +7795,13 @@ def _decode_jpeg_progressive(b: bytes):
                 raise ValueError("JPEG scan before SOF2")
             if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ValueError("JPEG SOS truncated")
-            h, w, comps, bh, bw = sof
+            h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
             ns = payload[0]
             sel = []
             for ci in range(ns):
                 cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
                 idx = next(
-                    (i for i, (cid, _) in enumerate(comps) if cid == cs),
+                    (i for i, c in enumerate(comps) if c[0] == cs),
                     None,
                 )
                 if idx is None:
@@ -7715,27 +7837,55 @@ def _decode_jpeg_progressive(b: bytes):
                 if Se != 0:
                     raise ValueError("SOF2 scan mixes DC and AC")
                 preds = [0] * len(sel)
-                for by in range(bh):
-                    for bx in range(bw):
+                if len(sel) > 1:
+                    # interleaved DC scan: MCU walk, hi x vi blocks
+                    # per component (T.81 A.2.3)
+                    mcu_iter = (
+                        (si, ci,
+                         (my * comps[ci][3] + v_,
+                          mx * comps[ci][2] + h_))
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for si, (ci, _dt, _at) in enumerate(sel)
+                        for v_ in range(comps[ci][3])
+                        for h_ in range(comps[ci][2])
+                    )
+                    per_mcu = sum(
+                        comps[ci][2] * comps[ci][3]
+                        for ci, _, _ in sel
+                    )
+                else:
+                    ci0 = sel[0][0]
+                    nbw0, nbh0 = geom[ci0][2], geom[ci0][3]
+                    mcu_iter = (
+                        (0, ci0, (by, bx))
+                        for by in range(nbh0)
+                        for bx in range(nbw0)
+                    )
+                    per_mcu = 1
+                blk_i = 0
+                for si, ci, (gy, gx) in mcu_iter:
+                    if blk_i % per_mcu == 0:
                         if ri and mcu_n and mcu_n % ri == 0:
                             at_restart()
                             preds = [0] * len(sel)
                         mcu_n += 1
-                        for si, (ci, dt, _at) in enumerate(sel):
-                            blk = coefs[ci][by, bx]
-                            if Ah == 0:
-                                dc_t = huffs.get((0, dt))
-                                if dc_t is None:
-                                    raise ValueError("JPEG missing table")
-                                cat = rd.huff(dc_t)
-                                preds[si] += (
-                                    _jpg_extend(rd.take(cat), cat)
-                                    if cat
-                                    else 0
-                                )
-                                blk[0] = preds[si] << Al
-                            else:
-                                blk[0] |= rd.take(1) << Al
+                    blk_i += 1
+                    blk = coefs[ci][gy, gx]
+                    dt = sel[si][1]
+                    if Ah == 0:
+                        dc_t = huffs.get((0, dt))
+                        if dc_t is None:
+                            raise ValueError("JPEG missing table")
+                        cat = rd.huff(dc_t)
+                        preds[si] += (
+                            _jpg_extend(rd.take(cat), cat)
+                            if cat
+                            else 0
+                        )
+                        blk[0] = preds[si] << Al
+                    else:
+                        blk[0] |= rd.take(1) << Al
             else:
                 if len(sel) != 1:
                     raise ValueError("SOF2 AC scan must be one component")
@@ -7744,8 +7894,9 @@ def _decode_jpeg_progressive(b: bytes):
                 if ac_t is None:
                     raise ValueError("JPEG missing table")
                 p1, m1 = 1 << Al, -1 << Al
-                for by in range(bh):
-                    for bx in range(bw):
+                nbw_c, nbh_c = geom[ci][2], geom[ci][3]
+                for by in range(nbh_c):
+                    for bx in range(nbw_c):
                         if ri and mcu_n and mcu_n % ri == 0:
                             at_restart()
                             eobrun = 0
@@ -7833,17 +7984,18 @@ def _decode_jpeg_progressive(b: bytes):
         pos += 2 + ln
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF2/scan data")
-    h, w, comps, bh, bw = sof
+    h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
         qt = qts.get(tq)
         if qt is None:
             raise ValueError("JPEG missing quant table")
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
+        gbw, gbh, nbw_c, nbh_c, cw, ch = geom[ci]
+        plane = np.zeros((nbh_c * 8, nbw_c * 8), dtype=np.float64)
+        for by in range(nbh_c):
+            for bx in range(nbw_c):
                 blk = np.zeros((8, 8), dtype=np.float64)
                 flat = blk.reshape(-1)
                 for i in range(64):
@@ -7852,6 +8004,12 @@ def _decode_jpeg_progressive(b: bytes):
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     dctm.T @ blk @ dctm
                 )
+        plane = plane[:ch, :cw]
+        if hi < hmax or vi < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0),
+                hmax // hi, axis=1,
+            )
         planes.append(plane[:h, :w] + 128.0)
     if len(planes) == 1:
         g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)

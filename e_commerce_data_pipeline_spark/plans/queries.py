@@ -12015,6 +12015,13 @@ def q197_cdc_validation_census(spark, sf_dir):
     "(4,7) of the +600 family ship the deprecated one-full-stream "
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
+    "SUBSAMPLED PROGRESSIVE JPEG (round 10): the progressive "
+    "family's i%3==1 rows ship 4:2:0 — interleaved-MCU DC scans, "
+    "per-component AC block rasters, chroma box-mean + replication "
+    "— bit-exact on the block-constant corpus (neutral chroma is "
+    "constant through the box mean), so the fold is oracle-"
+    "invisible; those rows carry no restarts so the uniform "
+    "per-scan RST formula stays exact. "
     "12-BIT JPEG (round 10): the restart family's i%6==5 rows ship "
     "extended-sequential GRAY at precision 12 (level shift 2048, "
     "optimal DC tables with categories past Annex K, uint16 "

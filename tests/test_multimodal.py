@@ -1439,6 +1439,48 @@ def test_flac_roundtrip_stereo_modes_and_damage():
         decode_flac(bytes(flipped))
 
 
+def test_jpeg_progressive_subsampled_parity():
+    """Subsampled progressive JPEG (gate retired round 10):
+    progressive re-coding is a LOSSLESS re-coding of the same
+    quantized coefficients, so decode(progressive(x, ss)) must equal
+    decode(baseline(x, ss)) bit-for-bit for every sampling layout
+    (420/422/440/411), any dims (partial MCUs), and any restart
+    interval — interleaved-MCU DC scans, per-component AC block
+    rasters, per-scan RST sequence checks. Block-constant gray-in-
+    RGB tiles stay bit-exact at 4:2:0 (neutral chroma survives the
+    box mean), which is what q198's fold leans on."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_marker_summary,
+    )
+
+    rng = np.random.RandomState(31)
+    for trial in range(16):
+        h, w = rng.randint(8, 48), rng.randint(8, 48)
+        a = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        ss = ("420", "422", "440", "411")[trial % 4]
+        ri = (1 + trial % 4) if trial % 3 else 0
+        bp = encode_jpeg_progressive(a, quality=85,
+                                     restart_interval=ri,
+                                     subsampling=ss)
+        bb = encode_jpeg(a, quality=85, subsampling=ss)
+        assert jpeg_marker_summary(bp)[0] is True
+        assert np.array_equal(decode_jpeg(bp), decode_jpeg(bb)), (
+            trial, ss, ri,
+        )
+    # block-constant 4:2:0 bit-exactness (the q198 fold's argument)
+    tiles = rng.randint(0, 256, (3, 4)).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    rgb = np.stack([img] * 3, -1)
+    for ri in (0, 3):
+        b = encode_jpeg_progressive(rgb, quality=90,
+                                    restart_interval=ri,
+                                    subsampling="420")
+        assert np.array_equal(decode_jpeg(b), rgb), ri
+
+
 def test_jpeg12_extended_sequential_gray():
     """12-bit extended-sequential JPEG (SOF1 gray — gate retired
     round 10, the DICOM/DNG precision class): block-constant tiles
@@ -3790,6 +3832,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
     streams.append(
         (encode_jpeg_progressive(img8, quality=50, restart_interval=2),
          decode_jpeg)
+    )
+    streams.append(
+        (encode_jpeg_progressive(img, quality=50, restart_interval=1,
+                                 subsampling="420"), decode_jpeg)
     )
     for b, dec in streams:
         for i in range(len(b)):
