@@ -4016,13 +4016,14 @@ def _pcx_rle_encode(row: bytes) -> bytes:
 
 
 def encode_pcx(arr, palette=None, ega_planes: int = 0,
-               palette16=None, bpp4: bool = False) -> bytes:
+               palette16=None, bpp4: bool = False,
+               bpp2: bool = False) -> bytes:
     """(h, w, 3) RGB (three 8-bit planes per row), (h, w) uint8
     indices with ``palette`` (256, 3 — the 0x0C VGA palette block at
     EOF), or (h, w) 0/1 monochrome — -> PCX version 5, RLE
     encoding. ``ega_planes`` (2/3/4) emits the classic EGA
-    bit-plane layout (index bit p in plane p) and ``bpp4`` the
-    packed 4-bit single-plane layout, both resolving through the
+    bit-plane layout (index bit p in plane p), ``bpp4``/``bpp2`` the
+    packed 4-/2-bit single-plane layouts, all resolving through the
     16-entry HEADER palette ``palette16`` ((n<=16, 3))."""
     import numpy as np
 
@@ -4033,17 +4034,19 @@ def encode_pcx(arr, palette=None, ega_planes: int = 0,
         assert p16.ndim == 2 and p16.shape[0] <= 16 and p16.shape[1] == 3
         hdr_pal = p16.tobytes().ljust(48, b"\x00")
     if ega_planes:
-        assert a.ndim == 2 and palette is None and not bpp4
+        assert a.ndim == 2 and palette is None and not bpp4 \
+            and not bpp2
         assert 2 <= ega_planes <= 4
         assert int(a.max(initial=0)) < (1 << ega_planes)
         h, w = a.shape
         bpp, planes = 1, ega_planes
         row_planes = [(a >> p) & 1 for p in range(ega_planes)]
-    elif bpp4:
-        assert a.ndim == 2 and palette is None
-        assert int(a.max(initial=0)) < 16
+    elif bpp4 or bpp2:
+        assert a.ndim == 2 and palette is None and not (bpp4 and bpp2)
+        d = 4 if bpp4 else 2
+        assert int(a.max(initial=0)) < (1 << d)
         h, w = a.shape
-        bpp, planes = 4, 1
+        bpp, planes = d, 1
         row_planes = [a]
     elif palette is not None:
         assert a.ndim == 2
@@ -4072,9 +4075,9 @@ def encode_pcx(arr, palette=None, ega_planes: int = 0,
             if bpp == 1:
                 packed = np.packbits(pl[y][None, :], axis=1)[0]
                 row = packed.tobytes().ljust(bpl, b"\x00")
-            elif bpp == 4:
+            elif bpp in (2, 4):
                 row = _pack_sample_rows(
-                    pl[y][None, :], 4
+                    pl[y][None, :], bpp
                 )[0].tobytes().ljust(bpl, b"\x00")
             else:
                 row = pl[y].tobytes().ljust(bpl, b"\x00")
@@ -4091,8 +4094,8 @@ def decode_pcx(b: bytes):
     """PCX bytes -> (h, w, 3) uint8 RGB: version-5 RLE scanlines for
     8bpp VGA-paletted (0x0C trailer), 24bpp (three 8-bit planes per
     row), 1bpp monochrome, and — round 10, gates retired — the
-    classic EGA layouts: 1bpp x 2/3/4 bit-planes (index bit p in
-    plane p) and packed 4bpp x 1, both resolving through the
+    classic EGA/CGA layouts: 1bpp x 2/3/4 bit-planes (index bit p
+    in plane p) and packed 2bpp/4bpp x 1, all resolving through the
     16-entry header palette. Structural damage raises ValueError."""
     import numpy as np
 
@@ -4110,7 +4113,8 @@ def decode_pcx(b: bytes):
     planes = b[65]
     (bpl,) = struct.unpack_from("<H", b, 66)
     if (bpp, planes) not in (
-        (8, 1), (8, 3), (1, 1), (1, 2), (1, 3), (1, 4), (4, 1)
+        (8, 1), (8, 3), (1, 1), (1, 2), (1, 3), (1, 4), (4, 1),
+        (2, 1),
     ):
         require_codec(f"PCX layout {bpp}bpp x {planes} planes")
     if bpl < (w * bpp + 7) // 8:
@@ -4144,7 +4148,7 @@ def decode_pcx(b: bytes):
         bits = _unpack_msb_samples(rows[:, 0, :], w, 1)
         g = (bits * 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
-    if bpp == 1 or bpp == 4:
+    if bpp in (1, 2, 4):
         # EGA layouts: bit-planes (index bit p lives in plane p) or a
         # packed 4-bit single plane, through the 16-entry HEADER
         # palette (bytes 16..64)
@@ -4155,7 +4159,7 @@ def decode_pcx(b: bytes):
                     rows[:, p, :], w, 1
                 ).astype(np.int64) << p
         else:
-            idx = _unpack_msb_samples(rows[:, 0, :], w, 4).astype(
+            idx = _unpack_msb_samples(rows[:, 0, :], w, bpp).astype(
                 np.int64
             )
         pal = np.frombuffer(b[16:64], np.uint8).reshape(16, 3)
@@ -5520,7 +5524,8 @@ def synthetic_pcx_table(spark, n: int = 12) -> DataFrame:
     through pal[j] = ((j*7+5, j*3+57, j*13+19) mod 256)), 1bpp
     monochrome block patterns rendered *255, EGA bit-planes
     (2 + i%3 planes, idx = (x + y*2 + i) mod 2^planes), and packed
-    4bpp (idx = (x*3 + y + i) mod 16) — the EGA layouts resolve
+    4bpp (idx = (x*3 + y + i) mod 16; the i=9 row ships 2bpp CGA,
+    mod 4) — the EGA layouts resolve
     through the 16-entry HEADER palette
     ((j*11+3, j*7+29, j*3+101) mod 256). q198's 'pcx' census group
     replays each closed-form."""
@@ -5561,8 +5566,10 @@ def synthetic_pcx_table(spark, n: int = 12) -> DataFrame:
             content = encode_pcx(idx, ega_planes=planes,
                                  palette16=pal16)
         else:
-            idx = ((x * 3 + y + i) % 16).astype(np.uint8)
-            content = encode_pcx(idx, bpp4=True, palette16=pal16)
+            d = 4 if i != 9 else 2  # i=9 ships the 2bpp CGA class
+            idx = ((x * 3 + y + i) % (1 << d)).astype(np.uint8)
+            content = encode_pcx(idx, bpp4=(d == 4), bpp2=(d == 2),
+                                 palette16=pal16)
         rows.append(
             (i, "image", content, None, f"mem://media/{i}.pcx")
         )

@@ -11558,7 +11558,8 @@ def q197_cdc_validation_census(spark, sf_dir):
                  WHEN 3 THEN (x + y * 2 + i) %
                       (CASE i % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
                        ELSE 16 END)
-                 ELSE (x * 3 + y + i) % 16 END AS eidx
+                 ELSE (x * 3 + y + i) %
+                      (CASE WHEN i = 9 THEN 4 ELSE 16 END) END AS eidx
         FROM pcpx
     ),
     pcch AS (

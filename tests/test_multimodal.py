@@ -664,11 +664,19 @@ def test_pcx_layouts_roundtrip_and_guards():
     g[65] = 4  # planes
     with pytest.raises(ValueError):
         decode_pcx(bytes(g))
-    # still-gated layouts (2bpp CGA) stay honest
+    # still-gated layouts (8bpp x 4 planes) stay honest
     g = bytearray(encode_pcx(rng.randint(0, 2, (5, 6)).astype(np.uint8)))
-    g[3] = 2  # bpp
+    g[3] = 8  # bpp
+    g[65] = 4  # planes
     with pytest.raises(NotImplementedError):
         decode_pcx(bytes(g))
+    # 2bpp CGA-class through the header palette (round 10)
+    pal16 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx2 = rng.randint(0, 4, (7, 11)).astype(np.uint8)
+    assert np.array_equal(
+        decode_pcx(encode_pcx(idx2, bpp2=True, palette16=pal16)),
+        pal16[idx2.reshape(-1).astype(np.int64)].reshape(7, 11, 3),
+    )
     # truncated RLE stream
     b24 = encode_pcx(rng.randint(0, 256, (9, 8, 3)).astype(np.uint8))
     with pytest.raises(ValueError):
