@@ -437,6 +437,10 @@ def decode_bmp(b: bytes):
         (size_image,) = struct.unpack_from("<I", b, 34)
         payload = b[offset : offset + size_image] if size_image else b[offset:]
         px = (decode_jpeg if comp == 4 else decode_png)(bytes(payload))
+        if px.dtype != np.uint8:
+            # >8-bit embedded payloads (16-bit PNG, 12/16-bit JPEG)
+            # would leak uint16 through BMP's uint8 contract
+            raise ValueError("BMP embedded stream must be 8-bit")
         if px.ndim == 2:
             px = np.stack([px] * 3, axis=-1)
         px = px[..., :3]
@@ -2598,6 +2602,10 @@ def decode_tiff(b: bytes):
         if stream[:2] != b"\xff\xd8":
             raise ValueError("TIFF old-style JPEG stream missing SOI")
         px = decode_jpeg(stream)
+        if px.dtype != np.uint8:
+            # a >8-bit embedded stream would leak uint16 through the
+            # container's uint8 contract (and wrap WhiteIsZero)
+            raise ValueError("TIFF embedded JPEG must be 8-bit")
         if px.shape[0] < h or px.shape[1] < w:
             raise ValueError("TIFF old-style JPEG smaller than declared")
         out = px[:h, :w]
@@ -2720,6 +2728,8 @@ def decode_tiff(b: bytes):
             if tb_body:
                 stream = b"\xff\xd8" + tb_body + stream[2:]
             px = decode_jpeg(stream)
+            if px.dtype != np.uint8:
+                raise ValueError("TIFF embedded JPEG must be 8-bit")
             if px.shape[0] < rows_here or px.shape[1] < w:
                 raise ValueError("TIFF JPEG strip smaller than declared")
             parts.append(px[:rows_here, :w])
@@ -3832,11 +3842,7 @@ def encode_ico(entries) -> bytes:
                 xor = xr.tobytes()
                 bpp = 24
             elif kind == "bmp16":
-                v = (
-                    ((a[..., 0].astype(np.uint16) >> 3) << 10)
-                    | ((a[..., 1].astype(np.uint16) >> 3) << 5)
-                    | (a[..., 2].astype(np.uint16) >> 3)
-                )[::-1]
+                v = _x1r5g5b5_pack(a)[::-1]
                 row = w * 2
                 stride = row + ((-row) % 4)
                 xr = np.zeros((h, stride), np.uint8)
@@ -3951,11 +3957,7 @@ def decode_ico_entries(b: bytes):
             v = words[..., 0].astype(np.uint16) | (
                 words[..., 1].astype(np.uint16) << 8
             )
-            c5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
-            rgb = np.stack(
-                [((c << 3) | (c >> 2)).astype(np.uint8) for c in c5],
-                axis=-1,
-            )
+            rgb = _x1r5g5b5_expand(v)
             alpha = None
             pos += stride * h
         else:
@@ -4185,6 +4187,30 @@ def decode_pcx(b: bytes):
 _TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
 
 
+def _x1r5g5b5_pack(rgb):
+    """(..., 3) uint8 RGB -> uint16 X1R5G5B5 words (top 5 bits per
+    channel) — the shared 16bpp layout TGA, ICO DIBs, and BMP555 use."""
+    import numpy as np
+
+    a = np.asarray(rgb)
+    return (
+        ((a[..., 0].astype(np.uint16) >> 3) << 10)
+        | ((a[..., 1].astype(np.uint16) >> 3) << 5)
+        | (a[..., 2].astype(np.uint16) >> 3)
+    )
+
+
+def _x1r5g5b5_expand(v):
+    """uint16 X1R5G5B5 words -> (..., 3) uint8 RGB with the house
+    5-bit bit-replication expansion (c<<3 | c>>2)."""
+    import numpy as np
+
+    c5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
+    return np.stack(
+        [((c << 3) | (c >> 2)).astype(np.uint8) for c in c5], axis=-1
+    )
+
+
 def encode_tga(
     arr,
     rle: bool = False,
@@ -4230,12 +4256,9 @@ def encode_tga(
     elif bpp16:
         h, w, _ = a.shape
         itype, depth = 2, (15 if depth15 else 16)
-        v = (
-            ((a[..., 0].astype(np.uint16) >> 3) << 10)
-            | ((a[..., 1].astype(np.uint16) >> 3) << 5)
-            | (a[..., 2].astype(np.uint16) >> 3)
+        pix = _x1r5g5b5_pack(a).astype("<u2").view(np.uint8).reshape(
+            h, w, 2
         )
-        pix = v.astype("<u2").view(np.uint8).reshape(h, w, 2)
     else:
         h, w, c = a.shape
         assert c in (3, 4)
@@ -4259,12 +4282,7 @@ def encode_tga(
         pal = np.asarray(palette, np.uint8)
         assert pal.ndim == 2 and pal.shape[1] == 3
         if pal_bits in (15, 16):
-            v = (
-                ((pal[:, 0].astype(np.uint16) >> 3) << 10)
-                | ((pal[:, 1].astype(np.uint16) >> 3) << 5)
-                | (pal[:, 2].astype(np.uint16) >> 3)
-            )
-            body += v.astype("<u2").tobytes()
+            body += _x1r5g5b5_pack(pal).astype("<u2").tobytes()
         else:
             body += pal[:, ::-1].tobytes()  # BGR entries
     nb = pix.shape[-1]
@@ -4343,11 +4361,7 @@ def decode_tga(b: bytes):
             v = raw_pal[:, 0].astype(np.uint16) | (
                 raw_pal[:, 1].astype(np.uint16) << 8
             )
-            c5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]  # R, G, B
-            r8, g8, b8 = [
-                ((c << 3) | (c >> 2)).astype(np.uint8) for c in c5
-            ]
-            pal = np.stack([b8, g8, r8], axis=-1)  # BGR like 24-bit
+            pal = _x1r5g5b5_expand(v)[:, ::-1]  # BGR like 24-bit
         else:
             pal = raw_pal
         pos = end
@@ -4414,12 +4428,7 @@ def decode_tga(b: bytes):
             rgb = np.stack([g, g, g], axis=-1)
     elif depth in (15, 16):
         v = pix.reshape(h, w, 2).astype(np.uint16)
-        v = v[..., 0] | (v[..., 1] << 8)
-        out5 = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
-        rgb = np.stack(
-            [((c5 << 3) | (c5 >> 2)).astype(np.uint8) for c5 in out5],
-            axis=-1,
-        )
+        rgb = _x1r5g5b5_expand(v[..., 0] | (v[..., 1] << 8))
     elif depth == 24:
         rgb = pix[..., [2, 1, 0]]
     else:
@@ -4795,16 +4804,7 @@ def synthetic_ima4_table(spark, n: int = 20) -> DataFrame:
         ssnd = _ima4_packets_from_codes(
             codes, ((i * 113) % 2000) - 1000, (i * 7) % 89
         )
-        comm = struct.pack(">hIh", 1, ns, 16) + \
-            _ieee754_extended_pack(16000.0) + b"ima4" + b"\x00\x00"
-        ssnd_body = struct.pack(">II", 0, 0) + ssnd
-        chunks = b"FVER" + struct.pack(">II", 4, 0xA2805140)
-        for cid, body in ((b"COMM", comm), (b"SSND", ssnd_body)):
-            chunks += cid + struct.pack(">I", len(body)) + body
-            if len(body) % 2:
-                chunks += b"\x00"
-        content = b"FORM" + struct.pack(">I", 4 + len(chunks)) + \
-            b"AIFC" + chunks
+        content = _aifc_container(b"ima4", 1, ns, 16, 16000, ssnd)
         rows.append(
             (200 + i, "audio", content, None,
              f"mem://media/{200 + i}.ima4.aifc")
@@ -7781,6 +7781,12 @@ def _decode_jpeg_progressive(b: bytes):
             # blocks); NON-interleaved scans cover only the
             # component's own ceil-dims block raster
             mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            if not h or not w or h * w * nc > (1 << 26):
+                # the coefficient grids allocate from these header
+                # fields — a corrupt dimension must not materialize
+                # a multi-GB buffer (the BMP RLE lesson; the
+                # lossless decoder carries the same guard)
+                raise ValueError("JPEG dimensions implausible")
             geom = []
             for _, _, hi, vi in comps:
                 cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
@@ -10610,14 +10616,12 @@ def _ogg_encapsulate(packets, serial: int = 0x464C4143,
     cur_granule = None
     page_continues = False  # current page begins mid-packet
 
-    def flush(force_granule=None):
+    def flush():
         nonlocal seq, cur_segs, cur_payload, cur_granule, page_continues
         htype = 0x01 if page_continues else 0x00
         if seq == 0:
             htype |= 0x02
-        g = force_granule
-        if g is None:
-            g = cur_granule if cur_granule is not None else -1
+        g = cur_granule if cur_granule is not None else -1
         out.extend(
             _ogg_page(htype, g, serial, seq, cur_segs, bytes(cur_payload))
         )
@@ -10730,9 +10734,16 @@ def _ogg_flac_native(b: bytes) -> bytes:
         raise ValueError("Ogg FLAC first packet lacks STREAMINFO")
     if len(packets) < 1 + nhdr:
         raise ValueError("Ogg FLAC header packets missing")
+    audio = packets[1 + nhdr :]
+    if nhdr == 0:
+        # the mapping allows 0 = "unknown count": skip leading
+        # metadata packets by type — a FLAC frame always starts with
+        # the 0xFF sync byte, a metadata block header never does
+        while audio and audio[0][:1] != b"\xff":
+            audio = audio[1:]
     si = bytearray(first[13 : 17 + 34])
     si[0] |= 0x80  # re-synthesized stream: STREAMINFO is the last block
-    return b"fLaC" + bytes(si) + b"".join(packets[1 + nhdr :])
+    return b"fLaC" + bytes(si) + b"".join(audio)
 
 
 def decode_flac(b: bytes):

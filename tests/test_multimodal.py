@@ -1447,6 +1447,70 @@ def test_flac_roundtrip_stereo_modes_and_damage():
         decode_flac(bytes(flipped))
 
 
+def test_round10_review_regressions():
+    """Round-10 self-review findings, pinned: (1) a >8-bit JPEG (or
+    16-bit PNG) embedded in a uint8 container — old-style/new-style
+    JPEG-in-TIFF, BMP BI_JPEG/BI_PNG — raises ValueError instead of
+    leaking uint16 through the container contract (WhiteIsZero would
+    wrap it mod 256); (2) a crafted SOF2 with implausible dimensions
+    raises BEFORE allocating the coefficient grids (the BMP-RLE OOM
+    lesson); (3) an Ogg FLAC mapping header declaring 0 = 'unknown'
+    header packets decodes by skipping leading metadata packets by
+    type, per the xiph mapping."""
+    import struct as st
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _decode_jpeg_progressive,
+        _ogg_crc,
+        _tiff_ifd,
+        decode_bmp,
+        decode_flac,
+        decode_tiff,
+        encode_bmp_embedded,
+        encode_flac,
+        encode_jpeg12,
+        encode_png16,
+        make_test_pixels16,
+    )
+
+    # (1) 12-bit JPEG behind a compression-6 TIFF declaring 8-bit
+    j12 = encode_jpeg12(np.zeros((8, 8), np.uint16))
+    body = j12 + (b"\x00" if len(j12) % 2 else b"")
+    ifd_off = 8 + len(body)
+    tags = [(256, 3, [8]), (257, 3, [8]), (258, 3, [8]),
+            (259, 3, [6]), (262, 3, [1]), (277, 3, [1]),
+            (513, 4, [8]), (514, 4, [len(j12)])]
+    tif = (b"II" + st.pack("<HI", 42, ifd_off) + body
+           + _tiff_ifd("<", tags, ifd_off))
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_tiff(tif)
+    # 16-bit PNG behind BI_PNG
+    px16 = np.asarray(make_test_pixels16(8, 8, seed=2))
+    b16 = encode_bmp_embedded(encode_png16(px16), 8, 8, png=True)
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_bmp(b16)
+    # (2) SOF2 allocation guard fires on header fields alone
+    sof = st.pack(">BHHB", 8, 65535, 65535, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    stream = (b"\xff\xd8\xff\xc2" + st.pack(">H", 2 + len(sof))
+              + sof + b"\xff\xd9")
+    with pytest.raises(ValueError, match="implausible"):
+        _decode_jpeg_progressive(stream)
+    # (3) Ogg FLAC nheaders = 0 (unknown) skips metadata by type
+    a = (np.arange(300) * 7 % 4096 - 2048).astype(np.int64)
+    ogg = bytearray(encode_flac(a, 16000, bps=16, ogg=True))
+    nsegs = ogg[26]
+    p0 = 27 + nsegs
+    ogg[p0 + 7 : p0 + 9] = st.pack(">H", 0)
+    page_end = p0 + sum(ogg[27 : 27 + nsegs])
+    ogg[22:26] = b"\x00\x00\x00\x00"
+    st.pack_into("<I", ogg, 22, _ogg_crc(bytes(ogg[:page_end])))
+    dec, rate, bits = decode_flac(bytes(ogg))
+    assert np.array_equal(dec[:, 0], a) and (rate, bits) == (16000, 16)
+
+
 def test_jpeg_progressive_subsampled_parity():
     """Subsampled progressive JPEG (gate retired round 10):
     progressive re-coding is a LOSSLESS re-coding of the same
