@@ -6417,44 +6417,79 @@ _JPG_SUBSAMP = {
 
 def encode_jpeg12(arr, quality: int = 90,
                   restart_interval: int = 0) -> bytes:
-    """(h, w) uint16 grayscale (< 4096) -> 12-bit EXTENDED
-    SEQUENTIAL JPEG (SOF1, the DICOM/DNG precision class, gate
-    retired round 10): level shift 2048, the UNSCALED 8-bit-domain
-    Annex-K quantization table (spec-legal at any precision; its
-    small DC step keeps block-constant corpora bit-exact exactly as
-    at 8-bit), and OPTIMAL Huffman tables built from the image's own
-    symbol census — 12-bit DC categories reach 15, past the fixed
-    Annex K tables' range. Optional restart intervals as in
-    ``encode_jpeg``."""
+    """(h, w) gray or (h, w, 3) RGB uint16 (< 4096) -> 12-bit
+    EXTENDED SEQUENTIAL JPEG (SOF1, the DICOM/DNG precision class,
+    gate retired round 10; 4:4:4 color added in the follow-up):
+    level shift 2048 (YCbCr relations centered likewise), the
+    UNSCALED 8-bit-domain Annex-K quantization tables (spec-legal at
+    any precision; the small DC step keeps block-constant corpora
+    bit-exact exactly as at 8-bit), and OPTIMAL Huffman tables built
+    from the image's own symbol census — 12-bit DC categories reach
+    15, past the fixed Annex K tables' range. Optional restart
+    intervals as in ``encode_jpeg``."""
     import numpy as np
 
     a = np.asarray(arr)
-    assert a.ndim == 2 and int(a.max(initial=0)) < 4096
-    h, w = a.shape
-    ql, _ = _jpg_quant_tables(quality)
+    gray = a.ndim == 2
+    assert int(a.max(initial=0)) < 4096
+    h, w = a.shape[:2]
+    ql, qc = _jpg_quant_tables(quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+        qts = [ql]
+    else:
+        assert a.shape[2] == 3
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 2048.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [
+            np.clip(np.floor(x + 0.5), 0, 4095) for x in (y, cb, cr)
+        ]
+        qts = [ql, qc, qc]
+    nc = len(planes)
     dctm = _jpg_dct_mat()
     mcux, mcuy = -(-w // 8), -(-h // 8)
-    padded = _jpg_pad(a.astype(np.float64), mcuy * 8, mcux * 8) - 2048.0
     zz = np.array(_JPG_ZIGZAG)
-    blocks = []
-    for my in range(mcuy):
-        for mx in range(mcux):
-            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-            f = dctm @ blk @ dctm.T
-            qf = np.floor(np.abs(f) / ql + 0.5).astype(np.int64) * \
-                np.where(f < 0, -1, 1)
-            blocks.append(qf.reshape(-1)[zz])
-    # symbol census -> optimal DC/AC tables (T.81 K.2)
+    # MCU-interleaved block stream (4:4:4: one block per component)
+    comp_blocks = []
+    for pl, qt in zip(planes, qts):
+        padded = _jpg_pad(pl, mcuy * 8, mcux * 8) - 2048.0
+        cb_list = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                    np.int64
+                ) * np.where(f < 0, -1, 1)
+                cb_list.append(qf.reshape(-1)[zz])
+        comp_blocks.append(cb_list)
+    n_mcu = mcux * mcuy
+
+    def walk(on_block, on_restart):
+        preds = [0] * nc
+        for n_blk in range(n_mcu):
+            if restart_interval and n_blk and \
+                    n_blk % restart_interval == 0:
+                on_restart(n_blk // restart_interval)
+                preds = [0] * nc
+            for ci in range(nc):
+                preds[ci] = on_block(
+                    ci, comp_blocks[ci][n_blk], preds[ci]
+                )
+
+    # symbol census -> optimal DC/AC tables (T.81 K.2), shared by
+    # luma and chroma (one table pair keeps the stream simple; the
+    # census covers all components)
     dc_freq: dict[int, int] = {}
     ac_freq: dict[int, int] = {}
-    pred = 0
-    for n_blk, coefs in enumerate(blocks):
-        if restart_interval and n_blk and n_blk % restart_interval == 0:
-            pred = 0
+
+    def count(ci, coefs, pred):
         dc = int(coefs[0])
         cat = _jpg_category(dc - pred)
         dc_freq[cat] = dc_freq.get(cat, 0) + 1
-        pred = dc
         run = 0
         last = 63
         while last > 0 and coefs[last] == 0:
@@ -6472,6 +6507,9 @@ def encode_jpeg12(arr, quality: int = 90,
             run = 0
         if last < 63:
             ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
+        return dc
+
+    walk(count, lambda _i: None)
     dc_bits, dc_vals = _jpg_optimal_table(dc_freq)
     ac_bits, ac_vals = _jpg_optimal_table(ac_freq)
     dc_codes = _jpg_canonical_codes(dc_bits, dc_vals)
@@ -6481,26 +6519,38 @@ def encode_jpeg12(arr, quality: int = 90,
         int(ql.reshape(-1)[zz[k]]) for k in range(64)
     )
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    if not gray:
+        dqt2 = bytes([0x01]) + bytes(
+            int(qc.reshape(-1)[zz[k]]) for k in range(64)
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt2)) + dqt2
     for cls, bits, vals in ((0, dc_bits, dc_vals),
                             (1, ac_bits, ac_vals)):
         dht = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sof = struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 12, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
     out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     wr = _JpgBitWriter()
-    pred = 0
-    for n_blk, coefs in enumerate(blocks):
-        if restart_interval and n_blk and n_blk % restart_interval == 0:
-            wr.flush()
-            wr.out += bytes(
-                [0xFF, 0xD0 + ((n_blk // restart_interval - 1) % 8)]
-            )
-            pred = 0
-        pred = _jpg_encode_block(wr, coefs, dc_codes, ac_codes, pred)
+
+    def emit_rst(seg_i):
+        wr.flush()
+        wr.out += bytes([0xFF, 0xD0 + ((seg_i - 1) % 8)])
+
+    walk(
+        lambda ci, coefs, pred: _jpg_encode_block(
+            wr, coefs, dc_codes, ac_codes, pred
+        ),
+        emit_rst,
+    )
     wr.flush()
     out.extend(wr.out)
     out += b"\xff\xd9"
@@ -7070,11 +7120,13 @@ def decode_jpeg(b: bytes):
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8 and not (
-                prec == 12 and marker == 0xC1 and nc == 1
+                prec == 12 and marker == 0xC1 and nc in (1, 3)
             ):
-                # 12-bit decodes for the extended-sequential GRAY
-                # class (round 10 — the DICOM/DNG layout); 12-bit
-                # color and other precisions stay gated
+                # 12-bit decodes for the extended-sequential class
+                # (round 10 — gray, then the 4:4:4 color follow-up:
+                # the whole pipeline is precision-parameterized, the
+                # YCbCr relations just center on 2^(P-1)); other
+                # precisions stay gated
                 require_codec(f"JPEG precision={prec}")
             comps = []
             for ci in range(nc):
@@ -7212,13 +7264,14 @@ def decode_jpeg(b: bytes):
         )
         return np.stack([g, g, g], axis=-1)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - lvl)
+    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+    bl = y + 1.772 * (cb - lvl)
     out = np.stack(
-        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)],
+        axis=-1,
     )
-    return out.astype(np.uint8)
+    return out.astype(np.uint8 if prec == 8 else np.uint16)
 
 
 # ---------------------------------------------------------------------------

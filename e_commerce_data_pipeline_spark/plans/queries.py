@@ -12024,7 +12024,9 @@ def q197_cdc_validation_census(spark, sf_dir):
     "invisible; those rows carry no restarts so the uniform "
     "per-scan RST formula stays exact. "
     "12-BIT JPEG (round 10): the restart family's i%6==5 rows ship "
-    "extended-sequential GRAY at precision 12 (level shift 2048, "
+    "extended-sequential precision 12 — gray, or 4:4:4 gray-in-RGB "
+    "COLOR on i%12==11, whose neutral chroma stays exact through "
+    "the 2048-centered YCbCr relations — (level shift 2048, "
     "optimal DC tables with categories past Annex K, uint16 "
     "rasters, tile value (t*16+i) mod 4096) — the unscaled "
     "quantization table keeps the DC step < 8, so the 12-bit "

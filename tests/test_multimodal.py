@@ -1561,7 +1561,9 @@ def test_jpeg12_extended_sequential_gray():
     step < 8 in the 12-bit domain); optimal DC tables carry
     categories past Annex K's 0-11 range; restart intervals
     realign; arbitrary 12-bit data decodes lossy but close and
-    never errs; 12-bit COLOR stays honestly gated."""
+    never errs; 4:4:4 12-bit COLOR (follow-up retirement) is
+    bit-exact on neutral-chroma corpora; forged non-12 precisions
+    stay honestly gated."""
     import struct as st
     import pytest
 
@@ -1590,12 +1592,22 @@ def test_jpeg12_extended_sequential_gray():
     a = rng.randint(0, 4096, (19, 22)).astype(np.uint16)
     d = decode_jpeg(encode_jpeg12(a, quality=95))
     assert int(np.abs(d[..., 0].astype(int) - a.astype(int)).max()) < 64
-    # 12-bit color remains a gate: forge nc=3 onto a 12-bit SOF1
+    # 12-bit 4:4:4 color (follow-up retirement): block-constant
+    # gray-in-RGB is bit-exact through the 2048-centered YCbCr
+    t = rng.randint(0, 4096, (2, 3)).astype(np.uint16)
+    img = np.repeat(np.repeat(t, 8, 0), 8, 1)
+    rgb = np.stack([img] * 3, -1)
+    d = decode_jpeg(encode_jpeg12(rgb, quality=90, restart_interval=2))
+    assert d.dtype == np.uint16 and np.array_equal(d, rgb)
+    # random 12-bit color stays bounded lossy, no exceptions
+    a3 = rng.randint(0, 4096, (11, 14, 3)).astype(np.uint16)
+    d3 = decode_jpeg(encode_jpeg12(a3, quality=95))
+    assert int(np.abs(d3.astype(int) - a3.astype(int)).max()) < 256
+    # 16-bit DCT precision stays honestly gated: forge prec=16
     b = bytearray(encode_jpeg12(np.full((8, 8), 100, np.uint16)))
     pos = bytes(b).find(b"\xff\xc1")
     assert b[pos + 4] == 12  # precision byte
-    b[pos + 9] = 3  # component count
-    (ln,) = st.unpack_from(">H", b, pos + 2)
+    b[pos + 4] = 16
     with pytest.raises((NotImplementedError, ValueError)):
         decode_jpeg(bytes(b))
 
