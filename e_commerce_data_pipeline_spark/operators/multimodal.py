@@ -2594,9 +2594,9 @@ def decode_tiff(b: bytes):
             require_codec(
                 "old-style JPEG TIFF without JPEGInterchangeFormat"
             )
-        joff = one(513)
+        joff = one(513)  # present: 513-in-entries checked above
         jlen = one(514, len(b) - joff)
-        if joff is None or joff + jlen > len(b) or jlen < 4:
+        if joff + jlen > len(b) or jlen < 4:
             raise ValueError("TIFF JPEGInterchangeFormat out of range")
         stream = b[joff : joff + jlen]
         if stream[:2] != b"\xff\xd8":
@@ -6049,8 +6049,11 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
     so every stream carries ceil(mcus/dri)-1 RSTm markers and the
     decoder's realignment + predictor-reset path is on the verified
     path for every image. Rows with i%6==5 (round 10) ship 12-BIT
-    extended-sequential gray instead (``encode_jpeg12``, tile value
-    (t*16 + i) mod 4096): the unscaled quantization table keeps the
+    extended-sequential instead (``encode_jpeg12``, tile value
+    (t*16 + i) mod 4096): gray, or 4:4:4 gray-in-RGB COLOR on
+    i%12==11 (round 11 — neutral chroma Cb=Cr=2048 exactly, so the
+    color path decodes to the same raster and the fold is
+    oracle-invisible). The unscaled quantization table keeps the
     block-constant DC step < 8, so the 12-bit pipeline — level shift
     2048, optimal DC tables with categories past Annex K's range,
     uint16 rasters — is bit-exact under the same argument."""
@@ -6075,8 +6078,11 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
                     tiles.astype(np.int64), np.ones((8, 8), np.int64)
                 ) * 16 + i
             ) % 4096
+            raster12 = img12.astype(np.uint16)
+            if i % 12 == 11:  # 4:4:4 gray-in-RGB color sub-rotation
+                raster12 = np.stack([raster12] * 3, axis=-1)
             content = encode_jpeg12(
-                img12.astype(np.uint16), quality=q,
+                raster12, quality=q,
                 restart_interval=1 + (i % 4),
             )
         else:
