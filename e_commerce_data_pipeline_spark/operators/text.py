@@ -901,3 +901,197 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("anchor").cast("long").alias("first_pos"),
     ).select(F.col("id").alias(id_col), "n_occurrences", "first_pos")
+
+
+# --------------------------------------------------------------------------
+# Raw-web corpus hygiene (round 11): HTML -> text, URL canonicalization,
+# Unicode normalization. Step-0 operators of a C4/CCNet/RefinedWeb-class
+# pipeline — everything upstream of the quality gates above.
+# --------------------------------------------------------------------------
+
+# Core entity set, decoded in ORDER: `&amp;` strictly LAST so a
+# double-encoded entity ("&amp;lt;") decodes to the literal "&lt;",
+# never to "<" — the standard single-pass decode semantics.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+)
+
+# Regex tag model shared by every regex-based extractor: a tag opens
+# with '<' + letter / '!' / '/'; a '>' inside a QUOTED attribute value
+# ends it early (documented contract — full attribute-aware parsing
+# needs a real HTML parser, out of the codegen surface). A bare '<'
+# followed by anything else ("a < b") is text and survives.
+_HTML_TAG_RE = r"(?i)</?[a-z!][^>]*>"
+
+
+def html_to_text(col: Column | str, collapse: bool = True) -> Column:
+    """HTML -> text extraction as a pure ``regexp_replace`` chain —
+    the step-0 of every raw-web LLM corpus (C4 / CCNet / RefinedWeb
+    strip markup before any quality gate). Whole-stage codegen,
+    linear in the scan, no UDF, no shuffle.
+
+    Chain order (each step is one codegen regexp):
+      1. unwrap ``<![CDATA[...]]>`` (its payload is text, not markup)
+      2. drop ``<script>``/``<style>`` ELEMENTS wholesale — their
+         payload is code, and it legally contains bare ``<``/``>``/
+         ``&`` ((?is): tag-name case and multi-line bodies)
+      3. drop comments ``<!-- ... -->`` (multi-line, may embed tags)
+      4. drop remaining tags (``_HTML_TAG_RE`` — incl. DOCTYPE,
+         unclosed and self-closing forms; attribute quoting caveat
+         documented above)
+      5. decode the core entity set, ``&amp;`` last
+      6. optionally collapse whitespace + trim (``collapse=True``)
+
+    Order matters everywhere: CDATA before the tag pass (the marker
+    itself would half-match as a tag), script/style/comments before
+    tags (their bodies may embed tag-like text), entities strictly
+    after tags (decoded ``&lt;`` must NOT create new "tags").
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?s)<!\[CDATA\[(.*?)\]\]>", r"$1")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, _HTML_TAG_RE, "")
+    for ent, ch in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    if collapse:
+        c = F.trim(F.regexp_replace(c, WS, " "))
+    return c
+
+
+def html_tag_stats(col: Column | str) -> Column:
+    """Markup-volume census: count of '<' characters in the raw HTML.
+    After entity encoding, text-side '<' is ``&lt;`` — so every
+    remaining '<' opens markup; cheap, exact, and engine-portable
+    (length difference, no regex dialect in sight)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, "<", ""))).cast(
+        "long"
+    )
+
+
+# CCNet-class tracking-parameter blocklist (query keys stripped by
+# canonicalize_url). Prefix match for the utm_ family, exact for the
+# click-id params.
+URL_TRACKING_PREFIXES = ("utm_",)
+URL_TRACKING_KEYS = ("gclid", "fbclid", "msclkid", "ref", "igshid")
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization (CCNet-class): the dedup key a raw-web
+    pipeline groups by before host-level stats. Pure column
+    expressions (parse_url + array ops over a MATERIALIZED split —
+    the HOF-CSE discipline), idempotent by construction:
+
+      - scheme and host lowercase
+      - default port stripped (``:80`` for http, ``:443`` for https)
+      - fragment dropped
+      - tracking params dropped (``utm_*`` prefixes + click-id keys)
+      - remaining query params sorted bytewise (stable dedup key for
+        param-order permutations)
+      - empty path -> ``/``; empty query -> no ``?``
+
+    Non-http(s) or scheme-less strings pass through UNCHANGED — the
+    operator canonicalizes well-formed web URLs, it does not validate
+    them (that is ``validation.validate_clicks``'s job).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    is_web = scheme.isin("http", "https")
+    # authority = host[:port]; userinfo is out of the synthesized
+    # corpus surface and passes through inside the "host" slot
+    authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    # materialize the split BEFORE filter/sort (lambda-CSE rule: a
+    # computed array as a HOF arg re-evaluates per element access)
+    params = F.split(query, "&")
+    kept = F.array_sort(
+        F.filter(
+            params,
+            lambda p: (F.length(p) > 0)
+            & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).rlike(
+                "^(" + "|".join(URL_TRACKING_PREFIXES) + ")"
+            )
+            & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(
+                *URL_TRACKING_KEYS
+            ),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path_part, query_part
+    )
+    return F.when(is_web, canon).otherwise(c)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a web URL ('' for non-URLs) — the grouping
+    key for host-level corpus stats."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
+    )
+
+
+# Control characters stripped by corpus hygiene: C0 minus \t\n\r,
+# plus DEL. Kept as a codegen regexp (no UDF).
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def strip_controls(col: Column | str) -> Column:
+    """Remove C0 control characters (except tab/newline/CR) and DEL —
+    standard corpus hygiene before tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CTRL_RE, "")
+
+
+def control_char_count(col: Column | str) -> Column:
+    """How many control characters ``strip_controls`` would remove."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.regexp_replace(c, _CTRL_RE, ""))).cast(
+        "long"
+    )
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-batched Unicode normalization (NFC/NFKC/NFD/NFKD) —
+    Spark has no builtin, so this is the documented engine-external
+    kernel (the ``compression_ratio_udf`` precedent). stdlib
+    ``unicodedata``, deterministic for a given Unicode version;
+    normalization is idempotent (``norm(norm(x)) == norm(x)``) and
+    NFC(NFKC(x)) == NFKC(x), both pytest-pinned."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm, "string")

@@ -931,7 +931,15 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     "q25_lang_stopword_profile",
     f"""
     WITH d AS (
-        SELECT lang,
+        SELECT lang, doc_id,
+               text || CASE doc_id % 5
+                   WHEN 1 THEN ' Cafe' || chr(769)
+                   WHEN 2 THEN ' ' || chr(64257) || 'le ' || chr(65298)
+                        || chr(65299)
+                   WHEN 3 THEN ' ' || chr(7) || chr(27) || chr(8470)
+                        || chr(9312)
+                   WHEN 4 THEN ' ' || chr(8491) || chr(188)
+                   ELSE '' END AS dirty,
                CAST(list_contains(list_distinct({_SQL_TOKS}), 'the') AS INT)
                  + CAST(list_contains(list_distinct({_SQL_TOKS}), 'a') AS INT)
                  + CAST(list_contains(list_distinct({_SQL_TOKS}), 'of') AS INT)
@@ -941,21 +949,77 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
                  + CAST(list_contains(list_distinct({_SQL_TOKS}), 'is') AS INT)
                  + CAST(list_contains(list_distinct({_SQL_TOKS}), 'for') AS INT) AS hits
         FROM documents
+    ),
+    n AS (
+        SELECT lang, doc_id, hits,
+               length(dirty) - length(cleaned) AS n_ctrl,
+               nfc_normalize(cleaned) AS nfc, cleaned
+        FROM (SELECT *, regexp_replace(dirty,
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')
+                  AS cleaned FROM d)
     )
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(hits) AS BIGINT) / (1.0 * COUNT(*)) AS avg_stopword_hits,
-           CAST(SUM(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) / (1.0 * COUNT(*)) AS pct_english_guess
-    FROM d GROUP BY lang
+           CAST(SUM(CASE WHEN hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) / (1.0 * COUNT(*)) AS pct_english_guess,
+           CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl_stripped,
+           CAST(SUM(length(nfc)) AS BIGINT) AS sum_nfc_len,
+           -- NFKC has no DuckDB builtin: closed form over the
+           -- synthesized confusables corpus (documents.text is
+           -- normalization-inert ASCII at every test SF; suffixes
+           -- start with a space so normalization is concat-local)
+           CAST(SUM(length(cleaned) - CASE doc_id % 5
+                WHEN 1 THEN 6 WHEN 2 THEN 7 WHEN 3 THEN 3
+                WHEN 4 THEN 3 ELSE 0 END + CASE doc_id % 5
+                WHEN 1 THEN 5 WHEN 2 THEN 8 WHEN 3 THEN 4
+                WHEN 4 THEN 5 ELSE 0 END) AS BIGINT) AS sum_nfkc_len,
+           CAST(SUM(CASE WHEN nfc <> cleaned THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nfc_changed
+    FROM n GROUP BY lang
     """,
-    "U4: stopword-based language-ID heuristic profiled against labels",
+    "U4: stopword-based language-ID heuristic profiled against labels. "
+    "ROUND 11 fold — Unicode hygiene over a synthesized confusables "
+    "corpus (doc_id%5 suffixes: decomposed e+U+0301, the fi ligature "
+    "+ fullwidth digits, control chars + U+2116/U+2460, the Angstrom "
+    "singleton + vulgar fraction): control-char strip (codegen "
+    "regexp), NFC via the Arrow unicodedata kernel diffed against "
+    "DuckDB's nfc_normalize (a REAL second normalization engine), "
+    "NFKC via closed-form length deltas (no DuckDB builtin). The "
+    "NFKC oracle's suffix constants are pinned by "
+    "tests/test_text_hygiene.py against stdlib unicodedata.",
 )
 def q25_lang_stopword_profile(spark, sf_dir):
-    from ..operators.text import stopword_hits
+    from ..operators.text import (
+        control_char_count,
+        stopword_hits,
+        strip_controls,
+        unicode_normalize_udf,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" Cafe\u0301"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" \ufb01le \uff12\uff13"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" \x07\x1b\u2116\u2460"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" \u212b\u00bc"))
+        .otherwise(F.lit(""))
+    )
+    # materialize dirty/cleaned in their own Project (lambda-CSE
+    # discipline; also keeps ONE codegen strip feeding both kernels)
+    staged = d.select(
+        "lang",
+        stopword_hits("text").alias("hits"),
+        control_char_count(F.concat(F.col("text"), suffix)).alias("n_ctrl"),
+        strip_controls(F.concat(F.col("text"), suffix)).alias("cleaned"),
+    ).select(
+        "lang",
+        "hits",
+        "n_ctrl",
+        unicode_normalize_udf("NFC")(F.col("cleaned")).alias("nfc"),
+        unicode_normalize_udf("NFKC")(F.col("cleaned")).alias("nfkc"),
+        F.col("cleaned"),
+    )
     return (
-        d.select("lang", stopword_hits("text").alias("hits"))
-        .groupBy("lang")
+        staged.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("hits").cast("long") / (F.lit(1.0) * F.count(F.lit(1)))).alias(
@@ -965,6 +1029,12 @@ def q25_lang_stopword_profile(spark, sf_dir):
                 F.sum((F.col("hits") >= 2).cast("int")).cast("long")
                 / (F.lit(1.0) * F.count(F.lit(1)))
             ).alias("pct_english_guess"),
+            F.sum("n_ctrl").cast("long").alias("sum_ctrl_stripped"),
+            F.sum(F.length("nfc")).cast("long").alias("sum_nfc_len"),
+            F.sum(F.length("nfkc")).cast("long").alias("sum_nfkc_len"),
+            F.sum((F.col("nfc") != F.col("cleaned")).cast("int"))
+            .cast("long")
+            .alias("n_nfc_changed"),
         )
     )
 
@@ -2203,13 +2273,50 @@ def q58_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs, id_col="doc_id")
 
 
+_Q65_HTML_PRE = (
+    '<html><head><title></title><script type="text/javascript">'
+    'if(a<b&&c>d){alert("x&y");}</script></head><body><p class="doc">',
+    "<HTML><BODY><DIV id='d1'><SPAN>",
+    "<html><body><style>p>a{color:#fff}</style><![CDATA[]]><p>",
+    '<!DOCTYPE html><html><body onload="f()"><p>',
+)
+_Q65_HTML_POST = (
+    "</p></body></html>",
+    "</SPAN><BR/></DIV><!-- trailing <comment> & junk --></BODY></HTML>",
+    "</p><ul><li></ul></body>",
+    "</p><script> //x line() </script></body></html>",
+)
+
+
+
 @_register(
     "q65_llm_corpus_pipeline",
     f"""
-    WITH RECURSIVE corpus AS (
-        SELECT doc_id, text, lang,
-               CAST(len({_SQL_TOKS}) AS INT) AS n_tokens
+    WITH RECURSIVE raw AS (
+        SELECT doc_id, text, lang, n_chars,
+               CASE doc_id % 4
+                 WHEN 0 THEN '<html><head><title></title><script type="text/javascript">if(a<b&&c>d){{alert("x&y");}}</script></head><body><p class="doc">'
+                 WHEN 1 THEN '<HTML><BODY><DIV id=''d1''><SPAN>'
+                 WHEN 2 THEN '<html><body><style>p>a{{color:#fff}}</style><![CDATA[]]><p>'
+                 ELSE '<!DOCTYPE html><html><body onload="f()"><p>'
+               END
+               || replace(replace(replace(text, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;')
+               || CASE doc_id % 4
+                 WHEN 0 THEN '</p></body></html>'
+                 WHEN 1 THEN '</SPAN><BR/></DIV><!-- trailing <comment> & junk --></BODY></HTML>'
+                 WHEN 2 THEN '</p><ul><li></ul></body>'
+                 ELSE '</p><script> //x line() </script></body></html>'
+               END AS html
         FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, text, lang,
+               CAST(len({_SQL_TOKS}) AS INT) AS n_tokens,
+               CAST(length(html) AS BIGINT) AS html_len,
+               CAST(length(html) - length(replace(html, '<', ''))
+                   AS BIGINT) AS n_tags
+        FROM raw
         WHERE n_chars BETWEEN 50 AND 10000 AND len({_SQL_TOKS}) >= 10
     ),
     {{pair_ctes}},
@@ -2225,12 +2332,12 @@ def q58_dedup_groups(spark, sf_dir):
     ),
     comp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
     kept AS (
-        SELECT c.doc_id, c.lang, c.n_tokens
+        SELECT c.doc_id, c.lang, c.n_tokens, c.html_len, c.n_tags
         FROM corpus c JOIN comp USING (doc_id)
         WHERE comp.doc_id = comp.group_id
     ),
     split_assign AS (
-        SELECT lang, n_tokens,
+        SELECT lang, n_tokens, html_len, n_tags,
                CASE WHEN u < 0.8 THEN 'train'
                     WHEN u < {0.8 + 0.1!r} THEN 'val'
                     ELSE 'test' END AS split
@@ -2238,26 +2345,70 @@ def q58_dedup_groups(spark, sf_dir):
     )
     SELECT split, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-           COUNT(DISTINCT lang) AS n_langs
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(html_len) AS BIGINT) AS sum_html_chars,
+           CAST(SUM(n_tags) AS BIGINT) AS sum_tags_stripped
     FROM split_assign GROUP BY split
     """.replace("{pair_ctes}", _nd_pair_ctes("corpus")),
-    "Flagship composition — the end-to-end LLM corpus pipeline: "
-    "quality clean (length + token floor) -> two-stage near-dup "
-    "(MinHash LSH + exact Jaccard) -> connected-component group "
-    "closure -> canonical-survivor keep -> deterministic train/val/"
-    "test split -> per-split stats. Every stage mirrors in the oracle "
-    "(recursive CTE for the closure), so one hash verifies the whole "
-    "chain.",
+    "Flagship composition — the end-to-end LLM corpus pipeline, now "
+    "(round 11) fronted by its step-0: HTML->text extraction. Each "
+    "document is deterministically wrapped in one of four HTML "
+    "shells (script with bare </>& in its body, uppercase tags + "
+    "comment with embedded tags, style + empty CDATA + unclosed "
+    "<li>, DOCTYPE + inline handler), entity-encoded (&/</> -> "
+    "&amp;/&lt;/&gt;), then recovered by text.html_to_text's codegen "
+    "regexp chain BEFORE the quality clean. The oracle keeps "
+    "computing tokens from the RAW text: the strip must be the exact "
+    "inverse of the wrap for every downstream stage (near-dup "
+    "shingles, closure, split, token sums) to hash-match — a "
+    "whole-pipeline proof of the extractor. sum_html_chars / "
+    "sum_tags_stripped (markup '<' census) pin the wrap itself. "
+    "Then: quality clean (length + token floor) -> two-stage "
+    "near-dup (MinHash LSH + exact Jaccard) -> connected-component "
+    "group closure -> canonical-survivor keep -> deterministic "
+    "train/val/test split -> per-split stats.",
 )
 def q65_llm_corpus_pipeline(spark, sf_dir):
     from ..operators.components import dedup_groups
     from ..operators.dedup import near_dup_pairs
     from ..operators.sampling import hash_split
-    from ..operators.text import token_count
+    from ..operators.text import (
+        html_tag_stats,
+        html_to_text,
+        token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    # step-0: the raw-web shape — deterministic HTML shells around the
+    # entity-encoded text, recovered by the codegen extractor. The
+    # pipeline below runs on the RECOVERED text while the oracle uses
+    # the raw column, so the strip is verified end-to-end through
+    # every downstream stage. clean.cache() materializes the stripped
+    # column, keeping the explode-based shingle stages reading a plain
+    # cached column (no computed-expression lineage under a Generate).
+    arm = (F.col("doc_id") % 4).cast("int")
+    enc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    pre = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_PRE]), arm + 1)
+    post = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_POST]), arm + 1)
+    html = F.concat(pre, enc, post)
+    wrapped = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length(html).cast("long").alias("html_len"),
+        html_tag_stats(html).alias("n_tags"),
+        html_to_text(html).alias("text"),
+    )
     clean = (
-        docs.filter((F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000))
+        wrapped.filter(
+            (F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000)
+        )
         .withColumn("n_tokens", token_count("text").cast("int"))
         .filter(F.col("n_tokens") >= 10)
         .cache()
@@ -2274,6 +2425,8 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
             F.countDistinct("lang").alias("n_langs"),
+            F.sum("html_len").alias("sum_html_chars"),
+            F.sum("n_tags").alias("sum_tags_stripped"),
         )
     )
 
@@ -11005,7 +11158,7 @@ def q193_audio_resample_stats(spark, sf_dir):
               [CAST(event_id % 5 AS INT) + 1] AS ct,
           ['mobile','desktop','tablet','smart_tv']
               [CAST(event_id % 4 AS INT) + 1] AS dt,
-          CASE CAST(event_id % 6 AS INT)
+          CASE CAST(event_id % 9 AS INT)
                WHEN 0 THEN 'https://shop.example/p/'
                            || CAST(event_id AS VARCHAR)
                WHEN 1 THEN 'http://shop.example/s?q='
@@ -11013,11 +11166,37 @@ def q193_audio_resample_stats(spark, sf_dir):
                WHEN 2 THEN 'ftp://files.example/x'
                WHEN 3 THEN 'shop.example/no-scheme'
                WHEN 4 THEN ''
-               ELSE NULL END AS url
+               WHEN 6 THEN 'HTTPS://Shop.Example:443/p/'
+                           || CAST(event_id AS VARCHAR)
+                           || '?utm_source=ad&b=2&a=1#frag'
+               WHEN 7 THEN 'http://shop.example:80?z=9&gclid='
+                           || CAST(user_id AS VARCHAR) || '&q=x'
+               WHEN 8 THEN 'https://shop.example:8443/p//x?'
+               ELSE NULL END AS url,
+          -- canonicalize_url's expected output, CLOSED FORM per arm
+          -- (the generic Spark chain must land exactly here)
+          CASE CAST(event_id % 9 AS INT)
+               WHEN 0 THEN 'https://shop.example/p/'
+                           || CAST(event_id AS VARCHAR)
+               WHEN 1 THEN 'http://shop.example/s?q='
+                           || CAST(user_id AS VARCHAR)
+               WHEN 2 THEN 'ftp://files.example/x'
+               WHEN 3 THEN 'shop.example/no-scheme'
+               WHEN 4 THEN ''
+               WHEN 6 THEN 'https://shop.example/p/'
+                           || CAST(event_id AS VARCHAR) || '?a=1&b=2'
+               WHEN 7 THEN 'http://shop.example/?q=x&z=9'
+               WHEN 8 THEN 'https://shop.example:8443/p//x'
+               ELSE NULL END AS canon
         FROM events
     ),
     f AS (
-        SELECT
+        SELECT url, canon,
+          CASE WHEN canon IS NULL THEN NULL
+               WHEN canon LIKE 'https://shop.example%' THEN 'shop.example'
+               WHEN canon LIKE 'http://shop.example%' THEN 'shop.example'
+               WHEN canon LIKE 'ftp://files.example%' THEN 'files.example'
+               ELSE '' END AS host,
           (eid IS NULL OR sid IS NULL OR ct IS NULL
            OR url IS NULL OR dt IS NULL) AS m,
           NOT coalesce(ct IN ('page_view','product_view','search',
@@ -11045,27 +11224,40 @@ def q193_audio_resample_stats(spark, sf_dir):
             CASE WHEN empty_url THEN 'empty_page_url' END,
             CASE WHEN n_viol = 0 THEN 'none' END
         ], v -> v IS NOT NULL)) AS violation,
-        greatest(0, 100 - 20 * n_viol) AS q
+        greatest(0, 100 - 20 * n_viol) AS q,
+        url, canon, host
         FROM g
     )
     SELECT violation,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(q) AS BIGINT) AS sum_quality_pct
+           CAST(SUM(q) AS BIGINT) AS sum_quality_pct,
+           CAST(SUM(CASE WHEN canon <> url THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_urls_changed,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_canon_hosts,
+           CAST(SUM(length(canon)) AS BIGINT) AS sum_canon_len
     FROM x GROUP BY violation
     """,
     "P4/P5 driver-verified (URL-prefix and non-empty-string "
     "predicates were pytest-only): a deterministic click frame "
-    "derived from events — six URL shapes spanning valid http/https, "
-    "wrong schemes, scheme-less, empty, and null; planted null "
-    "ids; out-of-set click/device types — flows through "
-    "validate_clicks' full check list and the census counts every "
-    "violation code (plus the clean 'none' class) with the integer "
-    "quality-penalty sum. The oracle replays every predicate "
-    "including the coalesce null-semantics (a null URL is BOTH "
-    "missing and empty — the reference's rule), so a drifted "
-    "startswith, trim, or null default shifts a census row.",
+    "derived from events — now NINE URL shapes (round 11): valid "
+    "http/https, wrong scheme, scheme-less, empty, null, plus three "
+    "CANONICALIZATION arms (uppercase scheme+host with default :443, "
+    "utm/click-id tracking params, unsorted query, fragment; "
+    "port-80 host with no path; non-default port with empty query) "
+    "— flows through validate_clicks' full check list and the "
+    "census counts every violation code with the quality-penalty "
+    "sum. text.canonicalize_url's GENERIC codegen chain "
+    "(scheme/host lowercase, default-port strip, fragment drop, "
+    "tracking-param filter, bytewise param sort, empty path -> '/', "
+    "empty query -> no '?') is diffed against per-arm CLOSED-FORM "
+    "expected URLs in the oracle via n_urls_changed / n_canon_hosts "
+    "/ sum_canon_len — a drift anywhere in the chain shifts a sum. "
+    "The oracle replays every predicate including the coalesce "
+    "null-semantics (a null URL is BOTH missing and empty — the "
+    "reference's rule).",
 )
 def q194_click_validation_census(spark, sf_dir):
+    from ..operators.text import canonicalize_url, url_host
     from ..operators.validation import validate_clicks
 
     e = _t(spark, sf_dir, "events")
@@ -11084,14 +11276,22 @@ def q194_click_validation_census(spark, sf_dir):
         .alias("session_id"),
         F.element_at(cts, (eid % 5).cast("int") + 1).alias("click_type"),
         F.element_at(dts, (eid % 4).cast("int") + 1).alias("device_type"),
-        F.when(eid % 6 == 0,
+        F.when(eid % 9 == 0,
                F.concat(F.lit("https://shop.example/p/"), eid.cast("string")))
-        .when(eid % 6 == 1,
+        .when(eid % 9 == 1,
               F.concat(F.lit("http://shop.example/s?q="),
                        F.col("user_id").cast("string")))
-        .when(eid % 6 == 2, F.lit("ftp://files.example/x"))
-        .when(eid % 6 == 3, F.lit("shop.example/no-scheme"))
-        .when(eid % 6 == 4, F.lit(""))
+        .when(eid % 9 == 2, F.lit("ftp://files.example/x"))
+        .when(eid % 9 == 3, F.lit("shop.example/no-scheme"))
+        .when(eid % 9 == 4, F.lit(""))
+        .when(eid % 9 == 6,
+              F.concat(F.lit("HTTPS://Shop.Example:443/p/"),
+                       eid.cast("string"),
+                       F.lit("?utm_source=ad&b=2&a=1#frag")))
+        .when(eid % 9 == 7,
+              F.concat(F.lit("http://shop.example:80?z=9&gclid="),
+                       F.col("user_id").cast("string"), F.lit("&q=x")))
+        .when(eid % 9 == 8, F.lit("https://shop.example:8443/p//x?"))
         .otherwise(F.lit(None))
         .alias("page_url"),
     )
@@ -11099,15 +11299,35 @@ def q194_click_validation_census(spark, sf_dir):
     quality_pct = F.greatest(
         F.lit(0), F.lit(100) - F.lit(20) * F.col("n_violations")
     )
-    x = v.select(
-        F.explode_outer("violations").alias("violation"),
+    # canon/host materialize in their own Project BELOW the explode
+    # (computed-expression-under-Generate discipline)
+    staged = v.select(
+        "violations",
         quality_pct.alias("q"),
+        "page_url",
+        canonicalize_url("page_url").alias("canon"),
+    ).withColumn("host", url_host("canon"))
+    x = staged.select(
+        F.explode_outer("violations").alias("violation"),
+        "q",
+        "page_url",
+        "canon",
+        "host",
     ).select(
-        F.coalesce("violation", F.lit("none")).alias("violation"), "q"
+        F.coalesce("violation", F.lit("none")).alias("violation"),
+        "q",
+        "page_url",
+        "canon",
+        "host",
     )
     return x.groupBy("violation").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("q").cast("long").alias("sum_quality_pct"),
+        F.sum((F.col("canon") != F.col("page_url")).cast("int"))
+        .cast("long")
+        .alias("n_urls_changed"),
+        F.countDistinct("host").cast("long").alias("n_canon_hosts"),
+        F.sum(F.length("canon")).cast("long").alias("sum_canon_len"),
     )
 
 

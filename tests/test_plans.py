@@ -380,3 +380,36 @@ def test_q162_daily_agg_cached_single_orders_scan(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "InMemoryRelation" in plan, plan
     spark.catalog.clearCache()
+
+
+def test_q65_html_strip_stays_out_of_generate(spark, sf_dir):
+    """Round 11: q65's step-0 HTML strip is a deep regexp_replace
+    chain feeding the cached clean frame. The shingle explodes
+    downstream must generate from the cached plain column — a
+    Generate or synthesized Filter embedding the strip chain would
+    re-run ~15 regexps per emitted shingle (the q130 class)."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q65_llm_corpus_pipeline"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Generate" in line:
+            assert "regexp_replace" not in line, line
+        if line.strip().startswith("+- Filter") or line.strip().startswith(
+            "Filter"
+        ):
+            assert "regexp_replace" not in line, line
+    spark.catalog.clearCache()
+
+
+def test_q194_canon_chain_below_explode(spark, sf_dir):
+    """q194's canonicalize_url chain materializes in a Project below
+    the violations explode; the Generate reads plain columns."""
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    df = QUERIES["q194_click_validation_census"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "Generate" in line:
+            assert "regexp_extract" not in line, line
+            assert "array_sort" not in line, line

@@ -1,0 +1,319 @@
+"""Round-11 raw-web hygiene operators: HTML->text extraction, URL
+canonicalization, Unicode NFC/NFKC + control-char stripping.
+
+Pins the contracts the q65/q194/q25 oracles rely on:
+- html_to_text(wrap(x)) recovers x (modulo whitespace collapse) for
+  the four q65 shells — the identity that lets the q65 oracle keep
+  computing from raw text;
+- canonicalize_url is idempotent and matches closed-form expected
+  outputs (the q194 arms);
+- the q25 NFKC closed-form suffix constants match stdlib unicodedata.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from e_commerce_data_pipeline_spark.operators import text as T
+
+
+def _one(spark, col, value, typ="string"):
+    return (
+        spark.createDataFrame([(value,)], f"v {typ}")
+        .select(col.alias("out"))
+        .collect()[0]["out"]
+    )
+
+
+# ---------------------------------------------------------------- HTML
+
+
+def test_html_strip_basics(spark):
+    cases = {
+        "<p>hello</p>": "hello",
+        "<P CLASS='x'>hello</P>": "hello",  # case-insensitive tags
+        "a < b but &gt; c": "a < b but > c",  # bare '<' is text
+        "<div><span>nest</span>ed</div>": "nested",
+        "<ul><li>one<li>two</ul>": "onetwo",  # unclosed tags
+        "x<br/>y<hr />z": "xyz",  # self-closing
+        "<!DOCTYPE html><p>d</p>": "d",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(T.html_to_text("v").alias("out")).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_html_script_style_comment_blocks(spark):
+    cases = {
+        # script body legally carries bare < > & and multi-line code
+        '<script type="t">\nif(a<b&&c>d){x("&");}\n</script>ok': "ok",
+        "<SCRIPT>u()</SCRIPT>ok": "ok",  # case-insensitive
+        "<style>p>a{color:#fff}\nq{...}</style>ok": "ok",
+        "<!-- c with <tags> & amp -->ok": "ok",
+        "<!-- multi\nline -->ok": "ok",
+        # comment is stripped BEFORE the tag pass, so an embedded
+        # tag never escapes the comment
+        "a<!--<p>-->b": "ab",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(T.html_to_text("v").alias("out")).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_html_cdata_unwraps_payload(spark):
+    assert (
+        _one(spark, T.html_to_text(F.col("v")), "<![CDATA[a < b & c]]>d")
+        == "a < b & c d".replace("c d", "cd")  # collapse joins 'c' 'd'
+    )
+    # CDATA before tag pass: the marker itself must not half-match
+    assert _one(spark, T.html_to_text(F.col("v")), "<![CDATA[]]>x") == "x"
+
+
+def test_html_entity_decode_order(spark):
+    # &amp; decodes LAST: double-encoded entities stay literal
+    cases = {
+        "&amp;lt;": "&lt;",
+        "&lt;p&gt;": "<p>",
+        "a&nbsp;b": "a b",
+        "&quot;q&quot; &#39;s&#39; &apos;t&apos;": "\"q\" 's' 't'",
+        "&#34;n&#38;m&#160;": '"n&m',  # numeric core + trailing nbsp trim
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(T.html_to_text("v").alias("out")).collect()
+    ]
+    assert got == list(cases.values())
+    # decoded &lt; must NOT create a new strippable tag
+    assert _one(spark, T.html_to_text(F.col("v")), "&lt;p&gt;x&lt;/p&gt;") == "<p>x</p>"
+
+
+def test_html_quoted_gt_attribute_contract(spark):
+    # documented regex-extractor limitation: '>' inside a quoted
+    # attribute value ends the tag early (the remainder is text)
+    out = _one(spark, T.html_to_text(F.col("v")), '<a title="a>b">x</a>')
+    assert out == 'b">x'
+
+
+def test_html_tag_stats_counts_markup_lt(spark):
+    assert _one(spark, T.html_tag_stats(F.col("v")), "<p>a&lt;b</p>") == 2
+
+
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=120,
+    ),
+    arm=st.integers(min_value=0, max_value=3),
+)
+def test_html_wrap_strip_identity_property(spark, text, arm):
+    """strip(wrap(x)) == whitespace-collapsed x for every q65 shell,
+    for ARBITRARY printable-ASCII x (incl. '<', '&', quotes)."""
+    from e_commerce_data_pipeline_spark.plans.queries import (
+        _Q65_HTML_POST,
+        _Q65_HTML_PRE,
+    )
+
+    enc = (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    html = _Q65_HTML_PRE[arm] + enc + _Q65_HTML_POST[arm]
+    got = _one(spark, T.html_to_text(F.col("v")), html)
+    assert got == " ".join(text.split())
+
+
+# ----------------------------------------------------------------- URL
+
+
+def test_canonicalize_url_closed_forms(spark):
+    cases = {
+        # q194 arms
+        "HTTPS://Shop.Example:443/p/9?utm_source=ad&b=2&a=1#frag":
+            "https://shop.example/p/9?a=1&b=2",
+        "http://shop.example:80?z=9&gclid=22&q=x":
+            "http://shop.example/?q=x&z=9",
+        "https://shop.example:8443/p//x?":
+            "https://shop.example:8443/p//x",
+        # already canonical passes through byte-identical
+        "https://shop.example/p/7": "https://shop.example/p/7",
+        # non-web / malformed pass through unchanged
+        "ftp://files.example/x": "ftp://files.example/x",
+        "shop.example/no-scheme": "shop.example/no-scheme",
+        "": "",
+        # tracking-key filter is exact-key, case-insensitive prefix
+        "https://h.example/a?UTM_CAMPAIGN=x&keep=1":
+            "https://h.example/a?keep=1",
+        # 'ref' is a tracking KEY; 'refresh' is not (no prefix match)
+        "https://h.example/a?ref=1&refresh=2":
+            "https://h.example/a?refresh=2",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(T.canonicalize_url("v").alias("out")).collect()
+    ]
+    assert got == list(cases.values())
+
+
+_URL_STRATEGY = st.builds(
+    lambda scheme, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + host
+        + (f":{port}" if port else "")
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    host=st.sampled_from(
+        ["Shop.Example", "a.b.example", "X.example", "h1.example"]
+    ),
+    port=st.sampled_from(["", "80", "443", "8080"]),
+    path=st.sampled_from(["", "/", "/p", "/p/x", "/p//x"]),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=x", "gclid=7", "q=a+b"]
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "top", "x?y"]),
+)
+
+
+@settings(deadline=None, max_examples=30,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(url=_URL_STRATEGY)
+def test_canonicalize_url_idempotent_property(spark, url):
+    df = spark.createDataFrame([(url,)], "v string")
+    row = df.select(
+        T.canonicalize_url("v").alias("c1"),
+        T.canonicalize_url(T.canonicalize_url("v")).alias("c2"),
+    ).collect()[0]
+    assert row["c1"] == row["c2"]
+    # canonical form keeps scheme+host lowercase, no fragment,
+    # no default port, no tracking params
+    c = row["c1"]
+    assert "#" not in c
+    assert "utm_" not in c and "gclid" not in c
+    host = c.split("://")[1].split("/")[0]
+    assert host == host.lower()
+    # only the SCHEME'S OWN default port is stripped (http://h:443
+    # legitimately keeps the port)
+    scheme = c.split("://")[0]
+    default = ":80" if scheme == "http" else ":443"
+    assert not host.endswith(default)
+
+
+def test_url_host(spark):
+    cases = {
+        "https://Shop.Example:8443/p": "shop.example",
+        "http://h.example/x?q=1": "h.example",
+        "shop.example/no-scheme": "",
+        "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [r["out"] for r in df.select(T.url_host("v").alias("out")).collect()]
+    assert got == list(cases.values())
+
+
+# ------------------------------------------------------------- Unicode
+
+# the q25 confusables suffixes and their oracle constants
+# (arm: suffix, n_ctrl, nfc_len, nfkc_len, nfc_changed)
+_Q25_SUFFIXES = {
+    1: (" Cafe\u0301", 0, 5, 5, True),
+    2: (" \ufb01le \uff12\uff13", 0, 7, 8, False),
+    3: (" \x07\x1b\u2116\u2460", 2, 3, 4, False),
+    4: (" \u212b\u00bc", 0, 3, 5, True),
+}
+
+
+def test_q25_suffix_constants_match_unicodedata():
+    """The q25 oracle's closed-form NFKC deltas are exactly stdlib
+    unicodedata over the control-stripped suffixes."""
+    import re
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    for arm, (suf, n_ctrl, nfc_len, nfkc_len, changed) in _Q25_SUFFIXES.items():
+        stripped = ctrl.sub("", suf)
+        assert len(suf) - len(stripped) == n_ctrl, arm
+        nfc = unicodedata.normalize("NFC", stripped)
+        nfkc = unicodedata.normalize("NFKC", stripped)
+        assert len(nfc) == nfc_len, arm
+        assert len(nfkc) == nfkc_len, arm
+        assert (nfc != stripped) is changed, arm
+
+
+def test_unicode_normalize_kernel(spark):
+    df = spark.createDataFrame(
+        [(suf,) for suf, *_ in _Q25_SUFFIXES.values()], "v string"
+    )
+    rows = df.select(
+        "v",
+        T.unicode_normalize_udf("NFC")(T.strip_controls("v")).alias("nfc"),
+        T.unicode_normalize_udf("NFKC")(T.strip_controls("v")).alias("nfkc"),
+        T.control_char_count("v").alias("nc"),
+    ).collect()
+    import re
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    for r in rows:
+        stripped = ctrl.sub("", r["v"])
+        assert r["nfc"] == unicodedata.normalize("NFC", stripped)
+        assert r["nfkc"] == unicodedata.normalize("NFKC", stripped)
+        assert r["nc"] == len(r["v"]) - len(stripped)
+
+
+def test_unicode_normalize_rejects_bad_form():
+    import pytest
+
+    with pytest.raises(ValueError):
+        T.unicode_normalize_udf("NFX")
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FFF
+        ),
+        max_size=40,
+    )
+)
+def test_unicode_idempotence_and_composition_property(spark, s):
+    """norm(norm(x)) == norm(x) and NFC(NFKC(x)) == NFKC(x) through
+    the Arrow kernel (the properties the hygiene chain relies on)."""
+    df = spark.createDataFrame([(s,)], "v string")
+    nfc = T.unicode_normalize_udf("NFC")
+    nfkc = T.unicode_normalize_udf("NFKC")
+    row = df.select(
+        nfc(F.col("v")).alias("c1"),
+        nfc(nfc(F.col("v"))).alias("c2"),
+        nfkc(F.col("v")).alias("k1"),
+        nfkc(nfkc(F.col("v"))).alias("k2"),
+        nfc(nfkc(F.col("v"))).alias("ck"),
+    ).collect()[0]
+    assert row["c1"] == row["c2"]
+    assert row["k1"] == row["k2"]
+    assert row["ck"] == row["k1"]
+
+
+def test_strip_controls_keeps_tab_newline_cr(spark):
+    assert (
+        _one(spark, T.strip_controls(F.col("v")), "a\tb\nc\rd\x00e\x7ff")
+        == "a\tb\nc\rd" + "ef"
+    )
