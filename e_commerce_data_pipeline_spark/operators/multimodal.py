@@ -2681,27 +2681,29 @@ def decode_tiff(b: bytes):
         return b[off : off + cnt]
 
     if comp == 7:
-        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip is a
-        # complete JPEG interchange stream, or an abbreviated one
-        # whose DQT/DHT live in the shared JPEGTables tag (347, SOI +
-        # table segments + EOI) spliced in after each strip's SOI.
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip/tile
+        # is a complete JPEG interchange stream, or an abbreviated
+        # one whose DQT/DHT live in the shared JPEGTables tag (347,
+        # SOI + table segments + EOI) spliced in after each SOI.
         # The in-house decode_jpeg does the entropy decode and (for
-        # photometric 6) the YCbCr conversion; strips decode
-        # independently — the layout that lets a 100 TB scan
-        # parallelize WITHIN one scanned page.
-        if tiled:
-            require_codec("tiled JPEG-in-TIFF")
-        if planar == 2:
-            require_codec("planar JPEG-in-TIFF")
+        # photometric 6) the YCbCr conversion; photometric 2 is the
+        # container's RGB-space override (no color transform —
+        # round 11, with the tiled and planar organizations: tiles
+        # are independent full-size JPEGs pasted into the grid
+        # canvas, planar segments single-component scans,
+        # component-major). Segments decode independently — the
+        # layout that lets a 100 TB scan parallelize WITHIN one
+        # scanned page.
         if depth != 8:
             raise ValueError("JPEG-in-TIFF requires 8-bit samples")
-        if photo == 2:
-            # photometric 2 means the JPEG components are raw RGB
-            # (no color transform) — a different decode contract
-            require_codec("RGB-space JPEG-in-TIFF")
-        if photo not in (0, 1, 6):
+        if photo not in (0, 1, 2, 6):
             require_codec(f"JPEG-in-TIFF photometric {photo}")
-        if (photo in (0, 1) and spp != 1) or (photo == 6 and spp != 3):
+        if planar == 2 and photo == 6:
+            # planar YCbCr ships SUBSAMPLED chroma plane dims — a
+            # different (and in the wild unseen) geometry contract
+            require_codec("planar YCbCr JPEG-in-TIFF")
+        if (photo in (0, 1) and spp != 1) or \
+                (photo in (2, 6) and spp != 3):
             raise ValueError("JPEG-in-TIFF photometric/spp mismatch")
         tb_body = b""
         if 347 in entries:
@@ -2710,30 +2712,82 @@ def decode_tiff(b: bytes):
                     tb[-2:] != b"\xff\xd9":
                 raise ValueError("TIFF JPEGTables malformed")
             tb_body = tb[2:-2]
-        offsets = values(273)
-        counts = values(279)
-        if not offsets or not counts or len(offsets) != len(counts):
-            raise ValueError("TIFF strip tables missing or mismatched")
-        rps = one(278, h)
-        if rps < 1:
-            raise ValueError("TIFF RowsPerStrip invalid")
-        if len(offsets) != -(-h // rps):
-            raise ValueError("TIFF strip count does not cover the image")
-        parts = []
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            rows_here = min(rps, h - si * rps)
+
+        def jdec(off, cnt):
             stream = bytes(chunk_at(off, cnt))
             if stream[:2] != b"\xff\xd8":
-                raise ValueError("TIFF JPEG strip missing SOI")
+                raise ValueError("TIFF JPEG segment missing SOI")
             if tb_body:
                 stream = b"\xff\xd8" + tb_body + stream[2:]
-            px = decode_jpeg(stream)
+            px = decode_jpeg(
+                stream, color_space="rgb" if photo == 2 else "auto"
+            )
             if px.dtype != np.uint8:
                 raise ValueError("TIFF embedded JPEG must be 8-bit")
-            if px.shape[0] < rows_here or px.shape[1] < w:
-                raise ValueError("TIFF JPEG strip smaller than declared")
-            parts.append(px[:rows_here, :w])
-        out = np.concatenate(parts, axis=0)
+            return px
+
+        nplanes = 3 if planar == 2 else 1
+        if tiled:
+            tw, th = one(322), one(323)
+            if not tw or not th:
+                raise ValueError("TIFF tile dimensions invalid")
+            offsets = values(324)
+            counts = values(325)
+            if not offsets or not counts or len(offsets) != len(counts):
+                raise ValueError("TIFF tile tables missing or mismatched")
+            ta, td = -(-w // tw), -(-h // th)
+            if len(offsets) != ta * td * nplanes:
+                raise ValueError("TIFF tile count does not cover the image")
+            if tw * th > (1 << 24) or ta * tw * td * th * 3 > (1 << 27):
+                raise ValueError("TIFF tile grid implausibly large")
+            canvas = np.zeros((td * th, ta * tw, 3), np.uint8)
+            for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                px = jdec(off, cnt)
+                if px.shape[0] < th or px.shape[1] < tw:
+                    raise ValueError("TIFF JPEG tile smaller than declared")
+                c, rem = divmod(idx, ta * td)
+                ty, tx = rem // ta, rem % ta
+                if planar == 2:
+                    canvas[ty * th : (ty + 1) * th,
+                           tx * tw : (tx + 1) * tw, c] = px[:th, :tw, 0]
+                else:
+                    canvas[ty * th : (ty + 1) * th,
+                           tx * tw : (tx + 1) * tw] = px[:th, :tw]
+            out = canvas[:h, :w]
+        else:
+            offsets = values(273)
+            counts = values(279)
+            if not offsets or not counts or len(offsets) != len(counts):
+                raise ValueError("TIFF strip tables missing or mismatched")
+            rps = one(278, h)
+            if rps < 1:
+                raise ValueError("TIFF RowsPerStrip invalid")
+            per_plane = -(-h // rps)
+            if len(offsets) != per_plane * nplanes:
+                raise ValueError("TIFF strip count does not cover the image")
+            if planar == 2:
+                out = np.zeros((h, w, 3), np.uint8)
+                for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                    c, s = divmod(si, per_plane)
+                    y0 = s * rps
+                    rows_here = min(rps, h - y0)
+                    px = jdec(off, cnt)
+                    if px.shape[0] < rows_here or px.shape[1] < w:
+                        raise ValueError(
+                            "TIFF JPEG strip smaller than declared"
+                        )
+                    out[y0 : y0 + rows_here, :, c] = px[:rows_here, :w, 0]
+            else:
+                parts = []
+                for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                    rows_here = min(rps, h - si * rps)
+                    px = jdec(off, cnt)
+                    if px.shape[0] < rows_here or px.shape[1] < w:
+                        raise ValueError(
+                            "TIFF JPEG strip smaller than declared"
+                        )
+                    parts.append(px[:rows_here, :w])
+                out = np.concatenate(parts, axis=0)
         if photo == 0:  # WhiteIsZero gray JPEG: spec-legal inversion
             out = (255 - out.astype(np.int32)).astype(np.uint8)
         return out
@@ -2757,13 +2811,23 @@ def decode_tiff(b: bytes):
         co = values(529)
         if co is not None and co != [299, 1000, 587, 1000, 114, 1000]:
             require_codec("TIFF YCbCr custom luma coefficients")
+        # ReferenceBlackWhite headroom (round 11): the TIFF 6.0 §20
+        # linear code map FullRange = (code - black) * CodingRange /
+        # (white - black), CodingRange 255 for Y and 127 for Cb/Cr
+        # (chroma zero sits at its ReferenceBlack). The full-range
+        # default (0,255,128,255,128,255) reduces to Y=code,
+        # C=code-128 EXACTLY in IEEE double ((x-0)*1.0, (x-128)*1.0),
+        # so the general path keeps bit parity with the
+        # closed-form oracle on default rows.
         rbw = values(532)
+        vals6 = [0.0, 255.0, 128.0, 255.0, 128.0, 255.0]
         if rbw is not None:
             if len(rbw) != 12 or any(d == 0 for d in rbw[1::2]):
                 raise ValueError("TIFF ReferenceBlackWhite malformed")
             vals6 = [n / d for n, d in zip(rbw[0::2], rbw[1::2])]
-            if vals6 != [0.0, 255.0, 128.0, 255.0, 128.0, 255.0]:
-                require_codec("TIFF YCbCr headroom ReferenceBlackWhite")
+            if (vals6[1] == vals6[0] or vals6[3] == vals6[2]
+                    or vals6[5] == vals6[4]):
+                raise ValueError("TIFF ReferenceBlackWhite degenerate")
         offsets = values(273)
         counts = values(279)
         if not offsets or not counts or len(offsets) != len(counts):
@@ -2793,15 +2857,22 @@ def decode_tiff(b: bytes):
             ybuf.append(yp[:rows_here, :w])
             cbbuf.append(u[:, :, sh_ * sv_])
             crbuf.append(u[:, :, unit - 1])
-        yf = np.concatenate(ybuf, axis=0).astype(np.float64)
+        yb, yw6, cbb, cbw, crb, crw = vals6
+        yf = (
+            np.concatenate(ybuf, axis=0).astype(np.float64) - yb
+        ) * (255.0 / (yw6 - yb))
         cb2 = np.concatenate(cbbuf, axis=0)
         cr2 = np.concatenate(crbuf, axis=0)
-        cbf = np.repeat(np.repeat(cb2, sv_, 0), sh_, 1)[:h, :w].astype(
-            np.float64
-        ) - 128.0
-        crf = np.repeat(np.repeat(cr2, sv_, 0), sh_, 1)[:h, :w].astype(
-            np.float64
-        ) - 128.0
+        cbf = (
+            np.repeat(np.repeat(cb2, sv_, 0), sh_, 1)[:h, :w].astype(
+                np.float64
+            ) - cbb
+        ) * (127.0 / (cbw - cbb))
+        crf = (
+            np.repeat(np.repeat(cr2, sv_, 0), sh_, 1)[:h, :w].astype(
+                np.float64
+            ) - crb
+        ) * (127.0 / (crw - crb))
         r = yf + 1.402 * crf
         g = yf - 0.344136286 * cbf - 0.714136286 * crf
         bl = yf + 1.772 * cbf
@@ -3270,14 +3341,17 @@ def _tiff_ifd(e: str, tags: list, data_off: int, next_off: int = 0) -> bytes:
     extra_base = data_off + 2 + 12 * n + 4
     for tag, typ, vals in tags:
         size = _TIFF_TYPE_SIZE[typ]
-        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 5: "I", 7: "B"}[typ]
         payload = struct.pack(e + fmt * len(vals), *vals)
+        # RATIONAL (5) takes flattened num/den pairs; the entry
+        # count is in rationals, not longs
+        cnt = len(vals) // 2 if typ == 5 else len(vals)
         if len(payload) <= 4:
             val4 = payload + b"\x00" * (4 - len(payload))
         else:
             val4 = struct.pack(e + "I", extra_base + len(extra))
             extra += payload
-        entries += struct.pack(e + "HHI", tag, typ, len(vals)) + val4
+        entries += struct.pack(e + "HHI", tag, typ, cnt) + val4
     return (
         struct.pack(e + "H", n) + entries + struct.pack(e + "I", next_off)
         + extra
@@ -3498,13 +3572,16 @@ def encode_tiff_ycbcr(
     compression: str = "none",
     big_endian: bool = False,
     rows_per_strip: int = 0,
+    rbw=None,
 ) -> bytes:
     """Full-res Y plane (h, w) + SUBSAMPLED Cb/Cr planes
     (ceil(h/sv), ceil(w/sh)), all uint8 -> photometric-6 TIFF with
     chunky sh*sv-Y + Cb + Cr data units (TIFF 6.0 §21), edge units
     padded by edge replication (pad samples are ignored on decode).
     ``rows_per_strip`` must be a multiple of sv when it splits the
-    image."""
+    image. ``rbw`` writes a ReferenceBlackWhite tag (532, RATIONAL
+    x6) as 12 flattened num/den longs — the video-range headroom
+    layout (round 11)."""
     import numpy as np
     import zlib
 
@@ -3577,6 +3654,10 @@ def encode_tiff_ycbcr(
         (279, 4, [len(s) for s in strips]),
         (530, 3, [sh_, sv_]),
     ]
+    if rbw is not None:
+        assert len(rbw) == 12, "rbw: 6 rationals as 12 flattened longs"
+        tags.append((532, 5, list(rbw)))
+        tags.sort(key=lambda t: t[0])
     header = (b"II" if e == "<" else b"MM") + struct.pack(
         e + "HI", 42, ifd_off
     )
@@ -3728,26 +3809,41 @@ def encode_tiff_jpeg(
     big_endian: bool = False,
     jpeg_tables: bool = False,
     old_style: bool = False,
+    rgb_space: bool = False,
+    tile=None,
+    planar: bool = False,
 ) -> bytes:
-    """(h, w, 3) RGB (emitted photometric 6 — encode_jpeg stores
-    YCbCr) or (h, w) gray (photometric 1) -> compression-7
-    JPEG-in-TIFF. Each strip is an independently decodable JPEG;
-    ``jpeg_tables`` moves the shared DQT/DHT into the JPEGTables tag
-    and ships abbreviated strip streams. ``rows_per_strip`` must be
-    an MCU multiple (8 here: gray and 4:4:4 only). ``old_style``
-    emits the deprecated compression-6 layout instead (TIFF 6.0
-    §22): ONE full interchange stream pointed at by
-    JPEGInterchangeFormat/Length (513/514), no strips — the layout
-    old files in the wild actually carry."""
+    """(h, w, 3) RGB (photometric 6 — encode_jpeg stores YCbCr — or
+    photometric 2 with ``rgb_space``: each strip/tile an RGB-space
+    scan, no color transform, round 11) or (h, w) gray (photometric
+    1) -> compression-7 JPEG-in-TIFF. Each strip/tile is an
+    independently decodable JPEG; ``jpeg_tables`` moves the shared
+    DQT/DHT into the JPEGTables tag and ships abbreviated streams.
+    ``rows_per_strip`` must be an MCU multiple (8 here: gray and
+    4:4:4 only). ``tile=(tw, th)`` emits the TILED layout (tags
+    322-325, dims multiples of 8/16, edge tiles padded by edge
+    replication — pad pixels are cropped on decode). ``planar``
+    (requires ``rgb_space``) stores PlanarConfiguration 2: each
+    component's strips/tiles are independent single-component JPEG
+    streams, component-major. ``old_style`` emits the deprecated
+    compression-6 layout instead (TIFF 6.0 §22): ONE full
+    interchange stream pointed at by JPEGInterchangeFormat/Length
+    (513/514), no strips — the layout old files in the wild
+    actually carry."""
     import numpy as np
 
     e = ">" if big_endian else "<"
     a = np.asarray(arr, np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    spp, photo = (1, 1) if gray else (3, 6)
+    spp, photo = (1, 1) if gray else ((3, 2) if rgb_space else (3, 6))
+    if planar:
+        assert rgb_space and not old_style, (
+            "planar JPEG-in-TIFF ships RGB full-size planes"
+        )
     if old_style:
         assert not jpeg_tables and not rows_per_strip
+        assert not rgb_space and tile is None
         stream = encode_jpeg(a, quality=quality)
         body = stream + (b"\x00" if len(stream) % 2 else b"")
         ifd_off = 8 + len(body)
@@ -3765,22 +3861,51 @@ def encode_tiff_jpeg(
             e + "HI", 42, ifd_off
         )
         return bytes(header) + bytes(body) + _tiff_ifd(e, tags, ifd_off)
-    rps = rows_per_strip or h
-    if rps < h:
-        assert rps % 8 == 0, "rows_per_strip must be an MCU multiple"
-    strips = []
-    for y0 in range(0, h, rps):
-        sp = a[y0 : y0 + rps]
-        strips.append(encode_jpeg(sp, quality=quality))
+
+    def enc(chunk):
+        if chunk.ndim == 2:
+            return encode_jpeg(chunk, quality=quality)
+        return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space)
+
+    comps = (
+        [a[..., c] for c in range(3)] if planar else [a]
+    )
+    segs = []
+    if tile is not None:
+        tw, th = tile
+        assert tw % 8 == 0 and th % 8 == 0, "tile dims must be MCU multiples"
+        ta, td = -(-w // tw), -(-h // th)
+        for plane in comps:
+            padded = np.empty(
+                (td * th, ta * tw) + plane.shape[2:], np.uint8
+            )
+            padded[:h, :w] = plane
+            if w < ta * tw:
+                padded[:h, w:] = plane[:, w - 1 : w]
+            if h < td * th:
+                padded[h:] = padded[h - 1 : h]
+            for ty in range(td):
+                for tx in range(ta):
+                    segs.append(
+                        enc(padded[ty * th : (ty + 1) * th,
+                                   tx * tw : (tx + 1) * tw])
+                    )
+    else:
+        rps = rows_per_strip or h
+        if rps < h:
+            assert rps % 8 == 0, "rows_per_strip must be an MCU multiple"
+        for plane in comps:
+            for y0 in range(0, h, rps):
+                segs.append(enc(plane[y0 : y0 + rps]))
     tables = b""
     if jpeg_tables:
-        # every strip shares the fixed Annex-K-scaled tables at one
-        # quality, so the first strip's tables serve all
-        tables, _ = _jpeg_split_tables(strips[0])
-        strips = [_jpeg_split_tables(s)[1] for s in strips]
+        # every segment shares the fixed Annex-K-scaled tables at one
+        # quality, so the first segment's tables serve all
+        tables, _ = _jpeg_split_tables(segs[0])
+        segs = [_jpeg_split_tables(s)[1] for s in segs]
     body = bytearray()
     offsets = []
-    for s in strips:
+    for s in segs:
         offsets.append(8 + len(body))
         body += s
         if len(body) % 2:
@@ -3792,11 +3917,23 @@ def encode_tiff_jpeg(
         (258, 3, [8] * spp),
         (259, 3, [7]),
         (262, 3, [photo]),
-        (273, 4, offsets),
         (277, 3, [spp]),
-        (278, 3, [min(rps, h)]),
-        (279, 4, [len(s) for s in strips]),
     ]
+    if tile is not None:
+        tags += [
+            (322, 3, [tw]),
+            (323, 3, [th]),
+            (324, 4, offsets),
+            (325, 4, [len(s) for s in segs]),
+        ]
+    else:
+        tags += [
+            (273, 4, offsets),
+            (278, 3, [min(rps, h)]),
+            (279, 4, [len(s) for s in segs]),
+        ]
+    if planar:
+        tags.append((284, 3, [2]))
     if jpeg_tables:
         tags.append((347, 7, list(tables)))
     tags.sort(key=lambda t: t[0])
@@ -5896,7 +6033,16 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
     layout instead (round 10 — compression 6, one full interchange
     stream via JPEGInterchangeFormat/Length; same block-constant
     pixels, so the oracle is layout-invisible but the row gates on
-    the tag-513 walk). media_id offset +600."""
+    the tag-513 walk). Round 11 retires the remaining JPEG-in-TIFF
+    organization gates by i%9: TILED chunky (1, 8 — 16x16 tile
+    JPEGs pasted into the grid, edge tiles padded), RGB-SPACE
+    photometric 2 (2: 8-row strips; 5: 16x8 tiles) with TRUE-COLOR
+    per-tile constants (r=t, g=(t+85)%256, b=(t+170)%256 — no color
+    transform, so each channel is independently block-constant and
+    bit-exact; the ONLY arms whose oracle sums differ per channel),
+    and RGB-SPACE PLANAR (3: per-plane strips; 6: per-plane tiles —
+    single-component scans, component-major). media_id offset
+    +600."""
     import numpy as np
 
     rows = []
@@ -5910,8 +6056,21 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
             dtype=np.uint8,
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
-        src = img if i % 2 else np.stack([img] * 3, axis=-1)
-        old = i % 9 in (4, 7)
+        arm = i % 9
+        old = arm in (4, 7)
+        rgbspace = arm in (2, 3, 5, 6)
+        if rgbspace:
+            i64 = img.astype(np.int64)
+            src = np.stack(
+                [i64 % 256, (i64 + 85) % 256, (i64 + 170) % 256], axis=-1
+            ).astype(np.uint8)
+        else:
+            src = img if i % 2 else np.stack([img] * 3, axis=-1)
+        tile = (
+            (16, 16) if arm in (1, 8, 6)
+            else (16, 8) if arm == 5
+            else None
+        )
         rows.append(
             (
                 600 + i,
@@ -5920,11 +6079,17 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
                     src,
                     quality=85 + (i % 3) * 5,
                     rows_per_strip=(
-                        0 if old else 8 if i % 5 in (0, 2) else 0
-                    ),
+                        8 if (arm in (2, 3) or
+                              (not old and tile is None and
+                               i % 5 in (0, 2)))
+                        else 0
+                    ) if not old and tile is None else 0,
                     big_endian=bool(i % 2),
                     jpeg_tables=(i % 3 == 0 and not old),
                     old_style=old,
+                    rgb_space=rgbspace,
+                    tile=tile,
+                    planar=arm in (3, 6),
                 ),
                 None,
                 f"mem://media/{600 + i}.jpg.tif",
@@ -5945,7 +6110,15 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
     (1,1)/(2,2)/(2,1) by i%3 over widths 11+(i%4)*7 and heights
     9+(i%3)*5 that are NOT unit multiples (pad units exercised);
     containers rotate compression (i%4), byte order (i%2), and
-    4-row strips (i%5 != 0). media_id offset +500."""
+    4-row strips (i%5 != 0). Round 11 retires the
+    ReferenceBlackWhite headroom gate by i%6: i%6==4 ships the
+    VIDEO-RANGE tag (16,235 / 128,240 — the BT.601 capture layout;
+    255/219 and 127/112 rescales are IEEE-double mirrorable), and
+    i%6==5 an exact-5x layout (0,51 / 128,255 — Y codes held to %52
+    so Yfull = code*5 is integer-exact); all other rows carry no
+    tag and decode through the SAME general linear map, whose
+    full-range default reduces to the old closed forms exactly.
+    media_id offset +500."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
@@ -5955,12 +6128,18 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
         w, h = 11 + (i % 4) * 7, 9 + (i % 3) * 5
         y = np.arange(h, dtype=np.int64)[:, None]
         x = np.arange(w, dtype=np.int64)[None, :]
-        yp = ((x * 7 + y * 13 + i * 23) % 256).astype(np.uint8)
+        ymod = 52 if i % 6 == 5 else 256
+        yp = ((x * 7 + y * 13 + i * 23) % ymod).astype(np.uint8)
         ta, td = -(-w // sh), -(-h // sv)
         uy = np.arange(td, dtype=np.int64)[:, None]
         ux = np.arange(ta, dtype=np.int64)[None, :]
         cb = ((ux * 11 + uy * 17 + i * 5) % 256).astype(np.uint8)
         cr = ((ux * 3 + uy * 19 + i * 29) % 256).astype(np.uint8)
+        rbw = None
+        if i % 6 == 4:
+            rbw = [16, 1, 235, 1, 128, 1, 240, 1, 128, 1, 240, 1]
+        elif i % 6 == 5:
+            rbw = [0, 1, 51, 1, 128, 1, 255, 1, 128, 1, 255, 1]
         rows.append(
             (
                 500 + i,
@@ -5970,6 +6149,7 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
                     compression=comps[i % 4],
                     big_endian=bool(i % 2),
                     rows_per_strip=0 if i % 5 == 0 else 4,
+                    rbw=rbw,
                 ),
                 None,
                 f"mem://media/{500 + i}.ycc.tif",
@@ -6817,6 +6997,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     extended: bool = False,
+    rgb_space: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> sequential JPEG
     (Annex K Huffman tables, libjpeg-scaled Annex K quantization).
@@ -6832,8 +7013,12 @@ def encode_jpeg(
     quantization tables whose AC entries are lifted by +512 — the
     T.81 allowance baseline forbids; entropy coding is unchanged, so
     block-constant (DC-only) corpora decode identically to SOF0.
-    Deterministic: float64 DCT + round-half-away quantization, no
-    RNG, no library variance."""
+    ``rgb_space`` stores the components as R/G/B directly (no color
+    transform — the layout TIFF photometric 2 wraps, round 11),
+    signalled by the libjpeg R/G/B component-ID convention; 4:4:4
+    only (subsampled RGB has no real-world meaning), all components
+    on the luma quant/Huffman tables. Deterministic: float64 DCT +
+    round-half-away quantization, no RNG, no library variance."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -6841,11 +7026,16 @@ def encode_jpeg(
     h, w = a.shape[:2]
     if subsampling not in _JPG_SUBSAMP:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if rgb_space and (gray or subsampling != "444"):
+        raise ValueError("rgb_space needs (h, w, 3) input and 4:4:4")
     fh, fv = _JPG_SUBSAMP[subsampling]
     sub = (fh, fv) != (1, 1) and not gray
     if gray:
         planes = [a.astype(np.float64)]
         samp = [(1, 1)]
+    elif rgb_space:
+        planes = [a[..., ci].astype(np.float64) for ci in range(3)]
+        samp = [(1, 1)] * 3
     else:
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -6881,7 +7071,7 @@ def encode_jpeg(
         qc += 512
         ql[0, 0] -= 512
         qc[0, 0] -= 512
-    qts = [ql] + ([] if gray else [qc, qc])
+    qts = [ql] * 3 if rgb_space else [ql] + ([] if gray else [qc, qc])
     dctm = _jpg_dct_mat()
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -6890,7 +7080,11 @@ def encode_jpeg(
     ac_l = _jpg_canonical_codes(*_JPG_HUFF[(1, 0)])
     dc_c = _jpg_canonical_codes(*_JPG_HUFF[(0, 1)])
     ac_c = _jpg_canonical_codes(*_JPG_HUFF[(1, 1)])
-    tabs = [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
+    tabs = (
+        [(dc_l, ac_l)] * 3
+        if rgb_space
+        else [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
+    )
     padded = [
         _jpg_pad(p, mcuy * vi * 8, mcux * hi * 8) - 128.0
         for p, (hi, vi) in zip(planes, samp)
@@ -6945,22 +7139,24 @@ def encode_jpeg(
         return seg(0xDB, body)
 
     dqt = dqt_seg(0, ql)
-    if not gray:
+    if not gray and not rgb_space:
         dqt += dqt_seg(1, qc)
     nc = 1 if gray else 3
+    comp_ids = (0x52, 0x47, 0x42) if rgb_space else (1, 2, 3)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+        tq = 0 if (ci == 0 or rgb_space) else 1
+        sof += bytes([comp_ids[ci], (hi << 4) | vi, tq])
     dht = b""
     for (cls, tid), (bits, vals) in _JPG_HUFF.items():
-        if gray and tid == 1:
+        if (gray or rgb_space) and tid == 1:
             continue
         dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     sos = bytes([nc])
     for ci in range(nc):
-        t = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (t << 4) | t])
+        t = 0 if (ci == 0 or rgb_space) else 1
+        sos += bytes([comp_ids[ci], (t << 4) | t])
     sos += b"\x00\x3f\x00"
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
@@ -7068,7 +7264,7 @@ def _jpg_parse_dqt(payload: bytes, qts: dict) -> None:
         p += 1 + 64 * step
 
 
-def decode_jpeg(b: bytes):
+def decode_jpeg(b: bytes, color_space: str = "auto"):
     """Sequential JPEG bytes -> (h, w, 3) RGB (or grayscale
     replicated to 3 channels) uint8. Supports SOF0 baseline AND SOF1
     extended sequential (identical entropy coding at 8-bit sample
@@ -7078,8 +7274,18 @@ def decode_jpeg(b: bytes):
     DRI/RSTm restart intervals (byte realignment + DC-predictor
     reset, marker sequence checked). Arithmetic/12-bit/hierarchical
     streams gate via ``require_codec``; structural damage raises
-    ValueError."""
+    ValueError.
+
+    ``color_space``: 3-component scans default to YCbCr (the JFIF
+    convention). ``"auto"`` additionally honors the libjpeg R/G/B
+    component-ID convention (IDs 0x52/0x47/0x42 -> no color
+    transform); ``"rgb"`` / ``"ycbcr"`` force the interpretation —
+    the CONTAINER override (TIFF photometric 2 marks the embedded
+    scan RGB-space regardless of its component IDs, round 11)."""
     import numpy as np
+
+    if color_space not in ("auto", "rgb", "ycbcr"):
+        raise ValueError(f"unknown JPEG color space {color_space!r}")
 
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -7269,6 +7475,17 @@ def decode_jpeg(b: bytes):
             np.uint8 if prec == 8 else np.uint16
         )
         return np.stack([g, g, g], axis=-1)
+    ids = tuple(c[0] for c in comps)
+    if color_space == "rgb" or (
+        color_space == "auto" and ids == (0x52, 0x47, 0x42)
+    ):
+        # RGB-space scan: components ARE R/G/B (level-shifted like
+        # any T.81 component) — no color transform
+        out = np.stack(
+            [np.clip(np.floor(p + 0.5), 0, full) for p in planes],
+            axis=-1,
+        )
+        return out.astype(np.uint8 if prec == 8 else np.uint16)
     y, cb, cr = planes
     r = y + 1.402 * (cr - lvl)
     g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)

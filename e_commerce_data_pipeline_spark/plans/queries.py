@@ -11991,14 +11991,26 @@ def q197_cdc_validation_census(spark, sf_dir):
     tjb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM tjm),
     tjt AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tjb),
     tjv AS (SELECT i, (i * 41 + by * 9 + bx * 17) % 256 AS t FROM tjt),
+    -- round 11: the RGB-SPACE arms (i%9 in (2,3,5,6) — photometric
+    -- 2, no color transform) carry true-color per-tile constants;
+    -- every other layout arm (tiled/planar/old-style) is gray and
+    -- oracle-invisible
+    tjch AS (
+        SELECT i, t,
+               CASE WHEN i % 9 IN (2, 3, 5, 6)
+                    THEN (t + 85) % 256 ELSE t END AS g2,
+               CASE WHEN i % 9 IN (2, 3, 5, 6)
+                    THEN (t + 170) % 256 ELSE t END AS b2
+        FROM tjv
+    ),
     tifjp AS (
         SELECT 'tiff' AS fmt, i + 600 AS media_id,
                CAST(64 * COUNT(*) AS BIGINT) AS n_px,
                CAST(64 * SUM(t) AS BIGINT) AS sum_r,
-               CAST(64 * SUM(t) AS BIGINT) AS sum_g,
-               CAST(64 * SUM(t) AS BIGINT) AS sum_b,
-               CAST(MAX(t) AS BIGINT) AS aux
-        FROM tjv GROUP BY i
+               CAST(64 * SUM(g2) AS BIGINT) AS sum_g,
+               CAST(64 * SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(t, g2, b2)) AS BIGINT) AS aux
+        FROM tjch GROUP BY i
     ),
     plm AS (
         SELECT i, 9 + (i % 3) * 5 AS w, 7 + (i % 2) * 4 AS h
@@ -12065,13 +12077,28 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     ycys AS (SELECT i, w, sh, sv, unnest(range(h)) AS y FROM ycm),
     ycpx AS (SELECT i, sh, sv, y, unnest(range(w)) AS x FROM ycys),
+    -- round 11 ReferenceBlackWhite arms: i%6==4 video range
+    -- ((code-16)*255/219, (code-128)*127/112), i%6==5 exact-5x
+    -- (Y codes %52, Yfull = code*5); default rows keep the
+    -- full-range identity — the decoder's general linear map
+    -- reduces to it exactly in IEEE double
     yccv AS (
         SELECT i,
-               CAST((x * 7 + y * 13 + i * 23) % 256 AS DOUBLE) AS yv,
-               CAST(((x // sh) * 11 + (y // sv) * 17 + i * 5) % 256
-                    AS DOUBLE) - 128.0 AS cbv,
-               CAST(((x // sh) * 3 + (y // sv) * 19 + i * 29) % 256
-                    AS DOUBLE) - 128.0 AS crv
+               CASE i % 6
+                 WHEN 4 THEN (CAST((x * 7 + y * 13 + i * 23) % 256
+                      AS DOUBLE) - 16.0) * (255.0 / 219.0)
+                 WHEN 5 THEN CAST((x * 7 + y * 13 + i * 23) % 52
+                      AS DOUBLE) * 5.0
+                 ELSE CAST((x * 7 + y * 13 + i * 23) % 256 AS DOUBLE)
+               END AS yv,
+               (CAST(((x // sh) * 11 + (y // sv) * 17 + i * 5) % 256
+                    AS DOUBLE) - 128.0)
+               * (CASE WHEN i % 6 = 4 THEN 127.0 / 112.0 ELSE 1.0 END)
+                   AS cbv,
+               (CAST(((x // sh) * 3 + (y // sv) * 19 + i * 29) % 256
+                    AS DOUBLE) - 128.0)
+               * (CASE WHEN i % 6 = 4 THEN 127.0 / 112.0 ELSE 1.0 END)
+                   AS crv
         FROM ycpx
     ),
     ycrgb AS (
@@ -12236,6 +12263,19 @@ def q197_cdc_validation_census(spark, sf_dir):
     "(4,7) of the +600 family ship the deprecated one-full-stream "
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
+    "SCANNER-CLASS JPEG-IN-TIFF ORGANIZATIONS (round 11, +600 "
+    "family by i%9): TILED chunky (1,8 — full-size tile JPEGs "
+    "pasted into the grid canvas), RGB-SPACE photometric 2 with "
+    "TRUE-COLOR tiles (2: strips, 5: tiles — no color transform, "
+    "each channel independently block-constant, the only arms with "
+    "per-channel oracle sums), RGB-SPACE PLANAR (3: per-plane "
+    "strips, 6: per-plane tiles — single-component scans, "
+    "component-major). YCBCR REFERENCEBLACKWHITE HEADROOM (round "
+    "11, +500 family by i%6): video-range BT.601 codes (4 — "
+    "(Y-16)*255/219, (C-128)*127/112, IEEE-double mirrored) and an "
+    "exact-5x layout (5 — Y codes %52, Yfull = code*5 integer-"
+    "exact) through the general TIFF 6.0 linear code map, whose "
+    "full-range default reduces to the old closed forms exactly. "
     "SUBSAMPLED PROGRESSIVE JPEG (round 10): the progressive "
     "family's i%3==1 rows ship 4:2:0 — interleaved-MCU DC scans, "
     "per-component AC block rasters, chroma box-mean + replication "

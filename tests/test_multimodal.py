@@ -1917,9 +1917,9 @@ def test_tiff_jpeg_compression7_parity_tables_and_gates():
     b = encode_tiff_jpeg(np.stack([plane] * 3, -1), quality=90,
                          rows_per_strip=8, jpeg_tables=True)
     assert np.array_equal(decode_tiff(b), np.stack([plane] * 3, -1))
-    # gates: forge compression 6 (old-style JPEG) and photometric 2
-    for tag, val, exc in ((259, 6, NotImplementedError),
-                          (262, 2, NotImplementedError)):
+    # gate: forged compression 6 without JPEGInterchangeFormat still
+    # gates (the never-completed per-strip old-style variants)
+    def forge(tag, val):
         bb = bytearray(b)
         ifd = int.from_bytes(bb[4:8], "little")
         n = int.from_bytes(bb[ifd : ifd + 2], "little")
@@ -1927,8 +1927,18 @@ def test_tiff_jpeg_compression7_parity_tables_and_gates():
             at = ifd + 2 + 12 * k
             if int.from_bytes(bb[at : at + 2], "little") == tag:
                 bb[at + 8 : at + 10] = st.pack("<H", val)
-        with pytest.raises(exc):
-            decode_tiff(bytes(bb))
+        return bytes(bb)
+
+    with pytest.raises(NotImplementedError):
+        decode_tiff(forge(259, 6))
+    # photometric 2 DECODES since round 11 (RGB-space override): the
+    # YCbCr-encoded planes reinterpret as R/G/B — structurally valid,
+    # containerwise wrong colors, exactly like any photometric lie
+    out2 = decode_tiff(forge(262, 2))
+    assert out2.shape == plane.shape + (3,) and out2.dtype == np.uint8
+    # the reinterpretation must NOT equal the YCbCr decode (the
+    # override is real, not a no-op)
+    assert not np.array_equal(out2, decode_tiff(b))
 
 
 def test_tiff_ycbcr_conversion_subsampling_and_gates():
@@ -3798,6 +3808,19 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                           jpeg_tables=True), decode_tiff),
         (encode_tiff_jpeg(img8, quality=80, old_style=True),
          decode_tiff),
+        # round 11: RGB-space / tiled / planar JPEG-in-TIFF and the
+        # ReferenceBlackWhite headroom layout join the sweep
+        (encode_tiff_jpeg(img, quality=80, rgb_space=True,
+                          rows_per_strip=8), decode_tiff),
+        (encode_tiff_jpeg(img, quality=80, rgb_space=True,
+                          tile=(8, 8), jpeg_tables=True), decode_tiff),
+        (encode_tiff_jpeg(img, quality=80, rgb_space=True,
+                          planar=True, rows_per_strip=8), decode_tiff),
+        (encode_tiff_ycbcr(img8, (img8[::2, ::2] ^ 85),
+                           (img8[::2, ::2] ^ 170), (2, 2),
+                           rbw=[16, 1, 235, 1, 128, 1, 240, 1,
+                                128, 1, 240, 1]),
+         decode_tiff),
         (encode_apng(
             [(np.concatenate(
                 [img[:8, :10],
@@ -3967,3 +3990,77 @@ def test_video_frame_sampling_corrupt_containers_are_skipped(spark):
     assert {r["media_id"] for r in out} == {1}
     assert sorted(r["frame_no"] for r in out) == [0, 2]
     assert all(bytes(r["frame"]) == frames[r["frame_no"]] for r in out)
+
+
+def test_tiff_jpeg_round11_layouts_and_headroom():
+    """Round-11 JPEG-in-TIFF organizations: RGB-space (photometric
+    2) strips/tiles/planar round-trip bit-exact on per-channel
+    block-constant corpora and match decode_jpeg on arbitrary
+    images; YCbCr ReferenceBlackWhite headroom applies the TIFF 6.0
+    linear code map (video-range spot values pinned by hand)."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+        encode_tiff_ycbcr,
+    )
+
+    tiles = (np.arange(12).reshape(3, 4) * 21 + 5) % 256
+    i64 = np.kron(tiles, np.ones((8, 8), np.int64))
+    rgb = np.stack(
+        [i64 % 256, (i64 + 85) % 256, (i64 + 170) % 256], -1
+    ).astype(np.uint8)
+    for kw in (
+        dict(rows_per_strip=8),
+        dict(rows_per_strip=8, jpeg_tables=True),
+        dict(tile=(16, 8)),
+        dict(tile=(16, 16), jpeg_tables=True),
+        dict(planar=True, rows_per_strip=8),
+        dict(planar=True, tile=(16, 16)),
+    ):
+        b = encode_tiff_jpeg(rgb, quality=90, rgb_space=True, **kw)
+        assert np.array_equal(decode_tiff(b), rgb), kw
+    # tiled chunky YCbCr parity: tile decode == strip decode on the
+    # same block-constant image (both bit-exact)
+    g3 = np.stack([(i64 % 256).astype(np.uint8)] * 3, -1)
+    assert np.array_equal(
+        decode_tiff(encode_tiff_jpeg(g3, quality=90, tile=(16, 16))),
+        g3,
+    )
+    # planar demands rgb_space (YCbCr planar ships subsampled plane
+    # dims - a gated geometry)
+    with pytest.raises(AssertionError):
+        encode_tiff_jpeg(g3, planar=True)
+    # headroom: video-range Y codes map (Y-16)*255/219; spot-check
+    # neutral-chroma codes against the closed form
+    yp = np.array([[16, 89, 162, 235], [16, 16, 235, 235]], np.uint8)
+    neutral = np.full((1, 2), 128, np.uint8)
+    out = decode_tiff(
+        encode_tiff_ycbcr(
+            yp, neutral, neutral, (2, 2),
+            rbw=[16, 1, 235, 1, 128, 1, 240, 1, 128, 1, 240, 1],
+        )
+    )
+    want = np.clip(
+        np.floor((yp.astype(np.float64) - 16.0) * (255.0 / 219.0) + 0.5),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(out, np.stack([want] * 3, -1))
+    # exact-5x layout: integer-exact (codes*5), zero float residue
+    yp2 = (np.arange(8, dtype=np.uint8).reshape(2, 4) * 7) % 52
+    out2 = decode_tiff(
+        encode_tiff_ycbcr(
+            yp2, neutral, neutral, (2, 2),
+            rbw=[0, 1, 51, 1, 128, 1, 255, 1, 128, 1, 255, 1],
+        )
+    )
+    assert np.array_equal(out2, np.stack([yp2 * 5] * 3, -1))
+    # degenerate ReferenceBlackWhite (white == black) is loud
+    with pytest.raises(ValueError, match="ReferenceBlackWhite"):
+        decode_tiff(
+            encode_tiff_ycbcr(
+                yp2, neutral, neutral, (2, 2),
+                rbw=[16, 1, 16, 1, 128, 1, 240, 1, 128, 1, 240, 1],
+            )
+        )
