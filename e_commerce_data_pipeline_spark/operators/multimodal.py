@@ -123,19 +123,41 @@ def encode_bmp32(arr) -> bytes:
     return bytes(header + body)
 
 
+def encode_bmp_cmyk(cmyk) -> bytes:
+    """(h, w, 4) uint8 C,M,Y,K ink quads -> BI_CMYK printer DIB
+    (compression 11, 32 bits/pixel, gate retired round 11): pixels
+    store bottom-up, byte-reversed K,Y,M,C — the BGRX convention
+    applied to ink planes."""
+    import numpy as np
+
+    a = np.asarray(cmyk, np.uint8)
+    assert a.ndim == 3 and a.shape[2] == 4
+    h, w = a.shape[:2]
+    body = np.ascontiguousarray(a[::-1, :, ::-1]).tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, 11, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
 def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
     """(h, w) uint8 palette indices + (n<=256, 3) uint8 RGB palette ->
     8-bit paletted BMP, uncompressed (BI_RGB) or BI_RLE8."""
     return encode_bmp_paletted(idx, pal, bpp=8, rle=rle)
 
 
-def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False) -> bytes:
+def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False,
+                        cmyk: bool = False) -> bytes:
     """(h, w) palette indices (< 2^bpp) + (n, 3) uint8 RGB palette ->
     paletted BMP at bpp 1/4/8. Uncompressed rows pack samples
     MSB-first and pad to word boundaries; ``rle`` selects BI_RLE8
     (bpp 8) or BI_RLE4 (bpp 4) — runs >= 3 as encoded runs (RLE4
     duplicates the nibble), shorter stretches batched into absolute
-    chunks, EOL/EOD escapes per spec."""
+    chunks, EOL/EOD escapes per spec. ``cmyk`` (round 11) takes an
+    (n, 4) C,M,Y,K ink palette instead and emits the printer-DIB
+    BI_CMYKRLE8/4 registry codes (requires ``rle``); entries store
+    byte-reversed K,Y,M,C like the BGRX convention."""
     import numpy as np
 
     a = np.asarray(idx, dtype=np.uint8)
@@ -144,10 +166,15 @@ def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False) -> bytes:
     n_pal = p.shape[0]
     assert bpp in (1, 4, 8)
     assert not (rle and bpp == 1), "RLE needs bpp 4 or 8"
-    assert p.ndim == 2 and p.shape[1] == 3 and n_pal <= (1 << bpp)
+    assert p.ndim == 2 and n_pal <= (1 << bpp)
     assert int(a.max(initial=0)) < n_pal, "index exceeds palette"
-    quads = np.zeros((n_pal, 4), np.uint8)
-    quads[:, :3] = p[:, ::-1]  # RGB -> BGR, reserved byte 0
+    if cmyk:
+        assert rle and p.shape[1] == 4, "BI_CMYKRLE: RLE + ink quads"
+        quads = np.ascontiguousarray(p[:, ::-1])  # C,M,Y,K -> K,Y,M,C
+    else:
+        assert p.shape[1] == 3
+        quads = np.zeros((n_pal, 4), np.uint8)
+        quads[:, :3] = p[:, ::-1]  # RGB -> BGR, reserved byte 0
     if not rle:
         if bpp == 8:
             packed = a
@@ -209,6 +236,8 @@ def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False) -> bytes:
         out += b"\x00\x01"  # end of data
         body = bytes(out)
         comp = 2 if nibble else 1
+    if cmyk:
+        comp = 13 if comp == 2 else 12
     pal_bytes = quads.tobytes()
     offset = 54 + len(pal_bytes)
     size = offset + len(body)
@@ -388,9 +417,11 @@ def decode_bmp(b: bytes):
     EOL/EOD/delta escapes), BI_JPEG/BI_PNG embedded payloads routed
     to the in-house codecs (dimension-checked against the header),
     and the OS/2 BITMAPCOREHEADER layout (12-byte header, 3-byte
-    palette entries). With that, every legal bpp/compression pairing
-    of the registry decodes except BI_CMYK (printer DIBs — the one
-    honest gate left); mismatched pairings raise ValueError."""
+    palette entries). Round 11 adds the printer-DIB CMYK registry —
+    BI_CMYK 32-bit ink quads and BI_CMYKRLE8/4 CMYK-palette RLE,
+    converted with the same naive uncalibrated map as TIFF
+    photometric 5 — so every legal bpp/compression pairing of the
+    registry decodes; mismatched pairings raise ValueError."""
     import numpy as np
 
     if len(b) < 26 or b[:2] != b"BM":
@@ -415,18 +446,19 @@ def decode_bmp(b: bytes):
         # corrupt header, not a variant; the honest gate below is
         # reserved for values real files can carry
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
-    if comp in (11, 12, 13):
-        # BI_CMYK* are legal only in printer DIBs — the one family
-        # this decoder genuinely lacks (needs a CMYK color pipeline)
-        require_codec(f"BMP CMYK compression={comp}")
     if (
         (comp == 1 and bpp != 8)
         or (comp == 2 and bpp != 4)
         or (comp in (3, 6) and bpp not in (16, 32))
+        or (comp == 11 and bpp != 32)
+        or (comp == 12 and bpp != 8)
+        or (comp == 13 and bpp != 4)
     ):
         # RLE8 pairs only with 8-bit, RLE4 with 4-bit, bitfields
-        # with 16/32-bit — mismatches are spec violations, not
-        # variants a codec library would decode
+        # with 16/32-bit; the printer-DIB CMYK registry mirrors it
+        # (BI_CMYK 32-bit ink quads, BI_CMYKRLE8/4 the RLE pairings)
+        # — mismatches are spec violations, not variants a codec
+        # library would decode
         raise ValueError(f"invalid BMP header (bpp={bpp} comp={comp})")
     flip = h > 0
     h = abs(h)
@@ -463,6 +495,21 @@ def decode_bmp(b: bytes):
             raise ValueError("BMP bitfields masks truncated")
         masks = struct.unpack_from("<" + "I" * nm, b, 54)
         return _decode_bmp_bitfields(b, w, h, bpp, masks, offset, flip)
+    if comp == 11:
+        # BI_CMYK printer DIB (gate retired round 11): 32-bit ink
+        # quads stored byte-reversed like BGRX — K,Y,M,C per pixel —
+        # through the same naive uncalibrated conversion as TIFF
+        # photometric 5: channel = (255 - ink) * (255 - K) // 255
+        kymc = np.frombuffer(
+            b, np.uint8, count=4 * w * h, offset=offset
+        ).reshape(h, w, 4)
+        cmyk = kymc[..., ::-1].astype(np.int64)
+        kk = 255 - cmyk[..., 3]
+        px = np.stack(
+            [((255 - cmyk[..., j]) * kk) // 255 for j in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+        return px[::-1] if flip else px
     if bpp in (24, 32):
         ch = bpp // 8
         row = w * ch
@@ -497,7 +544,19 @@ def decode_bmp(b: bytes):
     pal_bytes = b[pal_off : pal_off + 4 * n_pal]
     if len(pal_bytes) < 4 * n_pal:
         raise ValueError("BMP palette truncated")
-    pal = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)[:, 2::-1]
+    quads = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)
+    if comp in (12, 13):
+        # BI_CMYKRLE8/4 (round 11): palette entries are ink quads,
+        # byte-reversed like the pixel layout (K,Y,M,C); convert the
+        # TABLE once, the RLE index machinery below is unchanged
+        cm = quads[:, ::-1].astype(np.int64)
+        kk = 255 - cm[:, 3]
+        pal = np.stack(
+            [((255 - cm[:, j]) * kk) // 255 for j in range(3)],
+            axis=-1,
+        ).astype(np.uint8)
+    else:
+        pal = quads[:, 2::-1]
     if comp == 0:
         row_bytes = (w * bpp + 7) // 8
         stride = row_bytes + ((-row_bytes) % 4)
@@ -4768,14 +4827,17 @@ def _media_palette(n_entries: int, unit: int):
 def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
     """Deterministic media table. ``real=False`` (default) emits the
     header-only FAKEIMG layout (plumbing tests); ``real=True`` emits
-    actual decodable images cycling SIXTEEN container variants by
-    ``i % 16`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
+    actual decodable images cycling EIGHTEEN container variants by
+    ``i % 18`` — 24-bit BMP, PPM, 32-bit BGRX BMP, 8-bit paletted BMP,
     RLE8 BMP, 4-bit BMP (base // 17 palette), 1-bit BMP (base // 128
     palette), RLE4 BMP, 16-bit X1R5G5B5 BMP, 16-bit R5G6B5
-    BI_BITFIELDS BMP, and (round 8) BI_PNG embedded-payload BMP,
+    BI_BITFIELDS BMP, (round 8) BI_PNG embedded-payload BMP,
     A2R10G10B10 BI_ALPHABITFIELDS BMP, OS/2 BITMAPCOREHEADER 24-bit
     BMP, big-endian LZW+predictor TIFF, PackBits palette TIFF, and
-    multi-strip Deflate TIFF. The full-depth variants (including the
+    multi-strip Deflate TIFF, plus (round 11) the printer-DIB CMYK
+    pair: BI_CMYK 32-bit ink quads (C=base, M/Y the +85/+170
+    offsets, K=(base*3+7)%256) and BI_CMYKRLE4 through a 16-entry
+    ink palette of the same rule over the quantized base. The full-depth variants (including the
     round-8 additions — PNG embed and the three TIFFs are lossless,
     the 10-bit samples are v << 2 so cyclic replication is exact,
     the OS/2 layout is plain truecolor, and the TIFF palette is the
@@ -4794,7 +4856,7 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
         if real:
             px = make_test_pixels(w, h, seed=i)
             base = px[..., 0]
-            k = i % 16
+            k = i % 18
             if k == 0:
                 content = encode_bmp(px)
             elif k == 1:
@@ -4835,9 +4897,28 @@ def synthetic_media_table(spark, n: int = 100, real: bool = False) -> DataFrame:
                     base, compression="packbits",
                     palette=np.asarray(_media_palette(256, 1)),
                 )
-            else:
+            elif k == 15:
                 content = encode_tiff(
                     px, compression="deflate", rows_per_strip=7
+                )
+            elif k == 16:
+                i64b = base.astype(np.int64)
+                content = encode_bmp_cmyk(
+                    np.stack(
+                        [i64b, (i64b + 85) % 256, (i64b + 170) % 256,
+                         (i64b * 3 + 7) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                )
+            else:
+                j = np.arange(16, dtype=np.int64) * 17
+                palc = np.stack(
+                    [j, (j + 85) % 256, (j + 170) % 256,
+                     (j * 3 + 7) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                content = encode_bmp_paletted(
+                    base // 17, palc, bpp=4, rle=True, cmyk=True
                 )
         else:
             content = make_fake_image_bytes(64 + (i % 8) * 32, 64 + (i % 5) * 48)

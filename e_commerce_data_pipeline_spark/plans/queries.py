@@ -5716,8 +5716,8 @@ def q116_session_paths(spark, sf_dir):
     )
 
 
-# Shared closed form for synthetic_media_table's SIXTEEN container
-# variants (k = i % 16): full-depth variants carry the gradient
+# Shared closed form for synthetic_media_table's EIGHTEEN container
+# variants (k = i % 18, round 11 adds the printer-DIB CMYK pair): full-depth variants carry the gradient
 # unchanged — including the round-8 six (BI_PNG embed and the three
 # TIFFs are lossless, A2R10G10B10's 10-bit samples are v << 2 so
 # cyclic replication is exact, OS/2 core is plain truecolor, the
@@ -5740,14 +5740,30 @@ def _media_variant_rgb(base: str) -> tuple[str, str, str]:
     def f565(c: str) -> str:
         return f"((({c}) // 4) * 4 + (({c}) // 4) // 16)"
 
-    r = f"CASE WHEN k IN (8, 9) THEN {f555(base)} ELSE {rb} END"
+    # CMYK printer-DIB arms (round 11, k 16/17): ink channels follow
+    # the gradient's +85/+170 offsets with K = (q*3 + 7) % 256; the
+    # RLE4 variant (17) quantizes the base through the 16-entry ink
+    # palette first. Conversion is the shared naive map
+    # (255 - ink) * (255 - K) // 255 (all operands non-negative).
+    qb = f"(CASE WHEN k = 17 THEN (({base}) // 17) * 17 ELSE ({base}) END)"
+    kq = f"(({qb} * 3 + 7) % 256)"
+
+    def cmy(chan: str) -> str:
+        return f"(((255 - ({chan})) * (255 - {kq})) // 255)"
+
+    r = (
+        f"CASE WHEN k IN (16, 17) THEN {cmy(qb)} "
+        f"WHEN k IN (8, 9) THEN {f555(base)} ELSE {rb} END"
+    )
     g = (
-        f"CASE WHEN k = 8 THEN {f555(f'(({base}) + 85) % 256')} "
+        f"CASE WHEN k IN (16, 17) THEN {cmy(f'({qb} + 85) % 256')} "
+        f"WHEN k = 8 THEN {f555(f'(({base}) + 85) % 256')} "
         f"WHEN k = 9 THEN {f565(f'(({base}) + 85) % 256')} "
         f"ELSE (({rb}) + 85) % 256 END"
     )
     b = (
-        f"CASE WHEN k IN (8, 9) THEN {f555(f'(({base}) + 170) % 256')} "
+        f"CASE WHEN k IN (16, 17) THEN {cmy(f'({qb} + 170) % 256')} "
+        f"WHEN k IN (8, 9) THEN {f555(f'(({base}) + 170) % 256')} "
         f"ELSE (({rb}) + 170) % 256 END"
     )
     return r, g, b
@@ -5763,19 +5779,20 @@ _Q139_R, _Q139_G, _Q139_B = _media_variant_rgb("base")
            CAST(16 + (i % 8) * 4 AS INT) AS width,
            CAST(16 + (i % 5) * 4 AS INT) AS height,
            CAST(3 AS INT) AS channels,
-           CASE WHEN i % 16 = 1 THEN 'ppm'
-                WHEN i % 16 >= 13 THEN 'tiff'
+           CASE WHEN i % 18 = 1 THEN 'ppm'
+                WHEN i % 18 IN (13, 14, 15) THEN 'tiff'
                 ELSE 'bmp' END AS format
     FROM range(100) t(i)
     """,
     "Multimodal columns, driver-verified end-to-end: the synthetic "
     "media table (deterministic gradient pixels, now cycling "
-    "SIXTEEN container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit "
+    "EIGHTEEN container variants — 24/32/16-bit BMP, PPM, 8/4/1-bit "
     "paletted BMP, RLE8 and RLE4 BMP, BI_PNG embedded-payload BMP, "
     "A2R10G10B10 BI_ALPHABITFIELDS BMP, OS/2 BITMAPCOREHEADER BMP, "
-    "and big-endian LZW+predictor / PackBits-palette / multi-strip "
-    "Deflate TIFF: the round-8 retirements close the whole common "
-    "BMP container surface AND add the baseline TIFF container) is "
+    "big-endian LZW+predictor / PackBits-palette / multi-strip "
+    "Deflate TIFF, and — round 11, the last BMP registry gate — the "
+    "printer-DIB CMYK pair BI_CMYK and BI_CMYKRLE4, converted with "
+    "the shared naive (255-ink)*(255-K)//255 map) is "
     "ENCODED "
     "and then DECODED by the real pure-numpy codecs through the "
     "Arrow mapInPandas kernel; the oracle recomputes the expected "
@@ -7034,7 +7051,7 @@ def q138_copurchase_triangles(spark, sf_dir):
     "q139_image_feature_stats",
     f"""
     WITH m AS (
-        SELECT i, i % 16 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 18 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, unnest(range(h)) AS y FROM m),
@@ -7058,10 +7075,11 @@ def q138_copurchase_triangles(spark, sf_dir):
     """,
     "Multimodal feature extraction, driver-verified end-to-end "
     "(multimodal.image_exact_stats): the deterministic gradient "
-    "images — encoded across SIXTEEN containers (24/32-bit BMP, "
+    "images — encoded across EIGHTEEN containers (24/32-bit BMP, "
     "555 and 565 16-bit BMP, PPM, 8/4/1-bit paletted, RLE8, RLE4, "
-    "BI_PNG embed, A2R10G10B10 alpha-bitfields, OS/2 core, and "
-    "LZW/PackBits-palette/Deflate TIFF) — are decoded by the real "
+    "BI_PNG embed, A2R10G10B10 alpha-bitfields, OS/2 core, "
+    "LZW/PackBits-palette/Deflate TIFF, and the round-11 CMYK "
+    "printer DIBs) — are decoded by the real "
     "pure-numpy codecs inside the Arrow kernel and reduced to "
     "integer-exact channel/luminance sums; the oracle regenerates "
     "each variant's pixels from its closed form (full-depth variants "
@@ -7257,7 +7275,7 @@ def q142_video_frame_sample(spark, sf_dir):
     "q143_image_resize_verify",
     f"""
     WITH m AS (
-        SELECT i, i % 16 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
+        SELECT i, i % 18 AS k, 16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(100) t(i)
     ),
     ys AS (SELECT i, k, w, h, unnest(range(8)) AS yy FROM m),

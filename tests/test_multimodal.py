@@ -3753,9 +3753,18 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
 
     pal16v = rng.randint(0, 256, (16, 3)).astype(np.uint8)
     idx4 = rng.randint(0, 16, (9, 11)).astype(np.uint8)
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        encode_bmp_cmyk,
+    )
+
+    cmyk4 = rng.randint(0, 256, (9, 7, 4)).astype(np.uint8)
+    palc16 = rng.randint(0, 256, (16, 4)).astype(np.uint8)
     streams = [
         (encode_bmp(img), decode_bmp),
         (encode_bmp32(img), decode_bmp),
+        (encode_bmp_cmyk(cmyk4), decode_bmp),
+        (encode_bmp_paletted(idx4, palc16, bpp=4, rle=True, cmyk=True),
+         decode_bmp),
         (encode_bmp16_555(img), decode_bmp),
         (encode_bmp16_565(img), decode_bmp),
         (encode_bmp8(idx8, pal8), decode_bmp),
@@ -4064,3 +4073,47 @@ def test_tiff_jpeg_round11_layouts_and_headroom():
                 rbw=[16, 1, 16, 1, 128, 1, 240, 1, 128, 1, 240, 1],
             )
         )
+
+
+def test_bmp_cmyk_printer_dibs():
+    """BI_CMYK / BI_CMYKRLE8 / BI_CMYKRLE4 (round 11 — the last BMP
+    registry gates): ink quads and CMYK palettes convert with the
+    same naive uncalibrated map as TIFF photometric 5; layouts store
+    byte-reversed K,Y,M,C like BGRX. Mismatched bpp pairings stay
+    loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp_cmyk,
+        encode_bmp_paletted,
+    )
+
+    rng = np.random.RandomState(23)
+
+    def ref(ink):
+        i6 = ink.astype(np.int64)
+        kk = 255 - i6[..., 3]
+        return np.stack(
+            [((255 - i6[..., j]) * kk) // 255 for j in range(3)], -1
+        ).astype(np.uint8)
+
+    cmyk = rng.randint(0, 256, (10, 13, 4)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp_cmyk(cmyk)), ref(cmyk))
+    # pure-K gray ramp: R=G=B=255-K when C=M=Y=0
+    ramp = np.zeros((1, 256, 4), np.uint8)
+    ramp[..., 3] = np.arange(256, dtype=np.uint8)
+    got = decode_bmp(encode_bmp_cmyk(ramp))
+    assert np.array_equal(got[0, :, 0], 255 - np.arange(256, dtype=np.uint8).astype(np.int64))
+    for bpp, n in ((8, 256), (4, 16)):
+        palc = rng.randint(0, 256, (n, 4)).astype(np.uint8)
+        idx = rng.randint(0, n, (7, 19)).astype(np.uint8)
+        b = encode_bmp_paletted(idx, palc, bpp=bpp, rle=True, cmyk=True)
+        assert np.array_equal(decode_bmp(b), ref(palc)[idx])
+    # forged pairings: BI_CMYK demands 32bpp, the RLE codes 8/4
+    import struct as st
+
+    b = bytearray(encode_bmp_cmyk(cmyk))
+    b[28:30] = st.pack("<H", 24)  # bpp 24 with comp 11
+    with pytest.raises(ValueError, match="invalid BMP header"):
+        decode_bmp(bytes(b))
