@@ -824,3 +824,128 @@ def test_theil_sen_slope_median_matches_bruteforce(spark, by_di):
     assert [(r.percent, r.n, r.k, r.value) for r in rows] == [
         (50, n, k, want)
     ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    p_idx=st.integers(min_value=0, max_value=2),
+    pred=st.integers(min_value=1, max_value=7),
+    pt=st.integers(min_value=0, max_value=7),
+    color=st.booleans(),
+    rr=st.integers(min_value=0, max_value=4),
+)
+def test_jpeg_lossless_point_transform_property(
+    seed, p_idx, pred, pt, color, rr
+):
+    """Round 11 (verdict task): lossless JPEG with a RANDOM point
+    transform — decoded samples must be exactly (v >> Pt) << Pt for
+    every predictor x precision x Pt in range, gray and color, with
+    and without row-aligned restarts. The encoder's re-scaling and
+    the decoder's inverse shift have to agree on the predictor
+    DOMAIN (prediction runs on the shifted samples, T.81 H.1.2)."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(seed)
+    p = (8, 12, 16)[p_idx]
+    pt = min(pt, p - 1)
+    h, w = rng.randint(1, 14), rng.randint(1, 14)
+    shape = (h, w, 3) if color else (h, w)
+    dt = np.uint8 if p <= 8 else np.uint16
+    a = rng.randint(0, 1 << p, shape).astype(dt)
+    b = encode_jpeg_lossless(
+        a,
+        predictor=pred,
+        point_transform=pt,
+        precision=p,
+        restart_rows=rr if 0 < rr < h else 0,
+    )
+    raw = decode_jpeg(b)
+    assert raw.dtype == dt
+    want = (a.reshape(h, w, -1).astype(np.int64) >> pt) << pt
+    if not color:
+        want = np.repeat(want, 3, axis=2)
+    assert np.array_equal(raw.astype(np.int64), want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    sizes=st.lists(
+        st.sampled_from([0, 1, 7, 254, 255, 256, 510, 511, 600]),
+        min_size=1,
+        max_size=8,
+    ),
+    max_segs=st.integers(min_value=1, max_value=50),
+    own=st.lists(st.booleans(), min_size=8, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ogg_lacing_random_splits_property(sizes, max_segs, own, seed):
+    """Round 11 (verdict task): the Ogg page writer under RANDOM
+    packet sizes (empty, exact 255-multiples, spans) and RANDOM page
+    budgets must produce pages an independent RFC 3533 re-parser
+    reassembles into the ORIGINAL packets — with every page CRC
+    valid (forward 0x04C11DB7), BOS on page 0, EOS on the last, the
+    continued flag consistent, and 255-terminated packets carrying
+    their explicit 0 lacing terminator."""
+    import struct
+
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _ogg_crc,
+        _ogg_encapsulate,
+    )
+
+    rng = np.random.RandomState(seed)
+    packets = [
+        (rng.bytes(s), k * 100, bool(own[k % len(own)]))
+        for k, s in enumerate(sizes)
+    ]
+    b = _ogg_encapsulate(packets, max_segs=max_segs)
+    # independent re-parse (test-local, NOT the production walker)
+    pos, got, cur = 0, [], bytearray()
+    first, continued_expected = True, False
+    last_page_end = 0
+    while pos < len(b):
+        assert b[pos : pos + 4] == b"OggS"
+        htype = b[pos + 5]
+        if first:
+            assert htype & 0x02, "BOS missing on first page"
+        assert bool(htype & 0x01) == continued_expected
+        nsegs = b[pos + 26]
+        segs = b[pos + 27 : pos + 27 + nsegs]
+        paylen = sum(segs)
+        page_end = pos + 27 + nsegs + paylen
+        (crc_stored,) = struct.unpack_from("<I", b, pos + 22)
+        z = bytearray(b[pos:page_end])
+        z[22:26] = b"\x00\x00\x00\x00"
+        assert _ogg_crc(bytes(z)) == crc_stored, "page CRC invalid"
+        p = pos + 27 + nsegs
+        for s in segs:
+            cur += b[p : p + s]
+            p += s
+            if s < 255:
+                got.append(bytes(cur))
+                cur = bytearray()
+        continued_expected = bool(nsegs) and segs[-1] == 255
+        last_page_end = page_end
+        first = False
+        pos = page_end
+    assert last_page_end == len(b)
+    assert b[_find_last_ogg_page(b) + 5] & 0x04, "EOS missing"
+    assert not cur, "dangling continued packet"
+    assert got == [d for d, _, _ in packets]
+
+
+def _find_last_ogg_page(b: bytes) -> int:
+    pos, last = 0, 0
+    while pos < len(b):
+        last = pos
+        nsegs = b[pos + 26]
+        pos += 27 + nsegs + sum(b[pos + 27 : pos + 27 + nsegs])
+    return last
