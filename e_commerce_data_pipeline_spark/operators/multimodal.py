@@ -2785,7 +2785,11 @@ def decode_tiff(b: bytes):
                 raise ValueError("TIFF embedded JPEG must be 8-bit")
             return px
 
-        nplanes = 3 if planar == 2 else 1
+        # planar with ONE sample per pixel is degenerate-legal
+        # (identical to chunky) — only spp=3 splits the segment
+        # sequence into component-major plane sets
+        planar_sep = planar == 2 and spp == 3
+        nplanes = 3 if planar_sep else 1
         if tiled:
             tw, th = one(322), one(323)
             if not tw or not th:
@@ -2806,7 +2810,7 @@ def decode_tiff(b: bytes):
                     raise ValueError("TIFF JPEG tile smaller than declared")
                 c, rem = divmod(idx, ta * td)
                 ty, tx = rem // ta, rem % ta
-                if planar == 2:
+                if planar_sep:
                     canvas[ty * th : (ty + 1) * th,
                            tx * tw : (tx + 1) * tw, c] = px[:th, :tw, 0]
                 else:
@@ -2824,7 +2828,7 @@ def decode_tiff(b: bytes):
             per_plane = -(-h // rps)
             if len(offsets) != per_plane * nplanes:
                 raise ValueError("TIFF strip count does not cover the image")
-            if planar == 2:
+            if planar_sep:
                 out = np.zeros((h, w, 3), np.uint8)
                 for si, (off, cnt) in enumerate(zip(offsets, counts)):
                     c, s = divmod(si, per_plane)

@@ -9881,8 +9881,8 @@ def q176_png16_decode_stats(spark, sf_dir):
     "q177_mixed_media_dispatch",
     """
     WITH all_media AS (
-        SELECT CASE WHEN i % 16 = 1 THEN 'ppm'
-                    WHEN i % 16 >= 13 THEN 'tiff'
+        SELECT CASE WHEN i % 18 = 1 THEN 'ppm'
+                    WHEN i % 18 IN (13, 14, 15) THEN 'tiff'
                     ELSE 'bmp' END AS fmt,
                16 + (i % 8) * 4 AS w, 16 + (i % 5) * 4 AS h
         FROM range(40) t(i)
@@ -9914,7 +9914,7 @@ def q176_png16_decode_stats(spark, sf_dir):
     """,
     "Heterogeneous media corpus in ONE scan — the 100 TB reality no "
     "single-format query exercises: 357 images across SEVEN corpora "
-    "and SIX formats (16-variant BMP/PPM/TIFF-family census, "
+    "and SIX formats (18-variant BMP/PPM/TIFF/CMYK-family census, "
     "sequential/palette/Adam7 PNG, 4:4:4+extended JPEG with "
     "BI_JPEG-wrapped rows dispatching as bmp, subsampling-family "
     "JPEG, GIF) flow through the magic-byte dispatch "

@@ -4117,3 +4117,35 @@ def test_bmp_cmyk_printer_dibs():
     b[28:30] = st.pack("<H", 24)  # bpp 24 with comp 11
     with pytest.raises(ValueError, match="invalid BMP header"):
         decode_bmp(bytes(b))
+
+
+def test_tiff_jpeg_gray_planar_tag_is_degenerate_legal():
+    """PlanarConfiguration=2 with SamplesPerPixel=1 is spec-legal and
+    identical to chunky (planar separation only means something at
+    spp=3) — a gray JPEG-in-TIFF carrying the tag must decode, not
+    trip the component-major strip accounting (round-11 self-review
+    fix)."""
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _tiff_ifd,
+        decode_tiff,
+        encode_jpeg,
+    )
+
+    tiles = (np.arange(6, dtype=np.int64).reshape(2, 3) * 40 + 9) % 256
+    gray = np.kron(tiles, np.ones((8, 8), np.int64)).astype(np.uint8)
+    h, w = gray.shape
+    stream = encode_jpeg(gray, quality=90)
+    body = stream + (b"\x00" if len(stream) % 2 else b"")
+    ifd_off = 8 + len(body)
+    tags = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8]), (259, 3, [7]),
+        (262, 3, [1]), (273, 4, [8]), (277, 3, [1]), (278, 3, [h]),
+        (279, 4, [len(stream)]), (284, 3, [2]),
+    ]
+    buf = (
+        b"II" + st.pack("<HI", 42, ifd_off) + body
+        + _tiff_ifd("<", tags, ifd_off)
+    )
+    assert np.array_equal(decode_tiff(buf), np.stack([gray] * 3, -1))
