@@ -10795,7 +10795,8 @@ def _flac_decode_subframe(rd: _FlacBitReader, n: int, bps: int):
 
 def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
                 blocksize: int = 256, mode_rotation: bool = True,
-                ogg: bool = False) -> bytes:
+                ogg: bool = False,
+                ogg_serial: int = 0x464C4143) -> bytes:
     """Mono (n,) or stereo (n, 2) int array -> FLAC bytes.
 
     ``mode_rotation`` cycles the stereo decorrelation (independent /
@@ -10804,7 +10805,9 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
     multi-frame corpus exercises the full decoder surface. ``ogg``
     wraps the stream in Ogg pages per the xiph FLAC-to-Ogg mapping
     (mapping packet + a minimal VORBIS_COMMENT header packet + one
-    frame per audio packet, small pages forcing 255-lacing spans)."""
+    frame per audio packet, small pages forcing 255-lacing spans);
+    ``ogg_serial`` sets the logical-stream serial (chained links
+    need distinct serials, round 11)."""
     import numpy as np
 
     a = np.asarray(samples, np.int64)
@@ -10908,7 +10911,7 @@ def encode_flac(samples, sample_rate: int = 16000, bps: int = 16,
         bytes([si_block[0] & 0x7F]) + si_block[1:]  # more headers follow
     packets = [(mapping, None, True), (vc_block, None, True)]
     packets += [(fr, end, False) for fr, end in frames]
-    return _ogg_encapsulate(packets)
+    return _ogg_encapsulate(packets, serial=ogg_serial)
 
 
 # ---------------------------------------------------------------------------
@@ -11029,19 +11032,81 @@ def _ogg_encapsulate(packets, serial: int = 0x464C4143,
     return bytes(final)
 
 
+def _ogg_page_spans(b: bytes):
+    """Page (start, end) offsets of an Ogg byte stream (writer-side
+    helper; assumes well-formed pages)."""
+    pos, spans = 0, []
+    while pos < len(b):
+        if b[pos : pos + 4] != b"OggS":
+            raise ValueError("Ogg capture pattern missing")
+        nsegs = b[pos + 26]
+        end = pos + 27 + nsegs + sum(b[pos + 27 : pos + 27 + nsegs])
+        spans.append((pos, end))
+        pos = end
+    return spans
+
+
+def ogg_skeleton_stream(serial: int = 0x6E6F6E65) -> bytes:
+    """A minimal Ogg Skeleton logical stream (the metadata track real
+    multiplexed files carry): a fishead BOS packet + one fisbone
+    packet on the EOS page. Content is ignored by the FLAC demux —
+    the stream exists to be correctly SKIPPED."""
+    fishead = (
+        b"fishead\x00" + struct.pack("<HH", 3, 0)
+        + struct.pack("<qq", 0, 1000)  # presentation num/den
+        + struct.pack("<qq", 0, 1000)  # basetime num/den
+        + b"\x00" * 20  # UTC field
+    )
+    fisbone = (
+        b"fisbone\x00" + struct.pack("<I", 44)
+        + struct.pack("<I", 0x464C4143)  # bone for the FLAC serial
+        + b"\x00" * 40
+    )
+    return _ogg_encapsulate(
+        [(fishead, None, True), (fisbone, 0, True)], serial=serial
+    )
+
+
+def ogg_multiplex(*oggs: bytes) -> bytes:
+    """Interleave complete single-serial Ogg streams into one GROUPED
+    (multiplexed) file per RFC 3533: every stream's BOS page first
+    (in argument order), then the remaining pages round-robin. Pages
+    are byte-identical (serial, per-stream sequence numbers and CRCs
+    unchanged) — grouping is purely a page-ordering transform."""
+    spans = [
+        [s[a:z] for a, z in _ogg_page_spans(s)] for s in oggs
+    ]
+    out = bytearray()
+    for pages in spans:
+        out += pages[0]
+    rest = [pages[1:] for pages in spans]
+    k = 0
+    while any(rest):
+        if rest[k % len(rest)]:
+            out += rest[k % len(rest)].pop(0)
+        k += 1
+    return bytes(out)
+
+
 def _ogg_flac_native(b: bytes) -> bytes:
     """Ogg FLAC bytes -> the equivalent NATIVE FLAC stream: walk
     pages (capture pattern, version 0, segment-table reassembly,
-    CRC-32 per page, continued-flag consistency), parse the mapping
-    header packet, skip the advertised header packets, and
-    concatenate the audio packets (one FLAC frame each) behind a
-    re-synthesized fLaC + STREAMINFO prologue. Structural damage
-    raises ValueError; real variants (mapping major version bump,
-    multiplexed streams) gate via require_codec."""
+    CRC-32 per page, per-STREAM continued-flag consistency), demux
+    logical streams by serial (round 11: GROUPED/multiplexed files —
+    e.g. a Skeleton fishead stream alongside — and CHAINED files
+    both decode: pages partition by serial, the FIRST FLAC-mapped
+    stream wins, other serials are skipped like any real demuxer;
+    a chained file's later links are by definition separate logical
+    streams), parse the mapping header packet, skip the advertised
+    header packets, and concatenate the audio packets (one FLAC
+    frame each) behind a re-synthesized fLaC + STREAMINFO prologue.
+    Structural damage — torn pages, bad CRC, a page for an unknown
+    serial without BOS, duplicate BOS, pages after EOS, a stream
+    ending mid-packet — raises ValueError; a mapping major-version
+    bump still gates via require_codec."""
     pos = 0
-    packets: list = []
-    cur = bytearray()
-    serial = None
+    streams: dict = {}  # serial -> [packets, cur_buf, eos_flag]
+    order: list = []
     while pos < len(b):
         if b[pos : pos + 4] != b"OggS":
             raise ValueError("Ogg capture pattern missing")
@@ -11064,24 +11129,40 @@ def _ogg_flac_native(b: bytes) -> bytes:
         if _ogg_crc(bytes(zeroed)) != crc_stored:
             raise ValueError("Ogg page CRC mismatch")
         (pserial,) = struct.unpack_from("<I", b, pos + 14)
-        if serial is None:
-            serial = pserial
-        elif pserial != serial:
-            require_codec("Ogg multiplexed/chained streams")
-        if bool(htype & 0x01) != bool(cur):
+        st = streams.get(pserial)
+        if st is None:
+            if not (htype & 0x02):
+                raise ValueError("Ogg page for unknown stream without BOS")
+            st = streams[pserial] = [[], bytearray(), False]
+            order.append(pserial)
+        elif htype & 0x02:
+            raise ValueError("Ogg duplicate BOS for one serial")
+        if st[2]:
+            raise ValueError("Ogg page after EOS for its stream")
+        if bool(htype & 0x01) != bool(st[1]):
             raise ValueError("Ogg continued-packet flag inconsistent")
         p = hdr_end
         for s in segs:
-            cur += b[p : p + s]
+            st[1] += b[p : p + s]
             p += s
             if s < 255:
-                packets.append(bytes(cur))
-                cur = bytearray()
+                st[0].append(bytes(st[1]))
+                st[1] = bytearray()
+        if htype & 0x04:
+            st[2] = True
         pos = hdr_end + paylen
-    if cur:
-        raise ValueError("Ogg stream ends mid-packet")
-    if not packets:
-        raise ValueError("Ogg stream has no packets")
+    for pserial in order:
+        if streams[pserial][1]:
+            raise ValueError("Ogg stream ends mid-packet")
+    packets = None
+    for pserial in order:
+        pk = streams[pserial][0]
+        if pk and len(pk[0]) >= 5 and pk[0][0] == 0x7F \
+                and pk[0][1:5] == b"FLAC":
+            packets = pk
+            break
+    if packets is None:
+        raise ValueError("Ogg stream is not FLAC-mapped")
     first = packets[0]
     if len(first) < 9 or first[0] != 0x7F or first[1:5] != b"FLAC":
         raise ValueError("Ogg stream is not FLAC-mapped")
@@ -11516,7 +11597,11 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
     i%16==13 / i%16==14 sub-rotation ships those rows OGG-
     ENCAPSULATED (round 10 — page walk, CRC-32, lacing reassembly;
     lossless, so the oracle is container-invisible, the q166 .au
-    lesson: the row still gates on the Ogg decode path). k=7 (round
+    lesson: the row still gates on the Ogg decode path); i%32==29
+    additionally GROUPS the Ogg FLAC with a Skeleton stream and
+    i%32==30 CHAINS a second distinct-serial FLAC link behind the
+    first (round 11 — both demux-invisible to the oracle, both
+    gating on the multi-stream page walk). k=7 (round
     9) is constant-amplitude AIFF — big-endian 16-bit PCM with the
     80-bit-extended sample-rate field, or the AIFC little-endian
     'sowt' layout when i%16==15 (both decode identically, so one
@@ -11564,11 +11649,26 @@ def synthetic_audio_table(spark, n: int = 50) -> DataFrame:
                 amp - (t * 7 + i) % 97, 16000, bps=16, blocksize=4096,
                 ogg=(i % 16 == 13),
             )
+            if i % 32 == 29:
+                # round 11: GROUPED (multiplexed) Ogg — a Skeleton
+                # metadata stream interleaves with the FLAC pages;
+                # decode must demux by serial, so the fold is
+                # oracle-invisible but gates on the grouped walk
+                content = ogg_multiplex(ogg_skeleton_stream(), content)
         elif k == 6:
             content = encode_flac(
                 (amp - (t * 11 + i) % 73) * 256, 16000, bps=24,
                 blocksize=4096, ogg=(i % 16 == 14),
             )
+            if i % 32 == 30:
+                # round 11: CHAINED Ogg — a second FLAC link (distinct
+                # serial, different audio) follows the first; a
+                # demuxer decodes the FIRST link, so the fold is
+                # oracle-invisible but gates on the chain walk
+                content += encode_flac(
+                    (t[:2048] * 3) % 1024 - 512, 8000, bps=16,
+                    blocksize=1024, ogg=True, ogg_serial=0x0BADCAFE,
+                )
         else:
             content = encode_aiff(
                 np.full(frames, amp, np.int64), 16000, bits=16,

@@ -5899,7 +5899,13 @@ def q117_multimodal_decode_meta(spark, sf_dir):
     "ships those rows OGG-ENCAPSULATED — RFC 3533 page walk, forward "
     "CRC-32, 255-lacing packet reassembly, xiph mapping header — "
     "container-invisible to the oracle but gating on the Ogg decode "
-    "path) plus AIFF (round 9, k=7: big-endian PCM "
+    "path; round 11 extends the rotation: i%32==29 ships the Ogg "
+    "FLAC GROUPED with a Skeleton metadata stream — pages demux by "
+    "serial, the fishead track is skipped — and i%32==30 ships a "
+    "CHAINED file whose second FLAC link, distinct serial and "
+    "different audio, is ignored in favor of the first, so both "
+    "folds stay oracle-invisible while gating on the multi-stream "
+    "walk) plus AIFF (round 9, k=7: big-endian PCM "
     "with the 80-bit-extended sample-rate field, or AIFC 'sowt' "
     "little-endian on i%16==15 — both decode identically, fmt_code "
     "sentinel 41471). The constant-amplitude WAVs cycle by "

@@ -3712,6 +3712,9 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
         encode_wav_pcm8,
         encode_wav_pcm24,
         encode_wav_pcm32,
+        decode_flac,
+        ogg_multiplex,
+        ogg_skeleton_stream,
     )
 
     rng = np.random.RandomState(3)
@@ -3830,6 +3833,12 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                            rbw=[16, 1, 235, 1, 128, 1, 240, 1,
                                 128, 1, 240, 1]),
          decode_tiff),
+        # round 11: grouped Ogg (Skeleton + FLAC) joins the sweep
+        (ogg_multiplex(
+            ogg_skeleton_stream(),
+            encode_flac(samples[:120].astype(np.int64), 16000,
+                        bps=16, blocksize=64, ogg=True)),
+         lambda s: decode_flac(s)),
         (encode_apng(
             [(np.concatenate(
                 [img[:8, :10],
@@ -4149,3 +4158,61 @@ def test_tiff_jpeg_gray_planar_tag_is_degenerate_legal():
         + _tiff_ifd("<", tags, ifd_off)
     )
     assert np.array_equal(decode_tiff(buf), np.stack([gray] * 3, -1))
+
+
+def test_ogg_grouped_and_chained_streams():
+    """Round 11: multiplexed (grouped) and chained Ogg files decode —
+    pages demux by serial, the first FLAC-mapped stream wins, a
+    Skeleton metadata track is skipped, later chain links are
+    ignored; same-serial relinking and mid-chain structural damage
+    stay loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+        ogg_multiplex,
+        ogg_skeleton_stream,
+    )
+
+    rng = np.random.RandomState(31)
+    a = rng.randint(-30000, 30000, 5000).astype(np.int64)
+    b2 = rng.randint(-2000, 2000, 3000).astype(np.int64)
+    ogg_a = encode_flac(a, 16000, bps=16, blocksize=1024, ogg=True)
+    # grouped with a Skeleton track, either BOS order
+    for mux in (
+        ogg_multiplex(ogg_skeleton_stream(), ogg_a),
+        ogg_multiplex(ogg_a, ogg_skeleton_stream()),
+    ):
+        dec, rate, bits = decode_flac(mux)
+        assert (rate, bits) == (16000, 16)
+        assert np.array_equal(dec[:, 0], a)
+    # chained: FIRST link decodes, second (distinct serial,
+    # different rate/audio) is ignored
+    ogg_b = encode_flac(b2, 8000, bps=16, blocksize=1024, ogg=True,
+                        ogg_serial=0x0BADCAFE)
+    dec, rate, bits = decode_flac(ogg_a + ogg_b)
+    assert rate == 16000 and np.array_equal(dec[:, 0], a)
+    # three-way grouping (two metadata-ish tracks) still demuxes
+    sk2 = ogg_skeleton_stream(serial=0x0000BEEF)
+    dec, rate, _ = decode_flac(
+        ogg_multiplex(ogg_skeleton_stream(), sk2, ogg_a)
+    )
+    assert np.array_equal(dec[:, 0], a)
+    # same-serial chain = duplicate BOS, loud
+    with pytest.raises(ValueError, match="duplicate BOS"):
+        decode_flac(ogg_a + ogg_a)
+    # a page for an unknown serial without BOS is loud: strip the
+    # skeleton's BOS page out of a grouped file
+    mux = ogg_multiplex(ogg_skeleton_stream(), ogg_a)
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _ogg_page_spans,
+    )
+
+    spans = _ogg_page_spans(mux)
+    torn = mux[: spans[0][0]] + mux[spans[0][1] :]
+    with pytest.raises(ValueError, match="without BOS"):
+        decode_flac(torn)
+    # skeleton-only file is not FLAC-mapped
+    with pytest.raises(ValueError, match="not FLAC-mapped"):
+        decode_flac(ogg_skeleton_stream())
