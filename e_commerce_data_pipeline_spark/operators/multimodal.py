@@ -2755,14 +2755,15 @@ def decode_tiff(b: bytes):
         # scanned page.
         if depth != 8:
             raise ValueError("JPEG-in-TIFF requires 8-bit samples")
-        if photo not in (0, 1, 2, 6):
+        if photo not in (0, 1, 2, 5, 6):
             require_codec(f"JPEG-in-TIFF photometric {photo}")
-        if planar == 2 and photo == 6:
-            # planar YCbCr ships SUBSAMPLED chroma plane dims — a
-            # different (and in the wild unseen) geometry contract
-            require_codec("planar YCbCr JPEG-in-TIFF")
+        if planar == 2 and photo in (5, 6):
+            # planar YCbCr ships SUBSAMPLED chroma plane dims; planar
+            # CMYK is unseen in the wild — both gate
+            require_codec(f"planar JPEG-in-TIFF photometric {photo}")
         if (photo in (0, 1) and spp != 1) or \
-                (photo in (2, 6) and spp != 3):
+                (photo in (2, 6) and spp != 3) or \
+                (photo == 5 and spp != 4):
             raise ValueError("JPEG-in-TIFF photometric/spp mismatch")
         tb_body = b""
         if 347 in entries:
@@ -2779,10 +2780,15 @@ def decode_tiff(b: bytes):
             if tb_body:
                 stream = b"\xff\xd8" + tb_body + stream[2:]
             px = decode_jpeg(
-                stream, color_space="rgb" if photo == 2 else "auto"
+                stream,
+                color_space="rgb" if photo in (2, 5) else "auto",
             )
             if px.dtype != np.uint8:
                 raise ValueError("TIFF embedded JPEG must be 8-bit")
+            if px.shape[2] != (4 if photo == 5 else 3):
+                raise ValueError(
+                    "TIFF embedded JPEG component count mismatch"
+                )
             return px
 
         # planar with ONE sample per pixel is degenerate-legal
@@ -2801,9 +2807,11 @@ def decode_tiff(b: bytes):
             ta, td = -(-w // tw), -(-h // th)
             if len(offsets) != ta * td * nplanes:
                 raise ValueError("TIFF tile count does not cover the image")
-            if tw * th > (1 << 24) or ta * tw * td * th * 3 > (1 << 27):
+            ch_out = 4 if photo == 5 else 3
+            if tw * th > (1 << 24) or \
+                    ta * tw * td * th * ch_out > (1 << 27):
                 raise ValueError("TIFF tile grid implausibly large")
-            canvas = np.zeros((td * th, ta * tw, 3), np.uint8)
+            canvas = np.zeros((td * th, ta * tw, ch_out), np.uint8)
             for idx, (off, cnt) in enumerate(zip(offsets, counts)):
                 px = jdec(off, cnt)
                 if px.shape[0] < th or px.shape[1] < tw:
@@ -2851,6 +2859,15 @@ def decode_tiff(b: bytes):
                         )
                     parts.append(px[:rows_here, :w])
                 out = np.concatenate(parts, axis=0)
+        if photo == 5:
+            # CMYK JPEG (the Adobe scanned-document class): the
+            # shared naive uncalibrated ink conversion
+            ink = out.astype(np.int64)
+            kk = 255 - ink[..., 3]
+            out = np.stack(
+                [((255 - ink[..., j]) * kk) // 255 for j in range(3)],
+                axis=-1,
+            ).astype(np.uint8)
         if photo == 0:  # WhiteIsZero gray JPEG: spec-legal inversion
             out = (255 - out.astype(np.int32)).astype(np.uint8)
         return out
@@ -3899,9 +3916,15 @@ def encode_tiff_jpeg(
     a = np.asarray(arr, np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
-    spp, photo = (1, 1) if gray else ((3, 2) if rgb_space else (3, 6))
+    if gray:
+        spp, photo = 1, 1
+    elif a.shape[2] == 4:
+        assert rgb_space, "CMYK JPEG-in-TIFF needs rgb_space scans"
+        spp, photo = 4, 5
+    else:
+        spp, photo = (3, 2) if rgb_space else (3, 6)
     if planar:
-        assert rgb_space and not old_style, (
+        assert rgb_space and photo == 2 and not old_style, (
             "planar JPEG-in-TIFF ships RGB full-size planes"
         )
     if old_style:
@@ -5696,40 +5719,70 @@ def synthetic_tiff_subbyte_table(spark, n: int = 24) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_cmyk_table(spark, n: int = 12) -> DataFrame:
-    """Deterministic CMYK TIFF media table (photometric 5): image i
-    is w=15+(i%4)*4 by h=9+(i%3)*4 with inks C=(x*5+y*11+i*13)%256,
-    M=(C+85)%256, Y=(C+170)%256, K=(x*3+y*7+i*19)%256 — the q198
-    oracle replays the naive uncalibrated conversion
-    (255-ink)*(255-K)//255 closed-form. Containers rotate
-    compression (i%4) and byte order (i%2); i%3==0 ships 16x16
-    tiled. media_id offset +200 keeps ids disjoint inside the
-    'tiff' census group."""
+def synthetic_tiff_cmyk_table(spark, n: int = 18) -> DataFrame:
+    """Deterministic CMYK TIFF media table (photometric 5): image
+    i < 12 is w=15+(i%4)*4 by h=9+(i%3)*4 with inks
+    C=(x*5+y*11+i*13)%256, M=(C+85)%256, Y=(C+170)%256,
+    K=(x*3+y*7+i*19)%256 — the q198 oracle replays the naive
+    uncalibrated conversion (255-ink)*(255-K)//255 closed-form.
+    Containers rotate compression (i%4) and byte order (i%2);
+    i%3==0 ships 16x16 tiled. Rows 12-17 (round 11) ship CMYK
+    JPEG-IN-TIFF (compression 7 — the Adobe scanned-document class:
+    4-component no-transform scans with C/M/Y/K component IDs):
+    BLOCK-CONSTANT ink tiles C=(i*41+by*9+bx*23)%256 (+85/+170
+    offsets), K=(i*17+by*5+bx*3)%256 at w=16+(i%3)*8, h=16+(i%2)*8
+    keep every ink channel DC-only bit-exact; rotations cover 8-row
+    strips (i%3==1), shared JPEGTables (i%3==2), 16x16 tiles
+    (i%3==0), and byte order (i%2). media_id offset +200 keeps ids
+    disjoint inside the 'tiff' census group."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
     rows = []
     for i in range(n):
-        w, h = 15 + (i % 4) * 4, 9 + (i % 3) * 4
-        y = np.arange(h, dtype=np.int64)[:, None]
-        x = np.arange(w, dtype=np.int64)[None, :]
-        c = (x * 5 + y * 11 + i * 13) % 256
-        cmyk = np.stack(
-            [c, (c + 85) % 256, (c + 170) % 256,
-             (x * 3 + y * 7 + i * 19) % 256],
-            axis=-1,
-        ).astype(np.uint8)
+        if i < 12:
+            w, h = 15 + (i % 4) * 4, 9 + (i % 3) * 4
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            c = (x * 5 + y * 11 + i * 13) % 256
+            cmyk = np.stack(
+                [c, (c + 85) % 256, (c + 170) % 256,
+                 (x * 3 + y * 7 + i * 19) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            content = encode_tiff(
+                cmyk,
+                compression=comps[i % 4],
+                big_endian=bool(i % 2),
+                rows_per_strip=4,
+                tile=(16, 16) if i % 3 == 0 else None,
+            )
+        else:
+            w, h = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+            by = np.arange(h // 8, dtype=np.int64)[:, None]
+            bx = np.arange(w // 8, dtype=np.int64)[None, :]
+            ct = (i * 41 + by * 9 + bx * 23) % 256
+            kt = (i * 17 + by * 5 + bx * 3) % 256
+            one8 = np.ones((8, 8), np.int64)
+            c = np.kron(ct, one8)
+            k = np.kron(kt, one8)
+            cmyk = np.stack(
+                [c, (c + 85) % 256, (c + 170) % 256, k], axis=-1
+            ).astype(np.uint8)
+            content = encode_tiff_jpeg(
+                cmyk,
+                quality=85 + (i % 3) * 5,
+                rgb_space=True,
+                rows_per_strip=8 if i % 3 == 1 else 0,
+                tile=(16, 16) if i % 3 == 0 else None,
+                jpeg_tables=(i % 3 == 2),
+                big_endian=bool(i % 2),
+            )
         rows.append(
             (
                 200 + i,
                 "image",
-                encode_tiff(
-                    cmyk,
-                    compression=comps[i % 4],
-                    big_endian=bool(i % 2),
-                    rows_per_strip=4,
-                    tile=(16, 16) if i % 3 == 0 else None,
-                ),
+                content,
                 None,
                 f"mem://media/{200 + i}.cmyk.tif",
             )
@@ -7112,15 +7165,19 @@ def encode_jpeg(
     if subsampling not in _JPG_SUBSAMP:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if rgb_space and (gray or subsampling != "444"):
-        raise ValueError("rgb_space needs (h, w, 3) input and 4:4:4")
+        raise ValueError("rgb_space needs (h, w, 3|4) input and 4:4:4")
+    if rgb_space and a.shape[2] not in (3, 4):
+        raise ValueError("rgb_space needs 3 (RGB) or 4 (CMYK) channels")
     fh, fv = _JPG_SUBSAMP[subsampling]
     sub = (fh, fv) != (1, 1) and not gray
     if gray:
         planes = [a.astype(np.float64)]
         samp = [(1, 1)]
     elif rgb_space:
-        planes = [a[..., ci].astype(np.float64) for ci in range(3)]
-        samp = [(1, 1)] * 3
+        planes = [
+            a[..., ci].astype(np.float64) for ci in range(a.shape[2])
+        ]
+        samp = [(1, 1)] * len(planes)
     else:
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -7156,7 +7213,8 @@ def encode_jpeg(
         qc += 512
         ql[0, 0] -= 512
         qc[0, 0] -= 512
-    qts = [ql] * 3 if rgb_space else [ql] + ([] if gray else [qc, qc])
+    qts = [ql] * len(planes) if rgb_space else \
+        [ql] + ([] if gray else [qc, qc])
     dctm = _jpg_dct_mat()
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -7166,7 +7224,7 @@ def encode_jpeg(
     dc_c = _jpg_canonical_codes(*_JPG_HUFF[(0, 1)])
     ac_c = _jpg_canonical_codes(*_JPG_HUFF[(1, 1)])
     tabs = (
-        [(dc_l, ac_l)] * 3
+        [(dc_l, ac_l)] * len(planes)
         if rgb_space
         else [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
     )
@@ -7226,8 +7284,12 @@ def encode_jpeg(
     dqt = dqt_seg(0, ql)
     if not gray and not rgb_space:
         dqt += dqt_seg(1, qc)
-    nc = 1 if gray else 3
-    comp_ids = (0x52, 0x47, 0x42) if rgb_space else (1, 2, 3)
+    nc = len(planes)
+    comp_ids = (
+        ((0x52, 0x47, 0x42) if nc == 3 else (0x43, 0x4D, 0x59, 0x4B))
+        if rgb_space
+        else (1, 2, 3)
+    )
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         hi, vi = samp[ci]
@@ -7562,15 +7624,22 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
         return np.stack([g, g, g], axis=-1)
     ids = tuple(c[0] for c in comps)
     if color_space == "rgb" or (
-        color_space == "auto" and ids == (0x52, 0x47, 0x42)
+        color_space == "auto"
+        and ids in ((0x52, 0x47, 0x42), (0x43, 0x4D, 0x59, 0x4B))
     ):
-        # RGB-space scan: components ARE R/G/B (level-shifted like
-        # any T.81 component) — no color transform
+        # no-transform scan: components ARE R/G/B — or C/M/Y/K
+        # (round 11, the Adobe scanned-CMYK class; the CONTAINER owns
+        # the ink conversion) — level-shifted like any T.81 component
         out = np.stack(
             [np.clip(np.floor(p + 0.5), 0, full) for p in planes],
             axis=-1,
         )
         return out.astype(np.uint8 if prec == 8 else np.uint16)
+    if len(planes) != 3:
+        # 4-component Adobe CMYK/YCCK needs APP14 (or a container
+        # contract) to disambiguate the transform; 2-component scans
+        # have no defined color model at all
+        require_codec(f"{len(planes)}-component JPEG color transform")
     y, cb, cr = planes
     r = y + 1.402 * (cr - lvl)
     g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)

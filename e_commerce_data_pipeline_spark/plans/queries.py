@@ -11787,6 +11787,39 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
         FROM ckrgb GROUP BY i
     ),
+    -- round 11: CMYK JPEG-in-TIFF rows (+212..217) — block-constant
+    -- ink tiles through 4-component no-transform scans; per-tile
+    -- closed form x 64 pixels per tile
+    ckjm AS (
+        SELECT i, (16 + (i % 3) * 8) // 8 AS tw, (16 + (i % 2) * 8) // 8 AS th
+        FROM range(12, 18) t(i)
+    ),
+    ckjb AS (SELECT i, tw, unnest(range(th)) AS by FROM ckjm),
+    ckjt AS (SELECT i, by, unnest(range(tw)) AS bx FROM ckjb),
+    ckjv AS (
+        SELECT i,
+               (i * 41 + by * 9 + bx * 23) % 256 AS c,
+               ((i * 41 + by * 9 + bx * 23) % 256 + 85) % 256 AS m,
+               ((i * 41 + by * 9 + bx * 23) % 256 + 170) % 256 AS yk,
+               (i * 17 + by * 5 + bx * 3) % 256 AS k
+        FROM ckjt
+    ),
+    ckjrgb AS (
+        SELECT i,
+               ((255 - c) * (255 - k)) // 255 AS r,
+               ((255 - m) * (255 - k)) // 255 AS g2,
+               ((255 - yk) * (255 - k)) // 255 AS b2
+        FROM ckjv
+    ),
+    tifckj AS (
+        SELECT 'tiff' AS fmt, i + 200 AS media_id,
+               CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+               CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+               CAST(64 * SUM(g2) AS BIGINT) AS sum_g,
+               CAST(64 * SUM(b2) AS BIGINT) AS sum_b,
+               CAST(MAX(GREATEST(r, g2, b2)) AS BIGINT) AS aux
+        FROM ckjrgb GROUP BY i
+    ),
     pcm2 AS (
         SELECT i, 9 + (i % 4) * 5 AS w, 7 + (i % 3) * 4 AS h
         FROM range(12) t(i)
@@ -12268,6 +12301,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     UNION ALL SELECT * FROM tifff
     UNION ALL SELECT * FROM pnmrows
     UNION ALL SELECT * FROM pcxrows
+    UNION ALL SELECT * FROM tifckj
     UNION ALL SELECT * FROM icrows
     UNION ALL SELECT * FROM tga
     UNION ALL SELECT * FROM jpg
@@ -12294,7 +12328,12 @@ def q197_cdc_validation_census(spark, sf_dir):
     "each channel independently block-constant, the only arms with "
     "per-channel oracle sums), RGB-SPACE PLANAR (3: per-plane "
     "strips, 6: per-plane tiles — single-component scans, "
-    "component-major). YCBCR REFERENCEBLACKWHITE HEADROOM (round "
+    "component-major). CMYK JPEG-IN-TIFF (round 11, +200 family "
+    "rows 12-17 — the Adobe scanned-document class): photometric 5 "
+    "wraps 4-component no-transform scans (C/M/Y/K component IDs); "
+    "block-constant ink tiles keep every channel DC-only bit-exact "
+    "through strips/tiles/JPEGTables, and the shared naive ink "
+    "conversion closes the form. YCBCR REFERENCEBLACKWHITE HEADROOM (round "
     "11, +500 family by i%6): video-range BT.601 codes (4 — "
     "(Y-16)*255/219, (C-128)*127/112, IEEE-double mirrored) and an "
     "exact-5x layout (5 — Y codes %52, Yfull = code*5 integer-"
@@ -12459,7 +12498,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ppm16_table(spark, n=36)
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
-        .unionByName(synthetic_tiff_cmyk_table(spark, n=12))
+        .unionByName(synthetic_tiff_cmyk_table(spark, n=18))
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))

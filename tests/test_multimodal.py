@@ -3828,6 +3828,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
                           tile=(8, 8), jpeg_tables=True), decode_tiff),
         (encode_tiff_jpeg(img, quality=80, rgb_space=True,
                           planar=True, rows_per_strip=8), decode_tiff),
+        (encode_tiff_jpeg(
+            rng.randint(0, 256, (10, 11, 4)).astype(np.uint8),
+            quality=80, rgb_space=True, rows_per_strip=8),
+         decode_tiff),
         (encode_tiff_ycbcr(img8, (img8[::2, ::2] ^ 85),
                            (img8[::2, ::2] ^ 170), (2, 2),
                            rbw=[16, 1, 235, 1, 128, 1, 240, 1,
@@ -4039,6 +4043,23 @@ def test_tiff_jpeg_round11_layouts_and_headroom():
     ):
         b = encode_tiff_jpeg(rgb, quality=90, rgb_space=True, **kw)
         assert np.array_equal(decode_tiff(b), rgb), kw
+    # CMYK JPEG-in-TIFF (photometric 5): block-constant ink tiles
+    # decode bit-exact through the naive conversion, all layouts
+    ct = (np.arange(12).reshape(3, 4) * 41 + 9) % 256
+    kt = (np.arange(12).reshape(3, 4) * 17 + 3) % 256
+    ci = np.kron(ct, np.ones((8, 8), np.int64))
+    ki = np.kron(kt, np.ones((8, 8), np.int64))
+    cmyk = np.stack([ci, (ci + 85) % 256, (ci + 170) % 256, ki],
+                    -1).astype(np.uint8)
+    ink = cmyk.astype(np.int64)
+    kk = 255 - ink[..., 3]
+    want_c = np.stack(
+        [((255 - ink[..., j]) * kk) // 255 for j in range(3)], -1
+    ).astype(np.uint8)
+    for kw in (dict(rows_per_strip=8), dict(tile=(16, 16)),
+               dict(rows_per_strip=8, jpeg_tables=True)):
+        b5 = encode_tiff_jpeg(cmyk, quality=90, rgb_space=True, **kw)
+        assert np.array_equal(decode_tiff(b5), want_c), kw
     # tiled chunky YCbCr parity: tile decode == strip decode on the
     # same block-constant image (both bit-exact)
     g3 = np.stack([(i64 % 256).astype(np.uint8)] * 3, -1)
