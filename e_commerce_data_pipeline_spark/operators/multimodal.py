@@ -2781,7 +2781,11 @@ def decode_tiff(b: bytes):
                 stream = b"\xff\xd8" + tb_body + stream[2:]
             px = decode_jpeg(
                 stream,
-                color_space="rgb" if photo in (2, 5) else "auto",
+                color_space=(
+                    "rgb" if photo == 2
+                    else "cmyk" if photo == 5
+                    else "auto"
+                ),
             )
             if px.dtype != np.uint8:
                 raise ValueError("TIFF embedded JPEG must be 8-bit")
@@ -3892,6 +3896,7 @@ def encode_tiff_jpeg(
     rgb_space: bool = False,
     tile=None,
     planar: bool = False,
+    adobe_transform=None,
 ) -> bytes:
     """(h, w, 3) RGB (photometric 6 — encode_jpeg stores YCbCr — or
     photometric 2 with ``rgb_space``: each strip/tile an RGB-space
@@ -3919,7 +3924,9 @@ def encode_tiff_jpeg(
     if gray:
         spp, photo = 1, 1
     elif a.shape[2] == 4:
-        assert rgb_space, "CMYK JPEG-in-TIFF needs rgb_space scans"
+        assert rgb_space or adobe_transform == 2, (
+            "CMYK JPEG-in-TIFF needs rgb_space or YCCK scans"
+        )
         spp, photo = 4, 5
     else:
         spp, photo = (3, 2) if rgb_space else (3, 6)
@@ -3951,7 +3958,8 @@ def encode_tiff_jpeg(
     def enc(chunk):
         if chunk.ndim == 2:
             return encode_jpeg(chunk, quality=quality)
-        return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space)
+        return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space,
+                           adobe_transform=adobe_transform)
 
     comps = (
         [a[..., c] for c in range(3)] if planar else [a]
@@ -5719,7 +5727,7 @@ def synthetic_tiff_subbyte_table(spark, n: int = 24) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_cmyk_table(spark, n: int = 18) -> DataFrame:
+def synthetic_tiff_cmyk_table(spark, n: int = 24) -> DataFrame:
     """Deterministic CMYK TIFF media table (photometric 5): image
     i < 12 is w=15+(i%4)*4 by h=9+(i%3)*4 with inks
     C=(x*5+y*11+i*13)%256, M=(C+85)%256, Y=(C+170)%256,
@@ -5733,8 +5741,15 @@ def synthetic_tiff_cmyk_table(spark, n: int = 18) -> DataFrame:
     offsets), K=(i*17+by*5+bx*3)%256 at w=16+(i%3)*8, h=16+(i%2)*8
     keep every ink channel DC-only bit-exact; rotations cover 8-row
     strips (i%3==1), shared JPEGTables (i%3==2), 16x16 tiles
-    (i%3==0), and byte order (i%2). media_id offset +200 keeps ids
-    disjoint inside the 'tiff' census group."""
+    (i%3==0), byte order (i%2), and the Adobe APP14 transform-0
+    marker with numeric 1..4 component IDs on odd i (the layout
+    real Adobe CMYK files carry — pixel-identical, oracle-
+    invisible). Rows 18-23 ship YCCK (Adobe transform 2 — inverted
+    CMY through the YCbCr matrix + K): GRAY ink tiles (C=M=Y, so
+    the chroma channels are neutral and the transform is bit-exact)
+    with the same tile formulas, rotating the same organizations.
+    media_id offset +200 keeps ids disjoint inside the 'tiff'
+    census group."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
@@ -5766,13 +5781,21 @@ def synthetic_tiff_cmyk_table(spark, n: int = 18) -> DataFrame:
             one8 = np.ones((8, 8), np.int64)
             c = np.kron(ct, one8)
             k = np.kron(kt, one8)
+            ycck = i >= 18
+            if ycck:  # gray ink keeps the YCCK chroma neutral
+                m_pl, y_pl = c, c
+            else:
+                m_pl, y_pl = (c + 85) % 256, (c + 170) % 256
             cmyk = np.stack(
-                [c, (c + 85) % 256, (c + 170) % 256, k], axis=-1
+                [c, m_pl, y_pl, k], axis=-1
             ).astype(np.uint8)
             content = encode_tiff_jpeg(
                 cmyk,
                 quality=85 + (i % 3) * 5,
-                rgb_space=True,
+                rgb_space=not ycck,
+                adobe_transform=(
+                    2 if ycck else (0 if i % 2 else None)
+                ),
                 rows_per_strip=8 if i % 3 == 1 else 0,
                 tile=(16, 16) if i % 3 == 0 else None,
                 jpeg_tables=(i % 3 == 2),
@@ -7136,6 +7159,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     extended: bool = False,
     rgb_space: bool = False,
+    adobe_transform=None,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> sequential JPEG
     (Annex K Huffman tables, libjpeg-scaled Annex K quantization).
@@ -7151,11 +7175,17 @@ def encode_jpeg(
     quantization tables whose AC entries are lifted by +512 — the
     T.81 allowance baseline forbids; entropy coding is unchanged, so
     block-constant (DC-only) corpora decode identically to SOF0.
-    ``rgb_space`` stores the components as R/G/B directly (no color
-    transform — the layout TIFF photometric 2 wraps, round 11),
-    signalled by the libjpeg R/G/B component-ID convention; 4:4:4
-    only (subsampled RGB has no real-world meaning), all components
-    on the luma quant/Huffman tables. Deterministic: float64 DCT +
+    ``rgb_space`` stores the components as R/G/B — or C/M/Y/K for
+    4-channel input — directly (no color transform — the layouts
+    TIFF photometric 2/5 wrap, round 11), signalled by the libjpeg
+    R/G/B (C/M/Y/K) component-ID convention; 4:4:4 only (subsampled
+    RGB has no real-world meaning), all components on the luma
+    quant/Huffman tables. ``adobe_transform`` writes an APP14 Adobe
+    marker: 0 (with ``rgb_space``) keeps the data untransformed but
+    ships the numeric 1..N component IDs real Adobe files carry; 2
+    stores 4-channel CMYK input as YCCK (inverted CMY through the
+    YCbCr matrix + K untouched — the Photoshop scanned-CMYK
+    layout). Deterministic: float64 DCT +
     round-half-away quantization, no RNG, no library variance."""
     import numpy as np
 
@@ -7168,6 +7198,18 @@ def encode_jpeg(
         raise ValueError("rgb_space needs (h, w, 3|4) input and 4:4:4")
     if rgb_space and a.shape[2] not in (3, 4):
         raise ValueError("rgb_space needs 3 (RGB) or 4 (CMYK) channels")
+    ycck = False
+    if adobe_transform is not None:
+        if adobe_transform == 0:
+            if not rgb_space:
+                raise ValueError("Adobe transform 0 means untransformed")
+        elif adobe_transform == 2:
+            if gray or rgb_space or a.shape[2] != 4 or \
+                    subsampling != "444":
+                raise ValueError("YCCK needs 4-channel 4:4:4 input")
+            ycck = True
+        else:
+            raise ValueError(f"Adobe transform {adobe_transform} unsupported")
     fh, fv = _JPG_SUBSAMP[subsampling]
     sub = (fh, fv) != (1, 1) and not gray
     if gray:
@@ -7178,6 +7220,18 @@ def encode_jpeg(
             a[..., ci].astype(np.float64) for ci in range(a.shape[2])
         ]
         samp = [(1, 1)] * len(planes)
+    elif ycck:
+        cm = a.astype(np.float64)
+        rp, gp, bp = 255.0 - cm[..., 0], 255.0 - cm[..., 1], \
+            255.0 - cm[..., 2]
+        yy = 0.299 * rp + 0.587 * gp + 0.114 * bp
+        cb_ = 128.0 - 0.168735892 * rp - 0.331264108 * gp + 0.5 * bp
+        cr_ = 128.0 + 0.5 * rp - 0.418687589 * gp - 0.081312411 * bp
+        planes = [
+            np.clip(np.floor(x + 0.5), 0, 255)
+            for x in (yy, cb_, cr_)
+        ] + [cm[..., 3]]
+        samp = [(1, 1)] * 4
     else:
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -7213,8 +7267,15 @@ def encode_jpeg(
         qc += 512
         ql[0, 0] -= 512
         qc[0, 0] -= 512
-    qts = [ql] * len(planes) if rgb_space else \
-        [ql] + ([] if gray else [qc, qc])
+    if gray:
+        tqs = [0]
+    elif rgb_space:
+        tqs = [0] * len(planes)
+    elif ycck:
+        tqs = [0, 1, 1, 0]
+    else:
+        tqs = [0, 1, 1]
+    qts = [ql if t == 0 else qc for t in tqs]
     dctm = _jpg_dct_mat()
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -7223,11 +7284,7 @@ def encode_jpeg(
     ac_l = _jpg_canonical_codes(*_JPG_HUFF[(1, 0)])
     dc_c = _jpg_canonical_codes(*_JPG_HUFF[(0, 1)])
     ac_c = _jpg_canonical_codes(*_JPG_HUFF[(1, 1)])
-    tabs = (
-        [(dc_l, ac_l)] * len(planes)
-        if rgb_space
-        else [(dc_l, ac_l)] + ([] if gray else [(dc_c, ac_c), (dc_c, ac_c)])
-    )
+    tabs = [(dc_l, ac_l) if t == 0 else (dc_c, ac_c) for t in tqs]
     padded = [
         _jpg_pad(p, mcuy * vi * 8, mcux * hi * 8) - 128.0
         for p, (hi, vi) in zip(planes, samp)
@@ -7282,28 +7339,33 @@ def encode_jpeg(
         return seg(0xDB, body)
 
     dqt = dqt_seg(0, ql)
-    if not gray and not rgb_space:
+    if any(t == 1 for t in tqs):
         dqt += dqt_seg(1, qc)
     nc = len(planes)
-    comp_ids = (
-        ((0x52, 0x47, 0x42) if nc == 3 else (0x43, 0x4D, 0x59, 0x4B))
-        if rgb_space
-        else (1, 2, 3)
-    )
+    if rgb_space and adobe_transform is None:
+        comp_ids = (
+            (0x52, 0x47, 0x42) if nc == 3 else (0x43, 0x4D, 0x59, 0x4B)
+        )
+    else:
+        comp_ids = tuple(range(1, nc + 1))
+    app14 = b""
+    if adobe_transform is not None:
+        app14 = seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, adobe_transform),
+        )
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         hi, vi = samp[ci]
-        tq = 0 if (ci == 0 or rgb_space) else 1
-        sof += bytes([comp_ids[ci], (hi << 4) | vi, tq])
+        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
     dht = b""
     for (cls, tid), (bits, vals) in _JPG_HUFF.items():
-        if (gray or rgb_space) and tid == 1:
+        if tid == 1 and not any(t == 1 for t in tqs):
             continue
         dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     sos = bytes([nc])
     for ci in range(nc):
-        t = 0 if (ci == 0 or rgb_space) else 1
-        sos += bytes([comp_ids[ci], (t << 4) | t])
+        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
     sos += b"\x00\x3f\x00"
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
@@ -7312,6 +7374,7 @@ def encode_jpeg(
     )
     return (
         b"\xff\xd8"
+        + app14
         + dqt
         + seg(0xC1 if extended else 0xC0, sof)
         + dht
@@ -7425,13 +7488,18 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
 
     ``color_space``: 3-component scans default to YCbCr (the JFIF
     convention). ``"auto"`` additionally honors the libjpeg R/G/B
-    component-ID convention (IDs 0x52/0x47/0x42 -> no color
-    transform); ``"rgb"`` / ``"ycbcr"`` force the interpretation —
-    the CONTAINER override (TIFF photometric 2 marks the embedded
-    scan RGB-space regardless of its component IDs, round 11)."""
+    (C/M/Y/K) component-ID convention and the Adobe APP14 marker
+    (transform 0 = untransformed, 2 = YCCK — inverted CMY through
+    the YCbCr matrix + K, the Photoshop scanned-CMYK layout);
+    ``"rgb"`` / ``"ycbcr"`` force the interpretation — the CONTAINER
+    override (TIFF photometric 2 marks the embedded scan RGB-space
+    regardless of its component IDs, round 11). ``"cmyk"`` is TIFF
+    photometric 5's contract: 4 components that are ink planes —
+    YCCK-decoded first when APP14 says transform 2. 4-channel
+    returns are raw CMYK (the container owns the ink conversion)."""
     import numpy as np
 
-    if color_space not in ("auto", "rgb", "ycbcr"):
+    if color_space not in ("auto", "rgb", "ycbcr", "cmyk"):
         raise ValueError(f"unknown JPEG color space {color_space!r}")
 
     if b[:2] != b"\xff\xd8":
@@ -7442,6 +7510,7 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
     sof = None
     scan = None
     restart_interval = 0
+    adobe = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -7520,6 +7589,10 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xEE and payload[:5] == b"Adobe":
+            if len(payload) < 12:
+                raise ValueError("JPEG APP14 Adobe marker truncated")
+            adobe = payload[11]
         elif marker == 0xDA:
             if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ValueError("JPEG SOS truncated")
@@ -7623,9 +7696,19 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
         )
         return np.stack([g, g, g], axis=-1)
     ids = tuple(c[0] for c in comps)
-    if color_space == "rgb" or (
-        color_space == "auto"
-        and ids in ((0x52, 0x47, 0x42), (0x43, 0x4D, 0x59, 0x4B))
+    ycck = len(planes) == 4 and adobe == 2 and color_space in (
+        "auto", "cmyk"
+    )
+    if not ycck and (
+        color_space == "rgb"
+        or (color_space == "cmyk" and len(planes) == 4)
+        or (
+            color_space == "auto"
+            and (
+                ids in ((0x52, 0x47, 0x42), (0x43, 0x4D, 0x59, 0x4B))
+                or adobe == 0
+            )
+        )
     ):
         # no-transform scan: components ARE R/G/B — or C/M/Y/K
         # (round 11, the Adobe scanned-CMYK class; the CONTAINER owns
@@ -7635,6 +7718,23 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
             axis=-1,
         )
         return out.astype(np.uint8 if prec == 8 else np.uint16)
+    if ycck:
+        # YCCK (Adobe transform 2): inverted CMY rode the YCbCr
+        # matrix, K untouched — undo and hand back raw CMYK
+        if prec != 8:
+            require_codec("YCCK JPEG above 8-bit precision")
+        y, cb, cr, kpl = planes
+        r = y + 1.402 * (cr - lvl)
+        g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+        bl = y + 1.772 * (cb - lvl)
+        cmy = [
+            255.0 - np.clip(np.floor(x + 0.5), 0, 255)
+            for x in (r, g, bl)
+        ]
+        out = np.stack(
+            cmy + [np.clip(np.floor(kpl + 0.5), 0, 255)], axis=-1
+        )
+        return out.astype(np.uint8)
     if len(planes) != 3:
         # 4-component Adobe CMYK/YCCK needs APP14 (or a container
         # contract) to disambiguate the transform; 2-component scans

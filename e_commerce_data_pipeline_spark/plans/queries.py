@@ -11792,15 +11792,22 @@ def q197_cdc_validation_census(spark, sf_dir):
     -- closed form x 64 pixels per tile
     ckjm AS (
         SELECT i, (16 + (i % 3) * 8) // 8 AS tw, (16 + (i % 2) * 8) // 8 AS th
-        FROM range(12, 18) t(i)
+        FROM range(12, 24) t(i)
     ),
     ckjb AS (SELECT i, tw, unnest(range(th)) AS by FROM ckjm),
     ckjt AS (SELECT i, by, unnest(range(tw)) AS bx FROM ckjb),
+    -- rows 18-23 are the YCCK arms: GRAY ink (C = M = Y)
     ckjv AS (
         SELECT i,
                (i * 41 + by * 9 + bx * 23) % 256 AS c,
-               ((i * 41 + by * 9 + bx * 23) % 256 + 85) % 256 AS m,
-               ((i * 41 + by * 9 + bx * 23) % 256 + 170) % 256 AS yk,
+               CASE WHEN i >= 18
+                    THEN (i * 41 + by * 9 + bx * 23) % 256
+                    ELSE ((i * 41 + by * 9 + bx * 23) % 256 + 85) % 256
+               END AS m,
+               CASE WHEN i >= 18
+                    THEN (i * 41 + by * 9 + bx * 23) % 256
+                    ELSE ((i * 41 + by * 9 + bx * 23) % 256 + 170) % 256
+               END AS yk,
                (i * 17 + by * 5 + bx * 3) % 256 AS k
         FROM ckjt
     ),
@@ -12333,7 +12340,11 @@ def q197_cdc_validation_census(spark, sf_dir):
     "wraps 4-component no-transform scans (C/M/Y/K component IDs); "
     "block-constant ink tiles keep every channel DC-only bit-exact "
     "through strips/tiles/JPEGTables, and the shared naive ink "
-    "conversion closes the form. YCBCR REFERENCEBLACKWHITE HEADROOM (round "
+    "conversion closes the form; odd rows add the Adobe APP14 "
+    "transform-0 marker with numeric component IDs (the real Adobe "
+    "layout, pixel-identical), and rows 18-23 ship YCCK (transform "
+    "2 — inverted gray ink through the YCbCr matrix + K, neutral "
+    "chroma exact). YCBCR REFERENCEBLACKWHITE HEADROOM (round "
     "11, +500 family by i%6): video-range BT.601 codes (4 — "
     "(Y-16)*255/219, (C-128)*127/112, IEEE-double mirrored) and an "
     "exact-5x layout (5 — Y codes %52, Yfull = code*5 integer-"
@@ -12498,7 +12509,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ppm16_table(spark, n=36)
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
-        .unionByName(synthetic_tiff_cmyk_table(spark, n=18))
+        .unionByName(synthetic_tiff_cmyk_table(spark, n=24))
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))

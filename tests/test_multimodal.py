@@ -3832,6 +3832,10 @@ def test_all_codec_bitflip_sweeps_raise_only_documented_types():
             rng.randint(0, 256, (10, 11, 4)).astype(np.uint8),
             quality=80, rgb_space=True, rows_per_strip=8),
          decode_tiff),
+        (encode_tiff_jpeg(
+            rng.randint(0, 256, (10, 11, 4)).astype(np.uint8),
+            quality=80, adobe_transform=2, rows_per_strip=8),
+         decode_tiff),
         (encode_tiff_ycbcr(img8, (img8[::2, ::2] ^ 85),
                            (img8[::2, ::2] ^ 170), (2, 2),
                            rbw=[16, 1, 235, 1, 128, 1, 240, 1,
@@ -4237,3 +4241,66 @@ def test_ogg_grouped_and_chained_streams():
     # skeleton-only file is not FLAC-mapped
     with pytest.raises(ValueError, match="not FLAC-mapped"):
         decode_flac(ogg_skeleton_stream())
+
+
+def test_jpeg_adobe_app14_and_ycck():
+    """Adobe APP14 (round 11): transform 0 ships untransformed
+    components under numeric 1..N IDs (the real Adobe CMYK/RGB
+    layout); transform 2 is YCCK — inverted CMY through the YCbCr
+    matrix + K untouched — bit-exact on gray-ink (neutral-chroma)
+    block-constant corpora; an UNMARKED numeric-ID 4-component scan
+    still gates in auto mode but decodes raw under the container's
+    'cmyk' contract."""
+    import struct as st
+
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_tiff,
+        encode_jpeg,
+        encode_tiff_jpeg,
+    )
+
+    tiles = (np.arange(12).reshape(3, 4) * 19 + 4) % 256
+    g = np.kron(tiles, np.ones((8, 8), np.int64))
+    kt = (np.arange(12).reshape(3, 4) * 7 + 2) % 256
+    k = np.kron(kt, np.ones((8, 8), np.int64))
+    gray_ink = np.stack([g, g, g, k], -1).astype(np.uint8)
+    col_ink = np.stack([g, (g + 85) % 256, (g + 170) % 256, k],
+                       -1).astype(np.uint8)
+    # YCCK roundtrips (auto via APP14, and the container contract)
+    b = encode_jpeg(gray_ink, quality=90, adobe_transform=2)
+    assert np.array_equal(decode_jpeg(b), gray_ink)
+    assert np.array_equal(decode_jpeg(b, color_space="cmyk"), gray_ink)
+    # transform 0: numeric IDs, untransformed, 3- and 4-channel
+    b0 = encode_jpeg(col_ink, quality=90, rgb_space=True,
+                     adobe_transform=0)
+    assert np.array_equal(decode_jpeg(b0), col_ink)
+    rgb = col_ink[..., :3]
+    b1 = encode_jpeg(rgb, quality=90, rgb_space=True, adobe_transform=0)
+    assert np.array_equal(decode_jpeg(b1), rgb)
+    # stripping APP14 re-raises the honest 4-component gate in auto,
+    # while the container contract still decodes the raw planes
+    bb = bytearray(b0)
+    pos = bytes(bb).find(b"\xff\xee")
+    (ln,) = st.unpack_from(">H", bb, pos + 2)
+    del bb[pos : pos + 2 + ln]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bb))
+    assert np.array_equal(
+        decode_jpeg(bytes(bb), color_space="cmyk"), col_ink
+    )
+    # YCCK-in-TIFF (photometric 5): ink converts after the inverse
+    ink = gray_ink.astype(np.int64)
+    kk = 255 - ink[..., 3]
+    want = np.stack(
+        [((255 - ink[..., j]) * kk) // 255 for j in range(3)], -1
+    ).astype(np.uint8)
+    for kw in (dict(rows_per_strip=8), dict(tile=(16, 16))):
+        t = encode_tiff_jpeg(gray_ink, quality=90, adobe_transform=2,
+                             **kw)
+        assert np.array_equal(decode_tiff(t), want), kw
+    # bad transform value is loud at encode time
+    with pytest.raises(ValueError, match="transform"):
+        encode_jpeg(gray_ink, adobe_transform=1)
