@@ -921,8 +921,12 @@ HTML_ENTITIES = (
     ("&apos;", "'"),
     ("&nbsp;", " "),
     ("&#160;", " "),
-    ("&amp;", "&"),
+    # numeric-amp BEFORE named amp: "&#38;" can never match inside
+    # an "&amp;…" span (its '&' is followed by 'a'), so this order
+    # keeps "&amp;#38;" decoding to the literal "&#38;" — decoding
+    # it after &amp; would double-decode to "&"
     ("&#38;", "&"),
+    ("&amp;", "&"),
 )
 
 # Regex tag model shared by every regex-based extractor: a tag opens
@@ -1007,10 +1011,11 @@ def canonicalize_url(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    is_web = scheme.isin("http", "https")
-    # authority = host[:port]; userinfo is out of the synthesized
-    # corpus surface and passes through inside the "host" slot
     authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # userinfo URLs ("user:pw@host") pass through UNCHANGED — the
+    # naive host/port split would mangle them, and credentialed URLs
+    # are not a dedup-key surface anyway (round-11 self-review fix)
+    is_web = scheme.isin("http", "https") & ~authority.contains("@")
     host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))

@@ -83,6 +83,8 @@ def test_html_entity_decode_order(spark):
     # &amp; decodes LAST: double-encoded entities stay literal
     cases = {
         "&amp;lt;": "&lt;",
+        "&amp;#38;": "&#38;",  # numeric-amp double-encoding too
+        "&#38;lt;": "&lt;",
         "&lt;p&gt;": "<p>",
         "a&nbsp;b": "a b",
         "&quot;q&quot; &#39;s&#39; &apos;t&apos;": "\"q\" 's' 't'",
@@ -158,6 +160,10 @@ def test_canonicalize_url_closed_forms(spark):
         # 'ref' is a tracking KEY; 'refresh' is not (no prefix match)
         "https://h.example/a?ref=1&refresh=2":
             "https://h.example/a?refresh=2",
+        # userinfo URLs pass through unchanged (self-review fix: the
+        # naive host split would otherwise mangle them)
+        "https://User:Pw@Shop.Example:443/p#f":
+            "https://User:Pw@Shop.Example:443/p#f",
     }
     df = spark.createDataFrame([(k,) for k in cases], "v string")
     got = [
