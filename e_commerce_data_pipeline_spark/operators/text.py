@@ -909,7 +909,7 @@ def phrase_search(
 # pipeline — everything upstream of the quality gates above.
 # --------------------------------------------------------------------------
 
-# Core entity set, decoded in ORDER: `&amp;` strictly LAST so a
+# Core entity set, decoded in ORDER: the amp forms strictly LAST so a
 # double-encoded entity ("&amp;lt;") decodes to the literal "&lt;",
 # never to "<" — the standard single-pass decode semantics.
 HTML_ENTITIES = (
@@ -921,13 +921,15 @@ HTML_ENTITIES = (
     ("&apos;", "'"),
     ("&nbsp;", " "),
     ("&#160;", " "),
-    # numeric-amp BEFORE named amp: "&#38;" can never match inside
-    # an "&amp;…" span (its '&' is followed by 'a'), so this order
-    # keeps "&amp;#38;" decoding to the literal "&#38;" — decoding
-    # it after &amp; would double-decode to "&"
-    ("&#38;", "&"),
-    ("&amp;", "&"),
 )
+
+# Both amp spellings decode in ONE final regexp pass: Java replaceAll
+# resumes scanning AFTER each match and never rescans replacement
+# text, so "&amp;#38;" -> "&#38;" AND "&#38;amp;" -> "&amp;" — exact
+# single-pass HTML semantics. (Decoding them in two sequential passes
+# double-decodes whichever composition runs second: the round-11
+# chain turned "&#38;amp;" into "&".)
+_AMP_RE = "&(amp|#38);"
 
 # Regex tag model shared by every regex-based extractor: a tag opens
 # with '<' + letter / '!' / '/'; a '>' inside a QUOTED attribute value
@@ -937,11 +939,14 @@ HTML_ENTITIES = (
 _HTML_TAG_RE = r"(?i)</?[a-z!][^>]*>"
 
 
-def html_to_text(col: Column | str, collapse: bool = True) -> Column:
-    """HTML -> text extraction as a pure ``regexp_replace`` chain —
-    the step-0 of every raw-web LLM corpus (C4 / CCNet / RefinedWeb
-    strip markup before any quality gate). Whole-stage codegen,
-    linear in the scan, no UDF, no shuffle.
+def html_to_text(
+    col: Column | str, collapse: bool = True, entities: str = "core"
+) -> Column:
+    """HTML -> text extraction — the step-0 of every raw-web LLM
+    corpus (C4 / CCNet / RefinedWeb strip markup before any quality
+    gate). With ``entities="core"`` (default) the whole chain is pure
+    ``regexp_replace`` — whole-stage codegen, linear in the scan, no
+    UDF, no shuffle.
 
     Chain order (each step is one codegen regexp):
       1. unwrap ``<![CDATA[...]]>`` (its payload is text, not markup)
@@ -952,7 +957,15 @@ def html_to_text(col: Column | str, collapse: bool = True) -> Column:
       4. drop remaining tags (``_HTML_TAG_RE`` — incl. DOCTYPE,
          unclosed and self-closing forms; attribute quoting caveat
          documented above)
-      5. decode the core entity set, ``&amp;`` last
+      5. decode entities:
+         - ``entities="core"``: the 10-entry core set as codegen
+           regexps, both amp spellings in ONE final pass (single-pass
+           decode semantics for every double-encoded composition)
+         - ``entities="full"``: the complete HTML5 table — named
+           (``&mdash;``...), decimal and hex numerics — via the
+           Arrow ``html_unescape_udf`` kernel (stdlib
+           ``html.unescape``); breaks codegen for this projection
+           only, the documented engine-external-kernel pattern
       6. optionally collapse whitespace + trim (``collapse=True``)
 
     Order matters everywhere: CDATA before the tag pass (the marker
@@ -960,17 +973,44 @@ def html_to_text(col: Column | str, collapse: bool = True) -> Column:
     tags (their bodies may embed tag-like text), entities strictly
     after tags (decoded ``&lt;`` must NOT create new "tags").
     """
+    if entities not in ("core", "full"):
+        raise ValueError(f"unknown entities mode {entities!r}")
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"(?s)<!\[CDATA\[(.*?)\]\]>", r"$1")
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", "")
     c = F.regexp_replace(c, _HTML_TAG_RE, "")
-    for ent, ch in HTML_ENTITIES:
-        c = F.regexp_replace(c, ent, ch)
+    if entities == "full":
+        c = html_unescape_udf()(c)
+    else:
+        for ent, ch in HTML_ENTITIES:
+            c = F.regexp_replace(c, ent, ch)
+        c = F.regexp_replace(c, _AMP_RE, "&")
     if collapse:
         c = F.trim(F.regexp_replace(c, WS, " "))
     return c
+
+
+def html_unescape_udf():
+    """Arrow-batched full HTML5 entity decode — the complete named
+    table (``&mdash;``, ``&eacute;``, the 2000+ entry list), decimal
+    ``&#NNN;`` and hex ``&#xHH;`` numeric references, and the spec's
+    missing-semicolon legacy forms — via stdlib ``html.unescape``
+    (single-pass semantics by construction: replacement text is never
+    rescanned). Spark has no builtin, so this is the documented
+    engine-external kernel (the ``unicode_normalize_udf`` precedent);
+    deterministic for a given CPython version's entity table."""
+    import html as _html
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _unescape(s):
+        return s.map(lambda t: None if t is None else _html.unescape(t))
+
+    _unescape.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_unescape, "string")
 
 
 def html_tag_stats(col: Column | str) -> Column:
@@ -991,15 +1031,72 @@ URL_TRACKING_PREFIXES = ("utm_",)
 URL_TRACKING_KEYS = ("gclid", "fbclid", "msclkid", "ref", "igshid")
 
 
+# RFC 3986 unreserved characters, keyed by UPPERCASE hex octet: the
+# percent-escapes a canonicalizer safely decodes (%41 -> 'A', %7E ->
+# '~'); every other escape keeps its '%' but uppercases the hex
+# digits (%2f -> %2F), per the RFC's case-normalization rule. A pure
+# map literal, broadcast into codegen as a constant.
+_UNRESERVED_HEX = {
+    f"{b:02X}": chr(b)
+    for b in (
+        *range(0x30, 0x3A),  # 0-9
+        *range(0x41, 0x5B),  # A-Z
+        *range(0x61, 0x7B),  # a-z
+        0x2D, 0x2E, 0x5F, 0x7E,  # - . _ ~
+    )
+}
+
+
+def percent_normalize(col: Column | str) -> Column:
+    """RFC 3986 percent-encoding normalization: decode unreserved
+    escapes (``%41`` -> ``A``, ``%7e`` -> ``~``), uppercase the hex
+    of every remaining valid escape (``%2f`` -> ``%2F``), and leave
+    invalid sequences (``%zz``, trailing ``%``) byte-identical.
+    Idempotent: decoded output contains no unreserved escapes, kept
+    escapes are already uppercase, invalid spans never change.
+
+    Split-on-'%' + transform HOF: each tail element starts with the
+    two chars after a '%'. HOF lambdas are interpreted per element
+    (house rule), but URLs carry O(1) escapes, so the cost is bounded
+    — same budget as the query-param filter below. Decoding only
+    unreserved octets can never synthesize a reserved delimiter
+    (``/?#&=@:``), so the result is safe to parse afterwards.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.split(c, "%")
+    head = F.element_at(parts, 1)
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    hexmap = F.create_map(
+        *[F.lit(x) for kv in _UNRESERVED_HEX.items() for x in kv]
+    )
+
+    def _fix(p):
+        hx = F.upper(F.substring(p, 1, 2))
+        rest = F.substr(p, F.lit(3))
+        return F.when(
+            p.rlike("^[0-9A-Fa-f]{2}"),
+            F.concat(
+                F.coalesce(
+                    F.element_at(hexmap, hx), F.concat(F.lit("%"), hx)
+                ),
+                rest,
+            ),
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    return F.concat(head, F.array_join(F.transform(tail, _fix), ""))
+
+
 def canonicalize_url(col: Column | str) -> Column:
     """URL canonicalization (CCNet-class): the dedup key a raw-web
     pipeline groups by before host-level stats. Pure column
-    expressions (parse_url + array ops over a MATERIALIZED split —
-    the HOF-CSE discipline), idempotent by construction:
+    expressions, idempotent by construction:
 
       - scheme and host lowercase
       - default port stripped (``:80`` for http, ``:443`` for https)
-      - fragment dropped
+      - fragment dropped (query matched strictly BEFORE any ``#`` —
+        a ``?`` inside the fragment is never promoted to a query)
+      - percent-encoding normalized (``percent_normalize``: decode
+        unreserved escapes, uppercase remaining hex) over path+query
       - tracking params dropped (``utm_*`` prefixes + click-id keys)
       - remaining query params sorted bytewise (stable dedup key for
         param-order permutations)
@@ -1007,26 +1104,50 @@ def canonicalize_url(col: Column | str) -> Column:
 
     Non-http(s) or scheme-less strings pass through UNCHANGED — the
     operator canonicalizes well-formed web URLs, it does not validate
-    them (that is ``validation.validate_clicks``'s job).
+    them (that is ``validation.validate_clicks``'s job). So do URLs
+    with userinfo (``user:pw@host``) or bracketed IPv6 authorities
+    (``[::1]:8080``): the naive host/port split would mangle both,
+    and neither is a dedup-key surface. IDN/punycode host folding is
+    a documented out-of-scope gate (needs the IDNA tables; hosts
+    differing only in punycode form stay distinct keys).
+
+    HOF-cost note: the query-param ``split`` and the
+    ``percent_normalize`` split are computed expressions used as HOF
+    args, so they re-evaluate per element access (the round-6 CSE
+    rule) — NOT materialized here, because a column function cannot
+    add a Project; the cost is bounded (query strings and escape
+    counts are O(URL length)), and query sites that explode
+    downstream must still materialize the RESULT column below any
+    Generate per the house discipline.
     """
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    # userinfo URLs ("user:pw@host") pass through UNCHANGED — the
-    # naive host/port split would mangle them, and credentialed URLs
-    # are not a dedup-key surface anyway (round-11 self-review fix)
-    is_web = scheme.isin("http", "https") & ~authority.contains("@")
+    # userinfo and bracketed-IPv6 URLs pass through UNCHANGED (the
+    # round-11 self-review fix, extended to '[' per round-12 advice)
+    is_web = (
+        scheme.isin("http", "https")
+        & ~authority.contains("@")
+        & ~authority.contains("[")
+    )
     host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    # percent-normalize BEFORE extracting path/query: unreserved
+    # decodes cannot create '/?#&=' so the parse stays stable, and
+    # normalizing first keeps '%3F'-class escapes out of the picture
+    pn = percent_normalize(c)
+    path = F.regexp_extract(
+        pn, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
-    # materialize the split BEFORE filter/sort (lambda-CSE rule: a
-    # computed array as a HOF arg re-evaluates per element access)
+    # anchor to the pre-fragment span: [^#?]* forbids crossing '#'
+    # before the '?', so 'http://h/p#x?y' has NO query (round-12
+    # advice fix — the old r"\?([^#]*)" promoted the fragment tail)
+    query = F.regexp_extract(pn, r"^[^#?]*\?([^#]*)", 1)
     params = F.split(query, "&")
     kept = F.array_sort(
         F.filter(
@@ -1051,11 +1172,15 @@ def canonicalize_url(col: Column | str) -> Column:
 
 def url_host(col: Column | str) -> Column:
     """Lowercased host of a web URL ('' for non-URLs) — the grouping
-    key for host-level corpus stats."""
+    key for host-level corpus stats. Userinfo and bracketed-IPv6
+    authorities return '' (mirrors canonicalize_url's passthrough:
+    the naive split would report 'user' for ``http://user:pw@h/``,
+    which is worse for a grouping key than abstaining)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)", 1)
-    )
+    authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    return F.when(
+        authority.contains("@") | authority.contains("["), F.lit("")
+    ).otherwise(F.lower(F.regexp_extract(authority, r"^([^:]*)", 1)))
 
 
 # Control characters stripped by corpus hygiene: C0 minus \t\n\r,

@@ -11182,7 +11182,7 @@ def q193_audio_resample_stats(spark, sf_dir):
               [CAST(event_id % 5 AS INT) + 1] AS ct,
           ['mobile','desktop','tablet','smart_tv']
               [CAST(event_id % 4 AS INT) + 1] AS dt,
-          CASE CAST(event_id % 9 AS INT)
+          CASE CAST(event_id % 11 AS INT)
                WHEN 0 THEN 'https://shop.example/p/'
                            || CAST(event_id AS VARCHAR)
                WHEN 1 THEN 'http://shop.example/s?q='
@@ -11196,10 +11196,14 @@ def q193_audio_resample_stats(spark, sf_dir):
                WHEN 7 THEN 'http://shop.example:80?z=9&gclid='
                            || CAST(user_id AS VARCHAR) || '&q=x'
                WHEN 8 THEN 'https://shop.example:8443/p//x?'
+               WHEN 9 THEN 'https://shop.example/p%61th%2F/%7e'
+                           || CAST(event_id AS VARCHAR)
+                           || '?x=%2fv&utm_id=3#f?g'
+               WHEN 10 THEN 'HTTP://Shop.Example/a%2fb%4Ac%zz?'
                ELSE NULL END AS url,
           -- canonicalize_url's expected output, CLOSED FORM per arm
           -- (the generic Spark chain must land exactly here)
-          CASE CAST(event_id % 9 AS INT)
+          CASE CAST(event_id % 11 AS INT)
                WHEN 0 THEN 'https://shop.example/p/'
                            || CAST(event_id AS VARCHAR)
                WHEN 1 THEN 'http://shop.example/s?q='
@@ -11211,6 +11215,9 @@ def q193_audio_resample_stats(spark, sf_dir):
                            || CAST(event_id AS VARCHAR) || '?a=1&b=2'
                WHEN 7 THEN 'http://shop.example/?q=x&z=9'
                WHEN 8 THEN 'https://shop.example:8443/p//x'
+               WHEN 9 THEN 'https://shop.example/path%2F/~'
+                           || CAST(event_id AS VARCHAR) || '?x=%2Fv'
+               WHEN 10 THEN 'http://shop.example/a%2FbJc%zz'
                ELSE NULL END AS canon
         FROM events
     ),
@@ -11263,22 +11270,26 @@ def q193_audio_resample_stats(spark, sf_dir):
     """,
     "P4/P5 driver-verified (URL-prefix and non-empty-string "
     "predicates were pytest-only): a deterministic click frame "
-    "derived from events — now NINE URL shapes (round 11): valid "
-    "http/https, wrong scheme, scheme-less, empty, null, plus three "
+    "derived from events — now ELEVEN URL shapes (round 12): valid "
+    "http/https, wrong scheme, scheme-less, empty, null, three "
     "CANONICALIZATION arms (uppercase scheme+host with default :443, "
     "utm/click-id tracking params, unsorted query, fragment; "
-    "port-80 host with no path; non-default port with empty query) "
-    "— flows through validate_clicks' full check list and the "
-    "census counts every violation code with the quality-penalty "
-    "sum. text.canonicalize_url's GENERIC codegen chain "
-    "(scheme/host lowercase, default-port strip, fragment drop, "
-    "tracking-param filter, bytewise param sort, empty path -> '/', "
-    "empty query -> no '?') is diffed against per-arm CLOSED-FORM "
-    "expected URLs in the oracle via n_urls_changed / n_canon_hosts "
-    "/ sum_canon_len — a drift anywhere in the chain shifts a sum. "
-    "The oracle replays every predicate including the coalesce "
-    "null-semantics (a null URL is BOTH missing and empty — the "
-    "reference's rule).",
+    "port-80 host with no path; non-default port with empty query), "
+    "plus two PERCENT-ENCODING arms (round 12): unreserved-escape "
+    "decode %61/%7e -> a/~, hex-case uppercasing %2f -> %2F, an "
+    "invalid %zz span preserved byte-identical, and a fragment "
+    "containing '?' that must NOT be promoted into the query (the "
+    "round-12 advice fix) — flows through validate_clicks' full "
+    "check list and the census counts every violation code with the "
+    "quality-penalty sum. text.canonicalize_url's GENERIC codegen "
+    "chain (scheme/host lowercase, default-port strip, fragment "
+    "drop, percent_normalize, tracking-param filter, bytewise param "
+    "sort, empty path -> '/', empty query -> no '?') is diffed "
+    "against per-arm CLOSED-FORM expected URLs in the oracle via "
+    "n_urls_changed / n_canon_hosts / sum_canon_len — a drift "
+    "anywhere in the chain shifts a sum. The oracle replays every "
+    "predicate including the coalesce null-semantics (a null URL is "
+    "BOTH missing and empty — the reference's rule).",
 )
 def q194_click_validation_census(spark, sf_dir):
     from ..operators.text import canonicalize_url, url_host
@@ -11300,22 +11311,27 @@ def q194_click_validation_census(spark, sf_dir):
         .alias("session_id"),
         F.element_at(cts, (eid % 5).cast("int") + 1).alias("click_type"),
         F.element_at(dts, (eid % 4).cast("int") + 1).alias("device_type"),
-        F.when(eid % 9 == 0,
+        F.when(eid % 11 == 0,
                F.concat(F.lit("https://shop.example/p/"), eid.cast("string")))
-        .when(eid % 9 == 1,
+        .when(eid % 11 == 1,
               F.concat(F.lit("http://shop.example/s?q="),
                        F.col("user_id").cast("string")))
-        .when(eid % 9 == 2, F.lit("ftp://files.example/x"))
-        .when(eid % 9 == 3, F.lit("shop.example/no-scheme"))
-        .when(eid % 9 == 4, F.lit(""))
-        .when(eid % 9 == 6,
+        .when(eid % 11 == 2, F.lit("ftp://files.example/x"))
+        .when(eid % 11 == 3, F.lit("shop.example/no-scheme"))
+        .when(eid % 11 == 4, F.lit(""))
+        .when(eid % 11 == 6,
               F.concat(F.lit("HTTPS://Shop.Example:443/p/"),
                        eid.cast("string"),
                        F.lit("?utm_source=ad&b=2&a=1#frag")))
-        .when(eid % 9 == 7,
+        .when(eid % 11 == 7,
               F.concat(F.lit("http://shop.example:80?z=9&gclid="),
                        F.col("user_id").cast("string"), F.lit("&q=x")))
-        .when(eid % 9 == 8, F.lit("https://shop.example:8443/p//x?"))
+        .when(eid % 11 == 8, F.lit("https://shop.example:8443/p//x?"))
+        .when(eid % 11 == 9,
+              F.concat(F.lit("https://shop.example/p%61th%2F/%7e"),
+                       eid.cast("string"),
+                       F.lit("?x=%2fv&utm_id=3#f?g")))
+        .when(eid % 11 == 10, F.lit("HTTP://Shop.Example/a%2fb%4Ac%zz?"))
         .otherwise(F.lit(None))
         .alias("page_url"),
     )

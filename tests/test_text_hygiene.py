@@ -80,10 +80,13 @@ def test_html_cdata_unwraps_payload(spark):
 
 
 def test_html_entity_decode_order(spark):
-    # &amp; decodes LAST: double-encoded entities stay literal
+    # amp forms decode LAST, in ONE pass: double-encoded entities
+    # stay literal in BOTH compositions (round-12 advice fix: the
+    # sequential two-pass chain double-decoded '&#38;amp;' to '&')
     cases = {
         "&amp;lt;": "&lt;",
         "&amp;#38;": "&#38;",  # numeric-amp double-encoding too
+        "&#38;amp;": "&amp;",  # ...and the reverse composition
         "&#38;lt;": "&lt;",
         "&lt;p&gt;": "<p>",
         "a&nbsp;b": "a b",
@@ -136,6 +139,62 @@ def test_html_wrap_strip_identity_property(spark, text, arm):
     assert got == " ".join(text.split())
 
 
+# round-12 full-entity mode: the complete HTML5 table via the Arrow
+# html.unescape kernel, diffed against a pure-Python reference strip
+# over randomized entity streams (named + decimal + hex + invalid).
+
+_ENTITY_ATOMS = st.sampled_from(
+    ["&mdash;", "&eacute;", "&hellip;", "&copy;", "&amp;", "&lt;",
+     "&gt;", "&#x2019;", "&#169;", "&#38;", "&#x27;", "&amp;lt;",
+     "&#38;amp;", "&bogus;", "&#xZZ;", "&", "plain", " x ", "<p>",
+     "</p>", "a<b", "&Auml;", "&#xA9;", "&frac12;"]
+)
+
+
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(atoms=st.lists(_ENTITY_ATOMS, min_size=1, max_size=10))
+def test_html_full_entity_stream_matches_unescape(spark, atoms):
+    import html as _html
+    import re
+
+    raw = "".join(atoms)
+    got = _one(
+        spark, T.html_to_text(F.col("v"), entities="full"), raw
+    )
+    # reference: same tag model, then stdlib html.unescape
+    ref = re.sub(r"(?i)</?[a-z!][^>]*>", "", raw)
+    ref = " ".join(_html.unescape(ref).split())
+    assert got == ref
+
+
+def test_html_full_entities_named_hex_decimal(spark):
+    cases = {
+        "News &mdash; d&eacute;j&agrave; vu": "News — déjà vu",
+        "&#x2019;q&#x2019;&hellip; &#169;2024": "’q’… ©2024",
+        # single-pass semantics hold in full mode too
+        "&amp;lt;": "&lt;",
+        "&#38;amp;": "&amp;",
+        # unknown entities stay literal
+        "&bogus; &#xZZ;": "&bogus; &#xZZ;",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(
+            T.html_to_text("v", entities="full").alias("out")
+        ).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_html_to_text_rejects_bad_entities_mode():
+    import pytest
+
+    with pytest.raises(ValueError):
+        T.html_to_text(F.lit("x"), entities="most")
+
+
 # ----------------------------------------------------------------- URL
 
 
@@ -164,6 +223,20 @@ def test_canonicalize_url_closed_forms(spark):
         # naive host split would otherwise mangle them)
         "https://User:Pw@Shop.Example:443/p#f":
             "https://User:Pw@Shop.Example:443/p#f",
+        # round-12: bracketed IPv6 authorities pass through too
+        "http://[::1]:8080/x": "http://[::1]:8080/x",
+        # round-12 advice fix: '?' inside the FRAGMENT is never
+        # promoted into the query
+        "http://h.example/p#x?y": "http://h.example/p",
+        # round-12 percent-encoding normalization (the q194 arms):
+        # unreserved escapes decode, remaining hex uppercases,
+        # invalid '%' spans stay byte-identical
+        "https://shop.example/p%61th%2F/%7e9?x=%2fv&utm_id=3#f?g":
+            "https://shop.example/path%2F/~9?x=%2Fv",
+        "HTTP://Shop.Example/a%2fb%4Ac%zz?":
+            "http://shop.example/a%2FbJc%zz",
+        "https://h.example/%": "https://h.example/%",
+        "https://h.example/%%41": "https://h.example/%A",
     }
     df = spark.createDataFrame([(k,) for k in cases], "v string")
     got = [
@@ -188,7 +261,9 @@ _URL_STRATEGY = st.builds(
         ["Shop.Example", "a.b.example", "X.example", "h1.example"]
     ),
     port=st.sampled_from(["", "80", "443", "8080"]),
-    path=st.sampled_from(["", "/", "/p", "/p/x", "/p//x"]),
+    path=st.sampled_from(
+        ["", "/", "/p", "/p/x", "/p//x", "/p%61th", "/%2fx", "/%zz%4A"]
+    ),
     params=st.lists(
         st.sampled_from(
             ["a=1", "b=2", "z=9", "utm_source=x", "gclid=7", "q=a+b"]
@@ -229,6 +304,10 @@ def test_url_host(spark):
         "http://h.example/x?q=1": "h.example",
         "shop.example/no-scheme": "",
         "": "",
+        # round-12: userinfo/bracket authorities abstain ('' beats
+        # reporting 'user' as a host-grouping key)
+        "http://user:pw@h.example/": "",
+        "http://[::1]:8080/x": "",
     }
     df = spark.createDataFrame([(k,) for k in cases], "v string")
     got = [r["out"] for r in df.select(T.url_host("v").alias("out")).collect()]
@@ -316,6 +395,28 @@ def test_unicode_idempotence_and_composition_property(spark, s):
     assert row["c1"] == row["c2"]
     assert row["k1"] == row["k2"]
     assert row["ck"] == row["k1"]
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0xFFFD
+        ),
+        max_size=40,
+    )
+)
+def test_nfc_kernel_matches_duckdb_property(spark, s):
+    """Round-12: the Arrow NFC kernel diffed against DuckDB's
+    nfc_normalize — a REAL second normalization engine — on random
+    BMP codepoint strings (the q25 oracle's cross-engine contract,
+    generalized from the pinned suffix constants)."""
+    import duckdb
+
+    got = _one(spark, T.unicode_normalize_udf("NFC")(F.col("v")), s)
+    ref = duckdb.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+    assert got == ref
 
 
 def test_strip_controls_keeps_tab_newline_cr(spark):
