@@ -2273,10 +2273,26 @@ def q58_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs, id_col="doc_id")
 
 
+# Round-12 fold: arm 1 carries a VISIBLE entity-rich payload — named
+# (&mdash; &eacute; &agrave; &hellip;), hex (&#x2019;) and decimal
+# (&#169;) references beyond the core set — so q65's step-0 now
+# exercises the FULL HTML5 decode (html_to_text entities="full", the
+# html.unescape Arrow kernel). The decoded constant is replayed
+# closed-form by the oracle (prefixed to arm-1 text), and
+# tests/test_text_hygiene.py pins PAYLOAD -> DECODED via stdlib
+# html.unescape.
+_Q65_ENTITY_PAYLOAD = (
+    "News &mdash; d&eacute;j&agrave; vu &#x2019;quote&#x2019;"
+    "&hellip; &#169;2024 "
+)
+_Q65_ENTITY_DECODED = (
+    "News — déjà vu ’quote’… ©2024 "
+)
+
 _Q65_HTML_PRE = (
     '<html><head><title></title><script type="text/javascript">'
     'if(a<b&&c>d){alert("x&y");}</script></head><body><p class="doc">',
-    "<HTML><BODY><DIV id='d1'><SPAN>",
+    "<HTML><BODY><DIV id='d1'><P>" + _Q65_ENTITY_PAYLOAD + "</P><SPAN>",
     "<html><body><style>p>a{color:#fff}</style><![CDATA[]]><p>",
     '<!DOCTYPE html><html><body onload="f()"><p>',
 )
@@ -2292,15 +2308,25 @@ _Q65_HTML_POST = (
 @_register(
     "q65_llm_corpus_pipeline",
     f"""
-    WITH RECURSIVE raw AS (
-        SELECT doc_id, text, lang, n_chars,
+    WITH RECURSIVE raw0 AS (
+        SELECT doc_id, text AS base_text, lang, n_chars FROM documents
+    ),
+    raw AS (
+        SELECT doc_id,
+               -- arm 1's shell carries a visible entity payload; the
+               -- pipeline's FULL HTML5 decode must recover exactly
+               -- this closed-form decoded prefix (round 12)
+               CASE WHEN doc_id % 4 = 1
+                    THEN '{_Q65_ENTITY_DECODED}' || base_text
+                    ELSE base_text END AS text,
+               lang, n_chars,
                CASE doc_id % 4
                  WHEN 0 THEN '<html><head><title></title><script type="text/javascript">if(a<b&&c>d){{alert("x&y");}}</script></head><body><p class="doc">'
-                 WHEN 1 THEN '<HTML><BODY><DIV id=''d1''><SPAN>'
+                 WHEN 1 THEN '<HTML><BODY><DIV id=''d1''><P>{_Q65_ENTITY_PAYLOAD}</P><SPAN>'
                  WHEN 2 THEN '<html><body><style>p>a{{color:#fff}}</style><![CDATA[]]><p>'
                  ELSE '<!DOCTYPE html><html><body onload="f()"><p>'
                END
-               || replace(replace(replace(text, '&', '&amp;'),
+               || replace(replace(replace(base_text, '&', '&amp;'),
                           '<', '&lt;'), '>', '&gt;')
                || CASE doc_id % 4
                  WHEN 0 THEN '</p></body></html>'
@@ -2308,7 +2334,7 @@ _Q65_HTML_POST = (
                  WHEN 2 THEN '</p><ul><li></ul></body>'
                  ELSE '</p><script> //x line() </script></body></html>'
                END AS html
-        FROM documents
+        FROM raw0
     ),
     corpus AS (
         SELECT doc_id, text, lang,
@@ -2350,23 +2376,27 @@ _Q65_HTML_POST = (
            CAST(SUM(n_tags) AS BIGINT) AS sum_tags_stripped
     FROM split_assign GROUP BY split
     """.replace("{pair_ctes}", _nd_pair_ctes("corpus")),
-    "Flagship composition — the end-to-end LLM corpus pipeline, now "
-    "(round 11) fronted by its step-0: HTML->text extraction. Each "
-    "document is deterministically wrapped in one of four HTML "
-    "shells (script with bare </>& in its body, uppercase tags + "
-    "comment with embedded tags, style + empty CDATA + unclosed "
-    "<li>, DOCTYPE + inline handler), entity-encoded (&/</> -> "
-    "&amp;/&lt;/&gt;), then recovered by text.html_to_text's codegen "
-    "regexp chain BEFORE the quality clean. The oracle keeps "
-    "computing tokens from the RAW text: the strip must be the exact "
-    "inverse of the wrap for every downstream stage (near-dup "
-    "shingles, closure, split, token sums) to hash-match — a "
-    "whole-pipeline proof of the extractor. sum_html_chars / "
-    "sum_tags_stripped (markup '<' census) pin the wrap itself. "
-    "Then: quality clean (length + token floor) -> two-stage "
-    "near-dup (MinHash LSH + exact Jaccard) -> connected-component "
-    "group closure -> canonical-survivor keep -> deterministic "
-    "train/val/test split -> per-split stats.",
+    "Flagship composition — the end-to-end LLM corpus pipeline, "
+    "fronted by its step-0: HTML->text extraction. Each document is "
+    "deterministically wrapped in one of four HTML shells (script "
+    "with bare </>& in its body, uppercase tags + comment with "
+    "embedded tags + an ENTITY-RICH visible payload — round 12: "
+    "named &mdash;/&eacute;/&hellip;, hex &#x2019;, decimal &#169; "
+    "beyond the core set — style + empty CDATA + unclosed <li>, "
+    "DOCTYPE + inline handler), entity-encoded (&/</> -> "
+    "&amp;/&lt;/&gt;), then recovered by text.html_to_text with "
+    "entities='full' (regexp chain + the html.unescape Arrow "
+    "kernel) BEFORE the quality clean. The oracle keeps computing "
+    "tokens from the RAW text (+ the closed-form decoded arm-1 "
+    "prefix): the strip must be the exact inverse of the wrap for "
+    "every downstream stage (near-dup shingles, closure, split, "
+    "token sums) to hash-match — a whole-pipeline proof of the "
+    "extractor. sum_html_chars / sum_tags_stripped (markup '<' "
+    "census) pin the wrap itself. Then: quality clean (length + "
+    "token floor) -> two-stage near-dup (MinHash LSH + exact "
+    "Jaccard) -> connected-component group closure -> "
+    "canonical-survivor keep -> deterministic train/val/test split "
+    "-> per-split stats.",
 )
 def q65_llm_corpus_pipeline(spark, sf_dir):
     from ..operators.components import dedup_groups
@@ -2403,7 +2433,7 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
         "n_chars",
         F.length(html).cast("long").alias("html_len"),
         html_tag_stats(html).alias("n_tags"),
-        html_to_text(html).alias("text"),
+        html_to_text(html, entities="full").alias("text"),
     )
     clean = (
         wrapped.filter(

@@ -124,9 +124,12 @@ def test_html_tag_stats_counts_markup_lt(spark):
     arm=st.integers(min_value=0, max_value=3),
 )
 def test_html_wrap_strip_identity_property(spark, text, arm):
-    """strip(wrap(x)) == whitespace-collapsed x for every q65 shell,
-    for ARBITRARY printable-ASCII x (incl. '<', '&', quotes)."""
+    """strip(wrap(x)) == whitespace-collapsed (payload + x) for every
+    q65 shell, for ARBITRARY printable-ASCII x (incl. '<', '&',
+    quotes) — through the FULL entity decode q65 now runs (arm 1's
+    shell carries the entity-rich visible payload)."""
     from e_commerce_data_pipeline_spark.plans.queries import (
+        _Q65_ENTITY_DECODED,
         _Q65_HTML_POST,
         _Q65_HTML_PRE,
     )
@@ -135,8 +138,22 @@ def test_html_wrap_strip_identity_property(spark, text, arm):
         text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
     html = _Q65_HTML_PRE[arm] + enc + _Q65_HTML_POST[arm]
-    got = _one(spark, T.html_to_text(F.col("v")), html)
-    assert got == " ".join(text.split())
+    got = _one(spark, T.html_to_text(F.col("v"), entities="full"), html)
+    expected = (_Q65_ENTITY_DECODED if arm == 1 else "") + text
+    assert got == " ".join(expected.split())
+
+
+def test_q65_entity_payload_decodes_to_pinned_constant():
+    """The q65 oracle's closed-form decoded arm-1 prefix is exactly
+    stdlib html.unescape over the shell payload."""
+    import html as _html
+
+    from e_commerce_data_pipeline_spark.plans.queries import (
+        _Q65_ENTITY_DECODED,
+        _Q65_ENTITY_PAYLOAD,
+    )
+
+    assert _html.unescape(_Q65_ENTITY_PAYLOAD) == _Q65_ENTITY_DECODED
 
 
 # round-12 full-entity mode: the complete HTML5 table via the Arrow
