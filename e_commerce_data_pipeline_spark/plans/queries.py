@@ -2305,6 +2305,50 @@ _Q65_HTML_POST = (
 
 
 
+def _q65_build_warc_group(key, pdf):
+    """Synthesis kernel for q65's WARC leg: serialize one bucket of
+    (doc_id, lang, n_chars, html) rows into ONE WARC file — a
+    warcinfo record followed by per-doc ``response`` records whose
+    payloads carry a real HTTP header block; odd buckets use the
+    spec's per-record-gzip-member ``.warc.gz`` layout. Deterministic:
+    rows sorted by doc_id, gzip mtime pinned."""
+    import pandas as pd
+
+    from ..sources.warc import build_warc
+
+    pdf = pdf.sort_values("doc_id")
+    bucket = int(pdf["bucket"].iloc[0])
+    records = []
+    for doc_id, lang, n_chars, html in zip(
+        pdf["doc_id"], pdf["lang"], pdf["n_chars"], pdf["html"]
+    ):
+        body = html.encode("utf-8")
+        payload = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}".encode("ascii")
+            + b"\r\n\r\n"
+            + body
+        )
+        records.append(
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{int(doc_id)}>",
+                    "WARC-Target-URI": (
+                        f"https://corpus.example/doc/{int(doc_id)}"
+                    ),
+                    "Content-Type": "application/http; msgtype=response",
+                    "X-Doc-Lang": str(lang),
+                    "X-Doc-Chars": str(int(n_chars)),
+                },
+                "payload": payload,
+            }
+        )
+    data = build_warc(records, gzip_members=bool(bucket % 2))
+    return pd.DataFrame({"bucket": [bucket], "warc": [data]})
+
+
 @_register(
     "q65_llm_corpus_pipeline",
     f"""
@@ -2377,7 +2421,14 @@ _Q65_HTML_POST = (
     FROM split_assign GROUP BY split
     """.replace("{pair_ctes}", _nd_pair_ctes("corpus")),
     "Flagship composition — the end-to-end LLM corpus pipeline, "
-    "fronted by its step-0: HTML->text extraction. Each document is "
+    "fronted (round 12) by its step -1, the raw-web CONTAINER walk: "
+    "every bucket of docs is serialized into one WARC file "
+    "(warcinfo record + HTTP-framed response records; odd buckets "
+    "per-record-gzip .warc.gz) and re-ingested through "
+    "sources/warc.py's record walk — an oracle-INVISIBLE fold (the "
+    "recovered frame is byte-identical when the walk is correct, "
+    "and every downstream hash pins it). Then step-0: HTML->text "
+    "extraction. Each document is "
     "deterministically wrapped in one of four HTML shells (script "
     "with bare </>& in its body, uppercase tags + comment with "
     "embedded tags + an ENTITY-RICH visible payload — round 12: "
@@ -2407,15 +2458,23 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
         html_to_text,
         token_count,
     )
+    from ..sources.warc import extract_warc_responses
 
     docs = _t(spark, sf_dir, "documents")
-    # step-0: the raw-web shape — deterministic HTML shells around the
-    # entity-encoded text, recovered by the codegen extractor. The
-    # pipeline below runs on the RECOVERED text while the oracle uses
-    # the raw column, so the strip is verified end-to-end through
-    # every downstream stage. clean.cache() materializes the stripped
-    # column, keeping the explode-based shingle stages reading a plain
-    # cached column (no computed-expression lineage under a Generate).
+    # step -1 (round 12): the raw-web CONTAINER shape — each bucket of
+    # docs is serialized into one WARC file (warcinfo + HTTP-framed
+    # response records; odd buckets per-record-gzip .warc.gz) and the
+    # pipeline re-enters through sources/warc.py's record walk. The
+    # fold is oracle-INVISIBLE: when the walk is correct the recovered
+    # (doc_id, lang, n_chars, html) frame is byte-identical to the
+    # direct one, and every downstream hash already pins it.
+    # step-0: deterministic HTML shells around the entity-encoded
+    # text, recovered by the full-entity extractor. The pipeline below
+    # runs on the RECOVERED text while the oracle uses the raw column,
+    # so the strip is verified end-to-end through every downstream
+    # stage. clean.cache() materializes the stripped column, keeping
+    # the explode-based shingle stages reading a plain cached column
+    # (no computed-expression lineage under a Generate).
     arm = (F.col("doc_id") % 4).cast("int")
     enc = F.regexp_replace(
         F.regexp_replace(
@@ -2427,22 +2486,42 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
     pre = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_PRE]), arm + 1)
     post = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_POST]), arm + 1)
     html = F.concat(pre, enc, post)
-    wrapped = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.length(html).cast("long").alias("html_len"),
-        html_tag_stats(html).alias("n_tags"),
-        html_to_text(html, entities="full").alias("text"),
+    warc_files = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            html.alias("html"),
+            (F.col("doc_id") % 64).cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(_q65_build_warc_group, "bucket int, warc binary")
     )
-    clean = (
+    recs = extract_warc_responses(warc_files, "warc")
+    rehtml = F.col("html")
+    wrapped = recs.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.element_at("headers", "x-doc-lang").alias("lang"),
+        F.element_at("headers", "x-doc-chars").cast("int").alias("n_chars"),
+        F.length(rehtml).cast("long").alias("html_len"),
+        html_tag_stats(rehtml).alias("n_tags"),
+        html_to_text(rehtml, entities="full").alias("text"),
+    )
+    # cache BELOW the token floor: the floor filter then reads the
+    # materialized n_tokens int from the InMemoryRelation instead of
+    # inlining the tokenizer regexp chain into a Filter node (the
+    # mapInPandas child changed CollapseProject behavior in round 12
+    # — the plan test pins this shape)
+    staged = (
         wrapped.filter(
             (F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000)
         )
         .withColumn("n_tokens", token_count("text").cast("int"))
-        .filter(F.col("n_tokens") >= 10)
         .cache()
     )
+    clean = staged.filter(F.col("n_tokens") >= 10)
     pairs = near_dup_pairs(clean, threshold=0.1, use_portable_hash=True)
     groups = dedup_groups(pairs, clean, id_col="doc_id")
     kept = clean.join(

@@ -1,0 +1,252 @@
+"""WARC (Web ARChive, ISO 28500 / WARC 1.x) record walk — the true
+step-0 of a Common-Crawl-class corpus pipeline, one step before the
+HTML->text strip: raw captures arrive as WARC files (optionally with
+each record its own gzip member, the spec's seekable ``.warc.gz``
+layout), and the pipeline walks records, keeps the ``response`` ones,
+strips the embedded HTTP header block, and hands the HTML body to
+``text.html_to_text``.
+
+The reference repo (rishabh2727/E-Commerce-Data-Pipeline) has no WARC
+reader — this module is part of the training-data-pipeline extension
+surface (SURVEY §2 LLM ops), built from the public WARC 1.1
+specification (ISO 28500; the format is plain: a ``WARC/1.x`` version
+line, CRLF-terminated named headers, ``Content-Length``-framed
+payload, and an exact ``CRLF CRLF`` record terminator).
+
+Scale design: one WARC file is one binary cell — production layouts
+read ``spark.read.format("binaryFile")`` over a WARC directory (files
+are the natural ~1 GiB unit and parallelism follows the file count),
+and ``extract_warc_responses`` is a ``mapInPandas`` Arrow kernel that
+walks each file's records without materializing anything beyond the
+file's own bytes. No driver-side state; no shuffle beyond the scan.
+
+Damage contract (the multimodal house rule): structural damage —
+truncation, forged Content-Length, a broken version line, missing
+record terminator, torn gzip member — raises ``ValueError`` and never
+``IndexError``/``MemoryError``; allocations are bounded by the input
+buffer's own length before any slice.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import Iterable, Iterator
+
+__all__ = [
+    "build_warc",
+    "parse_warc",
+    "split_http_response",
+    "extract_warc_responses",
+]
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------- build
+
+
+def build_warc(
+    records: Iterable[dict],
+    gzip_members: bool = False,
+    warcinfo: bool = True,
+) -> bytes:
+    """Serialize records into one WARC file (synthesis/test helper —
+    the parse side is the product surface). Each record dict carries
+    ``headers`` (name -> value, written in insertion order) and
+    ``payload`` (bytes). ``gzip_members=True`` writes the spec's
+    seekable ``.warc.gz`` layout: every record is its own gzip
+    member, members concatenated. ``warcinfo=True`` prepends a
+    warcinfo record (real crawls always carry one — the walker must
+    skip non-response records, so the synthesis includes one)."""
+    out = []
+    if warcinfo:
+        info = b"software: e_commerce_data_pipeline_spark/warc\r\n"
+        out.append(
+            _one_record(
+                {
+                    "WARC-Type": "warcinfo",
+                    "Content-Type": "application/warc-fields",
+                },
+                info,
+            )
+        )
+    for rec in records:
+        out.append(_one_record(rec["headers"], rec["payload"]))
+    if gzip_members:
+        # mtime=0 keeps the synthesis bit-deterministic across runs
+        return b"".join(
+            gzip.compress(r, compresslevel=6, mtime=0) for r in out
+        )
+    return b"".join(out)
+
+
+def _one_record(headers: dict, payload: bytes) -> bytes:
+    buf = io.BytesIO()
+    buf.write(b"WARC/1.0\r\n")
+    for name, value in headers.items():
+        if name.lower() == "content-length":
+            continue  # always recomputed from the actual payload
+        buf.write(f"{name}: {value}".encode("utf-8") + _CRLF)
+    buf.write(f"Content-Length: {len(payload)}".encode("ascii") + _CRLF)
+    buf.write(_CRLF)
+    buf.write(payload)
+    buf.write(_CRLF + _CRLF)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- parse
+
+
+def parse_warc(data: bytes) -> list[tuple[dict, bytes]]:
+    """Walk every record of a WARC file: returns
+    ``[(headers, payload), ...]`` with header names lowercased.
+    Accepts both the plain layout and per-record-gzip-member
+    ``.warc.gz`` (detected by the gzip magic). Framing is verified
+    exactly: ``WARC/1.x`` version line, ``Content-Length``-bounded
+    payload, mandatory ``CRLF CRLF`` terminator — any violation is
+    ``ValueError``."""
+    if not isinstance(data, (bytes, bytearray)):
+        raise ValueError("warc: input is not bytes")
+    data = bytes(data)
+    if data[:2] == b"\x1f\x8b":
+        records = []
+        for member in _gzip_members(data):
+            records.extend(_parse_plain(member))
+        return records
+    return _parse_plain(data)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Iterate concatenated gzip members (each its own deflate stream
+    with header+trailer — wbits=31)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"warc: torn gzip member: {exc}") from exc
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        yield chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # defensive: no progress means malformed
+            raise ValueError("warc: empty gzip member")
+        pos += consumed
+
+
+def _parse_plain(data: bytes) -> list[tuple[dict, bytes]]:
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate stray record separators between records (some
+        # writers emit extra blank lines); inside a record the
+        # framing below stays exact
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        headers, body_start = _parse_header_block(data, pos)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("warc: missing/invalid Content-Length") from exc
+        if length < 0 or body_start + length > n:
+            raise ValueError(
+                f"warc: Content-Length {length} overruns the buffer"
+            )
+        payload = data[body_start : body_start + length]
+        term = data[body_start + length : body_start + length + 4]
+        if term != _CRLF + _CRLF:
+            raise ValueError("warc: record terminator CRLFCRLF missing")
+        records.append((headers, payload))
+        pos = body_start + length + 4
+    if not records:
+        raise ValueError("warc: no records")
+    return records
+
+
+def _parse_header_block(data: bytes, pos: int) -> tuple[dict, int]:
+    end = data.find(_CRLF + _CRLF, pos)
+    if end < 0:
+        raise ValueError("warc: truncated header block")
+    block = data[pos:end]
+    lines = block.split(_CRLF)
+    version = lines[0]
+    if not version.startswith(b"WARC/1."):
+        raise ValueError(f"warc: bad version line {version[:20]!r}")
+    headers: dict = {}
+    for line in lines[1:]:
+        name, sep, value = line.partition(b": ")
+        if not sep:
+            raise ValueError(f"warc: malformed header line {line[:40]!r}")
+        try:
+            headers[name.decode("ascii").lower()] = value.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError("warc: undecodable header") from exc
+    return headers, end + 4
+
+
+def split_http_response(payload: bytes) -> tuple[str, dict, bytes]:
+    """Split an ``application/http; msgtype=response`` payload into
+    (status line, lowercased HTTP headers, body bytes)."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("warc: http payload missing header terminator")
+    head = payload[:sep]
+    lines = head.split(_CRLF)
+    status = lines[0]
+    if not status.startswith(b"HTTP/"):
+        raise ValueError(f"warc: bad http status line {status[:20]!r}")
+    headers: dict = {}
+    for line in lines[1:]:
+        name, sep2, value = line.partition(b": ")
+        if not sep2:
+            raise ValueError(f"warc: malformed http header {line[:40]!r}")
+        try:
+            headers[name.decode("ascii").lower()] = value.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError("warc: undecodable http header") from exc
+    return status.decode("ascii", "replace"), headers, payload[sep + 4 :]
+
+
+# ---------------------------------------------------------------- spark
+
+_EXTRACT_SCHEMA = (
+    "record_id string, target_uri string, "
+    "headers map<string,string>, html string"
+)
+
+
+def extract_warc_responses(df, data_col: str = "warc"):
+    """The Spark-side record walk: a ``mapInPandas`` Arrow kernel
+    over a binary WARC-file column that emits one row per
+    ``WARC-Type: response`` record — ``record_id``, ``target_uri``,
+    the full (lowercased) WARC header map, and the HTML body with
+    the embedded HTTP header block stripped. Non-response records
+    (warcinfo, request, metadata) are skipped, as a crawl walker
+    must. Damaged files raise ValueError (fail the task loudly — a
+    silent skip would undercount the corpus)."""
+    import pandas as pd
+
+    def _walk(batches):
+        for pdf in batches:
+            out = {"record_id": [], "target_uri": [], "headers": [], "html": []}
+            for raw in pdf[data_col]:
+                for headers, payload in parse_warc(bytes(raw)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    _status, _http_headers, body = split_http_response(
+                        payload
+                    )
+                    out["record_id"].append(headers.get("warc-record-id", ""))
+                    out["target_uri"].append(headers.get("warc-target-uri", ""))
+                    out["headers"].append(headers)
+                    out["html"].append(body.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_walk, _EXTRACT_SCHEMA)

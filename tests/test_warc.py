@@ -1,0 +1,198 @@
+"""WARC record walk (sources/warc.py): roundtrip, framing damage,
+bit-flip contract, HTTP payload split, and the Spark mapInPandas
+extractor end-to-end (the q65 step -1 container leg)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from e_commerce_data_pipeline_spark.sources.warc import (
+    build_warc,
+    extract_warc_responses,
+    parse_warc,
+    split_http_response,
+)
+
+
+def _http_payload(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        + f"Content-Length: {len(body)}".encode()
+        + b"\r\n\r\n"
+        + body
+    )
+
+
+def _records(n=3):
+    recs = []
+    for i in range(n):
+        body = f"<html><body><p>doc {i} &amp; more</p></body></html>".encode()
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{i}>",
+                    "WARC-Target-URI": f"https://corpus.example/doc/{i}",
+                    "Content-Type": "application/http; msgtype=response",
+                    "X-Doc-Lang": "en",
+                },
+                "payload": _http_payload(body),
+            }
+        )
+    return recs
+
+
+# ------------------------------------------------------------ roundtrip
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip(gz):
+    data = build_warc(_records(), gzip_members=gz)
+    recs = parse_warc(data)
+    # warcinfo + 3 responses
+    assert len(recs) == 4
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    for i, (h, payload) in enumerate(recs[1:]):
+        assert h["warc-type"] == "response"
+        assert h["warc-record-id"] == f"<urn:doc:{i}>"
+        assert h["x-doc-lang"] == "en"
+        status, http, body = split_http_response(payload)
+        assert status.startswith("HTTP/1.1 200")
+        assert http["content-type"].startswith("text/html")
+        assert f"doc {i}".encode() in body
+
+
+def test_gzip_members_are_individually_seekable():
+    """The .warc.gz layout is one gzip MEMBER per record — each must
+    decompress standalone (the spec's seekability guarantee)."""
+    data = build_warc(_records(1), gzip_members=True)
+    # find the second member's magic; the first member must
+    # decompress standalone
+    idx = data.find(b"\x1f\x8b", 2)
+    assert idx > 0  # two members: warcinfo + one response
+    one = gzip.decompress(data[:idx])
+    assert one.startswith(b"WARC/1.0\r\n")
+
+
+def test_build_warc_deterministic():
+    assert build_warc(_records()) == build_warc(_records())
+    assert build_warc(_records(), gzip_members=True) == build_warc(
+        _records(), gzip_members=True
+    )
+
+
+# --------------------------------------------------------------- damage
+
+
+def test_truncation_raises():
+    data = build_warc(_records())
+    for cut in (len(data) - 1, len(data) // 2, 10):
+        with pytest.raises(ValueError):
+            parse_warc(data[:cut])
+
+
+def test_forged_content_length_raises():
+    data = build_warc(_records(1))
+    forged = data.replace(b"Content-Length: 5", b"Content-Length: 99999", 1)
+    # if the exact fragment wasn't present, forge the first CL line
+    if forged == data:
+        import re
+
+        forged = re.sub(
+            rb"Content-Length: \d+", b"Content-Length: 999999", data, count=1
+        )
+    with pytest.raises(ValueError):
+        parse_warc(forged)
+
+
+def test_bad_version_line_raises():
+    data = build_warc(_records(1))
+    with pytest.raises(ValueError):
+        parse_warc(data.replace(b"WARC/1.0", b"WARC/9.9", 1))
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_missing_terminator_raises():
+    rec = _records(1)[0]
+    data = build_warc([rec], warcinfo=False)
+    assert data.endswith(b"\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(data[:-4] + b"XXXX")
+
+
+def test_torn_gzip_member_raises():
+    data = build_warc(_records(1), gzip_members=True)
+    with pytest.raises(ValueError):
+        parse_warc(data[: len(data) - 6])
+
+
+def test_http_split_damage_raises():
+    with pytest.raises(ValueError):
+        split_http_response(b"HTTP/1.1 200 OK\r\nno-terminator")
+    with pytest.raises(ValueError):
+        split_http_response(b"FTP/1.1 200\r\n\r\nbody")
+    with pytest.raises(ValueError):
+        split_http_response(b"HTTP/1.1 200 OK\r\nbadline\r\n\r\nbody")
+
+
+def test_empty_and_nonbytes_raise():
+    with pytest.raises(ValueError):
+        parse_warc(b"")
+    with pytest.raises(ValueError):
+        parse_warc("not bytes")  # type: ignore[arg-type]
+
+
+def test_bitflip_sweep_plain_and_gzip():
+    """Bit-flip contract (the multimodal house rule): every single-bit
+    corruption of the stream either still parses or raises ValueError
+    — never IndexError/KeyError/MemoryError. UnicodeDecodeError is a
+    ValueError subclass and counts."""
+    for gz in (False, True):
+        data = bytearray(build_warc(_records(2), gzip_members=gz))
+        for byte_i in range(len(data)):
+            for bit in (0x01, 0x80):
+                data[byte_i] ^= bit
+                try:
+                    parse_warc(bytes(data))
+                except ValueError:
+                    pass
+                data[byte_i] ^= bit
+
+
+# ---------------------------------------------------------------- spark
+
+
+def test_extract_warc_responses_spark(spark):
+    import pandas as pd
+
+    plain = build_warc(_records(3), gzip_members=False)
+    gzd = build_warc(_records(2), gzip_members=True)
+    df = spark.createDataFrame(
+        pd.DataFrame({"bucket": [0, 1], "warc": [plain, gzd]})
+    )
+    out = extract_warc_responses(df, "warc").collect()
+    # warcinfo records skipped; 3 + 2 responses survive
+    assert len(out) == 5
+    ids = sorted(r["record_id"] for r in out)
+    assert ids == [
+        "<urn:doc:0>", "<urn:doc:0>", "<urn:doc:1>",
+        "<urn:doc:1>", "<urn:doc:2>",
+    ]
+    for r in out:
+        assert r["target_uri"].startswith("https://corpus.example/doc/")
+        assert r["headers"]["x-doc-lang"] == "en"
+        assert r["html"].startswith("<html><body><p>doc ")
+        # the HTTP header block must be stripped
+        assert "HTTP/1.1" not in r["html"]
+
+
+def test_extract_warc_damaged_file_fails_loudly(spark):
+    import pandas as pd
+
+    data = build_warc(_records(1))[:-4]
+    df = spark.createDataFrame(pd.DataFrame({"warc": [data]}))
+    with pytest.raises(Exception):
+        extract_warc_responses(df, "warc").collect()
