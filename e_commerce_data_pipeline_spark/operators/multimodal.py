@@ -2757,10 +2757,12 @@ def decode_tiff(b: bytes):
             raise ValueError("JPEG-in-TIFF requires 8-bit samples")
         if photo not in (0, 1, 2, 5, 6):
             require_codec(f"JPEG-in-TIFF photometric {photo}")
-        if planar == 2 and photo in (5, 6):
-            # planar YCbCr ships SUBSAMPLED chroma plane dims; planar
-            # CMYK is unseen in the wild — both gate
-            require_codec(f"planar JPEG-in-TIFF photometric {photo}")
+        if planar == 2 and photo == 6 and tiled:
+            # the chroma planes of a TILED planar YCbCr file cover
+            # subsampled dims with their own tile grids — layout
+            # unseen outside the spec text; strips are real below
+            # (round 12 retired the strip gate)
+            require_codec("tiled planar-YCbCr JPEG-in-TIFF")
         if (photo in (0, 1) and spp != 1) or \
                 (photo in (2, 6) and spp != 3) or \
                 (photo == 5 and spp != 4):
@@ -2773,6 +2775,13 @@ def decode_tiff(b: bytes):
                 raise ValueError("TIFF JPEGTables malformed")
             tb_body = tb[2:-2]
 
+        # planar with ONE sample per pixel is degenerate-legal
+        # (identical to chunky) — spp>=3 splits the segment sequence
+        # into component-major plane sets of SINGLE-component scans
+        # (round 12: planar YCbCr with subsampled chroma planes and
+        # planar CMYK both decode; the strip walk below is per-plane)
+        planar_sep = planar == 2 and spp >= 3
+
         def jdec(off, cnt):
             stream = bytes(chunk_at(off, cnt))
             if stream[:2] != b"\xff\xd8":
@@ -2782,24 +2791,39 @@ def decode_tiff(b: bytes):
             px = decode_jpeg(
                 stream,
                 color_space=(
-                    "rgb" if photo == 2
+                    # planar segments are single-component scans:
+                    # decode as gray (code values replicated to 3);
+                    # the container owns any color interpretation
+                    "auto" if planar_sep
+                    else "rgb" if photo == 2
                     else "cmyk" if photo == 5
                     else "auto"
                 ),
             )
             if px.dtype != np.uint8:
                 raise ValueError("TIFF embedded JPEG must be 8-bit")
-            if px.shape[2] != (4 if photo == 5 else 3):
+            if px.shape[2] != (4 if photo == 5 and not planar_sep else 3):
                 raise ValueError(
                     "TIFF embedded JPEG component count mismatch"
                 )
             return px
 
-        # planar with ONE sample per pixel is degenerate-legal
-        # (identical to chunky) — only spp=3 splits the segment
-        # sequence into component-major plane sets
-        planar_sep = planar == 2 and spp == 3
-        nplanes = 3 if planar_sep else 1
+        nplanes = spp if planar_sep else 1
+        # per-plane dims: photometric 6 ships SUBSAMPLED chroma
+        # planes (TIFF 6.0 §21); every other photometric stores
+        # full-size planes
+        sh_ = sv_ = 1
+        pdims = [(h, w)] * nplanes
+        if planar_sep and photo == 6:
+            ss = values(530, [2, 2])
+            if len(ss) != 2 or ss[0] not in (1, 2, 4) or \
+                    ss[1] not in (1, 2, 4):
+                raise ValueError("TIFF YCbCrSubSampling invalid")
+            sh_, sv_ = ss
+            co = values(529)
+            if co is not None and co != [299, 1000, 587, 1000, 114, 1000]:
+                require_codec("TIFF YCbCr custom luma coefficients")
+            pdims = [(h, w)] + [(-(-h // sv_), -(-w // sh_))] * 2
         if tiled:
             tw, th = one(322), one(323)
             if not tw or not th:
@@ -2840,18 +2864,56 @@ def decode_tiff(b: bytes):
             per_plane = -(-h // rps)
             if len(offsets) != per_plane * nplanes:
                 raise ValueError("TIFF strip count does not cover the image")
+            if planar_sep and photo == 6 and per_plane > 1 and rps % sv_:
+                raise ValueError(
+                    "planar YCbCr RowsPerStrip not a multiple of the "
+                    "vertical subsampling"
+                )
             if planar_sep:
-                out = np.zeros((h, w, 3), np.uint8)
-                for si, (off, cnt) in enumerate(zip(offsets, counts)):
-                    c, s = divmod(si, per_plane)
-                    y0 = s * rps
-                    rows_here = min(rps, h - y0)
-                    px = jdec(off, cnt)
-                    if px.shape[0] < rows_here or px.shape[1] < w:
-                        raise ValueError(
-                            "TIFF JPEG strip smaller than declared"
-                        )
-                    out[y0 : y0 + rows_here, :, c] = px[:rows_here, :w, 0]
+                # component-major plane sets; chroma strips of a
+                # photometric-6 file carry rows_img/sv plane rows for
+                # the same rps image rows (TIFF 6.0 §21)
+                planes = []
+                for p, (ph, pw) in enumerate(pdims):
+                    vstep = sv_ if (photo == 6 and p > 0) else 1
+                    bufs = []
+                    for s in range(per_plane):
+                        off = offsets[p * per_plane + s]
+                        cnt = counts[p * per_plane + s]
+                        rows_img = min(rps, h - s * rps)
+                        rows_here = -(-rows_img // vstep)
+                        px = jdec(off, cnt)
+                        if px.shape[0] < rows_here or px.shape[1] < pw:
+                            raise ValueError(
+                                "TIFF JPEG strip smaller than declared"
+                            )
+                        bufs.append(px[:rows_here, :pw, 0])
+                    planes.append(np.concatenate(bufs, axis=0)[:ph])
+                if photo == 6:
+                    # upsample chroma by replication and convert with
+                    # decode_jpeg's exact full-range closed forms —
+                    # JPEG-in-TIFF YCbCr is full-range by the TechNote
+                    # convention (same as the chunky path, where the
+                    # JPEG decoder itself converts)
+                    yf = planes[0].astype(np.float64)
+                    cbf = np.repeat(
+                        np.repeat(planes[1], sv_, 0), sh_, 1
+                    )[:h, :w].astype(np.float64) - 128.0
+                    crf = np.repeat(
+                        np.repeat(planes[2], sv_, 0), sh_, 1
+                    )[:h, :w].astype(np.float64) - 128.0
+                    r = yf + 1.402 * crf
+                    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+                    bl = yf + 1.772 * cbf
+                    out = np.stack(
+                        [
+                            np.clip(np.floor(x + 0.5), 0, 255)
+                            for x in (r, g, bl)
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                else:
+                    out = np.stack(planes, axis=-1)
             else:
                 parts = []
                 for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -3897,6 +3959,7 @@ def encode_tiff_jpeg(
     tile=None,
     planar: bool = False,
     adobe_transform=None,
+    subsampling=None,
 ) -> bytes:
     """(h, w, 3) RGB (photometric 6 — encode_jpeg stores YCbCr — or
     photometric 2 with ``rgb_space``: each strip/tile an RGB-space
@@ -3908,9 +3971,15 @@ def encode_tiff_jpeg(
     4:4:4 only). ``tile=(tw, th)`` emits the TILED layout (tags
     322-325, dims multiples of 8/16, edge tiles padded by edge
     replication — pad pixels are cropped on decode). ``planar``
-    (requires ``rgb_space``) stores PlanarConfiguration 2: each
-    component's strips/tiles are independent single-component JPEG
-    streams, component-major. ``old_style`` emits the deprecated
+    stores PlanarConfiguration 2: each component's strips/tiles are
+    independent single-component JPEG streams, component-major —
+    RGB-space planes with ``rgb_space``, ink planes for CMYK input,
+    or (round 12) photometric-6 Y/Cb/Cr planes with the forward
+    CCIR-601 transform and ``subsampling=(sh, sv)`` top-left-sampled
+    chroma planes at the TIFF 6.0 §21 SUBSAMPLED dims (tag 530
+    written explicitly; strips only — chroma strips carry
+    rows_per_strip/sv plane rows, so ``rows_per_strip`` must also be
+    a multiple of 8*sv). ``old_style`` emits the deprecated
     compression-6 layout instead (TIFF 6.0 §22): ONE full
     interchange stream pointed at by JPEGInterchangeFormat/Length
     (513/514), no strips — the layout old files in the wild
@@ -3924,16 +3993,22 @@ def encode_tiff_jpeg(
     if gray:
         spp, photo = 1, 1
     elif a.shape[2] == 4:
-        assert rgb_space or adobe_transform == 2, (
-            "CMYK JPEG-in-TIFF needs rgb_space or YCCK scans"
+        assert planar or rgb_space or adobe_transform == 2, (
+            "chunky CMYK JPEG-in-TIFF needs rgb_space or YCCK scans"
         )
         spp, photo = 4, 5
     else:
         spp, photo = (3, 2) if rgb_space else (3, 6)
     if planar:
-        assert rgb_space and photo == 2 and not old_style, (
-            "planar JPEG-in-TIFF ships RGB full-size planes"
+        assert photo in (2, 5, 6) and not old_style, (
+            "planar JPEG-in-TIFF needs component planes"
         )
+        assert not (photo == 6 and tile is not None), (
+            "tiled planar YCbCr is out of surface (decoder gates it)"
+        )
+    if subsampling is not None:
+        assert planar and photo == 6, "subsampling is the planar-YCbCr knob"
+        assert subsampling[0] in (1, 2, 4) and subsampling[1] in (1, 2, 4)
     if old_style:
         assert not jpeg_tables and not rows_per_strip
         assert not rgb_space and tile is None
@@ -3961,9 +4036,27 @@ def encode_tiff_jpeg(
         return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space,
                            adobe_transform=adobe_transform)
 
-    comps = (
-        [a[..., c] for c in range(3)] if planar else [a]
-    )
+    if planar and photo == 6:
+        # forward CCIR-601 (encode_jpeg's exact constants), then
+        # top-left chroma sampling at the subsampled plane dims
+        sh_s, sv_s = subsampling or (2, 2)
+        rgbf = a.astype(np.float64)
+        r_, g_, b_ = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+        yp = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cbp = 128.0 - 0.168735892 * r_ - 0.331264108 * g_ + 0.5 * b_
+        crp = 128.0 + 0.5 * r_ - 0.418687589 * g_ - 0.081312411 * b_
+        yp, cbp, crp = [
+            np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+            for x in (yp, cbp, crp)
+        ]
+        comps = [yp, cbp[::sv_s, ::sh_s], crp[::sv_s, ::sh_s]]
+        vsteps = [1, sv_s, sv_s]
+    elif planar:
+        comps = [a[..., c] for c in range(a.shape[2])]
+        vsteps = [1] * a.shape[2]
+    else:
+        comps = [a]
+        vsteps = [1]
     segs = []
     if tile is not None:
         tw, th = tile
@@ -3988,9 +4081,14 @@ def encode_tiff_jpeg(
         rps = rows_per_strip or h
         if rps < h:
             assert rps % 8 == 0, "rows_per_strip must be an MCU multiple"
-        for plane in comps:
-            for y0 in range(0, h, rps):
-                segs.append(enc(plane[y0 : y0 + rps]))
+            assert rps % (8 * max(vsteps)) == 0, (
+                "planar-YCbCr rows_per_strip must cover whole chroma MCUs"
+            )
+        per_plane = -(-h // rps)
+        for plane, vstep in zip(comps, vsteps):
+            prps = -(-rps // vstep)
+            for s in range(per_plane):
+                segs.append(enc(plane[s * prps : (s + 1) * prps]))
     tables = b""
     if jpeg_tables:
         # every segment shares the fixed Annex-K-scaled tables at one
@@ -4028,6 +4126,8 @@ def encode_tiff_jpeg(
         ]
     if planar:
         tags.append((284, 3, [2]))
+        if photo == 6:
+            tags.append((530, 3, list(subsampling or (2, 2))))
     if jpeg_tables:
         tags.append((347, 7, list(tables)))
     tags.sort(key=lambda t: t[0])
@@ -6180,7 +6280,7 @@ def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
+def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
     """Deterministic JPEG-in-TIFF table (compression 7, TIFF TechNote
     2 — the scanned-page/digicam layout): image i is the established
     block-constant corpus (8x8 tiles of (i*41 + by*9 + bx*17) mod
@@ -6202,8 +6302,17 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
     transform, so each channel is independently block-constant and
     bit-exact; the ONLY arms whose oracle sums differ per channel),
     and RGB-SPACE PLANAR (3: per-plane strips; 6: per-plane tiles —
-    single-component scans, component-major). media_id offset
-    +600."""
+    single-component scans, component-major). Round 12 widens the
+    rotation to i%11 and retires the last two organization gates:
+    arm 9 is PLANAR YCBCR (photometric 6, PlanarConfiguration 2 —
+    the Y plane full-size, Cb/Cr planes at the TIFF 6.0 §21
+    SUBSAMPLED dims, odd i 4:2:0 with 16-row strips / even i 4:2:2
+    ((2,1)) single-strip; gray raster keeps chroma constant-128 so
+    the replication upsample + full-range inverse is bit-exact and
+    the arm stays oracle-invisible), and arm 10 is PLANAR CMYK
+    (photometric 5, four full-size single-component ink planes with
+    C=M=Y=255-t, K=0 — the naive ink conversion lands back on t
+    exactly: (255-(255-t))*255//255 = t). media_id offset +600."""
     import numpy as np
 
     rows = []
@@ -6217,14 +6326,23 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
             dtype=np.uint8,
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
-        arm = i % 9
+        arm = i % 11
         old = arm in (4, 7)
         rgbspace = arm in (2, 3, 5, 6)
+        subsampling = None
         if rgbspace:
             i64 = img.astype(np.int64)
             src = np.stack(
                 [i64 % 256, (i64 + 85) % 256, (i64 + 170) % 256], axis=-1
             ).astype(np.uint8)
+        elif arm == 9:
+            src = np.stack([img] * 3, axis=-1)
+            subsampling = (2, 2) if i % 2 else (2, 1)
+        elif arm == 10:
+            ink = (255 - img.astype(np.int64)).astype(np.uint8)
+            src = np.stack(
+                [ink, ink, ink, np.zeros_like(ink)], axis=-1
+            )
         else:
             src = img if i % 2 else np.stack([img] * 3, axis=-1)
         tile = (
@@ -6232,6 +6350,14 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
             else (16, 8) if arm == 5
             else None
         )
+        if old or tile is not None:
+            rps = 0
+        elif arm == 9:
+            rps = 16 if h > 16 else 0
+        elif arm in (2, 3) or i % 5 in (0, 2):
+            rps = 8
+        else:
+            rps = 0
         rows.append(
             (
                 600 + i,
@@ -6239,18 +6365,14 @@ def synthetic_tiff_jpeg_table(spark, n: int = 18) -> DataFrame:
                 encode_tiff_jpeg(
                     src,
                     quality=85 + (i % 3) * 5,
-                    rows_per_strip=(
-                        8 if (arm in (2, 3) or
-                              (not old and tile is None and
-                               i % 5 in (0, 2)))
-                        else 0
-                    ) if not old and tile is None else 0,
+                    rows_per_strip=rps,
                     big_endian=bool(i % 2),
                     jpeg_tables=(i % 3 == 0 and not old),
                     old_style=old,
                     rgb_space=rgbspace,
                     tile=tile,
-                    planar=arm in (3, 6),
+                    planar=arm in (3, 6, 9, 10),
+                    subsampling=subsampling,
                 ),
                 None,
                 f"mem://media/{600 + i}.jpg.tif",

@@ -4071,10 +4071,12 @@ def test_tiff_jpeg_round11_layouts_and_headroom():
         decode_tiff(encode_tiff_jpeg(g3, quality=90, tile=(16, 16))),
         g3,
     )
-    # planar demands rgb_space (YCbCr planar ships subsampled plane
-    # dims - a gated geometry)
-    with pytest.raises(AssertionError):
-        encode_tiff_jpeg(g3, planar=True)
+    # round 12: planar WITHOUT rgb_space is the photometric-6 planar
+    # YCbCr layout (subsampled chroma planes) — no longer a gated
+    # geometry; the gray raster is bit-exact through it
+    assert np.array_equal(
+        decode_tiff(encode_tiff_jpeg(g3, quality=90, planar=True)), g3
+    )
     # headroom: video-range Y codes map (Y-16)*255/219; spot-check
     # neutral-chroma codes against the closed form
     yp = np.array([[16, 89, 162, 235], [16, 16, 235, 235]], np.uint8)
@@ -4304,3 +4306,162 @@ def test_jpeg_adobe_app14_and_ycck():
     # bad transform value is loud at encode time
     with pytest.raises(ValueError, match="transform"):
         encode_jpeg(gray_ink, adobe_transform=1)
+
+
+def test_tiff_jpeg_planar_ycbcr_and_cmyk_round12():
+    """Round 12 — the last JPEG-in-TIFF organization gates retired:
+    PLANAR YCbCr (photometric 6, PlanarConfiguration 2: full-size Y
+    plane, chroma planes at the TIFF 6.0 §21 SUBSAMPLED dims,
+    replication upsample + the exact full-range inverse) and PLANAR
+    CMYK (four full-size ink planes through the shared naive
+    conversion). Gray rasters are bit-exact at any subsampling;
+    16x16-blocked TRUE COLOR is bit-exact at 2x2 (chroma planes stay
+    8x8-blocked, DC-only); forged headers are loud; tiled planar
+    YCbCr keeps its narrow honest gate."""
+    import struct as st
+
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    def gray_rgb(h, w, seed):
+        t = (np.add.outer(np.arange(h) // 8, np.arange(w) // 8) * 37
+             + seed) % 256
+        g = np.kron(
+            t.astype(np.uint8)[:: 1, :: 1][: h // 8 + 1, : w // 8 + 1],
+            np.ones((8, 8), np.uint8),
+        )[:h, :w]
+        return np.stack([g] * 3, -1)
+
+    # gray raster: every subsampling/strip/order/tables combo exact
+    for (h, w) in [(16, 16), (32, 24), (13, 21)]:
+        img = gray_rgb(h, w, 5)
+        for ss in [(2, 2), (2, 1), (1, 1), (4, 2)]:
+            for rps in (0, 16):
+                if rps and (rps >= h or rps % (8 * ss[1])):
+                    continue
+                for be in (False, True):
+                    b = encode_tiff_jpeg(
+                        img, quality=90, planar=True, subsampling=ss,
+                        rows_per_strip=rps, big_endian=be,
+                        jpeg_tables=be,
+                    )
+                    assert np.array_equal(decode_tiff(b), img), (
+                        h, w, ss, rps, be)
+
+    # true color, 16x16 blocks, 2x2 subsampling: forward transform +
+    # top-left sampling + replication inverse, all DC-only bit-exact
+    blocks = np.array([[0, 1], [2, 3]], np.int64)
+    cols = np.array(
+        [[200, 30, 90], [10, 250, 128], [77, 77, 200], [255, 0, 0]],
+        np.int64,
+    )
+    img = np.kron(
+        np.stack([cols[blocks][..., c] for c in range(3)], -1),
+        np.ones((16, 16, 1), np.int64),
+    ).astype(np.uint8)
+    b = encode_tiff_jpeg(img, quality=95, planar=True, subsampling=(2, 2))
+    rf, gf, bf = [img[..., c].astype(np.float64) for c in range(3)]
+    yp = np.clip(np.floor(0.299 * rf + 0.587 * gf + 0.114 * bf + 0.5), 0, 255)
+    cbp = np.clip(np.floor(
+        128.0 - 0.168735892 * rf - 0.331264108 * gf + 0.5 * bf + 0.5), 0, 255)
+    crp = np.clip(np.floor(
+        128.0 + 0.5 * rf - 0.418687589 * gf - 0.081312411 * bf + 0.5), 0, 255)
+    rr = np.clip(np.floor(yp + 1.402 * (crp - 128) + 0.5), 0, 255)
+    gg = np.clip(np.floor(
+        yp - 0.344136286 * (cbp - 128) - 0.714136286 * (crp - 128) + 0.5),
+        0, 255)
+    bb = np.clip(np.floor(yp + 1.772 * (cbp - 128) + 0.5), 0, 255)
+    want = np.stack([rr, gg, bb], -1).astype(np.uint8)
+    assert np.array_equal(decode_tiff(b), want)
+
+    # planar CMYK: gray-ink census form (C=M=Y=255-t, K=0 -> t) plus
+    # independent per-plane constants, strips AND tiles
+    t = np.kron(np.array([[10, 200], [90, 30]], np.int64),
+                np.ones((8, 8), np.int64))
+    ink = (255 - t).astype(np.uint8)
+    cmyk = np.stack([ink, ink, ink, np.zeros_like(ink)], -1)
+    for kw in ({"rows_per_strip": 8}, {"tile": (8, 8)},
+               {"jpeg_tables": True, "big_endian": True}):
+        b = encode_tiff_jpeg(cmyk, quality=90, planar=True, **kw)
+        assert np.array_equal(
+            decode_tiff(b), np.stack([t] * 3, -1).astype(np.uint8)), kw
+    c4 = np.stack([t, (t + 85) % 256, (t + 170) % 256, (t * 3 + 7) % 256],
+                  -1).astype(np.uint8)
+    b = encode_tiff_jpeg(c4, quality=90, planar=True, rows_per_strip=8)
+    i64 = c4.astype(np.int64)
+    kk = 255 - i64[..., 3]
+    want4 = np.stack(
+        [((255 - i64[..., j]) * kk) // 255 for j in range(3)], -1
+    ).astype(np.uint8)
+    assert np.array_equal(decode_tiff(b), want4)
+
+    # forged headers stay loud
+    img = gray_rgb(32, 24, 3)
+    b = encode_tiff_jpeg(img, quality=90, planar=True, subsampling=(2, 2),
+                         rows_per_strip=16)
+
+    def forge(buf, tag, vals):
+        bb = bytearray(buf)
+        ifd = int.from_bytes(bb[4:8], "little")
+        n = int.from_bytes(bb[ifd : ifd + 2], "little")
+        for k in range(n):
+            at = ifd + 2 + 12 * k
+            if int.from_bytes(bb[at : at + 2], "little") == tag:
+                for j, v in enumerate(vals):
+                    bb[at + 8 + 2 * j : at + 10 + 2 * j] = st.pack("<H", v)
+        return bytes(bb)
+
+    # forged subsampling -> expected chroma planes GROW past the
+    # shipped segments -> loud (shrinking is tolerated, the padded-
+    # segment convention shared with edge tiles)
+    with pytest.raises(ValueError):
+        decode_tiff(forge(b, 530, [1, 1]))
+    # RowsPerStrip not a multiple of the vertical subsampling
+    with pytest.raises(ValueError):
+        decode_tiff(forge(b, 278, [15]))
+    # tiled planar YCbCr keeps its narrow gate (decoder side; the
+    # encoder refuses to emit the layout)
+    bt = encode_tiff_jpeg(img, quality=90, rgb_space=True, planar=True,
+                          tile=(16, 16))
+    forged = forge(bt, 262, [6])
+    with pytest.raises(NotImplementedError):
+        decode_tiff(forged)
+    with pytest.raises(AssertionError):
+        encode_tiff_jpeg(img, quality=90, planar=True, tile=(16, 16))
+
+
+def test_tiff_jpeg_planar_bitflip_sweep_round12():
+    """Bit-flip contract over the new planar walk: every single-bit
+    corruption of a planar-YCbCr (multi-strip, subsampled, with
+    JPEGTables) and a planar-CMYK file either decodes or raises
+    ValueError/NotImplementedError."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    t = np.kron(np.array([[10, 200, 7], [90, 30, 255]], np.int64),
+                np.ones((8, 8), np.int64))
+    gray = np.stack([t] * 3, -1).astype(np.uint8)
+    ink = (255 - t).astype(np.uint8)
+    cmyk = np.stack([ink, ink, ink, np.zeros_like(ink)], -1)
+    streams = [
+        encode_tiff_jpeg(gray[:16], quality=90, planar=True,
+                         subsampling=(2, 2), jpeg_tables=True),
+        encode_tiff_jpeg(cmyk, quality=90, planar=True, rows_per_strip=8),
+    ]
+    for s in streams:
+        assert decode_tiff(s) is not None  # baseline must decode
+        data = bytearray(s)
+        for byte_i in range(len(data)):
+            for bit in (0x01, 0x80):
+                data[byte_i] ^= bit
+                try:
+                    decode_tiff(bytes(data))
+                except (ValueError, NotImplementedError):
+                    pass
+                data[byte_i] ^= bit
