@@ -12450,7 +12450,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     "re-scaling, and row-aligned restart intervals — lossless over "
     "a FULL-ENTROPY gradient (no block-constant trick needed), so "
     "every combination is value-verified; aux counts RSTm markers. "
-    "OLD-STYLE JPEG-IN-TIFF (round 10, compression 6): rows i%9 in "
+    "OLD-STYLE JPEG-IN-TIFF (round 10, compression 6): rows i%11 in "
     "(4,7) of the +600 family ship the deprecated one-full-stream "
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
