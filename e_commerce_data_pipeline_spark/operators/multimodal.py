@@ -2540,6 +2540,148 @@ def ccitt_decode(data: bytes, w: int, h: int, comp: int,
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
+def _tiff_ojpeg_per_strip(
+    b, entries, values, one, w, h, spp, photo, depth, planar, tiled
+):
+    """Old-style JPEG-in-TIFF (compression 6) in its PER-STRIP
+    table-tag layout — the half of TIFF 6.0 §22 the round-10
+    retirement left gated: no JPEGInterchangeFormat stream; instead
+    each strip holds raw entropy-coded data and the tables live at
+    the JPEGQTables (519) / JPEGDCTables (520) / JPEGACTables (521)
+    offsets (one per component; Q tables are 64 zigzag bytes, Huffman
+    tables 16 BITS counts + values, both WITHOUT marker framing).
+    The decoder reconstructs a standalone baseline JPEG around every
+    strip (SOI + DQT/DHT from the tags + DRI from JPEGRestartInterval
+    515 + SOF0 sized to the strip + SOS + entropy + EOI) and routes
+    it through decode_jpeg — the same synthesis libtiff's OJPEG
+    layer performs, rebuilt here from the public spec. DC predictors
+    reset per strip by construction (each strip is its own scan).
+    Gray (photometric 1/0) and chunky YCbCr (photometric 6, sampling
+    from tag 530, default 2,2) decode; JPEGProc != 1, planar, tiled
+    and other photometrics stay honestly gated."""
+    import numpy as np
+
+    proc = one(512, 1)
+    if proc != 1:
+        require_codec(f"old-style per-strip JPEG JPEGProc {proc}")
+    if depth != 8:
+        raise ValueError("old-style JPEG-in-TIFF requires 8-bit samples")
+    if photo not in (0, 1, 6):
+        require_codec(f"old-style per-strip JPEG photometric {photo}")
+    if planar == 2 and spp != 1:
+        require_codec("old-style per-strip JPEG planar configuration")
+    if tiled:
+        require_codec("old-style per-strip JPEG tiles")
+    if (photo in (0, 1) and spp != 1) or (photo == 6 and spp != 3):
+        raise ValueError("old-style JPEG photometric/spp mismatch")
+    qoffs = values(519)
+    dcoffs = values(520)
+    acoffs = values(521)
+    if qoffs is None or dcoffs is None or acoffs is None:
+        require_codec(
+            "old-style JPEG TIFF without JPEGInterchangeFormat or "
+            "per-strip table tags"
+        )
+    qoffs, dcoffs, acoffs = list(qoffs), list(dcoffs), list(acoffs)
+    if not (len(qoffs) == len(dcoffs) == len(acoffs) == spp):
+        raise ValueError("old-style JPEG table tag counts mismatch")
+
+    def read_q(off):
+        if off < 0 or off + 64 > len(b):
+            raise ValueError("old-style JPEG Q table out of range")
+        return bytes(b[off : off + 64])
+
+    def read_huff(off):
+        if off < 0 or off + 16 > len(b):
+            raise ValueError("old-style JPEG Huffman table out of range")
+        bits = bytes(b[off : off + 16])
+        nv = sum(bits)
+        if nv == 0 or nv > 256 or off + 16 + nv > len(b):
+            raise ValueError("old-style JPEG Huffman table malformed")
+        return bits + bytes(b[off + 16 : off + 16 + nv])
+
+    # dedupe shared tables by OFFSET -> slot ids (spp <= 3 so the
+    # 2-bit table-id space always suffices)
+    def slots(offs, reader):
+        ids, blobs = [], []
+        seen = {}
+        for off in offs:
+            if off not in seen:
+                seen[off] = len(blobs)
+                blobs.append(reader(off))
+            ids.append(seen[off])
+        return ids, blobs
+
+    qids, qblobs = slots(qoffs, read_q)
+    dcids, dcblobs = slots(dcoffs, read_huff)
+    acids, acblobs = slots(acoffs, read_huff)
+
+    if photo == 6:
+        ss = values(530, [2, 2])
+        if len(ss) != 2 or ss[0] not in (1, 2, 4) or ss[1] not in (1, 2, 4):
+            raise ValueError("TIFF YCbCrSubSampling invalid")
+        sh_, sv_ = ss
+        samp = [(sh_, sv_), (1, 1), (1, 1)]
+    else:
+        sh_ = sv_ = 1
+        samp = [(1, 1)]
+    ri = one(515, 0)
+
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or mismatched")
+    rps = one(278, h)
+    if rps < 1:
+        raise ValueError("TIFF RowsPerStrip invalid")
+    if len(offsets) > 1 and rps % (8 * sv_):
+        raise ValueError(
+            "old-style JPEG RowsPerStrip not an MCU-row multiple"
+        )
+    if len(offsets) != -(-h // rps):
+        raise ValueError("TIFF strip count does not cover the image")
+
+    head = bytearray(b"\xff\xd8")
+    for tid, blob in enumerate(qblobs):
+        head += b"\xff\xdb" + struct.pack(">H", 3 + 64)
+        head += bytes([tid]) + blob
+    for cls, blobs in ((0, dcblobs), (1, acblobs)):
+        for tid, blob in enumerate(blobs):
+            head += b"\xff\xc4" + struct.pack(">H", 3 + len(blob))
+            head += bytes([(cls << 4) | tid]) + blob
+    if ri:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+
+    parts = []
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of range")
+        rows_here = min(rps, h - si * rps)
+        stream = bytearray(head)
+        stream += b"\xff\xc0" + struct.pack(
+            ">HBHHB", 8 + 3 * spp, 8, rows_here, w, spp
+        )
+        for c in range(spp):
+            hi, vi = samp[c]
+            stream += bytes([c + 1, (hi << 4) | vi, qids[c]])
+        stream += b"\xff\xda" + struct.pack(">HB", 6 + 2 * spp, spp)
+        for c in range(spp):
+            stream += bytes([c + 1, (dcids[c] << 4) | acids[c]])
+        stream += b"\x00\x3f\x00"
+        stream += bytes(b[off : off + cnt])
+        stream += b"\xff\xd9"
+        px = decode_jpeg(bytes(stream))
+        if px.dtype != np.uint8:
+            raise ValueError("TIFF embedded JPEG must be 8-bit")
+        if px.shape[0] < rows_here or px.shape[1] < w:
+            raise ValueError("TIFF JPEG strip smaller than declared")
+        parts.append(px[:rows_here, :w])
+    out = np.concatenate(parts, axis=0)
+    if photo == 0:  # WhiteIsZero gray, like the other JPEG layouts
+        out = (255 - out.astype(np.int32)).astype(np.uint8)
+    return out
+
+
 def decode_tiff(b: bytes):
     """TIFF bytes -> (h, w, 3) uint8 RGB array (see the section
     comment for the supported surface)."""
@@ -2647,11 +2789,16 @@ def decode_tiff(b: bytes):
         # TechNote 2): the layout real files actually carry is ONE
         # full interchange stream pointed at by JPEGInterchangeFormat
         # (513) / ...Length (514) — decoded here through the in-house
-        # decode_jpeg (gate retired round 10). The never-completed
-        # per-strip JPEGProc table variants stay gated.
+        # decode_jpeg (gate retired round 10). Round 12 retires the
+        # PER-STRIP table variant too (below): strips carry raw
+        # entropy data, quant/Huffman tables live at the
+        # JPEGQTables/JPEGDCTables/JPEGACTables tag offsets, and the
+        # decoder synthesizes a standalone JPEG per strip — the
+        # libtiff OJPEG reconstruction of TIFF 6.0 §22's design.
         if 513 not in entries:
-            require_codec(
-                "old-style JPEG TIFF without JPEGInterchangeFormat"
+            return _tiff_ojpeg_per_strip(
+                b, entries, values, one, w, h, spp, photo, depth,
+                planar, tiled,
             )
         joff = one(513)  # present: 513-in-entries checked above
         jlen = one(514, len(b) - joff)
@@ -3948,6 +4095,55 @@ def _jpeg_split_tables(b: bytes):
             b"\xff\xd8" + bytes(rest))
 
 
+def _jpeg_dissect(stream: bytes) -> dict:
+    """Split a sequential JPEG into the pieces the per-strip
+    old-style TIFF layout stores separately: quant-table payloads by
+    id (64 zigzag bytes, Pq=0 only), DC/AC Huffman payloads by id
+    (16 BITS counts + values), the SOF component list
+    (id, samp, tq), the SOS table selectors, the DRI interval, and
+    the raw entropy-coded bytes (SOS header end .. EOI)."""
+    out = {"q": {}, "dc": {}, "ac": {}, "comps": [], "sos": [],
+           "dri": 0, "entropy": b""}
+    pos = 2
+    assert stream[:2] == b"\xff\xd8"
+    while pos + 4 <= len(stream):
+        assert stream[pos] == 0xFF, "marker desync"
+        marker = stream[pos + 1]
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        payload = stream[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tid = payload[p] >> 4, payload[p] & 0x0F
+                assert pq == 0, "per-strip layout stores 8-bit tables"
+                out["q"][tid] = bytes(payload[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                nv = sum(payload[p + 1 : p + 17])
+                blob = bytes(payload[p + 1 : p + 17 + nv])
+                out["dc" if cls == 0 else "ac"][tid] = blob
+                p += 17 + nv
+        elif marker == 0xDD:
+            (out["dri"],) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xC0:
+            nc = payload[5]
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                out["comps"].append((cid, samp, tq))
+        elif marker == 0xDA:
+            ns = payload[0]
+            for ci in range(ns):
+                out["sos"].append(payload[2 + 2 * ci])
+            assert stream[-2:] == b"\xff\xd9"
+            out["entropy"] = bytes(stream[pos + 2 + ln : -2])
+            return out
+        pos += 2 + ln
+    raise AssertionError("no SOS in stream")
+
+
 def encode_tiff_jpeg(
     arr,
     quality: int = 90,
@@ -3960,6 +4156,8 @@ def encode_tiff_jpeg(
     planar: bool = False,
     adobe_transform=None,
     subsampling=None,
+    per_strip_tables: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) RGB (photometric 6 — encode_jpeg stores YCbCr — or
     photometric 2 with ``rgb_space``: each strip/tile an RGB-space
@@ -4007,8 +4205,84 @@ def encode_tiff_jpeg(
             "tiled planar YCbCr is out of surface (decoder gates it)"
         )
     if subsampling is not None:
-        assert planar and photo == 6, "subsampling is the planar-YCbCr knob"
-        assert subsampling[0] in (1, 2, 4) and subsampling[1] in (1, 2, 4)
+        if per_strip_tables:
+            assert subsampling in ("444", "420", "422", "440", "411")
+        else:
+            assert planar and photo == 6, (
+                "subsampling is the planar-YCbCr / per-strip knob"
+            )
+            assert subsampling[0] in (1, 2, 4) and subsampling[1] in (1, 2, 4)
+    if per_strip_tables:
+        # round 12: the OTHER old-style layout — per-strip raw
+        # entropy data with tables in tags 519/520/521 (TIFF 6.0
+        # §22's original design; see _tiff_ojpeg_per_strip)
+        assert not old_style and not jpeg_tables and tile is None
+        assert not rgb_space and not planar and adobe_transform is None
+        assert photo in (1, 6), "per-strip layout: gray or chunky YCbCr"
+        sub = subsampling or "444"
+        sv_ = {"444": 1, "422": 1, "420": 2, "440": 2, "411": 1}[sub]
+        rps = rows_per_strip or h
+        if rps < h:
+            assert rps % (8 * sv_) == 0, (
+                "per-strip rows_per_strip must cover whole MCU rows"
+            )
+        dis = []
+        for y0 in range(0, h, rps):
+            s = encode_jpeg(
+                a[y0 : y0 + rps], quality=quality,
+                subsampling=sub if not gray else "444",
+                restart_interval=restart_interval,
+            )
+            dis.append(_jpeg_dissect(s))
+        d0 = dis[0]
+        for d in dis[1:]:
+            # fixed Annex-K tables at one quality: every strip shares
+            assert d["q"] == d0["q"] and d["dc"] == d0["dc"] and \
+                d["ac"] == d0["ac"] and d["comps"][0][1] == \
+                d0["comps"][0][1] and d["dri"] == d0["dri"]
+        body = bytearray()
+        offsets, counts = [], []
+        for d in dis:
+            offsets.append(8 + len(body))
+            counts.append(len(d["entropy"]))
+            body += d["entropy"]
+            if len(body) % 2:
+                body += b"\x00"
+
+        def emit(blob):
+            off = 8 + len(body)
+            body.extend(blob)
+            if len(body) % 2:
+                body.extend(b"\x00")
+            return off
+
+        qpos = {t: emit(blob) for t, blob in sorted(d0["q"].items())}
+        dcpos = {t: emit(blob) for t, blob in sorted(d0["dc"].items())}
+        acpos = {t: emit(blob) for t, blob in sorted(d0["ac"].items())}
+        qoffs, dcoffs, acoffs = [], [], []
+        for ci, (_cid, _samp, tq) in enumerate(d0["comps"]):
+            qoffs.append(qpos[tq])
+            sel = d0["sos"][ci]
+            dcoffs.append(dcpos[sel >> 4])
+            acoffs.append(acpos[sel & 0x0F])
+        ifd_off = 8 + len(body)
+        tags = [
+            (256, 3, [w]), (257, 3, [h]), (258, 3, [8] * spp),
+            (259, 3, [6]), (262, 3, [photo]), (277, 3, [spp]),
+            (273, 4, offsets), (278, 3, [min(rps, h)]),
+            (279, 4, counts), (512, 3, [1]),
+            (519, 4, qoffs), (520, 4, dcoffs), (521, 4, acoffs),
+        ]
+        if d0["dri"]:
+            tags.append((515, 3, [d0["dri"]]))
+        if not gray:
+            c0 = d0["comps"][0][1]
+            tags.append((530, 3, [c0 >> 4, c0 & 0x0F]))
+        tags.sort(key=lambda t: t[0])
+        header = (b"II" if e == "<" else b"MM") + struct.pack(
+            e + "HI", 42, ifd_off
+        )
+        return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
     if old_style:
         assert not jpeg_tables and not rows_per_strip
         assert not rgb_space and tile is None
@@ -6280,7 +6554,7 @@ def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
+def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
     """Deterministic JPEG-in-TIFF table (compression 7, TIFF TechNote
     2 — the scanned-page/digicam layout): image i is the established
     block-constant corpus (8x8 tiles of (i*41 + by*9 + bx*17) mod
@@ -6290,12 +6564,12 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
     6, even i). Rotations: shared-JPEGTables abbreviated streams
     (i%3==0) vs complete interchange strips, 8-row strip splits
     (i%5 in (0,2) — independent per-strip DC predictors), byte order
-    (i%2); rows with i%9 in (4, 7) ship the DEPRECATED OLD-STYLE
+    (i%2); rows with i%13 in (4, 7) ship the DEPRECATED OLD-STYLE
     layout instead (round 10 — compression 6, one full interchange
     stream via JPEGInterchangeFormat/Length; same block-constant
     pixels, so the oracle is layout-invisible but the row gates on
     the tag-513 walk). Round 11 retires the remaining JPEG-in-TIFF
-    organization gates by i%9: TILED chunky (1, 8 — 16x16 tile
+    organization gates by arm: TILED chunky (1, 8 — 16x16 tile
     JPEGs pasted into the grid, edge tiles padded), RGB-SPACE
     photometric 2 (2: 8-row strips; 5: 16x8 tiles) with TRUE-COLOR
     per-tile constants (r=t, g=(t+85)%256, b=(t+170)%256 — no color
@@ -6303,7 +6577,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
     bit-exact; the ONLY arms whose oracle sums differ per channel),
     and RGB-SPACE PLANAR (3: per-plane strips; 6: per-plane tiles —
     single-component scans, component-major). Round 12 widens the
-    rotation to i%11 and retires the last two organization gates:
+    rotation to i%13 and retires the last organization gates:
     arm 9 is PLANAR YCBCR (photometric 6, PlanarConfiguration 2 —
     the Y plane full-size, Cb/Cr planes at the TIFF 6.0 §21
     SUBSAMPLED dims, odd i 4:2:0 with 16-row strips / even i 4:2:2
@@ -6312,7 +6586,13 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
     the arm stays oracle-invisible), and arm 10 is PLANAR CMYK
     (photometric 5, four full-size single-component ink planes with
     C=M=Y=255-t, K=0 — the naive ink conversion lands back on t
-    exactly: (255-(255-t))*255//255 = t). media_id offset +600."""
+    exactly: (255-(255-t))*255//255 = t), and arms 11/12 are the
+    PER-STRIP OLD-STYLE layout (compression 6 WITHOUT
+    JPEGInterchangeFormat: raw entropy strips + tables at tags
+    519/520/521 — 11 gray 8-row strips, 12 chunky YCbCr 4:2:0 with
+    an in-strip restart interval; gray rasters, oracle-invisible,
+    gating on the _tiff_ojpeg_per_strip synthesis walk).
+    media_id offset +600."""
     import numpy as np
 
     rows = []
@@ -6326,8 +6606,9 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
             dtype=np.uint8,
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
-        arm = i % 11
+        arm = i % 13
         old = arm in (4, 7)
+        per_strip = arm in (11, 12)
         rgbspace = arm in (2, 3, 5, 6)
         subsampling = None
         if rgbspace:
@@ -6343,6 +6624,11 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
             src = np.stack(
                 [ink, ink, ink, np.zeros_like(ink)], axis=-1
             )
+        elif arm == 11:
+            src = img
+        elif arm == 12:
+            src = np.stack([img] * 3, axis=-1)
+            subsampling = "420"
         else:
             src = img if i % 2 else np.stack([img] * 3, axis=-1)
         tile = (
@@ -6352,9 +6638,9 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
         )
         if old or tile is not None:
             rps = 0
-        elif arm == 9:
+        elif arm in (9, 12):
             rps = 16 if h > 16 else 0
-        elif arm in (2, 3) or i % 5 in (0, 2):
+        elif arm == 11 or arm in (2, 3) or i % 5 in (0, 2):
             rps = 8
         else:
             rps = 0
@@ -6367,12 +6653,15 @@ def synthetic_tiff_jpeg_table(spark, n: int = 22) -> DataFrame:
                     quality=85 + (i % 3) * 5,
                     rows_per_strip=rps,
                     big_endian=bool(i % 2),
-                    jpeg_tables=(i % 3 == 0 and not old),
+                    jpeg_tables=(i % 3 == 0 and not old
+                                 and not per_strip),
                     old_style=old,
                     rgb_space=rgbspace,
                     tile=tile,
                     planar=arm in (3, 6, 9, 10),
                     subsampling=subsampling,
+                    per_strip_tables=per_strip,
+                    restart_interval=2 if arm == 12 else 0,
                 ),
                 None,
                 f"mem://media/{600 + i}.jpg.tif",

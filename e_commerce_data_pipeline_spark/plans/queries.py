@@ -12175,21 +12175,21 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     tjm AS (
         SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 2) * 16 AS h
-        FROM range(22) t(i)
+        FROM range(26) t(i)
     ),
     tjb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM tjm),
     tjt AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tjb),
     tjv AS (SELECT i, (i * 41 + by * 9 + bx * 17) % 256 AS t FROM tjt),
-    -- round 11/12: the RGB-SPACE arms (i%11 in (2,3,5,6) —
+    -- round 11/12: the RGB-SPACE arms (i%13 in (2,3,5,6) —
     -- photometric 2, no color transform) carry true-color per-tile
     -- constants; every other layout arm (tiled/planar/old-style +
-    -- the round-12 planar-YCbCr 9 and planar-CMYK 10) is gray and
+    -- the round-12 planar 9/10 and per-strip old-style 11/12) is gray and
     -- oracle-invisible
     tjch AS (
         SELECT i, t,
-               CASE WHEN i % 11 IN (2, 3, 5, 6)
+               CASE WHEN i % 13 IN (2, 3, 5, 6)
                     THEN (t + 85) % 256 ELSE t END AS g2,
-               CASE WHEN i % 11 IN (2, 3, 5, 6)
+               CASE WHEN i % 13 IN (2, 3, 5, 6)
                     THEN (t + 170) % 256 ELSE t END AS b2
         FROM tjv
     ),
@@ -12450,12 +12450,12 @@ def q197_cdc_validation_census(spark, sf_dir):
     "re-scaling, and row-aligned restart intervals — lossless over "
     "a FULL-ENTROPY gradient (no block-constant trick needed), so "
     "every combination is value-verified; aux counts RSTm markers. "
-    "OLD-STYLE JPEG-IN-TIFF (round 10, compression 6): rows i%11 in "
+    "OLD-STYLE JPEG-IN-TIFF (round 10, compression 6): rows i%13 in "
     "(4,7) of the +600 family ship the deprecated one-full-stream "
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
     "SCANNER-CLASS JPEG-IN-TIFF ORGANIZATIONS (round 11, +600 "
-    "family — rotation widened to i%11 in round 12): TILED chunky "
+    "family — rotation widened to i%13 in round 12): TILED chunky "
     "(1,8 — full-size tile JPEGs "
     "pasted into the grid canvas), RGB-SPACE photometric 2 with "
     "TRUE-COLOR tiles (2: strips, 5: tiles — no color transform, "
@@ -12469,8 +12469,12 @@ def q197_cdc_validation_census(spark, sf_dir):
     "constant 128 so the replication upsample + full-range inverse "
     "is bit-exact) and PLANAR CMYK (10: four full-size "
     "single-component ink planes, C=M=Y=255-t and K=0, so the "
-    "naive ink conversion lands back on t exactly — both arms "
-    "oracle-invisible but gating on the per-plane segment walk). "
+    "naive ink conversion lands back on t exactly), and PER-STRIP "
+    "OLD-STYLE (11/12: compression 6 WITHOUT JPEGInterchangeFormat "
+    "— raw entropy strips, tables at tags 519/520/521, gray and "
+    "YCbCr-4:2:0-with-restarts; the decoder synthesizes a JPEG per "
+    "strip, the libtiff OJPEG reconstruction) — all four arms "
+    "oracle-invisible but gating on their segment walks). "
     "CMYK JPEG-IN-TIFF (round 11, +200 family "
     "rows 12-17 — the Adobe scanned-document class): photometric 5 "
     "wraps 4-component no-transform scans (C/M/Y/K component IDs); "
@@ -12649,7 +12653,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
-        .unionByName(synthetic_tiff_jpeg_table(spark, n=22))
+        .unionByName(synthetic_tiff_jpeg_table(spark, n=26))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
         .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_pnm_table(spark, n=20))

@@ -4465,3 +4465,123 @@ def test_tiff_jpeg_planar_bitflip_sweep_round12():
                 except (ValueError, NotImplementedError):
                     pass
                 data[byte_i] ^= bit
+
+
+def test_tiff_ojpeg_per_strip_round12():
+    """Round 12 — the OTHER old-style JPEG-in-TIFF layout retired:
+    compression 6 WITHOUT JPEGInterchangeFormat, raw entropy strips +
+    tables at JPEGQTables/DC/AC tag offsets, reconstructed per strip
+    (the libtiff OJPEG synthesis). Roundtrips bit-exact on
+    block-constant rasters (gray + chunky YCbCr 4:2:0/4:4:4, strips,
+    restarts, both byte orders); forged headers are loud; the
+    remaining JPEGProc/planar/tile gates hold."""
+    import struct as st
+
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    def gray(h, w, seed):
+        t = (np.add.outer(np.arange(-(-h // 8)) * 9,
+                          np.arange(-(-w // 8)) * 17) + seed * 41) % 256
+        return np.kron(t, np.ones((8, 8), np.int64))[:h, :w].astype(
+            np.uint8)
+
+    for (h, w) in [(16, 24), (32, 40)]:
+        g = gray(h, w, 5)
+        for rps in (0, 8):
+            for be in (False, True):
+                b = encode_tiff_jpeg(g, quality=90, per_strip_tables=True,
+                                     rows_per_strip=rps, big_endian=be)
+                assert np.array_equal(
+                    decode_tiff(b), np.stack([g] * 3, -1)), (h, w, rps, be)
+        c = np.stack([g] * 3, -1)
+        for sub in ("444", "420"):
+            b = encode_tiff_jpeg(
+                c, quality=90, per_strip_tables=True, subsampling=sub,
+                rows_per_strip=16 if h > 16 else 0, restart_interval=2,
+            )
+            assert np.array_equal(decode_tiff(b), c), (h, w, sub)
+
+    g = gray(32, 24, 2)
+    b = encode_tiff_jpeg(g, quality=90, per_strip_tables=True,
+                         rows_per_strip=8)
+
+    def forge16(buf, tag, vals):
+        bb = bytearray(buf)
+        ifd = int.from_bytes(bb[4:8], "little")
+        n = int.from_bytes(bb[ifd : ifd + 2], "little")
+        for k in range(n):
+            at = ifd + 2 + 12 * k
+            if int.from_bytes(bb[at : at + 2], "little") == tag:
+                for j, v in enumerate(vals):
+                    bb[at + 8 + 2 * j : at + 10 + 2 * j] = st.pack("<H", v)
+        return bytes(bb)
+
+    def drop_tag(buf, tag):
+        bb = bytearray(buf)
+        ifd = int.from_bytes(bb[4:8], "little")
+        n = int.from_bytes(bb[ifd : ifd + 2], "little")
+        for k in range(n):
+            at = ifd + 2 + 12 * k
+            if int.from_bytes(bb[at : at + 2], "little") == tag:
+                # overwrite with a harmless duplicate of tag 256
+                bb[at : at + 12] = bb[ifd + 2 : ifd + 14]
+        return bytes(bb)
+
+    # JPEGProc != 1 gates
+    with pytest.raises(NotImplementedError):
+        decode_tiff(forge16(b, 512, [14]))
+    # no table tags AND no 513 -> the honest gate message
+    with pytest.raises(NotImplementedError):
+        decode_tiff(drop_tag(b, 519))
+    # out-of-range table offset is loud (LONG offsets live at the
+    # value slot; point the Q offsets past the buffer)
+    bb = bytearray(b)
+    ifd = int.from_bytes(bb[4:8], "little")
+    n = int.from_bytes(bb[ifd : ifd + 2], "little")
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if int.from_bytes(bb[at : at + 2], "little") == 519:
+            bb[at + 8 : at + 12] = st.pack("<I", len(b) - 2)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bb))
+    # rows-per-strip not MCU-aligned (multi-strip) is loud
+    with pytest.raises(ValueError):
+        decode_tiff(forge16(b, 278, [7]))
+
+
+def test_tiff_ojpeg_per_strip_bitflip_sweep_round12():
+    """Bit-flip contract over the per-strip synthesis walk: every
+    single-bit corruption of a multi-strip gray and a YCbCr-4:2:0
+    per-strip file either decodes or raises ValueError /
+    NotImplementedError."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    t = np.kron(np.array([[10, 200, 7], [90, 30, 255]], np.int64),
+                np.ones((8, 8), np.int64))
+    g = t.astype(np.uint8)
+    streams = [
+        encode_tiff_jpeg(g, quality=90, per_strip_tables=True,
+                         rows_per_strip=8),
+        encode_tiff_jpeg(np.stack([g] * 3, -1), quality=90,
+                         per_strip_tables=True, subsampling="420",
+                         restart_interval=1),
+    ]
+    for s in streams:
+        assert decode_tiff(s) is not None
+        data = bytearray(s)
+        for byte_i in range(len(data)):
+            for bit in (0x01, 0x80):
+                data[byte_i] ^= bit
+                try:
+                    decode_tiff(bytes(data))
+                except (ValueError, NotImplementedError):
+                    pass
+                data[byte_i] ^= bit
