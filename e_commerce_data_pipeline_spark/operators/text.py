@@ -1083,7 +1083,12 @@ def percent_normalize(col: Column | str) -> Column:
             ),
         ).otherwise(F.concat(F.lit("%"), p))
 
-    return F.concat(head, F.array_join(F.transform(tail, _fix), ""))
+    # fast path: a string without '%' is already normal — skip the
+    # split/transform machinery entirely (the overwhelmingly common
+    # case in real corpora and 9 of 11 q194 arms)
+    return F.when(
+        ~c.contains("%"), c
+    ).otherwise(F.concat(head, F.array_join(F.transform(tail, _fix), "")))
 
 
 def canonicalize_url(col: Column | str) -> Column:
@@ -1136,19 +1141,32 @@ def canonicalize_url(col: Column | str) -> Column:
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
-    # percent-normalize BEFORE extracting path/query: unreserved
-    # decodes cannot create '/?#&=' so the parse stays stable, and
-    # normalizing first keeps '%3F'-class escapes out of the picture
-    pn = percent_normalize(c)
+    # percent-normalize PER COMPONENT, parsing from the raw string:
+    # unreserved decodes cannot create '/?#&=' so parse-then-normalize
+    # equals normalize-then-parse — and keeping the whole-URL
+    # normalization OUT of the param HOFs' array args avoids the
+    # round-6 re-evaluation blowup (the array arg of filter/sort
+    # re-evaluates per element access; a per-URL split+transform
+    # there cost ~2x on the q194 bench row)
     path = F.regexp_extract(
-        pn, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    path_part = percent_normalize(
+        F.when(path == "", F.lit("/")).otherwise(path)
+    )
     # anchor to the pre-fragment span: [^#?]* forbids crossing '#'
     # before the '?', so 'http://h/p#x?y' has NO query (round-12
     # advice fix — the old r"\?([^#]*)" promoted the fragment tail)
-    query = F.regexp_extract(pn, r"^[^#?]*\?([^#]*)", 1)
-    params = F.split(query, "&")
+    query = F.regexp_extract(c, r"^[^#?]*\?([^#]*)", 1)
+    # normalize each param BEFORE the tracking filter (an encoded
+    # utm%5Fsource decodes to utm_source and is filtered correctly)
+    # and before the bytewise sort (so the sort key is the normalized
+    # form — idempotent on a second pass). percent_normalize's inner
+    # computations reference only the lambda variable, which is a
+    # plain slot read — no cross-element re-evaluation of outer work.
+    params = F.transform(
+        F.split(query, "&"), lambda p: percent_normalize(p)
+    )
     kept = F.array_sort(
         F.filter(
             params,
