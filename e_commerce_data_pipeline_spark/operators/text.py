@@ -1091,7 +1091,38 @@ def percent_normalize(col: Column | str) -> Column:
     ).otherwise(F.concat(head, F.array_join(F.transform(tail, _fix), "")))
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def idna_host_udf():
+    """Arrow-batched IDN host fold — Unicode hostnames to their
+    punycode (ACE) form via stdlib ``encodings.idna`` (IDNA 2003
+    ToASCII with nameprep, which also case-folds), so ``bücher.example``
+    and ``xn--bcher-kva.example`` collapse to ONE dedup key. ASCII
+    inputs return unchanged without touching the codec (the
+    overwhelmingly common case — one vectorized ``isascii`` scan per
+    batch); hosts the codec rejects (empty labels, >63-char labels)
+    also pass through unchanged — this operator folds, it does not
+    validate. Idempotent: folded output is ASCII, so a second pass is
+    the fast path. Spark has no builtin, so this is the documented
+    engine-external kernel (the ``unicode_normalize_udf`` precedent);
+    deterministic for a given CPython version's IDNA tables."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold_one(t):
+        if t is None or t.isascii():
+            return t
+        try:
+            return t.encode("idna").decode("ascii")
+        except UnicodeError:
+            return t
+
+    def _fold(s):
+        return s.map(_fold_one)
+
+    _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_fold, "string")
+
+
+def canonicalize_url(col: Column | str, idna_hosts: bool = False) -> Column:
     """URL canonicalization (CCNet-class): the dedup key a raw-web
     pipeline groups by before host-level stats. Pure column
     expressions, idempotent by construction:
@@ -1106,15 +1137,17 @@ def canonicalize_url(col: Column | str) -> Column:
       - remaining query params sorted bytewise (stable dedup key for
         param-order permutations)
       - empty path -> ``/``; empty query -> no ``?``
+      - with ``idna_hosts=True``, Unicode hosts fold to punycode via
+        the ``idna_host_udf`` Arrow kernel (one Arrow round trip of
+        the host component per row — default OFF keeps the operator
+        pure codegen; ASCII hosts short-circuit inside the kernel)
 
     Non-http(s) or scheme-less strings pass through UNCHANGED — the
     operator canonicalizes well-formed web URLs, it does not validate
     them (that is ``validation.validate_clicks``'s job). So do URLs
     with userinfo (``user:pw@host``) or bracketed IPv6 authorities
     (``[::1]:8080``): the naive host/port split would mangle both,
-    and neither is a dedup-key surface. IDN/punycode host folding is
-    a documented out-of-scope gate (needs the IDNA tables; hosts
-    differing only in punycode form stay distinct keys).
+    and neither is a dedup-key surface.
 
     HOF-cost note: the query-param ``split`` and the
     ``percent_normalize`` split are computed expressions used as HOF
@@ -1136,6 +1169,11 @@ def canonicalize_url(col: Column | str) -> Column:
         & ~authority.contains("[")
     )
     host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    if idna_hosts:
+        # the kernel's input expression is evaluated ONCE into the
+        # Arrow batch (UDF args are a plain projection — no HOF
+        # re-evaluation concern), and ASCII hosts return untouched
+        host = idna_host_udf()(host)
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     port_part = F.when(

@@ -11291,7 +11291,7 @@ def q193_audio_resample_stats(spark, sf_dir):
               [CAST(event_id % 5 AS INT) + 1] AS ct,
           ['mobile','desktop','tablet','smart_tv']
               [CAST(event_id % 4 AS INT) + 1] AS dt,
-          CASE CAST(event_id % 11 AS INT)
+          CASE CAST(event_id % 12 AS INT)
                WHEN 0 THEN 'https://shop.example/p/'
                            || CAST(event_id AS VARCHAR)
                WHEN 1 THEN 'http://shop.example/s?q='
@@ -11309,10 +11309,13 @@ def q193_audio_resample_stats(spark, sf_dir):
                            || CAST(event_id AS VARCHAR)
                            || '?x=%2fv&utm_id=3#f?g'
                WHEN 10 THEN 'HTTP://Shop.Example/a%2fb%4Ac%zz?'
+               WHEN 11 THEN 'https://BÜcher.Example:443/p/'
+                           || CAST(event_id AS VARCHAR)
+                           || '?utm_medium=e&q=1'
                ELSE NULL END AS url,
           -- canonicalize_url's expected output, CLOSED FORM per arm
           -- (the generic Spark chain must land exactly here)
-          CASE CAST(event_id % 11 AS INT)
+          CASE CAST(event_id % 12 AS INT)
                WHEN 0 THEN 'https://shop.example/p/'
                            || CAST(event_id AS VARCHAR)
                WHEN 1 THEN 'http://shop.example/s?q='
@@ -11327,6 +11330,8 @@ def q193_audio_resample_stats(spark, sf_dir):
                WHEN 9 THEN 'https://shop.example/path%2F/~'
                            || CAST(event_id AS VARCHAR) || '?x=%2Fv'
                WHEN 10 THEN 'http://shop.example/a%2FbJc%zz'
+               WHEN 11 THEN 'https://xn--bcher-kva.example/p/'
+                           || CAST(event_id AS VARCHAR) || '?q=1'
                ELSE NULL END AS canon
         FROM events
     ),
@@ -11336,6 +11341,8 @@ def q193_audio_resample_stats(spark, sf_dir):
                WHEN canon LIKE 'https://shop.example%' THEN 'shop.example'
                WHEN canon LIKE 'http://shop.example%' THEN 'shop.example'
                WHEN canon LIKE 'ftp://files.example%' THEN 'files.example'
+               WHEN canon LIKE 'https://xn--bcher-kva.example%'
+                   THEN 'xn--bcher-kva.example'
                ELSE '' END AS host,
           (eid IS NULL OR sid IS NULL OR ct IS NULL
            OR url IS NULL OR dt IS NULL) AS m,
@@ -11379,16 +11386,21 @@ def q193_audio_resample_stats(spark, sf_dir):
     """,
     "P4/P5 driver-verified (URL-prefix and non-empty-string "
     "predicates were pytest-only): a deterministic click frame "
-    "derived from events — now ELEVEN URL shapes (round 12): valid "
+    "derived from events — now TWELVE URL shapes (round 12): valid "
     "http/https, wrong scheme, scheme-less, empty, null, three "
     "CANONICALIZATION arms (uppercase scheme+host with default :443, "
     "utm/click-id tracking params, unsorted query, fragment; "
     "port-80 host with no path; non-default port with empty query), "
-    "plus two PERCENT-ENCODING arms (round 12): unreserved-escape "
+    "two PERCENT-ENCODING arms (round 12): unreserved-escape "
     "decode %61/%7e -> a/~, hex-case uppercasing %2f -> %2F, an "
     "invalid %zz span preserved byte-identical, and a fragment "
     "containing '?' that must NOT be promoted into the query (the "
-    "round-12 advice fix) — flows through validate_clicks' full "
+    "round-12 advice fix), plus an IDN arm (round 12): a Unicode "
+    "host BÜcher.Example that the idna_host_udf Arrow kernel folds "
+    "to its punycode ACE form xn--bcher-kva.example (stdlib "
+    "encodings.idna ToASCII + nameprep case-fold; the oracle "
+    "carries the closed-form ACE literal, computed independently) "
+    "— flows through validate_clicks' full "
     "check list and the census counts every violation code with the "
     "quality-penalty sum. text.canonicalize_url's GENERIC codegen "
     "chain (scheme/host lowercase, default-port strip, fragment "
@@ -11420,27 +11432,31 @@ def q194_click_validation_census(spark, sf_dir):
         .alias("session_id"),
         F.element_at(cts, (eid % 5).cast("int") + 1).alias("click_type"),
         F.element_at(dts, (eid % 4).cast("int") + 1).alias("device_type"),
-        F.when(eid % 11 == 0,
+        F.when(eid % 12 == 0,
                F.concat(F.lit("https://shop.example/p/"), eid.cast("string")))
-        .when(eid % 11 == 1,
+        .when(eid % 12 == 1,
               F.concat(F.lit("http://shop.example/s?q="),
                        F.col("user_id").cast("string")))
-        .when(eid % 11 == 2, F.lit("ftp://files.example/x"))
-        .when(eid % 11 == 3, F.lit("shop.example/no-scheme"))
-        .when(eid % 11 == 4, F.lit(""))
-        .when(eid % 11 == 6,
+        .when(eid % 12 == 2, F.lit("ftp://files.example/x"))
+        .when(eid % 12 == 3, F.lit("shop.example/no-scheme"))
+        .when(eid % 12 == 4, F.lit(""))
+        .when(eid % 12 == 6,
               F.concat(F.lit("HTTPS://Shop.Example:443/p/"),
                        eid.cast("string"),
                        F.lit("?utm_source=ad&b=2&a=1#frag")))
-        .when(eid % 11 == 7,
+        .when(eid % 12 == 7,
               F.concat(F.lit("http://shop.example:80?z=9&gclid="),
                        F.col("user_id").cast("string"), F.lit("&q=x")))
-        .when(eid % 11 == 8, F.lit("https://shop.example:8443/p//x?"))
-        .when(eid % 11 == 9,
+        .when(eid % 12 == 8, F.lit("https://shop.example:8443/p//x?"))
+        .when(eid % 12 == 9,
               F.concat(F.lit("https://shop.example/p%61th%2F/%7e"),
                        eid.cast("string"),
                        F.lit("?x=%2fv&utm_id=3#f?g")))
-        .when(eid % 11 == 10, F.lit("HTTP://Shop.Example/a%2fb%4Ac%zz?"))
+        .when(eid % 12 == 10, F.lit("HTTP://Shop.Example/a%2fb%4Ac%zz?"))
+        .when(eid % 12 == 11,
+              F.concat(F.lit("https://BÜcher.Example:443/p/"),
+                       eid.cast("string"),
+                       F.lit("?utm_medium=e&q=1")))
         .otherwise(F.lit(None))
         .alias("page_url"),
     )
@@ -11454,7 +11470,7 @@ def q194_click_validation_census(spark, sf_dir):
         "violations",
         quality_pct.alias("q"),
         "page_url",
-        canonicalize_url("page_url").alias("canon"),
+        canonicalize_url("page_url", idna_hosts=True).alias("canon"),
     ).withColumn("host", url_host("canon"))
     x = staged.select(
         F.explode_outer("violations").alias("violation"),

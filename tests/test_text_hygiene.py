@@ -315,6 +315,69 @@ def test_canonicalize_url_idempotent_property(spark, url):
     assert not host.endswith(default)
 
 
+def test_canonicalize_url_idna_hosts(spark):
+    """idna_hosts=True folds Unicode hosts to punycode (ACE) via the
+    stdlib-idna Arrow kernel; ASCII URLs are byte-identical to the
+    codegen-only path, and the fold is idempotent (ACE is ASCII)."""
+    cases = {
+        # the q194 arm: uppercase Unicode host + default port +
+        # tracking param — all normalizations compose
+        "https://BÜcher.Example:443/p/9?utm_medium=e&q=1":
+            "https://xn--bcher-kva.example/p/9?q=1",
+        # already-ACE host passes through the kernel unchanged
+        "https://xn--bcher-kva.example/p/9?q=1":
+            "https://xn--bcher-kva.example/p/9?q=1",
+        # ASCII host: identical to the pure-codegen path
+        "HTTPS://Shop.Example:443/p/9?utm_source=ad&b=2&a=1#frag":
+            "https://shop.example/p/9?a=1&b=2",
+        # non-web passthrough survives the flag
+        "shop.example/no-scheme": "shop.example/no-scheme",
+        # a host the idna codec rejects (empty label) folds to
+        # itself — the operator folds, it does not validate
+        "https://bü..example/x": "https://bü..example/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "v string")
+    got = [
+        r["out"]
+        for r in df.select(
+            T.canonicalize_url("v", idna_hosts=True).alias("out")
+        ).collect()
+    ]
+    assert got == list(cases.values())
+    # idempotence through the kernel path
+    got2 = [
+        r["out"]
+        for r in df.select(
+            T.canonicalize_url(
+                T.canonicalize_url("v", idna_hosts=True), idna_hosts=True
+            ).alias("out")
+        ).collect()
+    ]
+    assert got2 == got
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(host=st.lists(
+    st.sampled_from(
+        ["bücher", "shop", "münchen", "x1", "ärger", "example", "XN--a"]
+    ),
+    min_size=1, max_size=3,
+))
+def test_idna_kernel_matches_stdlib_property(spark, host):
+    """The Arrow kernel agrees with a direct stdlib encodings.idna
+    reference on random multi-label hosts (including the ASCII
+    fast path and codec-rejected inputs)."""
+    h = ".".join(host)
+    try:
+        ref = h.encode("idna").decode("ascii") if not h.isascii() else h
+    except UnicodeError:
+        ref = h
+    df = spark.createDataFrame([(h,)], "v string")
+    got = df.select(T.idna_host_udf()(F.col("v")).alias("out")).collect()
+    assert got[0]["out"] == ref
+
+
 def test_url_host(spark):
     cases = {
         "https://Shop.Example:8443/p": "shop.example",
