@@ -2904,12 +2904,6 @@ def decode_tiff(b: bytes):
             raise ValueError("JPEG-in-TIFF requires 8-bit samples")
         if photo not in (0, 1, 2, 5, 6):
             require_codec(f"JPEG-in-TIFF photometric {photo}")
-        if planar == 2 and photo == 6 and tiled:
-            # the chroma planes of a TILED planar YCbCr file cover
-            # subsampled dims with their own tile grids — layout
-            # unseen outside the spec text; strips are real below
-            # (round 12 retired the strip gate)
-            require_codec("tiled planar-YCbCr JPEG-in-TIFF")
         if (photo in (0, 1) and spp != 1) or \
                 (photo in (2, 6) and spp != 3) or \
                 (photo == 5 and spp != 4):
@@ -2961,16 +2955,16 @@ def decode_tiff(b: bytes):
         # full-size planes
         sh_ = sv_ = 1
         pdims = [(h, w)] * nplanes
+        jcrk, jcbk, jgcr, jgcb = 1.402, 1.772, 0.714136286, 0.344136286
         if planar_sep and photo == 6:
             ss = values(530, [2, 2])
             if len(ss) != 2 or ss[0] not in (1, 2, 4) or \
                     ss[1] not in (1, 2, 4):
                 raise ValueError("TIFF YCbCrSubSampling invalid")
             sh_, sv_ = ss
-            co = values(529)
-            if co is not None and co != [299, 1000, 587, 1000, 114, 1000]:
-                require_codec("TIFF YCbCr custom luma coefficients")
+            jcrk, jcbk, jgcr, jgcb = _ycbcr_inverse_consts(values(529))
             pdims = [(h, w)] + [(-(-h // sv_), -(-w // sh_))] * 2
+        planes = None
         if tiled:
             tw, th = one(322), one(323)
             if not tw or not th:
@@ -2980,26 +2974,54 @@ def decode_tiff(b: bytes):
             if not offsets or not counts or len(offsets) != len(counts):
                 raise ValueError("TIFF tile tables missing or mismatched")
             ta, td = -(-w // tw), -(-h // th)
-            if len(offsets) != ta * td * nplanes:
-                raise ValueError("TIFF tile count does not cover the image")
             ch_out = 4 if photo == 5 else 3
             if tw * th > (1 << 24) or \
                     ta * tw * td * th * ch_out > (1 << 27):
                 raise ValueError("TIFF tile grid implausibly large")
-            canvas = np.zeros((td * th, ta * tw, ch_out), np.uint8)
-            for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-                px = jdec(off, cnt)
-                if px.shape[0] < th or px.shape[1] < tw:
-                    raise ValueError("TIFF JPEG tile smaller than declared")
-                c, rem = divmod(idx, ta * td)
-                ty, tx = rem // ta, rem % ta
-                if planar_sep:
-                    canvas[ty * th : (ty + 1) * th,
-                           tx * tw : (tx + 1) * tw, c] = px[:th, :tw, 0]
-                else:
+            if planar_sep:
+                # per-plane tile grids: a photometric-6 chroma plane
+                # covers its SUBSAMPLED dims with its own grid
+                # (round 12 — the last JPEG-in-TIFF organization);
+                # full-size planes (photo 2/5) reduce to the uniform
+                # grid this branch always handled
+                grids = [
+                    (ph, pw, -(-pw // tw), -(-ph // th))
+                    for (ph, pw) in pdims
+                ]
+                if len(offsets) != sum(a * d for _, _, a, d in grids):
+                    raise ValueError(
+                        "TIFF tile count does not cover the planes"
+                    )
+                planes, k = [], 0
+                for ph, pw, ta_p, td_p in grids:
+                    cv = np.zeros((td_p * th, ta_p * tw), np.uint8)
+                    for idx in range(ta_p * td_p):
+                        px = jdec(offsets[k], counts[k])
+                        k += 1
+                        if px.shape[0] < th or px.shape[1] < tw:
+                            raise ValueError(
+                                "TIFF JPEG tile smaller than declared"
+                            )
+                        ty, tx = idx // ta_p, idx % ta_p
+                        cv[ty * th : (ty + 1) * th,
+                           tx * tw : (tx + 1) * tw] = px[:th, :tw, 0]
+                    planes.append(cv[:ph, :pw])
+            else:
+                if len(offsets) != ta * td:
+                    raise ValueError(
+                        "TIFF tile count does not cover the image"
+                    )
+                canvas = np.zeros((td * th, ta * tw, ch_out), np.uint8)
+                for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                    px = jdec(off, cnt)
+                    if px.shape[0] < th or px.shape[1] < tw:
+                        raise ValueError(
+                            "TIFF JPEG tile smaller than declared"
+                        )
+                    ty, tx = idx // ta, idx % ta
                     canvas[ty * th : (ty + 1) * th,
                            tx * tw : (tx + 1) * tw] = px[:th, :tw]
-            out = canvas[:h, :w]
+                out = canvas[:h, :w]
         else:
             offsets = values(273)
             counts = values(279)
@@ -3036,31 +3058,6 @@ def decode_tiff(b: bytes):
                             )
                         bufs.append(px[:rows_here, :pw, 0])
                     planes.append(np.concatenate(bufs, axis=0)[:ph])
-                if photo == 6:
-                    # upsample chroma by replication and convert with
-                    # decode_jpeg's exact full-range closed forms —
-                    # JPEG-in-TIFF YCbCr is full-range by the TechNote
-                    # convention (same as the chunky path, where the
-                    # JPEG decoder itself converts)
-                    yf = planes[0].astype(np.float64)
-                    cbf = np.repeat(
-                        np.repeat(planes[1], sv_, 0), sh_, 1
-                    )[:h, :w].astype(np.float64) - 128.0
-                    crf = np.repeat(
-                        np.repeat(planes[2], sv_, 0), sh_, 1
-                    )[:h, :w].astype(np.float64) - 128.0
-                    r = yf + 1.402 * crf
-                    g = yf - 0.344136286 * cbf - 0.714136286 * crf
-                    bl = yf + 1.772 * cbf
-                    out = np.stack(
-                        [
-                            np.clip(np.floor(x + 0.5), 0, 255)
-                            for x in (r, g, bl)
-                        ],
-                        axis=-1,
-                    ).astype(np.uint8)
-                else:
-                    out = np.stack(planes, axis=-1)
             else:
                 parts = []
                 for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -3072,6 +3069,34 @@ def decode_tiff(b: bytes):
                         )
                     parts.append(px[:rows_here, :w])
                 out = np.concatenate(parts, axis=0)
+        if planes is not None:
+            if photo == 6:
+                # upsample chroma by replication and convert (shared
+                # by the strip AND tile planar walks) — JPEG-in-TIFF
+                # YCbCr is full-range by the TechNote convention
+                # (same as the chunky path, where the JPEG decoder
+                # itself converts); tag 529 feeds the general
+                # inverse, the default triple keeping decode_jpeg's
+                # exact literal constants
+                yf = planes[0].astype(np.float64)
+                cbf = np.repeat(
+                    np.repeat(planes[1], sv_, 0), sh_, 1
+                )[:h, :w].astype(np.float64) - 128.0
+                crf = np.repeat(
+                    np.repeat(planes[2], sv_, 0), sh_, 1
+                )[:h, :w].astype(np.float64) - 128.0
+                r = yf + jcrk * crf
+                g = yf - jgcb * cbf - jgcr * crf
+                bl = yf + jcbk * cbf
+                out = np.stack(
+                    [
+                        np.clip(np.floor(x + 0.5), 0, 255)
+                        for x in (r, g, bl)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+            else:
+                out = np.stack(planes, axis=-1)
         if photo == 5:
             # CMYK JPEG (the Adobe scanned-document class): the
             # shared naive uncalibrated ink conversion
@@ -3090,20 +3115,25 @@ def decode_tiff(b: bytes):
         # sh*sv Y samples + one Cb + one Cr (TIFF 6.0 §21), chroma
         # replicated back to full resolution and converted with
         # decode_jpeg's exact full-range CCIR-601 float math — the
-        # same closed forms hold for both containers.
-        if spp != 3 or depth != 8 or planar != 1:
-            require_codec("TIFF YCbCr planar/deep variant")
-        if tiled:
-            require_codec("tiled YCbCr TIFF")
+        # same closed forms hold for both containers. Round 12
+        # retires the ORGANIZATION gates: PlanarConfiguration 2
+        # stores three plain rasters (no data-unit interleave, §21)
+        # with chroma planes at the subsampled dims, tiles hold
+        # data-unit grids (chunky) or per-plane raster grids
+        # (planar), and tag 529 (YCbCrCoefficients) feeds the
+        # general inverse — the default triple keeps the literal
+        # constants, bit-identical to the old path.
+        if depth != 8:
+            require_codec("deep (non-8-bit) YCbCr TIFF")
+        if spp != 3:
+            raise ValueError("TIFF YCbCr requires 3 samples per pixel")
         if pred == 2:
             raise ValueError("TIFF predictor on YCbCr data units")
         ss = values(530, [2, 2])
         if len(ss) != 2 or ss[0] not in (1, 2, 4) or ss[1] not in (1, 2, 4):
             raise ValueError("TIFF YCbCrSubSampling invalid")
         sh_, sv_ = ss
-        co = values(529)
-        if co is not None and co != [299, 1000, 587, 1000, 114, 1000]:
-            require_codec("TIFF YCbCr custom luma coefficients")
+        crk, cbk, gcr, gcb = _ycbcr_inverse_consts(values(529))
         # ReferenceBlackWhite headroom (round 11): the TIFF 6.0 §20
         # linear code map FullRange = (code - black) * CodingRange /
         # (white - black), CodingRange 255 for Y and 127 for Cb/Cr
@@ -3121,41 +3151,151 @@ def decode_tiff(b: bytes):
             if (vals6[1] == vals6[0] or vals6[3] == vals6[2]
                     or vals6[5] == vals6[4]):
                 raise ValueError("TIFF ReferenceBlackWhite degenerate")
-        offsets = values(273)
-        counts = values(279)
-        if not offsets or not counts or len(offsets) != len(counts):
-            raise ValueError("TIFF strip tables missing or mismatched")
-        rps = one(278, h)
-        if rps < 1:
-            raise ValueError("TIFF RowsPerStrip invalid")
-        if len(offsets) > 1 and rps % sv_:
-            raise ValueError(
-                "YCbCr RowsPerStrip not a multiple of the subsampling"
-            )
-        if len(offsets) != -(-h // rps):
-            raise ValueError("TIFF strip count does not cover the image")
-        ta = -(-w // sh_)
+        ch, cw = -(-h // sv_), -(-w // sh_)  # chroma plane dims
         unit = sh_ * sv_ + 2
-        ybuf, cbbuf, crbuf = [], [], []
-        for si, (off, cnt) in enumerate(zip(offsets, counts)):
-            rows_here = min(rps, h - si * rps)
-            td_s = -(-rows_here // sv_)
-            expected = ta * td_s * unit
-            raw = decompress(chunk_at(off, cnt), expected)
-            u = np.frombuffer(bytes(raw[:expected]), np.uint8).reshape(
-                td_s, ta, unit
+
+        def unpack_units(raw, ud, ua, rows_keep, cols_keep):
+            # one data-unit grid -> (Y rows, Cb grid, Cr grid)
+            u = np.frombuffer(
+                bytes(raw[: ud * ua * unit]), np.uint8
+            ).reshape(ud, ua, unit)
+            ys = u[:, :, : sh_ * sv_].reshape(ud, ua, sv_, sh_)
+            yp = ys.transpose(0, 2, 1, 3).reshape(ud * sv_, ua * sh_)
+            return (
+                yp[:rows_keep, :cols_keep],
+                u[:, :, sh_ * sv_],
+                u[:, :, unit - 1],
             )
-            ys = u[:, :, : sh_ * sv_].reshape(td_s, ta, sv_, sh_)
-            yp = ys.transpose(0, 2, 1, 3).reshape(td_s * sv_, ta * sh_)
-            ybuf.append(yp[:rows_here, :w])
-            cbbuf.append(u[:, :, sh_ * sv_])
-            crbuf.append(u[:, :, unit - 1])
+
+        if tiled:
+            tw, th = one(322), one(323)
+            if not tw or not th:
+                raise ValueError("TIFF tile dimensions invalid")
+            if tw % sh_ or th % sv_:
+                raise ValueError(
+                    "YCbCr tile dims not multiples of the subsampling"
+                )
+            offsets = values(324)
+            counts = values(325)
+            if not offsets or not counts or len(offsets) != len(counts):
+                raise ValueError("TIFF tile tables missing or mismatched")
+            ta_t, td_t = -(-w // tw), -(-h // th)
+            if tw * th > (1 << 24) or ta_t * tw * td_t * th * 3 > (1 << 27):
+                raise ValueError("TIFF tile grid implausibly large")
+            if planar == 2:
+                # per-plane raster tile grids; chroma grids cover the
+                # SUBSAMPLED plane dims (same convention as the
+                # planar strip sets)
+                grids = [
+                    (ph, pw, -(-pw // tw), -(-ph // th))
+                    for (ph, pw) in ((h, w), (ch, cw), (ch, cw))
+                ]
+                if len(offsets) != sum(a * d for _, _, a, d in grids):
+                    raise ValueError(
+                        "TIFF tile count does not cover the planes"
+                    )
+                planes, k = [], 0
+                for ph, pw, ta_p, td_p in grids:
+                    cv = np.zeros((td_p * th, ta_p * tw), np.uint8)
+                    for idx in range(ta_p * td_p):
+                        raw = decompress(
+                            chunk_at(offsets[k], counts[k]), tw * th
+                        )
+                        k += 1
+                        tile = np.frombuffer(
+                            bytes(raw[: tw * th]), np.uint8
+                        ).reshape(th, tw)
+                        ty, tx = idx // ta_p, idx % ta_p
+                        cv[ty * th : (ty + 1) * th,
+                           tx * tw : (tx + 1) * tw] = tile
+                    planes.append(cv[:ph, :pw])
+                y2, cb2, cr2 = planes
+            else:
+                if len(offsets) != ta_t * td_t:
+                    raise ValueError(
+                        "TIFF tile count does not cover the image"
+                    )
+                ua_t, ud_t = tw // sh_, th // sv_
+                ycan = np.zeros((td_t * th, ta_t * tw), np.uint8)
+                cbcan = np.zeros((td_t * ud_t, ta_t * ua_t), np.uint8)
+                crcan = np.zeros_like(cbcan)
+                for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                    raw = decompress(chunk_at(off, cnt), ua_t * ud_t * unit)
+                    yt, cbt, crt = unpack_units(raw, ud_t, ua_t, th, tw)
+                    ty, tx = idx // ta_t, idx % ta_t
+                    ycan[ty * th : (ty + 1) * th,
+                         tx * tw : (tx + 1) * tw] = yt
+                    cbcan[ty * ud_t : (ty + 1) * ud_t,
+                          tx * ua_t : (tx + 1) * ua_t] = cbt
+                    crcan[ty * ud_t : (ty + 1) * ud_t,
+                          tx * ua_t : (tx + 1) * ua_t] = crt
+                y2 = ycan[:h, :w]
+                cb2, cr2 = cbcan[:ch, :cw], crcan[:ch, :cw]
+        else:
+            offsets = values(273)
+            counts = values(279)
+            if not offsets or not counts or len(offsets) != len(counts):
+                raise ValueError("TIFF strip tables missing or mismatched")
+            rps = one(278, h)
+            if rps < 1:
+                raise ValueError("TIFF RowsPerStrip invalid")
+            per_plane = -(-h // rps)
+            if per_plane > 1 and rps % sv_:
+                raise ValueError(
+                    "YCbCr RowsPerStrip not a multiple of the subsampling"
+                )
+            if planar == 2:
+                # three plain-raster strip sets, component-major; a
+                # chroma strip carries ceil(rps/sv) plane rows for
+                # the same rps image rows (TIFF 6.0 §21 — no
+                # data-unit interleave in planar mode)
+                if len(offsets) != per_plane * 3:
+                    raise ValueError(
+                        "TIFF strip count does not cover the planes"
+                    )
+                planes = []
+                for p, (ph, pw) in enumerate(
+                    ((h, w), (ch, cw), (ch, cw))
+                ):
+                    vstep = sv_ if p else 1
+                    bufs = []
+                    for s in range(per_plane):
+                        rows_img = min(rps, h - s * rps)
+                        rows_here = -(-rows_img // vstep)
+                        raw = decompress(
+                            chunk_at(
+                                offsets[p * per_plane + s],
+                                counts[p * per_plane + s],
+                            ),
+                            rows_here * pw,
+                        )
+                        bufs.append(
+                            np.frombuffer(
+                                bytes(raw[: rows_here * pw]), np.uint8
+                            ).reshape(rows_here, pw)
+                        )
+                    planes.append(np.concatenate(bufs, axis=0)[:ph])
+                y2, cb2, cr2 = planes
+            else:
+                if len(offsets) != per_plane:
+                    raise ValueError(
+                        "TIFF strip count does not cover the image"
+                    )
+                ta = -(-w // sh_)
+                ybuf, cbbuf, crbuf = [], [], []
+                for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                    rows_here = min(rps, h - si * rps)
+                    td_s = -(-rows_here // sv_)
+                    raw = decompress(chunk_at(off, cnt), ta * td_s * unit)
+                    yt, cbt, crt = unpack_units(raw, td_s, ta, rows_here, w)
+                    ybuf.append(yt)
+                    cbbuf.append(cbt)
+                    crbuf.append(crt)
+                y2 = np.concatenate(ybuf, axis=0)
+                cb2 = np.concatenate(cbbuf, axis=0)
+                cr2 = np.concatenate(crbuf, axis=0)
         yb, yw6, cbb, cbw, crb, crw = vals6
-        yf = (
-            np.concatenate(ybuf, axis=0).astype(np.float64) - yb
-        ) * (255.0 / (yw6 - yb))
-        cb2 = np.concatenate(cbbuf, axis=0)
-        cr2 = np.concatenate(crbuf, axis=0)
+        yf = (y2.astype(np.float64) - yb) * (255.0 / (yw6 - yb))
         cbf = (
             np.repeat(np.repeat(cb2, sv_, 0), sh_, 1)[:h, :w].astype(
                 np.float64
@@ -3166,9 +3306,9 @@ def decode_tiff(b: bytes):
                 np.float64
             ) - crb
         ) * (127.0 / (crw - crb))
-        r = yf + 1.402 * crf
-        g = yf - 0.344136286 * cbf - 0.714136286 * crf
-        bl = yf + 1.772 * cbf
+        r = yf + crk * crf
+        g = yf - gcb * cbf - gcr * crf
+        bl = yf + cbk * cbf
         return np.stack(
             [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
             axis=-1,
@@ -3857,6 +3997,32 @@ def encode_tiff(
     return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
 
 
+def _ycbcr_inverse_consts(co):
+    """Tag 529 (YCbCrCoefficients, RATIONAL x3 flattened to 6 longs)
+    -> the inverse-transform constants (crk, cbk, gcr, gcb):
+
+        R = Y + crk*Cr    crk = 2*(1 - lr)
+        B = Y + cbk*Cb    cbk = 2*(1 - lb)
+        G = (Y - lr*R - lb*B) / lg = Y - gcb*Cb - gcr*Cr
+            gcr = lr*crk/lg,  gcb = lb*cbk/lg
+
+    The default CCIR-601 triple (299/1000, 587/1000, 114/1000) —
+    or an absent tag — returns the LITERAL constants the closed-form
+    oracles pin (1.402 / 1.772 / 0.714136286 / 0.344136286), so
+    default files stay bit-identical to the pre-tag path; any other
+    triple feeds the general inverse. Malformed or degenerate
+    (lg == 0) tags are loud."""
+    if co is None or co == [299, 1000, 587, 1000, 114, 1000]:
+        return 1.402, 1.772, 0.714136286, 0.344136286
+    if len(co) != 6 or any(d == 0 for d in co[1::2]):
+        raise ValueError("TIFF YCbCrCoefficients malformed")
+    lr, lg, lb = (co[0] / co[1], co[2] / co[3], co[4] / co[5])
+    if lg == 0:
+        raise ValueError("TIFF YCbCrCoefficients degenerate (lg == 0)")
+    crk, cbk = 2.0 * (1.0 - lr), 2.0 * (1.0 - lb)
+    return crk, cbk, lr * crk / lg, lb * cbk / lg
+
+
 def encode_tiff_ycbcr(
     yp,
     cb,
@@ -3866,6 +4032,9 @@ def encode_tiff_ycbcr(
     big_endian: bool = False,
     rows_per_strip: int = 0,
     rbw=None,
+    planar: bool = False,
+    tile=None,
+    luma=None,
 ) -> bytes:
     """Full-res Y plane (h, w) + SUBSAMPLED Cb/Cr planes
     (ceil(h/sv), ceil(w/sh)), all uint8 -> photometric-6 TIFF with
@@ -3874,7 +4043,14 @@ def encode_tiff_ycbcr(
     ``rows_per_strip`` must be a multiple of sv when it splits the
     image. ``rbw`` writes a ReferenceBlackWhite tag (532, RATIONAL
     x6) as 12 flattened num/den longs — the video-range headroom
-    layout (round 11)."""
+    layout (round 11). Round-12 organization knobs: ``planar``
+    stores PlanarConfiguration 2 — three PLAIN rasters (no data-unit
+    interleave, §21), chroma strip/tile sets covering the subsampled
+    plane dims; ``tile=(tw, th)`` (tw/th multiples of sh/sv) emits
+    the tiled layout (tags 322-325) — data-unit grids when chunky,
+    per-plane raster grids when planar; ``luma`` writes a
+    YCbCrCoefficients tag (529, RATIONAL x3) as 6 flattened
+    num/den longs feeding the decoder's general inverse."""
     import numpy as np
     import zlib
 
@@ -3911,22 +4087,89 @@ def encode_tiff_ycbcr(
             return _tiff_lzw_encode(raw)
         return zlib.compress(raw, 6)
 
-    strips = []
-    for y0 in range(0, h, rps):
-        rows_here = min(rps, h - y0)
-        td_s = -(-rows_here // sv_)
-        unit_rows = ypad[y0 : y0 + td_s * sv_].reshape(
-            td_s, sv_, ta, sh_
-        ).transpose(0, 2, 1, 3)
-        body = np.concatenate(
+    def pad_to(plane, gh, gw):
+        # edge-replicate a raster out to a grid-multiple canvas
+        ph, pw = plane.shape
+        if (ph, pw) == (gh, gw):
+            return plane
+        padded = np.empty((gh, gw), np.uint8)
+        padded[:ph, :pw] = plane
+        if pw < gw:
+            padded[:ph, pw:] = plane[:, pw - 1 : pw]
+        if ph < gh:
+            padded[ph:] = padded[ph - 1 : ph]
+        return padded
+
+    def unit_body(ytile, cbt, crt, ud, ua):
+        # one data-unit grid body: sh*sv Y samples + Cb + Cr per unit
+        unit_rows = ytile.reshape(ud, sv_, ua, sh_).transpose(0, 2, 1, 3)
+        return np.concatenate(
             [
-                unit_rows.reshape(td_s, ta, sv_ * sh_),
-                cbp[y0 // sv_ : y0 // sv_ + td_s, :, None],
-                crp[y0 // sv_ : y0 // sv_ + td_s, :, None],
+                unit_rows.reshape(ud, ua, sv_ * sh_),
+                cbt[:, :, None],
+                crt[:, :, None],
             ],
             axis=-1,
+        ).tobytes()
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        assert tw % sh_ == 0 and th % sv_ == 0, (
+            "tile dims must be multiples of the subsampling"
         )
-        strips.append(compress(body.tobytes()))
+        ta_t, td_t = -(-w // tw), -(-h // th)
+        if planar:
+            # per-plane raster grids: Y over (h, w), each chroma over
+            # its SUBSAMPLED dims (td, ta) with its own grid
+            for plane in (np.asarray(yp, np.uint8), cbp, crp):
+                ph, pw = plane.shape
+                ga, gd = -(-pw // tw), -(-ph // th)
+                padded = pad_to(plane, gd * th, ga * tw)
+                for ty in range(gd):
+                    for tx in range(ga):
+                        strips.append(compress(
+                            padded[ty * th : (ty + 1) * th,
+                                   tx * tw : (tx + 1) * tw].tobytes()
+                        ))
+        else:
+            ua_t, ud_t = tw // sh_, th // sv_
+            ypad2 = pad_to(ypad, td_t * th, ta_t * tw)
+            cbpad = pad_to(cbp, td_t * ud_t, ta_t * ua_t)
+            crpad = pad_to(crp, td_t * ud_t, ta_t * ua_t)
+            for ty in range(td_t):
+                for tx in range(ta_t):
+                    strips.append(compress(unit_body(
+                        ypad2[ty * th : (ty + 1) * th,
+                              tx * tw : (tx + 1) * tw],
+                        cbpad[ty * ud_t : (ty + 1) * ud_t,
+                              tx * ua_t : (tx + 1) * ua_t],
+                        crpad[ty * ud_t : (ty + 1) * ud_t,
+                              tx * ua_t : (tx + 1) * ua_t],
+                        ud_t, ua_t,
+                    )))
+    elif planar:
+        # component-major plain-raster strip sets: Y rows [s*rps,
+        # s*rps+rps), chroma rows ceil-divided by sv for the SAME
+        # image rows (rps % sv == 0 guaranteed above when multi-strip)
+        per_plane = -(-h // rps)
+        yraw = np.asarray(yp, np.uint8)
+        for plane, vstep in ((yraw, 1), (cbp, sv_), (crp, sv_)):
+            for s in range(per_plane):
+                rows_img = min(rps, h - s * rps)
+                r0 = s * rps // vstep
+                rn = -(-rows_img // vstep)
+                strips.append(compress(plane[r0 : r0 + rn].tobytes()))
+    else:
+        for y0 in range(0, h, rps):
+            rows_here = min(rps, h - y0)
+            td_s = -(-rows_here // sv_)
+            strips.append(compress(unit_body(
+                ypad[y0 : y0 + td_s * sv_],
+                cbp[y0 // sv_ : y0 // sv_ + td_s],
+                crp[y0 // sv_ : y0 // sv_ + td_s],
+                td_s, ta,
+            )))
     out_body = bytearray()
     offsets = []
     for s in strips:
@@ -3941,16 +4184,31 @@ def encode_tiff_ycbcr(
         (258, 3, [8, 8, 8]),
         (259, 3, [comp_code]),
         (262, 3, [6]),
-        (273, 4, offsets),
         (277, 3, [3]),
-        (278, 3, [min(rps, h)]),
-        (279, 4, [len(s) for s in strips]),
         (530, 3, [sh_, sv_]),
     ]
+    if tile is not None:
+        tags += [
+            (322, 3, [tw]),
+            (323, 3, [th]),
+            (324, 4, offsets),
+            (325, 4, [len(s) for s in strips]),
+        ]
+    else:
+        tags += [
+            (273, 4, offsets),
+            (278, 3, [min(rps, h)]),
+            (279, 4, [len(s) for s in strips]),
+        ]
+    if planar:
+        tags.append((284, 3, [2]))
+    if luma is not None:
+        assert len(luma) == 6, "luma: 3 rationals as 6 flattened longs"
+        tags.append((529, 5, list(luma)))
     if rbw is not None:
         assert len(rbw) == 12, "rbw: 6 rationals as 12 flattened longs"
         tags.append((532, 5, list(rbw)))
-        tags.sort(key=lambda t: t[0])
+    tags.sort(key=lambda t: t[0])
     header = (b"II" if e == "<" else b"MM") + struct.pack(
         e + "HI", 42, ifd_off
     )
@@ -4175,9 +4433,10 @@ def encode_tiff_jpeg(
     or (round 12) photometric-6 Y/Cb/Cr planes with the forward
     CCIR-601 transform and ``subsampling=(sh, sv)`` top-left-sampled
     chroma planes at the TIFF 6.0 §21 SUBSAMPLED dims (tag 530
-    written explicitly; strips only — chroma strips carry
-    rows_per_strip/sv plane rows, so ``rows_per_strip`` must also be
-    a multiple of 8*sv). ``old_style`` emits the deprecated
+    written explicitly; chroma strips carry rows_per_strip/sv plane
+    rows, so ``rows_per_strip`` must also be a multiple of 8*sv;
+    with ``tile`` each plane covers its own dims with its own tile
+    grid — round 12, the last JPEG-in-TIFF organization). ``old_style`` emits the deprecated
     compression-6 layout instead (TIFF 6.0 §22): ONE full
     interchange stream pointed at by JPEGInterchangeFormat/Length
     (513/514), no strips — the layout old files in the wild
@@ -4200,9 +4459,6 @@ def encode_tiff_jpeg(
     if planar:
         assert photo in (2, 5, 6) and not old_style, (
             "planar JPEG-in-TIFF needs component planes"
-        )
-        assert not (photo == 6 and tile is not None), (
-            "tiled planar YCbCr is out of surface (decoder gates it)"
         )
     if subsampling is not None:
         if per_strip_tables:
@@ -4335,16 +4591,20 @@ def encode_tiff_jpeg(
     if tile is not None:
         tw, th = tile
         assert tw % 8 == 0 and th % 8 == 0, "tile dims must be MCU multiples"
-        ta, td = -(-w // tw), -(-h // th)
         for plane in comps:
+            # per-plane grid: a subsampled photometric-6 chroma plane
+            # covers its OWN dims with its own tile grid (round 12 —
+            # full-size planes reduce to the uniform grid)
+            ph, pw = plane.shape[:2]
+            ta, td = -(-pw // tw), -(-ph // th)
             padded = np.empty(
                 (td * th, ta * tw) + plane.shape[2:], np.uint8
             )
-            padded[:h, :w] = plane
-            if w < ta * tw:
-                padded[:h, w:] = plane[:, w - 1 : w]
-            if h < td * th:
-                padded[h:] = padded[h - 1 : h]
+            padded[:ph, :pw] = plane
+            if pw < ta * tw:
+                padded[:ph, pw:] = plane[:, pw - 1 : pw]
+            if ph < td * th:
+                padded[ph:] = padded[ph - 1 : ph]
             for ty in range(td):
                 for tx in range(ta):
                     segs.append(
@@ -6554,7 +6814,7 @@ def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
+def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
     """Deterministic JPEG-in-TIFF table (compression 7, TIFF TechNote
     2 — the scanned-page/digicam layout): image i is the established
     block-constant corpus (8x8 tiles of (i*41 + by*9 + bx*17) mod
@@ -6591,7 +6851,13 @@ def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
     JPEGInterchangeFormat: raw entropy strips + tables at tags
     519/520/521 — 11 gray 8-row strips, 12 chunky YCbCr 4:2:0 with
     an in-strip restart interval; gray rasters, oracle-invisible,
-    gating on the _tiff_ojpeg_per_strip synthesis walk).
+    gating on the _tiff_ojpeg_per_strip synthesis walk). The
+    rotation widens to i%14 with arm 13 — TILED PLANAR YCBCR
+    (round 12, the LAST JPEG-in-TIFF organization gate): per-plane
+    16x16 tile grids, the chroma planes covering their SUBSAMPLED
+    dims ((2,2) when i%4==1, (2,1) otherwise) with their own grids;
+    gray rasters keep chroma constant-128, so the arm is
+    oracle-invisible but gates on the per-plane grid walk.
     media_id offset +600."""
     import numpy as np
 
@@ -6606,7 +6872,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
             dtype=np.uint8,
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
-        arm = i % 13
+        arm = i % 14
         old = arm in (4, 7)
         per_strip = arm in (11, 12)
         rgbspace = arm in (2, 3, 5, 6)
@@ -6629,10 +6895,13 @@ def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
         elif arm == 12:
             src = np.stack([img] * 3, axis=-1)
             subsampling = "420"
+        elif arm == 13:
+            src = np.stack([img] * 3, axis=-1)
+            subsampling = (2, 2) if i % 4 == 1 else (2, 1)
         else:
             src = img if i % 2 else np.stack([img] * 3, axis=-1)
         tile = (
-            (16, 16) if arm in (1, 8, 6)
+            (16, 16) if arm in (1, 8, 6, 13)
             else (16, 8) if arm == 5
             else None
         )
@@ -6658,7 +6927,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
                     old_style=old,
                     rgb_space=rgbspace,
                     tile=tile,
-                    planar=arm in (3, 6, 9, 10),
+                    planar=arm in (3, 6, 9, 10, 13),
                     subsampling=subsampling,
                     per_strip_tables=per_strip,
                     restart_interval=2 if arm == 12 else 0,
@@ -6671,7 +6940,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 26) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
+def synthetic_tiff_ycbcr_table(spark, n: int = 32) -> DataFrame:
     """Deterministic YCbCr TIFF table (photometric 6 — the
     digicam-TIFF surface): image i generates Y/Cb/Cr SAMPLES directly
     (Y = (x*7 + y*13 + i*23) mod 256 at full res; Cb/Cr closed forms
@@ -6690,7 +6959,15 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
     so Yfull = code*5 is integer-exact); all other rows carry no
     tag and decode through the SAME general linear map, whose
     full-range default reduces to the old closed forms exactly.
-    media_id offset +500."""
+    Round 12 retires the ORGANIZATION gates by i%7 (pixel-invisible
+    — the codec layer is lossless, so the oracle is unchanged):
+    i%7==3 planar strip sets (PlanarConfiguration 2, plain rasters,
+    chroma at subsampled dims), i%7==5 tiled chunky data-unit grids
+    (tile dims (4sh, 4sv) — edge pads exercised), i%7==6 tiled
+    per-plane raster grids; and the CUSTOM-LUMA gate by i>=24: rows
+    24-31 carry YCbCrCoefficients (1/4, 1/2, 1/4), whose exact-
+    dyadic inverse (crk=cbk=1.5, gcr=gcb=0.75) the oracle replays
+    closed-form through the same rbw map. media_id offset +500."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
@@ -6712,6 +6989,7 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
             rbw = [16, 1, 235, 1, 128, 1, 240, 1, 128, 1, 240, 1]
         elif i % 6 == 5:
             rbw = [0, 1, 51, 1, 128, 1, 255, 1, 128, 1, 255, 1]
+        tile = (4 * sh, 4 * sv) if i % 7 in (5, 6) else None
         rows.append(
             (
                 500 + i,
@@ -6722,6 +7000,9 @@ def synthetic_tiff_ycbcr_table(spark, n: int = 24) -> DataFrame:
                     big_endian=bool(i % 2),
                     rows_per_strip=0 if i % 5 == 0 else 4,
                     rbw=rbw,
+                    planar=i % 7 in (3, 6),
+                    tile=tile,
+                    luma=[1, 4, 1, 2, 1, 4] if i >= 24 else None,
                 ),
                 None,
                 f"mem://media/{500 + i}.ycc.tif",

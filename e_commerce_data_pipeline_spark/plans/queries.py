@@ -12191,21 +12191,21 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     tjm AS (
         SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 2) * 16 AS h
-        FROM range(26) t(i)
+        FROM range(28) t(i)
     ),
     tjb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM tjm),
     tjt AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tjb),
     tjv AS (SELECT i, (i * 41 + by * 9 + bx * 17) % 256 AS t FROM tjt),
-    -- round 11/12: the RGB-SPACE arms (i%13 in (2,3,5,6) —
+    -- round 11/12: the RGB-SPACE arms (i%14 in (2,3,5,6) —
     -- photometric 2, no color transform) carry true-color per-tile
     -- constants; every other layout arm (tiled/planar/old-style +
-    -- the round-12 planar 9/10 and per-strip old-style 11/12) is gray and
-    -- oracle-invisible
+    -- the round-12 planar 9/10, per-strip old-style 11/12, and
+    -- TILED planar YCbCr 13) is gray and oracle-invisible
     tjch AS (
         SELECT i, t,
-               CASE WHEN i % 13 IN (2, 3, 5, 6)
+               CASE WHEN i % 14 IN (2, 3, 5, 6)
                     THEN (t + 85) % 256 ELSE t END AS g2,
-               CASE WHEN i % 13 IN (2, 3, 5, 6)
+               CASE WHEN i % 14 IN (2, 3, 5, 6)
                     THEN (t + 170) % 256 ELSE t END AS b2
         FROM tjv
     ),
@@ -12279,7 +12279,7 @@ def q197_cdc_validation_census(spark, sf_dir):
         SELECT i, 11 + (i % 4) * 7 AS w, 9 + (i % 3) * 5 AS h,
                CASE i % 3 WHEN 0 THEN 1 ELSE 2 END AS sh,
                CASE i % 3 WHEN 1 THEN 2 ELSE 1 END AS sv
-        FROM range(24) t(i)
+        FROM range(32) t(i)
     ),
     ycys AS (SELECT i, w, sh, sv, unnest(range(h)) AS y FROM ycm),
     ycpx AS (SELECT i, sh, sv, y, unnest(range(w)) AS x FROM ycys),
@@ -12307,15 +12307,25 @@ def q197_cdc_validation_census(spark, sf_dir):
                    AS crv
         FROM ycpx
     ),
+    -- round 12 custom-luma rows (i>=24, coefficients 1/4,1/2,1/4):
+    -- exact-dyadic inverse crk=cbk=1.5, gcr=gcb=0.75; default rows
+    -- keep the literal CCIR-601 constants bit-identically
     ycrgb AS (
         SELECT i,
                CAST(LEAST(255.0, GREATEST(0.0,
-                    FLOOR(yv + 1.402 * crv + 0.5))) AS BIGINT) AS r,
+                    FLOOR(yv + (CASE WHEN i >= 24 THEN 1.5
+                                ELSE 1.402 END) * crv + 0.5)))
+                   AS BIGINT) AS r,
                CAST(LEAST(255.0, GREATEST(0.0,
-                    FLOOR(yv - 0.344136286 * cbv - 0.714136286 * crv
+                    FLOOR(yv - (CASE WHEN i >= 24 THEN 0.75
+                                ELSE 0.344136286 END) * cbv
+                             - (CASE WHEN i >= 24 THEN 0.75
+                                ELSE 0.714136286 END) * crv
                           + 0.5))) AS BIGINT) AS g2,
                CAST(LEAST(255.0, GREATEST(0.0,
-                    FLOOR(yv + 1.772 * cbv + 0.5))) AS BIGINT) AS b2
+                    FLOOR(yv + (CASE WHEN i >= 24 THEN 1.5
+                                ELSE 1.772 END) * cbv + 0.5)))
+                   AS BIGINT) AS b2
         FROM yccv
     ),
     tifyc AS (
@@ -12471,7 +12481,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
     "SCANNER-CLASS JPEG-IN-TIFF ORGANIZATIONS (round 11, +600 "
-    "family — rotation widened to i%13 in round 12): TILED chunky "
+    "family — rotation widened to i%14 in round 12): TILED chunky "
     "(1,8 — full-size tile JPEGs "
     "pasted into the grid canvas), RGB-SPACE photometric 2 with "
     "TRUE-COLOR tiles (2: strips, 5: tiles — no color transform, "
@@ -12489,7 +12499,10 @@ def q197_cdc_validation_census(spark, sf_dir):
     "OLD-STYLE (11/12: compression 6 WITHOUT JPEGInterchangeFormat "
     "— raw entropy strips, tables at tags 519/520/521, gray and "
     "YCbCr-4:2:0-with-restarts; the decoder synthesizes a JPEG per "
-    "strip, the libtiff OJPEG reconstruction) — all four arms "
+    "strip, the libtiff OJPEG reconstruction), and TILED PLANAR "
+    "YCBCR (13 — per-plane 16x16 tile grids, chroma planes "
+    "covering their SUBSAMPLED dims with their own grids; round "
+    "12, the last JPEG-in-TIFF organization gate) — all five arms "
     "oracle-invisible but gating on their segment walks). "
     "CMYK JPEG-IN-TIFF (round 11, +200 family "
     "rows 12-17 — the Adobe scanned-document class): photometric 5 "
@@ -12587,17 +12600,27 @@ def q197_cdc_validation_census(spark, sf_dir):
     "is bitwise-deterministic, so the oracle replays the conversion "
     "in SQL (unlike round(x,2), which diverges cross-engine); the "
     "corpus generates Y/Cb/Cr samples directly so no inverse "
-    "transform is needed. media_id +500; planar/deep/tiled YCbCr, "
-    "custom luma coefficients, and headroom ReferenceBlackWhite "
-    "stay gated. JPEG-IN-TIFF (round 9, compression 7 / TechNote 2): "
+    "transform is needed. media_id +500. RAW-YCBCR ORGANIZATIONS "
+    "(round 12, +500 family by i%7 — the codec layer is lossless, "
+    "so all three are pixel-invisible but gate on decode): planar "
+    "strip sets (3 — PlanarConfiguration 2, three PLAIN rasters, "
+    "no data-unit interleave per TIFF 6.0 s21, chroma planes at "
+    "the subsampled dims), tiled chunky data-unit grids (5 — tile "
+    "dims (4sh,4sv), edge pads), and tiled per-plane raster grids "
+    "(6); plus CUSTOM LUMA COEFFICIENTS on rows 24-31 "
+    "(YCbCrCoefficients (1/4, 1/2, 1/4) — the exact-dyadic inverse "
+    "crk=cbk=1.5, gcr=gcb=0.75 replayed closed-form in the oracle "
+    "through the same rbw linear map; the default triple keeps the "
+    "literal CCIR-601 constants bit-identically). Only the DEEP "
+    "(non-8-bit) YCbCr variant stays gated. "
+    "JPEG-IN-TIFF (round 9, compression 7 / TechNote 2): "
     "each strip an independently decodable JPEG interchange stream — "
     "or abbreviated with shared DQT/DHT spliced from the JPEGTables "
     "tag (347) after each strip's SOI — through the in-house "
     "decode_jpeg; gray 1-component and gray-in-RGB 4:4:4 strips on "
     "the established block-constant bit-exact corpus, strip splits "
-    "exercising independent per-strip DC predictors. media_id +600; "
-    "old-style compression 6, RGB-space JPEG (photometric 2), and "
-    "tiled/planar JPEG stay gated. TGA (round 9, media_id +700, fmt "
+    "exercising independent per-strip DC predictors. media_id "
+    "+600. TGA (round 9, media_id +700, fmt "
     "'tga'): the magic-less Targa container detected via its v2.0 "
     "footer signature — 24bpp raw/RLE, 8-bit grayscale, 8-bit "
     "color-mapped (BGR entries), and 16bpp X1R5G5B5 with top-5-bit "
@@ -12669,8 +12692,8 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
-        .unionByName(synthetic_tiff_jpeg_table(spark, n=26))
-        .unionByName(synthetic_tiff_ycbcr_table(spark, n=24))
+        .unionByName(synthetic_tiff_jpeg_table(spark, n=28))
+        .unionByName(synthetic_tiff_ycbcr_table(spark, n=32))
         .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_pnm_table(spark, n=20))
         .unionByName(synthetic_pcx_table(spark, n=12))

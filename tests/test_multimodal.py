@@ -2000,6 +2000,124 @@ def test_tiff_ycbcr_conversion_subsampling_and_gates():
         decode_tiff(bytes(b))
 
 
+def test_tiff_ycbcr_organizations_round12():
+    """Round 12 — the raw-YCbCr ORGANIZATION gates: planar strip
+    sets, tiled chunky data-unit grids, and tiled per-plane raster
+    grids all decode IDENTICALLY to the chunky-strip reference on
+    the same Y/Cb/Cr samples (the codec layer is lossless, so the
+    layouts are pixel-invisible); YCbCrCoefficients (tag 529) feeds
+    the general inverse with hand-pinned exact-dyadic constants, the
+    default triple stays bit-identical, and malformed/degenerate
+    coefficient tags plus non-multiple tile dims are loud."""
+    import pytest
+    import struct as st
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_ycbcr,
+    )
+
+    rng = np.random.RandomState(12)
+    for trial in range(8):
+        sh, sv = [(1, 1), (2, 2), (2, 1), (4, 2)][trial % 4]
+        h, w = rng.randint(3, 25), rng.randint(3, 25)
+        yp = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        td, ta = -(-h // sv), -(-w // sh)
+        cb = rng.randint(0, 256, (td, ta)).astype(np.uint8)
+        cr = rng.randint(0, 256, (td, ta)).astype(np.uint8)
+        comp = ("none", "packbits", "lzw", "deflate")[trial % 4]
+        kw = dict(compression=comp, big_endian=bool(trial % 2))
+        ref = decode_tiff(encode_tiff_ycbcr(yp, cb, cr, (sh, sv), **kw))
+        # planar strips (single- and multi-strip)
+        for rps in (0, 2 * sv):
+            got = decode_tiff(encode_tiff_ycbcr(
+                yp, cb, cr, (sh, sv), rows_per_strip=rps,
+                planar=True, **kw))
+            assert np.array_equal(got, ref), (trial, "planar", rps)
+        # tiled chunky data-unit grids (tile dims unit multiples,
+        # edge tiles padded)
+        got = decode_tiff(encode_tiff_ycbcr(
+            yp, cb, cr, (sh, sv), tile=(4 * sh, 4 * sv), **kw))
+        assert np.array_equal(got, ref), (trial, "tiled")
+        # tiled planar per-plane raster grids
+        got = decode_tiff(encode_tiff_ycbcr(
+            yp, cb, cr, (sh, sv), tile=(4 * sh, 4 * sv),
+            planar=True, **kw))
+        assert np.array_equal(got, ref), (trial, "tiled planar")
+    # custom luma coefficients: (1/4, 1/2, 1/4) gives exact dyadic
+    # inverse constants crk = cbk = 1.5, gcr = gcb = 0.75 — pin the
+    # hand-computed spot values through every organization
+    yp = np.full((4, 4), 100, np.uint8)
+    cbq = np.full((2, 2), 144, np.uint8)  # +16
+    crq = np.full((2, 2), 112, np.uint8)  # -16
+    lum = [1, 4, 1, 2, 1, 4]
+    want = np.zeros((4, 4, 3), np.uint8)
+    want[..., 0] = 76    # 100 + 1.5*(-16)
+    want[..., 1] = 100   # 100 - 0.75*16 - 0.75*(-16)
+    want[..., 2] = 124   # 100 + 1.5*16
+    for kw in (dict(), dict(planar=True), dict(tile=(4, 4)),
+               dict(tile=(4, 4), planar=True)):
+        got = decode_tiff(encode_tiff_ycbcr(
+            yp, cbq, crq, (2, 2), luma=lum, **kw))
+        assert np.array_equal(got, want), kw
+    # the DEFAULT triple written explicitly stays bit-identical to
+    # the tag-free literal-constant path
+    rngp = np.random.RandomState(5)
+    yr = rngp.randint(0, 256, (6, 7)).astype(np.uint8)
+    cbr = rngp.randint(0, 256, (3, 4)).astype(np.uint8)
+    crr = rngp.randint(0, 256, (3, 4)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff_ycbcr(
+            yr, cbr, crr, (2, 2), luma=[299, 1000, 587, 1000, 114, 1000])),
+        decode_tiff(encode_tiff_ycbcr(yr, cbr, crr, (2, 2))),
+    )
+    # malformed / degenerate coefficient tags are loud
+    with pytest.raises(ValueError, match="YCbCrCoefficients"):
+        decode_tiff(encode_tiff_ycbcr(
+            yp, cbq, crq, (2, 2), luma=[1, 4, 1, 0, 1, 4]))
+    with pytest.raises(ValueError, match="YCbCrCoefficients"):
+        decode_tiff(encode_tiff_ycbcr(
+            yp, cbq, crq, (2, 2), luma=[1, 4, 0, 2, 1, 4]))
+    # forged tile width not a multiple of the subsampling is loud
+    b = bytearray(encode_tiff_ycbcr(yp, cbq, crq, (2, 2), tile=(4, 4)))
+    ifd = int.from_bytes(b[4:8], "little")
+    n = int.from_bytes(b[ifd : ifd + 2], "little")
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if int.from_bytes(b[at : at + 2], "little") == 322:
+            b[at + 8 : at + 10] = st.pack("<H", 3)
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_tiff(bytes(b))
+
+
+def test_tiff_ycbcr_organization_bitflip_sweep_round12():
+    """Bit-flip contract over the new raw-YCbCr walks: every
+    single-bit corruption of a planar multi-strip file and a tiled
+    chunky file either decodes or raises ValueError (the
+    NotImplementedError escape stays for gated photometrics)."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_ycbcr,
+    )
+
+    rng = np.random.RandomState(3)
+    yp = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    cb = rng.randint(0, 256, (3, 5)).astype(np.uint8)
+    cr = rng.randint(0, 256, (3, 5)).astype(np.uint8)
+    for b in (
+        encode_tiff_ycbcr(yp, cb, cr, (2, 2), rows_per_strip=2,
+                          planar=True),
+        encode_tiff_ycbcr(yp, cb, cr, (2, 2), tile=(4, 4)),
+    ):
+        for bit in range(len(b) * 8):
+            bb = bytearray(b)
+            bb[bit // 8] ^= 1 << (bit % 8)
+            try:
+                decode_tiff(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_ms_adpcm_decode_reference_and_stereo():
     """MS ADPCM (WAV format 2): mono decode matches the pure-Python
     state machine (truncating division, signed nibbles, floor-16
@@ -4423,15 +4541,19 @@ def test_tiff_jpeg_planar_ycbcr_and_cmyk_round12():
     # RowsPerStrip not a multiple of the vertical subsampling
     with pytest.raises(ValueError):
         decode_tiff(forge(b, 278, [15]))
-    # tiled planar YCbCr keeps its narrow gate (decoder side; the
-    # encoder refuses to emit the layout)
+    # round 12: TILED planar YCbCr decodes — per-plane tile grids
+    # over the subsampled chroma dims (gray-in-RGB stays bit-exact
+    # through the forward+inverse transform, every tile layout)
+    for tl in ((16, 16), (16, 8), (8, 16)):
+        bt = encode_tiff_jpeg(img, quality=90, planar=True,
+                              subsampling=(2, 2), tile=tl)
+        assert np.array_equal(decode_tiff(bt), img), tl
+    # and a full-size-plane file whose photometric is FORGED to 6
+    # now fails the per-plane tile-grid count check, loudly
     bt = encode_tiff_jpeg(img, quality=90, rgb_space=True, planar=True,
                           tile=(16, 16))
-    forged = forge(bt, 262, [6])
-    with pytest.raises(NotImplementedError):
-        decode_tiff(forged)
-    with pytest.raises(AssertionError):
-        encode_tiff_jpeg(img, quality=90, planar=True, tile=(16, 16))
+    with pytest.raises(ValueError, match="tile count"):
+        decode_tiff(forge(bt, 262, [6]))
 
 
 def test_tiff_jpeg_planar_bitflip_sweep_round12():
