@@ -7089,7 +7089,14 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
     oracle-invisible). The unscaled quantization table keeps the
     block-constant DC step < 8, so the 12-bit pipeline — level shift
     2048, optimal DC tables with categories past Annex K's range,
-    uint16 rasters — is bit-exact under the same argument."""
+    uint16 rasters — is bit-exact under the same argument. Rows with
+    i%6==4 (round 12) ship ARITHMETIC sequential (SOF9) instead —
+    the same coefficients through the T.81 Annex D QM-coder with the
+    family's DRI rotation (per-segment coder + statistics resets),
+    custom DAC conditioning on i%12==4 and the no-DAC defaults path
+    (as gray-in-RGB color) on i%12==10; pixels and the aux restart
+    count are both layout-invariant, so the fold is
+    oracle-invisible but gates on the whole arithmetic walk."""
     import numpy as np
 
     rows = []
@@ -7117,6 +7124,22 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
             content = encode_jpeg12(
                 raster12, quality=q,
                 restart_interval=1 + (i % 4),
+            )
+        elif i % 6 == 4:
+            # round 12: ARITHMETIC sequential (SOF9) — the same
+            # quantized coefficients through the T.81 Annex D
+            # QM-coder, bit-exact on the block-constant corpus and
+            # restart-structure-identical, so the fold is
+            # oracle-invisible (pixels AND the aux restart count);
+            # i%12==4 ships custom DAC conditioning (L=1, U=2,
+            # Kx=12), i%12==10 the no-DAC defaults path as 4:4:4
+            # gray-in-RGB color
+            src = np.stack([img] * 3, axis=-1) if i % 12 == 10 else img
+            content = encode_jpeg_arith(
+                src, quality=q, restart_interval=1 + (i % 4),
+                dc_cond=(1, 2) if i % 12 == 4 else (0, 1),
+                ac_kx=12 if i % 12 == 4 else 5,
+                emit_dac=(i % 12 == 4),
             )
         else:
             content = encode_jpeg(
@@ -8174,9 +8197,10 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
     components, any T.81-legal sampling factors 1-4 whose max/factor
     ratio is integral (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, ...), and
     DRI/RSTm restart intervals (byte realignment + DC-predictor
-    reset, marker sequence checked). Arithmetic/12-bit/hierarchical
-    streams gate via ``require_codec``; structural damage raises
-    ValueError.
+    reset, marker sequence checked). SOF9 arithmetic sequential
+    dispatches to the QM-coder path (round 12); progressive/lossless
+    arithmetic, hierarchical, and differential streams gate via
+    ``require_codec``; structural damage raises ValueError.
 
     ``color_space``: 3-component scans default to YCbCr (the JFIF
     convention). ``"auto"`` additionally honors the libjpeg R/G/B
@@ -8274,7 +8298,11 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
             return _decode_jpeg_progressive(b)
         elif marker == 0xC3:
             return _decode_jpeg_lossless(b)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC9:
+            # extended sequential with ARITHMETIC coding (round 12 —
+            # the T.81 Annex D QM-coder + Annex F models)
+            return _decode_jpeg_arith(b, color_space)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
@@ -9257,6 +9285,807 @@ def _decode_jpeg_progressive(b: bytes):
         [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
     )
     return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9, extended sequential DCT with arithmetic
+# coding — ITU-T T.81 Annexes D and F): the QM-coder with the Table
+# D.3 state machine, byte-oriented output with carry resolution over
+# stacked 0xFF bytes, 0x00 byte stuffing after 0xFF (so the marker
+# framing rules are the same as Huffman scans), and the Annex F
+# statistical models — DC diff conditioning on the previous diff's
+# class (DAC L/U bounds), per-index AC EOB/significance trees with
+# the Kx low/high magnitude-chain split, and the non-adaptive
+# equiprobable bin for AC signs. Register conventions follow the
+# widely-published software realization of the Annex D flowcharts
+# (the libjpeg layout: decoder keeps C unshifted and aligns interval
+# boundaries by the spare-bit count; encoder carries at bit 27 with
+# pending-byte + stacked-0xFF + deferred-zero bookkeeping).
+# Encoder and decoder share ONE transcription of Table D.3, and the
+# pair is pinned by an exhaustive entropy-layer identity property
+# plus bit-exact pixel closed forms on block-constant corpora.
+# ---------------------------------------------------------------------------
+
+# T.81 Table D.3 rows as (Qe, NLPS, NMPS, switch); index 113 is the
+# fixed equiprobable bin (AC signs — never adapts: both transitions
+# return to 113 with switch 0).
+_JPEG_ARITAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QmDecoder:
+    """T.81 Annex D.2 arithmetic decoder over ONE entropy segment
+    (restart segments are split by the caller, so the buffer holds no
+    markers). Context state bytes pack mps<<7 | table_index. Past the
+    segment end the decoder feeds zero bytes — the termination
+    convention that pairs with the encoder's trailing-zero
+    suppression."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.bp = 0
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # force two initial byte loads
+
+    def _byte(self) -> int:
+        if self.bp >= len(self.buf):
+            return 0
+        d = self.buf[self.bp]
+        self.bp += 1
+        if d == 0xFF:
+            # stuffed zero byte follows any data 0xFF (D.1.6); the
+            # caller strips markers, so anything else is damage
+            if self.bp >= len(self.buf):
+                return 0xFF  # trailing 0xFF: stuffing implied at end
+            if self.buf[self.bp] != 0x00:
+                raise ValueError("JPEG arithmetic stream missing stuffing")
+            self.bp += 1
+            return 0xFF
+        return d
+
+    def decode(self, st: bytearray, i: int) -> int:
+        # renormalize + feed (D.2.6)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = (self.c << 8) | self._byte()
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # -> 0x10000 after the shift
+            self.a <<= 1
+        sv = st[i]
+        qe, nlps, nmps, sw = _JPEG_ARITAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        boundary = self.a << self.ct
+        if self.c < boundary:
+            # MPS subinterval (conditional exchange when inverted)
+            if self.a < qe:
+                st[i] = ((mps ^ sw) << 7) | nlps
+                return 1 - mps
+            if self.a >= 0x8000:
+                return mps  # fast path, no renorm, no estimation
+            st[i] = (mps << 7) | nmps
+            return mps
+        self.c -= boundary
+        if self.a < qe:
+            st[i] = (mps << 7) | nmps
+            self.a = qe
+            return mps
+        st[i] = ((mps ^ sw) << 7) | nlps
+        self.a = qe
+        return 1 - mps
+
+
+class _QmEncoder:
+    """T.81 Annex D.1 arithmetic encoder for one entropy segment.
+    Carry resolution per the published software realization: one
+    pending output byte, a count of stacked 0xFF bytes (which a carry
+    converts to 0x00s), deferred zero bytes so trailing zeros can be
+    suppressed at flush, and 0x00 stuffed after every emitted 0xFF."""
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1
+        self.sc = 0
+        self.zc = 0
+        self.out = bytearray()
+
+    def _pending_zeros(self):
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def encode(self, st: bytearray, i: int, bit: int) -> None:
+        sv = st[i]
+        qe, nlps, nmps, sw = _JPEG_ARITAB[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit != mps:
+            if self.a >= qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[i] = ((mps ^ sw) << 7) | nlps
+        else:
+            if self.a >= 0x8000:
+                return  # no renorm needed, no estimation (D.1.4)
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[i] = (mps << 7) | nmps
+        while True:  # renormalize + byte out (D.1.6)
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:
+                    # carry: propagate into the pending byte and
+                    # convert every stacked 0xFF to 0x00
+                    if self.buffer >= 0:
+                        self._pending_zeros()
+                        self.out.append(self.buffer + 1)
+                        if self.buffer + 1 == 0xFF:
+                            self.out.append(0x00)
+                    self.zc += self.sc
+                    self.sc = 0
+                    # spacer bits guarantee temp & 0xFF != 0xFF here
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1  # stack: a later carry may flip it
+                else:
+                    if self.buffer >= 0:
+                        self._pending_zeros()
+                        self.out.append(self.buffer)
+                    if self.sc:
+                        self._pending_zeros()
+                        self.out += b"\xff\x00" * self.sc
+                        self.sc = 0
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # termination (D.1.8): pick the in-interval value with the
+        # most trailing zeros, then drain pending bytes
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._pending_zeros()
+                self.out.append(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._pending_zeros()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._pending_zeros()
+                self.out += b"\xff\x00" * self.sc
+                self.sc = 0
+        # final code bytes, only when not all-zero (trailing zeros
+        # are suppressed — the decoder feeds zeros past the end)
+        if self.c & 0x7FFF800:
+            self._pending_zeros()
+            b1 = (self.c >> 19) & 0xFF
+            self.out.append(b1)
+            if b1 == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b2 = (self.c >> 11) & 0xFF
+                self.out.append(b2)
+                if b2 == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _arith_dc_decode(dec, st, dc_ctx, ci, low, up):
+    """Annex F.2.4.1: decode one DC diff; updates the conditioning
+    class for the NEXT block of this component."""
+    base = dc_ctx[ci]
+    if dec.decode(st, base) == 0:
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(st, base + 1)
+    idx = base + 2 + sign
+    m = dec.decode(st, idx)
+    if m:
+        idx = 20  # X1 (Table F.4)
+        while dec.decode(st, idx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            idx += 1
+    if m < ((1 << low) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << up) >> 1):
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    idx += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, idx):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_dc_encode(enc, st, dc_ctx, ci, diff, low, up):
+    base = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(st, base, 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    v = (-diff if sign else diff)
+    enc.encode(st, base + 1, sign)
+    idx = base + 2 + sign
+    v -= 1
+    m = 0
+    if v:
+        enc.encode(st, idx, 1)
+        m = 1
+        idx = 20
+        v2 = v
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, idx, 1)
+            m <<= 1
+            idx += 1
+    enc.encode(st, idx, 0)
+    if m < ((1 << low) >> 1):
+        dc_ctx[ci] = 0
+    elif m > ((1 << up) >> 1):
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    idx += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, idx, 1 if (v & mm) else 0)
+        mm >>= 1
+
+
+def _arith_ac_decode(dec, st, fixed, kx, coefs):
+    """Annex F.2.4.2: decode the AC coefficients of one block into
+    ``coefs`` (zigzag order, indices 1-63)."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG arithmetic AC run overflow")
+        sign = dec.decode(fixed, 0)
+        idx = base + 2
+        m = dec.decode(st, idx)
+        if m:
+            if dec.decode(st, idx):
+                m = 2
+                idx = 189 if k <= kx else 217
+                while dec.decode(st, idx):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "JPEG arithmetic AC magnitude overflow"
+                        )
+                    idx += 1
+        v = m
+        idx += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, idx):
+                v |= mm
+            mm >>= 1
+        v += 1
+        coefs[k] = -v if sign else v
+        k += 1
+
+
+def _arith_ac_encode(enc, st, fixed, kx, coefs):
+    ke = 63
+    while ke > 0 and coefs[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB yet
+        v = int(coefs[k])
+        while v == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+            v = int(coefs[k])
+        enc.encode(st, base + 1, 1)
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        if sign:
+            v = -v
+        idx = base + 2
+        v -= 1
+        m = 0
+        if v:
+            enc.encode(st, idx, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, idx, 1)
+                m <<= 1
+                idx = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+        enc.encode(st, idx, 0)
+        idx += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, idx, 1 if (v & mm) else 0)
+            mm >>= 1
+        k += 1
+    if k <= 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
+    """SOF9 (extended sequential, arithmetic coding) -> (h, w, 3)
+    uint8. 8-bit precision, 1 or 3 components, any integral-ratio
+    sampling, DAC conditioning (defaults L=0, U=1, Kx=5 when the
+    marker is absent — F.1.4.4.1.2/F.1.4.4.2), DRI/RSTm restart
+    intervals (fresh coder + zeroed statistics + reset DC contexts
+    per segment, sequence numbers checked). 12-bit and 4-component
+    arithmetic scans gate; structural damage raises ValueError."""
+    import numpy as np
+
+    pos = 2
+    qts: dict[int, object] = {}
+    sof = None
+    scan = None
+    restart_interval = 0
+    dc_cond = {}
+    ac_cond = {}
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            _jpg_parse_dqt(payload, qts)
+        elif marker == 0xC9:
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(f"arithmetic JPEG precision={prec}")
+            if nc not in (1, 3):
+                require_codec(f"{nc}-component arithmetic JPEG")
+            if not h or not w or h * w * nc > (1 << 26):
+                raise ValueError("JPEG dimensions implausible")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factor out of range {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _, _, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    require_codec(
+                        f"JPEG fractional sampling {hi}x{vi} "
+                        f"of {hmax}x{vmax}"
+                    )
+            sof = (h, w, comps, prec)
+        elif marker == 0xCC:
+            # DAC: pairs of (Tc<<4|Tb, Cs) — DC Cs packs U<<4|L,
+            # AC Cs is Kx (T.81 B.2.4.3)
+            if len(payload) % 2:
+                raise ValueError("JPEG DAC truncated")
+            for p in range(0, len(payload), 2):
+                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
+                    payload[p + 1]
+                if tb > 3:
+                    raise ValueError("JPEG DAC table id out of range")
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up or up > 15:
+                        raise ValueError("JPEG DAC DC conditioning invalid")
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC AC Kx out of range")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError("JPEG DAC class invalid")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG multiple SOF markers")
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
+            ns = payload[0]
+            sel = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                sel.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, aa = payload[1 + 2 * ns : 4 + 2 * ns]
+            if ss != 0 or se != 63 or aa != 0:
+                require_codec("progressive arithmetic JPEG scan")
+            scan = (sel, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF9/SOS")
+    h, w, comps, prec = sof
+    sel, data_start = scan
+    if len(sel) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    nc = len(comps)
+    dctm = _jpg_dct_mat()
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for (_, _, hi, vi) in comps
+    ]
+    zz = _JPG_ZIGZAG
+    total_mcus = mcux * mcuy
+    # split the scan into restart segments (data 0xFF is always
+    # stuffed, so 0xFF D0-D7 inside the scan IS a restart marker)
+    end = _jpg_scan_end(b, data_start)
+    seg_bounds = []
+    p = data_start
+    seg_from = data_start
+    rst_seq = 0
+    while p + 1 < end:
+        if b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+            got = b[p + 1] - 0xD0
+            if got != rst_seq % 8:
+                raise ValueError(
+                    f"JPEG restart desync: RST{got}, "
+                    f"expected RST{rst_seq % 8}"
+                )
+            seg_bounds.append((seg_from, p))
+            seg_from = p + 2
+            rst_seq += 1
+            p += 2
+        else:
+            p += 1
+    seg_bounds.append((seg_from, end))
+    if restart_interval:
+        want_segs = -(-total_mcus // restart_interval)
+        if len(seg_bounds) != want_segs:
+            raise ValueError("JPEG restart segment count mismatch")
+    elif len(seg_bounds) != 1:
+        raise ValueError("JPEG restart markers without DRI")
+
+    dc_stats = {}
+    ac_stats = {}
+    fixed = bytearray([113])
+    dec = None
+    dc_ctx = [0] * nc
+    preds = [0] * nc
+    coefs = np.zeros(64, dtype=np.int64)
+    mcu_n = 0
+    seg_i = -1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if mcu_n % (restart_interval or total_mcus or 1) == 0 and (
+                seg_i + 1 < len(seg_bounds)
+            ):
+                seg_i += 1
+                s0, s1 = seg_bounds[seg_i]
+                dec = _QmDecoder(b[s0:s1])
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for st in ac_stats.values():
+                    st[:] = bytes(256)
+                dc_ctx = [0] * nc
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, ((cid, tq, hi, vi), (cs, dt, at)) in enumerate(
+                zip(comps, sel)
+            ):
+                qt = qts.get(tq)
+                if qt is None:
+                    raise ValueError("JPEG missing table")
+                if dt not in dc_stats:
+                    dc_stats[dt] = bytearray(64)
+                if at not in ac_stats:
+                    ac_stats[at] = bytearray(256)
+                low, up = dc_cond.get(dt, (0, 1))
+                kx = ac_cond.get(at, 5)
+                for v in range(vi):
+                    for hh in range(hi):
+                        coefs[:] = 0
+                        preds[ci] += _arith_dc_decode(
+                            dec, dc_stats[dt], dc_ctx, ci, low, up
+                        )
+                        coefs[0] = preds[ci]
+                        _arith_ac_decode(
+                            dec, ac_stats[at], fixed, kx, coefs
+                        )
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        for i in range(64):
+                            blk.reshape(-1)[zz[i]] = coefs[i]
+                        blk *= qt
+                        py = (my * vi + v) * 8
+                        px = (mx * hi + hh) * 8
+                        planes[ci][py : py + 8, px : px + 8] = (
+                            dctm.T @ blk @ dctm
+                        )
+    up_pl = []
+    for p_, (_, _, hi, vi) in zip(planes, comps):
+        if hi < hmax or vi < vmax:
+            p_ = np.repeat(
+                np.repeat(p_, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        up_pl.append(p_[:h, :w])
+    planes = [p_ + 128.0 for p_ in up_pl]
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    ids = tuple(c[0] for c in comps)
+    if color_space == "rgb" or (
+        color_space == "auto" and ids == (0x52, 0x47, 0x42)
+    ):
+        out = np.stack(
+            [np.clip(np.floor(p_ + 0.5), 0, 255) for p_ in planes],
+            axis=-1,
+        )
+        return out.astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def encode_jpeg_arith(
+    arr,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    dc_cond=(0, 1),
+    ac_kx: int = 5,
+    emit_dac: bool = True,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> SOF9 arithmetic
+    sequential JPEG. Same color transform / subsampling / libjpeg-
+    scaled Annex K quantization pipeline as ``encode_jpeg``; entropy
+    via the Annex D QM-coder with the Annex F models. ``dc_cond``
+    (L, U) and ``ac_kx`` set the DAC conditioning (written for every
+    used table when ``emit_dac``; omitted otherwise so the decoder's
+    defaults path is exercised — only legal when the values ARE the
+    defaults). Restart intervals flush the coder and emit RSTm, with
+    statistics and DC contexts reset per segment."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if subsampling not in _JPG_SUBSAMP:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    low, up = dc_cond
+    if not (0 <= low <= up <= 15):
+        raise ValueError("DC conditioning needs 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("AC conditioning needs 1 <= Kx <= 63")
+    if not emit_dac and ((low, up) != (0, 1) or ac_kx != 5):
+        raise ValueError("omitting DAC requires the default conditioning")
+    fh, fv = _JPG_SUBSAMP[subsampling]
+    sub = (fh, fv) != (1, 1) and not gray
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b_
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b_
+        rnd = [np.clip(np.floor(x + 0.5), 0, 255) for x in (y, cb, cr)]
+        if sub:
+            ds = []
+            for c in rnd[1:]:
+                ci = c.astype(np.int64)
+                eh, ew = -(-h // fv) * fv, -(-w // fh) * fh
+                p = np.zeros((eh, ew), dtype=np.int64)
+                p[:h, :w] = ci
+                if w < ew:
+                    p[:h, w:] = ci[:, -1:]
+                if h < eh:
+                    p[h:, :] = p[h - 1 : h, :]
+                s = p.reshape(eh // fv, fv, ew // fh, fh).sum(axis=(1, 3))
+                ds.append(
+                    ((s + fh * fv // 2) // (fh * fv)).astype(np.float64)
+                )
+            planes = [rnd[0], ds[0], ds[1]]
+            samp = [(fh, fv), (1, 1), (1, 1)]
+        else:
+            planes = rnd
+            samp = [(1, 1)] * 3
+    ql, qc = _jpg_quant_tables(quality)
+    tqs = [0] if gray else [0, 1, 1]
+    qts = [ql if t == 0 else qc for t in tqs]
+    dctm = _jpg_dct_mat()
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = [
+        _jpg_pad(p, mcuy * vi * 8, mcux * hi * 8) - 128.0
+        for p, (hi, vi) in zip(planes, samp)
+    ]
+    zz = np.array(_JPG_ZIGZAG)
+    nc = len(planes)
+    used_tabs = sorted(set(tqs))
+    entropy = bytearray()
+    enc = None
+    dc_stats = {t: bytearray(64) for t in used_tabs}
+    ac_stats = {t: bytearray(256) for t in used_tabs}
+    fixed = bytearray([113])
+    dc_ctx = [0] * nc
+    preds = [0] * nc
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and \
+                    mcu_n % restart_interval == 0:
+                entropy += enc.flush()
+                entropy += bytes(
+                    [0xFF,
+                     0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                )
+                enc = None
+            if enc is None:
+                enc = _QmEncoder()
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for st in ac_stats.values():
+                    st[:] = bytes(256)
+                dc_ctx = [0] * nc
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, (p, qt, (hi, vi)) in enumerate(
+                zip(padded, qts, samp)
+            ):
+                t = tqs[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        py, px = (my * vi + v) * 8, (mx * hi + hh) * 8
+                        blk = p[py : py + 8, px : px + 8]
+                        f = dctm @ blk @ dctm.T
+                        qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                            np.int64
+                        ) * np.where(f < 0, -1, 1)
+                        zcoefs = qf.reshape(-1)[zz]
+                        diff = int(zcoefs[0]) - preds[ci]
+                        preds[ci] = int(zcoefs[0])
+                        _arith_dc_encode(
+                            enc, dc_stats[t], dc_ctx, ci, diff, low, up
+                        )
+                        _arith_ac_encode(
+                            enc, ac_stats[t], fixed, ac_kx, zcoefs
+                        )
+    entropy += enc.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(
+        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
+    ))
+    if any(t == 1 for t in tqs):
+        dqt += seg(0xDB, bytes([1]) + bytes(
+            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
+        ))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, tqs[ci]])
+    dac = b""
+    if emit_dac:
+        body = b""
+        for t in used_tabs:
+            body += bytes([t, (up << 4) | low])
+            body += bytes([0x10 | t, ac_kx])
+        dac = seg(0xCC, body)
+    dri = b""
+    if restart_interval:
+        dri = seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tqs[ci] << 4) | tqs[ci]])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
 
 
 def _jpg_first_sof(b: bytes) -> int:

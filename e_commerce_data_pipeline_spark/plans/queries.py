@@ -9067,8 +9067,9 @@ def q163_ngram_novelty_drift(spark, sf_dir):
     "dims, same closed form. "
     "AC/ZRL runs and corrupt-stream safety are pytest-covered "
     "(tolerance-bounded round trips); subsampled layouts are q165's "
-    "corpus, restart/progressive streams q198's; 12-bit/arithmetic "
-    "streams still gate through require_codec.",
+    "corpus, restart/progressive/12-bit/ARITHMETIC streams q198's "
+    "(the SOF9 QM-coder rows, round 12); hierarchical streams "
+    "still gate through require_codec.",
     bench=False,  # exercises the Python kernel path, not a plan shape
 )
 def q164_jpeg_decode_stats(spark, sf_dir):
@@ -12526,6 +12527,15 @@ def q197_cdc_validation_census(spark, sf_dir):
     "constant through the box mean), so the fold is oracle-"
     "invisible; those rows carry no restarts so the uniform "
     "per-scan RST formula stays exact. "
+    "ARITHMETIC SEQUENTIAL JPEG (round 12): the restart family's "
+    "i%6==4 rows ship SOF9 — the T.81 Annex D QM-coder (Table D.3 "
+    "state machine, carry resolution, 0x00 stuffing) with the "
+    "Annex F conditioning models, per-segment coder+statistics "
+    "resets under the family's DRI rotation, custom DAC "
+    "conditioning on i%12==4 and the no-DAC defaults path (as "
+    "gray-in-RGB color) on i%12==10 — pixels and the aux restart "
+    "count are layout-invariant, so the fold is oracle-invisible "
+    "but every row gates on the whole arithmetic walk. "
     "12-BIT JPEG (round 10): the restart family's i%6==5 rows ship "
     "extended-sequential precision 12 — gray, or 4:4:4 gray-in-RGB "
     "COLOR on i%12==11, whose neutral chroma stays exact through "

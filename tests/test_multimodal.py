@@ -2000,6 +2000,177 @@ def test_tiff_ycbcr_conversion_subsampling_and_gates():
         decode_tiff(bytes(b))
 
 
+def test_jpeg_arith_entropy_layer_identity():
+    """The QM-coder pair (T.81 Annex D) is pinned at the ENTROPY
+    layer: decode(encode(bits)) == bits for adversarial bit/context
+    streams — long MPS runs driving states to the table floor,
+    alternating and biased streams exercising LPS exchanges, carry
+    propagation over stacked 0xFF bytes, and multi-context
+    interleaving. Plus Table D.3 structural invariants: transition
+    indices in range, MPS transitions never increase Qe, LPS
+    transitions of non-switch rows never decrease it, switch only on
+    near-equiprobable rows, and the fixed bin is self-absorbing."""
+    import random
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _JPEG_ARITAB,
+        _QmDecoder,
+        _QmEncoder,
+    )
+
+    assert len(_JPEG_ARITAB) == 114
+    for i, (qe, nlps, nmps, sw) in enumerate(_JPEG_ARITAB):
+        assert 0 < qe < 0x8000 and 0 <= nlps <= 113 and 0 <= nmps <= 113
+        if i < 113:
+            assert _JPEG_ARITAB[nmps][0] <= qe, i
+            if not sw:
+                assert _JPEG_ARITAB[nlps][0] >= qe, i
+            else:
+                assert qe > 0x5000, i  # switch only near p=0.5
+        else:
+            assert (qe, nlps, nmps, sw) == (0x5A1D, 113, 113, 0)
+
+    rng = random.Random(12)
+    streams = [
+        [0] * 400,                                   # MPS floor run
+        [1] * 400,
+        [0, 1] * 200,                                # alternation
+        [rng.random() < 0.03 for _ in range(600)],   # heavy bias
+        [rng.random() < 0.5 for _ in range(600)],    # fair coin
+    ]
+    for trial in range(30):
+        n_ctx = rng.choice([1, 3, 8])
+        bits = [int(x) for x in rng.choice(streams)] if trial < 10 else [
+            int(rng.random() < rng.choice([0.02, 0.2, 0.5, 0.9]))
+            for _ in range(rng.randrange(1, 800))
+        ]
+        ctxs = [rng.randrange(n_ctx) for _ in bits]
+        enc = _QmEncoder()
+        st_e = bytearray(n_ctx)
+        for bit, cx in zip(bits, ctxs):
+            enc.encode(st_e, cx, bit)
+        buf = enc.flush()
+        dec = _QmDecoder(buf)
+        st_d = bytearray(n_ctx)
+        got = [dec.decode(st_d, cx) for cx in ctxs]
+        assert got == bits, trial
+
+
+def test_jpeg_arith_roundtrip_and_parity():
+    """SOF9 arithmetic sequential: block-constant corpora decode
+    bit-exact (the DC-only argument is entropy-layer independent),
+    and on random natural images the decoded pixels EQUAL the
+    Huffman pipeline's (identical quantized coefficients through a
+    completely different entropy layer) across subsampling, restart,
+    and conditioning configurations — while compressing tighter.
+    Gates and damage stay loud."""
+    import pytest
+    import struct as stt
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    tiles = (np.arange(12).reshape(3, 4) * 21 + 5) % 256
+    img = np.kron(tiles, np.ones((8, 8), np.int64)).astype(np.uint8)
+    g3 = np.stack([img] * 3, -1)
+    # block-constant bit-exactness, gray + color + restarts + no-DAC
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(img, quality=90)),
+        g3,
+    )
+    for kw in (dict(), dict(restart_interval=2),
+               dict(subsampling="420", restart_interval=1),
+               dict(emit_dac=False),
+               dict(dc_cond=(1, 3), ac_kx=20)):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_arith(g3, quality=90, **kw)), g3
+        ), kw
+    # tighter than Huffman on the DC-only corpus
+    assert len(encode_jpeg_arith(img, quality=90)) < len(
+        encode_jpeg(img, quality=90)
+    )
+    # natural-image parity vs the Huffman pipeline
+    rng = np.random.RandomState(7)
+    for trial, kw in enumerate((
+        dict(subsampling="444"),
+        dict(subsampling="420", restart_interval=3),
+        dict(subsampling="422", restart_interval=1),
+        dict(subsampling="411"),
+        dict(subsampling="440", restart_interval=2),
+    )):
+        h, w = rng.randint(9, 40), rng.randint(9, 40)
+        nat = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        q = int(rng.choice([75, 85, 95]))
+        ba = encode_jpeg_arith(nat, quality=q, **kw)
+        bh = encode_jpeg(nat, quality=q, **kw)
+        assert np.array_equal(decode_jpeg(ba), decode_jpeg(bh)), \
+            (trial, kw)
+        # custom conditioning changes bytes, never pixels
+        bc = encode_jpeg_arith(nat, quality=q, dc_cond=(1, 2),
+                               ac_kx=17, **kw)
+        assert np.array_equal(decode_jpeg(bc), decode_jpeg(bh)), \
+            (trial, kw)
+    # gray natural parity
+    natg = rng.randint(0, 256, (21, 30)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(natg, quality=85)),
+        decode_jpeg(encode_jpeg(natg, quality=85)),
+    )
+    # 12-bit / progressive-scan arithmetic keep their gates
+    b = bytearray(encode_jpeg_arith(img, quality=90))
+    at = b.index(b"\xff\xc9") + 4
+    b[at] = 12  # forge precision
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    b = bytearray(encode_jpeg_arith(img, quality=90))
+    at = b.index(b"\xff\xda")
+    (ln,) = stt.unpack_from(">H", b, at + 2)
+    b[at + 2 + ln - 2] = 1  # forge Ss -> progressive band
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    # restart desync is loud
+    b = bytearray(encode_jpeg_arith(g3, quality=90, restart_interval=1))
+    rst = b.index(b"\xff\xd0")
+    b[rst + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(b))
+    # encoder argument validation
+    with pytest.raises(ValueError, match="conditioning"):
+        encode_jpeg_arith(img, dc_cond=(3, 1))
+    with pytest.raises(ValueError, match="conditioning"):
+        encode_jpeg_arith(img, ac_kx=0)
+    with pytest.raises(ValueError, match="DAC"):
+        encode_jpeg_arith(img, ac_kx=9, emit_dac=False)
+
+
+def test_jpeg_arith_bitflip_sweep():
+    """Bit-flip contract over the arithmetic walk: every single-bit
+    corruption of a restarted color SOF9 file either decodes or
+    raises ValueError/NotImplementedError — never a crash, stall, or
+    foreign exception class."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    tiles = (np.arange(6).reshape(2, 3) * 47 + 11) % 256
+    img = np.kron(tiles, np.ones((8, 8), np.int64)).astype(np.uint8)
+    b = encode_jpeg_arith(
+        np.stack([img] * 3, -1), quality=90,
+        subsampling="420", restart_interval=1,
+    )
+    for bit in range(len(b) * 8):
+        bb = bytearray(b)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_tiff_ycbcr_organizations_round12():
     """Round 12 — the raw-YCbCr ORGANIZATION gates: planar strip
     sets, tiled chunky data-unit grids, and tiled per-plane raster
