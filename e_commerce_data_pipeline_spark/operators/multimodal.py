@@ -8302,6 +8302,9 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
             # extended sequential with ARITHMETIC coding (round 12 —
             # the T.81 Annex D QM-coder + Annex F models)
             return _decode_jpeg_arith(b, color_space)
+        elif marker == 0xDE:
+            # DHP: HIERARCHICAL frame pyramid (round 12, Annex J)
+            return _decode_jpeg_hierarchical(b, color_space)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
@@ -9288,6 +9291,532 @@ def _decode_jpeg_progressive(b: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Hierarchical JPEG (ITU-T T.81 Annex J): DHP announces the final
+# dims, then a pyramid of frames — a non-differential base (SOF0/1)
+# followed by DIFFERENTIAL frames (SOF5, sequential Huffman) that add
+# a correction to the reference, each optionally preceded by an EXP
+# marker doubling the reference with the J.1.1.2 interpolation
+# ((a + b + 1) >> 1 between neighbors, edge replicated). Differential
+# frames code with ZERO DC prediction and no level shift, and their
+# sample differences ride the ordinary 8x8 DCT path. Scope: 8-bit,
+# 1/3 components, uniform 1x1 sampling (subsampled hierarchies,
+# differential progressive/lossless SOF6/7, and arithmetic
+# hierarchies gate via require_codec). Tables persist across frames
+# per B.2/B.5; DRI applies per frame with the usual RSTm machinery.
+# ---------------------------------------------------------------------------
+
+
+def _jpg_expand_ref(ref, eh: int, ev: int, th: int, tw: int):
+    """Annex J.1.1.2 reference expansion: double horizontally and/or
+    vertically with (a + b + 1) >> 1 interpolation (edge replicated),
+    then crop to the next frame's (th, tw). ``ref`` is the CLAMPED
+    integer reconstruction (the spec expands output samples, not the
+    float accumulator)."""
+    import numpy as np
+
+    out = ref
+    if eh:
+        right = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        inter = (out + right + 1) >> 1
+        dbl = np.empty((out.shape[0], out.shape[1] * 2), out.dtype)
+        dbl[:, 0::2] = out
+        dbl[:, 1::2] = inter
+        out = dbl
+    if ev:
+        down = np.concatenate([out[1:], out[-1:]], axis=0)
+        inter = (out + down + 1) >> 1
+        dbl = np.empty((out.shape[0] * 2, out.shape[1]), out.dtype)
+        dbl[0::2] = out
+        dbl[1::2] = inter
+        out = dbl
+    if out.shape[0] < th or out.shape[1] < tw:
+        raise ValueError("JPEG hierarchical reference smaller than frame")
+    return out[:th, :tw]
+
+
+def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
+    """Hierarchical JPEG (DHP) -> (h, w, 3) uint8. Decodes the frame
+    pyramid: non-differential SOF0/SOF1 frames replace the
+    reference, SOF5 differential frames add their decoded difference
+    (zero DC prediction, no level shift), EXP markers expand the
+    reference ahead of the next frame. Final output is the clamped
+    reference at the DHP dims through the usual color tail."""
+    import numpy as np
+
+    pos = 2
+    qts: dict[int, object] = {}
+    huffs: dict[tuple, dict] = {}
+    dhp = None
+    refs = None  # list of float64 planes at the current frame dims
+    exp_pending = None
+    restart_interval = 0
+    dctm = _jpg_dct_mat()
+    zz = _JPG_ZIGZAG
+    frame = None  # (h, w, comps, differential) awaiting its SOS
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            _jpg_parse_dqt(payload, qts)
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    raise ValueError("JPEG DHT truncated")
+                huffs[(cls, tid)] = _jpg_decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDE:
+            if dhp is not None:
+                raise ValueError("JPEG multiple DHP markers")
+            if len(payload) < 6:
+                raise ValueError("JPEG DHP truncated")
+            prec, fy, fx, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(f"hierarchical JPEG precision={prec}")
+            if nc not in (1, 3):
+                require_codec(f"{nc}-component hierarchical JPEG")
+            if not fy or not fx or fy * fx * nc > (1 << 26):
+                raise ValueError("JPEG dimensions implausible")
+            ids = []
+            for ci in range(nc):
+                cid, samp, _tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    require_codec(
+                        "hierarchical JPEG with subsampled components"
+                    )
+                ids.append(cid)
+            dhp = (fy, fx, ids)
+        elif marker == 0xDF:
+            if dhp is None:
+                raise ValueError("JPEG EXP before DHP")
+            if len(payload) < 1:
+                raise ValueError("JPEG EXP truncated")
+            eh, ev = payload[0] >> 4, payload[0] & 0x0F
+            if eh > 1 or ev > 1 or not (eh or ev):
+                raise ValueError("JPEG EXP expansion flags invalid")
+            exp_pending = (eh, ev)
+        elif marker in (0xC0, 0xC1, 0xC5):
+            if dhp is None:
+                raise ValueError(
+                    "JPEG differential/pyramid frame outside a hierarchy"
+                    if marker == 0xC5 else "JPEG frame before DHP"
+                )
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(f"hierarchical JPEG precision={prec}")
+            if nc != len(dhp[2]):
+                raise ValueError("JPEG frame/DHP component mismatch")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if cid != dhp[2][ci]:
+                    raise ValueError("JPEG frame/DHP component id mismatch")
+                if samp != 0x11:
+                    require_codec(
+                        "hierarchical JPEG with subsampled components"
+                    )
+                comps.append((cid, tq))
+            if fh > dhp[0] or fw > dhp[1]:
+                raise ValueError("JPEG frame larger than the DHP dims")
+            frame = (fh, fw, comps, marker == 0xC5)
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7):
+            require_codec(
+                "hierarchical JPEG progressive/lossless frame "
+                f"(SOF 0xFF{marker:02X})"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            require_codec("arithmetic-coded hierarchical JPEG frame")
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before a hierarchical frame")
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
+            fh, fw, comps, differential = frame
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError("JPEG scan/frame component mismatch")
+            sel = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                if cs != comps[ci][0]:
+                    raise ValueError("JPEG scan names unknown component")
+                sel.append((tt >> 4, tt & 0x0F))
+            data_start = pos + 2 + ln
+            end = _jpg_scan_end(b, data_start)
+            rd = _JpgBitReader(b[data_start:end])
+            mcux, mcuy = -(-fw // 8), -(-fh // 8)
+            planes = [
+                np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+                for _ in comps
+            ]
+            preds = [0] * len(comps)
+            mcu_n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_n and \
+                            mcu_n % restart_interval == 0:
+                        want = (mcu_n // restart_interval - 1) % 8
+                        got = rd.restart()
+                        if got != want:
+                            raise ValueError(
+                                f"JPEG restart desync: RST{got}, "
+                                f"expected RST{want}"
+                            )
+                        preds = [0] * len(comps)
+                    mcu_n += 1
+                    for ci, ((_cid, tq), (dt, at)) in enumerate(
+                        zip(comps, sel)
+                    ):
+                        dc_t = huffs.get((0, dt))
+                        ac_t = huffs.get((1, at))
+                        qt = qts.get(tq)
+                        if dc_t is None or ac_t is None or qt is None:
+                            raise ValueError("JPEG missing table")
+                        coefs = np.zeros(64, dtype=np.int64)
+                        cat = rd.huff(dc_t)
+                        if cat > 15:
+                            raise ValueError("bad JPEG DC category")
+                        dcv = _jpg_extend(rd.take(cat), cat) if cat else 0
+                        if differential:
+                            # zero prediction in differential frames
+                            coefs[0] = dcv
+                        else:
+                            preds[ci] += dcv
+                            coefs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(ac_t)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            cat = rs & 0x0F
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            coefs[k] = _jpg_extend(rd.take(cat), cat)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        for i in range(64):
+                            blk.reshape(-1)[zz[i]] = coefs[i]
+                        blk *= qt
+                        planes[ci][my * 8 : my * 8 + 8,
+                                   mx * 8 : mx * 8 + 8] = (
+                            dctm.T @ blk @ dctm
+                        )
+            planes = [p[:fh, :fw] for p in planes]
+            if differential:
+                if refs is None:
+                    raise ValueError(
+                        "JPEG differential frame without a reference"
+                    )
+                base = [
+                    np.clip(np.floor(r + 0.5), 0, 255) for r in refs
+                ]
+                if exp_pending:
+                    eh, ev = exp_pending
+                    base = [
+                        _jpg_expand_ref(
+                            r.astype(np.int64), eh, ev, fh, fw
+                        ).astype(np.float64)
+                        for r in base
+                    ]
+                    exp_pending = None
+                for r in base:
+                    if r.shape != (fh, fw):
+                        raise ValueError(
+                            "JPEG hierarchical reference/frame dims "
+                            "mismatch"
+                        )
+                refs = [r + d for r, d in zip(base, planes)]
+            else:
+                if exp_pending is not None:
+                    raise ValueError(
+                        "JPEG EXP before a non-differential frame"
+                    )
+                refs = [p + 128.0 for p in planes]
+            frame = None
+            pos = end
+            continue
+        pos += 2 + ln
+    if dhp is None or refs is None:
+        raise ValueError("JPEG missing DHP frame pyramid")
+    fy, fx, _ids = dhp
+    if refs[0].shape != (fy, fx):
+        raise ValueError("JPEG hierarchy never reached the DHP dims")
+    planes = refs
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    ids = tuple(_ids)
+    if color_space == "rgb" or (
+        color_space == "auto" and ids == (0x52, 0x47, 0x42)
+    ):
+        out = np.stack(
+            [np.clip(np.floor(p + 0.5), 0, 255) for p in planes],
+            axis=-1,
+        )
+        return out.astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def encode_jpeg_hierarchical(
+    arr,
+    quality: int = 90,
+    levels: int = 2,
+    restart_interval: int = 0,
+    diff_quality: int = 100,
+    expansion: bool = True,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> hierarchical JPEG
+    (DHP): a ``levels``-deep pyramid — the base frame encodes the
+    2^(levels-1)-downsampled image (box mean, round half up) as
+    SOF0, then each level expands the encoder's own reconstruction
+    with the J.1.1.2 filter (closed loop — encoder and decoder track
+    the same reference) and codes the residual as a DIFFERENTIAL
+    SOF5 frame (zero DC prediction, no level shift) quantized at
+    ``diff_quality``. With ``expansion=False`` every frame runs at
+    the FULL dims (no EXP markers) — the spec's QUALITY-refinement
+    hierarchy: the base is a coarse encoding and each differential
+    frame corrects its residual (on a block-constant raster the
+    residual is an integer constant per block, so unit-step
+    differential quantization makes the pyramid bit-exact at ANY
+    base quality — the census argument). Components are 1x1-sampled
+    (RGB rides YCbCr 4:4:4); Annex K tables are emitted once and
+    persist across frames. ``restart_interval`` applies to every
+    frame."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if not 1 <= levels <= 6:
+        raise ValueError("hierarchical levels must be in 1..6")
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b_
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b_
+        planes = [np.clip(np.floor(x + 0.5), 0, 255)
+                  for x in (y, cb, cr)]
+    nc = len(planes)
+    ql, qc = _jpg_quant_tables(quality)
+    dl, dc_ = _jpg_quant_tables(diff_quality)
+    tqs = [0] if gray else [0, 1, 1]
+    # table ids: 0/1 = base luma/chroma, 2/3 = differential
+    qtabs = {0: ql, 1: qc, 2: dl, 3: dc_}
+    dctm = _jpg_dct_mat()
+    dc_codes = {t: _jpg_canonical_codes(*_JPG_HUFF[(0, t)])
+                for t in (0, 1)}
+    ac_codes = {t: _jpg_canonical_codes(*_JPG_HUFF[(1, t)])
+                for t in (0, 1)}
+
+    # pyramid dims, finest last
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        if expansion:
+            ph, pw = dims[0]
+            dims.insert(0, (-(-ph // 2), -(-pw // 2)))
+        else:
+            dims.insert(0, (h, w))
+
+    def downsample(p, ph, pw):
+        # box mean (round half up) over 2^k x 2^k cells to (ph, pw)
+        src = p.astype(np.int64)
+        sh, sw = src.shape
+        fy, fx = -(-sh // ph), -(-sw // pw)
+        pad = np.zeros((ph * fy, pw * fx), np.int64)
+        pad[:sh, :sw] = src
+        if sw < pw * fx:
+            pad[:sh, sw:] = src[:, -1:]
+        if sh < ph * fy:
+            pad[sh:] = pad[sh - 1 : sh]
+        s = pad.reshape(ph, fy, pw, fx).sum(axis=(1, 3))
+        return (s + fy * fx // 2) // (fy * fx)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    def encode_frame(srcs, qids, differential):
+        # srcs: per-component int64 sample (or difference) planes
+        fh, fw = srcs[0].shape
+        mcux, mcuy = -(-fw // 8), -(-fh // 8)
+        wr = _JpgBitWriter()
+        preds = [0] * nc
+        zz = np.array(_JPG_ZIGZAG)
+        recon = [np.zeros((mcuy * 8, mcux * 8)) for _ in srcs]
+        mcu_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_n and \
+                        mcu_n % restart_interval == 0:
+                    wr.flush()
+                    wr.out += bytes(
+                        [0xFF,
+                         0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                    )
+                    preds = [0] * nc
+                mcu_n += 1
+                for ci, src in enumerate(srcs):
+                    qt = qtabs[qids[ci]]
+                    py, px = my * 8, mx * 8
+                    blk = np.zeros((8, 8), np.float64)
+                    tile = src[py : py + 8, px : px + 8]
+                    blk[: tile.shape[0], : tile.shape[1]] = tile
+                    if tile.shape[0] < 8:
+                        blk[tile.shape[0] :, : tile.shape[1]] = \
+                            tile[-1:, :]
+                    if tile.shape[1] < 8:
+                        blk[:, tile.shape[1] :] = blk[:, tile.shape[1]
+                                                      - 1 : tile.shape[1]]
+                    f = dctm @ blk @ dctm.T
+                    qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                        np.int64
+                    ) * np.where(f < 0, -1, 1)
+                    # Annex K table reach: AC categories stop at 10
+                    # (|v| <= 1023), DC at 11 — worst-case
+                    # alternating DIFFERENCE blocks at unit quant
+                    # steps could exceed them, so clamp (encoder's
+                    # legal choice of coefficients; pathological
+                    # blocks lose a little accuracy, never crash)
+                    dc0 = min(max(int(qf[0, 0]), -2047), 2047)
+                    qf = np.clip(qf, -1023, 1023)
+                    qf[0, 0] = dc0
+                    t = tqs[ci]
+                    if differential:
+                        # zero DC prediction: encode DC directly
+                        _jpg_encode_block(
+                            wr, qf.reshape(-1)[zz],
+                            dc_codes[t], ac_codes[t], 0
+                        )
+                    else:
+                        preds[ci] = _jpg_encode_block(
+                            wr, qf.reshape(-1)[zz],
+                            dc_codes[t], ac_codes[t], preds[ci]
+                        )
+                    recon[ci][py : py + 8, px : px + 8] = (
+                        dctm.T @ (qf.astype(np.float64) * qt) @ dctm
+                    )
+        wr.flush()
+        comp_ids = tuple(range(1, nc + 1))
+        sof = struct.pack(">BHHB", 8, fh, fw, nc)
+        for ci in range(nc):
+            sof += bytes([comp_ids[ci], 0x11, qids[ci]])
+        sos = bytes([nc])
+        for ci in range(nc):
+            t = tqs[ci]
+            sos += bytes([comp_ids[ci], (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        body = seg(0xC5 if differential else 0xC0, sof) + \
+            seg(0xDA, sos) + bytes(wr.out)
+        return body, [r[:fh, :fw] for r in recon]
+
+    out = bytearray(b"\xff\xd8")
+
+    def dqt_seg(tid, tab):
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(tab.reshape(-1)[z]) for z in _JPG_ZIGZAG
+        ))
+
+    out += dqt_seg(0, ql)
+    if nc == 3:
+        out += dqt_seg(1, qc)
+    out += dqt_seg(2, dl)
+    if nc == 3:
+        out += dqt_seg(3, dc_)
+    for (cls, tid), (bits, vals) in _JPG_HUFF.items():
+        if tid == 1 and nc == 1:
+            continue
+        out += seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    dhp = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        dhp += bytes([ci + 1, 0x11, tqs[ci]])
+    out += seg(0xDE, dhp)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    refs = None
+    for li, (lh, lw) in enumerate(dims):
+        level_planes = [
+            downsample(p, lh, lw) if (lh, lw) != (h, w)
+            else p.astype(np.int64)
+            for p in planes
+        ]
+        if li == 0:
+            body, recon = encode_frame(
+                [p - 128 for p in level_planes],
+                [tqs[ci] for ci in range(nc)],
+                differential=False,
+            )
+            out += body
+            refs = [
+                np.clip(np.floor(r + 128.0 + 0.5), 0, 255).astype(
+                    np.int64
+                )
+                for r in recon
+            ]
+        else:
+            ph, pw = dims[li - 1]
+            eh = 1 if lw > pw else 0
+            ev = 1 if lh > ph else 0
+            if eh or ev:
+                out += seg(0xDF, bytes([(eh << 4) | ev]))
+                refs = [
+                    _jpg_expand_ref(r, eh, ev, lh, lw) for r in refs
+                ]
+            body, recon = encode_frame(
+                [p - r for p, r in zip(level_planes, refs)],
+                [2 if tqs[ci] == 0 else 3 for ci in range(nc)],
+                differential=True,
+            )
+            out += body
+            refs = [
+                np.clip(r + np.floor(d + 0.5), 0, 255).astype(np.int64)
+                for r, d in zip(refs, recon)
+            ]
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Arithmetic-coded JPEG (SOF9, extended sequential DCT with arithmetic
 # coding — ITU-T T.81 Annexes D and F): the QM-coder with the Table
 # D.3 state machine, byte-oriented output with carry resolution over
@@ -10086,6 +10615,95 @@ def encode_jpeg_arith(
         b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
         + seg(0xDA, sos) + entropy + b"\xff\xd9"
     )
+
+
+def _jpg_has_dhp(b: bytes) -> bool:
+    """True when the stream opens a hierarchical pyramid (a DHP
+    marker before the first scan). Pre-scan markers only, so no
+    entropy-data ambiguity — the walk stops at the first SOS/EOI."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 3 < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        marker = b[pos + 1]
+        if marker == 0xDE:
+            return True
+        if marker in (0xDA, 0xD9):
+            return False
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+    return False
+
+
+def synthetic_jpeg_hier_table(spark, n: int = 12) -> DataFrame:
+    """Deterministic HIERARCHICAL JPEG table (T.81 Annex J, round
+    12), media_id +1000, census fmt 'jpeg_hier'. Two sub-families:
+
+    - i%4 in (0,1,2): EXP-LESS QUALITY hierarchies — every frame at
+      the full dims, base at a deliberately COARSE quality
+      (25 + (i%3)*10, visibly lossy), each differential SOF5 frame
+      correcting the residual. On the 32x32 block-constant raster
+      (tile (i*41 + by*9 + bx*17) mod 256) the residual is an
+      integer constant per 8x8 block, so unit-step differential
+      quantization reconstructs it EXACTLY and the pyramid output
+      equals the raster bit-for-bit at ANY base quality — the
+      differential VALUE path is oracle-verified with real nonzero
+      corrections.
+    - i%4 == 3: EXP pyramids (levels always 3 — two expansion
+      steps) over a GLOBALLY CONSTANT raster ((i*41) mod 256):
+      the J.1.1.2 interpolation of a constant is the constant, so
+      the multi-resolution walk (DHP dims checks, per-frame grids,
+      reference expansion) is oracle-verified too. (On non-constant
+      rasters the boundary interpolation makes expansion pyramids
+      inherently lossy — that path is pytest-verified with
+      tolerance + an independent expansion-filter reference.)
+
+    Rotation: levels 2+(i%2), gray-in-RGB color on i%4==2 and the
+    constant rows with i>=8, restart intervals of 2 MCUs on i%3==0
+    in EVERY frame. aux = frames*1000 + total RSTm across all
+    frames — the pyramid-structure pin (a dropped or merged frame
+    shifts aux even when pixels coincide)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h = 64 + (i % 2) * 32, 32 + (i % 3) * 32
+        exp_row = i % 4 == 3
+        if exp_row:
+            img = np.full((h, w), (i * 41) % 256, np.uint8)
+        else:
+            tiles = np.array(
+                [
+                    [(i * 41 + by * 9 + bx * 17) % 256
+                     for bx in range(w // 32)]
+                    for by in range(h // 32)
+                ],
+                dtype=np.uint8,
+            )
+            img = np.kron(tiles, np.ones((32, 32), dtype=np.uint8))
+        color = (i % 4 == 2) or (exp_row and i >= 8)
+        src = np.stack([img] * 3, axis=-1) if color else img
+        rows.append(
+            (
+                1000 + i,
+                "image",
+                encode_jpeg_hierarchical(
+                    src,
+                    quality=25 + (i % 3) * 10,
+                    levels=3 if exp_row else 2 + (i % 2),
+                    restart_interval=2 if i % 3 == 0 else 0,
+                    expansion=exp_row,
+                ),
+                None,
+                f"mem://media/{1000 + i}.hjpg",
+            )
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df.withColumn("content_length", F.length("content").cast("long"))
 
 
 def _jpg_first_sof(b: bytes) -> int:
@@ -13686,7 +14304,11 @@ def codec_census_stats(df: DataFrame) -> DataFrame:
                     prog, n_scans, n_rst = jpeg_marker_summary(
                         bytes(content)
                     )
-                    if prog:
+                    if _jpg_has_dhp(bytes(content)):
+                        # hierarchical pyramid: aux pins frames AND
+                        # restart structure (round 12)
+                        fmt, aux = "jpeg_hier", n_scans * 1000 + n_rst
+                    elif prog:
                         fmt, aux = "jpeg_prog", n_scans * 1000 + n_rst
                     elif _jpg_first_sof(bytes(content)) == 0xC3:
                         fmt, aux = "jpeg_ll", n_rst  # lossless class

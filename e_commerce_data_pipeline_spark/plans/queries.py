@@ -12448,9 +12448,49 @@ def q197_cdc_validation_census(spark, sf_dir):
                CAST(MAX(CASE WHEN c.i % 4 = 1 THEN (m.h - 1) // 3
                         ELSE 0 END) AS BIGINT) AS aux
         FROM jlch c JOIN jlm m ON m.i = c.i GROUP BY c.i
+    ),
+    -- HIERARCHICAL JPEG (round 12, Annex J, fmt 'jpeg_hier',
+    -- media_id +1000): EXP-less QUALITY hierarchies (i%4 in 0..2 —
+    -- coarse base + differential corrections; block-constant
+    -- residuals are integer constants per block, exact through
+    -- unit-step differential quantization at ANY base quality) and
+    -- EXP pyramids over GLOBALLY CONSTANT rasters (i%4==3 —
+    -- interpolating a constant is the constant). aux = frames*1000
+    -- + total RSTm over ALL frames (per frame ceil(mcus/2) - 1 on
+    -- the i%3==0 rows; EXP frames shrink 4x per level)
+    hm AS (
+        SELECT i, 64 + (i % 2) * 32 AS w, 32 + (i % 3) * 32 AS h,
+               CASE WHEN i % 4 = 3 THEN 3 ELSE 2 + (i % 2) END AS lv,
+               ((64 + (i % 2) * 32) // 8)
+               * ((32 + (i % 3) * 32) // 8) AS m
+        FROM range(12) t(i)
+    ),
+    htb AS (SELECT i, w, lv, m, unnest(range(h // 32)) AS by FROM hm),
+    ht AS (SELECT i, lv, m, by, unnest(range(w // 32)) AS bx FROM htb),
+    hv AS (
+        SELECT i, lv, m,
+               CASE WHEN i % 4 = 3 THEN (i * 41) % 256
+                    ELSE (i * 41 + by * 9 + bx * 17) % 256 END AS t
+        FROM ht
+    ),
+    hj AS (
+        SELECT 'jpeg_hier' AS fmt, i + 1000 AS media_id,
+               CAST(1024 * COUNT(*) AS BIGINT) AS n_px,
+               CAST(1024 * SUM(t) AS BIGINT) AS sum_r,
+               CAST(1024 * SUM(t) AS BIGINT) AS sum_g,
+               CAST(1024 * SUM(t) AS BIGINT) AS sum_b,
+               CAST(MIN(lv) * 1000 + CASE WHEN i % 3 = 0 THEN
+                        CASE WHEN i % 4 = 3 THEN
+                             ((MIN(m) // 16 + 1) // 2 - 1)
+                             + ((MIN(m) // 4 + 1) // 2 - 1)
+                             + ((MIN(m) + 1) // 2 - 1)
+                        ELSE MIN(lv) * ((MIN(m) + 1) // 2 - 1) END
+                    ELSE 0 END AS BIGINT) AS aux
+        FROM hv GROUP BY i
     )
     SELECT * FROM ppm UNION ALL SELECT * FROM tif
     UNION ALL SELECT * FROM jll
+    UNION ALL SELECT * FROM hj
     UNION ALL SELECT * FROM tifsb
     UNION ALL SELECT * FROM tifck
     UNION ALL SELECT * FROM tifsck
@@ -12527,6 +12567,24 @@ def q197_cdc_validation_census(spark, sf_dir):
     "constant through the box mean), so the fold is oracle-"
     "invisible; those rows carry no restarts so the uniform "
     "per-scan RST formula stays exact. "
+    "HIERARCHICAL JPEG (round 12, T.81 Annex J, fmt 'jpeg_hier', "
+    "media_id +1000): DHP frame pyramids — a non-differential base "
+    "frame, EXP reference expansions ((a+b+1)>>1 interpolation, "
+    "edge replicated), and DIFFERENTIAL SOF5 frames (zero DC "
+    "prediction, no level shift) added to the reference. Two "
+    "oracle-exact sub-families: EXP-LESS quality hierarchies (the "
+    "base deliberately COARSE at quality 25-45, every frame full "
+    "dims — block-constant residuals are integer constants per 8x8 "
+    "block, so unit-step differential quantization reconstructs "
+    "them exactly and the REFINEMENT VALUES are driver-verified, "
+    "not just the walk), and EXP pyramids over globally constant "
+    "rasters (interpolating a constant is the constant, so the "
+    "multi-resolution walk — DHP dims, per-frame grids, two "
+    "expansion steps — is driver-verified; value behavior at tile "
+    "boundaries is pytest tolerance + an independent expansion-"
+    "filter reference). Levels 2/3, gray + gray-in-RGB color, "
+    "per-frame restart intervals; aux = frames*1000 + total RSTm "
+    "pins the pyramid structure. "
     "ARITHMETIC SEQUENTIAL JPEG (round 12): the restart family's "
     "i%6==4 rows ship SOF9 — the T.81 Annex D QM-coder (Table D.3 "
     "state machine, carry resolution, 0x00 stuffing) with the "
@@ -12678,6 +12736,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ico_table,
         synthetic_pcx_table,
         synthetic_pnm_table,
+        synthetic_jpeg_hier_table,
         synthetic_jpeg_ll_table,
         synthetic_jpeg_prog_table,
         synthetic_jpeg_rst_table,
@@ -12712,6 +12771,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_jpeg_rst_table(spark, n=36))
         .unionByName(synthetic_jpeg_prog_table(spark, n=36))
         .unionByName(synthetic_jpeg_ll_table(spark, n=21))
+        .unionByName(synthetic_jpeg_hier_table(spark, n=12))
     )
     return codec_census_stats(media).orderBy("fmt", "media_id")
 

@@ -2000,6 +2000,184 @@ def test_tiff_ycbcr_conversion_subsampling_and_gates():
         decode_tiff(bytes(b))
 
 
+def test_jpeg_hierarchical_exactness_and_tolerance():
+    """Hierarchical JPEG (Annex J): EXP-less quality pyramids are
+    BIT-EXACT on block-constant rasters even from a deliberately
+    coarse base (the residual is an integer constant per block, so
+    unit-step differential quantization reconstructs it exactly) —
+    and the base alone really is lossy, proving nonzero corrections
+    flowed. EXP pyramids are exact on constant rasters and within
+    one code value elsewhere (boundary interpolation residuals ride
+    a lossy unit-step DCT). The expansion filter matches an
+    independent per-pixel reference."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _jpg_expand_ref,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    tiles = (np.arange(6).reshape(2, 3) * 47 + 11) % 256
+    img = np.kron(tiles, np.ones((16, 16), np.int64)).astype(np.uint8)
+    g3 = np.stack([img] * 3, -1)
+    # coarse base alone is lossy...
+    assert not np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=25)),
+        np.stack([img] * 3, -1),
+    )
+    # ...but the EXP-less hierarchy lands exactly, gray and color,
+    # 2 and 3 frames, with and without restarts
+    for kw in (dict(levels=2), dict(levels=3, restart_interval=2),
+               dict(levels=2, restart_interval=1)):
+        b = encode_jpeg_hierarchical(
+            img, quality=25, expansion=False, **kw)
+        assert np.array_equal(decode_jpeg(b), g3), kw
+        b = encode_jpeg_hierarchical(
+            g3, quality=35, expansion=False, **kw)
+        assert np.array_equal(decode_jpeg(b), g3), kw
+    # EXP pyramid over a constant raster: exact through 3 levels
+    const = np.full((40, 56), 177, np.uint8)
+    b = encode_jpeg_hierarchical(const, quality=30, levels=3,
+                                 restart_interval=2)
+    assert np.array_equal(decode_jpeg(b), np.stack([const] * 3, -1))
+    # EXP pyramid over structured rasters: within one code value
+    # (odd dims exercise the expansion crop)
+    y, x = np.mgrid[0:37, 0:45]
+    sm = ((x * 3 + y * 2) // 4 % 256).astype(np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_hierarchical(sm, quality=95, levels=2)
+    )[..., 0].astype(np.int64)
+    assert out.shape == sm.shape
+    assert np.abs(out - sm.astype(np.int64)).max() <= 1
+    b2 = encode_jpeg_hierarchical(g3, quality=90, levels=2)
+    assert np.abs(
+        decode_jpeg(b2).astype(np.int64) - g3.astype(np.int64)
+    ).max() <= 1
+    # expansion filter vs an independent per-pixel reference
+    rng = np.random.RandomState(4)
+    for _ in range(6):
+        ph, pw = rng.randint(1, 9), rng.randint(1, 9)
+        ref = rng.randint(0, 256, (ph, pw)).astype(np.int64)
+        for eh, ev in ((1, 0), (0, 1), (1, 1)):
+            th = min(ph * (2 if ev else 1), ph * 2)
+            tw = min(pw * (2 if eh else 1), pw * 2)
+            got = _jpg_expand_ref(ref, eh, ev, th, tw)
+            want = ref
+            if eh:
+                w2 = np.empty((want.shape[0], want.shape[1] * 2),
+                              np.int64)
+                for j in range(want.shape[1]):
+                    w2[:, 2 * j] = want[:, j]
+                    nb = want[:, min(j + 1, want.shape[1] - 1)]
+                    w2[:, 2 * j + 1] = (want[:, j] + nb + 1) // 2
+                want = w2
+            if ev:
+                w2 = np.empty((want.shape[0] * 2, want.shape[1]),
+                              np.int64)
+                for j in range(want.shape[0]):
+                    w2[2 * j] = want[j]
+                    nb = want[min(j + 1, want.shape[0] - 1)]
+                    w2[2 * j + 1] = (want[j] + nb + 1) // 2
+                want = w2
+            assert np.array_equal(got, want[:th, :tw])
+
+
+def test_jpeg_hierarchical_structure_gates_and_damage():
+    """The hierarchical walk is loud: differential frame without a
+    reference, EXP before a non-differential frame, invalid EXP
+    flags, multiple DHP, a pyramid that never reaches the DHP dims,
+    and the honest gates (non-8-bit, subsampled components,
+    differential progressive/lossless, arithmetic hierarchies).
+    Census dispatch: _jpg_has_dhp + frames*1000 aux composition.
+    Plus a full bit-flip sweep over an EXP-less refinement file."""
+    import pytest
+    import struct as stt
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        _jpg_has_dhp,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_hierarchical,
+        jpeg_marker_summary,
+    )
+
+    tiles = (np.arange(4).reshape(2, 2) * 63 + 9) % 256
+    img = np.kron(tiles, np.ones((16, 16), np.int64)).astype(np.uint8)
+    b = encode_jpeg_hierarchical(img, quality=30, levels=2,
+                                 expansion=False)
+    assert _jpg_has_dhp(b) and not _jpg_has_dhp(
+        encode_jpeg(img, quality=90)
+    )
+    prog, n_scans, n_rst = jpeg_marker_summary(b)
+    assert (prog, n_scans, n_rst) == (False, 2, 0)
+
+    def find_marker(buf, mk, nth=0):
+        at = -1
+        for _ in range(nth + 1):
+            at = buf.index(bytes([0xFF, mk]), at + 1)
+        return at
+
+    # first frame forged differential -> no reference
+    bb = bytearray(b)
+    bb[find_marker(bb, 0xC0) + 1] = 0xC5
+    with pytest.raises(ValueError, match="reference"):
+        decode_jpeg(bytes(bb))
+    # second frame forged non-differential with a pending EXP is
+    # covered on the EXP file below; here: duplicate DHP
+    bb = bytearray(b)
+    at = find_marker(bb, 0xDE)
+    (ln,) = stt.unpack_from(">H", bb, at + 2)
+    dup = bytes(bb[at : at + 2 + ln])
+    with pytest.raises(ValueError, match="DHP"):
+        decode_jpeg(bytes(bb[: at]) + dup + dup + bytes(bb[at + 2 + ln :]))
+    # truncation after the FIRST frame: pyramid never reaches DHP dims
+    be = encode_jpeg_hierarchical(
+        np.full((32, 32), 99, np.uint8), quality=30, levels=2)
+    second = find_marker(be, 0xDF)
+    with pytest.raises(ValueError, match="DHP dims"):
+        decode_jpeg(be[:second] + b"\xff\xd9")
+    # EXP flags invalid / EXP before a non-differential frame
+    bb = bytearray(be)
+    at = find_marker(bb, 0xDF)
+    bb[at + 4] = 0x22
+    with pytest.raises(ValueError, match="EXP"):
+        decode_jpeg(bytes(bb))
+    bb = bytearray(be)
+    bb[find_marker(bb, 0xC5) + 1] = 0xC0
+    with pytest.raises(ValueError, match="EXP"):
+        decode_jpeg(bytes(bb))
+    # gates: precision, subsampling, frame kinds
+    bb = bytearray(b)
+    bb[find_marker(bb, 0xDE) + 4] = 12
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bb))
+    bb = bytearray(b)
+    bb[find_marker(bb, 0xDE) + 11] = 0x22  # DHP sampling factor
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bb))
+    for forged in (0xC6, 0xC7):
+        bb = bytearray(b)
+        bb[find_marker(bb, 0xC5) + 1] = forged
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(bb))
+    bb = bytearray(b)
+    bb[find_marker(bb, 0xC5) + 1] = 0xCD
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bb))
+    # bit-flip sweep (restarted color refinement file)
+    bf = encode_jpeg_hierarchical(
+        np.stack([img] * 3, -1), quality=30, levels=2,
+        expansion=False, restart_interval=2,
+    )
+    for bit in range(len(bf) * 8):
+        bb = bytearray(bf)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_arith_entropy_layer_identity():
     """The QM-coder pair (T.81 Annex D) is pinned at the ENTROPY
     layer: decode(encode(bits)) == bits for adversarial bit/context
