@@ -4416,6 +4416,7 @@ def encode_tiff_jpeg(
     subsampling=None,
     per_strip_tables: bool = False,
     restart_interval: int = 0,
+    arith: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB (photometric 6 — encode_jpeg stores YCbCr — or
     photometric 2 with ``rgb_space``: each strip/tile an RGB-space
@@ -4440,7 +4441,12 @@ def encode_tiff_jpeg(
     compression-6 layout instead (TIFF 6.0 §22): ONE full
     interchange stream pointed at by JPEGInterchangeFormat/Length
     (513/514), no strips — the layout old files in the wild
-    actually carry."""
+    actually carry. ``arith`` (round 12) encodes every segment as a
+    SOF9 ARITHMETIC interchange stream (TechNote 2 allows any
+    T.81-legal JPEG; decode_jpeg's 0xC9 dispatch reads them back) —
+    gray or chunky-YCbCr strips/tiles only (no shared-tables
+    abbreviation: arithmetic streams carry no DHT and the DAC/DQT
+    stay per-segment)."""
     import numpy as np
 
     e = ">" if big_endian else "<"
@@ -4456,6 +4462,11 @@ def encode_tiff_jpeg(
         spp, photo = 4, 5
     else:
         spp, photo = (3, 2) if rgb_space else (3, 6)
+    if arith:
+        assert not (rgb_space or planar or old_style or per_strip_tables
+                    or jpeg_tables or adobe_transform is not None), (
+            "arithmetic JPEG-in-TIFF: gray or chunky-YCbCr segments only"
+        )
     if planar:
         assert photo in (2, 5, 6) and not old_style, (
             "planar JPEG-in-TIFF needs component planes"
@@ -4561,6 +4572,8 @@ def encode_tiff_jpeg(
         return bytes(header) + bytes(body) + _tiff_ifd(e, tags, ifd_off)
 
     def enc(chunk):
+        if arith:
+            return encode_jpeg_arith(chunk, quality=quality)
         if chunk.ndim == 2:
             return encode_jpeg(chunk, quality=quality)
         return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space,
@@ -6814,7 +6827,7 @@ def synthetic_tiff_cmyk_subbyte_table(spark, n: int = 6) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
+def synthetic_tiff_jpeg_table(spark, n: int = 30) -> DataFrame:
     """Deterministic JPEG-in-TIFF table (compression 7, TIFF TechNote
     2 — the scanned-page/digicam layout): image i is the established
     block-constant corpus (8x8 tiles of (i*41 + by*9 + bx*17) mod
@@ -6852,13 +6865,16 @@ def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
     519/520/521 — 11 gray 8-row strips, 12 chunky YCbCr 4:2:0 with
     an in-strip restart interval; gray rasters, oracle-invisible,
     gating on the _tiff_ojpeg_per_strip synthesis walk). The
-    rotation widens to i%14 with arm 13 — TILED PLANAR YCBCR
+    rotation widens to i%15 with arm 13 — TILED PLANAR YCBCR
     (round 12, the LAST JPEG-in-TIFF organization gate): per-plane
     16x16 tile grids, the chroma planes covering their SUBSAMPLED
     dims ((2,2) when i%4==1, (2,1) otherwise) with their own grids;
     gray rasters keep chroma constant-128, so the arm is
-    oracle-invisible but gates on the per-plane grid walk.
-    media_id offset +600."""
+    oracle-invisible but gates on the per-plane grid walk — and
+    arm 14, ARITHMETIC JPEG-in-TIFF (round 12): every strip a
+    complete SOF9 interchange stream through the QM-coder, gray
+    (odd i) or chunky YCbCr (even i), same block-constant
+    bit-exactness. media_id offset +600."""
     import numpy as np
 
     rows = []
@@ -6872,7 +6888,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
             dtype=np.uint8,
         )
         img = np.kron(tiles, np.ones((8, 8), np.uint8))
-        arm = i % 14
+        arm = i % 15
         old = arm in (4, 7)
         per_strip = arm in (11, 12)
         rgbspace = arm in (2, 3, 5, 6)
@@ -6898,6 +6914,13 @@ def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
         elif arm == 13:
             src = np.stack([img] * 3, axis=-1)
             subsampling = (2, 2) if i % 4 == 1 else (2, 1)
+        elif arm == 14:
+            # round 12: ARITHMETIC JPEG-in-TIFF — every strip a
+            # complete SOF9 interchange stream (TechNote 2 allows
+            # any T.81-legal JPEG); gray or chunky-YCbCr, pixels
+            # bit-exact on the block-constant corpus so the arm is
+            # oracle-invisible but gates on the QM walk per strip
+            src = img if i % 2 else np.stack([img] * 3, axis=-1)
         else:
             src = img if i % 2 else np.stack([img] * 3, axis=-1)
         tile = (
@@ -6923,7 +6946,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
                     rows_per_strip=rps,
                     big_endian=bool(i % 2),
                     jpeg_tables=(i % 3 == 0 and not old
-                                 and not per_strip),
+                                 and not per_strip and arm != 14),
                     old_style=old,
                     rgb_space=rgbspace,
                     tile=tile,
@@ -6931,6 +6954,7 @@ def synthetic_tiff_jpeg_table(spark, n: int = 28) -> DataFrame:
                     subsampling=subsampling,
                     per_strip_tables=per_strip,
                     restart_interval=2 if arm == 12 else 0,
+                    arith=arm == 14,
                 ),
                 None,
                 f"mem://media/{600 + i}.jpg.tif",

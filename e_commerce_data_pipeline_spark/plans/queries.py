@@ -12192,21 +12192,22 @@ def q197_cdc_validation_census(spark, sf_dir):
     ),
     tjm AS (
         SELECT i, 24 + (i % 3) * 8 AS w, 16 + (i % 2) * 16 AS h
-        FROM range(28) t(i)
+        FROM range(30) t(i)
     ),
     tjb AS (SELECT i, w, unnest(range(h // 8)) AS by FROM tjm),
     tjt AS (SELECT i, by, unnest(range(w // 8)) AS bx FROM tjb),
     tjv AS (SELECT i, (i * 41 + by * 9 + bx * 17) % 256 AS t FROM tjt),
-    -- round 11/12: the RGB-SPACE arms (i%14 in (2,3,5,6) —
+    -- round 11/12: the RGB-SPACE arms (i%15 in (2,3,5,6) —
     -- photometric 2, no color transform) carry true-color per-tile
     -- constants; every other layout arm (tiled/planar/old-style +
-    -- the round-12 planar 9/10, per-strip old-style 11/12, and
-    -- TILED planar YCbCr 13) is gray and oracle-invisible
+    -- the round-12 planar 9/10, per-strip old-style 11/12, TILED
+    -- planar YCbCr 13, and ARITHMETIC strips 14) is gray and
+    -- oracle-invisible
     tjch AS (
         SELECT i, t,
-               CASE WHEN i % 14 IN (2, 3, 5, 6)
+               CASE WHEN i % 15 IN (2, 3, 5, 6)
                     THEN (t + 85) % 256 ELSE t END AS g2,
-               CASE WHEN i % 14 IN (2, 3, 5, 6)
+               CASE WHEN i % 15 IN (2, 3, 5, 6)
                     THEN (t + 170) % 256 ELSE t END AS b2
         FROM tjv
     ),
@@ -12522,7 +12523,7 @@ def q197_cdc_validation_census(spark, sf_dir):
     "JPEGInterchangeFormat layout — pixel-identical, so the oracle "
     "is layout-invisible but the rows gate on the tag-513 walk. "
     "SCANNER-CLASS JPEG-IN-TIFF ORGANIZATIONS (round 11, +600 "
-    "family — rotation widened to i%14 in round 12): TILED chunky "
+    "family — rotation widened to i%15 in round 12): TILED chunky "
     "(1,8 — full-size tile JPEGs "
     "pasted into the grid canvas), RGB-SPACE photometric 2 with "
     "TRUE-COLOR tiles (2: strips, 5: tiles — no color transform, "
@@ -12543,7 +12544,9 @@ def q197_cdc_validation_census(spark, sf_dir):
     "strip, the libtiff OJPEG reconstruction), and TILED PLANAR "
     "YCBCR (13 — per-plane 16x16 tile grids, chroma planes "
     "covering their SUBSAMPLED dims with their own grids; round "
-    "12, the last JPEG-in-TIFF organization gate) — all five arms "
+    "12, the last JPEG-in-TIFF organization gate), and ARITHMETIC "
+    "strips (14 — every strip a complete SOF9 interchange stream "
+    "through the T.81 QM-coder, round 12) — all six arms "
     "oracle-invisible but gating on their segment walks). "
     "CMYK JPEG-IN-TIFF (round 11, +200 family "
     "rows 12-17 — the Adobe scanned-document class): photometric 5 "
@@ -12761,7 +12764,7 @@ def q198_codec_gate_census(spark, sf_dir):
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))
-        .unionByName(synthetic_tiff_jpeg_table(spark, n=28))
+        .unionByName(synthetic_tiff_jpeg_table(spark, n=30))
         .unionByName(synthetic_tiff_ycbcr_table(spark, n=32))
         .unionByName(synthetic_tiff_float_table(spark, n=12))
         .unionByName(synthetic_pnm_table(spark, n=20))

@@ -2324,6 +2324,47 @@ def test_jpeg_arith_roundtrip_and_parity():
         encode_jpeg_arith(img, ac_kx=9, emit_dac=False)
 
 
+def test_tiff_jpeg_arithmetic_segments_round12():
+    """Arithmetic JPEG-in-TIFF (round 12): every strip/tile a
+    complete SOF9 interchange stream through the QM-coder —
+    TechNote 2 allows any T.81-legal JPEG, and decode_tiff's jdec
+    rides decode_jpeg's 0xC9 dispatch. Gray and chunky YCbCr,
+    strips and tiles, both byte orders, bit-exact on the
+    block-constant corpus; out-of-scope combinations stay loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    tiles = (np.arange(12).reshape(3, 4) * 21 + 5) % 256
+    img = np.kron(tiles, np.ones((8, 8), np.int64)).astype(np.uint8)
+    g3 = np.stack([img] * 3, -1)
+    for kw in (dict(rows_per_strip=8), dict(),
+               dict(tile=(16, 16)),
+               dict(big_endian=True, rows_per_strip=8)):
+        assert np.array_equal(
+            decode_tiff(encode_tiff_jpeg(img, quality=90, arith=True,
+                                         **kw)), g3), ("gray", kw)
+        assert np.array_equal(
+            decode_tiff(encode_tiff_jpeg(g3, quality=90, arith=True,
+                                         **kw)), g3), ("ycbcr", kw)
+    for bad in (dict(jpeg_tables=True), dict(rgb_space=True),
+                dict(planar=True), dict(old_style=True)):
+        with pytest.raises(AssertionError):
+            encode_tiff_jpeg(g3, arith=True, **bad)
+    # bit-flip stream over the strip layout
+    b = encode_tiff_jpeg(img, quality=90, arith=True, rows_per_strip=8)
+    for bit in range(len(b) * 8):
+        bb = bytearray(b)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_tiff(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_arith_bitflip_sweep():
     """Bit-flip contract over the arithmetic walk: every single-bit
     corruption of a restarted color SOF9 file either decodes or
