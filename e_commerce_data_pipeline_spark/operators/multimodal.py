@@ -4456,7 +4456,7 @@ def encode_tiff_jpeg(
     if gray:
         spp, photo = 1, 1
     elif a.shape[2] == 4:
-        assert planar or rgb_space or adobe_transform == 2, (
+        assert planar or rgb_space or adobe_transform == 2 or arith, (
             "chunky CMYK JPEG-in-TIFF needs rgb_space or YCCK scans"
         )
         spp, photo = 4, 5
@@ -4573,7 +4573,12 @@ def encode_tiff_jpeg(
 
     def enc(chunk):
         if arith:
-            return encode_jpeg_arith(chunk, quality=quality)
+            # 4-channel chunks are untransformed ink planes (the
+            # CMYK-ID convention); gray/RGB take the normal path
+            return encode_jpeg_arith(
+                chunk, quality=quality,
+                rgb_space=chunk.ndim == 3 and chunk.shape[2] == 4,
+            )
         if chunk.ndim == 2:
             return encode_jpeg(chunk, quality=quality)
         return encode_jpeg(chunk, quality=quality, rgb_space=rgb_space,
@@ -6374,7 +6379,7 @@ def synthetic_tiff_subbyte_table(spark, n: int = 24) -> DataFrame:
     return df.withColumn("content_length", F.length("content").cast("long"))
 
 
-def synthetic_tiff_cmyk_table(spark, n: int = 24) -> DataFrame:
+def synthetic_tiff_cmyk_table(spark, n: int = 26) -> DataFrame:
     """Deterministic CMYK TIFF media table (photometric 5): image
     i < 12 is w=15+(i%4)*4 by h=9+(i%3)*4 with inks
     C=(x*5+y*11+i*13)%256, M=(C+85)%256, Y=(C+170)%256,
@@ -6395,8 +6400,13 @@ def synthetic_tiff_cmyk_table(spark, n: int = 24) -> DataFrame:
     CMY through the YCbCr matrix + K): GRAY ink tiles (C=M=Y, so
     the chroma channels are neutral and the transform is bit-exact)
     with the same tile formulas, rotating the same organizations.
-    media_id offset +200 keeps ids disjoint inside the 'tiff'
-    census group."""
+    Rows 24-25 (round 12) ship CMYK ARITHMETIC JPEG-in-TIFF:
+    4-component no-transform SOF9 scans through the QM-coder (CMYK
+    component IDs, colored-ink tile formulas like rows 12-17) — 24
+    as 16x16 tiles, 25 as 8-row big-endian strips; pixels bit-exact
+    under the same DC-only argument, so the arms reuse the rows
+    12-17 closed form. media_id offset +200 keeps ids disjoint
+    inside the 'tiff' census group."""
     import numpy as np
 
     comps = ("none", "packbits", "lzw", "deflate")
@@ -6428,7 +6438,7 @@ def synthetic_tiff_cmyk_table(spark, n: int = 24) -> DataFrame:
             one8 = np.ones((8, 8), np.int64)
             c = np.kron(ct, one8)
             k = np.kron(kt, one8)
-            ycck = i >= 18
+            ycck = 18 <= i < 24
             if ycck:  # gray ink keeps the YCCK chroma neutral
                 m_pl, y_pl = c, c
             else:
@@ -6436,17 +6446,20 @@ def synthetic_tiff_cmyk_table(spark, n: int = 24) -> DataFrame:
             cmyk = np.stack(
                 [c, m_pl, y_pl, k], axis=-1
             ).astype(np.uint8)
+            arith_row = i >= 24
             content = encode_tiff_jpeg(
                 cmyk,
                 quality=85 + (i % 3) * 5,
-                rgb_space=not ycck,
+                rgb_space=not ycck and not arith_row,
                 adobe_transform=(
-                    2 if ycck else (0 if i % 2 else None)
+                    2 if ycck
+                    else (0 if i % 2 and not arith_row else None)
                 ),
                 rows_per_strip=8 if i % 3 == 1 else 0,
                 tile=(16, 16) if i % 3 == 0 else None,
-                jpeg_tables=(i % 3 == 2),
+                jpeg_tables=(i % 3 == 2 and not arith_row),
                 big_endian=bool(i % 2),
+                arith=arith_row,
             )
         rows.append(
             (
@@ -10281,7 +10294,7 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 require_codec(f"arithmetic JPEG precision={prec}")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 require_codec(f"{nc}-component arithmetic JPEG")
             if not h or not w or h * w * nc > (1 << 26):
                 raise ValueError("JPEG dimensions implausible")
@@ -10459,6 +10472,20 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
         g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     ids = tuple(c[0] for c in comps)
+    if len(planes) == 4:
+        # 4-component SOF9: the Adobe scanned-CMYK class — raw ink
+        # planes under the CMYK-ID convention or the container's
+        # 'cmyk' contract (no transform; the container owns the ink
+        # conversion). YCCK arithmetic stays gated.
+        if color_space == "cmyk" or (
+            color_space == "auto" and ids == (0x43, 0x4D, 0x59, 0x4B)
+        ):
+            out = np.stack(
+                [np.clip(np.floor(p_ + 0.5), 0, 255) for p_ in planes],
+                axis=-1,
+            )
+            return out.astype(np.uint8)
+        require_codec("4-component arithmetic JPEG color transform")
     if color_space == "rgb" or (
         color_space == "auto" and ids == (0x52, 0x47, 0x42)
     ):
@@ -10485,6 +10512,7 @@ def encode_jpeg_arith(
     dc_cond=(0, 1),
     ac_kx: int = 5,
     emit_dac: bool = True,
+    rgb_space: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> SOF9 arithmetic
     sequential JPEG. Same color transform / subsampling / libjpeg-
@@ -10494,7 +10522,11 @@ def encode_jpeg_arith(
     used table when ``emit_dac``; omitted otherwise so the decoder's
     defaults path is exercised — only legal when the values ARE the
     defaults). Restart intervals flush the coder and emit RSTm, with
-    statistics and DC contexts reset per segment."""
+    statistics and DC contexts reset per segment. ``rgb_space``
+    stores 3 (R/G/B) or 4 (C/M/Y/K) components UNTRANSFORMED with
+    the libjpeg component-ID convention — the Adobe scanned-CMYK
+    class rides SOF9 this way (round 12); 4:4:4 only, luma tables
+    for every component."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -10509,11 +10541,20 @@ def encode_jpeg_arith(
         raise ValueError("AC conditioning needs 1 <= Kx <= 63")
     if not emit_dac and ((low, up) != (0, 1) or ac_kx != 5):
         raise ValueError("omitting DAC requires the default conditioning")
+    if rgb_space and (gray or subsampling != "444"):
+        raise ValueError("rgb_space needs (h, w, 3|4) input and 4:4:4")
+    if rgb_space and a.shape[2] not in (3, 4):
+        raise ValueError("rgb_space needs 3 (RGB) or 4 (CMYK) channels")
     fh, fv = _JPG_SUBSAMP[subsampling]
     sub = (fh, fv) != (1, 1) and not gray
     if gray:
         planes = [a.astype(np.float64)]
         samp = [(1, 1)]
+    elif rgb_space:
+        planes = [
+            a[..., ci].astype(np.float64) for ci in range(a.shape[2])
+        ]
+        samp = [(1, 1)] * len(planes)
     else:
         rgb = a.astype(np.float64)
         r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -10542,7 +10583,12 @@ def encode_jpeg_arith(
             planes = rnd
             samp = [(1, 1)] * 3
     ql, qc = _jpg_quant_tables(quality)
-    tqs = [0] if gray else [0, 1, 1]
+    if gray:
+        tqs = [0]
+    elif rgb_space:
+        tqs = [0] * len(planes)
+    else:
+        tqs = [0, 1, 1]
     qts = [ql if t == 0 else qc for t in tqs]
     dctm = _jpg_dct_mat()
     hmax = max(s[0] for s in samp)
@@ -10617,10 +10663,16 @@ def encode_jpeg_arith(
         dqt += seg(0xDB, bytes([1]) + bytes(
             int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
         ))
+    if rgb_space:
+        comp_ids = (
+            (0x52, 0x47, 0x42) if nc == 3 else (0x43, 0x4D, 0x59, 0x4B)
+        )
+    else:
+        comp_ids = tuple(range(1, nc + 1))
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         hi, vi = samp[ci]
-        sof += bytes([ci + 1, (hi << 4) | vi, tqs[ci]])
+        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
     dac = b""
     if emit_dac:
         body = b""
@@ -10633,7 +10685,7 @@ def encode_jpeg_arith(
         dri = seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
-        sos += bytes([ci + 1, (tqs[ci] << 4) | tqs[ci]])
+        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
     sos += bytes([0, 63, 0])
     return (
         b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri

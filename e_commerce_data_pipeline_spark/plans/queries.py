@@ -11934,19 +11934,21 @@ def q197_cdc_validation_census(spark, sf_dir):
     -- closed form x 64 pixels per tile
     ckjm AS (
         SELECT i, (16 + (i % 3) * 8) // 8 AS tw, (16 + (i % 2) * 8) // 8 AS th
-        FROM range(12, 24) t(i)
+        FROM range(12, 26) t(i)
     ),
     ckjb AS (SELECT i, tw, unnest(range(th)) AS by FROM ckjm),
     ckjt AS (SELECT i, by, unnest(range(tw)) AS bx FROM ckjb),
-    -- rows 18-23 are the YCCK arms: GRAY ink (C = M = Y)
+    -- rows 18-23 are the YCCK arms: GRAY ink (C = M = Y); rows
+    -- 24-25 (round 12) ARITHMETIC no-transform scans with the
+    -- colored-ink formulas again
     ckjv AS (
         SELECT i,
                (i * 41 + by * 9 + bx * 23) % 256 AS c,
-               CASE WHEN i >= 18
+               CASE WHEN i >= 18 AND i < 24
                     THEN (i * 41 + by * 9 + bx * 23) % 256
                     ELSE ((i * 41 + by * 9 + bx * 23) % 256 + 85) % 256
                END AS m,
-               CASE WHEN i >= 18
+               CASE WHEN i >= 18 AND i < 24
                     THEN (i * 41 + by * 9 + bx * 23) % 256
                     ELSE ((i * 41 + by * 9 + bx * 23) % 256 + 170) % 256
                END AS yk,
@@ -12549,7 +12551,8 @@ def q197_cdc_validation_census(spark, sf_dir):
     "through the T.81 QM-coder, round 12) — all six arms "
     "oracle-invisible but gating on their segment walks). "
     "CMYK JPEG-IN-TIFF (round 11, +200 family "
-    "rows 12-17 — the Adobe scanned-document class): photometric 5 "
+    "rows 12-17, ARITHMETIC SOF9 rows 24-25 round 12 — the Adobe "
+    "scanned-document class): photometric 5 "
     "wraps 4-component no-transform scans (C/M/Y/K component IDs); "
     "block-constant ink tiles keep every channel DC-only bit-exact "
     "through strips/tiles/JPEGTables, and the shared naive ink "
@@ -12760,7 +12763,7 @@ def q198_codec_gate_census(spark, sf_dir):
         synthetic_ppm16_table(spark, n=36)
         .unionByName(synthetic_tiff16_table(spark, n=30))
         .unionByName(synthetic_tiff_subbyte_table(spark, n=24))
-        .unionByName(synthetic_tiff_cmyk_table(spark, n=24))
+        .unionByName(synthetic_tiff_cmyk_table(spark, n=26))
         .unionByName(synthetic_tiff_cmyk_subbyte_table(spark, n=6))
         .unionByName(synthetic_tiff_pal16_table(spark, n=6))
         .unionByName(synthetic_tiff_fax_table(spark, n=24))

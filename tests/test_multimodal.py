@@ -2322,6 +2322,34 @@ def test_jpeg_arith_roundtrip_and_parity():
         encode_jpeg_arith(img, ac_kx=0)
     with pytest.raises(ValueError, match="DAC"):
         encode_jpeg_arith(img, ac_kx=9, emit_dac=False)
+    # 4-component no-transform (Adobe scanned-CMYK) and RGB-space
+    # arithmetic: parity with the Huffman rgb_space pipeline, both
+    # the explicit 'cmyk' contract and the CMYK-ID auto path; a
+    # 4-component scan WITHOUT a CMYK interpretation stays gated
+    cimg = (np.arange(12).reshape(3, 4) * 41 + 9) % 256
+    ck = np.kron(cimg, np.ones((8, 8), np.int64))
+    cmyk = np.stack(
+        [ck, (ck + 85) % 256, (ck + 170) % 256, (ck * 3 + 7) % 256], -1
+    ).astype(np.uint8)
+    ba = encode_jpeg_arith(cmyk, quality=90, rgb_space=True)
+    assert np.array_equal(decode_jpeg(ba, color_space="cmyk"), cmyk)
+    assert np.array_equal(decode_jpeg(ba), cmyk)  # CMYK ids
+    assert np.array_equal(
+        decode_jpeg(ba, color_space="cmyk"),
+        decode_jpeg(encode_jpeg(cmyk, quality=90, rgb_space=True),
+                    color_space="cmyk"),
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(ba, color_space="ycbcr")
+    rgbs = np.stack([ck, (ck + 85) % 256, (ck + 170) % 256], -1
+                    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(rgbs, quality=90,
+                                      rgb_space=True)), rgbs)
+    with pytest.raises(ValueError, match="rgb_space"):
+        encode_jpeg_arith(img, rgb_space=True)
+    with pytest.raises(ValueError, match="rgb_space"):
+        encode_jpeg_arith(rgbs, rgb_space=True, subsampling="420")
 
 
 def test_tiff_jpeg_arithmetic_segments_round12():
