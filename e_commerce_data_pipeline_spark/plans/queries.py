@@ -985,7 +985,13 @@ def q24_minhash_lsh_candidates(spark, sf_dir):
     "DuckDB's nfc_normalize (a REAL second normalization engine), "
     "NFKC via closed-form length deltas (no DuckDB builtin). The "
     "NFKC oracle's suffix constants are pinned by "
-    "tests/test_text_hygiene.py against stdlib unicodedata.",
+    "tests/test_text_hygiene.py against stdlib unicodedata. "
+    "KNOWN DuckDB LIMITATION (round 13): nfc_normalize has a "
+    "utf8proc NUL-path edge — some leading-NUL sequences come back "
+    "empty ('\\x00\\x80' -> '') where Unicode NFC is the identity. "
+    "This oracle is unaffected: cleaned is NUL-free by construction "
+    "(the control-strip regexp removes \\x00 before nfc_normalize). "
+    "Pinned in tests/test_text_hygiene.py::test_nfc_nul_divergence_pinned.",
 )
 def q25_lang_stopword_profile(spark, sf_dir):
     from ..operators.text import (
@@ -2303,6 +2309,29 @@ _Q65_HTML_POST = (
     "</p><script> //x line() </script></body></html>",
 )
 
+# Round-13 fold: the WARC leg is now MIXED-CHARSET, the way real
+# Common-Crawl captures are. Each doc's charset arm (doc_id % 3) picks
+# the on-the-wire encoding + the Content-Type spelling the synthesis
+# writes, and appends a charset-native HTML comment to the shell so
+# the bytes genuinely exercise the declared codec (a pure-ASCII body
+# is latin-1 == utf-8 and proves nothing). The walker must sniff
+# charset= from the HTTP header block and decode accordingly for the
+# recovered html to be byte-identical to the direct string — the
+# comment is stripped by html_to_text, so the fold stays
+# oracle-INVISIBLE on the text side and oracle-CONSISTENT on the
+# html_len/n_tags side (the oracle concatenates the same literals).
+_Q65_CHARSET_DECO = (
+    "<!-- ✓ ∑ utf-8 -->",      # multi-byte UTF-8 (no charset param)
+    "<!-- café ±é Ä -->",      # latin-1 bytes, charset="ISO-8859-1"
+    "<!-- アイウ -->",          # shift-jis bytes, CHARSET=Shift_JIS
+)
+_Q65_WIRE_CHARSETS = ("utf-8", "latin-1", "shift_jis")
+_Q65_CT_HEADERS = (
+    "text/html",                          # absent param -> default utf-8
+    'text/html; charset="ISO-8859-1"',    # quoted spelling
+    "text/html; CHARSET=Shift_JIS",       # case-insensitive name+label
+)
+
 
 
 def _q65_build_warc_group(key, pdf):
@@ -2310,8 +2339,12 @@ def _q65_build_warc_group(key, pdf):
     (doc_id, lang, n_chars, html) rows into ONE WARC file — a
     warcinfo record followed by per-doc ``response`` records whose
     payloads carry a real HTTP header block; odd buckets use the
-    spec's per-record-gzip-member ``.warc.gz`` layout. Deterministic:
-    rows sorted by doc_id, gzip mtime pinned."""
+    spec's per-record-gzip-member ``.warc.gz`` layout. Round 13:
+    each doc's body is encoded in its charset arm's wire encoding
+    (utf-8 / latin-1 / shift_jis, ``doc_id % 3``) with the matching
+    Content-Type spelling — the walker's charset sniff is what
+    recovers the identical string. Deterministic: rows sorted by
+    doc_id, gzip mtime pinned."""
     import pandas as pd
 
     from ..sources.warc import build_warc
@@ -2322,10 +2355,12 @@ def _q65_build_warc_group(key, pdf):
     for doc_id, lang, n_chars, html in zip(
         pdf["doc_id"], pdf["lang"], pdf["n_chars"], pdf["html"]
     ):
-        body = html.encode("utf-8")
+        cs_arm = int(doc_id) % 3
+        body = html.encode(_Q65_WIRE_CHARSETS[cs_arm])
         payload = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Type: {_Q65_CT_HEADERS[cs_arm]}".encode("ascii")
+            + b"\r\n"
             + f"Content-Length: {len(body)}".encode("ascii")
             + b"\r\n\r\n"
             + body
@@ -2372,6 +2407,14 @@ def _q65_build_warc_group(key, pdf):
                END
                || replace(replace(replace(base_text, '&', '&amp;'),
                           '<', '&lt;'), '>', '&gt;')
+               -- round 13: the charset-arm comment (stripped by the
+               -- pipeline's html_to_text; counted here in
+               -- html_len/n_tags, same literals as the Spark side)
+               || CASE doc_id % 3
+                 WHEN 0 THEN '{_Q65_CHARSET_DECO[0]}'
+                 WHEN 1 THEN '{_Q65_CHARSET_DECO[1]}'
+                 ELSE '{_Q65_CHARSET_DECO[2]}'
+               END
                || CASE doc_id % 4
                  WHEN 0 THEN '</p></body></html>'
                  WHEN 1 THEN '</SPAN><BR/></DIV><!-- trailing <comment> & junk --></BODY></HTML>'
@@ -2427,7 +2470,16 @@ def _q65_build_warc_group(key, pdf):
     "per-record-gzip .warc.gz) and re-ingested through "
     "sources/warc.py's record walk — an oracle-INVISIBLE fold (the "
     "recovered frame is byte-identical when the walk is correct, "
-    "and every downstream hash pins it). Then step-0: HTML->text "
+    "and every downstream hash pins it). Round 13: the WARC leg is "
+    "MIXED-CHARSET — each doc's body is wire-encoded per its "
+    "doc_id%3 arm (utf-8 with no charset param / latin-1 declared "
+    "charset=\"ISO-8859-1\" / shift_jis declared CHARSET=Shift_JIS) "
+    "and carries a charset-native comment so the bytes genuinely "
+    "exercise the declared codec; the walker's Content-Type charset "
+    "sniff (warc.decode_http_body) must pick the right codec for "
+    "the recovered html to match, and the decode_clean=TRUE filter "
+    "pins the strict-decode path (a wrong codec flags rows unclean "
+    "and the row counts diverge). Then step-0: HTML->text "
     "extraction. Each document is "
     "deterministically wrapped in one of four HTML shells (script "
     "with bare </>& in its body, uppercase tags + comment with "
@@ -2485,7 +2537,15 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
     )
     pre = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_PRE]), arm + 1)
     post = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_POST]), arm + 1)
-    html = F.concat(pre, enc, post)
+    # round 13: charset-native comment per wire-charset arm — makes
+    # the WARC bodies genuinely non-ASCII in latin-1/shift-jis so the
+    # walker's charset sniff is load-bearing (html_to_text strips the
+    # comment; html_len/n_tags replay it closed-form in the oracle)
+    cs_arm = (F.col("doc_id") % 3).cast("int")
+    deco = F.element_at(
+        F.array(*[F.lit(s) for s in _Q65_CHARSET_DECO]), cs_arm + 1
+    )
+    html = F.concat(pre, enc, deco, post)
     warc_files = (
         docs.select(
             "doc_id",
@@ -2498,8 +2558,13 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
         .applyInPandas(_q65_build_warc_group, "bucket int, warc binary")
     )
     recs = extract_warc_responses(warc_files, "warc")
+    # round 13: the mixed-charset proof — every synthesized page
+    # declares a decodable charset, so a correct sniff+decode yields
+    # decode_clean=TRUE for ALL rows; any walker regression (wrong
+    # codec, lost param, strict-utf-8 fallback) drops rows here and
+    # the oracle's row counts/sums catch it.
     rehtml = F.col("html")
-    wrapped = recs.select(
+    wrapped = recs.filter(F.col("decode_clean")).select(
         F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
         .cast("long")
         .alias("doc_id"),

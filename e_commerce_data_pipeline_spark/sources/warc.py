@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import zlib
 from typing import Iterable, Iterator
 
@@ -38,6 +39,8 @@ __all__ = [
     "build_warc",
     "parse_warc",
     "split_http_response",
+    "sniff_charset",
+    "decode_http_body",
     "extract_warc_responses",
 ]
 
@@ -214,11 +217,73 @@ def split_http_response(payload: bytes) -> tuple[str, dict, bytes]:
     return status.decode("ascii", "replace"), headers, payload[sep + 4 :]
 
 
+# --------------------------------------------------------------- charset
+
+
+_CHARSET_RE = re.compile(
+    r"charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)", re.IGNORECASE
+)
+
+
+def sniff_charset(http_headers: dict) -> str | None:
+    """Extract the ``charset=`` parameter from the HTTP
+    ``Content-Type`` header (case-insensitive name, optional quotes,
+    tolerant of parameter whitespace — all spellings real crawls
+    carry: ``charset=utf-8``, ``charset="ISO-8859-1"``,
+    ``CHARSET = Shift_JIS``). Returns the lowercased label, or None
+    when the header or parameter is absent."""
+    ct = http_headers.get("content-type")
+    if not ct:
+        return None
+    m = _CHARSET_RE.search(ct)
+    if not m:
+        return None
+    return m.group(1).strip().strip("\"'").lower() or None
+
+
+def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
+    """Charset-aware body decode (round 13) — the documented policy
+    for a CORPUS walker, where per-page decode trouble must not kill
+    a 1 GiB file's task (structural WARC damage stays loud —
+    ``ValueError`` from the framing walk — but a single page's bad
+    byte is data, not damage):
+
+    1. Charset = the ``Content-Type; charset=`` label when present
+       and known to Python's codec registry, else ``utf-8``. Unknown
+       labels (``charset=unicode``, vendor typos) fall back to
+       utf-8 and are NOT clean.
+    2. Strict decode first. On success -> ``clean=True``.
+    3. On ``UnicodeDecodeError`` -> re-decode with
+       ``errors="replace"`` (U+FFFD) and ``clean=False`` — the row
+       survives, flagged, and a downstream quality gate can drop or
+       route it.
+
+    Returns ``(text, resolved_charset, clean)`` where
+    ``resolved_charset`` is the codec actually used (canonical
+    lowercased label as declared, or ``utf-8`` for the fallback)."""
+    import codecs
+
+    label = sniff_charset(http_headers)
+    clean_label = True
+    if label is None:
+        label = "utf-8"
+    else:
+        try:
+            codecs.lookup(label)
+        except LookupError:
+            label, clean_label = "utf-8", False
+    try:
+        return body.decode(label), label, clean_label
+    except UnicodeDecodeError:
+        return body.decode(label, "replace"), label, False
+
+
 # ---------------------------------------------------------------- spark
 
 _EXTRACT_SCHEMA = (
     "record_id string, target_uri string, "
-    "headers map<string,string>, html string"
+    "headers map<string,string>, charset string, "
+    "decode_clean boolean, html string"
 )
 
 
@@ -226,27 +291,45 @@ def extract_warc_responses(df, data_col: str = "warc"):
     """The Spark-side record walk: a ``mapInPandas`` Arrow kernel
     over a binary WARC-file column that emits one row per
     ``WARC-Type: response`` record — ``record_id``, ``target_uri``,
-    the full (lowercased) WARC header map, and the HTML body with
-    the embedded HTTP header block stripped. Non-response records
-    (warcinfo, request, metadata) are skipped, as a crawl walker
-    must. Damaged files raise ValueError (fail the task loudly — a
-    silent skip would undercount the corpus)."""
+    the full (lowercased) WARC header map, the resolved ``charset``
+    + ``decode_clean`` flag, and the HTML body with the embedded
+    HTTP header block stripped. Non-response records (warcinfo,
+    request, metadata) are skipped, as a crawl walker must.
+
+    Body decode is charset-aware (round 13): the HTTP header block
+    each record already carries declares ``Content-Type; charset=``,
+    and real Common-Crawl captures are full of latin-1 /
+    windows-1252 / shift-jis pages — see ``decode_http_body`` for
+    the full policy (declared-charset strict decode; unknown label
+    or bad bytes -> utf-8/replace + ``decode_clean=False``). A bad
+    PAGE is flagged data; a damaged FILE — truncation, forged
+    Content-Length, torn gzip member — still raises ValueError
+    (fail the task loudly: a silent skip would undercount the
+    corpus)."""
     import pandas as pd
 
     def _walk(batches):
         for pdf in batches:
-            out = {"record_id": [], "target_uri": [], "headers": [], "html": []}
+            out = {
+                "record_id": [], "target_uri": [], "headers": [],
+                "charset": [], "decode_clean": [], "html": [],
+            }
             for raw in pdf[data_col]:
                 for headers, payload in parse_warc(bytes(raw)):
                     if headers.get("warc-type") != "response":
                         continue
-                    _status, _http_headers, body = split_http_response(
+                    _status, http_headers, body = split_http_response(
                         payload
+                    )
+                    text, charset, clean = decode_http_body(
+                        body, http_headers
                     )
                     out["record_id"].append(headers.get("warc-record-id", ""))
                     out["target_uri"].append(headers.get("warc-target-uri", ""))
                     out["headers"].append(headers)
-                    out["html"].append(body.decode("utf-8"))
+                    out["charset"].append(charset)
+                    out["decode_clean"].append(clean)
+                    out["html"].append(text)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_walk, _EXTRACT_SCHEMA)

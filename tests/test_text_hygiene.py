@@ -477,12 +477,21 @@ def test_unicode_idempotence_and_composition_property(spark, s):
     assert row["ck"] == row["k1"]
 
 
-@settings(deadline=None, max_examples=20,
+@settings(deadline=None, max_examples=20, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     s=st.text(
         alphabet=st.characters(
-            blacklist_categories=("Cs",), max_codepoint=0xFFFD
+            # min_codepoint=1: NUL is excluded because DuckDB's
+            # nfc_normalize (utf8proc) has a NUL-path edge where some
+            # leading-NUL sequences come back empty ('\x00\x80' -> '')
+            # while the Unicode answer is the identity; the engines
+            # legitimately diverge there. See the pinned divergence
+            # test below. No driver query is exposed: strip_controls
+            # removes \x00 upstream of every NFC call in the hygiene
+            # chain, and the q25 corpus is NUL-free.
+            blacklist_categories=("Cs",), min_codepoint=1,
+            max_codepoint=0xFFFD
         ),
         max_size=40,
     )
@@ -491,12 +500,38 @@ def test_nfc_kernel_matches_duckdb_property(spark, s):
     """Round-12: the Arrow NFC kernel diffed against DuckDB's
     nfc_normalize — a REAL second normalization engine — on random
     BMP codepoint strings (the q25 oracle's cross-engine contract,
-    generalized from the pinned suffix constants)."""
+    generalized from the pinned suffix constants). NUL excluded
+    (round 13) — see the strategy comment and the pinned test."""
     import duckdb
 
     got = _one(spark, T.unicode_normalize_udf("NFC")(F.col("v")), s)
     ref = duckdb.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
     assert got == ref
+
+
+def test_nfc_nul_divergence_pinned(spark):
+    """Round-13 pin of the cross-engine DIVERGENCE that made the
+    property above flaky: on '\\x00\\x80' the Arrow kernel returns the
+    Unicode-correct identity (the string is already NFC), while
+    DuckDB's nfc_normalize returns '' — a utf8proc NUL-path edge
+    (interior NULs survive: 'a\\x00b' round-trips; this leading-NUL
+    sequence empties). The kernel is right; the property therefore
+    excludes NUL from its domain rather than over-claiming parity."""
+    import duckdb
+
+    s = "\x00\x80"
+    got = _one(spark, T.unicode_normalize_udf("NFC")(F.col("v")), s)
+    assert got == s  # Unicode: already NFC -> identity
+    ref = duckdb.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+    # DuckDB's utf8proc edge: if this ever starts round-tripping,
+    # the engines agree again and NUL can rejoin the property domain.
+    assert ref in ("", s)
+    # Interior NUL survives in BOTH engines (shows the edge is
+    # specifically the leading-NUL sequence, not NUL handling per se).
+    assert _one(spark, T.unicode_normalize_udf("NFC")(F.col("v")), "a\x00b") == "a\x00b"
+    assert duckdb.execute(
+        "SELECT nfc_normalize(?)", ["a\x00b"]
+    ).fetchone()[0] == "a\x00b"
 
 
 def test_strip_controls_keeps_tab_newline_cr(spark):

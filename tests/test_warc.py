@@ -10,8 +10,10 @@ import pytest
 
 from e_commerce_data_pipeline_spark.sources.warc import (
     build_warc,
+    decode_http_body,
     extract_warc_responses,
     parse_warc,
+    sniff_charset,
     split_http_response,
 )
 
@@ -160,6 +162,144 @@ def test_bitflip_sweep_plain_and_gzip():
                 except ValueError:
                     pass
                 data[byte_i] ^= bit
+
+
+# -------------------------------------------------------------- charset
+
+
+def test_sniff_charset_spellings():
+    """Every spelling real crawls carry: bare, quoted, single-quoted,
+    case-folded name+label, parameter whitespace, trailing params."""
+    assert sniff_charset({"content-type": "text/html; charset=utf-8"}) == "utf-8"
+    assert (
+        sniff_charset({"content-type": 'text/html; charset="ISO-8859-1"'})
+        == "iso-8859-1"
+    )
+    assert (
+        sniff_charset({"content-type": "text/html; charset='Shift_JIS'"})
+        == "shift_jis"
+    )
+    assert (
+        sniff_charset({"content-type": "text/html; CHARSET = Windows-1252"})
+        == "windows-1252"
+    )
+    assert (
+        sniff_charset(
+            {"content-type": "text/html; charset=EUC-JP; boundary=x"}
+        )
+        == "euc-jp"
+    )
+    assert sniff_charset({"content-type": "text/html"}) is None
+    assert sniff_charset({}) is None
+    assert sniff_charset({"content-type": "text/html; charset="}) is None
+
+
+def test_decode_http_body_policy():
+    """The documented corpus-walker decode policy: declared-charset
+    strict decode is clean; unknown labels fall back to utf-8 and
+    are NOT clean; undecodable bytes replace + flag, never raise."""
+    # declared latin-1, non-ASCII byte -> exact recovery, clean
+    txt, cs, clean = decode_http_body(
+        "café".encode("latin-1"),
+        {"content-type": "text/html; charset=ISO-8859-1"},
+    )
+    assert (txt, cs, clean) == ("café", "iso-8859-1", True)
+    # declared shift_jis katakana
+    txt, cs, clean = decode_http_body(
+        "アイウ".encode("shift_jis"),
+        {"content-type": "text/html; charset=Shift_JIS"},
+    )
+    assert (txt, cs, clean) == ("アイウ", "shift_jis", True)
+    # absent header -> utf-8 default, clean when bytes are valid
+    txt, cs, clean = decode_http_body("✓ ok".encode(), {})
+    assert (txt, cs, clean) == ("✓ ok", "utf-8", True)
+    # unknown label -> utf-8 fallback, flagged unclean even if bytes
+    # happen to decode (the declaration was unusable)
+    txt, cs, clean = decode_http_body(
+        b"plain ascii", {"content-type": "text/html; charset=unicode"}
+    )
+    assert (txt, cs, clean) == ("plain ascii", "utf-8", False)
+    # latin-1 bytes WITHOUT a declaration: invalid utf-8 -> replace
+    # + unclean, and the row survives (policy: bad page is data)
+    txt, cs, clean = decode_http_body("café".encode("latin-1"), {})
+    assert cs == "utf-8" and clean is False and "caf" in txt
+    assert "�" in txt
+
+
+def _charset_records():
+    """One response per wire charset, each with a charset-native
+    non-ASCII body — the mixed-charset shape of a real crawl file."""
+    cases = [
+        ("utf-8", "text/html", "<p>✓ doc zero</p>"),
+        ("latin-1", 'text/html; charset="ISO-8859-1"', "<p>café ±é</p>"),
+        ("shift_jis", "text/html; CHARSET=Shift_JIS", "<p>アイウ</p>"),
+    ]
+    recs = []
+    for i, (codec, ct, html) in enumerate(cases):
+        body = html.encode(codec)
+        recs.append(
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{i}>",
+                    "WARC-Target-URI": f"https://corpus.example/doc/{i}",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                "payload": (
+                    b"HTTP/1.1 200 OK\r\n"
+                    + f"Content-Type: {ct}".encode("ascii")
+                    + b"\r\n"
+                    + f"Content-Length: {len(body)}".encode("ascii")
+                    + b"\r\n\r\n"
+                    + body
+                ),
+            }
+        )
+    return recs, [c[2] for c in cases]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_extract_mixed_charsets_spark(spark, gz):
+    """End-to-end: a mixed-charset WARC file (the q65 round-13 fold
+    shape) recovers every body exactly, all rows decode_clean."""
+    import pandas as pd
+
+    recs, htmls = _charset_records()
+    data = build_warc(recs, gzip_members=gz)
+    df = spark.createDataFrame(pd.DataFrame({"warc": [data]}))
+    out = sorted(
+        extract_warc_responses(df, "warc").collect(),
+        key=lambda r: r["record_id"],
+    )
+    assert [r["html"] for r in out] == htmls
+    assert all(r["decode_clean"] for r in out)
+    assert [r["charset"] for r in out] == ["utf-8", "iso-8859-1", "shift_jis"]
+
+
+def test_extract_undeclared_latin1_flags_not_raises(spark):
+    """A latin-1 page with NO charset declaration must survive as a
+    flagged row (replace policy), not kill the file's task."""
+    import pandas as pd
+
+    rec = {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Record-ID": "<urn:doc:9>",
+            "WARC-Target-URI": "https://corpus.example/doc/9",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        "payload": (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + "caf\xe9".encode("latin-1")
+        ),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"warc": [build_warc([rec])]})
+    )
+    out = extract_warc_responses(df, "warc").collect()
+    assert len(out) == 1
+    assert out[0]["decode_clean"] is False
+    assert "�" in out[0]["html"]
 
 
 # ---------------------------------------------------------------- spark
