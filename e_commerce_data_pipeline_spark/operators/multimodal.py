@@ -4010,12 +4010,28 @@ def _ycbcr_inverse_consts(co):
     or an absent tag — returns the LITERAL constants the closed-form
     oracles pin (1.402 / 1.772 / 0.714136286 / 0.344136286), so
     default files stay bit-identical to the pre-tag path; any other
-    triple feeds the general inverse. Malformed or degenerate
-    (lg == 0) tags are loud."""
+    triple feeds the general inverse. Malformed, degenerate
+    (lg == 0), or NON-NORMALIZED (lr+lg+lb != 1) tags are loud: the
+    G derivation below substitutes Y = lr*R + lg*G + lb*B, which
+    only holds when the weights sum to 1, so a non-normalized triple
+    would silently decode a wrong green channel (round-13 advice
+    fix). The sum check is exact — cross-multiplied integer
+    rationals, no float tolerance."""
     if co is None or co == [299, 1000, 587, 1000, 114, 1000]:
         return 1.402, 1.772, 0.714136286, 0.344136286
     if len(co) != 6 or any(d == 0 for d in co[1::2]):
         raise ValueError("TIFF YCbCrCoefficients malformed")
+    # lr + lg + lb == 1, exactly: n0/d0 + n1/d1 + n2/d2 == 1  <=>
+    # n0*d1*d2 + n1*d0*d2 + n2*d0*d1 == d0*d1*d2 (ints, no rounding)
+    if (
+        co[0] * co[3] * co[5]
+        + co[2] * co[1] * co[5]
+        + co[4] * co[1] * co[3]
+        != co[1] * co[3] * co[5]
+    ):
+        raise ValueError(
+            "TIFF YCbCrCoefficients not normalized (lr+lg+lb != 1)"
+        )
     lr, lg, lb = (co[0] / co[1], co[2] / co[3], co[4] / co[5])
     if lg == 0:
         raise ValueError("TIFF YCbCrCoefficients degenerate (lg == 0)")

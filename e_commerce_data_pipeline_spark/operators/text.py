@@ -1061,6 +1061,23 @@ def percent_normalize(col: Column | str) -> Column:
     — same budget as the query-param filter below. Decoding only
     unreserved octets can never synthesize a reserved delimiter
     (``/?#&=@:``), so the result is safe to parse afterwards.
+
+    DECISION (round 13) — multi-byte UTF-8 escapes stay ENCODED:
+    ``%C3%A9`` does not fold to ``é``, by design, so ``.../caf%C3%A9``
+    and ``.../café`` remain distinct dedup keys. Decoding reserved or
+    non-ASCII octets is lossy territory: (a) RFC 3986 §2.2 makes
+    reserved-octet escaping SEMANTIC (``%2F`` in a path segment is
+    data, ``/`` is structure — decoding merges distinct resources),
+    and (b) non-ASCII octet runs are only meaningful under a charset
+    assumption (``%E9`` is ``é`` in latin-1 pages, an invalid UTF-8
+    prefix otherwise), so a universal decode corrupts exactly the
+    long-tail URLs it would try to canonicalize. The conservative
+    normal form — decode unreserved only, uppercase the rest — is
+    what both sides of a dedup pair reach deterministically, which is
+    all a dedup key needs. The cross-key miss (a crawler that emits
+    ``café`` raw where another percent-encodes it) is accepted and
+    pinned in tests/test_text_hygiene.py::
+    test_percent_normalize_multibyte_stays_encoded.
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, "%")
@@ -1096,27 +1113,53 @@ def idna_host_udf():
     punycode (ACE) form via stdlib ``encodings.idna`` (IDNA 2003
     ToASCII with nameprep, which also case-folds), so ``bücher.example``
     and ``xn--bcher-kva.example`` collapse to ONE dedup key. ASCII
-    inputs return unchanged without touching the codec (the
-    overwhelmingly common case — one vectorized ``isascii`` scan per
-    batch); hosts the codec rejects (empty labels, >63-char labels)
-    also pass through unchanged — this operator folds, it does not
-    validate. Idempotent: folded output is ASCII, so a second pass is
-    the fast path. Spark has no builtin, so this is the documented
-    engine-external kernel (the ``unicode_normalize_udf`` precedent);
-    deterministic for a given CPython version's IDNA tables."""
+    batches short-circuit: one vectorized non-ASCII regex scan per
+    batch (the pandas ``str.contains`` mask), and only the non-ASCII
+    subset — vanishingly small in real corpora — touches the codec
+    per element. Hosts the codec rejects (empty labels, >63-char
+    labels) pass through unchanged — this operator folds, it does
+    not validate. Idempotent: folded output is ASCII, so a second
+    pass is the fast path. Spark has no builtin, so this is the
+    documented engine-external kernel (the ``unicode_normalize_udf``
+    precedent); deterministic for a given CPython version's IDNA
+    tables.
+
+    DECISION (round 13) — IDNA 2003, not UTS-46/IDNA 2008, and
+    documented as such rather than silently approximated. Stdlib
+    ``encodings.idna`` implements IDNA 2003 (nameprep); modern
+    browsers fold per UTS-46, which diverges on the deviation set:
+    ``ß`` (U+00DF) maps to ``ss`` under IDNA 2003 / UTS-46
+    transitional but encodes as its own label under IDNA 2008 /
+    UTS-46 non-transitional (``straße.example`` ->
+    ``strasse.example`` here vs ``xn--strae-oqa.example`` in
+    Chrome/Firefox), and ZWJ/ZWNJ (U+200C/D) are DELETED by nameprep
+    but CONTEXTJ-valid in IDNA 2008 (Persian/Sinhala labels). For
+    the ASCII-dominant dedup-key surface this skews only those
+    deviation labels — toward MERGING (2003 folds more), never
+    splitting, which is the safe direction for a dedup key. A UTS-46
+    fold needs the third-party ``idna`` package (not in the
+    environment); if it lands, thread it here behind a flag. The
+    ``ß`` divergence is pinned in tests/test_text_hygiene.py::
+    test_idna_2003_eszett_divergence_pinned."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     def _fold_one(t):
-        if t is None or t.isascii():
-            return t
         try:
             return t.encode("idna").decode("ascii")
         except UnicodeError:
             return t
 
     def _fold(s):
-        return s.map(_fold_one)
+        # vectorized pre-filter: one regex scan marks the non-ASCII
+        # rows; ASCII rows (and nulls) are returned untouched and
+        # only the marked subset pays the per-element codec call
+        mask = s.str.contains(r"[^\x00-\x7f]", regex=True, na=False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = out[mask].map(_fold_one)
+        return out
 
     _fold.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_fold, "string")

@@ -2496,6 +2496,21 @@ def test_tiff_ycbcr_organizations_round12():
     with pytest.raises(ValueError, match="YCbCrCoefficients"):
         decode_tiff(encode_tiff_ycbcr(
             yp, cbq, crq, (2, 2), luma=[1, 4, 0, 2, 1, 4]))
+    # NON-NORMALIZED triples (lr+lg+lb != 1) are loud too (round-13
+    # advice fix: the G inverse assumes the weights sum to 1, so a
+    # non-normalized tag would silently decode a wrong green channel)
+    with pytest.raises(ValueError, match="not normalized"):
+        decode_tiff(encode_tiff_ycbcr(
+            yp, cbq, crq, (2, 2), luma=[1, 2, 1, 2, 1, 2]))
+    with pytest.raises(ValueError, match="not normalized"):
+        decode_tiff(encode_tiff_ycbcr(
+            yp, cbq, crq, (2, 2), luma=[299, 1000, 587, 1000, 115, 1000]))
+    # ...and the exact-rational check has NO float tolerance: a
+    # triple off by 1e-6 of the default is rejected, while an
+    # unreduced-but-exact spelling of 1 passes
+    got = decode_tiff(encode_tiff_ycbcr(
+        yp, cbq, crq, (2, 2), luma=[2, 8, 2, 4, 2, 8]))
+    assert np.array_equal(got, want)
     # forged tile width not a multiple of the subsampling is loud
     b = bytearray(encode_tiff_ycbcr(yp, cbq, crq, (2, 2), tile=(4, 4)))
     ifd = int.from_bytes(b[4:8], "little")

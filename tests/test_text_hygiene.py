@@ -378,6 +378,59 @@ def test_idna_kernel_matches_stdlib_property(spark, host):
     assert got[0]["out"] == ref
 
 
+def test_idna_2003_eszett_divergence_pinned(spark):
+    """Round-13 pin of the documented IDNA 2003 vs UTS-46/IDNA 2008
+    divergence (see idna_host_udf docstring): stdlib nameprep folds
+    ß -> ss, so straße.example lands on strasse.example — browsers
+    under UTS-46 non-transitional keep ß as its own ACE label
+    (xn--strae-oqa.example). The 2003 behavior merges (never splits)
+    dedup keys, the safe direction; this test documents the choice
+    and will flag any future codec swap."""
+    got = _one(
+        spark, T.idna_host_udf()(F.col("v")), "straße.example"
+    )
+    assert got == "strasse.example"
+    # ZWNJ (U+200C) is deleted by nameprep (CONTEXTJ-valid in
+    # IDNA 2008) — written escaped; the char is invisible:
+    got = _one(
+        spark, T.idna_host_udf()(F.col("v")), "b\u00fc\u200ccher.example"
+    )
+    assert got == "xn--bcher-kva.example"
+
+
+def test_idna_mixed_batch_vectorized_prefilter(spark):
+    """The kernel's vectorized non-ASCII pre-filter: a batch mixing
+    ASCII rows, nulls, and foldable hosts returns each correctly
+    (ASCII + null untouched, non-ASCII folded)."""
+    rows = [("shop.example",), (None,), ("bücher.example",), ("",)]
+    df = spark.createDataFrame(rows, "v string")
+    got = [
+        r["out"]
+        for r in df.coalesce(1)
+        .select(T.idna_host_udf()(F.col("v")).alias("out"))
+        .collect()
+    ]
+    assert got == ["shop.example", None, "xn--bcher-kva.example", ""]
+
+
+def test_percent_normalize_multibyte_stays_encoded(spark):
+    """Round-13 pin of the percent-decode DECISION (see
+    percent_normalize docstring): multi-byte UTF-8 escapes are NOT
+    decoded — %C3%A9 ('é') stays encoded (hex uppercased), %2F
+    (reserved '/') stays encoded, while unreserved %41 decodes."""
+    cases = {
+        "/caf%c3%a9": "/caf%C3%A9",       # multi-byte: kept, upcased
+        "/caf%C3%A9": "/caf%C3%A9",       # idempotent
+        "/a%2fb": "/a%2Fb",               # reserved: kept, upcased
+        "/%41%62c": "/Abc",               # unreserved: decoded
+        "/café": "/café",       # raw é: untouched (distinct
+                                          # key from the encoded form,
+                                          # by design)
+    }
+    for raw, want in cases.items():
+        assert _one(spark, T.percent_normalize(F.col("v")), raw) == want
+
+
 def test_url_host(spark):
     cases = {
         "https://Shop.Example:8443/p": "shop.example",
