@@ -107,6 +107,32 @@ def _anchor_cache_fn(s, _d):
     )
 
 
+def _stabilize_host(spark, max_iters: int = 8, tol: float = 0.06) -> None:
+    """Round-13: re-probe the pinned range job until two consecutive
+    readings agree within ``tol`` before ANY timed row. The round-12
+    session started on a loaded host (start scan probe 2.02 s vs
+    0.47 s at session end) and the early rows (q01/q03/q08) kept
+    reading as 1.3-1.5x movers that each cost an isolated floor
+    session later — absorbing the co-tenancy spike here is cheaper
+    than adjudicating manufactured movers every round. Bounded: at
+    most ``max_iters`` probes (~1-2 s each when settled)."""
+    prev = None
+    for i in range(max_iters):
+        t0 = time.perf_counter()
+        spark.range(_ANCHOR_RANGE_N).selectExpr("sum(id * 3 + 1)").collect()
+        dt = time.perf_counter() - t0
+        settled = prev is not None and abs(dt - prev) <= tol * min(dt, prev)
+        print(
+            f"# stabilize probe {i}: {dt:.3f}s"
+            + (" (settled)" if settled else ""),
+            file=sys.stderr,
+        )
+        if settled:
+            return
+        prev = dt
+    print("# stabilize: max_iters reached without settling", file=sys.stderr)
+
+
 def _anchor_probe(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     best, _ = _timed_min(
@@ -188,6 +214,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     prior_rec = _prior_record(full_path, sf)
+    # settle the host BEFORE the recorded start anchor and the first
+    # timed rows (see _stabilize_host — kills the session-start spike
+    # that manufactured q01/q03/q08 "movers" in rounds 11-12)
+    _stabilize_host(spark)
     anchor_start = _anchor_probe(spark, sf_dir)
     ratio = _anchor_ratio(anchor_start, prior_rec)
     print(
@@ -323,6 +353,13 @@ def main() -> None:
     # The driver keeps only the tail of the stdout line, which truncates
     # 130+ per-query rows to ~59; persist the complete record (pretty,
     # committed each round) so cross-round perf comparison sees every row.
+    # Off-scale local runs (sf != 0.1) go to a sidecar file so a smoke
+    # run can never clobber the committed cross-round record (round-13:
+    # an sf0.001 smoke overwrote the r12 record mid-session).
+    if sf != 0.1:
+        full_path = full_path.replace(
+            "BENCH_FULL.json", f"BENCH_FULL_sf{sf}.json"
+        )
     try:
         with open(full_path, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
