@@ -7282,7 +7282,17 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
     (neutral chroma is constant 128 through the box mean), so the
     fold is oracle-invisible but those rows gate on the subsampled
     scan geometry; they carry no restarts, keeping the aux formula's
-    uniform per-scan RST count exact for the restarted rows."""
+    uniform per-scan RST count exact for the restarted rows.
+
+    Round 13: odd rows (i%2==1) re-code through SOF10 — PROGRESSIVE
+    ARITHMETIC (the Annex G.2 models over the QM-coder). Crossed
+    with the i%3 rotation this ships arithmetic plain-4:4:4 (i%6=3),
+    arithmetic 4:2:0 (i%6=1), and arithmetic WITH restart segments
+    (i%6=5). Decoded pixels and the scans*1000+restarts aux are
+    identical to the Huffman layout (same script, same restart
+    cadence, same block-constant bit-exactness), so the fold is
+    oracle-invisible while the odd rows gate on the whole SOF10
+    walk."""
     import numpy as np
 
     rows = []
@@ -7299,11 +7309,15 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5
         ri = (1 + i % 5) if i % 3 == 2 else 0
+        encoder = (
+            encode_jpeg_arith_progressive if i % 2
+            else encode_jpeg_progressive
+        )
         rows.append(
             (
                 i,
                 "image",
-                encode_jpeg_progressive(
+                encoder(
                     rgb, quality=q, restart_interval=ri,
                     subsampling="420" if i % 3 == 1 else "444",
                 ),
@@ -8358,7 +8372,11 @@ def decode_jpeg(b: bytes, color_space: str = "auto"):
         elif marker == 0xDE:
             # DHP: HIERARCHICAL frame pyramid (round 12, Annex J)
             return _decode_jpeg_hierarchical(b, color_space)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker == 0xCA:
+            # SOF10: progressive with ARITHMETIC coding (round 13 —
+            # the Annex G.2 models over the Annex D QM-coder)
+            return _decode_jpeg_arith_progressive(b)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             require_codec(f"JPEG SOF marker 0xFF{marker:02X} (non-baseline)")
         elif marker == 0xDD:
@@ -9343,6 +9361,331 @@ def _decode_jpeg_progressive(b: bytes):
     return out.astype(np.uint8)
 
 
+def _decode_jpeg_arith_progressive(b: bytes):
+    """PROGRESSIVE arithmetic JPEG (SOF10, T.81 Annex G.2) ->
+    (h, w, 3) uint8 RGB (or grayscale replicated). The progressive
+    scan machinery of ``_decode_jpeg_progressive`` driven by the
+    Annex D QM-coder instead of Huffman tables: DC first scans run
+    the sequential Annex F DC model on the point-transformed diffs
+    (DAC L/U conditioning), DC refinement is one equiprobable-bin
+    bit per block, AC first scans are the band-limited sequential AC
+    model (Kx conditioning, values restored ``<< Al``), AC
+    refinement follows Figure G.8 (adaptive correction bits,
+    newly-nonzero decisions, EOB only beyond the previous stage's
+    end-of-block). Statistics zero at every scan start (DC stats
+    only for DC-first scans) and at every restart segment; DRI/RSTm
+    restart intervals work in every scan kind (segment split +
+    sequence check + fresh coder). 8-bit, 1/3 components (the
+    YCbCr/grayscale class, like SOF2 — 4-component arithmetic
+    progressive gates); structural damage raises ValueError."""
+    import numpy as np
+
+    pos = 2
+    qts: dict[int, object] = {}
+    sof = None
+    coefs = None
+    restart_interval = 0
+    dc_cond = {}
+    ac_cond = {}
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            _jpg_parse_dqt(payload, qts)
+        elif marker == 0xCC:
+            # DAC conditioning (same layout as the sequential path)
+            if len(payload) % 2:
+                raise ValueError("JPEG DAC truncated")
+            for p in range(0, len(payload), 2):
+                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
+                    payload[p + 1]
+                if tb > 3:
+                    raise ValueError("JPEG DAC table id out of range")
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up or up > 15:
+                        raise ValueError("JPEG DAC DC conditioning invalid")
+                    dc_cond[tb] = (low, up)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC AC Kx out of range")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError("JPEG DAC class invalid")
+        elif marker == 0xCA:
+            if len(payload) < 6:
+                raise ValueError("JPEG SOF truncated")
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                require_codec(
+                    f"arithmetic progressive JPEG precision={prec}"
+                )
+            if nc not in (1, 3):
+                require_codec(
+                    f"{nc}-component arithmetic progressive JPEG"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factor out of range {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _, _, hi, vi in comps:
+                if hmax % hi or vmax % vi:
+                    require_codec(
+                        f"JPEG fractional sampling {hi}x{vi} "
+                        f"of {hmax}x{vmax}"
+                    )
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            if not h or not w or h * w * nc > (1 << 26):
+                raise ValueError("JPEG dimensions implausible")
+            geom = []
+            for _, _, hi, vi in comps:
+                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+                geom.append(
+                    (mcux * hi, mcuy * vi, -(-cw // 8), -(-ch // 8),
+                     cw, ch)
+                )
+            coefs = [
+                np.zeros((g[1], g[0], 64), dtype=np.int64)
+                for g in geom
+            ]
+            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy)
+        elif marker == 0xDD:
+            if len(payload) < 2:
+                raise ValueError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG scan before SOF10")
+            if not payload or len(payload) < 1 + 2 * payload[0] + 3:
+                raise ValueError("JPEG SOS truncated")
+            h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+            ns = payload[0]
+            sel = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                idx = next(
+                    (i for i, c in enumerate(comps) if c[0] == cs),
+                    None,
+                )
+                if idx is None:
+                    raise ValueError("JPEG scan names unknown component")
+                sel.append((idx, tt >> 4, tt & 0x0F))
+            Ss, Se, aa = payload[1 + 2 * ns : 4 + 2 * ns]
+            if not 0 <= Ss <= Se <= 63:
+                raise ValueError("JPEG SOS spectral band out of range")
+            Ah, Al = aa >> 4, aa & 0x0F
+            data_start = pos + 2 + ln
+            end = _jpg_scan_end(b, data_start)
+            # restart segment split (stuffed 0xFF00 means any bare
+            # 0xFF D0-D7 inside the scan IS a restart marker)
+            seg_bounds = []
+            p = data_start
+            seg_from = data_start
+            rst_seq = 0
+            while p + 1 < end:
+                if b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                    got = b[p + 1] - 0xD0
+                    if got != rst_seq % 8:
+                        raise ValueError(
+                            f"JPEG restart desync: RST{got}, "
+                            f"expected RST{rst_seq % 8}"
+                        )
+                    seg_bounds.append((seg_from, p))
+                    seg_from = p + 2
+                    rst_seq += 1
+                    p += 2
+                else:
+                    p += 1
+            seg_bounds.append((seg_from, end))
+            ri = restart_interval
+            if not ri and len(seg_bounds) != 1:
+                raise ValueError("JPEG restart markers without DRI")
+
+            dc_scan = Ss == 0
+            if dc_scan and Se != 0:
+                raise ValueError("SOF10 scan mixes DC and AC")
+            if not dc_scan and len(sel) != 1:
+                raise ValueError("SOF10 AC scan must be one component")
+
+            def scan_stats_reset():
+                # G.2 convention: DC stats zero only for DC-FIRST
+                # scans; AC stats zero for every AC scan; DC refine
+                # touches only the non-adaptive bin
+                if dc_scan and Ah == 0:
+                    for _si, (_ci, dt, _at) in enumerate(sel):
+                        dc_stats.setdefault(dt, bytearray(64))[:] = \
+                            bytes(64)
+                elif not dc_scan:
+                    at = sel[0][2]
+                    ac_stats.setdefault(at, bytearray(256))[:] = \
+                        bytes(256)
+
+            # unit count for the restart cadence: MCUs for DC scans,
+            # the component's own blocks for AC scans
+            if dc_scan:
+                if len(sel) > 1:
+                    unit_iter = (
+                        (si, ci,
+                         (my * comps[ci][3] + v_,
+                          mx * comps[ci][2] + h_))
+                        for my in range(mcuy)
+                        for mx in range(mcux)
+                        for si, (ci, _dt, _at) in enumerate(sel)
+                        for v_ in range(comps[ci][3])
+                        for h_ in range(comps[ci][2])
+                    )
+                    per_mcu = sum(
+                        comps[ci][2] * comps[ci][3]
+                        for ci, _, _ in sel
+                    )
+                else:
+                    ci0 = sel[0][0]
+                    nbw0, nbh0 = geom[ci0][2], geom[ci0][3]
+                    unit_iter = (
+                        (0, ci0, (by, bx))
+                        for by in range(nbh0)
+                        for bx in range(nbw0)
+                    )
+                    per_mcu = 1
+                total_units = mcuy * mcux if len(sel) > 1 else (
+                    geom[sel[0][0]][2] * geom[sel[0][0]][3]
+                )
+            else:
+                ci0 = sel[0][0]
+                nbw0, nbh0 = geom[ci0][2], geom[ci0][3]
+                total_units = nbw0 * nbh0
+            if ri:
+                want_segs = -(-total_units // ri)
+                if len(seg_bounds) != want_segs:
+                    raise ValueError(
+                        "JPEG restart segment count mismatch"
+                    )
+
+            seg_i = -1
+            dec = None
+            unit_n = 0
+            if dc_scan:
+                preds = [0] * len(sel)
+                dc_ctx = [0] * len(sel)
+                blk_i = 0
+                for si, ci, (gy, gx) in unit_iter:
+                    if blk_i % per_mcu == 0:
+                        if unit_n % (ri or total_units or 1) == 0 \
+                                and seg_i + 1 < len(seg_bounds):
+                            seg_i += 1
+                            s0, s1 = seg_bounds[seg_i]
+                            dec = _QmDecoder(b[s0:s1])
+                            scan_stats_reset()
+                            preds = [0] * len(sel)
+                            dc_ctx = [0] * len(sel)
+                        unit_n += 1
+                    blk_i += 1
+                    blk = coefs[ci][gy, gx]
+                    dt = sel[si][1]
+                    if Ah == 0:
+                        low, up = dc_cond.get(dt, (0, 1))
+                        preds[si] += _arith_dc_decode(
+                            dec, dc_stats[dt], dc_ctx, si, low, up
+                        )
+                        blk[0] = preds[si] << Al
+                    else:
+                        blk[0] |= dec.decode(fixed, 0) << Al
+            else:
+                ci, _dt, at = sel[0]
+                kx = ac_cond.get(at, 5)
+                for by in range(nbh0):
+                    for bx in range(nbw0):
+                        if unit_n % (ri or total_units or 1) == 0 \
+                                and seg_i + 1 < len(seg_bounds):
+                            seg_i += 1
+                            s0, s1 = seg_bounds[seg_i]
+                            dec = _QmDecoder(b[s0:s1])
+                            scan_stats_reset()
+                        unit_n += 1
+                        blk = coefs[ci][by, bx]
+                        if Ah == 0:
+                            _arith_ac_decode(
+                                dec, ac_stats[at], fixed, kx, blk,
+                                ss=Ss, se=Se, al=Al,
+                            )
+                        else:
+                            _arith_ac_refine_decode(
+                                dec, ac_stats[at], fixed, blk,
+                                Ss, Se, Al,
+                            )
+            pos = end
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "mixed SOF markers in arithmetic progressive JPEG"
+            )
+        pos += 2 + ln
+    if sof is None or coefs is None:
+        raise ValueError("JPEG missing SOF10/scan data")
+    h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+    dctm = _jpg_dct_mat()
+    zz = _JPG_ZIGZAG
+    planes = []
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("JPEG missing quant table")
+        gbw, gbh, nbw_c, nbh_c, cw, ch = geom[ci]
+        plane = np.zeros((nbh_c * 8, nbw_c * 8), dtype=np.float64)
+        for by in range(nbh_c):
+            for bx in range(nbw_c):
+                blk = np.zeros((8, 8), dtype=np.float64)
+                flat = blk.reshape(-1)
+                for i in range(64):
+                    flat[zz[i]] = coefs[ci][by, bx, i]
+                blk *= qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    dctm.T @ blk @ dctm
+                )
+        plane = plane[:ch, :cw]
+        if hi < hmax or vi < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0),
+                hmax // hi, axis=1,
+            )
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    out = np.stack(
+        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+    )
+    return out.astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical JPEG (ITU-T T.81 Annex J): DHP announces the final
 # dims, then a pyramid of frames — a non-differential base (SOF0/1)
@@ -10183,18 +10526,22 @@ def _arith_dc_encode(enc, st, dc_ctx, ci, diff, low, up):
         mm >>= 1
 
 
-def _arith_ac_decode(dec, st, fixed, kx, coefs):
+def _arith_ac_decode(dec, st, fixed, kx, coefs, ss=1, se=63, al=0):
     """Annex F.2.4.2: decode the AC coefficients of one block into
-    ``coefs`` (zigzag order, indices 1-63)."""
-    k = 1
-    while k <= 63:
+    ``coefs`` (zigzag order). Band-parameterized (round 13): the
+    progressive AC-first scan (Annex G.2) is the SAME model limited
+    to the spectral band ``ss..se`` with decoded values restored at
+    ``<< al`` (point transform); the sequential caller keeps the
+    defaults (full band, no shift)."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):  # EOB
             return
         while dec.decode(st, base + 1) == 0:
             base += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("JPEG arithmetic AC run overflow")
         sign = dec.decode(fixed, 0)
         idx = base + 2
@@ -10218,29 +10565,31 @@ def _arith_ac_decode(dec, st, fixed, kx, coefs):
                 v |= mm
             mm >>= 1
         v += 1
-        coefs[k] = -v if sign else v
+        coefs[k] = (-v if sign else v) << al
         k += 1
 
 
-def _arith_ac_encode(enc, st, fixed, kx, coefs):
-    ke = 63
-    while ke > 0 and coefs[ke] == 0:
+def _arith_ac_encode(enc, st, fixed, kx, coefs, ss=1, se=63, al=0):
+    """Annex F.1.4.2 / G.1.3.2 (band-parameterized, see the decode
+    twin): point transform is magnitude-truncation ``abs(v) >> al``
+    with the sign carried — T.81 G.1.2.2's toward-zero rule, the
+    same transform the Huffman progressive encoder applies."""
+    ke = se
+    while ke >= ss and (abs(int(coefs[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(st, base, 0)  # not EOB yet
-        v = int(coefs[k])
+        v = abs(int(coefs[k])) >> al
         while v == 0:
             enc.encode(st, base + 1, 0)
             base += 3
             k += 1
-            v = int(coefs[k])
+            v = abs(int(coefs[k])) >> al
         enc.encode(st, base + 1, 1)
-        sign = 1 if v < 0 else 0
+        sign = 1 if int(coefs[k]) < 0 else 0
         enc.encode(fixed, 0, sign)
-        if sign:
-            v = -v
         idx = base + 2
         v -= 1
         m = 0
@@ -10265,7 +10614,76 @@ def _arith_ac_encode(enc, st, fixed, kx, coefs):
             enc.encode(st, idx, 1 if (v & mm) else 0)
             mm >>= 1
         k += 1
-    if k <= 63:
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_ac_refine_decode(dec, st, fixed, coefs, ss, se, al):
+    """Annex G.2 AC successive-approximation refinement (the Figure
+    G.8 software realization): per band index, previously-nonzero
+    coefficients get an adaptive correction bit (context base+2)
+    that moves the magnitude toward ``|v| + 2^al``; zero history
+    walks newly-nonzero decisions (base+1) whose sign comes from the
+    equiprobable bin; the EOB decision (base) is only coded beyond
+    the PREVIOUS stage's end-of-block index ``kex`` — past an EOB
+    flag nothing else in the block is coded."""
+    p1, m1 = 1 << al, -(1 << al)
+    kex = se
+    while kex >= ss and coefs[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB: no further correction bits in this block
+        while True:
+            v = int(coefs[k])
+            if v != 0:
+                if dec.decode(st, base + 2):
+                    coefs[k] = v + (p1 if v >= 0 else m1)
+                break
+            if dec.decode(st, base + 1):
+                coefs[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refine overflow")
+        k += 1
+
+
+def _arith_ac_refine_encode(enc, st, fixed, coefs, ss, se, al):
+    """Encode twin of ``_arith_ac_refine_decode`` (Figure G.10):
+    ``ke`` is this stage's end-of-block (last ``abs >> al`` nonzero),
+    ``kex`` the previous stage's (last ``abs >> (al+1)`` nonzero —
+    Ah == al+1 in a one-bit cascade); the EOB decision is coded only
+    for k > kex, and the trailing EOB flag only when ke < se."""
+    ke = se
+    while ke >= ss and (abs(int(coefs[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(coefs[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            v = int(coefs[k])
+            t = abs(v) >> al
+            if t > 1:  # previously nonzero: adaptive correction bit
+                enc.encode(st, base + 2, t & 1)
+                break
+            if t == 1:  # newly nonzero this stage
+                enc.encode(st, base + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
@@ -10709,6 +11127,197 @@ def encode_jpeg_arith(
     )
 
 
+def encode_jpeg_arith_progressive(
+    arr,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    dc_cond=(0, 1),
+    ac_kx: int = 5,
+    emit_dac: bool = True,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) grayscale uint8 -> PROGRESSIVE
+    arithmetic JPEG (SOF10, T.81 Annex G.2): the Huffman progressive
+    scan script (interleaved DC with successive approximation,
+    per-component spectral-selection AC bands, refinement cascade)
+    re-coded through the Annex D QM-coder. Same quantization front
+    end as ``encode_jpeg_progressive`` — the stream is a lossless
+    re-coding of the SAME coefficients, so decoding it must equal
+    decoding the sequential/Huffman-progressive stream of the same
+    image bit-exactly. Scan models: DC-first = the sequential Annex
+    F DC model on the point-transformed diffs; DC-refine = one
+    equiprobable-bin bit per block; AC-first = the sequential AC
+    model band-limited with the toward-zero point transform;
+    AC-refine = the Figure G.10 correction-bit model. Statistics
+    zero at every scan start (DC stats only for DC-first scans, per
+    the G.2 convention) and at every restart segment; each scan and
+    each restart segment is its own QM entropy segment (flush +
+    RSTm, m cycling per scan). ``dc_cond``/``ac_kx`` write one DAC
+    after the SOF when ``emit_dac`` (omitting it requires the
+    default conditioning, exercising the decoder's defaults path)."""
+    import numpy as np
+
+    low, up = dc_cond
+    if not (0 <= low <= up <= 15):
+        raise ValueError("DC conditioning needs 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("AC conditioning needs 1 <= Kx <= 63")
+    if not emit_dac and ((low, up) != (0, 1) or ac_kx != 5):
+        raise ValueError("omitting DAC requires the default conditioning")
+    if subsampling != "444":
+        coefs, samp, nbgeom, h, w = _jpg_quantized_coefs_sub(
+            arr, quality, subsampling
+        )
+        gray = False
+        nc = 3
+    else:
+        coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
+        nc = 1 if gray else 3
+        samp = [(1, 1)] * nc
+        nbgeom = [
+            (coefs[0].shape[1], coefs[0].shape[0]) for _ in range(nc)
+        ]
+    tqs = [0] if gray else [0, 1, 1]
+    mcuy_n = coefs[0].shape[0] // samp[0][1]
+    mcux_n = coefs[0].shape[1] // samp[0][0]
+
+    def mcu_blocks():
+        for my in range(mcuy_n):
+            for mx in range(mcux_n):
+                yield [
+                    (ci, my * samp[ci][1] + v_, mx * samp[ci][0] + h_)
+                    for ci in range(nc)
+                    for v_ in range(samp[ci][1])
+                    for h_ in range(samp[ci][0])
+                ]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    ql, qc = _jpg_quant_tables(quality)
+    dqt = seg(0xDB, b"\x00" + bytes(
+        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
+    ))
+    if not gray:
+        dqt += seg(0xDB, b"\x01" + bytes(
+            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
+        ))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([
+            ci + 1, (samp[ci][0] << 4) | samp[ci][1], tqs[ci]
+        ])
+    dac = b""
+    if emit_dac:
+        body = b""
+        for t in sorted(set(tqs)):
+            body += bytes([t, (up << 4) | low])
+            body += bytes([0x10 | t, ac_kx])
+        dac = seg(0xCC, body)
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = bytearray(
+        b"\xff\xd8" + dqt + seg(0xCA, sof) + dac + dri
+    )
+    used_tabs = sorted(set(tqs))
+    dc_stats = {t: bytearray(64) for t in used_tabs}
+    ac_stats = {t: bytearray(256) for t in used_tabs}
+    fixed = bytearray([113])
+    script = _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
+    ri = restart_interval
+    for kind, comp, Ss, Se, Ah, Al in script:
+        entropy = bytearray()
+        enc = _QmEncoder()
+        # per-scan statistics reset (G.2 / the software realization:
+        # DC stats only for DC-first scans, AC stats for AC scans;
+        # DC-refine touches only the non-adaptive bin)
+        if kind == "dc_first":
+            for st_ in dc_stats.values():
+                st_[:] = bytes(64)
+        elif kind in ("ac_first", "ac_refine"):
+            for st_ in ac_stats.values():
+                st_[:] = bytes(256)
+        seg_i = 0
+
+        def rst():
+            nonlocal enc, seg_i
+            entropy.extend(enc.flush())
+            entropy.extend(bytes([0xFF, 0xD0 + (seg_i % 8)]))
+            seg_i += 1
+            enc = _QmEncoder()
+            if kind == "dc_first":
+                for st_ in dc_stats.values():
+                    st_[:] = bytes(64)
+            elif kind in ("ac_first", "ac_refine"):
+                for st_ in ac_stats.values():
+                    st_[:] = bytes(256)
+
+        if kind == "dc_first":
+            preds = [0] * nc
+            dc_ctx = [0] * nc
+            mcu_n = 0
+            for blklist in mcu_blocks():
+                if ri and mcu_n and mcu_n % ri == 0:
+                    rst()
+                    preds = [0] * nc
+                    dc_ctx = [0] * nc
+                mcu_n += 1
+                for ci, gy, gx in blklist:
+                    v = int(coefs[ci][gy, gx, 0]) >> Al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    _arith_dc_encode(
+                        enc, dc_stats[tqs[ci]], dc_ctx, ci,
+                        diff, low, up,
+                    )
+        elif kind == "dc_refine":
+            mcu_n = 0
+            for blklist in mcu_blocks():
+                if ri and mcu_n and mcu_n % ri == 0:
+                    rst()
+                mcu_n += 1
+                for ci, gy, gx in blklist:
+                    enc.encode(
+                        fixed, 0,
+                        (int(coefs[ci][gy, gx, 0]) >> Al) & 1,
+                    )
+        else:
+            t = tqs[comp]
+            nbw_c, nbh_c = nbgeom[comp]
+            blk_n = 0
+            for by in range(nbh_c):
+                for bx in range(nbw_c):
+                    if ri and blk_n and blk_n % ri == 0:
+                        rst()
+                    blk_n += 1
+                    blk = coefs[comp][by, bx]
+                    if kind == "ac_first":
+                        _arith_ac_encode(
+                            enc, ac_stats[t], fixed, ac_kx, blk,
+                            ss=Ss, se=Se, al=Al,
+                        )
+                    else:
+                        _arith_ac_refine_encode(
+                            enc, ac_stats[t], fixed, blk, Ss, Se, Al
+                        )
+        entropy.extend(enc.flush())
+        if kind in ("dc_first", "dc_refine"):
+            sos = bytes([nc])
+            for ci in range(nc):
+                sos += bytes([ci + 1, tqs[ci] << 4])
+        else:
+            sos = bytes([1, comp + 1, tqs[comp]])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, sos) + bytes(entropy)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpg_has_dhp(b: bytes) -> bool:
     """True when the stream opens a hierarchical pyramid (a DHP
     marker before the first scan). Pre-scan markers only, so no
@@ -10839,7 +11448,10 @@ def jpeg_marker_summary(b: bytes):
         marker = b[pos + 1]
         if marker == 0xD9:
             break
-        if marker == 0xC2:
+        if marker in (0xC2, 0xCA):
+            # SOF2 (Huffman) and SOF10 (arithmetic, round 13) are
+            # both the progressive class — the census folds them
+            # into one structural family
             prog = True
         (ln,) = struct.unpack_from(">H", b, pos + 2)
         if marker == 0xDA:

@@ -12637,7 +12637,14 @@ def q197_cdc_validation_census(spark, sf_dir):
     "— bit-exact on the block-constant corpus (neutral chroma is "
     "constant through the box mean), so the fold is oracle-"
     "invisible; those rows carry no restarts so the uniform "
-    "per-scan RST formula stays exact. "
+    "per-scan RST formula stays exact. PROGRESSIVE ARITHMETIC "
+    "JPEG (round 13, T.81 Annex G.2 over the Annex D QM-coder): "
+    "the progressive family's ODD rows re-code through SOF10 — "
+    "crossed with i%3 that ships arithmetic plain/4:2:0/restarted "
+    "scans; pixels and the scans*1000+restarts aux are identical "
+    "to the Huffman layout, so the fold is oracle-invisible while "
+    "those rows gate on the whole SOF10 walk (DC/AC successive "
+    "approximation under the G.2 statistical models). "
     "HIERARCHICAL JPEG (round 12, T.81 Annex J, fmt 'jpeg_hier', "
     "media_id +1000): DHP frame pyramids — a non-differential base "
     "frame, EXP reference expansions ((a+b+1)>>1 interpolation, "

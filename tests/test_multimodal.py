@@ -2393,6 +2393,117 @@ def test_tiff_jpeg_arithmetic_segments_round12():
             pass
 
 
+def test_jpeg_arith_progressive_round13():
+    """SOF10 (progressive arithmetic, T.81 Annex G.2): the stream is
+    a lossless re-coding of the SAME quantized coefficients, so
+    decoding it must EQUAL the sequential/Huffman-progressive decode
+    bit-exactly — across gray/color, 4:4:4/4:2:0/4:2:2, restart
+    intervals in every scan kind, custom DAC conditioning, and the
+    no-DAC defaults path. Out-of-scope SOF10 variants gate; damage
+    and encoder argument validation stay loud."""
+    import pytest
+    import struct as stt
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith_progressive,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(31)
+    nat = rng.randint(0, 256, (21, 26, 3)).astype(np.uint8)
+    natg = rng.randint(0, 256, (13, 18)).astype(np.uint8)
+    # pixel parity with the sequential pipeline (4:4:4 + gray)
+    for q in (75, 90):
+        for img in (nat, natg):
+            ref = decode_jpeg(encode_jpeg(img, quality=q))
+            for kw in (dict(), dict(restart_interval=2),
+                       dict(dc_cond=(1, 3), ac_kx=2),
+                       dict(emit_dac=False)):
+                got = decode_jpeg(
+                    encode_jpeg_arith_progressive(img, quality=q, **kw)
+                )
+                assert np.array_equal(got, ref), (q, img.shape, kw)
+    # subsampled parity rides the Huffman-progressive front end
+    for sub in ("420", "422"):
+        ref = decode_jpeg(
+            encode_jpeg_progressive(nat, quality=85, subsampling=sub)
+        )
+        for ri in (0, 3):
+            got = decode_jpeg(encode_jpeg_arith_progressive(
+                nat, quality=85, subsampling=sub, restart_interval=ri
+            ))
+            assert np.array_equal(got, ref), (sub, ri)
+    # typically tighter than the Huffman progressive stream
+    assert len(encode_jpeg_arith_progressive(nat, quality=90)) < len(
+        encode_jpeg_progressive(nat, quality=90)
+    )
+    # gates: 12-bit and 4-component SOF10 stay out of surface
+    b = bytearray(encode_jpeg_arith_progressive(natg, quality=90))
+    at = b.index(b"\xff\xca") + 4
+    b[at] = 12
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    # damage: restart desync, forged spectral band, truncation
+    b = bytearray(encode_jpeg_arith_progressive(
+        np.stack([natg] * 3, -1), quality=90, restart_interval=1
+    ))
+    rst = b.index(b"\xff\xd0")
+    b[rst + 1] = 0xD4
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(b))
+    b = bytearray(encode_jpeg_arith_progressive(natg, quality=90))
+    at = b.index(b"\xff\xda")
+    (ln,) = stt.unpack_from(">H", b, at + 2)
+    b[at + 2 + ln - 3] = 77  # forge Se above the band bound
+    b[at + 2 + ln - 4] = 99  # ...and Ss beyond it
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b))
+    # truncation: INSIDE entropy data the QM zero-feed termination
+    # convention may still decode (same contract as SOF9 — the coder
+    # reads zeros past the segment end), but no cut may ever escape
+    # the ValueError/NotImplementedError class; cutting into a
+    # MARKER header is always loud
+    full = bytes(encode_jpeg_arith_progressive(nat, quality=90))
+    for cut in (10, len(full) // 3, len(full) // 2, len(full) - 2):
+        try:
+            decode_jpeg(full[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    with pytest.raises(ValueError):
+        decode_jpeg(full[: full.index(b"\xff\xca") + 3])
+    # encoder argument validation mirrors the sequential encoder
+    with pytest.raises(ValueError, match="conditioning"):
+        encode_jpeg_arith_progressive(natg, dc_cond=(3, 1))
+    with pytest.raises(ValueError, match="DAC"):
+        encode_jpeg_arith_progressive(natg, ac_kx=9, emit_dac=False)
+
+
+def test_jpeg_arith_progressive_bitflip_sweep():
+    """Bit-flip contract over the SOF10 walk: every single-bit
+    corruption of a restarted 4:2:0 progressive arithmetic file
+    either decodes or raises ValueError/NotImplementedError."""
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_arith_progressive,
+    )
+
+    tiles = (np.arange(6).reshape(2, 3) * 47 + 11) % 256
+    img = np.kron(tiles, np.ones((8, 8), np.int64)).astype(np.uint8)
+    b = encode_jpeg_arith_progressive(
+        np.stack([img] * 3, -1), quality=90,
+        subsampling="420", restart_interval=1,
+    )
+    for bit in range(len(b) * 8):
+        bb = bytearray(b)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_arith_bitflip_sweep():
     """Bit-flip contract over the arithmetic walk: every single-bit
     corruption of a restarted color SOF9 file either decodes or
