@@ -241,6 +241,22 @@ def sniff_charset(http_headers: dict) -> str | None:
     return m.group(1).strip().strip("\"'").lower() or None
 
 
+# WHATWG Encoding Standard label fold (the subset that matters for a
+# web corpus): every label the standard maps to windows-1252 —
+# browsers and crawlers decode DECLARED latin-1/ascii as cp1252
+# because real pages under those labels carry 0x80-0x9F smart
+# quotes/dashes that ISO 8859-1 would turn into C1 controls. The
+# fold only WIDENS (cp1252 == latin-1 on 0x00-0x7F and 0xA0-0xFF);
+# the five cp1252-undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) fail
+# strict decode and take the replace+flag path.
+_WHATWG_CP1252_LABELS = frozenset({
+    "ansi_x3.4-1968", "ascii", "cp819", "cp1252", "csisolatin1",
+    "ibm819", "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591",
+    "iso_8859-1", "iso_8859-1:1987", "l1", "latin1", "us-ascii",
+    "windows-1252", "x-cp1252",
+})
+
+
 def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
     """Charset-aware body decode (round 13) — the documented policy
     for a CORPUS walker, where per-page decode trouble must not kill
@@ -249,9 +265,12 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
     byte is data, not damage):
 
     1. Charset = the ``Content-Type; charset=`` label when present
-       and known to Python's codec registry, else ``utf-8``. Unknown
-       labels (``charset=unicode``, vendor typos) fall back to
-       utf-8 and are NOT clean.
+       and known to Python's codec registry, else ``utf-8``.
+       Latin-1/ASCII-class labels fold to ``windows-1252`` per the
+       WHATWG Encoding Standard (what every browser and crawler
+       does — see ``_WHATWG_CP1252_LABELS``). Unknown labels
+       (``charset=unicode``, vendor typos) fall back to utf-8 and
+       are NOT clean.
     2. Strict decode first. On success -> ``clean=True``.
     3. On ``UnicodeDecodeError`` -> re-decode with
        ``errors="replace"`` (U+FFFD) and ``clean=False`` — the row
@@ -259,14 +278,16 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
        route it.
 
     Returns ``(text, resolved_charset, clean)`` where
-    ``resolved_charset`` is the codec actually used (canonical
-    lowercased label as declared, or ``utf-8`` for the fallback)."""
+    ``resolved_charset`` is the codec actually used (the WHATWG-
+    folded lowercased label, or ``utf-8`` for the fallback)."""
     import codecs
 
     label = sniff_charset(http_headers)
     clean_label = True
     if label is None:
         label = "utf-8"
+    elif label in _WHATWG_CP1252_LABELS:
+        label = "windows-1252"
     else:
         try:
             codecs.lookup(label)

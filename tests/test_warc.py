@@ -198,12 +198,29 @@ def test_decode_http_body_policy():
     """The documented corpus-walker decode policy: declared-charset
     strict decode is clean; unknown labels fall back to utf-8 and
     are NOT clean; undecodable bytes replace + flag, never raise."""
-    # declared latin-1, non-ASCII byte -> exact recovery, clean
+    # declared latin-1, non-ASCII byte -> exact recovery, clean;
+    # the label folds to windows-1252 per the WHATWG Encoding
+    # Standard (cp1252 == latin-1 on this byte range)
     txt, cs, clean = decode_http_body(
         "café".encode("latin-1"),
         {"content-type": "text/html; charset=ISO-8859-1"},
     )
-    assert (txt, cs, clean) == ("café", "iso-8859-1", True)
+    assert (txt, cs, clean) == ("café", "windows-1252", True)
+    # the fold is WHY: a declared-latin-1 page carrying cp1252
+    # smart quotes (0x93/0x94) decodes to the quotes browsers show,
+    # not to C1 control chars
+    txt, cs, clean = decode_http_body(
+        b"\x93quoted\x94 \x97 dash",
+        {"content-type": "text/html; charset=latin1"},
+    )
+    assert (txt, cs, clean) == ("“quoted” — dash",
+                                "windows-1252", True)
+    # ...and the five cp1252-undefined bytes take the replace+flag
+    # path rather than silently mapping to controls
+    txt, cs, clean = decode_http_body(
+        b"x\x81y", {"content-type": "text/html; charset=iso-8859-1"}
+    )
+    assert cs == "windows-1252" and clean is False and "�" in txt
     # declared shift_jis katakana
     txt, cs, clean = decode_http_body(
         "アイウ".encode("shift_jis"),
@@ -273,7 +290,9 @@ def test_extract_mixed_charsets_spark(spark, gz):
     )
     assert [r["html"] for r in out] == htmls
     assert all(r["decode_clean"] for r in out)
-    assert [r["charset"] for r in out] == ["utf-8", "iso-8859-1", "shift_jis"]
+    assert [r["charset"] for r in out] == [
+        "utf-8", "windows-1252", "shift_jis"
+    ]
 
 
 def test_extract_undeclared_latin1_flags_not_raises(spark):
