@@ -7142,7 +7142,14 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
     oracle-invisible). The unscaled quantization table keeps the
     block-constant DC step < 8, so the 12-bit pipeline — level shift
     2048, optimal DC tables with categories past Annex K's range,
-    uint16 rasters — is bit-exact under the same argument. Rows with
+    uint16 rasters — is bit-exact under the same argument. Round 13:
+    the i%12==5 gray-12 rows sub-rotate by i//12 — 5 ships 12-BIT
+    ARITHMETIC gray (``encode_jpeg_arith12``, SOF9 precision 12,
+    no-DAC defaults), 17 the same with custom DAC conditioning, 29
+    12-bit ARITHMETIC 4:4:4 gray-in-RGB color (neutral chroma
+    Cb=Cr=2048) — pixels and the aux restart count are identical to
+    the Huffman-12 layout, so the fold is oracle-invisible but those
+    rows gate on the precision-parameterized QM walk. Rows with
     i%6==4 (round 12) ship ARITHMETIC sequential (SOF9) instead —
     the same coefficients through the T.81 Annex D QM-coder with the
     family's DRI rotation (per-segment coder + statistics resets),
@@ -7174,10 +7181,24 @@ def synthetic_jpeg_rst_table(spark, n: int = 36) -> DataFrame:
             raster12 = img12.astype(np.uint16)
             if i % 12 == 11:  # 4:4:4 gray-in-RGB color sub-rotation
                 raster12 = np.stack([raster12] * 3, axis=-1)
-            content = encode_jpeg12(
-                raster12, quality=q,
-                restart_interval=1 + (i % 4),
-            )
+                content = encode_jpeg12(
+                    raster12, quality=q,
+                    restart_interval=1 + (i % 4),
+                )
+            else:
+                # round 13: the gray-12 rows ride SOF9 precision 12
+                # (arithmetic) — i//12 rotates no-DAC defaults /
+                # custom conditioning / 4:4:4 gray-in-RGB color
+                arm = i // 12
+                if arm == 2:
+                    raster12 = np.stack([raster12] * 3, axis=-1)
+                content = encode_jpeg_arith12(
+                    raster12, quality=q,
+                    restart_interval=1 + (i % 4),
+                    dc_cond=(1, 2) if arm == 1 else (0, 1),
+                    ac_kx=12 if arm == 1 else 5,
+                    emit_dac=(arm != 0),
+                )
         elif i % 6 == 4:
             # round 12: ARITHMETIC sequential (SOF9) — the same
             # quantized coefficients through the T.81 Annex D
@@ -10693,8 +10714,12 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
     sampling, DAC conditioning (defaults L=0, U=1, Kx=5 when the
     marker is absent — F.1.4.4.1.2/F.1.4.4.2), DRI/RSTm restart
     intervals (fresh coder + zeroed statistics + reset DC contexts
-    per segment, sequence numbers checked). 12-bit and 4-component
-    arithmetic scans gate; structural damage raises ValueError."""
+    per segment, sequence numbers checked). Round 13: precision 12
+    decodes for the gray/YCbCr class (level shift 2^(P-1), uint16
+    rasters — the Annex F models are precision-agnostic, the wider
+    DC/AC magnitudes stay inside the standard context layout);
+    12-bit RGB-space/CMYK and other precisions gate; structural
+    damage raises ValueError."""
     import numpy as np
 
     pos = 2
@@ -10726,10 +10751,12 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 require_codec(f"arithmetic JPEG precision={prec}")
             if nc not in (1, 3, 4):
                 require_codec(f"{nc}-component arithmetic JPEG")
+            if prec == 12 and nc == 4:
+                require_codec("4-component 12-bit arithmetic JPEG")
             if not h or not w or h * w * nc > (1 << 26):
                 raise ValueError("JPEG dimensions implausible")
             comps = []
@@ -10894,6 +10921,12 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
                         planes[ci][py : py + 8, px : px + 8] = (
                             dctm.T @ blk @ dctm
                         )
+    # precision-parameterized output (round 13, the encode_jpeg12
+    # pattern): level shift and YCbCr relations center on 2^(P-1),
+    # clip at 2^P - 1, uint16 rasters above 8 bits
+    lvl = float(1 << (prec - 1))
+    full = (1 << prec) - 1
+    odt = np.uint8 if prec == 8 else np.uint16
     up_pl = []
     for p_, (_, _, hi, vi) in zip(planes, comps):
         if hi < hmax or vi < vmax:
@@ -10901,9 +10934,9 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
                 np.repeat(p_, vmax // vi, axis=0), hmax // hi, axis=1
             )
         up_pl.append(p_[:h, :w])
-    planes = [p_ + 128.0 for p_ in up_pl]
+    planes = [p_ + lvl for p_ in up_pl]
     if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
         return np.stack([g, g, g], axis=-1)
     ids = tuple(c[0] for c in comps)
     if len(planes) == 4:
@@ -10923,19 +10956,21 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
     if color_space == "rgb" or (
         color_space == "auto" and ids == (0x52, 0x47, 0x42)
     ):
+        if prec != 8:
+            require_codec("12-bit RGB-space arithmetic JPEG")
         out = np.stack(
             [np.clip(np.floor(p_ + 0.5), 0, 255) for p_ in planes],
             axis=-1,
         )
         return out.astype(np.uint8)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - lvl)
+    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+    bl = y + 1.772 * (cb - lvl)
     return np.stack(
-        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)],
         axis=-1,
-    ).astype(np.uint8)
+    ).astype(odt)
 
 
 def encode_jpeg_arith(
@@ -11120,6 +11155,146 @@ def encode_jpeg_arith(
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_arith12(
+    arr,
+    quality: int = 90,
+    restart_interval: int = 0,
+    dc_cond=(0, 1),
+    ac_kx: int = 5,
+    emit_dac: bool = True,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint16 (< 4096) -> 12-BIT
+    arithmetic sequential JPEG (SOF9 at precision 12 — the
+    DICOM/DNG class rides arithmetic coding in the wild exactly
+    because the QM-coder needs no 12-bit Huffman table rework).
+    Front end identical to ``encode_jpeg12`` (level shift 2048,
+    YCbCr relations centered likewise, the UNSCALED 8-bit-domain
+    Annex-K quantization tables — spec-legal at any precision);
+    entropy via the Annex D QM-coder with the Annex F models, which
+    are precision-agnostic — 12-bit DC diffs reach magnitude
+    category 15, still inside the standard DC context layout (X1
+    chain + 14-bin mantissa area fits the 64-byte statistics
+    block). Conditioning/DAC/restart semantics as in
+    ``encode_jpeg_arith``; 4:4:4 only."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    gray = a.ndim == 2
+    assert int(a.max(initial=0)) < 4096
+    h, w = a.shape[:2]
+    low, up = dc_cond
+    if not (0 <= low <= up <= 15):
+        raise ValueError("DC conditioning needs 0 <= L <= U <= 15")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError("AC conditioning needs 1 <= Kx <= 63")
+    if not emit_dac and ((low, up) != (0, 1) or ac_kx != 5):
+        raise ValueError("omitting DAC requires the default conditioning")
+    ql, qc = _jpg_quant_tables(quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+        qts = [ql]
+        tqs = [0]
+    else:
+        assert a.shape[2] == 3
+        rgb = a.astype(np.float64)
+        r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = 2048.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b_
+        cr = 2048.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b_
+        planes = [
+            np.clip(np.floor(x + 0.5), 0, 4095) for x in (y, cb, cr)
+        ]
+        qts = [ql, qc, qc]
+        tqs = [0, 1, 1]
+    nc = len(planes)
+    dctm = _jpg_dct_mat()
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    zz = np.array(_JPG_ZIGZAG)
+    used_tabs = sorted(set(tqs))
+    padded = [
+        _jpg_pad(p, mcuy * 8, mcux * 8) - 2048.0 for p in planes
+    ]
+    entropy = bytearray()
+    enc = None
+    dc_stats = {t: bytearray(64) for t in used_tabs}
+    ac_stats = {t: bytearray(256) for t in used_tabs}
+    fixed = bytearray([113])
+    dc_ctx = [0] * nc
+    preds = [0] * nc
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and \
+                    mcu_n % restart_interval == 0:
+                entropy += enc.flush()
+                entropy += bytes(
+                    [0xFF,
+                     0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                )
+                enc = None
+            if enc is None:
+                enc = _QmEncoder()
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for st in ac_stats.values():
+                    st[:] = bytes(256)
+                dc_ctx = [0] * nc
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, (p, qt) in enumerate(zip(padded, qts)):
+                t = tqs[ci]
+                py, px = my * 8, mx * 8
+                blk = p[py : py + 8, px : px + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                    np.int64
+                ) * np.where(f < 0, -1, 1)
+                zcoefs = qf.reshape(-1)[zz]
+                diff = int(zcoefs[0]) - preds[ci]
+                preds[ci] = int(zcoefs[0])
+                _arith_dc_encode(
+                    enc, dc_stats[t], dc_ctx, ci, diff, low, up
+                )
+                _arith_ac_encode(
+                    enc, ac_stats[t], fixed, ac_kx, zcoefs
+                )
+    entropy += enc.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(
+        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
+    ))
+    if any(t == 1 for t in tqs):
+        dqt += seg(0xDB, bytes([1]) + bytes(
+            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
+        ))
+    sof = struct.pack(">BHHB", 12, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, tqs[ci]])
+    dac = b""
+    if emit_dac:
+        body = b""
+        for t in used_tabs:
+            body += bytes([t, (up << 4) | low])
+            body += bytes([0x10 | t, ac_kx])
+        dac = seg(0xCC, body)
+    dri = b""
+    if restart_interval:
+        dri = seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tqs[ci] << 4) | tqs[ci]])
     sos += bytes([0, 63, 0])
     return (
         b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri

@@ -12675,8 +12675,14 @@ def q197_cdc_validation_census(spark, sf_dir):
     "12-BIT JPEG (round 10): the restart family's i%6==5 rows ship "
     "extended-sequential precision 12 — gray, or 4:4:4 gray-in-RGB "
     "COLOR on i%12==11, whose neutral chroma stays exact through "
-    "the 2048-centered YCbCr relations — (level shift 2048, "
-    "optimal DC tables with categories past Annex K, uint16 "
+    "the 2048-centered YCbCr relations; round 13 sub-rotates the "
+    "i%12==5 gray rows through 12-BIT ARITHMETIC (SOF9 precision "
+    "12, the DICOM/DNG-on-arithmetic class): no-DAC gray, "
+    "custom-conditioning gray, and 4:4:4 gray-in-RGB color by "
+    "i//12 — the Annex F models are precision-agnostic, pixels and "
+    "aux stay identical, so the fold is oracle-invisible while "
+    "gating on the precision-parameterized QM walk — (level shift "
+    "2048, optimal DC tables with categories past Annex K, uint16 "
     "rasters, tile value (t*16+i) mod 4096) — the unscaled "
     "quantization table keeps the DC step < 8, so the 12-bit "
     "pipeline is bit-exact under the same block-constant argument. "

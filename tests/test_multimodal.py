@@ -2297,10 +2297,12 @@ def test_jpeg_arith_roundtrip_and_parity():
         decode_jpeg(encode_jpeg_arith(natg, quality=85)),
         decode_jpeg(encode_jpeg(natg, quality=85)),
     )
-    # 12-bit / progressive-scan arithmetic keep their gates
+    # non-8/12 precisions / progressive-scan-in-SOF9 keep their
+    # gates (12-bit arithmetic decodes since round 13 — see
+    # test_jpeg_arith12_round13)
     b = bytearray(encode_jpeg_arith(img, quality=90))
     at = b.index(b"\xff\xc9") + 4
-    b[at] = 12  # forge precision
+    b[at] = 10  # forge precision
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(b))
     b = bytearray(encode_jpeg_arith(img, quality=90))
@@ -2478,6 +2480,60 @@ def test_jpeg_arith_progressive_round13():
         encode_jpeg_arith_progressive(natg, dc_cond=(3, 1))
     with pytest.raises(ValueError, match="DAC"):
         encode_jpeg_arith_progressive(natg, ac_kx=9, emit_dac=False)
+
+
+def test_jpeg_arith12_round13():
+    """SOF9 at precision 12 (the DICOM/DNG class on arithmetic
+    coding): decode parity with the Huffman-12 pipeline — same
+    front end, same quantized coefficients, so pixels must be
+    bit-identical — on block-constant AND full-entropy 12-bit
+    rasters, gray + 4:4:4 color, restarts + conditioning + no-DAC.
+    uint16 output; 12-bit RGB-space and 4-component stay gated."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg12,
+        encode_jpeg_arith12,
+    )
+
+    rng = np.random.RandomState(41)
+    g12 = rng.randint(0, 4096, (19, 22)).astype(np.uint16)
+    c12 = rng.randint(0, 4096, (16, 17, 3)).astype(np.uint16)
+    for src in (g12, c12):
+        for kw in (dict(), dict(restart_interval=2),
+                   dict(dc_cond=(1, 2), ac_kx=12),
+                   dict(emit_dac=False)):
+            ref = decode_jpeg(encode_jpeg12(
+                src, quality=88,
+                restart_interval=kw.get("restart_interval", 0),
+            ))
+            got = decode_jpeg(
+                encode_jpeg_arith12(src, quality=88, **kw)
+            )
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, ref), (src.shape, kw)
+    # encoder validation + the remaining precision gates
+    with pytest.raises(AssertionError):
+        encode_jpeg_arith12((g12.astype(np.int64) + 4096).astype(
+            np.uint16))
+    b = bytearray(encode_jpeg_arith12(g12, quality=90))
+    at = b.index(b"\xff\xc9") + 4
+    b[at] = 10  # neither 8 nor 12
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+    # bit-flip contract over the 12-bit arithmetic walk
+    tiles = (np.arange(6).reshape(2, 3) * 47 + 11) % 256
+    small = ((np.kron(tiles, np.ones((8, 8), np.int64)) * 16 + 3)
+             % 4096).astype(np.uint16)
+    data = encode_jpeg_arith12(small, quality=90, restart_interval=1)
+    for bit in range(len(data) * 8):
+        bb = bytearray(data)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_jpeg_arith_progressive_bitflip_sweep():
