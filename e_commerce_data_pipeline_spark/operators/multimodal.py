@@ -2557,34 +2557,76 @@ def _tiff_ojpeg_per_strip(
     layer performs, rebuilt here from the public spec. DC predictors
     reset per strip by construction (each strip is its own scan).
     Gray (photometric 1/0) and chunky YCbCr (photometric 6, sampling
-    from tag 530, default 2,2) decode; JPEGProc != 1, planar, tiled
-    and other photometrics stay honestly gated."""
+    from tag 530, default 2,2) decode. Round 13 retires the
+    JPEGProc gate for proc 14 (LOSSLESS, T.81 process 14 — the
+    §22 layout DNG's ancestors shipped): only JPEGDCTables (520)
+    matters, JPEGLosslessPredictors (517) / JPEGPointTransforms
+    (518) supply the scan header (one predictor per scan, so mixed
+    per-component values gate), the synthesized stream is SOF3, and
+    photometrics 0/1 (gray) and 2 (RGB — lossless has no color
+    transform) decode; RowsPerStrip is unconstrained (no MCU grid).
+    Other JPEGProc values, planar, tiled, non-8-bit and remaining
+    photometrics stay honestly gated."""
     import numpy as np
 
     proc = one(512, 1)
-    if proc != 1:
+    if proc not in (1, 14):
         require_codec(f"old-style per-strip JPEG JPEGProc {proc}")
+    lossless = proc == 14
     if depth != 8:
+        if lossless:
+            require_codec(
+                f"old-style lossless JPEG {depth}-bit samples"
+            )
         raise ValueError("old-style JPEG-in-TIFF requires 8-bit samples")
-    if photo not in (0, 1, 6):
+    if photo not in ((0, 1, 2) if lossless else (0, 1, 6)):
         require_codec(f"old-style per-strip JPEG photometric {photo}")
     if planar == 2 and spp != 1:
         require_codec("old-style per-strip JPEG planar configuration")
     if tiled:
         require_codec("old-style per-strip JPEG tiles")
-    if (photo in (0, 1) and spp != 1) or (photo == 6 and spp != 3):
+    if (photo in (0, 1) and spp != 1) or (photo in (2, 6) and spp != 3):
         raise ValueError("old-style JPEG photometric/spp mismatch")
-    qoffs = values(519)
     dcoffs = values(520)
-    acoffs = values(521)
-    if qoffs is None or dcoffs is None or acoffs is None:
-        require_codec(
-            "old-style JPEG TIFF without JPEGInterchangeFormat or "
-            "per-strip table tags"
-        )
-    qoffs, dcoffs, acoffs = list(qoffs), list(dcoffs), list(acoffs)
-    if not (len(qoffs) == len(dcoffs) == len(acoffs) == spp):
-        raise ValueError("old-style JPEG table tag counts mismatch")
+    if lossless:
+        qoffs = acoffs = None
+        if dcoffs is None:
+            require_codec(
+                "old-style lossless JPEG TIFF without "
+                "JPEGInterchangeFormat or DC table tags"
+            )
+        dcoffs = list(dcoffs)
+        if len(dcoffs) != spp:
+            raise ValueError("old-style JPEG table tag counts mismatch")
+        preds_t = list(values(517, [1] * spp))
+        pts_t = list(values(518, [0] * spp))
+        if len(preds_t) != spp or len(pts_t) != spp:
+            raise ValueError(
+                "old-style lossless JPEG predictor/Pt tag counts"
+            )
+        if len(set(preds_t)) != 1 or len(set(pts_t)) != 1:
+            # a T.81 scan carries ONE predictor/Pt; per-component
+            # mixes would need component-split scans
+            require_codec(
+                "old-style lossless JPEG mixed per-component "
+                "predictors/point transforms"
+            )
+        sel_pred, sel_pt = preds_t[0], pts_t[0]
+        if not 1 <= sel_pred <= 7 or not 0 <= sel_pt < depth:
+            raise ValueError(
+                "old-style lossless JPEG predictor/Pt out of range"
+            )
+    else:
+        qoffs = values(519)
+        acoffs = values(521)
+        if qoffs is None or dcoffs is None or acoffs is None:
+            require_codec(
+                "old-style JPEG TIFF without JPEGInterchangeFormat or "
+                "per-strip table tags"
+            )
+        qoffs, dcoffs, acoffs = list(qoffs), list(dcoffs), list(acoffs)
+        if not (len(qoffs) == len(dcoffs) == len(acoffs) == spp):
+            raise ValueError("old-style JPEG table tag counts mismatch")
 
     def read_q(off):
         if off < 0 or off + 64 > len(b):
@@ -2612,9 +2654,12 @@ def _tiff_ojpeg_per_strip(
             ids.append(seen[off])
         return ids, blobs
 
-    qids, qblobs = slots(qoffs, read_q)
     dcids, dcblobs = slots(dcoffs, read_huff)
-    acids, acblobs = slots(acoffs, read_huff)
+    if lossless:
+        qids = qblobs = acids = acblobs = None
+    else:
+        qids, qblobs = slots(qoffs, read_q)
+        acids, acblobs = slots(acoffs, read_huff)
 
     if photo == 6:
         ss = values(530, [2, 2])
@@ -2624,7 +2669,7 @@ def _tiff_ojpeg_per_strip(
         samp = [(sh_, sv_), (1, 1), (1, 1)]
     else:
         sh_ = sv_ = 1
-        samp = [(1, 1)]
+        samp = [(1, 1)] * spp
     ri = one(515, 0)
 
     offsets = values(273)
@@ -2634,7 +2679,8 @@ def _tiff_ojpeg_per_strip(
     rps = one(278, h)
     if rps < 1:
         raise ValueError("TIFF RowsPerStrip invalid")
-    if len(offsets) > 1 and rps % (8 * sv_):
+    if not lossless and len(offsets) > 1 and rps % (8 * sv_):
+        # lossless has no MCU grid — any strip height is legal
         raise ValueError(
             "old-style JPEG RowsPerStrip not an MCU-row multiple"
         )
@@ -2642,13 +2688,17 @@ def _tiff_ojpeg_per_strip(
         raise ValueError("TIFF strip count does not cover the image")
 
     head = bytearray(b"\xff\xd8")
-    for tid, blob in enumerate(qblobs):
-        head += b"\xff\xdb" + struct.pack(">H", 3 + 64)
+    if not lossless:
+        for tid, blob in enumerate(qblobs):
+            head += b"\xff\xdb" + struct.pack(">H", 3 + 64)
+            head += bytes([tid]) + blob
+    for tid, blob in enumerate(dcblobs):
+        head += b"\xff\xc4" + struct.pack(">H", 3 + len(blob))
         head += bytes([tid]) + blob
-    for cls, blobs in ((0, dcblobs), (1, acblobs)):
-        for tid, blob in enumerate(blobs):
+    if not lossless:
+        for tid, blob in enumerate(acblobs):
             head += b"\xff\xc4" + struct.pack(">H", 3 + len(blob))
-            head += bytes([(cls << 4) | tid]) + blob
+            head += bytes([0x10 | tid]) + blob
     if ri:
         head += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
@@ -2658,16 +2708,25 @@ def _tiff_ojpeg_per_strip(
             raise ValueError("TIFF strip out of range")
         rows_here = min(rps, h - si * rps)
         stream = bytearray(head)
-        stream += b"\xff\xc0" + struct.pack(
+        stream += bytes([0xFF, 0xC3 if lossless else 0xC0])
+        stream += struct.pack(
             ">HBHHB", 8 + 3 * spp, 8, rows_here, w, spp
         )
         for c in range(spp):
             hi, vi = samp[c]
-            stream += bytes([c + 1, (hi << 4) | vi, qids[c]])
+            stream += bytes(
+                [c + 1, (hi << 4) | vi, 0 if lossless else qids[c]]
+            )
         stream += b"\xff\xda" + struct.pack(">HB", 6 + 2 * spp, spp)
         for c in range(spp):
-            stream += bytes([c + 1, (dcids[c] << 4) | acids[c]])
-        stream += b"\x00\x3f\x00"
+            stream += bytes(
+                [c + 1,
+                 (dcids[c] << 4) | (0 if lossless else acids[c])]
+            )
+        if lossless:
+            stream += bytes([sel_pred, 0, sel_pt])
+        else:
+            stream += b"\x00\x3f\x00"
         stream += bytes(b[off : off + cnt])
         stream += b"\xff\xd9"
         px = decode_jpeg(bytes(stream))
@@ -4703,6 +4762,110 @@ def encode_tiff_jpeg(
         e + "HI", 42, ifd_off
     )
     return bytes(header + body) + _tiff_ifd(e, tags, ifd_off)
+
+
+def encode_tiff_ojpeg_lossless(
+    arr,
+    predictor: int = 4,
+    point_transform: int = 0,
+    rows_per_strip: int = 0,
+    big_endian: bool = False,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> OLD-STYLE (compression
+    6) JPEG-in-TIFF with **JPEGProc = 14 (lossless)** in the
+    per-strip table-tag layout — the TIFF 6.0 §22 shape DNG's
+    ancestors shipped (round 13, the JPEGProc gate retirement's
+    encode side). One OPTIMAL DC table is censused over every
+    strip's difference symbols and shared via JPEGDCTables (520, one
+    offset per component); each strip holds the raw entropy data of
+    its own SOF3 scan (prediction resets per strip by construction).
+    JPEGLosslessPredictors (517) / JPEGPointTransforms (518) carry
+    the scan header fields; RowsPerStrip needs no MCU alignment
+    (lossless has no block grid). Photometric 1 (gray) or 2 (RGB —
+    lossless has no color transform)."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    if not gray:
+        assert a.shape[2] == 3, "ojpeg lossless: gray or RGB"
+    photo = 1 if gray else 2
+    pt = point_transform
+    assert 1 <= predictor <= 7 and 0 <= pt < 8
+    e = ">" if big_endian else "<"
+    red = (a[..., None] if gray else a).astype(np.int64) >> pt
+    default = 1 << (8 - pt - 1)
+    rps = rows_per_strip or h
+    strips = [red[s * rps : (s + 1) * rps] for s in range(-(-h // rps))]
+    # shared table: census the symbols of EVERY strip (each strip is
+    # its own scan, so the walk restarts per strip)
+    freq: dict[int, int] = {}
+
+    def count(c, d):
+        if c is None:
+            return
+        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
+        freq[s] = freq.get(s, 0) + 1
+
+    for st_ in strips:
+        _jpg_ll_walk(st_, predictor, default, 0, count)
+    bits, vals = _jpg_optimal_table(freq)
+    codes = _jpg_canonical_codes(bits, vals)
+    table_blob = bytes(bits) + bytes(vals)
+
+    segs = []
+    for st_ in strips:
+        wr = _JpgBitWriter()
+
+        def emit(c, d):
+            if c is None:
+                return
+            s = (
+                16 if d == -32768
+                else (0 if d == 0 else abs(d).bit_length())
+            )
+            code, ln = codes[s]
+            wr.put(code, ln)
+            if 0 < s < 16:
+                wr.put(d if d >= 0 else d + (1 << s) - 1, s)
+
+        _jpg_ll_walk(st_, predictor, default, 0, emit)
+        wr.flush()
+        segs.append(bytes(wr.out))
+
+    body = bytearray()
+    table_off = 8
+    body += table_blob
+    if len(body) % 2:
+        body += b"\x00"
+    offsets = []
+    for s in segs:
+        offsets.append(8 + len(body))
+        body += s
+        if len(body) % 2:
+            body += b"\x00"
+    ifd_off = 8 + len(body)
+    tags = [
+        (256, 3, [w]),
+        (257, 3, [h]),
+        (258, 3, [8] * spp),
+        (259, 3, [6]),
+        (262, 3, [photo]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 3, [min(rps, h)]),
+        (279, 4, [len(s) for s in segs]),
+        (512, 3, [14]),
+        (517, 3, [predictor] * spp),
+        (518, 3, [pt] * spp),
+        (520, 4, [table_off] * spp),
+    ]
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return bytes(header) + bytes(body) + _tiff_ifd(e, tags, ifd_off)
 
 
 def encode_ico(entries) -> bytes:
@@ -6903,7 +7066,13 @@ def synthetic_tiff_jpeg_table(spark, n: int = 30) -> DataFrame:
     arm 14, ARITHMETIC JPEG-in-TIFF (round 12): every strip a
     complete SOF9 interchange stream through the QM-coder, gray
     (odd i) or chunky YCbCr (even i), same block-constant
-    bit-exactness. media_id offset +600."""
+    bit-exactness. Round 13: the SECOND arm-7 row (i>=15) ships
+    OLD-STYLE LOSSLESS instead — compression 6 with JPEGProc 14
+    (``encode_tiff_ojpeg_lossless``): per-strip SOF3 entropy, a
+    shared DC table at tag 520, predictors/Pt at 517/518, and
+    non-MCU-aligned 5-row strips; lossless, so the pixels are
+    exactly the raster and the arm is oracle-invisible while
+    gating on the proc-14 walk. media_id offset +600."""
     import numpy as np
 
     rows = []
@@ -6965,6 +7134,30 @@ def synthetic_tiff_jpeg_table(spark, n: int = 30) -> DataFrame:
             rps = 8
         else:
             rps = 0
+        if arm == 7 and i >= 15:
+            # round 13: the second arm-7 row ships OLD-STYLE
+            # LOSSLESS (compression 6, JPEGProc 14 — the §22 layout
+            # DNG's ancestors used): per-strip SOF3 entropy with a
+            # shared DC table at tag 520, predictors/Pt at 517/518,
+            # NON-MCU-aligned 5-row strips (lossless has no block
+            # grid). Lossless, so the pixels are EXACTLY the
+            # gray-in-RGB raster — oracle-invisible, gating on the
+            # proc-14 synthesis walk.
+            rows.append(
+                (
+                    600 + i,
+                    "image",
+                    encode_tiff_ojpeg_lossless(
+                        src,
+                        predictor=1 + (i % 7),
+                        rows_per_strip=5,
+                        big_endian=bool(i % 2),
+                    ),
+                    None,
+                    f"mem://media/{600 + i}.jpg.tif",
+                )
+            )
+            continue
         rows.append(
             (
                 600 + i,

@@ -2482,6 +2482,72 @@ def test_jpeg_arith_progressive_round13():
         encode_jpeg_arith_progressive(natg, ac_kx=9, emit_dac=False)
 
 
+def test_tiff_ojpeg_lossless_round13():
+    """Old-style JPEG-in-TIFF with JPEGProc 14 (lossless, the TIFF
+    6.0 §22 layout DNG's ancestors shipped): exact round trips on
+    FULL-ENTROPY rasters (lossless needs no block-constant trick)
+    across predictors, point transform, non-MCU-aligned strips,
+    gray + RGB, both byte orders; structural damage and the
+    remaining gates stay loud."""
+    import pytest
+    import struct as stt
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff_ojpeg_lossless,
+    )
+
+    rng = np.random.RandomState(23)
+    g = rng.randint(0, 256, (17, 23)).astype(np.uint8)
+    c = rng.randint(0, 256, (20, 15, 3)).astype(np.uint8)
+    for src, want in ((g, np.stack([g] * 3, -1)), (c, c)):
+        for pred in range(1, 8):
+            got = decode_tiff(encode_tiff_ojpeg_lossless(
+                src, predictor=pred, rows_per_strip=5,
+                big_endian=bool(pred % 2),
+            ))
+            assert np.array_equal(got, want), (src.shape, pred)
+    # point transform: coded at reduced precision, re-scaled <<pt
+    got = decode_tiff(encode_tiff_ojpeg_lossless(
+        g, predictor=4, point_transform=2
+    ))
+    assert np.array_equal(got[..., 0], (g >> 2) << 2)
+    # mixed per-component predictors gate (one predictor per scan)
+    b = bytearray(encode_tiff_ojpeg_lossless(c, predictor=3))
+    ifd = stt.unpack_from("<I", b, 4)[0]
+    n = stt.unpack_from("<H", b, ifd)[0]
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if stt.unpack_from("<H", b, at)[0] == 517:
+            voff = stt.unpack_from("<I", b, at + 8)[0]
+            # count 3 SHORTs live out-of-line; perturb one
+            b[voff] = 5
+            break
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(b))
+    # forged JPEGProc gates
+    b = bytearray(encode_tiff_ojpeg_lossless(g))
+    ifd = stt.unpack_from("<I", b, 4)[0]
+    n = stt.unpack_from("<H", b, ifd)[0]
+    for k in range(n):
+        at = ifd + 2 + 12 * k
+        if stt.unpack_from("<H", b, at)[0] == 512:
+            b[at + 8] = 2  # JPEGProc 2: neither baseline nor lossless
+            break
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(b))
+    # bit-flip contract over the proc-14 walk
+    small = rng.randint(0, 256, (9, 11)).astype(np.uint8)
+    data = encode_tiff_ojpeg_lossless(small, rows_per_strip=3)
+    for bit in range(len(data) * 8):
+        bb = bytearray(data)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_tiff(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_arith12_round13():
     """SOF9 at precision 12 (the DICOM/DNG class on arithmetic
     coding): decode parity with the Huffman-12 pipeline — same
@@ -5254,8 +5320,13 @@ def test_tiff_ojpeg_per_strip_round12():
                 bb[at : at + 12] = bb[ifd + 2 : ifd + 14]
         return bytes(bb)
 
-    # JPEGProc != 1 gates
+    # JPEGProc outside {1 baseline, 14 lossless} gates (14 decodes
+    # since round 13 — test_tiff_ojpeg_lossless_round13)
     with pytest.raises(NotImplementedError):
+        decode_tiff(forge16(b, 512, [2]))
+    # a BASELINE stream misdeclared as proc 14 is damage, and loud:
+    # the lossless synthesis walks garbage entropy -> ValueError
+    with pytest.raises((ValueError, NotImplementedError)):
         decode_tiff(forge16(b, 512, [14]))
     # no table tags AND no 513 -> the honest gate message
     with pytest.raises(NotImplementedError):
