@@ -7506,7 +7506,11 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
     identical to the Huffman layout (same script, same restart
     cadence, same block-constant bit-exactness), so the fold is
     oracle-invisible while the odd rows gate on the whole SOF10
-    walk."""
+    walk. The i%6=5 rows additionally ship PRECISION 12 (tile value
+    (t*16+i) mod 4096, the jpg-family 12-bit formula): 12-bit
+    arithmetic progressive WITH restarts — this arm IS
+    oracle-visible (the qv CASE replays the 12-bit values) and
+    bit-exact under the same small-DC-step argument."""
     import numpy as np
 
     rows = []
@@ -7523,18 +7527,30 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5
         ri = (1 + i % 5) if i % 3 == 2 else 0
-        encoder = (
-            encode_jpeg_arith_progressive if i % 2
-            else encode_jpeg_progressive
-        )
+        if i % 6 == 5:
+            img12 = (
+                np.kron(
+                    tiles.astype(np.int64), np.ones((8, 8), np.int64)
+                ) * 16 + i
+            ) % 4096
+            rgb12 = np.stack([img12.astype(np.uint16)] * 3, axis=-1)
+            content = encode_jpeg_arith_progressive(
+                rgb12, quality=q, restart_interval=ri, precision=12
+            )
+        else:
+            encoder = (
+                encode_jpeg_arith_progressive if i % 2
+                else encode_jpeg_progressive
+            )
+            content = encoder(
+                rgb, quality=q, restart_interval=ri,
+                subsampling="420" if i % 3 == 1 else "444",
+            )
         rows.append(
             (
                 i,
                 "image",
-                encoder(
-                    rgb, quality=q, restart_interval=ri,
-                    subsampling="420" if i % 3 == 1 else "444",
-                ),
+                content,
                 None,
                 f"mem://media/{i}.jpg",
             )
@@ -8830,6 +8846,51 @@ def _jpg_optimal_table(freq_map):
     return bits[1:17], [s for _, s in order]
 
 
+def _jpg_quantized_coefs12(arr, quality: int):
+    """12-bit twin of ``_jpg_quantized_coefs`` (round 13): uint16
+    samples < 4096, level shift 2048, YCbCr relations centered
+    likewise — the ``encode_jpeg12`` front end reshaped into the
+    progressive (bh, bw, 64) zigzag grids, so a 12-bit progressive
+    stream is a lossless re-coding of the 12-bit sequential
+    coefficients."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    gray = a.ndim == 2
+    assert int(a.max(initial=0)) < 4096
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 2048.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        planes = [
+            np.clip(np.floor(x + 0.5), 0, 4095) for x in (y, cb, cr)
+        ]
+    ql, qc = _jpg_quant_tables(quality)
+    qts = [ql] + ([] if gray else [qc, qc])
+    dctm = _jpg_dct_mat()
+    bw, bh = -(-w // 8), -(-h // 8)
+    zz = np.array(_JPG_ZIGZAG)
+    coefs = []
+    for p, qt in zip(planes, qts):
+        pad = _jpg_pad(p, bh * 8, bw * 8) - 2048.0
+        c = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = dctm @ blk @ dctm.T
+                qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                    np.int64
+                ) * np.where(f < 0, -1, 1)
+                c[by, bx] = qf.reshape(-1)[zz]
+        coefs.append(c)
+    return coefs, qts, gray, h, w
+
+
 def _jpg_quantized_coefs(arr, quality: int):
     """Shared quantization front end for the progressive encoder
     (4:4:4 or grayscale): returns per-component (bh, bw, 64) int64
@@ -9646,7 +9707,7 @@ def _decode_jpeg_arith_progressive(b: bytes):
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 require_codec(
                     f"arithmetic progressive JPEG precision={prec}"
                 )
@@ -9685,7 +9746,7 @@ def _decode_jpeg_arith_progressive(b: bytes):
                 np.zeros((g[1], g[0], 64), dtype=np.int64)
                 for g in geom
             ]
-            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy)
+            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy, prec)
         elif marker == 0xDD:
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -9695,7 +9756,7 @@ def _decode_jpeg_arith_progressive(b: bytes):
                 raise ValueError("JPEG scan before SOF10")
             if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ValueError("JPEG SOS truncated")
-            h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+            h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
             ns = payload[0]
             sel = []
             for ci in range(ns):
@@ -9860,7 +9921,12 @@ def _decode_jpeg_arith_progressive(b: bytes):
         pos += 2 + ln
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF10/scan data")
-    h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+    h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
+    # precision-parameterized output (the SOF9 pattern): level shift
+    # 2^(P-1), clip 2^P-1, uint16 above 8 bits
+    lvl = float(1 << (prec - 1))
+    full = (1 << prec) - 1
+    odt = np.uint8 if prec == 8 else np.uint16
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     planes = []
@@ -9886,18 +9952,18 @@ def _decode_jpeg_arith_progressive(b: bytes):
                 np.repeat(plane, vmax // vi, axis=0),
                 hmax // hi, axis=1,
             )
-        planes.append(plane[:h, :w] + 128.0)
+        planes.append(plane[:h, :w] + lvl)
     if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
         return np.stack([g, g, g], axis=-1)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - lvl)
+    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+    bl = y + 1.772 * (cb - lvl)
     out = np.stack(
-        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)], axis=-1
     )
-    return out.astype(np.uint8)
+    return out.astype(odt)
 
 
 # ---------------------------------------------------------------------------
@@ -11503,6 +11569,7 @@ def encode_jpeg_arith_progressive(
     dc_cond=(0, 1),
     ac_kx: int = 5,
     emit_dac: bool = True,
+    precision: int = 8,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> PROGRESSIVE
     arithmetic JPEG (SOF10, T.81 Annex G.2): the Huffman progressive
@@ -11522,16 +11589,24 @@ def encode_jpeg_arith_progressive(
     each restart segment is its own QM entropy segment (flush +
     RSTm, m cycling per scan). ``dc_cond``/``ac_kx`` write one DAC
     after the SOF when ``emit_dac`` (omitting it requires the
-    default conditioning, exercising the decoder's defaults path)."""
+    default conditioning, exercising the decoder's defaults path).
+    ``precision=12`` (round 13) rides the ``encode_jpeg12`` front
+    end — uint16 samples < 4096, level shift 2048, 4:4:4 only; the
+    G.2 models are precision-agnostic, so only the front end and
+    the SOF precision byte change."""
     import numpy as np
 
     low, up = dc_cond
+    if precision not in (8, 12):
+        raise ValueError("arithmetic progressive precision must be 8/12")
     if not (0 <= low <= up <= 15):
         raise ValueError("DC conditioning needs 0 <= L <= U <= 15")
     if not 1 <= ac_kx <= 63:
         raise ValueError("AC conditioning needs 1 <= Kx <= 63")
     if not emit_dac and ((low, up) != (0, 1) or ac_kx != 5):
         raise ValueError("omitting DAC requires the default conditioning")
+    if precision == 12 and subsampling != "444":
+        raise ValueError("12-bit arithmetic progressive is 4:4:4 only")
     if subsampling != "444":
         coefs, samp, nbgeom, h, w = _jpg_quantized_coefs_sub(
             arr, quality, subsampling
@@ -11539,7 +11614,11 @@ def encode_jpeg_arith_progressive(
         gray = False
         nc = 3
     else:
-        coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
+        fe = (
+            _jpg_quantized_coefs12 if precision == 12
+            else _jpg_quantized_coefs
+        )
+        coefs, _qts, gray, h, w = fe(arr, quality)
         nc = 1 if gray else 3
         samp = [(1, 1)] * nc
         nbgeom = [
@@ -11572,7 +11651,7 @@ def encode_jpeg_arith_progressive(
         dqt += seg(0xDB, b"\x01" + bytes(
             int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
         ))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci in range(nc):
         sof += bytes([
             ci + 1, (samp[ci][0] << 4) | samp[ci][1], tqs[ci]

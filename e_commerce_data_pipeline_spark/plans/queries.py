@@ -12467,7 +12467,15 @@ def q197_cdc_validation_census(spark, sf_dir):
     qtb AS (SELECT i, w, ri, unnest(range(h // 8)) AS by FROM q),
     qt2 AS (SELECT i, ri, by, unnest(range(w // 8)) AS bx FROM qtb),
     qv AS (
-        SELECT i, ri, (i * 37 + by * 11 + bx * 5) % 256 AS t FROM qt2
+        -- i%6=5 rows ship 12-bit ARITHMETIC progressive (round 13):
+        -- tile value (t*16 + i) mod 4096, the jpg-family formula
+        SELECT i, ri,
+               CASE WHEN i % 6 = 5
+                    THEN ((i * 37 + by * 11 + bx * 5) % 256 * 16
+                          + i) % 4096
+                    ELSE (i * 37 + by * 11 + bx * 5) % 256
+               END AS t
+        FROM qt2
     ),
     jprog AS (
         SELECT 'jpeg_prog' AS fmt, i AS media_id,
@@ -12644,7 +12652,11 @@ def q197_cdc_validation_census(spark, sf_dir):
     "scans; pixels and the scans*1000+restarts aux are identical "
     "to the Huffman layout, so the fold is oracle-invisible while "
     "those rows gate on the whole SOF10 walk (DC/AC successive "
-    "approximation under the G.2 statistical models). "
+    "approximation under the G.2 statistical models). The i%6=5 "
+    "rows ship PRECISION 12 (restarted 12-bit arithmetic "
+    "progressive, tile value (t*16+i) mod 4096) — oracle-VISIBLE: "
+    "the qv CASE replays the 12-bit values, so the whole 12-bit "
+    "SOF10 cascade is value-verified. "
     "HIERARCHICAL JPEG (round 12, T.81 Annex J, fmt 'jpeg_hier', "
     "media_id +1000): DHP frame pyramids — a non-differential base "
     "frame, EXP reference expansions ((a+b+1)>>1 interpolation, "

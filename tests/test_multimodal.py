@@ -2441,10 +2441,11 @@ def test_jpeg_arith_progressive_round13():
     assert len(encode_jpeg_arith_progressive(nat, quality=90)) < len(
         encode_jpeg_progressive(nat, quality=90)
     )
-    # gates: 12-bit and 4-component SOF10 stay out of surface
+    # gates: non-8/12 precisions stay out of surface (12-bit SOF10
+    # decodes since test_jpeg_arith_progressive_12bit_round13)
     b = bytearray(encode_jpeg_arith_progressive(natg, quality=90))
     at = b.index(b"\xff\xca") + 4
-    b[at] = 12
+    b[at] = 10
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(b))
     # damage: restart desync, forged spectral band, truncation
@@ -2600,6 +2601,39 @@ def test_jpeg_arith12_round13():
             decode_jpeg(bytes(bb))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_arith_progressive_12bit_round13():
+    """SOF10 at precision 12: lossless re-coding of the 12-bit
+    sequential-arithmetic coefficients, so decode parity with
+    encode_jpeg_arith12 must be bit-exact (uint16) — gray + 4:4:4
+    color, restarts, the full successive-approximation cascade.
+    Validation and the subsampled-12-bit gate stay loud."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_arith12,
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.RandomState(43)
+    g12 = rng.randint(0, 4096, (19, 22)).astype(np.uint16)
+    c12 = rng.randint(0, 4096, (16, 17, 3)).astype(np.uint16)
+    for src in (g12, c12):
+        ref = decode_jpeg(encode_jpeg_arith12(src, quality=88))
+        for ri in (0, 2):
+            got = decode_jpeg(encode_jpeg_arith_progressive(
+                src, quality=88, restart_interval=ri, precision=12
+            ))
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, ref), (src.shape, ri)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg_arith_progressive(
+            c12, precision=12, subsampling="420"
+        )
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_arith_progressive(g12, precision=10)
 
 
 def test_jpeg_arith_progressive_bitflip_sweep():
