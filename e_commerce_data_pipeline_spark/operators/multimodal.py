@@ -7510,7 +7510,12 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
     (t*16+i) mod 4096, the jpg-family 12-bit formula): 12-bit
     arithmetic progressive WITH restarts — this arm IS
     oracle-visible (the qv CASE replays the 12-bit values) and
-    bit-exact under the same small-DC-step argument."""
+    bit-exact under the same small-DC-step argument. The i%12==8
+    rows ship the HUFFMAN half of that matrix — 12-bit SOF2 with
+    restarts (per-scan optimal DC table past Annex K's category
+    range) — same 12-bit tile formula, also oracle-visible; i%12==2
+    rows stay 8-bit Huffman restarted so that class keeps census
+    coverage."""
     import numpy as np
 
     rows = []
@@ -7527,14 +7532,18 @@ def synthetic_jpeg_prog_table(spark, n: int = 36) -> DataFrame:
         rgb = np.stack([img, img, img], axis=-1)
         q = 85 + (i % 3) * 5
         ri = (1 + i % 5) if i % 3 == 2 else 0
-        if i % 6 == 5:
+        if i % 6 == 5 or i % 12 == 8:
             img12 = (
                 np.kron(
                     tiles.astype(np.int64), np.ones((8, 8), np.int64)
                 ) * 16 + i
             ) % 4096
             rgb12 = np.stack([img12.astype(np.uint16)] * 3, axis=-1)
-            content = encode_jpeg_arith_progressive(
+            enc12 = (
+                encode_jpeg_arith_progressive if i % 6 == 5
+                else encode_jpeg_progressive
+            )
+            content = enc12(
                 rgb12, quality=q, restart_interval=ri, precision=12
             )
         else:
@@ -9107,7 +9116,7 @@ def _jpg_quantized_coefs_sub(arr, quality: int, subsampling: str):
 
 def encode_jpeg_progressive(
     arr, quality: int = 90, restart_interval: int = 0,
-    subsampling: str = "444",
+    subsampling: str = "444", precision: int = 8,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) grayscale uint8 -> progressive JPEG
     (SOF2). Same quantized coefficients as ``encode_jpeg`` at the
@@ -9124,7 +9133,16 @@ def encode_jpeg_progressive(
     inside any scan of the cascade. ``subsampling`` (round 10)
     applies the same chroma pipeline as ``encode_jpeg`` — DC scans
     interleave hi*vi luma blocks per MCU, AC scans walk each
-    component's own block raster."""
+    component's own block raster. ``precision=12`` (round 13) rides
+    the ``encode_jpeg12`` front end (uint16 < 4096, level shift
+    2048, 4:4:4 only); the only structural change is the DC-first
+    scan's table — 12-bit DC categories reach 15, past the fixed
+    Annex K tables, so that scan censuses its own OPTIMAL table
+    (one, shared by all components) and ships it in the scan DHT."""
+    if precision not in (8, 12):
+        raise ValueError("progressive precision must be 8/12")
+    if precision == 12 and subsampling != "444":
+        raise ValueError("12-bit progressive is 4:4:4 only")
     if subsampling != "444":
         coefs, samp, nbgeom, h, w = _jpg_quantized_coefs_sub(
             arr, quality, subsampling
@@ -9132,7 +9150,11 @@ def encode_jpeg_progressive(
         gray = False
         nc = 3
     else:
-        coefs, _qts, gray, h, w = _jpg_quantized_coefs(arr, quality)
+        fe = (
+            _jpg_quantized_coefs12 if precision == 12
+            else _jpg_quantized_coefs
+        )
+        coefs, _qts, gray, h, w = fe(arr, quality)
         nc = 1 if gray else 3
         samp = [(1, 1)] * nc
         nbgeom = [
@@ -9164,26 +9186,55 @@ def encode_jpeg_progressive(
     if not gray:
         zzc = bytes(int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG)
         dqt += seg(0xDB, b"\x01" + zzc)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci in range(nc):
         sof += bytes([
             ci + 1, (samp[ci][0] << 4) | samp[ci][1],
             0 if ci == 0 else 1,
         ])
     dht = b""
-    for tid in range(1 if gray else 2):
-        bits, vals = _JPG_HUFF[(0, tid)]
-        dht += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if precision == 8:
+        for tid in range(1 if gray else 2):
+            bits, vals = _JPG_HUFF[(0, tid)]
+            dht += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
     out = bytearray(b"\xff\xd8" + dqt + seg(0xC2, sof) + dht + dri)
-    dc_codes = [
-        _jpg_canonical_codes(*_JPG_HUFF[(0, 0 if ci == 0 else 1)])
-        for ci in range(nc)
-    ]
+    if precision == 8:
+        dc_codes = [
+            _jpg_canonical_codes(*_JPG_HUFF[(0, 0 if ci == 0 else 1)])
+            for ci in range(nc)
+        ]
+        dc_sel = [0 if ci == 0 else 1 for ci in range(nc)]
+    else:
+        # 12-bit DC diffs reach category 15, past the fixed Annex K
+        # tables: census the DC-first scan's own symbols (Al from
+        # the script's dc_first row, restart resets included) and
+        # ship ONE optimal table for all components in the scan DHT
+        al0 = next(a for k, _c, _s, _e, _ah, a in (
+            _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
+        ) if k == "dc_first")
+        freq: dict[int, int] = {}
+        preds0 = [0] * nc
+        mcu_n0 = 0
+        for blklist in mcu_blocks():
+            if restart_interval and mcu_n0 and \
+                    mcu_n0 % restart_interval == 0:
+                preds0 = [0] * nc
+            mcu_n0 += 1
+            for ci, gy, gx in blklist:
+                v0 = int(coefs[ci][gy, gx, 0]) >> al0
+                cat0 = _jpg_category(v0 - preds0[ci])
+                preds0[ci] = v0
+                freq[cat0] = freq.get(cat0, 0) + 1
+        dcb, dcv = _jpg_optimal_table(freq)
+        dc12 = _jpg_canonical_codes(dcb, dcv)
+        dc12_dht = seg(0xC4, bytes([0]) + bytes(dcb) + bytes(dcv))
+        dc_codes = [dc12] * nc
+        dc_sel = [0] * nc
     script = _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
     ri = restart_interval
     for kind, comp, Ss, Se, Ah, Al in script:
@@ -9277,10 +9328,12 @@ def encode_jpeg_progressive(
                     lambda v, n: wr.put(v, n),
                 )
         wr.flush()
+        if kind == "dc_first" and precision == 12:
+            scan_dht = dc12_dht
         if kind in ("dc_first", "dc_refine"):
             sos = bytes([nc])
             for ci in range(nc):
-                sos += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+                sos += bytes([ci + 1, dc_sel[ci] << 4])
         else:
             sos = bytes([1, comp + 1, 0x00])
         sos += bytes([Ss, Se, (Ah << 4) | Al])
@@ -9356,7 +9409,7 @@ def _decode_jpeg_progressive(b: bytes):
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 require_codec(f"JPEG precision={prec}")
             comps = []
             for ci in range(nc):
@@ -9397,7 +9450,7 @@ def _decode_jpeg_progressive(b: bytes):
                 np.zeros((g[1], g[0], 64), dtype=np.int64)
                 for g in geom
             ]
-            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy)
+            sof = (h, w, comps, geom, hmax, vmax, mcux, mcuy, prec)
         elif marker == 0xDD:
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -9407,7 +9460,7 @@ def _decode_jpeg_progressive(b: bytes):
                 raise ValueError("JPEG scan before SOF2")
             if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ValueError("JPEG SOS truncated")
-            h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+            h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
             ns = payload[0]
             sel = []
             for ci in range(ns):
@@ -9596,7 +9649,12 @@ def _decode_jpeg_progressive(b: bytes):
         pos += 2 + ln
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF2/scan data")
-    h, w, comps, geom, hmax, vmax, mcux, mcuy = sof
+    h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
+    # precision-parameterized output (round 13, the SOF9 pattern):
+    # level shift 2^(P-1), clip 2^P-1, uint16 above 8 bits
+    lvl = float(1 << (prec - 1))
+    full = (1 << prec) - 1
+    odt = np.uint8 if prec == 8 else np.uint16
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     planes = []
@@ -9622,18 +9680,18 @@ def _decode_jpeg_progressive(b: bytes):
                 np.repeat(plane, vmax // vi, axis=0),
                 hmax // hi, axis=1,
             )
-        planes.append(plane[:h, :w] + 128.0)
+        planes.append(plane[:h, :w] + lvl)
     if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
         return np.stack([g, g, g], axis=-1)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - lvl)
+    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+    bl = y + 1.772 * (cb - lvl)
     out = np.stack(
-        [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)], axis=-1
+        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)], axis=-1
     )
-    return out.astype(np.uint8)
+    return out.astype(odt)
 
 
 def _decode_jpeg_arith_progressive(b: bytes):

@@ -12467,10 +12467,11 @@ def q197_cdc_validation_census(spark, sf_dir):
     qtb AS (SELECT i, w, ri, unnest(range(h // 8)) AS by FROM q),
     qt2 AS (SELECT i, ri, by, unnest(range(w // 8)) AS bx FROM qtb),
     qv AS (
-        -- i%6=5 rows ship 12-bit ARITHMETIC progressive (round 13):
-        -- tile value (t*16 + i) mod 4096, the jpg-family formula
+        -- i%6=5 rows ship 12-bit ARITHMETIC progressive, i%12=8
+        -- rows 12-bit HUFFMAN progressive (round 13): tile value
+        -- (t*16 + i) mod 4096, the jpg-family formula
         SELECT i, ri,
-               CASE WHEN i % 6 = 5
+               CASE WHEN i % 6 = 5 OR i % 12 = 8
                     THEN ((i * 37 + by * 11 + bx * 5) % 256 * 16
                           + i) % 4096
                     ELSE (i * 37 + by * 11 + bx * 5) % 256
@@ -12656,7 +12657,10 @@ def q197_cdc_validation_census(spark, sf_dir):
     "rows ship PRECISION 12 (restarted 12-bit arithmetic "
     "progressive, tile value (t*16+i) mod 4096) — oracle-VISIBLE: "
     "the qv CASE replays the 12-bit values, so the whole 12-bit "
-    "SOF10 cascade is value-verified. "
+    "SOF10 cascade is value-verified; i%12==8 rows ship the "
+    "HUFFMAN half (restarted 12-bit SOF2, per-scan optimal DC "
+    "table past Annex K's category range), same formula, also "
+    "value-verified. "
     "HIERARCHICAL JPEG (round 12, T.81 Annex J, fmt 'jpeg_hier', "
     "media_id +1000): DHP frame pyramids — a non-differential base "
     "frame, EXP reference expansions ((a+b+1)>>1 interpolation, "

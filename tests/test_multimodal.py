@@ -2636,6 +2636,49 @@ def test_jpeg_arith_progressive_12bit_round13():
         encode_jpeg_arith_progressive(g12, precision=10)
 
 
+def test_jpeg_progressive_12bit_round13():
+    """12-bit HUFFMAN progressive (SOF2 precision 12): lossless
+    re-coding of the encode_jpeg12 coefficients, so decode parity
+    with the 12-bit sequential stream is bit-exact (uint16); the
+    DC-first scan ships its own optimal table (12-bit categories
+    pass the fixed Annex K range). 8-bit callers are unchanged."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg12,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(47)
+    g12 = rng.randint(0, 4096, (19, 22)).astype(np.uint16)
+    c12 = rng.randint(0, 4096, (16, 17, 3)).astype(np.uint16)
+    for src in (g12, c12):
+        ref = decode_jpeg(encode_jpeg12(src, quality=88))
+        for ri in (0, 2):
+            got = decode_jpeg(encode_jpeg_progressive(
+                src, quality=88, restart_interval=ri, precision=12
+            ))
+            assert got.dtype == np.uint16
+            assert np.array_equal(got, ref), (src.shape, ri)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg_progressive(c12, precision=12, subsampling="420")
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg_progressive(g12, precision=16)
+    # bit-flip contract over the 12-bit multi-scan walk
+    small = ((rng.randint(0, 256, (9, 11)).astype(np.int64) * 16 + 3)
+             % 4096).astype(np.uint16)
+    data = encode_jpeg_progressive(small, quality=90, precision=12,
+                                   restart_interval=1)
+    for bit in range(len(data) * 8):
+        bb = bytearray(data)
+        bb[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(bb))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_jpeg_arith_progressive_bitflip_sweep():
     """Bit-flip contract over the SOF10 walk: every single-bit
     corruption of a restarted 4:2:0 progressive arithmetic file
