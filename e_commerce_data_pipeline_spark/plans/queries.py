@@ -23,7 +23,9 @@ bounded per key and the shuffle is even.
 
 from __future__ import annotations
 
+import gzip
 import os
+import zlib
 from dataclasses import dataclass
 from typing import Callable
 
@@ -2333,6 +2335,23 @@ _Q65_CT_HEADERS = (
 )
 
 
+def _q65_http_chunked(body: bytes, doc_id: int) -> bytes:
+    """Deterministic RFC 9112 chunked framing for the q65 WARC leg:
+    chunk sizes vary per doc (97 + doc_id%64 bytes), one chunk
+    carries an extension, the terminator carries a trailer header —
+    the tolerated-but-ignored shapes real servers emit."""
+    step = 97 + int(doc_id) % 64
+    out = bytearray()
+    first = True
+    for pos in range(0, len(body), step):
+        c = body[pos : pos + step]
+        ext = b";x=1" if first else b""
+        out += f"{len(c):x}".encode() + ext + b"\r\n" + c + b"\r\n"
+        first = False
+    out += b"0\r\nX-Trailer: q65\r\n\r\n"
+    return bytes(out)
+
+
 
 def _q65_build_warc_group(key, pdf):
     """Synthesis kernel for q65's WARC leg: serialize one bucket of
@@ -2357,12 +2376,35 @@ def _q65_build_warc_group(key, pdf):
     ):
         cs_arm = int(doc_id) % 3
         body = html.encode(_Q65_WIRE_CHARSETS[cs_arm])
+        # round 13: HTTP BODY-LAYER arm (doc_id % 5) — the transfer/
+        # content codings real captures carry, undone by the walker
+        # outside-in (de-chunk, then content-decode, then charset):
+        # 0 identity, 1 chunked, 2 gzip, 3 chunked-over-gzip,
+        # 4 zlib-wrapped deflate. Oracle-invisible: a correct walk
+        # recovers the identical text and decode_clean stays TRUE.
+        layer = int(doc_id) % 5
+        extra = b""
+        if layer in (2, 3):
+            body = gzip.compress(body, compresslevel=6, mtime=0)
+            extra += b"Content-Encoding: gzip\r\n"
+        elif layer == 4:
+            body = zlib.compress(body, 6)
+            extra += b"Content-Encoding: deflate\r\n"
+        if layer in (1, 3):
+            body = _q65_http_chunked(body, int(doc_id))
+            extra += b"Transfer-Encoding: chunked\r\n"
+            length_line = b""
+        else:
+            length_line = (
+                f"Content-Length: {len(body)}".encode("ascii") + b"\r\n"
+            )
         payload = (
             b"HTTP/1.1 200 OK\r\n"
             + f"Content-Type: {_Q65_CT_HEADERS[cs_arm]}".encode("ascii")
             + b"\r\n"
-            + f"Content-Length: {len(body)}".encode("ascii")
-            + b"\r\n\r\n"
+            + extra
+            + length_line
+            + b"\r\n"
             + body
         )
         records.append(
@@ -2479,7 +2521,12 @@ def _q65_build_warc_group(key, pdf):
     "sniff (warc.decode_http_body) must pick the right codec for "
     "the recovered html to match, and the decode_clean=TRUE filter "
     "pins the strict-decode path (a wrong codec flags rows unclean "
-    "and the row counts diverge). Then step-0: HTML->text "
+    "and the row counts diverge). The leg is also BODY-LAYERED "
+    "(round 13, doc_id%5): chunked transfer framing (extensions + "
+    "trailers), gzip/deflate content codings, and chunked-over-gzip "
+    "— the walker undoes the layers outside-in; all arms "
+    "oracle-invisible through the same decode_clean pin. Then "
+    "step-0: HTML->text "
     "extraction. Each document is "
     "deterministically wrapped in one of four HTML shells (script "
     "with bare </>& in its body, uppercase tags + comment with "

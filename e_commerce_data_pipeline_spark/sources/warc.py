@@ -39,6 +39,8 @@ __all__ = [
     "build_warc",
     "parse_warc",
     "split_http_response",
+    "dechunk_http_body",
+    "decode_content_encoding",
     "sniff_charset",
     "decode_http_body",
     "extract_warc_responses",
@@ -241,6 +243,81 @@ def sniff_charset(http_headers: dict) -> str | None:
     return m.group(1).strip().strip("\"'").lower() or None
 
 
+def dechunk_http_body(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    hex chunk-size lines (chunk extensions after ``;`` ignored),
+    CRLF-framed chunk data, a terminating 0-size chunk, and an
+    optional trailer section (skipped). Raises ValueError on any
+    framing damage — the CALLER decides whether that is fatal (a
+    corpus walker flags the page instead; see
+    ``extract_warc_responses``)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("http: chunk size line unterminated")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"http: bad chunk size {size_tok[:16]!r}"
+            ) from exc
+        if size < 0:
+            raise ValueError("http: negative chunk size")
+        pos = eol + 2
+        if size == 0:
+            # trailer section: zero or more header lines, then CRLF
+            # (a bare CRLF right away is the common no-trailer case;
+            # tolerate a missing final CRLF at end-of-body)
+            while pos < n:
+                eol = body.find(_CRLF, pos)
+                if eol < 0:
+                    raise ValueError("http: trailer unterminated")
+                if eol == pos:
+                    pos = eol + 2
+                    break
+                pos = eol + 2
+            if pos < n:
+                raise ValueError("http: data after final chunk")
+            return bytes(out)
+        if pos + size > n:
+            raise ValueError("http: chunk data truncated")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != _CRLF:
+            raise ValueError("http: chunk data missing CRLF")
+        pos += 2
+
+
+def decode_content_encoding(body: bytes, ce: str) -> bytes:
+    """Undo an HTTP ``Content-Encoding``: ``gzip``/``x-gzip`` and
+    ``deflate`` (both the RFC-correct zlib-wrapped form and the
+    raw-deflate stream broken servers actually send — tried in that
+    order). ``identity``/empty pass through; other codings raise
+    ValueError (caller flags the page). Torn streams raise too."""
+    import zlib
+
+    ce = ce.strip().lower()
+    if ce in ("", "identity"):
+        return body
+    if ce in ("gzip", "x-gzip"):
+        try:
+            return gzip.decompress(body)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise ValueError(f"http: torn gzip body: {exc}") from exc
+    if ce == "deflate":
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            try:
+                return zlib.decompress(body, wbits)
+            except zlib.error:
+                continue
+        raise ValueError("http: undecodable deflate body")
+    raise ValueError(f"http: unsupported content-encoding {ce!r}")
+
+
 # WHATWG Encoding Standard label fold (the subset that matters for a
 # web corpus): every label the standard maps to windows-1252 —
 # browsers and crawlers decode DECLARED latin-1/ascii as cp1252
@@ -317,16 +394,21 @@ def extract_warc_responses(df, data_col: str = "warc"):
     HTTP header block stripped. Non-response records (warcinfo,
     request, metadata) are skipped, as a crawl walker must.
 
-    Body decode is charset-aware (round 13): the HTTP header block
-    each record already carries declares ``Content-Type; charset=``,
-    and real Common-Crawl captures are full of latin-1 /
-    windows-1252 / shift-jis pages — see ``decode_http_body`` for
-    the full policy (declared-charset strict decode; unknown label
-    or bad bytes -> utf-8/replace + ``decode_clean=False``). A bad
-    PAGE is flagged data; a damaged FILE — truncation, forged
-    Content-Length, torn gzip member — still raises ValueError
-    (fail the task loudly: a silent skip would undercount the
-    corpus)."""
+    Body decode is layer-aware (round 13): the HTTP header block
+    each record carries declares the full body pipeline, and the
+    walk undoes it outside-in the way real captures need —
+    ``Transfer-Encoding: chunked`` framing first (RFC 9112; chunk
+    extensions + trailers tolerated), then ``Content-Encoding``
+    gzip/x-gzip/deflate (both zlib-wrapped and raw-deflate), then
+    the charset decode (``decode_http_body``: declared-charset
+    strict, WHATWG cp1252 label fold, unknown label or bad bytes ->
+    utf-8/replace). ANY page-layer damage — torn chunk framing,
+    torn body gzip, unknown coding, bad bytes — flags the row
+    (``decode_clean=False``, best-effort text from the bytes as
+    they stand) instead of killing the task: a bad PAGE is data. A
+    damaged FILE — truncation, forged Content-Length, torn
+    record-level gzip member — still raises ValueError (fail
+    loudly: a silent skip would undercount the corpus)."""
     import pandas as pd
 
     def _walk(batches):
@@ -342,9 +424,23 @@ def extract_warc_responses(df, data_col: str = "warc"):
                     _status, http_headers, body = split_http_response(
                         payload
                     )
+                    layers_ok = True
+                    te = http_headers.get("transfer-encoding", "")
+                    if "chunked" in te.lower():
+                        try:
+                            body = dechunk_http_body(body)
+                        except ValueError:
+                            layers_ok = False
+                    ce = http_headers.get("content-encoding", "")
+                    if ce:
+                        try:
+                            body = decode_content_encoding(body, ce)
+                        except ValueError:
+                            layers_ok = False
                     text, charset, clean = decode_http_body(
                         body, http_headers
                     )
+                    clean = clean and layers_ok
                     out["record_id"].append(headers.get("warc-record-id", ""))
                     out["target_uri"].append(headers.get("warc-target-uri", ""))
                     out["headers"].append(headers)

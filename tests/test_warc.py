@@ -321,6 +321,130 @@ def test_extract_undeclared_latin1_flags_not_raises(spark):
     assert "�" in out[0]["html"]
 
 
+# ---------------------------------------------------------- body layers
+
+
+def test_dechunk_http_body():
+    from e_commerce_data_pipeline_spark.sources.warc import (
+        dechunk_http_body,
+    )
+
+    body = "café hello ✓ world ".encode() * 7
+    # multi-chunk with an extension and a trailer header
+    ck = (
+        b"5;x=1\r\n" + body[:5] + b"\r\n"
+        + f"{len(body) - 5:x}".encode() + b"\r\n" + body[5:] + b"\r\n"
+        + b"0\r\nX-Trailer: v\r\n\r\n"
+    )
+    assert dechunk_http_body(ck) == body
+    # bare terminator, uppercase hex
+    ck2 = (
+        f"{len(body):X}".encode() + b"\r\n" + body + b"\r\n0\r\n\r\n"
+    )
+    assert dechunk_http_body(ck2) == body
+    for bad in (
+        ck[:-4],                       # truncated trailer
+        b"zz\r\nxx\r\n0\r\n\r\n",      # non-hex size
+        b"-5\r\nxxxxx\r\n0\r\n\r\n",   # negative size
+        b"5\r\nab\r\n",                # chunk data truncated
+        b"2\r\nabXX0\r\n\r\n",         # missing chunk CRLF
+        ck + b"junk",                  # data after final chunk
+    ):
+        with pytest.raises(ValueError):
+            dechunk_http_body(bad)
+
+
+def test_decode_content_encoding():
+    import zlib
+
+    from e_commerce_data_pipeline_spark.sources.warc import (
+        decode_content_encoding,
+    )
+
+    body = "deflate ✓ café".encode() * 5
+    assert decode_content_encoding(body, "identity") == body
+    assert decode_content_encoding(body, "") == body
+    assert decode_content_encoding(gzip.compress(body), "gzip") == body
+    assert decode_content_encoding(gzip.compress(body), "x-gzip") == body
+    assert decode_content_encoding(zlib.compress(body), "deflate") == body
+    # the raw-deflate form broken servers send
+    co = zlib.compressobj(wbits=-15)
+    raw = co.compress(body) + co.flush()
+    assert decode_content_encoding(raw, "deflate") == body
+    with pytest.raises(ValueError):
+        decode_content_encoding(b"xx", "br")
+    with pytest.raises(ValueError):
+        decode_content_encoding(gzip.compress(body)[:-3], "gzip")
+
+
+def _layered_record(i, html, te=None, ce=None, body=None):
+    hdrs = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    if ce:
+        hdrs += f"Content-Encoding: {ce}".encode() + b"\r\n"
+    if te:
+        hdrs += f"Transfer-Encoding: {te}".encode() + b"\r\n"
+    return {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:doc:{i}>",
+            "WARC-Target-URI": f"https://corpus.example/doc/{i}",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        "payload": hdrs + b"\r\n" + (body if body is not None
+                                     else html.encode()),
+    }
+
+
+def test_extract_body_layers_spark(spark):
+    """End-to-end: chunked, gzip, deflate, and chunked-over-gzip
+    bodies (the q65 round-13 body-layer arms) all recover the exact
+    text with decode_clean=TRUE; torn layers FLAG, never kill."""
+    import zlib
+
+    import pandas as pd
+
+    html = "<p>layered ✓ body café</p>" * 4
+
+    def chunked(b):
+        return (
+            f"{len(b) - 7:x}".encode() + b";e=1\r\n" + b[:-7] + b"\r\n"
+            + b"7\r\n" + b[-7:] + b"\r\n0\r\nX-T: 1\r\n\r\n"
+        )
+
+    recs = [
+        _layered_record(0, html),
+        _layered_record(1, html, te="chunked",
+                        body=chunked(html.encode())),
+        _layered_record(2, html, ce="gzip",
+                        body=gzip.compress(html.encode())),
+        _layered_record(3, html, te="chunked", ce="gzip",
+                        body=chunked(gzip.compress(html.encode()))),
+        _layered_record(4, html, ce="deflate",
+                        body=zlib.compress(html.encode())),
+        # torn chunk framing: flagged row, not a task failure
+        _layered_record(5, html, te="chunked",
+                        body=chunked(html.encode())[:-9]),
+        # torn body gzip: flagged
+        _layered_record(6, html, ce="gzip",
+                        body=gzip.compress(html.encode())[:-3]),
+        # unknown coding: flagged
+        _layered_record(7, html, ce="br", body=b"\x00\x01"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"warc": [build_warc(recs)]})
+    )
+    out = {
+        int(r["record_id"][9:-1]): r
+        for r in extract_warc_responses(df, "warc").collect()
+    }
+    assert len(out) == 8
+    for i in range(5):
+        assert out[i]["decode_clean"] is True, i
+        assert out[i]["html"] == html, i
+    for i in (5, 6, 7):
+        assert out[i]["decode_clean"] is False, i
+
+
 # ---------------------------------------------------------------- spark
 
 
