@@ -2385,10 +2385,13 @@ def _q65_build_warc_group(key, pdf):
         layer = int(doc_id) % 5
         extra = b""
         if layer in (2, 3):
-            body = gzip.compress(body, compresslevel=6, mtime=0)
+            # level 1: the synthesis side only exists in the test
+            # harness (real walkers only pay the DECODE side), so
+            # the cheapest deterministic compressor wins
+            body = gzip.compress(body, compresslevel=1, mtime=0)
             extra += b"Content-Encoding: gzip\r\n"
         elif layer == 4:
-            body = zlib.compress(body, 6)
+            body = zlib.compress(body, 1)
             extra += b"Content-Encoding: deflate\r\n"
         if layer in (1, 3):
             body = _q65_http_chunked(body, int(doc_id))
@@ -2422,7 +2425,9 @@ def _q65_build_warc_group(key, pdf):
                 "payload": payload,
             }
         )
-    data = build_warc(records, gzip_members=bool(bucket % 2))
+    data = build_warc(
+        records, gzip_members=bool(bucket % 2), compresslevel=1
+    )
     return pd.DataFrame({"bucket": [bucket], "warc": [data]})
 
 

@@ -56,6 +56,7 @@ def build_warc(
     records: Iterable[dict],
     gzip_members: bool = False,
     warcinfo: bool = True,
+    compresslevel: int = 6,
 ) -> bytes:
     """Serialize records into one WARC file (synthesis/test helper —
     the parse side is the product surface). Each record dict carries
@@ -82,7 +83,8 @@ def build_warc(
     if gzip_members:
         # mtime=0 keeps the synthesis bit-deterministic across runs
         return b"".join(
-            gzip.compress(r, compresslevel=6, mtime=0) for r in out
+            gzip.compress(r, compresslevel=compresslevel, mtime=0)
+            for r in out
         )
     return b"".join(out)
 
