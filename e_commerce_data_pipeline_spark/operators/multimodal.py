@@ -2564,9 +2564,10 @@ def _tiff_ojpeg_per_strip(
     (518) supply the scan header (one predictor per scan, so mixed
     per-component values gate), the synthesized stream is SOF3, and
     photometrics 0/1 (gray) and 2 (RGB — lossless has no color
-    transform) decode; RowsPerStrip is unconstrained (no MCU grid).
-    Other JPEGProc values, planar, tiled, non-8-bit and remaining
-    photometrics stay honestly gated."""
+    transform) decode at 8 AND 16 bits (the DNG-class depth;
+    SOF3 is precision-parameterized); RowsPerStrip is unconstrained
+    (no MCU grid). Other JPEGProc values, planar, tiled, remaining
+    depths/photometrics stay honestly gated."""
     import numpy as np
 
     proc = one(512, 1)
@@ -2574,11 +2575,18 @@ def _tiff_ojpeg_per_strip(
         require_codec(f"old-style per-strip JPEG JPEGProc {proc}")
     lossless = proc == 14
     if depth != 8:
-        if lossless:
-            require_codec(
-                f"old-style lossless JPEG {depth}-bit samples"
+        # round 13: lossless proc 14 decodes the DNG-class 16-bit
+        # rasters too (SOF3 is precision-parameterized; 12-bit data
+        # rides 16-bit containers in real files, so the TIFF layer
+        # only sees 8/16)
+        if not (lossless and depth == 16):
+            if lossless:
+                require_codec(
+                    f"old-style lossless JPEG {depth}-bit samples"
+                )
+            raise ValueError(
+                "old-style JPEG-in-TIFF requires 8-bit samples"
             )
-        raise ValueError("old-style JPEG-in-TIFF requires 8-bit samples")
     if photo not in ((0, 1, 2) if lossless else (0, 1, 6)):
         require_codec(f"old-style per-strip JPEG photometric {photo}")
     if planar == 2 and spp != 1:
@@ -2710,7 +2718,7 @@ def _tiff_ojpeg_per_strip(
         stream = bytearray(head)
         stream += bytes([0xFF, 0xC3 if lossless else 0xC0])
         stream += struct.pack(
-            ">HBHHB", 8 + 3 * spp, 8, rows_here, w, spp
+            ">HBHHB", 8 + 3 * spp, depth, rows_here, w, spp
         )
         for c in range(spp):
             hi, vi = samp[c]
@@ -2730,14 +2738,20 @@ def _tiff_ojpeg_per_strip(
         stream += bytes(b[off : off + cnt])
         stream += b"\xff\xd9"
         px = decode_jpeg(bytes(stream))
-        if px.dtype != np.uint8:
-            raise ValueError("TIFF embedded JPEG must be 8-bit")
+        want_dt = np.uint8 if depth == 8 else np.uint16
+        if px.dtype != want_dt:
+            raise ValueError(
+                "TIFF embedded JPEG precision/depth mismatch"
+            )
         if px.shape[0] < rows_here or px.shape[1] < w:
             raise ValueError("TIFF JPEG strip smaller than declared")
         parts.append(px[:rows_here, :w])
     out = np.concatenate(parts, axis=0)
     if photo == 0:  # WhiteIsZero gray, like the other JPEG layouts
-        out = (255 - out.astype(np.int32)).astype(np.uint8)
+        full = (1 << depth) - 1
+        out = (full - out.astype(np.int64)).astype(
+            np.uint8 if depth == 8 else np.uint16
+        )
     return out
 
 
@@ -4770,6 +4784,7 @@ def encode_tiff_ojpeg_lossless(
     point_transform: int = 0,
     rows_per_strip: int = 0,
     big_endian: bool = False,
+    precision: int = 0,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 -> OLD-STYLE (compression
     6) JPEG-in-TIFF with **JPEGProc = 14 (lossless)** in the
@@ -4782,21 +4797,26 @@ def encode_tiff_ojpeg_lossless(
     JPEGLosslessPredictors (517) / JPEGPointTransforms (518) carry
     the scan header fields; RowsPerStrip needs no MCU alignment
     (lossless has no block grid). Photometric 1 (gray) or 2 (RGB —
-    lossless has no color transform)."""
+    lossless has no color transform). ``precision`` defaults to the
+    dtype width (8/16) — deep rasters are the layout's real-world
+    use (DNG ancestors stored sensor data this way; 12-bit data
+    rides 16-bit containers at the TIFF layer)."""
     import numpy as np
 
-    a = np.asarray(arr, np.uint8)
+    a = np.asarray(arr)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     spp = 1 if gray else 3
     if not gray:
         assert a.shape[2] == 3, "ojpeg lossless: gray or RGB"
     photo = 1 if gray else 2
+    p = precision or (8 if a.dtype == np.uint8 else 16)
+    assert p in (8, 16) and int(a.max(initial=0)) < (1 << p)
     pt = point_transform
-    assert 1 <= predictor <= 7 and 0 <= pt < 8
+    assert 1 <= predictor <= 7 and 0 <= pt < p
     e = ">" if big_endian else "<"
     red = (a[..., None] if gray else a).astype(np.int64) >> pt
-    default = 1 << (8 - pt - 1)
+    default = 1 << (p - pt - 1)
     rps = rows_per_strip or h
     strips = [red[s * rps : (s + 1) * rps] for s in range(-(-h // rps))]
     # shared table: census the symbols of EVERY strip (each strip is
@@ -4850,7 +4870,7 @@ def encode_tiff_ojpeg_lossless(
     tags = [
         (256, 3, [w]),
         (257, 3, [h]),
-        (258, 3, [8] * spp),
+        (258, 3, [p] * spp),
         (259, 3, [6]),
         (262, 3, [photo]),
         (273, 4, offsets),

@@ -2537,16 +2537,39 @@ def test_tiff_ojpeg_lossless_round13():
             break
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(b))
-    # bit-flip contract over the proc-14 walk
+    # 16-BIT rasters (the DNG-class depth the layout really carried):
+    # exact round trips on full-entropy uint16, gray + RGB, strips +
+    # point transform; 12-bit stays a pure-JPEG capability (real
+    # files carry 12-bit data in 16-bit containers)
+    g16 = rng.randint(0, 65536, (14, 19)).astype(np.uint16)
+    c16 = rng.randint(0, 65536, (11, 13, 3)).astype(np.uint16)
+    for src, want in ((g16, np.stack([g16] * 3, -1)), (c16, c16)):
+        got = decode_tiff(encode_tiff_ojpeg_lossless(
+            src, predictor=4, rows_per_strip=4
+        ))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, want), src.shape
+    got = decode_tiff(encode_tiff_ojpeg_lossless(g16, point_transform=3))
+    assert np.array_equal(
+        got[..., 0].astype(np.int64),
+        (g16.astype(np.int64) >> 3) << 3,
+    )
+    with pytest.raises(AssertionError):
+        encode_tiff_ojpeg_lossless(g16, precision=12)
+    # bit-flip contract over the proc-14 walk (8-bit + 16-bit)
     small = rng.randint(0, 256, (9, 11)).astype(np.uint8)
-    data = encode_tiff_ojpeg_lossless(small, rows_per_strip=3)
-    for bit in range(len(data) * 8):
-        bb = bytearray(data)
-        bb[bit // 8] ^= 1 << (bit % 8)
-        try:
-            decode_tiff(bytes(bb))
-        except (ValueError, NotImplementedError):
-            pass
+    small16 = rng.randint(0, 65536, (6, 7)).astype(np.uint16)
+    for data in (
+        encode_tiff_ojpeg_lossless(small, rows_per_strip=3),
+        encode_tiff_ojpeg_lossless(small16, rows_per_strip=3),
+    ):
+        for bit in range(len(data) * 8):
+            bb = bytearray(data)
+            bb[bit // 8] ^= 1 << (bit % 8)
+            try:
+                decode_tiff(bytes(bb))
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_jpeg_arith12_round13():
