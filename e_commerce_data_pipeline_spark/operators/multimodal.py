@@ -10088,6 +10088,101 @@ def _jpg_expand_ref(ref, eh: int, ev: int, th: int, tw: int):
     return out[:th, :tw]
 
 
+def _jh_arith_scan(
+    b, data_start, end, comps, sel, planes, differential,
+    restart_interval, dc_cond, ac_cond, qts, dctm, zz, mcux, mcuy,
+):
+    """One ARITHMETIC hierarchical frame scan (round 13): the Annex
+    F sequential models over the QM-coder, 1x1-sampled components,
+    dequantized blocks written into ``planes``. Differential frames
+    (SOF13) code each block's DC VALUE directly (zero prediction —
+    the J.1 rule the Huffman SOF5 path applies), non-differential
+    SOF9 frames accumulate the usual DC prediction. Restart
+    segments split exactly like the standalone SOF9 decoder: fresh
+    coder + zeroed statistics + reset contexts, sequence numbers
+    checked."""
+    import numpy as np
+
+    total_mcus = mcux * mcuy
+    seg_bounds = []
+    p = data_start
+    seg_from = data_start
+    rst_seq = 0
+    while p + 1 < end:
+        if b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+            got = b[p + 1] - 0xD0
+            if got != rst_seq % 8:
+                raise ValueError(
+                    f"JPEG restart desync: RST{got}, "
+                    f"expected RST{rst_seq % 8}"
+                )
+            seg_bounds.append((seg_from, p))
+            seg_from = p + 2
+            rst_seq += 1
+            p += 2
+        else:
+            p += 1
+    seg_bounds.append((seg_from, end))
+    if restart_interval:
+        if len(seg_bounds) != -(-total_mcus // restart_interval):
+            raise ValueError("JPEG restart segment count mismatch")
+    elif len(seg_bounds) != 1:
+        raise ValueError("JPEG restart markers without DRI")
+
+    nc = len(comps)
+    dc_stats: dict[int, bytearray] = {}
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([113])
+    dec = None
+    dc_ctx = [0] * nc
+    preds = [0] * nc
+    coefs = np.zeros(64, dtype=np.int64)
+    mcu_n = 0
+    seg_i = -1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if mcu_n % (restart_interval or total_mcus or 1) == 0 \
+                    and seg_i + 1 < len(seg_bounds):
+                seg_i += 1
+                s0, s1 = seg_bounds[seg_i]
+                dec = _QmDecoder(b[s0:s1])
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for st in ac_stats.values():
+                    st[:] = bytes(256)
+                dc_ctx = [0] * nc
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, ((_cid, tq), (dt, at)) in enumerate(
+                zip(comps, sel)
+            ):
+                qt = qts.get(tq)
+                if qt is None:
+                    raise ValueError("JPEG missing table")
+                if dt not in dc_stats:
+                    dc_stats[dt] = bytearray(64)
+                if at not in ac_stats:
+                    ac_stats[at] = bytearray(256)
+                low, up = dc_cond.get(dt, (0, 1))
+                kx = ac_cond.get(at, 5)
+                coefs[:] = 0
+                dcv = _arith_dc_decode(
+                    dec, dc_stats[dt], dc_ctx, ci, low, up
+                )
+                if differential:
+                    coefs[0] = dcv  # zero prediction (J.1)
+                else:
+                    preds[ci] += dcv
+                    coefs[0] = preds[ci]
+                _arith_ac_decode(dec, ac_stats[at], fixed, kx, coefs)
+                blk = np.zeros((8, 8), dtype=np.float64)
+                for i in range(64):
+                    blk.reshape(-1)[zz[i]] = coefs[i]
+                blk *= qt
+                planes[ci][my * 8 : my * 8 + 8,
+                           mx * 8 : mx * 8 + 8] = dctm.T @ blk @ dctm
+
+
 def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
     """Hierarchical JPEG (DHP) -> (h, w, 3) uint8. Decodes the frame
     pyramid: non-differential SOF0/SOF1 frames replace the
@@ -10104,6 +10199,8 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
     refs = None  # list of float64 planes at the current frame dims
     exp_pending = None
     restart_interval = 0
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     frame = None  # (h, w, comps, differential) awaiting its SOS
@@ -10166,11 +10263,15 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
             if eh > 1 or ev > 1 or not (eh or ev):
                 raise ValueError("JPEG EXP expansion flags invalid")
             exp_pending = (eh, ev)
-        elif marker in (0xC0, 0xC1, 0xC5):
+        elif marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD):
+            # round 13: SOF9 (non-differential arithmetic) and SOF13
+            # (differential sequential arithmetic) frames ride the
+            # pyramid too — the QM models swap in at the scan level
             if dhp is None:
                 raise ValueError(
                     "JPEG differential/pyramid frame outside a hierarchy"
-                    if marker == 0xC5 else "JPEG frame before DHP"
+                    if marker in (0xC5, 0xCD)
+                    else "JPEG frame before DHP"
                 )
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
@@ -10191,14 +10292,42 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
                 comps.append((cid, tq))
             if fh > dhp[0] or fw > dhp[1]:
                 raise ValueError("JPEG frame larger than the DHP dims")
-            frame = (fh, fw, comps, marker == 0xC5)
+            frame = (
+                fh, fw, comps, marker in (0xC5, 0xCD),
+                marker in (0xC9, 0xCD),
+            )
         elif marker in (0xC2, 0xC3, 0xC6, 0xC7):
             require_codec(
                 "hierarchical JPEG progressive/lossless frame "
                 f"(SOF 0xFF{marker:02X})"
             )
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            require_codec("arithmetic-coded hierarchical JPEG frame")
+        elif marker in (0xCA, 0xCB, 0xCE, 0xCF):
+            require_codec(
+                "arithmetic progressive/lossless hierarchical "
+                f"JPEG frame (SOF 0xFF{marker:02X})"
+            )
+        elif marker == 0xCC:
+            # DAC conditioning for the arithmetic frames
+            if len(payload) % 2:
+                raise ValueError("JPEG DAC truncated")
+            for p in range(0, len(payload), 2):
+                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
+                    payload[p + 1]
+                if tb > 3:
+                    raise ValueError("JPEG DAC table id out of range")
+                if tc == 0:
+                    low_, up_ = cs & 0x0F, cs >> 4
+                    if low_ > up_ or up_ > 15:
+                        raise ValueError(
+                            "JPEG DAC DC conditioning invalid"
+                        )
+                    dc_cond[tb] = (low_, up_)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC AC Kx out of range")
+                    ac_cond[tb] = cs
+                else:
+                    raise ValueError("JPEG DAC class invalid")
         elif marker == 0xDD:
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -10208,7 +10337,7 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
                 raise ValueError("JPEG scan before a hierarchical frame")
             if not payload or len(payload) < 1 + 2 * payload[0] + 3:
                 raise ValueError("JPEG SOS truncated")
-            fh, fw, comps, differential = frame
+            fh, fw, comps, differential, arith = frame
             ns = payload[0]
             if ns != len(comps):
                 raise ValueError("JPEG scan/frame component mismatch")
@@ -10220,15 +10349,21 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
                 sel.append((tt >> 4, tt & 0x0F))
             data_start = pos + 2 + ln
             end = _jpg_scan_end(b, data_start)
-            rd = _JpgBitReader(b[data_start:end])
             mcux, mcuy = -(-fw // 8), -(-fh // 8)
             planes = [
                 np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
                 for _ in comps
             ]
+            if arith:
+                _jh_arith_scan(
+                    b, data_start, end, comps, sel, planes,
+                    differential, restart_interval, dc_cond,
+                    ac_cond, qts, dctm, zz, mcux, mcuy,
+                )
+            rd = None if arith else _JpgBitReader(b[data_start:end])
             preds = [0] * len(comps)
             mcu_n = 0
-            for my in range(mcuy):
+            for my in range(0 if arith else mcuy):
                 for mx in range(mcux):
                     if restart_interval and mcu_n and \
                             mcu_n % restart_interval == 0:
@@ -10352,6 +10487,7 @@ def encode_jpeg_hierarchical(
     restart_interval: int = 0,
     diff_quality: int = 100,
     expansion: bool = True,
+    arith: bool = False,
 ) -> bytes:
     """(h, w, 3) RGB or (h, w) gray uint8 -> hierarchical JPEG
     (DHP): a ``levels``-deep pyramid — the base frame encodes the
@@ -10369,7 +10505,12 @@ def encode_jpeg_hierarchical(
     base quality — the census argument). Components are 1x1-sampled
     (RGB rides YCbCr 4:4:4); Annex K tables are emitted once and
     persist across frames. ``restart_interval`` applies to every
-    frame."""
+    frame. ``arith=True`` (round 13) entropy-codes every frame
+    through the QM-coder instead — SOF9 base + SOF13 differential
+    frames (zero DC prediction coded as the value itself), default
+    DAC conditioning, per-frame and per-restart statistics resets —
+    the arithmetic HIERARCHY the T.81 Annex J + Annex D composition
+    allows."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -10432,6 +10573,11 @@ def encode_jpeg_hierarchical(
         fh, fw = srcs[0].shape
         mcux, mcuy = -(-fw // 8), -(-fh // 8)
         wr = _JpgBitWriter()
+        enc = _QmEncoder() if arith else None
+        dc_stats = {t: bytearray(64) for t in (0, 1)[: 1 if gray else 2]}
+        ac_stats = {t: bytearray(256) for t in (0, 1)[: 1 if gray else 2]}
+        fixed = bytearray([113])
+        dc_ctx = [0] * nc
         preds = [0] * nc
         zz = np.array(_JPG_ZIGZAG)
         recon = [np.zeros((mcuy * 8, mcux * 8)) for _ in srcs]
@@ -10440,7 +10586,16 @@ def encode_jpeg_hierarchical(
             for mx in range(mcux):
                 if restart_interval and mcu_n and \
                         mcu_n % restart_interval == 0:
-                    wr.flush()
+                    if arith:
+                        wr.out += enc.flush()
+                        enc = _QmEncoder()
+                        for st_ in dc_stats.values():
+                            st_[:] = bytes(64)
+                        for st_ in ac_stats.values():
+                            st_[:] = bytes(256)
+                        dc_ctx = [0] * nc
+                    else:
+                        wr.flush()
                     wr.out += bytes(
                         [0xFF,
                          0xD0 + ((mcu_n // restart_interval - 1) % 8)]
@@ -10473,7 +10628,21 @@ def encode_jpeg_hierarchical(
                     qf = np.clip(qf, -1023, 1023)
                     qf[0, 0] = dc0
                     t = tqs[ci]
-                    if differential:
+                    if arith:
+                        zc = qf.reshape(-1)[zz]
+                        dcv = int(zc[0])
+                        # differential frames code the VALUE (zero
+                        # prediction); SOF9 frames the usual diff
+                        diff = dcv if differential else \
+                            dcv - preds[ci]
+                        preds[ci] = dcv
+                        _arith_dc_encode(
+                            enc, dc_stats[t], dc_ctx, ci, diff, 0, 1
+                        )
+                        _arith_ac_encode(
+                            enc, ac_stats[t], fixed, 5, zc
+                        )
+                    elif differential:
                         # zero DC prediction: encode DC directly
                         _jpg_encode_block(
                             wr, qf.reshape(-1)[zz],
@@ -10487,7 +10656,10 @@ def encode_jpeg_hierarchical(
                     recon[ci][py : py + 8, px : px + 8] = (
                         dctm.T @ (qf.astype(np.float64) * qt) @ dctm
                     )
-        wr.flush()
+        if arith:
+            wr.out += enc.flush()
+        else:
+            wr.flush()
         comp_ids = tuple(range(1, nc + 1))
         sof = struct.pack(">BHHB", 8, fh, fw, nc)
         for ci in range(nc):
@@ -10497,7 +10669,11 @@ def encode_jpeg_hierarchical(
             t = tqs[ci]
             sos += bytes([comp_ids[ci], (t << 4) | t])
         sos += bytes([0, 63, 0])
-        body = seg(0xC5 if differential else 0xC0, sof) + \
+        if arith:
+            sof_marker = 0xCD if differential else 0xC9
+        else:
+            sof_marker = 0xC5 if differential else 0xC0
+        body = seg(sof_marker, sof) + \
             seg(0xDA, sos) + bytes(wr.out)
         return body, [r[:fh, :fw] for r in recon]
 
@@ -10514,12 +10690,21 @@ def encode_jpeg_hierarchical(
     out += dqt_seg(2, dl)
     if nc == 3:
         out += dqt_seg(3, dc_)
-    for (cls, tid), (bits, vals) in _JPG_HUFF.items():
-        if tid == 1 and nc == 1:
-            continue
-        out += seg(
-            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-        )
+    if arith:
+        # explicit default DAC for both entropy tables/classes
+        dac_body = b""
+        for t in range(1 if gray else 2):
+            dac_body += bytes([t, (1 << 4) | 0])
+            dac_body += bytes([0x10 | t, 5])
+        out += seg(0xCC, dac_body)
+    else:
+        for (cls, tid), (bits, vals) in _JPG_HUFF.items():
+            if tid == 1 and nc == 1:
+                continue
+            out += seg(
+                0xC4,
+                bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
+            )
     dhp = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         dhp += bytes([ci + 1, 0x11, tqs[ci]])
@@ -11890,7 +12075,12 @@ def synthetic_jpeg_hier_table(spark, n: int = 12) -> DataFrame:
 
     Rotation: levels 2+(i%2), gray-in-RGB color on i%4==2 and the
     constant rows with i>=8, restart intervals of 2 MCUs on i%3==0
-    in EVERY frame. aux = frames*1000 + total RSTm across all
+    in EVERY frame. Round 13: ODD rows re-code the pyramid through
+    the QM-coder (arith=True — SOF9 base + SOF13 differential
+    frames); per-frame coefficients are identical, so pixels and
+    the aux structure pin are layout-invariant and the fold is
+    oracle-invisible while those rows gate on the arithmetic
+    hierarchy walk. aux = frames*1000 + total RSTm across all
     frames — the pyramid-structure pin (a dropped or merged frame
     shifts aux even when pixels coincide)."""
     import numpy as np
@@ -11923,6 +12113,7 @@ def synthetic_jpeg_hier_table(spark, n: int = 12) -> DataFrame:
                     levels=3 if exp_row else 2 + (i % 2),
                     restart_interval=2 if i % 3 == 0 else 0,
                     expansion=exp_row,
+                    arith=bool(i % 2),
                 ),
                 None,
                 f"mem://media/{1000 + i}.hjpg",

@@ -12717,7 +12717,12 @@ def q197_cdc_validation_census(spark, sf_dir):
     "media_id +1000): DHP frame pyramids — a non-differential base "
     "frame, EXP reference expansions ((a+b+1)>>1 interpolation, "
     "edge replicated), and DIFFERENTIAL SOF5 frames (zero DC "
-    "prediction, no level shift) added to the reference. Two "
+    "prediction, no level shift) added to the reference; round 13 "
+    "re-codes the ODD rows' pyramids through the QM-coder (SOF9 "
+    "base + SOF13 differential frames — identical per-frame "
+    "coefficients, so pixels and the frames*1000+RSTm aux are "
+    "layout-invariant and the arithmetic-hierarchy walk is "
+    "oracle-gated). Two "
     "oracle-exact sub-families: EXP-LESS quality hierarchies (the "
     "base deliberately COARSE at quality 25-45, every frame full "
     "dims — block-constant residuals are integer constants per 8x8 "

@@ -2160,8 +2160,20 @@ def test_jpeg_hierarchical_structure_gates_and_damage():
         bb[find_marker(bb, 0xC5) + 1] = forged
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(bb))
+    # SOF13 decodes since round 13 (arithmetic differential — see
+    # test_jpeg_arith_hierarchical_round13); a HUFFMAN stream
+    # misdeclared as SOF13 is garbage data the QM walk may absorb
+    # (the zero-feed convention) — the contract is only that no
+    # foreign exception class escapes
     bb = bytearray(b)
     bb[find_marker(bb, 0xC5) + 1] = 0xCD
+    try:
+        decode_jpeg(bytes(bb))
+    except (ValueError, NotImplementedError):
+        pass
+    # arithmetic progressive/lossless differential frames still gate
+    bb = bytearray(b)
+    bb[find_marker(bb, 0xC5) + 1] = 0xCE
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bb))
     # bit-flip sweep (restarted color refinement file)
@@ -2570,6 +2582,66 @@ def test_tiff_ojpeg_lossless_round13():
                 decode_tiff(bytes(bb))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_jpeg_arith_hierarchical_round13():
+    """Arithmetic HIERARCHIES (T.81 Annex J over the Annex D
+    QM-coder): SOF9 base + SOF13 differential frames carry the SAME
+    per-frame quantized coefficients as the Huffman pyramid, so the
+    decoded output is bit-identical across EXP pyramids, quality
+    hierarchies, restarts, gray + color. Arithmetic
+    progressive/lossless hierarchical frames keep their gates."""
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(53)
+    for shape in [(24, 31), (20, 25, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for kw in (dict(levels=2), dict(levels=3),
+                   dict(levels=2, restart_interval=2),
+                   dict(levels=3, expansion=False, quality=35)):
+            ref = decode_jpeg(encode_jpeg_hierarchical(img, **kw))
+            got = decode_jpeg(
+                encode_jpeg_hierarchical(img, arith=True, **kw)
+            )
+            assert np.array_equal(got, ref), (shape, kw)
+    # the structural marker walk still pins the pyramid: same frame
+    # count and restart census as the Huffman layout
+    from e_commerce_data_pipeline_spark.operators.multimodal import (
+        jpeg_marker_summary,
+        _jpg_has_dhp,
+    )
+
+    img = rng.randint(0, 256, (24, 31)).astype(np.uint8)
+    bh_ = encode_jpeg_hierarchical(img, levels=3, restart_interval=2)
+    ba_ = encode_jpeg_hierarchical(
+        img, levels=3, restart_interval=2, arith=True
+    )
+    assert _jpg_has_dhp(ba_)
+    assert jpeg_marker_summary(bh_)[1:] == jpeg_marker_summary(ba_)[1:]
+    # gates: a progressive-arithmetic frame inside a hierarchy stays
+    # out of surface (forge the SOF13 marker to SOF14 = 0xCE)
+    bb = bytearray(ba_)
+    at = bb.index(b"\xff\xcd")
+    bb[at + 1] = 0xCE
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bb))
+    # bit-flip contract over the arithmetic pyramid walk
+    small = rng.randint(0, 256, (10, 12)).astype(np.uint8)
+    data = encode_jpeg_hierarchical(
+        small, levels=2, restart_interval=1, arith=True
+    )
+    for bit in range(len(data) * 8):
+        b2 = bytearray(data)
+        b2[bit // 8] ^= 1 << (bit % 8)
+        try:
+            decode_jpeg(bytes(b2))
+        except (ValueError, NotImplementedError):
+            pass
 
 
 def test_jpeg_arith12_round13():
