@@ -8489,6 +8489,54 @@ def _jpg_extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _jpg_gray_ycbcr_tail(planes, prec):
+    """Shared precision-parameterized output tail (round-13 review:
+    one copy, not three): level-shifted component planes -> uint8/
+    uint16 RGB via the CCIR-601 inverse, grayscale replicated. The
+    constants here are THE cross-path pinned values — every decoder
+    that changes them must change them together."""
+    import numpy as np
+
+    lvl = float(1 << (prec - 1))
+    full = (1 << prec) - 1
+    odt = np.uint8 if prec == 8 else np.uint16
+    if len(planes) == 1:
+        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - lvl)
+    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
+    bl = y + 1.772 * (cb - lvl)
+    return np.stack(
+        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)],
+        axis=-1,
+    ).astype(odt)
+
+
+def _jpg_parse_dac(payload, dc_cond, ac_cond):
+    """Parse one DAC segment (T.81 B.2.4.3) into the conditioning
+    maps: DC entries carry (L, U) packed U<<4|L, AC entries carry
+    Kx. Shared by the sequential/progressive/hierarchical arithmetic
+    decoders (round-13 review: one validation site, not three)."""
+    if len(payload) % 2:
+        raise ValueError("JPEG DAC truncated")
+    for p in range(0, len(payload), 2):
+        tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, payload[p + 1]
+        if tb > 3:
+            raise ValueError("JPEG DAC table id out of range")
+        if tc == 0:
+            low, up = cs & 0x0F, cs >> 4
+            if low > up or up > 15:
+                raise ValueError("JPEG DAC DC conditioning invalid")
+            dc_cond[tb] = (low, up)
+        elif tc == 1:
+            if not 1 <= cs <= 63:
+                raise ValueError("JPEG DAC AC Kx out of range")
+            ac_cond[tb] = cs
+        else:
+            raise ValueError("JPEG DAC class invalid")
+
+
 def _jpg_parse_dqt(payload: bytes, qts: dict) -> None:
     """Parse one DQT segment into ``qts``: Pq=0 is 8-bit entries,
     Pq=1 is 16-bit big-endian (extended-sequential encoders use it
@@ -8875,18 +8923,23 @@ def _jpg_optimal_table(freq_map):
     return bits[1:17], [s for _, s in order]
 
 
-def _jpg_quantized_coefs12(arr, quality: int):
-    """12-bit twin of ``_jpg_quantized_coefs`` (round 13): uint16
-    samples < 4096, level shift 2048, YCbCr relations centered
-    likewise — the ``encode_jpeg12`` front end reshaped into the
-    progressive (bh, bw, 64) zigzag grids, so a 12-bit progressive
-    stream is a lossless re-coding of the 12-bit sequential
+def _jpg_quantized_coefs(arr, quality: int, precision: int = 8):
+    """Shared quantization front end for the progressive encoder
+    (4:4:4 or grayscale): returns per-component (bh, bw, 64) int64
+    zigzag-order coefficient arrays plus the quant tables.
+    Precision-parameterized (round-13 review: one front end, not
+    two): level shift and YCbCr relations center on 2^(P-1), clip
+    at 2^P-1 — at 12 bits this IS the ``encode_jpeg12`` front end
+    reshaped into the progressive grids, so a 12-bit progressive
+    stream is a lossless re-coding of the sequential-12
     coefficients."""
     import numpy as np
 
     a = np.asarray(arr)
     gray = a.ndim == 2
-    assert int(a.max(initial=0)) < 4096
+    lvl = float(1 << (precision - 1))
+    full = (1 << precision) - 1
+    assert int(a.max(initial=0)) <= full
     h, w = a.shape[:2]
     if gray:
         planes = [a.astype(np.float64)]
@@ -8894,10 +8947,10 @@ def _jpg_quantized_coefs12(arr, quality: int):
         rgb = a.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 2048.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-        cr = 2048.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        cb = lvl - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = lvl + 0.5 * r - 0.418687589 * g - 0.081312411 * b
         planes = [
-            np.clip(np.floor(x + 0.5), 0, 4095) for x in (y, cb, cr)
+            np.clip(np.floor(x + 0.5), 0, full) for x in (y, cb, cr)
         ]
     ql, qc = _jpg_quant_tables(quality)
     qts = [ql] + ([] if gray else [qc, qc])
@@ -8906,7 +8959,7 @@ def _jpg_quantized_coefs12(arr, quality: int):
     zz = np.array(_JPG_ZIGZAG)
     coefs = []
     for p, qt in zip(planes, qts):
-        pad = _jpg_pad(p, bh * 8, bw * 8) - 2048.0
+        pad = _jpg_pad(p, bh * 8, bw * 8) - lvl
         c = np.zeros((bh, bw, 64), dtype=np.int64)
         for by in range(bh):
             for bx in range(bw):
@@ -8920,43 +8973,10 @@ def _jpg_quantized_coefs12(arr, quality: int):
     return coefs, qts, gray, h, w
 
 
-def _jpg_quantized_coefs(arr, quality: int):
-    """Shared quantization front end for the progressive encoder
-    (4:4:4 or grayscale): returns per-component (bh, bw, 64) int64
-    zigzag-order coefficient arrays plus the quant tables."""
-    import numpy as np
-
-    a = np.asarray(arr, dtype=np.uint8)
-    gray = a.ndim == 2
-    h, w = a.shape[:2]
-    if gray:
-        planes = [a.astype(np.float64)]
-    else:
-        rgb = a.astype(np.float64)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-        planes = [np.clip(np.floor(x + 0.5), 0, 255) for x in (y, cb, cr)]
-    ql, qc = _jpg_quant_tables(quality)
-    qts = [ql] + ([] if gray else [qc, qc])
-    dctm = _jpg_dct_mat()
-    bw, bh = -(-w // 8), -(-h // 8)
-    zz = np.array(_JPG_ZIGZAG)
-    coefs = []
-    for p, qt in zip(planes, qts):
-        pad = _jpg_pad(p, bh * 8, bw * 8) - 128.0
-        c = np.zeros((bh, bw, 64), dtype=np.int64)
-        for by in range(bh):
-            for bx in range(bw):
-                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                f = dctm @ blk @ dctm.T
-                qf = np.floor(np.abs(f) / qt + 0.5).astype(
-                    np.int64
-                ) * np.where(f < 0, -1, 1)
-                c[by, bx] = qf.reshape(-1)[zz]
-        coefs.append(c)
-    return coefs, qts, gray, h, w
+def _jpg_quantized_coefs12(arr, quality: int):
+    """12-bit spelling of the shared front end (kept as the named
+    entry point the 12-bit encoders call)."""
+    return _jpg_quantized_coefs(arr, quality, precision=12)
 
 
 # scan script: (kind, comp, Ss, Se, Ah, Al); DC scans interleave all
@@ -9670,11 +9690,9 @@ def _decode_jpeg_progressive(b: bytes):
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF2/scan data")
     h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
-    # precision-parameterized output (round 13, the SOF9 pattern):
-    # level shift 2^(P-1), clip 2^P-1, uint16 above 8 bits
+    # precision-parameterized level shift (the clip/dtype half
+    # lives in the shared _jpg_gray_ycbcr_tail)
     lvl = float(1 << (prec - 1))
-    full = (1 << prec) - 1
-    odt = np.uint8 if prec == 8 else np.uint16
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     planes = []
@@ -9701,17 +9719,7 @@ def _decode_jpeg_progressive(b: bytes):
                 hmax // hi, axis=1,
             )
         planes.append(plane[:h, :w] + lvl)
-    if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
-        return np.stack([g, g, g], axis=-1)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - lvl)
-    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
-    bl = y + 1.772 * (cb - lvl)
-    out = np.stack(
-        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)], axis=-1
-    )
-    return out.astype(odt)
+    return _jpg_gray_ycbcr_tail(planes, prec)
 
 
 def _decode_jpeg_arith_progressive(b: bytes):
@@ -9763,24 +9771,7 @@ def _decode_jpeg_arith_progressive(b: bytes):
             _jpg_parse_dqt(payload, qts)
         elif marker == 0xCC:
             # DAC conditioning (same layout as the sequential path)
-            if len(payload) % 2:
-                raise ValueError("JPEG DAC truncated")
-            for p in range(0, len(payload), 2):
-                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
-                    payload[p + 1]
-                if tb > 3:
-                    raise ValueError("JPEG DAC table id out of range")
-                if tc == 0:
-                    low, up = cs & 0x0F, cs >> 4
-                    if low > up or up > 15:
-                        raise ValueError("JPEG DAC DC conditioning invalid")
-                    dc_cond[tb] = (low, up)
-                elif tc == 1:
-                    if not 1 <= cs <= 63:
-                        raise ValueError("JPEG DAC AC Kx out of range")
-                    ac_cond[tb] = cs
-                else:
-                    raise ValueError("JPEG DAC class invalid")
+            _jpg_parse_dac(payload, dc_cond, ac_cond)
         elif marker == 0xCA:
             if len(payload) < 6:
                 raise ValueError("JPEG SOF truncated")
@@ -10000,11 +9991,9 @@ def _decode_jpeg_arith_progressive(b: bytes):
     if sof is None or coefs is None:
         raise ValueError("JPEG missing SOF10/scan data")
     h, w, comps, geom, hmax, vmax, mcux, mcuy, prec = sof
-    # precision-parameterized output (the SOF9 pattern): level shift
-    # 2^(P-1), clip 2^P-1, uint16 above 8 bits
+    # precision-parameterized level shift (the clip/dtype half
+    # lives in the shared _jpg_gray_ycbcr_tail)
     lvl = float(1 << (prec - 1))
-    full = (1 << prec) - 1
-    odt = np.uint8 if prec == 8 else np.uint16
     dctm = _jpg_dct_mat()
     zz = _JPG_ZIGZAG
     planes = []
@@ -10031,17 +10020,7 @@ def _decode_jpeg_arith_progressive(b: bytes):
                 hmax // hi, axis=1,
             )
         planes.append(plane[:h, :w] + lvl)
-    if len(planes) == 1:
-        g = np.clip(np.floor(planes[0] + 0.5), 0, full).astype(odt)
-        return np.stack([g, g, g], axis=-1)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - lvl)
-    g = y - 0.344136286 * (cb - lvl) - 0.714136286 * (cr - lvl)
-    bl = y + 1.772 * (cb - lvl)
-    out = np.stack(
-        [np.clip(np.floor(x + 0.5), 0, full) for x in (r, g, bl)], axis=-1
-    )
-    return out.astype(odt)
+    return _jpg_gray_ycbcr_tail(planes, prec)
 
 
 # ---------------------------------------------------------------------------
@@ -10308,26 +10287,7 @@ def _decode_jpeg_hierarchical(b: bytes, color_space: str = "auto"):
             )
         elif marker == 0xCC:
             # DAC conditioning for the arithmetic frames
-            if len(payload) % 2:
-                raise ValueError("JPEG DAC truncated")
-            for p in range(0, len(payload), 2):
-                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
-                    payload[p + 1]
-                if tb > 3:
-                    raise ValueError("JPEG DAC table id out of range")
-                if tc == 0:
-                    low_, up_ = cs & 0x0F, cs >> 4
-                    if low_ > up_ or up_ > 15:
-                        raise ValueError(
-                            "JPEG DAC DC conditioning invalid"
-                        )
-                    dc_cond[tb] = (low_, up_)
-                elif tc == 1:
-                    if not 1 <= cs <= 63:
-                        raise ValueError("JPEG DAC AC Kx out of range")
-                    ac_cond[tb] = cs
-                else:
-                    raise ValueError("JPEG DAC class invalid")
+            _jpg_parse_dac(payload, dc_cond, ac_cond)
         elif marker == 0xDD:
             if len(payload) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -11290,6 +11250,13 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
                         f"JPEG sampling factor out of range {hi}x{vi}"
                     )
                 comps.append((cid, tq, hi, vi))
+            if prec == 12 and (
+                color_space == "rgb"
+                or tuple(c[0] for c in comps) == (0x52, 0x47, 0x42)
+            ):
+                # refuse at the HEADER, before the O(pixels) QM
+                # walk (round-13 review)
+                require_codec("12-bit RGB-space arithmetic JPEG")
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
             for _, _, hi, vi in comps:
@@ -11302,24 +11269,7 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
         elif marker == 0xCC:
             # DAC: pairs of (Tc<<4|Tb, Cs) — DC Cs packs U<<4|L,
             # AC Cs is Kx (T.81 B.2.4.3)
-            if len(payload) % 2:
-                raise ValueError("JPEG DAC truncated")
-            for p in range(0, len(payload), 2):
-                tc, tb, cs = payload[p] >> 4, payload[p] & 0x0F, \
-                    payload[p + 1]
-                if tb > 3:
-                    raise ValueError("JPEG DAC table id out of range")
-                if tc == 0:
-                    low, up = cs & 0x0F, cs >> 4
-                    if low > up or up > 15:
-                        raise ValueError("JPEG DAC DC conditioning invalid")
-                    dc_cond[tb] = (low, up)
-                elif tc == 1:
-                    if not 1 <= cs <= 63:
-                        raise ValueError("JPEG DAC AC Kx out of range")
-                    ac_cond[tb] = cs
-                else:
-                    raise ValueError("JPEG DAC class invalid")
+            _jpg_parse_dac(payload, dc_cond, ac_cond)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("JPEG multiple SOF markers")
@@ -11478,8 +11428,7 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
     if color_space == "rgb" or (
         color_space == "auto" and ids == (0x52, 0x47, 0x42)
     ):
-        if prec != 8:
-            require_codec("12-bit RGB-space arithmetic JPEG")
+        # prec 12 was refused at the SOF header already
         out = np.stack(
             [np.clip(np.floor(p_ + 0.5), 0, 255) for p_ in planes],
             axis=-1,

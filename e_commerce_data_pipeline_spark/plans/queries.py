@@ -2375,7 +2375,17 @@ def _q65_build_warc_group(key, pdf):
         pdf["doc_id"], pdf["lang"], pdf["n_chars"], pdf["html"]
     ):
         cs_arm = int(doc_id) % 3
-        body = html.encode(_Q65_WIRE_CHARSETS[cs_arm])
+        try:
+            body = html.encode(_Q65_WIRE_CHARSETS[cs_arm])
+            ct_header = _Q65_CT_HEADERS[cs_arm]
+        except UnicodeEncodeError:
+            # corpus text outside the arm's charset (today's drops
+            # are ASCII, but driver data-gen has changed between
+            # rounds before): fall back to the utf-8 arm rather
+            # than killing the whole build — the recovered html is
+            # identical either way, so the fold stays oracle-safe
+            body = html.encode("utf-8")
+            ct_header = "text/html; charset=utf-8"
         # round 13: HTTP BODY-LAYER arm (doc_id % 5) — the transfer/
         # content codings real captures carry, undone by the walker
         # outside-in (de-chunk, then content-decode, then charset):
@@ -2403,7 +2413,7 @@ def _q65_build_warc_group(key, pdf):
             )
         payload = (
             b"HTTP/1.1 200 OK\r\n"
-            + f"Content-Type: {_Q65_CT_HEADERS[cs_arm]}".encode("ascii")
+            + f"Content-Type: {ct_header}".encode("ascii")
             + b"\r\n"
             + extra
             + length_line
