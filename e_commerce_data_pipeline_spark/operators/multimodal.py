@@ -4824,10 +4824,9 @@ def encode_tiff_ojpeg_lossless(
     freq: dict[int, int] = {}
 
     def count(c, d):
-        if c is None:
-            return
-        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
-        freq[s] = freq.get(s, 0) + 1
+        if c is not None:
+            sym = _jpg_ll_category(d)
+            freq[sym] = freq.get(sym, 0) + 1
 
     for st_ in strips:
         _jpg_ll_walk(st_, predictor, default, 0, count)
@@ -4840,16 +4839,8 @@ def encode_tiff_ojpeg_lossless(
         wr = _JpgBitWriter()
 
         def emit(c, d):
-            if c is None:
-                return
-            s = (
-                16 if d == -32768
-                else (0 if d == 0 else abs(d).bit_length())
-            )
-            code, ln = codes[s]
-            wr.put(code, ln)
-            if 0 < s < 16:
-                wr.put(d if d >= 0 else d + (1 << s) - 1, s)
+            if c is not None:
+                _jpg_ll_emit_symbol(wr, codes, d)
 
         _jpg_ll_walk(st_, predictor, default, 0, emit)
         wr.flush()
@@ -7945,6 +7936,24 @@ def encode_jpeg12(arr, quality: int = 90,
     return bytes(out)
 
 
+def _jpg_ll_category(d: int) -> int:
+    """Lossless-JPEG difference category (spec H.2): SSSS 16 encodes
+    exactly -32768 with no appended bits; 0 encodes 0."""
+    return 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
+
+
+def _jpg_ll_emit_symbol(wr, codes, d: int) -> None:
+    """Emit one lossless difference: category code + appended bits
+    (negative bias d + 2^s - 1). Shared by encode_jpeg_lossless and
+    the old-style-TIFF per-strip encoder (round-13 review: one
+    category/bias site, not two)."""
+    sym = _jpg_ll_category(d)
+    code, ln = codes[sym]
+    wr.put(code, ln)
+    if 0 < sym < 16:
+        wr.put(d if d >= 0 else d + (1 << sym) - 1, sym)
+
+
 def _jpg_ll_walk(red, predictor: int, default: int, restart_rows: int,
                  emit) -> None:
     """Shared lossless-JPEG sample walk (T.81 H.1/H.2): calls
@@ -8013,10 +8022,9 @@ def encode_jpeg_lossless(
     freq: dict[int, int] = {}
 
     def count(c, d):
-        if c is None:
-            return
-        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
-        freq[s] = freq.get(s, 0) + 1
+        if c is not None:
+            sym = _jpg_ll_category(d)
+            freq[sym] = freq.get(sym, 0) + 1
 
     _jpg_ll_walk(red, predictor, default, restart_rows, count)
     bits, vals = _jpg_optimal_table(freq)
@@ -8044,11 +8052,7 @@ def encode_jpeg_lossless(
             wr.out.clear()
             out.extend(bytes([0xFF, 0xD0 + d]))
             return
-        s = 16 if d == -32768 else (0 if d == 0 else abs(d).bit_length())
-        code, ln = codes[s]
-        wr.put(code, ln)
-        if 0 < s < 16:
-            wr.put(d if d >= 0 else d + (1 << s) - 1, s)
+        _jpg_ll_emit_symbol(wr, codes, d)
 
     _jpg_ll_walk(red, predictor, default, restart_rows, emit)
     wr.flush()
