@@ -4,7 +4,9 @@ sessionization gap laws, quality-score bounds, Jaccard symmetry."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -15,8 +17,23 @@ money = st.decimals(
 _SETTINGS = dict(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+
+
+def _spark_round(x: float, scale: int = 0) -> float:
+    """Mirror Spark's F.round on DOUBLE exactly: BigDecimal.valueOf
+    (shortest-decimal rendering, i.e. Python repr) then HALF_UP at the
+    target scale. Python round() is banker's (half-to-even) and the
+    floor(x+0.5) trick misrounds when x+0.5 itself rounds in binary
+    (e.g. 0.49999999999999994) — this is the only edge-safe mirror.
+    Round-13 verdict: pair (268, 396) slope exactly -87132812.5 →
+    Spark/DuckDB -87132813, Python round() -87132812."""
+    q = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+    return float(q)
 
 
 @settings(**_SETTINGS)
@@ -479,7 +496,10 @@ def test_hard_negatives_match_bruteforce(spark, seed):
         for r in hard_negative_mining(emb, qdf).collect()
     }
     unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    sims = np.round(unit @ unit.T, 6)
+    # mirror the operator's F.round(sim, 6) (HALF_UP on shortest
+    # decimal), not np.round (half-to-even) — same divergence class
+    # as the r13 Theil-Sen falsifier.
+    sims = np.vectorize(lambda x: _spark_round(x, 6))(unit @ unit.T)
     for qi in range(4):
         pos = [
             (-sims[qi, j], j)
@@ -654,7 +674,7 @@ def test_any_codec_single_byte_damage_raises_documented_types(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     st.dictionaries(
         st.integers(min_value=-(2**40), max_value=2**40),
@@ -783,6 +803,10 @@ def test_isotonic_fit_matches_pava_any_bands(spark, raw):
         max_size=16,
     )
 )
+# r13-verdict regression: the single pair (268, 396) has slope exactly
+# 1e6 * -11153 / 128 = -87132812.5 — Spark/DuckDB HALF_UP → -87132813,
+# Python banker's round() → -87132812.
+@example(by_di={268: 0, 396: -11153})
 def test_theil_sen_slope_median_matches_bruteforce(spark, by_di):
     """The q162 composition — micro-quantized pair slopes through
     exact_quantiles median narrowing — equals the brute-force median
@@ -800,8 +824,13 @@ def test_theil_sen_slope_median_matches_bruteforce(spark, by_di):
     for i in range(len(days)):
         for j in range(i + 1, len(days)):
             da, db = days[i], days[j]
-            # mirror q162's expression: round() in IEEE double
-            s = round(1000000.0 * (by_di[db] - by_di[da]) / (db - da))
+            # mirror q162's expression: F.round (HALF_UP on the
+            # shortest-decimal rendering), NOT Python round() —
+            # banker's rounding diverges at exact .5 slopes (r13
+            # verdict falsifier pinned as @example below).
+            s = _spark_round(
+                1000000.0 * (by_di[db] - by_di[da]) / (db - da)
+            )
             slopes.append(int(s))
     df = spark.createDataFrame(
         [(da, by_di[da]) for da in days], "di long, x long"
@@ -826,7 +855,7 @@ def test_theil_sen_slope_median_matches_bruteforce(spark, by_di):
     ]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     p_idx=st.integers(min_value=0, max_value=2),
@@ -873,7 +902,7 @@ def test_jpeg_lossless_point_transform_property(
     assert np.array_equal(raw.astype(np.int64), want)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     sizes=st.lists(
         st.sampled_from([0, 1, 7, 254, 255, 256, 510, 511, 600]),

@@ -77,6 +77,7 @@ def test_property_any_values_any_percents(spark):
     @settings(
         max_examples=10,
         deadline=None,
+        derandomize=True,
         suppress_health_check=[
             HealthCheck.too_slow,
             HealthCheck.function_scoped_fixture,

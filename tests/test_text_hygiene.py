@@ -114,7 +114,7 @@ def test_html_tag_stats_counts_markup_lt(spark):
     assert _one(spark, T.html_tag_stats(F.col("v")), "<p>a&lt;b</p>") == 2
 
 
-@settings(deadline=None, max_examples=25,
+@settings(deadline=None, max_examples=25, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     text=st.text(
@@ -168,7 +168,7 @@ _ENTITY_ATOMS = st.sampled_from(
 )
 
 
-@settings(deadline=None, max_examples=25,
+@settings(deadline=None, max_examples=25, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(atoms=st.lists(_ENTITY_ATOMS, min_size=1, max_size=10))
 def test_html_full_entity_stream_matches_unescape(spark, atoms):
@@ -291,7 +291,7 @@ _URL_STRATEGY = st.builds(
 )
 
 
-@settings(deadline=None, max_examples=30,
+@settings(deadline=None, max_examples=30, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(url=_URL_STRATEGY)
 def test_canonicalize_url_idempotent_property(spark, url):
@@ -356,7 +356,7 @@ def test_canonicalize_url_idna_hosts(spark):
     assert got2 == got
 
 
-@settings(deadline=None, max_examples=20,
+@settings(deadline=None, max_examples=20, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(host=st.lists(
     st.sampled_from(
@@ -502,7 +502,7 @@ def test_unicode_normalize_rejects_bad_form():
         T.unicode_normalize_udf("NFX")
 
 
-@settings(deadline=None, max_examples=20,
+@settings(deadline=None, max_examples=20, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     s=st.text(
