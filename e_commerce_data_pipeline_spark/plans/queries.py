@@ -2311,28 +2311,56 @@ _Q65_HTML_POST = (
     "</p><script> //x line() </script></body></html>",
 )
 
-# Round-13 fold: the WARC leg is now MIXED-CHARSET, the way real
-# Common-Crawl captures are. Each doc's charset arm (doc_id % 3) picks
-# the on-the-wire encoding + the Content-Type spelling the synthesis
-# writes, and appends a charset-native HTML comment to the shell so
-# the bytes genuinely exercise the declared codec (a pure-ASCII body
-# is latin-1 == utf-8 and proves nothing). The walker must sniff
-# charset= from the HTTP header block and decode accordingly for the
-# recovered html to be byte-identical to the direct string — the
-# comment is stripped by html_to_text, so the fold stays
-# oracle-INVISIBLE on the text side and oracle-CONSISTENT on the
-# html_len/n_tags side (the oracle concatenates the same literals).
+# Round-13 fold (widened round 14): the WARC leg is MIXED-CHARSET,
+# the way real Common-Crawl captures are. Each doc's charset arm
+# (doc_id % 6) picks the on-the-wire encoding + HOW the charset is
+# declared — Content-Type header spellings (arms 0-2, round 13), a
+# UTF-8 BOM, an in-document <meta charset> with a header that carries
+# NO charset param, and a UTF-16LE BOM (arms 3-5, round 14: the
+# WHATWG sniffing order BOM > header > meta prescan > utf-8 default).
+# Each arm appends a charset-native HTML comment to the shell so the
+# bytes genuinely exercise the declared codec (a pure-ASCII body is
+# cp1252 == utf-8 and proves nothing). Every arm is load-bearing:
+# arm 3's BOM must be STRIPPED (a kept BOM decodes cleanly to a stray
+# U+FEFF -> html_len/text hashes diverge — the sneaky failure), arm
+# 4's shift-jis bytes without the meta prescan decode as utf-8
+# mojibake/unclean, arm 5's utf-16 body without the BOM sniff is
+# undecodable garbage. The comment is stripped by html_to_text, so
+# the fold stays oracle-INVISIBLE on the text side and
+# oracle-CONSISTENT on the html_len/n_tags side (the oracle
+# concatenates the same literals).
 _Q65_CHARSET_DECO = (
     "<!-- ✓ ∑ utf-8 -->",      # multi-byte UTF-8 (no charset param)
-    "<!-- café ±é Ä -->",      # latin-1 bytes, charset="ISO-8859-1"
+    "<!-- café ±é Ä -->",      # cp1252 bytes, charset="ISO-8859-1"
     "<!-- アイウ -->",          # shift-jis bytes, CHARSET=Shift_JIS
+    "<!-- ✓ BOM -->",          # utf-8 body behind a UTF-8 BOM
+    "<!-- カキク meta -->",     # shift-jis bytes, <meta charset> only
+    "<!-- ✓ ∑ utf-16 -->",     # utf-16-le body behind a FF FE BOM
 )
-_Q65_WIRE_CHARSETS = ("utf-8", "latin-1", "shift_jis")
+# arm 1 encodes with cp1252, NOT latin-1: the walker WHATWG-folds the
+# declared ISO-8859-1 label to windows-1252 on decode, and the two
+# differ on 0x80-0x9F — synthesis must be the exact inverse of the
+# decode path or a future corpus C1 codepoint silently diverges.
+# Chars outside cp1252/shift_jis hit the UnicodeEncodeError utf-8
+# fallback (which also rewrites the header to charset=utf-8 — for
+# arm 4 that header then legitimately BEATS the stale meta tag, the
+# WHATWG order working as designed).
+_Q65_WIRE_CHARSETS = (
+    "utf-8", "cp1252", "shift_jis", "utf-8", "shift_jis", "utf-16-le",
+)
 _Q65_CT_HEADERS = (
     "text/html",                          # absent param -> default utf-8
     'text/html; charset="ISO-8859-1"',    # quoted spelling
     "text/html; CHARSET=Shift_JIS",       # case-insensitive name+label
+    "text/html",                          # BOM is the only declaration
+    "text/html",                          # meta prescan is the only one
+    "text/html",                          # UTF-16 BOM is the only one
 )
+_Q65_BOMS = (b"", b"", b"", b"\xef\xbb\xbf", b"", b"\xff\xfe")
+# arm 4's in-document declaration — FIRST bytes of the html so the
+# 1024-byte prescan window always sees it; replayed verbatim by the
+# oracle (html_len/n_tags count it; html_to_text strips it as a tag)
+_Q65_META_PREFIX = "<meta charset=shift_jis>"
 
 
 def _q65_http_chunked(body: bytes, doc_id: int) -> bytes:
@@ -2358,12 +2386,14 @@ def _q65_build_warc_group(key, pdf):
     (doc_id, lang, n_chars, html) rows into ONE WARC file — a
     warcinfo record followed by per-doc ``response`` records whose
     payloads carry a real HTTP header block; odd buckets use the
-    spec's per-record-gzip-member ``.warc.gz`` layout. Round 13:
+    spec's per-record-gzip-member ``.warc.gz`` layout. Rounds 13-14:
     each doc's body is encoded in its charset arm's wire encoding
-    (utf-8 / latin-1 / shift_jis, ``doc_id % 3``) with the matching
-    Content-Type spelling — the walker's charset sniff is what
-    recovers the identical string. Deterministic: rows sorted by
-    doc_id, gzip mtime pinned."""
+    (``doc_id % 6`` — utf-8 / cp1252 / shift_jis by header, then
+    BOM'd utf-8 / meta-declared shift_jis / BOM'd utf-16-le) with
+    the matching declaration channel — the walker's WHATWG sniff
+    (BOM > header > meta prescan) is what recovers the identical
+    string. Deterministic: rows sorted by doc_id, gzip mtime
+    pinned."""
     import pandas as pd
 
     from ..sources.warc import build_warc
@@ -2374,9 +2404,12 @@ def _q65_build_warc_group(key, pdf):
     for doc_id, lang, n_chars, html in zip(
         pdf["doc_id"], pdf["lang"], pdf["n_chars"], pdf["html"]
     ):
-        cs_arm = int(doc_id) % 3
+        cs_arm = int(doc_id) % 6
         try:
-            body = html.encode(_Q65_WIRE_CHARSETS[cs_arm])
+            body = (
+                _Q65_BOMS[cs_arm]
+                + html.encode(_Q65_WIRE_CHARSETS[cs_arm])
+            )
             ct_header = _Q65_CT_HEADERS[cs_arm]
         except UnicodeEncodeError:
             # corpus text outside the arm's charset (today's drops
@@ -2384,6 +2417,8 @@ def _q65_build_warc_group(key, pdf):
             # rounds before): fall back to the utf-8 arm rather
             # than killing the whole build — the recovered html is
             # identical either way, so the fold stays oracle-safe
+            # (for arm 4 the explicit utf-8 header also out-ranks
+            # the html's stale meta tag, per the WHATWG order)
             body = html.encode("utf-8")
             ct_header = "text/html; charset=utf-8"
         # round 13: HTTP BODY-LAYER arm (doc_id % 5) — the transfer/
@@ -2456,7 +2491,11 @@ def _q65_build_warc_group(key, pdf):
                     THEN '{_Q65_ENTITY_DECODED}' || base_text
                     ELSE base_text END AS text,
                lang, n_chars,
-               CASE doc_id % 4
+               -- round 14: arm 4's in-document charset declaration
+               -- leads the html (the prescan's only channel)
+               CASE WHEN doc_id % 6 = 4
+                    THEN '{_Q65_META_PREFIX}' ELSE '' END
+               || CASE doc_id % 4
                  WHEN 0 THEN '<html><head><title></title><script type="text/javascript">if(a<b&&c>d){{alert("x&y");}}</script></head><body><p class="doc">'
                  WHEN 1 THEN '<HTML><BODY><DIV id=''d1''><P>{_Q65_ENTITY_PAYLOAD}</P><SPAN>'
                  WHEN 2 THEN '<html><body><style>p>a{{color:#fff}}</style><![CDATA[]]><p>'
@@ -2464,13 +2503,16 @@ def _q65_build_warc_group(key, pdf):
                END
                || replace(replace(replace(base_text, '&', '&amp;'),
                           '<', '&lt;'), '>', '&gt;')
-               -- round 13: the charset-arm comment (stripped by the
-               -- pipeline's html_to_text; counted here in
+               -- rounds 13-14: the charset-arm comment (stripped by
+               -- the pipeline's html_to_text; counted here in
                -- html_len/n_tags, same literals as the Spark side)
-               || CASE doc_id % 3
+               || CASE doc_id % 6
                  WHEN 0 THEN '{_Q65_CHARSET_DECO[0]}'
                  WHEN 1 THEN '{_Q65_CHARSET_DECO[1]}'
-                 ELSE '{_Q65_CHARSET_DECO[2]}'
+                 WHEN 2 THEN '{_Q65_CHARSET_DECO[2]}'
+                 WHEN 3 THEN '{_Q65_CHARSET_DECO[3]}'
+                 WHEN 4 THEN '{_Q65_CHARSET_DECO[4]}'
+                 ELSE '{_Q65_CHARSET_DECO[5]}'
                END
                || CASE doc_id % 4
                  WHEN 0 THEN '</p></body></html>'
@@ -2527,16 +2569,21 @@ def _q65_build_warc_group(key, pdf):
     "per-record-gzip .warc.gz) and re-ingested through "
     "sources/warc.py's record walk — an oracle-INVISIBLE fold (the "
     "recovered frame is byte-identical when the walk is correct, "
-    "and every downstream hash pins it). Round 13: the WARC leg is "
-    "MIXED-CHARSET — each doc's body is wire-encoded per its "
-    "doc_id%3 arm (utf-8 with no charset param / latin-1 declared "
-    "charset=\"ISO-8859-1\" / shift_jis declared CHARSET=Shift_JIS) "
-    "and carries a charset-native comment so the bytes genuinely "
-    "exercise the declared codec; the walker's Content-Type charset "
-    "sniff (warc.decode_http_body) must pick the right codec for "
-    "the recovered html to match, and the decode_clean=TRUE filter "
-    "pins the strict-decode path (a wrong codec flags rows unclean "
-    "and the row counts diverge). The leg is also BODY-LAYERED "
+    "and every downstream hash pins it). Rounds 13-14: the WARC leg "
+    "is MIXED-CHARSET — each doc's body is wire-encoded per its "
+    "doc_id%6 arm (utf-8 with no charset param / cp1252 declared "
+    "charset=\"ISO-8859-1\" / shift_jis declared CHARSET=Shift_JIS "
+    "/ round 14: BOM'd utf-8 / shift_jis declared ONLY by an "
+    "in-document <meta charset> tag / BOM'd utf-16-le) and carries "
+    "a charset-native comment so the bytes genuinely exercise the "
+    "declared codec; the walker's WHATWG-order sniff (BOM > "
+    "transport header > meta prescan > utf-8, warc.decode_http_body)"
+    " must pick the right codec AND strip the BOM for the recovered "
+    "html to match (a kept BOM decodes cleanly to a stray U+FEFF "
+    "and the length/text hashes diverge), and the decode_clean=TRUE "
+    "filter pins the strict-decode path (a wrong codec flags rows "
+    "unclean and the row counts diverge). The leg is also "
+    "BODY-LAYERED "
     "(round 13, doc_id%5): chunked transfer framing (extensions + "
     "trailers), gzip/deflate content codings, and chunked-over-gzip "
     "— the walker undoes the layers outside-in; all arms "
@@ -2599,15 +2646,20 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
     )
     pre = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_PRE]), arm + 1)
     post = F.element_at(F.array(*[F.lit(s) for s in _Q65_HTML_POST]), arm + 1)
-    # round 13: charset-native comment per wire-charset arm — makes
-    # the WARC bodies genuinely non-ASCII in latin-1/shift-jis so the
-    # walker's charset sniff is load-bearing (html_to_text strips the
-    # comment; html_len/n_tags replay it closed-form in the oracle)
-    cs_arm = (F.col("doc_id") % 3).cast("int")
+    # rounds 13-14: charset-native comment per wire-charset arm —
+    # makes the WARC bodies genuinely non-ASCII in cp1252/shift-jis/
+    # utf-16 so the walker's WHATWG sniff (BOM > header > meta) is
+    # load-bearing (html_to_text strips the comment; html_len/n_tags
+    # replay it closed-form in the oracle). Arm 4 additionally leads
+    # with the <meta charset> tag — its ONLY declaration channel.
+    cs_arm = (F.col("doc_id") % 6).cast("int")
     deco = F.element_at(
         F.array(*[F.lit(s) for s in _Q65_CHARSET_DECO]), cs_arm + 1
     )
-    html = F.concat(pre, enc, deco, post)
+    metapre = F.when(cs_arm == 4, F.lit(_Q65_META_PREFIX)).otherwise(
+        F.lit("")
+    )
+    html = F.concat(metapre, pre, enc, deco, post)
     warc_files = (
         docs.select(
             "doc_id",

@@ -228,6 +228,10 @@ _CHARSET_RE = re.compile(
     r"charset\s*=\s*(\"[^\"]*\"|'[^']*'|[^;\s]+)", re.IGNORECASE
 )
 
+# RFC 9112 chunk-size = 1*HEXDIG (bytes pattern; validated before
+# int(tok, 16) so Python's looser literal syntax can't leak in)
+_CHUNK_SIZE_RE = re.compile(rb"[0-9a-fA-F]+")
+
 
 def sniff_charset(http_headers: dict) -> str | None:
     """Extract the ``charset=`` parameter from the HTTP
@@ -261,14 +265,14 @@ def dechunk_http_body(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("http: chunk size line unterminated")
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError as exc:
+        # strict RFC 9112 1*HEXDIG — bare int(tok, 16) would accept
+        # '+5', '1_0' (underscore), and other non-wire spellings,
+        # silently misreading corrupted framing as a valid size.
+        if not _CHUNK_SIZE_RE.fullmatch(size_tok):
             raise ValueError(
                 f"http: bad chunk size {size_tok[:16]!r}"
-            ) from exc
-        if size < 0:
-            raise ValueError("http: negative chunk size")
+            )
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             # trailer section: zero or more header lines, then CRLF
@@ -298,26 +302,37 @@ def decode_content_encoding(body: bytes, ce: str) -> bytes:
     """Undo an HTTP ``Content-Encoding``: ``gzip``/``x-gzip`` and
     ``deflate`` (both the RFC-correct zlib-wrapped form and the
     raw-deflate stream broken servers actually send — tried in that
-    order). ``identity``/empty pass through; other codings raise
-    ValueError (caller flags the page). Torn streams raise too."""
+    order). The header is a comma-separated coding LIST per RFC 9110
+    §8.4 (``gzip, identity`` is legal wire data) applied in order on
+    send — so undone right-to-left here. ``identity``/empty entries
+    are no-ops; unknown codings raise ValueError (caller flags the
+    page). Torn streams raise too."""
     import zlib
 
-    ce = ce.strip().lower()
-    if ce in ("", "identity"):
-        return body
-    if ce in ("gzip", "x-gzip"):
-        try:
-            return gzip.decompress(body)
-        except (OSError, EOFError, zlib.error) as exc:
-            raise ValueError(f"http: torn gzip body: {exc}") from exc
-    if ce == "deflate":
-        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+    for coding in reversed([t.strip().lower() for t in ce.split(",")]):
+        if coding in ("", "identity"):
+            continue
+        elif coding in ("gzip", "x-gzip"):
             try:
-                return zlib.decompress(body, wbits)
-            except zlib.error:
-                continue
-        raise ValueError("http: undecodable deflate body")
-    raise ValueError(f"http: unsupported content-encoding {ce!r}")
+                body = gzip.decompress(body)
+            except (OSError, EOFError, zlib.error) as exc:
+                raise ValueError(
+                    f"http: torn gzip body: {exc}"
+                ) from exc
+        elif coding == "deflate":
+            for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+                try:
+                    body = zlib.decompress(body, wbits)
+                    break
+                except zlib.error:
+                    continue
+            else:
+                raise ValueError("http: undecodable deflate body")
+        else:
+            raise ValueError(
+                f"http: unsupported content-encoding {coding!r}"
+            )
+    return body
 
 
 # WHATWG Encoding Standard label fold (the subset that matters for a
@@ -336,18 +351,72 @@ _WHATWG_CP1252_LABELS = frozenset({
 })
 
 
-def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
-    """Charset-aware body decode (round 13) — the documented policy
-    for a CORPUS walker, where per-page decode trouble must not kill
-    a 1 GiB file's task (structural WARC damage stays loud —
-    ``ValueError`` from the framing walk — but a single page's bad
-    byte is data, not damage):
+def sniff_bom(body: bytes) -> tuple[str, int] | None:
+    """WHATWG Encoding Standard "BOM sniff": a UTF-8 / UTF-16 byte
+    order mark at the very start of the stream names the encoding
+    and WINS over every other declaration (transport header
+    included) — real servers mislabel BOM'd pages constantly and
+    every browser trusts the BOM. Returns ``(codec, bom_len)`` so
+    the caller can strip the mark (a kept BOM decodes to a stray
+    U+FEFF that silently pollutes every downstream length/hash), or
+    ``None`` when no BOM is present. UTF-32 BOMs are not sniffed,
+    same as the standard."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return ("utf-8", 3)
+    if body[:2] == b"\xfe\xff":
+        return ("utf-16-be", 2)
+    if body[:2] == b"\xff\xfe":
+        return ("utf-16-le", 2)
+    return None
 
-    1. Charset = the ``Content-Type; charset=`` label when present
-       and known to Python's codec registry, else ``utf-8``.
-       Latin-1/ASCII-class labels fold to ``windows-1252`` per the
-       WHATWG Encoding Standard (what every browser and crawler
-       does — see ``_WHATWG_CP1252_LABELS``). Unknown labels
+
+# <meta charset=...> / <meta http-equiv=Content-Type content="...;
+# charset=..."> prescan, WHATWG-style: byte-oriented over the first
+# 1024 bytes only. One regex covers both meta forms (the charset=
+# attribute and the charset= inside a content attribute); entity-
+# escaped text (&lt;meta ...) can never match the raw '<meta'.
+# Documented simplification vs the full spec prescan: no comment/
+# script-context exclusion — a '<meta charset=' inside an HTML
+# comment in the first 1 KiB would match; acceptable for a corpus
+# walker (browsers' own prescan has comparable false-positive modes).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    re.IGNORECASE,
+)
+
+
+def prescan_meta_charset(body: bytes) -> str | None:
+    """Scan the first 1024 bytes for an in-document charset
+    declaration (WHATWG meta prescan). Only consulted when the
+    transport header carries no charset — header beats meta, BOM
+    beats both. A UTF-16 label found by the prescan means the page
+    lied (we are reading its bytes as ASCII-compatible), so the
+    standard maps it to utf-8; mirrored here."""
+    m = _META_CHARSET_RE.search(body[:1024])
+    if not m:
+        return None
+    label = m.group(1).decode("ascii", "replace").strip().lower()
+    if label in ("utf-16", "utf-16le", "utf-16be", "utf16"):
+        return "utf-8"
+    return label or None
+
+
+def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
+    """Charset-aware body decode (rounds 13-14) — the documented
+    policy for a CORPUS walker, where per-page decode trouble must
+    not kill a 1 GiB file's task (structural WARC damage stays loud
+    — ``ValueError`` from the framing walk — but a single page's
+    bad byte is data, not damage):
+
+    1. Charset resolution follows the WHATWG sniffing order
+       (round 14): a UTF-8/16 **BOM** wins outright (and is
+       stripped); else the ``Content-Type; charset=`` **transport
+       header**; else a ``<meta charset>`` / ``http-equiv``
+       **prescan** of the first 1024 bytes; else ``utf-8``.
+       Latin-1/ASCII-class labels (header or meta) fold to
+       ``windows-1252`` per the WHATWG Encoding Standard (what
+       every browser and crawler does — see
+       ``_WHATWG_CP1252_LABELS``). Unknown labels
        (``charset=unicode``, vendor typos) fall back to utf-8 and
        are NOT clean.
     2. Strict decode first. On success -> ``clean=True``.
@@ -361,8 +430,17 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
     folded lowercased label, or ``utf-8`` for the fallback)."""
     import codecs
 
+    bom = sniff_bom(body)
+    if bom is not None:
+        codec, skip = bom
+        try:
+            return body[skip:].decode(codec), codec, True
+        except UnicodeDecodeError:
+            return body[skip:].decode(codec, "replace"), codec, False
     label = sniff_charset(http_headers)
     clean_label = True
+    if label is None:
+        label = prescan_meta_charset(body)
     if label is None:
         label = "utf-8"
     elif label in _WHATWG_CP1252_LABELS:

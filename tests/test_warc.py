@@ -13,6 +13,8 @@ from e_commerce_data_pipeline_spark.sources.warc import (
     decode_http_body,
     extract_warc_responses,
     parse_warc,
+    prescan_meta_charset,
+    sniff_bom,
     sniff_charset,
     split_http_response,
 )
@@ -243,17 +245,117 @@ def test_decode_http_body_policy():
     assert "�" in txt
 
 
+def test_sniff_bom():
+    assert sniff_bom(b"\xef\xbb\xbfhello") == ("utf-8", 3)
+    assert sniff_bom(b"\xfe\xff\x00h") == ("utf-16-be", 2)
+    assert sniff_bom(b"\xff\xfeh\x00") == ("utf-16-le", 2)
+    assert sniff_bom(b"hello") is None
+    assert sniff_bom(b"") is None
+    # a BOM not at offset 0 is content, not a mark
+    assert sniff_bom(b" \xef\xbb\xbf") is None
+
+
+def test_prescan_meta_charset():
+    assert (
+        prescan_meta_charset(b"<meta charset=shift_jis><p>x</p>")
+        == "shift_jis"
+    )
+    # http-equiv form: the charset= lives inside the content attr
+    assert (
+        prescan_meta_charset(
+            b'<html><head><meta http-equiv="Content-Type" '
+            b'content="text/html; charset=EUC-JP"></head>'
+        )
+        == "euc-jp"
+    )
+    # quoted / spaced spellings
+    assert (
+        prescan_meta_charset(b"<META CHARSET = 'UTF-8'>") == "utf-8"
+    )
+    # beyond the 1024-byte window -> not found
+    assert (
+        prescan_meta_charset(b"x" * 1024 + b"<meta charset=utf-8>")
+        is None
+    )
+    # a utf-16 label in ASCII-readable bytes is a lie -> utf-8
+    assert prescan_meta_charset(b"<meta charset=utf-16>") == "utf-8"
+    # entity-escaped text can't match the raw tag
+    assert prescan_meta_charset(b"&lt;meta charset=koi8-r&gt;") is None
+    assert prescan_meta_charset(b"<p>plain</p>") is None
+
+
+def test_whatwg_sniff_order():
+    """BOM > transport header > meta prescan > utf-8 default — and
+    the BOM is STRIPPED (a kept BOM decodes to a stray U+FEFF)."""
+    # BOM beats a contradicting header
+    txt, cs, clean = decode_http_body(
+        b"\xef\xbb\xbf" + "✓ BOM".encode(),
+        {"content-type": "text/html; charset=shift_jis"},
+    )
+    assert (txt, cs, clean) == ("✓ BOM", "utf-8", True)
+    assert "\ufeff" not in txt
+    # utf-16-le BOM: undecodable as utf-8, exact via the sniff
+    txt, cs, clean = decode_http_body(
+        b"\xff\xfe" + "✓ ∑ wide".encode("utf-16-le"), {}
+    )
+    assert (txt, cs, clean) == ("✓ ∑ wide", "utf-16-le", True)
+    txt, cs, clean = decode_http_body(
+        b"\xfe\xff" + "✓ be".encode("utf-16-be"), {}
+    )
+    assert (txt, cs, clean) == ("✓ be", "utf-16-be", True)
+    # header beats meta when both are present
+    txt, cs, clean = decode_http_body(
+        "<meta charset=shift_jis><p>café</p>".encode("cp1252"),
+        {"content-type": "text/html; charset=ISO-8859-1"},
+    )
+    assert (txt, cs, clean) == (
+        "<meta charset=shift_jis><p>café</p>", "windows-1252", True
+    )
+    # meta applies when the header carries no charset param
+    body = "<meta charset=shift_jis><p>カキク</p>".encode("shift_jis")
+    txt, cs, clean = decode_http_body(
+        body, {"content-type": "text/html"}
+    )
+    assert (txt, cs, clean) == (
+        "<meta charset=shift_jis><p>カキク</p>", "shift_jis", True
+    )
+    # meta labels get the WHATWG cp1252 fold like header labels
+    txt, cs, clean = decode_http_body(
+        "<meta charset=latin1>\x93q\x94".encode("latin-1"), {}
+    )
+    assert cs == "windows-1252" and clean is True and "“q”" in txt
+    # unknown meta label -> utf-8 fallback, flagged
+    txt, cs, clean = decode_http_body(
+        b"<meta charset=unicode>ascii", {}
+    )
+    assert (cs, clean) == ("utf-8", False)
+    # torn BOM'd utf-16 body: replace + flag, never raise
+    txt, cs, clean = decode_http_body(
+        b"\xff\xfe" + "✓".encode("utf-16-le")[:-1], {}
+    )
+    assert cs == "utf-16-le" and clean is False
+
+
 def _charset_records():
-    """One response per wire charset, each with a charset-native
-    non-ASCII body — the mixed-charset shape of a real crawl file."""
+    """One response per declaration channel the WHATWG sniff order
+    covers — Content-Type header spellings (r13), then BOM'd utf-8,
+    meta-prescan-only shift_jis, and BOM'd utf-16-le (r14) — each
+    with a charset-native non-ASCII body, the mixed-charset shape of
+    a real crawl file."""
     cases = [
-        ("utf-8", "text/html", "<p>✓ doc zero</p>"),
-        ("latin-1", 'text/html; charset="ISO-8859-1"', "<p>café ±é</p>"),
-        ("shift_jis", "text/html; CHARSET=Shift_JIS", "<p>アイウ</p>"),
+        ("utf-8", b"", "text/html", "<p>✓ doc zero</p>"),
+        ("latin-1", b"", 'text/html; charset="ISO-8859-1"',
+         "<p>café ±é</p>"),
+        ("shift_jis", b"", "text/html; CHARSET=Shift_JIS",
+         "<p>アイウ</p>"),
+        ("utf-8", b"\xef\xbb\xbf", "text/html", "<p>✓ BOM’d</p>"),
+        ("shift_jis", b"", "text/html",
+         "<meta charset=shift_jis><p>カキク</p>"),
+        ("utf-16-le", b"\xff\xfe", "text/html", "<p>✓ ∑ utf-16</p>"),
     ]
     recs = []
-    for i, (codec, ct, html) in enumerate(cases):
-        body = html.encode(codec)
+    for i, (codec, bom, ct, html) in enumerate(cases):
+        body = bom + html.encode(codec)
         recs.append(
             {
                 "headers": {
@@ -272,13 +374,14 @@ def _charset_records():
                 ),
             }
         )
-    return recs, [c[2] for c in cases]
+    return recs, [c[3] for c in cases]
 
 
 @pytest.mark.parametrize("gz", [False, True])
 def test_extract_mixed_charsets_spark(spark, gz):
-    """End-to-end: a mixed-charset WARC file (the q65 round-13 fold
-    shape) recovers every body exactly, all rows decode_clean."""
+    """End-to-end: a mixed-charset WARC file (the q65 rounds-13/14
+    fold shape — header, BOM, and meta declaration channels)
+    recovers every body exactly (BOMs stripped), all decode_clean."""
     import pandas as pd
 
     recs, htmls = _charset_records()
@@ -291,7 +394,8 @@ def test_extract_mixed_charsets_spark(spark, gz):
     assert [r["html"] for r in out] == htmls
     assert all(r["decode_clean"] for r in out)
     assert [r["charset"] for r in out] == [
-        "utf-8", "windows-1252", "shift_jis"
+        "utf-8", "windows-1252", "shift_jis",
+        "utf-8", "shift_jis", "utf-16-le",
     ]
 
 
@@ -349,6 +453,12 @@ def test_dechunk_http_body():
         b"5\r\nab\r\n",                # chunk data truncated
         b"2\r\nabXX0\r\n\r\n",         # missing chunk CRLF
         ck + b"junk",                  # data after final chunk
+        # non-RFC spellings Python's int(tok, 16) would accept —
+        # corrupted framing must flag, not silently parse (r14)
+        b"+5\r\nabcde\r\n0\r\n\r\n",   # signed size
+        b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n",  # underscore
+        b"0x5\r\nabcde\r\n0\r\n\r\n",  # 0x prefix
+        b"\r\nab\r\n0\r\n\r\n",        # empty size token
     ):
         with pytest.raises(ValueError):
             dechunk_http_body(bad)
@@ -371,8 +481,20 @@ def test_decode_content_encoding():
     co = zlib.compressobj(wbits=-15)
     raw = co.compress(body) + co.flush()
     assert decode_content_encoding(raw, "deflate") == body
+    # RFC 9110 §8.4 comma-separated coding lists: applied in order
+    # on send, undone right-to-left; identity entries are no-ops
+    assert decode_content_encoding(gzip.compress(body), "gzip, identity") == body
+    assert decode_content_encoding(gzip.compress(body), "identity, gzip") == body
+    assert (
+        decode_content_encoding(
+            gzip.compress(zlib.compress(body)), "deflate, gzip"
+        )
+        == body
+    )
     with pytest.raises(ValueError):
         decode_content_encoding(b"xx", "br")
+    with pytest.raises(ValueError):
+        decode_content_encoding(b"xx", "gzip, br")
     with pytest.raises(ValueError):
         decode_content_encoding(gzip.compress(body)[:-3], "gzip")
 
