@@ -16,7 +16,7 @@ Checked prerequisites (all four must hold to host + drive a broker):
      by the environment contract anyway; this records that even the
      raw download path is closed).
 
-Last probe: 2026-08-16 (round 13 re-run, same result) — all four
+Last probe: 2026-08-16 (round 14 re-run, same result) — all four
 prerequisites absent
 (no distribution, no connector jar, no client, DNS resolution fails
 for pypi.org/archive.apache.org); verdict unchanged since round 5.
