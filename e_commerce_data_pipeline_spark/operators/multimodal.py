@@ -7785,6 +7785,16 @@ def _jpg_pad(plane, ph, pw):
     return p
 
 
+def _jpg_seg(marker, payload):
+    """One JPEG marker segment: FF <marker> + 2-byte length + payload
+    (the length counts itself, per B.1.1.4)."""
+    return (
+        bytes([0xFF, marker])
+        + struct.pack(">H", len(payload) + 2)
+        + payload
+    )
+
+
 _JPG_SUBSAMP = {
     "444": (1, 1),
     "420": (2, 2),
@@ -8368,9 +8378,7 @@ def encode_jpeg(
                         )
     wr.flush()
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
+    seg = _jpg_seg
     def dqt_seg(tid, tab):
         if extended:  # Pq=1: 16-bit big-endian entries
             body = bytes([0x10 | tid]) + b"".join(
@@ -9217,13 +9225,7 @@ def encode_jpeg_progressive(
                     for h_ in range(samp[ci][0])
                 ]
 
-    def seg(marker, payload):
-        return (
-            bytes([0xFF, marker])
-            + struct.pack(">H", len(payload) + 2)
-            + payload
-        )
-
+    seg = _jpg_seg
     ql, qc = _jpg_quant_tables(quality)
     zzl = bytes(int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG)
     dqt = seg(0xDB, b"\x00" + zzl)
@@ -10527,11 +10529,7 @@ def encode_jpeg_hierarchical(
         s = pad.reshape(ph, fy, pw, fx).sum(axis=(1, 3))
         return (s + fy * fx // 2) // (fy * fx)
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(payload) + 2
-        ) + payload
-
+    seg = _jpg_seg
     def encode_frame(srcs, qids, differential):
         # srcs: per-component int64 sample (or difference) planes
         fh, fw = srcs[0].shape
@@ -11448,6 +11446,115 @@ def _decode_jpeg_arith(b: bytes, color_space: str = "auto"):
     ).astype(odt)
 
 
+def _arith_seq_entropy(
+    padded, qts, tqs, samp, mcux, mcuy, restart_interval, low, up, ac_kx
+):
+    """Shared SOF9 sequential QM-coder MCU scan (Annex D coder, Annex
+    F models) for the 8-bit and 12-bit arithmetic encoders — the
+    12-bit caller passes ``samp=[(1, 1)] * nc`` (4:4:4 only) and the
+    loop degenerates to one block per component per MCU. Restart
+    intervals flush the coder and emit RSTm with statistics and DC
+    contexts reset per segment, exactly as both callers did before
+    the round-14 fold."""
+    import numpy as np
+
+    dctm = _jpg_dct_mat()
+    zz = np.array(_JPG_ZIGZAG)
+    nc = len(padded)
+    used_tabs = sorted(set(tqs))
+    entropy = bytearray()
+    enc = None
+    dc_stats = {t: bytearray(64) for t in used_tabs}
+    ac_stats = {t: bytearray(256) for t in used_tabs}
+    fixed = bytearray([113])
+    dc_ctx = [0] * nc
+    preds = [0] * nc
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and \
+                    mcu_n % restart_interval == 0:
+                entropy += enc.flush()
+                entropy += bytes(
+                    [0xFF,
+                     0xD0 + ((mcu_n // restart_interval - 1) % 8)]
+                )
+                enc = None
+            if enc is None:
+                enc = _QmEncoder()
+                for st in dc_stats.values():
+                    st[:] = bytes(64)
+                for st in ac_stats.values():
+                    st[:] = bytes(256)
+                dc_ctx = [0] * nc
+                preds = [0] * nc
+            mcu_n += 1
+            for ci, (p, qt, (hi, vi)) in enumerate(
+                zip(padded, qts, samp)
+            ):
+                t = tqs[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        py, px = (my * vi + v) * 8, (mx * hi + hh) * 8
+                        blk = p[py : py + 8, px : px + 8]
+                        f = dctm @ blk @ dctm.T
+                        qf = np.floor(np.abs(f) / qt + 0.5).astype(
+                            np.int64
+                        ) * np.where(f < 0, -1, 1)
+                        zcoefs = qf.reshape(-1)[zz]
+                        diff = int(zcoefs[0]) - preds[ci]
+                        preds[ci] = int(zcoefs[0])
+                        _arith_dc_encode(
+                            enc, dc_stats[t], dc_ctx, ci, diff, low, up
+                        )
+                        _arith_ac_encode(
+                            enc, ac_stats[t], fixed, ac_kx, zcoefs
+                        )
+    entropy += enc.flush()
+    return bytes(entropy)
+
+
+def _arith_seq_frame(
+    precision, h, w, comp_ids, samp, tqs, ql, qc,
+    emit_dac, low, up, ac_kx, restart_interval, entropy,
+):
+    """Shared SOF9 marker stream (DQT/SOF/DAC/DRI/SOS + entropy) for
+    the 8-bit and 12-bit arithmetic sequential encoders — they
+    differed only in the SOF precision byte and component ids."""
+    seg = _jpg_seg
+    nc = len(tqs)
+    used_tabs = sorted(set(tqs))
+    dqt = seg(0xDB, bytes([0]) + bytes(
+        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
+    ))
+    if any(t == 1 for t in tqs):
+        dqt += seg(0xDB, bytes([1]) + bytes(
+            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
+        ))
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
+    dac = b""
+    if emit_dac:
+        body = b""
+        for t in used_tabs:
+            body += bytes([t, (up << 4) | low])
+            body += bytes([0x10 | t, ac_kx])
+        dac = seg(0xCC, body)
+    dri = b""
+    if restart_interval:
+        dri = seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
+        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    )
+
+
 def encode_jpeg_arith(
     arr,
     quality: int = 90,
@@ -11534,7 +11641,7 @@ def encode_jpeg_arith(
     else:
         tqs = [0, 1, 1]
     qts = [ql if t == 0 else qc for t in tqs]
-    dctm = _jpg_dct_mat()
+    nc = len(planes)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
@@ -11542,98 +11649,19 @@ def encode_jpeg_arith(
         _jpg_pad(p, mcuy * vi * 8, mcux * hi * 8) - 128.0
         for p, (hi, vi) in zip(planes, samp)
     ]
-    zz = np.array(_JPG_ZIGZAG)
-    nc = len(planes)
-    used_tabs = sorted(set(tqs))
-    entropy = bytearray()
-    enc = None
-    dc_stats = {t: bytearray(64) for t in used_tabs}
-    ac_stats = {t: bytearray(256) for t in used_tabs}
-    fixed = bytearray([113])
-    dc_ctx = [0] * nc
-    preds = [0] * nc
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and \
-                    mcu_n % restart_interval == 0:
-                entropy += enc.flush()
-                entropy += bytes(
-                    [0xFF,
-                     0xD0 + ((mcu_n // restart_interval - 1) % 8)]
-                )
-                enc = None
-            if enc is None:
-                enc = _QmEncoder()
-                for st in dc_stats.values():
-                    st[:] = bytes(64)
-                for st in ac_stats.values():
-                    st[:] = bytes(256)
-                dc_ctx = [0] * nc
-                preds = [0] * nc
-            mcu_n += 1
-            for ci, (p, qt, (hi, vi)) in enumerate(
-                zip(padded, qts, samp)
-            ):
-                t = tqs[ci]
-                for v in range(vi):
-                    for hh in range(hi):
-                        py, px = (my * vi + v) * 8, (mx * hi + hh) * 8
-                        blk = p[py : py + 8, px : px + 8]
-                        f = dctm @ blk @ dctm.T
-                        qf = np.floor(np.abs(f) / qt + 0.5).astype(
-                            np.int64
-                        ) * np.where(f < 0, -1, 1)
-                        zcoefs = qf.reshape(-1)[zz]
-                        diff = int(zcoefs[0]) - preds[ci]
-                        preds[ci] = int(zcoefs[0])
-                        _arith_dc_encode(
-                            enc, dc_stats[t], dc_ctx, ci, diff, low, up
-                        )
-                        _arith_ac_encode(
-                            enc, ac_stats[t], fixed, ac_kx, zcoefs
-                        )
-    entropy += enc.flush()
-
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(payload) + 2
-        ) + payload
-
-    dqt = seg(0xDB, bytes([0]) + bytes(
-        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
-    ))
-    if any(t == 1 for t in tqs):
-        dqt += seg(0xDB, bytes([1]) + bytes(
-            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
-        ))
+    entropy = _arith_seq_entropy(
+        padded, qts, tqs, samp, mcux, mcuy,
+        restart_interval, low, up, ac_kx,
+    )
     if rgb_space:
         comp_ids = (
             (0x52, 0x47, 0x42) if nc == 3 else (0x43, 0x4D, 0x59, 0x4B)
         )
     else:
         comp_ids = tuple(range(1, nc + 1))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        hi, vi = samp[ci]
-        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
-    dac = b""
-    if emit_dac:
-        body = b""
-        for t in used_tabs:
-            body += bytes([t, (up << 4) | low])
-            body += bytes([0x10 | t, ac_kx])
-        dac = seg(0xCC, body)
-    dri = b""
-    if restart_interval:
-        dri = seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
-    sos += bytes([0, 63, 0])
-    return (
-        b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
-        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    return _arith_seq_frame(
+        8, h, w, comp_ids, samp, tqs, ql, qc,
+        emit_dac, low, up, ac_kx, restart_interval, entropy,
     )
 
 
@@ -11689,91 +11717,18 @@ def encode_jpeg_arith12(
         qts = [ql, qc, qc]
         tqs = [0, 1, 1]
     nc = len(planes)
-    dctm = _jpg_dct_mat()
+    samp = [(1, 1)] * nc
     mcux, mcuy = -(-w // 8), -(-h // 8)
-    zz = np.array(_JPG_ZIGZAG)
-    used_tabs = sorted(set(tqs))
     padded = [
         _jpg_pad(p, mcuy * 8, mcux * 8) - 2048.0 for p in planes
     ]
-    entropy = bytearray()
-    enc = None
-    dc_stats = {t: bytearray(64) for t in used_tabs}
-    ac_stats = {t: bytearray(256) for t in used_tabs}
-    fixed = bytearray([113])
-    dc_ctx = [0] * nc
-    preds = [0] * nc
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and \
-                    mcu_n % restart_interval == 0:
-                entropy += enc.flush()
-                entropy += bytes(
-                    [0xFF,
-                     0xD0 + ((mcu_n // restart_interval - 1) % 8)]
-                )
-                enc = None
-            if enc is None:
-                enc = _QmEncoder()
-                for st in dc_stats.values():
-                    st[:] = bytes(64)
-                for st in ac_stats.values():
-                    st[:] = bytes(256)
-                dc_ctx = [0] * nc
-                preds = [0] * nc
-            mcu_n += 1
-            for ci, (p, qt) in enumerate(zip(padded, qts)):
-                t = tqs[ci]
-                py, px = my * 8, mx * 8
-                blk = p[py : py + 8, px : px + 8]
-                f = dctm @ blk @ dctm.T
-                qf = np.floor(np.abs(f) / qt + 0.5).astype(
-                    np.int64
-                ) * np.where(f < 0, -1, 1)
-                zcoefs = qf.reshape(-1)[zz]
-                diff = int(zcoefs[0]) - preds[ci]
-                preds[ci] = int(zcoefs[0])
-                _arith_dc_encode(
-                    enc, dc_stats[t], dc_ctx, ci, diff, low, up
-                )
-                _arith_ac_encode(
-                    enc, ac_stats[t], fixed, ac_kx, zcoefs
-                )
-    entropy += enc.flush()
-
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(payload) + 2
-        ) + payload
-
-    dqt = seg(0xDB, bytes([0]) + bytes(
-        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
-    ))
-    if any(t == 1 for t in tqs):
-        dqt += seg(0xDB, bytes([1]) + bytes(
-            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
-        ))
-    sof = struct.pack(">BHHB", 12, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, tqs[ci]])
-    dac = b""
-    if emit_dac:
-        body = b""
-        for t in used_tabs:
-            body += bytes([t, (up << 4) | low])
-            body += bytes([0x10 | t, ac_kx])
-        dac = seg(0xCC, body)
-    dri = b""
-    if restart_interval:
-        dri = seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, (tqs[ci] << 4) | tqs[ci]])
-    sos += bytes([0, 63, 0])
-    return (
-        b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
-        + seg(0xDA, sos) + entropy + b"\xff\xd9"
+    entropy = _arith_seq_entropy(
+        padded, qts, tqs, samp, mcux, mcuy,
+        restart_interval, low, up, ac_kx,
+    )
+    return _arith_seq_frame(
+        12, h, w, tuple(range(1, nc + 1)), samp, tqs, ql, qc,
+        emit_dac, low, up, ac_kx, restart_interval, entropy,
     )
 
 
@@ -11854,11 +11809,7 @@ def encode_jpeg_arith_progressive(
                     for h_ in range(samp[ci][0])
                 ]
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(payload) + 2
-        ) + payload
-
+    seg = _jpg_seg
     ql, qc = _jpg_quant_tables(quality)
     dqt = seg(0xDB, b"\x00" + bytes(
         int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
@@ -12873,18 +12824,18 @@ def encode_wav_pcm32(samples, sample_rate: int = 16000) -> bytes:
     return _wav_container(a.tobytes(), 1, a.shape[1], sample_rate, 32)
 
 
-def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
-    """(n,) or (n, ch) floats in [-1, 1] -> IEEE float32 WAV (format
-    code 3, with the fact chunk format-3 files carry in the wild —
-    the decoder's chunk walk must skip it)."""
+def _encode_wav_float(samples, sample_rate: int, dtype) -> bytes:
+    """Shared IEEE-float WAV emitter (format code 3, with the fact
+    chunk format-3 files carry in the wild — the decoder's chunk
+    walk must skip it); float32/float64 differ only in dtype."""
     import numpy as np
 
-    a = np.asarray(samples, dtype=np.float32)
+    a = np.asarray(samples, dtype=dtype)
     if a.ndim == 1:
         a = a[:, None]
     data = a.tobytes()
     fact = b"fact" + struct.pack("<II", 4, a.shape[0])
-    bytes_per = 4
+    bytes_per = a.dtype.itemsize
     byte_rate = sample_rate * a.shape[1] * bytes_per
     hdr = (
         b"RIFF"
@@ -12892,13 +12843,21 @@ def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
         + b"WAVEfmt "
         + struct.pack(
             "<IHHIIHH", 16, 3, a.shape[1], sample_rate, byte_rate,
-            a.shape[1] * bytes_per, 32,
+            a.shape[1] * bytes_per, 8 * bytes_per,
         )
         + fact
         + b"data"
         + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+def encode_wav_float32(samples, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) floats in [-1, 1] -> IEEE float32 WAV (format
+    code 3, with the format-3 fact chunk)."""
+    import numpy as np
+
+    return _encode_wav_float(samples, sample_rate, np.float32)
 
 
 def encode_wav_float64(samples, sample_rate: int = 16000) -> bytes:
@@ -12906,25 +12865,7 @@ def encode_wav_float64(samples, sample_rate: int = 16000) -> bytes:
     code 3, bits 64, with the format-3 fact chunk)."""
     import numpy as np
 
-    a = np.asarray(samples, dtype=np.float64)
-    if a.ndim == 1:
-        a = a[:, None]
-    data = a.tobytes()
-    fact = b"fact" + struct.pack("<II", 4, a.shape[0])
-    byte_rate = sample_rate * a.shape[1] * 8
-    hdr = (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(fact) + len(data))
-        + b"WAVEfmt "
-        + struct.pack(
-            "<IHHIIHH", 16, 3, a.shape[1], sample_rate, byte_rate,
-            a.shape[1] * 8, 64,
-        )
-        + fact
-        + b"data"
-        + struct.pack("<I", len(data))
-    )
-    return hdr + data
+    return _encode_wav_float(samples, sample_rate, np.float64)
 
 
 def decode_wav(b: bytes):
