@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.test_properties import _spark_round
+
 
 def _mk_index(spark, vecs, centroids):
     """Build the (neighbor_id, cluster, c_vec) frame semdedup consumes,
@@ -34,7 +36,14 @@ def _brute_semdedup(vecs, centroids, tau):
         ids = [i for i in range(len(vecs)) if cl[i] == c]
         ids.sort(key=lambda i: (-float(nv[i] @ cu[c]), i))
         for rk, i in enumerate(ids):
-            sims = [round(float(nv[i] @ nv[j]), 6) for j in ids[:rk]]
+            # mirror the operator's F.round(sim, 6) exactly (HALF_UP
+            # on the shortest-decimal rendering) — Python round() is
+            # banker's and diverges at exact .5e-6 boundaries (the
+            # r13 Theil-Sen class; see test_properties._spark_round)
+            sims = [
+                _spark_round(float(nv[i] @ nv[j]), 6)
+                for j in ids[:rk]
+            ]
             keep[i] = (max(sims) if sims else -1.0) < tau
     return keep
 
