@@ -401,6 +401,13 @@ def prescan_meta_charset(body: bytes) -> str | None:
     return label or None
 
 
+# WHATWG x-user-defined: 0x80-0xFF -> U+F780-F7FF (see
+# decode_http_body; Python's registry has no codec for it)
+_X_USER_DEFINED_MAP = {
+    b: 0xF780 + b - 0x80 for b in range(0x80, 0x100)
+}
+
+
 def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
     """Charset-aware body decode (rounds 13-14) — the documented
     policy for a CORPUS walker, where per-page decode trouble must
@@ -445,6 +452,16 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
         label = "utf-8"
     elif label in _WHATWG_CP1252_LABELS:
         label = "windows-1252"
+    elif label == "x-user-defined":
+        # WHATWG-defined, absent from Python's codec registry: ASCII
+        # below 0x80, bytes 0x80-0xFF map to U+F780-F7FF (private
+        # use). The old font-hack-page class declares it; every byte
+        # decodes, so the page is always clean.
+        return (
+            body.decode("latin-1").translate(_X_USER_DEFINED_MAP),
+            "x-user-defined",
+            True,
+        )
     else:
         try:
             codecs.lookup(label)

@@ -334,6 +334,55 @@ def test_whatwg_sniff_order():
         b"\xff\xfe" + "✓".encode("utf-16-le")[:-1], {}
     )
     assert cs == "utf-16-le" and clean is False
+    # WHATWG x-user-defined: no Python codec, 0x80+ -> U+F780+,
+    # always clean (every byte maps)
+    txt, cs, clean = decode_http_body(
+        b"abc\x80\xff",
+        {"content-type": "text/html; charset=x-user-defined"},
+    )
+    assert (txt, cs, clean) == (
+        "abc", "x-user-defined", True
+    )
+
+
+def test_decode_http_body_never_raises_fuzz():
+    """The corpus-walker posture, fuzzed: for ANY body bytes and ANY
+    Content-Type header (including BOM fragments, lying meta tags,
+    torn multi-byte sequences), decode_http_body returns
+    (str, str, bool) — a bad page is flagged data, never an
+    exception. Derandomized like every hypothesis suite."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    boms = st.sampled_from(
+        [b"", b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff", b"\xff", b"\xef\xbb"]
+    )
+    cts = st.sampled_from(
+        [
+            None,
+            "text/html",
+            "text/html; charset=utf-8",
+            "text/html; charset=shift_jis",
+            "text/html; charset=unicode",
+            "text/html; charset=ISO-8859-1",
+        ]
+    )
+
+    @settings(
+        deadline=None,
+        max_examples=60,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(boms, st.binary(max_size=300), cts)
+    def inner(bom, payload, ct):
+        hdrs = {} if ct is None else {"content-type": ct}
+        txt, cs, clean = decode_http_body(bom + payload, hdrs)
+        assert isinstance(txt, str)
+        assert isinstance(cs, str) and cs
+        assert isinstance(clean, bool)
+
+    inner()
 
 
 def _charset_records():
