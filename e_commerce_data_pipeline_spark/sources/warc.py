@@ -380,7 +380,7 @@ def sniff_bom(body: bytes) -> tuple[str, int] | None:
 # comment in the first 1 KiB would match; acceptable for a corpus
 # walker (browsers' own prescan has comparable false-positive modes).
 _META_CHARSET_RE = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    rb"<meta[\s/][^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
     re.IGNORECASE,
 )
 
@@ -464,13 +464,24 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
         )
     else:
         try:
-            codecs.lookup(label)
+            info = codecs.lookup(label)
+            # bytes-to-bytes codecs (hex, base64, zlib, rot13, ...)
+            # ARE registered but str.decode raises LookupError("not a
+            # text encoding") — a wild charset label naming one must
+            # take the same utf-8+flag path as an unknown label, not
+            # kill the file's task (round-14 self-review finding)
+            if not getattr(info, "_is_text_encoding", True):
+                raise LookupError(label)
         except LookupError:
             label, clean_label = "utf-8", False
     try:
         return body.decode(label), label, clean_label
     except UnicodeDecodeError:
         return body.decode(label, "replace"), label, False
+    except LookupError:
+        # belt-and-braces for exotic registry entries the
+        # _is_text_encoding probe can't classify
+        return body.decode("utf-8", "replace"), "utf-8", False
 
 
 # ---------------------------------------------------------------- spark

@@ -282,6 +282,12 @@ def test_prescan_meta_charset():
     # entity-escaped text can't match the raw tag
     assert prescan_meta_charset(b"&lt;meta charset=koi8-r&gt;") is None
     assert prescan_meta_charset(b"<p>plain</p>") is None
+    # a tag whose name merely STARTS with 'meta' must not hijack
+    # charset resolution (r14 self-review: <metadata> in SVG-style
+    # markup resolved koi8-r and silently mojibake'd a utf-8 page)
+    assert prescan_meta_charset(b"<metadata charset=koi8-r>x") is None
+    # ...but the WHATWG-legal self-closing spelling still matches
+    assert prescan_meta_charset(b"<meta/charset=utf-8>") == "utf-8"
 
 
 def test_whatwg_sniff_order():
@@ -329,6 +335,16 @@ def test_whatwg_sniff_order():
         b"<meta charset=unicode>ascii", {}
     )
     assert (cs, clean) == ("utf-8", False)
+    # a label naming a REGISTERED bytes-to-bytes codec (hex, base64,
+    # zlib, rot13) passes codecs.lookup but str.decode raises
+    # LookupError — must flag, never raise (r14 self-review)
+    for lie in ("hex", "base64", "zlib", "rot13", "quopri"):
+        txt, cs, clean = decode_http_body(
+            b"wild data", {"content-type": f"text/html; charset={lie}"}
+        )
+        assert (cs, clean) == ("utf-8", False), lie
+    txt, cs, clean = decode_http_body(b"<meta charset=hex>page", {})
+    assert (cs, clean) == ("utf-8", False)
     # torn BOM'd utf-16 body: replace + flag, never raise
     txt, cs, clean = decode_http_body(
         b"\xff\xfe" + "✓".encode("utf-16-le")[:-1], {}
@@ -365,6 +381,8 @@ def test_decode_http_body_never_raises_fuzz():
             "text/html; charset=shift_jis",
             "text/html; charset=unicode",
             "text/html; charset=ISO-8859-1",
+            "text/html; charset=hex",
+            "text/html; charset=base64",
         ]
     )
 
