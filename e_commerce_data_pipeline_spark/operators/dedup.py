@@ -484,11 +484,28 @@ def simhash_pairs_portable(
     )
 
 
+def auto_lsh_planes(n: int, target_bucket: int = 128) -> int:
+    """Plane count for a hyperplane-LSH table over ``n`` vectors:
+    the smallest p with n / 2^p <= target_bucket (floor 4 — fewer
+    planes than that buys no useful blocking; cap 24 keeps the
+    bucket key short). Fixed-width buckets hold n/2^p members, so
+    per-bucket pair cost at a growing corpus is flat only when p
+    grows with log2(n) — the round-14 scale probe measured exactly
+    this (PERF.md: at 10x corpus, +3 planes cut the near-dup wall
+    time from 12.0 s to 3.9 s). At the sf0.1 corpus (2,000 vectors)
+    this returns 4, the operator's historical default."""
+    import math
+
+    if n <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n / target_bucket))))
+
+
 def embedding_near_dup(
     emb: DataFrame,
     dim: int,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | str = 4,
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -509,6 +526,13 @@ def embedding_near_dup(
     1-(1-P)^t. Candidates are deduplicated on (a_id, b_id) BEFORE
     vectors are re-joined, so the distinct never shuffles array
     payloads.
+
+    ``n_planes="auto"`` (round 14) sizes the plane count from the
+    corpus via ``auto_lsh_planes`` — one count() on the already-
+    cached base (cheap relative to the hash passes) buys the
+    log2(n) growth that keeps bucket occupancy flat at 100x. The
+    integer form stays the default: callers that mirror the planes
+    externally (q59's oracle scratch) need the count pinned.
     """
     from .similarity import hyperplane_signature, pairwise_dot_udf, unit_vec
 
@@ -517,6 +541,8 @@ def embedding_near_dup(
         F.col(vec_col).alias("v"),
         unit_vec(F.col(vec_col)).alias("nv"),
     ).cache()
+    if n_planes == "auto":
+        n_planes = auto_lsh_planes(base.count())
     sig = None
     for t in range(n_tables):
         s = base.select(

@@ -64,19 +64,38 @@ def _assign_udf(centroids):
     return pandas_udf(_assign, "int")
 
 
+def auto_nlist(n: int) -> int:
+    """IVF list count for an ``n``-vector corpus: ~sqrt(n), floor 4.
+    Fixed nlist makes per-list pair/probe work grow linearly with
+    the corpus (the round-14 scale probe measured SemDeDup mildly
+    superlinear at 10x for exactly this reason — PERF.md); sqrt(n)
+    keeps list occupancy ~sqrt(n) so both the probe fan-out and the
+    within-list work grow sublinearly."""
+    import math
+
+    return max(4, math.isqrt(max(n, 1)))
+
+
 def train_centroids(
     emb: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_iters: int = 3,
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
 ):
-    """Lloyd iterations; returns the (n_centroids, dim) numpy codebook."""
+    """Lloyd iterations; returns the (n_centroids, dim) numpy codebook.
+
+    ``n_centroids="auto"`` (round 14) sizes the codebook ~sqrt(n)
+    via ``auto_nlist`` — one count() before training. The integer
+    form stays the default: callers that mirror the codebook
+    externally (the IVF oracle scratch) need the count pinned."""
     np = _np()
+    corpus = _spread(emb).select(F.col(vec_col).alias("v")).cache()
+    if n_centroids == "auto":
+        n_centroids = auto_nlist(corpus.count())
     rng = np.random.default_rng(seed)
     centroids = rng.standard_normal((n_centroids, dim))
-    corpus = _spread(emb).select(F.col(vec_col).alias("v")).cache()
     for _ in range(n_iters):
         assigned = corpus.withColumn("c", _assign_udf(centroids)(F.col("v")))
         sums = (

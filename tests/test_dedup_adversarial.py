@@ -153,3 +153,36 @@ def test_prefix_filter_is_lossless_and_prunes_candidates(spark):
     # from 780 co-occurring pairs to (at most a few over) the 5 clones
     assert n_cand < full_pairs / 10, n_cand
     assert n_cand >= 5
+
+
+def test_embedding_near_dup_auto_planes(spark):
+    """n_planes='auto' derives the plane count from the corpus size
+    (the round-14 scale-probe knob: log2 growth keeps bucket
+    occupancy flat) and matches the explicitly-configured run
+    exactly at the derived count."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        auto_lsh_planes,
+        embedding_near_dup,
+    )
+
+    # threshold shape: smallest p with n / 2^p <= 128, floor 4, cap 24
+    assert auto_lsh_planes(0) == 4
+    assert auto_lsh_planes(128) == 4
+    assert auto_lsh_planes(2000) == 4     # the sf0.1 corpus -> q59 default
+    assert auto_lsh_planes(20000) == 8    # the 10x probe's measured-good size
+    assert auto_lsh_planes(10**12) == 24  # capped
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 64))
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(64)  # one near-dup pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup(df, dim=64, n_planes="auto").collect()
+    exp = embedding_near_dup(
+        df, dim=64, n_planes=auto_lsh_planes(60)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert any({r["a_id"], r["b_id"]} == {3, 7} for r in got)

@@ -125,3 +125,23 @@ def test_partitioned_index_probe_prunes_lists(spark, sf_dir, tmp_path):
     # pruned probe matches the unpruned in-memory index path exactly
     full = ivf_topk(emb, queries, cents, k=5, nprobe=2)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, full.collect()))
+
+
+def test_auto_nlist_sqrt_scaling(spark, emb):
+    """n_centroids='auto' sizes the codebook ~sqrt(n) (the round-14
+    scale-probe knob) and equals the explicitly-sized training run
+    bit-for-bit (same seed, same iterations)."""
+    import math
+
+    from e_commerce_data_pipeline_spark.operators.ivf import auto_nlist
+
+    assert auto_nlist(0) == 4
+    assert auto_nlist(16) == 4
+    assert auto_nlist(100) == 10
+    assert auto_nlist(1_000_000) == 1000
+    n = emb.count()
+    want = max(4, math.isqrt(n))
+    c_auto = train_centroids(emb, n_centroids="auto", n_iters=1)
+    c_exp = train_centroids(emb, n_centroids=want, n_iters=1)
+    assert c_auto.shape == (want, 64)
+    assert (c_auto == c_exp).all()
