@@ -493,12 +493,43 @@ def auto_lsh_planes(n: int, target_bucket: int = 128) -> int:
     grows with log2(n) — the round-14 scale probe measured exactly
     this (PERF.md: at 10x corpus, +3 planes cut the near-dup wall
     time from 12.0 s to 3.9 s). At the sf0.1 corpus (2,000 vectors)
-    this returns 4, the operator's historical default."""
+    this returns 4, the operator's historical default.
+
+    COST knob, not a free lunch: each extra plane multiplies a true
+    pair's per-table collision probability by (1 - theta/pi) < 1,
+    so growing p at FIXED n_tables trades recall for the flat
+    bucket occupancy. Recall-sensitive callers must co-scale the
+    table count — ``auto_lsh_tables`` computes the count that holds
+    a target recall at the chosen plane count."""
     import math
 
     if n <= target_bucket:
         return 4
     return max(4, min(24, math.ceil(math.log2(n / target_bucket))))
+
+
+def auto_lsh_tables(
+    n_planes: int, sim: float = 0.9, recall: float = 0.9
+) -> int:
+    """Table count that detects a pair at cosine ``sim`` with
+    probability >= ``recall`` under ``n_planes``-bit hyperplane
+    signatures: per-table collision P = (1 - theta/pi)^p with
+    theta = arccos(sim), across t tables 1-(1-P)^t >= recall ->
+    t = ceil(log(1-recall) / log(1-P)). The honest companion to
+    ``auto_lsh_planes``: at p=8 holding 90% recall costs 7 tables
+    for true near-dups (sim 0.9) but ~91 tables at the verify
+    threshold 0.4 — near-threshold recall is intrinsically
+    expensive, which is why the operator verifies with exact cosine
+    and treats LSH purely as a candidate blocker."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, sim)))
+    p_table = (1.0 - theta / math.pi) ** n_planes
+    if p_table >= 1.0:
+        return 1
+    if p_table <= 0.0:
+        raise ValueError("collision probability underflowed to 0")
+    return max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_table)))
 
 
 def embedding_near_dup(
@@ -530,9 +561,13 @@ def embedding_near_dup(
     ``n_planes="auto"`` (round 14) sizes the plane count from the
     corpus via ``auto_lsh_planes`` — one count() on the already-
     cached base (cheap relative to the hash passes) buys the
-    log2(n) growth that keeps bucket occupancy flat at 100x. The
-    integer form stays the default: callers that mirror the planes
-    externally (q59's oracle scratch) need the count pinned.
+    log2(n) growth that keeps bucket occupancy flat at 100x. It is
+    a COST knob: more planes at fixed ``n_tables`` lowers a true
+    pair's collision probability, so recall-sensitive callers
+    should co-scale ``n_tables`` (``auto_lsh_tables`` computes the
+    count for a target recall). The integer form stays the default:
+    callers that mirror the planes externally (q59's oracle
+    scratch) need the count pinned.
     """
     from .similarity import hyperplane_signature, pairwise_dot_udf, unit_vec
 
@@ -541,7 +576,9 @@ def embedding_near_dup(
         F.col(vec_col).alias("v"),
         unit_vec(F.col(vec_col)).alias("nv"),
     ).cache()
-    if n_planes == "auto":
+    if isinstance(n_planes, str):
+        if n_planes != "auto":
+            raise ValueError('n_planes must be an int or "auto"')
         n_planes = auto_lsh_planes(base.count())
     sig = None
     for t in range(n_tables):

@@ -92,7 +92,9 @@ def train_centroids(
     externally (the IVF oracle scratch) need the count pinned."""
     np = _np()
     corpus = _spread(emb).select(F.col(vec_col).alias("v")).cache()
-    if n_centroids == "auto":
+    if isinstance(n_centroids, str):
+        if n_centroids != "auto":
+            raise ValueError('n_centroids must be an int or "auto"')
         n_centroids = auto_nlist(corpus.count())
     rng = np.random.default_rng(seed)
     centroids = rng.standard_normal((n_centroids, dim))

@@ -186,3 +186,44 @@ def test_embedding_near_dup_auto_planes(spark):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
     assert any({r["a_id"], r["b_id"]} == {3, 7} for r in got)
+
+
+def test_auto_lsh_tables_and_strict_knob_strings(spark):
+    """auto_lsh_tables holds the LSH recall identity (1-(1-P)^t >=
+    recall at P=(1-theta/pi)^p); unknown knob strings fail fast."""
+    import math
+
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        auto_lsh_tables,
+        embedding_near_dup,
+    )
+
+    for p, sim, recall in [(4, 0.9, 0.9), (8, 0.9, 0.9), (8, 0.4, 0.9)]:
+        t = auto_lsh_tables(p, sim, recall)
+        pt = (1 - math.acos(sim) / math.pi) ** p
+        assert 1 - (1 - pt) ** t >= recall
+        if t > 1:  # minimal: one fewer table must miss the target
+            assert 1 - (1 - pt) ** (t - 1) < recall
+    # near-dup regime stays cheap, near-threshold is honest-expensive
+    assert auto_lsh_tables(8, 0.9, 0.9) == 7
+    assert auto_lsh_tables(8, 0.4, 0.9) > 50
+    assert auto_lsh_tables(1, 1.0, 0.99) == 1
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="auto"):
+        embedding_near_dup(df, dim=64, n_planes="Auto")
+
+
+def test_train_centroids_strict_knob_string(spark):
+    import pytest
+
+    from e_commerce_data_pipeline_spark.operators.ivf import train_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="auto"):
+        train_centroids(df, n_centroids="16")
