@@ -2540,6 +2540,47 @@ def ccitt_decode(data: bytes, w: int, h: int, comp: int,
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
+def _tiff_ifd_entries(b: bytes, e: str, ifd_off: int) -> dict:
+    """Walk one TIFF IFD: tag -> (type, count, value-slot offset).
+    Shared by decode_tiff / decode_tiff_float (round-14 fold of two
+    verbatim copies)."""
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_ent > len(b):
+        raise ValueError("TIFF IFD truncated")
+    entries: dict[int, tuple] = {}
+    for k in range(n_ent):
+        tag, typ, cnt = struct.unpack_from(
+            e + "HHI", b, ifd_off + 2 + 12 * k
+        )
+        entries[tag] = (typ, cnt, ifd_off + 2 + 12 * k + 8)
+    return entries
+
+
+def _tiff_entry_values(entries, e, b, tag, default=None):
+    """One IFD entry's value list: BYTE/ASCII/UNDEFINED as raw byte
+    lists, SHORT/LONG/RATIONAL unpacked at the inline-or-offset
+    location, bounds-checked (the ValueError-only damage contract)."""
+    if tag not in entries:
+        return default
+    typ, cnt, at = entries[tag]
+    size = _TIFF_TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"TIFF entry type {typ} unsupported")
+    if cnt == 0:
+        raise ValueError("TIFF entry count zero")
+    total = size * cnt
+    if total > 4:
+        (at,) = struct.unpack_from(e + "I", b, at)
+    if at + total > len(b):
+        raise ValueError("TIFF entry data out of range")
+    if typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED
+        return list(b[at : at + cnt])
+    fmt = {3: "H", 4: "I", 5: "II"}[typ]
+    return list(struct.unpack_from(e + fmt * cnt, b, at))
+
+
 def _tiff_ojpeg_per_strip(
     b, entries, values, one, w, h, spp, photo, depth, planar, tiled
 ):
@@ -2770,34 +2811,10 @@ def decode_tiff(b: bytes):
     if len(b) < 8:
         raise ValueError("TIFF header truncated")
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
-    if ifd_off + 2 > len(b):
-        raise ValueError("TIFF IFD offset out of range")
-    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
-    if ifd_off + 2 + 12 * n_ent > len(b):
-        raise ValueError("TIFF IFD truncated")
-    entries: dict[int, tuple] = {}
-    for k in range(n_ent):
-        tag, typ, cnt = struct.unpack_from(e + "HHI", b, ifd_off + 2 + 12 * k)
-        entries[tag] = (typ, cnt, ifd_off + 2 + 12 * k + 8)
+    entries = _tiff_ifd_entries(b, e, ifd_off)
 
     def values(tag, default=None):
-        if tag not in entries:
-            return default
-        typ, cnt, at = entries[tag]
-        size = _TIFF_TYPE_SIZE.get(typ)
-        if size is None:
-            raise ValueError(f"TIFF entry type {typ} unsupported")
-        if cnt == 0:
-            raise ValueError("TIFF entry count zero")
-        total = size * cnt
-        if total > 4:
-            (at,) = struct.unpack_from(e + "I", b, at)
-        if at + total > len(b):
-            raise ValueError("TIFF entry data out of range")
-        if typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED
-            return list(b[at : at + cnt])
-        fmt = {3: "H", 4: "I", 5: "II"}[typ]
-        return list(struct.unpack_from(e + fmt * cnt, b, at))
+        return _tiff_entry_values(entries, e, b, tag, default)
 
     def one(tag, default=None):
         v = values(tag, None)
@@ -3548,31 +3565,10 @@ def decode_tiff_float(b: bytes):
     else:
         raise ValueError("not a TIFF")
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
-    if ifd_off + 2 > len(b):
-        raise ValueError("TIFF IFD offset out of range")
-    (n_ent,) = struct.unpack_from(e + "H", b, ifd_off)
-    if ifd_off + 2 + 12 * n_ent > len(b):
-        raise ValueError("TIFF IFD truncated")
-    entries: dict[int, tuple] = {}
-    for k in range(n_ent):
-        tag, typ, cnt = struct.unpack_from(e + "HHI", b, ifd_off + 2 + 12 * k)
-        entries[tag] = (typ, cnt, ifd_off + 2 + 12 * k + 8)
+    entries = _tiff_ifd_entries(b, e, ifd_off)
 
     def values(tag, default=None):
-        if tag not in entries:
-            return default
-        typ, cnt, at = entries[tag]
-        size = _TIFF_TYPE_SIZE.get(typ)
-        if size is None or cnt == 0:
-            raise ValueError("TIFF entry malformed")
-        if size * cnt > 4:
-            (at,) = struct.unpack_from(e + "I", b, at)
-        if at + size * cnt > len(b):
-            raise ValueError("TIFF entry data out of range")
-        if typ in (1, 2, 7):
-            return list(b[at : at + cnt])
-        fmt = {3: "H", 4: "I", 5: "II"}[typ]
-        return list(struct.unpack_from(e + fmt * cnt, b, at))
+        return _tiff_entry_values(entries, e, b, tag, default)
 
     def one(tag, default=None):
         v = values(tag, None)
