@@ -1039,6 +1039,40 @@ def _png_filter_scanlines(a2d, w: int, bpp: int, filters=None) -> bytearray:
     return raw
 
 
+def _png_palette_index(arr, max_colors: int):
+    """Sorted-distinct-color palette for an (h, w, 3) uint8 RGB array:
+    returns the (h, w) uint8 index plane and the PLTE payload bytes;
+    raises when the image exceeds ``max_colors`` distinct colors.
+    Round-14 fold of the verbatim copies in the 8-bit and sub-byte
+    palette encoders."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "palette PNG encoder expects RGB"
+    flat = a.reshape(-1, 3)
+    packed = (
+        flat[:, 0].astype(np.int64) * 65536
+        + flat[:, 1].astype(np.int64) * 256
+        + flat[:, 2].astype(np.int64)
+    )
+    colors = np.unique(packed)
+    if colors.size > max_colors:
+        raise ValueError(
+            f"palette PNG: more than {max_colors} distinct colors"
+        )
+    lut = {int(v): i for i, v in enumerate(colors)}
+    idx = np.array(
+        [lut[int(v)] for v in packed], dtype=np.uint8
+    ).reshape(h, w)
+    plte = bytearray()
+    for v in colors:
+        plte += bytes(
+            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
+        )
+    return idx, bytes(plte)
+
+
 def encode_png_palette(
     arr, filters=None, interlace: bool = False, trns_fn=None
 ) -> bytes:
@@ -1052,25 +1086,9 @@ def encode_png_palette(
     import zlib
 
     a = np.asarray(arr, dtype=np.uint8)
-    h, w, c = a.shape
-    assert c == 3, "palette PNG encoder expects RGB"
-    flat = a.reshape(-1, 3)
-    packed = (
-        flat[:, 0].astype(np.int64) * 65536
-        + flat[:, 1].astype(np.int64) * 256
-        + flat[:, 2].astype(np.int64)
-    )
-    colors = np.unique(packed)
-    if colors.size > 256:
-        raise ValueError("palette PNG: more than 256 distinct colors")
-    lut = {int(v): i for i, v in enumerate(colors)}
-    idx = np.array([lut[int(v)] for v in packed], dtype=np.uint8).reshape(h, w)
-    plte = bytearray()
-    for v in colors:
-        plte += bytes(
-            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
-        )
-    pal = np.frombuffer(bytes(plte), dtype=np.uint8).reshape(-1, 3)
+    h, w, _c = a.shape
+    idx, plte = _png_palette_index(a, 256)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     trns = (
         _png_chunk(
             b"tRNS", np.asarray(trns_fn(pal), dtype=np.uint8).tobytes()
@@ -1086,7 +1104,7 @@ def encode_png_palette(
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", bytes(plte))
+        + _png_chunk(b"PLTE", plte)
         + trns
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
@@ -1278,24 +1296,8 @@ def encode_png_palette_subbyte(
 
     assert depth in (1, 2, 4), "sub-byte palette depth must be 1/2/4"
     a = np.asarray(arr, dtype=np.uint8)
-    h, w, c = a.shape
-    assert c == 3, "palette PNG encoder expects RGB"
-    flat = a.reshape(-1, 3)
-    packed = (
-        flat[:, 0].astype(np.int64) * 65536
-        + flat[:, 1].astype(np.int64) * 256
-        + flat[:, 2].astype(np.int64)
-    )
-    colors = np.unique(packed)
-    if colors.size > (1 << depth):
-        raise ValueError(f"palette PNG depth={depth}: too many colors")
-    lut = {int(v): i for i, v in enumerate(colors)}
-    idx = np.array([lut[int(v)] for v in packed], dtype=np.uint8).reshape(h, w)
-    plte = bytearray()
-    for v in colors:
-        plte += bytes(
-            [(int(v) >> 16) & 0xFF, (int(v) >> 8) & 0xFF, int(v) & 0xFF]
-        )
+    h, w, _c = a.shape
+    idx, plte = _png_palette_index(a, 1 << depth)
     if interlace:
         raw = _adam7_filtered_samples(idx, depth, filters)
     else:
@@ -1307,7 +1309,7 @@ def encode_png_palette_subbyte(
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", bytes(plte))
+        + _png_chunk(b"PLTE", plte)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
