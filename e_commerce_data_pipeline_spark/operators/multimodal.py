@@ -2542,6 +2542,33 @@ def ccitt_decode(data: bytes, w: int, h: int, comp: int,
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
+def _tiff_decompress_segment(chunk, expected, comp):
+    """Decompress one TIFF strip/tile payload per the compression tag
+    (1 none / 32773 PackBits / 5 LZW / 8+32946 Deflate), validating
+    the expected decoded size. Round-14 fold of the verbatim
+    closures in decode_tiff / decode_tiff_float."""
+    import zlib
+
+    if comp == 1:
+        if len(chunk) < expected:
+            raise ValueError("TIFF segment truncated")
+        return chunk[:expected]
+    if comp == 32773:
+        return _packbits_decode(chunk, expected)
+    if comp == 5:
+        data = _tiff_lzw_decode(chunk, expected)
+        if len(data) != expected:
+            raise ValueError("TIFF LZW segment size mismatch")
+        return data
+    try:  # 8 / 32946: zlib Deflate
+        data = zlib.decompress(chunk, bufsize=expected)
+    except zlib.error as exc:
+        raise ValueError(f"TIFF deflate segment corrupt: {exc}")
+    if len(data) != expected:
+        raise ValueError("TIFF deflate segment size mismatch")
+    return data
+
+
 def _tiff_ifd_entries(b: bytes, e: str, ifd_off: int) -> dict:
     """Walk one TIFF IFD: tag -> (type, count, value-slot offset).
     Shared by decode_tiff / decode_tiff_float (round-14 fold of two
@@ -2921,24 +2948,7 @@ def decode_tiff(b: bytes):
         raise ValueError("TIFF raster implausibly large")
 
     def decompress(chunk, expected):
-        if comp == 1:
-            if len(chunk) < expected:
-                raise ValueError("TIFF strip truncated")
-            return chunk[:expected]
-        if comp == 32773:
-            return _packbits_decode(chunk, expected)
-        if comp == 5:
-            data = _tiff_lzw_decode(chunk, expected)
-            if len(data) != expected:
-                raise ValueError("TIFF LZW strip size mismatch")
-            return data
-        try:  # 8 / 32946: zlib Deflate
-            data = zlib.decompress(chunk, bufsize=expected)
-        except zlib.error as exc:
-            raise ValueError(f"TIFF deflate strip corrupt: {exc}")
-        if len(data) != expected:
-            raise ValueError("TIFF deflate strip size mismatch")
-        return data
+        return _tiff_decompress_segment(chunk, expected, comp)
 
     def row_nbytes(cols, ch):
         if depth < 8:
@@ -3608,24 +3618,7 @@ def decode_tiff_float(b: bytes):
     tiled = 322 in entries or 323 in entries
 
     def decompress(chunk, expected):
-        if comp == 1:
-            if len(chunk) < expected:
-                raise ValueError("TIFF segment truncated")
-            return chunk[:expected]
-        if comp == 32773:
-            return _packbits_decode(chunk, expected)
-        if comp == 5:
-            data = _tiff_lzw_decode(chunk, expected)
-            if len(data) != expected:
-                raise ValueError("TIFF LZW segment size mismatch")
-            return data
-        try:
-            data = zlib.decompress(chunk, bufsize=expected)
-        except zlib.error as exc:
-            raise ValueError(f"TIFF deflate segment corrupt: {exc}")
-        if len(data) != expected:
-            raise ValueError("TIFF deflate segment size mismatch")
-        return data
+        return _tiff_decompress_segment(chunk, expected, comp)
 
     def seg_floats(raw, n_rows, n_vals):
         """Decoded segment bytes -> (n_rows, n_vals) float64. With
