@@ -1085,9 +1085,8 @@ def encode_png_palette(
     import numpy as np
     import zlib
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _c = a.shape
-    idx, plte = _png_palette_index(a, 256)
+    idx, plte = _png_palette_index(arr, 256)
+    h, w = idx.shape
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     trns = (
         _png_chunk(
@@ -1291,13 +1290,11 @@ def encode_png_palette_subbyte(
     PNG at depth 1/2/4: the PLTE layout of ``encode_png_palette`` with
     bit-packed index scanlines (``interlace`` = Adam7, each pass
     packed and filtered at its own width)."""
-    import numpy as np
     import zlib
 
     assert depth in (1, 2, 4), "sub-byte palette depth must be 1/2/4"
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _c = a.shape
-    idx, plte = _png_palette_index(a, 1 << depth)
+    idx, plte = _png_palette_index(arr, 1 << depth)
+    h, w = idx.shape
     if interlace:
         raw = _adam7_filtered_samples(idx, depth, filters)
     else:
@@ -2829,7 +2826,6 @@ def decode_tiff(b: bytes):
     """TIFF bytes -> (h, w, 3) uint8 RGB array (see the section
     comment for the supported surface)."""
     import numpy as np
-    import zlib
 
     if b[:4] == b"II\x2a\x00":
         e = "<"
@@ -3568,8 +3564,9 @@ def decode_tiff_float(b: bytes):
     from ``decode_tiff`` — census kernels surface the values through
     the house float micro-quantization discipline instead."""
     import numpy as np
-    import zlib
 
+    if len(b) < 8:
+        raise ValueError("TIFF header truncated")
     if b[:4] == b"II\x2a\x00":
         e = "<"
     elif b[:4] == b"MM\x00\x2a":
