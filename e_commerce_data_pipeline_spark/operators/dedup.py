@@ -537,7 +537,7 @@ def embedding_near_dup(
     dim: int,
     threshold: float = 0.4,
     n_planes: int | str = 4,
-    n_tables: int = 2,
+    n_tables: int | str = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -564,10 +564,15 @@ def embedding_near_dup(
     log2(n) growth that keeps bucket occupancy flat at 100x. It is
     a COST knob: more planes at fixed ``n_tables`` lowers a true
     pair's collision probability, so recall-sensitive callers
-    should co-scale ``n_tables`` (``auto_lsh_tables`` computes the
-    count for a target recall). The integer form stays the default:
-    callers that mirror the planes externally (q59's oracle
-    scratch) need the count pinned.
+    should co-scale ``n_tables`` — pass ``n_tables="auto"``
+    (round 15) to wire ``auto_lsh_tables`` in directly: the table
+    count is recomputed from the RESOLVED plane count to hold 90%
+    detection probability for true near-dups (cosine 0.9). When the
+    auto plane count exceeds the historical default at a FIXED
+    table count, the estimated per-pair recall is logged so the
+    decay is visible at runtime instead of silent. The integer
+    forms stay the defaults: callers that mirror the planes
+    externally (q59's oracle scratch) need the counts pinned.
     """
     from .similarity import hyperplane_signature, pairwise_dot_udf, unit_vec
 
@@ -576,10 +581,33 @@ def embedding_near_dup(
         F.col(vec_col).alias("v"),
         unit_vec(F.col(vec_col)).alias("nv"),
     ).cache()
+    planes_autosized = False
     if isinstance(n_planes, str):
         if n_planes != "auto":
             raise ValueError('n_planes must be an int or "auto"')
         n_planes = auto_lsh_planes(base.count())
+        planes_autosized = True
+    if isinstance(n_tables, str):
+        if n_tables != "auto":
+            raise ValueError('n_tables must be an int or "auto"')
+        n_tables = auto_lsh_tables(n_planes)
+    elif planes_autosized and n_planes > 4:
+        # auto planes at a pinned table count: surface the recall
+        # decay instead of letting it happen silently (per-table
+        # collision P for a true near-dup at cosine 0.9, across
+        # the fixed n_tables)
+        import logging
+        import math
+
+        _p = (1.0 - math.acos(0.9) / math.pi) ** n_planes
+        logging.getLogger(__name__).warning(
+            "embedding_near_dup: auto n_planes=%d with fixed "
+            "n_tables=%d -> estimated recall %.3f for true "
+            "near-dups (cosine 0.9); pass n_tables='auto' to "
+            "co-scale (%d tables would hold 0.9)",
+            n_planes, n_tables, 1.0 - (1.0 - _p) ** n_tables,
+            auto_lsh_tables(n_planes),
+        )
     sig = None
     for t in range(n_tables):
         s = base.select(

@@ -379,8 +379,12 @@ def sniff_bom(body: bytes) -> tuple[str, int] | None:
 # script-context exclusion — a '<meta charset=' inside an HTML
 # comment in the first 1 KiB would match; acceptable for a corpus
 # walker (browsers' own prescan has comparable false-positive modes).
+# The lookbehind requires 'charset' to START an attribute name, so
+# attributes merely ENDING in it (data-charset=koi8-r, x_charset=)
+# can't hijack the decode; '<meta/charset=' (self-closing, no space)
+# still matches because '/' is outside the class.
 _META_CHARSET_RE = re.compile(
-    rb"<meta[\s/][^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    rb"<meta[\s/][^>]{0,512}?(?<![a-zA-Z0-9_-])charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
     re.IGNORECASE,
 )
 
@@ -396,7 +400,13 @@ def prescan_meta_charset(body: bytes) -> str | None:
     if not m:
         return None
     label = m.group(1).decode("ascii", "replace").strip().lower()
-    if label in ("utf-16", "utf-16le", "utf-16be", "utf16"):
+    # normalize before the UTF-16 test: WHATWG's utf-16 label set
+    # includes hyphen/underscore spellings (utf-16-le, utf_16) and
+    # the BOM-name aliases unicodefffe/unicodefeff — any of them
+    # reaching codecs.lookup would decode these ASCII-compatible
+    # bytes as UTF-16 mojibake
+    norm = label.replace("-", "").replace("_", "")
+    if norm.startswith("utf16") or norm in ("unicodefffe", "unicodefeff"):
         return "utf-8"
     return label or None
 

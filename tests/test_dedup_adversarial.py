@@ -215,6 +215,41 @@ def test_auto_lsh_tables_and_strict_knob_strings(spark):
     )
     with pytest.raises(ValueError, match="auto"):
         embedding_near_dup(df, dim=64, n_planes="Auto")
+    with pytest.raises(ValueError, match="auto"):
+        embedding_near_dup(df, dim=64, n_tables="all")
+
+
+def test_embedding_near_dup_auto_tables_coscale(spark):
+    """n_tables='auto' (round 15) wires auto_lsh_tables to the
+    RESOLVED plane count: at auto planes the co-scaled run matches
+    the explicitly-configured (planes, tables) pair exactly, and
+    recovers a true near-dup pair that the fixed 2-table default
+    can miss at higher plane counts."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        auto_lsh_planes,
+        auto_lsh_tables,
+        embedding_near_dup,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((300, 32))
+    vecs[11] = vecs[5] + 0.01 * rng.standard_normal(32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    p = auto_lsh_planes(300)
+    t = auto_lsh_tables(p)
+    got = embedding_near_dup(
+        df, dim=32, n_planes="auto", n_tables="auto"
+    ).collect()
+    exp = embedding_near_dup(
+        df, dim=32, n_planes=p, n_tables=t
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert any({r["a_id"], r["b_id"]} == {5, 11} for r in got)
 
 
 def test_train_centroids_strict_knob_string(spark):

@@ -290,6 +290,86 @@ def test_prescan_meta_charset():
     assert prescan_meta_charset(b"<meta/charset=utf-8>") == "utf-8"
 
 
+def test_prescan_attribute_name_boundary():
+    """An attribute name merely ENDING in 'charset' must not hijack
+    the decode (r15 advice): before the lookbehind, data-charset=
+    koi8-r resolved koi8-r for a utf-8 page whose header carried no
+    charset — clean=True with the wrong codec."""
+    assert (
+        prescan_meta_charset(b'<meta name=x data-charset="koi8-r">')
+        is None
+    )
+    assert prescan_meta_charset(b"<meta x_charset=koi8-r>") is None
+    # a later REAL declaration in the same tag still wins
+    assert (
+        prescan_meta_charset(
+            b'<meta data-charset="koi8-r" charset="utf-8">'
+        )
+        == "utf-8"
+    )
+    # and a real declaration in a following tag is still found
+    assert (
+        prescan_meta_charset(
+            b"<meta data-charset=koi8-r><meta charset=shift_jis>"
+        )
+        == "shift_jis"
+    )
+
+
+def test_prescan_utf16_label_spellings():
+    """All utf-16-family spellings fold to utf-8 (r15 advice): the
+    prescan read the bytes as ASCII-compatible, so ANY utf-16 label
+    is a lie — including hyphen/underscore variants and the WHATWG
+    BOM-name aliases that previously slipped through to
+    codecs.lookup and decoded the page as mojibake."""
+    for label in (
+        b"utf-16", b"utf-16le", b"utf-16be", b"utf16",
+        b"utf-16-le", b"utf-16-be", b"utf_16", b"utf_16_le",
+        b"unicodefffe", b"unicodefeff",
+    ):
+        body = b"<meta charset=" + label + b">"
+        assert prescan_meta_charset(body) == "utf-8", label
+    # non-utf-16 labels still pass through untouched
+    assert prescan_meta_charset(b"<meta charset=utf-8>") == "utf-8"
+    assert (
+        prescan_meta_charset(b"<meta charset=koi8-r>") == "koi8-r"
+    )
+
+
+def test_prescan_documented_false_positive_modes():
+    """Pin the DOCUMENTED simplifications (r14 verdict #6) so a
+    future 'fix' can't silently change decode semantics the q65
+    oracle synthesis mirrors: (a) no comment-context exclusion — a
+    <meta charset=> inside an HTML comment in the first 1 KiB WINS;
+    (b) the window is a hard 1024-byte byte cut — a declaration
+    STRADDLING the boundary is not found."""
+    assert (
+        prescan_meta_charset(
+            b"<!-- <meta charset=koi8-r> --><meta charset=utf-8>"
+        )
+        == "koi8-r"
+    )
+    # the 1024-byte cut falls right after 'charset=' (no value
+    # bytes visible) -> no match; '<meta charset=' is 14 bytes
+    assert (
+        prescan_meta_charset(b"x" * 1010 + b"<meta charset=shift_jis>")
+        is None
+    )
+    # the cut falls MID-VALUE -> the truncated label is returned
+    # as-is ('shift'); decode_http_body then treats it as unknown
+    # (utf-8 + clean=False) — lossy but loud, and pinned so a
+    # future window rework can't silently change it
+    assert (
+        prescan_meta_charset(b"x" * 1005 + b"<meta charset=shift_jis>")
+        == "shift"
+    )
+    # entirely inside the window -> found whole
+    assert (
+        prescan_meta_charset(b"x" * 1000 + b"<meta charset=shift_jis>")
+        == "shift_jis"
+    )
+
+
 def test_whatwg_sniff_order():
     """BOM > transport header > meta prescan > utf-8 default — and
     the BOM is STRIPPED (a kept BOM decodes to a stray U+FEFF)."""
