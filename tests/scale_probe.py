@@ -21,7 +21,7 @@ construction):
 
 Usage: PYTHONPATH=/root/repo python tests/scale_probe.py synth
        PYTHONPATH=/root/repo python tests/scale_probe.py run q65 q157
-       PYTHONPATH=/root/repo python tests/scale_probe.py run q59 q59p q129
+       PYTHONPATH=/root/repo python tests/scale_probe.py run q59 q59p q129 q129p
 
 Each `run` times the query at sf0.1 and at the 10x dir in the SAME
 session (bench-identical _timed_min: warm pass at sf0.001, System.gc,
@@ -31,8 +31,15 @@ rest min-of-2. `q59p` is q59's operator with n_planes scaled +3 for
 the 10x corpus (log2(10) ~ 3.3) — fixed-width LSH buckets hold 10x
 the members at 10x corpus, so candidate pairs grow ~100x per bucket
 unless the plane count grows with log(n); q59p measures the knob.
+`q129p` (round 15) is q129's SemDeDup over an IVF index built with
+n_centroids="auto" (~sqrt(n) lists via ivf.auto_nlist: 44 at the
+sf0.1 corpus, 141 at 10x) — the diagnosed fix for q129's mildly
+superlinear 14.4x; the index artifacts are built once per dir
+outside the min-of-2 (mirroring q129's memoized scratch), so the
+ratio isolates the dedup stage the way q129's did.
 
-Findings are recorded in PERF.md (round-14 scale-probe section).
+Findings are recorded in PERF.md (round-14 + round-15 scale-probe
+sections).
 """
 
 from __future__ import annotations
@@ -140,12 +147,153 @@ def _q59_scaled(spark, sf_dir):
     )
 
 
+_Q129_AUTO_IDX = {}
+
+
+def _q129_auto(spark, sf_dir):
+    """q129's SemDeDup with the IVF list count grown ~sqrt(n)
+    (n_centroids="auto" -> ivf.auto_nlist): per-list occupancy drops
+    from n/nlist to ~sqrt(n), so the cluster-local pair join — the
+    superlinear term the round-14 probe measured at fixed nlist=8 —
+    grows ~n instead of ~n^2/nlist. The codebook + written inverted
+    lists are built once per dir and reused across the min-of-2
+    (first run pays the build; min() reports the steady-state dedup
+    stage, same accounting as q129's memoized artifacts)."""
+    import os
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.dedup import semdedup
+    from e_commerce_data_pipeline_spark.operators.ivf import (
+        train_centroids,
+        write_ivf_index,
+    )
+
+    if sf_dir not in _Q129_AUTO_IDX:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_centroids="auto", n_iters=2)
+        path = "/tmp/scale_probe_ivf_auto_" + os.path.basename(
+            sf_dir.rstrip("/")
+        )
+        write_ivf_index(emb, cents, path)
+        _Q129_AUTO_IDX[sf_dir] = (cents, path)
+    cents, path = _Q129_AUTO_IDX[sf_dir]
+    return semdedup(spark.read.parquet(path), cents, tau=0.35)
+
+
+def recall():
+    """Measure the LSH auto-knobs' RECALL at the 10x probe corpus
+    (round-15 verdict task: the plane knob's cost was measured in
+    round 14, its recall only argued). Ground truth = all pairs with
+    exact cosine round(sim,6) >= 0.4, computed by blocked float64
+    matmul over the collected corpus (20k x 64 = 10 MB driver-side —
+    probe tooling, not an engine path). The operator verifies
+    candidates with exact cosine, so precision is 1 by construction
+    and recall = |operator output| / |ground truth|. The HALF_UP
+    round-to-6dp >= 0.4 gate is equivalent to raw sim >= 0.3999995,
+    which avoids replaying per-element decimal rounding over 4e8
+    cells."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        auto_lsh_planes,
+        auto_lsh_tables,
+        embedding_near_dup,
+    )
+
+    spark = get_spark("scale-probe-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, OUT, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # the decorrelating 10x synthesis leaves the corpus with ZERO
+    # pairs above sim 0.8 (measured round 15), so the 0.9-band —
+    # the band auto_lsh_tables' recall target is scoped to — would
+    # be empty. Plant 500 seeded near-dups (each a perturbed copy
+    # of a random base vector, cosine ~0.88-0.99) so that band has
+    # mass; they join the corpus and the ground-truth scan alike.
+    rng = np.random.default_rng(7)
+    base_idx = rng.choice(len(ids), size=500, replace=False)
+    eps = rng.uniform(0.15, 0.5, size=500)[:, None]
+    noise = rng.standard_normal((500, x.shape[1]))
+    planted = x[base_idx] + eps * noise * (
+        np.linalg.norm(x[base_idx], axis=1, keepdims=True)
+        / np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-12)
+    )
+    x = np.vstack([x, planted])
+    ids = np.concatenate([ids, 900_000_000 + np.arange(500)])
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = len(ids)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, x)],
+        "vec_id long, embedding array<double>",
+    )
+    cut = 0.4 - 5e-7  # round6(sim) >= 0.4 in raw-sim terms
+    # per-band truth: detection probability is a function of the
+    # pair's ANGLE, so overall recall is dominated by whatever band
+    # holds the mass — auto_lsh_tables' 0.9-recall claim is scoped
+    # to true near-dups (sim >= 0.9) and must be read per-band
+    bands = [(0.4, 0.6), (0.6, 0.8), (0.8, 0.9), (0.9, 1.01)]
+    truth = np.zeros(len(bands), dtype=np.int64)
+    for lo in range(0, n, 2048):
+        g = xn[lo : lo + 2048] @ xn.T
+        for i in range(g.shape[0]):
+            row = g[i, lo + i + 1 :]
+            sel = row[row >= cut]
+            for bi, (a, b) in enumerate(bands):
+                truth[bi] += int(np.count_nonzero((sel >= a) & (sel < b)))
+    tot = int(truth.sum())
+    print(
+        f"RECALL ground truth: {tot} pairs (n={n}, thr 0.4); by band "
+        + " ".join(
+            f"[{a},{b}):{c}" for (a, b), c in zip(bands, truth)
+        ),
+        flush=True,
+    )
+    p_auto = auto_lsh_planes(n)
+    configs = [
+        ("planes=4 tables=2 (historical)", 4, 2),
+        (f"planes=auto({p_auto}) tables=2", p_auto, 2),
+        (
+            f"planes=auto({p_auto}) tables=auto({auto_lsh_tables(p_auto)})",
+            p_auto,
+            auto_lsh_tables(p_auto),
+        ),
+    ]
+    for label, p, t in configs:
+        pairs = embedding_near_dup(
+            emb, dim=64, threshold=0.4, n_planes=p, n_tables=t
+        ).collect()
+        spark.catalog.clearCache()
+        sims = np.array([r["sim"] for r in pairs], dtype=np.float64)
+        got = np.array(
+            [
+                int(np.count_nonzero((sims >= a) & (sims < b)))
+                for a, b in bands
+            ],
+            dtype=np.int64,
+        )
+        by_band = " ".join(
+            f"[{a},{b}):{g}/{c}={g / c:.3f}" if c else f"[{a},{b}):-"
+            for (a, b), g, c in zip(bands, got, truth)
+        )
+        print(
+            f"RECALL {label}: total {len(pairs)}/{tot} = "
+            f"{len(pairs) / tot:.3f}; {by_band}",
+            flush=True,
+        )
+    spark.stop()
+
+
 def run(keys):
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for key in keys:
         if key == "q59p":
             fn, runs, label = _q59_scaled, 2, "q59 n_planes=7 (scaled)"
+        elif key == "q129p":
+            fn, runs, label = _q129_auto, 2, "q129 n_centroids=auto"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name
@@ -168,5 +316,7 @@ if __name__ == "__main__":
         spark.sparkContext.setLogLevel("ERROR")
         synthesize(spark)
         spark.stop()
+    elif sys.argv[1] == "recall":
+        recall()
     else:
         run(sys.argv[2:])
