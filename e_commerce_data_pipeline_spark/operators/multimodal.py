@@ -2765,17 +2765,14 @@ def _tiff_ojpeg_per_strip(
     head = bytearray(b"\xff\xd8")
     if not lossless:
         for tid, blob in enumerate(qblobs):
-            head += b"\xff\xdb" + struct.pack(">H", 3 + 64)
-            head += bytes([tid]) + blob
+            head += _jpg_seg(0xDB, bytes([tid]) + blob)
     for tid, blob in enumerate(dcblobs):
-        head += b"\xff\xc4" + struct.pack(">H", 3 + len(blob))
-        head += bytes([tid]) + blob
+        head += _jpg_seg(0xC4, bytes([tid]) + blob)
     if not lossless:
         for tid, blob in enumerate(acblobs):
-            head += b"\xff\xc4" + struct.pack(">H", 3 + len(blob))
-            head += bytes([0x10 | tid]) + blob
+            head += _jpg_seg(0xC4, bytes([0x10 | tid]) + blob)
     if ri:
-        head += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+        head += _jpg_seg(0xDD, struct.pack(">H", ri))
 
     parts = []
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -2783,25 +2780,24 @@ def _tiff_ojpeg_per_strip(
             raise ValueError("TIFF strip out of range")
         rows_here = min(rps, h - si * rps)
         stream = bytearray(head)
-        stream += bytes([0xFF, 0xC3 if lossless else 0xC0])
-        stream += struct.pack(
-            ">HBHHB", 8 + 3 * spp, depth, rows_here, w, spp
+        stream += _jpg_seg(
+            0xC3 if lossless else 0xC0,
+            _jpg_sof_payload(depth, rows_here, w, [
+                (c + 1, samp[c][0], samp[c][1],
+                 0 if lossless else qids[c])
+                for c in range(spp)
+            ]),
         )
-        for c in range(spp):
-            hi, vi = samp[c]
-            stream += bytes(
-                [c + 1, (hi << 4) | vi, 0 if lossless else qids[c]]
-            )
-        stream += b"\xff\xda" + struct.pack(">HB", 6 + 2 * spp, spp)
-        for c in range(spp):
-            stream += bytes(
-                [c + 1,
-                 (dcids[c] << 4) | (0 if lossless else acids[c])]
-            )
         if lossless:
-            stream += bytes([sel_pred, 0, sel_pt])
+            sos = bytes([spp])
+            for c in range(spp):
+                sos += bytes([c + 1, dcids[c] << 4])
+            sos += bytes([sel_pred, 0, sel_pt])
         else:
-            stream += b"\x00\x3f\x00"
+            sos = _jpg_sos_seq_payload(
+                [(c + 1, dcids[c], acids[c]) for c in range(spp)]
+            )
+        stream += _jpg_seg(0xDA, sos)
         stream += bytes(b[off : off + cnt])
         stream += b"\xff\xd9"
         px = decode_jpeg(bytes(stream))
@@ -7783,6 +7779,43 @@ def _jpg_seg(marker, payload):
     )
 
 
+def _jpg_dqt_seg(tid: int, tab, wide: bool = False) -> bytes:
+    """One DQT segment with the 8x8 table serialized in zigzag order
+    (B.2.4.1): Pq=0 8-bit entries, or Pq=1 16-bit big-endian when
+    ``wide`` (the extended-sequential allowance). Shared by every
+    encoder variant here (round-15 fold of six per-variant copies)."""
+    vals = [int(tab.reshape(-1)[z]) for z in _JPG_ZIGZAG]
+    if wide:
+        body = bytes([0x10 | tid]) + b"".join(
+            struct.pack(">H", v) for v in vals
+        )
+    else:
+        body = bytes([tid]) + bytes(vals)
+    return _jpg_seg(0xDB, body)
+
+
+def _jpg_sof_payload(precision: int, h: int, w: int, comps) -> bytes:
+    """SOFn/DHP frame-header payload (B.2.2): sample precision,
+    dimensions, then one (component id, H|V sampling nibbles,
+    quant-table id) triple per component. ``comps`` is a sequence of
+    (cid, hi, vi, tq). Round-15 fold of seven per-variant copies."""
+    sof = struct.pack(">BHHB", precision, h, w, len(comps))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    return sof
+
+
+def _jpg_sos_seq_payload(comps) -> bytes:
+    """Sequential-DCT SOS payload (B.2.3): component count, one (id,
+    DC|AC table nibbles) pair per component, then the fixed full-band
+    spectral selection 0..63 with Ah=Al=0 that every sequential scan
+    here shares. ``comps`` is a sequence of (cid, td, ta)."""
+    sos = bytes([len(comps)])
+    for cid, td, ta in comps:
+        sos += bytes([cid, (td << 4) | ta])
+    return sos + bytes([0, 63, 0])
+
+
 _JPG_SUBSAMP = {
     "444": (1, 1),
     "420": (2, 2),
@@ -7892,30 +7925,23 @@ def encode_jpeg12(arr, quality: int = 90,
     dc_codes = _jpg_canonical_codes(dc_bits, dc_vals)
     ac_codes = _jpg_canonical_codes(ac_bits, ac_vals)
     out = bytearray(b"\xff\xd8")
-    dqt = bytes([0x00]) + bytes(
-        int(ql.reshape(-1)[zz[k]]) for k in range(64)
-    )
-    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    out += _jpg_dqt_seg(0, ql)
     if not gray:
-        dqt2 = bytes([0x01]) + bytes(
-            int(qc.reshape(-1)[zz[k]]) for k in range(64)
-        )
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt2)) + dqt2
+        out += _jpg_dqt_seg(1, qc)
     for cls, bits, vals in ((0, dc_bits, dc_vals),
                             (1, ac_bits, ac_vals)):
-        dht = bytes([cls << 4]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        out += _jpg_seg(
+            0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        )
     if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sof = struct.pack(">BHHB", 12, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _jpg_seg(0xDD, struct.pack(">H", restart_interval))
+    out += _jpg_seg(0xC1, _jpg_sof_payload(
+        12, h, w,
+        [(ci + 1, 1, 1, 0 if ci == 0 else 1) for ci in range(nc)],
+    ))
+    out += _jpg_seg(0xDA, _jpg_sos_seq_payload(
+        [(ci + 1, 0, 0) for ci in range(nc)]
+    ))
     wr = _JpgBitWriter()
 
     def emit_rst(seg_i):
@@ -8028,19 +8054,19 @@ def encode_jpeg_lossless(
     bits, vals = _jpg_optimal_table(freq)
     codes = _jpg_canonical_codes(bits, vals)
     out = bytearray(b"\xff\xd8")
-    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += _jpg_seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
     if restart_rows:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
-    sof = struct.pack(">BHHB", p, h, w, nc)
-    for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0])
-    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+        out += _jpg_seg(0xDD, struct.pack(">H", restart_rows * w))
+    out += _jpg_seg(0xC3, _jpg_sof_payload(
+        p, h, w, [(c + 1, 1, 1, 0) for c in range(nc)]
+    ))
+    # lossless SOS tail: Ss carries the predictor id, Al the point
+    # transform (not the sequential 0..63 band)
     sos = bytes([nc])
     for c in range(nc):
         sos += bytes([c + 1, 0x00])
     sos += bytes([predictor, 0, pt])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += _jpg_seg(0xDA, sos)
     wr = _JpgBitWriter()
 
     def emit(c, d):
@@ -8367,21 +8393,10 @@ def encode_jpeg(
     wr.flush()
 
     seg = _jpg_seg
-    def dqt_seg(tid, tab):
-        if extended:  # Pq=1: 16-bit big-endian entries
-            body = bytes([0x10 | tid]) + b"".join(
-                struct.pack(">H", int(tab.reshape(-1)[z]))
-                for z in _JPG_ZIGZAG
-            )
-        else:
-            body = bytes([tid]) + bytes(
-                int(tab.reshape(-1)[z]) for z in _JPG_ZIGZAG
-            )
-        return seg(0xDB, body)
-
-    dqt = dqt_seg(0, ql)
+    # extended sequential carries Pq=1 16-bit quant entries
+    dqt = _jpg_dqt_seg(0, ql, wide=extended)
     if any(t == 1 for t in tqs):
-        dqt += dqt_seg(1, qc)
+        dqt += _jpg_dqt_seg(1, qc, wide=extended)
     nc = len(planes)
     if rgb_space and adobe_transform is None:
         comp_ids = (
@@ -8395,19 +8410,18 @@ def encode_jpeg(
             0xEE,
             b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, adobe_transform),
         )
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        hi, vi = samp[ci]
-        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
+    sof = _jpg_sof_payload(8, h, w, [
+        (comp_ids[ci], samp[ci][0], samp[ci][1], tqs[ci])
+        for ci in range(nc)
+    ])
     dht = b""
     for (cls, tid), (bits, vals) in _JPG_HUFF.items():
         if tid == 1 and not any(t == 1 for t in tqs):
             continue
         dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
-    sos += b"\x00\x3f\x00"
+    sos = _jpg_sos_seq_payload(
+        [(comp_ids[ci], tqs[ci], tqs[ci]) for ci in range(nc)]
+    )
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
@@ -9215,17 +9229,13 @@ def encode_jpeg_progressive(
 
     seg = _jpg_seg
     ql, qc = _jpg_quant_tables(quality)
-    zzl = bytes(int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG)
-    dqt = seg(0xDB, b"\x00" + zzl)
+    dqt = _jpg_dqt_seg(0, ql)
     if not gray:
-        zzc = bytes(int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG)
-        dqt += seg(0xDB, b"\x01" + zzc)
-    sof = struct.pack(">BHHB", precision, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([
-            ci + 1, (samp[ci][0] << 4) | samp[ci][1],
-            0 if ci == 0 else 1,
-        ])
+        dqt += _jpg_dqt_seg(1, qc)
+    sof = _jpg_sof_payload(precision, h, w, [
+        (ci + 1, samp[ci][0], samp[ci][1], 0 if ci == 0 else 1)
+        for ci in range(nc)
+    ])
     dht = b""
     if precision == 8:
         for tid in range(1 if gray else 2):
@@ -10610,15 +10620,12 @@ def encode_jpeg_hierarchical(
             wr.out += enc.flush()
         else:
             wr.flush()
-        comp_ids = tuple(range(1, nc + 1))
-        sof = struct.pack(">BHHB", 8, fh, fw, nc)
-        for ci in range(nc):
-            sof += bytes([comp_ids[ci], 0x11, qids[ci]])
-        sos = bytes([nc])
-        for ci in range(nc):
-            t = tqs[ci]
-            sos += bytes([comp_ids[ci], (t << 4) | t])
-        sos += bytes([0, 63, 0])
+        sof = _jpg_sof_payload(8, fh, fw, [
+            (ci + 1, 1, 1, qids[ci]) for ci in range(nc)
+        ])
+        sos = _jpg_sos_seq_payload(
+            [(ci + 1, tqs[ci], tqs[ci]) for ci in range(nc)]
+        )
         if arith:
             sof_marker = 0xCD if differential else 0xC9
         else:
@@ -10628,18 +10635,12 @@ def encode_jpeg_hierarchical(
         return body, [r[:fh, :fw] for r in recon]
 
     out = bytearray(b"\xff\xd8")
-
-    def dqt_seg(tid, tab):
-        return seg(0xDB, bytes([tid]) + bytes(
-            int(tab.reshape(-1)[z]) for z in _JPG_ZIGZAG
-        ))
-
-    out += dqt_seg(0, ql)
+    out += _jpg_dqt_seg(0, ql)
     if nc == 3:
-        out += dqt_seg(1, qc)
-    out += dqt_seg(2, dl)
+        out += _jpg_dqt_seg(1, qc)
+    out += _jpg_dqt_seg(2, dl)
     if nc == 3:
-        out += dqt_seg(3, dc_)
+        out += _jpg_dqt_seg(3, dc_)
     if arith:
         # explicit default DAC for both entropy tables/classes
         dac_body = b""
@@ -10655,10 +10656,9 @@ def encode_jpeg_hierarchical(
                 0xC4,
                 bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
             )
-    dhp = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        dhp += bytes([ci + 1, 0x11, tqs[ci]])
-    out += seg(0xDE, dhp)
+    out += seg(0xDE, _jpg_sof_payload(8, h, w, [
+        (ci + 1, 1, 1, tqs[ci]) for ci in range(nc)
+    ]))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
 
@@ -11512,17 +11512,13 @@ def _arith_seq_frame(
     seg = _jpg_seg
     nc = len(tqs)
     used_tabs = sorted(set(tqs))
-    dqt = seg(0xDB, bytes([0]) + bytes(
-        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
-    ))
+    dqt = _jpg_dqt_seg(0, ql)
     if any(t == 1 for t in tqs):
-        dqt += seg(0xDB, bytes([1]) + bytes(
-            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
-        ))
-    sof = struct.pack(">BHHB", precision, h, w, nc)
-    for ci in range(nc):
-        hi, vi = samp[ci]
-        sof += bytes([comp_ids[ci], (hi << 4) | vi, tqs[ci]])
+        dqt += _jpg_dqt_seg(1, qc)
+    sof = _jpg_sof_payload(precision, h, w, [
+        (comp_ids[ci], samp[ci][0], samp[ci][1], tqs[ci])
+        for ci in range(nc)
+    ])
     dac = b""
     if emit_dac:
         body = b""
@@ -11533,10 +11529,9 @@ def _arith_seq_frame(
     dri = b""
     if restart_interval:
         dri = seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([comp_ids[ci], (tqs[ci] << 4) | tqs[ci]])
-    sos += bytes([0, 63, 0])
+    sos = _jpg_sos_seq_payload(
+        [(comp_ids[ci], tqs[ci], tqs[ci]) for ci in range(nc)]
+    )
     return (
         b"\xff\xd8" + dqt + seg(0xC9, sof) + dac + dri
         + seg(0xDA, sos) + entropy + b"\xff\xd9"
@@ -11799,18 +11794,13 @@ def encode_jpeg_arith_progressive(
 
     seg = _jpg_seg
     ql, qc = _jpg_quant_tables(quality)
-    dqt = seg(0xDB, b"\x00" + bytes(
-        int(ql.reshape(-1)[z]) for z in _JPG_ZIGZAG
-    ))
+    dqt = _jpg_dqt_seg(0, ql)
     if not gray:
-        dqt += seg(0xDB, b"\x01" + bytes(
-            int(qc.reshape(-1)[z]) for z in _JPG_ZIGZAG
-        ))
-    sof = struct.pack(">BHHB", precision, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([
-            ci + 1, (samp[ci][0] << 4) | samp[ci][1], tqs[ci]
-        ])
+        dqt += _jpg_dqt_seg(1, qc)
+    sof = _jpg_sof_payload(precision, h, w, [
+        (ci + 1, samp[ci][0], samp[ci][1], tqs[ci])
+        for ci in range(nc)
+    ])
     dac = b""
     if emit_dac:
         body = b""
