@@ -67,6 +67,37 @@ def fuzzy_name_pairs(
     )
 
 
+def auto_block_width(
+    n: int, span: int, groups: int = 1, target_occupancy: float = 60.0
+) -> int:
+    """Bucket width for a numeric blocking key (``value div width``)
+    over an ``n``-record corpus whose attribute spans ``span`` units
+    across ``groups`` categorical co-keys: the width that holds
+    expected block occupancy (n/groups) / (span/width) at
+    ``target_occupancy``, so blocked pair cost — sum(block^2) — grows
+    ~linearly with the corpus instead of quadratically. The round-15
+    scale probe measured the fixed-width failure mode directly: q172's
+    ``n_chars div 32`` key has a corpus-size-independent block count,
+    so the 10x corpus ran 14.0x (PERF.md). Same knob family as
+    ``dedup.auto_lsh_planes`` (log2 n) and ``ivf.auto_nlist``
+    (sqrt n); here width ~ 1/n. At the sf0.1 documents corpus
+    (n=5000, span=533, 5 langs) the default target returns the
+    historical 32; at the 10x probe corpus it returns 3.
+
+    RECALL trade, same shape as the LSH planes knob: a true pair
+    whose attribute values differ by more than the (narrower) width
+    is likelier to straddle a bucket boundary and never meet. For
+    entity resolution over near-identical records the attribute gap
+    is small by construction, and the standard remedy — a second
+    pass with the buckets offset by width/2 — doubles cost for
+    boundary coverage. Floor 1 (exact-value blocking)."""
+    import math
+
+    if n <= 0 or span <= 0 or groups <= 0:
+        return 1
+    return max(1, round(target_occupancy * span * groups / n))
+
+
 def fs_linkage_pairs(
     df: DataFrame,
     id_col: str,

@@ -9839,7 +9839,13 @@ def q171_streaming_hll_registers(spark, sf_dir):
     "a drift in weights, thresholding, closure, or election breaks "
     "the hash. Output is one row per resolved entity.",
 )
-def q172_entity_resolution_pipeline(spark, sf_dir):
+def q172_entity_resolution_pipeline(spark, sf_dir, block_width=32):
+    # block_width: the length-bucket width of the blocking key. 32
+    # is pinned (the oracle mirrors it); scaled corpora pass
+    # fuzzy.auto_block_width(n, span, groups) — a fixed width makes
+    # block count corpus-size-independent, so blocked pair cost
+    # grows quadratically (round-15 scale probe: 14.0x at 10x with
+    # width 32; PERF.md has the auto-width measurement).
     from ..operators.components import connected_components
     from ..operators.fuzzy import fs_linkage_pairs
     from ..operators.text import tokens
@@ -9852,7 +9858,7 @@ def q172_entity_resolution_pipeline(spark, sf_dir):
             F.concat(
                 F.col("lang"),
                 F.lit("|"),
-                F.expr("n_chars div 32").cast("string"),
+                F.expr(f"n_chars div {int(block_width)}").cast("string"),
             ).alias("blk"),
             F.col("source"),
             F.get("__toks", 0).alias("ft"),

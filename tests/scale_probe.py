@@ -62,6 +62,12 @@ TARGETS = {
     "q59": ("q59_embedding_near_dup", 2),
     "q129": ("q129_semdedup", 2),
     "q157": ("q157_exact_quantile_narrowing", 2),
+    # round 15: the graph block — 10x order volume over the SAME
+    # part catalog (dims copy unchanged; that IS the realistic
+    # e-commerce scale shape: edge weights grow, node set doesn't)
+    "q138": ("q138_copurchase_triangles", 2),
+    "q93": ("q93_copurchase_pagerank", 2),
+    "q172": ("q172_entity_resolution_pipeline", 2),
 }
 
 
@@ -126,6 +132,13 @@ def synthesize(spark):
         .write.mode("overwrite")
         .parquet(f"{OUT}/lineitem.parquet")
     )
+
+    # dimensions copy unchanged: a 10x fact volume over the same
+    # catalog is the realistic scale shape (and what the graph
+    # queries need — q93 joins part for labels)
+    spark.read.parquet(f"{SF}/part.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{OUT}/part.parquet")
     print("synthesized 10x tables at", OUT, flush=True)
 
 
@@ -286,6 +299,36 @@ def recall():
     spark.stop()
 
 
+def _q172_auto(spark, sf_dir):
+    """q172 with the blocking-key width scaled by the corpus
+    (fuzzy.auto_block_width): a fixed `n_chars div 32` key has a
+    corpus-size-independent block count, so occupancy grows with n
+    and blocked pairs with n^2 — the superlinear term the round-15
+    probe measured (14.0x at 10x). The auto width (3 at the 10x
+    corpus, the historical 32 at sf0.1) holds occupancy flat."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.fuzzy import (
+        auto_block_width,
+    )
+    from e_commerce_data_pipeline_spark.plans.queries import QUERIES
+
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("n_chars") - F.min("n_chars")).alias("span"),
+            F.countDistinct("lang").alias("g"),
+        )
+        .collect()[0]
+    )
+    width = auto_block_width(stats["n"], stats["span"], stats["g"])
+    return QUERIES["q172_entity_resolution_pipeline"].fn(
+        spark, sf_dir, block_width=width
+    )
+
+
 def run(keys):
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -294,6 +337,8 @@ def run(keys):
             fn, runs, label = _q59_scaled, 2, "q59 n_planes=7 (scaled)"
         elif key == "q129p":
             fn, runs, label = _q129_auto, 2, "q129 n_centroids=auto"
+        elif key == "q172p":
+            fn, runs, label = _q172_auto, 2, "q172 block_width=auto"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name

@@ -767,6 +767,29 @@ def test_fs_linkage_rare_agreement_outweighs_common(spark):
     assert all(isinstance(s, int) for _, s in out.values())
 
 
+def test_auto_block_width():
+    """auto_block_width holds expected block occupancy flat: width
+    ~ 1/n (the round-15 scale-probe knob for q172's fixed-width
+    quadratic blocking). Pinned: the sf0.1 documents corpus shape
+    (n=5000, span=533, 5 langs) returns the historical 32, the 10x
+    probe corpus returns 3, degenerate inputs floor at 1."""
+    from e_commerce_data_pipeline_spark.operators.fuzzy import (
+        auto_block_width,
+    )
+
+    assert auto_block_width(5000, 533, 5) == 32
+    assert auto_block_width(50000, 533, 5) == 3
+    # occupancy identity: (n/groups) / (span/width) ~ target
+    for n in (10_000, 100_000, 1_000_000):
+        w = auto_block_width(n, 1000, 4, target_occupancy=50.0)
+        occ = (n / 4) / (1000 / w)
+        assert w == 1 or 25.0 <= occ <= 100.0, (n, w, occ)
+    # floors: empty corpus, zero span, huge corpus -> exact-value key
+    assert auto_block_width(0, 533) == 1
+    assert auto_block_width(5000, 0) == 1
+    assert auto_block_width(10**9, 533, 5) == 1
+
+
 def test_bpe_encode_corpus_matches_reference(spark):
     """The replace-chain encode (q179's operator) agrees with the
     pure-Python greedy fold — including the 'aaa' non-overlap case —
