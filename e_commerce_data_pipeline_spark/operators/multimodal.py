@@ -7794,6 +7794,15 @@ def _jpg_dqt_seg(tid: int, tab, wide: bool = False) -> bytes:
     return _jpg_seg(0xDB, body)
 
 
+def _jpg_dht_seg(cls: int, tid: int, bits, vals) -> bytes:
+    """One DHT segment (B.2.4.2): the Tc|Th nibble byte, the 16
+    per-length code counts, then the symbol values — the shape every
+    Huffman-table emission here shares (round-15 fold)."""
+    return _jpg_seg(
+        0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    )
+
+
 def _jpg_sof_payload(precision: int, h: int, w: int, comps) -> bytes:
     """SOFn/DHP frame-header payload (B.2.2): sample precision,
     dimensions, then one (component id, H|V sampling nibbles,
@@ -7930,9 +7939,7 @@ def encode_jpeg12(arr, quality: int = 90,
         out += _jpg_dqt_seg(1, qc)
     for cls, bits, vals in ((0, dc_bits, dc_vals),
                             (1, ac_bits, ac_vals)):
-        out += _jpg_seg(
-            0xC4, bytes([cls << 4]) + bytes(bits) + bytes(vals)
-        )
+        out += _jpg_dht_seg(cls, 0, bits, vals)
     if restart_interval:
         out += _jpg_seg(0xDD, struct.pack(">H", restart_interval))
     out += _jpg_seg(0xC1, _jpg_sof_payload(
@@ -8054,7 +8061,7 @@ def encode_jpeg_lossless(
     bits, vals = _jpg_optimal_table(freq)
     codes = _jpg_canonical_codes(bits, vals)
     out = bytearray(b"\xff\xd8")
-    out += _jpg_seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    out += _jpg_dht_seg(0, 0, bits, vals)
     if restart_rows:
         out += _jpg_seg(0xDD, struct.pack(">H", restart_rows * w))
     out += _jpg_seg(0xC3, _jpg_sof_payload(
@@ -8418,7 +8425,7 @@ def encode_jpeg(
     for (cls, tid), (bits, vals) in _JPG_HUFF.items():
         if tid == 1 and not any(t == 1 for t in tqs):
             continue
-        dht += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        dht += _jpg_dht_seg(cls, tid, bits, vals)
     sos = _jpg_sos_seq_payload(
         [(comp_ids[ci], tqs[ci], tqs[ci]) for ci in range(nc)]
     )
@@ -9240,7 +9247,7 @@ def encode_jpeg_progressive(
     if precision == 8:
         for tid in range(1 if gray else 2):
             bits, vals = _JPG_HUFF[(0, tid)]
-            dht += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+            dht += _jpg_dht_seg(0, tid, bits, vals)
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
@@ -9276,7 +9283,7 @@ def encode_jpeg_progressive(
                 freq[cat0] = freq.get(cat0, 0) + 1
         dcb, dcv = _jpg_optimal_table(freq)
         dc12 = _jpg_canonical_codes(dcb, dcv)
-        dc12_dht = seg(0xC4, bytes([0]) + bytes(dcb) + bytes(dcv))
+        dc12_dht = _jpg_dht_seg(0, 0, dcb, dcv)
         dc_codes = [dc12] * nc
         dc_sel = [0] * nc
     script = _JPG_PROG_SCRIPT_GRAY if gray else _JPG_PROG_SCRIPT_COLOR
@@ -9361,7 +9368,7 @@ def encode_jpeg_progressive(
                     lambda v, n: None,
                 )
             bits, vals = _jpg_optimal_table(freqs)
-            scan_dht = seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            scan_dht = _jpg_dht_seg(1, 0, bits, vals)
             ac_codes = _jpg_canonical_codes(bits, vals)
             for si, sgl in enumerate(segs):
                 if si:
@@ -10652,10 +10659,7 @@ def encode_jpeg_hierarchical(
         for (cls, tid), (bits, vals) in _JPG_HUFF.items():
             if tid == 1 and nc == 1:
                 continue
-            out += seg(
-                0xC4,
-                bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
-            )
+            out += _jpg_dht_seg(cls, tid, bits, vals)
     out += seg(0xDE, _jpg_sof_payload(8, h, w, [
         (ci + 1, 1, 1, tqs[ci]) for ci in range(nc)
     ]))
