@@ -22,6 +22,9 @@ construction):
 Usage: PYTHONPATH=/root/repo python tests/scale_probe.py synth
        PYTHONPATH=/root/repo python tests/scale_probe.py run q65 q157
        PYTHONPATH=/root/repo python tests/scale_probe.py run q59 q59p q129 q129p
+       PYTHONPATH=/root/repo python tests/scale_probe.py run q138 q93 q172 q172p
+       PYTHONPATH=/root/repo python tests/scale_probe.py run q162 q98 q98p q145 q58
+       PYTHONPATH=/root/repo python tests/scale_probe.py recall
 
 Each `run` times the query at sf0.1 and at the 10x dir in the SAME
 session (bench-identical _timed_min: warm pass at sf0.001, System.gc,
@@ -68,6 +71,13 @@ TARGETS = {
     "q138": ("q138_copurchase_triangles", 2),
     "q93": ("q93_copurchase_pagerank", 2),
     "q172": ("q172_entity_resolution_pipeline", 2),
+    # round 15 part 3: the remaining heaviest floors — q162's pair
+    # stage is calendar-bounded (10x orders, same date domain), the
+    # text rows ride the decorrelated documents corpus
+    "q162": ("q162_theil_sen_trend", 2),
+    "q98": ("q98_tfidf_cosine_pairs", 2),
+    "q145": ("q145_assoc_rules", 2),
+    "q58": ("q58_dedup_groups", 2),
 }
 
 
@@ -139,6 +149,22 @@ def synthesize(spark):
     spark.read.parquet(f"{SF}/part.parquet").write.mode(
         "overwrite"
     ).parquet(f"{OUT}/part.parquet")
+
+    # orders: plain replication with offset keys over the SAME date
+    # domain (10x daily volume, unchanged calendar — q162's pair
+    # stage is day-keyed, so this is the shape that tests whether
+    # its cost is bounded by the calendar or the row count)
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    (
+        od.crossJoin(reps)
+        .withColumn(
+            "o_orderkey",
+            F.col("o_orderkey") + F.col("k") * F.lit(1_000_000_000),
+        )
+        .drop("k")
+        .write.mode("overwrite")
+        .parquet(f"{OUT}/orders.parquet")
+    )
     print("synthesized 10x tables at", OUT, flush=True)
 
 
@@ -329,6 +355,34 @@ def _q172_auto(spark, sf_dir):
     )
 
 
+def _q98_capped(spark, sf_dir):
+    """q98 with tfidf_cosine_pairs' OWN stop-token guard engaged
+    (max_token_df=3923 — the sf0.1 corpus's natural max GLOBAL df,
+    so the sf0.1 output is provably unchanged; the cap is global
+    because the operator's df window is per token, not per
+    block-token). The unguarded 10x run measured 60.1x: the pairing
+    join costs sum(df^2) per (block, token) key and the hot keys'
+    df grows with the corpus (census: sum(df^2) 20.6M -> 1.99B,
+    96.6x). An ABSOLUTE df cap bounds per-key work at cap*postings
+    — linear in corpus — at the documented semantic cost (capped
+    tokens leave the vectors; idf ~ 0 there anyway)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+    from e_commerce_data_pipeline_spark.operators.text import tokens
+
+    band = F.floor(F.size(tokens("text")) / 16).cast("int").cast("string")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_band", F.concat(F.col("lang"), F.lit("|"), band)
+    )
+    return tfidf_cosine_pairs(
+        docs, threshold=0.8, block_col="lang_band", max_token_df=3923
+    )
+
+
 def run(keys):
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -339,6 +393,8 @@ def run(keys):
             fn, runs, label = _q129_auto, 2, "q129 n_centroids=auto"
         elif key == "q172p":
             fn, runs, label = _q172_auto, 2, "q172 block_width=auto"
+        elif key == "q98p":
+            fn, runs, label = _q98_capped, 2, "q98 max_token_df=3923"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name
