@@ -406,7 +406,14 @@ def tfidf_cosine_pairs(
     is the stop-token guard — tokens appearing in more than that many
     docs are dropped from the VECTORS (idf ~ 0 anyway), which bounds
     the hottest join key; without it one stop-token makes the join
-    quadratic in its document frequency. ``block_col`` additionally
+    quadratic in its document frequency. NOT optional at scale
+    (round-15 probe, PERF.md): the unguarded 10x corpus ran 60.1x
+    (sum(df^2) grew 96.6x); an ABSOLUTE cap bounds per-key pair work
+    at cap*postings — linear in the corpus — and measured 1.15x at
+    10x. Size the cap to the largest df whose pairs you still want
+    enumerated; an exactness-preserving alternative at high
+    thresholds is PPJoin-style prefix filtering (see
+    ``dedup.ppjoin_pairs`` for the set-similarity version). ``block_col`` additionally
     restricts pairing to docs sharing a blocking key (language,
     near-dup bucket, ...) — idf stays corpus-global, but the join key
     becomes (block, token) so the hottest key is bounded by block

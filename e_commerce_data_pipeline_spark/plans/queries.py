@@ -4709,7 +4709,12 @@ def q97_dsir_importance(spark, sf_dir):
     "cut) stays available for Zipfian corpora. "
     "operators/similarity.py tfidf_cosine_pairs.",
 )
-def q98_tfidf_cosine_pairs(spark, sf_dir):
+def q98_tfidf_cosine_pairs(spark, sf_dir, max_token_df=None):
+    # max_token_df: the operator's stop-token guard. None is pinned
+    # (the oracle enumerates every pair); scaled corpora pass an
+    # absolute df cap — the round-15 probe measured the unguarded
+    # pairing join at 60.1x for a 10x corpus (sum(df^2) grows with
+    # the hottest token's df) vs 1.15x capped (PERF.md part 3).
     from ..operators.similarity import tfidf_cosine_pairs
     from ..operators.text import tokens
 
@@ -4717,7 +4722,12 @@ def q98_tfidf_cosine_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn(
         "lang_band", F.concat(F.col("lang"), F.lit("|"), band)
     )
-    return tfidf_cosine_pairs(docs, threshold=0.8, block_col="lang_band")
+    return tfidf_cosine_pairs(
+        docs,
+        threshold=0.8,
+        block_col="lang_band",
+        max_token_df=max_token_df,
+    )
 
 
 @_register(

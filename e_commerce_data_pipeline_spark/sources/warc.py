@@ -380,11 +380,13 @@ def sniff_bom(body: bytes) -> tuple[str, int] | None:
 # comment in the first 1 KiB would match; acceptable for a corpus
 # walker (browsers' own prescan has comparable false-positive modes).
 # The lookbehind requires 'charset' to START an attribute name, so
-# attributes merely ENDING in it (data-charset=koi8-r, x_charset=)
-# can't hijack the decode; '<meta/charset=' (self-closing, no space)
-# still matches because '/' is outside the class.
+# attributes merely ENDING in it (data-charset=koi8-r, x_charset=,
+# xml:charset=, x.charset=) can't hijack the decode; the class
+# mirrors every name character the VALUE class accepts plus '-'/'_'.
+# '<meta/charset=' (self-closing, no space) still matches because
+# '/' is outside the class.
 _META_CHARSET_RE = re.compile(
-    rb"<meta[\s/][^>]{0,512}?(?<![a-zA-Z0-9_-])charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
+    rb"<meta[\s/][^>]{0,512}?(?<![\w.:-])charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
     re.IGNORECASE,
 )
 
@@ -472,6 +474,15 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
             "x-user-defined",
             True,
         )
+    elif label.replace("-", "").replace("_", "").startswith(
+        ("utf7", "utf32")
+    ) or label in ("unicode-1-1-utf-7", "csunicode11utf7"):
+        # labels Python's registry RESOLVES but the WHATWG Encoding
+        # Standard does not define (round-15 review): utf-7 silently
+        # TRANSFORMS ascii-visible text (+ADw- decodes to '<') and
+        # utf-32 reads ascii-compatible bytes as mojibake — both
+        # must take the unknown-label path, same as 'unicode'
+        label, clean_label = "utf-8", False
     else:
         try:
             info = codecs.lookup(label)

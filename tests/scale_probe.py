@@ -366,20 +366,8 @@ def _q98_capped(spark, sf_dir):
     96.6x). An ABSOLUTE df cap bounds per-key work at cap*postings
     — linear in corpus — at the documented semantic cost (capped
     tokens leave the vectors; idf ~ 0 there anyway)."""
-    from pyspark.sql import functions as F
-
-    from e_commerce_data_pipeline_spark.catalog import load_table
-    from e_commerce_data_pipeline_spark.operators.similarity import (
-        tfidf_cosine_pairs,
-    )
-    from e_commerce_data_pipeline_spark.operators.text import tokens
-
-    band = F.floor(F.size(tokens("text")) / 16).cast("int").cast("string")
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "lang_band", F.concat(F.col("lang"), F.lit("|"), band)
-    )
-    return tfidf_cosine_pairs(
-        docs, threshold=0.8, block_col="lang_band", max_token_df=3923
+    return QUERIES["q98_tfidf_cosine_pairs"].fn(
+        spark, sf_dir, max_token_df=3923
     )
 
 

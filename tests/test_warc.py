@@ -300,6 +300,10 @@ def test_prescan_attribute_name_boundary():
         is None
     )
     assert prescan_meta_charset(b"<meta x_charset=koi8-r>") is None
+    # '.' and ':' are legal attribute-name characters too (r15
+    # review: the first lookbehind class missed them)
+    assert prescan_meta_charset(b"<meta xml:charset=koi8-r>") is None
+    assert prescan_meta_charset(b"<meta x.charset=koi8-r>") is None
     # a later REAL declaration in the same tag still wins
     assert (
         prescan_meta_charset(
@@ -334,6 +338,38 @@ def test_prescan_utf16_label_spellings():
     assert (
         prescan_meta_charset(b"<meta charset=koi8-r>") == "koi8-r"
     )
+
+
+def test_decode_rejects_python_only_unicode_codecs():
+    """utf-7 and utf-32 labels resolve in Python's registry but are
+    NOT WHATWG encodings (r15 review): utf-7 silently TRANSFORMS
+    ascii-visible text (+ADw- -> '<') and utf-32 decodes an
+    ascii-compatible page as mojibake — both must take the
+    unknown-label path (utf-8 + clean=False), wherever declared."""
+    from e_commerce_data_pipeline_spark.sources.warc import (
+        decode_http_body,
+    )
+
+    body = b"<html><meta charset=utf-7><p>+ADw-not a tag+AD4-</p></html>"
+    text, charset, clean = decode_http_body(body, {})
+    assert charset == "utf-8" and clean is False
+    assert "+ADw-" in text  # NOT transformed into '<'
+    for label in (b"utf-32", b"utf32", b"utf-32le", b"utf_32_be"):
+        b2 = b"<html><meta charset=" + label + b"><p>plain</p></html>"
+        text, charset, clean = decode_http_body(b2, {})
+        assert charset == "utf-8" and clean is False, label
+        assert "plain" in text, label
+    # header-declared variants take the same path
+    hdr = {"content-type": "text/html; charset=utf-7"}
+    text, charset, clean = decode_http_body(b"abc +ADw-x+AD4-", hdr)
+    assert (charset, clean) == ("utf-8", False) and "+ADw-" in text
+    # header-declared utf-16 (BOM-less) is a REAL WHATWG encoding and
+    # still decodes as utf-16 — only the prescan remaps utf-16 labels
+    t16 = "hi".encode("utf-16-le")
+    text, charset, clean = decode_http_body(
+        t16, {"content-type": "text/html; charset=utf-16le"}
+    )
+    assert charset == "utf-16le" and text == "hi" and clean is True
 
 
 def test_prescan_documented_false_positive_modes():
