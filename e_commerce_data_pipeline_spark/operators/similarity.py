@@ -387,6 +387,55 @@ def cosine_topk_matrix(
     )
 
 
+def _tfidf_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    idf_scale: int,
+    block_col: str | None,
+    max_token_df: int | None,
+) -> DataFrame:
+    """Shared tf-idf posting construction for ``tfidf_cosine_pairs``
+    and its prefix-filtered variant: one (id[, blk], tok, df_t, wq)
+    row per posting, ``wq`` the integer-quantized tf*idf weight (the
+    float discipline lives in the callers' docstrings)."""
+    from .text import tokens
+    from .util import spread
+
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    keep = ["blk"] if block_col else []
+    tf = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("id"), *blk, tokens(text_col).alias("__toks")
+        )
+        .select("id", *keep, F.explode("__toks").alias("tok"))
+        .groupBy("id", *keep, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
+    wtok = Window.partitionBy("tok")
+    w = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(wtok))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            *keep,
+            "tok",
+            "df_t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs") / F.col("df_t")) * idf_scale
+                ).cast("long")
+            ).alias("wq"),
+        )
+    )
+    if max_token_df is not None:
+        w = w.filter(F.col("df_t") <= max_token_df)
+    return w
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -411,9 +460,10 @@ def tfidf_cosine_pairs(
     (sum(df^2) grew 96.6x); an ABSOLUTE cap bounds per-key pair work
     at cap*postings — linear in the corpus — and measured 1.15x at
     10x. Size the cap to the largest df whose pairs you still want
-    enumerated; an exactness-preserving alternative at high
-    thresholds is PPJoin-style prefix filtering (see
-    ``dedup.ppjoin_pairs`` for the set-similarity version). ``block_col`` additionally
+    enumerated; when every pair must be enumerated EXACTLY, use
+    ``tfidf_cosine_pairs_prefix`` (the All-Pairs prefix filter —
+    bit-identical output, measured 22.2x vs 60.1x at the 10x probe
+    and widening with corpus size). ``block_col`` additionally
     restricts pairing to docs sharing a blocking key (language,
     near-dup bucket, ...) — idf stays corpus-global, but the join key
     becomes (block, token) so the hottest key is bounded by block
@@ -438,40 +488,9 @@ def tfidf_cosine_pairs(
 
     Returns ``(a_id, b_id, n_shared, sim)`` with sim rounded to 6dp.
     """
-    from .text import tokens
-    from .util import spread
-
-    blk = [F.col(block_col).alias("blk")] if block_col else []
-    tf = (
-        spread(docs)
-        .select(
-            F.col(id_col).alias("id"), *blk, tokens(text_col).alias("__toks")
-        )
-        .select("id", *(["blk"] if block_col else []), F.explode("__toks").alias("tok"))
-        .groupBy("id", *(["blk"] if block_col else []), "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    n_docs = tf.agg(F.countDistinct("id").alias("n_docs"))
-    wtok = Window.partitionBy("tok")
-    w = (
-        tf.withColumn("df_t", F.count(F.lit(1)).over(wtok))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "id",
-            *(["blk"] if block_col else []),
-            "tok",
-            "df_t",
-            (
-                F.col("tf")
-                * F.round(
-                    F.log(F.col("n_docs") / F.col("df_t")) * idf_scale
-                ).cast("long")
-            ).alias("wq"),
-        )
-    )
-    if max_token_df is not None:
-        w = w.filter(F.col("df_t") <= max_token_df)
-    w = w.drop("df_t").cache()
+    w = _tfidf_weights(
+        docs, id_col, text_col, idf_scale, block_col, max_token_df
+    ).drop("df_t").cache()
     norms = w.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
     keys = (["blk"] if block_col else []) + ["tok"]
     a = w.select(F.col("id").alias("a_id"), *keys, F.col("wq").alias("a_wq"))
@@ -479,6 +498,124 @@ def tfidf_cosine_pairs(
     num = (
         a.join(b, keys)
         .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("a_wq") * F.col("b_wq")).alias("num"),
+        )
+    )
+    na = norms.select(F.col("id").alias("a_id"), F.col("n2").alias("a_n2"))
+    nb = norms.select(F.col("id").alias("b_id"), F.col("n2").alias("b_n2"))
+    return (
+        num.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.round(
+                F.col("num") / (F.sqrt("a_n2") * F.sqrt("b_n2")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.35,
+    max_token_df: int | None = None,
+    idf_scale: int = 1_000_000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """``tfidf_cosine_pairs`` with the candidate stage bounded by the
+    All-Pairs prefix filter (Bayardo, Ma & Srikant, WWW 2007) — the
+    EXACTNESS-PRESERVING scale path for the sum(df^2) blowup the
+    round-15 probe measured (60.1x at a 10x corpus; PERF.md part 3):
+    same pairs, same integer-exact sims, but docs only meet through
+    PREFIX features instead of every shared posting.
+
+    The bound: order every doc's features by one global canonical
+    order (df ascending, token tie-break — hot tokens sort LAST so
+    they fall into suffixes); with unit weights u and the per-key
+    corpus max unit weight mw, the best cosine any partner can reach
+    through features from position j on is S(j) = sum_{k>=j} u_k*mw_k.
+    A doc's PREFIX is the features with S(j) >= threshold: if a pair
+    shares no prefix feature of doc a, its whole overlap lives in a's
+    suffix and sim <= S(prefix_end+1) < threshold — so joining
+    prefix(a) x ALL(b) (both orientations via pair normalization)
+    loses nothing. Verification re-derives num/norms from the SAME
+    integer postings as the brute operator, so surviving pairs carry
+    bit-identical sims; the float prefix bound only ever ADMITS
+    extra candidates (a 1e-9 slack absorbs double rounding), never
+    drops one — pinned by the differential suite.
+
+    Scale shape: candidate cost is sum over tokens of
+    prefix_df(tok) * df(tok) instead of df(tok)^2 — a stop-token's
+    df enters linearly (its mw is tiny, so it almost never makes a
+    prefix), which is exactly the term that made the unguarded join
+    quadratic. Composes with ``max_token_df`` (applied to the
+    vectors before anything else, same semantics as the brute path)
+    and ``block_col`` (mw and pairing both scoped per block).
+    """
+    eps = 1e-9
+    keep = ["blk"] if block_col else []
+    w = _tfidf_weights(
+        docs, id_col, text_col, idf_scale, block_col, max_token_df
+    ).cache()
+    norms = w.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    # unit weights; a doc whose every token has idf 0 (n2=0) cannot
+    # reach any positive threshold — pin u to 0 rather than letting
+    # 0/0 NaN poison the per-token max and every cohabiting doc's
+    # suffix bound
+    u = (
+        w.join(norms, "id")
+        .withColumn(
+            "u",
+            F.when(
+                F.col("n2") > 0, F.col("wq") / F.sqrt(F.col("n2"))
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    mw_win = Window.partitionBy(*keep, "tok")
+    # S(j): inclusive suffix sum in canonical order == inclusive
+    # running sum in the REVERSED order (df desc, tok desc)
+    sfx_win = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("df_t"), F.desc("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        u.withColumn("mw", F.max("u").over(mw_win))
+        .withColumn("sbound", F.sum(F.col("u") * F.col("mw")).over(sfx_win))
+        .filter(F.col("sbound") >= F.lit(threshold) - F.lit(eps))
+        .select(F.col("id").alias("p_id"), *keep, "tok")
+    )
+    cand = (
+        prefix.join(
+            w.select(F.col("id").alias("f_id"), *keep, "tok"),
+            keep + ["tok"],
+        )
+        .filter(F.col("p_id") != F.col("f_id"))
+        .select(
+            F.least("p_id", "f_id").alias("a_id"),
+            F.greatest("p_id", "f_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    # exact integer verify over candidates only: same postings frame
+    # as the brute path, so num / n_shared / sim are bit-identical
+    wa = w.select(
+        F.col("id").alias("a_id"), *keep, "tok", F.col("wq").alias("a_wq")
+    )
+    wb = w.select(
+        F.col("id").alias("b_id"), *keep, "tok", F.col("wq").alias("b_wq")
+    )
+    num = (
+        cand.join(wa, "a_id")
+        .join(wb, ["b_id", *keep, "tok"])
         .groupBy("a_id", "b_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),

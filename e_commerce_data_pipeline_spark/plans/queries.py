@@ -4709,20 +4709,26 @@ def q97_dsir_importance(spark, sf_dir):
     "cut) stays available for Zipfian corpora. "
     "operators/similarity.py tfidf_cosine_pairs.",
 )
-def q98_tfidf_cosine_pairs(spark, sf_dir, max_token_df=None):
-    # max_token_df: the operator's stop-token guard. None is pinned
-    # (the oracle enumerates every pair); scaled corpora pass an
-    # absolute df cap — the round-15 probe measured the unguarded
-    # pairing join at 60.1x for a 10x corpus (sum(df^2) grows with
-    # the hottest token's df) vs 1.15x capped (PERF.md part 3).
-    from ..operators.similarity import tfidf_cosine_pairs
+def q98_tfidf_cosine_pairs(spark, sf_dir, max_token_df=None, prefix=False):
+    # Scale passthroughs (round 15; defaults pinned for the oracle):
+    # max_token_df is the operator's stop-token guard — the probe
+    # measured the unguarded pairing join at 60.1x for a 10x corpus
+    # vs 1.15x capped; prefix=True swaps in the All-Pairs
+    # prefix-filtered variant — SAME output (differentially pinned,
+    # test_tfidf_prefix_filter_is_lossless + the sf0.1 diff), with
+    # candidate cost prefix_df*df instead of df^2 (PERF.md part 3).
+    from ..operators.similarity import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_prefix,
+    )
     from ..operators.text import tokens
 
     band = F.floor(F.size(tokens("text")) / 16).cast("int").cast("string")
     docs = _t(spark, sf_dir, "documents").withColumn(
         "lang_band", F.concat(F.col("lang"), F.lit("|"), band)
     )
-    return tfidf_cosine_pairs(
+    op = tfidf_cosine_pairs_prefix if prefix else tfidf_cosine_pairs
+    return op(
         docs,
         threshold=0.8,
         block_col="lang_band",

@@ -371,6 +371,17 @@ def _q98_capped(spark, sf_dir):
     )
 
 
+def _q98_prefix(spark, sf_dir):
+    """q98 through the All-Pairs prefix-filtered operator
+    (tfidf_cosine_pairs_prefix) — the EXACTNESS-PRESERVING answer to
+    the 60.1x unguarded ratio: identical output (differentially
+    pinned at sf0.01/sf0.1), candidate cost prefix_df*df per token
+    instead of df^2."""
+    return QUERIES["q98_tfidf_cosine_pairs"].fn(
+        spark, sf_dir, prefix=True
+    )
+
+
 def run(keys):
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -383,6 +394,8 @@ def run(keys):
             fn, runs, label = _q172_auto, 2, "q172 block_width=auto"
         elif key == "q98p":
             fn, runs, label = _q98_capped, 2, "q98 max_token_df=3923"
+        elif key == "q98x":
+            fn, runs, label = _q98_prefix, 2, "q98 prefix-filtered"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name

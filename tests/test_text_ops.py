@@ -471,6 +471,53 @@ def test_tfidf_cosine_pairs_semantics(spark):
     assert cut_pairs == []  # cut removes the stop token -> no shared keys
 
 
+def test_tfidf_prefix_filter_is_lossless(spark):
+    """The All-Pairs prefix-filtered variant returns EXACTLY the
+    brute inverted-index join's pairs — same ids, same n_shared,
+    same 6dp sims — across thresholds, blocking, the stop-token cut,
+    and an adversarial corpus (near-dup chains, stop-token-only
+    docs, single-token docs, idf-0 universal tokens that would NaN
+    the bound without the n2>0 guard)."""
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_prefix,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = []
+    for i in range(40):
+        # universal stop token 'zz' in EVERY doc (idf 0), plus a
+        # deterministic mix that yields near-dup chains and partial
+        # overlaps at several similarity levels
+        toks = ["zz"] + [vocab[(i + j * j) % len(vocab)] for j in range(1 + i % 5)]
+        if i % 7 == 0:
+            toks += ["rare%d" % (i // 7)]  # df-1 tokens
+        rows.append((i, " ".join(toks), "b%d" % (i % 2)))
+    rows.append((100, "zz", "b0"))       # stop-token-only doc (n2=0)
+    rows.append((101, "solo", "b1"))     # single-token doc
+    rows.append((102, "solo", "b1"))     # its exact dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def key(rws):
+        return sorted((r["a_id"], r["b_id"], r["n_shared"], r["sim"]) for r in rws)
+
+    for kwargs in (
+        dict(threshold=0.35),
+        dict(threshold=0.8),
+        dict(threshold=0.35, block_col="lang"),
+        dict(threshold=0.5, max_token_df=20),
+        dict(threshold=0.01),
+    ):
+        brute = key(tfidf_cosine_pairs(docs, **kwargs).collect())
+        fast = key(tfidf_cosine_pairs_prefix(docs, **kwargs).collect())
+        assert fast == brute, (kwargs, len(fast), len(brute))
+        assert brute, kwargs  # the corpus must actually exercise it
+    # the filter genuinely prunes: prefix-side postings < all postings
+    # is implied by the exact-dup pair surviving at threshold 1.0
+    top = key(tfidf_cosine_pairs_prefix(docs, threshold=1.0).collect())
+    assert (101, 102, 1, 1.0) in top
+
+
 def test_winnow_fingerprint_guarantee_and_pairs(spark):
     from e_commerce_data_pipeline_spark.operators.dedup import (
         winnow_candidate_pairs,
