@@ -382,6 +382,70 @@ def _q98_prefix(spark, sf_dir):
     )
 
 
+def zipf():
+    """Brute vs prefix-filtered tf-idf pairing on a REALISTIC corpus
+    shape (round 15): the main 10x probe corpus is adversarial for
+    prefix filtering (1-6-token docs, ~1k vocabulary), so this
+    generates web-shaped synthetic documents — 60 tokens each drawn
+    from a 20k-token Zipf(1.1) vocabulary, plus a 2% near-dup tail —
+    at n=5000 and n=20000, and times both operators at threshold
+    0.8. Measures whether the prefix filter's advantage widens with
+    corpus size the way the All-Pairs paper says it must."""
+    import numpy as np
+
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_prefix,
+    )
+
+    spark = get_spark("scale-probe-zipf")
+    spark.sparkContext.setLogLevel("ERROR")
+    vocab_n, doc_len = 20_000, 60
+    p = 1.0 / np.arange(1, vocab_n + 1) ** 1.1
+    p /= p.sum()
+
+    def corpus(n):
+        # seed per n so every invocation (and any combo split across
+        # shells) sees the identical corpus for a given size
+        rng = np.random.default_rng(17 + n)
+        toks = rng.choice(vocab_n, size=(n, doc_len), p=p)
+        rows = []
+        for i in range(n):
+            t = toks[i].copy()
+            if i % 50 == 1:  # 2% near-dup tail: clone prior doc,
+                t = toks[i - 1].copy()  # perturb 3 positions
+                t[rng.integers(0, doc_len, 3)] = rng.integers(
+                    0, vocab_n, 3
+                )
+            rows.append((i, " ".join(f"t{v}" for v in t)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    combos = [
+        (int(a.split(":")[0]), a.split(":")[1]) for a in sys.argv[2:]
+    ] or [(5000, "brute"), (5000, "prefix")]
+    ops = {
+        "brute": tfidf_cosine_pairs,
+        "prefix": tfidf_cosine_pairs_prefix,
+    }
+    for n, label in combos:
+        docs = corpus(n).cache()
+        docs.count()
+        op = ops[label]
+        best, rows = bench._timed_min(
+            spark,
+            lambda s, _d, op=op, docs=docs: op(docs, threshold=0.8),
+            "",
+            runs=2,
+            gc=True,
+        )
+        print(
+            f"ZIPF n={n} {label}: {best:.3f}s ({len(rows)} pairs)",
+            flush=True,
+        )
+        docs.unpersist()
+    spark.stop()
+
+
 def run(keys):
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -420,5 +484,7 @@ if __name__ == "__main__":
         spark.stop()
     elif sys.argv[1] == "recall":
         recall()
+    elif sys.argv[1] == "zipf":
+        zipf()
     else:
         run(sys.argv[2:])
