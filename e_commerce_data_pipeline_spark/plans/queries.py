@@ -9005,7 +9005,11 @@ def _fs_scored_ctes() -> str:
     "are one tiny groupBy each, broadcast as two int64s. Top-50 "
     "pairs by (score, ids).",
 )
-def q161_fellegi_sunter_linkage(spark, sf_dir):
+def q161_fellegi_sunter_linkage(spark, sf_dir, block_width=32):
+    # block_width: same knob and same rationale as q172 — the fixed
+    # 32-char length band has a corpus-size-independent block count,
+    # so blocked pair cost grows quadratically; scaled corpora pass
+    # fuzzy.auto_block_width. 32 is pinned (oracle mirrors it).
     from ..operators.fuzzy import fs_linkage_pairs
     from ..operators.text import tokens
 
@@ -9017,7 +9021,7 @@ def q161_fellegi_sunter_linkage(spark, sf_dir):
             F.concat(
                 F.col("lang"),
                 F.lit("|"),
-                F.expr("n_chars div 32").cast("string"),
+                F.expr(f"n_chars div {int(block_width)}").cast("string"),
             ).alias("blk"),
             F.col("source"),
             F.get("__toks", 0).alias("ft"),

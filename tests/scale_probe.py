@@ -78,6 +78,7 @@ TARGETS = {
     "q98": ("q98_tfidf_cosine_pairs", 2),
     "q145": ("q145_assoc_rules", 2),
     "q58": ("q58_dedup_groups", 2),
+    "q161": ("q161_fellegi_sunter_linkage", 2),
 }
 
 
@@ -371,6 +372,32 @@ def _q98_capped(spark, sf_dir):
     )
 
 
+def _q161_auto(spark, sf_dir):
+    """q161 with the same auto block width as q172p (the two rows
+    share the lang|length-band blocking key and therefore the same
+    fixed-block-count quadratic term)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.fuzzy import (
+        auto_block_width,
+    )
+
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("n_chars") - F.min("n_chars")).alias("span"),
+            F.countDistinct("lang").alias("g"),
+        )
+        .collect()[0]
+    )
+    width = auto_block_width(stats["n"], stats["span"], stats["g"])
+    return QUERIES["q161_fellegi_sunter_linkage"].fn(
+        spark, sf_dir, block_width=width
+    )
+
+
 def _q98_prefix(spark, sf_dir):
     """q98 through the All-Pairs prefix-filtered operator
     (tfidf_cosine_pairs_prefix) — the EXACTNESS-PRESERVING answer to
@@ -460,6 +487,8 @@ def run(keys):
             fn, runs, label = _q98_capped, 2, "q98 max_token_df=3923"
         elif key == "q98x":
             fn, runs, label = _q98_prefix, 2, "q98 prefix-filtered"
+        elif key == "q161p":
+            fn, runs, label = _q161_auto, 2, "q161 block_width=auto"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name
