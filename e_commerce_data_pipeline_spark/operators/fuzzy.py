@@ -188,12 +188,12 @@ def fs_linkage_pairs(
         # grows with the corpus
         out = out.filter(F.col("score_micro") >= int(min_score_micro))
     if k is not None:
-        wk = Window.orderBy(
+        # top-k via orderBy+limit, NOT a global row_number window
+        # (round 15): an un-partitioned window moves EVERY blocked
+        # pair to one partition; TakeOrderedAndProject keeps a k-row
+        # heap per partition and merges on the driver — same
+        # deterministic row set, O(k) memory
+        out = out.orderBy(
             F.desc("score_micro"), F.asc("a_id"), F.asc("b_id")
-        )
-        out = (
-            out.withColumn("rk", F.row_number().over(wk))
-            .filter(F.col("rk") <= k)
-            .drop("rk")
-        )
+        ).limit(int(k))
     return out

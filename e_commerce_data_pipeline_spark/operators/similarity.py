@@ -877,10 +877,14 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         F.sum("score_q").alias("score_micro"),
     )
+    # distributed top-k FIRST (TakeOrderedAndProject: per-partition
+    # k-row heaps, driver merge), THEN the rank window — which now
+    # runs over k rows instead of single-partitioning the whole
+    # scored corpus (round 15; same deterministic output)
+    top = per_doc.orderBy(F.desc("score_micro"), F.asc("id")).limit(int(k))
     wk = Window.orderBy(F.desc("score_micro"), F.asc("id"))
     return (
-        per_doc.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= k)
+        top.withColumn("rk", F.row_number().over(wk))
         .select(
             F.col("id").alias(id_col), "n_terms_hit", "score_micro", "rk"
         )
