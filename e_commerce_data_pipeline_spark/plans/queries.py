@@ -7844,13 +7844,17 @@ def q145_assoc_rules(spark, sf_dir):
             ).alias("lift_micro"),
         )
     )
-    w = Window.orderBy(
+    # distributed top-50 first (TakeOrderedAndProject), then the
+    # emitted rank over the 50 survivors — not a global row_number
+    # window over every qualifying rule pair (round 15)
+    order = [
         F.desc("conf_micro"), F.desc("n_both"), F.asc("antecedent"),
         F.asc("consequent"),
-    )
+    ]
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
+        scored.orderBy(*order)
+        .limit(50)
+        .withColumn("rk", F.row_number().over(Window.orderBy(*order)))
     )
 
 
