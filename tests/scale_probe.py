@@ -79,6 +79,10 @@ TARGETS = {
     "q145": ("q145_assoc_rules", 2),
     "q58": ("q58_dedup_groups", 2),
     "q161": ("q161_fellegi_sunter_linkage", 2),
+    # label-blocked exact cosine pairs: block count fixed by the
+    # label dimension, so per-label occupancy grows with the corpus
+    # — expected quadratic; the LSH/IVF operators are the scale path
+    "q28": ("q28_cosine_pairs_by_label", 2),
 }
 
 
