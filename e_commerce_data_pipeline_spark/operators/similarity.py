@@ -514,7 +514,16 @@ def tfidf_cosine_pairs(
             "b_id",
             "n_shared",
             F.round(
-                F.col("num") / (F.sqrt("a_n2") * F.sqrt("b_n2")), 6
+                # nullif-guard the norm product (round 15, the
+                # q162-class ANSI rule): a doc whose every token has
+                # idf 0 carries n2=0, and 0/0 must drop the pair (as
+                # DuckDB's NaN does), not kill the task
+                F.col("num")
+                / F.when(
+                    (F.col("a_n2") > 0) & (F.col("b_n2") > 0),
+                    F.sqrt("a_n2") * F.sqrt("b_n2"),
+                ),
+                6,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
@@ -637,7 +646,16 @@ def tfidf_cosine_pairs_prefix(
             "b_id",
             "n_shared",
             F.round(
-                F.col("num") / (F.sqrt("a_n2") * F.sqrt("b_n2")), 6
+                # nullif-guard the norm product (round 15, the
+                # q162-class ANSI rule): a doc whose every token has
+                # idf 0 carries n2=0, and 0/0 must drop the pair (as
+                # DuckDB's NaN does), not kill the task
+                F.col("num")
+                / F.when(
+                    (F.col("a_n2") > 0) & (F.col("b_n2") > 0),
+                    F.sqrt("a_n2") * F.sqrt("b_n2"),
+                ),
+                6,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

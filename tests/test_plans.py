@@ -176,6 +176,35 @@ def test_q98_pair_join_is_equi_join_on_block_token(spark, sf_dir):
     )
 
 
+def test_q98_prefix_variant_joins_stay_keyed(spark, sf_dir):
+    """The All-Pairs prefix path (round 15): candidate generation and
+    verify are all EQUI-joins — prefix x postings on (block, token),
+    verify on (a_id)/(b_id, block, token) — never a cartesian. The
+    only nested-loop joins are the broadcast 1-row corpus-total
+    crosses the brute path also carries."""
+    plan = _executed_plan(
+        QUERIES["q98_tfidf_cosine_pairs"].fn(spark, sf_dir, prefix=True)
+    )
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, ln  # the 1-row totals broadcast only
+
+
+def test_fs_linkage_topk_is_take_ordered(spark, sf_dir):
+    """q161's top-50 (round 15): TakeOrderedAndProject, not a global
+    row_number window that single-partitions every blocked pair."""
+    plan = _executed_plan(
+        QUERIES["q161_fellegi_sunter_linkage"].fn(spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_q102_quantized_scoring_broadcasts_queries(spark, sf_dir):
     plan = _executed_plan(QUERIES["q102_quantized_knn"].fn(spark, sf_dir))
     # the 5-query side broadcasts; the corpus is scanned once with no

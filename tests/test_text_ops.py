@@ -518,6 +518,56 @@ def test_tfidf_prefix_filter_is_lossless(spark):
     assert (101, 102, 1, 1.0) in top
 
 
+def test_tfidf_prefix_filter_lossless_hypothesis(spark):
+    """Hypothesis-driven losslessness sweep (derandomized, house
+    rule): random small corpora over a tiny alphabet — maximum
+    token-sharing pressure, ties everywhere — must produce identical
+    brute/prefix outputs at random thresholds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_prefix,
+    )
+
+    tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(tok, min_size=1, max_size=6),
+            min_size=2,
+            max_size=12,
+        ),
+        st.sampled_from([0.05, 0.3, 0.5, 0.8, 0.95]),
+    )
+    def run(doc_toks, threshold):
+        docs = spark.createDataFrame(
+            [(i, " ".join(ts)) for i, ts in enumerate(doc_toks)],
+            "doc_id long, text string",
+        )
+        brute = sorted(
+            map(tuple, tfidf_cosine_pairs(docs, threshold=threshold).collect())
+        )
+        fast = sorted(
+            map(
+                tuple,
+                tfidf_cosine_pairs_prefix(
+                    docs, threshold=threshold
+                ).collect(),
+            )
+        )
+        assert fast == brute, (doc_toks, threshold)
+
+    run()
+
+
 def test_winnow_fingerprint_guarantee_and_pairs(spark):
     from e_commerce_data_pipeline_spark.operators.dedup import (
         winnow_candidate_pairs,
