@@ -79,6 +79,9 @@ TARGETS = {
     "q145": ("q145_assoc_rules", 2),
     "q58": ("q58_dedup_groups", 2),
     "q161": ("q161_fellegi_sunter_linkage", 2),
+    # two-stage MinHash near-dup (banded LSH candidates -> exact
+    # Jaccard verify) over the decorrelated documents corpus
+    "q55": ("q55_near_dup_two_stage", 2),
     # label-blocked exact cosine pairs: block count fixed by the
     # label dimension, so per-label occupancy grows with the corpus
     # — expected quadratic; the LSH/IVF operators are the scale path
