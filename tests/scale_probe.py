@@ -11,7 +11,12 @@ construction):
 
 - documents: per-replica deterministic character rotation of text
   (length-preserving, so n_chars/quality gates keep their sf0.1
-  distribution; shingle sets decorrelate across replicas).
+  distribution). CAVEAT measured round 15: a rotation preserves the
+  token multiset and most token n-grams, so replicas of one doc ARE
+  mutual near-dups to shingle-based operators (q55's 10x output grew
+  928x) — which makes the corpus EXTRA-adversarial for candidate
+  generators, not artificially easy; embedding geometry and LSH
+  bucket keys do decorrelate (the dimension roll).
 - embeddings: per-replica dimension roll (norm-preserving, cosine
   structure within a replica preserved, across replicas decorrelated).
 - lineitem: plain replication with offset keys (quantile narrowing is
