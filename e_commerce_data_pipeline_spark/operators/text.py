@@ -1108,7 +1108,7 @@ def percent_normalize(col: Column | str) -> Column:
     ).otherwise(F.concat(head, F.array_join(F.transform(tail, _fix), "")))
 
 
-def idna_host_udf():
+def idna_host_udf(uts46: bool = False):
     """Arrow-batched IDN host fold — Unicode hostnames to their
     punycode (ACE) form via stdlib ``encodings.idna`` (IDNA 2003
     ToASCII with nameprep, which also case-folds), so ``bücher.example``
@@ -1136,19 +1136,47 @@ def idna_host_udf():
     but CONTEXTJ-valid in IDNA 2008 (Persian/Sinhala labels). For
     the ASCII-dominant dedup-key surface this skews only those
     deviation labels — toward MERGING (2003 folds more), never
-    splitting, which is the safe direction for a dedup key. A UTS-46
-    fold needs the third-party ``idna`` package (not in the
-    environment); if it lands, thread it here behind a flag. The
+    splitting, which is the safe direction for a dedup key. The
     ``ß`` divergence is pinned in tests/test_text_hygiene.py::
-    test_idna_2003_eszett_divergence_pinned."""
+    test_idna_2003_eszett_divergence_pinned.
+
+    ``uts46=True`` (round 15 — the flag the round-13 decision
+    reserved, implemented once the environment gained the
+    third-party ``idna`` package): folds per UTS-46
+    NON-TRANSITIONAL + IDNA 2008, the modern-browser behavior —
+    ``straße.example`` -> ``xn--strae-oqa.example`` (ß kept as its
+    own label), CONTEXTJ-valid ZWNJ in Persian/Sinhala labels
+    PRESERVED in the ACE form, CONTEXTJ-invalid joiners rejected by
+    the codec and therefore passed through unchanged (this operator
+    folds, it does not validate — same contract as the 2003 path).
+    Default stays IDNA 2003: the q194 oracle mirrors it, and 2003's
+    extra merging is the safe dedup direction. Gated by import-try:
+    requesting ``uts46=True`` without the package raises
+    ImportError at plan-build time, never inside an executor."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _fold_one(t):
+    if uts46:
         try:
-            return t.encode("idna").decode("ascii")
-        except UnicodeError:
-            return t
+            import idna as _idna
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "idna_host_udf(uts46=True) needs the third-party "
+                "'idna' package (UTS-46 + IDNA 2008); the default "
+                "uts46=False stdlib IDNA 2003 path has no dependency"
+            ) from exc
+
+        def _fold_one(t):
+            try:
+                return _idna.encode(t, uts46=True).decode("ascii")
+            except (_idna.IDNAError, UnicodeError):
+                return t
+    else:
+        def _fold_one(t):
+            try:
+                return t.encode("idna").decode("ascii")
+            except UnicodeError:
+                return t
 
     def _fold(s):
         # vectorized pre-filter: one regex scan marks the non-ASCII
@@ -1165,7 +1193,9 @@ def idna_host_udf():
     return pandas_udf(_fold, "string")
 
 
-def canonicalize_url(col: Column | str, idna_hosts: bool = False) -> Column:
+def canonicalize_url(
+    col: Column | str, idna_hosts: bool = False, uts46: bool = False
+) -> Column:
     """URL canonicalization (CCNet-class): the dedup key a raw-web
     pipeline groups by before host-level stats. Pure column
     expressions, idempotent by construction:
@@ -1215,8 +1245,9 @@ def canonicalize_url(col: Column | str, idna_hosts: bool = False) -> Column:
     if idna_hosts:
         # the kernel's input expression is evaluated ONCE into the
         # Arrow batch (UDF args are a plain projection — no HOF
-        # re-evaluation concern), and ASCII hosts return untouched
-        host = idna_host_udf()(host)
+        # re-evaluation concern), and ASCII hosts return untouched;
+        # uts46 passes through to the fold (round 15)
+        host = idna_host_udf(uts46=uts46)(host)
     port = F.regexp_extract(authority, r":(\d+)$", 1)
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     port_part = F.when(

@@ -398,6 +398,54 @@ def test_idna_2003_eszett_divergence_pinned(spark):
     assert got == "xn--bcher-kva.example"
 
 
+def test_idna_uts46_flag(spark):
+    """Round 15: the UTS-46 flag the round-13 decision reserved
+    ('if it lands, thread it here behind a flag') \u2014 the environment
+    now ships the third-party idna package. uts46=True folds per
+    UTS-46 NON-TRANSITIONAL + IDNA 2008 (modern-browser parity):
+    the eszett deviation label keeps its own ACE form instead of
+    nameprep's ss-fold, CONTEXTJ-valid ZWNJ is preserved in the ACE,
+    CONTEXTJ-invalid joiners pass through unchanged (fold, don't
+    validate), and the fold stays idempotent."""
+    import pytest
+
+    pytest.importorskip("idna")
+    fold = T.idna_host_udf(uts46=True)
+    # eszett: browser behavior, diverging from the pinned 2003 path
+    assert (
+        _one(spark, fold(F.col("v")), "stra\u00dfe.example")
+        == "xn--strae-oqa.example"
+    )
+    # plain Unicode host folds the same as 2003
+    assert (
+        _one(spark, fold(F.col("v")), "B\u00dccher.Example")
+        == "xn--bcher-kva.example"
+    )
+    # CONTEXTJ-valid ZWNJ (Persian) is PRESERVED in the ACE form \u2014
+    # nameprep would delete it (different label!)
+    zwnj_host = "\u0646\u0627\u0645\u0647\u200c\u0627\u06cc.example"
+    got = _one(spark, fold(F.col("v")), zwnj_host)
+    assert got == "xn--mgba3gch31f060k.example"
+    assert (
+        _one(spark, T.idna_host_udf()(F.col("v")), zwnj_host)
+        == "xn--mgba3gch31f.example"  # 2003 deletes the joiner
+    )
+    # CONTEXTJ-invalid joiner: codec rejects -> unchanged passthrough
+    bad = "b\u200ccher.example"
+    assert _one(spark, fold(F.col("v")), bad) == bad
+    # idempotent: ACE output is ASCII -> second pass is the fast path
+    assert (
+        _one(spark, fold(F.col("v")), "xn--strae-oqa.example")
+        == "xn--strae-oqa.example"
+    )
+    # and the canonicalize_url passthrough wires it end-to-end
+    assert _one(
+        spark,
+        T.canonicalize_url("v", idna_hosts=True, uts46=True),
+        "http://stra\u00dfe.example/a",
+    ) == "http://xn--strae-oqa.example/a"
+
+
 def test_idna_mixed_batch_vectorized_prefilter(spark):
     """The kernel's vectorized non-ASCII pre-filter: a batch mixing
     ASCII rows, nulls, and foldable hosts returns each correctly
