@@ -155,6 +155,56 @@ def test_prefix_filter_is_lossless_and_prunes_candidates(spark):
     assert n_cand >= 5
 
 
+def test_prefix_filter_lossless_hypothesis(spark):
+    """Derandomized hypothesis differential (house rule, the round-15
+    tfidf lesson): random tiny-alphabet corpora — maximum shingle
+    sharing and tie pressure in the canonical (df, shingle) order —
+    must give the PPJoin prefix filter exactly the brute
+    shared-shingle join's pairs at several thresholds, including the
+    integer-ceil prefix-length boundary cases random |x| hits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    tok = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(tok, min_size=3, max_size=9),
+            min_size=2,
+            max_size=10,
+        ),
+        st.sampled_from([20, 34, 50, 67, 80]),
+    )
+    def run(doc_toks, pct):
+        docs = _docs(spark, [" ".join(ts) for ts in doc_toks])
+        ref = sorted(
+            (r.a_id, r.b_id, r.n_inter, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, threshold=pct / 100.0
+            ).collect()
+        )
+        got = sorted(
+            (r.a_id, r.b_id, r.n_inter, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(
+                docs, threshold_pct=pct
+            ).collect()
+        )
+        assert got == ref, (doc_toks, pct)
+
+    run()
+
+
 def test_embedding_near_dup_auto_planes(spark):
     """n_planes='auto' derives the plane count from the corpus size
     (the round-14 scale-probe knob: log2 growth keeps bucket

@@ -66,6 +66,52 @@ def test_fast_path_equals_portable(spark, emb):
     )
 
 
+def test_fast_path_equals_portable_hypothesis(spark):
+    """Derandomized hypothesis agreement sweep (the round-15 tfidf
+    lesson): integer-grid vectors ({-1,0,1} components) make exact
+    cosine TIES common, so every tie-break rule — first-max argmax
+    assignment, (sim DESC, centroid ASC) probing, (sim DESC,
+    neighbor ASC) final rank — gets exercised where the fixture
+    corpus (generic floats) never ties."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_data_pipeline_spark.operators.ivf import (
+        ivf_topk_portable,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from([-1.0, 0.0, 1.0]), min_size=8, max_size=8
+            ).filter(lambda v: any(x != 0.0 for x in v)),
+            min_size=6,
+            max_size=18,
+        ),
+        st.integers(min_value=2, max_value=4),
+    )
+    def run(vecs, nprobe):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v] * 8) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )  # tile 8 -> dim 64, ties preserved
+        cents = train_centroids(df, n_centroids=4, n_iters=2)
+        queries = df.filter(F.col("vec_id") < 3)
+        fast = ivf_topk(df, queries, cents, k=3, nprobe=nprobe)
+        port = ivf_topk_portable(df, queries, cents, k=3, nprobe=nprobe)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, port.collect())
+        ), (vecs, nprobe)
+
+    run()
+
+
 def test_matrix_topk_equals_hof_topk(spark, emb):
     """The mapInPandas matrix kNN must return exactly the native
     column-expression kNN's results."""
