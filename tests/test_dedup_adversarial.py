@@ -205,6 +205,64 @@ def test_prefix_filter_lossless_hypothesis(spark):
     run()
 
 
+def test_simhash_pigeonhole_lossless_hypothesis(spark):
+    """The simhash chunk blocking's pigeonhole claim, fuzzed
+    (round 15): with n_blocks > max_hamming, any pair within the
+    Hamming budget shares >= 1 exact chunk, so the blocked join must
+    return EXACTLY the brute all-pairs set. The q29 oracle replays
+    the same blocking in SQL, so this differential — blocked vs a
+    driver-side brute over the signature table — is the only
+    independent check of the losslessness argument. Tiny-alphabet
+    corpora keep signatures correlated (small Hamming distances
+    actually occur)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_table,
+    )
+
+    tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(tok, min_size=1, max_size=7, unique=True),
+            min_size=2,
+            max_size=10,
+        ),
+        st.sampled_from([(3, 4), (1, 2), (7, 8)]),
+    )
+    def run(doc_toks, cfg):
+        max_h, n_blocks = cfg
+        docs = _docs(spark, [" ".join(ts) for ts in doc_toks])
+        sigs = {
+            r["id"]: r["sh"] for r in simhash_table(docs).collect()
+        }
+        ids = sorted(sigs)
+        brute = sorted(
+            (a, b, sum(x != y for x, y in zip(sigs[a], sigs[b])))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= max_h
+        )
+        got = sorted(
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in simhash_pairs(
+                docs, max_hamming=max_h, n_blocks=n_blocks
+            ).collect()
+        )
+        assert got == brute, (doc_toks, cfg)
+
+    run()
+
+
 def test_embedding_near_dup_auto_planes(spark):
     """n_planes='auto' derives the plane count from the corpus size
     (the round-14 scale-probe knob: log2 growth keeps bucket
