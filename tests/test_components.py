@@ -54,6 +54,43 @@ def test_components_match_union_find(spark, driver_max_edges):
     assert got == exp
 
 
+def test_components_match_union_find_hypothesis(spark):
+    """Derandomized hypothesis sweep (round 15): random edge lists
+    over a small id domain — dense multi-edges, self-loops, cycles,
+    stars, disconnected singletons — must label identically to the
+    union-find reference under BOTH execution strategies."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ids_dom = st.integers(min_value=0, max_value=14)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(st.tuples(ids_dom, ids_dom), min_size=1, max_size=20),
+        st.sampled_from([0, 2_000_000]),
+    )
+    def run(edges, driver_max_edges):
+        ids = sorted({x for e in edges for x in e} | {90, 91})
+        exp = _union_find(ids, edges)
+        edf = spark.createDataFrame(edges, "a_id long, b_id long")
+        vdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = connected_components(
+            edf,
+            vertices=vdf,
+            id_col="doc_id",
+            driver_max_edges=driver_max_edges,
+        )
+        got = {r["id"]: r["component"] for r in out.collect()}
+        assert got == exp, (edges, driver_max_edges)
+
+    run()
+
+
 def test_long_chain_converges_in_log_rounds(spark):
     # worst case for plain label propagation: a path graph
     # (diameter = n-1) needs ~n rounds; with pointer jumping the label
