@@ -516,8 +516,13 @@ def tfidf_cosine_pairs(
             F.round(
                 # nullif-guard the norm product (round 15, the
                 # q162-class ANSI rule): a doc whose every token has
-                # idf 0 carries n2=0, and 0/0 must drop the pair (as
-                # DuckDB's NaN does), not kill the task
+                # idf 0 carries n2=0, and 0/0 must drop the pair (in
+                # this DuckDB build 0.0/0.0 is NULL, which drops it;
+                # builds with ieee_floating_point_ops=true return NaN,
+                # which DuckDB sorts ABOVE all values and would KEEP
+                # the pair — the oracle now mirrors this nullif guard
+                # so parity holds by construction, round-16 advice),
+                # not kill the task
                 F.col("num")
                 / F.when(
                     (F.col("a_n2") > 0) & (F.col("b_n2") > 0),
@@ -648,8 +653,13 @@ def tfidf_cosine_pairs_prefix(
             F.round(
                 # nullif-guard the norm product (round 15, the
                 # q162-class ANSI rule): a doc whose every token has
-                # idf 0 carries n2=0, and 0/0 must drop the pair (as
-                # DuckDB's NaN does), not kill the task
+                # idf 0 carries n2=0, and 0/0 must drop the pair (in
+                # this DuckDB build 0.0/0.0 is NULL, which drops it;
+                # builds with ieee_floating_point_ops=true return NaN,
+                # which DuckDB sorts ABOVE all values and would KEEP
+                # the pair — the oracle now mirrors this nullif guard
+                # so parity holds by construction, round-16 advice),
+                # not kill the task
                 F.col("num")
                 / F.when(
                     (F.col("a_n2") > 0) & (F.col("b_n2") > 0),

@@ -4689,11 +4689,11 @@ def q97_dsir_importance(spark, sf_dir):
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT a_id, b_id, n_shared,
-           round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS sim
+           round(num / nullif(sqrt(na.n2) * sqrt(nb.n2), 0), 6) AS sim
     FROM num
     JOIN norms na ON na.doc_id = a_id
     JOIN norms nb ON nb.doc_id = b_id
-    WHERE round(num / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.8
+    WHERE round(num / nullif(sqrt(na.n2) * sqrt(nb.n2), 0), 6) >= 0.8
     """,
     "Sparse lexical similarity: doc pairs with tf-idf cosine >= 0.8 "
     "through an inverted-index self-join (the sparse counterpart of "

@@ -476,12 +476,19 @@ def decode_http_body(body: bytes, http_headers: dict) -> tuple[str, str, bool]:
         )
     elif label.replace("-", "").replace("_", "").startswith(
         ("utf7", "utf32")
-    ) or label in ("unicode-1-1-utf-7", "csunicode11utf7"):
+    ) or label.replace("-", "").replace("_", "") in (
+        "unicode11utf7",  # Python alias for utf-7
+        "u7",  # short codec aliases: codecs.lookup('u7') -> utf-7,
+        "u16",  # 'u16' -> utf-16, 'u32' -> utf-32 (round-16 advice);
+        "u32",  # none is a WHATWG label, so all take the unknown path
+    ):
         # labels Python's registry RESOLVES but the WHATWG Encoding
         # Standard does not define (round-15 review): utf-7 silently
         # TRANSFORMS ascii-visible text (+ADw- decodes to '<') and
         # utf-32 reads ascii-compatible bytes as mojibake — both
-        # must take the unknown-label path, same as 'unicode'
+        # must take the unknown-label path, same as 'unicode'.
+        # (Real WHATWG utf-16 header labels are honored below; only
+        # the Python-only 'u16' alias is rejected here.)
         label, clean_label = "utf-8", False
     else:
         try:

@@ -98,7 +98,7 @@ def track_sessions(
     Raises NotImplementedError when the runtime lacks protobuf (the
     transformWithState worker dependency) — the applyInPandasWithState
     cart operator in streaming/stateful.py covers custom stateful
-    streaming in those environments. (Probe 2026-08-15, round 9:
+    streaming in those environments. (Probe 2026-08-17, round 16:
     google.protobuf
     is absent from this sandbox and unfetchable — no network egress,
     installs forbidden — so the gate stays; tws_available() flips the

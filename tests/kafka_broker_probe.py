@@ -16,11 +16,11 @@ Checked prerequisites (all four must hold to host + drive a broker):
      by the environment contract anyway; this records that even the
      raw download path is closed).
 
-Last probe: 2026-08-16 (round 15 re-run, same result) — all four
+Last probe: 2026-08-17 (round 16 re-run, same result) — all four
 prerequisites absent
 (no distribution, no connector jar, no client, DNS resolution fails
 for pypi.org/archive.apache.org); verdict unchanged since round 5.
-The companion protobuf gate re-probed the same day (round 15):
+The companion protobuf gate re-probed the same day (round 16):
 `google` module still absent (ModuleNotFoundError: No module named
 'google'), so the session_tracker TWS path stays env-gated.
 """

@@ -12,7 +12,7 @@ with ``kafka_reader`` and compare round-tripped payloads.
 Requires the spark-sql-kafka connector on the session classpath
 (spark.jars.packages org.apache.spark:spark-sql-kafka-0-10_2.13).
 
-Probe record (``tests/kafka_broker_probe.py``, run 2026-08-14 in this
+Probe record (``tests/kafka_broker_probe.py``, run 2026-08-17 in this
 sandbox): broker_distribution=False (no kafka-server-start launcher,
 no kafka_* dist with server jars under /opt, /usr/local, /usr/share,
 ~), spark_sql_kafka_jar=False (no *kafka*.jar in $SPARK_HOME/jars),

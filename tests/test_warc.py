@@ -363,6 +363,21 @@ def test_decode_rejects_python_only_unicode_codecs():
     hdr = {"content-type": "text/html; charset=utf-7"}
     text, charset, clean = decode_http_body(b"abc +ADw-x+AD4-", hdr)
     assert (charset, clean) == ("utf-8", False) and "+ADw-" in text
+    # Python short codec aliases (r16 advice): codecs.lookup resolves
+    # 'u7'->utf-7, 'u16'->utf-16, 'u32'->utf-32, but none is a WHATWG
+    # label — charset=u16 must NOT decode ascii bytes as utf-16
+    for label in (b"u7", b"u16", b"u32", b"U16", b"unicode-1-1-utf-7"):
+        for h, b in (
+            ({"content-type": b"text/html; charset=" + label}, b"plain"),
+            ({}, b"<html><meta charset=" + label + b"><p>plain</p>"),
+        ):
+            hh = {
+                k: v.decode() if isinstance(v, bytes) else v
+                for k, v in h.items()
+            }
+            text, charset, clean = decode_http_body(b, hh)
+            assert (charset, clean) == ("utf-8", False), (label, h)
+            assert "plain" in text, (label, h)
     # header-declared utf-16 (BOM-less) is a REAL WHATWG encoding and
     # still decodes as utf-16 — only the prescan remaps utf-16 labels
     t16 = "hi".encode("utf-16-le")
