@@ -917,3 +917,36 @@ def bm25_topk(
             F.col("id").alias(id_col), "n_terms_hit", "score_micro", "rk"
         )
     )
+
+
+def tfidf_cosine_pairs_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.35,
+    max_token_df: int | None = None,
+    idf_scale: int = 1_000_000,
+    block_col: str | None = None,
+    prefix: bool = True,
+) -> DataFrame:
+    """The ``util.scale_profile`` entry point for tf-idf cosine
+    pairs (round 16): routes to ``tfidf_cosine_pairs_prefix`` (exact
+    All-Pairs filter — the default here, because profiles exist for
+    corpora where the unguarded sum(df^2) join is the measured 60.1x
+    blowup) or the brute ``tfidf_cosine_pairs`` when ``prefix=False``
+    (lowest constant on small corpora). ``max_token_df`` composes
+    with either. Call shape::
+
+        prof = scale_profile(..., stop_token_df=...)  # or without
+        tfidf_cosine_pairs_auto(docs, **prof.tfidf_kwargs())
+    """
+    op = tfidf_cosine_pairs_prefix if prefix else tfidf_cosine_pairs
+    return op(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        max_token_df=max_token_df,
+        idf_scale=idf_scale,
+        block_col=block_col,
+    )

@@ -421,6 +421,105 @@ def _q98_prefix(spark, sf_dir):
     )
 
 
+_PROFILES = {}
+
+
+def _profile_for_dir(spark, sf_dir, **kwargs):
+    """scale_profile_for over the dir's own documents+embeddings —
+    the round-16 composition layer; memoized per dir so the stat
+    aggs don't bill into the timed runs."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.util import (
+        scale_profile_for,
+    )
+
+    key = (sf_dir, tuple(sorted(kwargs.items())))
+    if key not in _PROFILES:
+        _PROFILES[key] = scale_profile_for(
+            docs=load_table(spark, sf_dir, "documents"),
+            emb=load_table(spark, sf_dir, "embeddings"),
+            **kwargs,
+        )
+    return _PROFILES[key]
+
+
+def _q59_profiled(spark, sf_dir):
+    """q59 through scale_profile (round 16): auto planes + the
+    recall-co-scaled table count, all derived from the dir's own
+    corpus statistics — must reproduce the r15 auto/auto measurement
+    (cost-neutral at 10x, 0.9-band recall 0.973)."""
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    prof = _profile_for_dir(spark, sf_dir)
+    return embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.4,
+        **prof.lsh_kwargs(),
+    )
+
+
+_Q129_PROF_IDX = {}
+
+
+def _q129_profiled(spark, sf_dir):
+    """q129 through scale_profile: IVF index built with the
+    profile's ~sqrt(n) list count (same once-per-dir artifact
+    accounting as _q129_auto — must reproduce its 2.46x)."""
+    import os
+
+    from e_commerce_data_pipeline_spark.catalog import load_table
+    from e_commerce_data_pipeline_spark.operators.dedup import semdedup
+    from e_commerce_data_pipeline_spark.operators.ivf import (
+        train_centroids,
+        write_ivf_index,
+    )
+
+    if sf_dir not in _Q129_PROF_IDX:
+        prof = _profile_for_dir(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_centroids(emb, n_iters=2, **prof.ivf_kwargs())
+        path = "/tmp/scale_probe_ivf_prof_" + os.path.basename(
+            sf_dir.rstrip("/")
+        )
+        write_ivf_index(emb, cents, path)
+        _Q129_PROF_IDX[sf_dir] = (cents, path)
+    cents, path = _Q129_PROF_IDX[sf_dir]
+    return semdedup(spark.read.parquet(path), cents, tau=0.35)
+
+
+def _q172_profiled(spark, sf_dir):
+    """q172 through scale_profile's er_kwargs — must reproduce
+    _q172_auto's 3.95x (the profile derives the identical width
+    from the same stats)."""
+    prof = _profile_for_dir(spark, sf_dir)
+    return QUERIES["q172_entity_resolution_pipeline"].fn(
+        spark, sf_dir, **prof.er_kwargs()
+    )
+
+
+def _q161_profiled(spark, sf_dir):
+    """q161 through scale_profile's er_kwargs (pairs with
+    _q161_auto's 7.55x)."""
+    prof = _profile_for_dir(spark, sf_dir)
+    return QUERIES["q161_fellegi_sunter_linkage"].fn(
+        spark, sf_dir, **prof.er_kwargs()
+    )
+
+
+def _q98_profiled(spark, sf_dir):
+    """q98 through scale_profile's tfidf_kwargs with the measured
+    absolute stop-token cap (stop_token_df=3923 -> max_token_df
+    passthrough, prefix off — the 1.15x regime)."""
+    prof = _profile_for_dir(spark, sf_dir, stop_token_df=3923)
+    return QUERIES["q98_tfidf_cosine_pairs"].fn(
+        spark, sf_dir, **prof.tfidf_kwargs()
+    )
+
+
 def zipf():
     """Brute vs prefix-filtered tf-idf pairing on a REALISTIC corpus
     shape (round 15): the main 10x probe corpus is adversarial for
@@ -501,6 +600,16 @@ def run(keys):
             fn, runs, label = _q98_prefix, 2, "q98 prefix-filtered"
         elif key == "q161p":
             fn, runs, label = _q161_auto, 2, "q161 block_width=auto"
+        elif key == "q59f":
+            fn, runs, label = _q59_profiled, 2, "q59 scale_profile"
+        elif key == "q129f":
+            fn, runs, label = _q129_profiled, 2, "q129 scale_profile"
+        elif key == "q172f":
+            fn, runs, label = _q172_profiled, 2, "q172 scale_profile"
+        elif key == "q161f":
+            fn, runs, label = _q161_profiled, 2, "q161 scale_profile"
+        elif key == "q98f":
+            fn, runs, label = _q98_profiled, 2, "q98 scale_profile+cap"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name
