@@ -68,7 +68,11 @@ def fuzzy_name_pairs(
 
 
 def auto_block_width(
-    n: int, span: int, groups: int = 1, target_occupancy: float = 60.0
+    n: int,
+    span: int,
+    groups: int = 1,
+    target_occupancy: float = 60.0,
+    min_gap: int | None = None,
 ) -> int:
     """Bucket width for a numeric blocking key (``value div width``)
     over an ``n``-record corpus whose attribute spans ``span`` units
@@ -89,13 +93,27 @@ def auto_block_width(
     is likelier to straddle a bucket boundary and never meet. For
     entity resolution over near-identical records the attribute gap
     is small by construction, and the standard remedy — a second
-    pass with the buckets offset by width/2 — doubles cost for
-    boundary coverage. Floor 1 (exact-value blocking)."""
-    import math
+    pass with the buckets offset by width/2 (``fs_linkage_pairs``'s
+    ``block_col2``, round 16) — at most doubles cost for GUARANTEED
+    coverage of every pair with gap < width/2. Floor 1 (exact-value
+    blocking).
 
+    ``min_gap`` (round 16) turns that recall trade into an explicit
+    contract: "true matches may differ by up to min_gap units" →
+    the width floors at ``2 * min_gap``, so with the offset pass
+    every such pair is guaranteed to share a bucket. The round-16
+    parity measurement (PERF.md) is why this is a parameter and not
+    a deeper auto rule: on the 10x probe corpus most of pinned-32's
+    edges link docs 3-31 chars apart, a class NO occupancy-derived
+    narrow width can see at any offset — gap coverage is a property
+    of the matching semantics, not the corpus size, so the caller
+    must state it."""
     if n <= 0 or span <= 0 or groups <= 0:
         return 1
-    return max(1, round(target_occupancy * span * groups / n))
+    width = max(1, round(target_occupancy * span * groups / n))
+    if min_gap is not None and min_gap > 0:
+        width = max(width, 2 * int(min_gap))
+    return width
 
 
 def fs_linkage_pairs(
@@ -107,6 +125,7 @@ def fs_linkage_pairs(
     k: int | None = 50,
     weight_scale: int = 1_000_000,
     min_score_micro: int | None = None,
+    block_col2: str | None = None,
 ) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
     1969) over blocked candidate pairs — the SCORING layer above this
@@ -131,21 +150,51 @@ def fs_linkage_pairs(
     0 ('?' in the pattern). Returns the top-``k`` pairs by
     (score_micro DESC, a_id, b_id): (a_id, b_id, pattern,
     score_micro).
+
+    ``block_col2`` (round 16) is the boundary-offset second blocking
+    pass — the standard remedy for pairs a NARROW numeric bucket
+    (``auto_block_width`` at a large corpus) splits across a width
+    boundary: candidates come from the UNION of both equi-joins,
+    deduplicated on (a_id, b_id) BEFORE scoring, so a pair sharing
+    both keys scores once and total cost is at most 2x one pass. With
+    the second key offset by width/2, any pair whose attribute gap is
+    < width/2 is guaranteed to share at least one bucket.
     """
+    blk2 = [F.col(block_col2).alias("blk2")] if block_col2 else []
     base = df.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), *field_cols
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        *blk2,
+        *field_cols,
     )
-    a = base.select(
-        F.col("id").alias("a_id"),
-        F.col("blk"),
-        *[F.col(f).alias(f"a_{f}") for f in field_cols],
+    pair_cols = (
+        ["a_id", "b_id"]
+        + [f"a_{f}" for f in field_cols]
+        + [f"b_{f}" for f in field_cols]
     )
-    b = base.select(
-        F.col("id").alias("b_id"),
-        F.col("blk"),
-        *[F.col(f).alias(f"b_{f}") for f in field_cols],
-    )
-    pairs = a.join(b, "blk").filter(F.col("a_id") < F.col("b_id"))
+
+    def _blocked(key: str) -> DataFrame:
+        a = base.select(
+            F.col("id").alias("a_id"),
+            F.col(key),
+            *[F.col(f).alias(f"a_{f}") for f in field_cols],
+        )
+        b = base.select(
+            F.col("id").alias("b_id"),
+            F.col(key),
+            *[F.col(f).alias(f"b_{f}") for f in field_cols],
+        )
+        return (
+            a.join(b, key)
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select(*pair_cols)
+        )
+
+    pairs = _blocked("blk")
+    if block_col2:
+        pairs = pairs.unionByName(_blocked("blk2")).dropDuplicates(
+            ["a_id", "b_id"]
+        )
     score = F.lit(0).cast("long")
     pattern = []
     for f in field_cols:

@@ -41,6 +41,7 @@ class ScaleProfile:
     n_centroids: int | None = None
     block_width: int | None = None
     max_token_df: int | None = None
+    er_offset_pass: bool = False
 
     def lsh_kwargs(self) -> dict:
         """For ``dedup.embedding_near_dup`` (and any hyperplane-LSH
@@ -61,10 +62,19 @@ class ScaleProfile:
 
     def er_kwargs(self) -> dict:
         """For the numeric-blocking entity-resolution family
-        (q161/q172-class callers taking ``block_width``)."""
+        (q161/q172-class callers taking ``block_width`` and
+        ``offset_pass``). When the profile was built with
+        ``er_min_gap`` the width floors at 2*gap and the
+        width/2-offset second blocking pass is switched on — the
+        combination GUARANTEES every true pair whose attribute gap
+        is <= er_min_gap shares a bucket (round-16 parity
+        measurement, PERF.md)."""
         if self.block_width is None:
             return {}
-        return {"block_width": self.block_width}
+        kw = {"block_width": self.block_width}
+        if self.er_offset_pass:
+            kw["offset_pass"] = True
+        return kw
 
     def tfidf_kwargs(self) -> dict:
         """For ``similarity.tfidf_cosine_pairs``-family callers: the
@@ -92,6 +102,7 @@ def scale_profile(
     target_bucket: int = 128,
     target_occupancy: float = 60.0,
     stop_token_df: int | None = None,
+    er_min_gap: int | None = None,
 ) -> ScaleProfile:
     """One call that wires every measured scale knob (round 16; the
     knobs themselves were measured individually in rounds 14-15 —
@@ -116,6 +127,16 @@ def scale_profile(
       corpus-semantics judgement (the measured cap was sf0.1's own
       max global df), so the lossy path stays an explicit choice.
 
+    ``er_min_gap`` is the entity-resolution recall contract (round
+    16): "true matches may differ by up to this many units of the
+    blocking attribute" — the width floors at 2*gap and the
+    width/2-offset second blocking pass switches on, guaranteeing
+    every such pair a shared bucket. Gap coverage is a property of
+    the MATCHING SEMANTICS, not of corpus size (the round-16 parity
+    measurement: most pinned-32 edges on the 10x corpus link docs
+    3-31 chars apart — invisible to any occupancy-derived narrow
+    width), so it has no auto rule and stays caller-stated.
+
     IDENTITY POINTS (pinned in tests/test_scale_profile.py): at the
     sf0.1 corpus this returns exactly the operators' historical
     defaults — n_planes=4 (2,000 vectors), n_centroids=44,
@@ -135,7 +156,8 @@ def scale_profile(
         n_centroids = auto_nlist(n_vecs)
     if n_docs is not None and doc_span is not None:
         block_width = auto_block_width(
-            n_docs, doc_span, doc_groups, target_occupancy
+            n_docs, doc_span, doc_groups, target_occupancy,
+            min_gap=er_min_gap,
         )
     return ScaleProfile(
         n_planes=n_planes,
@@ -143,6 +165,7 @@ def scale_profile(
         n_centroids=n_centroids,
         block_width=block_width,
         max_token_df=stop_token_df,
+        er_offset_pass=er_min_gap is not None,
     )
 
 

@@ -9009,14 +9009,21 @@ def _fs_scored_ctes() -> str:
     "are one tiny groupBy each, broadcast as two int64s. Top-50 "
     "pairs by (score, ids).",
 )
-def q161_fellegi_sunter_linkage(spark, sf_dir, block_width=32):
+def q161_fellegi_sunter_linkage(
+    spark, sf_dir, block_width=32, offset_pass=False
+):
     # block_width: same knob and same rationale as q172 — the fixed
     # 32-char length band has a corpus-size-independent block count,
     # so blocked pair cost grows quadratically; scaled corpora pass
     # fuzzy.auto_block_width. 32 is pinned (oracle mirrors it).
+    # offset_pass=True (round 16) adds the width/2-offset second
+    # blocking pass for the narrow-auto-width boundary-split trade
+    # (candidates unioned + deduped before scoring) — off by default
+    # so the pinned oracle blocking is untouched.
     from ..operators.fuzzy import fs_linkage_pairs
     from ..operators.text import tokens
 
+    w = int(block_width)
     d = (
         _t(spark, sf_dir, "documents")
         .withColumn("__toks", tokens("text"))
@@ -9025,8 +9032,13 @@ def q161_fellegi_sunter_linkage(spark, sf_dir, block_width=32):
             F.concat(
                 F.col("lang"),
                 F.lit("|"),
-                F.expr(f"n_chars div {int(block_width)}").cast("string"),
+                F.expr(f"n_chars div {w}").cast("string"),
             ).alias("blk"),
+            F.concat(
+                F.col("lang"),
+                F.lit("|"),
+                F.expr(f"(n_chars + {w // 2}) div {w}").cast("string"),
+            ).alias("blk2"),
             F.col("source"),
             F.get("__toks", 0).alias("ft"),
             F.get("__toks", F.size("__toks") - 1).alias("lt"),
@@ -9034,7 +9046,13 @@ def q161_fellegi_sunter_linkage(spark, sf_dir, block_width=32):
         )
     )
     return fs_linkage_pairs(
-        d, "doc_id", "blk", ["source", "ft", "lt", "ntok"], m=0.9, k=50
+        d,
+        "doc_id",
+        "blk",
+        ["source", "ft", "lt", "ntok"],
+        m=0.9,
+        k=50,
+        block_col2="blk2" if offset_pass else None,
     )
 
 
@@ -9863,17 +9881,24 @@ def q171_streaming_hll_registers(spark, sf_dir):
     "a drift in weights, thresholding, closure, or election breaks "
     "the hash. Output is one row per resolved entity.",
 )
-def q172_entity_resolution_pipeline(spark, sf_dir, block_width=32):
+def q172_entity_resolution_pipeline(
+    spark, sf_dir, block_width=32, offset_pass=False
+):
     # block_width: the length-bucket width of the blocking key. 32
     # is pinned (the oracle mirrors it); scaled corpora pass
     # fuzzy.auto_block_width(n, span, groups) — a fixed width makes
     # block count corpus-size-independent, so blocked pair cost
     # grows quadratically (round-15 scale probe: 14.0x at 10x with
     # width 32; PERF.md has the auto-width measurement).
+    # offset_pass=True (round 16): width/2-offset second blocking
+    # pass — recovers the cross-boundary pairs a narrow auto width
+    # splits (the measured 8,256-vs-6,693 component trade at 10x);
+    # off by default so the pinned oracle blocking is untouched.
     from ..operators.components import connected_components
     from ..operators.fuzzy import fs_linkage_pairs
     from ..operators.text import tokens
 
+    w = int(block_width)
     docs = _t(spark, sf_dir, "documents")
     d = (
         docs.withColumn("__toks", tokens("text"))
@@ -9882,8 +9907,13 @@ def q172_entity_resolution_pipeline(spark, sf_dir, block_width=32):
             F.concat(
                 F.col("lang"),
                 F.lit("|"),
-                F.expr(f"n_chars div {int(block_width)}").cast("string"),
+                F.expr(f"n_chars div {w}").cast("string"),
             ).alias("blk"),
+            F.concat(
+                F.col("lang"),
+                F.lit("|"),
+                F.expr(f"(n_chars + {w // 2}) div {w}").cast("string"),
+            ).alias("blk2"),
             F.col("source"),
             F.get("__toks", 0).alias("ft"),
             F.get("__toks", F.size("__toks") - 1).alias("lt"),
@@ -9898,6 +9928,7 @@ def q172_entity_resolution_pipeline(spark, sf_dir, block_width=32):
         m=0.9,
         k=None,
         min_score_micro=3_000_000,
+        block_col2="blk2" if offset_pass else None,
     )
     comp = connected_components(pairs, "a_id", "b_id")
     mem = comp.join(

@@ -510,6 +510,18 @@ def _q161_profiled(spark, sf_dir):
     )
 
 
+def _q172_offset(spark, sf_dir):
+    """q172 at the profile's auto width PLUS the width/2-offset
+    second blocking pass (round 16): measures whether the offset
+    union recovers the cross-boundary pairs the narrow width splits
+    (r15 trade: 8,256 components at auto-3 vs 6,693 at pinned-32 on
+    the 10x corpus) and what the second pass costs."""
+    prof = _profile_for_dir(spark, sf_dir)
+    return QUERIES["q172_entity_resolution_pipeline"].fn(
+        spark, sf_dir, offset_pass=True, **prof.er_kwargs()
+    )
+
+
 def _q98_profiled(spark, sf_dir):
     """q98 through scale_profile's tfidf_kwargs with the measured
     absolute stop-token cap (stop_token_df=3923 -> max_token_df
@@ -610,6 +622,8 @@ def run(keys):
             fn, runs, label = _q161_profiled, 2, "q161 scale_profile"
         elif key == "q98f":
             fn, runs, label = _q98_profiled, 2, "q98 scale_profile+cap"
+        elif key == "q172o":
+            fn, runs, label = _q172_offset, 2, "q172 auto+offset_pass"
         else:
             name, runs = TARGETS[key]
             fn, label = QUERIES[name].fn, name

@@ -116,6 +116,28 @@ def test_tfidf_regimes():
     }
 
 
+def test_er_min_gap_contract():
+    """er_min_gap floors the width at 2*gap and switches the offset
+    pass on; without it the er_kwargs stay width-only (the pinned
+    shape) and sf0.1 identity holds."""
+    n_docs, span, groups, _ = _corpus_stats(SF01)
+    plain = scale_profile(n_docs=n_docs, doc_span=span, doc_groups=groups)
+    assert plain.er_kwargs() == {"block_width": 32}
+    gapped = scale_profile(
+        n_docs=10 * n_docs,
+        doc_span=span,
+        doc_groups=groups,
+        er_min_gap=8,
+    )
+    assert gapped.er_kwargs() == {"block_width": 16, "offset_pass": True}
+    # occupancy already wider than 2*gap -> width unchanged, offset
+    # pass still on (boundary coverage is the point of the contract)
+    wide = scale_profile(
+        n_docs=n_docs, doc_span=span, doc_groups=groups, er_min_gap=4
+    )
+    assert wide.er_kwargs() == {"block_width": 32, "offset_pass": True}
+
+
 def test_partial_profiles_empty_kwargs():
     """Families without statistics stay out of the kwargs — a
     docs-only profile must not emit LSH/IVF knobs and vice versa."""

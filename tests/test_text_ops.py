@@ -885,6 +885,190 @@ def test_auto_block_width():
     assert auto_block_width(0, 533) == 1
     assert auto_block_width(5000, 0) == 1
     assert auto_block_width(10**9, 533, 5) == 1
+    # min_gap (round 16): the recall contract floors width at 2*gap
+    # (paired with the offset pass it guarantees every gap<=min_gap
+    # pair a shared bucket); a no-op when occupancy already gives
+    # a wider width
+    assert auto_block_width(10**9, 533, 5, min_gap=8) == 16
+    assert auto_block_width(50000, 533, 5, min_gap=8) == 16
+    assert auto_block_width(5000, 533, 5, min_gap=8) == 32
+    assert auto_block_width(5000, 533, 5, min_gap=0) == 32
+
+
+def test_fs_linkage_offset_pass_recovers_boundary_pairs(spark):
+    """The width/2-offset second blocking pass (round 16, the
+    standard remedy for auto_block_width's boundary-split trade):
+    records at n_chars 31 and 33 straddle the width-32 boundary
+    (buckets 0|1) but share offset bucket (n+16) div 32 = 1, so the
+    pair appears ONLY with block_col2; pairs sharing both keys score
+    once (dedup before scoring); pairs sharing neither stay absent;
+    and with no straddling pairs the passes agree exactly."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.fuzzy import (
+        fs_linkage_pairs,
+    )
+
+    rows = [
+        (1, 31, "s1", "tok_a"),
+        (2, 33, "s1", "tok_a"),  # boundary-straddling true pair
+        (3, 40, "s2", "tok_b"),
+        (4, 41, "s2", "tok_b"),  # same bucket both passes
+        (5, 200, "s3", "tok_c"),  # far from everything
+    ]
+    w = 32
+    d = spark.createDataFrame(
+        rows, "id long, n_chars int, src string, tok string"
+    ).select(
+        "id",
+        F.expr(f"n_chars div {w}").cast("string").alias("blk"),
+        F.expr(f"(n_chars + {w // 2}) div {w}").cast("string").alias("blk2"),
+        "src",
+        "tok",
+    )
+    one_pass = {
+        (r.a_id, r.b_id)
+        for r in fs_linkage_pairs(d, "id", "blk", ["src", "tok"], k=100)
+        .collect()
+    }
+    assert (3, 4) in one_pass and (1, 2) not in one_pass
+    two_pass = fs_linkage_pairs(
+        d, "id", "blk", ["src", "tok"], k=100, block_col2="blk2"
+    ).collect()
+    keys = [(r.a_id, r.b_id) for r in two_pass]
+    assert len(keys) == len(set(keys))  # dedup before scoring held
+    assert set(keys) >= one_pass | {(1, 2)}
+    assert not any(5 in k for k in keys)
+    # scores of pairs present in both configurations are identical
+    one_scores = {
+        (r.a_id, r.b_id): (r.pattern, r.score_micro)
+        for r in fs_linkage_pairs(d, "id", "blk", ["src", "tok"], k=100)
+        .collect()
+    }
+    two_scores = {
+        (r.a_id, r.b_id): (r.pattern, r.score_micro) for r in two_pass
+    }
+    for key in one_scores:
+        assert two_scores[key] == one_scores[key], key
+    # no boundary straddlers -> both configurations agree exactly
+    d2 = d.filter(F.col("id") > 2)
+    agree_one = sorted(
+        fs_linkage_pairs(d2, "id", "blk", ["src", "tok"], k=100).collect()
+    )
+    agree_two = sorted(
+        fs_linkage_pairs(
+            d2, "id", "blk", ["src", "tok"], k=100, block_col2="blk2"
+        ).collect()
+    )
+    assert agree_one == agree_two
+
+
+def test_offset_block_guarantee_hypothesis():
+    """Derandomized hypothesis proof-by-fuzz of the round-16 offset
+    contract: with width = 2*gap, ANY pair of integer values at most
+    `gap` apart shares either the base bucket (v div w) or the
+    offset bucket ((v + w div 2) div w). (The two straddle intervals
+    are disjoint subsets of one width-length window, which contains
+    exactly one multiple of w — so at most one pass can split the
+    pair.) This is the guarantee auto_block_width(min_gap=...) +
+    fs_linkage_pairs(block_col2=...) sells."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=1, max_value=64),
+        st.integers(min_value=0, max_value=64),
+    )
+    def run(x, gap, delta):
+        if delta > gap:
+            return
+        w = 2 * gap
+        y = x + delta
+        same_base = x // w == y // w
+        same_off = (x + w // 2) // w == (y + w // 2) // w
+        assert same_base or same_off, (x, y, gap)
+
+    run()
+
+
+def test_fs_linkage_offset_pass_gap_recall_hypothesis(spark):
+    """Derandomized Spark differential (house rule: every new
+    operator gets one): random small corpora with random n_chars —
+    fs_linkage_pairs at width 2*gap WITH the offset pass must
+    contain, with identical pattern+score, every pair the
+    brute single-block join finds whose attribute gap <= gap; and
+    it must never invent a pair the brute join lacks."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.operators.fuzzy import (
+        fs_linkage_pairs,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=200),  # n_chars
+                st.sampled_from(["s1", "s2"]),
+                st.sampled_from(["ta", "tb", "tc"]),
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        st.sampled_from([1, 3, 8]),
+    )
+    def run(rows, gap):
+        w = 2 * gap
+        d = spark.createDataFrame(
+            [(i, nc, s, t) for i, (nc, s, t) in enumerate(rows)],
+            "id long, n_chars int, src string, tok string",
+        ).select(
+            "id",
+            "n_chars",
+            F.expr(f"n_chars div {w}").cast("string").alias("blk"),
+            F.expr(f"(n_chars + {w // 2}) div {w}")
+            .cast("string")
+            .alias("blk2"),
+            F.lit("all").alias("one"),
+            "src",
+            "tok",
+        )
+        nchars = {i: nc for i, (nc, _, _) in enumerate(rows)}
+        brute = {
+            (r.a_id, r.b_id): (r.pattern, r.score_micro)
+            for r in fs_linkage_pairs(
+                d, "id", "one", ["src", "tok"], k=None, min_score_micro=None
+            ).collect()
+        }
+        got = {
+            (r.a_id, r.b_id): (r.pattern, r.score_micro)
+            for r in fs_linkage_pairs(
+                d,
+                "id",
+                "blk",
+                ["src", "tok"],
+                k=None,
+                min_score_micro=None,
+                block_col2="blk2",
+            ).collect()
+        }
+        for key, val in brute.items():
+            if abs(nchars[key[0]] - nchars[key[1]]) <= gap:
+                assert got.get(key) == val, (key, gap)
+        assert set(got) <= set(brute)
+        for key, val in got.items():
+            assert brute[key] == val, key
+
+    run()
 
 
 def test_bpe_encode_corpus_matches_reference(spark):
