@@ -162,12 +162,27 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs within a blocking key with cosine >= threshold.
 
     The join is an equi-join on the block column — Catalyst shuffles
     both sides by block, so cost is sum of squared block sizes, not
-    corpus squared.
+    corpus squared. That is a WALL-MASKED QUADRATIC when block count
+    is fixed by a label dimension (the round-15 probe measured q28
+    at 9.79x wall but 104x output pairs for a 10x corpus): per-block
+    pair work is B^2/2, so block occupancy growing with the corpus
+    is exactly the all-pairs blowup this operator exists to avoid.
+
+    ``max_block_rows`` (round 16) makes that failure loud instead of
+    silent: a lazily-evaluated guard joined into the plan raises at
+    EXECUTION time if any block exceeds the bound (default 100k rows
+    — ~5e9 pairs in one block, already past where
+    ``dedup.embedding_near_dup`` (LSH) or ``ivf`` top-k is the right
+    operator). Pass a larger bound or ``None`` to accept the
+    quadratic explicitly. The guard is one tiny groupBy + broadcast
+    join of per-block counts; output is unchanged whenever it does
+    not fire.
     """
     # normalize once and materialize: both join sides reuse unit vectors
     normed = _spread(emb).select(
@@ -178,6 +193,33 @@ def cosine_pairs_blocked(
     a = normed.select(
         F.col("id").alias("a_id"), "block", F.col("v").alias("a_vec")
     )
+    if max_block_rows is not None:
+        counts = normed.groupBy("block").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        guard = F.when(
+            F.col("__bn") > int(max_block_rows),
+            F.raise_error(
+                F.concat(
+                    F.lit("cosine_pairs_blocked: block '"),
+                    F.col("block").cast("string"),
+                    F.lit("' holds "),
+                    F.col("__bn").cast("string"),
+                    F.lit(
+                        f" rows > max_block_rows={int(max_block_rows)}"
+                        " — per-block pair cost is rows^2/2; use"
+                        " embedding_near_dup (LSH) or IVF top-k at"
+                        " this scale, or raise max_block_rows"
+                        " explicitly"
+                    ),
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+        a = (
+            a.join(F.broadcast(counts), "block")
+            .filter(guard)
+            .drop("__bn")
+        )
     b = normed.select(
         F.col("id").alias("b_id"), "block", F.col("v").alias("b_vec")
     )

@@ -210,6 +210,49 @@ def test_decimal_sum_matches_fixed_point(spark):
     assert row["dec"] == want
 
 
+def test_cosine_pairs_blocked_max_block_rows_guard(spark):
+    """The round-16 quadratic guard: a block exceeding
+    max_block_rows raises AT EXECUTION with an actionable message
+    (the wall-masked-quadratic class the r15 probe measured on q28 —
+    9.79x wall, 104x pairs at 10x); under the bound the output is
+    identical to the unguarded operator; None disables the guard."""
+    import pytest as _pytest
+
+    from e_commerce_data_pipeline_spark.operators.similarity import (
+        cosine_pairs_blocked,
+    )
+
+    rows = [
+        (i, "big" if i < 4 else "small", [1.0, float(i % 2)])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, lbl string, embedding array<double>"
+    )
+    guarded = cosine_pairs_blocked(
+        emb, "lbl", threshold=-1.0, max_block_rows=3
+    )
+    with _pytest.raises(Exception, match="max_block_rows"):
+        guarded.collect()
+    ok = sorted(
+        map(
+            tuple,
+            cosine_pairs_blocked(
+                emb, "lbl", threshold=-1.0, max_block_rows=4
+            ).collect(),
+        )
+    )
+    off = sorted(
+        map(
+            tuple,
+            cosine_pairs_blocked(
+                emb, "lbl", threshold=-1.0, max_block_rows=None
+            ).collect(),
+        )
+    )
+    assert ok == off and len(ok) == 6 + 1  # C(4,2) + C(2,2)
+
+
 def test_embedding_near_dup_contained_in_bruteforce(spark, sf_dir):
     """LSH-blocked embedding near-dup returns a subset of the exact
     cosine>=threshold pairs, with identical sims on the pairs it
