@@ -86,6 +86,27 @@ def require_codec(fmt: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _bmp_container(
+    body: bytes, w: int, h: int, bpp: int, comp: int = 0,
+    extra: bytes = b"", n_pal: int = 0,
+) -> bytes:
+    """14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER wrapper
+    for an already-serialized pixel payload (round-16 fold of the
+    eight hand-rolled emission sites). ``extra`` is whatever sits
+    between header and pixels (palette quads, bitfield masks); the
+    pixel offset and file size account for it. biSizeImage is
+    len(body) — also what BI_JPEG/BI_PNG passthrough containers
+    expect."""
+    offset = 14 + 40 + len(extra)
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835,
+        n_pal, 0,
+    )
+    return bytes(header) + extra + body
+
+
 def encode_bmp(arr) -> bytes:
     """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
     import numpy as np
@@ -98,11 +119,7 @@ def encode_bmp(arr) -> bytes:
     body = bytearray()
     for y in range(h - 1, -1, -1):  # bottom-up rows, BGR order
         body += a[y, :, ::-1].tobytes() + b"\x00" * pad
-    size = 54 + len(body)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header + body)
+    return _bmp_container(bytes(body), w, h, 24)
 
 
 def encode_bmp32(arr) -> bytes:
@@ -116,11 +133,7 @@ def encode_bmp32(arr) -> bytes:
     quads = np.zeros((h, w, 4), np.uint8)
     quads[..., :3] = a[..., ::-1]  # RGB -> BGR, X stays 0
     body = quads[::-1].tobytes()  # bottom-up rows, already word-aligned
-    size = 54 + len(body)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header + body)
+    return _bmp_container(body, w, h, 32)
 
 
 def encode_bmp_cmyk(cmyk) -> bytes:
@@ -134,11 +147,7 @@ def encode_bmp_cmyk(cmyk) -> bytes:
     assert a.ndim == 3 and a.shape[2] == 4
     h, w = a.shape[:2]
     body = np.ascontiguousarray(a[::-1, :, ::-1]).tobytes()
-    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
-    header += struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 32, 11, len(body), 2835, 2835, 0, 0
-    )
-    return header + body
+    return _bmp_container(body, w, h, 32, comp=11)
 
 
 def encode_bmp8(idx, pal, rle: bool = False) -> bytes:
@@ -238,14 +247,9 @@ def encode_bmp_paletted(idx, pal, bpp: int = 8, rle: bool = False,
         comp = 2 if nibble else 1
     if cmyk:
         comp = 13 if comp == 2 else 12
-    pal_bytes = quads.tobytes()
-    offset = 54 + len(pal_bytes)
-    size = offset + len(body)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835,
-        n_pal, 0,
+    return _bmp_container(
+        body, w, h, bpp, comp=comp, extra=quads.tobytes(), n_pal=n_pal
     )
-    return bytes(header) + pal_bytes + body
 
 
 def encode_bmp16_555(arr) -> bytes:
@@ -265,12 +269,7 @@ def encode_bmp16_555(arr) -> bytes:
     rows[:, :row] = (
         np.ascontiguousarray(u.astype("<u2")).view(np.uint8).reshape(h, row)
     )
-    body = rows[::-1].tobytes()
-    size = 54 + len(body)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 16, 0, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header + body)
+    return _bmp_container(rows[::-1].tobytes(), w, h, 16)
 
 
 def encode_bmp16_565(arr) -> bytes:
@@ -293,14 +292,8 @@ def encode_bmp16_565(arr) -> bytes:
     rows[:, :row] = (
         np.ascontiguousarray(u.astype("<u2")).view(np.uint8).reshape(h, row)
     )
-    body = rows[::-1].tobytes()
     masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
-    offset = 54 + len(masks)
-    size = offset + len(body)
-    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 16, 3, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header) + masks + body
+    return _bmp_container(rows[::-1].tobytes(), w, h, 16, comp=3, extra=masks)
 
 
 def encode_bmp_os2(arr) -> bytes:
@@ -328,14 +321,7 @@ def encode_bmp_embedded(payload: bytes, w: int, h: int, png: bool) -> bytes:
     """Complete JPEG/PNG stream -> BI_JPEG / BI_PNG BMP container
     (BITMAPINFOHEADER with biBitCount=0 and biSizeImage = payload
     length, the printer-driver passthrough layout per MSDN)."""
-    offset = 14 + 40
-    header = struct.pack(
-        "<2sIHHI", b"BM", offset + len(payload), 0, 0, offset
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 0, 5 if png else 4,
-        len(payload), 2835, 2835, 0, 0,
-    )
-    return bytes(header) + payload
+    return _bmp_container(payload, w, h, 0, comp=5 if png else 4)
 
 
 def encode_bmp_a2r10g10b10(arr) -> bytes:
@@ -360,13 +346,7 @@ def encode_bmp_a2r10g10b10(arr) -> bytes:
     masks = struct.pack(
         "<IIII", 0x3FF << 20, 0x3FF << 10, 0x3FF, 0x3 << 30
     )
-    offset = 54 + len(masks)
-    header = struct.pack(
-        "<2sIHHI", b"BM", offset + len(body), 0, 0, offset
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 32, 6, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header) + masks + body
+    return _bmp_container(body, w, h, 32, comp=6, extra=masks)
 
 
 def _decode_bmp_core(b: bytes, offset: int):
@@ -12694,17 +12674,7 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     if a.ndim == 1:
         a = a[:, None]
     n, ch = a.shape
-    data = a.tobytes()  # interleaved frames
-    byte_rate = sample_rate * ch * 2
-    hdr = (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
-        + b"data"
-        + struct.pack("<I", len(data))
-    )
-    return hdr + data
+    return _wav_container(a.tobytes(), 1, ch, sample_rate, 16)
 
 
 # KSDATAFORMAT media-subtype GUID tail: {code}-0000-0010-8000-
@@ -13514,17 +13484,8 @@ def encode_wav_g711(codes, law: str = "ulaw", sample_rate: int = 8000) -> bytes:
     import numpy as np
 
     a = np.asarray(codes, dtype=np.uint8)
-    data = a.tobytes()
-    fmt = 7 if law == "ulaw" else 6
-    hdr = (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, fmt, 1, sample_rate, sample_rate, 1, 8)
-        + b"data"
-        + struct.pack("<I", len(data))
-    )
-    return hdr + data
+    return _wav_container(a.tobytes(), 7 if law == "ulaw" else 6, 1,
+                          sample_rate, 8)
 
 
 def synthetic_g711_table(spark, n: int = 40) -> DataFrame:
