@@ -4241,10 +4241,12 @@ def q91_idle_rich_customers(spark, sf_dir):
            CAST(round(
                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / nullif(
+                   sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+                   0)
                * 1000000) AS BIGINT) AS corr_micro
     FROM sums
     ORDER BY p_brand
@@ -4276,9 +4278,19 @@ def q92_brand_price_qty_corr(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
-    corr = (d("n") * d("sxy") - d("sx") * d("sy")) / (
-        F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
-        * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))
+    # zero-variance guard (round 16, the q162-class ANSI rule): a
+    # single-row or constant-valued brand makes n*sxx - sx^2 = 0 and
+    # ANSI Spark raises DIVIDE_BY_ZERO even on DOUBLE 0/0 (probed),
+    # while DuckDB's nullif mirror returns NULL — corr_micro is NULL
+    # for degenerate groups on both sides. The guarded branch keeps
+    # the exact expression tree, so non-degenerate rows stay
+    # bit-identical.
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (d("n") * d("sxy") - d("sx") * d("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return sums.select(
         "p_brand",

@@ -26,3 +26,62 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "revenue" in df.columns
+
+
+def test_q92_zero_variance_brand_yields_null_not_task_kill(spark, tmp_path):
+    """Round-16 q162-class guard: a brand with a single lineitem row
+    has n*sxx - sx^2 = 0, and ANSI Spark raises DIVIDE_BY_ZERO even
+    on DOUBLE 0/0 — the guarded q92 must instead emit corr_micro
+    NULL for that brand, still match the nullif-mirrored oracle, and
+    leave every healthy brand's value untouched."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from e_commerce_data_pipeline_spark.catalog import TABLES
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "degenerate")
+    os.makedirs(sf)
+    for t in TABLES:
+        shutil.copy(os.path.join(src, f"{t}.parquet"), sf)
+    con = duckdb.connect()
+    # give one partkey a unique brand and keep exactly ONE lineitem
+    # row for it -> that brand's variance terms are exactly zero
+    pk = con.execute(
+        f"SELECT l_partkey FROM '{src}/lineitem.parquet' "
+        "GROUP BY l_partkey ORDER BY COUNT(*) DESC, l_partkey LIMIT 1"
+    ).fetchone()[0]
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN p_partkey = {pk} THEN 'Brand#ZZ' ELSE p_brand
+                END AS p_brand)
+            FROM '{src}/part.parquet')
+            TO '{sf}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+                ) AS __rn
+                FROM '{src}/lineitem.parquet')
+            WHERE l_partkey <> {pk} OR __rn = 1)
+            TO '{sf}/__li.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * EXCLUDE (__rn) FROM '{sf}/__li.parquet')
+            TO '{sf}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    os.remove(f"{sf}/__li.parquet")
+    con.close()
+    spec = QUERIES["q92_brand_price_qty_corr"]
+    df = spec.fn(spark, sf)
+    rows = {r.p_brand: r for r in df.collect()}
+    assert rows["Brand#ZZ"].n == 1
+    assert rows["Brand#ZZ"].corr_micro is None
+    assert any(
+        r.corr_micro is not None for b, r in rows.items() if b != "Brand#ZZ"
+    )
+    assert_matches_oracle(df, spec.oracle, sf, "q92-degenerate")
