@@ -799,3 +799,95 @@ def test_extract_warc_damaged_file_fails_loudly(spark):
     df = spark.createDataFrame(pd.DataFrame({"warc": [data]}))
     with pytest.raises(Exception):
         extract_warc_responses(df, "warc").collect()
+
+
+def test_q65_synthesis_decode_roundtrip_fuzz():
+    """Derandomized hypothesis round-trip of the q65 wire synthesis
+    against the walker's decode chain (the twice-burned class): for
+    random html text and every (charset arm x body-layer arm) combo,
+    build the bytes EXACTLY the way _q65_build_warc_group does - BOM
+    + wire-charset encode with the UnicodeEncodeError utf-8+header
+    fallback, arm 4's meta-only declaration, chunked/gzip/deflate
+    body layers - then walk them back (dechunk -> content-decode ->
+    charset sniff) and require the IDENTICAL string with clean=True.
+    Alphabet stresses the known traps: cp1252's 0x80-9F block
+    (euro/OE), a cp1252-unencodable C1 (U+0081 -> fallback arm),
+    katakana (shift_jis), an astral emoji (utf-16 surrogates +
+    fallback on narrow arms), and a LEADING U+FEFF in the text
+    itself (the decode strips only the wire BOM, never the text's
+    own)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from e_commerce_data_pipeline_spark.plans.queries import (
+        _q65_http_chunked,
+        _Q65_BOMS,
+        _Q65_CT_HEADERS,
+        _Q65_META_PREFIX,
+        _Q65_WIRE_CHARSETS,
+    )
+    from e_commerce_data_pipeline_spark.sources.warc import (
+        decode_content_encoding,
+        dechunk_http_body,
+        decode_http_body,
+    )
+
+    alphabet = list("abz <>&;") + [
+        "\u00e9",  # e-acute (latin-1 == cp1252)
+        "\u20ac",  # euro (cp1252 0x80 - NOT latin-1)
+        "\u0152",  # OE ligature (cp1252 0x8C)
+        "\u0081",  # C1 control cp1252 cannot encode -> fallback
+        "\u2211",  # n-ary sum (utf-8/utf-16 only)
+        "\u30a2",  # katakana A (shift_jis)
+        "\ufeff",  # the text's OWN zero-width BOM char
+        "\U0001f389",  # astral emoji
+    ]
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(
+        st.text(alphabet=st.sampled_from(alphabet), max_size=24),
+        st.integers(min_value=0, max_value=29),
+    )
+    def run(text, doc_id):
+        cs_arm = doc_id % 6
+        html = (
+            (_Q65_META_PREFIX if cs_arm == 4 else "")
+            + "<html><body><p>"
+            + text
+            + "</p></body></html>"
+        )
+        # synthesis side - mirror _q65_build_warc_group exactly
+        try:
+            body = _Q65_BOMS[cs_arm] + html.encode(
+                _Q65_WIRE_CHARSETS[cs_arm]
+            )
+            ct_header = _Q65_CT_HEADERS[cs_arm]
+        except UnicodeEncodeError:
+            body = html.encode("utf-8")
+            ct_header = "text/html; charset=utf-8"
+        layer = doc_id % 5
+        headers = {"content-type": ct_header}
+        if layer in (2, 3):
+            body = _gzip.compress(body, compresslevel=1, mtime=0)
+            headers["content-encoding"] = "gzip"
+        elif layer == 4:
+            body = _zlib.compress(body, 1)
+            headers["content-encoding"] = "deflate"
+        if layer in (1, 3):
+            body = _q65_http_chunked(body, doc_id)
+            headers["transfer-encoding"] = "chunked"
+        # decode side - the walker's outside-in order
+        if "transfer-encoding" in headers:
+            body = dechunk_http_body(body)
+        if "content-encoding" in headers:
+            body = decode_content_encoding(
+                body, headers["content-encoding"]
+            )
+        got, charset, clean = decode_http_body(body, headers)
+        assert clean is True, (doc_id, charset)
+        assert got == html, (doc_id, charset)
+
+    run()
