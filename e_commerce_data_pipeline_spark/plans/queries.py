@@ -3776,6 +3776,52 @@ def q83_weekly_cohort_retention(spark, sf_dir):
     )
 
 
+def _order_part_sets(spark, sf_dir):
+    """Per-order sorted distinct part array in ONE order-keyed shuffle
+    (q138's edge-generation pattern, extracted round 16). Replaces the
+    (l_orderkey, l_partkey)-distinct + per-order self-join pair build
+    used by the market-basket family: the distinct and the join each
+    paid a shuffle of the full (order, part) stream plus a hash-relation
+    build; here one groupBy shuffles the same stream once and the pair
+    expansion runs in-codegen over the <= order-size array (guide
+    §2.3 aggregate-before-shuffle / §2.4 remove-shuffles)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
+def _ordered_part_pairs(ps_sets):
+    """(part_a, part_b) with part_a < part_b, one row per co-occurrence,
+    expanded from the per-order part array by a nested transform (the
+    array arg is a MATERIALIZED column, so the no-CSE-inside-HOF rule
+    is satisfied — same shape q138 uses)."""
+    return (
+        ps_sets.filter(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"),
+                                i + F.lit(2),
+                                F.greatest(F.size("ps") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
+    )
+
+
 @_register(
     "q84_market_basket_pairs",
     """
@@ -3805,19 +3851,20 @@ def q83_weekly_cohort_retention(spark, sf_dir):
     "never parts^2; the totals row broadcasts.",
 )
 def q84_market_basket_pairs(spark, sf_dir):
-    lp = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .cache()
+    # one order-keyed shuffle builds the per-order part sets; counts,
+    # the order total, and the pair expansion all read the cached sets
+    # (round 16: replaces distinct + self-join; interleaved A/B at
+    # sf0.1: q84 -3.5%, q145 -15.7%, q93 -7.0% — and one less
+    # Exchange + no join build at scale)
+    ps_all = _order_part_sets(spark, sf_dir).cache()
+    counts = (
+        ps_all.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
     )
-    counts = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    tot = lp.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    tot = ps_all.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        _ordered_part_pairs(ps_all)
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 3)
@@ -4359,20 +4406,22 @@ def _pagerank_oracle(iters: int = 3) -> str:
 def q93_copurchase_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
 
-    li2 = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li2.alias("a"), li2.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    # one order-keyed shuffle + in-codegen pair expansion (round 16:
+    # replaces the distinct + self-join edge build — q84's pattern);
+    # both directions emitted per ordered pair, pagerank dedups
+    op = _ordered_part_pairs(_order_part_sets(spark, sf_dir))
+    edges = op.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+                ),
+            )
+        ).alias("e2")
+    ).select("e2.src", "e2.dst")
     # 3 iterations is shallow lineage — skip the per-round
     # localCheckpoint jobs (worth ~0.8 s of 4.9 s at sf0.1); keep
     # checkpointing for deep iteration counts
@@ -5807,6 +5856,12 @@ def q113_quality_gate_ensemble(spark, sf_dir):
     from ..operators.text import gopher_signals, unigram_logprob
 
     docs = _t(spark, sf_dir, "documents")
+    # round-16 note: a tokenize-once fusion (shared cached (doc_id,
+    # __toks) frame feeding gopher + unigram) MEASURED 9.9% SLOWER at
+    # sf0.1 in an interleaved A/B — caching the token arrays costs
+    # more than re-running the codegen tokenizer per pass (same class
+    # as the round-5 "cache of exploded gram streams is slower"
+    # result). Deliberately left on the re-tokenize path.
     g = gopher_signals(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
     lp = unigram_logprob(docs).select(
         "doc_id",
@@ -7340,32 +7395,13 @@ def q137_minhash_calibration(spark, sf_dir):
 def q138_copurchase_triangles(spark, sf_dir):
     from ..operators.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
     # edge generation in ONE order-keyed shuffle: collect the order's
     # part set (<= 7 in TPC-H shape, bounded by order size) and expand
     # ordered pairs with a nested transform — no per-order self-join
-    ps = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .filter(F.size("ps") >= 2)
+    # (the pattern q84/q93/q145 now share via the round-16 helpers)
+    edges = _ordered_part_pairs(_order_part_sets(spark, sf_dir)).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
-    edges = ps.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ps"),
-                            i + F.lit(2),
-                            F.greatest(F.size("ps") - i - 1, F.lit(0)),
-                        ),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
-                )
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
     return triangle_counts(edges)
 
 
@@ -7801,19 +7837,20 @@ def q144_cluster_topics(spark, sf_dir):
     "item counts and the totals row are broadcast-sized.",
 )
 def q145_assoc_rules(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct().cache()
-    counts = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    n_orders = lp.select("l_orderkey").distinct().count()
+    # same one-shuffle per-order part sets as q84 (round 16); the
+    # build-time count() also materializes the cache before the
+    # counts/pairs branches read it
+    ps_all = _order_part_sets(spark, sf_dir).cache()
+    counts = (
+        ps_all.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    n_orders = ps_all.count()
     pairs = (
-        lp.alias("a")
-        .join(
-            lp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        _ordered_part_pairs(ps_all)
         .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+            F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 3)

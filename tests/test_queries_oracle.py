@@ -85,3 +85,42 @@ def test_q92_zero_variance_brand_yields_null_not_task_kill(spark, tmp_path):
         r.corr_micro is not None for b, r in rows.items() if b != "Brand#ZZ"
     )
     assert_matches_oracle(df, spec.oracle, sf, "q92-degenerate")
+
+
+def test_ordered_part_pairs_equals_self_join(spark):
+    """Round-16 restructure guard: the one-shuffle per-order part-set
+    expansion (_order_part_sets + _ordered_part_pairs, now behind
+    q84/q93/q138/q145) must emit exactly the multiset of (a < b)
+    co-occurrence rows the old distinct + self-join build produced —
+    per-pair counts included, since q84/q145 aggregate counts off it."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_pipeline_spark.plans.queries import (
+        _order_part_sets,
+        _ordered_part_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    new_rows = Counter(
+        (r["part_a"], r["part_b"])
+        for r in _ordered_part_pairs(_order_part_sets(spark, sf_dir)).collect()
+    )
+    from e_commerce_data_pipeline_spark.catalog import load_table
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    old_rows = Counter(
+        (r["part_a"], r["part_b"])
+        for r in a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b")
+        .collect()
+    )
+    assert new_rows and new_rows == old_rows
