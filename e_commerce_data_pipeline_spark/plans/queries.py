@@ -9190,7 +9190,12 @@ def q162_theil_sen_trend(spark, sf_dir):
             .alias("s")
         )
     )
-    med = exact_quantiles(slopes, "s", [50], buckets=16384).select(
+    # buckets=4096 (round 16): the sf0.1 slope range is 2.22e10, so
+    # 4096 and the previous 16384 both need THREE narrowing scans
+    # (B^2 < range <= B^3 for both) — the smaller histogram wins the
+    # per-scan shuffle (q157's oversizing rule; interleaved A/B
+    # 3.998 -> 3.885 s, values identical by exactness)
+    med = exact_quantiles(slopes, "s", [50], buckets=4096).select(
         F.col("n").alias("n_pairs"), F.col("value").alias("slope_micro")
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
@@ -9206,7 +9211,7 @@ def q162_theil_sen_trend(spark, sf_dir):
         .cast("long")
         .alias("r"),
     )
-    icept = exact_quantiles(resid, "r", [50], buckets=16384).select(
+    icept = exact_quantiles(resid, "r", [50], buckets=4096).select(
         F.col("n").alias("n_days"), F.col("value").alias("intercept_milli")
     )
     return (
