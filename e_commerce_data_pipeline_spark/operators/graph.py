@@ -3,11 +3,12 @@
 PageRank over co-occurrence graphs (part co-purchase, doc link graphs)
 is the canonical iterative operator a training-data pipeline needs for
 importance weighting and crawl-frontier scoring. Spark has no built-in;
-this is the composition-of-DataFrame-ops formulation: one cached,
-pre-partitioned edge frame, and per iteration one |V|-row join
-(ranks ⋈ degrees), one edge join keyed on the cached partitioning, and
-one partial-aggregated groupBy — the standard distributed PageRank
-shuffle pattern (Malewicz et al., Pregel, SIGMOD'10).
+this is the composition-of-DataFrame-ops formulation: one cached edge
+frame pre-partitioned and sorted by source WITH the source out-degree
+attached, and per iteration exactly one join (edges ⋈ ranks, reusing
+the cached layout) and one partial-aggregated groupBy — the standard
+distributed PageRank shuffle pattern (Malewicz et al., Pregel,
+SIGMOD'10) with the per-iteration degree join folded away.
 
 All arithmetic is INTEGER fixed-point: rank mass lives in
 ``RANK_SCALE`` units and per-edge shares use floor division, so the
@@ -17,12 +18,12 @@ does) reproduces every rank exactly. Floor losses leak a few units of
 mass per vertex per round; ranking order is unaffected and
 determinism is what matters for verification.
 
-Scale: the edge frame is repartitioned by ``src`` once and cached, so
+Scale: the edge frame is repartitioned by ``src`` once and cached
+(sorted within partitions by the window that attaches the degree), so
 the per-iteration share join reuses that layout instead of
-re-shuffling edges every round; only the |V|-row rank frame moves.
-Degrees are computed on the same layout (no extra shuffle). Ranks are
-``localCheckpoint``-ed per round to keep lineage flat over many
-iterations.
+re-shuffling — or re-sorting — edges every round; only the |V|-row
+rank frame moves. Ranks are ``localCheckpoint``-ed per round to keep
+lineage flat over many iterations.
 """
 
 from __future__ import annotations
@@ -55,36 +56,54 @@ def pagerank(
         r_{k+1}(v)= (100-damping_pct)*RANK_SCALE // (100*N)
                     + sum_{u->v} share_k(u)
     """
+    from pyspark.sql import Window
+
+    # One cached frame carries everything the loop needs: the edge
+    # list WITH the source's out-degree attached (round 17). Degrees
+    # ride on the edge rows, so the per-iteration ranks-to-degrees
+    # join disappears — the floor-division share is computed per edge
+    # and (damping * r) div (100 * deg) depends only on the source,
+    # so per-edge evaluation is value-identical to the old per-source
+    # share join. The window needs exactly the exchange + sort the
+    # iteration join wants anyway: the cache holds the edge frame
+    # hash-partitioned AND sorted by src, so each round's join reuses
+    # the cached layout instead of re-shuffling (and re-sorting)
+    # lineage (guide §2.4).
+    # repartition BEFORE the dedup: hashpartitioning(src) satisfies
+    # the (src, dst) distinct's clustering requirement (same-key rows
+    # can't straddle partitions), so the aggregate runs on the
+    # repartition's exchange instead of adding its own — one shuffle
+    # of the edge stream, not two
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition("src")
+        .distinct()
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .cache()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    n = deg.count()  # bounded: one long per distinct source vertex
+    # bounded: one long per distinct source vertex; no exchange — the
+    # cache is already partitioned by src
+    n = e.select("src").distinct().count()
     if n == 0:
-        return deg.select(
+        return e.select(
             F.col("src").alias("id"), F.lit(0).cast("long").alias("rank_q")
         )
     teleport = (100 - damping_pct) * RANK_SCALE // (100 * n)
-    ranks = deg.select(
-        F.col("src").alias("id"),
-        F.lit(RANK_SCALE // n).cast("long").alias("rank_q"),
+    ranks = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(RANK_SCALE // n).cast("long").alias("rank_q")
     )
     for _ in range(iters):
-        shares = (
-            ranks.join(deg, ranks.id == deg.src)
+        ranks = (
+            e.join(ranks, e.src == ranks.id)
             .select(
-                "src",
+                "dst",
                 F.expr(
                     f"({damping_pct} * rank_q) div (100 * deg)"
                 ).alias("share"),
             )
-        )
-        ranks = (
-            e.join(shares, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("in_mass"))
             .select(

@@ -3,8 +3,9 @@
 Usage:
     PYTHONPATH=/root/repo python tests/plan_capture.py SUFFIX q65 q98 ...
 
-Writes plans/r16/<name>_<SUFFIX>.txt for each query name (prefix match
-on the registry key, e.g. "q65" matches "q65_llm_corpus_pipeline").
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<name>_<SUFFIX>.txt (default r17)
+for each query name (prefix match on the registry key, e.g. "q65"
+matches "q65_llm_corpus_pipeline").
 Plans are captured AFTER a `.collect()` of the frame so AQE's final
 plan is what lands in the file (repo rule: capture plans after
 collect). The sf dir comes from $SPARK_GRAFT_SF_DIR (default sf0.1).
@@ -28,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-capture")

@@ -87,7 +87,7 @@ def test_q92_zero_variance_brand_yields_null_not_task_kill(spark, tmp_path):
     assert_matches_oracle(df, spec.oracle, sf, "q92-degenerate")
 
 
-def test_ordered_part_pairs_equals_self_join(spark):
+def test_ordered_part_pairs_equals_self_join(spark, sf_dir):
     """Round-16 restructure guard: the one-shuffle per-order part-set
     expansion (_order_part_sets + _ordered_part_pairs, now behind
     q84/q93/q138/q145) must emit exactly the multiset of (a < b)
@@ -102,7 +102,6 @@ def test_ordered_part_pairs_equals_self_join(spark):
         _ordered_part_pairs,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     new_rows = Counter(
         (r["part_a"], r["part_b"])
         for r in _ordered_part_pairs(_order_part_sets(spark, sf_dir)).collect()
