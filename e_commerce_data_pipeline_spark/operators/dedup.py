@@ -1096,7 +1096,11 @@ def minhash_jaccard_calibration(
     sigs = _signature_from_units(
         units.select("id", F.col("u").alias("unit")), num_hashes, use_portable_hash
     ).cache()
-    cands = _lsh_candidates_from_sigs(sigs, num_hashes, bands)
+    # cached: the candidate pairs feed BOTH the estimator join and the
+    # exact-intersection join below — without the cache each consumer
+    # re-runs the band self-join + distinct subtree (round-17 plan
+    # audit: no ReusedExchange covers it)
+    cands = _lsh_candidates_from_sigs(sigs, num_hashes, bands).cache()
     a = sigs.select(F.col("id").alias("a_id"), F.col("sig").alias("a_sig"))
     b = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("b_sig"))
     eq_terms = [

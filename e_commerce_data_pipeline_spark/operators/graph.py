@@ -196,7 +196,15 @@ def triangle_counts(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
     ).cache()
     if broadcast_adjacency:
-        adj = oriented.groupBy("a").agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+        # cached: the out-neighbor table feeds TWO broadcasts (keyed
+        # on a and on b), and without the cache each broadcast re-runs
+        # the full |E|-row shuffle + collect_list + array_sort (round
+        # 17 plan audit: two identical ObjectHashAggregate subtrees)
+        adj = (
+            oriented.groupBy("a")
+            .agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+            .cache()
+        )
         # na join is inner (edge (a,b) proves a has out-neighbors);
         # nb may be absent — slice(na, 1, 0) is a typed empty array,
         # keeping the operator generic over the node id type
