@@ -36,17 +36,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _auto_buckets(span: int, cap: int = 4096) -> int:
+    """Histogram width for a value interval of ``span``: the smallest
+    power of two that converges in as few scans as the measured cap.
+
+    The cost surface (measured r13/r16, PERF.md): scan count dominates
+    (each scan is a full pass over the column), histogram width is the
+    second-order term (B rows per partition into the shuffle, B
+    counters on the driver) — 256/4096/65536 buckets read 3.25/2.20/
+    3.33 s on q157 at sf0.1. So: take the scan count the 4096 cap
+    achieves for this span, then shrink the histogram to the smallest
+    power of two that still achieves it. At the pinned bench ranges
+    this reproduces the hand-measured optimum exactly (q157's ~1e7
+    cent span and q162's 2.22e10 slope span both resolve to 4096);
+    narrower intervals — e.g. q162's residual pass — get a narrower
+    histogram at the same scan count, and wider-than-measured corpora
+    scale the width up only when that actually saves a scan."""
+
+    def rounds(b: int) -> int:
+        r, w = 0, span
+        while w > 1:
+            w = -(-w // b)  # intervals shrink to ceil-width buckets
+            r += 1
+        return r
+
+    target = rounds(cap)
+    b = 2
+    while b < cap and rounds(b) > target:
+        b *= 2
+    return b
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
     percents: list[int],
-    buckets: int = 256,
+    buckets: int | None = None,
     max_rounds: int = 70,
 ) -> DataFrame:
     """Exact integer quantiles of ``df[col]`` (nulls ignored) for each
     integer percent in ``percents``. Returns a tiny DataFrame
     (percent, n, k, value) built driver-side — driver state is
-    B counters per open quantile per round, never row data."""
+    B counters per open quantile per round, never row data.
+
+    ``buckets=None`` (default) derives the histogram width from the
+    first scan's global min/max via :func:`_auto_buckets`; pass an
+    explicit width to pin it. The result is EXACT at any width —
+    bucket count is purely a performance knob."""
     spark: SparkSession = df.sparkSession
     vals = df.select(F.col(col).cast("long").alias("v")).filter(
         F.col("v").isNotNull()
@@ -61,6 +97,8 @@ def exact_quantiles(
             return spark.createDataFrame(
                 [], "percent int, n long, k long, value long"
             )
+        if buckets is None:
+            buckets = _auto_buckets(ghi - glo + 1)
         # state per percent: (k = remaining rank inside [lo, hi], lo, hi)
         state = {
             p: [max(1, -(-p * n // 100)), glo, ghi] for p in percents

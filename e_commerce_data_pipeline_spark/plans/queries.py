@@ -8556,7 +8556,9 @@ def q156_snapshot_reconciliation(spark, sf_dir):
     "q41 is exact-via-global-sort (right at dim scale), q50 is "
     "approx_percentile (a sketch), this is exact WITHOUT a total "
     "order — O(log_B range) linear scans, each histogramming every "
-    "still-open rank interval into 256 equal-width integer buckets "
+    "still-open rank interval into B equal-width integer buckets "
+    "(B auto-sized from the first scan's min/max: smallest power of "
+    "two preserving the minimal scan count) "
     "(map-side partial agg, shuffle = B rows/partition; all three "
     "quantiles narrow in the same scan via a tagged literal explode). "
     "Driver state is B counters per open quantile — corpus-size "
@@ -8572,11 +8574,13 @@ def q157_exact_quantile_narrowing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         to_fixed(F.col("l_extendedprice"), 100).alias("cents")
     )
-    # B=4096 reaches the ~1e7-cent range in 2 narrowing scans (256
-    # needs 3; 65536 also needs 2 but pays a heavier histogram
-    # shuffle per scan — measured 3.25 / 2.20 / 3.33 s isolated at
-    # sf0.1, identical exact values)
-    return exact_quantiles(li, "cents", [50, 90, 99], buckets=4096)
+    # histogram width is auto-derived from the first scan's min/max
+    # (round 17): at the sf0.1 ~1e7-cent span that resolves to the
+    # hand-measured optimum B=4096 (2 narrowing scans; 256 needed 3
+    # and 65536 paid a heavier per-scan histogram — 3.25 / 2.20 /
+    # 3.33 s isolated, identical exact values), and wider corpora
+    # rescale without re-measuring
+    return exact_quantiles(li, "cents", [50, 90, 99])
 
 
 @_register(
@@ -9190,12 +9194,14 @@ def q162_theil_sen_trend(spark, sf_dir):
             .alias("s")
         )
     )
-    # buckets=4096 (round 16): the sf0.1 slope range is 2.22e10, so
-    # 4096 and the previous 16384 both need THREE narrowing scans
-    # (B^2 < range <= B^3 for both) — the smaller histogram wins the
-    # per-scan shuffle (q157's oversizing rule; interleaved A/B
-    # 3.998 -> 3.885 s, values identical by exactness)
-    med = exact_quantiles(slopes, "s", [50], buckets=4096).select(
+    # histogram width auto-derived per pass (round 17, supersedes the
+    # round-16 pinned 4096): the sf0.1 slope span (2.22e10) resolves
+    # to the same measured-optimal 4096 / three scans, while the
+    # residual pass below — whose span is orders of magnitude
+    # narrower — gets its own smaller histogram at its own scan count
+    # instead of inheriting the slope pass's width (the ADVICE r16
+    # note)
+    med = exact_quantiles(slopes, "s", [50]).select(
         F.col("n").alias("n_pairs"), F.col("value").alias("slope_micro")
     )
     resid = daily.crossJoin(F.broadcast(med)).select(
@@ -9211,7 +9217,7 @@ def q162_theil_sen_trend(spark, sf_dir):
         .cast("long")
         .alias("r"),
     )
-    icept = exact_quantiles(resid, "r", [50], buckets=4096).select(
+    icept = exact_quantiles(resid, "r", [50]).select(
         F.col("n").alias("n_days"), F.col("value").alias("intercept_milli")
     )
     return (

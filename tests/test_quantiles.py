@@ -2,7 +2,10 @@
 
 import random
 
-from e_commerce_data_pipeline_spark.operators.quantiles import exact_quantiles
+from e_commerce_data_pipeline_spark.operators.quantiles import (
+    _auto_buckets,
+    exact_quantiles,
+)
 
 
 def _ref(vals, p):
@@ -55,6 +58,47 @@ def test_full_domain_range_first_round_overflow(spark):
         }
         for p in (1, 50, 100):
             assert got[p] == _ref(vals, p), (vals, p)
+
+
+def test_auto_buckets_rule():
+    """Round-17 auto width: smallest power of two whose ceil-narrowing
+    scan count equals the measured-optimal 4096 cap's. Pins the two
+    hand-measured identity points (q157's ~1e7-cent span and q162's
+    2.22e10 slope span both resolve to 4096) and the invariants the
+    rule promises: never more scans than the cap, never wider than
+    the cap, narrower spans get narrower histograms."""
+
+    def rounds(span, b):
+        r = 0
+        while span > 1:
+            span = -(-span // b)
+            r += 1
+        return r
+
+    assert _auto_buckets(10_400_000) == 4096  # q157 cents span
+    assert _auto_buckets(22_200_000_000) == 4096  # q162 slope span
+    assert _auto_buckets(2) == 2
+    assert _auto_buckets(1_000_000) == 1024  # sqrt-shaped: 2 scans
+    for span in [2, 5, 100, 4096, 4097, 10**6, 10**10, 2**62, 2**63]:
+        b = _auto_buckets(span)
+        assert b <= 4096 and (b & (b - 1)) == 0
+        assert rounds(span, b) == rounds(span, 4096), span
+
+
+def test_auto_matches_pinned_buckets_output(spark):
+    """Auto width must be output-invisible: exactness makes bucket
+    count performance-only, so auto and any pinned width agree."""
+    rng = random.Random(17)
+    vals = [rng.randint(-(10**10), 10**10) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    auto = sorted(
+        tuple(r) for r in exact_quantiles(df, "v", [10, 50, 95]).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in exact_quantiles(df, "v", [10, 50, 95], buckets=4096).collect()
+    )
+    assert auto == pinned
 
 
 def test_single_row_and_nulls(spark):
