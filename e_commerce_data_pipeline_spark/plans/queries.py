@@ -2677,25 +2677,44 @@ def q65_llm_corpus_pipeline(spark, sf_dir):
     # decode_clean=TRUE for ALL rows; any walker regression (wrong
     # codec, lost param, strict-utf-8 fallback) drops rows here and
     # the oracle's row counts/sums catch it.
-    rehtml = F.col("html")
-    wrapped = recs.filter(F.col("decode_clean")).select(
-        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.element_at("headers", "x-doc-lang").alias("lang"),
-        F.element_at("headers", "x-doc-chars").cast("int").alias("n_chars"),
-        F.length(rehtml).cast("long").alias("html_len"),
-        html_tag_stats(rehtml).alias("n_tags"),
-        html_to_text(rehtml, entities="full").alias("text"),
+    # round 17 (guide §2 parallelism): the walk is file-granular —
+    # 64 buckets hashed over the shuffle partitions, so the
+    # regex-heavy strip/tag/token stage inherited skewed bucket-level
+    # tasks. Keep the cheap header extractions and the row filters in
+    # the walk stage, then fan the surviving records out round-robin
+    # to the session's cores so the heavy stage runs record-granular;
+    # the exchange carries only (doc_id, lang, n_chars, html). The
+    # input bucketing itself is untouched (re-bucketing the corpus
+    # would game the measurement, not optimize the engine).
+    slim = (
+        recs.filter(F.col("decode_clean"))
+        .select(
+            F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.element_at("headers", "x-doc-lang").alias("lang"),
+            F.element_at("headers", "x-doc-chars")
+            .cast("int")
+            .alias("n_chars"),
+            F.col("html"),
+        )
+        .filter((F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    rehtml = F.col("html")
     # cache BELOW the token floor: the floor filter then reads the
     # materialized n_tokens int from the InMemoryRelation instead of
     # inlining the tokenizer regexp chain into a Filter node (the
     # mapInPandas child changed CollapseProject behavior in round 12
     # — the plan test pins this shape)
     staged = (
-        wrapped.filter(
-            (F.col("n_chars") >= 50) & (F.col("n_chars") <= 10000)
+        slim.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.length(rehtml).cast("long").alias("html_len"),
+            html_tag_stats(rehtml).alias("n_tags"),
+            html_to_text(rehtml, entities="full").alias("text"),
         )
         .withColumn("n_tokens", token_count("text").cast("int"))
         .cache()
