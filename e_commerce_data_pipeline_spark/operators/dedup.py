@@ -1182,9 +1182,17 @@ def prefix_sorted_docs(
     sh = doc_shingles(df, id_col, text_col, n)
     if hash_units:
         sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over the shingle shuffle
+    # (round 17, the ngram_jaccard_pairs house pattern): the old
+    # groupBy(shingle) + join-back formulation ran the tokenize +
+    # shingle explode TWICE (once under the frequency agg, once as the
+    # join probe — no ReuseExchange covers it, the partial agg sits
+    # below one exchange) and shuffled the stream twice; the window
+    # shuffles it once and reads one tokenize pass
     return (
-        sh.join(dfreq, "shingle")
+        sh.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .groupBy("id")
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias(
